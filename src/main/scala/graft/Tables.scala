@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registration of the driver-provided parquet tables as temp views.
+  *
+  * Schemas are discovered from the parquet footers at bootstrap
+  * (FIXTURES.md §1) — never hand-declared. This mirrors the reference's
+  * catalog bootstrap (`/root/reference/catalog/provider.go:108-240`) in
+  * spirit: tables become queryable relations in a session catalog; here
+  * Catalyst's analyzer resolves them, no custom resolution code needed.
+  *
+  * Scale note: `spark.read.parquet` on a directory of files partitions by
+  * file/row-group automatically; at 100 TB these would be
+  * `spark.read.parquet("s3a://bucket/table/")` with partition discovery —
+  * the registration code is unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every driver table under `sfDir` as a temp view (idempotent). */
+  def register(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
+
+/** One verifiable operator: a Spark implementation plus (when the
+  * semantics are SQL-expressible) an equivalent DuckDB oracle query over
+  * the same parquet tables. Column names/aliases MUST match between the
+  * two — the driver's comparator sorts columns by name before hashing.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracleSql: Option[String])
