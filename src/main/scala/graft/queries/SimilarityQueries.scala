@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-d):
+  * brute-force cosine top-k as the correctness baseline, a
+  * hyperplane-LSH bucketed variant as the scale path, and threshold
+  * near-dup pairs.
+  *
+  * Determinism: cosine is computed as a strict left-to-right fold in
+  * DOUBLE (Spark `aggregate` HOF ≡ DuckDB `list_reduce`), so both
+  * engines produce bit-identical doubles — no tolerance needed in the
+  * hash compare.
+  *
+  * Scale design: norms are precomputed once per vector (O(n) folds, not
+  * O(n·k)); brute force is quadratic and exists as the oracle-checkable
+  * baseline; the LSH variant joins on a 8-bit hyperplane bucket —
+  * at 100 TB the bucket join is the only shuffle and candidate lists
+  * shrink ~2^8 per probe.
+  */
+object SimilarityQueries {
+
+  /** Spark SQL: strict sequential dot product of two float arrays. */
+  private def dotSpark(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+
+  /** DuckDB: the same fold (1-based list indexing, seed prepended). */
+  private def dotDuck(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, len($a) + 1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+        (acc, v) -> acc + v)"""
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Vectors with precomputed L2 norm. */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(expr(dotSpark("embedding", "embedding"))))
+
+  private val normDuck =
+    s"""vecs AS (SELECT vec_id, embedding,
+        sqrt(${dotDuck("embedding", "embedding")}) AS nrm FROM embeddings)"""
+
+  // --------------------------------------------------------------------
+  // q70 — brute-force cosine top-k: every 100th vector is a query; top-5
+  // neighbors by (cosine desc, vec_id asc).
+  private val q70 = QueryDef(
+    "q70_knn_brute",
+    (s, dir) => {
+      val vecs = withNorm(t(s, dir, "embeddings"))
+      val q = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val c = vecs.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("n_id"))
+      broadcast(q).join(c, col("q_id") =!= col("n_id"))
+        .withColumn("sim",
+          expr(dotSpark("q_emb", "n_emb")) / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""WITH $normDuck,
+      sims AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          ${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
+        FROM vecs q JOIN vecs c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
+      SELECT q_id, n_id, sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        FROM sims) x
+      WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  // --------------------------------------------------------------------
+  // q71 — hyperplane-LSH ANN: 8 pseudo-random hyperplanes (deterministic
+  // LCG coefficients), vectors bucketed by the 8-bit sign pattern;
+  // queries search only their bucket; top-3 by cosine.
+  private val planeCoef =
+    "((CAST(1103515245 AS BIGINT) * (pl * 64 + (i - 1)) + 12345) % 2147483648) / 2147483648.0 - 0.5"
+
+  private def planeDotSpark: String =
+    s"""aggregate(transform(sequence(1, size(embedding)),
+        i -> ($planeCoef) * CAST(element_at(embedding, i) AS DOUBLE)),
+        CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+
+  private def planeDotDuck: String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, len(embedding) + 1),
+          i -> ($planeCoef) * CAST(embedding[i] AS DOUBLE))),
+        (acc, v) -> acc + v)"""
+
+  private val q71 = QueryDef(
+    "q71_ann_lsh",
+    (s, dir) => {
+      val vecs = withNorm(t(s, dir, "embeddings"))
+      val buckets = vecs
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(expr("sequence(0, 7)")).as("pl"))
+        .withColumn("bit",
+          when(expr(planeDotSpark) >= 0, expr("shiftleft(CAST(1 AS BIGINT), pl)"))
+            .otherwise(0L))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("bit")).as("bucket"))
+      val bv = vecs.join(buckets, "vec_id")
+      val q = bv.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket"))
+      val c = bv.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("n_id"))
+      broadcast(q).join(c, Seq("bucket"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim",
+          expr(dotSpark("q_emb", "n_emb")) / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("bucket"), col("sim"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""WITH $normDuck,
+      buckets AS (SELECT vec_id,
+          sum(CASE WHEN $planeDotDuck >= 0
+              THEN (CAST(1 AS BIGINT) << CAST(pl AS INT)) ELSE 0 END) AS bucket
+        FROM vecs, (SELECT unnest(range(0, 8)) AS pl) p
+        GROUP BY vec_id),
+      bv AS (SELECT v.vec_id, v.embedding, v.nrm, b.bucket
+        FROM vecs v JOIN buckets b ON v.vec_id = b.vec_id),
+      sims AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.bucket AS bucket,
+          ${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
+        FROM bv q JOIN bv c ON q.bucket = c.bucket
+          AND q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
+      SELECT q_id, n_id, bucket, sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        FROM sims) x
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  // --------------------------------------------------------------------
+  // q72 — cosine near-dup pairs above a threshold (brute-force baseline;
+  // the LSH bucketing above is the scale path for this too).
+  private val q72 = QueryDef(
+    "q72_cosine_pairs",
+    (s, dir) => {
+      val vecs = withNorm(t(s, dir, "embeddings"))
+      val a = vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"))
+      val b = vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("sim",
+          expr(dotSpark("a_emb", "b_emb")) / (col("a_nrm") * col("b_nrm")))
+        .filter(col("sim") >= 0.4)
+        .select(col("a_id"), col("b_id"), col("sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH $normDuck
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+      FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+      WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+      ORDER BY a_id, b_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q70, q71, q72)
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: token
+  * counting, quality scoring, language ID, document fingerprinting —
+  * all over the `documents` table.
+  *
+  * Hashing primitive shared with the dedup pack: a char-level
+  * polynomial fold mod 1e9+7 that both Spark (`aggregate` HOF) and the
+  * DuckDB oracle (`list_reduce`) evaluate identically in exact BIGINT
+  * arithmetic (values stay < 2^35, far from overflow). Engine-native
+  * hash functions (xxhash64, md5) are used only where both engines
+  * implement the identical public algorithm.
+  *
+  * Scale: every query here is embarrassingly parallel per-document
+  * (narrow transforms, no join), then a bounded aggregation — the shape
+  * that scales linearly to 100 TB.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  import HashFrags.{wordCodeSpark, wordCodeDuck}
+
+  // --------------------------------------------------------------------
+  // q50 — token counting: whitespace tokens + BPE-ish regex tokens.
+  private val q50 = QueryDef(
+    "q50_token_stats",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          expr("size(regexp_extract_all(text, '[a-z0-9]+', 0))").as("n_re_tokens"),
+          length(col("text")).as("text_len"),
+          col("n_chars"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+      len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+      length(text) AS text_len, n_chars
+      FROM documents ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------------
+  // q51 — quality scoring: token count, mean word length, stopword
+  // ratio, and a binary keep/drop flag (all exact-integer derived).
+  private val q51 = QueryDef(
+    "q51_quality_score",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(col("words")).as("n_tokens"),
+          (expr("CAST(aggregate(transform(words, w -> length(w)), 0, (a, x) -> a + x) AS DOUBLE)") /
+            size(col("words"))).as("mean_word_len"),
+          (expr("CAST(size(filter(words, w -> w IN ('the', 'a', 'of', 'to', 'in', 'and'))) AS DOUBLE)") /
+            size(col("words"))).as("stop_ratio"))
+        .withColumn("is_quality",
+          col("n_tokens").between(20, 1000) && col("stop_ratio") < lit(0.4))
+        .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      SELECT doc_id, n_tokens, mean_word_len, stop_ratio,
+        (n_tokens BETWEEN 20 AND 1000) AND stop_ratio < 0.4 AS is_quality
+      FROM (SELECT doc_id, len(words) AS n_tokens,
+        CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) AS mean_word_len,
+        CAST(len(list_filter(words, w -> w IN ('the', 'a', 'of', 'to', 'in', 'and'))) AS DOUBLE) / len(words) AS stop_ratio
+        FROM w) x ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------------
+  // q52 — language ID: marker-word frequency scoring with a fixed
+  // alphabetical-first-wins argmax (the classic n-gram/stopword
+  // heuristic; markers chosen from the corpus's per-language top terms).
+  private val q52 = QueryDef(
+    "q52_langid",
+    (s, dir) => {
+      val ex = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      val scored = ex.groupBy(col("doc_id"), col("lang")).agg(
+        sum(when(col("word").isin("customer", "data", "batch"), 1).otherwise(0)).as("s_de"),
+        sum(when(col("word").isin("group", "fast", "hash"), 1).otherwise(0)).as("s_en"),
+        sum(when(col("word").isin("filter", "stream", "query"), 1).otherwise(0)).as("s_es"),
+        sum(when(col("word").isin("line", "small", "key"), 1).otherwise(0)).as("s_fr"),
+        sum(when(col("word").isin("vector", "join", "merge"), 1).otherwise(0)).as("s_zh"))
+      scored.withColumn("pred_lang",
+          when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+            col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          (col("pred_lang") === col("lang")).as("correct"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ex AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      scored AS (SELECT doc_id, lang,
+        sum(CASE WHEN word IN ('customer', 'data', 'batch') THEN 1 ELSE 0 END) AS s_de,
+        sum(CASE WHEN word IN ('group', 'fast', 'hash') THEN 1 ELSE 0 END) AS s_en,
+        sum(CASE WHEN word IN ('filter', 'stream', 'query') THEN 1 ELSE 0 END) AS s_es,
+        sum(CASE WHEN word IN ('line', 'small', 'key') THEN 1 ELSE 0 END) AS s_fr,
+        sum(CASE WHEN word IN ('vector', 'join', 'merge') THEN 1 ELSE 0 END) AS s_zh
+        FROM ex GROUP BY doc_id, lang)
+      SELECT doc_id, lang, pred_lang, pred_lang = lang AS correct FROM (
+        SELECT doc_id, lang, CASE
+          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+          WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
+        FROM scored) x ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------------
+  // q53 — document fingerprint: order-sensitive rolling hash over the
+  // word sequence (word code = char fold; doc fp = fold of word codes).
+  private val q53 = QueryDef(
+    "q53_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr(s"""aggregate(transform(words, w -> ${wordCodeSpark("w")}),
+            CAST(0 AS BIGINT), (acc, c) -> (acc * 131 + c) % 1000000007)""").as("fingerprint"),
+          size(col("words")).as("n_words"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(words, w -> ${wordCodeDuck("w")})),
+          (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint,
+        len(words) AS n_words
+      FROM w ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53)
+}
