@@ -1,0 +1,85 @@
+package graft.queries
+
+import java.nio.file.Files
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.storage.GraftTable
+import graft.streaming.CdcMerge
+
+/** CDC semantics exercised through the *real* storage engine and
+  * declared to the oracle declaratively: the driver's events table is
+  * interpreted as a change stream (event_id = log position, the LSN/
+  * GTID analog; event_type → action), run through condense + merge into
+  * a copy-on-write [[GraftTable]], and the resulting final state is
+  * compared against a DuckDB window/arg_max formulation of the same
+  * last-writer-wins semantics (reference C6/C7,
+  * `/root/reference/delta/controller.go:137-697`).
+  */
+object CdcQueries {
+
+  // event_type → action (FIXTURES.md §4: 0=delete, 1=update, 2=insert)
+  private val actionSpark =
+    when(col("event_type") === "error", 0)
+      .when(col("event_type") === "signup", 2).otherwise(1)
+  private val actionDuck =
+    "CASE WHEN event_type = 'error' THEN 0 WHEN event_type = 'signup' THEN 2 ELSE 1 END"
+
+  // --------------------------------------------------------------------
+  // q40 — condense: per user, the last change by log position. Runs the
+  // engine's actual CdcMerge.condense (max_by partial-agg plan).
+  private val q40 = QueryDef(
+    "q40_cdc_condense",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value"), col("event_id"),
+          actionSpark.as("action"),
+          lit("g").as("txn_group"), col("event_id").as("txn_seq"),
+          lit(0L).as("txn_stmt"))
+      CdcMerge.condense(ev, Seq("user_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("action").as("last_action"), col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, arg_max(event_id, event_id) AS last_event_id,
+      arg_max($actionDuck, event_id) AS last_action,
+      arg_max(value, event_id) AS last_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // --------------------------------------------------------------------
+  // q41 — full CDC apply through the storage engine: seed a table with
+  // one row per even user, stream the events through condense + merge,
+  // return the table's final state. The oracle states the equivalent
+  // last-writer-wins semantics declaratively.
+  private val q41 = QueryDef(
+    "q41_cdc_apply",
+    (s, dir) => {
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("value", DoubleType)))
+      val ev = Tables.load(s, dir, "events")
+      val warehouse = Files.createTempDirectory("graft_cdc_apply")
+      val t = GraftTable.create(s, warehouse.resolve("t"), schema, Seq("user_id"))
+      val initial = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 2 === 0)
+        .withColumn("value", lit(-1.0))
+      t.insert(initial)
+      val batch = ev.select(col("user_id"), col("value"),
+        actionSpark.as("action"),
+        lit("g").as("txn_group"), col("event_id").as("txn_seq"),
+        lit(0L).as("txn_stmt"))
+      CdcMerge.applyBatch(t, batch)
+      t.read().orderBy(col("user_id"))
+    },
+    // Every seeded user also appears in the stream, so the final state
+    // is exactly: last event wins, deletes remove the row (seeded or
+    // streamed-in), upserts/updates materialize it.
+    Some(s"""WITH last AS (
+        SELECT user_id, arg_max(value, event_id) AS value,
+          arg_max($actionDuck, event_id) AS action
+        FROM events GROUP BY user_id)
+      SELECT user_id, value FROM last WHERE action <> 0
+      ORDER BY user_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q40, q41)
+}

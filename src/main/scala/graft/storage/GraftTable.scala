@@ -1,0 +1,224 @@
+package graft.storage
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** A copy-on-write managed table over immutable parquet files + the
+  * versioned [[Manifest]] — the engine's answer to the reference's
+  * mutable DuckDB tables (INSERT/UPDATE/DELETE/REPLACE surface of
+  * `/root/reference/catalog/table.go` and the executor DML routing in
+  * `/root/reference/backend/executor.go:84-269`).
+  *
+  * Scale design:
+  * - INSERT is a pure file append (no read of existing data), committed
+  *   by manifest swap.
+  * - DELETE/UPDATE first *prune to affected files* — a metadata-sized
+  *   `collect()` of distinct file names matching the predicate — then
+  *   rewrite only those files in parallel. Untouched files are carried
+  *   over by reference. On a 1000-executor cluster this is the same
+  *   copy-on-write shape Delta/Iceberg use.
+  * - MERGE (upsert + delete in one source, the reference's CDC apply at
+  *   `/root/reference/delta/controller.go:137-600`) takes the same
+  *   fast paths the reference implements: blind append when nothing can
+  *   match, semi-join delete when there are only deletes, and the
+  *   general path = affected-file rewrite keyed on PK.
+  * - AUTO_INCREMENT ids are assigned distributively: per-partition
+  *   counts → driver prefix-sum (one tiny collect) → id = base + offset
+  *   + intra-partition position. No global sort, no single-partition
+  *   window.
+  */
+final class GraftTable(val spark: SparkSession, val path: Path) {
+
+  def manifest: Manifest = Manifest.load(path)
+
+  def schema: StructType = manifest.schema
+
+  /** Snapshot read of the current version (files are immutable, so the
+    * returned DataFrame is a consistent snapshot even under later DML). */
+  def read(): DataFrame = readManifest(manifest)
+
+  private def readManifest(m: Manifest): DataFrame =
+    if (m.files.isEmpty)
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), m.schema)
+    else spark.read.schema(m.schema).parquet(m.files: _*)
+
+  // ------------------------------------------------------------------
+  // Writes
+
+  /** Append `df` as new files; returns rows written. */
+  def insert(df: DataFrame): Long = {
+    val m = manifest
+    val (files, n) = writeFiles(df.select(m.schema.fieldNames.map(col): _*))
+    Manifest.commit(path, m.withFiles(m.files ++ files))
+    n
+  }
+
+  /** Append with AUTO_INCREMENT assignment for `idCol` (must be absent
+    * from `df`). Ids are unique and increasing from the manifest
+    * counter; the counter advances in the same commit. */
+  def insertAutoInc(df: DataFrame, idCol: String): Long = {
+    val m = manifest
+    val base = m.autoInc
+    val mid = df.withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", expr("CAST(__mid >> 33 AS BIGINT)"))
+      .withColumn("__pos", expr("CAST(__mid & 8589934591 AS BIGINT)"))
+    mid.cache()
+    try {
+      val counts = mid.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts).map {
+        case (off, (pid, _)) => pid -> off
+      }.toMap
+      val total = counts.map(_._2).sum
+      val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+        when(col("__pid") === pid, lit(off)).otherwise(acc)
+      }
+      val withId = mid.withColumn(idCol, lit(base) + offExpr + col("__pos"))
+        .select(m.schema.fieldNames.map(col): _*)
+      val (files, n) = writeFiles(withId)
+      Manifest.commit(path,
+        m.copy(files = m.files ++ files, autoInc = base + total))
+      n
+    } finally mid.unpersist()
+  }
+
+  /** Copy-on-write DELETE: rewrite only files containing matches. */
+  def delete(cond: Column): Long = {
+    val m = manifest
+    if (m.files.isEmpty) return 0L
+    val tagged = readManifest(m).withColumn("__file", input_file_name())
+    val affected = tagged.filter(cond).select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) return 0L
+    val affectedSeq = normalize(m.files).zip(m.files)
+      .filter { case (n, _) => affected.contains(n) }.map(_._2)
+    val survivors = spark.read.schema(m.schema).parquet(affectedSeq: _*)
+      .filter(!coalesce(cond, lit(false)))
+    val before = spark.read.schema(m.schema).parquet(affectedSeq: _*).count()
+    val (files, kept) = writeFiles(survivors)
+    val newFiles = m.files.diff(affectedSeq) ++ files
+    Manifest.commit(path, m.withFiles(newFiles))
+    before - kept
+  }
+
+  /** Copy-on-write UPDATE: rewrite affected files applying `set`. */
+  def update(cond: Column, set: Map[String, Column]): Long = {
+    val m = manifest
+    if (m.files.isEmpty) return 0L
+    val tagged = readManifest(m).withColumn("__file", input_file_name())
+    val affected = tagged.filter(cond).select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) return 0L
+    val affectedSeq = normalize(m.files).zip(m.files)
+      .filter { case (n, _) => affected.contains(n) }.map(_._2)
+    val src = spark.read.schema(m.schema).parquet(affectedSeq: _*)
+    val updated = src.select(m.schema.fieldNames.map { f =>
+      set.get(f) match {
+        case Some(e) => when(coalesce(cond, lit(false)), e).otherwise(col(f)).as(f)
+        case None => col(f)
+      }
+    }: _*)
+    val nMatched = src.filter(cond).count()
+    val (files, _) = writeFiles(updated)
+    Manifest.commit(path, m.withFiles(m.files.diff(affectedSeq) ++ files))
+    nMatched
+  }
+
+  /** MERGE a condensed change set (reference C7,
+    * `/root/reference/delta/controller.go:137-600`). `changes` carries
+    * the table's data columns plus an `action` TINYINT/INT column
+    * (0=delete, 1=update, 2=insert; FIXTURES.md §4) and at most one row
+    * per PK (condense first — [[graft.streaming.CdcMerge.condense]]).
+    *
+    * Fast paths mirror the reference's flush case analysis:
+    * insert-only over an empty/no-overlap table → blind append;
+    * delete-only → copy-on-write anti-join delete;
+    * general → rewrite files containing touched PKs, re-append upserts.
+    */
+  def merge(changes: DataFrame): Unit = {
+    val m = manifest
+    require(m.pkCols.nonEmpty, "merge requires a primary key")
+    val pk = m.pkCols
+    val dataCols = m.schema.fieldNames
+    val upserts = changes.filter(col("action") =!= 0).select(dataCols.map(col): _*)
+    val deletes = changes.filter(col("action") === 0).select(pk.map(col): _*)
+    val hasUpserts = !upserts.isEmpty
+    val hasDeletes = !deletes.isEmpty
+    if (!hasUpserts && !hasDeletes) return
+
+    if (m.files.isEmpty) {
+      if (hasUpserts) insert(upserts)
+      return
+    }
+
+    // Affected files = files holding any touched PK (upsert or delete).
+    val touchedKeys = changes.select(pk.map(col): _*).distinct()
+    val tagged = readManifest(m).withColumn("__file", input_file_name())
+    val affected = tagged
+      .join(broadcastIfSmall(touchedKeys), pk, "left_semi")
+      .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+
+    if (affected.isEmpty) {
+      // Blind-append fast path: nothing overlaps existing data.
+      if (hasUpserts) insert(upserts)
+      // deletes of absent keys are no-ops
+      return
+    }
+
+    val affectedSeq = normalize(m.files).zip(m.files)
+      .filter { case (n, _) => affected.contains(n) }.map(_._2)
+    // Survivors: rows in affected files whose PK is untouched.
+    val survivors = spark.read.schema(m.schema).parquet(affectedSeq: _*)
+      .join(broadcastIfSmall(touchedKeys), pk, "left_anti")
+    val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
+    val (files, _) = writeFiles(replacement)
+    val cur = manifest // re-read: insert() above may have bumped version
+    Manifest.commit(path, cur.withFiles(cur.files.diff(affectedSeq) ++ files))
+  }
+
+  /** TRUNCATE = commit an empty file list (old files stay for readers
+    * pinned to older versions; vacuuming is a separate concern). */
+  def truncate(): Unit = {
+    val m = manifest
+    Manifest.commit(path, m.withFiles(Nil))
+  }
+
+  // ------------------------------------------------------------------
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** input_file_name() yields file: URIs; manifest stores plain paths. */
+  private def normalize(files: Seq[String]): Seq[String] =
+    files.map(f => "file://" + Paths.get(f).toAbsolutePath.toString)
+
+  private def writeFiles(df: DataFrame): (Seq[String], Long) = {
+    val dest = path.resolve("data").resolve(UUID.randomUUID().toString)
+    df.write.parquet(dest.toString)
+    val files = Files.list(dest).iterator().asScala
+      .map(_.toString).filter(f => f.endsWith(".parquet")).toSeq.sorted
+    val n = if (files.isEmpty) 0L
+      else spark.read.schema(manifest.schema).parquet(files: _*).count()
+    (files, n)
+  }
+}
+
+object GraftTable {
+  /** CREATE TABLE: initialize an empty manifest (A19 analog). */
+  def create(spark: SparkSession, path: Path, schema: StructType,
+      pkCols: Seq[String] = Nil, autoIncStart: Long = 1L,
+      props: Map[String, String] = Map.empty): GraftTable = {
+    require(!Files.exists(path.resolve("_manifest")), s"table exists: $path")
+    Files.createDirectories(path)
+    Manifest.commit(path, Manifest(0L, schema, pkCols, Nil, autoIncStart, props))
+    new GraftTable(spark, path)
+  }
+
+  def open(spark: SparkSession, path: Path): GraftTable = {
+    Manifest.load(path) // validates existence
+    new GraftTable(spark, path)
+  }
+}

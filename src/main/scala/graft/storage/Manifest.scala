@@ -1,0 +1,92 @@
+package graft.storage
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Versioned file manifest for a copy-on-write table — the analog of
+  * the reference's DuckDB-owned storage (tables in
+  * `/root/reference/catalog/table.go:18-63`), re-expressed for
+  * immutable columnar files.
+  *
+  * A table directory holds immutable parquet data files plus
+  * `_manifest/v%09d.json` snapshots. Every DML statement produces a new
+  * manifest version listing exactly the files that constitute the table
+  * — INSERT appends files, DELETE/UPDATE/MERGE swap rewritten files in,
+  * TRUNCATE commits an empty list. Readers pin one version → snapshot
+  * isolation for free; the commit is a single atomic rename → the
+  * single-writer transaction journal from SURVEY.md §7 Phase 3.
+  *
+  * At 100 TB the manifest lists O(#files) strings (metadata-only, no
+  * data paths through the driver); the same design scales by sharding
+  * the file list, which is out of scope here.
+  *
+  * Table metadata the reference hides in DuckDB column COMMENTs
+  * (`/root/reference/catalog/type_mapping.go:31-42`) lives here in
+  * `props` (original logical types, enum values, display width), and
+  * the AUTO_INCREMENT counter (`catalog/table.go:785-949`) is the
+  * `autoInc` field, bumped transactionally with the data commit.
+  */
+final case class Manifest(
+    version: Long,
+    schema: StructType,
+    pkCols: Seq[String],
+    files: Seq[String],
+    autoInc: Long,
+    props: Map[String, String]) {
+
+  def withFiles(f: Seq[String]): Manifest = copy(files = f)
+}
+
+object Manifest {
+  private val mapper = new ObjectMapper()
+
+  private def dir(table: Path): Path = table.resolve("_manifest")
+
+  def latestVersion(table: Path): Option[Long] = {
+    val d = dir(table)
+    if (!Files.isDirectory(d)) None
+    else {
+      val vs = Files.list(d).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d{9}\\.json") => s.substring(1, 10).toLong }
+        .toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  def load(table: Path): Manifest = {
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalStateException(s"no manifest under $table"))
+    val raw = mapper.readValue(
+      Files.readAllBytes(dir(table).resolve(f"v$v%09d.json")), classOf[java.util.Map[String, Object]])
+    Manifest(
+      version = raw.get("version").asInstanceOf[Number].longValue(),
+      schema = DataType.fromJson(raw.get("schema").asInstanceOf[String]).asInstanceOf[StructType],
+      pkCols = raw.get("pkCols").asInstanceOf[java.util.List[String]].asScala.toSeq,
+      files = raw.get("files").asInstanceOf[java.util.List[String]].asScala.toSeq,
+      autoInc = raw.get("autoInc").asInstanceOf[Number].longValue(),
+      props = raw.get("props").asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+  }
+
+  /** Atomically commit `m` as the next version (write temp + rename). */
+  def commit(table: Path, m: Manifest): Manifest = {
+    val d = dir(table)
+    Files.createDirectories(d)
+    val next = latestVersion(table).getOrElse(-1L) + 1
+    val out = m.copy(version = next)
+    val payload = mapper.writeValueAsBytes(Map(
+      "version" -> java.lang.Long.valueOf(out.version),
+      "schema" -> out.schema.json,
+      "pkCols" -> out.pkCols.asJava,
+      "files" -> out.files.asJava,
+      "autoInc" -> java.lang.Long.valueOf(out.autoInc),
+      "props" -> out.props.asJava).asJava)
+    val tmp = d.resolve(f"v$next%09d.json.tmp")
+    Files.write(tmp, payload)
+    Files.move(tmp, d.resolve(f"v$next%09d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    out
+  }
+}

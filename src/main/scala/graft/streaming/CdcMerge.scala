@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.storage.GraftTable
+
+/** CDC ingest pipeline — the Spark-native re-expression of the
+  * reference's delta buffer + flush controller
+  * (`/root/reference/delta/delta.go:35-155`,
+  * `/root/reference/delta/controller.go:75-600`).
+  *
+  * Change events carry the table's data columns plus the CDC metadata
+  * columns of FIXTURES.md §4: `action` (0=delete, 1=update, 2=insert —
+  * the numeric ordering is load-bearing: within identical txn coords a
+  * DELETE must sort before the INSERT that re-creates the row,
+  * `/root/reference/delta/controller.go:670-673`) and the transaction
+  * coordinates `txn_group, txn_seq, txn_stmt` (binlog file / LSN
+  * analog).
+  *
+  * Pipeline: micro-batch (Trigger.ProcessingTime ≈ the reference's
+  * 200 ms flush, or AvailableNow in tests) → [[condense]] (per-PK
+  * last-writer-wins, one shuffle on PK with partial aggregation) →
+  * [[GraftTable.merge]] (copy-on-write upsert/delete apply). Exactly-
+  * once across restarts comes from the stream checkpoint: a replayed
+  * batch re-merges the same condensed rows, which is idempotent — the
+  * same guard the reference implements by persisting GTID with the data
+  * transaction (`binlog_metadata_persistence.go`).
+  */
+object CdcMerge {
+
+  val actionCol = "action"
+  val orderCols: Seq[String] = Seq("txn_group", "txn_seq", "txn_stmt", "action")
+  val metaCols: Seq[String] = Seq("action", "txn_tag", "txn_server",
+    "txn_group", "txn_seq", "txn_stmt")
+
+  /** Last-writer-wins condense (reference C6,
+    * `/root/reference/delta/controller.go:654-697`): keep, per PK, the
+    * event with the greatest (txn_group, txn_seq, txn_stmt, action).
+    * Implemented as `max_by(struct(payload), struct(order))` — a single
+    * hash aggregation with map-side partial combine; no window, no
+    * sort, no second shuffle.
+    */
+  def condense(batch: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val order = orderCols.filter(batch.columns.contains)
+    val payload = batch.columns.filterNot(pkCols.contains)
+    batch.groupBy(pkCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(order.map(col): _*)).as("__last"))
+      .select(pkCols.map(col) ++ payload.map(c => col(s"__last.$c").as(c)): _*)
+  }
+
+  /** Condense + merge one micro-batch into the table (reference C7). */
+  def applyBatch(table: GraftTable, batch: DataFrame): Unit = {
+    if (batch.isEmpty) return
+    val condensed = condense(batch, table.manifest.pkCols)
+    table.merge(condensed)
+  }
+
+  /** Start a file-based CDC stream into `table` (stand-in for the
+    * binlog/logical-replication sources C1/C2 — the decode layer is a
+    * connector concern; the engine consumes the delta schema).
+    */
+  def start(spark: SparkSession, sourceDir: String, eventSchema: StructType,
+      table: GraftTable, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+    src.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(table, batch)
+      }
+      .start()
+  }
+}

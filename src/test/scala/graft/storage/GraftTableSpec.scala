@@ -1,0 +1,134 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("v", DoubleType)))
+
+  private def freshTable(pk: Seq[String] = Seq("id")): GraftTable =
+    GraftTable.create(spark, tmpDir("graft_tbl"), schema, pk)
+
+  test("create + insert + read round-trip, versions bump") {
+    val t = freshTable()
+    assert(t.read().count() === 0)
+    assert(t.manifest.version === 0)
+    val n = t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))
+    assert(n === 2)
+    assert(t.manifest.version === 1)
+    assert(t.read().orderBy("id").as[(Long, String, Double)].collect()
+      === Array((1L, "a", 1.0), (2L, "b", 2.0)))
+  }
+
+  test("snapshot isolation: reader pinned before a delete sees old data") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))
+    val snapshot = t.read()
+    t.delete(col("id") === 1L)
+    assert(snapshot.count() === 2) // old files immutable
+    assert(t.read().count() === 1)
+  }
+
+  test("delete rewrites only affected files") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "v"))
+    t.insert(Seq((2L, "b", 2.0)).toDF("id", "name", "v"))
+    val filesBefore = t.manifest.files
+    val deleted = t.delete(col("id") === 2L)
+    assert(deleted === 1)
+    val filesAfter = t.manifest.files
+    // file holding id=1 is carried over untouched
+    assert(filesBefore.intersect(filesAfter).nonEmpty)
+    assert(t.read().select("id").as[Long].collect() === Array(1L))
+  }
+
+  test("delete with no matches is a no-op commit-wise") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "v"))
+    val v = t.manifest.version
+    assert(t.delete(col("id") === 99L) === 0)
+    assert(t.manifest.version === v)
+  }
+
+  test("update applies set-exprs to matching rows only") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))
+    val n = t.update(col("id") === 2L, Map("v" -> (col("v") * 10), "name" -> lit("B")))
+    assert(n === 1)
+    assert(t.read().orderBy("id").as[(Long, String, Double)].collect()
+      === Array((1L, "a", 1.0), (2L, "B", 20.0)))
+  }
+
+  test("truncate empties the table but keeps schema") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "v"))
+    t.truncate()
+    assert(t.read().count() === 0)
+    assert(t.schema === schema)
+  }
+
+  test("merge: blind-append fast path when no PK overlaps") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "v"))
+    val changes = Seq((2L, "b", 2.0, 2)).toDF("id", "name", "v", "action")
+    t.merge(changes)
+    assert(t.read().orderBy("id").as[(Long, String, Double)].collect()
+      === Array((1L, "a", 1.0), (2L, "b", 2.0)))
+  }
+
+  test("merge: general upsert + delete case analysis") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "v"))
+    val changes = Seq(
+      (1L, "a2", 10.0, 1), // update existing
+      (3L, "c", 3.0, 0),   // delete existing
+      (4L, "d", 4.0, 2))   // insert new
+      .toDF("id", "name", "v", "action")
+    t.merge(changes)
+    assert(t.read().orderBy("id").as[(Long, String, Double)].collect()
+      === Array((1L, "a2", 10.0), (2L, "b", 2.0), (4L, "d", 4.0)))
+  }
+
+  test("merge: delete-only path") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))
+    val changes = Seq((1L, null.asInstanceOf[String], 0.0, 0))
+      .toDF("id", "name", "v", "action")
+    t.merge(changes)
+    assert(t.read().select("id").as[Long].collect() === Array(2L))
+  }
+
+  test("merge into empty table inserts upserts") {
+    val t = freshTable()
+    t.merge(Seq((1L, "a", 1.0, 2)).toDF("id", "name", "v", "action"))
+    assert(t.read().count() === 1)
+  }
+
+  test("auto-increment ids are unique, increasing, counter persists") {
+    val t = GraftTable.create(spark, tmpDir("graft_ai"), schema, Seq("id"))
+    t.insertAutoInc(Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))
+      .toDF("name", "v").repartition(3), "id")
+    val ids1 = t.read().select("id").as[Long].collect().sorted
+    assert(ids1 === Array(1L, 2L, 3L))
+    t.insertAutoInc(Seq(("d", 4.0)).toDF("name", "v"), "id")
+    val ids2 = t.read().select("id").as[Long].collect().sorted
+    assert(ids2 === Array(1L, 2L, 3L, 4L))
+    assert(t.manifest.autoInc === 5L)
+  }
+
+  test("open on missing table fails; create twice fails") {
+    val p = tmpDir("graft_missing").resolve("nope")
+    intercept[Exception] { GraftTable.open(spark, p) }
+    val t = freshTable()
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, t.path, schema)
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.storage.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC fixtures (a)–(e) from FIXTURES.md §4, driven through condense +
+  * merge, plus the file-stream end-to-end path with checkpoint resume. */
+class CdcMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("pk", LongType), StructField("val", StringType)))
+
+  // (pk, val, action, txn_group, txn_seq, txn_stmt)
+  private def events(rows: (Long, String, Int, String, Long, Long)*) =
+    rows.toDF("pk", "val", "action", "txn_group", "txn_seq", "txn_stmt")
+
+  private def fresh(): GraftTable =
+    GraftTable.create(spark, tmpDir("cdc_tbl"), schema, Seq("pk"))
+
+  private def state(t: GraftTable): Array[(Long, String)] =
+    t.read().orderBy("pk").as[(Long, String)].collect()
+
+  test("(a) insert-only batch → blind append") {
+    val t = fresh()
+    CdcMerge.applyBatch(t, events((1L, "a", 2, "g1", 1, 1), (2L, "b", 2, "g1", 1, 2)))
+    assert(state(t) === Array((1L, "a"), (2L, "b")))
+  }
+
+  test("(b) delete-only batch") {
+    val t = fresh()
+    CdcMerge.applyBatch(t, events((1L, "a", 2, "g1", 1, 1), (2L, "b", 2, "g1", 1, 2)))
+    CdcMerge.applyBatch(t, events((1L, null, 0, "g1", 2, 1)))
+    assert(state(t) === Array((2L, "b")))
+  }
+
+  test("(c) insert + update without PK change condenses to last value") {
+    val t = fresh()
+    CdcMerge.applyBatch(t, events(
+      (1L, "a", 2, "g1", 1, 1),
+      (1L, "a2", 1, "g1", 1, 2),
+      (1L, "a3", 1, "g1", 2, 1)))
+    assert(state(t) === Array((1L, "a3")))
+  }
+
+  test("(d) general batch incl. update arriving as delete+insert pair") {
+    val t = fresh()
+    CdcMerge.applyBatch(t, events((1L, "old", 2, "g0", 1, 1), (2L, "keep", 2, "g0", 1, 2)))
+    // same txn coords: DELETE (action 0) must lose to INSERT (action 2)
+    CdcMerge.applyBatch(t, events(
+      (1L, null, 0, "g1", 5, 3),
+      (1L, "new", 2, "g1", 5, 3)))
+    assert(state(t) === Array((1L, "new"), (2L, "keep")))
+  }
+
+  test("(e) stale replay: re-applying the same batch is idempotent") {
+    val t = fresh()
+    val b = events((1L, "x", 2, "g1", 1, 1), (2L, "y", 2, "g1", 1, 2),
+      (1L, "x2", 1, "g1", 2, 1))
+    CdcMerge.applyBatch(t, b)
+    val s1 = state(t)
+    CdcMerge.applyBatch(t, b) // replay
+    assert(state(t) === s1)
+  }
+
+  test("condense keeps exactly one row per PK ordered by txn coords") {
+    val c = CdcMerge.condense(events(
+      (1L, "v1", 2, "g1", 1, 1),
+      (1L, "v2", 1, "g1", 1, 2),
+      (1L, "v0", 1, "g0", 9, 9), // earlier group loses
+      (2L, "w", 2, "g1", 1, 1)), Seq("pk"))
+    val rows = c.orderBy("pk").select("pk", "val").as[(Long, String)].collect()
+    assert(rows === Array((1L, "v2"), (2L, "w")))
+  }
+
+  test("end-to-end file stream with checkpoint: batches applied in order, resume works") {
+    val t = fresh()
+    val src = tmpDir("cdc_src")
+    val ckpt = tmpDir("cdc_ckpt")
+    val evSchema = StructType(Seq(
+      StructField("pk", LongType), StructField("val", StringType),
+      StructField("action", IntegerType), StructField("txn_group", StringType),
+      StructField("txn_seq", LongType), StructField("txn_stmt", LongType)))
+
+    events((1L, "a", 2, "g1", 1, 1), (2L, "b", 2, "g1", 1, 2))
+      .write.mode("append").parquet(src.toString + "/b1")
+    // file source watches a flat dir; write file sets under one dir
+    val q1 = CdcMerge.start(spark, src.toString + "/*", evSchema, t, ckpt.toString)
+    q1.awaitTermination()
+    assert(state(t) === Array((1L, "a"), (2L, "b")))
+
+    events((1L, "a2", 1, "g2", 1, 1), (3L, "c", 2, "g2", 1, 2))
+      .write.mode("append").parquet(src.toString + "/b2")
+    val q2 = CdcMerge.start(spark, src.toString + "/*", evSchema, t, ckpt.toString)
+    q2.awaitTermination()
+    // b1 not re-applied (checkpoint), b2 applied
+    assert(state(t) === Array((1L, "a2"), (2L, "b"), (3L, "c")))
+  }
+}
