@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.storage.{GraftTable, Manifest}
+
+/** The engine facade: a warehouse of databases holding copy-on-write
+  * tables and stored views, session variables, and a SQL entry point —
+  * the analog of the reference's catalog provider + session layer
+  * (`/root/reference/catalog/provider.go:296-372` CREATE/DROP catalog,
+  * `/root/reference/catalog/database.go:127-424` tables + views,
+  * `/root/reference/backend/session.go:87-203` vars + transactions,
+  * `/root/reference/pgserver/duck_handler.go:133-233` prepared
+  * statements / schema probe).
+  *
+  * Layout: `<warehouse>/<db>/<table>/` (manifest + parquet) plus
+  * `<warehouse>/<db>/_views.json` and `<warehouse>/_vars.json` — the
+  * metadata the reference hides inside DuckDB's catalog and the
+  * `__sys__.persistent_variable` table
+  * (`/root/reference/catalog/internal_tables.go:174-180`).
+  */
+final class Engine(val spark: SparkSession, val warehouse: Path) {
+  SparkEntry.configure(spark)
+  private val mapper = new ObjectMapper()
+  Files.createDirectories(warehouse)
+
+  @volatile private var currentDb = "main"
+  if (!Files.isDirectory(warehouse.resolve("main"))) createDatabase("main")
+
+  // ------------------------------------------------------------------
+  // Databases (A18, A27)
+
+  def createDatabase(name: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad db name $name")
+    val d = warehouse.resolve(name)
+    require(!Files.exists(d), s"database exists: $name")
+    Files.createDirectories(d)
+  }
+
+  def dropDatabase(name: String, cascade: Boolean = false): Unit = {
+    val d = warehouse.resolve(name)
+    require(Files.isDirectory(d), s"no such database: $name")
+    if (!cascade) require(listTables(name).isEmpty, s"database $name not empty")
+    deleteRecursively(d)
+  }
+
+  def listDatabases(): Seq[String] =
+    Files.list(warehouse).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      .filterNot(_.startsWith("_")).toSeq.sorted
+
+  def use(db: String): Unit = {
+    require(Files.isDirectory(warehouse.resolve(db)), s"no such database: $db")
+    currentDb = db
+  }
+  def currentDatabase: String = currentDb
+
+  // ------------------------------------------------------------------
+  // Tables (A19, A26) + views (A2)
+
+  private def split(name: String): (String, String) = name.split('.') match {
+    case Array(db, t) => (db, t)
+    case Array(t) => (currentDb, t)
+    case _ => throw new IllegalArgumentException(s"bad table name $name")
+  }
+
+  def createTable(name: String, schema: StructType, pkCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): GraftTable = {
+    val (db, t) = split(name)
+    GraftTable.create(spark, warehouse.resolve(db).resolve(t), schema, pkCols,
+      props = props)
+  }
+
+  def table(name: String): GraftTable = {
+    val (db, t) = split(name)
+    GraftTable.open(spark, warehouse.resolve(db).resolve(t))
+  }
+
+  def dropTable(name: String): Unit = {
+    val (db, t) = split(name)
+    val d = warehouse.resolve(db).resolve(t)
+    require(Files.isDirectory(d.resolve("_manifest")), s"no such table: $name")
+    deleteRecursively(d)
+  }
+
+  def listTables(db: String = currentDb): Seq[String] = {
+    val d = warehouse.resolve(db)
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d).iterator().asScala
+      .filter(p => Files.isDirectory(p.resolve("_manifest")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** Stored views: definition persisted, expanded at query time
+    * (`/root/reference/catalog/database.go:331-424`). */
+  def createView(name: String, sqlText: String): Unit = {
+    val (db, v) = split(name)
+    val f = warehouse.resolve(db).resolve("_views.json")
+    val views = loadViews(db) + (v -> sqlText)
+    Files.write(f, mapper.writeValueAsBytes(views.asJava))
+  }
+
+  def dropView(name: String): Unit = {
+    val (db, v) = split(name)
+    val views = loadViews(db) - v
+    Files.write(warehouse.resolve(db).resolve("_views.json"),
+      mapper.writeValueAsBytes(views.asJava))
+  }
+
+  def listViews(db: String = currentDb): Seq[String] = loadViews(db).keys.toSeq.sorted
+
+  private def loadViews(db: String): Map[String, String] = {
+    val f = warehouse.resolve(db).resolve("_views.json")
+    if (!Files.exists(f)) Map.empty
+    else mapper.readValue(Files.readAllBytes(f), classOf[java.util.Map[String, String]])
+      .asScala.toMap
+  }
+
+  // ------------------------------------------------------------------
+  // SQL entry (A1-A4 scans/SELECT via Catalyst; views expanded first)
+
+  /** Run SQL with the current database's tables and views registered.
+    * Catalyst owns parsing, optimization, and execution — the engine
+    * contributes the catalog binding only. */
+  def sql(q: String): DataFrame = {
+    registerAll()
+    spark.sql(q)
+  }
+
+  /** Parameterized SQL (A28 prepared-statement execute). */
+  def sql(q: String, params: Map[String, Any]): DataFrame = {
+    registerAll()
+    spark.sql(q, params)
+  }
+
+  /** A28 schema probe: result schema without execution (the analog of
+    * the reference's `SELECT * FROM (q) LIMIT 0` NULL-param trick —
+    * Spark analysis is lazy, so `.schema` never launches a job). */
+  def probeSchema(q: String): StructType = {
+    registerAll()
+    spark.sql(q).schema
+  }
+
+  private def registerAll(): Unit = {
+    listTables().foreach { t =>
+      table(s"$currentDb.$t").read().createOrReplaceTempView(t)
+    }
+    // views after tables so definitions resolve against them
+    loadViews(currentDb).foreach { case (v, defn) =>
+      spark.sql(defn).createOrReplaceTempView(v)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Session + persisted variables (A25)
+
+  def setVar(key: String, value: String, persist: Boolean = false): Unit = {
+    spark.conf.set(s"graft.var.$key", value)
+    if (persist) {
+      val f = warehouse.resolve("_vars.json")
+      val cur: Map[String, String] =
+        if (Files.exists(f))
+          mapper.readValue(Files.readAllBytes(f), classOf[java.util.Map[String, String]]).asScala.toMap
+        else Map.empty
+      Files.write(f, mapper.writeValueAsBytes((cur + (key -> value)).asJava))
+    }
+  }
+
+  def getVar(key: String): Option[String] =
+    spark.conf.getOption(s"graft.var.$key").orElse {
+      val f = warehouse.resolve("_vars.json")
+      if (!Files.exists(f)) None
+      else Option(mapper.readValue(Files.readAllBytes(f),
+        classOf[java.util.Map[String, String]]).get(key))
+    }
+
+  // ------------------------------------------------------------------
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -13,6 +13,7 @@ object SparkEntry {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 

