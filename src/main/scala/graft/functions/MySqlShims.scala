@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MySQL-dialect function surface (SURVEY §2.B last row + §2.D):
+  * the ~dozen MySQL-only names the reference gets from GMS/sqlglot
+  * translation (`/root/reference/transpiler/translate.go:102`), plus
+  * the reference's own macros (A29–A33,
+  * `/root/reference/catalog/internal_macro.go:33-109`,
+  * `/root/reference/myfunc/ps.go:21-51`).
+  *
+  * Everything maps onto codegen'd Spark built-ins — no UDF in any hot
+  * path; the only Scala UDF is the session-id function (constant per
+  * session, evaluated once per row trivially).
+  */
+object MySqlShims {
+
+  /** MySQL date-format tokens → Spark datetime pattern. Literal runs
+    * are quoted so pattern letters in the input stay literal. */
+  private[functions] def translateFormat(mysql: String): String = {
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "M", 'd' -> "dd",
+      'e' -> "d", 'H' -> "HH", 'k' -> "H", 'h' -> "hh", 'l' -> "h",
+      'i' -> "mm", 's' -> "ss", 'S' -> "ss", 'f' -> "SSSSSS",
+      'p' -> "a", 'M' -> "MMMM", 'b' -> "MMM", 'a' -> "EEE", 'W' -> "EEEE",
+      'j' -> "DDD", 'T' -> "HH:mm:ss", 'r' -> "hh:mm:ss a")
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flushLit(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(_.isLetter) || s.contains("'"))
+        out.append("'").append(s.replace("'", "''")).append("'")
+      else out.append(s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < mysql.length) {
+      val c = mysql.charAt(i)
+      if (c == '%' && i + 1 < mysql.length) {
+        val t = mysql.charAt(i + 1)
+        if (t == '%') lit.append('%')
+        else map.get(t) match {
+          case Some(p) => flushLit(); out.append(p)
+          case None => lit.append(t)
+        }
+        i += 2
+      } else { lit.append(c); i += 1 }
+    }
+    flushLit()
+    out.toString
+  }
+
+  /** MySQL STR_TO_DATE(str, '%Y-%m-%d ...') → timestamp. */
+  def strToDate(e: Column, mysqlFormat: String): Column =
+    to_timestamp(e, translateFormat(mysqlFormat))
+
+  /** MySQL DATE_FORMAT(ts, fmt). */
+  def dateFormat(e: Column, mysqlFormat: String): Column =
+    date_format(e, translateFormat(mysqlFormat))
+
+  /** MySQL GROUP_CONCAT(x ORDER BY x SEPARATOR sep) — deterministic
+    * (sorted) variant, as used throughout the query pack. */
+  def groupConcat(e: Column, sep: String = ","): Column =
+    concat_ws(sep, sort_array(collect_list(e)))
+
+  /** MySQL SUBSTRING_INDEX — Spark ships it natively; re-exported for
+    * the dialect layer's completeness. */
+  def substringIndex(e: Column, delim: String, count: Int): Column =
+    substring_index(e, delim, count)
+
+  /** A32: `information_schema._pg_expandarray(a)` — unnest with
+    * 1-based ordinality → rows (x, n). */
+  def pgExpandArray(df: DataFrame, arrCol: String): DataFrame =
+    df.select(df.columns.map(col) :+
+      posexplode(col(arrCol)).as(Seq("__pos", "x")): _*)
+      .withColumn("n", col("__pos") + 1).drop("__pos")
+
+  /** Register the SQL-callable shims (A29–A31) into the session. */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayContains, StringSplit, Literal}
+    val fr = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    // A30 __sys__.my_list_contains(list, v) — backs PG `= ANY(...)`
+    fr.createOrReplaceTempFunction("my_list_contains",
+      exprs => ArrayContains(exprs(0), exprs(1)), "built-in")
+    // A31 __sys__.my_split_list_str(s) — regexp split to array
+    fr.createOrReplaceTempFunction("my_split_list_str",
+      exprs => StringSplit(exprs(0), Literal.create("[,;\\s]+"), Literal(-1)), "built-in")
+    // A29 ps_current_thread_id() — connection/session id analog
+    val sessionId = java.util.UUID.randomUUID().getLeastSignificantBits.abs
+    spark.udf.register("ps_current_thread_id", () => sessionId)
+  }
+}

@@ -686,7 +686,49 @@ object RelationalQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) x
       WHERE event_type = 'purchase' ORDER BY purchase_id"""))
 
+  // --------------------------------------------------------------------
+  // q33 — LATERAL correlated subquery with ORDER BY + LIMIT (the
+  // reference's TestLateralJoin surface, main_test.go:403).
+  private val q33 = QueryDef(
+    "q33_lateral",
+    (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""SELECT r_name, n_name FROM region
+        JOIN LATERAL (SELECT n_name FROM nation
+          WHERE n_regionkey = r_regionkey ORDER BY n_name LIMIT 2)
+        ORDER BY r_name, n_name""")
+    },
+    Some("""SELECT r_name, n_name FROM region,
+      LATERAL (SELECT n_name FROM nation
+        WHERE n_regionkey = r_regionkey ORDER BY n_name LIMIT 2) t
+      ORDER BY r_name, n_name"""))
+
+  // --------------------------------------------------------------------
+  // q34 — JSON_TABLE analog (main_test.go:430): JSON array → rows with
+  // ordinality, via from_json + posexplode.
+  private val q34 = QueryDef(
+    "q34_json_table",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"),
+          posexplode(from_json(
+            concat(lit("["), col("props"), lit(","), col("props"), lit("]")),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("k",
+                  org.apache.spark.sql.types.IntegerType)))))))
+        .select(col("event_id"), col("pos").cast("int").as("idx"),
+          col("col.k").as("k"))
+        .orderBy(col("event_id"), col("idx")),
+    Some("""SELECT event_id, CAST(idx AS INT) AS idx,
+      CAST(json_extract_string(concat('[', props, ',', props, ']'),
+        '$[' || idx || '].k') AS INT) AS k
+      FROM events, (SELECT unnest(range(0, 2)) AS idx) i
+      WHERE event_id < 1000
+      ORDER BY event_id, idx"""))
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
 }

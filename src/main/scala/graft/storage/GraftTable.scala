@@ -5,7 +5,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A copy-on-write managed table over immutable parquet files + the
   * versioned [[Manifest]] — the engine's answer to the reference's
@@ -41,20 +41,75 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     * returned DataFrame is a consistent snapshot even under later DML). */
   def read(): DataFrame = readManifest(manifest)
 
+  /** Logical→physical column name (ALTER RENAME is metadata-only: the
+    * physical name in parquet files never changes; writes translate
+    * logical→physical, reads translate back). */
+  private def physName(m: Manifest, logical: String): String =
+    m.props.getOrElse(s"phys.$logical", logical)
+
   private def readManifest(m: Manifest): DataFrame =
     if (m.files.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), m.schema)
-    else spark.read.schema(m.schema).parquet(m.files: _*)
+    else {
+      val phys = StructType(m.schema.fields.map(f => f.copy(name = physName(m, f.name))))
+      val raw = spark.read.schema(phys).parquet(m.files: _*)
+      raw.select(m.schema.fields.map { f =>
+        val c = col(physName(m, f.name))
+        // NOT NULL columns added by ALTER after data existed read the
+        // recorded default for pre-ALTER files (which yield null).
+        val v = m.props.get(s"default.${f.name}") match {
+          case Some(d) if !f.nullable => coalesce(c, expr(d))
+          case _ => c
+        }
+        v.as(f.name)
+      }: _*)
+    }
 
   // ------------------------------------------------------------------
   // Writes
 
-  /** Append `df` as new files; returns rows written. */
+  /** Append `df` as new files; returns rows written. Generated columns
+    * (`generated.<col>` props, TestGeneratedColumns analog —
+    * `/root/reference/main_test.go:871`) are computed here, at write
+    * time, and may be omitted from `df`. */
   def insert(df: DataFrame): Long = {
     val m = manifest
-    val (files, n) = writeFiles(df.select(m.schema.fieldNames.map(col): _*))
+    val gen = m.props.collect {
+      case (k, v) if k.startsWith("generated.") => k.stripPrefix("generated.") -> v
+    }
+    val full = m.schema.fieldNames.foldLeft(df) { (acc, f) =>
+      if (gen.contains(f)) {
+        val without = if (acc.columns.contains(f)) acc.drop(f) else acc
+        without.withColumn(f, expr(gen(f)))
+      } else acc
+    }
+    val (files, n) = writeFiles(full.select(m.schema.fieldNames.map(col): _*))
     Manifest.commit(path, m.withFiles(m.files ++ files))
     n
+  }
+
+  /** ANALYZE TABLE (A-surface `TestStatistics`, main_test.go:886):
+    * one distributed pass computing row count + per-column min/max/ndv,
+    * persisted in the next manifest's props. */
+  def analyze(): Map[String, String] = {
+    val m = manifest
+    val df = readManifest(m)
+    val numeric = m.schema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    })
+    val aggs = count(lit(1)).as("__n") +:
+      numeric.flatMap(f => Seq(
+        min(col(f.name)).cast("string").as(s"min.${f.name}"),
+        max(col(f.name)).cast("string").as(s"max.${f.name}"),
+        approx_count_distinct(col(f.name)).cast("string").as(s"ndv.${f.name}")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val stats = row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      (if (n == "__n") "stats.rowCount" else s"stats.$n") ->
+        Option(row.get(i)).map(_.toString).getOrElse("null")
+    }.toMap
+    Manifest.commit(path, m.copy(props = m.props ++ stats))
+    stats
   }
 
   /** Append with AUTO_INCREMENT assignment for `idCol` (must be absent
@@ -188,6 +243,50 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
   }
 
   // ------------------------------------------------------------------
+  // ALTER TABLE (A20, `/root/reference/catalog/table.go:223-479`) —
+  // all metadata-only manifest commits; no data rewrite at any scale.
+
+  /** ADD COLUMN. Pre-existing files surface `default` (if given) for
+    * NOT NULL columns, null otherwise — the copy-on-write analog of
+    * MySQL's instant ADD COLUMN. `defaultSql` is a SQL expression. */
+  def addColumn(name: String, dataType: DataType, nullable: Boolean = true,
+      defaultSql: Option[String] = None): Unit = {
+    val m = manifest
+    require(!m.schema.fieldNames.contains(name), s"column exists: $name")
+    val props = defaultSql.fold(m.props)(d => m.props + (s"default.$name" -> d))
+    Manifest.commit(path, m.copy(
+      schema = StructType(m.schema.fields :+ StructField(name, dataType, nullable)),
+      props = props))
+  }
+
+  /** DROP COLUMN (kept physically in old files, never read again). */
+  def dropColumn(name: String): Unit = {
+    val m = manifest
+    require(m.schema.fieldNames.contains(name), s"no such column: $name")
+    require(!m.pkCols.contains(name), s"cannot drop pk column $name")
+    Manifest.commit(path, m.copy(
+      schema = StructType(m.schema.fields.filterNot(_.name == name)),
+      props = m.props - s"phys.$name" - s"default.$name"))
+  }
+
+  /** RENAME COLUMN — pure metadata: the physical parquet name stays
+    * pinned to the original; reads/writes translate. */
+  def renameColumn(from: String, to: String): Unit = {
+    val m = manifest
+    require(m.schema.fieldNames.contains(from), s"no such column: $from")
+    require(!m.schema.fieldNames.contains(to), s"column exists: $to")
+    val phys = physName(m, from)
+    val props0 = m.props - s"phys.$from"
+    val props = (if (phys == to) props0 else props0 + (s"phys.$to" -> phys)) ++
+      m.props.get(s"default.$from").map(d => s"default.$to" -> d)
+    Manifest.commit(path, m.copy(
+      schema = StructType(m.schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)),
+      pkCols = m.pkCols.map(c => if (c == from) to else c),
+      props = props - s"default.$from"))
+  }
+
+  // ------------------------------------------------------------------
 
   private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
@@ -197,7 +296,15 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
 
   private def writeFiles(df: DataFrame): (Seq[String], Long) = {
     val dest = path.resolve("data").resolve(UUID.randomUUID().toString)
-    df.write.parquet(dest.toString)
+    val m = manifest
+    // store physical names + coerce to the declared column types (DDL
+    // typing wins over expression result types, e.g. generated columns)
+    val types = m.schema.fields.map(f => f.name -> f.dataType).toMap
+    val out = df.select(df.columns.map { c =>
+      val v = types.get(c).map(col(c).cast(_)).getOrElse(col(c))
+      v.as(physName(m, c))
+    }: _*)
+    out.write.parquet(dest.toString)
     val files = Files.list(dest).iterator().asScala
       .map(_.toString).filter(f => f.endsWith(".parquet")).toSeq.sorted
     val n = if (files.isEmpty) 0L

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshEngine() = new Engine(spark, tmpDir("graft_wh"))
+
+  private val xy = StructType(Seq(
+    StructField("x", IntegerType), StructField("y", IntegerType)))
+
+  test("database lifecycle + USE") {
+    val e = freshEngine()
+    assert(e.listDatabases() === Seq("main"))
+    e.createDatabase("db2")
+    assert(e.listDatabases() === Seq("db2", "main"))
+    e.use("db2")
+    assert(e.currentDatabase === "db2")
+    intercept[Exception] { e.use("nope") }
+    e.use("main")
+    e.dropDatabase("db2")
+    assert(e.listDatabases() === Seq("main"))
+  }
+
+  test("table lifecycle + qualified names") {
+    val e = freshEngine()
+    e.createDatabase("other")
+    e.createTable("xy", xy, Seq("x"))
+    e.createTable("other.uv", xy)
+    assert(e.listTables() === Seq("xy"))
+    assert(e.listTables("other") === Seq("uv"))
+    e.table("xy").insert(Seq((1, 2)).toDF("x", "y"))
+    assert(e.table("xy").read().count() === 1)
+    e.dropTable("other.uv")
+    assert(e.listTables("other") === Nil)
+  }
+
+  test("SQL over engine tables and stored views") {
+    val e = freshEngine()
+    e.createTable("users", StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType))), Seq("id"))
+    e.table("users").insert(Seq((1, "ann"), (2, "bo")).toDF("id", "name"))
+    e.createView("myview", "SELECT id, upper(name) AS uname FROM users")
+    val rows = e.sql("SELECT uname FROM myview WHERE id = 2").as[String].collect()
+    assert(rows === Array("BO"))
+    assert(e.listViews() === Seq("myview"))
+    e.dropView("myview")
+    assert(e.listViews() === Nil)
+  }
+
+  test("parameterized SQL + schema probe without execution") {
+    val e = freshEngine()
+    e.createTable("t", xy, Seq("x"))
+    e.table("t").insert(Seq((1, 10), (2, 20)).toDF("x", "y"))
+    val df = e.sql("SELECT y FROM t WHERE x = :px", Map("px" -> 2))
+    assert(df.as[Int].collect() === Array(20))
+    val sch = e.probeSchema("SELECT x + 1 AS x1, 'a' AS tag FROM t")
+    assert(sch.fieldNames === Array("x1", "tag"))
+    assert(sch("x1").dataType === IntegerType)
+  }
+
+  test("session + persisted variables") {
+    val e = freshEngine()
+    e.setVar("k1", "v1")
+    assert(e.getVar("k1") === Some("v1"))
+    e.setVar("k2", "v2", persist = true)
+    assert(e.getVar("k2") === Some("v2"))
+    assert(e.getVar("missing") === None)
+  }
+
+  test("ALTER: add column with default, rename, drop — metadata only") {
+    val e = freshEngine()
+    e.createTable("t", xy, Seq("x"))
+    val t = e.table("t")
+    t.insert(Seq((1, 10)).toDF("x", "y"))
+    val filesBefore = t.manifest.files
+
+    t.addColumn("z", StringType, nullable = false, defaultSql = Some("'dflt'"))
+    assert(t.manifest.files === filesBefore) // no rewrite
+    assert(t.read().select("z").as[String].collect() === Array("dflt"))
+
+    t.insert(Seq((2, 20, "zz")).toDF("x", "y", "z"))
+    t.renameColumn("y", "why")
+    assert(t.read().orderBy("x").select("x", "why", "z")
+      .as[(Int, Int, String)].collect() === Array((1, 10, "dflt"), (2, 20, "zz")))
+
+    // rows written before AND after the rename both resolve
+    t.insert(Seq((3, 30, "z3")).toDF("x", "why", "z"))
+    assert(t.read().filter(col("x") === 3).select("why").as[Int].collect() === Array(30))
+
+    t.dropColumn("z")
+    assert(t.read().columns === Array("x", "why"))
+    intercept[IllegalArgumentException] { t.dropColumn("x") } // pk protected
+  }
+}

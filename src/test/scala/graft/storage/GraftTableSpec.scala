@@ -123,6 +123,27 @@ class GraftTableSpec extends SparkSpec {
     assert(t.manifest.autoInc === 5L)
   }
 
+  test("generated columns are computed at insert time") {
+    val t = GraftTable.create(spark, tmpDir("graft_gen"), schema, Seq("id"),
+      props = Map("generated.v" -> "id * 10.0"))
+    t.insert(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    assert(t.read().orderBy("id").as[(Long, String, Double)].collect()
+      === Array((1L, "a", 10.0), (2L, "b", 20.0)))
+    // explicit value for a generated column is overridden (STORED semantics)
+    t.insert(Seq((3L, "c", 999.0)).toDF("id", "name", "v"))
+    assert(t.read().filter($"id" === 3L).select("v").as[Double].head() === 30.0)
+  }
+
+  test("analyze persists row count and column stats in the manifest") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.5), (2L, "b", 3.5), (2L, "c", 3.5))
+      .toDF("id", "name", "v"))
+    val stats = t.analyze()
+    assert(stats("stats.rowCount") === "3")
+    assert(stats("stats.min.v") === "1.5" && stats("stats.max.v") === "3.5")
+    assert(t.manifest.props("stats.rowCount") === "3")
+  }
+
   test("open on missing table fails; create twice fails") {
     val p = tmpDir("graft_missing").resolve("nope")
     intercept[Exception] { GraftTable.open(spark, p) }
