@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.StructType
+
+/** Statement router: the analog of the reference's `DuckBuilder.Build`
+  * dispatch (`/root/reference/backend/executor.go:73-168`) — classify a
+  * SQL statement, route DDL/DML to the storage engine, and hand
+  * everything else (queries) to Catalyst untouched.
+  *
+  * Deliberately a thin classifier, not a SQL dialect: SELECTs — the
+  * actual query surface — go straight to `Engine.sql` where Spark's
+  * parser owns the grammar (the reference likewise ships query text
+  * wholesale to DuckDB and only routes around it).
+  */
+object SqlRouter {
+
+  /** Result of a routed statement: a DataFrame for queries, an affected
+    * row count for DML, -1 for DDL. */
+  final case class Result(df: Option[DataFrame], affected: Long)
+
+  private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
+  private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)\s*""".r
+  private val UseDb = """(?is)\s*USE\s+(\w+)\s*""".r
+  private val CreateTable =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s*\((.*)\)\s*""".r
+  private val DropTable = """(?is)\s*DROP\s+TABLE\s+([\w.]+)\s*""".r
+  private val CreateView =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)""".r
+  private val DropView = """(?is)\s*DROP\s+VIEW\s+([\w.]+)\s*""".r
+  private val Insert =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
+  private val Update =
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*""".r
+  private val Delete =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?\s*""".r
+  private val Truncate = """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*""".r
+  private val AlterAdd =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()]+)(?:\s+DEFAULT\s+(.+?))?(\s+NOT\s+NULL)?\s*""".r
+  private val AlterDrop =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*""".r
+  private val AlterRename =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*""".r
+
+  def execute(engine: Engine, sqlText: String): Result = sqlText match {
+    case CreateDb(name) => engine.createDatabase(name); ddl
+    case DropDb(name) => engine.dropDatabase(name, cascade = true); ddl
+    case UseDb(name) if !name.equalsIgnoreCase("database") =>
+      engine.use(name); ddl
+    case CreateTable(name, colsAndPk) =>
+      val (schema, pk) = parseColumns(colsAndPk)
+      engine.createTable(name, schema, pk); ddl
+    case DropTable(name) => engine.dropTable(name); ddl
+    case CreateView(name, defn) => engine.createView(name, defn); ddl
+    case DropView(name) => engine.dropView(name); ddl
+    case Insert(name, rest) =>
+      val t = engine.table(name)
+      val names = t.schema.fieldNames
+      val q =
+        if (rest.trim.toUpperCase.startsWith("VALUES"))
+          s"SELECT * FROM ($rest) AS __v(${names.mkString(", ")})"
+        else rest
+      val df = engine.sql(q).toDF(names: _*)
+      Result(None, t.insert(df))
+    case Update(name, setList, where) =>
+      val t = engine.table(name)
+      val sets = splitTop(setList).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k.trim -> expr(v.trim)
+      }.toMap
+      val cond = Option(where).map(expr).getOrElse(expr("true"))
+      Result(None, t.update(cond, sets))
+    case Delete(name, where) =>
+      val t = engine.table(name)
+      val cond = Option(where).map(expr).getOrElse(expr("true"))
+      Result(None, t.delete(cond))
+    case Truncate(name) => engine.table(name).truncate(); ddl
+    case AlterAdd(name, colName, colType, default, notNull) =>
+      engine.table(name).addColumn(colName,
+        StructType.fromDDL(s"x $colType").head.dataType,
+        nullable = notNull == null, defaultSql = Option(default).map(_.trim))
+      ddl
+    case AlterDrop(name, colName) =>
+      engine.table(name).dropColumn(colName); ddl
+    case AlterRename(name, from, to) =>
+      engine.table(name).renameColumn(from, to); ddl
+    case q => Result(Some(engine.sql(q)), 0L)
+  }
+
+  private def ddl: Result = Result(None, -1L)
+
+  /** Parse `a INT, b STRING, PRIMARY KEY (a)` → (schema, pkCols). */
+  private def parseColumns(body: String): (StructType, Seq[String]) = {
+    val parts = splitTop(body)
+    val (pkParts, colParts) = parts.partition(
+      _.trim.toUpperCase.startsWith("PRIMARY KEY"))
+    val pk = pkParts.headOption.map { p =>
+      p.substring(p.indexOf('(') + 1, p.lastIndexOf(')'))
+        .split(',').map(_.trim).toSeq
+    }.getOrElse(Nil)
+    // strip inline PRIMARY KEY markers on single columns
+    val cols = colParts.map(_.trim)
+    val inlinePk = cols.filter(_.toUpperCase.contains("PRIMARY KEY"))
+      .map(_.split("\\s+")(0))
+    val ddlStr = cols.map(_.replaceAll("(?i)\\s+PRIMARY\\s+KEY", "")).mkString(", ")
+    (StructType.fromDDL(ddlStr), if (pk.nonEmpty) pk else inlinePk)
+  }
+
+  /** Split on commas at paren depth 0. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+}

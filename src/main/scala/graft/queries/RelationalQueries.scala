@@ -490,14 +490,19 @@ object RelationalQueries {
     "q23_cte_top_supplier",
     (s, dir) => {
       Tables.register(s, dir)
+      // Same semantics as the oracle's two-CTE formulation, but the
+      // aggregate is computed once and ranked (Spark does not
+      // materialize CTEs, so joining revenue against its own max would
+      // scan + aggregate lineitem twice).
       s.sql("""WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS total
-          FROM lineitem GROUP BY l_suppkey),
-        top AS (SELECT max(total) AS max_total FROM revenue)
+          FROM lineitem GROUP BY l_suppkey)
         SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
-        FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        JOIN top ON total = max_total
+        FROM supplier JOIN (
+          SELECT supplier_no, total, rank() OVER (ORDER BY total DESC) AS rk
+          FROM revenue) r ON s_suppkey = supplier_no
+        WHERE rk = 1
         ORDER BY s_suppkey""")
     },
     Some("""WITH revenue AS (

@@ -194,15 +194,24 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     * delete-only → copy-on-write anti-join delete;
     * general → rewrite files containing touched PKs, re-append upserts.
     */
-  def merge(changes: DataFrame): Unit = {
+  def merge(changes0: DataFrame): Unit = {
     val m = manifest
     require(m.pkCols.nonEmpty, "merge requires a primary key")
     val pk = m.pkCols
     val dataCols = m.schema.fieldNames
+    val changes = changes0.persist()
+    try mergeImpl(m, pk, dataCols, changes)
+    finally changes.unpersist()
+  }
+
+  private def mergeImpl(m: Manifest, pk: Seq[String], dataCols: Array[String],
+      changes: DataFrame): Unit = {
     val upserts = changes.filter(col("action") =!= 0).select(dataCols.map(col): _*)
-    val deletes = changes.filter(col("action") === 0).select(pk.map(col): _*)
-    val hasUpserts = !upserts.isEmpty
-    val hasDeletes = !deletes.isEmpty
+    // one job decides both fast-path flags (not two isEmpty probes)
+    val actionCounts = changes.groupBy(col("action") === 0).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val hasUpserts = actionCounts.getOrElse(false, 0L) > 0
+    val hasDeletes = actionCounts.getOrElse(true, 0L) > 0
     if (!hasUpserts && !hasDeletes) return
 
     if (m.files.isEmpty) {

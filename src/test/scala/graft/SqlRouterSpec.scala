@@ -1,0 +1,55 @@
+package graft
+
+class SqlRouterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exec(e: Engine, q: String) = SqlRouter.execute(e, q)
+
+  test("end-to-end SQL statement surface") {
+    val e = new Engine(spark, tmpDir("router_wh"))
+    exec(e, "CREATE TABLE users (id BIGINT PRIMARY KEY, name STRING, bal DOUBLE)")
+    assert(e.listTables() === Seq("users"))
+
+    val ins = exec(e, "INSERT INTO users VALUES (1, 'ann', 10.5), (2, 'bo', 20.0)")
+    assert(ins.affected === 2)
+    val ins2 = exec(e, "INSERT INTO users SELECT 3, 'cy', 30.0")
+    assert(ins2.affected === 1)
+
+    val sel = exec(e, "SELECT name FROM users WHERE bal > 15 ORDER BY id")
+    assert(sel.df.get.as[String].collect() === Array("bo", "cy"))
+
+    val upd = exec(e, "UPDATE users SET bal = bal * 2 WHERE name = 'ann'")
+    assert(upd.affected === 1)
+    assert(exec(e, "SELECT bal FROM users WHERE id = 1").df.get.as[Double].head() === 21.0)
+
+    val del = exec(e, "DELETE FROM users WHERE id = 2")
+    assert(del.affected === 1)
+    assert(exec(e, "SELECT count(*) FROM users").df.get.as[Long].head() === 2)
+
+    exec(e, "CREATE VIEW rich AS SELECT * FROM users WHERE bal > 25")
+    assert(exec(e, "SELECT name FROM rich").df.get.as[String].collect() === Array("cy"))
+
+    exec(e, "ALTER TABLE users ADD COLUMN tag STRING DEFAULT 'x' NOT NULL")
+    assert(exec(e, "SELECT tag FROM users WHERE id = 1").df.get.as[String].head() === "x")
+    exec(e, "ALTER TABLE users RENAME COLUMN tag TO label")
+    exec(e, "ALTER TABLE users DROP COLUMN label")
+
+    exec(e, "TRUNCATE TABLE users")
+    assert(exec(e, "SELECT count(*) FROM users").df.get.as[Long].head() === 0)
+
+    exec(e, "CREATE DATABASE analytics")
+    exec(e, "USE analytics")
+    assert(e.currentDatabase === "analytics")
+    exec(e, "CREATE TABLE t (a INT)")
+    assert(e.listTables("analytics") === Seq("t"))
+    exec(e, "DROP TABLE t")
+    exec(e, "USE main")
+    exec(e, "DROP DATABASE analytics")
+  }
+
+  test("composite primary key parse") {
+    val e = new Engine(spark, tmpDir("router_pk"))
+    exec(e, "CREATE TABLE kv (a INT, b INT, v STRING, PRIMARY KEY (a, b))")
+    assert(e.table("kv").manifest.pkCols === Seq("a", "b"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Physical-plan shape assertions: the properties that make these
+  * queries scale (filter pushdown to parquet, column pruning, broadcast
+  * joins for dims, partial aggregation, no cartesian products where a
+  * key join exists) are locked in here so a plan regression fails the
+  * suite, not just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: scan reads only the needed columns (pruning)") {
+    val p = plan("q01_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q02: small dimensions are broadcast, not shuffled") {
+    val p = plan("q02_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q05: every predicate reaches the scan") {
+    val p = plan("q05_forecast_revenue")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("l_discount"), pushed)
+    assert(pushed.contains("l_quantity"), pushed)
+    assert(pushed.contains("l_shipdate"), pushed)
+  }
+
+  test("q08: semi join stays a join (no row explosion)") {
+    val p = plan("q08_semi_join")
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
+  test("q01: aggregation is two-phase (map-side partial combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(3000))
+  }
+
+  test("q40: condense is a single hash aggregate, not a window sort") {
+    val p = plan("q40_cdc_condense")
+    assert(p.contains("max_by") || p.contains("partial_max_by"), p.take(3000))
+    assert(!p.contains("Window"), "condense must not plan a window")
+  }
+
+  test("q70: native vec_dot in plan + partial top-k pushdown") {
+    val p = plan("q70_knn_brute")
+    assert(p.contains("vecdot"), "native expression should appear in plan")
+    // rank<=5 is evaluated as a WindowGroupLimit before the shuffle —
+    // each partition ships at most k rows per query, not all pairs
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+}
