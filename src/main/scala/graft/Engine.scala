@@ -178,6 +178,59 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     }
 
   // ------------------------------------------------------------------
+  // BACKUP / RESTORE (A39,
+  // `/root/reference/pgserver/backup_handler.go:28-175`): each table's
+  // current snapshot exported as parquet + a metadata manifest. The
+  // destination can be any Hadoop-FS URI (s3a://... on a real cluster —
+  // same code path); the snapshot read is distributed, nothing flows
+  // through the driver.
+
+  def backupDatabase(db: String, destDir: Path): Unit = {
+    Files.createDirectories(destDir)
+    val names = listTables(db)
+    Files.write(destDir.resolve("_tables.json"),
+      mapper.writeValueAsBytes(names.asJava))
+    names.foreach { t =>
+      val tbl = table(s"$db.$t")
+      val m = tbl.manifest
+      tbl.read().write.mode("overwrite")
+        .parquet(destDir.resolve(t).resolve("data").toString)
+      Files.write(destDir.resolve(t).resolve("_meta.json"),
+        mapper.writeValueAsBytes(Map(
+          "schema" -> m.schema.json,
+          "pkCols" -> m.pkCols.asJava,
+          "autoInc" -> java.lang.Long.valueOf(m.autoInc),
+          "props" -> m.props.asJava).asJava))
+    }
+    val views = loadViews(db)
+    Files.write(destDir.resolve("_views.json"), mapper.writeValueAsBytes(views.asJava))
+  }
+
+  def restoreDatabase(db: String, srcDir: Path): Unit = {
+    if (!Files.isDirectory(warehouse.resolve(db))) createDatabase(db)
+    val names = mapper.readValue(Files.readAllBytes(srcDir.resolve("_tables.json")),
+      classOf[java.util.List[String]]).asScala.toSeq
+    names.foreach { t =>
+      val meta = mapper.readValue(Files.readAllBytes(srcDir.resolve(t).resolve("_meta.json")),
+        classOf[java.util.Map[String, Object]])
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(meta.get("schema").asInstanceOf[String])
+        .asInstanceOf[StructType]
+      val tbl = GraftTable.create(spark, warehouse.resolve(db).resolve(t), schema,
+        meta.get("pkCols").asInstanceOf[java.util.List[String]].asScala.toSeq,
+        meta.get("autoInc").asInstanceOf[Number].longValue(),
+        meta.get("props").asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+      tbl.insert(spark.read.schema(schema).parquet(srcDir.resolve(t).resolve("data").toString))
+    }
+    val vf = srcDir.resolve("_views.json")
+    if (Files.exists(vf)) {
+      val views = mapper.readValue(Files.readAllBytes(vf),
+        classOf[java.util.Map[String, String]]).asScala
+      views.foreach { case (v, defn) => createView(s"$db.$v", defn) }
+    }
+  }
+
+  // ------------------------------------------------------------------
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))

@@ -58,6 +58,21 @@ object CdcMerge {
     table.merge(condensed)
   }
 
+  /** Replica filtering (reference C10,
+    * `binlogreplication/binlog_replica_filtering.go`): keep only events
+    * for included (db, table) pairs, drop excluded — a source-side
+    * filter, applied before any stateful work. */
+  def filterTables(events: DataFrame, dbCol: String, tableCol: String,
+      include: Set[(String, String)] = Set.empty,
+      exclude: Set[(String, String)] = Set.empty): DataFrame = {
+    val key = concat_ws(".", col(dbCol), col(tableCol))
+    val inc = if (include.isEmpty) lit(true)
+      else key.isin(include.toSeq.map { case (d, t) => s"$d.$t" }: _*)
+    val exc = if (exclude.isEmpty) lit(false)
+      else key.isin(exclude.toSeq.map { case (d, t) => s"$d.$t" }: _*)
+    events.filter(inc && !exc)
+  }
+
   /** Start a file-based CDC stream into `table` (stand-in for the
     * binlog/logical-replication sources C1/C2 — the decode layer is a
     * connector concern; the engine consumes the delta schema).

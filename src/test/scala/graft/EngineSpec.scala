@@ -70,6 +70,25 @@ class EngineSpec extends SparkSpec {
     assert(e.getVar("missing") === None)
   }
 
+  test("backup + restore round-trips tables, metadata, and views") {
+    val e = freshEngine()
+    e.createTable("t1", xy, Seq("x"), props = Map("generated.y" -> "x * 2"))
+    e.table("t1").insert(Seq((1, 0), (2, 0)).toDF("x", "y"))
+    e.createView("v1", "SELECT x FROM t1 WHERE x > 1")
+    val dest = tmpDir("backup_dest")
+    e.backupDatabase("main", dest)
+
+    val e2 = new Engine(spark, tmpDir("restore_wh"))
+    e2.restoreDatabase("restored", dest)
+    e2.use("restored")
+    assert(e2.listTables() === Seq("t1"))
+    assert(e2.table("t1").read().orderBy("x").as[(Int, Int)].collect()
+      === Array((1, 2), (2, 4)))
+    assert(e2.table("t1").manifest.pkCols === Seq("x"))
+    assert(e2.table("t1").manifest.props.get("generated.y") === Some("x * 2"))
+    assert(e2.sql("SELECT x FROM v1").as[Int].collect() === Array(2))
+  }
+
   test("ALTER: add column with default, rename, drop — metadata only") {
     val e = freshEngine()
     e.createTable("t", xy, Seq("x"))

@@ -75,6 +75,18 @@ class CdcMergeSpec extends SparkSpec {
     assert(rows === Array((1L, "v2"), (2L, "w")))
   }
 
+  test("replica filtering keeps included and drops excluded tables") {
+    val ev = Seq(
+      ("db1", "users", 1L), ("db1", "orders", 2L), ("db2", "users", 3L))
+      .toDF("db", "tbl", "v")
+    val inc = CdcMerge.filterTables(ev, "db", "tbl",
+      include = Set(("db1", "users"), ("db2", "users")))
+    assert(inc.select("v").as[Long].collect().sorted === Array(1L, 3L))
+    val exc = CdcMerge.filterTables(ev, "db", "tbl",
+      exclude = Set(("db1", "orders")))
+    assert(exc.select("v").as[Long].collect().sorted === Array(1L, 3L))
+  }
+
   test("end-to-end file stream with checkpoint: batches applied in order, resume works") {
     val t = fresh()
     val src = tmpDir("cdc_src")
