@@ -733,7 +733,75 @@ object RelationalQueries {
       WHERE event_id < 1000
       ORDER BY event_id, idx"""))
 
+  // --------------------------------------------------------------------
+  // q35 — JOIN ... USING (shared-name equi-join, coalesced key output).
+  private val q35 = QueryDef(
+    "q35_join_using",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"), col("c_custkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey"), col("s_suppkey"))
+      c.join(sup, Seq("nationkey"))
+        .groupBy(col("nationkey"))
+        .agg(countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_sup"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT nationkey, count(DISTINCT c_custkey) AS n_cust,
+      count(DISTINCT s_suppkey) AS n_sup
+      FROM (SELECT c_nationkey AS nationkey, c_custkey FROM customer) c
+      JOIN (SELECT s_nationkey AS nationkey, s_suppkey FROM supplier) s
+      USING (nationkey)
+      GROUP BY nationkey ORDER BY nationkey"""))
+
+  // --------------------------------------------------------------------
+  // q36 — string/date/math function corpus (§2.B "function corpus" row):
+  // the dialect-shared core both engines evaluate identically.
+  private val q36 = QueryDef(
+    "q36_function_corpus",
+    (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          upper(col("o_orderpriority")).as("up"),
+          lower(col("o_orderstatus")).as("lo"),
+          length(col("o_orderpriority")).as("len"),
+          trim(lit("  pad  ")).as("trimmed"),
+          lpad(col("o_orderkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("o_orderpriority"), "[0-9]-", "").as("cleaned"),
+          substring(col("o_orderpriority"), 1, 1).as("first_ch"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("joined"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          abs(col("o_totalprice") * -1).as("abs_price"),
+          round(col("o_totalprice"), 0).as("rounded"),
+          floor(col("o_totalprice")).as("floored"),
+          ceil(col("o_totalprice")).as("ceiled"),
+          pmod(col("o_orderkey"), lit(7)).as("mod7"),
+          greatest(col("o_orderkey"), col("o_custkey")).as("gr"),
+          least(col("o_orderkey"), col("o_custkey")).as("ls"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      upper(o_orderpriority) AS up, lower(o_orderstatus) AS lo,
+      length(o_orderpriority) AS len, trim('  pad  ') AS trimmed,
+      lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS padded,
+      regexp_replace(o_orderpriority, '[0-9]-', '') AS cleaned,
+      substring(o_orderpriority, 1, 1) AS first_ch,
+      concat_ws('|', o_orderstatus, o_orderpriority) AS joined,
+      CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+      CAST(day(o_orderdate) AS INT) AS dom,
+      date_trunc('month', o_orderdate) AS month_start,
+      abs(o_totalprice * -1) AS abs_price,
+      round(o_totalprice, 0) AS rounded,
+      CAST(floor(o_totalprice) AS BIGINT) AS floored,
+      CAST(ceil(o_totalprice) AS BIGINT) AS ceiled,
+      o_orderkey % 7 AS mod7,
+      greatest(o_orderkey, o_custkey) AS gr, least(o_orderkey, o_custkey) AS ls
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
 }
