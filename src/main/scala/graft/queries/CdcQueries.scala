@@ -81,5 +81,29 @@ object CdcQueries {
       SELECT user_id, value FROM last WHERE action <> 0
       ORDER BY user_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q40, q41)
+  // --------------------------------------------------------------------
+  // q42 — event-time tumbling-window aggregation (the Structured
+  // Streaming window surface run in batch mode; the streaming variant
+  // with watermark is asserted equal in StreamingWindowSpec). Output
+  // window starts as NTZ so both engines emit naive UTC timestamps.
+  private val q42 = QueryDef(
+    "q42_windowed_counts",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("tsm"),
+          col("event_type"), col("value"))
+      ev.groupBy(window(col("tsm"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+            .cast("double").as("total"))
+        .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+    Some("""SELECT date_trunc('hour', make_timestamp(epoch_us(ts))) AS w_start,
+      event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42)
 }

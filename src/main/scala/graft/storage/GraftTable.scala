@@ -251,6 +251,54 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     Manifest.commit(path, m.withFiles(Nil))
   }
 
+  /** OPTIMIZE: rewrite the table into ~`targetRowsPerFile`-sized files.
+    * Continuous CDC merges and small inserts accumulate small files
+    * (the copy-on-write tax); compaction restores scan efficiency. The
+    * rewrite is one distributed job; the swap is one manifest commit,
+    * so concurrent readers keep their snapshot. */
+  def compact(targetRowsPerFile: Long = 1_000_000L): Unit = {
+    val m = manifest
+    if (m.files.isEmpty) return
+    val df = readManifest(m)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val (files, _) = writeFiles(df.repartition(nFiles))
+    val cur = manifest
+    Manifest.commit(path, cur.withFiles(files))
+  }
+
+  /** VACUUM: delete data files referenced by no manifest version newer
+    * than `keepVersions` back, plus the superseded manifests. Readers
+    * of retained versions are unaffected (files are immutable). */
+  def vacuum(keepVersions: Int = 1): Long = {
+    import scala.jdk.CollectionConverters._
+    val latest = Manifest.latestVersion(path).getOrElse(return 0L)
+    val keepFrom = math.max(0L, latest - (keepVersions - 1))
+    val manifestDir = path.resolve("_manifest")
+    val live: Set[String] = (keepFrom to latest).flatMap { v =>
+      if (Files.exists(manifestDir.resolve(f"v$v%09d.json")))
+        Manifest.loadVersion(path, v).files
+      else Nil
+    }.toSet
+    val dataDir = path.resolve("data")
+    if (!Files.isDirectory(dataDir)) return 0L
+    var removed = 0L
+    Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
+      if (Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
+          !live.contains(p.toString)) {
+        Files.delete(p); removed += 1
+      } else if (Files.isDirectory(p) && p != dataDir &&
+          !Files.list(p).iterator().hasNext) {
+        Files.delete(p)
+      }
+    }
+    // drop superseded manifests
+    (0L until keepFrom).foreach { v =>
+      Files.deleteIfExists(manifestDir.resolve(f"v$v%09d.json"))
+    }
+    removed
+  }
+
   // ------------------------------------------------------------------
   // ALTER TABLE (A20, `/root/reference/catalog/table.go:223-479`) —
   // all metadata-only manifest commits; no data rewrite at any scale.

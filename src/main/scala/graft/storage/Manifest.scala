@@ -56,9 +56,11 @@ object Manifest {
     }
   }
 
-  def load(table: Path): Manifest = {
-    val v = latestVersion(table).getOrElse(
-      throw new IllegalStateException(s"no manifest under $table"))
+  def load(table: Path): Manifest =
+    loadVersion(table, latestVersion(table).getOrElse(
+      throw new IllegalStateException(s"no manifest under $table")))
+
+  def loadVersion(table: Path, v: Long): Manifest = {
     val raw = mapper.readValue(
       Files.readAllBytes(dir(table).resolve(f"v$v%09d.json")), classOf[java.util.Map[String, Object]])
     Manifest(

@@ -144,6 +144,30 @@ class GraftTableSpec extends SparkSpec {
     assert(t.manifest.props("stats.rowCount") === "3")
   }
 
+  test("compact merges small files; vacuum removes unreferenced ones") {
+    val t = freshTable()
+    (1 to 5).foreach(i => t.insert(Seq((i.toLong, s"r$i", i * 1.0)).toDF("id", "name", "v")))
+    t.delete(col("id") === 3L)
+    val before = t.read().orderBy("id").collect()
+    assert(t.manifest.files.size >= 4)
+
+    t.compact()
+    assert(t.manifest.files.size === 1)
+    assert(t.read().orderBy("id").collect() === before)
+
+    val dataDir = t.path.resolve("data")
+    def diskFiles() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dataDir).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet"))
+    }
+    assert(diskFiles() > 1) // old files still on disk for old readers
+    val removed = t.vacuum(keepVersions = 1)
+    assert(removed > 0)
+    assert(diskFiles() === 1)
+    assert(t.read().orderBy("id").collect() === before) // data intact
+  }
+
   test("open on missing table fails; create twice fails") {
     val p = tmpDir("graft_missing").resolve("nope")
     intercept[Exception] { GraftTable.open(spark, p) }
