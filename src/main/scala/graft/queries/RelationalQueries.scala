@@ -801,7 +801,48 @@ object RelationalQueries {
       greatest(o_orderkey, o_custkey) AS gr, least(o_orderkey, o_custkey) AS ls
       FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""))
 
+  // --------------------------------------------------------------------
+  // q37 — multiset set operations: INTERSECT ALL / EXCEPT ALL.
+  private val q37 = QueryDef(
+    "q37_set_ops_all",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      c.intersectAll(sup).select(lit("ia").as("src"), col("nk"))
+        .unionAll(c.exceptAll(sup).select(lit("ea").as("src"), col("nk")))
+        .orderBy(col("src"), col("nk"))
+    },
+    Some("""SELECT 'ia' AS src, nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT ALL SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'ea' AS src, nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        EXCEPT ALL SELECT s_nationkey FROM supplier)
+      ORDER BY src, nk"""))
+
+  // --------------------------------------------------------------------
+  // q38 — NATURAL JOIN over shared column names.
+  private val q38 = QueryDef(
+    "q38_natural_join",
+    (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""SELECT nationkey, n_name, n_cust FROM
+          (SELECT n_nationkey AS nationkey, n_name FROM nation)
+        NATURAL JOIN
+          (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+           FROM customer GROUP BY 1)
+        ORDER BY nationkey""")
+    },
+    Some("""SELECT nationkey, n_name, n_cust FROM
+        (SELECT n_nationkey AS nationkey, n_name FROM nation) a
+      NATURAL JOIN
+        (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+         FROM customer GROUP BY 1) b
+      ORDER BY nationkey"""))
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
-    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36)
+    q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
+    q38)
 }

@@ -166,5 +166,60 @@ object SimilarityQueries {
       WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
       ORDER BY a_id, b_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q70, q71, q72)
+  // --------------------------------------------------------------------
+  // q73 — IVF-style ANN: coarse quantization by nearest-centroid cell
+  // (centroids = every 97th vector, a deterministic stand-in for
+  // k-means), queries probe their nprobe=2 nearest cells only. At scale
+  // the cell assignment is one broadcast pass and the search touches
+  // ~nprobe/k of the corpus — the classic inverted-file trade.
+  private val q73 = QueryDef(
+    "q73_ann_ivf",
+    (s, dir) => {
+      val vecs = withNorm(t(s, dir, "embeddings"))
+      val cents = vecs.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_sim").desc, col("c_id"))
+      val assign = vecs.crossJoin(broadcast(cents))
+        .withColumn("c_sim",
+          expr(dotSpark("embedding", "c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("c_rk", row_number().over(wAssign))
+      val cells = assign.filter(col("c_rk") === 1)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("nrm").as("n_nrm"), col("c_id").as("cell"))
+      val probes = assign.filter(col("vec_id") % 100 === 0 && col("c_rk") <= 2)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("c_id").as("cell"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("n_id"))
+      broadcast(probes).join(cells, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim",
+          expr(dotSpark("q_emb", "n_emb")) / (col("q_nrm") * col("n_nrm")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""WITH $normDuck,
+      cents AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+        FROM vecs WHERE vec_id % 97 = 0),
+      assign AS (SELECT v.vec_id, v.embedding, v.nrm, c.c_id,
+          row_number() OVER (PARTITION BY v.vec_id ORDER BY
+            ${dotDuck("v.embedding", "c.c_emb")} / (v.nrm * c.c_nrm) DESC, c.c_id) AS c_rk
+        FROM vecs v CROSS JOIN cents c),
+      cells AS (SELECT vec_id AS n_id, embedding AS n_emb, nrm AS n_nrm, c_id AS cell
+        FROM assign WHERE c_rk = 1),
+      probes AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, c_id AS cell
+        FROM assign WHERE vec_id % 100 = 0 AND c_rk <= 2),
+      sims AS (SELECT q_id, n_id,
+          ${dotDuck("q_emb", "n_emb")} / (q_nrm * n_nrm) AS sim
+        FROM probes JOIN cells USING (cell) WHERE q_id <> n_id)
+      SELECT q_id, n_id, sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        FROM sims) x
+      WHERE rank <= 3 ORDER BY q_id, rank"""))
+
+  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73)
 }
