@@ -42,6 +42,9 @@ object SqlRouter {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*""".r
   private val AlterRename =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*""".r
+  private val Optimize = """(?is)\s*OPTIMIZE\s+([\w.]+)\s*""".r
+  private val Vacuum = """(?is)\s*VACUUM\s+([\w.]+)\s*""".r
+  private val Analyze = """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*(?:COMPUTE\s+STATISTICS)?\s*""".r
 
   def execute(engine: Engine, sqlText: String): Result = sqlText match {
     case CreateDb(name) => engine.createDatabase(name); ddl
@@ -76,6 +79,9 @@ object SqlRouter {
       val cond = Option(where).map(expr).getOrElse(expr("true"))
       Result(None, t.delete(cond))
     case Truncate(name) => engine.table(name).truncate(); ddl
+    case Optimize(name) => engine.table(name).compact(); ddl
+    case Vacuum(name) => Result(None, engine.table(name).vacuum())
+    case Analyze(name) => engine.table(name).analyze(); ddl
     case AlterAdd(name, colName, colType, default, notNull) =>
       engine.table(name).addColumn(colName,
         StructType.fromDDL(s"x $colType").head.dataType,

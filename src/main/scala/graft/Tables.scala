@@ -19,8 +19,21 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // Parquet footer schemas cached per path: repeated query invocations
+  // (Bench/Verify run ~50) skip the driver-side footer fetch.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val cached = schemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.putIfAbsent(path, df.schema)
+      df
+    }
+  }
 
   /** Register every driver table under `sfDir` as a temp view (idempotent). */
   def register(spark: SparkSession, sfDir: String): Unit =

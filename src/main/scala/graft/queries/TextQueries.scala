@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for the training-data pipeline: token
   * counting, quality scoring, language ID, document fingerprinting —
@@ -132,5 +133,67 @@ object TextQueries {
         len(words) AS n_words
       FROM w ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53)
+  // --------------------------------------------------------------------
+  // q54 — TF-IDF top terms per document. idf is the rational N/df (no
+  // log: libm implementations differ between engines; the rational form
+  // is bit-deterministic and rank-equivalent for ranking purposes).
+  private val q54 = QueryDef(
+    "q54_tfidf",
+    (s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      val docLen = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      val df_ = words.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word"))
+      tf.join(docLen, "doc_id").join(broadcast(df_), "word").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          (col("cnt").cast("double") / col("n_tok")) *
+            (col("n_docs").cast("double") / col("df")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("word"), col("tfidf"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word),
+      doclen AS (SELECT doc_id, count(*) AS n_tok FROM words GROUP BY doc_id),
+      dfreq AS (SELECT word, count(*) AS df FROM
+        (SELECT DISTINCT doc_id, word FROM words) x GROUP BY word),
+      ndocs AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id, word, tfidf, rank FROM (
+        SELECT tf.doc_id, tf.word,
+          (CAST(cnt AS DOUBLE) / n_tok) * (CAST(n_docs AS DOUBLE) / df) AS tfidf,
+          row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+            (CAST(cnt AS DOUBLE) / n_tok) * (CAST(n_docs AS DOUBLE) / df) DESC,
+            tf.word) AS rank
+        FROM tf JOIN doclen ON tf.doc_id = doclen.doc_id
+        JOIN dfreq ON tf.word = dfreq.word CROSS JOIN ndocs) x
+      WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  // --------------------------------------------------------------------
+  // q55 — corpus-level n-gram frequency table (top 50 word bigrams).
+  private val q55 = QueryDef(
+    "q55_ngram_freq",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .select(explode(expr(
+          """transform(sequence(1, size(words) - 1),
+             i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"""))
+          .as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram"))
+        .limit(50),
+    Some("""SELECT bigram, count(*) AS freq FROM (
+        SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+        FROM documents) x
+      GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 50"""))
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55)
 }

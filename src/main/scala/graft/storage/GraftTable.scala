@@ -47,12 +47,17 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
   private def physName(m: Manifest, logical: String): String =
     m.props.getOrElse(s"phys.$logical", logical)
 
-  private def readManifest(m: Manifest): DataFrame =
-    if (m.files.isEmpty)
+  private def readManifest(m: Manifest): DataFrame = readFiles(m, m.files)
+
+  /** Physical-aware read of a subset of the manifest's files (rename
+    * mapping + ALTER defaults applied) — every internal read of table
+    * data must go through here, never a raw schema'd parquet read. */
+  private def readFiles(m: Manifest, files: Seq[String]): DataFrame =
+    if (files.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), m.schema)
     else {
       val phys = StructType(m.schema.fields.map(f => f.copy(name = physName(m, f.name))))
-      val raw = spark.read.schema(phys).parquet(m.files: _*)
+      val raw = spark.read.schema(phys).parquet(files: _*)
       raw.select(m.schema.fields.map { f =>
         val c = col(physName(m, f.name))
         // NOT NULL columns added by ALTER after data existed read the
@@ -151,9 +156,9 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     if (affected.isEmpty) return 0L
     val affectedSeq = normalize(m.files).zip(m.files)
       .filter { case (n, _) => affected.contains(n) }.map(_._2)
-    val survivors = spark.read.schema(m.schema).parquet(affectedSeq: _*)
-      .filter(!coalesce(cond, lit(false)))
-    val before = spark.read.schema(m.schema).parquet(affectedSeq: _*).count()
+    val affectedDf = readFiles(m, affectedSeq)
+    val survivors = affectedDf.filter(!coalesce(cond, lit(false)))
+    val before = affectedDf.count()
     val (files, kept) = writeFiles(survivors)
     val newFiles = m.files.diff(affectedSeq) ++ files
     Manifest.commit(path, m.withFiles(newFiles))
@@ -170,7 +175,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     if (affected.isEmpty) return 0L
     val affectedSeq = normalize(m.files).zip(m.files)
       .filter { case (n, _) => affected.contains(n) }.map(_._2)
-    val src = spark.read.schema(m.schema).parquet(affectedSeq: _*)
+    val src = readFiles(m, affectedSeq)
     val updated = src.select(m.schema.fieldNames.map { f =>
       set.get(f) match {
         case Some(e) => when(coalesce(cond, lit(false)), e).otherwise(col(f)).as(f)
@@ -178,7 +183,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
       }
     }: _*)
     val nMatched = src.filter(cond).count()
-    val (files, _) = writeFiles(updated)
+    val (files, _) = writeFiles(updated, needCount = false)
     Manifest.commit(path, m.withFiles(m.files.diff(affectedSeq) ++ files))
     nMatched
   }
@@ -236,10 +241,10 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     val affectedSeq = normalize(m.files).zip(m.files)
       .filter { case (n, _) => affected.contains(n) }.map(_._2)
     // Survivors: rows in affected files whose PK is untouched.
-    val survivors = spark.read.schema(m.schema).parquet(affectedSeq: _*)
+    val survivors = readFiles(m, affectedSeq)
       .join(broadcastIfSmall(touchedKeys), pk, "left_anti")
     val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
-    val (files, _) = writeFiles(replacement)
+    val (files, _) = writeFiles(replacement, needCount = false)
     val cur = manifest // re-read: insert() above may have bumped version
     Manifest.commit(path, cur.withFiles(cur.files.diff(affectedSeq) ++ files))
   }
@@ -262,7 +267,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     val df = readManifest(m)
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
-    val (files, _) = writeFiles(df.repartition(nFiles))
+    val (files, _) = writeFiles(df.repartition(nFiles), needCount = false)
     val cur = manifest
     Manifest.commit(path, cur.withFiles(files))
   }
@@ -351,7 +356,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
   private def normalize(files: Seq[String]): Seq[String] =
     files.map(f => "file://" + Paths.get(f).toAbsolutePath.toString)
 
-  private def writeFiles(df: DataFrame): (Seq[String], Long) = {
+  private def writeFiles(df: DataFrame, needCount: Boolean = true): (Seq[String], Long) = {
     val dest = path.resolve("data").resolve(UUID.randomUUID().toString)
     val m = manifest
     // store physical names + coerce to the declared column types (DDL
@@ -364,7 +369,10 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     out.write.parquet(dest.toString)
     val files = Files.list(dest).iterator().asScala
       .map(_.toString).filter(f => f.endsWith(".parquet")).toSeq.sorted
-    val n = if (files.isEmpty) 0L
+    // metadata-only count (parquet footers), skipped when the caller
+    // doesn't report rows-affected — every job saved matters for the
+    // many-small-commits CDC path
+    val n = if (!needCount || files.isEmpty) 0L
       else spark.read.schema(manifest.schema).parquet(files: _*).count()
     (files, n)
   }

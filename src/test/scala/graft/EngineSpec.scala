@@ -113,4 +113,17 @@ class EngineSpec extends SparkSpec {
     assert(t.read().columns === Array("x", "why"))
     intercept[IllegalArgumentException] { t.dropColumn("x") } // pk protected
   }
+
+  test("DML still works on renamed columns (physical mapping in writes+reads)") {
+    val e = freshEngine()
+    e.createTable("t", xy, Seq("x"))
+    val t = e.table("t")
+    t.insert(Seq((1, 10), (2, 20), (3, 30)).toDF("x", "y"))
+    t.renameColumn("y", "why")
+    assert(t.update(col("why") === 20, Map("why" -> lit(99))) === 1)
+    assert(t.delete(col("why") === 30) === 1)
+    t.merge(Seq((1, 11, 1), (4, 40, 2)).toDF("x", "why", "action"))
+    assert(t.read().orderBy("x").as[(Int, Int)].collect()
+      === Array((1, 11), (2, 99), (4, 40)))
+  }
 }

@@ -34,6 +34,13 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "ALTER TABLE users RENAME COLUMN tag TO label")
     exec(e, "ALTER TABLE users DROP COLUMN label")
 
+    exec(e, "INSERT INTO users VALUES (9, 'zed', 1.0)")
+    exec(e, "ANALYZE TABLE users COMPUTE STATISTICS")
+    assert(e.table("users").manifest.props("stats.rowCount") === "3")
+    exec(e, "OPTIMIZE users")
+    assert(e.table("users").manifest.files.size === 1)
+    assert(exec(e, "VACUUM users").affected > 0)
+
     exec(e, "TRUNCATE TABLE users")
     assert(exec(e, "SELECT count(*) FROM users").df.get.as[Long].head() === 0)
 
