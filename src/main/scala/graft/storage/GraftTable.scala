@@ -256,6 +256,20 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     Manifest.commit(path, m.withFiles(Nil))
   }
 
+  /** Best-effort uniqueness validation (SURVEY §7 "known hard spots":
+    * the reference's default replicated mode disables ART indexes and
+    * does not enforce uniqueness either —
+    * `/root/reference/configuration/env.go:12-18`). Returns the
+    * violating key groups (empty = constraint holds); callers choose to
+    * reject, repair via merge, or log. One distributed aggregation. */
+  def checkUnique(cols: Seq[String] = Nil): DataFrame = {
+    val keys = if (cols.nonEmpty) cols else manifest.pkCols
+    require(keys.nonEmpty, "no key columns to check")
+    read().groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_dup"))
+      .filter(col("n_dup") > 1)
+  }
+
   /** OPTIMIZE: rewrite the table into ~`targetRowsPerFile`-sized files.
     * Continuous CDC merges and small inserts accumulate small files
     * (the copy-on-write tax); compaction restores scan efficiency. The

@@ -144,6 +144,15 @@ class GraftTableSpec extends SparkSpec {
     assert(t.manifest.props("stats.rowCount") === "3")
   }
 
+  test("checkUnique reports duplicate keys, empty when constraint holds") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))
+    assert(t.checkUnique().count() === 0)
+    t.insert(Seq((2L, "b2", 9.0)).toDF("id", "name", "v")) // violates pk
+    val dups = t.checkUnique().collect()
+    assert(dups.length === 1 && dups.head.getLong(0) === 2L)
+  }
+
   test("compact merges small files; vacuum removes unreferenced ones") {
     val t = freshTable()
     (1 to 5).foreach(i => t.insert(Seq((i.toLong, s"r$i", i * 1.0)).toDF("id", "name", "v")))

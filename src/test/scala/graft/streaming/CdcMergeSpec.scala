@@ -87,6 +87,32 @@ class CdcMergeSpec extends SparkSpec {
     assert(exc.select("v").as[Long].collect().sorted === Array(1L, 3L))
   }
 
+  test("read-your-writes: processAllAvailable drains pending CDC before a query") {
+    // the reference flushes the delta buffer before serving any data
+    // query (backend/executor.go:55-61); the Spark analog is draining
+    // the micro-batch queue, then reading the table snapshot.
+    val t = fresh()
+    val src = tmpDir("ryw_src")
+    val ckpt = tmpDir("ryw_ckpt")
+    val evSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pk", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("val", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("action", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("txn_group", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("txn_seq", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("txn_stmt", org.apache.spark.sql.types.LongType)))
+    val q = CdcMerge.start(spark, src.toString + "/*", evSchema, t, ckpt.toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      events((1L, "a", 2, "g1", 1, 1)).write.parquet(src.toString + "/b1")
+      q.processAllAvailable() // the flush-before-query barrier
+      assert(state(t) === Array((1L, "a")))
+      events((1L, "a2", 1, "g1", 2, 1)).write.parquet(src.toString + "/b2")
+      q.processAllAvailable()
+      assert(state(t) === Array((1L, "a2")))
+    } finally q.stop()
+  }
+
   test("end-to-end file stream with checkpoint: batches applied in order, resume works") {
     val t = fresh()
     val src = tmpDir("cdc_src")
