@@ -105,5 +105,41 @@ object CdcQueries {
       CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42)
+  // --------------------------------------------------------------------
+  // q43 — sessionization: split each user's event stream at >30-minute
+  // gaps (lag + cumulative boundary sum — one shuffle on user_id, two
+  // ordered window passes, no self-join). Timestamps as µs longs to
+  // match DuckDB's ns→µs parquet coercion.
+  private val q43 = QueryDef(
+    "q43_sessionize",
+    (s, dir) => {
+      val gapUs = 30L * 60 * 1000000
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_id"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      ev.withColumn("prev", lag(col("tsu"), 1).over(wOrd))
+        .withColumn("boundary",
+          when(col("prev").isNull || col("tsu") - col("prev") > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("boundary")).over(
+          wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tsu")).as("session_start"), max(col("tsu")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+      flagged AS (SELECT *,
+          CASE WHEN lag(tsu) OVER w IS NULL
+            OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS boundary
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      sess AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id
+          ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+      SELECT user_id, session_id, count(*) AS n_events,
+        min(tsu) AS session_start, max(tsu) AS session_end
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43)
 }

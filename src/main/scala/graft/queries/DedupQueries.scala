@@ -212,5 +212,28 @@ object DedupQueries {
         sum(CASE WHEN net > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64)
+  // --------------------------------------------------------------------
+  // q65 — edit-distance near-dup pairs over a bounded slice: both
+  // engines implement the identical integer Levenshtein DP.
+  private val q65 = QueryDef(
+    "q65_edit_distance",
+    (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_partkey") < 300)
+        .select(col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_partkey").as("a_id"), col("p_name").as("a_name"))
+      val b = p.select(col("p_partkey").as("b_id"), col("p_name").as("b_name"))
+      broadcast(a).join(b, col("a_id") < col("b_id"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dist") <= 4)
+        .select(col("a_id"), col("b_id"), col("dist"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+      levenshtein(a.p_name, b.p_name) AS dist
+      FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      WHERE a.p_partkey < 300 AND b.p_partkey < 300
+        AND levenshtein(a.p_name, b.p_name) <= 4
+      ORDER BY a_id, b_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65)
 }

@@ -841,8 +841,57 @@ object RelationalQueries {
          FROM customer GROUP BY 1) b
       ORDER BY nationkey"""))
 
+  // --------------------------------------------------------------------
+  // q39 — recursive CTE (Spark 4 WITH RECURSIVE): generate a month
+  // spine, left-join order counts per month.
+  private val q39 = QueryDef(
+    "q39_recursive_cte",
+    (s, dir) => {
+      Tables.register(s, dir)
+      s.sql("""WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP_NTZ '1997-01-01 00:00:00'
+          UNION ALL SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < TIMESTAMP_NTZ '1997-12-01 00:00:00')
+        SELECT m, count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        GROUP BY m ORDER BY m""")
+    },
+    Some("""WITH RECURSIVE months(m) AS (
+        SELECT TIMESTAMP '1997-01-01 00:00:00'
+        UNION ALL SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < TIMESTAMP '1997-12-01 00:00:00')
+      SELECT m, count(o_orderkey) AS n_orders
+      FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+      GROUP BY m ORDER BY m"""))
+
+  // --------------------------------------------------------------------
+  // q44 — positional (lower) median per group via row_number: exact and
+  // deterministic in both engines, unlike interpolated percentiles
+  // whose libm arithmetic differs.
+  private val q44 = QueryDef(
+    "q44_median_positional",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))).as("n"))
+        .filter(col("rn") === expr("(n + 1) div 2")) // integer division
+        .select(col("o_orderstatus"), col("o_totalprice").as("median_price"),
+          col("n").as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, o_totalprice AS median_price, n AS n_orders
+      FROM (SELECT o_orderstatus, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice, o_orderkey) AS rn,
+          count(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders) x
+      WHERE rn = (n + 1) // 2 ORDER BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38)
+    q38, q39, q44)
 }
