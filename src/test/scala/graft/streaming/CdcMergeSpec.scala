@@ -87,6 +87,26 @@ class CdcMergeSpec extends SparkSpec {
     assert(exc.select("v").as[Long].collect().sorted === Array(1L, 3L))
   }
 
+  test("composite primary key: condense + merge key on all pk columns") {
+    val schema2 = StructType(Seq(
+      StructField("k1", LongType), StructField("k2", StringType),
+      StructField("val", StringType)))
+    val t = GraftTable.create(spark, tmpDir("cdc_cpk"), schema2, Seq("k1", "k2"))
+    def ev2(rows: (Long, String, String, Int, Long)*) =
+      rows.toDF("k1", "k2", "val", "action", "txn_seq")
+        .withColumn("txn_group", org.apache.spark.sql.functions.lit("g"))
+        .withColumn("txn_stmt", org.apache.spark.sql.functions.lit(0L))
+    CdcMerge.applyBatch(t, ev2(
+      (1L, "a", "v1", 2, 1), (1L, "b", "v2", 2, 2), (2L, "a", "v3", 2, 3)))
+    // same k1, different k2 must NOT collide
+    assert(t.read().count() === 3)
+    CdcMerge.applyBatch(t, ev2(
+      (1L, "a", "v1x", 1, 4),   // update (1,a)
+      (1L, "b", null, 0, 5)))   // delete (1,b)
+    assert(t.read().orderBy("k1", "k2").as[(Long, String, String)].collect()
+      === Array((1L, "a", "v1x"), (2L, "a", "v3")))
+  }
+
   test("read-your-writes: processAllAvailable drains pending CDC before a query") {
     // the reference flushes the delta buffer before serving any data
     // query (backend/executor.go:55-61); the Spark analog is draining
