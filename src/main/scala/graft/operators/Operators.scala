@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reusable whole-operator APIs for the capabilities Spark has no
+  * single built-in for. Each is the shuffle-minimal formulation the
+  * query pack verifies against the DuckDB oracle (q32/q43/q62/q63);
+  * here they are generalized over arbitrary DataFrames so a library
+  * user gets the operator, not a query recipe.
+  */
+object Operators {
+
+  /** AS-OF JOIN: for every left row, the most recent right row at or
+    * before it per key. One shuffle on the key, one ordered window pass
+    * — never a per-key cross join, so it survives 100 TB event tables.
+    * Right columns are emitted with `rightPrefix`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String,
+      rightPrefix: String = "asof_"): DataFrame = {
+    val lCols = left.columns
+    val rCols = right.columns.filterNot(keyCols.contains)
+    val lTagged = left.select(
+      (keyCols.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__isLeft")) ++
+        lCols.filterNot(c => keyCols.contains(c)).map(c => col(c).as(s"__l_$c")) ++
+        rCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rTagged = right.select(
+      (keyCols.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__isLeft")) ++
+        lCols.filterNot(c => keyCols.contains(c))
+          .map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+        rCols.map(c => col(c).as(s"__r_$c")): _*)
+    // right rows sort before left rows at equal time → "at or before"
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__isLeft"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rCols.foldLeft(lTagged.unionByName(rTagged)) { (acc, c) =>
+      acc.withColumn(s"__r_$c",
+        last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__isLeft") === 1)
+      .select(keyCols.map(col) ++
+        lCols.filterNot(keyCols.contains).map(c => col(s"__l_$c").as(c)) ++
+        rCols.map(c => col(s"__r_$c").as(s"$rightPrefix$c")): _*)
+  }
+
+  /** SESSIONIZE: assign a per-key session id that increments at gaps
+    * larger than `gap` in `timeCol` (same units as the column). */
+  def sessionize(df: DataFrame, keyCols: Seq[String], timeCol: String,
+      gap: Long, orderTieBreak: Seq[String] = Nil,
+      sessionCol: String = "session_id"): DataFrame = {
+    val order = (col(timeCol) +: orderTieBreak.map(col)): Seq[Column]
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__prev", lag(col(timeCol), 1).over(w))
+      .withColumn("__boundary",
+        when(col("__prev").isNull || col(timeCol) - col("__prev") > gap, 1)
+          .otherwise(0))
+      .withColumn(sessionCol, sum(col("__boundary"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__boundary")
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs over an id + token-set
+    * DataFrame (`idCol`, `tokensCol: Array[String]`). Returns
+    * (a_id, b_id, jaccard) for pairs sharing ≥1 of `bands` signature
+    * bands, verified with exact Jaccard ≥ `threshold`. Sub-quadratic:
+    * the only shuffles are the signature aggregation and the
+    * (band, value) join. Uses the engine's poly_hash +
+    * sorted_intersect_count codegen expressions (register via
+    * GraftFunctions).
+    */
+  def minHashPairs(df: DataFrame, idCol: String, tokensCol: String,
+      threshold: Double, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    import graft.queries.HashFrags.{A, B, P}
+    require(bands * rowsPerBand <= A.length, s"≤${A.length} hash funcs available")
+    val k = bands * rowsPerBand
+    val codes = df.select(col(idCol).as("__id"),
+        explode(array_distinct(col(tokensCol))).as("__tok"))
+      .withColumn("__code", expr("poly_hash(__tok)"))
+    val sigCols = (0 until k).map(i =>
+      min(expr(s"(${A(i)} * __code + ${B(i)}) % $P")).as(s"__mh$i"))
+    val sig = codes.groupBy(col("__id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val v = (0 until rowsPerBand)
+        .map(r => s"__mh${b * rowsPerBand + r}")
+        .reduce((x, y) => s"($x) * $P + $y")
+      s"struct($b AS band, $v AS v)"
+    }.mkString("array(", ", ", ")")
+    val bandsDf = sig.select(col("__id"), explode(expr(bandStructs)).as("bv"))
+      .select(col("__id"), col("bv.band").as("band"), col("bv.v").as("v"))
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id")).distinct()
+    val sets = codes.groupBy(col("__id"))
+      .agg(sort_array(collect_set(col("__code"))).as("__cs"))
+    cand
+      .join(sets.select(col("__id").as("a_id"), col("__cs").as("ca")), "a_id")
+      .join(sets.select(col("__id").as("b_id"), col("__cs").as("cb")), "b_id")
+      .withColumn("inter", expr("sorted_intersect_count(ca, cb)"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ca")) + size(col("cb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Exact top-k rows per group by `orderBy` (ties broken by the given
+    * columns) — planned as WindowGroupLimit: each partition ships at
+    * most k rows per group to the shuffle. */
+  def topKPerGroup(df: DataFrame, keyCols: Seq[String], orderBy: Seq[Column],
+      k: Int, rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+}

@@ -8,7 +8,7 @@ package graft.queries
   * All intermediates stay < 2^36, far from BIGINT overflow, so the
   * arithmetic is engine-independent.
   */
-private[queries] object HashFrags {
+private[graft] object HashFrags {
   val P = 1000000007L
 
   /** MinHash family h_i(x) = (A(i)*x + B(i)) mod P (8 functions). */

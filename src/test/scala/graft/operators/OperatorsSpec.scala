@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.functions.GraftFunctions.register(spark)
+  }
+
+  test("asofJoin picks the latest right row at or before each left row") {
+    val trades = Seq((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 15L, 50.0))
+      .toDF("sym", "t", "px")
+    val quotes = Seq((1L, 5L, 99.0), (1L, 10L, 99.5), (1L, 18L, 100.5),
+      (2L, 99L, 49.0))
+      .toDF("sym", "t", "bid")
+    val out = Operators.asofJoin(trades, quotes, Seq("sym"), "t", "t")
+      .orderBy("sym", "t")
+      .select("sym", "t", "px", "asof_bid", "asof_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)), Option(r.get(4))))
+    assert(out === Array(
+      (1L, 10L, 100.0, Some(99.5), Some(10L)),  // equal time matches
+      (1L, 20L, 101.0, Some(100.5), Some(18L)),
+      (2L, 15L, 50.0, None, None)))             // no quote before → null
+  }
+
+  test("sessionize splits at gaps, increments per key") {
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 5000L), (1L, 5100L), (2L, 0L))
+      .toDF("uid", "t")
+    val out = Operators.sessionize(ev, Seq("uid"), "t", gap = 1000L)
+      .orderBy("uid", "t").select("uid", "t", "session_id")
+      .as[(Long, Long, Long)].collect()
+    assert(out === Array((1L, 0L, 1L), (1L, 100L, 1L), (1L, 5000L, 2L),
+      (1L, 5100L, 2L), (2L, 0L, 1L)))
+  }
+
+  test("minHashPairs finds near-identical token sets, skips dissimilar") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f", "g", "h")),
+      (2L, Seq("a", "b", "c", "d", "e", "f", "g", "x")),   // ~0.78 jaccard vs 1
+      (3L, Seq("q", "r", "s", "t", "u", "v", "w", "z")))   // disjoint
+      .toDF("id", "toks")
+    val pairs = Operators.minHashPairs(docs, "id", "toks", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("topKPerGroup returns exactly k ranked rows per group") {
+    val df = (1 to 100).map(i => (i % 4, i)).toDF("g", "v")
+    val out = Operators.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 3)
+    assert(out.count() === 12)
+    assert(out.filter(col("g") === 0).orderBy(col("rank"))
+      .select("v").as[Int].collect() === Array(100, 96, 92))
+  }
+}

@@ -49,4 +49,31 @@ class StreamingWindowSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.length === 5 * 2) // 300 minutes → 5 windows × 2 types
   }
+
+  test("session_window groups stream events by 15-minute inactivity gaps") {
+    val src = tmpDir("sess_src")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // two bursts per user separated by a >15-minute gap
+    val rows = Seq(0L, 1L, 2L, 60L, 61L).flatMap { m =>
+      Seq(("u1", new java.sql.Timestamp(base + m * 60_000L)),
+        ("u2", new java.sql.Timestamp(base + (m + 3) * 60_000L)))
+    }
+    rows.toDF("uid", "tsm").write.mode("append").parquet(src.toString + "/c")
+
+    val schema = StructType(Seq(
+      StructField("uid", StringType), StructField("tsm", TimestampType)))
+    val q = spark.readStream.schema(schema).parquet(src.toString + "/*")
+      .withWatermark("tsm", "5 minutes")
+      .groupBy(session_window(col("tsm"), "15 minutes"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("sess_agg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val out = spark.table("sess_agg")
+      .select(col("uid"), col("n")).orderBy("uid", "n")
+      .as[(String, Long)].collect()
+    // each user: one 3-event burst and one 2-event burst
+    assert(out === Array(("u1", 2L), ("u1", 3L), ("u2", 2L), ("u2", 3L)))
+  }
 }
