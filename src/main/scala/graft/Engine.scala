@@ -155,6 +155,34 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
   }
 
   // ------------------------------------------------------------------
+  // information_schema (SURVEY §2.B Scans row / A26): catalog metadata
+  // as queryable DataFrames, built from the manifests.
+
+  def informationSchemaTables(): DataFrame = {
+    import spark.implicits._
+    listDatabases().flatMap { db =>
+      listTables(db).map { t =>
+        val m = table(s"$db.$t").manifest
+        (db, t, "BASE TABLE", m.files.size.toLong, m.version)
+      } ++ listViews(db).map(v => (db, v, "VIEW", 0L, 0L))
+    }.toDF("table_schema", "table_name", "table_type", "n_files", "version")
+  }
+
+  def informationSchemaColumns(): DataFrame = {
+    import spark.implicits._
+    listDatabases().flatMap { db =>
+      listTables(db).flatMap { t =>
+        val m = table(s"$db.$t").manifest
+        m.schema.fields.zipWithIndex.map { case (f, i) =>
+          (db, t, f.name, i + 1, f.dataType.simpleString, f.nullable,
+            m.pkCols.contains(f.name))
+        }
+      }
+    }.toDF("table_schema", "table_name", "column_name", "ordinal_position",
+      "data_type", "is_nullable", "is_primary_key")
+  }
+
+  // ------------------------------------------------------------------
   // Session + persisted variables (A25)
 
   def setVar(key: String, value: String, persist: Boolean = false): Unit = {

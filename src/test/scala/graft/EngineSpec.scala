@@ -70,6 +70,20 @@ class EngineSpec extends SparkSpec {
     assert(e.getVar("missing") === None)
   }
 
+  test("information_schema views reflect catalog state") {
+    val e = freshEngine()
+    e.createTable("t1", xy, Seq("x"))
+    e.createView("v1", "SELECT x FROM t1")
+    val tabs = e.informationSchemaTables()
+      .select("table_name", "table_type").as[(String, String)].collect().toSet
+    assert(tabs === Set(("t1", "BASE TABLE"), ("v1", "VIEW")))
+    val cols = e.informationSchemaColumns()
+      .orderBy("ordinal_position")
+      .select("column_name", "data_type", "is_primary_key")
+      .as[(String, String, Boolean)].collect()
+    assert(cols === Array(("x", "int", true), ("y", "int", false)))
+  }
+
   test("backup + restore round-trips tables, metadata, and views") {
     val e = freshEngine()
     e.createTable("t1", xy, Seq("x"), props = Map("generated.y" -> "x * 2"))
