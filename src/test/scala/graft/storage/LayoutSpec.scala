@@ -1,0 +1,52 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Storage-layout strategies for scale: bucketed tables (shuffle-free
+  * co-located joins) and partitioned layouts (partition pruning). These
+  * lock in the plan properties SURVEY.md's scale notes call for —
+  * "co-locate joins via bucketing or pre-partitioning". */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without an Exchange on the bucket key") {
+    val wh = tmpDir("bucket_wh")
+    val db = "bucketdb" + System.nanoTime() % 100000
+    spark.sql(s"CREATE DATABASE $db LOCATION '$wh'")
+    try {
+      val facts = (1 to 10000).map(i => (i.toLong % 500 + 1, i.toDouble)).toDF("k", "v")
+      val dims = (1 to 500).map(i => (i.toLong, s"name$i")).toDF("k", "name")
+      facts.write.bucketBy(8, "k").sortBy("k").saveAsTable(s"$db.facts")
+      dims.write.bucketBy(8, "k").sortBy("k").saveAsTable(s"$db.dims")
+      // disable broadcast so the join would otherwise shuffle both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table(s"$db.facts").join(spark.table(s"$db.dims"), "k")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan.take(1500))
+        assert(!plan.contains("Exchange"),
+          "bucketed join must not shuffle:\n" + plan.take(2000))
+        assert(joined.count() === 10000)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
+  test("partitioned layout prunes partitions for selective filters") {
+    val dir = tmpDir("part_layout").resolve("t").toString
+    val df = (1 to 5000).map(i => (2020 + i % 5, i.toLong, i * 1.5))
+      .toDF("year", "id", "v")
+    df.write.partitionBy("year").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("year") === 2023)
+    val scan = read.queryExecution.executedPlan.toString
+    // partition filter applied at planning: only one of 5 dirs scanned
+    assert(scan.contains("PartitionFilters: [isnotnull(year"), scan.take(1500))
+    assert(read.count() === 1000)
+    // only 1 of the 5 year directories' files are touched
+    // (inputFiles ignores pruning — observe the actually-read files)
+    val allFiles = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    val readFiles = read.select(input_file_name()).distinct().count()
+    assert(readFiles <= allFiles / 4, s"$readFiles of $allFiles files read")
+  }
+}
