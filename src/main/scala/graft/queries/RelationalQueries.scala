@@ -890,8 +890,37 @@ object RelationalQueries {
         FROM orders) x
       WHERE rn = (n + 1) // 2 ORDER BY o_orderstatus"""))
 
+  // --------------------------------------------------------------------
+  // q45 — aggregation over empty input + all-NULL aggregation semantics
+  // (§2.B "agg over empty input"): count=0, sum/min/max=NULL on empty;
+  // sum of all-NULLs = NULL, count(col) skips NULLs.
+  private val q45 = QueryDef(
+    "q45_empty_and_null_agg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val empty = li.filter(col("l_quantity") < -1)
+        .agg(count(lit(1)).as("cnt"), dsum4(col("l_quantity")).as("total"),
+          max(col("l_quantity")).as("mx"))
+        .select(lit("empty").as("src"), col("cnt"), col("total"), col("mx"))
+      val nulls = li.limit(100)
+        .select(nullif(lit(1.0), lit(1.0)).as("alln"))
+        .agg(count(col("alln")).as("cnt"),
+          sum(col("alln")).as("total"), max(col("alln")).as("mx"))
+        .select(lit("nulls").as("src"), col("cnt"), col("total"), col("mx"))
+      empty.unionByName(nulls).orderBy(col("src"))
+    },
+    Some("""SELECT 'empty' AS src, count(*) AS cnt,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS total,
+        max(l_quantity) AS mx
+      FROM lineitem WHERE l_quantity < -1
+      UNION ALL
+      SELECT 'nulls', count(alln), sum(alln), max(alln) FROM (
+        SELECT nullif(CAST(1.0 AS DOUBLE), 1.0) AS alln
+        FROM lineitem LIMIT 100) x
+      ORDER BY src"""))
+
   val defs: Seq[QueryDef] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23,
     q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37,
-    q38, q39, q44)
+    q38, q39, q44, q45)
 }

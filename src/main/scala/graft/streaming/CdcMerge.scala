@@ -31,6 +31,14 @@ import graft.storage.GraftTable
 object CdcMerge {
 
   val actionCol = "action"
+  /** Row actions (FIXTURES.md §4) plus the table-wide DDL event the
+    * reference handles inline in the stream (C9: TruncateMessage /
+    * DDL statements force a flush then apply —
+    * `/root/reference/pgserver/logrepl/replication.go:863-881`). */
+  val ActionDelete = 0
+  val ActionUpdate = 1
+  val ActionInsert = 2
+  val ActionTruncate = 9
   val orderCols: Seq[String] = Seq("txn_group", "txn_seq", "txn_stmt", "action")
   val metaCols: Seq[String] = Seq("action", "txn_tag", "txn_server",
     "txn_group", "txn_seq", "txn_stmt")
@@ -51,9 +59,29 @@ object CdcMerge {
       .select(pkCols.map(col) ++ payload.map(c => col(s"__last.$c").as(c)): _*)
   }
 
-  /** Condense + merge one micro-batch into the table (reference C7). */
+  /** Condense + merge one micro-batch into the table (reference C7).
+    * A table-wide TRUNCATE event (C9) splits the batch: rows up to and
+    * including the truncate are superseded by it; rows after it are
+    * applied on the emptied table — same effect as the reference's
+    * flush-then-truncate-then-continue. */
   def applyBatch(table: GraftTable, batch: DataFrame): Unit = {
     if (batch.isEmpty) return
+    val truncs = batch.filter(col(actionCol) === ActionTruncate)
+    if (!truncs.isEmpty) {
+      val order = orderCols.filter(batch.columns.contains)
+      val lastTrunc = truncs
+        .orderBy(order.map(col(_).desc): _*).limit(1)
+        .select(order.map(col): _*).collect()(0)
+      // lexicographic "(coords) > (lastTrunc coords)"
+      val afterTrunc = order.indices.foldRight(lit(false)) { (i, rest) =>
+        col(order(i)) > lit(lastTrunc.get(i)) ||
+          (col(order(i)) === lit(lastTrunc.get(i)) && rest)
+      }
+      table.truncate()
+      val after = batch.filter(col(actionCol) =!= ActionTruncate && afterTrunc)
+      if (!after.isEmpty) table.merge(condense(after, table.manifest.pkCols))
+      return
+    }
     val condensed = condense(batch, table.manifest.pkCols)
     table.merge(condensed)
   }

@@ -58,6 +58,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "condense must not plan a window")
   }
 
+  test("q61: pair scan has no shuffle beyond the explicit repartition") {
+    val p = plan("q61_jaccard_pairs")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("sortedintersectcount"), "native intersect in plan")
+    // the quadratic pair stream is never shuffled on the pair key —
+    // only per-doc aggregation shuffles (pre-join) and the final sort
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(e =>
+      e.contains("hashpartitioning(a_id") && e.contains("b_id")),
+      "pair-keyed shuffle found:\n" + exchanges.mkString("\n"))
+  }
+
   test("q70: native vec_dot in plan + partial top-k pushdown") {
     val p = plan("q70_knn_brute")
     assert(p.contains("vecdot"), "native expression should appear in plan")

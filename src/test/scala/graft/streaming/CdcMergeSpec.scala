@@ -87,6 +87,17 @@ class CdcMergeSpec extends SparkSpec {
     assert(exc.select("v").as[Long].collect().sorted === Array(1L, 3L))
   }
 
+  test("(C9) TRUNCATE event in stream: wipes prior state, later rows apply") {
+    val t = fresh()
+    CdcMerge.applyBatch(t, events((1L, "a", 2, "g1", 1, 1), (2L, "b", 2, "g1", 1, 2)))
+    // batch: one pre-truncate row (superseded), the truncate, one post-row
+    CdcMerge.applyBatch(t, events(
+      (3L, "pre", 2, "g2", 1, 1),
+      (0L, null, 9, "g2", 2, 1),   // TRUNCATE TABLE event
+      (4L, "post", 2, "g2", 3, 1)))
+    assert(state(t) === Array((4L, "post")))
+  }
+
   test("composite primary key: condense + merge key on all pk columns") {
     val schema2 = StructType(Seq(
       StructField("k1", LongType), StructField("k2", StringType),
