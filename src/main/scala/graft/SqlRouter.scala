@@ -13,6 +13,11 @@ import org.apache.spark.sql.types.StructType
   * actual query surface — go straight to `Engine.sql` where Spark's
   * parser owns the grammar (the reference likewise ships query text
   * wholesale to DuckDB and only routes around it).
+  *
+  * Known limitation: the UPDATE SET-list splitter operates at paren
+  * depth 0 and does not parse string literals, so a literal containing
+  * a top-level comma in a SET value needs the programmatic
+  * `GraftTable.update` API instead.
   */
 object SqlRouter {
 

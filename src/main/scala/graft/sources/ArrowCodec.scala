@@ -56,7 +56,6 @@ object ArrowCodec {
         sparkSchema.fields.zipWithIndex.foreach { case (f, ci) =>
           val v = root.getVector(ci)
           v.setInitialCapacity(buf.length)
-          v.asInstanceOf[ValueVector] match { case _ => }
           var ri = 0
           while (ri < buf.length) {
             val row = buf(ri)
