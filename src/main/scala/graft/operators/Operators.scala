@@ -105,6 +105,95 @@ object Operators {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Connected components over an undirected edge list — the dedup
+    * pipeline's clustering step (every near-dup pair collapses into a
+    * cluster; keep min id as canonical). Iterative min-label
+    * propagation: each round joins labels across edges and keeps the
+    * minimum (two shuffles per round, converges in graph-diameter
+    * rounds; near-dup graphs are shallow). Deterministic: the fixed
+    * point is min-reachable-id, independent of iteration schedule.
+    * Returns (id, cluster) where cluster = min id in the component.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20, driverFastPathMaxEdges: Long = 1_000_000L): DataFrame = {
+    // materialize the (possibly expensive) edge list ONCE before
+    // mirroring — a union of two branches over the raw plan would
+    // evaluate the upstream pair computation twice
+    val e0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      // normalize partitioning: upstream operators may leave hundreds of
+      // tiny partitions whose per-task overhead dwarfs the graph work
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val sym = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every round
+    // Algorithm by graph size (the broadcast-threshold idea applied to
+    // graphs): under the cutoff the edge list fits comfortably on the
+    // driver and union-find finishes in milliseconds — iterative
+    // label-propagation rounds each cost a fixed ~1s of scheduling.
+    // Above it, the distributed loop is the only option.
+    if (sym.count() <= driverFastPathMaxEdges) {
+      val spark = edges.sparkSession
+      val idType = sym.schema("src").dataType
+      implicit val ord: Ordering[Any] = (idType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType =>
+          Ordering.by((x: Any) => x.asInstanceOf[Number].longValue())
+        case org.apache.spark.sql.types.StringType =>
+          Ordering.by((x: Any) => x.asInstanceOf[String])
+        case other =>
+          throw new IllegalArgumentException(s"unsupported id type $other")
+      })
+      val parent = scala.collection.mutable.Map.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      sym.collect().foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ord.max(ra, rb)) = ord.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.groupBy(find).toSeq.flatMap {
+        case (root, members) => members.map(id =>
+          org.apache.spark.sql.Row(id, root)) // root IS the min by construction
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster", idType)))
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(rows.asJava, schema)
+    }
+    // localCheckpoint per round truncates lineage — without it the
+    // plan (and driver heap) grows with every iteration
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate labels seen across one hop
+      val viaEdges = sym.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("cluster"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Exact top-k rows per group by `orderBy` (ties broken by the given
     * columns) — planned as WindowGroupLimit: each partition ships at
     * most k rows per group to the shuffle. */

@@ -44,9 +44,8 @@ object DedupQueries {
   // --------------------------------------------------------------------
   // q61 — n-gram Jaccard near-dup pairs: word-bigram shingles, inverted
   // index self-join, exact Jaccard ≥ 0.08.
-  private val q61 = QueryDef(
-    "q61_jaccard_pairs",
-    (s, dir) => {
+  /** Shared by q61/q66: exact bigram-Jaccard pairs ≥ 0.08. */
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
       // Implementation choice by corpus statistics: with a tiny shingle
       // vocabulary every shingle is hot, so the classic inverted-index
       // self-join materializes Σ df² ≈ 600M intermediate rows (measured
@@ -72,18 +71,49 @@ object DedupQueries {
           (size(col("ca")) + size(col("cb")) - col("inter")))
         .filter(col("jaccard") >= 0.08)
         .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
-        .orderBy(col("a_id"), col("b_id"))
-    },
-    Some(s"""WITH $shingleCodesDuck,
-      carr AS (SELECT doc_id, list_distinct(list(code)) AS cs FROM codes GROUP BY doc_id)
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  }
+
+  /** DuckDB CTE fragment producing the same pair set (`pairs`). */
+  private lazy val pairsDuck: String =
+    s"""$shingleCodesDuck,
+      carr AS (SELECT doc_id, list_distinct(list(code)) AS cs FROM codes GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         CAST(len(list_intersect(a.cs, b.cs)) AS BIGINT) AS inter,
         CAST(len(list_intersect(a.cs, b.cs)) AS DOUBLE) /
           (len(a.cs) + len(b.cs) - len(list_intersect(a.cs, b.cs))) AS jaccard
       FROM carr a JOIN carr b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.cs, b.cs)) AS DOUBLE) /
-          (len(a.cs) + len(b.cs) - len(list_intersect(a.cs, b.cs))) >= 0.08
-      ORDER BY a_id, b_id"""))
+          (len(a.cs) + len(b.cs) - len(list_intersect(a.cs, b.cs))) >= 0.08)"""
+
+  private val q61 = QueryDef(
+    "q61_jaccard_pairs",
+    (s, dir) => exactJaccardPairs(s, dir).orderBy(col("a_id"), col("b_id")),
+    Some(s"""WITH $pairsDuck
+      SELECT a_id, b_id, inter, jaccard FROM pairs ORDER BY a_id, b_id"""))
+
+  // --------------------------------------------------------------------
+  // q66 — near-dup clustering: connected components over the Jaccard
+  // pair graph; cluster id = min doc_id in the component (the canonical
+  // document a dedup pipeline would keep). Spark side runs the
+  // iterative min-label propagation operator; the oracle states the
+  // same fixed point as a recursive transitive closure.
+  private val q66 = QueryDef(
+    "q66_dedup_clusters",
+    (s, dir) =>
+      graft.operators.Operators.connectedComponents(
+        exactJaccardPairs(s, dir).select(col("a_id"), col("b_id")),
+        "a_id", "b_id", maxIter = 50)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $pairsDuck,
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster
+      FROM reach GROUP BY src ORDER BY doc_id"""))
 
   // --------------------------------------------------------------------
   // q62 — MinHash signatures: 8 permutations over the bigram-shingle
@@ -235,5 +265,5 @@ object DedupQueries {
         AND levenshtein(a.p_name, b.p_name) <= 4
       ORDER BY a_id, b_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65)
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66)
 }

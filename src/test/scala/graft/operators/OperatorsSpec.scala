@@ -50,6 +50,23 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connectedComponents labels every node with its component min (both paths)") {
+    // two components {1,2,3,4} (chain) and {10,11}; 20 isolated via self-pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("a", "b")
+    val expected = Array((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L))
+    // driver union-find fast path
+    val fast = Operators.connectedComponents(edges, "a", "b")
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(fast === expected)
+    // distributed label-propagation path (cutoff forced to 0)
+    val dist = Operators.connectedComponents(edges, "a", "b",
+      driverFastPathMaxEdges = 0L)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(dist === expected)
+  }
+
   test("topKPerGroup returns exactly k ranked rows per group") {
     val df = (1 to 100).map(i => (i % 4, i)).toDF("g", "v")
     val out = Operators.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 3)
