@@ -88,6 +88,19 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
         without.withColumn(f, expr(gen(f)))
       } else acc
     }
+    // CHECK constraints (A22): enforced at write time — one combined
+    // filter job over the incoming batch only, never a table scan.
+    val checks = m.props.collect {
+      case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
+    }
+    if (checks.nonEmpty) {
+      val violated = checks.map { case (name, e) =>
+        name -> full.filter(!coalesce(expr(e), lit(false))).limit(1).count()
+      }.collect { case (name, c) if c > 0 => name }
+      if (violated.nonEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint(s) violated: ${violated.mkString(", ")}")
+    }
     val (files, n) = writeFiles(full.select(m.schema.fieldNames.map(col): _*))
     Manifest.commit(path, m.withFiles(m.files ++ files))
     n

@@ -144,6 +144,17 @@ class GraftTableSpec extends SparkSpec {
     assert(t.manifest.props("stats.rowCount") === "3")
   }
 
+  test("CHECK constraints reject violating inserts, pass valid ones") {
+    val t = GraftTable.create(spark, tmpDir("graft_chk"), schema, Seq("id"),
+      props = Map("check.v_positive" -> "v > 0"))
+    t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "v")) // valid
+    val e = intercept[IllegalArgumentException] {
+      t.insert(Seq((2L, "b", -5.0)).toDF("id", "name", "v"))
+    }
+    assert(e.getMessage.contains("v_positive"))
+    assert(t.read().count() === 1) // rejected batch not committed
+  }
+
   test("checkUnique reports duplicate keys, empty when constraint holds") {
     val t = freshTable()
     t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))
