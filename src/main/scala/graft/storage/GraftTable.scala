@@ -230,6 +230,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
       .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
     val hasUpserts = actionCounts.getOrElse(false, 0L) > 0
     val hasDeletes = actionCounts.getOrElse(true, 0L) > 0
+    val totalChanges = actionCounts.values.sum
     if (!hasUpserts && !hasDeletes) return
 
     if (m.files.isEmpty) {
@@ -241,7 +242,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     val touchedKeys = changes.select(pk.map(col): _*).distinct()
     val tagged = readManifest(m).withColumn("__file", input_file_name())
     val affected = tagged
-      .join(broadcastIfSmall(touchedKeys), pk, "left_semi")
+      .join(broadcastIfSmall(touchedKeys, totalChanges), pk, "left_semi")
       .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
 
     if (affected.isEmpty) {
@@ -255,7 +256,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
       .filter { case (n, _) => affected.contains(n) }.map(_._2)
     // Survivors: rows in affected files whose PK is untouched.
     val survivors = readFiles(m, affectedSeq)
-      .join(broadcastIfSmall(touchedKeys), pk, "left_anti")
+      .join(broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti")
     val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
     val (files, _) = writeFiles(replacement, needCount = false)
     val cur = manifest // re-read: insert() above may have bumped version
@@ -377,7 +378,11 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
 
   // ------------------------------------------------------------------
 
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+  /** Broadcast-hint the key set only when the batch is small enough to
+    * ship to every executor; giant backfill batches fall back to a
+    * shuffled join (AQE still picks the best physical strategy). */
+  private def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= 2_000_000L) broadcast(df) else df
 
   /** input_file_name() yields file: URIs; manifest stores plain paths. */
   private def normalize(files: Seq[String]): Seq[String] =
