@@ -28,6 +28,8 @@ object SqlRouter {
   private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
   private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)\s*""".r
   private val UseDb = """(?is)\s*USE\s+(\w+)\s*""".r
+  private val CreateTableAs =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(SELECT.*|VALUES.*|WITH.*)""".r
   private val CreateTable =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s*\((.*)\)\s*""".r
   private val DropTable = """(?is)\s*DROP\s+TABLE\s+([\w.]+)\s*""".r
@@ -56,6 +58,12 @@ object SqlRouter {
     case DropDb(name) => engine.dropDatabase(name, cascade = true); ddl
     case UseDb(name) if !name.equalsIgnoreCase("database") =>
       engine.use(name); ddl
+    case CreateTableAs(name, query) =>
+      // A10 CTAS: analyze once for the schema, create, then insert the
+      // same plan's result
+      val df = engine.sql(query)
+      engine.createTable(name, df.schema)
+      Result(None, engine.table(name).insert(df))
     case CreateTable(name, colsAndPk) =>
       val (schema, pk) = parseColumns(colsAndPk)
       engine.createTable(name, schema, pk); ddl

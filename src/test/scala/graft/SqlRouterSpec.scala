@@ -54,6 +54,17 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "DROP DATABASE analytics")
   }
 
+  test("CREATE TABLE AS SELECT") {
+    val e = new Engine(spark, tmpDir("router_ctas"))
+    exec(e, "CREATE TABLE src (a INT, b STRING)")
+    exec(e, "INSERT INTO src VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+    val r = exec(e, "CREATE TABLE dst AS SELECT a * 10 AS a10, b FROM src WHERE a > 1")
+    assert(r.affected === 2)
+    assert(exec(e, "SELECT a10 FROM dst ORDER BY a10").df.get.as[Int].collect()
+      === Array(20, 30))
+    assert(e.table("dst").schema.fieldNames === Array("a10", "b"))
+  }
+
   test("composite primary key parse") {
     val e = new Engine(spark, tmpDir("router_pk"))
     exec(e, "CREATE TABLE kv (a INT, b INT, v STRING, PRIMARY KEY (a, b))")
