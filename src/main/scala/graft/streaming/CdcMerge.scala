@@ -107,8 +107,16 @@ object CdcMerge {
     */
   def start(spark: SparkSession, sourceDir: String, eventSchema: StructType,
       table: GraftTable, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val src = spark.readStream.schema(eventSchema).parquet(sourceDir)
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    // maxFilesPerTrigger is the size cap on a micro-batch — the analog
+    // of the reference's 128 MB delta-buffer flush threshold
+    // (`binlog_replica_applier.go:844`); the trigger interval is the
+    // 200 ms time threshold.
+    val reader = spark.readStream.schema(eventSchema)
+    val src = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(sourceDir)
     src.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
