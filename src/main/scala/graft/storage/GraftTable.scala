@@ -289,13 +289,23 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     * (the copy-on-write tax); compaction restores scan efficiency. The
     * rewrite is one distributed job; the swap is one manifest commit,
     * so concurrent readers keep their snapshot. */
-  def compact(targetRowsPerFile: Long = 1_000_000L): Unit = {
+  /** `clusterBy` range-partitions + sorts the rewrite on those columns,
+    * so every output file covers a narrow key range — parquet min/max
+    * stats then let filtered scans skip whole files (the Z-order-lite
+    * data-skipping play; at 100 TB this is what turns a full scan into
+    * a few row groups). */
+  def compact(targetRowsPerFile: Long = 1_000_000L,
+      clusterBy: Seq[String] = Nil): Unit = {
     val m = manifest
     if (m.files.isEmpty) return
     val df = readManifest(m)
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
-    val (files, _) = writeFiles(df.repartition(nFiles), needCount = false)
+    val arranged =
+      if (clusterBy.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val (files, _) = writeFiles(arranged, needCount = false)
     val cur = manifest
     Manifest.commit(path, cur.withFiles(files))
   }

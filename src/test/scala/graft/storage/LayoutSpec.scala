@@ -32,6 +32,34 @@ class LayoutSpec extends SparkSpec {
     } finally spark.sql(s"DROP DATABASE $db CASCADE")
   }
 
+  test("clustered compaction: files cover disjoint key ranges (data skipping)") {
+    import graft.storage.GraftTable
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
+    val t = GraftTable.create(spark, tmpDir("cluster_t"), schema, Seq("k"))
+    // insert shuffled so unclustered files span the whole key range
+    t.insert(scala.util.Random.shuffle((1 to 8000).toList)
+      .map(i => (i.toLong, i * 1.0)).toDF("k", "v").repartition(4))
+    t.compact(targetRowsPerFile = 2000, clusterBy = Seq("k"))
+    val m = t.manifest
+    assert(m.files.size === 4)
+    // per-file min/max must be disjoint ranges after range clustering
+    val ranges = m.files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("k"),
+          org.apache.spark.sql.functions.max("k")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $ranges")
+      case _ =>
+    }
+    // a selective filter now touches exactly one file
+    val hit = t.read().filter(org.apache.spark.sql.functions.col("k") === 4500L)
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
+    assert(hit === 1)
+  }
+
   test("partitioned layout prunes partitions for selective filters") {
     val dir = tmpDir("part_layout").resolve("t").toString
     val df = (1 to 5000).map(i => (2020 + i % 5, i.toLong, i * 1.5))
