@@ -109,6 +109,25 @@ object BulkIO {
   def exportJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** LOAD newline-delimited JSON into a managed table (declared schema,
+    * same duplicate-key modes as CSV). */
+  def loadJsonInto(table: GraftTable, path: String,
+      mode: DupMode = Append): Long = {
+    val df = table.spark.read.schema(table.schema).json(path)
+    mode match {
+      case Append => table.insert(df)
+      case Ignore =>
+        val pk = table.manifest.pkCols
+        require(pk.nonEmpty, "IGNORE needs a primary key")
+        table.insert(df.dropDuplicates(pk)
+          .join(table.read().select(pk.map(col): _*), pk, "left_anti"))
+      case Replace =>
+        val n = df.count()
+        table.merge(df.withColumn("action", lit(2)))
+        n
+    }
+  }
+
   /** A17: direct file querying (`SELECT ... FROM 'file.parquet'`). */
   def queryParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

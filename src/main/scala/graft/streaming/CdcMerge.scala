@@ -86,6 +86,23 @@ object CdcMerge {
     table.merge(condensed)
   }
 
+  /** Row-image decode (reference C3,
+    * `/root/reference/binlog/rbr.go:69-981` /
+    * `/root/reference/pgserver/logrepl/decode.go:30-600`): in the Spark
+    * build the wire decode is `from_json` over the connector's
+    * JSON-encoded row image (SURVEY §2.C maps C3 exactly here; the
+    * binary binlog/pgoutput parsing itself is a connector concern).
+    * Input: a `payload` JSON string column + the CDC metadata columns;
+    * output: the flattened delta schema ready for condense/merge.
+    */
+  def decodeJsonEvents(events: DataFrame, payloadCol: String,
+      rowSchema: StructType): DataFrame = {
+    val meta = metaCols.filter(events.columns.contains)
+    events.select(
+      (from_json(col(payloadCol), rowSchema).as("__row") +: meta.map(col)): _*)
+      .select(rowSchema.fieldNames.map(f => col(s"__row.$f")) ++ meta.map(col): _*)
+  }
+
   /** Replica filtering (reference C10,
     * `binlogreplication/binlog_replica_filtering.go`): keep only events
     * for included (db, table) pairs, drop excluded — a source-side

@@ -87,6 +87,20 @@ class CdcMergeSpec extends SparkSpec {
     assert(exc.select("v").as[Long].collect().sorted === Array(1L, 3L))
   }
 
+  test("(C3) JSON row-image decode feeds condense + merge end-to-end") {
+    val t = fresh()
+    val wire = Seq(
+      ("""{"pk": 1, "val": "a"}""", 2, "g1", 1L, 1L),
+      ("""{"pk": 2, "val": "b"}""", 2, "g1", 1L, 2L),
+      ("""{"pk": 1, "val": "a2"}""", 1, "g1", 2L, 1L))
+      .toDF("payload", "action", "txn_group", "txn_seq", "txn_stmt")
+    val decoded = CdcMerge.decodeJsonEvents(wire, "payload", schema)
+    assert(decoded.columns.toSeq ===
+      Seq("pk", "val", "action", "txn_group", "txn_seq", "txn_stmt"))
+    CdcMerge.applyBatch(t, decoded)
+    assert(state(t) === Array((1L, "a2"), (2L, "b")))
+  }
+
   test("(C9) TRUNCATE event in stream: wipes prior state, later rows apply") {
     val t = fresh()
     CdcMerge.applyBatch(t, events((1L, "a", 2, "g1", 1, 1), (2L, "b", 2, "g1", 1, 2)))
