@@ -12,13 +12,16 @@ import HashFrags.{A, B, P, wordCodeSpark, wordCodeDuck}
   * Scale design notes (what survives 100 TB):
   * - exact dedup: single shuffle on a 128-bit content hash, never on
   *   the full text.
-  * - Jaccard pairs: shingle-inverted-index join (explode → join on
-  *   shingle), NOT an n² cross join; hot shingles are the skew risk at
-  *   scale and would be handled by dropping ultra-frequent shingles
-  *   (stop-shingle cutoff) — the LSH variant below is the real scale
-  *   path.
+  * - exact Jaccard pairs: implementation chosen by corpus statistics
+  *   (see exactJaccardPairs) — broadcast pair scan over hashed code
+  *   sets here because every shingle is hot in this corpus; on a
+  *   sparse corpus the shingle-inverted-index join + prefix filtering
+  *   wins instead. Either way q63's MinHash-LSH is the sub-quadratic
+  *   scale path.
   * - MinHash/LSH: O(n) signature computation + join on (band, value) —
   *   the standard sub-quadratic near-dup pipeline.
+  * - clustering (q66): connected components with a size-based algorithm
+  *   switch (driver union-find vs distributed label propagation).
   */
 object DedupQueries {
 
@@ -42,8 +45,8 @@ object DedupQueries {
       FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
 
   // --------------------------------------------------------------------
-  // q61 — n-gram Jaccard near-dup pairs: word-bigram shingles, inverted
-  // index self-join, exact Jaccard ≥ 0.08.
+  // q61 — n-gram Jaccard near-dup pairs: word-bigram shingles, exact
+  // Jaccard ≥ 0.08 over hashed shingle sets.
   /** Shared by q61/q66: exact bigram-Jaccard pairs ≥ 0.08. */
   private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
       // Implementation choice by corpus statistics: with a tiny shingle
