@@ -53,8 +53,9 @@ class HeavyHitters(k: Int)
 
   override def bufferEncoder: Encoder[Map[String, Long]] =
     Encoders.kryo[Map[String, Long]]
+  // output as a real MapType column (explodable), not opaque kryo bytes
   override def outputEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 
   def toColumn_ : TypedColumn[String, Map[String, Long]] = toColumn
 }

@@ -195,5 +195,22 @@ object TextQueries {
         FROM documents) x
       GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 50"""))
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55)
+  // --------------------------------------------------------------------
+  // q56 — heavy-hitter sources via the Misra–Gries typed Aggregator
+  // (§2.D custom aggregate in the query surface). Sketch estimates are
+  // partitioning-dependent within the n/k error bound, so like q31
+  // there is no DuckDB oracle — the driver records a rows-only check
+  // and HeavyHittersSpec asserts the guarantees.
+  private val q56 = QueryDef(
+    "q56_heavy_hitter_sources",
+    (s, dir) => {
+      import s.implicits._
+      val sketch = t(s, dir, "documents").select(col("source")).as[String]
+        .select(new graft.functions.HeavyHitters(8).toColumn_.name("sketch"))
+      sketch.select(explode(col("sketch")).as(Seq("source", "est_count")))
+        .orderBy(col("est_count").desc, col("source"))
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56)
 }
