@@ -59,16 +59,20 @@ case class VecDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
     val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    // fresh names: two vec_dot calls may land in one codegen scope —
+    // fixed identifiers would collide and kill whole-stage codegen
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc"); val anyNull = ctx.freshName("anyNull")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |boolean anyNull = false;
-         |for (int i = 0; i < n; i++) {
-         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
-         |  acc += (double)$a.$lGet(i) * (double)$b.$rGet(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |  $acc += (double)$a.$lGet($i) * (double)$b.$rGet($i);
          |}
-         |if (anyNull) { ${ev.isNull} = true; } else { ${ev.value} = acc; }
+         |if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
   }
@@ -88,9 +92,14 @@ case class VecDot(left: Expression, right: Expression)
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(LongType) ||
-        left.dataType == ArrayType(LongType, false)) TypeCheckResult.TypeCheckSuccess
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"expects bigint arrays, got ${left.dataType} / ${right.dataType}")
 
@@ -110,19 +119,26 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     n
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh names — fixed identifiers collide when the expression
+    // appears more than once in a codegen scope
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val n = ctx.freshName("n"); val an = ctx.freshName("an")
+    val bn = ctx.freshName("bn"); val xv = ctx.freshName("xv")
+    val yv = ctx.freshName("yv")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int i = 0, j = 0; long n = 0;
-         |int an = $a.numElements(), bn = $b.numElements();
-         |while (i < an && j < bn) {
-         |  long xv = $a.getLong(i), yv = $b.getLong(j);
-         |  if (xv == yv) { n++; i++; j++; }
-         |  else if (xv < yv) i++; else j++;
+         |int $i = 0, $j = 0; long $n = 0;
+         |int $an = $a.numElements(), $bn = $b.numElements();
+         |while ($i < $an && $j < $bn) {
+         |  long $xv = $a.getLong($i), $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $n++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++; else $j++;
          |}
-         |${ev.value} = n;
+         |${ev.value} = $n;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =

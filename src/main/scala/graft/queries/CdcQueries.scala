@@ -133,8 +133,8 @@ object CdcQueries {
           CASE WHEN lag(tsu) OVER w IS NULL
             OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS boundary
         FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-      sess AS (SELECT *, sum(boundary) OVER (PARTITION BY user_id
-          ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      sess AS (SELECT *, CAST(sum(boundary) OVER (PARTITION BY user_id
+          ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged)
       SELECT user_id, session_id, count(*) AS n_events,
         min(tsu) AS session_start, max(tsu) AS session_end

@@ -242,7 +242,7 @@ object DedupQueries {
         FROM wc, (SELECT unnest(range(0, 31)) AS bit) b
         GROUP BY doc_id, bit)
       SELECT doc_id,
-        sum(CASE WHEN net > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS simhash
+        CAST(sum(CASE WHEN net > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id"""))
 
   // --------------------------------------------------------------------

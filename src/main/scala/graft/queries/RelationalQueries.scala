@@ -420,9 +420,9 @@ object RelationalQueries {
     Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
         WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS bucket,
       count(*) AS n_orders,
-      sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       FROM orders GROUP BY 1 ORDER BY bucket"""))
 
   // --------------------------------------------------------------------
@@ -581,7 +581,7 @@ object RelationalQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type")),
     Some("""SELECT event_type, count(*) AS n_events,
-      sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))

@@ -126,8 +126,8 @@ object SimilarityQueries {
     },
     Some(s"""WITH $normDuck,
       buckets AS (SELECT vec_id,
-          sum(CASE WHEN $planeDotDuck >= 0
-              THEN (CAST(1 AS BIGINT) << CAST(pl AS INT)) ELSE 0 END) AS bucket
+          CAST(sum(CASE WHEN $planeDotDuck >= 0
+              THEN (CAST(1 AS BIGINT) << CAST(pl AS INT)) ELSE 0 END) AS BIGINT) AS bucket
         FROM vecs, (SELECT unnest(range(0, 8)) AS pl) p
         GROUP BY vec_id),
       bv AS (SELECT v.vec_id, v.embedding, v.nrm, b.bucket

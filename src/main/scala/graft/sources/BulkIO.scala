@@ -86,9 +86,21 @@ object BulkIO {
         val pk = table.manifest.pkCols
         require(pk.nonEmpty, "REPLACE needs a primary key")
         val n = df.count()
-        table.merge(df.withColumn("action", lit(2)))
+        table.merge(lastPerPk(df, pk).withColumn("action", lit(2)))
         n
     }
+  }
+
+  /** Condense a load batch to one row per PK (last occurrence wins —
+    * MySQL REPLACE keeps the final row when a file repeats a key). Also
+    * merge()'s one-row-per-PK precondition. */
+  private def lastPerPk(df: DataFrame, pk: Seq[String]): DataFrame = {
+    val cols = df.columns
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+    df.withColumn("__ord", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols.map(col): _*)
   }
 
   /** COPY ... TO (FORMAT CSV) — `singleStream=true` ≈ one FIFO to the
@@ -122,8 +134,10 @@ object BulkIO {
         table.insert(df.dropDuplicates(pk)
           .join(table.read().select(pk.map(col): _*), pk, "left_anti"))
       case Replace =>
+        val pk = table.manifest.pkCols
+        require(pk.nonEmpty, "REPLACE needs a primary key")
         val n = df.count()
-        table.merge(df.withColumn("action", lit(2)))
+        table.merge(lastPerPk(df, pk).withColumn("action", lit(2)))
         n
     }
   }

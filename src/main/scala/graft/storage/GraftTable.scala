@@ -88,22 +88,31 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
         without.withColumn(f, expr(gen(f)))
       } else acc
     }
-    // CHECK constraints (A22): enforced at write time — one combined
-    // filter job over the incoming batch only, never a table scan.
-    val checks = m.props.collect {
-      case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
-    }
-    if (checks.nonEmpty) {
-      val violated = checks.map { case (name, e) =>
-        name -> full.filter(!coalesce(expr(e), lit(false))).limit(1).count()
-      }.collect { case (name, c) if c > 0 => name }
-      if (violated.nonEmpty)
-        throw new IllegalArgumentException(
-          s"CHECK constraint(s) violated: ${violated.mkString(", ")}")
-    }
+    enforceChecks(m, full)
     val (files, n) = writeFiles(full.select(m.schema.fieldNames.map(col): _*))
     Manifest.commit(path, m.withFiles(m.files ++ files))
     n
+  }
+
+  /** CHECK constraints (A22): enforced on every DML write path (insert,
+    * update, merge upserts) — one combined aggregation job over the
+    * written rows only, never a table scan. MySQL semantics: a NULL
+    * check result PASSES; only a definite FALSE is a violation. */
+  private def enforceChecks(m: Manifest, rows: DataFrame): Unit = {
+    val checks = m.props.collect {
+      case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
+    }.toSeq
+    if (checks.isEmpty) return
+    val aggs = checks.map { case (name, e) =>
+      max(when(coalesce(expr(e), lit(true)) === false, 1).otherwise(0)).as(name)
+    }
+    val row = rows.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val violated = checks.zipWithIndex.collect {
+      case ((name, _), i) if !row.isNullAt(i) && row.getInt(i) == 1 => name
+    }
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint(s) violated: ${violated.mkString(", ")}")
   }
 
   /** ANALYZE TABLE (A-surface `TestStatistics`, main_test.go:886):
@@ -196,6 +205,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
       }
     }: _*)
     val nMatched = src.filter(cond).count()
+    enforceChecks(m, updated.filter(coalesce(cond, lit(false))))
     val (files, _) = writeFiles(updated, needCount = false)
     Manifest.commit(path, m.withFiles(m.files.diff(affectedSeq) ++ files))
     nMatched
@@ -232,6 +242,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     val hasDeletes = actionCounts.getOrElse(true, 0L) > 0
     val totalChanges = actionCounts.values.sum
     if (!hasUpserts && !hasDeletes) return
+    if (hasUpserts) enforceChecks(m, upserts)
 
     if (m.files.isEmpty) {
       if (hasUpserts) insert(upserts)

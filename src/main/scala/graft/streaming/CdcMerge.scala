@@ -65,9 +65,15 @@ object CdcMerge {
     * applied on the emptied table — same effect as the reference's
     * flush-then-truncate-then-continue. */
   def applyBatch(table: GraftTable, batch: DataFrame): Unit = {
-    if (batch.isEmpty) return
-    val truncs = batch.filter(col(actionCol) === ActionTruncate)
-    if (!truncs.isEmpty) {
+    // One pass decides both emptiness and truncate presence — separate
+    // isEmpty probes would each rescan the batch (the truncate one with
+    // no early-out, a full scan per micro-batch on the hot path).
+    val probe = batch.agg(count(lit(1)).as("n"),
+      sum(when(col(actionCol) === ActionTruncate, 1L).otherwise(0L)).as("nt"))
+      .collect()(0)
+    if (probe.getLong(0) == 0L) return
+    if (!probe.isNullAt(1) && probe.getLong(1) > 0L) {
+      val truncs = batch.filter(col(actionCol) === ActionTruncate)
       val order = orderCols.filter(batch.columns.contains)
       val lastTrunc = truncs
         .orderBy(order.map(col(_).desc): _*).limit(1)

@@ -71,11 +71,13 @@ object TypeMapper {
             val p = math.min(parts(0), 38)
             val s = if (parts.length > 1) parts(1) else 0
             Mapped(DecimalType(p, s), b.build())
-          case "ENUM" =>
-            b.putString(EnumValuesKey, args)
-            Mapped(StringType, b.build())
-          case "SET" =>
-            b.putString(EnumValuesKey, args)
+          case "ENUM" | "SET" =>
+            // member values recorded verbatim from the original DDL —
+            // only the keyword is case-normalized, ENUM('active','X')
+            // must not become 'ACTIVE','X' in mysql.values metadata
+            val orig = mysqlType.trim
+            b.putString(EnumValuesKey,
+              orig.substring(orig.indexOf('(') + 1, orig.lastIndexOf(')')))
             Mapped(StringType, b.build())
           case "VARCHAR" | "CHAR" | "BINARY" | "VARBINARY" | "BIT" =>
             b.putLong(DisplayWidthKey, args.trim.toLong)

@@ -38,6 +38,40 @@ class VecDotSpec extends SparkSpec {
     assert(r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("sorted_intersect_count counts and rejects bad types on either side") {
+    assert(spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 3L, 5L, 9L),
+                                       array(2L, 3L, 9L, 11L))""")
+      .as[Long].head() === 2L)
+    // both children are type-checked: a non-array<bigint> RIGHT argument
+    // must fail analysis, not ClassCastException at runtime
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(array(1L), array('x'))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(array('x'), array(1L))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(array(1L), array(1.5D))").collect()
+    }
+  }
+
+  test("repeated instances in one projection keep whole-stage codegen valid") {
+    // fixed local identifiers in doGenCode would collide when the same
+    // expression appears twice in a stage — Janino error, silent
+    // interpreted fallback. fallback=false turns that into a hard fail.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql(
+        """SELECT vec_dot(array(1.0D), array(2.0D))
+                  + vec_dot(array(3.0D), array(4.0D)) AS s,
+                  sorted_intersect_count(array(1L, 2L), array(2L, 3L))
+                  + sorted_intersect_count(array(5L), array(5L)) AS t""")
+        .collect().head
+      assert(r.getDouble(0) === 14.0 && r.getLong(1) === 2L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("vec_dot survives both codegen and interpreted paths") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")

@@ -155,6 +155,39 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 1) // rejected batch not committed
   }
 
+  test("CHECK: NULL check result passes (MySQL semantics)") {
+    val nullableSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("v", DoubleType, nullable = true)))
+    val t = GraftTable.create(spark, tmpDir("graft_chknull"), nullableSchema,
+      Seq("id"), props = Map("check.v_positive" -> "v > 0"))
+    // v = null → check evaluates NULL → passes, like MySQL
+    t.insert(Seq((1L, "a", Some(1.0)), (2L, "b", None))
+      .toDF("id", "name", "v"))
+    assert(t.read().count() === 2)
+  }
+
+  test("CHECK constraints enforced on UPDATE and MERGE upserts") {
+    val t = GraftTable.create(spark, tmpDir("graft_chkdml"), schema, Seq("id"),
+      props = Map("check.v_positive" -> "v > 0"))
+    t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))
+    val eu = intercept[IllegalArgumentException] {
+      t.update(col("id") === 1L, Map("v" -> lit(-9.0)))
+    }
+    assert(eu.getMessage.contains("v_positive"))
+    assert(t.read().filter(col("v") < 0).count() === 0)
+    val em = intercept[IllegalArgumentException] {
+      t.merge(Seq((2L, "b", -7.0, 1)).toDF("id", "name", "v", "action"))
+    }
+    assert(em.getMessage.contains("v_positive"))
+    assert(t.read().filter(col("v") < 0).count() === 0)
+    // valid update + merge still go through
+    t.update(col("id") === 1L, Map("v" -> lit(5.0)))
+    t.merge(Seq((3L, "c", 3.0, 2)).toDF("id", "name", "v", "action"))
+    assert(t.read().count() === 3)
+  }
+
   test("checkUnique reports duplicate keys, empty when constraint holds") {
     val t = freshTable()
     t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))

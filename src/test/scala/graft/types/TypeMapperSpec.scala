@@ -45,8 +45,13 @@ class TypeMapperSpec extends SparkSpec {
     assert(toSpark("JSON").dataType === StringType)
     val e = toSpark("ENUM('a','b','c')")
     assert(e.dataType === StringType)
-    assert(e.metadata.getString(EnumValuesKey) === "'A','B','C'")
+    assert(e.metadata.getString(EnumValuesKey) === "'a','b','c'")
     assert(toSpark("SET('a','b')").dataType === StringType)
+    // member value case is preserved verbatim, keyword case-insensitive
+    assert(toSpark("enum('Active','inACTIVE')").metadata
+      .getString(EnumValuesKey) === "'Active','inACTIVE'")
+    assert(toSpark("SET('Read','Write')").metadata
+      .getString(EnumValuesKey) === "'Read','Write'")
   }
 
   test("round-trip: original DDL type is preserved through metadata") {

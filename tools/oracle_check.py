@@ -37,6 +37,23 @@ def main():
         if list(sdf.columns) != list(ddf.columns):
             print(f"FAIL {name}: cols spark={list(sdf.columns)} duck={list(ddf.columns)}")
             n_fail += 1; continue
+        # dtype KIND mismatch (e.g. DuckDB sum(int) -> HUGEINT, which
+        # lands as float64/object vs Spark int64) hashes differently
+        # driver-side even when values compare equal here. Width-only
+        # differences (int32 vs int64: row_number, length) hash equal
+        # driver-side (round-1 evidence) — don't flag those.
+        def kind(dt):
+            s = str(dt)
+            if s.startswith(("int", "uint", "Int", "UInt")): return "int"
+            if s.startswith("float"): return "float"
+            if s.startswith("bool"): return "bool"
+            if s.startswith(("datetime", "timestamp")): return "ts"
+            return s
+        dt_bad = [(c, str(sdf[c].dtype), str(ddf[c].dtype))
+                  for c in sdf.columns if kind(sdf[c].dtype) != kind(ddf[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtypes {dt_bad}")
+            n_fail += 1; continue
         if len(sdf) != len(ddf):
             print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}"); n_fail += 1; continue
         bad = None
