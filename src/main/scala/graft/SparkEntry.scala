@@ -19,8 +19,8 @@ object SparkEntry {
 
   /** Every implemented operator, with its oracle where SQL-expressible. */
   def all: Seq[QueryDef] =
-    RelationalQueries.defs ++ TextQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ CdcQueries.defs
+    RelationalQueries.defs ++ ExtendedQueries.defs ++ TextQueries.defs ++
+      DedupQueries.defs ++ SimilarityQueries.defs ++ CdcQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

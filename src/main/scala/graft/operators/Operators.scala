@@ -194,6 +194,38 @@ object Operators {
     labels
   }
 
+  /** RANGE (interval) JOIN: every point row whose `pointCol` falls in
+    * an interval row's `[loCol, hiCol)`. Naive formulations plan as a
+    * BroadcastNestedLoopJoin (every point × every interval — quadratic,
+    * dead at scale). Here both sides are bucketed into fixed-width bins
+    * of the point domain: an interval is exploded to the bins it covers,
+    * a point belongs to exactly one bin, and the join becomes an
+    * EQUI-join on the bin (shuffle/broadcast hash join, linear) with the
+    * precise range predicate applied as a post-filter. No duplicates:
+    * each (point, interval) pair meets in exactly the point's bin.
+    *
+    * Pick `binWidth` near the typical interval length: intervals then
+    * explode to ~2 bins each, and bin fan-out (not data volume) stays
+    * the scale knob. All three columns must be numeric (cast timestamps
+    * to epoch first). Interval columns are emitted as-is — prefix them
+    * before calling if names collide with point columns.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // empty intervals (hi <= lo) match nothing; dropping them up front
+    // also keeps sequence() ascending (it would count DOWN on stop<start)
+    val binned = intervals.filter(col(hiCol) > col(loCol)).withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor((col(hiCol) - 1) / binWidth).cast("long"))))
+    val pts = points.withColumn("__bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    pts.join(binned, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+
   /** Exact top-k rows per group by `orderBy` (ties broken by the given
     * columns) — planned as WindowGroupLimit: each partition ships at
     * most k rows per group to the shuffle. */

@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Operators
+
+/** Extended relational surface (round 2): the function-corpus rows of
+  * SURVEY §2.B that round 1 exercised only through the MySqlShims spec
+  * layer, now oracle-verified end-to-end — PIVOT/UNPIVOT through the
+  * real `RelationalGroupedDataset.pivot` / `Dataset.unpivot` APIs,
+  * statistical aggregates, distribution window functions
+  * (ntile/percent_rank/cume_dist), and datetime/string/array function
+  * batteries — plus the binned range join ([[Operators.rangeJoin]]),
+  * the interval analog of q32's as-of join.
+  *
+  * Determinism discipline (see RelationalQueries scaladoc): double
+  * aggregation goes through exact DECIMAL sums; statistical moments are
+  * then computed from those exact sums with an IDENTICAL double
+  * expression tree on both engines, which IEEE-754 evaluates
+  * bit-identically — native stddev/corr partial-merge order is
+  * partition-dependent on BOTH engines and would be hash-flaky.
+  */
+object ExtendedQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+  private def dec4(c: Column): Column = c.cast(DecimalType(28, 4))
+  private def dsum4(c: Column): Column = sum(dec4(c)).cast("double")
+  /** NTZ → epoch seconds (NTZ has no direct long cast; under the UTC
+    * session the timestamp hop is the identity — matches the oracle's
+    * epoch_us(ts) // 1000000). */
+  private def epochSec(c: Column): Column =
+    c.cast("timestamp").cast("long")
+
+  // --------------------------------------------------------------------
+  // q46 — PIVOT through the RelationalGroupedDataset.pivot API (explicit
+  // value list → no extra distinct-values job; at scale the value list
+  // is always declared, never discovered).
+  private val q46 = QueryDef(
+    "q46_pivot",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // --------------------------------------------------------------------
+  // q47 — UNPIVOT through the Dataset.unpivot API (wide → long).
+  private val q47 = QueryDef(
+    "q47_unpivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum4(col("l_quantity")).as("sum_qty"),
+          dsum4(col("l_extendedprice")).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric")),
+    Some("""WITH a AS (SELECT l_returnflag,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+      UNION ALL
+      SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a
+      ORDER BY l_returnflag, metric"""))
+
+  // --------------------------------------------------------------------
+  // q48 — statistical aggregates (avg/variance/stddev/correlation) from
+  // exact decimal power sums. One hash aggregation (map-side partials on
+  // exact decimals — order-independent), moments derived per group.
+  private val statsSql = """WITH s AS (
+      SELECT c_mktsegment,
+        count(*) AS n,
+        sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sx,
+        sum(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS sxx,
+        sum(CAST(c_custkey AS DECIMAL(18,0))) AS sy,
+        sum(CAST(c_custkey AS DECIMAL(18,0)) * CAST(c_custkey AS DECIMAL(18,0))) AS syy,
+        sum(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_custkey AS DECIMAL(18,0))) AS sxy
+      FROM customer GROUP BY c_mktsegment)
+    SELECT c_mktsegment, n AS n_cust,
+      CAST(sx AS DOUBLE) / n AS avg_bal,
+      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_bal,
+      sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS stddev_bal,
+      (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_bal_key
+    FROM s ORDER BY c_mktsegment"""
+  private val q48 = QueryDef(
+    "q48_stats_agg",
+    (s, dir) => { Tables.register(s, dir); s.sql(statsSql) },
+    Some(statsSql))
+
+  // --------------------------------------------------------------------
+  // q49 — distribution window functions: ntile / percent_rank /
+  // cume_dist over a unique total order. A global window is inherent to
+  // the semantics; at scale this is a rangepartition+sort (Spark plans
+  // a single-partition window — use per-key quantiles when a key
+  // exists, or approx_percentile when exactness isn't required).
+  private val q49 = QueryDef(
+    "q49_ntile_distribution",
+    (s, dir) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cum_dist", cume_dist().over(w))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_acctbal,
+      ntile(4) OVER w AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cum_dist
+      FROM customer
+      WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey"""))
+
+  // --------------------------------------------------------------------
+  // q57 — datetime function battery over orders (extract fields, trunc,
+  // date arithmetic, formatting). All pure projections — stay inside
+  // one codegen stage, no shuffle beyond the final sort.
+  private val q57 = QueryDef(
+    "q57_datetime_corpus",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mon"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          // Spark: 1=Sunday; DuckDB dayofweek: 0=Sunday — align to 0-base
+          (dayofweek(col("o_orderdate")) - 1).as("dow"),
+          trunc(col("o_orderdate").cast("date"), "month").as("month_start"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          last_day(col("o_orderdate").cast("date")).as("eom"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("fmt"),
+          datediff(lit("1998-01-01").cast("date"),
+            col("o_orderdate").cast("date")).as("days_to_98"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+      month(o_orderdate) AS mon, dayofmonth(o_orderdate) AS dom,
+      dayofweek(o_orderdate) AS dow,
+      date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+      CAST(o_orderdate AS DATE) + 30 AS plus30,
+      last_day(CAST(o_orderdate AS DATE)) AS eom,
+      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt,
+      date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+      FROM orders ORDER BY o_orderkey"""))
+
+  // --------------------------------------------------------------------
+  // q58 — string function battery over part.
+  private val q58 = QueryDef(
+    "q58_string_corpus",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          length(col("p_name")).as("len"),
+          substring(col("p_name"), 3, 8).as("sub"),
+          lpad(col("p_brand"), 12, "*").as("pad"),
+          regexp_replace(col("p_name"), "a", "@").as("rep"),
+          substring_index(col("p_name"), " ", 1).as("first_word"),
+          reverse(col("p_brand")).as("rev"),
+          instr(col("p_name"), "an").as("pos_an"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+          md5(col("p_name")).as("md"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("rx"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      upper(p_name) AS up, length(p_name) AS len,
+      substring(p_name, 3, 8) AS sub,
+      lpad(p_brand, 12, '*') AS pad,
+      replace(p_name, 'a', '@') AS rep,
+      split_part(p_name, ' ', 1) AS first_word,
+      reverse(p_brand) AS rev,
+      instr(p_name, 'an') AS pos_an,
+      concat_ws('|', p_brand, p_type) AS cw,
+      md5(p_name) AS md,
+      regexp_extract(p_name, '([a-z]+)', 1) AS rx
+      FROM part ORDER BY p_partkey"""))
+
+  // --------------------------------------------------------------------
+  // q59 — array/list function battery (split → sort/slice/distinct →
+  // back to scalars so the comparator sees plain columns).
+  private val q59 = QueryDef(
+    "q59_array_corpus",
+    (s, dir) => {
+      val words = split(col("p_name"), " ")
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          size(words).as("n_words"),
+          concat_ws(" ", array_sort(words)).as("sorted_words"),
+          concat_ws(" ", slice(words, 1, 2)).as("first2"),
+          size(array_distinct(words)).as("n_uniq"),
+          array_contains(words, "tan").as("has_tan"),
+          element_at(words, -1).as("last_word"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+      SELECT p_partkey,
+        length(words) AS n_words,
+        array_to_string(list_sort(words), ' ') AS sorted_words,
+        array_to_string(list_slice(words, 1, 2), ' ') AS first2,
+        length(list_distinct(words)) AS n_uniq,
+        list_contains(words, 'tan') AS has_tan,
+        words[-1] AS last_word
+      FROM w ORDER BY p_partkey"""))
+
+  // --------------------------------------------------------------------
+  // q74 — RANGE JOIN: lineitems shipped within 30 days of their order
+  // window, via the binned equi-join ([[Operators.rangeJoin]] — a
+  // shuffle hash join on the bin, never a nested-loop). The oracle
+  // states the plain inequality join (DuckDB plans its IEJoin).
+  private val q74 = QueryDef(
+    "q74_range_join",
+    (s, dir) => {
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          epochSec(col("o_orderdate")).as("lo"),
+          (epochSec(col("o_orderdate")) + 2592000L).as("hi"))
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_extendedprice"), epochSec(col("l_shipdate")).as("pt"))
+      Operators.rangeJoin(pts, "pt", iv, "lo", "hi", binWidth = 604800L * 2)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"), dsum4(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, count(*) AS n_items,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      FROM orders o JOIN lineitem l
+        ON epoch_us(l.l_shipdate) // 1000000 >= epoch_us(o.o_orderdate) // 1000000
+       AND epoch_us(l.l_shipdate) // 1000000 < epoch_us(o.o_orderdate) // 1000000 + 2592000
+      WHERE o.o_orderkey % 97 = 0
+      GROUP BY o_orderkey ORDER BY o_orderkey"""))
+
+  val defs: Seq[QueryDef] = Seq(q46, q47, q48, q49, q57, q58, q59, q74)
+}

@@ -67,6 +67,28 @@ class OperatorsSpec extends SparkSpec {
     assert(dist === expected)
   }
 
+  test("rangeJoin matches the naive theta join and plans an equi-join") {
+    val pts = Seq((1L, 3L), (2L, 10L), (3L, 17L), (4L, 25L), (5L, 99L))
+      .toDF("pid", "pt")
+    val iv = Seq((100L, 0L, 11L), (200L, 9L, 20L), (300L, 25L, 26L),
+      (400L, 50L, 50L)) // empty interval: must match nothing
+      .toDF("iid", "lo", "hi")
+    val got = Operators.rangeJoin(pts, "pt", iv, "lo", "hi", binWidth = 4L)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    val want = pts.as("p").join(iv.as("i"),
+        col("pt") >= col("lo") && col("pt") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    assert(got === want)
+    assert(got === Array((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L),
+      (4L, 300L)))
+    // the point of the operator: a hash/sort-merge EQUI-join on the bin,
+    // never a nested-loop/cartesian plan
+    val plan = Operators.rangeJoin(pts, "pt", iv, "lo", "hi", 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
   test("topKPerGroup returns exactly k ranked rows per group") {
     val df = (1 to 100).map(i => (i % 4, i)).toDF("g", "v")
     val out = Operators.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 3)
