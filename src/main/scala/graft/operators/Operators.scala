@@ -226,6 +226,49 @@ object Operators {
       .drop("__bin")
   }
 
+  /** SEQUENCE PACKING: assign each row a bin id such that consecutive
+    * rows (in `orderCol` order within `partitionCols`) fill up to
+    * `budget` units of `sizeCol` per bin — the training-data packing
+    * step (concatenate documents up to a token budget per sample). The
+    * greedy-in-order rule is bin = floor(preceding-cumulative-size /
+    * budget): deterministic, one window pass, no iteration. Packing is
+    * per partition key (shard/source), so no global sort bottleneck —
+    * at 100 TB the partition key is the shard, and each shard packs
+    * independently.
+    */
+  def packSequences(df: DataFrame, partitionCols: Seq[String],
+      orderCol: String, sizeCol: String, budget: Long,
+      binCol: String = "bin"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(sizeCol)).over(w))
+      .withColumn(binCol,
+        floor((col("__cum") - col(sizeCol)) / budget).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Deterministic hash sampling: keep a row iff
+    * `poly_hash(key) % 1000 < permille`. Unlike rand()-based sampling
+    * this is reproducible across runs, engines, and repartitioning —
+    * the property a training-data pipeline needs so a re-run selects
+    * the SAME subset (and so sampling composes with incremental
+    * processing). `permille` may be a per-row Column (e.g. a per-source
+    * rate) for weighted dataset mixtures. Requires
+    * [[graft.functions.GraftFunctions.register]].
+    */
+  def hashSample(df: DataFrame, key: Column, permille: Column): DataFrame = {
+    // poly_hash is a plain polynomial fold — structured keys (common
+    // prefixes + short numeric suffixes) leave its low digits biased.
+    // One LCG step mod the same prime disperses consecutive hashes
+    // (multiplication mod a prime is a bijection with large strides)
+    // before the ‰ bucket. All intermediates < 2^63 (ANSI-safe).
+    val h = call_function("poly_hash", key)
+    df.filter((h * lit(1103515245L) + lit(12345L)) % lit(1000000007L)
+      % 1000 < permille)
+  }
+
   /** Exact top-k rows per group by `orderBy` (ties broken by the given
     * columns) — planned as WindowGroupLimit: each partition ships at
     * most k rows per group to the shuffle. */

@@ -59,9 +59,13 @@ object DedupQueries {
       // zero shuffles, ~60 ns/pair. On a sparse corpus (huge shingle
       // space) the inverted index + prefix filtering wins instead, and
       // q63's MinHash-LSH is the sub-quadratic scale path either way.
+      // localCheckpoint: the shingle aggregation feeds BOTH join sides;
+      // without materialization Spark evaluates the explode+hash
+      // pipeline once per branch (plan subtrees are never deduped)
       val shs = shingleCodes(s, dir)
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("code"))).as("cs"))
+        .localCheckpoint()
       val a = shs.select(col("doc_id").as("a_id"), col("cs").as("ca"))
       val b = shs.select(col("doc_id").as("b_id"), col("cs").as("cb"))
         // Explicit partition count: AQE would coalesce this few-MB side
@@ -166,7 +170,9 @@ object DedupQueries {
   private val q63 = QueryDef(
     "q63_minhash_lsh_pairs",
     (s, dir) => {
-      val codes = shingleCodes(s, dir)
+      // materialized once: consumed by the band self-join (×2) and both
+      // shingle-array fetch joins (×2) — 4 evaluations without it
+      val codes = shingleCodes(s, dir).localCheckpoint()
       val sig = codes.groupBy(col("doc_id"))
         .agg(sigSelectSpark.head, sigSelectSpark.tail: _*)
       val bands = sig.select(col("doc_id"), explode(expr(

@@ -235,6 +235,7 @@ object ExtendedQueries {
           epochSec(col("o_orderdate")).as("lo"),
           (epochSec(col("o_orderdate")) + 2592000L).as("hi"))
       val pts = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45) // selective: ~12% of lineitems
         .select(col("l_extendedprice"), epochSec(col("l_shipdate")).as("pt"))
       Operators.rangeJoin(pts, "pt", iv, "lo", "hi", binWidth = 604800L * 2)
         .groupBy(col("o_orderkey"))
@@ -246,8 +247,64 @@ object ExtendedQueries {
       FROM orders o JOIN lineitem l
         ON epoch_us(l.l_shipdate) // 1000000 >= epoch_us(o.o_orderdate) // 1000000
        AND epoch_us(l.l_shipdate) // 1000000 < epoch_us(o.o_orderdate) // 1000000 + 2592000
-      WHERE o.o_orderkey % 97 = 0
+      WHERE o.o_orderkey % 97 = 0 AND l.l_quantity >= 45
       GROUP BY o_orderkey ORDER BY o_orderkey"""))
 
-  val defs: Seq[QueryDef] = Seq(q46, q47, q48, q49, q57, q58, q59, q74)
+  // --------------------------------------------------------------------
+  // q75 — SEQUENCE PACKING ([[Operators.packSequences]]): pack each
+  // source's documents (in doc_id order) into 2048-token bins; report
+  // per-bin document counts and token totals. The oracle states the
+  // same greedy-in-order rule as a window cumulative sum.
+  private val q75 = QueryDef(
+    "q75_pack_sequences",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("toks"))
+      Operators.packSequences(docs, Seq("source"), "doc_id", "toks", 2048L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin"))
+    },
+    Some("""WITH d AS (SELECT source, doc_id,
+        len(string_split(text, ' ')) AS toks FROM documents),
+      c AS (SELECT *, sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+      b AS (SELECT *, CAST(floor((cum - toks) / 2048) AS BIGINT) AS bin FROM c)
+      SELECT source, bin, count(*) AS n_docs,
+        CAST(sum(toks) AS BIGINT) AS n_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM b GROUP BY source, bin ORDER BY source, bin"""))
+
+  // --------------------------------------------------------------------
+  // q76 — DATASET MIXTURE ([[Operators.hashSample]]): weighted,
+  // deterministic per-source sampling (source srcN keeps 1000−40·N ‰)
+  // via the shared poly_hash — reproducible across engines and runs,
+  // unlike rand()-based sampling. Reports the realized mixture.
+  private val q76 = QueryDef(
+    "q76_dataset_mixture",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("toks"),
+          substring(col("source"), 4, 10).cast("int").as("srcn"))
+      Operators.hashSample(docs,
+          concat(col("source"), lit(":"), col("doc_id").cast("string")),
+          lit(1000) - col("srcn") * 40)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("n_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (SELECT source, doc_id,
+        len(string_split(text, ' ')) AS toks,
+        CAST(substr(source, 4) AS INT) AS srcn,
+        ${HashFrags.wordCodeDuck("source || ':' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents)
+      SELECT source, count(*) AS n_kept, CAST(sum(toks) AS BIGINT) AS n_tokens
+      FROM d WHERE (h * 1103515245 + 12345) % 1000000007 % 1000 < 1000 - srcn * 40
+      GROUP BY source ORDER BY source"""))
+
+  val defs: Seq[QueryDef] = Seq(q46, q47, q48, q49, q57, q58, q59, q74,
+    q75, q76)
 }

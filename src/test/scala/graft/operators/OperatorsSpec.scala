@@ -89,6 +89,35 @@ class OperatorsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"))
   }
 
+  test("packSequences fills bins greedily in order, per partition key") {
+    val docs = Seq(
+      ("a", 1L, 600L), ("a", 2L, 500L), ("a", 3L, 400L), ("a", 4L, 300L),
+      ("b", 1L, 1000L), ("b", 2L, 100L))
+      .toDF("src", "id", "toks")
+    val out = Operators.packSequences(docs, Seq("src"), "id", "toks", 1000L)
+      .select("src", "id", "bin").as[(String, Long, Long)].collect().sorted
+    // a: cum-before = 0, 600, 1100, 1500 → bins 0, 0, 1, 1
+    // b: cum-before = 0, 1000 → bins 0, 1
+    assert(out === Array(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),
+      ("a", 4L, 1L), ("b", 1L, 0L), ("b", 2L, 1L)))
+  }
+
+  test("hashSample is deterministic, repartition-invariant, and weighted") {
+    val df = (0 until 2000).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "src")
+    val key = concat(col("src"), lit(":"), col("id").cast("string"))
+    val kept1 = Operators.hashSample(df, key, lit(500))
+      .select("id").as[Long].collect().sorted
+    val kept2 = Operators.hashSample(df.repartition(7), key, lit(500))
+      .select("id").as[Long].collect().sorted
+    assert(kept1 === kept2) // same subset regardless of run/partitioning
+    assert(math.abs(kept1.length - 1000) < 150) // ~50% rate
+    // per-row rate column: src-dependent weights realize different rates
+    val rates = Operators.hashSample(df, key,
+        when(col("src") === "s0", 900).otherwise(100))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(rates("s0") > 800 && rates("s1") < 200)
+  }
+
   test("topKPerGroup returns exactly k ranked rows per group") {
     val df = (1 to 100).map(i => (i % 4, i)).toDF("g", "v")
     val out = Operators.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 3)
