@@ -49,6 +49,8 @@ object SqlRouter {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*""".r
   private val AlterRename =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*""".r
+  private val AlterModify =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:MODIFY\s+(?:COLUMN\s+)?(\w+)|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE)\s+([\w()]+)\s*""".r
   private val Optimize = """(?is)\s*OPTIMIZE\s+([\w.]+)\s*""".r
   private val Vacuum = """(?is)\s*VACUUM\s+([\w.]+)\s*""".r
   private val Analyze = """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*(?:COMPUTE\s+STATISTICS)?\s*""".r
@@ -104,6 +106,11 @@ object SqlRouter {
       engine.table(name).dropColumn(colName); ddl
     case AlterRename(name, from, to) =>
       engine.table(name).renameColumn(from, to); ddl
+    case AlterModify(name, mysqlCol, pgCol, colType) =>
+      engine.table(name).modifyColumnType(
+        Option(mysqlCol).getOrElse(pgCol),
+        StructType.fromDDL(s"x $colType").head.dataType)
+      ddl
     case q => Result(Some(engine.sql(q)), 0L)
   }
 

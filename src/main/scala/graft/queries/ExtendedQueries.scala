@@ -305,6 +305,50 @@ object ExtendedQueries {
       FROM d WHERE (h * 1103515245 + 12345) % 1000000007 % 1000 < 1000 - srcn * 40
       GROUP BY source ORDER BY source"""))
 
+  // --------------------------------------------------------------------
+  // q77 — per-group percentiles, positionally (generalizes q44's
+  // median): rank rows on a unique total order, pick the value at
+  // index floor((n-1)·p)+1 ("lower" interpolation). Selects an actual
+  // element — no interpolation arithmetic, so bit-exact across
+  // engines; native percentile_cont interpolates in
+  // implementation-defined double order. Shared SQL text on both sides.
+  private val pctSql = """WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+        row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT l_returnflag,
+      max(CASE WHEN rn = CAST(floor((n - 1) * 0.25) AS BIGINT) + 1 THEN l_extendedprice END) AS p25,
+      max(CASE WHEN rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1 THEN l_extendedprice END) AS p50,
+      max(CASE WHEN rn = CAST(floor((n - 1) * 0.75) AS BIGINT) + 1 THEN l_extendedprice END) AS p75,
+      max(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1 THEN l_extendedprice END) AS p90
+    FROM r GROUP BY l_returnflag ORDER BY l_returnflag"""
+  private val q77 = QueryDef(
+    "q77_percentiles",
+    (s, dir) => { Tables.register(s, dir); s.sql(pctSql) },
+    Some(pctSql))
+
+  // --------------------------------------------------------------------
+  // q78 — conditional + boolean aggregates (count_if / bool_and /
+  // bool_or): one partial-aggregated shuffle over 5 groups.
+  private val q78 = QueryDef(
+    "q78_conditional_agg",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_orderstatus") === "F").as("all_f"),
+          bool_or(col("o_orderstatus") === "P").as("any_p"),
+          count_if(col("o_orderstatus") =!= "O").as("n_closed"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+      bool_and(o_orderstatus = 'F') AS all_f,
+      bool_or(o_orderstatus = 'P') AS any_p,
+      count(CASE WHEN o_orderstatus <> 'O' THEN 1 END) AS n_closed
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val defs: Seq[QueryDef] = Seq(q46, q47, q48, q49, q57, q58, q59, q74,
-    q75, q76)
+    q75, q76, q77, q78)
 }

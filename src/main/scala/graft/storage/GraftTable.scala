@@ -52,14 +52,24 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
   /** Physical-aware read of a subset of the manifest's files (rename
     * mapping + ALTER defaults applied) — every internal read of table
     * data must go through here, never a raw schema'd parquet read. */
+  /** Physical storage type: pinned to the ORIGINAL type when ALTER
+    * MODIFY changed the logical type (files are never rewritten). */
+  private def physType(m: Manifest, logical: String): DataType =
+    m.props.get(s"phystype.$logical")
+      .map(DataType.fromDDL).getOrElse(m.schema(logical).dataType)
+
   private def readFiles(m: Manifest, files: Seq[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(java.util.Collections.emptyList[Row](), m.schema)
     else {
-      val phys = StructType(m.schema.fields.map(f => f.copy(name = physName(m, f.name))))
+      val phys = StructType(m.schema.fields.map(f =>
+        f.copy(name = physName(m, f.name), dataType = physType(m, f.name))))
       val raw = spark.read.schema(phys).parquet(files: _*)
       raw.select(m.schema.fields.map { f =>
-        val c = col(physName(m, f.name))
+        val c0 = col(physName(m, f.name))
+        // ALTER MODIFY: files hold the original physical type; surface
+        // the declared logical type via cast-on-read.
+        val c = if (physType(m, f.name) == f.dataType) c0 else c0.cast(f.dataType)
         // NOT NULL columns added by ALTER after data existed read the
         // recorded default for pre-ALTER files (which yield null).
         val v = m.props.get(s"default.${f.name}") match {
@@ -377,7 +387,26 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     require(!m.pkCols.contains(name), s"cannot drop pk column $name")
     Manifest.commit(path, m.copy(
       schema = StructType(m.schema.fields.filterNot(_.name == name)),
-      props = m.props - s"phys.$name" - s"default.$name"))
+      props = m.props - s"phys.$name" - s"default.$name" - s"phystype.$name"))
+  }
+
+  /** MODIFY COLUMN type — pure metadata (A20's MODIFY arm,
+    * `/root/reference/catalog/table.go:329-417`): the physical parquet
+    * type stays pinned to the original (no file rewrite at any scale);
+    * reads cast to the new logical type, writes cast back to the
+    * storage type. `newType` must be cast-compatible in both
+    * directions (widenings like INT→BIGINT, or INT↔STRING). */
+  def modifyColumnType(name: String, newType: DataType): Unit = {
+    val m = manifest
+    require(m.schema.fieldNames.contains(name), s"no such column: $name")
+    val storage = physType(m, name)
+    val props =
+      if (storage == newType) m.props - s"phystype.$name" // back to original
+      else m.props + (s"phystype.$name" -> storage.sql)
+    Manifest.commit(path, m.copy(
+      schema = StructType(m.schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = newType) else f)),
+      props = props))
   }
 
   /** RENAME COLUMN — pure metadata: the physical parquet name stays
@@ -389,12 +418,13 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     val phys = physName(m, from)
     val props0 = m.props - s"phys.$from"
     val props = (if (phys == to) props0 else props0 + (s"phys.$to" -> phys)) ++
-      m.props.get(s"default.$from").map(d => s"default.$to" -> d)
+      m.props.get(s"default.$from").map(d => s"default.$to" -> d) ++
+      m.props.get(s"phystype.$from").map(t => s"phystype.$to" -> t)
     Manifest.commit(path, m.copy(
       schema = StructType(m.schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f)),
       pkCols = m.pkCols.map(c => if (c == from) to else c),
-      props = props - s"default.$from"))
+      props = props - s"default.$from" - s"phystype.$from"))
   }
 
   // ------------------------------------------------------------------
@@ -412,9 +442,11 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
   private def writeFiles(df: DataFrame, needCount: Boolean = true): (Seq[String], Long) = {
     val dest = path.resolve("data").resolve(UUID.randomUUID().toString)
     val m = manifest
-    // store physical names + coerce to the declared column types (DDL
-    // typing wins over expression result types, e.g. generated columns)
-    val types = m.schema.fields.map(f => f.name -> f.dataType).toMap
+    // store physical names + coerce to the PHYSICAL column types (DDL
+    // typing wins over expression result types, e.g. generated columns;
+    // ALTER MODIFY keeps every file at the original storage type so one
+    // schema covers all generations)
+    val types = m.schema.fields.map(f => f.name -> physType(m, f.name)).toMap
     val out = df.select(df.columns.map { c =>
       val v = types.get(c).map(col(c).cast(_)).getOrElse(col(c))
       v.as(physName(m, c))
@@ -422,12 +454,24 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     out.write.parquet(dest.toString)
     val files = Files.list(dest).iterator().asScala
       .map(_.toString).filter(f => f.endsWith(".parquet")).toSeq.sorted
-    // metadata-only count (parquet footers), skipped when the caller
-    // doesn't report rows-affected — every job saved matters for the
-    // many-small-commits CDC path
-    val n = if (!needCount || files.isEmpty) 0L
-      else spark.read.schema(manifest.schema).parquet(files: _*).count()
+    // metadata-only count straight from the parquet footers on the
+    // driver — no Spark job at all (a count() job costs a fixed
+    // ~100-300ms of scheduling per DML statement, which dominates the
+    // many-small-commits CDC path). Skipped entirely when the caller
+    // doesn't report rows-affected.
+    val n = if (!needCount || files.isEmpty) 0L else footerRowCount(files)
     (files, n)
+  }
+
+  /** Σ row counts from parquet footers (driver-side metadata reads). */
+  private def footerRowCount(files: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
   }
 }
 

@@ -128,6 +128,38 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.dropColumn("x") } // pk protected
   }
 
+  test("ALTER MODIFY column type: metadata-only, mixed-generation files") {
+    val e = freshEngine()
+    e.createTable("t", xy, Seq("x"))
+    val t = e.table("t")
+    t.insert(Seq((1, 10)).toDF("x", "y"))
+    val filesBefore = t.manifest.files
+
+    t.modifyColumnType("y", LongType) // INT → BIGINT widening
+    assert(t.manifest.files === filesBefore) // no rewrite
+    assert(t.schema("y").dataType === LongType)
+    // new writes arrive typed per the NEW schema; storage stays INT
+    t.insert(Seq((2, 3_000L)).toDF("x", "y"))
+    assert(t.read().orderBy("x").select("y").as[Long].collect()
+      === Array(10L, 3000L))
+
+    // further modify to STRING: cast chain still reads one physical type
+    t.modifyColumnType("y", StringType)
+    assert(t.read().orderBy("x").select("y").as[String].collect()
+      === Array("10", "3000"))
+    // rename keeps the storage-type pin attached to the column
+    t.renameColumn("y", "ystr")
+    assert(t.read().orderBy("x").select("ystr").as[String].collect()
+      === Array("10", "3000"))
+    // modify back to the original physical type drops the pin
+    t.modifyColumnType("ystr", IntegerType)
+    assert(!t.manifest.props.contains("phystype.ystr"))
+    // DML through the modified column
+    assert(t.update(col("ystr") === 10, Map("ystr" -> lit(11))) === 1)
+    assert(t.read().orderBy("x").select("ystr").as[Int].collect()
+      === Array(11, 3000))
+  }
+
   test("DML still works on renamed columns (physical mapping in writes+reads)") {
     val e = freshEngine()
     e.createTable("t", xy, Seq("x"))

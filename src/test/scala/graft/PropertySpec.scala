@@ -61,4 +61,65 @@ class PropertySpec extends SparkSpec {
       .filter(col("got") =!= col("expected")).count()
     assert(bad === 0)
   }
+
+  test("rangeJoin equals the naive theta join for arbitrary intervals") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val caseGen = for {
+      pts <- Gen.listOfN(60, Gen.choose(-100L, 100L))
+      ivs <- Gen.listOfN(25, Gen.zip(Gen.choose(-120L, 120L), Gen.choose(-30L, 60L)))
+      w <- Gen.choose(1L, 40L)
+    } yield (pts, ivs.map { case (lo, len) => (lo, lo + len) }, w)
+    samples(caseGen, 8).foreach { case (pts, ivs, w) =>
+      val p = pts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "pt")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = graft.operators.Operators.rangeJoin(p, "pt", iv, "lo", "hi", w)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      val want = p.join(iv, col("pt") >= col("lo") && col("pt") < col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === want, s"binWidth=$w")
+    }
+  }
+
+  test("packSequences bins are order-contiguous and budget-bounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val caseGen = for {
+      sizes <- Gen.nonEmptyListOf(Gen.choose(1L, 900L)).map(_.take(80))
+      budget <- Gen.choose(500L, 3000L)
+    } yield (sizes, budget)
+    samples(caseGen, 8).foreach { case (sizes, budget) =>
+      val df = sizes.zipWithIndex.map { case (sz, i) => ("k", i.toLong, sz) }
+        .toDF("key", "ord", "sz")
+      val out = graft.operators.Operators
+        .packSequences(df, Seq("key"), "ord", "sz", budget)
+        .select("ord", "sz", "bin").as[(Long, Long, Long)]
+        .collect().sortBy(_._1)
+      // bins start at 0, never decrease, and advance by the greedy rule
+      assert(out.head._3 === 0L)
+      assert(out.sliding(2).forall { case Array(a, b) => b._3 >= a._3; case _ => true })
+      // reference single-threaded greedy
+      var cum = 0L
+      out.foreach { case (_, sz, bin) =>
+        assert(bin === cum / budget, s"budget=$budget")
+        cum += sz
+      }
+    }
+  }
+
+  test("hashSample keep-sets are monotone in the sampling rate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = (0 until 1500).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+    val kept = Seq(100, 400, 800, 1000).map { p =>
+      p -> graft.operators.Operators.hashSample(df, col("k"), lit(p))
+        .select("id").as[Long].collect().toSet
+    }
+    kept.sliding(2).foreach { case Seq((p1, s1), (p2, s2)) =>
+      assert(s1.subsetOf(s2), s"keep($p1) ⊄ keep($p2)")
+    }
+    assert(kept.last._2.size === 1500) // permille 1000 keeps everything
+  }
 }

@@ -32,6 +32,8 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "ALTER TABLE users ADD COLUMN tag STRING DEFAULT 'x' NOT NULL")
     assert(exec(e, "SELECT tag FROM users WHERE id = 1").df.get.as[String].head() === "x")
     exec(e, "ALTER TABLE users RENAME COLUMN tag TO label")
+    exec(e, "ALTER TABLE users MODIFY COLUMN label VARCHAR(64)")
+    exec(e, "ALTER TABLE users ALTER COLUMN label TYPE STRING")
     exec(e, "ALTER TABLE users DROP COLUMN label")
 
     exec(e, "INSERT INTO users VALUES (9, 'zed', 1.0)")
