@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partitioning, operator signatures,
   * batch shape (one iterator per partition, the Scala analog of
-  * `mapInPandas` batches) — is real and tested. The codec calls
-  * themselves are STUBBED with deterministic fakes (`StubCodecs`):
-  * this container has no image/audio libraries, and at 100 TB the
-  * decode would be an executor-local native call with exactly this
-  * shape — bytes in, fixed-size features/frames out, no shuffle, no
-  * driver involvement.
+  * `mapInPandas` batches) — is real and tested. The IMAGE and AUDIO
+  * codecs are real too ([[JdkCodecs]]: javax.imageio for PNG/BMP/GIF/
+  * JPEG, javax.sound for WAV — JDK built-ins, no external libraries).
+  * Only the VIDEO codec is a deterministic STUB (`StubCodecs`): no JDK
+  * video decoder exists; at 100 TB that call is an executor-local
+  * ffmpeg/native invocation with exactly this shape — bytes in,
+  * fixed-size features/frames out, no shuffle, no driver involvement.
   */
 object MultimodalOps {
 
@@ -97,6 +98,49 @@ object MultimodalOps {
       else m.copy(
         bytes = StubCodecs.resize(StubCodecs.decodeImage(m.bytes), w, h),
         meta = m.meta.copy(width = w, height = h))
+    })
+  }
+
+  // ------------------------------------------------------------------
+  // REAL image/audio paths (JDK codecs — see [[JdkCodecs]]); same batch
+  // shapes as the stub pipeline, so swapping codecs changes no plumbing.
+
+  /** Real image feature extraction over PNG/BMP/GIF/JPEG bytes.
+    * Undecodable rows surface null features (curation pipelines filter
+    * them, they must not kill the job). */
+  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val feats = JdkCodecs.decodeImage(m.bytes)
+        .map(JdkCodecs.imageFeatures).orNull
+      MediaFeatures(m.media_id, m.kind, feats)
+    })
+  }
+
+  /** Real image resize: decode → bilinear scale → PNG re-encode, meta
+    * updated in lock-step. Undecodable rows pass through unchanged. */
+  def resizeImagesReal(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind != "image") m
+      else JdkCodecs.decodeImage(m.bytes) match {
+        case Some(img) => m.copy(
+          bytes = JdkCodecs.encodePng(JdkCodecs.resize(img, w, h)),
+          meta = m.meta.copy(width = w, height = h, format = "png"))
+        case None => m
+      }
+    })
+  }
+
+  /** Real audio feature extraction over WAV bytes (silence/clipping/
+    * quality gates). Undecodable rows surface null features. */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.map { m =>
+      val feats = JdkCodecs.decodeWav(m.bytes)
+        .map { case (sr, samples) => JdkCodecs.audioFeatures(sr, samples) }
+        .orNull
+      MediaFeatures(m.media_id, m.kind, feats)
     })
   }
 

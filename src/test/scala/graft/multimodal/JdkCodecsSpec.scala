@@ -1,0 +1,99 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import graft.SparkSpec
+import graft.multimodal.MultimodalOps._
+
+/** End-to-end multimodal pipeline over REAL media: PNGs and WAVs are
+  * synthesized with the same JDK APIs a producer would use, run through
+  * the distributed decode/resize/feature operators, and the features
+  * are checked against the constructed ground truth. */
+class JdkCodecsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Solid-color PNG (deterministic per id). */
+  private def makePng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    JdkCodecs.encodePng(img)
+  }
+
+  /** 16-bit mono PCM WAV of a square wave with amplitude `amp`. */
+  private def makeWav(sr: Int, n: Int, period: Int, amp: Double): Array[Byte] = {
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (if ((i / period) % 2 == 0) amp else -amp) * 32767.0
+      val s = v.toInt.toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode → features recover constructed color and dims") {
+    val rows = (0 until 12).map { i =>
+      val rgb = (20 * i << 16) | (10 * i << 8) | (5 * i)
+      MediaRow(i.toLong, "image", makePng(32 + i, 16, rgb),
+        MediaMeta(32 + i, 16, 0, 1, "png"))
+    }
+    val feats = extractImageFeatures(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+    assert(feats.length === 12)
+    feats.zipWithIndex.foreach { case (f, i) =>
+      assert(f.features.length === 8)
+      assert(f.features(0) === (32 + i).toFloat && f.features(1) === 16f)
+      // solid color: channel means exact, luma variance and edges zero
+      assert(math.abs(f.features(2) - 20 * i) < 0.5)
+      assert(math.abs(f.features(3) - 10 * i) < 0.5)
+      assert(math.abs(f.features(4) - 5 * i) < 0.5)
+      assert(f.features(6) < 1e-3 && f.features(7) < 1e-3)
+    }
+  }
+
+  test("real image resize re-encodes to requested dimensions") {
+    val rows = Seq(MediaRow(1L, "image", makePng(64, 48, 0x336699),
+      MediaMeta(64, 48, 0, 1, "png")),
+      MediaRow(2L, "audio", Array[Byte](1, 2, 3), MediaMeta(0, 0, 16000, 0, "wav")))
+    val out = resizeImagesReal(spark.createDataset(rows), 16, 12)
+      .collect().sortBy(_.media_id)
+    val img = JdkCodecs.decodeImage(out(0).bytes).get
+    assert(img.getWidth === 16 && img.getHeight === 12)
+    assert(out(0).meta.width === 16 && out(0).meta.height === 12)
+    // solid color survives bilinear resize
+    assert((img.getRGB(8, 6) & 0xffffff) === 0x336699)
+    // non-image rows pass through untouched
+    assert(out(1).bytes.toSeq === Seq[Byte](1, 2, 3))
+  }
+
+  test("real WAV decode → RMS/peak/zero-crossing match the square wave") {
+    val sr = 16000; val n = 8000; val period = 40; val amp = 0.5
+    val rows = Seq(MediaRow(7L, "audio", makeWav(sr, n, period, amp),
+      MediaMeta(0, 0, sr, 0, "wav")))
+    val f = extractAudioFeatures(spark.createDataset(rows)).collect().head.features
+    assert(f(0) === sr.toFloat && f(1) === n.toFloat)
+    assert(math.abs(f(2) - amp) < 0.01)         // RMS of a square wave = amp
+    assert(math.abs(f(3) - amp) < 0.01)         // peak = amp
+    assert(math.abs(f(4) - 1.0 / period) < 0.01) // one crossing per half period
+    assert(f(6) === 0.0f)                        // no clipping at 0.5
+  }
+
+  test("undecodable media yields null features, not task failure") {
+    val junk = Seq(
+      MediaRow(1L, "image", Array.tabulate(40)(_.toByte), MediaMeta(0, 0, 0, 1, "png")),
+      MediaRow(2L, "audio", Array.tabulate(40)(_.toByte), MediaMeta(0, 0, 0, 0, "wav")))
+    val imgs = extractImageFeatures(spark.createDataset(junk)).collect()
+    val auds = extractAudioFeatures(spark.createDataset(junk)).collect()
+    assert(imgs.length === 1 && imgs.head.features == null)
+    assert(auds.length === 1 && auds.head.features == null)
+  }
+}
