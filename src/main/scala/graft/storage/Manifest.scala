@@ -72,11 +72,22 @@ object Manifest {
       props = raw.get("props").asInstanceOf[java.util.Map[String, String]].asScala.toMap)
   }
 
-  /** Atomically commit `m` as the next version (write temp + rename). */
+  /** Atomically commit `m` as the next version. The claim on the
+    * version slot is a hard-link creation — atomic AND exclusive on
+    * POSIX (a plain rename would silently overwrite a concurrent
+    * writer's commit, losing it). A losing writer gets a
+    * ConcurrentModificationException: re-read the manifest, rebase,
+    * retry — the optimistic-concurrency loop every manifest-journal
+    * store (Delta/Iceberg) runs. */
   def commit(table: Path, m: Manifest): Manifest = {
     val d = dir(table)
     Files.createDirectories(d)
-    val next = latestVersion(table).getOrElse(-1L) + 1
+    // The slot is derived from the version the WRITER READ (m.version),
+    // not from a re-listing: a stale writer must collide with whoever
+    // advanced the journal past it (its file list was built against
+    // m.files — landing in any later slot would drop the other
+    // writer's commit), fail, rebase, retry.
+    val next = if (latestVersion(table).isEmpty) 0L else m.version + 1
     val out = m.copy(version = next)
     val payload = mapper.writeValueAsBytes(Map(
       "version" -> java.lang.Long.valueOf(out.version),
@@ -85,10 +96,22 @@ object Manifest {
       "files" -> out.files.asJava,
       "autoInc" -> java.lang.Long.valueOf(out.autoInc),
       "props" -> out.props.asJava).asJava)
-    val tmp = d.resolve(f"v$next%09d.json.tmp")
+    val tmp = d.resolve(f"v$next%09d.json.tmp.${java.util.UUID.randomUUID()}")
     Files.write(tmp, payload)
-    Files.move(tmp, d.resolve(f"v$next%09d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val target = d.resolve(f"v$next%09d.json")
+    try {
+      try Files.createLink(target, tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          // FS without hard links: fall back to fail-if-exists move
+          // (atomic within a directory on every mainstream FS)
+          Files.move(tmp, target)
+      }
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"manifest version $next was committed concurrently: $e")
+    } finally Files.deleteIfExists(tmp)
     out
   }
 }

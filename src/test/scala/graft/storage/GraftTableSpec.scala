@@ -188,6 +188,31 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 3)
   }
 
+  test("concurrent manifest commits: exactly one writer wins each version") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "v"))
+    // 8 threads race to commit on top of the same base version
+    val base = t.manifest
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        start.await()
+        try {
+          Manifest.commit(t.path, base.copy(props = Map("writer" -> i.toString)))
+          wins.incrementAndGet()
+        } catch { case _: java.util.ConcurrentModificationException => () }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(wins.get === 1) // one winner, seven clean conflicts
+    // journal stays linear: no skipped or duplicated version
+    assert(t.manifest.version === base.version + 1)
+    // losers can rebase and retry successfully
+    Manifest.commit(t.path, t.manifest.copy(props = Map("writer" -> "retry")))
+    assert(t.manifest.props("writer") === "retry")
+  }
+
   test("checkUnique reports duplicate keys, empty when constraint holds") {
     val t = freshTable()
     t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))
