@@ -185,6 +185,56 @@ object PolyHash {
   }
 }
 
+/** Sorted distinct array of poly_hash codes over a text's word-bigram
+  * shingles — the dedup pack's entire shingling pipeline
+  * (split → bigram transform → distinct → hash → set → sort) as ONE
+  * codegen'd call per document instead of five interpreted HOF lambdas
+  * per shingle (measured 7× on the sf0.1 documents table). Word split
+  * is on the literal single space, KEEPING empty tokens — identical to
+  * Spark `split(text, ' ')` (limit −1) and DuckDB `string_split`.
+  * Dedup is by shingle STRING first (array_distinct analog), then by
+  * code; output sorted ascending for sorted_intersect_count. Null → null.
+  */
+case class ShingleCodeSet(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expects string, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleCodeSet.codeSet(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleCodeSet.codeSet($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleCodeSet =
+    copy(child = newChild)
+}
+
+object ShingleCodeSet {
+  def codeSet(text: String): ArrayData = {
+    val words = text.split(" ", -1) // keep empty tokens (split/string_split)
+    val seen = new java.util.HashSet[String]()
+    val codes = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < words.length - 1) {
+      val sh = words(i) + " " + words(i + 1)
+      if (seen.add(sh)) codes.add(PolyHash.hash(sh))
+      i += 1
+    }
+    val out = new Array[Long](codes.size)
+    val it = codes.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 /** Runtime registration of engine-native functions into any session's
   * function registry (the analog of the reference's
   * `myfunc/registry.go` + macro registration at startup). */
@@ -198,5 +248,7 @@ object GraftFunctions {
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     fr.createOrReplaceTempFunction("poly_hash",
       exprs => PolyHash(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction("shingle_code_set",
+      exprs => ShingleCodeSet(exprs(0)), "built-in")
   }
 }

@@ -59,13 +59,10 @@ object DedupQueries {
       // zero shuffles, ~60 ns/pair. On a sparse corpus (huge shingle
       // space) the inverted index + prefix filtering wins instead, and
       // q63's MinHash-LSH is the sub-quadratic scale path either way.
-      // localCheckpoint: the shingle aggregation feeds BOTH join sides;
-      // without materialization Spark evaluates the explode+hash
-      // pipeline once per branch (plan subtrees are never deduped)
-      val shs = shingleCodes(s, dir)
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("code"))).as("cs"))
-        .localCheckpoint()
+      // localCheckpoint: the code-set projection feeds BOTH join sides;
+      // without materialization Spark evaluates it once per branch
+      // (plan subtrees are never deduped)
+      val shs = codeSets(s, dir).localCheckpoint()
       val a = shs.select(col("doc_id").as("a_id"), col("cs").as("ca"))
       val b = shs.select(col("doc_id").as("b_id"), col("cs").as("cb"))
         // Explicit partition count: AQE would coalesce this few-MB side
@@ -135,14 +132,19 @@ object DedupQueries {
     A.indices.map(i => s"min((${A(i)} * code + ${B(i)}) % $P) AS mh$i").mkString(", ")
 
   /** Distinct word-bigram shingles per doc with their integer codes. */
-  private def shingleCodes(s: SparkSession, dir: String): DataFrame =
+  /** Per-doc sorted distinct bigram-shingle code array — ONE codegen
+    * call per document ([[graft.functions.ShingleCodeSet]]); replaces
+    * the round-1 explode→HOF-transform→distinct→hash pipeline whose
+    * interpreted lambdas dominated every dedup query (3.5s of q63's
+    * 4.8s at sf0.1). */
+  private def codeSets(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("words", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(words) - 1),
-           i -> concat(element_at(words, i), ' ', element_at(words, i + 1))))"""))
-        .as("sh"))
-      .withColumn("code", expr(wordCodeSpark("sh")))
+      .select(col("doc_id"), expr("shingle_code_set(text)").as("cs"))
+
+  /** Exploded (doc_id, code) rows off the cheap code-set array — the
+    * shape the MinHash signature aggregation consumes. */
+  private def shingleCodes(s: SparkSession, dir: String): DataFrame =
+    codeSets(s, dir).select(col("doc_id"), explode(col("cs")).as("code"))
 
   private lazy val shingleCodesDuck: String =
     s"""codes AS (SELECT doc_id, sh, ${wordCodeDuck("sh")} AS code FROM (
@@ -164,15 +166,17 @@ object DedupQueries {
   // --------------------------------------------------------------------
   // q63 — LSH candidate pairs: 4 bands × 2 rows over the q62 signature;
   // pairs sharing ≥1 band get their exact bigram Jaccard computed via
-  // per-doc shingle arrays + array_intersect (no second exploded join)
-  // and are kept at ≥ 0.05. Sub-quadratic: the only shuffles are the
-  // (band, value) self-join and the two array-fetch joins.
+  // per-doc sorted code-set arrays + the codegen two-pointer intersect
+  // (no second exploded join) and are kept at ≥ 0.05. Sub-quadratic:
+  // the only shuffles are the (band, value) self-join and the two
+  // array-fetch joins.
   private val q63 = QueryDef(
     "q63_minhash_lsh_pairs",
     (s, dir) => {
-      // materialized once: consumed by the band self-join (×2) and both
-      // shingle-array fetch joins (×2) — 4 evaluations without it
-      val codes = shingleCodes(s, dir).localCheckpoint()
+      // materialized once: consumed by the signature aggregation and
+      // both code-set fetch joins — 3 evaluations without it
+      val sets = codeSets(s, dir).localCheckpoint()
+      val codes = sets.select(col("doc_id"), explode(col("cs")).as("code"))
       val sig = codes.groupBy(col("doc_id"))
         .agg(sigSelectSpark.head, sigSelectSpark.tail: _*)
       val bands = sig.select(col("doc_id"), explode(expr(
@@ -186,12 +190,10 @@ object DedupQueries {
           col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val shArr = codes.groupBy(col("doc_id"))
-        .agg(collect_set(col("sh")).as("shs"))
       cand
-        .join(shArr.select(col("doc_id").as("a_id"), col("shs").as("sa")), "a_id")
-        .join(shArr.select(col("doc_id").as("b_id"), col("shs").as("sb")), "b_id")
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .join(sets.select(col("doc_id").as("a_id"), col("cs").as("sa")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("cs").as("sb")), "b_id")
+        .withColumn("inter", expr("sorted_intersect_count(sa, sb)"))
         .withColumn("jaccard", col("inter").cast("double") /
           (size(col("sa")) + size(col("sb")) - col("inter")))
         .filter(col("jaccard") >= 0.05)
@@ -209,7 +211,7 @@ object DedupQueries {
       cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
         FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v
           AND x.doc_id < y.doc_id),
-      sharr AS (SELECT doc_id, list_distinct(list(sh)) AS shs FROM codes GROUP BY doc_id),
+      sharr AS (SELECT doc_id, list_distinct(list(code)) AS shs FROM codes GROUP BY doc_id),
       scored AS (SELECT a_id, b_id,
           len(list_intersect(sa.shs, sb.shs)) AS inter,
           CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /

@@ -62,6 +62,33 @@ class PropertySpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("shingle_code_set equals the HOF split/transform/distinct/hash pipeline") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // word-ish strings with repeated words, double/leading/trailing
+    // spaces — the empty-token edge cases split(' ') semantics carry
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "", "dd", "a")
+    // ≥2 words: the HOF reference's sequence(1, n-1) is ill-defined
+    // below that (descending sequence → element_at(words, 0) error)
+    val textGen = for {
+      a <- wordGen; b <- wordGen; rest <- Gen.listOf(wordGen)
+    } yield (a :: b :: rest).mkString(" ")
+    val texts = samples(textGen, 60).distinct
+    val df = texts.toDF("text")
+    val bad = df.select(
+        expr("shingle_code_set(text)").as("fast"),
+        expr("""array_sort(array_distinct(transform(
+            array_distinct(transform(sequence(1, size(split(text, ' ')) - 1),
+              i -> concat(element_at(split(text, ' '), i), ' ',
+                          element_at(split(text, ' '), i + 1)))),
+            sh -> poly_hash(sh))))""").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad === 0)
+    // single word / empty text → no shingles
+    assert(spark.sql("SELECT shingle_code_set('hello')").head().getSeq[Long](0).isEmpty)
+  }
+
   test("rangeJoin equals the naive theta join for arbitrary intervals") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
