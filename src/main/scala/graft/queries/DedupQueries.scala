@@ -69,11 +69,18 @@ object DedupQueries {
         // to one partition and serialize the whole pair scan onto one
         // core; the pair scan's cost is quadratic in rows, not bytes.
         .repartition(256, col("b_id"))
-      broadcast(a).join(b, col("a_id") < col("b_id"))
+      // The jaccard test is part of the JOIN CONDITION we author, with
+      // the trivial id test FIRST: a separate .filter gets pushed into
+      // the join by Catalyst as the LEADING conjunct, making the
+      // codegen'd intersect run for all n² ordered pairs instead of
+      // the n²/2 unordered ones (measured 2× on the pair scan).
+      val jac = expr("sorted_intersect_count(ca, cb)").cast("double") /
+        (size(col("ca")) + size(col("cb")) -
+          expr("sorted_intersect_count(ca, cb)"))
+      broadcast(a).join(b, col("a_id") < col("b_id") && jac >= 0.08)
         .withColumn("inter", expr("sorted_intersect_count(ca, cb)"))
         .withColumn("jaccard", col("inter").cast("double") /
           (size(col("ca")) + size(col("cb")) - col("inter")))
-        .filter(col("jaccard") >= 0.08)
         .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
 
