@@ -152,10 +152,13 @@ object SimilarityQueries {
         col("nrm").as("a_nrm"))
       val b = vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
         col("nrm").as("b_nrm"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("sim",
-          expr(dotSpark("a_emb", "b_emb")) / (col("a_nrm") * col("b_nrm")))
-        .filter(col("sim") >= 0.4)
+      // sim test authored INSIDE the join condition, id test first — a
+      // separate .filter is pushed in as the LEADING conjunct and the
+      // codegen dot product then runs for all n² ordered pairs (same
+      // finding as q61's pair scan)
+      val sim = expr(dotSpark("a_emb", "b_emb")) / (col("a_nrm") * col("b_nrm"))
+      a.join(b, col("a_id") < col("b_id") && sim >= 0.4)
+        .withColumn("sim", sim)
         .select(col("a_id"), col("b_id"), col("sim"))
         .orderBy(col("a_id"), col("b_id"))
     },

@@ -70,6 +70,22 @@ class PlanSpec extends SparkSpec {
       "pair-keyed shuffle found:\n" + exchanges.mkString("\n"))
   }
 
+  test("q61/q72: cheap id conjunct leads the pair-scan join condition") {
+    // the expensive per-pair kernel (intersect / dot product) must sit
+    // AFTER the id test in the authored join condition — a separate
+    // .filter gets pushed in as the LEADING conjunct and the kernel
+    // then runs for all n² ordered pairs (2× the work)
+    for ((q, kernel) <- Seq("q61_jaccard_pairs" -> "sortedintersectcount",
+                            "q72_cosine_pairs" -> "vecdot")) {
+      val line = plan(q).linesIterator
+        .find(l => l.contains("Join") && l.contains(kernel))
+        .getOrElse(fail(s"$q: no join line containing $kernel"))
+      val idTest = line.indexOf("< b_id")
+      assert(idTest >= 0 && idTest < line.indexOf(kernel),
+        s"$q: id test does not lead the join condition:\n$line")
+    }
+  }
+
   test("q70: native vec_dot in plan + partial top-k pushdown") {
     val p = plan("q70_knn_brute")
     assert(p.contains("vecdot"), "native expression should appear in plan")
