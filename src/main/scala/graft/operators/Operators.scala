@@ -269,6 +269,64 @@ object Operators {
       % 1000 < permille)
   }
 
+  /** Distributed per-group row_number over a total order WITHOUT the
+    * single-task-per-group window bottleneck: `row_number() OVER
+    * (PARTITION BY g ORDER BY o)` ships every group to one task — with
+    * few, large groups (e.g. 3 return flags over 600 M rows) that is a
+    * 3-core sort of the whole table. Here: range-repartition on
+    * (group, order) so each task holds a contiguous slice, count rows
+    * per (partition, group) — a metadata-sized collect — prefix-sum
+    * offsets on the driver, then stream each sorted partition once
+    * adding offset + local index. Same numbers as the window, full
+    * cluster parallelism. Determinism: the rank is a function of the
+    * total order only, not of where range boundaries land; `orderCols`
+    * must be a total order (include a unique tie-break).
+    *
+    * Crossover: below ~one-task-per-group of data the plain window's
+    * single shuffle wins (measured at sf0.1: 3 groups × 200k rows sort
+    * faster in 3 tasks than this two-shuffle pipeline) — reach for this
+    * when groups are few AND huge, the regime where the window
+    * serializes onto a handful of executors or spills.
+    */
+  def groupedRank(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], rankCol: String = "rn"): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val keys = (groupCols ++ orderCols).map(col)
+    // range-partition defines the contiguous slices; the slice id rides
+    // along as a column so downstream shuffles can't lose it
+    val tagged = df.repartitionByRange(n, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // two consumers: counts pass + rank pass
+    val countRows = tagged
+      .groupBy(col("__pid") +: groupCols.map(col): _*).count().collect()
+    // offset of (pid, group) = rows of the same group in earlier slices
+    val offRows = countRows.groupBy(r => (1 to groupCols.size).map(r.get))
+      .iterator.flatMap { case (g, rows) =>
+        val parts = rows.map(r => r.getInt(0) -> r.getLong(groupCols.size + 1))
+          .sortBy(_._1)
+        val cum = parts.map(_._2).scanLeft(0L)(_ + _) // cum(i) = rows before slice i
+        parts.zip(cum).map { case ((pid, _), off) =>
+          org.apache.spark.sql.Row.fromSeq(pid +: g :+ off)
+        }
+      }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType) +:
+        groupCols.map(c => df.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType))
+    val offDf = spark.createDataFrame(offRows.asJava, offSchema)
+    // per-slice-per-group window: n × |groups| small sorts in parallel —
+    // never one task per group
+    val w = Window.partitionBy(col("__pid") +: groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    tagged.join(broadcast(offDf), "__pid" +: groupCols)
+      .withColumn(rankCol, row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+
   /** Exact top-k rows per group by `orderBy` (ties broken by the given
     * columns) — planned as WindowGroupLimit: each partition ships at
     * most k rows per group to the shuffle. */

@@ -324,6 +324,10 @@ object ExtendedQueries {
       max(CASE WHEN rn = CAST(floor((n - 1) * 0.75) AS BIGINT) + 1 THEN l_extendedprice END) AS p75,
       max(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1 THEN l_extendedprice END) AS p90
     FROM r GROUP BY l_returnflag ORDER BY l_returnflag"""
+  // NB: a 3-group window means 3-task sorts; [[Operators.groupedRank]]
+  // is the distributed-rank alternative when per-group data exceeds a
+  // task (at sf0.1 the plain window's single shuffle still wins — the
+  // crossover sits where a group no longer fits one task's sort).
   private val q77 = QueryDef(
     "q77_percentiles",
     (s, dir) => { Tables.register(s, dir); s.sql(pctSql) },

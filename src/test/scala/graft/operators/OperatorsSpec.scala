@@ -89,6 +89,23 @@ class OperatorsSpec extends SparkSpec {
       !plan.contains("CartesianProduct"))
   }
 
+  test("groupedRank equals the window row_number, at full parallelism") {
+    val df = (0 until 5000).map { i =>
+      (s"g${i % 3}", (i * 37) % 1000, i.toLong) // non-unique order values
+    }.toDF("g", "v", "id").repartition(11)
+    val got = Operators.groupedRank(df, Seq("g"), Seq("v", "id"))
+      .select("g", "id", "rn").as[(String, Long, Long)].collect().sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val want = df.withColumn("rn", row_number().over(w).cast("long"))
+      .select("g", "id", "rn").as[(String, Long, Long)].collect().sorted
+    assert(got === want)
+    // determinism under a different input partitioning
+    val again = Operators.groupedRank(df.repartition(3), Seq("g"), Seq("v", "id"))
+      .select("g", "id", "rn").as[(String, Long, Long)].collect().sorted
+    assert(again === got)
+  }
+
   test("packSequences fills bins greedily in order, per partition key") {
     val docs = Seq(
       ("a", 1L, 600L), ("a", 2L, 500L), ("a", 3L, 400L), ("a", 4L, 300L),
