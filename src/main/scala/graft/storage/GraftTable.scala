@@ -41,6 +41,23 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     * returned DataFrame is a consistent snapshot even under later DML). */
   def read(): DataFrame = readManifest(manifest)
 
+  /** TIME TRAVEL: read the table as of manifest version `v` (each DML
+    * statement committed one version; files are immutable, so any
+    * retained version reconstructs exactly — the user-facing face of
+    * the snapshot isolation the journal already provides). Versions
+    * dropped by [[vacuum]] are gone. */
+  def readVersion(v: Long): DataFrame =
+    readManifest(Manifest.loadVersion(path, v))
+
+  /** Retained manifest versions, oldest first. */
+  def history(): Seq[Long] = {
+    val d = path.resolve("_manifest")
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{9}\\.json") => s.substring(1, 10).toLong }
+      .toSeq.sorted
+  }
+
   /** Logical→physical column name (ALTER RENAME is metadata-only: the
     * physical name in parquet files never changes; writes translate
     * logical→physical, reads translate back). */

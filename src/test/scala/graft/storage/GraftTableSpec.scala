@@ -188,6 +188,24 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 3)
   }
 
+  test("time travel: readVersion reconstructs any retained snapshot") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v")) // v1
+    t.update(col("id") === 1L, Map("v" -> lit(9.0)))                      // v2
+    t.delete(col("id") === 2L)                                            // v3
+    assert(t.history() === Seq(0L, 1L, 2L, 3L))
+    assert(t.readVersion(0).count() === 0)
+    assert(t.readVersion(1).orderBy("id").select("v").as[Double].collect()
+      === Array(1.0, 2.0))
+    assert(t.readVersion(2).orderBy("id").select("v").as[Double].collect()
+      === Array(9.0, 2.0))
+    assert(t.readVersion(3).select("v").as[Double].collect() === Array(9.0))
+    // vacuum drops old versions; the latest still reads
+    t.vacuum(keepVersions = 1)
+    assert(t.history() === Seq(3L))
+    assert(t.read().count() === 1)
+  }
+
   test("concurrent manifest commits: exactly one writer wins each version") {
     val t = freshTable()
     t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "v"))
