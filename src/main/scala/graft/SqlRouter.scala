@@ -51,6 +51,8 @@ object SqlRouter {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*""".r
   private val AlterModify =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:MODIFY\s+(?:COLUMN\s+)?(\w+)|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE)\s+([\w()]+)\s*""".r
+  private val VersionQuery =
+    """(?is)\s*SELECT\s+\*\s+FROM\s+([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val Optimize = """(?is)\s*OPTIMIZE\s+([\w.]+)\s*""".r
   private val Vacuum = """(?is)\s*VACUUM\s+([\w.]+)\s*""".r
   private val Analyze = """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*(?:COMPUTE\s+STATISTICS)?\s*""".r
@@ -93,6 +95,8 @@ object SqlRouter {
       val t = engine.table(name)
       val cond = Option(where).map(expr).getOrElse(expr("true"))
       Result(None, t.delete(cond))
+    case VersionQuery(name, v) =>
+      Result(Some(engine.table(name).readVersion(v.toLong)), 0L)
     case Truncate(name) => engine.table(name).truncate(); ddl
     case Optimize(name) => engine.table(name).compact(); ddl
     case Vacuum(name) => Result(None, engine.table(name).vacuum())

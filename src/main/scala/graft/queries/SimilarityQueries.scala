@@ -98,6 +98,10 @@ object SimilarityQueries {
   private val q71 = QueryDef(
     "q71_ann_lsh",
     (s, dir) => {
+      // NOT checkpointed: the subtree is a parquet scan + one codegen
+      // fold — recomputing it per consumer is cheaper than a
+      // materialization round trip (measured 2×; contrast the dedup
+      // pack, whose shingling subtree IS worth checkpointing)
       val vecs = withNorm(t(s, dir, "embeddings"))
       val buckets = vecs
         .select(col("vec_id"), col("embedding"), col("nrm"),

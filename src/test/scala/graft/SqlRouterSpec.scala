@@ -45,6 +45,10 @@ class SqlRouterSpec extends SparkSpec {
 
     exec(e, "TRUNCATE TABLE users")
     assert(exec(e, "SELECT count(*) FROM users").df.get.as[Long].head() === 0)
+    // time travel reads any retained pre-truncate version
+    val latest = e.table("users").history().last
+    assert(exec(e, s"SELECT * FROM users VERSION AS OF ${latest - 1}")
+      .df.get.count() > 0)
 
     exec(e, "CREATE DATABASE analytics")
     exec(e, "USE analytics")
