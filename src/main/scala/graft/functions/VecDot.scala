@@ -235,6 +235,51 @@ object ShingleCodeSet {
   }
 }
 
+/** Morton/Z-order interleave of two non-negative 32-bit values into one
+  * BIGINT sort key: bit 2i = a's bit i, bit 2i+1 = b's bit i. Sorting
+  * by the result clusters BOTH dimensions locally, so parquet min/max
+  * stats skip files for predicates on either column — the 2-D
+  * data-skipping layout `GraftTable.compactZOrder` builds. Inputs are
+  * masked to their low 32 bits (callers bucketize first). Null → null.
+  */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder2 expects (bigint, bigint), got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder2.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ZOrder2.interleave($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder2 {
+  /** Spread the low 32 bits of x to the even bit positions. */
+  def spread(x0: Long): Long = {
+    var x = x0 & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}
+
 /** Runtime registration of engine-native functions into any session's
   * function registry (the analog of the reference's
   * `myfunc/registry.go` + macro registration at startup). */
@@ -250,5 +295,7 @@ object GraftFunctions {
       exprs => PolyHash(exprs(0)), "built-in")
     fr.createOrReplaceTempFunction("shingle_code_set",
       exprs => ShingleCodeSet(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction("zorder2",
+      exprs => ZOrder2(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -348,6 +348,45 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     Manifest.commit(path, cur.withFiles(files))
   }
 
+  /** Z-ORDER compaction: rewrite the table sorted by the Morton
+    * interleave of two numeric columns, so every output file covers a
+    * narrow range in BOTH dimensions — parquet min/max then skips files
+    * for predicates on either column, where 1-D clustering
+    * ([[compact]] with `clusterBy`) only skips on the leading column.
+    * Columns are min-max scaled to 21-bit buckets before interleaving
+    * (one stats aggregation); heavy skew in a column degrades its
+    * bucket resolution — compose with [[graft.functions.SkewUtils]]
+    * salting or pre-bucketized columns when that matters. */
+  def compactZOrder(colA: String, colB: String,
+      targetRowsPerFile: Long = 1_000_000L): Unit = {
+    val m = manifest
+    if (m.files.isEmpty) return
+    val df = readManifest(m)
+    val stats = df.agg(
+      min(col(colA).cast("double")).as("minA"), max(col(colA).cast("double")).as("maxA"),
+      min(col(colB).cast("double")).as("minB"), max(col(colB).cast("double")).as("maxB"),
+      count(lit(1)).as("n")).collect()(0)
+    val (minA, maxA) = (stats.getDouble(0), stats.getDouble(1))
+    val (minB, maxB) = (stats.getDouble(2), stats.getDouble(3))
+    val rows = stats.getLong(4)
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val buckets = (1 << 21) - 1
+    def scaled(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * buckets)
+        .cast("long")
+    graft.functions.GraftFunctions.register(spark) // idempotent
+    val z = call_function("zorder2",
+      scaled(colA, minA, maxA), scaled(colB, minB, maxB))
+    val arranged = df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .select(m.schema.fieldNames.map(col): _*)
+    val (files, _) = writeFiles(arranged, needCount = false)
+    val cur = manifest
+    Manifest.commit(path, cur.withFiles(files))
+  }
+
   /** VACUUM: delete data files referenced by no manifest version newer
     * than `keepVersions` back, plus the superseded manifests. Readers
     * of retained versions are unaffected (files are immutable). */

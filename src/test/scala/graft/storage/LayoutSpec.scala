@@ -60,6 +60,42 @@ class LayoutSpec extends SparkSpec {
     assert(hit === 1)
   }
 
+  test("Z-order compaction narrows per-file ranges on BOTH dimensions") {
+    import graft.storage.GraftTable
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
+    val schema = StructType(Seq(StructField("x", LongType),
+      StructField("y", LongType), StructField("v", DoubleType)))
+    val t = GraftTable.create(spark, tmpDir("zorder_t"), schema, Seq("x"))
+    // two independent dimensions, inserted shuffled
+    val rnd = new scala.util.Random(42)
+    val rows = rnd.shuffle((0 until 16384).toList).map { i =>
+      (i.toLong % 128, (i.toLong / 128) % 128, i * 1.0)
+    }
+    t.insert(rows.toDF("x", "y", "v").repartition(4))
+
+    def spans(colName: String): Seq[Long] = t.manifest.files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(fmin(colName), fmax(colName)).collect()(0)
+      r.getLong(1) - r.getLong(0)
+    }
+
+    // 1-D clustering on x: y ranges stay ~full-width in every file
+    t.compact(targetRowsPerFile = 1024, clusterBy = Seq("x"))
+    val oneDimY = spans("y")
+    assert(oneDimY.forall(_ > 100), s"1-D layout unexpectedly narrowed y: $oneDimY")
+
+    // Z-order on (x, y): BOTH dimensions narrow per file
+    t.compactZOrder("x", "y", targetRowsPerFile = 1024)
+    assert(t.manifest.files.size === 16)
+    val zx = spans("x"); val zy = spans("y")
+    assert(zx.sum.toDouble / zx.size < 64, s"x spans not narrowed: $zx")
+    assert(zy.sum.toDouble / zy.size < 64, s"y spans not narrowed: $zy")
+    // content survives the rewrite
+    assert(t.read().count() === 16384)
+    assert(t.read().agg(fmax(col("v"))).collect()(0).getDouble(0) === 16383.0)
+  }
+
   test("partitioned layout prunes partitions for selective filters") {
     val dir = tmpDir("part_layout").resolve("t").toString
     val df = (1 to 5000).map(i => (2020 + i % 5, i.toLong, i * 1.5))
