@@ -353,6 +353,43 @@ object ExtendedQueries {
       count(CASE WHEN o_orderstatus <> 'O' THEN 1 END) AS n_closed
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // --------------------------------------------------------------------
+  // q79 — regexp_extract_all + explode: token mining over part names
+  // (the find-all surface q58's single-match regexp doesn't cover).
+  private val q79 = QueryDef(
+    "q79_regexp_tokens",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(explode(expr("regexp_extract_all(p_name, '[a-z]+', 0)")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(30),
+    Some("""SELECT tok, count(*) AS n
+      FROM (SELECT unnest(regexp_extract_all(p_name, '[a-z]+')) AS tok FROM part) x
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 30"""))
+
+  // --------------------------------------------------------------------
+  // q80 — histogram with a global-share window: fixed-width buckets,
+  // per-bucket share of total via an unpartitioned window sum (the
+  // aggregate-of-aggregate shape; the global window is over the tiny
+  // bucket table, not the fact table).
+  private val q80 = QueryDef(
+    "q80_histogram",
+    (s, dir) => {
+      val h = t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      h.withColumn("share",
+          col("n").cast("double") / sum(col("n")).over(Window.partitionBy()))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH h AS (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        count(*) AS n FROM orders GROUP BY 1)
+      SELECT bucket, n,
+        CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS BIGINT) AS share
+      FROM h ORDER BY bucket"""))
+
   val defs: Seq[QueryDef] = Seq(q46, q47, q48, q49, q57, q58, q59, q74,
-    q75, q76, q77, q78)
+    q75, q76, q77, q78, q79, q80)
 }
