@@ -135,6 +135,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("zorder2 interleave is a bijection on 32-bit pairs") {
+    import graft.functions.ZOrder2
+    def deinterleave(z: Long): (Long, Long) = {
+      def compact(x0: Long): Long = {
+        var x = x0 & 0x5555555555555555L
+        x = (x | (x >> 1)) & 0x3333333333333333L
+        x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+        x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+        x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+        x = (x | (x >> 16)) & 0x00000000FFFFFFFFL
+        x
+      }
+      (compact(z), compact(z >> 1))
+    }
+    val gen = Gen.zip(Gen.choose(0L, 0xffffffffL), Gen.choose(0L, 0xffffffffL))
+    samples(gen, 200).foreach { case (a, b) =>
+      val z = ZOrder2.interleave(a, b)
+      assert(deinterleave(z) === ((a, b)), s"a=$a b=$b z=$z")
+    }
+    // locality in the small: adjacent (a,b) cells share high bits
+    assert(ZOrder2.interleave(0, 0) === 0L)
+    assert(ZOrder2.interleave(1, 0) === 1L)
+    assert(ZOrder2.interleave(0, 1) === 2L)
+    assert(ZOrder2.interleave(1, 1) === 3L)
+  }
+
   test("hashSample keep-sets are monotone in the sampling rate") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
