@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
-import graft.storage.{GraftTable, Manifest}
+import graft.storage.{GraftTable, Manifest, Transaction}
 
 /** The engine facade: a warehouse of databases holding copy-on-write
   * tables and stored views, session variables, and a SQL entry point —
@@ -76,8 +76,45 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
 
   def table(name: String): GraftTable = {
     val (db, t) = split(name)
-    GraftTable.open(spark, warehouse.resolve(db).resolve(t))
+    val p = warehouse.resolve(db).resolve(t)
+    // inside BEGIN...COMMIT, DML stages and reads see their own writes
+    activeTxn match {
+      case Some(txn) => txn.table(p)
+      case None => GraftTable.open(spark, p)
+    }
   }
+
+  // ------------------------------------------------------------------
+  // Multi-statement transactions (A24,
+  // `/root/reference/backend/session.go:87-145`): session-scoped, like
+  // the reference's wrapped DuckDB txn. DML between begin() and
+  // commit() stages per-table manifests; commit publishes all of them
+  // atomically (one decision-file creation — see
+  // [[graft.storage.Transaction]]); rollback discards. DDL
+  // (CREATE/DROP/ALTER) auto-commits as in MySQL.
+
+  @volatile private var activeTxn: Option[Transaction] = None
+
+  def begin(): Transaction = synchronized {
+    require(activeTxn.isEmpty, "transaction already open")
+    val t = new Transaction(spark, warehouse.resolve("_txn"))
+    activeTxn = Some(t)
+    t
+  }
+
+  def commit(): Unit = synchronized {
+    val t = activeTxn.getOrElse(throw new IllegalStateException("no open transaction"))
+    activeTxn = None
+    t.commit()
+  }
+
+  def rollback(): Unit = synchronized {
+    val t = activeTxn.getOrElse(throw new IllegalStateException("no open transaction"))
+    activeTxn = None
+    t.rollback()
+  }
+
+  def inTransaction: Boolean = activeTxn.isDefined
 
   def dropTable(name: String): Unit = {
     val (db, t) = split(name)

@@ -31,9 +31,10 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *   + intra-partition position. No global sort, no single-partition
   *   window.
   */
-final class GraftTable(val spark: SparkSession, val path: Path) {
+final class GraftTable(val spark: SparkSession, val path: Path,
+    io: Manifest.TableIO = Manifest.DirectIO) {
 
-  def manifest: Manifest = Manifest.load(path)
+  def manifest: Manifest = io.load(path)
 
   def schema: StructType = manifest.schema
 
@@ -117,7 +118,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     }
     enforceChecks(m, full)
     val (files, n) = writeFiles(full.select(m.schema.fieldNames.map(col): _*))
-    Manifest.commit(path, m.withFiles(m.files ++ files))
+    io.commit(path, m.withFiles(m.files ++ files))
     n
   }
 
@@ -162,7 +163,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
       (if (n == "__n") "stats.rowCount" else s"stats.$n") ->
         Option(row.get(i)).map(_.toString).getOrElse("null")
     }.toMap
-    Manifest.commit(path, m.copy(props = m.props ++ stats))
+    io.commit(path, m.copy(props = m.props ++ stats))
     stats
   }
 
@@ -183,13 +184,17 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
         case (off, (pid, _)) => pid -> off
       }.toMap
       val total = counts.map(_._2).sum
-      val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-        when(col("__pid") === pid, lit(off)).otherwise(acc)
-      }
-      val withId = mid.withColumn(idCol, lit(base) + offExpr + col("__pos"))
+      // (pid, offset) as a broadcast join, NOT a chained when() — a
+      // chained expression is O(#partitions) deep and blows plan size /
+      // codegen at 10k+ partitions; the join stays a flat hash lookup.
+      import spark.implicits._
+      val offDf = broadcast(
+        offsets.toSeq.sortBy(_._1).toDF("__pid", "__off"))
+      val withId = mid.join(offDf, "__pid")
+        .withColumn(idCol, lit(base) + col("__off") + col("__pos"))
         .select(m.schema.fieldNames.map(col): _*)
       val (files, n) = writeFiles(withId)
-      Manifest.commit(path,
+      io.commit(path,
         m.copy(files = m.files ++ files, autoInc = base + total))
       n
     } finally mid.unpersist()
@@ -210,7 +215,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     val before = affectedDf.count()
     val (files, kept) = writeFiles(survivors)
     val newFiles = m.files.diff(affectedSeq) ++ files
-    Manifest.commit(path, m.withFiles(newFiles))
+    io.commit(path, m.withFiles(newFiles))
     before - kept
   }
 
@@ -234,7 +239,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     val nMatched = src.filter(cond).count()
     enforceChecks(m, updated.filter(coalesce(cond, lit(false))))
     val (files, _) = writeFiles(updated, needCount = false)
-    Manifest.commit(path, m.withFiles(m.files.diff(affectedSeq) ++ files))
+    io.commit(path, m.withFiles(m.files.diff(affectedSeq) ++ files))
     nMatched
   }
 
@@ -251,9 +256,13 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     */
   def merge(changes0: DataFrame): Unit = {
     val m = manifest
-    require(m.pkCols.nonEmpty, "merge requires a primary key")
-    val pk = m.pkCols
     val dataCols = m.schema.fieldNames
+    // Keyless tables (reference index-less mode,
+    // /root/reference/delta/controller.go:137-600 "no-PK" arm): the
+    // whole row image is the key — REPLACE deletes every full-row match
+    // then inserts, so the last duplicate wins and exactly one copy
+    // remains. Same affected-file machinery, key = all data columns.
+    val pk = if (m.pkCols.nonEmpty) m.pkCols else dataCols.toSeq
     val changes = changes0.persist()
     try mergeImpl(m, pk, dataCols, changes)
     finally changes.unpersist()
@@ -298,14 +307,14 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
     val (files, _) = writeFiles(replacement, needCount = false)
     val cur = manifest // re-read: insert() above may have bumped version
-    Manifest.commit(path, cur.withFiles(cur.files.diff(affectedSeq) ++ files))
+    io.commit(path, cur.withFiles(cur.files.diff(affectedSeq) ++ files))
   }
 
   /** TRUNCATE = commit an empty file list (old files stay for readers
     * pinned to older versions; vacuuming is a separate concern). */
   def truncate(): Unit = {
     val m = manifest
-    Manifest.commit(path, m.withFiles(Nil))
+    io.commit(path, m.withFiles(Nil))
   }
 
   /** Best-effort uniqueness validation (SURVEY §7 "known hard spots":
@@ -345,7 +354,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
         .sortWithinPartitions(clusterBy.map(col): _*)
     val (files, _) = writeFiles(arranged, needCount = false)
     val cur = manifest
-    Manifest.commit(path, cur.withFiles(files))
+    io.commit(path, cur.withFiles(files))
   }
 
   /** Z-ORDER compaction: rewrite the table sorted by the Morton
@@ -384,7 +393,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
       .select(m.schema.fieldNames.map(col): _*)
     val (files, _) = writeFiles(arranged, needCount = false)
     val cur = manifest
-    Manifest.commit(path, cur.withFiles(files))
+    io.commit(path, cur.withFiles(files))
   }
 
   /** VACUUM: delete data files referenced by no manifest version newer
@@ -431,7 +440,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     val m = manifest
     require(!m.schema.fieldNames.contains(name), s"column exists: $name")
     val props = defaultSql.fold(m.props)(d => m.props + (s"default.$name" -> d))
-    Manifest.commit(path, m.copy(
+    io.commit(path, m.copy(
       schema = StructType(m.schema.fields :+ StructField(name, dataType, nullable)),
       props = props))
   }
@@ -441,7 +450,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     val m = manifest
     require(m.schema.fieldNames.contains(name), s"no such column: $name")
     require(!m.pkCols.contains(name), s"cannot drop pk column $name")
-    Manifest.commit(path, m.copy(
+    io.commit(path, m.copy(
       schema = StructType(m.schema.fields.filterNot(_.name == name)),
       props = m.props - s"phys.$name" - s"default.$name" - s"phystype.$name"))
   }
@@ -459,7 +468,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     val props =
       if (storage == newType) m.props - s"phystype.$name" // back to original
       else m.props + (s"phystype.$name" -> storage.sql)
-    Manifest.commit(path, m.copy(
+    io.commit(path, m.copy(
       schema = StructType(m.schema.fields.map(f =>
         if (f.name == name) f.copy(dataType = newType) else f)),
       props = props))
@@ -476,7 +485,7 @@ final class GraftTable(val spark: SparkSession, val path: Path) {
     val props = (if (phys == to) props0 else props0 + (s"phys.$to" -> phys)) ++
       m.props.get(s"default.$from").map(d => s"default.$to" -> d) ++
       m.props.get(s"phystype.$from").map(t => s"phystype.$to" -> t)
-    Manifest.commit(path, m.copy(
+    io.commit(path, m.copy(
       schema = StructType(m.schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f)),
       pkCols = m.pkCols.map(c => if (c == from) to else c),
@@ -542,8 +551,9 @@ object GraftTable {
     new GraftTable(spark, path)
   }
 
-  def open(spark: SparkSession, path: Path): GraftTable = {
-    Manifest.load(path) // validates existence
-    new GraftTable(spark, path)
+  def open(spark: SparkSession, path: Path,
+      io: Manifest.TableIO = Manifest.DirectIO): GraftTable = {
+    io.load(path) // validates existence
+    new GraftTable(spark, path, io)
   }
 }

@@ -42,6 +42,33 @@ final case class Manifest(
 object Manifest {
   private val mapper = new ObjectMapper()
 
+  /** Pluggable manifest journal access: [[GraftTable]] reads and commits
+    * through this seam so a [[Transaction]] can stage commits in memory
+    * and publish them atomically later. The default is the on-disk
+    * journal (load/commit below). */
+  trait TableIO {
+    def load(table: Path): Manifest
+    def commit(table: Path, m: Manifest): Manifest
+  }
+
+  /** Direct per-statement commits (auto-commit mode). */
+  object DirectIO extends TableIO {
+    def load(table: Path): Manifest = Manifest.load(table)
+    def commit(table: Path, m: Manifest): Manifest = Manifest.commit(table, m)
+  }
+
+  /** Manifest JSON reads since JVM start — a cheap observability hook
+    * the Engine spec uses to assert the lazy catalog path does no
+    * per-query full-catalog manifest scans. */
+  val loadCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // Props carrying the two-phase transaction protocol (multi-statement
+  // BEGIN/COMMIT/ROLLBACK — reference backend/session.go:87-145). A
+  // manifest version with `txn.pending` set is invisible until the
+  // transaction's decision file says "commit".
+  val PendingProp = "txn.pending"
+  val TxnDirProp = "txn.dir"
+
   private def dir(table: Path): Path = table.resolve("_manifest")
 
   def latestVersion(table: Path): Option[Long] = {
@@ -56,11 +83,72 @@ object Manifest {
     }
   }
 
-  def load(table: Path): Manifest =
-    loadVersion(table, latestVersion(table).getOrElse(
-      throw new IllegalStateException(s"no manifest under $table")))
+  /** Load the latest VISIBLE manifest. Versions placed by an in-flight
+    * or aborted transaction (carrying [[PendingProp]]) are skipped for
+    * CONTENT, but the returned `version` stays the raw journal head so
+    * the next commit's slot derivation still collides with — and thus
+    * detects — every concurrent writer, decided or not. An undecided
+    * pending head is waited on briefly, then force-aborted (presumed
+    * dead writer); the decision file makes that arbitration race-free.
+    */
+  def load(table: Path): Manifest = {
+    val raw = latestVersion(table).getOrElse(
+      throw new IllegalStateException(s"no manifest under $table"))
+    var v = raw
+    var m = loadVersion(table, v)
+    while (!isVisible(m)) {
+      v -= 1
+      if (v < 0) throw new IllegalStateException(s"no visible manifest under $table")
+      m = loadVersion(table, v)
+    }
+    if (m.version == raw) m else m.copy(version = raw)
+  }
+
+  private def isVisible(m: Manifest): Boolean = m.props.get(PendingProp) match {
+    case None => true
+    case Some(txnId) =>
+      decide(Paths.get(m.props(TxnDirProp)), txnId, forceAbortAfterMs = 2000L)
+  }
+
+  /** Resolve (blocking) whether transaction `txnId` committed. If no
+    * decision lands within `forceAbortAfterMs`, claim an "abort"
+    * decision ourselves — the writer is presumed dead; if it is in fact
+    * racing us to decide "commit", exactly one claim wins ([[tryDecide]]
+    * is a hard-link creation). Returns true iff committed. */
+  def decide(txnDir: Path, txnId: String, forceAbortAfterMs: Long): Boolean = {
+    val f = txnDir.resolve(s"$txnId.decided")
+    val deadline = System.nanoTime() + forceAbortAfterMs * 1000000L
+    while (true) {
+      if (Files.exists(f))
+        return new String(Files.readAllBytes(f), "UTF-8") == "commit"
+      if (System.nanoTime() > deadline) tryDecide(txnDir, txnId, "abort")
+      else Thread.sleep(2)
+    }
+    false // unreachable
+  }
+
+  /** Atomically claim the decision for `txnId` (hard-link creation =
+    * atomic and exclusive; the content is fully written before the link
+    * appears). Returns true iff OUR claim won. */
+  def tryDecide(txnDir: Path, txnId: String, decision: String): Boolean = {
+    Files.createDirectories(txnDir)
+    val target = txnDir.resolve(s"$txnId.decided")
+    if (Files.exists(target)) return false
+    val tmp = txnDir.resolve(s"$txnId.tmp.${java.util.UUID.randomUUID()}")
+    Files.write(tmp, decision.getBytes("UTF-8"))
+    try {
+      try { Files.createLink(target, tmp); true }
+      catch {
+        case _: UnsupportedOperationException =>
+          try { Files.move(tmp, target); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
 
   def loadVersion(table: Path, v: Long): Manifest = {
+    loadCount.incrementAndGet()
     val raw = mapper.readValue(
       Files.readAllBytes(dir(table).resolve(f"v$v%09d.json")), classOf[java.util.Map[String, Object]])
     Manifest(

@@ -50,7 +50,13 @@ object CdcMerge {
     * hash aggregation with map-side partial combine; no window, no
     * sort, no second shuffle.
     */
-  def condense(batch: DataFrame, pkCols: Seq[String]): DataFrame = {
+  def condense(batch: DataFrame, pkCols0: Seq[String]): DataFrame = {
+    // Keyless tables (reference index-less mode): the whole row image is
+    // the key — condense to the last event per distinct row, matching
+    // GraftTable.merge's keyless delete-touched-then-insert semantics.
+    val pkCols =
+      if (pkCols0.nonEmpty) pkCols0
+      else batch.columns.toSeq.filterNot(metaCols.contains)
     val order = orderCols.filter(batch.columns.contains)
     val payload = batch.columns.filterNot(pkCols.contains)
     batch.groupBy(pkCols.map(col): _*)
@@ -85,7 +91,9 @@ object CdcMerge {
       }
       table.truncate()
       val after = batch.filter(col(actionCol) =!= ActionTruncate && afterTrunc)
-      if (!after.isEmpty) table.merge(condense(after, table.manifest.pkCols))
+      // no isEmpty pre-probe: merge's own action-count aggregation is
+      // the emptiness check (a separate isEmpty would re-scan the slice)
+      table.merge(condense(after, table.manifest.pkCols))
       return
     }
     val condensed = condense(batch, table.manifest.pkCols)

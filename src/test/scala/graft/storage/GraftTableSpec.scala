@@ -111,6 +111,42 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 1)
   }
 
+  test("keyless merge: REPLACE deletes full-row matches then inserts, last dup wins") {
+    // index-less mode (/root/reference/delta/controller.go "no-PK" arm,
+    // main_test.go:840-869 keyless REPLACE)
+    val t = GraftTable.create(spark, tmpDir("graft_keyless"), schema, pkCols = Nil)
+    t.insert(Seq((1L, "a", 1.0), (1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("id", "name", "v")) // duplicates allowed: no key
+    // REPLACE of the duplicated row: both stored copies removed, one back
+    t.merge(Seq((1L, "a", 1.0, 2)).toDF("id", "name", "v", "action"))
+    assert(t.read().orderBy("id").as[(Long, String, Double)].collect()
+      === Array((1L, "a", 1.0), (2L, "b", 2.0)))
+    // keyless delete removes every copy of the matching row only
+    t.insert(Seq((2L, "b", 2.0)).toDF("id", "name", "v"))
+    t.merge(Seq((2L, "b", 2.0, 0)).toDF("id", "name", "v", "action"))
+    assert(t.read().as[(Long, String, Double)].collect() === Array((1L, "a", 1.0)))
+    // condense on a keyless batch keys by the full row image
+    val batch = Seq(
+      (5L, "e", 5.0, 2, 1L, 1L, 1L),
+      (5L, "e", 5.0, 2, 1L, 1L, 2L), // same row again, later coords
+      (6L, "f", 6.0, 2, 1L, 1L, 3L))
+      .toDF("id", "name", "v", "action", "txn_group", "txn_seq", "txn_stmt")
+    t.merge(graft.streaming.CdcMerge.condense(batch, Nil)
+      .select("id", "name", "v", "action"))
+    assert(t.read().count() === 3) // 1 + distinct rows 5 and 6, not 4
+  }
+
+  test("auto-inc offsets join stays flat at high partition counts") {
+    val t = GraftTable.create(spark, tmpDir("graft_ai_wide"), schema, Seq("id"))
+    val src = spark.range(1000)
+      .selectExpr("concat('n', id) AS name", "CAST(id AS DOUBLE) AS v")
+      .repartition(257) // would be a 257-deep when() chain in the old plan
+    t.insertAutoInc(src, "id")
+    val ids = t.read().select("id").as[Long].collect().sorted
+    assert(ids === (1L to 1000L).toArray)
+    assert(t.manifest.autoInc === 1001L)
+  }
+
   test("auto-increment ids are unique, increasing, counter persists") {
     val t = GraftTable.create(spark, tmpDir("graft_ai"), schema, Seq("id"))
     t.insertAutoInc(Seq(("a", 1.0), ("b", 2.0), ("c", 3.0))
