@@ -234,6 +234,20 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** All variables visible to SHOW VARIABLES: persisted globals
+    * overlaid by session-scoped settings. */
+  def listVars(): Map[String, String] = {
+    val f = warehouse.resolve("_vars.json")
+    val persisted: Map[String, String] =
+      if (Files.exists(f))
+        mapper.readValue(Files.readAllBytes(f), classOf[java.util.Map[String, String]]).asScala.toMap
+      else Map.empty
+    val session = spark.conf.getAll.collect {
+      case (k, v) if k.startsWith("graft.var.") => k.stripPrefix("graft.var.") -> v
+    }
+    persisted ++ session
+  }
+
   def getVar(key: String): Option[String] =
     spark.conf.getOption(s"graft.var.$key").orElse {
       val f = warehouse.resolve("_vars.json")

@@ -38,6 +38,27 @@ object SqlRouter {
   private val DropView = """(?is)\s*DROP\s+VIEW\s+([\w.]+)\s*""".r
   private val Insert =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
+  // MySQL DML edge statements (reference routes them at
+  // /root/reference/backend/executor.go:84-116 and
+  // /root/reference/catalog/table.go:543-552; tested main_test.go:840-869)
+  private val ReplaceInto =
+    """(?is)\s*REPLACE\s+INTO\s+([\w.]+)\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
+  private val InsertIgnore =
+    """(?is)\s*INSERT\s+IGNORE\s+INTO\s+([\w.]+)\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
+  private val InsertOnDup =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(VALUES\s*.*?|SELECT\s+.*?|FROM\s+.*?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)""".r
+  // transactions (A24) + session/metadata statements (A25-A26)
+  private val Begin = """(?is)\s*(?:BEGIN|START\s+TRANSACTION)\s*""".r
+  private val CommitTxn = """(?is)\s*COMMIT\s*""".r
+  private val RollbackTxn = """(?is)\s*ROLLBACK\s*""".r
+  private val ShowDatabases = """(?is)\s*SHOW\s+DATABASES\s*""".r
+  private val ShowTables = """(?is)\s*SHOW\s+TABLES\s*""".r
+  private val ShowColumns =
+    """(?is)\s*SHOW\s+COLUMNS\s+FROM\s+([\w.]+)\s*""".r
+  private val ShowVariables =
+    """(?is)\s*SHOW\s+VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*""".r
+  private val SetVariable =
+    """(?is)\s*SET\s+(?:@@)?(GLOBAL|SESSION|PERSIST)?\s*([\w.]+)\s*=\s*(.+?)\s*""".r
   private val Update =
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*""".r
   private val Delete =
@@ -74,15 +95,27 @@ object SqlRouter {
     case DropTable(name) => engine.dropTable(name); ddl
     case CreateView(name, defn) => engine.createView(name, defn); ddl
     case DropView(name) => engine.dropView(name); ddl
+    case Begin() => engine.begin(); ddl
+    case CommitTxn() => engine.commit(); ddl
+    case RollbackTxn() => engine.rollback(); ddl
+    case ReplaceInto(name, rest) =>
+      val t = engine.table(name)
+      Result(None, t.replaceRows(sourceDf(engine, t, rest)))
+    case InsertIgnore(name, rest) =>
+      val t = engine.table(name)
+      Result(None, t.insertIgnoreRows(sourceDf(engine, t, rest)))
+    case InsertOnDup(name, rest, setList) =>
+      val t = engine.table(name)
+      // MySQL's VALUES(c) refers to the incoming row → the joined
+      // frame's __new_<c>; bare names stay the existing row's columns
+      val sets = splitTop(setList).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k.trim -> v.trim.replaceAll("(?i)VALUES\\s*\\(\\s*(\\w+)\\s*\\)", "__new_$1")
+      }.toMap
+      Result(None, t.upsertOnDuplicate(sourceDf(engine, t, rest), sets))
     case Insert(name, rest) =>
       val t = engine.table(name)
-      val names = t.schema.fieldNames
-      val q =
-        if (rest.trim.toUpperCase.startsWith("VALUES"))
-          s"SELECT * FROM ($rest) AS __v(${names.mkString(", ")})"
-        else rest
-      val df = engine.sql(q).toDF(names: _*)
-      Result(None, t.insert(df))
+      Result(None, t.insert(sourceDf(engine, t, rest)))
     case Update(name, setList, where) =>
       val t = engine.table(name)
       val sets = splitTop(setList).map { kv =>
@@ -98,6 +131,33 @@ object SqlRouter {
     case VersionQuery(name, v) =>
       Result(Some(engine.table(name).readVersion(v.toLong)), 0L)
     case Truncate(name) => engine.table(name).truncate(); ddl
+    case ShowDatabases() =>
+      Result(Some(seqDf(engine, engine.listDatabases(), "database_name")), 0L)
+    case ShowTables() =>
+      Result(Some(seqDf(engine, engine.listTables(), "table_name")), 0L)
+    case ShowColumns(name) =>
+      val t = engine.table(name)
+      val m = t.manifest
+      val rows = m.schema.fields.map(f => (f.name, f.dataType.simpleString,
+        f.nullable, m.pkCols.contains(f.name)))
+      val sp = engine.spark
+      import sp.implicits._
+      Result(Some(rows.toSeq.toDF("column_name", "data_type", "is_nullable",
+        "is_primary_key")), 0L)
+    case ShowVariables(like) =>
+      val sp = engine.spark
+      import sp.implicits._
+      val vars = engine.listVars().toSeq.sortBy(_._1)
+      val filtered = Option(like).fold(vars) { pat =>
+        val rx = ("(?i)^" + java.util.regex.Pattern.quote(pat)
+          .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r
+        vars.filter(v => rx.findFirstIn(v._1).isDefined)
+      }
+      Result(Some(filtered.toDF("variable_name", "value")), 0L)
+    case SetVariable(modifier, key, value) =>
+      val persist = modifier != null &&
+        (modifier.equalsIgnoreCase("GLOBAL") || modifier.equalsIgnoreCase("PERSIST"))
+      engine.setVar(key, unquote(value), persist); ddl
     case Optimize(name) => engine.table(name).compact(); ddl
     case Vacuum(name) => Result(None, engine.table(name).vacuum())
     case Analyze(name) => engine.table(name).analyze(); ddl
@@ -119,6 +179,32 @@ object SqlRouter {
   }
 
   private def ddl: Result = Result(None, -1L)
+
+  /** Build the source DataFrame of an INSERT-family statement: a
+    * `VALUES ...` tail is wrapped so Catalyst types the tuples against
+    * the table's column list; `SELECT`/`FROM` tails run as-is. */
+  private def sourceDf(engine: Engine, t: graft.storage.GraftTable,
+      rest: String): DataFrame = {
+    val names = t.schema.fieldNames
+    val q =
+      if (rest.trim.toUpperCase.startsWith("VALUES"))
+        s"SELECT * FROM ($rest) AS __v(${names.mkString(", ")})"
+      else rest
+    engine.sql(q).toDF(names: _*)
+  }
+
+  private def seqDf(engine: Engine, xs: Seq[String], colName: String): DataFrame = {
+    val sp = engine.spark
+    import sp.implicits._
+    xs.toDF(colName)
+  }
+
+  private def unquote(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && ((t.head == '\'' && t.last == '\'') ||
+        (t.head == '"' && t.last == '"'))) t.substring(1, t.length - 1)
+    else t
+  }
 
   /** Parse `a INT, b STRING, PRIMARY KEY (a)` → (schema, pkCols). */
   private def parseColumns(body: String): (StructType, Seq[String]) = {

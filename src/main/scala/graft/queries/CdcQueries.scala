@@ -141,5 +141,45 @@ object CdcQueries {
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43)
+  // --------------------------------------------------------------------
+  // q81 — MySQL DML edge statements routed as SQL through the real
+  // engine (reference /root/reference/backend/executor.go:84-116,
+  // main_test.go:840-869): seed, REPLACE INTO ... SELECT, INSERT IGNORE,
+  // INSERT ... ON DUPLICATE KEY UPDATE, then read the final state. The
+  // oracle states each step's set semantics declaratively.
+  private val q81 = QueryDef(
+    "q81_replace_upsert",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      val e = new Engine(s, Files.createTempDirectory("graft_q81"))
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING, hits INT)")
+      run("INSERT INTO t SELECT c_custkey, c_name, 0 FROM customer WHERE c_custkey <= 600")
+      run("REPLACE INTO t SELECT c_custkey, upper(c_name), 1 FROM customer WHERE c_custkey BETWEEN 301 AND 900")
+      run("INSERT IGNORE INTO t SELECT c_custkey, 'ignored', 9 FROM customer WHERE c_custkey BETWEEN 500 AND 1000")
+      run("INSERT INTO t SELECT c_custkey, c_name, 5 FROM customer WHERE c_custkey BETWEEN 880 AND 920 " +
+        "ON DUPLICATE KEY UPDATE hits = hits + VALUES(hits)")
+      SqlRouter.execute(e, "SELECT id, v, hits FROM t ORDER BY id").df.get
+    },
+    Some("""WITH seed AS (SELECT c_custkey AS id, c_name AS v, 0 AS hits
+        FROM customer WHERE c_custkey <= 600),
+      rep AS (SELECT c_custkey AS id, upper(c_name) AS v, 1 AS hits
+        FROM customer WHERE c_custkey BETWEEN 301 AND 900),
+      ign AS (SELECT c_custkey AS id, 'ignored' AS v, 9 AS hits
+        FROM customer WHERE c_custkey BETWEEN 500 AND 1000),
+      odku AS (SELECT c_custkey AS id, c_name AS v, 5 AS hits
+        FROM customer WHERE c_custkey BETWEEN 880 AND 920),
+      s2 AS (SELECT * FROM rep UNION ALL
+        SELECT * FROM seed WHERE id NOT IN (SELECT id FROM rep)),
+      s3 AS (SELECT * FROM s2 UNION ALL
+        SELECT * FROM ign WHERE id NOT IN (SELECT id FROM s2)),
+      s4 AS (SELECT s3.id, s3.v, s3.hits + coalesce(o.hits, 0) AS hits
+          FROM s3 LEFT JOIN odku o ON s3.id = o.id
+        UNION ALL
+        SELECT o.id, o.v, o.hits FROM odku o
+          WHERE o.id NOT IN (SELECT id FROM s3))
+      SELECT id, v, CAST(hits AS INT) AS hits FROM s4 ORDER BY id"""))
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q81)
 }

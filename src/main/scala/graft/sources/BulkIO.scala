@@ -73,34 +73,9 @@ object BulkIO {
     val df = loadCsv(table.spark, path, table.schema, opts)
     mode match {
       case Append => table.insert(df)
-      case Ignore =>
-        val pk = table.manifest.pkCols
-        require(pk.nonEmpty, "IGNORE needs a primary key")
-        // drop in-batch dups (first wins ≈ lowest input order is
-        // unobservable post-shuffle; use arbitrary-first like MySQL's
-        // file order on a single client) then anti-join existing keys
-        val fresh = df.dropDuplicates(pk)
-          .join(table.read().select(pk.map(col): _*), pk, "left_anti")
-        table.insert(fresh)
-      case Replace =>
-        val pk = table.manifest.pkCols
-        require(pk.nonEmpty, "REPLACE needs a primary key")
-        val n = df.count()
-        table.merge(lastPerPk(df, pk).withColumn("action", lit(2)))
-        n
+      case Ignore => table.insertIgnoreRows(df)
+      case Replace => table.replaceRows(df)
     }
-  }
-
-  /** Condense a load batch to one row per PK (last occurrence wins —
-    * MySQL REPLACE keeps the final row when a file repeats a key). Also
-    * merge()'s one-row-per-PK precondition. */
-  private def lastPerPk(df: DataFrame, pk: Seq[String]): DataFrame = {
-    val cols = df.columns
-    val w = Window.partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
-    df.withColumn("__ord", monotonically_increasing_id())
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(cols.map(col): _*)
   }
 
   /** COPY ... TO (FORMAT CSV) — `singleStream=true` ≈ one FIFO to the
@@ -128,17 +103,8 @@ object BulkIO {
     val df = table.spark.read.schema(table.schema).json(path)
     mode match {
       case Append => table.insert(df)
-      case Ignore =>
-        val pk = table.manifest.pkCols
-        require(pk.nonEmpty, "IGNORE needs a primary key")
-        table.insert(df.dropDuplicates(pk)
-          .join(table.read().select(pk.map(col): _*), pk, "left_anti"))
-      case Replace =>
-        val pk = table.manifest.pkCols
-        require(pk.nonEmpty, "REPLACE needs a primary key")
-        val n = df.count()
-        table.merge(lastPerPk(df, pk).withColumn("action", lit(2)))
-        n
+      case Ignore => table.insertIgnoreRows(df)
+      case Replace => table.replaceRows(df)
     }
   }
 

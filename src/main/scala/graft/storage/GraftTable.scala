@@ -310,6 +310,79 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     io.commit(path, cur.withFiles(cur.files.diff(affectedSeq) ++ files))
   }
 
+  /** REPLACE INTO (A6, `/root/reference/catalog/table.go:543-552` →
+    * `INSERT OR REPLACE`; `/root/reference/main_test.go:840-869`):
+    * incoming rows win; when a batch repeats a key the LAST occurrence
+    * wins (MySQL applies rows in statement order). Keyless tables take
+    * the index-less arm: the full row image is the key, duplicates
+    * collapse to one copy. Returns the number of change rows applied. */
+  def replaceRows(df: DataFrame): Long = {
+    val m = manifest
+    val key = if (m.pkCols.nonEmpty) m.pkCols else m.schema.fieldNames.toSeq
+    val condensed = lastPerKey(df.select(m.schema.fieldNames.map(col): _*), key)
+      .persist()
+    try {
+      val n = condensed.count()
+      merge(condensed.withColumn("action", lit(2)))
+      n
+    } finally condensed.unpersist()
+  }
+
+  /** INSERT IGNORE (A11/§2.B INSERT edge semantics): rows whose PK
+    * already exists — or repeats within the batch — are silently
+    * dropped; the rest append. Returns rows actually inserted. */
+  def insertIgnoreRows(df: DataFrame): Long = {
+    val m = manifest
+    require(m.pkCols.nonEmpty, "INSERT IGNORE needs a primary key")
+    val pk = m.pkCols
+    val fresh = df.dropDuplicates(pk)
+      .join(read().select(pk.map(col): _*), pk, "left_anti")
+    insert(fresh)
+  }
+
+  /** INSERT ... ON DUPLICATE KEY UPDATE (§2.B INSERT edge semantics,
+    * `/root/reference/main_test.go:840-869`). `set` maps column →
+    * SQL expression over the joined row, where the EXISTING row's
+    * columns keep their names and the incoming row's values are
+    * `__new_<col>` (the router rewrites MySQL's `VALUES(c)` to that).
+    * Returns MySQL-style affected rows: 1 per insert, 2 per update. */
+  def upsertOnDuplicate(df0: DataFrame, set: Map[String, String]): Long = {
+    val m = manifest
+    require(m.pkCols.nonEmpty, "ON DUPLICATE KEY UPDATE requires a primary key")
+    val pk = m.pkCols
+    val dataCols = m.schema.fieldNames
+    val batch = lastPerKey(df0.select(dataCols.map(col): _*), pk)
+    val renamed = batch.select(batch.columns.map(c => col(c).as(s"__new_$c")): _*)
+    val existing = readManifest(m)
+    val matched = existing.join(renamed,
+      pk.map(c => col(c) === col(s"__new_$c")).reduce(_ && _), "inner")
+    val updated = matched.select(dataCols.map { f =>
+      set.get(f).map(e => expr(e).cast(m.schema(f).dataType))
+        .getOrElse(col(f)).as(f)
+    }: _*)
+    val newRows = renamed.join(existing.select(pk.map(col): _*),
+      pk.map(c => col(s"__new_$c") === col(c)).reduce(_ && _), "left_anti")
+      .select(dataCols.map(c => col(s"__new_$c").as(c)): _*)
+    val changes = updated.withColumn("action", lit(1))
+      .unionByName(newRows.withColumn("action", lit(2))).persist()
+    val counts = changes.groupBy(col("action")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    merge(changes) // merge persists/unpersists the same plan
+    counts.getOrElse(2, 0L) + 2 * counts.getOrElse(1, 0L)
+  }
+
+  /** One row per key, LAST occurrence in input order winning (MySQL
+    * statement-order semantics for REPLACE/ODKU batches). */
+  private def lastPerKey(df: DataFrame, key: Seq[String]): DataFrame = {
+    val cols = df.columns
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key.map(col): _*).orderBy(col("__ord").desc)
+    df.withColumn("__ord", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols.map(col): _*)
+  }
+
   /** TRUNCATE = commit an empty file list (old files stay for readers
     * pinned to older versions; vacuuming is a separate concern). */
   def truncate(): Unit = {

@@ -76,4 +76,82 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "CREATE TABLE kv (a INT, b INT, v STRING, PRIMARY KEY (a, b))")
     assert(e.table("kv").manifest.pkCols === Seq("a", "b"))
   }
+
+  test("REPLACE INTO: incoming rows win, last in-batch duplicate wins") {
+    val e = new Engine(spark, tmpDir("router_replace"))
+    exec(e, "CREATE TABLE t (id INT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO t VALUES (1, 'old1'), (2, 'old2')")
+    val r = exec(e, "REPLACE INTO t VALUES (1, 'new1a'), (1, 'new1b'), (3, 'new3')")
+    assert(r.affected === 2) // two distinct keys after condense
+    assert(exec(e, "SELECT v FROM t ORDER BY id").df.get.as[String].collect()
+      === Array("new1b", "old2", "new3"))
+  }
+
+  test("REPLACE INTO on a keyless table collapses full-row duplicates") {
+    val e = new Engine(spark, tmpDir("router_replace_keyless"))
+    exec(e, "CREATE TABLE t (id INT, v STRING)")
+    exec(e, "INSERT INTO t VALUES (1, 'x'), (1, 'x'), (2, 'y')")
+    exec(e, "REPLACE INTO t VALUES (1, 'x'), (3, 'z')")
+    // both stored (1,'x') copies replaced by exactly one
+    assert(exec(e, "SELECT id FROM t ORDER BY id").df.get.as[Int].collect()
+      === Array(1, 2, 3))
+  }
+
+  test("INSERT IGNORE keeps existing rows and drops in-batch duplicates") {
+    val e = new Engine(spark, tmpDir("router_ignore"))
+    exec(e, "CREATE TABLE t (id INT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO t VALUES (1, 'old1')")
+    val r = exec(e, "INSERT IGNORE INTO t VALUES (1, 'new1'), (2, 'new2'), (2, 'dup2')")
+    assert(r.affected === 1) // only id=2 inserted
+    assert(exec(e, "SELECT v FROM t ORDER BY id").df.get.as[String].collect()
+      === Array("old1", "new2"))
+  }
+
+  test("INSERT ... ON DUPLICATE KEY UPDATE with VALUES() and self-reference") {
+    val e = new Engine(spark, tmpDir("router_odku"))
+    exec(e, "CREATE TABLE t (id INT PRIMARY KEY, v STRING, hits INT)")
+    exec(e, "INSERT INTO t VALUES (1, 'a', 10), (2, 'b', 20)")
+    val r = exec(e,
+      "INSERT INTO t VALUES (1, 'a2', 99), (3, 'c', 1) " +
+        "ON DUPLICATE KEY UPDATE v = VALUES(v), hits = hits + 1")
+    assert(r.affected === 3) // 2 for the update + 1 for the insert (MySQL-style)
+    assert(exec(e, "SELECT v, hits FROM t ORDER BY id").df.get
+      .as[(String, Int)].collect()
+      === Array(("a2", 11), ("b", 20), ("c", 1)))
+  }
+
+  test("BEGIN/COMMIT/ROLLBACK route to the session transaction") {
+    val e = new Engine(spark, tmpDir("router_txn"))
+    exec(e, "CREATE TABLE t (id INT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO t VALUES (1, 'x')")
+    exec(e, "BEGIN")
+    exec(e, "INSERT INTO t VALUES (2, 'y')")
+    assert(e.inTransaction)
+    exec(e, "ROLLBACK")
+    assert(exec(e, "SELECT count(*) FROM t").df.get.as[Long].head() === 1)
+    exec(e, "START TRANSACTION")
+    exec(e, "INSERT INTO t VALUES (2, 'y')")
+    exec(e, "DELETE FROM t WHERE id = 1")
+    exec(e, "COMMIT")
+    assert(exec(e, "SELECT v FROM t").df.get.as[String].collect() === Array("y"))
+  }
+
+  test("SHOW TABLES / DATABASES / COLUMNS and SET / SHOW VARIABLES") {
+    val e = new Engine(spark, tmpDir("router_show"))
+    exec(e, "CREATE TABLE t (id INT PRIMARY KEY, v STRING)")
+    assert(exec(e, "SHOW TABLES").df.get.as[String].collect() === Array("t"))
+    assert(exec(e, "SHOW DATABASES").df.get.as[String].collect().contains("main"))
+    val cols = exec(e, "SHOW COLUMNS FROM t").df.get
+      .as[(String, String, Boolean, Boolean)].collect()
+    assert(cols === Array(("id", "int", true, true), ("v", "string", true, false)))
+    exec(e, "SET my_var = 'hello'")
+    exec(e, "SET GLOBAL persisted_var = 42")
+    assert(e.getVar("my_var") === Some("hello"))
+    val vars = exec(e, "SHOW VARIABLES LIKE 'my%'").df.get
+      .as[(String, String)].collect()
+    assert(vars === Array(("my_var", "hello")))
+    // GLOBAL persists to the warehouse: a fresh engine still sees it
+    val e2 = new Engine(spark, e.warehouse)
+    assert(e2.getVar("persisted_var") === Some("42"))
+  }
 }
