@@ -327,6 +327,70 @@ object Operators {
       .drop("__pid", "__off")
   }
 
+  /** Exact GLOBAL rank over a unique total order WITHOUT the
+    * single-partition window Spark plans for `Window.orderBy` with no
+    * partition key (one task sorting the whole table — the q49-class
+    * scale-killer). Range-partition on the order key, count rows per
+    * slice (one metadata-sized collect), broadcast the per-slice prefix
+    * sums, then rank = slice offset + intra-slice row_number — n
+    * parallel slice sorts instead of one global one. Returns the ranked
+    * frame and the total row count (callers derive percent_rank =
+    * (rank-1)/(N-1), cume_dist = rank/N, ntile from it for free,
+    * because the order is unique).
+    */
+  def globalRank(df: DataFrame, orderCols: Seq[String],
+      rankCol: String = "rank"): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val tagged = df.repartitionByRange(n, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // two consumers: counts pass + rank pass
+    val counts = tagged.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.map(_._2).scanLeft(0L)(_ + _).zip(counts)
+      .map { case (off, (pid, _)) => (pid, off) }
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols.map(col): _*)
+    val ranked = tagged.join(offDf, "__pid")
+      .withColumn(rankCol, row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+    (ranked, total)
+  }
+
+  /** Exact ntile(k) bucket from a [[globalRank]] rank column — the
+    * same uneven-bucket rule SQL ntile uses (first N mod k buckets get
+    * one extra row). Pure integer arithmetic on the already-computed
+    * rank: no extra shuffle, no window. */
+  def ntileFromRank(rankCol: String, total: Long, k: Int): Column = {
+    val q = total / k
+    val rem = total % k
+    val boundary = (q + 1) * rem // ranks <= boundary fall in the fat buckets
+    expr(s"CAST(CASE WHEN $q = 0 OR $rankCol <= $boundary " +
+      s"THEN (($rankCol - 1) DIV ${q + 1}) + 1 " +
+      s"ELSE $rem + (($rankCol - $boundary - 1) DIV $q) + 1 END AS INT)")
+  }
+
+  /** Approximate ntile for when exact bucket boundaries aren't worth a
+    * rank pass at all: one `approx_percentile` aggregation yields k-1
+    * boundaries, bucket assignment is a broadcast-free scalar compare.
+    * Error is bounded by the sketch accuracy; buckets are monotone in
+    * the order column by construction. The 100-TB default: two scans,
+    * zero shuffles of the data itself. */
+  def approxNtile(df: DataFrame, orderCol: String, k: Int,
+      outCol: String = "tile", accuracy: Int = 10000): DataFrame = {
+    require(k >= 1)
+    val qs = (1 until k).map(_.toDouble / k)
+    val row = df.agg(approx_percentile(col(orderCol),
+      typedLit(qs), lit(accuracy)).as("bs")).collect()(0)
+    val bs = row.getSeq[Any](0).map(x => x.toString.toDouble)
+    val tile = bs.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col(orderCol).cast("double") > lit(b), 1).otherwise(0)
+    }
+    df.withColumn(outCol, tile)
+  }
+
   /** Exact top-k rows per group by `orderBy` (ties broken by the given
     * columns) — planned as WindowGroupLimit: each partition ships at
     * most k rows per group to the shuffle. */

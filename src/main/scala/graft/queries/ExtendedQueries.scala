@@ -106,19 +106,24 @@ object ExtendedQueries {
 
   // --------------------------------------------------------------------
   // q49 — distribution window functions: ntile / percent_rank /
-  // cume_dist over a unique total order. A global window is inherent to
-  // the semantics; at scale this is a rangepartition+sort (Spark plans
-  // a single-partition window — use per-key quantiles when a key
-  // exists, or approx_percentile when exactness isn't required).
+  // cume_dist over a unique total order — computed WITHOUT the
+  // single-partition Window Spark would plan for an unpartitioned
+  // ORDER BY: Operators.globalRank range-slices the order, prefix-sums
+  // slice counts on the driver, and derives all three distribution
+  // functions from the exact global rank (the order is unique, so
+  // percent_rank = (rank-1)/(N-1) and cume_dist = rank/N exactly).
   private val q49 = QueryDef(
     "q49_ntile_distribution",
     (s, dir) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_acctbal"))
-        .withColumn("quartile", ntile(4).over(w))
-        .withColumn("pct_rank", percent_rank().over(w))
-        .withColumn("cum_dist", cume_dist().over(w))
+      val base = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val (ranked, n) = graft.operators.Operators.globalRank(
+        base, Seq("c_acctbal", "c_custkey"), "__rank")
+      ranked
+        .withColumn("quartile", graft.operators.Operators.ntileFromRank("__rank", n, 4))
+        .withColumn("pct_rank",
+          (col("__rank") - 1).cast("double") / lit((n - 1).toDouble))
+        .withColumn("cum_dist", col("__rank").cast("double") / lit(n.toDouble))
+        .drop("__rank")
         .orderBy(col("c_custkey"))
     },
     Some("""SELECT c_custkey, c_acctbal,

@@ -142,4 +142,43 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(col("g") === 0).orderBy(col("rank"))
       .select("v").as[Int].collect() === Array(100, 96, 92))
   }
+
+  test("globalRank matches a global window without a single-partition exchange") {
+    val df = (1 to 997).map(i => ((i * 7919) % 1000, i.toLong)).toDF("v", "id")
+    val (ranked, n) = Operators.globalRank(df, Seq("v", "id"), "r")
+    assert(n === 997L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))
+    val expected = df.withColumn("r", row_number().over(w).cast("long"))
+      .orderBy("r").as[(Int, Long, Long)].collect()
+    assert(ranked.orderBy("r").as[(Int, Long, Long)].collect() === expected)
+    // the operator's own plan never funnels data through one partition
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
+  }
+
+  test("ntileFromRank reproduces SQL ntile bucket sizes, incl. uneven split") {
+    val df = (1 to 10).map(i => (i, i.toLong)).toDF("v", "id")
+    val (ranked, n) = Operators.globalRank(df, Seq("v", "id"), "r")
+    val tiles = ranked.withColumn("t", Operators.ntileFromRank("r", n, 3))
+      .orderBy("r").select("t").as[Int].collect()
+    // ntile(3) over 10 rows: buckets of 4, 3, 3
+    assert(tiles === Array(1, 1, 1, 1, 2, 2, 2, 3, 3, 3))
+    // k > N: each row its own bucket
+    val (r2, n2) = Operators.globalRank(df.limit(2), Seq("v", "id"), "r")
+    assert(r2.withColumn("t", Operators.ntileFromRank("r", n2, 5))
+      .orderBy("r").select("t").as[Int].collect() === Array(1, 2))
+  }
+
+  test("approxNtile buckets are monotone and near-even") {
+    val df = (1 to 4000).map(i => ((i * 7919) % 4096).toDouble).toDF("x")
+    val out = Operators.approxNtile(df, "x", 4)
+    // monotone in x
+    val byTile = out.groupBy("tile")
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"), count(lit(1)).as("n"))
+      .orderBy("tile").as[(Int, Double, Double, Long)].collect()
+    assert(byTile.map(_._1) === Array(1, 2, 3, 4))
+    byTile.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._2) }
+    // near-even: each bucket within 15% of N/k
+    byTile.foreach(t => assert(math.abs(t._4 - 1000) < 150, t))
+  }
 }

@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "condense must not plan a window")
   }
 
+  test("q49: distribution functions never plan a single-partition window") {
+    // Window.orderBy with no partition key would plan
+    // `Exchange SinglePartition` + one task sorting the whole table;
+    // globalRank's range-slice + prefix-sum formulation must not.
+    val p = plan("q49_ntile_distribution")
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(p.contains("hashpartitioning(__pid"), p.take(3000))
+  }
+
   test("q61: pair scan has no shuffle beyond the explicit repartition") {
     val p = plan("q61_jaccard_pairs")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
