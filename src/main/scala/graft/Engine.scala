@@ -54,6 +54,7 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
 
   def use(db: String): Unit = {
     require(Files.isDirectory(warehouse.resolve(db)), s"no such database: $db")
+    unregisterAll() // stale temp views must not shadow the new db
     currentDb = db
   }
   def currentDatabase: String = currentDb
@@ -121,6 +122,7 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     val d = warehouse.resolve(db).resolve(t)
     require(Files.isDirectory(d.resolve("_manifest")), s"no such table: $name")
     deleteRecursively(d)
+    if (db == currentDb) unregister(t)
   }
 
   def listTables(db: String = currentDb): Seq[String] = {
@@ -145,6 +147,7 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     val views = loadViews(db) - v
     Files.write(warehouse.resolve(db).resolve("_views.json"),
       mapper.writeValueAsBytes(views.asJava))
+    if (db == currentDb) unregister(v)
   }
 
   def listViews(db: String = currentDb): Seq[String] = loadViews(db).keys.toSeq.sorted
@@ -159,17 +162,17 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
   // ------------------------------------------------------------------
   // SQL entry (A1-A4 scans/SELECT via Catalyst; views expanded first)
 
-  /** Run SQL with the current database's tables and views registered.
+  /** Run SQL with the referenced tables and views registered lazily.
     * Catalyst owns parsing, optimization, and execution — the engine
     * contributes the catalog binding only. */
   def sql(q: String): DataFrame = {
-    registerAll()
+    registerReferenced(q)
     spark.sql(q)
   }
 
   /** Parameterized SQL (A28 prepared-statement execute). */
   def sql(q: String, params: Map[String, Any]): DataFrame = {
-    registerAll()
+    registerReferenced(q)
     spark.sql(q, params)
   }
 
@@ -177,18 +180,83 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     * the reference's `SELECT * FROM (q) LIMIT 0` NULL-param trick —
     * Spark analysis is lazy, so `.schema` never launches a job). */
   def probeSchema(q: String): StructType = {
-    registerAll()
+    registerReferenced(q)
     spark.sql(q).schema
   }
 
-  private def registerAll(): Unit = {
-    listTables().foreach { t =>
-      table(s"$currentDb.$t").read().createOrReplaceTempView(t)
+  // Lazy catalog binding: a statement registers only the tables and
+  // views its text references, and a table is re-materialized only when
+  // its manifest version moved since last registration (one directory
+  // listing per referenced table to find out — no manifest JSON read,
+  // no view re-analysis, for the unchanged/unreferenced rest). The
+  // eager alternative (re-open every table + re-analyze every view per
+  // statement) is O(catalog size) driver work per query — the metadata
+  // bottleneck at thousands of tables.
+  private val registeredViews = scala.collection.mutable.Set.empty[String]
+
+  private def idents(s: String): Set[String] =
+    "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(s).map(_.toLowerCase).toSet
+
+  private def registerReferenced(q: String): Unit = synchronized {
+    val allTables = listTables()
+    val allViews = loadViews(currentDb)
+    // transitive closure: a referenced view's definition may reference
+    // further tables/views not named in the statement itself
+    var ids = idents(q)
+    var views = Map.empty[String, String]
+    var grew = true
+    while (grew) {
+      val hit = allViews.filter { case (v, _) =>
+        ids.contains(v.toLowerCase) && !views.contains(v)
+      }
+      grew = hit.nonEmpty
+      views ++= hit
+      ids ++= hit.values.flatMap(idents)
     }
-    // views after tables so definitions resolve against them
-    loadViews(currentDb).foreach { case (v, defn) =>
+    allTables.filter(t => ids.contains(t.toLowerCase)).foreach { t =>
+      val p = warehouse.resolve(currentDb).resolve(t)
+      if (inTransaction) {
+        // staged manifests live in memory: always rebind for
+        // read-your-writes, and drop the ownership entry so the next
+        // non-txn statement rebinds from the published journal
+        table(t).read().createOrReplaceTempView(t)
+        Engine.viewOwners.remove(t)
+      } else {
+        // ownership is session-global and keyed by (table dir, raw
+        // journal version): another engine over another warehouse, or
+        // any committed write, forces a rebind; an unchanged table is
+        // one directory listing, zero manifest reads, zero re-analysis
+        val v = Manifest.latestVersion(p).getOrElse(-1L)
+        if (!Engine.viewOwners.get(t).contains((p, v))) {
+          table(t).read().createOrReplaceTempView(t)
+          Engine.viewOwners.put(t, (p, v))
+        }
+      }
+    }
+    // views after tables so definitions resolve against them; analysis
+    // is plan-only (no manifest reads, no jobs)
+    views.foreach { case (v, defn) =>
       spark.sql(defn).createOrReplaceTempView(v)
+      registeredViews += v
     }
+  }
+
+  private def unregister(name: String): Unit = synchronized {
+    spark.catalog.dropTempView(name)
+    Engine.viewOwners.remove(name)
+    registeredViews -= name
+  }
+
+  /** Drop every binding registered from this warehouse — used when the
+    * current database changes so stale names can't shadow the new
+    * database's tables. */
+  private def unregisterAll(): Unit = synchronized {
+    Engine.viewOwners.filter(_._2._1.startsWith(warehouse)).keys.foreach { n =>
+      spark.catalog.dropTempView(n)
+      Engine.viewOwners.remove(n)
+    }
+    registeredViews.foreach(spark.catalog.dropTempView(_))
+    registeredViews.clear()
   }
 
   // ------------------------------------------------------------------
@@ -316,4 +384,14 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
       Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+}
+
+object Engine {
+  /** Session-global temp-view ownership: view name → (table directory,
+    * manifest version bound). Engines over different warehouses share
+    * one SparkSession's temp-view namespace; the ownership check makes
+    * a cached binding valid only for the exact table state it was built
+    * from. */
+  private val viewOwners =
+    scala.collection.concurrent.TrieMap.empty[String, (Path, Long)]
 }

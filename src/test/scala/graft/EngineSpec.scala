@@ -172,4 +172,36 @@ class EngineSpec extends SparkSpec {
     assert(t.read().orderBy("x").as[(Int, Int)].collect()
       === Array((1, 11), (2, 99), (4, 40)))
   }
+
+  test("lazy catalog: a broken view doesn't fail unrelated queries") {
+    val e = freshEngine()
+    e.createTable("keep", xy, Seq("x"))
+    e.table("keep").insert(Seq((1, 10)).toDF("x", "y"))
+    e.createTable("gone", xy, Seq("x"))
+    e.createView("broken_view", "SELECT * FROM gone")
+    e.dropTable("gone") // view definition now dangles
+    // eager registration analyzed every view per statement and threw here
+    assert(e.sql("SELECT count(*) FROM keep").as[Long].head() === 1)
+    // referencing the broken view still fails, as it must
+    intercept[Exception] { e.sql("SELECT * FROM broken_view").collect() }
+  }
+
+  test("lazy catalog: unreferenced/unchanged tables cost no manifest reads") {
+    val e = freshEngine()
+    (1 to 20).foreach { i =>
+      e.createTable(s"t$i", xy, Seq("x"))
+      e.table(s"t$i").insert(Seq((i, i * 10)).toDF("x", "y"))
+    }
+    e.sql("SELECT count(*) FROM t7").collect() // bind t7 once
+    val before = graft.storage.Manifest.loadCount.get()
+    (1 to 5).foreach { _ =>
+      assert(e.sql("SELECT sum(y) FROM t7").as[Long].head() === 70L)
+    }
+    // 5 queries over a 20-table catalog: the unchanged referenced table
+    // re-binds zero times → zero manifest JSON reads for ANY table
+    assert(graft.storage.Manifest.loadCount.get() === before)
+    // a write moves t7's version: exactly the next statement rebinds
+    e.table("t7").insert(Seq((99, 20)).toDF("x", "y"))
+    assert(e.sql("SELECT sum(y) FROM t7").as[Long].head() === 90L)
+  }
 }
