@@ -1,0 +1,348 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Binary row-image decode (reference C3): MySQL binlog RBR cell
+  * decoding (`/root/reference/binlog/rbr.go:69-981` — CellLength /
+  * CellValue per column type) and MySQL binary JSON → text
+  * (`/root/reference/binlogreplication/binlog_json_serialization.go:37-358`),
+  * re-expressed as a pure byte-level decoder feeding the engine's delta
+  * schema ([[CdcMerge]]).
+  *
+  * A row image is `[null bitmap][cells...]`: one bit per column
+  * (LSB-first within each byte, set = NULL), then each non-null
+  * column's cell in declared order. Cell layouts (all little-endian
+  * unless noted):
+  *  - TINY/SHORT/INT24/LONG/LONGLONG: 1/2/3/4/8-byte two's complement
+  *  - FLOAT/DOUBLE: IEEE-754 bits, 4/8 bytes
+  *  - DATE: 3 bytes; day = v & 31, month = (v>>5) & 15, year = v>>9
+  *  - TIME2: 3 bytes BIG-endian biased by 0x800000; hour 10 bits,
+  *    minute 6, second 6; + 0-3 fractional bytes by precision
+  *  - DATETIME2: 5 bytes BIG-endian biased by 0x8000000000;
+  *    ((year*13+month)*32+day)*2^17 + hour*2^12 + minute*2^6 + second;
+  *    + 0-3 fractional bytes
+  *  - TIMESTAMP2: 4 bytes BIG-endian epoch seconds + fractional bytes
+  *  - NEWDECIMAL: base-10^9 groups of 4 BIG-endian bytes with partial
+  *    leading/trailing groups (dig2bytes), sign bit on the first byte
+  *    inverted; negative numbers are bitwise-complemented
+  *  - VARCHAR: 1- or 2-byte length prefix (2 when max length > 255)
+  *  - BLOB/JSON: metadata-sized length prefix (1-4 bytes) then payload;
+  *    JSON payloads are MySQL binary JSON, serialized back to text
+  *
+  * Decoding is embarrassingly parallel per event row, so the Spark
+  * surface is a `mapPartitions` over the change stream — the decoder
+  * object ships to executors, nothing flows through the driver. At
+  * 100 TB of backlog the decode scales with partitions like any other
+  * narrow map.
+  */
+object BinlogRowDecoder {
+
+  /** Column declaration — the engine-side analog of a TABLE_MAP entry. */
+  final case class ColSpec(name: String, tpe: BinlogType)
+
+  sealed trait BinlogType { def sparkType: DataType }
+  /** 1/2/3/4/8-byte little-endian signed integers. */
+  case object TinyInt extends BinlogType { val sparkType: DataType = ByteType }
+  case object ShortInt extends BinlogType { val sparkType: DataType = ShortType }
+  case object Int24 extends BinlogType { val sparkType: DataType = IntegerType }
+  case object Int32 extends BinlogType { val sparkType: DataType = IntegerType }
+  case object Int64 extends BinlogType { val sparkType: DataType = LongType }
+  case object Float32 extends BinlogType { val sparkType: DataType = FloatType }
+  case object Float64 extends BinlogType { val sparkType: DataType = DoubleType }
+  case object Date extends BinlogType { val sparkType: DataType = DateType }
+  /** TIME(fsp) → signed microseconds (the reference reads TIME back as
+    * a µs duration, `/root/reference/backend/iter.go:136-142`). */
+  final case class Time2(fsp: Int) extends BinlogType { val sparkType: DataType = LongType }
+  /** DATETIME(fsp) → naive timestamp (NTZ, like the reference's
+    * DATETIME mapping). */
+  final case class DateTime2(fsp: Int) extends BinlogType { val sparkType: DataType = TimestampNTZType }
+  /** TIMESTAMP(fsp) → instant (UTC epoch). */
+  final case class Timestamp2(fsp: Int) extends BinlogType { val sparkType: DataType = TimestampType }
+  final case class NewDecimal(precision: Int, scale: Int) extends BinlogType {
+    val sparkType: DataType = DecimalType(precision, scale)
+  }
+  final case class Varchar(maxLen: Int) extends BinlogType { val sparkType: DataType = StringType }
+  /** metadata = number of length-prefix bytes (1, 2, 3 or 4). */
+  final case class Blob(lenBytes: Int) extends BinlogType { val sparkType: DataType = BinaryType }
+  final case class Json(lenBytes: Int = 4) extends BinlogType { val sparkType: DataType = StringType }
+
+  private val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  def rowSchema(specs: Seq[ColSpec]): StructType =
+    StructType(specs.map(s => StructField(s.name, s.tpe.sparkType)))
+
+  /** Decode one row image into external Spark values (null for columns
+    * flagged in the null bitmap). */
+  def decodeRow(data: Array[Byte], specs: Seq[ColSpec]): Seq[Any] = {
+    val bitmapBytes = (specs.size + 7) / 8
+    var pos = bitmapBytes
+    specs.zipWithIndex.map { case (spec, i) =>
+      val isNull = (data(i / 8) & (1 << (i % 8))) != 0
+      if (isNull) null
+      else {
+        val (v, size) = decodeCell(data, pos, spec.tpe)
+        pos += size
+        v
+      }
+    }
+  }
+
+  private def uint(data: Array[Byte], pos: Int, n: Int): Long = {
+    // little-endian unsigned read
+    var v = 0L
+    var i = n - 1
+    while (i >= 0) { v = (v << 8) | (data(pos + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  private def beUint(data: Array[Byte], pos: Int, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | (data(pos + i) & 0xffL); i += 1 }
+    v
+  }
+
+  private def signExtend(v: Long, bytes: Int): Long = {
+    val shift = 64 - bytes * 8
+    (v << shift) >> shift
+  }
+
+  /** Fractional-seconds suffix of TIME2/DATETIME2/TIMESTAMP2: fsp
+    * digits stored in ceil(fsp/2) big-endian bytes holding fsp rounded
+    * up to an even digit count; scale to microseconds. */
+  private def fracMicros(data: Array[Byte], pos: Int, fsp: Int): (Long, Int) = {
+    val bytes = (fsp + 1) / 2
+    if (bytes == 0) return (0L, 0)
+    val stored = beUint(data, pos, bytes)
+    val digits = bytes * 2 // stored digit count (even)
+    val value = if (fsp % 2 == 1) stored / 10 else stored // drop padding digit
+    val usedDigits = if (fsp % 2 == 1) digits - 1 else digits
+    (value * math.pow(10, 6 - usedDigits).toLong, bytes)
+  }
+
+  private[streaming] def decodeCell(data: Array[Byte], pos: Int,
+      tpe: BinlogType): (Any, Int) = tpe match {
+    case TinyInt => (data(pos), 1)
+    case ShortInt => (signExtend(uint(data, pos, 2), 2).toShort, 2)
+    case Int24 => (signExtend(uint(data, pos, 3), 3).toInt, 3)
+    case Int32 => (signExtend(uint(data, pos, 4), 4).toInt, 4)
+    case Int64 => (uint(data, pos, 8), 8)
+    case Float32 => (java.lang.Float.intBitsToFloat(uint(data, pos, 4).toInt), 4)
+    case Float64 => (java.lang.Double.longBitsToDouble(uint(data, pos, 8)), 8)
+    case Date =>
+      val v = uint(data, pos, 3)
+      val (day, month, year) = ((v & 31).toInt, ((v >> 5) & 15).toInt, (v >> 9).toInt)
+      (java.sql.Date.valueOf(java.time.LocalDate.of(year, month, day)), 3)
+    case Time2(fsp) =>
+      val frBytes = (fsp + 1) / 2
+      var hms = beUint(data, pos, 3) - 0x800000L
+      val neg = hms < 0
+      if (neg) hms = -hms
+      // the fractional field of a negative TIME is stored as the
+      // complement of its raw (even-digit) value, borrowing one second
+      var micros = 0L
+      if (frBytes > 0) {
+        var stored = beUint(data, pos + 3, frBytes)
+        if (neg && stored != 0) {
+          hms -= 1
+          stored = (1L << (8 * frBytes)) - stored
+        }
+        val digits = frBytes * 2
+        val value = if (fsp % 2 == 1) stored / 10 else stored
+        val usedDigits = if (fsp % 2 == 1) digits - 1 else digits
+        micros = value * math.pow(10, 6 - usedDigits).toLong
+      }
+      val hour = (hms >> 12) & 0x3ff
+      val minute = (hms >> 6) & 0x3f
+      val second = hms & 0x3f
+      val total = (hour * 3600 + minute * 60 + second) * 1000000L + micros
+      (if (neg) -total else total, 3 + frBytes)
+    case DateTime2(fsp) =>
+      val packed = beUint(data, pos, 5) - 0x8000000000L
+      val ymd = packed >> 17
+      val hms = packed & ((1L << 17) - 1)
+      val ym = ymd >> 5
+      val dt = java.time.LocalDateTime.of(
+        (ym / 13).toInt, (ym % 13).toInt, (ymd & 31).toInt,
+        (hms >> 12).toInt, ((hms >> 6) & 0x3f).toInt, (hms & 0x3f).toInt)
+      val (fr, frBytes) = fracMicros(data, pos + 5, fsp)
+      (dt.plusNanos(fr * 1000), 5 + frBytes)
+    case Timestamp2(fsp) =>
+      val secs = beUint(data, pos, 4)
+      val (fr, frBytes) = fracMicros(data, pos + 4, fsp)
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(secs, fr * 1000)), 4 + frBytes)
+    case NewDecimal(precision, scale) =>
+      decodeDecimal(data, pos, precision, scale)
+    case Varchar(maxLen) =>
+      if (maxLen > 255) {
+        val l = uint(data, pos, 2).toInt
+        (new String(data, pos + 2, l, StandardCharsets.UTF_8), l + 2)
+      } else {
+        val l = data(pos) & 0xff
+        (new String(data, pos + 1, l, StandardCharsets.UTF_8), l + 1)
+      }
+    case Blob(lenBytes) =>
+      val l = uint(data, pos, lenBytes).toInt
+      (java.util.Arrays.copyOfRange(data, pos + lenBytes, pos + lenBytes + l),
+        lenBytes + l)
+    case Json(lenBytes) =>
+      val l = uint(data, pos, lenBytes).toInt
+      val payload = java.util.Arrays.copyOfRange(data, pos + lenBytes, pos + lenBytes + l)
+      (parseBinaryJson(payload), lenBytes + l)
+  }
+
+  /** MySQL packed decimal: leading partial group, base-10^9 full
+    * groups, fractional full groups, trailing partial group; stored
+    * big-endian with the sign bit of the FIRST byte inverted, and all
+    * bytes complemented for negatives. */
+  private def decodeDecimal(data: Array[Byte], pos: Int,
+      precision: Int, scale: Int): (Any, Int) = {
+    val intg = precision - scale
+    val intg0 = intg / 9; val intg0x = intg - intg0 * 9
+    val frac0 = scale / 9; val frac0x = scale - frac0 * 9
+    val len = intg0 * 4 + dig2bytes(intg0x) + frac0 * 4 + dig2bytes(frac0x)
+    val d = java.util.Arrays.copyOfRange(data, pos, pos + len)
+    val negative = (d(0) & 0x80) == 0
+    d(0) = (d(0) ^ 0x80).toByte
+    if (negative) {
+      var i = 0
+      while (i < d.length) { d(i) = (~d(i)).toByte; i += 1 }
+    }
+    var p = 0
+    var coeff = java.math.BigInteger.ZERO
+    val billion = java.math.BigInteger.valueOf(1000000000L)
+    if (dig2bytes(intg0x) > 0) {
+      coeff = java.math.BigInteger.valueOf(beUint(d, p, dig2bytes(intg0x)))
+      p += dig2bytes(intg0x)
+    }
+    for (_ <- 0 until intg0 + frac0) {
+      coeff = coeff.multiply(billion)
+        .add(java.math.BigInteger.valueOf(beUint(d, p, 4)))
+      p += 4
+    }
+    if (dig2bytes(frac0x) > 0) {
+      val tail = beUint(d, p, dig2bytes(frac0x))
+      coeff = coeff.multiply(java.math.BigInteger.TEN.pow(frac0x))
+        .add(java.math.BigInteger.valueOf(tail))
+    }
+    if (negative) coeff = coeff.negate()
+    (new java.math.BigDecimal(coeff, scale), len)
+  }
+
+  // ------------------------------------------------------------------
+  // MySQL binary JSON → text. Layout: [type byte][payload]; containers
+  // hold count + size (2 bytes small / 4 large), then entries with
+  // offsets relative to the container payload start; literals inline
+  // in the entry; strings use a 7-bit varint length.
+
+  def parseBinaryJson(b: Array[Byte]): String =
+    if (b.isEmpty) "null" else jsonValue(b(0) & 0xff, b, 1)
+
+  private def jsonValue(tpe: Int, d: Array[Byte], p: Int): String = tpe match {
+    case 0x00 => jsonObject(d, p, large = false)
+    case 0x01 => jsonObject(d, p, large = true)
+    case 0x02 => jsonArray(d, p, large = false)
+    case 0x03 => jsonArray(d, p, large = true)
+    case 0x04 => (d(p) & 0xff) match {
+      case 0 => "null"; case 1 => "true"; case 2 => "false"
+    }
+    case 0x05 => signExtend(uint(d, p, 2), 2).toString
+    case 0x06 => uint(d, p, 2).toString
+    case 0x07 => signExtend(uint(d, p, 4), 4).toString
+    case 0x08 => uint(d, p, 4).toString
+    case 0x09 => uint(d, p, 8).toString
+    case 0x0a => java.lang.Long.toUnsignedString(uint(d, p, 8))
+    case 0x0b =>
+      val v = java.lang.Double.longBitsToDouble(uint(d, p, 8))
+      if (v == math.floor(v) && !v.isInfinite && math.abs(v) < 1e15) s"${v.toLong}.0"
+      else v.toString
+    case 0x0c =>
+      val (l, lb) = varlen(d, p)
+      quote(new String(d, p + lb, l, StandardCharsets.UTF_8))
+    case other => throw new IllegalArgumentException(f"json type 0x$other%02x")
+  }
+
+  /** 7-bit little-endian varint (MySQL JSON string length). */
+  private def varlen(d: Array[Byte], p: Int): (Int, Int) = {
+    var len = 0; var shift = 0; var i = 0
+    var cont = true
+    while (cont) {
+      val b = d(p + i) & 0xff
+      len |= (b & 0x7f) << shift
+      cont = (b & 0x80) != 0
+      shift += 7; i += 1
+    }
+    (len, i)
+  }
+
+  private def entryWidth(large: Boolean) = if (large) 4 else 2
+
+  private def jsonArray(d: Array[Byte], p: Int, large: Boolean): String = {
+    val w = entryWidth(large)
+    val count = uint(d, p, w).toInt
+    val entriesAt = p + 2 * w
+    (0 until count).map { i =>
+      val e = entriesAt + i * (1 + w)
+      val t = d(e) & 0xff
+      if (t == 0x04) jsonValue(t, d, e + 1) // literal inlined in entry
+      else jsonValue(t, d, p + uint(d, e + 1, w).toInt)
+    }.mkString("[", ", ", "]")
+  }
+
+  private def jsonObject(d: Array[Byte], p: Int, large: Boolean): String = {
+    val w = entryWidth(large)
+    val count = uint(d, p, w).toInt
+    val keysAt = p + 2 * w
+    val valuesAt = keysAt + count * (w + 2)
+    (0 until count).map { i =>
+      val ke = keysAt + i * (w + 2)
+      val kOff = uint(d, ke, w).toInt
+      val kLen = uint(d, ke + w, 2).toInt
+      val key = new String(d, p + kOff, kLen, StandardCharsets.UTF_8)
+      val ve = valuesAt + i * (1 + w)
+      val t = d(ve) & 0xff
+      val v =
+        if (t == 0x04) jsonValue(t, d, ve + 1)
+        else jsonValue(t, d, p + uint(d, ve + 1, w).toInt)
+      s"${quote(key)}: $v"
+    }.mkString("{", ", ", "}")
+  }
+
+  private def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u$c%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  // ------------------------------------------------------------------
+  // Spark surface
+
+  /** Decode a change stream whose `payloadCol` holds binary row images
+    * into the flattened delta schema (decoded data columns + the CDC
+    * metadata columns), ready for [[CdcMerge.condense]] + merge. A
+    * narrow per-partition map: no shuffle, no driver involvement. */
+  def decodeBinaryEvents(events: DataFrame, payloadCol: String,
+      specs: Seq[ColSpec]): DataFrame = {
+    val meta = CdcMerge.metaCols.filter(events.columns.contains)
+    val pIdx = events.columns.indexOf(payloadCol)
+    val metaIdx = meta.map(c => events.columns.indexOf(c))
+    val outSchema = StructType(rowSchema(specs).fields ++
+      meta.map(events.schema(_)))
+    events.mapPartitions { it =>
+      it.map { r =>
+        val decoded = decodeRow(r.getAs[Array[Byte]](pIdx), specs)
+        Row.fromSeq(decoded ++ metaIdx.map(r.get))
+      }
+    }(Encoders.row(outSchema))
+  }
+}
