@@ -7,12 +7,13 @@ import javax.imageio.ImageIO
 import javax.sound.sampled.AudioSystem
 
 /** REAL media codecs built entirely on JDK-standard APIs — no external
-  * libraries: `javax.imageio` decodes/encodes PNG/BMP/GIF/JPEG and
-  * `javax.sound.sampled` decodes WAV/PCM. These replace the round-1
-  * stubs for the image and audio paths (video stays stubbed behind
-  * [[MultimodalOps.StubCodecs]] — there is no JDK video codec; at
-  * scale that call is an executor-local ffmpeg/native invocation with
-  * the same bytes-in/frames-out shape).
+  * libraries: `javax.imageio` decodes/encodes PNG/BMP/GIF/JPEG,
+  * `javax.sound.sampled` decodes/encodes WAV/PCM, and the video path
+  * parses MJPEG (a RIFF/AVI container whose `movi` chunks are plain
+  * JPEG frames, or a bare concatenated-JPEG stream) on top of the
+  * image decoder. Inter-frame codecs (H.264 etc.) remain out of JDK
+  * reach — at scale that call is an executor-local ffmpeg/native
+  * invocation with the same bytes-in/frames-out shape.
   *
   * Everything here is executor-local per-row compute: no shuffle, no
   * driver involvement, arbitrary horizontal scale.
@@ -114,6 +115,25 @@ object JdkCodecs {
       Some((fmt.getSampleRate, mono))
     } catch { case _: Exception => None }
 
+  /** Encode mono float samples in [-1, 1] as 16-bit PCM WAV bytes. */
+  def encodeWav(sampleRate: Float, samples: Array[Float]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.max(-1.0f, math.min(1.0f, samples(i)))
+      val s = math.round(v * 32767.0f).toShort
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** 8-dim audio feature vector:
     * [sampleRate, nSamples, rms, peak, zeroCrossingRate, meanAbs,
     * clipFraction, dcOffset] — the silence/clipping/quality gates an
@@ -134,5 +154,123 @@ object JdkCodecs {
     Array(sampleRate, samples.length.toFloat, math.sqrt(s2 / n).toFloat,
       peak.toFloat, (zc / n).toFloat, (sa / n).toFloat,
       (clip / n).toFloat, (sum / n).toFloat)
+  }
+
+  // ------------------------------------------------------------------
+  // Video: MJPEG — per-frame JPEG either inside a RIFF/AVI container
+  // (`movi` list, `##dc`/`##db` chunks) or as a bare concatenated-JPEG
+  // stream. Intra-frame only, so every frame decodes independently via
+  // [[decodeImage]] — no codec state, perfectly parallel.
+
+  private def fourcc(b: Array[Byte], p: Int): String =
+    if (p + 4 <= b.length) new String(b, p, 4, "US-ASCII") else ""
+
+  private def u32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | (b(p + 1) & 0xffL) << 8 |
+      (b(p + 2) & 0xffL) << 16 | (b(p + 3) & 0xffL) << 24
+
+  /** Extract the raw JPEG bytes of every frame. AVI: walk RIFF chunks,
+    * recurse into LISTs, collect video-stream data chunks (fourcc
+    * `##dc`/`##db`, word-aligned). Bare stream: split on SOI..EOI
+    * marker pairs. Malformed tails stop the walk instead of throwing —
+    * a truncated shard yields its decodable prefix. */
+  def extractMjpegFrames(bytes: Array[Byte]): Vector[Array[Byte]] =
+    if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+        fourcc(bytes, 8) == "AVI ")
+      walkChunks(bytes, 12, math.min(bytes.length.toLong, 8 + u32(bytes, 4)))
+    else splitJpegStream(bytes)
+
+  private def walkChunks(b: Array[Byte], start: Int, end: Long): Vector[Array[Byte]] = {
+    var out = Vector.empty[Array[Byte]]
+    var p = start
+    while (p + 8 <= end) {
+      val id = fourcc(b, p)
+      val size = u32(b, p + 4)
+      if (p + 8 + size > end) return out // truncated chunk
+      if (id == "LIST") {
+        val listType = fourcc(b, p + 8)
+        if (listType == "movi" || listType == "rec ")
+          out ++= walkChunks(b, p + 12, p + 8 + size)
+      } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
+          id.take(2).forall(_.isDigit)) {
+        out :+= java.util.Arrays.copyOfRange(b, p + 8, p + 8 + size.toInt)
+      }
+      p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    out
+  }
+
+  private def splitJpegStream(b: Array[Byte]): Vector[Array[Byte]] = {
+    var out = Vector.empty[Array[Byte]]
+    var i = 0
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xd8) { // SOI
+        var j = i + 2
+        var endAt = -1
+        while (endAt < 0 && j + 1 < b.length) {
+          if ((b(j) & 0xff) == 0xff && (b(j + 1) & 0xff) == 0xd9) endAt = j + 2 // EOI
+          j += 1
+        }
+        if (endAt < 0) return out // truncated frame
+        out :+= java.util.Arrays.copyOfRange(b, i, endAt)
+        i = endAt
+      } else i += 1
+    }
+    out
+  }
+
+  /** Decode frame `idx` of an MJPEG video to pixels. */
+  def decodeVideoFrame(bytes: Array[Byte], idx: Int): Option[BufferedImage] = {
+    val frames = extractMjpegFrames(bytes)
+    if (idx < 0 || idx >= frames.length) None else decodeImage(frames(idx))
+  }
+
+  def encodeJpeg(img: BufferedImage): Array[Byte] = {
+    val rgb =
+      if (img.getType == BufferedImage.TYPE_INT_RGB) img
+      else {
+        val c = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+        val g = c.createGraphics(); try g.drawImage(img, 0, 0, null) finally g.dispose()
+        c
+      }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(rgb, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Mux JPEG frames into a minimal MJPEG AVI: RIFF(AVI ) with an
+    * `hdrl` list (avih + one `vids`/`MJPG` stream header + its
+    * BITMAPINFOHEADER) and a `movi` list of `00dc` chunks. No idx1
+    * index — players and [[extractMjpegFrames]] stream sequentially. */
+  def muxAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int = 10): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le32(4L + body.length) ++ cc(listType) ++ body
+
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = le32(1000000L / fps) ++ le32(maxFrame.toLong * fps) ++ le32(0) ++
+      le32(0) /* flags: no idx1 index present */ ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(maxFrame.toLong) ++
+      le32(width.toLong) ++ le32(height.toLong) ++ Array.fill(16)(0.toByte)
+    val strh = cc("vids") ++ cc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(fps.toLong) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(maxFrame.toLong) ++ le32(0xffffffffL) ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le16(width) ++ le16(height)
+    val strf = le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      le16(1) ++ le16(24) ++ cc("MJPG") ++
+      le32(width.toLong * height * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length.toLong) ++ body
   }
 }

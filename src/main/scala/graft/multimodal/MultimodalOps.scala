@@ -1,21 +1,23 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Multimodal column plumbing for the training-data pipeline: media
   * (image/audio/video) as opaque `binary` columns with typed metadata,
   * processed by per-partition batch operators.
   *
-  * The Spark-side plumbing — schema, partitioning, operator signatures,
-  * batch shape (one iterator per partition, the Scala analog of
-  * `mapInPandas` batches) — is real and tested. The IMAGE and AUDIO
-  * codecs are real too ([[JdkCodecs]]: javax.imageio for PNG/BMP/GIF/
-  * JPEG, javax.sound for WAV — JDK built-ins, no external libraries).
-  * Only the VIDEO codec is a deterministic STUB (`StubCodecs`): no JDK
-  * video decoder exists; at 100 TB that call is an executor-local
-  * ffmpeg/native invocation with exactly this shape — bytes in,
-  * fixed-size features/frames out, no shuffle, no driver involvement.
+  * All three codec paths are REAL, JDK-only ([[JdkCodecs]]):
+  * javax.imageio for PNG/BMP/GIF/JPEG, javax.sound for WAV, and MJPEG
+  * (AVI container or bare concatenated JPEG) for video — every frame is
+  * an independent JPEG, so frame extraction needs no codec state.
+  * Inter-frame codecs (H.264 …) would be an executor-local native
+  * invocation with exactly the same shape — bytes in, fixed-size
+  * features/frames out, no shuffle, no driver involvement.
+  *
+  * The batch shape is `mapPartitions` (one iterator per partition, the
+  * Scala analog of `mapInPandas` batches): no per-row task overhead,
+  * executors stream partitions independently, corrupt media surfaces
+  * null features instead of killing the task.
   */
 object MultimodalOps {
 
@@ -26,88 +28,78 @@ object MultimodalOps {
   case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
-  /** STUB CODECS — deterministic fakes standing in for libjpeg/ffmpeg
-    * etc. Real deployments swap these for native decoders; everything
-    * around them (schema, batching, partitioning) is unchanged. */
-  object StubCodecs {
-    /** ??? real impl: decode compressed image bytes → pixel buffer. */
-    def decodeImage(bytes: Array[Byte]): Array[Byte] = {
-      // deterministic fake: xor-rolled bytes, fixed 64-byte "pixels"
-      val out = new Array[Byte](64)
-      var acc = 17
-      var i = 0
-      while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) & 0x7fffffff; i += 1 }
-      i = 0
-      while (i < out.length) { acc = (acc * 1103515245 + 12345) & 0x7fffffff; out(i) = (acc & 0xff).toByte; i += 1 }
-      out
-    }
-
-    /** ??? real impl: resample pixels to (w, h). */
-    def resize(pixels: Array[Byte], w: Int, h: Int): Array[Byte] =
-      pixels.take(math.max(1, math.min(pixels.length, w * h / 64)))
-
-    /** ??? real impl: decode frame `idx` of a video stream. */
-    def decodeFrame(bytes: Array[Byte], idx: Int): Array[Byte] =
-      decodeImage(bytes :+ idx.toByte)
-
-    /** ??? real impl: embed pixels via a vision model. 8-d fake. */
-    def embed(pixels: Array[Byte]): Array[Float] = {
-      val f = new Array[Float](8)
-      var i = 0
-      while (i < pixels.length) { f(i % 8) += (pixels(i) & 0xff) / 255.0f; i += 1 }
-      f
-    }
-  }
-
-  /** Deterministic synthetic media corpus (seeded by id). */
+  /** Deterministic synthetic media corpus (seeded by id) of REAL
+    * decodable media: PNG images, 16-bit PCM WAV clips, and MJPEG-AVI
+    * videos — produced with the same codecs a real pipeline would
+    * ingest. */
   def synthesize(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { id =>
-      val kind = (id % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      (id % 3) match {
+        case 0 =>
+          val w = 24 + (id % 4).toInt * 8
+          val h = 16
+          val img = syntheticImage(id, w, h)
+          MediaRow(id, "image", JdkCodecs.encodePng(img),
+            MediaMeta(w, h, 0, 1, "png"))
+        case 1 =>
+          val sr = 8000f
+          val nSamples = 400 + (id % 5).toInt * 100
+          val freq = 100.0 + (id % 7).toDouble * 50.0
+          val samples = Array.tabulate(nSamples)(i =>
+            (0.6 * math.sin(2 * math.Pi * freq * i / sr)).toFloat)
+          MediaRow(id, "audio", JdkCodecs.encodeWav(sr, samples),
+            MediaMeta(0, 0, sr.toInt, 0, "wav"))
+        case _ =>
+          val nFrames = 4 + (id % 4).toInt
+          val w = 32; val h = 24
+          val frames = (0 until nFrames).map(f =>
+            JdkCodecs.encodeJpeg(syntheticImage(id * 131 + f, w, h)))
+          MediaRow(id, "video", JdkCodecs.muxAvi(frames, w, h),
+            MediaMeta(w, h, 0, nFrames, "avi"))
       }
-      val len = 32 + (id % 96).toInt
-      val bytes = Array.tabulate(len)(i => ((id * 131 + i * 31 + 7) % 251).toByte)
-      val meta = kind match {
-        case "image" => MediaMeta(64 + (id % 8).toInt * 16, 64, 0, 1, "png")
-        case "audio" => MediaMeta(0, 0, 16000, 0, "wav")
-        case _ => MediaMeta(128, 72, 0, 8 + (id % 8).toInt, "mp4")
-      }
-      MediaRow(id, kind, bytes, meta)
     }
   }
 
-  /** Feature extraction: decode + embed per partition (batch shape —
-    * the iterator is the batch; no per-row task overhead, executors
-    * stream partitions independently). */
+  private def syntheticImage(seed: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (seed * 1103515245L + x * 31L + y * 131L) & 0x7fffffffL
+        img.setRGB(x, y, ((v % 251).toInt << 16) |
+          (((v >> 8) % 251).toInt << 8) | ((v >> 16) % 251).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Feature extraction for ALL media kinds: images and video first
+    * frames yield the 8-dim image statistics vector, audio the 8-dim
+    * signal statistics vector. Undecodable rows surface null features
+    * (curation pipelines filter them, they must not kill the job). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.map { m =>
-        val pixels = StubCodecs.decodeImage(m.bytes)
-        MediaFeatures(m.media_id, m.kind, StubCodecs.embed(pixels))
-      }
-    }
-  }
-
-  /** Image resize as a columnar transform (meta updated in lock-step). */
-  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
-    import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      if (m.kind != "image") m
-      else m.copy(
-        bytes = StubCodecs.resize(StubCodecs.decodeImage(m.bytes), w, h),
-        meta = m.meta.copy(width = w, height = h))
+      val feats = m.kind match {
+        case "image" =>
+          JdkCodecs.decodeImage(m.bytes).map(JdkCodecs.imageFeatures).orNull
+        case "audio" =>
+          JdkCodecs.decodeWav(m.bytes)
+            .map { case (sr, s) => JdkCodecs.audioFeatures(sr, s) }.orNull
+        case _ =>
+          JdkCodecs.decodeVideoFrame(m.bytes, 0)
+            .map(JdkCodecs.imageFeatures).orNull
+      }
+      MediaFeatures(m.media_id, m.kind, feats)
     })
   }
 
-  // ------------------------------------------------------------------
-  // REAL image/audio paths (JDK codecs — see [[JdkCodecs]]); same batch
-  // shapes as the stub pipeline, so swapping codecs changes no plumbing.
-
-  /** Real image feature extraction over PNG/BMP/GIF/JPEG bytes.
-    * Undecodable rows surface null features (curation pipelines filter
-    * them, they must not kill the job). */
+  /** Image feature extraction only (images filtered source-side). */
   def extractImageFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
@@ -117,9 +109,10 @@ object MultimodalOps {
     })
   }
 
-  /** Real image resize: decode → bilinear scale → PNG re-encode, meta
-    * updated in lock-step. Undecodable rows pass through unchanged. */
-  def resizeImagesReal(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+  /** Image resize: decode → bilinear scale → PNG re-encode, meta
+    * updated in lock-step. Non-images and undecodable rows pass
+    * through unchanged. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
       if (m.kind != "image") m
@@ -132,8 +125,8 @@ object MultimodalOps {
     })
   }
 
-  /** Real audio feature extraction over WAV bytes (silence/clipping/
-    * quality gates). Undecodable rows surface null features. */
+  /** Audio feature extraction over WAV bytes (silence/clipping/quality
+    * gates). Undecodable rows surface null features. */
   def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "audio").mapPartitions(_.map { m =>
@@ -144,15 +137,16 @@ object MultimodalOps {
     })
   }
 
-  /** Frame sampling: every `stride`-th frame of each video, exploded to
-    * one row per frame — the flatMap shape that parallelizes per video
-    * then per frame downstream. */
+  /** Frame sampling: every `stride`-th JPEG frame of each MJPEG video,
+    * exploded to one row per frame — the flatMap shape that
+    * parallelizes per video then per frame downstream. Frame bytes are
+    * the raw per-frame JPEG (decodable by [[JdkCodecs.decodeImage]]). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      (0 until m.meta.nFrames by stride).map { idx =>
-        Frame(m.media_id, idx, StubCodecs.decodeFrame(m.bytes, idx))
-      }
+      val frames = JdkCodecs.extractMjpegFrames(m.bytes)
+      (0 until frames.length by stride).map(idx =>
+        Frame(m.media_id, idx, frames(idx)))
     }
   }
 }
