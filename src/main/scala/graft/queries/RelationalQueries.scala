@@ -638,18 +638,36 @@ object RelationalQueries {
       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
 
   // --------------------------------------------------------------------
-  // q31 — approximate distinct (HLL). Sketches are engine-specific, so
-  // there is no DuckDB oracle; the driver records a rows-only check and
-  // the ScalaTest spec asserts the ±5% error bound against exact counts.
+  // q31 — approximate distinct (HLL). Sketch values are engine-specific
+  // (Spark HLL ≠ DuckDB HLL bit-for-bit), so the HASHABLE output is the
+  // exact distinct counts plus per-engine booleans asserting each
+  // engine's own sketch lands within the ±10% bound of its own exact
+  // count — every column is deterministic on both sides, so the driver
+  // hash-checks this like any other query while the approx operator
+  // still executes for real.
   private val q31 = QueryDef(
     "q31_approx_distinct",
     (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey")).as("__ap"),
+          approx_count_distinct(col("l_orderkey")).as("__ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("__ap") - col("exact_parts"))
+            <= col("exact_parts") * 0.1).as("approx_parts_ok"),
+          (abs(col("__ao") - col("exact_orders"))
+            <= col("exact_orders") * 0.1).as("approx_orders_ok"))
         .orderBy(col("l_returnflag")),
-    None)
+    Some("""SELECT l_returnflag,
+      count(DISTINCT l_partkey) AS exact_parts,
+      count(DISTINCT l_orderkey) AS exact_orders,
+      abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        <= count(DISTINCT l_partkey) * 0.1 AS approx_parts_ok,
+      abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+        <= count(DISTINCT l_orderkey) * 0.1 AS approx_orders_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   // --------------------------------------------------------------------
   // q32 — as-of join over the events stream: for each purchase, the most

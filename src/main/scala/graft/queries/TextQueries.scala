@@ -196,21 +196,39 @@ object TextQueries {
       GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 50"""))
 
   // --------------------------------------------------------------------
-  // q56 — heavy-hitter sources via the Misra–Gries typed Aggregator
-  // (§2.D custom aggregate in the query surface). Sketch estimates are
-  // partitioning-dependent within the n/k error bound, so like q31
-  // there is no DuckDB oracle — the driver records a rows-only check
-  // and HeavyHittersSpec asserts the guarantees.
+  // q56 — heavy-hitter tokens via the Misra–Gries typed Aggregator
+  // (§2.D custom aggregate in the query surface). MG estimates are
+  // partitioning-dependent, but its GUARANTEE is deterministic: every
+  // item with true frequency > n/(k+1) survives in a k-counter summary.
+  // So the hashable output is the candidate set verified against exact
+  // counts at threshold n/k — the sketch prunes 6k+ distinct tokens to
+  // 32 candidates (the 100-TB play: the exact re-count is a semi-join
+  // on a tiny broadcast key set, never a full-vocabulary aggregation),
+  // and the final set equals DuckDB's plain GROUP BY ... HAVING.
   private val q56 = QueryDef(
     "q56_heavy_hitter_sources",
     (s, dir) => {
       import s.implicits._
-      val sketch = t(s, dir, "documents").select(col("source")).as[String]
-        .select(new graft.functions.HeavyHitters(8).toColumn_.name("sketch"))
-      sketch.select(explode(col("sketch")).as(Seq("source", "est_count")))
-        .orderBy(col("est_count").desc, col("source"))
+      val k = 32
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val total = toks.count()
+      val sketch = toks.as[String]
+        .select(new graft.functions.HeavyHitters(k).toColumn_.name("sketch"))
+      val candidates = sketch
+        .select(explode(col("sketch")).as(Seq("token", "est_count")))
+        .select(col("token"))
+      toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+        .join(broadcast(candidates), Seq("token"), "left_semi")
+        .filter(col("n_tok") > lit(total / 32.0))
+        .orderBy(col("n_tok").desc, col("token"))
     },
-    None)
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents)
+      SELECT token, CAST(count(*) AS BIGINT) AS n_tok FROM toks
+      GROUP BY token
+      HAVING count(*) > (SELECT count(*) FROM toks) / 32.0
+      ORDER BY n_tok DESC, token"""))
 
   val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56)
 }
