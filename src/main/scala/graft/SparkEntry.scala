@@ -20,7 +20,8 @@ object SparkEntry {
   /** Every implemented operator, with its oracle where SQL-expressible. */
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ ExtendedQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs ++ CdcQueries.defs
+      DedupQueries.defs ++ SimilarityQueries.defs ++ CdcQueries.defs ++
+      EventQueries.defs ++ PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
