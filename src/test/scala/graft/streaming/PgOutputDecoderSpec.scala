@@ -1,0 +1,205 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import graft.SparkSpec
+import graft.storage.GraftTable
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Golden-bytes pgoutput decode (reference C2/C3,
+  * `/root/reference/pgserver/logrepl/decode.go`): messages are built
+  * byte-for-byte to the public pgoutput layout by an independent
+  * encoder below, decoded by [[PgOutputDecoder]], and driven end-to-end
+  * through condense + merge into a real table. */
+class PgOutputDecoderSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // independent message encoder (the spec's source of truth)
+
+  private def be(n: Long, bytes: Int): Array[Byte] =
+    (0 until bytes).map(i => ((n >> (8 * (bytes - 1 - i))) & 0xff).toByte).toArray
+
+  private def cstr(s: String): Array[Byte] =
+    s.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+
+  private def bytes(parts: Array[Byte]*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+
+  private def begin(lsn: Long, xid: Long): Array[Byte] =
+    bytes(Array('B'.toByte), be(lsn, 8), be(0L, 8), be(xid, 4))
+
+  private def commit(lsn: Long): Array[Byte] =
+    bytes(Array('C'.toByte, 0.toByte), be(lsn, 8), be(lsn + 1, 8), be(0L, 8))
+
+  private def relation(oid: Int, ns: String, name: String,
+      cols: (String, Int, Int)*): Array[Byte] =
+    bytes(Seq(Array('R'.toByte), be(oid, 4), cstr(ns), cstr(name),
+      Array('d'.toByte), be(cols.size, 2)) ++
+      cols.flatMap { case (cn, typ, mod) =>
+        Seq(Array(0.toByte), cstr(cn), be(typ, 4), be(mod.toLong & 0xffffffffL, 4))
+      }: _*)
+
+  /** TupleData: Some(text) → 't', None → 'n'. */
+  private def tup(vals: Option[String]*): Array[Byte] =
+    bytes(Seq(be(vals.size, 2)) ++ vals.map {
+      case Some(s) =>
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        bytes(Array('t'.toByte), be(b.length, 4), b)
+      case None => Array('n'.toByte)
+    }: _*)
+
+  private def insert(oid: Int, t: Array[Byte]): Array[Byte] =
+    bytes(Array('I'.toByte), be(oid, 4), Array('N'.toByte), t)
+
+  private def update(oid: Int, t: Array[Byte]): Array[Byte] =
+    bytes(Array('U'.toByte), be(oid, 4), Array('N'.toByte), t)
+
+  private def updateKeyChange(oid: Int, old: Array[Byte], nw: Array[Byte]): Array[Byte] =
+    bytes(Array('U'.toByte), be(oid, 4), Array('K'.toByte), old,
+      Array('N'.toByte), nw)
+
+  private def delete(oid: Int, key: Array[Byte]): Array[Byte] =
+    bytes(Array('D'.toByte), be(oid, 4), Array('K'.toByte), key)
+
+  private def truncate(oids: Int*): Array[Byte] =
+    bytes(Seq(Array('T'.toByte), be(oids.size, 4), Array(0.toByte)) ++
+      oids.map(be(_, 4)): _*)
+
+  // ------------------------------------------------------------------
+
+  private val relOid = 16384
+  private def rel = relation(relOid, "public", "t",
+    ("pk", 20, -1), ("val", 1043, -1))
+
+  private def decode(msgs: Seq[Array[Byte]], slot: String = "s1") = {
+    val df = msgs.zipWithIndex
+      .map { case (m, i) => (slot, i.toLong, m) }
+      .toDF("slot", "off", "payload")
+    PgOutputDecoder.decodeSlotStreams(df, "slot", "off", "payload",
+      "public.t", StructType(Seq(
+        StructField("pk", LongType), StructField("val", StringType))))
+  }
+
+  test("decodes insert/update/delete with txn coords from Begin LSNs") {
+    val out = decode(Seq(
+      begin(100L, 7), rel,
+      insert(relOid, tup(Some("1"), Some("a"))),
+      insert(relOid, tup(Some("2"), None)),
+      commit(100L),
+      begin(200L, 8),
+      update(relOid, tup(Some("1"), Some("a2"))),
+      delete(relOid, tup(Some("2"), None)),
+      commit(200L)))
+      .select("pk", "val", "action", "txn_seq", "txn_stmt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._4, t._5))
+    assert(out === Array(
+      (1L, "a", CdcMerge.ActionInsert, 100L, 1L),
+      (2L, null, CdcMerge.ActionInsert, 100L, 2L),
+      (1L, "a2", CdcMerge.ActionUpdate, 200L, 1L),
+      (2L, null, CdcMerge.ActionDelete, 200L, 2L)))
+  }
+
+  test("update with key change emits delete(old) + insert(new)") {
+    val out = decode(Seq(
+      begin(50L, 3), rel,
+      updateKeyChange(relOid,
+        tup(Some("1"), None), tup(Some("9"), Some("moved"))),
+      commit(50L)))
+      .select("pk", "val", "action", "txn_stmt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._4)
+    assert(out === Array(
+      (1L, null, CdcMerge.ActionDelete, 1L),
+      (9L, "moved", CdcMerge.ActionInsert, 2L)))
+  }
+
+  test("truncate emits the table-wide action row") {
+    val out = decode(Seq(begin(10L, 1), rel, truncate(relOid), commit(10L)))
+      .select("action", "txn_seq").collect()
+    assert(out === Array(Row(CdcMerge.ActionTruncate, 10L)))
+  }
+
+  test("messages for other relations are filtered out") {
+    val other = relation(99, "public", "other", ("x", 23, -1))
+    val out = decode(Seq(
+      begin(10L, 1), rel, other,
+      insert(99, tup(Some("5"))),
+      insert(relOid, tup(Some("1"), Some("a"))),
+      commit(10L)))
+    assert(out.count() === 1L)
+  }
+
+  test("typed text decode per OID incl. numeric typmod, bytea, arrays") {
+    val types = relation(relOid, "public", "t",
+      ("b", 16, -1), ("i2", 21, -1), ("f8", 701, -1),
+      ("num", 1700, (10 << 16 | 2) + 4), ("bin", 17, -1),
+      ("d", 1082, -1), ("tsz", 1184, -1), ("arr", 1007, -1),
+      ("txt", 1009, -1))
+    val df = Seq(("s1", 0L, begin(5L, 1)), ("s1", 1L, types),
+      ("s1", 2L, insert(relOid, tup(Some("t"), Some("-7"), Some("2.5"),
+        Some("12.3"), Some("\\x00ff10"), Some("2024-03-05"),
+        Some("2024-01-02 03:04:05.123456+00"), Some("{1,NULL,3}"),
+        Some("""{abc,"x,\"y",NULL}""")))))
+      .toDF("slot", "off", "payload")
+    val out = PgOutputDecoder.decodeSlotStreams(df, "slot", "off", "payload",
+      "public.t", StructType(Seq(
+        StructField("b", BooleanType), StructField("i2", ShortType),
+        StructField("f8", DoubleType),
+        StructField("num", DecimalType(10, 2)),
+        StructField("bin", BinaryType), StructField("d", DateType),
+        StructField("tsz", TimestampType),
+        StructField("arr", ArrayType(IntegerType)),
+        StructField("txt", ArrayType(StringType))))).collect()(0)
+    assert(out.getBoolean(0) === true)
+    assert(out.getShort(1) === -7.toShort)
+    assert(out.getDouble(2) === 2.5)
+    assert(out.getDecimal(3) === new java.math.BigDecimal("12.30"))
+    assert(out.getAs[Array[Byte]](4) === Array(0x00.toByte, 0xff.toByte, 0x10.toByte))
+    assert(out.getDate(5).toString === "2024-03-05")
+    assert(out.getTimestamp(6).toInstant ===
+      java.time.Instant.parse("2024-01-02T03:04:05.123456Z"))
+    assert(out.getSeq[Integer](7) === Seq(1, null, 3))
+    assert(out.getSeq[String](8) === Seq("abc", "x,\"y", null))
+  }
+
+  test("two slots decode independently within one DataFrame") {
+    val m1 = Seq(begin(10L, 1), rel, insert(relOid, tup(Some("1"), Some("a"))))
+    val m2 = Seq(begin(20L, 2), rel, insert(relOid, tup(Some("2"), Some("b"))))
+    val df = (m1.zipWithIndex.map { case (m, i) => ("s1", i.toLong, m) } ++
+      m2.zipWithIndex.map { case (m, i) => ("s2", i.toLong, m) })
+      .toDF("slot", "off", "payload")
+    val out = PgOutputDecoder.decodeSlotStreams(df, "slot", "off", "payload",
+      "public.t", StructType(Seq(
+        StructField("pk", LongType), StructField("val", StringType))))
+      .select("pk", "txn_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out === Array((1L, 10L), (2L, 20L)))
+  }
+
+  test("decoded stream drives condense + merge end-to-end") {
+    val schema = StructType(Seq(
+      StructField("pk", LongType), StructField("val", StringType)))
+    val t = GraftTable.create(spark, tmpDir("pgout_tbl"), schema, Seq("pk"))
+    val msgs = Seq(
+      begin(100L, 7), rel,
+      insert(relOid, tup(Some("1"), Some("a"))),
+      insert(relOid, tup(Some("2"), Some("b"))),
+      commit(100L),
+      begin(200L, 8),
+      update(relOid, tup(Some("1"), Some("a2"))),
+      delete(relOid, tup(Some("2"), None)),
+      insert(relOid, tup(Some("3"), Some("c"))),
+      commit(200L))
+    val decoded = decode(msgs)
+    CdcMerge.applyBatch(t, decoded.withColumn("action", col("action").cast("int")))
+    assert(t.read().orderBy("pk").as[(Long, String)].collect() ===
+      Array((1L, "a2"), (3L, "c")))
+  }
+}
