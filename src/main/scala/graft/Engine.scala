@@ -125,6 +125,40 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     if (db == currentDb) unregister(t)
   }
 
+  /** RENAME TABLE (A20's table-level form; MySQL `RENAME TABLE a TO b`
+    * / `ALTER TABLE a RENAME TO b`). A manifest-preserving directory
+    * move — version history, clustering metadata, and time travel all
+    * survive the rename. */
+  def renameTable(from: String, to: String): Unit = {
+    val (fromDb, f) = split(from)
+    val (toDb, t) = split(to)
+    val src = warehouse.resolve(fromDb).resolve(f)
+    val dst = warehouse.resolve(toDb).resolve(t)
+    require(Files.isDirectory(src.resolve("_manifest")), s"no such table: $from")
+    require(!Files.exists(dst), s"target exists: $to")
+    Files.move(src, dst)
+    // manifests record absolute data-file paths (immutable snapshots);
+    // re-anchor every version so history and time travel survive the move
+    val (srcPrefix, dstPrefix) = (src.toString, dst.toString)
+    Files.list(dst.resolve("_manifest")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).foreach { mf =>
+        val raw = mapper.readValue(Files.readAllBytes(mf),
+          classOf[java.util.Map[String, Object]])
+        raw.get("files") match {
+          case l: java.util.List[_] =>
+            val patched = l.asScala.map(_.toString match {
+              case p if p.startsWith(srcPrefix) => dstPrefix + p.stripPrefix(srcPrefix)
+              case p => p
+            }).asJava
+            raw.asInstanceOf[java.util.Map[String, Object]].put("files", patched)
+            Files.write(mf, mapper.writeValueAsBytes(raw))
+          case _ => ()
+        }
+      }
+    if (fromDb == currentDb) unregister(f)
+    if (toDb == currentDb) unregister(t)
+  }
+
   def listTables(db: String = currentDb): Seq[String] = {
     val d = warehouse.resolve(db)
     if (!Files.isDirectory(d)) Nil
@@ -355,6 +389,9 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
 
   def restoreDatabase(db: String, srcDir: Path): Unit = {
     if (!Files.isDirectory(warehouse.resolve(db))) createDatabase(db)
+    // RESTORE replaces the database's current content (the reference
+    // swaps in the downloaded .db file wholesale, restore_handler.go)
+    listTables(db).foreach(t => dropTable(s"$db.$t"))
     val names = mapper.readValue(Files.readAllBytes(srcDir.resolve("_tables.json")),
       classOf[java.util.List[String]]).asScala.toSeq
     names.foreach { t =>

@@ -30,14 +30,25 @@ object SqlRouter {
   private val UseDb = """(?is)\s*USE\s+(\w+)\s*""".r
   private val CreateTableAs =
     """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(SELECT.*|VALUES.*|WITH.*)""".r
+  // A19's MySQL structural-copy form (GMS routes CREATE TABLE LIKE to
+  // the catalog's schema clone): new empty table with the source's
+  // schema, primary key, and properties.
+  private val CreateTableLike =
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+LIKE\s+([\w.]+)\s*""".r
   private val CreateTable =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s*\((.*)\)\s*""".r
-  private val DropTable = """(?is)\s*DROP\s+TABLE\s+([\w.]+)\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*""".r
+  private val DropTable =
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*""".r
   private val CreateView =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)""".r
   private val DropView = """(?is)\s*DROP\s+VIEW\s+([\w.]+)\s*""".r
   private val Insert =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
+  // explicit column-list form: INSERT INTO t (a, b) VALUES/SELECT ... —
+  // unlisted columns are null-filled (MySQL fills defaults; the
+  // engine's default expressions are applied by GraftTable.insert)
+  private val InsertCols =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*\(([\w\s,]+)\)\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
   // MySQL DML edge statements (reference routes them at
   // /root/reference/backend/executor.go:84-116 and
   // /root/reference/catalog/table.go:543-552; tested main_test.go:840-869)
@@ -54,7 +65,17 @@ object SqlRouter {
   private val ShowDatabases = """(?is)\s*SHOW\s+DATABASES\s*""".r
   private val ShowTables = """(?is)\s*SHOW\s+TABLES\s*""".r
   private val ShowColumns =
-    """(?is)\s*SHOW\s+COLUMNS\s+FROM\s+([\w.]+)\s*""".r
+    """(?is)\s*(?:SHOW\s+COLUMNS\s+FROM|DESCRIBE|DESC)\s+([\w.]+)\s*""".r
+  private val ShowCreateTable =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*""".r
+  private val RenameTable =
+    """(?is)\s*(?:RENAME\s+TABLE\s+([\w.]+)\s+TO|ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO)\s+([\w.]+)\s*""".r
+  // A39: BACKUP/RESTORE DATABASE ... TO/FROM '<dir or Hadoop-FS URI>'
+  // (reference pgserver/backup_handler.go:28-175 / restore_handler.go)
+  private val BackupDb =
+    """(?is)\s*BACKUP\s+DATABASE\s+(\w+)\s+TO\s+'([^']+)'\s*""".r
+  private val RestoreDb =
+    """(?is)\s*RESTORE\s+DATABASE\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
   private val ShowVariables =
     """(?is)\s*SHOW\s+VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*""".r
   private val SetVariable =
@@ -89,10 +110,21 @@ object SqlRouter {
       val df = engine.sql(query)
       engine.createTable(name, df.schema)
       Result(None, engine.table(name).insert(df))
-    case CreateTable(name, colsAndPk) =>
-      val (schema, pk) = parseColumns(colsAndPk)
-      engine.createTable(name, schema, pk); ddl
-    case DropTable(name) => engine.dropTable(name); ddl
+    case CreateTableLike(ifNotExists, name, src) =>
+      if (ifNotExists != null && tableExists(engine, name)) ddl
+      else {
+        val m = engine.table(src).manifest
+        engine.createTable(name, m.schema, m.pkCols, m.props); ddl
+      }
+    case CreateTable(ifNotExists, name, colsAndPk) =>
+      if (ifNotExists != null && tableExists(engine, name)) ddl
+      else {
+        val (schema, pk) = parseColumns(colsAndPk)
+        engine.createTable(name, schema, pk); ddl
+      }
+    case DropTable(ifExists, name) =>
+      if (ifExists != null && !tableExists(engine, name)) ddl
+      else { engine.dropTable(name); ddl }
     case CreateView(name, defn) => engine.createView(name, defn); ddl
     case DropView(name) => engine.dropView(name); ddl
     case Begin() => engine.begin(); ddl
@@ -113,6 +145,10 @@ object SqlRouter {
         k.trim -> v.trim.replaceAll("(?i)VALUES\\s*\\(\\s*(\\w+)\\s*\\)", "__new_$1")
       }.toMap
       Result(None, t.upsertOnDuplicate(sourceDf(engine, t, rest), sets))
+    case InsertCols(name, colList, rest) =>
+      val t = engine.table(name)
+      Result(None, t.insert(sourceDfCols(engine, t,
+        colList.split(',').map(_.trim).toSeq, rest)))
     case Insert(name, rest) =>
       val t = engine.table(name)
       Result(None, t.insert(sourceDf(engine, t, rest)))
@@ -144,6 +180,17 @@ object SqlRouter {
       import sp.implicits._
       Result(Some(rows.toSeq.toDF("column_name", "data_type", "is_nullable",
         "is_primary_key")), 0L)
+    case ShowCreateTable(name) =>
+      val sp = engine.spark
+      import sp.implicits._
+      Result(Some(Seq((name.split('.').last, createTableSql(engine, name)))
+        .toDF("table_name", "create_statement")), 0L)
+    case RenameTable(fromR, fromA, to) =>
+      engine.renameTable(Option(fromR).getOrElse(fromA), to); ddl
+    case BackupDb(db, dest) =>
+      engine.backupDatabase(db, java.nio.file.Paths.get(dest)); ddl
+    case RestoreDb(db, src) =>
+      engine.restoreDatabase(db, java.nio.file.Paths.get(src)); ddl
     case ShowVariables(like) =>
       val sp = engine.spark
       import sp.implicits._
@@ -180,6 +227,40 @@ object SqlRouter {
 
   private def ddl: Result = Result(None, -1L)
 
+  /** Execute a `;`-separated multi-statement script (the reference's
+    * dump/shell ingest path feeds scripts statement-at-a-time through
+    * the same executor dispatch, `backend/executor.go:73` — this is
+    * that loop). Statement boundaries respect quoted strings; returns
+    * one Result per non-empty statement, in order. A failed statement
+    * aborts the rest (and, inside BEGIN...COMMIT, leaves the open
+    * transaction to the caller's rollback). */
+  def executeScript(engine: Engine, script: String): Seq[Result] =
+    splitStatements(script).map(execute(engine, _))
+
+  /** Split on `;` outside single/double-quoted strings ('' doubling
+    * and backslash escapes respected). */
+  private[graft] def splitStatements(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == '\\' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 1 }
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c; cur.append(c)
+        case ';' => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Build the source DataFrame of an INSERT-family statement: a
     * `VALUES ...` tail is wrapped so Catalyst types the tuples against
     * the table's column list; `SELECT`/`FROM` tails run as-is. */
@@ -191,6 +272,49 @@ object SqlRouter {
         s"SELECT * FROM ($rest) AS __v(${names.mkString(", ")})"
       else rest
     engine.sql(q).toDF(names: _*)
+  }
+
+  private def tableExists(engine: Engine, name: String): Boolean =
+    try { engine.table(name); true } catch { case _: Exception => false }
+
+  /** Column-list INSERT: type the VALUES tuples against the listed
+    * columns, then null-fill the unlisted ones in declared order. */
+  private def sourceDfCols(engine: Engine, t: graft.storage.GraftTable,
+      cols: Seq[String], rest: String): DataFrame = {
+    val fields = t.schema.fields
+    cols.foreach(c => require(fields.exists(_.name.equalsIgnoreCase(c)),
+      s"unknown column $c"))
+    val q =
+      if (rest.trim.toUpperCase.startsWith("VALUES"))
+        s"SELECT * FROM ($rest) AS __v(${cols.mkString(", ")})"
+      else rest
+    val src = engine.sql(q).toDF(cols: _*)
+    val out = fields.map { f =>
+      cols.find(_.equalsIgnoreCase(f.name))
+        .map(org.apache.spark.sql.functions.col(_).cast(f.dataType))
+        .getOrElse(org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+        .as(f.name)
+    }
+    src.select(out.toIndexedSeq: _*)
+  }
+
+  /** Render the manifest back to DDL (A26's SHOW CREATE TABLE: the
+    * reference assembles it from its catalog comments/sequences,
+    * `/root/reference/catalog/table.go` — here the manifest IS the
+    * catalog). */
+  private def createTableSql(engine: Engine, name: String): String = {
+    val m = engine.table(name).manifest
+    val cols = m.schema.fields.map { f =>
+      val nn = if (f.nullable) "" else " NOT NULL"
+      s"  ${f.name} ${f.dataType.sql}$nn"
+    }
+    val pk = if (m.pkCols.nonEmpty)
+      Seq(s"  PRIMARY KEY (${m.pkCols.mkString(", ")})") else Nil
+    val props = if (m.props.nonEmpty)
+      " TBLPROPERTIES (" + m.props.toSeq.sorted
+        .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
+    else ""
+    (cols ++ pk).mkString(s"CREATE TABLE ${name.split('.').last} (\n", ",\n", s"\n)$props")
   }
 
   private def seqDf(engine: Engine, xs: Seq[String], colName: String): DataFrame = {

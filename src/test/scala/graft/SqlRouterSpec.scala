@@ -136,6 +136,84 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SELECT v FROM t").df.get.as[String].collect() === Array("y"))
   }
 
+  test("CREATE TABLE LIKE / IF NOT EXISTS / DROP IF EXISTS") {
+    val e = new Engine(spark, tmpDir("router_like"))
+    exec(e, "CREATE TABLE src (id BIGINT PRIMARY KEY, v STRING)")
+    exec(e, "CREATE TABLE dst LIKE src")
+    assert(e.table("dst").manifest.pkCols === Seq("id"))
+    assert(e.table("dst").schema.fieldNames === Array("id", "v"))
+    assert(exec(e, "SELECT count(*) FROM dst").df.get.as[Long].head() === 0)
+    // IF NOT EXISTS: silent no-ops on existing names
+    exec(e, "CREATE TABLE IF NOT EXISTS dst (x INT)")
+    exec(e, "CREATE TABLE IF NOT EXISTS dst LIKE src")
+    assert(e.table("dst").schema.fieldNames === Array("id", "v"))
+    exec(e, "DROP TABLE IF EXISTS nothere")
+    exec(e, "DROP TABLE IF EXISTS dst")
+    assert(e.listTables() === Seq("src"))
+  }
+
+  test("column-list INSERT null-fills unlisted columns") {
+    val e = new Engine(spark, tmpDir("router_inscols"))
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING, n INT)")
+    val r = exec(e, "INSERT INTO t (v, id) VALUES ('a', 1), ('b', 2)")
+    assert(r.affected === 2)
+    assert(exec(e, "SELECT id, v, n FROM t ORDER BY id").df.get
+      .as[(Long, String, Option[Int])].collect()
+      === Array((1L, "a", None), (2L, "b", None)))
+  }
+
+  test("RENAME TABLE and ALTER TABLE RENAME TO preserve history") {
+    val e = new Engine(spark, tmpDir("router_rename"))
+    exec(e, "CREATE TABLE a (id INT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO a VALUES (1, 'x')")
+    exec(e, "RENAME TABLE a TO b")
+    assert(e.listTables() === Seq("b"))
+    assert(exec(e, "SELECT v FROM b").df.get.as[String].collect() === Array("x"))
+    exec(e, "ALTER TABLE b RENAME TO c")
+    assert(e.listTables() === Seq("c"))
+    assert(e.table("c").history().nonEmpty)
+  }
+
+  test("SHOW CREATE TABLE and DESCRIBE") {
+    val e = new Engine(spark, tmpDir("router_showcreate"))
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING)")
+    val (tn, stmt) = exec(e, "SHOW CREATE TABLE t").df.get
+      .as[(String, String)].head()
+    assert(tn === "t")
+    assert(stmt.contains("id BIGINT") && stmt.contains("v STRING") &&
+      stmt.contains("PRIMARY KEY (id)"))
+    // the rendered DDL round-trips through the router
+    exec(e, stmt.replace("CREATE TABLE t", "CREATE TABLE t2"))
+    assert(e.table("t2").manifest.pkCols === Seq("id"))
+    val desc = exec(e, "DESCRIBE t").df.get
+      .as[(String, String, Boolean, Boolean)].collect()
+    assert(desc.map(_._1) === Array("id", "v"))
+  }
+
+  test("BACKUP / RESTORE DATABASE as SQL") {
+    val e = new Engine(spark, tmpDir("router_backup"))
+    exec(e, "CREATE TABLE t (id INT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO t VALUES (1, 'x'), (2, 'y')")
+    val dest = tmpDir("router_backup_dest")
+    exec(e, s"BACKUP DATABASE main TO '$dest'")
+    exec(e, "DELETE FROM t WHERE id = 2")
+    exec(e, s"RESTORE DATABASE main FROM '$dest'")
+    assert(exec(e, "SELECT count(*) FROM t").df.get.as[Long].head() === 2)
+  }
+
+  test("multi-statement script execution") {
+    val e = new Engine(spark, tmpDir("router_script"))
+    val rs = SqlRouter.executeScript(e,
+      """CREATE TABLE t (id INT PRIMARY KEY, v STRING);
+         INSERT INTO t VALUES (1, 'a;b'), (2, 'c');
+         BEGIN;
+         UPDATE t SET v = 'z' WHERE id = 2;
+         COMMIT;
+         SELECT v FROM t ORDER BY id""")
+    assert(rs.size === 6)
+    assert(rs.last.df.get.as[String].collect() === Array("a;b", "z"))
+  }
+
   test("SHOW TABLES / DATABASES / COLUMNS and SET / SHOW VARIABLES") {
     val e = new Engine(spark, tmpDir("router_show"))
     exec(e, "CREATE TABLE t (id INT PRIMARY KEY, v STRING)")
