@@ -297,5 +297,14 @@ object GraftFunctions {
       exprs => ShingleCodeSet(exprs(0)), "built-in")
     fr.createOrReplaceTempFunction("zorder2",
       exprs => ZOrder2(exprs(0), exprs(1)), "built-in")
+    // A36 charset transcoding (`/root/reference/charset/charset.go`
+    // converts result bytes UTF-8 ↔ client charset): transcode(bin,
+    // from, to) → binary, composed from Spark's codegen'd
+    // decode/encode expressions — bytes in charset `from` re-encoded
+    // into charset `to`.
+    fr.createOrReplaceTempFunction("transcode",
+      exprs => new org.apache.spark.sql.catalyst.expressions.Encode(
+        new org.apache.spark.sql.catalyst.expressions.Decode(
+          Seq(exprs(0), exprs(1))), exprs(2)), "built-in")
   }
 }

@@ -63,12 +63,34 @@ object BinlogRowDecoder {
   final case class NewDecimal(precision: Int, scale: Int) extends BinlogType {
     val sparkType: DataType = DecimalType(precision, scale)
   }
-  final case class Varchar(maxLen: Int) extends BinlogType { val sparkType: DataType = StringType }
+  /** `charset` = the column's declared charset (A36: the reference
+    * transcodes every text cell to UTF-8 on ingest,
+    * `/root/reference/charset/charset.go` — here the decode itself
+    * reads the bytes in the declared charset, same net effect). Any
+    * JDK-supported name works: latin1 → ISO-8859-1, gbk, utf8mb4 →
+    * UTF-8, ... */
+  final case class Varchar(maxLen: Int, charset: String = "UTF-8")
+      extends BinlogType { val sparkType: DataType = StringType }
   /** metadata = number of length-prefix bytes (1, 2, 3 or 4). */
   final case class Blob(lenBytes: Int) extends BinlogType { val sparkType: DataType = BinaryType }
+  /** TEXT columns: BLOB layout, decoded to a string in the column's
+    * declared charset. */
+  final case class Text(lenBytes: Int, charset: String = "UTF-8")
+      extends BinlogType { val sparkType: DataType = StringType }
   final case class Json(lenBytes: Int = 4) extends BinlogType { val sparkType: DataType = StringType }
 
   private val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  /** MySQL charset names → JDK charsets (the reference's mapping table,
+    * `charset/charset.go`; JDK names cover the rest verbatim). */
+  private def charsetFor(name: String): java.nio.charset.Charset =
+    java.nio.charset.Charset.forName(name.toLowerCase match {
+      case "latin1" => "ISO-8859-1"
+      case "utf8" | "utf8mb4" | "utf8mb3" => "UTF-8"
+      case "ucs2" => "UTF-16BE"
+      case "binary" => "ISO-8859-1"
+      case other => other
+    })
 
   def rowSchema(specs: Seq[ColSpec]): StructType =
     StructType(specs.map(s => StructField(s.name, s.tpe.sparkType)))
@@ -175,18 +197,22 @@ object BinlogRowDecoder {
       (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(secs, fr * 1000)), 4 + frBytes)
     case NewDecimal(precision, scale) =>
       decodeDecimal(data, pos, precision, scale)
-    case Varchar(maxLen) =>
+    case Varchar(maxLen, charset) =>
+      val cs = charsetFor(charset)
       if (maxLen > 255) {
         val l = uint(data, pos, 2).toInt
-        (new String(data, pos + 2, l, StandardCharsets.UTF_8), l + 2)
+        (new String(data, pos + 2, l, cs), l + 2)
       } else {
         val l = data(pos) & 0xff
-        (new String(data, pos + 1, l, StandardCharsets.UTF_8), l + 1)
+        (new String(data, pos + 1, l, cs), l + 1)
       }
     case Blob(lenBytes) =>
       val l = uint(data, pos, lenBytes).toInt
       (java.util.Arrays.copyOfRange(data, pos + lenBytes, pos + lenBytes + l),
         lenBytes + l)
+    case Text(lenBytes, charset) =>
+      val l = uint(data, pos, lenBytes).toInt
+      (new String(data, pos + lenBytes, l, charsetFor(charset)), lenBytes + l)
     case Json(lenBytes) =>
       val l = uint(data, pos, lenBytes).toInt
       val payload = java.util.Arrays.copyOfRange(data, pos + lenBytes, pos + lenBytes + l)

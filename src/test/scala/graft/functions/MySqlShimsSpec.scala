@@ -61,4 +61,18 @@ class MySqlShimsSpec extends SparkSpec {
     assert(spark.sql("SELECT ps_current_thread_id()").collect().head.getLong(0)
       === r.getLong(3))
   }
+
+  test("transcode re-encodes bytes between charsets (A36)") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT transcode(X'636166E9', 'ISO-8859-1', 'UTF-8') AS u8,
+                transcode(encode('café', 'UTF-8'), 'UTF-8', 'ISO-8859-1') AS l1,
+                decode(transcode(X'636166E9', 'ISO-8859-1', 'UTF-8'), 'UTF-8') AS s
+      """).collect().head
+    assert(r.getAs[Array[Byte]](0).toSeq ===
+      "café".getBytes("UTF-8").toSeq)
+    assert(r.getAs[Array[Byte]](1).toSeq ===
+      Seq[Byte]('c', 'a', 'f', 0xe9.toByte))
+    assert(r.getString(2) === "café")
+  }
 }

@@ -144,7 +144,7 @@ class BinlogRowDecoderSpec extends SparkSpec {
         case Timestamp2(0) => be(v.asInstanceOf[java.time.Instant].getEpochSecond, 4)
         case NewDecimal(p, s) => encDecimal(
           v.asInstanceOf[java.math.BigDecimal].unscaledValue().longValueExact(), p, s)
-        case Varchar(max) => encVarchar(v.asInstanceOf[String], max)
+        case Varchar(max, _) => encVarchar(v.asInstanceOf[String], max)
         case Blob(lb) =>
           val b = v.asInstanceOf[Array[Byte]]; le(b.length.toLong, lb) ++ b
         case Json(lb) =>
@@ -183,6 +183,21 @@ class BinlogRowDecoderSpec extends SparkSpec {
     val blob = Array[Byte](3, 0, 0x01, 0x02, 0x03)
     assert(decodeCell(blob, 0, Blob(2))._1
       .asInstanceOf[Array[Byte]].toSeq === Seq[Byte](1, 2, 3))
+  }
+
+  test("charset-declared text cells transcode to UTF-8 strings (A36)") {
+    // latin1 'café': 63 61 66 E9 — é is one byte 0xE9 in ISO-8859-1
+    val latin = Array[Byte](4, 'c', 'a', 'f', 0xe9.toByte)
+    assert(decodeCell(latin, 0, Varchar(50, "latin1"))._1 === "café")
+    // gbk '中' = 0xD6D0 (two bytes), via the TEXT/BLOB layout
+    val gbk = Array[Byte](2, 0xd6.toByte, 0xd0.toByte)
+    assert(decodeCell(gbk, 0, Text(1, "gbk"))._1 === "中")
+    // ucs2 'AB' = 00 41 00 42 big-endian UTF-16
+    val ucs2 = Array[Byte](4, 0, 0x41, 0, 0x42)
+    assert(decodeCell(ucs2, 0, Varchar(50, "ucs2"))._1 === "AB")
+    // utf8mb4 alias resolves to UTF-8
+    val u8 = Array[Byte](2, 0xc3.toByte, 0xa9.toByte)
+    assert(decodeCell(u8, 0, Varchar(50, "utf8mb4"))._1 === "é")
   }
 
   test("golden binary JSON: hand-written small array and object") {
