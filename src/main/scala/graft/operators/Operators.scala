@@ -105,6 +105,56 @@ object Operators {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Prefix-filtered inverted-index Jaccard pairs — the SPARSE-corpus
+    * exact near-dup path (the all-pairs scan of
+    * `DedupQueries.exactJaccardPairs` is the dense-corpus choice; this
+    * is the alternative its scaladoc names). Input: `idCol` + a SORTED
+    * distinct code array (`shingle_code_set` output). The classic
+    * ppjoin-style cascade:
+    *
+    *  1. length filter — Jaccard ≥ τ forces |a∩b| ≥ τ·|a∪b| ≥
+    *     τ·max(|a|,|b|), so min size ≥ τ·max size: pairs outside the
+    *     size ratio never verify;
+    *  2. prefix filter — index only the first |s| − ⌈τ·|s|⌉ + 1 codes
+    *     of each sorted set: two qualifying sets MUST share a prefix
+    *     code (fewer than ⌈τ·|s|⌉ overlaps are impossible otherwise),
+    *     so the inverted-index join touches Σ df(prefix)² candidate
+    *     rows instead of Σ df² — the gap grows with τ;
+    *  3. exact verify — `sorted_intersect_count` on the full arrays.
+    *
+    * Every stage is a keyed shuffle (code, then pair, then id) — no
+    * broadcast of the corpus, no driver state: the 100 TB shape. At
+    * low τ the prefix approaches the whole set and the dense-corpus
+    * broadcast scan wins instead; measure at your τ.
+    */
+  def jaccardPairsPrefix(codeSets: DataFrame, idCol: String, setCol: String,
+      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau in (0,1]: $tau")
+    val sets = codeSets.select(col(idCol).as("__id"), col(setCol).as("__cs"),
+      size(col(setCol)).as("__len"))
+    val pref = sets.select(col("__id"), col("__len"),
+        explode(slice(col("__cs"), lit(1),
+          (col("__len") - ceil(col("__len") * tau) + 1).cast("int"))).as("__code"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.__code") === col("y.__code") &&
+          col("x.__id") < col("y.__id") &&
+          // length filter inside the join condition: cheap conjuncts
+          // prune before the pair ever materializes downstream
+          col("y.__len") * tau <= col("x.__len") &&
+          col("x.__len") * tau <= col("y.__len"))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("__id").as("a_id"), col("__cs").as("ca")), "a_id")
+      .join(sets.select(col("__id").as("b_id"), col("__cs").as("cb")), "b_id")
+      .withColumn("inter", expr("sorted_intersect_count(ca, cb)"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ca")) + size(col("cb")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
+        col("jaccard"))
+  }
+
   /** Connected components over an undirected edge list — the dedup
     * pipeline's clustering step (every near-dup pair collapses into a
     * cluster; keep min id as canonical). Iterative min-label

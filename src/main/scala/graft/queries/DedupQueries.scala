@@ -84,8 +84,8 @@ object DedupQueries {
         .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
 
-  /** DuckDB CTE fragment producing the same pair set (`pairs`). */
-  private lazy val pairsDuck: String =
+  /** DuckDB CTE fragment producing the exact pair set at `tau`. */
+  private def pairsDuckAt(tau: Double): String =
     s"""$shingleCodesDuck,
       carr AS (SELECT doc_id, list_distinct(list(code)) AS cs FROM codes GROUP BY doc_id),
       pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -94,7 +94,10 @@ object DedupQueries {
           (len(a.cs) + len(b.cs) - len(list_intersect(a.cs, b.cs))) AS jaccard
       FROM carr a JOIN carr b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.cs, b.cs)) AS DOUBLE) /
-          (len(a.cs) + len(b.cs) - len(list_intersect(a.cs, b.cs))) >= 0.08)"""
+          (len(a.cs) + len(b.cs) - len(list_intersect(a.cs, b.cs))) >= $tau)"""
+
+  /** The q61/q66 pair set (`pairs`). */
+  private lazy val pairsDuck: String = pairsDuckAt(0.08)
 
   private val q61 = QueryDef(
     "q61_jaccard_pairs",
@@ -283,5 +286,21 @@ object DedupQueries {
         AND levenshtein(a.p_name, b.p_name) <= 4
       ORDER BY a_id, b_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66)
+  // --------------------------------------------------------------------
+  // q89 — prefix-filtered inverted-index Jaccard pairs
+  // ([[graft.operators.Operators.jaccardPairsPrefix]]): the SPARSE-
+  // corpus counterpart of q61's broadcast pair scan, at the near-dup
+  // threshold τ=0.5 where the prefix filter indexes only half of each
+  // set. Same exact semantics as q61's formulation, different plan
+  // shape: every stage is a keyed shuffle, nothing is broadcast.
+  private val q89 = QueryDef(
+    "q89_jaccard_prefix",
+    (s, dir) =>
+      graft.operators.Operators.jaccardPairsPrefix(
+        codeSets(s, dir), "doc_id", "cs", 0.5)
+        .orderBy(col("a_id"), col("b_id")),
+    Some(s"""WITH ${pairsDuckAt(0.5)}
+      SELECT a_id, b_id, inter, jaccard FROM pairs ORDER BY a_id, b_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q89)
 }

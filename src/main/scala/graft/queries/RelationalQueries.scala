@@ -645,21 +645,32 @@ object RelationalQueries {
   // count — every column is deterministic on both sides, so the driver
   // hash-checks this like any other query while the approx operator
   // still executes for real.
+  // Plan note: two different DISTINCT columns in one aggregate make
+  // Spark Expand the input (one replica per distinct group + one for
+  // the plain aggregates — 3× the scan feeding the shuffle). Instead:
+  // dedup each (flag, key) pair first — a groupBy whose map-side
+  // partial collapses duplicates BEFORE the shuffle — then count the
+  // survivors; the HLL sketch is insertion-idempotent, so building it
+  // over the deduped pairs yields the identical estimate. Two slim
+  // pipelines + a 3-row join in place of one 3×-expanded shuffle.
   private val q31 = QueryDef(
     "q31_approx_distinct",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_partkey")).as("__ap"),
-          approx_count_distinct(col("l_orderkey")).as("__ao"))
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def side(key: String, cnt: String, ok: String) =
+        li.groupBy(col("l_returnflag"), col(key)).agg(count(lit(1)).as("__n"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as(cnt),
+            approx_count_distinct(col(key)).as("__a"))
+          .select(col("l_returnflag"), col(cnt),
+            (abs(col("__a") - col(cnt)) <= col(cnt) * 0.1).as(ok))
+      side("l_partkey", "exact_parts", "approx_parts_ok")
+        .join(side("l_orderkey", "exact_orders", "approx_orders_ok"),
+          "l_returnflag")
         .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
-          (abs(col("__ap") - col("exact_parts"))
-            <= col("exact_parts") * 0.1).as("approx_parts_ok"),
-          (abs(col("__ao") - col("exact_orders"))
-            <= col("exact_orders") * 0.1).as("approx_orders_ok"))
-        .orderBy(col("l_returnflag")),
+          col("approx_parts_ok"), col("approx_orders_ok"))
+        .orderBy(col("l_returnflag"))
+    },
     Some("""SELECT l_returnflag,
       count(DISTINCT l_partkey) AS exact_parts,
       count(DISTINCT l_orderkey) AS exact_orders,

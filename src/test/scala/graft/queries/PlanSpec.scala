@@ -95,6 +95,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q89: prefix-filtered pairs stay keyed — no broadcast of the corpus") {
+    // the sparse-corpus path must be pure keyed shuffles: an inverted-
+    // index equi-join on the prefix code, never a nested-loop over a
+    // broadcast corpus (that's q61's dense-corpus plan) and never a
+    // cartesian product
+    val p = plan("q89_jaccard_prefix")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("sortedintersectcount"), "native intersect in verify stage")
+  }
+
+  test("q31: distinct counts avoid the multi-distinct Expand") {
+    // two DISTINCT columns in one aggregate would Expand the scan 3×;
+    // the dedup-first formulation must keep Expand out of the plan
+    val p = plan("q31_approx_distinct")
+    assert(!p.contains("Expand"), p.take(3000))
+  }
+
   test("q70: native vec_dot in plan + partial top-k pushdown") {
     val p = plan("q70_knn_brute")
     assert(p.contains("vecdot"), "native expression should appear in plan")
