@@ -227,6 +227,46 @@ object SqlRouter {
 
   private def ddl: Result = Result(None, -1L)
 
+  /** Statement classification → command tag (A38,
+    * `/root/reference/pgserver/stmt.go:37-101`: statement type decides
+    * the wire tag, with a leading-keyword guess for statements the
+    * parser doesn't model). The tag names follow the PG wire
+    * convention the reference emits. */
+  def classify(sqlText: String): String = {
+    val t = sqlText.trim
+    val kw = t.takeWhile(c => c.isLetter).toUpperCase
+    (kw, t.toUpperCase) match {
+      case (_, u) if u.startsWith("SELECT") || u.startsWith("WITH") ||
+        u.startsWith("TABLE") || u.startsWith("VALUES") => "SELECT"
+      case ("INSERT", _) => "INSERT"
+      case ("REPLACE", _) => "INSERT"
+      case ("UPDATE", _) => "UPDATE"
+      case ("DELETE", _) => "DELETE"
+      case ("TRUNCATE", _) => "TRUNCATE TABLE"
+      case ("BEGIN", _) | ("START", _) => "BEGIN"
+      case ("COMMIT", _) => "COMMIT"
+      case ("ROLLBACK", _) => "ROLLBACK"
+      case ("USE", _) => "USE"
+      case ("SET", _) => "SET"
+      case ("SHOW", _) | ("DESCRIBE", _) | ("DESC", _) => "SHOW"
+      case ("CREATE", u) => "CREATE " + u.split("\\s+").drop(1)
+        .dropWhile(Set("OR", "REPLACE", "TEMPORARY", "TEMP", "UNIQUE"))
+        .headOption.getOrElse("")
+      case ("DROP", u) => "DROP " + u.split("\\s+").drop(1).headOption.getOrElse("")
+      case ("ALTER", u) => "ALTER " + u.split("\\s+").drop(1).headOption.getOrElse("")
+      case ("RENAME", _) => "RENAME TABLE"
+      case ("OPTIMIZE", _) => "OPTIMIZE"
+      case ("VACUUM", _) => "VACUUM"
+      case ("ANALYZE", _) => "ANALYZE"
+      case ("BACKUP", _) => "BACKUP"
+      case ("RESTORE", _) => "RESTORE"
+      case ("LOAD", _) => "LOAD"
+      case ("COPY", _) => "COPY"
+      // the reference's fallback: tag by the first keyword
+      case (other, _) => other
+    }
+  }
+
   /** Execute a `;`-separated multi-statement script (the reference's
     * dump/shell ingest path feeds scripts statement-at-a-time through
     * the same executor dispatch, `backend/executor.go:73` — this is

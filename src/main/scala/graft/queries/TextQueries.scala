@@ -212,14 +212,20 @@ object TextQueries {
       val k = 32
       val toks = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
-      val total = toks.count()
+      // grand total WITHOUT exploding: Σ per-doc token counts — a
+      // single columnar scan with a codegen size(split(...)), no
+      // shuffle beyond the 1-row agg
+      val total = t(s, dir, "documents")
+        .agg(sum(size(split(col("text"), " ")))).first().getLong(0)
       val sketch = toks.as[String]
         .select(new graft.functions.HeavyHitters(k).toColumn_.name("sketch"))
       val candidates = sketch
         .select(explode(col("sketch")).as(Seq("token", "est_count")))
         .select(col("token"))
-      toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
-        .join(broadcast(candidates), Seq("token"), "left_semi")
+      // semi-join BEFORE the aggregation: only candidate tokens enter
+      // the count shuffle (≤k keys), never the full vocabulary
+      toks.join(broadcast(candidates), Seq("token"), "left_semi")
+        .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
         .filter(col("n_tok") > lit(total / 32.0))
         .orderBy(col("n_tok").desc, col("token"))
     },

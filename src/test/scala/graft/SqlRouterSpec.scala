@@ -201,6 +201,29 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SELECT count(*) FROM t").df.get.as[Long].head() === 2)
   }
 
+  test("statement classification emits the wire command tags (A38)") {
+    val cases = Seq(
+      "SELECT 1" -> "SELECT",
+      " with x as (select 1) select * from x" -> "SELECT",
+      "VALUES (1)" -> "SELECT",
+      "INSERT INTO t VALUES (1)" -> "INSERT",
+      "REPLACE INTO t VALUES (1)" -> "INSERT",
+      "UPDATE t SET a = 1" -> "UPDATE",
+      "DELETE FROM t" -> "DELETE",
+      "TRUNCATE TABLE t" -> "TRUNCATE TABLE",
+      "START TRANSACTION" -> "BEGIN",
+      "CREATE TABLE t (a INT)" -> "CREATE TABLE",
+      "CREATE OR REPLACE VIEW v AS SELECT 1" -> "CREATE VIEW",
+      "DROP DATABASE d" -> "DROP DATABASE",
+      "ALTER TABLE t ADD COLUMN c INT" -> "ALTER TABLE",
+      "SHOW TABLES" -> "SHOW",
+      "DESCRIBE t" -> "SHOW",
+      "EXPLAIN SELECT 1" -> "EXPLAIN")
+    cases.foreach { case (sql, tag) =>
+      assert(SqlRouter.classify(sql) === tag, sql)
+    }
+  }
+
   test("multi-statement script execution") {
     val e = new Engine(spark, tmpDir("router_script"))
     val rs = SqlRouter.executeScript(e,
