@@ -168,5 +168,32 @@ object EventQueries {
       FROM days d JOIN first f ON d.user_id = f.user_id
       GROUP BY 1, 2 ORDER BY cohort, "offset""""))
 
-  val defs: Seq[QueryDef] = Seq(q82, q83, q84, q85)
+  // --------------------------------------------------------------------
+  // q90 — skew-immune aggregation through the salting toolbox
+  // ([[graft.functions.SkewUtils]]): per-type distinct users via
+  // value-hash salting (each distinct value lands in exactly one
+  // bucket, so partial distinct counts are disjoint and SUM exactly)
+  // and an exact decimal sum via partition salting. On a 100 TB log
+  // where one event type is 90% of rows, the salted two-phase shape
+  // keeps every reducer bounded at 1/buckets of the hot key — the
+  // oracle states the plain aggregation it must equal.
+  private val q90 = QueryDef(
+    "q90_skew_salted_agg",
+    (s, dir) => {
+      import graft.functions.SkewUtils
+      val ev = t(s, dir, "events")
+      val users = SkewUtils.saltedCountDistinct(
+        ev, Seq("event_type"), col("user_id"), "n_users")
+      val totals = SkewUtils.saltedSum(
+        ev, Seq("event_type"),
+        col("value").cast("decimal(18,2)"), "__t")
+        .select(col("event_type"), col("__t").cast("double").as("total_value"))
+      users.join(totals, "event_type").orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+      count(DISTINCT user_id) AS n_users,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q82, q83, q84, q85, q90)
 }

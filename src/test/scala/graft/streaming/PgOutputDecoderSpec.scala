@@ -183,6 +183,74 @@ class PgOutputDecoderSpec extends SparkSpec {
     assert(out === Array((1L, 10L), (2L, 20L)))
   }
 
+  test("property: random typed tuples round-trip the text-format encode") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+    val rel6 = relation(relOid, "public", "t",
+      ("pk", 20, -1), ("s", 25, -1), ("b", 16, -1),
+      ("num", 1700, (12 << 16 | 3) + 4), ("f", 701, -1), ("arr", 1007, -1))
+    val schema = StructType(Seq(
+      StructField("pk", LongType), StructField("s", StringType),
+      StructField("b", BooleanType), StructField("num", DecimalType(12, 3)),
+      StructField("f", DoubleType), StructField("arr", ArrayType(IntegerType))))
+    // unicode strings force the 4-byte length prefix to be BYTE length;
+    // extreme doubles and negative scaled decimals exercise the parse
+    val rowGen = for {
+      pk <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      s <- Gen.option(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(
+        'é', '中', '"', '\\', ',', '{', '}', ' ', '\n'))).map(_.mkString))
+      b <- Gen.oneOf(true, false)
+      num <- Gen.choose(-999999999L, 999999999L)
+        .map(n => new java.math.BigDecimal(java.math.BigInteger.valueOf(n), 3))
+      f <- Gen.oneOf(Gen.choose(-1e12, 1e12), Gen.oneOf(0.0, -0.0, 1e-300))
+      arr <- Gen.option(Gen.listOf(Gen.option(Gen.choose(-1000000, 1000000))))
+    } yield (pk, s, b, num, f, arr)
+    val rows = samples(rowGen, 60)
+    val msgs = Seq(begin(1L, 1), rel6) ++ rows.map { case (pk, s, b, num, f, arr) =>
+      insert(relOid, tup(
+        Some(pk.toString), s, Some(if (b) "t" else "f"),
+        Some(num.toPlainString), Some(f.toString),
+        arr.map(_.map {
+          case Some(i) => i.toString
+          case None => "NULL"
+        }.mkString("{", ",", "}"))))
+    }
+    val df = msgs.zipWithIndex.map { case (m, i) => ("s1", i.toLong, m) }
+      .toDF("slot", "off", "payload")
+    val out = PgOutputDecoder.decodeSlotStreams(df, "slot", "off", "payload",
+      "public.t", schema).orderBy("txn_stmt").collect()
+    assert(out.length === rows.length)
+    out.zip(rows).foreach { case (r, (pk, s, b, num, f, arr)) =>
+      assert(r.getLong(0) === pk)
+      assert(Option(r.getString(1)) === s)
+      assert(r.getBoolean(2) === b)
+      assert(r.getDecimal(3) === num)
+      assert(r.getDouble(4) === f)
+      assert(Option(r.getSeq[Integer](5))
+        .map(_.map(Option(_).map(_.toInt))) === arr.map(_.map(identity)))
+    }
+  }
+
+  test("property: pg array literals round-trip arbitrary elements") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def render(elems: Seq[Option[String]]): String =
+      elems.map {
+        case None => "NULL"
+        case Some(s) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }.mkString("{", ",", "}")
+    val elemGen = Gen.option(Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf('"', '\\', ',', '{', '}', ' ', 'ü'))).map(_.mkString))
+    (0 until 100).flatMap(i => Gen.listOf(elemGen)
+        .apply(Gen.Parameters.default, Seed(11L + i))).foreach { elems =>
+      val parsed = PgOutputDecoder.parseArray(render(elems))
+      assert(parsed.map(Option(_)) === (if (elems.isEmpty) Nil else elems),
+        render(elems))
+    }
+  }
+
   test("decoded stream drives condense + merge end-to-end") {
     val schema = StructType(Seq(
       StructField("pk", LongType), StructField("val", StringType)))
