@@ -76,6 +76,16 @@ object SqlRouter {
     """(?is)\s*BACKUP\s+DATABASE\s+(\w+)\s+TO\s+'([^']+)'\s*""".r
   private val RestoreDb =
     """(?is)\s*RESTORE\s+DATABASE\s+(\w+)\s+FROM\s+'([^']+)'\s*""".r
+  // A12-A16 as SQL: the reference's pg COPY statement forms
+  // (`/root/reference/pgserver/copy.go:14-62` parses FORMAT/options,
+  // datawriter/dataloader execute) and MySQL LOAD DATA INFILE
+  // (`/root/reference/backend/loaddata.go:24-227`)
+  private val CopyTo =
+    """(?is)\s*COPY\s+(?:\((.+)\)|([\w.]+))\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+  private val CopyFrom =
+    """(?is)\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+  private val LoadData =
+    """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'([^']+)'\s+(?:(IGNORE|REPLACE)\s+)?INTO\s+TABLE\s+([\w.]+)(.*)""".r
   private val ShowVariables =
     """(?is)\s*SHOW\s+VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*""".r
   private val SetVariable =
@@ -191,6 +201,42 @@ object SqlRouter {
       engine.backupDatabase(db, java.nio.file.Paths.get(dest)); ddl
     case RestoreDb(db, src) =>
       engine.restoreDatabase(db, java.nio.file.Paths.get(src)); ddl
+    case CopyTo(query, tableName, path, optList) =>
+      val df =
+        if (query != null) engine.sql(query)
+        else engine.table(tableName).read()
+      val (fmt, csvOpts, header) = copyOptions(optList)
+      fmt match {
+        case "CSV" | "TEXT" =>
+          graft.sources.BulkIO.exportCsv(df, path,
+            csvOpts.copy(header = header), singleStream = true)
+        case "PARQUET" => graft.sources.BulkIO.exportParquet(df, path)
+        case "JSON" => graft.sources.BulkIO.exportJson(df, path)
+        case f => throw new IllegalArgumentException(s"COPY format $f")
+      }
+      ddl
+    case CopyFrom(name, path, optList) =>
+      val t = engine.table(name)
+      val (fmt, csvOpts, header) = copyOptions(optList)
+      val n = fmt match {
+        case "CSV" | "TEXT" =>
+          graft.sources.BulkIO.loadCsvInto(t, path,
+            csvOpts.copy(header = header))
+        case "PARQUET" =>
+          t.insert(engine.spark.read.schema(t.schema).parquet(path))
+        case "JSON" => graft.sources.BulkIO.loadJsonInto(t, path)
+        case f => throw new IllegalArgumentException(s"COPY format $f")
+      }
+      Result(None, n)
+    case LoadData(path, dupMode, name, tail) =>
+      val t = engine.table(name)
+      val opts = loadDataOptions(tail)
+      val mode = Option(dupMode).map(_.toUpperCase) match {
+        case Some("IGNORE") => graft.sources.BulkIO.Ignore
+        case Some("REPLACE") => graft.sources.BulkIO.Replace
+        case _ => graft.sources.BulkIO.Append
+      }
+      Result(None, graft.sources.BulkIO.loadCsvInto(t, path, opts, mode))
     case ShowVariables(like) =>
       val sp = engine.spark
       import sp.implicits._
@@ -313,6 +359,51 @@ object SqlRouter {
       else rest
     engine.sql(q).toDF(names: _*)
   }
+
+  /** PG COPY option list (`copy.go:14-62` surface): FORMAT, HEADER,
+    * DELIMITER, QUOTE, ESCAPE, NULL/NULLSTR. Returns (format, csv
+    * options, header). */
+  private def copyOptions(optList: String)
+      : (String, graft.sources.BulkIO.CsvOptions, Boolean) = {
+    var fmt = "CSV"
+    var o = graft.sources.BulkIO.CsvOptions()
+    var header = false
+    if (optList != null) splitTop(optList).map(_.trim).filter(_.nonEmpty)
+      .foreach { opt =>
+        val parts = opt.split("\\s+", 2)
+        val value = if (parts.length > 1) unquote(parts(1)) else ""
+        parts(0).toUpperCase match {
+          case "FORMAT" => fmt = value.toUpperCase
+          case "HEADER" => header = value.isEmpty || value.toBoolean
+          case "DELIMITER" | "SEP" => o = o.copy(sep = value)
+          case "QUOTE" => o = o.copy(quote = value)
+          case "ESCAPE" => o = o.copy(escape = value)
+          case "NULL" | "NULLSTR" => o = o.copy(nullValue = value)
+          case other => throw new IllegalArgumentException(s"COPY option $other")
+        }
+      }
+    (fmt, o, header)
+  }
+
+  /** MySQL LOAD DATA tail (`loaddata.go:115-227` surface): FIELDS
+    * TERMINATED/ENCLOSED/ESCAPED BY, IGNORE n LINES (LINES TERMINATED
+    * BY accepted, newline-only). */
+  private def loadDataOptions(tail: String): graft.sources.BulkIO.CsvOptions = {
+    var o = graft.sources.BulkIO.CsvOptions()
+    val Term = """(?is)FIELDS\s+TERMINATED\s+BY\s+'([^']*)'""".r
+    val Encl = """(?is)(?:OPTIONALLY\s+)?ENCLOSED\s+BY\s+'([^']*)'""".r
+    val Esc = """(?is)ESCAPED\s+BY\s+'([^']*)'""".r
+    val Skip = """(?is)IGNORE\s+(\d+)\s+LINES""".r
+    Term.findFirstMatchIn(tail).foreach(m => o = o.copy(sep = unescapeSeq(m.group(1))))
+    Encl.findFirstMatchIn(tail).foreach(m => o = o.copy(quote = unescapeSeq(m.group(1))))
+    Esc.findFirstMatchIn(tail).foreach(m => o = o.copy(escape = unescapeSeq(m.group(1))))
+    Skip.findFirstMatchIn(tail).foreach(m => o = o.copy(skipLines = m.group(1).toInt))
+    o
+  }
+
+  /** `\t`-style escapes inside LOAD DATA string options. */
+  private def unescapeSeq(s: String): String =
+    s.replace("\\t", "\t").replace("\\n", "\n").replace("\\\\", "\\")
 
   private def tableExists(engine: Engine, name: String): Boolean =
     try { engine.table(name); true } catch { case _: Exception => false }

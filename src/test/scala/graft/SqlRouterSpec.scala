@@ -224,6 +224,38 @@ class SqlRouterSpec extends SparkSpec {
     }
   }
 
+  test("COPY TO / COPY FROM route to the bulk-IO machinery") {
+    val e = new Engine(spark, tmpDir("router_copy"))
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO t VALUES (1, 'a'), (2, 'b,с'), (3, NULL)")
+    val csv = tmpDir("router_copy_csv")
+    exec(e, s"COPY t TO '$csv' (FORMAT CSV, HEADER, NULLSTR '\\N')")
+    val pq = tmpDir("router_copy_pq")
+    exec(e, s"COPY (SELECT id, upper(v) AS v FROM t WHERE id < 3) TO '$pq' (FORMAT PARQUET)")
+    assert(spark.read.parquet(pq.toString).orderBy("id")
+      .collect().map(_.getString(1)) === Array("A", "B,С"))
+    exec(e, "CREATE TABLE t2 LIKE t")
+    val r = exec(e, s"COPY t2 FROM '$csv' (FORMAT CSV, HEADER, NULLSTR '\\N')")
+    assert(r.affected === 3)
+    assert(exec(e, "SELECT v FROM t2 ORDER BY id").df.get
+      .collect().map(_.getString(0)) === Array("a", "b,с", null))
+  }
+
+  test("LOAD DATA INFILE with field options, skip lines, and REPLACE") {
+    val e = new Engine(spark, tmpDir("router_load"))
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO t VALUES (1, 'old')")
+    val f = java.nio.file.Files.createTempFile("router_load", ".tsv")
+    java.nio.file.Files.write(f,
+      "skip me\n1\tnew\n2\t\\N\n3\t\"x\ty\"\n".getBytes("UTF-8"))
+    val r = exec(e, s"LOAD DATA INFILE '$f' REPLACE INTO TABLE t " +
+      "FIELDS TERMINATED BY '\\t' ENCLOSED BY '\"' ESCAPED BY '\\\\' " +
+      "IGNORE 1 LINES")
+    assert(r.affected === 3)
+    assert(exec(e, "SELECT v FROM t ORDER BY id").df.get
+      .collect().map(_.getString(0)) === Array("new", null, "x\ty"))
+  }
+
   test("multi-statement script execution") {
     val e = new Engine(spark, tmpDir("router_script"))
     val rs = SqlRouter.executeScript(e,
