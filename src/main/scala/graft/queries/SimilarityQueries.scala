@@ -148,9 +148,8 @@ object SimilarityQueries {
   // --------------------------------------------------------------------
   // q72 — cosine near-dup pairs above a threshold (brute-force baseline;
   // the LSH bucketing above is the scale path for this too).
-  private val q72 = QueryDef(
-    "q72_cosine_pairs",
-    (s, dir) => {
+  /** Shared by q72/q91: exact cosine pairs ≥ 0.4. */
+  private def cosinePairs(s: SparkSession, dir: String): DataFrame = {
       val vecs = withNorm(t(s, dir, "embeddings"))
       val a = vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         col("nrm").as("a_nrm"))
@@ -164,8 +163,19 @@ object SimilarityQueries {
       a.join(b, col("a_id") < col("b_id") && sim >= 0.4)
         .withColumn("sim", sim)
         .select(col("a_id"), col("b_id"), col("sim"))
-        .orderBy(col("a_id"), col("b_id"))
-    },
+  }
+
+  /** DuckDB CTE fragment producing the same pair set (`pairs`). */
+  private lazy val cosPairsDuck: String =
+    s"""$normDuck,
+      pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+      FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+      WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4)"""
+
+  private val q72 = QueryDef(
+    "q72_cosine_pairs",
+    (s, dir) => cosinePairs(s, dir).orderBy(col("a_id"), col("b_id")),
     Some(s"""WITH $normDuck
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
@@ -228,5 +238,29 @@ object SimilarityQueries {
         FROM sims) x
       WHERE rank <= 3 ORDER BY q_id, rank"""))
 
-  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73)
+  // --------------------------------------------------------------------
+  // q91 — embedding near-dup CLUSTERS: connected components over the
+  // cosine pair graph (the embedding-space analog of q66's text
+  // clustering; same size-switched [[graft.operators.Operators
+  // .connectedComponents]]). Canonical id = min vec_id per component —
+  // the representative an embedding-dedup pipeline keeps.
+  private val q91 = QueryDef(
+    "q91_embedding_dedup_clusters",
+    (s, dir) =>
+      graft.operators.Operators.connectedComponents(
+        cosinePairs(s, dir).select(col("a_id"), col("b_id")),
+        "a_id", "b_id", maxIter = 50)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy(col("vec_id")),
+    Some(s"""WITH RECURSIVE $cosPairsDuck,
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS vec_id, least(src, min(dst)) AS cluster
+      FROM reach GROUP BY src ORDER BY vec_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q91)
 }
