@@ -251,6 +251,51 @@ class PgOutputDecoderSpec extends SparkSpec {
     }
   }
 
+  test("pgoutput stream: readStream → decode → merge, with resume") {
+    // C2 as a live pipeline: message batches land as parquet files of
+    // (slot, off, payload); the file stream micro-batches them, each
+    // foreachBatch decodes per-slot and merges — the decoder sits in
+    // exactly the position the reference's applier holds.
+    val schema = StructType(Seq(
+      StructField("pk", LongType), StructField("val", StringType)))
+    val t = GraftTable.create(spark, tmpDir("pgout_stream_tbl"), schema, Seq("pk"))
+    val srcDir = tmpDir("pgout_stream_src")
+    val ckpt = tmpDir("pgout_stream_ckpt")
+    def land(file: String, from: Int, msgs: Seq[Array[Byte]]): Unit =
+      msgs.zipWithIndex.map { case (m, i) => ("s1", (from + i).toLong, m) }
+        .toDF("slot", "off", "payload")
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(StructType(Seq(
+        StructField("slot", StringType), StructField("off", LongType),
+        StructField("payload", BinaryType)))).parquet(srcDir.toString)
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          CdcMerge.applyBatch(t, PgOutputDecoder.decodeSlotStreams(
+            batch, "slot", "off", "payload", "public.t", schema)
+            .withColumn("action", col("action").cast("int")))
+        }.start()
+      q.awaitTermination()
+    }
+    land("b0", 0, Seq(begin(100L, 1), rel,
+      insert(relOid, tup(Some("1"), Some("a"))),
+      insert(relOid, tup(Some("2"), Some("b"))), commit(100L)))
+    runOnce()
+    assert(t.read().orderBy("pk").as[(Long, String)].collect() ===
+      Array((1L, "a"), (2L, "b")))
+    // NOTE: each micro-batch's decode starts from the Relation messages
+    // in that batch — a connector re-sends Relation metadata after
+    // restart exactly like PostgreSQL does on a new START_REPLICATION
+    land("b1", 100, Seq(begin(200L, 2), rel,
+      update(relOid, tup(Some("1"), Some("a2"))),
+      delete(relOid, tup(Some("2"), None)), commit(200L)))
+    runOnce() // resumes from the checkpoint: only the new file is read
+    assert(t.read().orderBy("pk").as[(Long, String)].collect() ===
+      Array((1L, "a2")))
+  }
+
   test("decoded stream drives condense + merge end-to-end") {
     val schema = StructType(Seq(
       StructField("pk", LongType), StructField("val", StringType)))
