@@ -210,6 +210,30 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     spark.sql(q, params)
   }
 
+  /** Positional-parameter SQL (`?` placeholders — the MySQL prepared-
+    * statement form; Spark 3.5+ posarg binding). */
+  def sql(q: String, args: Array[Any]): DataFrame = {
+    registerReferenced(q)
+    spark.sql(q, args)
+  }
+
+  // ------------------------------------------------------------------
+  // Session prepared statements (A28 as SQL: MySQL PREPARE/EXECUTE/
+  // DEALLOCATE — the reference holds these per connection,
+  // `pgserver/connection_handler.go:563-777`; here per Engine).
+
+  private val prepared = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def prepare(name: String, sqlText: String): Unit = prepared(name) = sqlText
+
+  def executePrepared(name: String, args: Array[Any]): DataFrame = {
+    val text = prepared.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown prepared statement $name"))
+    if (args.isEmpty) sql(text) else sql(text, args)
+  }
+
+  def deallocate(name: String): Unit = prepared.remove(name)
+
   /** A28 schema probe: result schema without execution (the analog of
     * the reference's `SELECT * FROM (q) LIMIT 0` NULL-param trick —
     * Spark analysis is lazy, so `.schema` never launches a job). */

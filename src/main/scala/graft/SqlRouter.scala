@@ -86,6 +86,15 @@ object SqlRouter {
     """(?is)\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   private val LoadData =
     """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'([^']+)'\s+(?:(IGNORE|REPLACE)\s+)?INTO\s+TABLE\s+([\w.]+)(.*)""".r
+  // A28 as SQL: MySQL-style session prepared statements
+  private val Prepare =
+    """(?is)\s*PREPARE\s+(\w+)\s+FROM\s+'((?:[^']|'')*)'\s*""".r
+  private val ExecuteStmt =
+    """(?is)\s*EXECUTE\s+(\w+)(?:\s+USING\s+(.+?))?\s*""".r
+  private val Deallocate =
+    """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?(\w+)\s*""".r
+  private val ShowIndex =
+    """(?is)\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+([\w.]+)\s*""".r
   private val ShowVariables =
     """(?is)\s*SHOW\s+VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*""".r
   private val SetVariable =
@@ -237,6 +246,29 @@ object SqlRouter {
         case _ => graft.sources.BulkIO.Append
       }
       Result(None, graft.sources.BulkIO.loadCsvInto(t, path, opts, mode))
+    case Prepare(name, text) =>
+      engine.prepare(name, text.replace("''", "'")); ddl
+    case ExecuteStmt(name, usingList) =>
+      val args: Array[Any] = Option(usingList)
+        .map(splitTop(_).map(parseLiteral).toArray[Any])
+        .getOrElse(Array.empty[Any])
+      Result(Some(engine.executePrepared(name, args)), 0L)
+    case Deallocate(name) => engine.deallocate(name); ddl
+    case ShowIndex(name) =>
+      // the PK is the only key structure (A21: layout, not indexes);
+      // clustering metadata surfaces as the scan-acceleration analog
+      val sp = engine.spark
+      import sp.implicits._
+      val m = engine.table(name).manifest
+      val pkRows = m.pkCols.zipWithIndex.map { case (c, i) =>
+        (name.split('.').last, "PRIMARY", i + 1, c, "btree-analog")
+      }
+      val clustered = m.props.get("layout.clusterBy").toSeq.flatMap(
+        _.split(',').zipWithIndex.map { case (c, i) =>
+          (name.split('.').last, "CLUSTERING", i + 1, c.trim, "file-skipping")
+        })
+      Result(Some((pkRows ++ clustered).toDF(
+        "table_name", "key_name", "seq_in_index", "column_name", "index_type")), 0L)
     case ShowVariables(like) =>
       val sp = engine.spark
       import sp.implicits._
@@ -452,6 +484,22 @@ object SqlRouter {
     val sp = engine.spark
     import sp.implicits._
     xs.toDF(colName)
+  }
+
+  /** EXECUTE ... USING literal → typed value. */
+  private def parseLiteral(s: String): Any = {
+    val t = s.trim
+    if (t.equalsIgnoreCase("NULL")) null
+    else if (t.equalsIgnoreCase("TRUE")) true
+    else if (t.equalsIgnoreCase("FALSE")) false
+    else if (t.headOption.contains('\'') || t.headOption.contains('"')) unquote(t)
+    else if (t.matches("[+-]?\\d+")) {
+      // Int when it fits: LIMIT/OFFSET positions demand integer type
+      val l = t.toLong
+      if (l >= Int.MinValue && l <= Int.MaxValue) l.toInt else l
+    }
+    else if (t.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?")) t.toDouble
+    else t
   }
 
   private def unquote(v: String): String = {

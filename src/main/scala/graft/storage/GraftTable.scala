@@ -427,7 +427,9 @@ final class GraftTable(val spark: SparkSession, val path: Path,
         .sortWithinPartitions(clusterBy.map(col): _*)
     val (files, _) = writeFiles(arranged, needCount = false)
     val cur = manifest
-    io.commit(path, cur.withFiles(files))
+    val props = if (clusterBy.isEmpty) cur.props
+      else cur.props + ("layout.clusterBy" -> clusterBy.mkString(","))
+    io.commit(path, cur.withFiles(files).copy(props = props))
   }
 
   /** Z-ORDER compaction: rewrite the table sorted by the Morton

@@ -256,6 +256,26 @@ class SqlRouterSpec extends SparkSpec {
       .collect().map(_.getString(0)) === Array("new", null, "x\ty"))
   }
 
+  test("PREPARE / EXECUTE USING / DEALLOCATE and SHOW INDEX") {
+    val e = new Engine(spark, tmpDir("router_prep"))
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    exec(e, "PREPARE q FROM 'SELECT v FROM t WHERE id >= ? ORDER BY id LIMIT ?'")
+    assert(exec(e, "EXECUTE q USING 2, 1").df.get.as[String].collect()
+      === Array("b"))
+    assert(exec(e, "EXECUTE q USING 1, 10").df.get.as[String].collect()
+      === Array("a", "b", "c"))
+    exec(e, "DEALLOCATE PREPARE q")
+    intercept[IllegalArgumentException](exec(e, "EXECUTE q USING 1, 1"))
+    val idx = exec(e, "SHOW INDEX FROM t").df.get
+      .select("key_name", "column_name").as[(String, String)].collect()
+    assert(idx === Array(("PRIMARY", "id")))
+    e.table("t").compact(clusterBy = Seq("v"))
+    val idx2 = exec(e, "SHOW INDEXES FROM t").df.get
+      .select("key_name", "column_name").as[(String, String)].collect()
+    assert(idx2 === Array(("PRIMARY", "id"), ("CLUSTERING", "v")))
+  }
+
   test("multi-statement script execution") {
     val e = new Engine(spark, tmpDir("router_script"))
     val rs = SqlRouter.executeScript(e,
