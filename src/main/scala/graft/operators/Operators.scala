@@ -105,6 +105,68 @@ object Operators {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** MinHash band keys over an id + SORTED distinct code-set frame
+    * (`shingle_code_set` output) — the unit of INCREMENTAL near-dup
+    * state. A dedup pipeline persists `(id, band, v)` (the LSH index)
+    * and `(id, cs)` (the verify sets) as tables; each arriving batch
+    * computes only ITS OWN bands, joins them against the stored index
+    * to find candidates vs the entire corpus, then appends its rows to
+    * both tables. Corpus work per batch is one index join — the
+    * corpus is never re-shingled, re-hashed, or re-banded. See
+    * [[incrementalMinHashPairs]] for the batch step.
+    */
+  def minHashBands(codeSets: DataFrame, idCol: String, setCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    import graft.queries.HashFrags.{A, B, P}
+    require(bands * rowsPerBand <= A.length, s"≤${A.length} hash funcs available")
+    val k = bands * rowsPerBand
+    val codes = codeSets.select(col(idCol).as("__id"),
+      explode(col(setCol)).as("__code"))
+    val sigCols = (0 until k).map(i =>
+      min(expr(s"(${A(i)} * __code + ${B(i)}) % $P")).as(s"__mh$i"))
+    val sig = codes.groupBy(col("__id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val v = (0 until rowsPerBand)
+        .map(r => s"__mh${b * rowsPerBand + r}")
+        .reduce((x, y) => s"($x) * $P + $y")
+      s"struct($b AS band, $v AS v)"
+    }.mkString("array(", ", ", ")")
+    sig.select(col("__id").as(idCol), explode(expr(bandStructs)).as("bv"))
+      .select(col(idCol), col("bv.band").as("band"), col("bv.v").as("v"))
+  }
+
+  /** One micro-batch of INCREMENTAL MinHash near-dup detection: find
+    * every pair (corpus ↔ batch and batch ↔ batch) at exact Jaccard ≥
+    * `threshold`, where the corpus side is the PERSISTED state
+    * (`indexBands` = (id, band, v), `indexSets` = (id, cs)) and only
+    * the batch's own bands/sets are computed fresh. Returns
+    * (a_id, b_id, jaccard) with a_id < b_id. The caller appends
+    * `batchBands`/`batchSets` to the state tables afterwards (see
+    * IncrementalDedupSpec for the GraftTable-backed loop).
+    */
+  def incrementalMinHashPairs(batchSets: DataFrame, batchBands: DataFrame,
+      indexSets: DataFrame, indexBands: DataFrame, idCol: String,
+      setCol: String, threshold: Double): DataFrame = {
+    val allBands = indexBands.unionByName(batchBands)
+    // candidates must touch the batch: batch bands probe the combined
+    // index — corpus-internal pairs were reported in earlier batches
+    val cand = batchBands.as("x").join(allBands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("a_id"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("b_id"))
+      .distinct()
+    val allSets = indexSets.unionByName(batchSets)
+    cand
+      .join(allSets.select(col(idCol).as("a_id"), col(setCol).as("ca")), "a_id")
+      .join(allSets.select(col(idCol).as("b_id"), col(setCol).as("cb")), "b_id")
+      .withColumn("inter", expr("sorted_intersect_count(ca, cb)"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ca")) + size(col("cb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** Prefix-filtered inverted-index Jaccard pairs — the SPARSE-corpus
     * exact near-dup path (the all-pairs scan of
     * `DedupQueries.exactJaccardPairs` is the dense-corpus choice; this
