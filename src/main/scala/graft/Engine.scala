@@ -140,21 +140,32 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     // manifests record absolute data-file paths (immutable snapshots);
     // re-anchor every version so history and time travel survive the move
     val (srcPrefix, dstPrefix) = (src.toString, dst.toString)
-    Files.list(dst.resolve("_manifest")).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json")).foreach { mf =>
-        val raw = mapper.readValue(Files.readAllBytes(mf),
-          classOf[java.util.Map[String, Object]])
-        raw.get("files") match {
-          case l: java.util.List[_] =>
-            val patched = l.asScala.map(_.toString match {
-              case p if p.startsWith(srcPrefix) => dstPrefix + p.stripPrefix(srcPrefix)
-              case p => p
-            }).asJava
-            raw.asInstanceOf[java.util.Map[String, Object]].put("files", patched)
-            Files.write(mf, mapper.writeValueAsBytes(raw))
-          case _ => ()
-        }
+    val listing = Files.list(dst.resolve("_manifest"))
+    val manifests =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json")).toList
+      finally listing.close()
+    manifests.foreach { mf =>
+      val raw = mapper.readValue(Files.readAllBytes(mf),
+        classOf[java.util.Map[String, Object]])
+      raw.get("files") match {
+        case l: java.util.List[_] =>
+          val patched = l.asScala.map(_.toString match {
+            case p if p.startsWith(srcPrefix) => dstPrefix + p.stripPrefix(srcPrefix)
+            case p => p
+          }).asJava
+          raw.asInstanceOf[java.util.Map[String, Object]].put("files", patched)
+          // atomic replace: a crash mid-rewrite must never leave a
+          // truncated manifest version (same discipline as
+          // Manifest.commit's tmp+link protocol)
+          val tmp = mf.resolveSibling(mf.getFileName.toString + ".tmp")
+          Files.write(tmp, mapper.writeValueAsBytes(raw))
+          Files.move(tmp, mf,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        case _ => ()
       }
+    }
     if (fromDb == currentDb) unregister(f)
     if (toDb == currentDb) unregister(t)
   }
@@ -412,12 +423,21 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
   }
 
   def restoreDatabase(db: String, srcDir: Path): Unit = {
+    // Validate the whole backup BEFORE the destructive swap — a bad
+    // path must fail with the database untouched (the reference
+    // downloads + verifies the .db file first, restore_handler.go).
+    val tf = srcDir.resolve("_tables.json")
+    require(Files.isRegularFile(tf), s"not a backup directory: $srcDir")
+    val names = mapper.readValue(Files.readAllBytes(tf),
+      classOf[java.util.List[String]]).asScala.toSeq
+    names.foreach { t =>
+      require(Files.isRegularFile(srcDir.resolve(t).resolve("_meta.json")),
+        s"backup is missing table metadata: $t")
+    }
     if (!Files.isDirectory(warehouse.resolve(db))) createDatabase(db)
     // RESTORE replaces the database's current content (the reference
-    // swaps in the downloaded .db file wholesale, restore_handler.go)
+    // swaps in the downloaded .db file wholesale)
     listTables(db).foreach(t => dropTable(s"$db.$t"))
-    val names = mapper.readValue(Files.readAllBytes(srcDir.resolve("_tables.json")),
-      classOf[java.util.List[String]]).asScala.toSeq
     names.foreach { t =>
       val meta = mapper.readValue(Files.readAllBytes(srcDir.resolve(t).resolve("_meta.json")),
         classOf[java.util.Map[String, Object]])

@@ -42,22 +42,19 @@ object SqlRouter {
   private val CreateView =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)""".r
   private val DropView = """(?is)\s*DROP\s+VIEW\s+([\w.]+)\s*""".r
+  // every INSERT-family form accepts an optional explicit column list:
+  // unlisted columns get their declared DEFAULT expression, else null
   private val Insert =
-    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
-  // explicit column-list form: INSERT INTO t (a, b) VALUES/SELECT ... —
-  // unlisted columns are null-filled (MySQL fills defaults; the
-  // engine's default expressions are applied by GraftTable.insert)
-  private val InsertCols =
-    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*\(([\w\s,]+)\)\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
   // MySQL DML edge statements (reference routes them at
   // /root/reference/backend/executor.go:84-116 and
   // /root/reference/catalog/table.go:543-552; tested main_test.go:840-869)
   private val ReplaceInto =
-    """(?is)\s*REPLACE\s+INTO\s+([\w.]+)\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
+    """(?is)\s*REPLACE\s+INTO\s+([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
   private val InsertIgnore =
-    """(?is)\s*INSERT\s+IGNORE\s+INTO\s+([\w.]+)\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
+    """(?is)\s*INSERT\s+IGNORE\s+INTO\s+([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
   private val InsertOnDup =
-    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(VALUES\s*.*?|SELECT\s+.*?|FROM\s+.*?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)""".r
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?\s+(VALUES\s*.*?|SELECT\s+.*?|FROM\s+.*?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)""".r
   // transactions (A24) + session/metadata statements (A25-A26)
   private val Begin = """(?is)\s*(?:BEGIN|START\s+TRANSACTION)\s*""".r
   private val CommitTxn = """(?is)\s*COMMIT\s*""".r
@@ -149,13 +146,13 @@ object SqlRouter {
     case Begin() => engine.begin(); ddl
     case CommitTxn() => engine.commit(); ddl
     case RollbackTxn() => engine.rollback(); ddl
-    case ReplaceInto(name, rest) =>
+    case ReplaceInto(name, colList, rest) =>
       val t = engine.table(name)
-      Result(None, t.replaceRows(sourceDf(engine, t, rest)))
-    case InsertIgnore(name, rest) =>
+      Result(None, t.replaceRows(sourceDfFor(engine, t, colList, rest)))
+    case InsertIgnore(name, colList, rest) =>
       val t = engine.table(name)
-      Result(None, t.insertIgnoreRows(sourceDf(engine, t, rest)))
-    case InsertOnDup(name, rest, setList) =>
+      Result(None, t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest)))
+    case InsertOnDup(name, colList, rest, setList) =>
       val t = engine.table(name)
       // MySQL's VALUES(c) refers to the incoming row → the joined
       // frame's __new_<c>; bare names stay the existing row's columns
@@ -163,14 +160,10 @@ object SqlRouter {
         val Array(k, v) = kv.split("=", 2)
         k.trim -> v.trim.replaceAll("(?i)VALUES\\s*\\(\\s*(\\w+)\\s*\\)", "__new_$1")
       }.toMap
-      Result(None, t.upsertOnDuplicate(sourceDf(engine, t, rest), sets))
-    case InsertCols(name, colList, rest) =>
+      Result(None, t.upsertOnDuplicate(sourceDfFor(engine, t, colList, rest), sets))
+    case Insert(name, colList, rest) =>
       val t = engine.table(name)
-      Result(None, t.insert(sourceDfCols(engine, t,
-        colList.split(',').map(_.trim).toSeq, rest)))
-    case Insert(name, rest) =>
-      val t = engine.table(name)
-      Result(None, t.insert(sourceDf(engine, t, rest)))
+      Result(None, t.insert(sourceDfFor(engine, t, colList, rest)))
     case Update(name, setList, where) =>
       val t = engine.table(name)
       val sets = splitTop(setList).map { kv =>
@@ -440,11 +433,20 @@ object SqlRouter {
   private def tableExists(engine: Engine, name: String): Boolean =
     try { engine.table(name); true } catch { case _: Exception => false }
 
+  /** Source frame for an INSERT-family statement with an optional
+    * explicit column list (null = all columns). */
+  private def sourceDfFor(engine: Engine, t: graft.storage.GraftTable,
+      colList: String, rest: String): DataFrame =
+    if (colList == null) sourceDf(engine, t, rest)
+    else sourceDfCols(engine, t, colList.split(',').map(_.trim).toSeq, rest)
+
   /** Column-list INSERT: type the VALUES tuples against the listed
-    * columns, then null-fill the unlisted ones in declared order. */
+    * columns; unlisted columns get their declared DEFAULT expression
+    * (manifest `default.<col>` prop — MySQL semantics), else null. */
   private def sourceDfCols(engine: Engine, t: graft.storage.GraftTable,
       cols: Seq[String], rest: String): DataFrame = {
-    val fields = t.schema.fields
+    val m = t.manifest
+    val fields = m.schema.fields
     cols.foreach(c => require(fields.exists(_.name.equalsIgnoreCase(c)),
       s"unknown column $c"))
     val q =
@@ -455,7 +457,9 @@ object SqlRouter {
     val out = fields.map { f =>
       cols.find(_.equalsIgnoreCase(f.name))
         .map(org.apache.spark.sql.functions.col(_).cast(f.dataType))
-        .getOrElse(org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+        .getOrElse(m.props.get(s"default.${f.name}")
+          .map(d => expr(d).cast(f.dataType))
+          .getOrElse(org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
         .as(f.name)
     }
     src.select(out.toIndexedSeq: _*)
@@ -526,16 +530,28 @@ object SqlRouter {
     (StructType.fromDDL(ddlStr), if (pk.nonEmpty) pk else inlinePk)
   }
 
-  /** Split on commas at paren depth 0. */
+  /** Split on commas at paren depth 0, outside quoted strings (a
+    * literal like `'a,b'` must never split). */
   private def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
+    var quote: Char = 0
     val cur = new StringBuilder
-    s.foreach {
-      case '(' => depth += 1; cur.append('(')
-      case ')' => depth -= 1; cur.append(')')
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
-      case c => cur.append(c)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == '\\' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 1 }
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c; cur.append(c)
+        case '(' => depth += 1; cur.append('(')
+        case ')' => depth -= 1; cur.append(')')
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case other => cur.append(other)
+      }
+      i += 1
     }
     if (cur.nonEmpty) out += cur.toString
     out.toSeq

@@ -427,7 +427,9 @@ final class GraftTable(val spark: SparkSession, val path: Path,
         .sortWithinPartitions(clusterBy.map(col): _*)
     val (files, _) = writeFiles(arranged, needCount = false)
     val cur = manifest
-    val props = if (clusterBy.isEmpty) cur.props
+    // the rewrite DEFINES the layout: record it, or clear a stale
+    // record when an unclustered compaction destroys the ordering
+    val props = if (clusterBy.isEmpty) cur.props - "layout.clusterBy"
       else cur.props + ("layout.clusterBy" -> clusterBy.mkString(","))
     io.commit(path, cur.withFiles(files).copy(props = props))
   }

@@ -68,13 +68,26 @@ object PgOutputDecoder {
     (new String(d, p, e - p, StandardCharsets.UTF_8), e + 1)
   }
 
-  /** TupleData at `p` → (values with null/unchanged as null, next pos). */
-  private def tuple(d: Array[Byte], p0: Int, rel: Relation): (Seq[Any], Int) = {
+  /** TupleData at `p` → (values, next pos). An unchanged-TOAST cell
+    * ('u') means PostgreSQL did NOT ship the column's value — decoding
+    * it as null and merging would silently wipe the stored column, so
+    * by default it is an error: CDC over TOASTed columns requires
+    * `ALTER TABLE ... REPLICA IDENTITY FULL` upstream (the standard
+    * CDC-tool requirement; the reference resolves 'u' against the
+    * current row instead, which a stateless decoder cannot). */
+  private def tuple(d: Array[Byte], p0: Int, rel: Relation,
+      toastAsNull: Boolean): (Seq[Any], Int) = {
     val n = beUint(d, p0, 2).toInt
     var p = p0 + 2
     val out = (0 until n).map { i =>
       (d(p) & 0xff).toChar match {
-        case 'n' | 'u' => p += 1; null
+        case 'n' => p += 1; null
+        case 'u' =>
+          if (!toastAsNull) throw new UnsupportedOperationException(
+            s"unchanged-TOAST column ${rel.cols(i).name} in ${rel.qualified}: " +
+              "set REPLICA IDENTITY FULL upstream (or opt into " +
+              "toastAsNull=true to overwrite with null)")
+          p += 1; null
         case 't' =>
           val len = beUint(d, p + 1, 4).toInt
           val s = new String(d, p + 5, len, StandardCharsets.UTF_8)
@@ -86,11 +99,19 @@ object PgOutputDecoder {
     (out, p)
   }
 
-  /** Decoder state for one slot's serial stream. */
-  final class SlotState {
+  /** Decoder state for one slot's serial stream. A stream SLICE handed
+    * to one state must start at a transaction boundary and carry its
+    * Relation messages (PostgreSQL re-sends both on every
+    * START_REPLICATION, and the reference flushes on txn boundaries —
+    * the same contract): a data message before any Begin fails loudly
+    * below rather than decoding with orphaned txn coords. */
+  final class SlotState(toastAsNull: Boolean = false) {
     private var rels = Map.empty[Int, Relation]
-    private var lsn = 0L
+    private var lsn = -1L
     private var stmt = 0L
+
+    private def tup(d: Array[Byte], p: Int, rel: Relation): (Seq[Any], Int) =
+      tuple(d, p, rel, toastAsNull)
 
     /** Parse one pgoutput message; emits zero or more [[Change]]s. */
     def onMessage(d: Array[Byte]): Seq[Change] = (d(0) & 0xff).toChar match {
@@ -113,26 +134,26 @@ object PgOutputDecoder {
         Nil
       case 'I' =>
         val rel = rels(beUint(d, 1, 4).toInt)
-        val (vs, _) = tuple(d, 6, rel) // 5 = 'N' tag
+        val (vs, _) = tup(d, 6, rel) // 5 = 'N' tag
         emit(rel, CdcMerge.ActionInsert, vs)
       case 'U' =>
         val rel = rels(beUint(d, 1, 4).toInt)
         (d(5) & 0xff).toChar match {
           case 'N' =>
-            val (vs, _) = tuple(d, 6, rel)
+            val (vs, _) = tup(d, 6, rel)
             emit(rel, CdcMerge.ActionUpdate, vs)
           case 'K' | 'O' =>
             // old image present: the key (or row) changed — the
             // reference applies this as delete(old) + insert(new)
             // (`delta/controller.go` update-with-key-change arm)
-            val (old, pOld) = tuple(d, 6, rel)
-            val (nw, _) = tuple(d, pOld + 1, rel)
+            val (old, pOld) = tup(d, 6, rel)
+            val (nw, _) = tup(d, pOld + 1, rel)
             emit(rel, CdcMerge.ActionDelete, old) ++
               emit(rel, CdcMerge.ActionInsert, nw)
         }
       case 'D' =>
         val rel = rels(beUint(d, 1, 4).toInt)
-        val (vs, _) = tuple(d, 6, rel) // 5 = 'K'/'O' tag
+        val (vs, _) = tup(d, 6, rel) // 5 = 'K'/'O' tag
         emit(rel, CdcMerge.ActionDelete, vs)
       case 'T' =>
         val nrels = beUint(d, 1, 4).toInt
@@ -145,6 +166,9 @@ object PgOutputDecoder {
     }
 
     private def emit(rel: Relation, action: Int, vs: Seq[Any]): Seq[Change] = {
+      if (lsn < 0) throw new IllegalStateException(
+        s"data message for ${rel.qualified} before any Begin: the stream " +
+          "slice does not start at a transaction boundary")
       stmt += 1
       Seq(Change(rel.qualified, action, lsn, stmt, vs))
     }
@@ -225,7 +249,7 @@ object PgOutputDecoder {
     */
   def decodeSlotStreams(events: DataFrame, slotCol: String, offsetCol: String,
       payloadCol: String, targetRelation: String,
-      dataSchema: StructType): DataFrame = {
+      dataSchema: StructType, toastAsNull: Boolean = false): DataFrame = {
     val outSchema = StructType(dataSchema.fields ++ Seq(
       StructField("action", IntegerType),
       StructField("txn_tag", StringType),
@@ -241,7 +265,7 @@ object PgOutputDecoder {
       .mapPartitions { it =>
         val states = scala.collection.mutable.Map.empty[Any, SlotState]
         it.flatMap { r =>
-          val st = states.getOrElseUpdate(r.get(slotIdx), new SlotState)
+          val st = states.getOrElseUpdate(r.get(slotIdx), new SlotState(toastAsNull))
           st.onMessage(r.getAs[Array[Byte]](payloadIdx))
             .filter(_.relation == targetRelation)
             .map(c => Row.fromSeq(c.values ++

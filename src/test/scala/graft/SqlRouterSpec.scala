@@ -152,14 +152,23 @@ class SqlRouterSpec extends SparkSpec {
     assert(e.listTables() === Seq("src"))
   }
 
-  test("column-list INSERT null-fills unlisted columns") {
+  test("column-list INSERT fills defaults, then nulls; all DML forms take lists") {
     val e = new Engine(spark, tmpDir("router_inscols"))
     exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING, n INT)")
+    exec(e, "ALTER TABLE t ADD COLUMN tag STRING DEFAULT 'd'")
     val r = exec(e, "INSERT INTO t (v, id) VALUES ('a', 1), ('b', 2)")
     assert(r.affected === 2)
-    assert(exec(e, "SELECT id, v, n FROM t ORDER BY id").df.get
-      .as[(Long, String, Option[Int])].collect()
-      === Array((1L, "a", None), (2L, "b", None)))
+    assert(exec(e, "SELECT id, v, n, tag FROM t ORDER BY id").df.get
+      .as[(Long, String, Option[Int], String)].collect()
+      === Array((1L, "a", None, "d"), (2L, "b", None, "d")))
+    // REPLACE / INSERT IGNORE / ON DUPLICATE KEY all accept column lists
+    exec(e, "REPLACE INTO t (id, v) VALUES (1, 'a2')")
+    exec(e, "INSERT IGNORE INTO t (id, v) VALUES (1, 'lost'), (3, 'c')")
+    exec(e, "INSERT INTO t (id, v) VALUES (2, 'b2'), (4, 'e') " +
+      "ON DUPLICATE KEY UPDATE v = VALUES(v)")
+    assert(exec(e, "SELECT id, v FROM t ORDER BY id").df.get
+      .as[(Long, String)].collect()
+      === Array((1L, "a2"), (2L, "b2"), (3L, "c"), (4L, "e")))
   }
 
   test("RENAME TABLE and ALTER TABLE RENAME TO preserve history") {
@@ -197,6 +206,10 @@ class SqlRouterSpec extends SparkSpec {
     val dest = tmpDir("router_backup_dest")
     exec(e, s"BACKUP DATABASE main TO '$dest'")
     exec(e, "DELETE FROM t WHERE id = 2")
+    // a bad source must fail BEFORE touching the database
+    intercept[IllegalArgumentException](
+      exec(e, "RESTORE DATABASE main FROM '/no/such/backup'"))
+    assert(exec(e, "SELECT count(*) FROM t").df.get.as[Long].head() === 1)
     exec(e, s"RESTORE DATABASE main FROM '$dest'")
     assert(exec(e, "SELECT count(*) FROM t").df.get.as[Long].head() === 2)
   }
@@ -274,6 +287,16 @@ class SqlRouterSpec extends SparkSpec {
     val idx2 = exec(e, "SHOW INDEXES FROM t").df.get
       .select("key_name", "column_name").as[(String, String)].collect()
     assert(idx2 === Array(("PRIMARY", "id"), ("CLUSTERING", "v")))
+    // an unclustered OPTIMIZE destroys the ordering — the record goes too
+    exec(e, "OPTIMIZE t")
+    val idx3 = exec(e, "SHOW INDEX FROM t").df.get
+      .select("key_name").as[String].collect()
+    assert(idx3 === Array("PRIMARY"))
+    // EXECUTE USING respects quoted literals containing commas
+    exec(e, "INSERT INTO t VALUES (9, 'a,b')")
+    exec(e, "PREPARE f FROM 'SELECT id FROM t WHERE v = ?'")
+    assert(exec(e, "EXECUTE f USING 'a,b'").df.get.as[Long].collect()
+      === Array(9L))
   }
 
   test("multi-statement script execution") {

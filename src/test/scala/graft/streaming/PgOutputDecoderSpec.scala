@@ -126,6 +126,38 @@ class PgOutputDecoderSpec extends SparkSpec {
     assert(out === Array(Row(CdcMerge.ActionTruncate, 10L)))
   }
 
+  test("unchanged-TOAST cells fail loudly unless opted into null") {
+    val msgs = Seq(begin(5L, 1), rel,
+      update(relOid, bytes(be(2, 2), // 2 cols: pk text, val unchanged
+        bytes(Array('t'.toByte), be(1, 4), "1".getBytes("UTF-8")),
+        Array('u'.toByte))))
+    val df = msgs.zipWithIndex.map { case (m, i) => ("s1", i.toLong, m) }
+      .toDF("slot", "off", "payload")
+    val schema = StructType(Seq(
+      StructField("pk", LongType), StructField("val", StringType)))
+    val err = intercept[org.apache.spark.SparkException](
+      PgOutputDecoder.decodeSlotStreams(df, "slot", "off", "payload",
+        "public.t", schema).collect())
+    assert(err.getMessage.contains("REPLICA IDENTITY FULL") ||
+      Option(err.getCause).exists(_.getMessage.contains("REPLICA IDENTITY FULL")))
+    val out = PgOutputDecoder.decodeSlotStreams(df, "slot", "off", "payload",
+      "public.t", schema, toastAsNull = true).collect()
+    assert(out.length === 1 && out(0).isNullAt(1))
+  }
+
+  test("a data message before any Begin fails instead of orphan coords") {
+    val msgs = Seq(rel, insert(relOid, tup(Some("1"), Some("a"))))
+    val df = msgs.zipWithIndex.map { case (m, i) => ("s1", i.toLong, m) }
+      .toDF("slot", "off", "payload")
+    val schema = StructType(Seq(
+      StructField("pk", LongType), StructField("val", StringType)))
+    val err = intercept[org.apache.spark.SparkException](
+      PgOutputDecoder.decodeSlotStreams(df, "slot", "off", "payload",
+        "public.t", schema).collect())
+    assert(err.getMessage.contains("transaction boundary") ||
+      Option(err.getCause).exists(_.getMessage.contains("transaction boundary")))
+  }
+
   test("messages for other relations are filtered out") {
     val other = relation(99, "public", "other", ("x", 23, -1))
     val out = decode(Seq(
