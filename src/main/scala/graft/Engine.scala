@@ -264,7 +264,10 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
   private val registeredViews = scala.collection.mutable.Set.empty[String]
 
   private def idents(s: String): Set[String] =
-    "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(s).map(_.toLowerCase).toSet
+    // \w+ (not letter-led): CREATE TABLE accepts digit-led names like
+    // `2024_data`, so the reference scan must tokenize them whole —
+    // pure numeric literals also match but never collide with a table
+    "\\w+".r.findAllIn(s).map(_.toLowerCase).toSet
 
   private def registerReferenced(q: String): Unit = synchronized {
     val allTables = listTables()

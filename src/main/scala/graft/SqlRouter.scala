@@ -94,8 +94,11 @@ object SqlRouter {
     """(?is)\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+([\w.]+)\s*""".r
   private val ShowVariables =
     """(?is)\s*SHOW\s+VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*""".r
+  // the modifier needs an explicit separator (space or the @@GLOBAL.x
+  // dot form) — a bare (GLOBAL)? would eat the prefix of variable
+  // names like `global_flag` or `session_timeout`
   private val SetVariable =
-    """(?is)\s*SET\s+(?:@@)?(GLOBAL|SESSION|PERSIST)?\s*([\w.]+)\s*=\s*(.+?)\s*""".r
+    """(?is)\s*SET\s+(?:@@)?(?:(GLOBAL|SESSION|PERSIST)(?:\s+|\.))?([\w.]+)\s*=\s*(.+?)\s*""".r
   private val Update =
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*""".r
   private val Delete =
@@ -112,7 +115,8 @@ object SqlRouter {
   private val VersionQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val Optimize = """(?is)\s*OPTIMIZE\s+([\w.]+)\s*""".r
-  private val Vacuum = """(?is)\s*VACUUM\s+([\w.]+)\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+SECONDS)?\s*""".r
   private val Analyze = """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*(?:COMPUTE\s+STATISTICS)?\s*""".r
 
   def execute(engine: Engine, sqlText: String): Result = sqlText match {
@@ -144,8 +148,10 @@ object SqlRouter {
     case CreateView(name, defn) => engine.createView(name, defn); ddl
     case DropView(name) => engine.dropView(name); ddl
     case Begin() => engine.begin(); ddl
-    case CommitTxn() => engine.commit(); ddl
-    case RollbackTxn() => engine.rollback(); ddl
+    // MySQL treats COMMIT/ROLLBACK without an open transaction as
+    // no-ops (autocommit mode) — clients issue them routinely
+    case CommitTxn() => if (engine.inTransaction) engine.commit(); ddl
+    case RollbackTxn() => if (engine.inTransaction) engine.rollback(); ddl
     case ReplaceInto(name, colList, rest) =>
       val t = engine.table(name)
       Result(None, t.replaceRows(sourceDfFor(engine, t, colList, rest)))
@@ -277,7 +283,10 @@ object SqlRouter {
         (modifier.equalsIgnoreCase("GLOBAL") || modifier.equalsIgnoreCase("PERSIST"))
       engine.setVar(key, unquote(value), persist); ddl
     case Optimize(name) => engine.table(name).compact(); ddl
-    case Vacuum(name) => Result(None, engine.table(name).vacuum())
+    case Vacuum(name, retain) =>
+      val minAge = Option(retain).map(_.toLong * 1000)
+      Result(None, minAge.fold(engine.table(name).vacuum())(
+        a => engine.table(name).vacuum(minAgeMs = a)))
     case Analyze(name) => engine.table(name).analyze(); ddl
     case AlterAdd(name, colName, colType, default, notNull) =>
       engine.table(name).addColumn(colName,

@@ -174,23 +174,26 @@ object JdkCodecs {
     * `##dc`/`##db`, word-aligned). Bare stream: split on SOI..EOI
     * marker pairs. Malformed tails stop the walk instead of throwing —
     * a truncated shard yields its decodable prefix. */
-  def extractMjpegFrames(bytes: Array[Byte]): Vector[Array[Byte]] =
+  def extractMjpegFrames(bytes: Array[Byte],
+      maxFrames: Int = Int.MaxValue): Vector[Array[Byte]] =
     if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
         fourcc(bytes, 8) == "AVI ")
-      walkChunks(bytes, 12, math.min(bytes.length.toLong, 8 + u32(bytes, 4)))
-    else splitJpegStream(bytes)
+      walkChunks(bytes, 12, math.min(bytes.length.toLong, 8 + u32(bytes, 4)),
+        maxFrames)
+    else splitJpegStream(bytes, maxFrames)
 
-  private def walkChunks(b: Array[Byte], start: Int, end: Long): Vector[Array[Byte]] = {
+  private def walkChunks(b: Array[Byte], start: Int, end: Long,
+      maxFrames: Int): Vector[Array[Byte]] = {
     var out = Vector.empty[Array[Byte]]
     var p = start
-    while (p + 8 <= end) {
+    while (p + 8 <= end && out.length < maxFrames) {
       val id = fourcc(b, p)
       val size = u32(b, p + 4)
       if (p + 8 + size > end) return out // truncated chunk
       if (id == "LIST") {
         val listType = fourcc(b, p + 8)
         if (listType == "movi" || listType == "rec ")
-          out ++= walkChunks(b, p + 12, p + 8 + size)
+          out ++= walkChunks(b, p + 12, p + 8 + size, maxFrames - out.length)
       } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
           id.take(2).forall(_.isDigit)) {
         out :+= java.util.Arrays.copyOfRange(b, p + 8, p + 8 + size.toInt)
@@ -200,10 +203,11 @@ object JdkCodecs {
     out
   }
 
-  private def splitJpegStream(b: Array[Byte]): Vector[Array[Byte]] = {
+  private def splitJpegStream(b: Array[Byte],
+      maxFrames: Int = Int.MaxValue): Vector[Array[Byte]] = {
     var out = Vector.empty[Array[Byte]]
     var i = 0
-    while (i + 1 < b.length) {
+    while (i + 1 < b.length && out.length < maxFrames) {
       if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xd8) { // SOI
         var j = i + 2
         var endAt = -1
@@ -221,8 +225,11 @@ object JdkCodecs {
 
   /** Decode frame `idx` of an MJPEG video to pixels. */
   def decodeVideoFrame(bytes: Array[Byte], idx: Int): Option[BufferedImage] = {
-    val frames = extractMjpegFrames(bytes)
-    if (idx < 0 || idx >= frames.length) None else decodeImage(frames(idx))
+    if (idx < 0) return None
+    // stop the container walk at idx+1 frames: decoding frame 0 of a
+    // long video must not copy every frame's bytes first
+    val frames = extractMjpegFrames(bytes, idx + 1)
+    if (idx >= frames.length) None else decodeImage(frames(idx))
   }
 
   def encodeJpeg(img: BufferedImage): Array[Byte] = {

@@ -345,7 +345,15 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * SQL expression over the joined row, where the EXISTING row's
     * columns keep their names and the incoming row's values are
     * `__new_<col>` (the router rewrites MySQL's `VALUES(c)` to that).
-    * Returns MySQL-style affected rows: 1 per insert, 2 per update. */
+    * Returns MySQL-style affected rows: 1 per insert, 2 per update.
+    *
+    * Known divergence: in-batch duplicate keys condense to the LAST
+    * occurrence before matching (one distributed pass). MySQL applies
+    * rows sequentially, so a self-referencing SET expression (e.g.
+    * `hits = hits + VALUES(hits)`) observes each earlier duplicate —
+    * reproducing that would need a per-key ordered fold of arbitrary
+    * SQL expressions. Batches without repeated keys (the normal CDC /
+    * upsert shape) are exact. */
   def upsertOnDuplicate(df0: DataFrame, set: Map[String, String]): Long = {
     val m = manifest
     require(m.pkCols.nonEmpty, "ON DUPLICATE KEY UPDATE requires a primary key")
@@ -476,10 +484,21 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   /** VACUUM: delete data files referenced by no manifest version newer
     * than `keepVersions` back, plus the superseded manifests. Readers
     * of retained versions are unaffected (files are immutable). */
-  def vacuum(keepVersions: Int = 1): Long = {
+  /** Reclaim data files referenced by no retained manifest version.
+    * Transaction-aware on two axes: the keep window is anchored at the
+    * newest VISIBLE version (an aborted/pending head must never become
+    * the only version whose files survive), and every version from
+    * there up to the raw journal head keeps its files (an undecided
+    * pending commit may still flip to visible). `minAgeMs` protects
+    * files staged by an OPEN transaction, which by design are
+    * referenced by no on-disk manifest yet — only files older than the
+    * age gate are candidates (0 = collect everything, for tests and
+    * explicit RETAIN 0). */
+  def vacuum(keepVersions: Int = 1, minAgeMs: Long = 600000L): Long = {
     import scala.jdk.CollectionConverters._
     val latest = Manifest.latestVersion(path).getOrElse(return 0L)
-    val keepFrom = math.max(0L, latest - (keepVersions - 1))
+    val visible = Manifest.visibleVersion(path).getOrElse(return 0L)
+    val keepFrom = math.max(0L, visible - (keepVersions - 1))
     val manifestDir = path.resolve("_manifest")
     val live: Set[String] = (keepFrom to latest).flatMap { v =>
       if (Files.exists(manifestDir.resolve(f"v$v%09d.json")))
@@ -488,10 +507,12 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     }.toSet
     val dataDir = path.resolve("data")
     if (!Files.isDirectory(dataDir)) return 0L
+    val cutoff = System.currentTimeMillis() - minAgeMs
     var removed = 0L
     Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
       if (Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
-          !live.contains(p.toString)) {
+          !live.contains(p.toString) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff) {
         Files.delete(p); removed += 1
       } else if (Files.isDirectory(p) && p != dataDir &&
           !Files.list(p).iterator().hasNext) {

@@ -101,8 +101,24 @@ object Manifest {
       if (v < 0) throw new IllegalStateException(s"no visible manifest under $table")
       m = loadVersion(table, v)
     }
-    if (m.version == raw) m else m.copy(version = raw)
+    // strip the txn protocol props from the RESOLVED manifest: a later
+    // commit copying props must not re-mark its (non-transactional)
+    // version as pending — that would chain every future load through
+    // the decision file, and losing the _txn dir would then make every
+    // descendant version invisible
+    val clean = m.copy(props = m.props - PendingProp - TxnDirProp)
+    if (clean.version == raw) clean else clean.copy(version = raw)
   }
+
+  /** Newest version whose content a reader would see (the version
+    * [[load]] resolves to) — pending/aborted heads are skipped. */
+  def visibleVersion(table: Path): Option[Long] =
+    latestVersion(table).map { raw =>
+      var v = raw
+      while (v >= 0 && !isVisible(loadVersion(table, v))) v -= 1
+      require(v >= 0, s"no visible manifest under $table")
+      v
+    }
 
   private def isVisible(m: Manifest): Boolean = m.props.get(PendingProp) match {
     case None => true

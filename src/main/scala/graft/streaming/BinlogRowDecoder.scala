@@ -156,7 +156,11 @@ object BinlogRowDecoder {
     case Date =>
       val v = uint(data, pos, 3)
       val (day, month, year) = ((v & 31).toInt, ((v >> 5) & 15).toInt, (v >> 9).toInt)
-      (java.sql.Date.valueOf(java.time.LocalDate.of(year, month, day)), 3)
+      // MySQL zero dates ('0000-00-00', or zero month/day components)
+      // are legal cell values without NO_ZERO_DATE; they have no
+      // LocalDate representation → null, not a task-killing throw
+      if (month == 0 || day == 0) (null, 3)
+      else (java.sql.Date.valueOf(java.time.LocalDate.of(year, month, day)), 3)
     case Time2(fsp) =>
       val frBytes = (fsp + 1) / 2
       var hms = beUint(data, pos, 3) - 0x800000L
@@ -305,6 +309,17 @@ object BinlogRowDecoder {
 
   private def entryWidth(large: Boolean) = if (large) 4 else 2
 
+  /** MySQL inlines any value that FITS the entry's value slot: literal
+    * and int16/uint16 always (2-byte slot), plus int32/uint32 in large
+    * containers (4-byte slot) — everything else is an offset. Treating
+    * an inlined small int as an offset misreads every real-world JSON
+    * document containing an integer. */
+  private def isInlined(t: Int, large: Boolean): Boolean = t match {
+    case 0x04 | 0x05 | 0x06 => true
+    case 0x07 | 0x08 => large
+    case _ => false
+  }
+
   private def jsonArray(d: Array[Byte], p: Int, large: Boolean): String = {
     val w = entryWidth(large)
     val count = uint(d, p, w).toInt
@@ -312,7 +327,7 @@ object BinlogRowDecoder {
     (0 until count).map { i =>
       val e = entriesAt + i * (1 + w)
       val t = d(e) & 0xff
-      if (t == 0x04) jsonValue(t, d, e + 1) // literal inlined in entry
+      if (isInlined(t, large)) jsonValue(t, d, e + 1)
       else jsonValue(t, d, p + uint(d, e + 1, w).toInt)
     }.mkString("[", ", ", "]")
   }
@@ -330,7 +345,7 @@ object BinlogRowDecoder {
       val ve = valuesAt + i * (1 + w)
       val t = d(ve) & 0xff
       val v =
-        if (t == 0x04) jsonValue(t, d, ve + 1)
+        if (isInlined(t, large)) jsonValue(t, d, ve + 1)
         else jsonValue(t, d, p + uint(d, ve + 1, w).toInt)
       s"${quote(key)}: $v"
     }.mkString("{", ", ", "}")

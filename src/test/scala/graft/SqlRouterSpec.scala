@@ -41,7 +41,10 @@ class SqlRouterSpec extends SparkSpec {
     assert(e.table("users").manifest.props("stats.rowCount") === "3")
     exec(e, "OPTIMIZE users")
     assert(e.table("users").manifest.files.size === 1)
-    assert(exec(e, "VACUUM users").affected > 0)
+    // default VACUUM age-gates young files (open-txn safety);
+    // RETAIN 0 SECONDS forces immediate collection
+    assert(exec(e, "VACUUM users").affected === 0)
+    assert(exec(e, "VACUUM users RETAIN 0 SECONDS").affected > 0)
 
     exec(e, "TRUNCATE TABLE users")
     assert(exec(e, "SELECT count(*) FROM users").df.get.as[Long].head() === 0)
@@ -122,6 +125,9 @@ class SqlRouterSpec extends SparkSpec {
 
   test("BEGIN/COMMIT/ROLLBACK route to the session transaction") {
     val e = new Engine(spark, tmpDir("router_txn"))
+    // autocommit mode: COMMIT/ROLLBACK without an open txn are no-ops
+    exec(e, "COMMIT")
+    exec(e, "ROLLBACK")
     exec(e, "CREATE TABLE t (id INT PRIMARY KEY, v STRING)")
     exec(e, "INSERT INTO t VALUES (1, 'x')")
     exec(e, "BEGIN")
@@ -323,6 +329,13 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "SET my_var = 'hello'")
     exec(e, "SET GLOBAL persisted_var = 42")
     assert(e.getVar("my_var") === Some("hello"))
+    // names STARTING with a modifier keyword must not lose the prefix
+    exec(e, "SET session_timeout = 30")
+    exec(e, "SET global_flag = 1")
+    assert(e.getVar("session_timeout") === Some("30"))
+    assert(e.getVar("global_flag") === Some("1"))
+    exec(e, "SET @@GLOBAL.max_connections = 10")
+    assert(e.getVar("max_connections") === Some("10"))
     val vars = exec(e, "SHOW VARIABLES LIKE 'my%'").df.get
       .as[(String, String)].collect()
     assert(vars === Array(("my_var", "hello")))

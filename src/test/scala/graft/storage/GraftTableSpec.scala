@@ -237,7 +237,7 @@ class GraftTableSpec extends SparkSpec {
       === Array(9.0, 2.0))
     assert(t.readVersion(3).select("v").as[Double].collect() === Array(9.0))
     // vacuum drops old versions; the latest still reads
-    t.vacuum(keepVersions = 1)
+    t.vacuum(keepVersions = 1, minAgeMs = 0)
     assert(t.history() === Seq(3L))
     assert(t.read().count() === 1)
   }
@@ -294,7 +294,7 @@ class GraftTableSpec extends SparkSpec {
         .count(p => p.toString.endsWith(".parquet"))
     }
     assert(diskFiles() > 1) // old files still on disk for old readers
-    val removed = t.vacuum(keepVersions = 1)
+    val removed = t.vacuum(keepVersions = 1, minAgeMs = 0)
     assert(removed > 0)
     assert(diskFiles() === 1)
     assert(t.read().orderBy("id").collect() === before) // data intact

@@ -106,4 +106,55 @@ class TransactionSpec extends SparkSpec {
     e.rollback()
     assert(e.table("t").read().count() === 3)
   }
+
+  test("vacuum's age gate spares files staged by an open transaction") {
+    val e = freshEngine()
+    e.createTable("t", schema, Seq("id"))
+    e.table("t").insert(Seq((1L, "x")).toDF("id", "v"))
+    e.begin()
+    e.table("t").insert(Seq((2L, "y")).toDF("id", "v"))
+    // staged data files are on disk but referenced by no on-disk
+    // manifest yet — a concurrent default vacuum must not collect them
+    GraftTable.open(spark, e.warehouse.resolve("main").resolve("t"))
+      .vacuum(keepVersions = 1)
+    e.commit()
+    assert(e.table("t").read().orderBy("id").select("v").as[String].collect()
+      === Array("x", "y"))
+  }
+
+  test("vacuum anchored at the visible version survives an aborted head") {
+    val e = freshEngine()
+    e.createTable("t", schema, Seq("id"))
+    e.table("t").insert(Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    val outside = new Engine(spark, e.warehouse)
+    // txn stages a truncate, then an outside writer causes a conflict
+    // abort at commit time — leaving an aborted pending head (files=Nil)
+    e.begin()
+    e.table("t").truncate()
+    outside.table("t").insert(Seq((3L, "z")).toDF("id", "v"))
+    intercept[java.util.ConcurrentModificationException] { e.commit() }
+    // a keep-1 vacuum must anchor at the VISIBLE version, not the
+    // aborted head — otherwise it would delete every live data file
+    GraftTable.open(spark, e.warehouse.resolve("main").resolve("t"))
+      .vacuum(keepVersions = 1, minAgeMs = 0)
+    assert(outside.table("t").read().orderBy("id").select("v").as[String].collect()
+      === Array("x", "y", "z"))
+  }
+
+  test("a committed txn's protocol props do not leak into later versions") {
+    val e = freshEngine()
+    e.createTable("t", schema, Seq("id"))
+    e.begin()
+    e.table("t").insert(Seq((1L, "x")).toDF("id", "v"))
+    e.commit()
+    // the next plain statement's version must be visible WITHOUT the
+    // decision file (txn.* stripped on load, not copied forward)
+    e.table("t").insert(Seq((2L, "y")).toDF("id", "v"))
+    val head = Manifest.loadVersion(
+      e.warehouse.resolve("main").resolve("t"),
+      Manifest.latestVersion(e.warehouse.resolve("main").resolve("t")).get)
+    assert(!head.props.contains(Manifest.PendingProp))
+    assert(!head.props.contains(Manifest.TxnDirProp))
+    assert(e.table("t").read().count() === 2)
+  }
 }

@@ -82,6 +82,7 @@ class BinlogRowDecoderSpec extends SparkSpec {
       xs.foreach { x =>
         val (t, enc) = encJsonValue(x)
         if (t == 0x04) entries ++= Array(t) ++ le(enc(0) & 0xffL, 2)
+        else if (t == 0x05 || t == 0x06) entries ++= Array(t) ++ enc // inline int16
         else {
           entries ++= Array(t) ++ le(off.toLong, 2)
           values ++= enc; off += enc.length
@@ -102,6 +103,7 @@ class BinlogRowDecoderSpec extends SparkSpec {
       sorted.foreach { case (_, x) =>
         val (t, enc) = encJsonValue(x)
         if (t == 0x04) valEntries ++= Array(t) ++ le(enc(0) & 0xffL, 2)
+        else if (t == 0x05 || t == 0x06) valEntries ++= Array(t) ++ enc // inline int16
         else {
           valEntries ++= Array(t) ++ le(off.toLong, 2)
           values ++= enc; off += enc.length
@@ -176,6 +178,10 @@ class BinlogRowDecoderSpec extends SparkSpec {
     // DATE 2024-03-15: 2024*512 + 3*32 + 15 = 1036399 = 0x0FD06F, LE
     assert(decodeCell(Array[Byte](0x6f, 0xd0.toByte, 0x0f), 0, Date)._1
       === java.sql.Date.valueOf("2024-03-15"))
+    // zero dates (legal without NO_ZERO_DATE) decode to null, not throw
+    assert(decodeCell(Array[Byte](0, 0, 0), 0, Date)._1 === null)
+    // 2024-00-00 (zero month/day components)
+    assert(decodeCell(le(2024L * 512, 3), 0, Date)._1 === null)
     // TIME 13:45:30 → (13<<12 | 45<<6 | 30) + 0x800000 = 0x80DB5E, BE
     assert(decodeCell(Array[Byte](0x80.toByte, 0xdb.toByte, 0x5e), 0, Time2(0))._1
       === (13 * 3600 + 45 * 60 + 30) * 1000000L)
@@ -206,12 +212,17 @@ class BinlogRowDecoderSpec extends SparkSpec {
       0x04, 0x00, 0x00, 0x04, 0x01, 0x00)
     assert(parseBinaryJson(arr) === "[null, true]")
     // {"a": 7}: small object, count=1, key entry (offset=11, len=1),
-    // value entry int16 inline-addressed at offset 12
-    val obj = Array[Byte](0x00, 0x01, 0x00, 0x0e, 0x00,
+    // value entry carries the int16 INLINE (MySQL inlines any value
+    // that fits the 2-byte slot -- never at an offset)
+    val obj = Array[Byte](0x00, 0x01, 0x00, 0x0c, 0x00,
       0x0b, 0x00, 0x01, 0x00, // key entry: offset 11, length 1
-      0x05, 0x0c, 0x00, // value entry: int16 at offset 12
-      'a', 0x07, 0x00)
+      0x05, 0x07, 0x00, // value entry: int16 7 inline
+      'a')
     assert(parseBinaryJson(obj) === "{\"a\": 7}")
+    // [3, -2]: small array with both int16s inline
+    val arr2 = Array[Byte](0x02, 0x02, 0x00, 0x0a, 0x00,
+      0x05, 0x03, 0x00, 0x05, 0xfe.toByte, 0xff.toByte)
+    assert(parseBinaryJson(arr2) === "[3, -2]")
   }
 
   test("negative TIME with fractional seconds borrows one second") {
