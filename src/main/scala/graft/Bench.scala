@@ -22,17 +22,31 @@ object Bench {
     // under-measuring vs the oracle baseline which materializes rows.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // Drop state a query may leave behind (cached frames, the
+    // localCheckpoint blocks iterative operators pin) so one query's
+    // storage residue never steals execution memory from the next —
+    // each timing measures that query alone.
+    def reset(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     try run(SparkEntry.queries("q01_pricing_summary"))
     catch { case _: Throwable => () } // warmup only
+    reset()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      reset()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // headline fields LAST: log-tail capture truncates the FRONT of
+    // long lines, and the total must survive truncation
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -357,8 +357,11 @@ object SqlRouter {
   def executeScript(engine: Engine, script: String): Seq[Result] =
     splitStatements(script).map(execute(engine, _))
 
-  /** Split on `;` outside single/double-quoted strings ('' doubling
-    * and backslash escapes respected). */
+  /** Split on `;` outside single/double/backtick-quoted spans (''
+    * doubling and backslash escapes respected) and outside line
+    * (`--`) and block comments — a ';' inside a comment or a
+    * backticked identifier (common in dump files) must not split the
+    * script. */
   private[graft] def splitStatements(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -368,10 +371,19 @@ object SqlRouter {
       val c = s.charAt(i)
       if (quote != 0) {
         cur.append(c)
-        if (c == '\\' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 1 }
+        if (c == '\\' && quote != '`' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 1 }
         else if (c == quote) quote = 0
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        // line comment: copy through end-of-line (keep text: harmless)
+        val nl = s.indexOf('\n', i)
+        val end = if (nl < 0) s.length else nl + 1
+        cur.append(s.substring(i, end)); i = end - 1
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val close = s.indexOf("*/", i + 2)
+        val end = if (close < 0) s.length else close + 2
+        cur.append(s.substring(i, end)); i = end - 1
       } else c match {
-        case '\'' | '"' => quote = c; cur.append(c)
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
         case ';' => out += cur.toString; cur.clear()
         case _ => cur.append(c)
       }
@@ -408,7 +420,7 @@ object SqlRouter {
         val value = if (parts.length > 1) unquote(parts(1)) else ""
         parts(0).toUpperCase match {
           case "FORMAT" => fmt = value.toUpperCase
-          case "HEADER" => header = value.isEmpty || value.toBoolean
+          case "HEADER" => header = parseBool(value)
           case "DELIMITER" | "SEP" => o = o.copy(sep = value)
           case "QUOTE" => o = o.copy(quote = value)
           case "ESCAPE" => o = o.copy(escape = value)
@@ -418,6 +430,15 @@ object SqlRouter {
       }
     (fmt, o, header)
   }
+
+  /** PG boolean option spellings (copy.go accepts the full libpq set):
+    * absent value / on / off / 1 / 0 / true / false, case-insensitive. */
+  private def parseBool(value: String): Boolean =
+    value.trim.toLowerCase match {
+      case "" | "on" | "1" | "true" | "t" | "yes" => true
+      case "off" | "0" | "false" | "f" | "no" => false
+      case other => throw new IllegalArgumentException(s"boolean option: $other")
+    }
 
   /** MySQL LOAD DATA tail (`loaddata.go:115-227` surface): FIELDS
     * TERMINATED/ENCLOSED/ESCAPED BY, IGNORE n LINES (LINES TERMINATED
@@ -439,8 +460,13 @@ object SqlRouter {
   private def unescapeSeq(s: String): String =
     s.replace("\\t", "\t").replace("\\n", "\n").replace("\\\\", "\\")
 
+  /** Existence probe for IF [NOT] EXISTS forms. Only the typed
+    * not-found signal means "absent" — a corrupt manifest or an IO
+    * failure propagates instead of silently reading as a missing
+    * table (round-4 advice). */
   private def tableExists(engine: Engine, name: String): Boolean =
-    try { engine.table(name); true } catch { case _: Exception => false }
+    try { engine.table(name); true }
+    catch { case _: graft.storage.Manifest.NoSuchTableException => false }
 
   /** Source frame for an INSERT-family statement with an optional
     * explicit column list (null = all columns). */

@@ -12,6 +12,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object Operators {
 
+  /** Free the storage blocks behind a `localCheckpoint()`ed frame the
+    * moment it is superseded. `Dataset.unpersist` cannot do this (the
+    * blocks belong to the checkpointed internal RDD, not the cache
+    * manager), and waiting for the ContextCleaner means an iterative
+    * operator holds every superseded iteration's blocks until a driver
+    * GC — on a 100 TB run that storage residue evicts execution memory.
+    * The checkpointed RDD sits in the plan's `LogicalRDD` leaf. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** AS-OF JOIN: for every left row, the most recent right row at or
     * before it per key. One shuffle on the key, one ordered window pass
     * — never a per-key cross join, so it survives 100 TB event tables.
@@ -240,6 +254,7 @@ object Operators {
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint() // reused every round
+    freeCheckpoint(e0) // sym materialized eagerly; e0 is superseded
     // Algorithm by graph size (the broadcast-threshold idea applied to
     // graphs): under the cutoff the edge list fits comfortably on the
     // driver and union-find finishes in milliseconds — iterative
@@ -280,6 +295,7 @@ object Operators {
         org.apache.spark.sql.types.StructField("id", idType),
         org.apache.spark.sql.types.StructField("cluster", idType)))
       import scala.jdk.CollectionConverters._
+      freeCheckpoint(sym) // collected to the driver; blocks not needed
       return spark.createDataFrame(rows.asJava, schema)
     }
     // localCheckpoint per round truncates lineage — without it the
@@ -299,10 +315,12 @@ object Operators {
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.cluster") =!= col("o.cluster")).count()
+      freeCheckpoint(labels) // superseded by next (already materialized)
       labels = next
       converged = changed == 0
       i += 1
     }
+    freeCheckpoint(sym) // the fixed point no longer references edges
     labels
   }
 

@@ -657,8 +657,13 @@ object RelationalQueries {
     "q31_approx_distinct",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
+      // count(DISTINCT key) excludes NULLs but a groupBy would keep a
+      // NULL-key group — drop NULL keys up front so the dedup-first
+      // rewrite matches DISTINCT-count semantics on nullable columns
+      // (both keys are non-null in TPC-H, but don't rely on it).
       def side(key: String, cnt: String, ok: String) =
-        li.groupBy(col("l_returnflag"), col(key)).agg(count(lit(1)).as("__n"))
+        li.filter(col(key).isNotNull)
+          .groupBy(col("l_returnflag"), col(key)).agg(count(lit(1)).as("__n"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as(cnt),
             approx_count_distinct(col(key)).as("__a"))

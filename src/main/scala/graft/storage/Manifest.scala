@@ -91,14 +91,21 @@ object Manifest {
     * pending head is waited on briefly, then force-aborted (presumed
     * dead writer); the decision file makes that arbitration race-free.
     */
+  /** The table has no (visible) manifest — i.e. it does not exist.
+    * Subclasses IllegalStateException so callers that treat "missing"
+    * generically keep working; existence probes (`DROP TABLE IF
+    * EXISTS`) catch exactly this and let genuine IO/parse failures
+    * propagate. */
+  class NoSuchTableException(msg: String) extends IllegalStateException(msg)
+
   def load(table: Path): Manifest = {
     val raw = latestVersion(table).getOrElse(
-      throw new IllegalStateException(s"no manifest under $table"))
+      throw new NoSuchTableException(s"no manifest under $table"))
     var v = raw
     var m = loadVersion(table, v)
     while (!isVisible(m)) {
       v -= 1
-      if (v < 0) throw new IllegalStateException(s"no visible manifest under $table")
+      if (v < 0) throw new NoSuchTableException(s"no visible manifest under $table")
       m = loadVersion(table, v)
     }
     // strip the txn protocol props from the RESOLVED manifest: a later

@@ -99,16 +99,41 @@ object PgOutputDecoder {
     (out, p)
   }
 
+  /** Serializable snapshot of one slot's decode state — the in-stream
+    * Relation registry plus current txn coords. This is exactly what
+    * must survive a micro-batch boundary for a connector that splits
+    * files mid-transaction; [[decodeSlotStreamsStateful]] keeps one
+    * per slot in the streaming checkpoint. */
+  final case class SlotSnapshot(rels: Seq[Relation], lsn: Long, stmt: Long)
+
+  object SlotState {
+    /** Rebuild a decoder from a checkpointed snapshot. */
+    def restore(snap: SlotSnapshot, toastAsNull: Boolean): SlotState = {
+      val st = new SlotState(toastAsNull)
+      st.rels = snap.rels.map(r => r.oid -> r).toMap
+      st.lsn = snap.lsn
+      st.stmt = snap.stmt
+      st
+    }
+  }
+
   /** Decoder state for one slot's serial stream. A stream SLICE handed
-    * to one state must start at a transaction boundary and carry its
-    * Relation messages (PostgreSQL re-sends both on every
+    * to a FRESH state must start at a transaction boundary and carry
+    * its Relation messages (PostgreSQL re-sends both on every
     * START_REPLICATION, and the reference flushes on txn boundaries —
     * the same contract): a data message before any Begin fails loudly
-    * below rather than decoding with orphaned txn coords. */
+    * below rather than decoding with orphaned txn coords. A state
+    * [[SlotState.restore]]d from a [[SlotSnapshot]] carries both
+    * across slices, so checkpointed streams have no such alignment
+    * requirement. */
   final class SlotState(toastAsNull: Boolean = false) {
     private var rels = Map.empty[Int, Relation]
     private var lsn = -1L
     private var stmt = 0L
+
+    /** Checkpointable copy of the current decode state. */
+    def snapshot: SlotSnapshot =
+      SlotSnapshot(rels.valuesIterator.toSeq.sortBy(_.oid), lsn, stmt)
 
     private def tup(d: Array[Byte], p: Int, rel: Relation): (Seq[Any], Int) =
       tuple(d, p, rel, toastAsNull)
@@ -272,5 +297,52 @@ object PgOutputDecoder {
               Seq(c.action, null, null, null, c.lsn, c.stmt)))
         }
       }(Encoders.row(outSchema))
+  }
+
+  /** Streaming variant of [[decodeSlotStreams]] whose per-slot decode
+    * state (Relation registry + txn coords) lives in the streaming
+    * checkpoint via `flatMapGroupsWithState`, so a connector may split
+    * a transaction — or separate a Relation message from the rows that
+    * need it — across micro-batches (round-4 advice: the stateless
+    * path requires every slice to start at a txn boundary).
+    *
+    * `offsetCol` must be a LongType WAL position, monotone within a
+    * slot; one micro-batch's messages per slot are buffered and sorted
+    * by it (micro-batch-sized, the same bound the stateless path's
+    * sortWithinPartitions implies). Works identically on a batch frame
+    * (state spans the single "batch"). */
+  def decodeSlotStreamsStateful(events: DataFrame, slotCol: String,
+      offsetCol: String, payloadCol: String, targetRelation: String,
+      dataSchema: StructType, toastAsNull: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val outSchema = StructType(dataSchema.fields ++ Seq(
+      StructField("action", IntegerType),
+      StructField("txn_tag", StringType),
+      StructField("txn_server", BinaryType),
+      StructField("txn_group", StringType),
+      StructField("txn_seq", LongType),
+      StructField("txn_stmt", LongType)))
+    val slotIdx = events.columns.indexOf(slotCol)
+    val offsetIdx = events.columns.indexOf(offsetCol)
+    val payloadIdx = events.columns.indexOf(payloadCol)
+    events
+      .groupByKey(_.get(slotIdx).toString)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row],
+            state: org.apache.spark.sql.streaming.GroupState[SlotSnapshot]) =>
+          val st = state.getOption
+            .map(SlotState.restore(_, toastAsNull))
+            .getOrElse(new SlotState(toastAsNull))
+          // materialize BEFORE state.update: the output iterator is
+          // consumed after this function returns
+          val out = rows.toArray.sortBy(_.getLong(offsetIdx)).iterator
+            .flatMap(r => st.onMessage(r.getAs[Array[Byte]](payloadIdx)))
+            .filter(_.relation == targetRelation)
+            .map(c => Row.fromSeq(c.values ++
+              Seq(c.action, null, null, null, c.lsn, c.stmt)))
+            .toVector
+          state.update(st.snapshot)
+          out.iterator
+      }(Encoders.product[SlotSnapshot], Encoders.row(outSchema))
   }
 }

@@ -318,6 +318,55 @@ class SqlRouterSpec extends SparkSpec {
     assert(rs.last.df.get.as[String].collect() === Array("a;b", "z"))
   }
 
+  test("script splitter ignores ';' in comments and backticked names") {
+    // dump-file shapes: a ';' inside -- and /* */ comments or inside a
+    // backticked identifier must not split the script (round-4 advice)
+    val stmts = SqlRouter.splitStatements(
+      """-- header; not a statement
+         CREATE TABLE `odd;name` (id INT); /* block; comment
+         spanning lines; still one */ INSERT INTO `odd;name` VALUES (1);
+         SELECT * -- trailing; comment
+         FROM `odd;name`""")
+    assert(stmts.size === 3)
+    assert(stmts(0).contains("CREATE TABLE `odd;name`"))
+    assert(stmts(1).startsWith("/* block"))
+    assert(stmts(1).contains("INSERT INTO `odd;name`"))
+    assert(stmts(2).contains("FROM `odd;name`"))
+  }
+
+  test("COPY HEADER accepts the libpq boolean spellings") {
+    val e = new Engine(spark, tmpDir("router_hdr"))
+    exec(e, "CREATE TABLE t (id INT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO t VALUES (1, 'a')")
+    val dir = tmpDir("router_hdr_csv")
+    for ((spell, expectHeader) <- Seq(("ON", true), ("off", false),
+        ("1", true), ("0", false), ("TRUE", true))) {
+      val f = dir.resolve(s"c_$spell").toString
+      exec(e, s"COPY t TO '$f' (FORMAT CSV, HEADER $spell)")
+      val first = spark.read.text(f).as[String].collect().head
+      assert(first.startsWith("id") === expectHeader, s"HEADER $spell")
+    }
+    intercept[IllegalArgumentException](
+      exec(e, s"COPY t TO '${dir.resolve("bad")}' (FORMAT CSV, HEADER maybe)"))
+  }
+
+  test("IF EXISTS probes propagate IO failures, not just absence") {
+    import scala.jdk.CollectionConverters._
+    val e = new Engine(spark, tmpDir("router_probe"))
+    exec(e, "CREATE TABLE t (id INT PRIMARY KEY)")
+    // corrupt the manifest: the probe must NOT read this as "absent"
+    val mdir = e.warehouse.resolve("main").resolve("t").resolve("_manifest")
+    val latest = java.nio.file.Files.list(mdir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d{9}\\.json"))
+      .toSeq.sortBy(_.getFileName.toString).last
+    java.nio.file.Files.write(latest, "{not json".getBytes)
+    val thrown =
+      try { exec(e, "DROP TABLE IF EXISTS t"); None }
+      catch { case ex: Exception => Some(ex) }
+    assert(thrown.isDefined,
+      "corrupt manifest silently treated as an absent table")
+  }
+
   test("SHOW TABLES / DATABASES / COLUMNS and SET / SHOW VARIABLES") {
     val e = new Engine(spark, tmpDir("router_show"))
     exec(e, "CREATE TABLE t (id INT PRIMARY KEY, v STRING)")

@@ -347,4 +347,42 @@ class PgOutputDecoderSpec extends SparkSpec {
     assert(t.read().orderBy("pk").as[(Long, String)].collect() ===
       Array((1L, "a2"), (3L, "c")))
   }
+
+  test("stateful decode spans micro-batch boundaries mid-transaction") {
+    // batch 2 starts MID-transaction and carries no Relation message:
+    // the stateless path would fail loudly; the stateful path restores
+    // (relation registry, txn coords) from the checkpointed snapshot.
+    val src = tmpDir("pgout_stateful_src")
+    val ckpt = tmpDir("pgout_stateful_ckpt")
+    val schema = StructType(Seq(
+      StructField("slot", StringType), StructField("off", LongType),
+      StructField("payload", BinaryType)))
+    def land(name: String, off0: Long, msgs: Seq[Array[Byte]]): Unit =
+      msgs.zipWithIndex.map { case (m, i) => ("s1", off0 + i, m) }
+        .toDF("slot", "off", "payload")
+        .coalesce(1).write.parquet(src.resolve(name).toString)
+    land("b0", 0, Seq(begin(100L, 1), rel,
+      insert(relOid, tup(Some("1"), Some("a")))))
+    val events = spark.readStream.schema(schema).parquet(src.toString + "/*")
+    val q = PgOutputDecoder.decodeSlotStreamsStateful(
+      events, "slot", "off", "payload", "public.t",
+      StructType(Seq(StructField("pk", LongType), StructField("val", StringType))))
+      .writeStream.format("memory").queryName("pgout_stateful")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    q.processAllAvailable() // micro-batch 1: Begin + Relation + row 1
+    land("b1", 100, Seq( // same txn continues; NO Relation re-send
+      insert(relOid, tup(Some("2"), Some("b"))), commit(100L),
+      begin(200L, 2), insert(relOid, tup(Some("3"), Some("c"))), commit(200L)))
+    q.processAllAvailable() // micro-batch 2: decode state restored
+    q.stop()
+    val out = spark.table("pgout_stateful")
+      .select("pk", "val", "action", "txn_seq", "txn_stmt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._4, t._5))
+    assert(out === Array(
+      (1L, "a", CdcMerge.ActionInsert, 100L, 1L),
+      (2L, "b", CdcMerge.ActionInsert, 100L, 2L),
+      (3L, "c", CdcMerge.ActionInsert, 200L, 1L)))
+  }
 }
