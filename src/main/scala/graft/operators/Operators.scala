@@ -206,8 +206,12 @@ object Operators {
   def jaccardPairsPrefix(codeSets: DataFrame, idCol: String, setCol: String,
       tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau in (0,1]: $tau")
+    // materialize the (typically expensive — shingling/hashing) set
+    // projection ONCE: it feeds both prefix-join sides plus the two
+    // verify joins, and Spark never dedups plan subtrees
     val sets = codeSets.select(col(idCol).as("__id"), col(setCol).as("__cs"),
       size(col(setCol)).as("__len"))
+      .localCheckpoint()
     val pref = sets.select(col("__id"), col("__len"),
         explode(slice(col("__cs"), lit(1),
           (col("__len") - ceil(col("__len") * tau) + 1).cast("int"))).as("__code"))

@@ -287,6 +287,25 @@ final class GraftTable(val spark: SparkSession, val path: Path,
 
     // Affected files = files holding any touched PK (upsert or delete).
     val touchedKeys = changes.select(pk.map(col): _*).distinct()
+
+    // Size-switched pruning (the broadcast-threshold idea applied to
+    // copy-on-write): deciding WHICH files hold touched keys costs a
+    // full table scan + a driver collect — a whole Spark job — and only
+    // pays off by shrinking the rewrite. When the entire table is
+    // smaller than a couple of shuffle partitions, skip the probe and
+    // rewrite everything in the single write job: one job instead of
+    // two per merge, which dominates the many-small-commits CDC path.
+    // At warehouse scale the pruned path below is the only option.
+    val tableBytes = m.files.map(f =>
+      try Files.size(Paths.get(f)) catch { case _: java.io.IOException => Long.MaxValue / 1024 }).sum
+    if (tableBytes <= RewriteAllMaxBytes) {
+      val survivors = readManifest(m)
+        .join(broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti")
+      val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
+      val (files, _) = writeFiles(replacement, needCount = false)
+      io.commit(path, m.withFiles(files))
+      return
+    }
     val tagged = readManifest(m).withColumn("__file", input_file_name())
     val affected = tagged
       .join(broadcastIfSmall(touchedKeys, totalChanges), pk, "left_semi")
@@ -597,6 +616,11 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * shuffled join (AQE still picks the best physical strategy). */
   private def broadcastIfSmall(df: DataFrame, rows: Long): DataFrame =
     if (rows <= 2_000_000L) broadcast(df) else df
+
+  /** Tables at or under this size take merge's rewrite-all arm (no
+    * affected-file probe job): two default-size shuffle partitions'
+    * worth of parquet. */
+  private val RewriteAllMaxBytes = 256L * 1024 * 1024
 
   /** input_file_name() yields file: URIs; manifest stores plain paths. */
   private def normalize(files: Seq[String]): Seq[String] =
