@@ -34,19 +34,33 @@ object Bench {
     try run(SparkEntry.queries("q01_pricing_summary"))
     catch { case _: Throwable => () } // warmup only
     reset()
+    // A failing query must be VISIBLE: record its error string and exit
+    // non-zero, so a regression can't masquerade as a near-zero "speedup".
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
+      val err: Option[String] =
+        try { run(fn); None }
+        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       val dt = (System.nanoTime() - t0) / 1e9
       reset()
-      name -> dt
+      name -> (dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errs = results.map { case (k, (_, e)) =>
+      s"\"" + k + "\":" + e.fold("null")(m => jstr(m.take(200)))
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     // headline fields LAST: log-tail capture truncates the FRONT of
     // long lines, and the total must survive truncation
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
+    println(s"""{"queries":$qs,"errs":$errs,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
+    if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }
 }

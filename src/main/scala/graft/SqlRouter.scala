@@ -13,11 +13,6 @@ import org.apache.spark.sql.types.StructType
   * actual query surface — go straight to `Engine.sql` where Spark's
   * parser owns the grammar (the reference likewise ships query text
   * wholesale to DuckDB and only routes around it).
-  *
-  * Known limitation: the UPDATE SET-list splitter operates at paren
-  * depth 0 and does not parse string literals, so a literal containing
-  * a top-level comma in a SET value needs the programmatic
-  * `GraftTable.update` API instead.
   */
 object SqlRouter {
 
@@ -99,8 +94,11 @@ object SqlRouter {
   // names like `global_flag` or `session_timeout`
   private val SetVariable =
     """(?is)\s*SET\s+(?:@@)?(?:(GLOBAL|SESSION|PERSIST)(?:\s+|\.))?([\w.]+)\s*=\s*(.+?)\s*""".r
+  // the SET/WHERE boundary is found by a quote-aware scan
+  // (splitSetWhere), not this regex: a WHERE inside a string literal
+  // must not end the SET list
   private val Update =
-    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?\s*""".r
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*)""".r
   private val Delete =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?\s*""".r
   private val Truncate = """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*""".r
@@ -170,13 +168,14 @@ object SqlRouter {
     case Insert(name, colList, rest) =>
       val t = engine.table(name)
       Result(None, t.insert(sourceDfFor(engine, t, colList, rest)))
-    case Update(name, setList, where) =>
+    case Update(name, tail) =>
       val t = engine.table(name)
+      val (setList, where) = splitSetWhere(tail)
       val sets = splitTop(setList).map { kv =>
         val Array(k, v) = kv.split("=", 2)
         k.trim -> expr(v.trim)
       }.toMap
-      val cond = Option(where).map(expr).getOrElse(expr("true"))
+      val cond = where.map(expr).getOrElse(expr("true"))
       Result(None, t.update(cond, sets))
     case Delete(name, where) =>
       val t = engine.table(name)
@@ -361,7 +360,16 @@ object SqlRouter {
     * doubling and backslash escapes respected) and outside line
     * (`--`) and block comments — a ';' inside a comment or a
     * backticked identifier (common in dump files) must not split the
-    * script. */
+    * script.
+    *
+    * Dialect tradeoff (deliberate, PG-leaning): `--` always starts a
+    * line comment, as in PostgreSQL and every dump format this path
+    * ingests. MySQL additionally requires whitespace after `--` (so
+    * `SELECT 1--2` is arithmetic there); scripts relying on that
+    * corner must add the space or parenthesize. Block comments are
+    * likewise non-nesting (MySQL rule; PG nests) — the first `*&#47;`
+    * closes the comment. Both choices match what mysqldump/pg_dump
+    * actually emit. */
   private[graft] def splitStatements(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
@@ -563,6 +571,37 @@ object SqlRouter {
       .map(_.split("\\s+")(0))
     val ddlStr = cols.map(_.replaceAll("(?i)\\s+PRIMARY\\s+KEY", "")).mkString(", ")
     (StructType.fromDDL(ddlStr), if (pk.nonEmpty) pk else inlinePk)
+  }
+
+  /** Split an UPDATE tail `<set-list> [WHERE <cond>]` at the first
+    * top-level WHERE keyword — quote-, backtick- and paren-aware, so a
+    * WHERE inside a string literal (`SET note = 'a, b = c WHERE x'`)
+    * or a scalar subquery never terminates the SET list. */
+  private[graft] def splitSetWhere(tail: String): (String, Option[String]) = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < tail.length) {
+      val c = tail.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < tail.length) i += 1
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'w' | 'W' if depth == 0 &&
+            tail.regionMatches(true, i, "WHERE", 0, 5) &&
+            (i == 0 || !isWordChar(tail.charAt(i - 1))) &&
+            (i + 5 >= tail.length || !isWordChar(tail.charAt(i + 5))) =>
+          return (tail.substring(0, i).trim,
+            Some(tail.substring(i + 5).trim).filter(_.nonEmpty))
+        case _ => ()
+      }
+      i += 1
+    }
+    (tail.trim, None)
   }
 
   /** Split on commas at paren depth 0, outside quoted strings (a

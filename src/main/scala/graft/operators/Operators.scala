@@ -26,6 +26,15 @@ object Operators {
       case _ => ()
     }
 
+  /** Free every `localCheckpoint()` block an operator's RESULT plan
+    * still references — for operators (e.g. [[jaccardPairsPrefix]])
+    * whose returned frame reads the checkpoint lazily, so they cannot
+    * free it internally. Call AFTER materializing the result (write /
+    * collect); the frame must not be re-executed afterwards. Iterative
+    * operators that fully consume their checkpoints internally
+    * ([[connectedComponents]]) free them eagerly and need no call. */
+  def releaseCheckpoints(df: DataFrame): Unit = freeCheckpoint(df)
+
   /** AS-OF JOIN: for every left row, the most recent right row at or
     * before it per key. One shuffle on the key, one ordered window pass
     * — never a per-key cross join, so it survives 100 TB event tables.
@@ -202,6 +211,12 @@ object Operators {
     * broadcast of the corpus, no driver state: the 100 TB shape. At
     * low τ the prefix approaches the whole set and the dense-corpus
     * broadcast scan wins instead; measure at your τ.
+    *
+    * The set projection is `localCheckpoint()`ed (it feeds three
+    * joins and Spark never dedups plan subtrees) and the returned
+    * frame reads it lazily, so the blocks cannot be freed here: after
+    * materializing the result, call [[releaseCheckpoints]] on it to
+    * drop them without waiting for a driver GC.
     */
   def jaccardPairsPrefix(codeSets: DataFrame, idCol: String, setCol: String,
       tau: Double): DataFrame = {

@@ -296,8 +296,19 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // rewrite everything in the single write job: one job instead of
     // two per merge, which dominates the many-small-commits CDC path.
     // At warehouse scale the pruned path below is the only option.
-    val tableBytes = m.files.map(f =>
-      try Files.size(Paths.get(f)) catch { case _: java.io.IOException => Long.MaxValue / 1024 }).sum
+    // Early-exit fold, not a sentinel sum: stop once the threshold is
+    // crossed, and treat ANY unreadable/malformed entry (IO error or a
+    // bad path) as "size unknown" → the pruned path, which is safe at
+    // every size. Summing sentinels could overflow negative and route
+    // a huge table into rewrite-all (round-5 advice).
+    val tableBytes = {
+      var sum = 0L
+      val it = m.files.iterator
+      while (it.hasNext && sum <= RewriteAllMaxBytes)
+        try sum += Files.size(Paths.get(it.next()))
+        catch { case scala.util.control.NonFatal(_) => sum = Long.MaxValue }
+      sum
+    }
     if (tableBytes <= RewriteAllMaxBytes) {
       val survivors = readManifest(m)
         .join(broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti")

@@ -310,10 +310,17 @@ object PgOutputDecoder {
     * slot; one micro-batch's messages per slot are buffered and sorted
     * by it (micro-batch-sized, the same bound the stateless path's
     * sortWithinPartitions implies). Works identically on a batch frame
-    * (state spans the single "batch"). */
+    * (state spans the single "batch").
+    *
+    * `maxBufferedBytes` bounds that per-slot buffer: an unthrottled
+    * first batch after a long outage could otherwise be the entire
+    * backlog in one executor's memory. Exceeding it fails fast with a
+    * pointer at the connector's `maxFilesPerTrigger` rather than
+    * OOM-ing the executor mid-sort. */
   def decodeSlotStreamsStateful(events: DataFrame, slotCol: String,
       offsetCol: String, payloadCol: String, targetRelation: String,
-      dataSchema: StructType, toastAsNull: Boolean = false): DataFrame = {
+      dataSchema: StructType, toastAsNull: Boolean = false,
+      maxBufferedBytes: Long = 1L << 30): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val outSchema = StructType(dataSchema.fields ++ Seq(
       StructField("action", IntegerType),
@@ -326,16 +333,29 @@ object PgOutputDecoder {
     val offsetIdx = events.columns.indexOf(offsetCol)
     val payloadIdx = events.columns.indexOf(payloadCol)
     events
-      .groupByKey(_.get(slotIdx).toString)(Encoders.STRING)
+      // String.valueOf: a null slot id must key the "null" group, not
+      // NPE the decode task (round-5 advice)
+      .groupByKey(r => String.valueOf(r.get(slotIdx)))(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[Row],
+        (slot: String, rows: Iterator[Row],
             state: org.apache.spark.sql.streaming.GroupState[SlotSnapshot]) =>
           val st = state.getOption
             .map(SlotState.restore(_, toastAsNull))
             .getOrElse(new SlotState(toastAsNull))
           // materialize BEFORE state.update: the output iterator is
           // consumed after this function returns
-          val out = rows.toArray.sortBy(_.getLong(offsetIdx)).iterator
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var bufBytes = 0L
+          rows.foreach { r =>
+            bufBytes += r.getAs[Array[Byte]](payloadIdx).length + 32L
+            if (bufBytes > maxBufferedBytes) throw new IllegalStateException(
+              s"slot $slot: micro-batch exceeds maxBufferedBytes=" +
+                s"$maxBufferedBytes while buffering for the offset sort — " +
+                "throttle the source (e.g. maxFilesPerTrigger) or raise " +
+                "the cap")
+            buf += r
+          }
+          val out = buf.sortBy(_.getLong(offsetIdx)).iterator
             .flatMap(r => st.onMessage(r.getAs[Array[Byte]](payloadIdx)))
             .filter(_.relation == targetRelation)
             .map(c => Row.fromSeq(c.values ++

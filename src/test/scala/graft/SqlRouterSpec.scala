@@ -392,4 +392,24 @@ class SqlRouterSpec extends SparkSpec {
     val e2 = new Engine(spark, e.warehouse)
     assert(e2.getVar("persisted_var") === Some("42"))
   }
+
+  test("UPDATE SET list with comma- and WHERE-bearing string literals") {
+    val e = new Engine(spark, tmpDir("router_setsplit"))
+    exec(e, "CREATE TABLE notes (id INT PRIMARY KEY, note STRING, v INT)")
+    exec(e, "INSERT INTO notes VALUES (1, 'old', 0), (2, 'keep', 0)")
+    // a literal containing a top-level comma, an '=', and the word
+    // WHERE must neither split the SET list nor end it early
+    val r = exec(e,
+      "UPDATE notes SET note = 'a, b = c WHERE x', v = 7 WHERE id = 1")
+    assert(r.affected === 1)
+    val got = exec(e, "SELECT note, v FROM notes ORDER BY id").df.get
+      .as[(String, Int)].collect()
+    assert(got === Array(("a, b = c WHERE x", 7), ("keep", 0)))
+    // no WHERE at all still updates every row
+    assert(exec(e, "UPDATE notes SET v = 9").affected === 2)
+    // splitSetWhere unit surface: subquery parens don't hide the real WHERE
+    assert(SqlRouter.splitSetWhere("a = (SELECT x WHERE y) WHERE id = 1") ===
+      ("a = (SELECT x WHERE y)", Some("id = 1")))
+    assert(SqlRouter.splitSetWhere("a = 1") === ("a = 1", None))
+  }
 }

@@ -385,4 +385,36 @@ class PgOutputDecoderSpec extends SparkSpec {
       (2L, "b", CdcMerge.ActionInsert, 100L, 2L),
       (3L, "c", CdcMerge.ActionInsert, 200L, 1L)))
   }
+
+  test("stateful decode: null slot id keys its own group, no NPE") {
+    val msgs = Seq(begin(100L, 1), rel,
+      insert(relOid, tup(Some("1"), Some("a"))), commit(100L))
+    val df = msgs.zipWithIndex
+      .map { case (m, i) => (null.asInstanceOf[String], i.toLong, m) }
+      .toDF("slot", "off", "payload")
+    val out = PgOutputDecoder.decodeSlotStreamsStateful(df, "slot", "off",
+      "payload", "public.t", StructType(Seq(
+        StructField("pk", LongType), StructField("val", StringType))))
+      .select("pk", "val").as[(Long, String)].collect()
+    assert(out === Array((1L, "a")))
+  }
+
+  test("stateful decode: oversized micro-batch fails fast, not OOM") {
+    val msgs = Seq(begin(100L, 1), rel,
+      insert(relOid, tup(Some("1"), Some("x" * 200))), commit(100L))
+    val df = msgs.zipWithIndex.map { case (m, i) => ("s1", i.toLong, m) }
+      .toDF("slot", "off", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      PgOutputDecoder.decodeSlotStreamsStateful(df, "slot", "off",
+        "payload", "public.t", StructType(Seq(
+          StructField("pk", LongType), StructField("val", StringType))),
+        maxBufferedBytes = 64L)
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).map(x => x +: causes(x.getCause)).getOrElse(Nil)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => Option(c.getMessage).exists(
+        _.contains("maxBufferedBytes"))))
+  }
 }
