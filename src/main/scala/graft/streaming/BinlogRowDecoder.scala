@@ -30,6 +30,10 @@ import org.apache.spark.sql.types._
   *  - VARCHAR: 1- or 2-byte length prefix (2 when max length > 255)
   *  - BLOB/JSON: metadata-sized length prefix (1-4 bytes) then payload;
   *    JSON payloads are MySQL binary JSON, serialized back to text
+  *  - YEAR: 1 byte, year − 1900 (0 = the zero year)
+  *  - BIT(n): ceil(n/8) BIG-endian bytes
+  *  - ENUM: 1- or 2-byte little-endian 1-based index into the declared
+  *    value list; SET: little-endian member bitmask over it
   *
   * Decoding is embarrassingly parallel per event row, so the Spark
   * surface is a `mapPartitions` over the change stream — the decoder
@@ -78,6 +82,29 @@ object BinlogRowDecoder {
   final case class Text(lenBytes: Int, charset: String = "UTF-8")
       extends BinlogType { val sparkType: DataType = StringType }
   final case class Json(lenBytes: Int = 4) extends BinlogType { val sparkType: DataType = StringType }
+  /** YEAR: 1 byte, year − 1900 (0 encodes the zero year '0000' —
+    * `/root/reference/binlog/rbr.go:202-209`). */
+  case object Year extends BinlogType { val sparkType: DataType = ShortType }
+  /** BIT(n): ceil(n/8) BIG-endian bytes (`rbr.go:96-101,346-353`).
+    * ≤63 bits read as an unsigned Long; BIT(64) keeps the raw bytes
+    * (a Long would flip sign on the high bit). */
+  final case class Bit(bits: Int) extends BinlogType {
+    require(bits >= 1 && bits <= 64, s"BIT(1..64): $bits")
+    val sparkType: DataType = if (bits <= 63) LongType else BinaryType
+  }
+  /** ENUM: 1- or 2-byte little-endian 1-based index into the declared
+    * value list, 0 = the empty-string error value
+    * (`rbr.go:781-799`). */
+  final case class EnumT(values: Seq[String]) extends BinlogType {
+    val sparkType: DataType = StringType
+  }
+  /** SET: little-endian member bitmask over the declared value list,
+    * rendered MySQL-style — members comma-joined in declaration order
+    * (`rbr.go:801-813`). */
+  final case class SetT(values: Seq[String]) extends BinlogType {
+    require(values.size <= 64, s"SET holds at most 64 members: ${values.size}")
+    val sparkType: DataType = StringType
+  }
 
   private val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
 
@@ -221,6 +248,24 @@ object BinlogRowDecoder {
       val l = uint(data, pos, lenBytes).toInt
       val payload = java.util.Arrays.copyOfRange(data, pos + lenBytes, pos + lenBytes + l)
       (parseBinaryJson(payload), lenBytes + l)
+    case Year =>
+      val v = data(pos) & 0xff
+      ((if (v == 0) 0 else 1900 + v).toShort, 1)
+    case Bit(bits) =>
+      val n = (bits + 7) / 8
+      if (bits <= 63) (beUint(data, pos, n), n)
+      else (java.util.Arrays.copyOfRange(data, pos, pos + n), n)
+    case EnumT(values) =>
+      val n = if (values.size > 255) 2 else 1
+      val idx = uint(data, pos, n).toInt
+      require(idx <= values.size, s"enum index $idx of ${values.size}")
+      (if (idx == 0) "" else values(idx - 1), n)
+    case SetT(values) =>
+      val n = (values.size + 7) / 8
+      val mask = uint(data, pos, n)
+      (values.zipWithIndex.collect {
+        case (v, i) if ((mask >> i) & 1L) != 0 => v
+      }.mkString(","), n)
   }
 
   /** MySQL packed decimal: leading partial group, base-10^9 full

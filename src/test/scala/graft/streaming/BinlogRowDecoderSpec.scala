@@ -151,6 +151,22 @@ class BinlogRowDecoderSpec extends SparkSpec {
           val b = v.asInstanceOf[Array[Byte]]; le(b.length.toLong, lb) ++ b
         case Json(lb) =>
           val b = encJsonDoc(v); le(b.length.toLong, lb) ++ b
+        case Year =>
+          val y = v.asInstanceOf[Number].intValue()
+          Array((if (y == 0) 0 else y - 1900).toByte)
+        case Bit(bits) => v match {
+          case l: Long => be(l, (bits + 7) / 8)
+          case b: Array[Byte] => b
+        }
+        case EnumT(vals) =>
+          le(vals.indexOf(v.asInstanceOf[String]) + 1L,
+            if (vals.size > 255) 2 else 1)
+        case SetT(vals) =>
+          val members = v.asInstanceOf[String].split(",").filter(_.nonEmpty).toSet
+          val mask = vals.zipWithIndex.collect {
+            case (m, i) if members(m) => 1L << i
+          }.sum
+          le(mask, (vals.size + 7) / 8)
         case other => fail(s"no test encoding for $other")
       }
     }
@@ -189,6 +205,34 @@ class BinlogRowDecoderSpec extends SparkSpec {
     val blob = Array[Byte](3, 0, 0x01, 0x02, 0x03)
     assert(decodeCell(blob, 0, Blob(2))._1
       .asInstanceOf[Array[Byte]].toSeq === Seq[Byte](1, 2, 3))
+  }
+
+  test("golden cells: YEAR / BIT / ENUM / SET arms") {
+    // YEAR 2024 stored as 124 (year − 1900); 0 stays the zero year
+    assert(decodeCell(Array[Byte](124), 0, Year)._1 === 2024.toShort)
+    assert(decodeCell(Array[Byte](0), 0, Year)._1 === 0.toShort)
+    assert(decodeCell(Array[Byte](1), 0, Year)._1 === 1901.toShort)
+    // BIT(10) 0b10_1100_0101 = 0x2C5: two BIG-endian bytes
+    assert(decodeCell(Array[Byte](0x02, 0xc5.toByte), 0, Bit(10)) === ((0x2c5L, 2)))
+    // BIT(64) keeps raw bytes (an unsigned Long would flip sign)
+    val b64 = Array[Byte](0xff.toByte, 0, 0, 0, 0, 0, 0, 1)
+    assert(decodeCell(b64, 0, Bit(64))._1.asInstanceOf[Array[Byte]].toSeq
+      === b64.toSeq)
+    // ENUM: little-endian 1-based index; 0 = '' error value; the index
+    // goes 2-byte once the list exceeds 255 members
+    val colors = Seq("red", "green", "blue")
+    assert(decodeCell(Array[Byte](2), 0, EnumT(colors))._1 === "green")
+    assert(decodeCell(Array[Byte](0), 0, EnumT(colors))._1 === "")
+    val many = (1 to 300).map(i => s"v$i")
+    assert(decodeCell(le(300L, 2), 0, EnumT(many))._1 === "v300")
+    // SET: little-endian bitmask, members comma-joined in decl order
+    val days = Seq("mon", "tue", "wed", "thu", "fri", "sat", "sun")
+    assert(decodeCell(Array[Byte]((1 | 4 | 64).toByte), 0, SetT(days))._1
+      === "mon,wed,sun")
+    assert(decodeCell(Array[Byte](0), 0, SetT(days))._1 === "")
+    // a 9-member SET spans two bytes
+    val nine = (1 to 9).map(i => s"m$i")
+    assert(decodeCell(le(0x101L, 2), 0, SetT(nine))._1 === "m1,m9")
   }
 
   test("charset-declared text cells transcode to UTF-8 strings (A36)") {
@@ -293,5 +337,57 @@ class BinlogRowDecoderSpec extends SparkSpec {
     val out = t.read().orderBy("id").collect()
     assert(out.map(r => (r.getLong(0), r.getString(1), r.getDecimal(2).toString))
       === Array((1L, "alpha2", "11.50"), (3L, "gamma", "30.00")))
+  }
+
+  test("alltypes replication analog: insert / update-to-null / delete") {
+    // the reference's binlog_replication_alltypes_test.go:29-120 shape:
+    // one row per supported column type flows through insert →
+    // update-every-column-to-null → delete-the-other-row, ending in a
+    // single all-null-but-pk row in the target table
+    val colors = Seq("red", "green", "blue")
+    val days = Seq("mon", "tue", "wed")
+    val specs = Seq(
+      ColSpec("id", Int64),
+      ColSpec("t_tiny", TinyInt), ColSpec("t_short", ShortInt),
+      ColSpec("t_i24", Int24), ColSpec("t_i32", Int32),
+      ColSpec("t_f32", Float32), ColSpec("t_f64", Float64),
+      ColSpec("t_year", Year), ColSpec("t_bit", Bit(10)),
+      ColSpec("t_enum", EnumT(colors)), ColSpec("t_set", SetT(days)),
+      ColSpec("t_date", Date), ColSpec("t_dt", DateTime2(0)),
+      ColSpec("t_dec", NewDecimal(10, 2)), ColSpec("t_vc", Varchar(100)))
+    val tableSchema = StructType(
+      specs.map(s => StructField(s.name, s.tpe.sparkType)))
+    val full: Seq[Any] = Seq(1L, 7.toByte, 300.toShort, 70000, 2000000000,
+      1.5f, 2.25, 2024.toShort, 0x2c5L, "green", "mon,wed",
+      java.time.LocalDate.of(2020, 6, 1),
+      java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5),
+      new java.math.BigDecimal("99.50"), "row-one")
+    val allNull: Seq[Any] = 1L +: Seq.fill[Any](specs.size - 1)(null)
+
+    def ev(vals: Seq[Any], action: Int, seq: Long) =
+      (encRow(specs, vals), action, 1L, seq, 0L)
+    val events = Seq(
+      ev(full, 2, 1L),
+      ev(full.updated(0, 2L), 2, 2L),
+      ev(allNull, 1, 3L),
+      ev(full.updated(0, 2L), 0, 4L))
+      .toDF("payload", "action", "txn_group", "txn_seq", "txn_stmt")
+    val decoded = BinlogRowDecoder.decodeBinaryEvents(events, "payload", specs)
+
+    // the insert image round-trips every new type arm exactly
+    val first = decoded.filter(col("txn_seq") === 1L).collect()(0)
+    def at(n: String) = first.get(specs.indexWhere(_.name == n))
+    assert(at("t_year") === 2024.toShort)
+    assert(at("t_bit") === 0x2c5L)
+    assert(at("t_enum") === "green")
+    assert(at("t_set") === "mon,wed")
+
+    val t = GraftTable.create(spark, tmpDir("graft_alltypes"), tableSchema, Seq("id"))
+    CdcMerge.applyBatch(t, decoded)
+    val out = t.read().collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L)
+    (1 until specs.size).foreach(i =>
+      assert(out(0).isNullAt(i), s"column ${specs(i).name} should be null"))
   }
 }
