@@ -24,7 +24,26 @@ import org.apache.spark.sql.types._
   *  - 'D' Delete: oid (4), ('K'|'O') + TupleData
   *  - 'T' Truncate: nrels (4), options (1), oids (4 each)
   *  TupleData: ncols (2), per column a kind byte — 'n' NULL,
-  *  'u' unchanged-TOAST, 't' text (len (4) + bytes).
+  *  'u' unchanged-TOAST, 't' text (len (4) + bytes), 'b' binary
+  *  (len (4) + per-OID binary format bytes).
+  *
+  * Streamed in-progress transactions (protocol v2, publications with
+  * `streaming=on` — the reference tracks the same envelope,
+  * `replication.go:889-898`):
+  *  - 'S' StreamStart: xid (4), first-segment flag (1)
+  *  - 'E' StreamStop (no body)
+  *  - 'c' StreamCommit: xid (4), flags (1), commit LSN (8), end LSN
+  *    (8), ts (8)
+  *  - 'A' StreamAbort: xid (4), subxid (4)
+  *  Between 'S' and 'E' every data message carries an extra xid (4)
+  *  right after the type byte. Data messages of a streamed txn are
+  *  buffered (as raw bytes, keyed by the segment's toplevel xid, each
+  *  tagged with its own carried xid) and replayed through the normal
+  *  decode path at StreamCommit — so txn_seq becomes the commit LSN
+  *  exactly as for non-streamed txns; StreamAbort(xid, subxid) drops
+  *  the subtransaction's messages (the whole buffer when subxid ==
+  *  xid). Relation messages inside a stream update the registry
+  *  immediately.
   *
   * Transaction coordinates map onto the delta schema the same way the
   * reference's applier persists them: `txn_seq` = the Begin message's
@@ -93,18 +112,34 @@ object PgOutputDecoder {
           val s = new String(d, p + 5, len, StandardCharsets.UTF_8)
           p += 5 + len
           textValue(s, rel.cols(i))
+        case 'b' =>
+          val len = beUint(d, p + 1, 4).toInt
+          val b = java.util.Arrays.copyOfRange(d, p + 5, p + 5 + len)
+          p += 5 + len
+          binaryValue(b, rel.cols(i))
         case k => throw new IllegalArgumentException(s"tuple kind '$k'")
       }
     }
     (out, p)
   }
 
+  /** One buffered data message of a streamed transaction: the xid it
+    * carried (a subtransaction's, possibly) + its bytes with the
+    * stream xid prefix already stripped. */
+  final case class PendingMsg(xid: Long, bytes: Array[Byte])
+  /** A streamed transaction's buffered messages, keyed by the
+    * StreamStart (toplevel) xid. */
+  final case class StreamTxn(xid: Long, msgs: Seq[PendingMsg])
+
   /** Serializable snapshot of one slot's decode state — the in-stream
-    * Relation registry plus current txn coords. This is exactly what
+    * Relation registry, current txn coords, and any in-progress
+    * streamed transactions' buffered messages. This is exactly what
     * must survive a micro-batch boundary for a connector that splits
-    * files mid-transaction; [[decodeSlotStreamsStateful]] keeps one
-    * per slot in the streaming checkpoint. */
-  final case class SlotSnapshot(rels: Seq[Relation], lsn: Long, stmt: Long)
+    * files mid-transaction (or mid-stream); [[decodeSlotStreamsStateful]]
+    * keeps one per slot in the streaming checkpoint. */
+  final case class SlotSnapshot(rels: Seq[Relation], lsn: Long, stmt: Long,
+      inStream: Boolean = false, streamXid: Long = -1L,
+      pending: Seq[StreamTxn] = Nil)
 
   object SlotState {
     /** Rebuild a decoder from a checkpointed snapshot. */
@@ -113,6 +148,10 @@ object PgOutputDecoder {
       st.rels = snap.rels.map(r => r.oid -> r).toMap
       st.lsn = snap.lsn
       st.stmt = snap.stmt
+      st.inStream = snap.inStream
+      st.streamXid = snap.streamXid
+      st.streamBufs = snap.pending
+        .map(t => t.xid -> t.msgs.toVector).toMap
       st
     }
   }
@@ -130,16 +169,63 @@ object PgOutputDecoder {
     private var rels = Map.empty[Int, Relation]
     private var lsn = -1L
     private var stmt = 0L
+    private var inStream = false
+    private var streamXid = -1L
+    private var streamBufs = Map.empty[Long, Vector[PendingMsg]]
 
     /** Checkpointable copy of the current decode state. */
     def snapshot: SlotSnapshot =
-      SlotSnapshot(rels.valuesIterator.toSeq.sortBy(_.oid), lsn, stmt)
+      SlotSnapshot(rels.valuesIterator.toSeq.sortBy(_.oid), lsn, stmt,
+        inStream, streamXid,
+        streamBufs.toSeq.sortBy(_._1).map { case (x, ms) => StreamTxn(x, ms) })
 
     private def tup(d: Array[Byte], p: Int, rel: Relation): (Seq[Any], Int) =
       tuple(d, p, rel, toastAsNull)
 
-    /** Parse one pgoutput message; emits zero or more [[Change]]s. */
+    /** Parse one pgoutput message; emits zero or more [[Change]]s.
+      * Handles the streamed-transaction envelope, then dispatches data
+      * messages to [[dataMessage]]. */
     def onMessage(d: Array[Byte]): Seq[Change] = (d(0) & 0xff).toChar match {
+      case 'S' => // StreamStart: xid, first-segment flag
+        inStream = true
+        streamXid = beUint(d, 1, 4)
+        if (!streamBufs.contains(streamXid))
+          streamBufs += streamXid -> Vector.empty
+        Nil
+      case 'E' => // StreamStop: segment ends; txn still in progress
+        inStream = false; streamXid = -1L; Nil
+      case 'c' => // StreamCommit: xid, flags, commit LSN, end LSN, ts
+        val xid = beUint(d, 1, 4)
+        val commitLsn = beUint(d, 6, 8)
+        val msgs = streamBufs.getOrElse(xid, Vector.empty)
+        streamBufs -= xid
+        lsn = commitLsn; stmt = 0L
+        msgs.flatMap(m => dataMessage(m.bytes))
+      case 'A' => // StreamAbort: xid, subxid
+        val xid = beUint(d, 1, 4)
+        val subxid = beUint(d, 5, 4)
+        if (subxid == xid) streamBufs -= xid
+        else streamBufs = streamBufs.updatedWith(xid)(
+          _.map(_.filterNot(_.xid == subxid)))
+        Nil
+      case t if inStream && "RIUDTYM".indexOf(t) >= 0 =>
+        // in-stream data message: strip the extra xid after the type
+        val msgXid = beUint(d, 1, 4)
+        val stripped = d(0) +: java.util.Arrays.copyOfRange(d, 5, d.length)
+        (t: @unchecked) match {
+          case 'R' => dataMessage(stripped) // registry applies now
+          case 'Y' | 'M' => Nil
+          case _ =>
+            streamBufs = streamBufs.updated(streamXid,
+              streamBufs.getOrElse(streamXid, Vector.empty) :+
+                PendingMsg(msgXid, stripped))
+            Nil
+        }
+      case _ => dataMessage(d)
+    }
+
+    /** Parse one NON-streamed (or replayed) data message. */
+    private def dataMessage(d: Array[Byte]): Seq[Change] = (d(0) & 0xff).toChar match {
       case 'B' =>
         lsn = beUint(d, 1, 8); stmt = 0L; Nil
       case 'C' | 'O' | 'Y' | 'M' => Nil // commit / origin / type / message
@@ -228,6 +314,84 @@ object PgOutputDecoder {
     case 1022 => parseArray(s).map(e => if (e == null) null else e.toDouble)
     case 1009 | 1015 => parseArray(s) // _text / _varchar
     case _ => s // text/varchar/bpchar/name/uuid/json/jsonb/enum...
+  }
+
+  // ------------------------------------------------------------------
+  // binary-format value decode per type OID (tuple kind 'b' — the
+  // wire formats PostgreSQL's send functions emit; the reference
+  // resolves them via pgtype, `replication.go:1100-1121`)
+
+  private val PgEpochDate = java.time.LocalDate.of(2000, 1, 1)
+  private val PgEpochSeconds = 946684800L // 2000-01-01T00:00:00Z
+
+  private[streaming] def binaryValue(b: Array[Byte], c: PgCol): Any = c.typeOid match {
+    case 16 => b(0) != 0 // bool
+    case 21 => beUint(b, 0, 2).toShort // int2
+    case 23 => beUint(b, 0, 4).toInt // int4
+    case 20 => beUint(b, 0, 8) // int8
+    case 26 => beUint(b, 0, 4) // oid
+    case 700 => java.lang.Float.intBitsToFloat(beUint(b, 0, 4).toInt)
+    case 701 => java.lang.Double.longBitsToDouble(beUint(b, 0, 8))
+    case 1700 => binaryNumeric(b, c)
+    case 17 => b // bytea: raw
+    case 1082 => // date: signed days since 2000-01-01
+      java.sql.Date.valueOf(PgEpochDate.plusDays(beUint(b, 0, 4).toInt))
+    case 1114 => // timestamp: signed µs since 2000-01-01 → NTZ
+      PgEpochDate.atStartOfDay.plusNanos(beUint(b, 0, 8) * 1000L)
+    case 1184 => // timestamptz: same µs, as a UTC instant
+      val us = beUint(b, 0, 8)
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        PgEpochSeconds + Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L))
+    case 1007 | 1016 | 1021 | 1022 | 1009 | 1015 => binaryArray(b)
+    case _ => new String(b, StandardCharsets.UTF_8) // text family
+  }
+
+  /** PG binary numeric: ndigits (2), weight (2, signed, base-10000
+    * exponent of the first digit), sign (2: 0x0000 +, 0x4000 −,
+    * 0xC000 NaN → null), dscale (2), then base-10000 digits (2 BE
+    * each). */
+  private def binaryNumeric(b: Array[Byte], c: PgCol): Any = {
+    val ndigits = beUint(b, 0, 2).toInt
+    val weight = beUint(b, 2, 2).toShort.toInt
+    val sign = beUint(b, 4, 2).toInt
+    val dscale = beUint(b, 6, 2).toInt
+    if (sign == 0xc000) return null // NaN has no BigDecimal form
+    var coeff = java.math.BigInteger.ZERO
+    val base = java.math.BigInteger.valueOf(10000L)
+    var i = 0
+    while (i < ndigits) {
+      coeff = coeff.multiply(base)
+        .add(java.math.BigInteger.valueOf(beUint(b, 8 + i * 2, 2)))
+      i += 1
+    }
+    if (sign == 0x4000) coeff = coeff.negate()
+    new java.math.BigDecimal(coeff)
+      .scaleByPowerOfTen(4 * (weight - ndigits + 1))
+      .setScale(dscale)
+  }
+
+  /** PG binary array: ndim (4), has-null flag (4), element OID (4),
+    * then per dimension {size (4), lower bound (4)}, then elements as
+    * len (4, −1 = NULL) + element bytes. Elements recurse through
+    * [[binaryValue]], so the result matches the text path's shape. */
+  private def binaryArray(b: Array[Byte]): Seq[Any] = {
+    val ndim = beUint(b, 0, 4).toInt
+    require(ndim <= 1, s"only 1-D arrays supported: ndim=$ndim")
+    val elemOid = beUint(b, 8, 4).toInt
+    if (ndim == 0) return Nil
+    val n = beUint(b, 12, 4).toInt
+    val elemCol = PgCol("elem", elemOid, -1)
+    var p = 20
+    (0 until n).map { _ =>
+      val len = beUint(b, p, 4).toInt // -1 = NULL element
+      if (len < 0) { p += 4; null }
+      else {
+        val v = binaryValue(java.util.Arrays.copyOfRange(b, p + 4, p + 4 + len), elemCol)
+        p += 4 + len
+        v
+      }
+    }
   }
 
   /** PG array literal: `{a,b,NULL,"c\"d"}` → elements (NULL → null). */

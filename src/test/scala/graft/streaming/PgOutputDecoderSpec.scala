@@ -71,6 +71,26 @@ class PgOutputDecoderSpec extends SparkSpec {
     bytes(Seq(Array('T'.toByte), be(oids.size, 4), Array(0.toByte)) ++
       oids.map(be(_, 4)): _*)
 
+  /** TupleData with binary ('b') cells; None → 'n'. */
+  private def tupB(vals: Option[Array[Byte]]*): Array[Byte] =
+    bytes(Seq(be(vals.size, 2)) ++ vals.map {
+      case Some(b) => bytes(Array('b'.toByte), be(b.length, 4), b)
+      case None => Array('n'.toByte)
+    }: _*)
+
+  // streamed-transaction envelope (protocol v2)
+  private def streamStart(xid: Long, first: Boolean): Array[Byte] =
+    bytes(Array('S'.toByte), be(xid, 4), Array((if (first) 1 else 0).toByte))
+  private def streamStop(): Array[Byte] = Array('E'.toByte)
+  private def streamCommit(xid: Long, lsn: Long): Array[Byte] =
+    bytes(Array('c'.toByte), be(xid, 4), Array(0.toByte), be(lsn, 8),
+      be(lsn + 1, 8), be(0L, 8))
+  private def streamAbort(xid: Long, subxid: Long): Array[Byte] =
+    bytes(Array('A'.toByte), be(xid, 4), be(subxid, 4))
+  /** In-stream data messages carry an extra xid after the type byte. */
+  private def withXid(xid: Long, msg: Array[Byte]): Array[Byte] =
+    bytes(Array(msg(0)), be(xid, 4), msg.drop(1))
+
   // ------------------------------------------------------------------
 
   private val relOid = 16384
@@ -384,6 +404,145 @@ class PgOutputDecoderSpec extends SparkSpec {
       (1L, "a", CdcMerge.ActionInsert, 100L, 1L),
       (2L, "b", CdcMerge.ActionInsert, 100L, 2L),
       (3L, "c", CdcMerge.ActionInsert, 200L, 1L)))
+  }
+
+  test("binary tuple cells decode per OID") {
+    val oid = 17001
+    val cols = Seq(("b_bool", 16, -1), ("b_i2", 21, -1), ("b_i4", 23, -1),
+      ("b_i8", 20, -1), ("b_f8", 701, -1), ("b_num", 1700, -1),
+      ("b_date", 1082, -1), ("b_tstz", 1184, -1), ("b_txt", 25, -1),
+      ("b_arr", 1007, -1), ("b_bytea", 17, -1))
+    val st = new PgOutputDecoder.SlotState()
+    st.onMessage(begin(100L, 1))
+    st.onMessage(relation(oid, "public", "bt", cols: _*))
+    // numeric 12345.678 = digits [1,2345,6780], weight 1, dscale 3
+    val num = bytes(be(3, 2), be(1, 2), be(0, 2), be(3, 2),
+      be(1, 2), be(2345, 2), be(6780, 2))
+    val negNum = bytes(be(3, 2), be(1, 2), be(0x4000, 2), be(3, 2),
+      be(1, 2), be(2345, 2), be(6780, 2))
+    val days = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(2000, 1, 1), java.time.LocalDate.of(2024, 3, 15))
+    val arr = bytes(be(1, 4), be(1, 4), be(23, 4), be(3, 4), be(1, 4),
+      be(4, 4), be(1, 4), be(-1L & 0xffffffffL, 4), be(4, 4), be(3, 4))
+    val changes = st.onMessage(insert(oid, tupB(
+      Some(Array[Byte](1)),
+      Some(be(-5L & 0xffffL, 2)),
+      Some(be(123456L, 4)),
+      Some(be(-99L, 8)),
+      Some(be(java.lang.Double.doubleToLongBits(2.5), 8)),
+      Some(num),
+      Some(be(days, 4)),
+      Some(be(1000000L, 8)),
+      Some("héllo".getBytes(StandardCharsets.UTF_8)),
+      Some(arr),
+      Some(Array[Byte](0x0a, 0x0b)))))
+    val vs = changes.head.values
+    assert(vs(0) === true)
+    assert(vs(1) === (-5).toShort)
+    assert(vs(2) === 123456)
+    assert(vs(3) === -99L)
+    assert(vs(4) === 2.5)
+    assert(vs(5) === new java.math.BigDecimal("12345.678"))
+    assert(vs(6) === java.sql.Date.valueOf("2024-03-15"))
+    assert(vs(7) === java.sql.Timestamp.from(
+      java.time.Instant.parse("2000-01-01T00:00:01Z")))
+    assert(vs(8) === "héllo")
+    assert(vs(9) === Seq(1, null, 3))
+    assert(vs(10).asInstanceOf[Array[Byte]].toSeq === Seq[Byte](0x0a, 0x0b))
+    // negative numeric
+    val neg = st.onMessage(insert(oid, tupB(
+      None, None, None, None, None, Some(negNum),
+      None, None, None, None, None)))
+    assert(neg.head.values(5) === new java.math.BigDecimal("-12345.678"))
+  }
+
+  test("streamed transactions: interleave, subxact abort, commit order") {
+    val out = decode(Seq(
+      rel,
+      streamStart(10L, first = true),
+      withXid(10L, insert(relOid, tup(Some("1"), Some("s1a")))),
+      streamStop(),
+      // a NON-streamed txn lands between txn 10's segments
+      begin(500L, 99), insert(relOid, tup(Some("5"), Some("plain"))), commit(500L),
+      // txn 20's first segment runs inside subxact 21
+      streamStart(20L, first = true),
+      withXid(21L, insert(relOid, tup(Some("2"), Some("sub")))),
+      streamStop(),
+      streamStart(10L, first = false),
+      withXid(10L, insert(relOid, tup(Some("3"), Some("s1b")))),
+      streamStop(),
+      streamAbort(20L, 21L), // subxact abort drops row 2 only
+      streamStart(20L, first = false),
+      withXid(20L, insert(relOid, tup(Some("4"), Some("s2")))),
+      streamStop(),
+      streamCommit(10L, 600L),
+      streamCommit(20L, 700L)))
+      .select("pk", "val", "action", "txn_seq", "txn_stmt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._4, t._5))
+    assert(out === Array(
+      (5L, "plain", CdcMerge.ActionInsert, 500L, 1L),
+      (1L, "s1a", CdcMerge.ActionInsert, 600L, 1L),
+      (3L, "s1b", CdcMerge.ActionInsert, 600L, 2L),
+      (4L, "s2", CdcMerge.ActionInsert, 700L, 1L)))
+  }
+
+  test("streamed transaction abort discards the whole buffer") {
+    val out = decode(Seq(
+      rel,
+      streamStart(30L, first = true),
+      withXid(30L, insert(relOid, tup(Some("1"), Some("gone")))),
+      withXid(30L, insert(relOid, tup(Some("2"), Some("gone2")))),
+      streamStop(),
+      streamAbort(30L, 30L),
+      begin(900L, 1), insert(relOid, tup(Some("3"), Some("kept"))), commit(900L)))
+      .select("pk", "val").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out === Array((3L, "kept")))
+  }
+
+  test("stateful decode resumes across a stream-segment boundary") {
+    val src = tmpDir("pgout_stream_src")
+    val ckpt = tmpDir("pgout_stream_ckpt")
+    val schema = StructType(Seq(
+      StructField("slot", StringType), StructField("off", LongType),
+      StructField("payload", BinaryType)))
+    def land(name: String, off0: Long, msgs: Seq[Array[Byte]]): Unit =
+      msgs.zipWithIndex.map { case (m, i) => ("s1", off0 + i, m) }
+        .toDF("slot", "off", "payload")
+        .coalesce(1).write.parquet(src.resolve(name).toString)
+    val outDir = tmpDir("pgout_stream_out")
+    def startQuery() = {
+      val events = spark.readStream.schema(schema).parquet(src.toString + "/*")
+      PgOutputDecoder.decodeSlotStreamsStateful(
+        events, "slot", "off", "payload", "public.t",
+        StructType(Seq(StructField("pk", LongType), StructField("val", StringType))))
+        // the memory sink can't recover from a checkpoint — the file
+        // sink can, which is the point of this test
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+    }
+    def results() = spark.read
+      .schema("pk long, val string, action int, txn_tag string, " +
+        "txn_server binary, txn_group string, txn_seq long, txn_stmt long")
+      .parquet(outDir.toString)
+    // batch 1 ends mid-stream: segment open, nothing committed yet
+    land("b0", 0, Seq(rel, streamStart(40L, first = true),
+      withXid(40L, insert(relOid, tup(Some("1"), Some("a"))))))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(results().count() === 0)
+    q1.stop() // kill mid-stream; buffered messages live in the checkpoint
+    // batch 2 after restart: close the segment and commit
+    land("b1", 100, Seq(streamStop(), streamCommit(40L, 800L)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val out = results()
+      .select("pk", "val", "txn_seq", "txn_stmt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array((1L, "a", 800L, 1L)))
   }
 
   test("stateful decode: null slot id keys its own group, no NPE") {
