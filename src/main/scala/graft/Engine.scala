@@ -117,12 +117,54 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
 
   def inTransaction: Boolean = activeTxn.isDefined
 
+  /** DROP TABLE — deferred delete (uniform with the engine's version-
+    * retention story everywhere else, round-5 verdict #9): one atomic
+    * rename retires the JOURNAL (`_manifest` → `_dropped.<ts>.<id>`),
+    * the data files stay untouched — a concurrent reader pinned to a
+    * pre-drop snapshot keeps scanning its immutable files (a directory
+    * move would break its absolute paths just as surely as deletion).
+    * The table stops existing for the catalog (existence IS the
+    * `_manifest` dir); re-CREATE of the same name works immediately,
+    * and the old generation's files — now referenced only by retired
+    * journal versions — are reclaimed by [[vacuumDropped]]. */
   def dropTable(name: String): Unit = {
     val (db, t) = split(name)
     val d = warehouse.resolve(db).resolve(t)
     require(Files.isDirectory(d.resolve("_manifest")), s"no such table: $name")
-    deleteRecursively(d)
+    val retired = d.resolve(
+      s"_dropped.${System.currentTimeMillis()}.${java.util.UUID.randomUUID()}")
+    Files.move(d.resolve("_manifest"), retired)
     if (db == currentDb) unregister(t)
+  }
+
+  /** Reclaim dropped-table storage: for every table directory holding
+    * retired journals older than `minAgeMs` (the grace window for
+    * pinned readers), delete the whole dir when no live table was
+    * re-created over it, or just the retired journals when one was
+    * (the re-created table's own [[GraftTable.vacuum]] reclaims the
+    * orphaned data files, which are non-live by construction). Returns
+    * directories + journals removed. */
+  def vacuumDropped(minAgeMs: Long = 600000L): Long = {
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    var removed = 0L
+    listDatabases().foreach { db =>
+      val dbDir = warehouse.resolve(db)
+      Files.list(dbDir).iterator().asScala.toSeq
+        .filter(Files.isDirectory(_)).foreach { tdir =>
+          val retired = Files.list(tdir).iterator().asScala.toSeq.filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("_dropped.") &&
+              n.split('.').lift(1).exists(ts =>
+                ts.forall(_.isDigit) && ts.toLong <= cutoff)
+          }
+          if (retired.nonEmpty) {
+            if (Files.isDirectory(tdir.resolve("_manifest")))
+              retired.foreach { r => deleteRecursively(r); removed += 1 }
+            else { deleteRecursively(tdir); removed += 1 }
+          }
+        }
+    }
+    removed
   }
 
   /** RENAME TABLE (A20's table-level form; MySQL `RENAME TABLE a TO b`

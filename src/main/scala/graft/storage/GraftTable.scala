@@ -51,13 +51,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     readManifest(Manifest.loadVersion(path, v))
 
   /** Retained manifest versions, oldest first. */
-  def history(): Seq[Long] = {
-    val d = path.resolve("_manifest")
-    if (!Files.isDirectory(d)) Nil
-    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{9}\\.json") => s.substring(1, 10).toLong }
-      .toSeq.sorted
-  }
+  def history(): Seq[Long] = Manifest.versions(path).sorted
 
   /** Logical→physical column name (ALTER RENAME is metadata-only: the
     * physical name in parquet files never changes; writes translate
@@ -117,8 +111,8 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       } else acc
     }
     enforceChecks(m, full)
-    val (files, n) = writeFiles(full.select(m.schema.fieldNames.map(col): _*))
-    io.commit(path, m.withFiles(m.files ++ files))
+    val (files, n, st) = writeFiles(full.select(m.schema.fieldNames.map(col): _*))
+    io.commit(path, m.withFiles(m.files ++ files, st))
     n
   }
 
@@ -193,9 +187,9 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       val withId = mid.join(offDf, "__pid")
         .withColumn(idCol, lit(base) + col("__off") + col("__pos"))
         .select(m.schema.fieldNames.map(col): _*)
-      val (files, n) = writeFiles(withId)
+      val (files, n, st) = writeFiles(withId)
       io.commit(path,
-        m.copy(files = m.files ++ files, autoInc = base + total))
+        m.withFiles(m.files ++ files, st).copy(autoInc = base + total))
       n
     } finally mid.unpersist()
   }
@@ -213,9 +207,9 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val affectedDf = readFiles(m, affectedSeq)
     val survivors = affectedDf.filter(!coalesce(cond, lit(false)))
     val before = affectedDf.count()
-    val (files, kept) = writeFiles(survivors)
+    val (files, kept, st) = writeFiles(survivors)
     val newFiles = m.files.diff(affectedSeq) ++ files
-    io.commit(path, m.withFiles(newFiles))
+    io.commit(path, m.withFiles(newFiles, st))
     before - kept
   }
 
@@ -238,8 +232,8 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     }: _*)
     val nMatched = src.filter(cond).count()
     enforceChecks(m, updated.filter(coalesce(cond, lit(false))))
-    val (files, _) = writeFiles(updated, needCount = false)
-    io.commit(path, m.withFiles(m.files.diff(affectedSeq) ++ files))
+    val (files, _, st) = writeFiles(updated, needCount = false)
+    io.commit(path, m.withFiles(m.files.diff(affectedSeq) ++ files, st))
     nMatched
   }
 
@@ -271,12 +265,18 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   private def mergeImpl(m: Manifest, pk: Seq[String], dataCols: Array[String],
       changes: DataFrame): Unit = {
     val upserts = changes.filter(col("action") =!= 0).select(dataCols.map(col): _*)
-    // one job decides both fast-path flags (not two isEmpty probes)
-    val actionCounts = changes.groupBy(col("action") === 0).count()
-      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-    val hasUpserts = actionCounts.getOrElse(false, 0L) > 0
-    val hasDeletes = actionCounts.getOrElse(true, 0L) > 0
-    val totalChanges = actionCounts.values.sum
+    // one job decides the fast-path flags AND the touched-key bounding
+    // box for file-range pruning (not separate probes)
+    val statCols = prunablePkCols(m).filter { case (c, _, _) => pk.contains(c) }
+    val aggs = Seq(count(lit(1)).as("__n"),
+      count(when(col("action") === 0, 1)).as("__nd")) ++
+      statCols.flatMap { case (c, _, _) =>
+        Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))
+      }
+    val probe = changes.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val totalChanges = probe.getLong(0)
+    val hasDeletes = probe.getLong(1) > 0
+    val hasUpserts = totalChanges - probe.getLong(1) > 0
     if (!hasUpserts && !hasDeletes) return
     if (hasUpserts) enforceChecks(m, upserts)
 
@@ -284,6 +284,15 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       if (hasUpserts) insert(upserts)
       return
     }
+
+    // Touched-key bounding box per prunable PK column (a null bound —
+    // all-null keys — disables pruning on that column, stays correct).
+    val keyRanges: Seq[(String, DataType, String, String)] =
+      statCols.zipWithIndex.flatMap { case ((_, phys, t), i) =>
+        val (lo, hi) = (probe.get(2 + 2 * i), probe.get(3 + 2 * i))
+        if (lo == null || hi == null) None
+        else Some((phys, t, lo.toString, hi.toString))
+      }
 
     // Affected files = files holding any touched PK (upsert or delete).
     val touchedKeys = changes.select(pk.map(col): _*).distinct()
@@ -313,14 +322,33 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       val survivors = readManifest(m)
         .join(broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti")
       val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
-      val (files, _) = writeFiles(replacement, needCount = false)
-      io.commit(path, m.withFiles(files))
+      val (files, _, st) = writeFiles(replacement, needCount = false)
+      io.commit(path, m.withFiles(files, st))
       return
     }
-    val tagged = readManifest(m).withColumn("__file", input_file_name())
-    val affected = tagged
-      .join(broadcastIfSmall(touchedKeys, totalChanges), pk, "left_semi")
-      .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+    // Stats pruning BEFORE the scan probe (round-5 verdict; the ART-
+    // index analog): a file whose recorded PK range misses the batch's
+    // bounding box cannot hold a touched key — drop it from the probe
+    // scan on the driver, no job. Files without stats stay candidates.
+    val candidates = m.files.filter { f =>
+      m.fileStats.get(f) match {
+        case None => true
+        case Some(st) => keyRanges.forall { case (phys, t, lo, hi) =>
+          st.get(phys) match {
+            case Some(Seq(mn, mx)) => statLteq(t, mn, hi) && statLteq(t, lo, mx)
+            case _ => true
+          }
+        }
+      }
+    }
+    GraftTable.lastProbeFiles = candidates // spec observability only
+
+    val affected = if (candidates.isEmpty) Set.empty[String] else {
+      val tagged = readFiles(m, candidates).withColumn("__file", input_file_name())
+      tagged
+        .join(broadcastIfSmall(touchedKeys, totalChanges), pk, "left_semi")
+        .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+    }
 
     if (affected.isEmpty) {
       // Blind-append fast path: nothing overlaps existing data.
@@ -329,15 +357,15 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       return
     }
 
-    val affectedSeq = normalize(m.files).zip(m.files)
+    val affectedSeq = normalize(candidates).zip(candidates)
       .filter { case (n, _) => affected.contains(n) }.map(_._2)
     // Survivors: rows in affected files whose PK is untouched.
     val survivors = readFiles(m, affectedSeq)
       .join(broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti")
     val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
-    val (files, _) = writeFiles(replacement, needCount = false)
+    val (files, _, st) = writeFiles(replacement, needCount = false)
     val cur = manifest // re-read: insert() above may have bumped version
-    io.commit(path, cur.withFiles(cur.files.diff(affectedSeq) ++ files))
+    io.commit(path, cur.withFiles(cur.files.diff(affectedSeq) ++ files, st))
   }
 
   /** REPLACE INTO (A6, `/root/reference/catalog/table.go:543-552` →
@@ -463,13 +491,13 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       if (clusterBy.isEmpty) df.repartition(nFiles)
       else df.repartitionByRange(nFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (files, _) = writeFiles(arranged, needCount = false)
+    val (files, _, st) = writeFiles(arranged, needCount = false)
     val cur = manifest
     // the rewrite DEFINES the layout: record it, or clear a stale
     // record when an unclustered compaction destroys the ordering
     val props = if (clusterBy.isEmpty) cur.props - "layout.clusterBy"
       else cur.props + ("layout.clusterBy" -> clusterBy.mkString(","))
-    io.commit(path, cur.withFiles(files).copy(props = props))
+    io.commit(path, cur.withFiles(files, st).copy(props = props))
   }
 
   /** Z-ORDER compaction: rewrite the table sorted by the Morton
@@ -506,9 +534,9 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .select(m.schema.fieldNames.map(col): _*)
-    val (files, _) = writeFiles(arranged, needCount = false)
+    val (files, _, st) = writeFiles(arranged, needCount = false)
     val cur = manifest
-    io.commit(path, cur.withFiles(files))
+    io.commit(path, cur.withFiles(files, st))
   }
 
   /** VACUUM: delete data files referenced by no manifest version newer
@@ -525,33 +553,45 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * age gate are candidates (0 = collect everything, for tests and
     * explicit RETAIN 0). */
   def vacuum(keepVersions: Int = 1, minAgeMs: Long = 600000L): Long = {
-    import scala.jdk.CollectionConverters._
     val latest = Manifest.latestVersion(path).getOrElse(return 0L)
     val visible = Manifest.visibleVersion(path).getOrElse(return 0L)
     val keepFrom = math.max(0L, visible - (keepVersions - 1))
     val manifestDir = path.resolve("_manifest")
+    val retained = Manifest.versions(path).toSet
     val live: Set[String] = (keepFrom to latest).flatMap { v =>
-      if (Files.exists(manifestDir.resolve(f"v$v%09d.json")))
-        Manifest.loadVersion(path, v).files
-      else Nil
+      if (retained(v)) Manifest.loadVersion(path, v).files else Nil
     }.toSet
-    val dataDir = path.resolve("data")
-    if (!Files.isDirectory(dataDir)) return 0L
+    // Data-file reclaim through the Hadoop FS API (manifest entries may
+    // be plain local paths or URIs; normalize both to scheme-less
+    // paths before comparing).
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val liveNorm = live.map(norm)
+    val conf = spark.sessionState.newHadoopConf()
+    val dataDir = new org.apache.hadoop.fs.Path(path.resolve("data").toUri)
+    val fs = dataDir.getFileSystem(conf)
+    if (!fs.exists(dataDir)) return 0L
     val cutoff = System.currentTimeMillis() - minAgeMs
     var removed = 0L
-    Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach { p =>
-      if (Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
-          !live.contains(p.toString) &&
-          Files.getLastModifiedTime(p).toMillis <= cutoff) {
-        Files.delete(p); removed += 1
-      } else if (Files.isDirectory(p) && p != dataDir &&
-          !Files.list(p).iterator().hasNext) {
-        Files.delete(p)
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet") &&
+          !liveNorm.contains(norm(s.getPath.toString)) &&
+          s.getModificationTime <= cutoff) {
+        fs.delete(s.getPath, false); removed += 1
+      }
+    }
+    // sweep now-empty write directories (bottom-up: files first above)
+    fs.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
+      if (fs.listStatus(d.getPath).forall(c =>
+          c.isFile && c.getPath.getName == "_SUCCESS")) {
+        fs.delete(d.getPath, true); ()
       }
     }
     // drop superseded manifests
     (0L until keepFrom).foreach { v =>
-      Files.deleteIfExists(manifestDir.resolve(f"v$v%09d.json"))
+      Manifest.store.delete(manifestDir.resolve(f"v$v%09d.json"))
     }
     removed
   }
@@ -630,14 +670,51 @@ final class GraftTable(val spark: SparkSession, val path: Path,
 
   /** Tables at or under this size take merge's rewrite-all arm (no
     * affected-file probe job): two default-size shuffle partitions'
-    * worth of parquet. */
-  private val RewriteAllMaxBytes = 256L * 1024 * 1024
+    * worth of parquet by default, tunable per session (specs drop it
+    * to force the pruned path on small fixtures). */
+  private def RewriteAllMaxBytes: Long =
+    spark.conf.getOption("spark.graft.merge.rewriteAllMaxBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
 
   /** input_file_name() yields file: URIs; manifest stores plain paths. */
   private def normalize(files: Seq[String]): Seq[String] =
     files.map(f => "file://" + Paths.get(f).toAbsolutePath.toString)
 
-  private def writeFiles(df: DataFrame, needCount: Boolean = true): (Seq[String], Long) = {
+  /** PK column types whose per-file min/max stats we record and
+    * compare: integral + string cover the real-world PK space; stats
+    * string-encoding and driver-side comparison are exact for them.
+    * Anything else records no stats → the file is always a probe
+    * candidate (correct, just unpruned). */
+  private def statsSupported(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+
+  /** `a <= b` in the column's value space (not string space): numeric
+    * compare for integrals, UTF8 binary order for strings — the same
+    * order Spark's min/max and parquet's UTF8 stats use. */
+  private def statLteq(t: DataType, a: String, b: String): Boolean = t match {
+    case org.apache.spark.sql.types.StringType =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0
+    case _ => a.toLong <= b.toLong
+  }
+
+  /** PK columns eligible for file-range pruning: (logical, physical,
+    * logical type). A column pinned to a different PHYSICAL type by
+    * ALTER MODIFY is skipped — its recorded stats live in the old
+    * type's space and must not be compared against new-typed keys. */
+  private def prunablePkCols(m: Manifest): Seq[(String, String, DataType)] =
+    m.pkCols.flatMap { c =>
+      val t = m.schema(c).dataType
+      if (physType(m, c) == t && statsSupported(t)) Some((c, physName(m, c), t))
+      else None
+    }
+
+  private def writeFiles(df: DataFrame, needCount: Boolean = true)
+      : (Seq[String], Long, Map[String, Map[String, Seq[String]]]) = {
     val dest = path.resolve("data").resolve(UUID.randomUUID().toString)
     val m = manifest
     // store physical names + coerce to the PHYSICAL column types (DDL
@@ -652,28 +729,66 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     out.write.parquet(dest.toString)
     val files = Files.list(dest).iterator().asScala
       .map(_.toString).filter(f => f.endsWith(".parquet")).toSeq.sorted
-    // metadata-only count straight from the parquet footers on the
-    // driver — no Spark job at all (a count() job costs a fixed
-    // ~100-300ms of scheduling per DML statement, which dominates the
-    // many-small-commits CDC path). Skipped entirely when the caller
-    // doesn't report rows-affected.
-    val n = if (!needCount || files.isEmpty) 0L else footerRowCount(files)
-    (files, n)
-  }
-
-  /** Σ row counts from parquet footers (driver-side metadata reads). */
-  private def footerRowCount(files: Seq[String]): Long = {
+    // metadata straight from the parquet footers on the driver — no
+    // Spark job at all (a count() job costs a fixed ~100-300ms of
+    // scheduling per DML statement, which dominates the many-small-
+    // commits CDC path). One footer open serves both the row count
+    // (when the caller reports rows-affected) and the per-file PK
+    // min/max stats that merge's probe pruning feeds on.
+    val statCols = prunablePkCols(m)
+    if (files.isEmpty || (!needCount && statCols.isEmpty))
+      return (files, 0L, Map.empty)
     val conf = spark.sessionState.newHadoopConf()
-    files.map { f =>
+    var rows = 0L
+    val stats = Map.newBuilder[String, Map[String, Seq[String]]]
+    files.foreach { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(f), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
+      try {
+        rows += r.getRecordCount
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val perCol = statCols.flatMap { case (_, phys, t) =>
+          val chunks = blocks.flatMap(_.getColumns.asScala
+            .filter(_.getPath.toDotString == phys).map(_.getStatistics))
+          // every row group must carry usable stats or the file bound
+          // is unknown — record nothing (file stays a probe candidate)
+          if (chunks.isEmpty || chunks.exists(s =>
+              s == null || s.isEmpty || !s.hasNonNullValue)) None
+          else encodeMinMax(t, chunks).map(phys -> _)
+        }.toMap
+        if (perCol.nonEmpty) stats += f -> perCol
+      } finally r.close()
+    }
+    (files, rows, stats.result())
+  }
+
+  /** Fold row-group statistics into one string-encoded (min, max). */
+  private def encodeMinMax(t: DataType,
+      chunks: Seq[org.apache.parquet.column.statistics.Statistics[_]])
+      : Option[Seq[String]] = t match {
+    case org.apache.spark.sql.types.StringType =>
+      val vals = chunks.map { s =>
+        val bs = s.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+        (bs.genericGetMin.toStringUsingUTF8, bs.genericGetMax.toStringUsingUTF8)
+      }
+      def minS(a: String, b: String) = if (statLteq(t, a, b)) a else b
+      def maxS(a: String, b: String) = if (statLteq(t, a, b)) b else a
+      Some(Seq(vals.map(_._1).reduce(minS), vals.map(_._2).reduce(maxS)))
+    case _ => // integral: int32/int64 stats are Numbers
+      val vals = chunks.map(s =>
+        (s.genericGetMin.asInstanceOf[Number].longValue(),
+          s.genericGetMax.asInstanceOf[Number].longValue()))
+      Some(Seq(vals.map(_._1).min.toString, vals.map(_._2).max.toString))
   }
 }
 
 object GraftTable {
+  /** Last merge's probe-scan candidate file list (post stats-pruning)
+    * — spec observability ONLY: lets tests assert a merge touching one
+    * key range opened only the overlapping files. Not part of the API. */
+  @volatile private[graft] var lastProbeFiles: Seq[String] = Nil
+
   /** CREATE TABLE: initialize an empty manifest (A19 analog). */
   def create(spark: SparkSession, path: Path, schema: StructType,
       pkCols: Seq[String] = Nil, autoIncStart: Long = 1L,

@@ -1,0 +1,137 @@
+package graft.storage
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+
+/** Byte-level IO seam under the [[Manifest]] journal (and its
+  * transaction decision files): every journal read, list, and — the
+  * load-bearing one — every ATOMIC EXCLUSIVE claim of a version slot
+  * goes through one of these.
+  *
+  * Claim strategy per store (the part that must be chosen per
+  * filesystem, because "exactly one concurrent writer wins the slot"
+  * is the whole correctness story of the optimistic journal):
+  *  - local POSIX ([[NioJournalStore]]): hard-link creation — atomic
+  *    and exclusive, content fully written before the name appears;
+  *  - HDFS-like stores ([[HadoopJournalStore]]): write a temp file,
+  *    then rename-if-absent (`FileSystem.rename` fails when the
+  *    destination exists — atomic at the namenode, and the content is
+  *    complete before the name appears);
+  *  - S3-family object stores: Hadoop's s3a rename is copy+delete,
+  *    NOT atomic — the journal there needs a conditional put
+  *    (`If-None-Match`, what Delta's S3 LogStore or a DynamoDB mutex
+  *    provide). [[HadoopJournalStore]] refuses rather than guesses.
+  */
+trait JournalStore {
+  def mkdirs(dir: Path): Unit
+  /** Child FILE names of `dir` (empty when the dir is missing). */
+  def list(dir: Path): Seq[String]
+  def exists(file: Path): Boolean
+  def read(file: Path): Array[Byte]
+  /** Atomically claim `file` with content `bytes`. True = our claim
+    * won; false = the slot was already (or concurrently) taken. A
+    * reader never observes a partially-written claim. */
+  def writeExclusive(file: Path, bytes: Array[Byte]): Boolean
+  def delete(file: Path): Unit
+}
+
+/** Local-FS journal IO — the hard-link claim (fast path). */
+object NioJournalStore extends JournalStore {
+  def mkdirs(dir: Path): Unit = Files.createDirectories(dir)
+
+  def list(dir: Path): Seq[String] =
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.getFileName.toString).toList
+      finally s.close()
+    }
+
+  def exists(file: Path): Boolean = Files.exists(file)
+
+  def read(file: Path): Array[Byte] = Files.readAllBytes(file)
+
+  def writeExclusive(file: Path, bytes: Array[Byte]): Boolean = {
+    if (Files.exists(file)) return false
+    val tmp = file.resolveSibling(s"${file.getFileName}.tmp.${UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    try {
+      try { Files.createLink(file, tmp); true }
+      catch {
+        case _: UnsupportedOperationException =>
+          // FS without hard links: fail-if-exists move (atomic within
+          // a directory on every mainstream FS)
+          try { Files.move(tmp, file); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  def delete(file: Path): Unit = Files.deleteIfExists(file)
+}
+
+/** Journal IO through the Hadoop FileSystem API — the shared-storage
+  * path (HDFS, ABFS, ...). Local `file:` paths keep the hard-link
+  * claim (Hadoop's local FS create/rename are NOT atomic); true
+  * rename-if-absent stores claim via temp-write + rename. */
+class HadoopJournalStore(conf: org.apache.hadoop.conf.Configuration)
+    extends JournalStore {
+  private def hp(p: Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(p.toUri)
+  private def fsOf(p: org.apache.hadoop.fs.Path) = p.getFileSystem(conf)
+  /** Overridable so specs can drive the rename-if-absent claim over a
+    * local FS. */
+  protected def isLocal(p: org.apache.hadoop.fs.Path): Boolean = {
+    val scheme = fsOf(p).getUri.getScheme
+    scheme == "file" || scheme == null
+  }
+
+  def mkdirs(dir: Path): Unit = { fsOf(hp(dir)).mkdirs(hp(dir)); () }
+
+  def list(dir: Path): Seq[String] = {
+    val d = hp(dir)
+    val fs = fsOf(d)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName)
+  }
+
+  def exists(file: Path): Boolean = fsOf(hp(file)).exists(hp(file))
+
+  def read(file: Path): Array[Byte] = {
+    val f = hp(file)
+    val fs = fsOf(f)
+    val len = fs.getFileStatus(f).getLen.toInt
+    val in = fs.open(f)
+    try {
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+
+  def writeExclusive(file: Path, bytes: Array[Byte]): Boolean = {
+    val target = hp(file)
+    if (isLocal(target)) return NioJournalStore.writeExclusive(file, bytes)
+    val fs = fsOf(target)
+    val scheme = fs.getUri.getScheme
+    require(!Set("s3", "s3a", "s3n").contains(scheme),
+      s"journal on $scheme needs a conditional-put claim (If-None-Match); " +
+        "plain rename is copy+delete there and cannot arbitrate writers")
+    if (fs.exists(target)) return false
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      s"${target.getName}.tmp.${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    // rename-if-absent: FileSystem.rename fails (false) when the
+    // destination exists — the atomic claim on HDFS-like stores
+    val won = try fs.rename(tmp, target)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  def delete(file: Path): Unit = { fsOf(hp(file)).delete(hp(file), false); () }
+}

@@ -34,9 +34,28 @@ final case class Manifest(
     pkCols: Seq[String],
     files: Seq[String],
     autoInc: Long,
-    props: Map[String, String]) {
+    props: Map[String, String],
+    /** Per-file PK min/max recorded at write time from the parquet
+      * footers (no Spark job): file path → PHYSICAL column name →
+      * Seq(min, max) string-encoded in the column's physical type.
+      * Keyed physically so ALTER RENAME never invalidates stats. The
+      * scale story behind it: the reference answers "which storage
+      * holds this key" with an ART index probe
+      * (`/root/reference/delta/controller.go:481-488`); the
+      * copy-on-write analog is file-range pruning, so a CDC merge
+      * touching one key range opens only the overlapping files
+      * instead of scanning the table. Absent entries (old manifests,
+      * unsupported types) just mean "not prunable" — always safe. */
+    fileStats: Map[String, Map[String, Seq[String]]] = Map.empty) {
 
-  def withFiles(f: Seq[String]): Manifest = copy(files = f)
+  /** Swap the file list; stats for dropped files are shed, stats for
+    * newly written files ride in via `newStats`. */
+  def withFiles(f: Seq[String],
+      newStats: Map[String, Map[String, Seq[String]]] = Map.empty): Manifest = {
+    val listed = f.toSet
+    copy(files = f,
+      fileStats = (fileStats ++ newStats).filter { case (k, _) => listed(k) })
+  }
 }
 
 object Manifest {
@@ -62,6 +81,12 @@ object Manifest {
     * per-query full-catalog manifest scans. */
   val loadCount = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Journal IO seam ([[JournalStore]]): local hard-link claims by
+    * default; deployments on shared storage (and the Hadoop-journal
+    * spec) install a [[HadoopJournalStore]]. Global because the
+    * journal's location IS global to the warehouse. */
+  @volatile var store: JournalStore = NioJournalStore
+
   // Props carrying the two-phase transaction protocol (multi-statement
   // BEGIN/COMMIT/ROLLBACK — reference backend/session.go:87-145). A
   // manifest version with `txn.pending` set is invisible until the
@@ -72,16 +97,14 @@ object Manifest {
   private def dir(table: Path): Path = table.resolve("_manifest")
 
   def latestVersion(table: Path): Option[Long] = {
-    val d = dir(table)
-    if (!Files.isDirectory(d)) None
-    else {
-      val vs = Files.list(d).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.matches("v\\d{9}\\.json") => s.substring(1, 10).toLong }
-        .toSeq
-      if (vs.isEmpty) None else Some(vs.max)
-    }
+    val vs = versions(table)
+    if (vs.isEmpty) None else Some(vs.max)
   }
+
+  /** All retained journal versions (unsorted). */
+  def versions(table: Path): Seq[Long] =
+    store.list(dir(table))
+      .collect { case s if s.matches("v\\d{9}\\.json") => s.substring(1, 10).toLong }
 
   /** Load the latest VISIBLE manifest. Versions placed by an in-flight
     * or aborted transaction (carrying [[PendingProp]]) are skipped for
@@ -142,8 +165,8 @@ object Manifest {
     val f = txnDir.resolve(s"$txnId.decided")
     val deadline = System.nanoTime() + forceAbortAfterMs * 1000000L
     while (true) {
-      if (Files.exists(f))
-        return new String(Files.readAllBytes(f), "UTF-8") == "commit"
+      if (store.exists(f))
+        return new String(store.read(f), "UTF-8") == "commit"
       if (System.nanoTime() > deadline) tryDecide(txnDir, txnId, "abort")
       else Thread.sleep(2)
     }
@@ -154,45 +177,41 @@ object Manifest {
     * atomic and exclusive; the content is fully written before the link
     * appears). Returns true iff OUR claim won. */
   def tryDecide(txnDir: Path, txnId: String, decision: String): Boolean = {
-    Files.createDirectories(txnDir)
-    val target = txnDir.resolve(s"$txnId.decided")
-    if (Files.exists(target)) return false
-    val tmp = txnDir.resolve(s"$txnId.tmp.${java.util.UUID.randomUUID()}")
-    Files.write(tmp, decision.getBytes("UTF-8"))
-    try {
-      try { Files.createLink(target, tmp); true }
-      catch {
-        case _: UnsupportedOperationException =>
-          try { Files.move(tmp, target); true }
-          catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    } finally Files.deleteIfExists(tmp)
+    store.mkdirs(txnDir)
+    store.writeExclusive(txnDir.resolve(s"$txnId.decided"),
+      decision.getBytes("UTF-8"))
   }
 
   def loadVersion(table: Path, v: Long): Manifest = {
     loadCount.incrementAndGet()
     val raw = mapper.readValue(
-      Files.readAllBytes(dir(table).resolve(f"v$v%09d.json")), classOf[java.util.Map[String, Object]])
+      store.read(dir(table).resolve(f"v$v%09d.json")), classOf[java.util.Map[String, Object]])
     Manifest(
       version = raw.get("version").asInstanceOf[Number].longValue(),
       schema = DataType.fromJson(raw.get("schema").asInstanceOf[String]).asInstanceOf[StructType],
       pkCols = raw.get("pkCols").asInstanceOf[java.util.List[String]].asScala.toSeq,
       files = raw.get("files").asInstanceOf[java.util.List[String]].asScala.toSeq,
       autoInc = raw.get("autoInc").asInstanceOf[Number].longValue(),
-      props = raw.get("props").asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+      props = raw.get("props").asInstanceOf[java.util.Map[String, String]].asScala.toMap,
+      fileStats = Option(raw.get("fileStats")) // absent in old manifests
+        .map(_.asInstanceOf[java.util.Map[String, java.util.Map[String, java.util.List[String]]]]
+          .asScala.map { case (f, cols) =>
+            f -> cols.asScala.map { case (c, mm) => c -> mm.asScala.toSeq }.toMap
+          }.toMap)
+        .getOrElse(Map.empty))
   }
 
   /** Atomically commit `m` as the next version. The claim on the
-    * version slot is a hard-link creation — atomic AND exclusive on
-    * POSIX (a plain rename would silently overwrite a concurrent
-    * writer's commit, losing it). A losing writer gets a
+    * version slot is [[JournalStore.writeExclusive]] — atomic AND
+    * exclusive per store (local: hard-link creation; HDFS-like:
+    * rename-if-absent; a plain overwriting rename would silently drop
+    * a concurrent writer's commit). A losing writer gets a
     * ConcurrentModificationException: re-read the manifest, rebase,
     * retry — the optimistic-concurrency loop every manifest-journal
     * store (Delta/Iceberg) runs. */
   def commit(table: Path, m: Manifest): Manifest = {
     val d = dir(table)
-    Files.createDirectories(d)
+    store.mkdirs(d)
     // The slot is derived from the version the WRITER READ (m.version),
     // not from a re-listing: a stale writer must collide with whoever
     // advanced the journal past it (its file list was built against
@@ -206,23 +225,13 @@ object Manifest {
       "pkCols" -> out.pkCols.asJava,
       "files" -> out.files.asJava,
       "autoInc" -> java.lang.Long.valueOf(out.autoInc),
-      "props" -> out.props.asJava).asJava)
-    val tmp = d.resolve(f"v$next%09d.json.tmp.${java.util.UUID.randomUUID()}")
-    Files.write(tmp, payload)
-    val target = d.resolve(f"v$next%09d.json")
-    try {
-      try Files.createLink(target, tmp)
-      catch {
-        case _: UnsupportedOperationException =>
-          // FS without hard links: fall back to fail-if-exists move
-          // (atomic within a directory on every mainstream FS)
-          Files.move(tmp, target)
-      }
-    } catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"manifest version $next was committed concurrently: $e")
-    } finally Files.deleteIfExists(tmp)
+      "props" -> out.props.asJava,
+      "fileStats" -> out.fileStats.map { case (f, cols) =>
+        f -> cols.map { case (c, mm) => c -> mm.asJava }.asJava
+      }.asJava).asJava)
+    if (!store.writeExclusive(d.resolve(f"v$next%09d.json"), payload))
+      throw new java.util.ConcurrentModificationException(
+        s"manifest version $next was committed concurrently")
     out
   }
 }

@@ -76,7 +76,7 @@ final class Transaction private[graft] (
     require(!closed, "transaction already closed")
     closed = true
     if (staged.isEmpty) return
-    Files.createDirectories(txnDir)
+    Manifest.store.mkdirs(txnDir)
     try {
       staged.foreach { case (p, m) =>
         val pending = m.copy(

@@ -37,6 +37,44 @@ class EngineSpec extends SparkSpec {
     assert(e.listTables("other") === Nil)
   }
 
+  test("DROP TABLE is deferred: a pinned reader still completes its scan") {
+    val e = freshEngine()
+    e.createTable("pinned", xy, Seq("x"))
+    e.table("pinned").insert(Seq((1, 2), (3, 4)).toDF("x", "y"))
+    val snapshot = e.table("pinned").read() // lazy: paths bound, not read
+    e.dropTable("pinned")
+    assert(e.listTables() === Nil)
+    intercept[Exception] { e.table("pinned").read() }
+    // the pre-drop DataFrame scans its immutable files untouched
+    assert(snapshot.orderBy("x").as[(Int, Int)].collect() ===
+      Array((1, 2), (3, 4)))
+    // re-CREATE of the same name starts empty, old data invisible
+    e.createTable("pinned", xy, Seq("x"))
+    assert(e.table("pinned").read().count() === 0L)
+  }
+
+  test("vacuumDropped reclaims retired tables, spares re-created ones") {
+    val e = freshEngine()
+    e.createTable("a", xy); e.table("a").insert(Seq((1, 1)).toDF("x", "y"))
+    e.createTable("b", xy); e.table("b").insert(Seq((2, 2)).toDF("x", "y"))
+    e.dropTable("a")
+    e.dropTable("b")
+    e.createTable("b", xy) // re-created over the dropped dir
+    assert(e.vacuumDropped(minAgeMs = 0) === 2L)
+    // a's directory is gone entirely; b survives with a clean journal
+    assert(!java.nio.file.Files.exists(e.warehouse.resolve("main").resolve("a")))
+    assert(e.listTables() === Seq("b"))
+    assert(e.table("b").read().count() === 0L)
+    import scala.jdk.CollectionConverters._
+    val residue = java.nio.file.Files.list(
+      e.warehouse.resolve("main").resolve("b")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("_dropped")).toSeq
+    assert(residue === Nil)
+    // within the grace window nothing is touched
+    e.dropTable("b")
+    assert(e.vacuumDropped(minAgeMs = 3600000L) === 0L)
+  }
+
   test("SQL over engine tables and stored views") {
     val e = freshEngine()
     e.createTable("users", StructType(Seq(
