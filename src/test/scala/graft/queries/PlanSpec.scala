@@ -122,4 +122,37 @@ class PlanSpec extends SparkSpec {
     // each partition ships at most k rows per query, not all pairs
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
+
+  test("q64: netsums ride ONE aggregation — no 31× bit explode") {
+    // the signature folds 31 independent sums in a single doc-keyed
+    // hash aggregate; the old shape exploded sequence(0,30) (a Generate
+    // node) and paid a second doc-keyed shuffle over 31× the rows
+    val p = plan("q64_simhash")
+    val generates = p.linesIterator.count(_.contains("Generate "))
+    assert(generates == 1, // the word split only, never the bit fan-out
+      s"expected exactly the word-split Generate, got $generates:\n${p.take(3000)}")
+    assert(p.contains("partial_sum"), "map-side partial netsums")
+  }
+
+  test("q64: single-aggregation netsums match the explode formulation") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val docs = graft.SparkEntry.queries("q64_simhash")(s, dir)
+    // independent re-computation via the original 31× explode shape
+    val wc = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("code", expr(graft.queries.HashFrags.wordCodeSpark("word")))
+    val oldShape = wc
+      .select(col("doc_id"), col("cnt"), col("code"),
+        explode(expr("sequence(0, 30)")).as("bit"))
+      .withColumn("contrib", col("cnt") * (expr("(code >> bit) & 1") * 2 - 1))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("contrib")).as("net"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("net") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash"))
+    assert(docs.collect().map(r => (String.valueOf(r.get(0)), r.getLong(1))).sorted ===
+      oldShape.collect().map(r => (String.valueOf(r.get(0)), r.getLong(1))).sorted)
+  }
 }
