@@ -1,0 +1,338 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+import BinlogRowDecoder.ColSpec
+
+/** MySQL binlog EVENT-envelope decode (reference C1: the replica
+  * applier consumes the replication stream event-by-event,
+  * `/root/reference/binlogreplication/binlog_replica_applier.go:490-737`
+  * — TableMap registry, Write/Update/DeleteRows routing, GTID/Rotate
+  * bookkeeping) — re-expressed as a pure byte-level decoder over the
+  * PUBLIC binlog v4 event format, feeding the engine's delta schema.
+  * The cell-level row-image decode is [[BinlogRowDecoder]]; this layer
+  * adds the event framing, the per-slot TABLE_MAP registry, and the
+  * transaction coordinates. Together with [[FrameLogSource]] (one
+  * event per frame) it is the binlog twin of [[PgOutputDecoder]].
+  *
+  * Event layout (little-endian; 19-byte common header):
+  *  timestamp (4), event type (1), server_id (4), event_size (4),
+  *  log_pos (4), flags (2), then the per-type body:
+  *  - ROTATE (4): position (8), next binlog file name (rest)
+  *  - QUERY (2): thread_id (4), exec_time (4), schema_len (1),
+  *    error (2), status_len (2), status vars, schema, 0x00, query
+  *  - XID (16): xid (8) — transaction commit marker
+  *  - TABLE_MAP (19): table_id (6), flags (2), schema (1+len+0x00),
+  *    table (1+len+0x00), column count (lenenc), ... (column types and
+  *    metadata follow; the engine decodes against its own declared
+  *    [[ColSpec]]s, the same catalog-driven choice the reference makes
+  *    by looking the table up in its own schema registry)
+  *  - GTID (33): flags (1), source id (16), gno (8)
+  *  - WRITE/UPDATE/DELETE_ROWS v2 (30/31/32): table_id (6), flags (2),
+  *    extra-data len (2, includes itself), column count (lenenc),
+  *    columns-present bitmap(s) — one for WRITE/DELETE, before+after
+  *    for UPDATE — then row images back-to-back, each
+  *    `[null bitmap][cells]` ([[BinlogRowDecoder.decodeRowAt]])
+  *
+  * Transaction coordinates map onto the delta schema the way the
+  * reference's applier persists GTID state
+  * (`binlog_metadata_persistence.go`): `txn_group` = current binlog
+  * file (ROTATE), `txn_server` = the GTID source id, `txn_seq` = the
+  * GTID gno — or, on a non-GTID upstream, the BEGIN statement's
+  * log_pos, monotone within a file — `txn_stmt` = row ordinal within
+  * the transaction. TRUNCATE arrives as a QUERY DDL (the reference
+  * flushes-then-applies it inline, C9) and emits the table-wide
+  * truncate action.
+  *
+  * Unknown event types are SKIPPED, not errors — a live stream carries
+  * heartbeats, format descriptions, and version-specific bookkeeping
+  * events that a consumer must tolerate (the opposite contract from
+  * pgoutput, whose message set is closed). `crc32Checksum = true`
+  * strips the 4-byte CRC32 trailer the server appends when
+  * `binlog_checksum=CRC32` (the reference negotiates the same,
+  * `binlog_replica_applier.go` handshake).
+  */
+object BinlogEventDecoder {
+
+  // event type codes (public binlog v4)
+  private val QueryEvent = 2
+  private val RotateEvent = 4
+  private val FormatDescriptionEvent = 15
+  private val XidEvent = 16
+  private val TableMapEvent = 19
+  private val WriteRowsV2 = 30
+  private val UpdateRowsV2 = 31
+  private val DeleteRowsV2 = 32
+  private val GtidEvent = 33
+
+  final case class Change(relation: String, action: Int, group: String,
+      server: Array[Byte], seq: Long, stmt: Long, values: Seq[Any])
+
+  /** Serializable snapshot of one slot's decode state — binlog file,
+    * GTID coords, and the TABLE_MAP registry (table_id → qualified
+    * name). What must survive a micro-batch boundary when the
+    * connector splits a transaction (or separates a TABLE_MAP from its
+    * rows) across batches. */
+  final case class SlotSnapshot(group: String, server: Array[Byte],
+      seq: Long, stmt: Long, tables: Map[Long, String])
+
+  object SlotState {
+    def restore(snap: SlotSnapshot): SlotState = {
+      val st = new SlotState()
+      st.group = snap.group
+      st.server = snap.server
+      st.seq = snap.seq
+      st.stmt = snap.stmt
+      st.tables = snap.tables
+      st
+    }
+  }
+
+  /** Decoder state for one slot's serial event stream. `specs` maps
+    * qualified table name → declared column layout (the engine's own
+    * catalog, like the reference's schema lookup). */
+  final class SlotState {
+    private[BinlogEventDecoder] var group: String = ""
+    private[BinlogEventDecoder] var server: Array[Byte] = Array.empty
+    private[BinlogEventDecoder] var seq: Long = -1L
+    private[BinlogEventDecoder] var stmt: Long = 0L
+    private[BinlogEventDecoder] var tables = Map.empty[Long, String]
+
+    def snapshot: SlotSnapshot = SlotSnapshot(group, server, seq, stmt, tables)
+
+    private def uint(d: Array[Byte], p: Int, n: Int): Long = {
+      var v = 0L; var i = n - 1
+      while (i >= 0) { v = (v << 8) | (d(p + i) & 0xffL); i -= 1 }
+      v
+    }
+
+    /** MySQL length-encoded integer → (value, bytes consumed). */
+    private def lenenc(d: Array[Byte], p: Int): (Long, Int) =
+      (d(p) & 0xff) match {
+        case 0xfc => (uint(d, p + 1, 2), 3)
+        case 0xfd => (uint(d, p + 1, 3), 4)
+        case 0xfe => (uint(d, p + 1, 8), 9)
+        case b => (b.toLong, 1)
+      }
+
+    /** Parse one binlog event; emits zero or more [[Change]]s. */
+    def onEvent(frame: Array[Byte], specs: Map[String, Seq[ColSpec]],
+        crc32Checksum: Boolean = false): Seq[Change] = {
+      require(frame.length >= 19, s"binlog event shorter than header: ${frame.length}")
+      val eventType = frame(4) & 0xff
+      val logPos = uint(frame, 13, 4)
+      // CRC32 trailer rides every event when enabled (incl. FD itself
+      // in 5.6.1+); the body below must exclude it
+      val end = if (crc32Checksum) frame.length - 4 else frame.length
+      val b = 19 // body offset
+
+      eventType match {
+        case RotateEvent =>
+          group = new String(frame, b + 8, end - b - 8, StandardCharsets.UTF_8)
+          Nil
+        case FormatDescriptionEvent => Nil
+        case GtidEvent =>
+          server = java.util.Arrays.copyOfRange(frame, b + 1, b + 17)
+          seq = uint(frame, b + 17, 8)
+          stmt = 0L
+          Nil
+        case XidEvent => Nil // commit marker; coords already assigned
+        case QueryEvent =>
+          val schemaLen = frame(b + 8) & 0xff
+          val statusLen = uint(frame, b + 11, 2).toInt
+          val schemaPos = b + 13 + statusLen
+          val schema = new String(frame, schemaPos, schemaLen, StandardCharsets.UTF_8)
+          val q = new String(frame, schemaPos + schemaLen + 1,
+            end - (schemaPos + schemaLen + 1), StandardCharsets.UTF_8).trim
+          if (q.equalsIgnoreCase("BEGIN")) {
+            // non-GTID upstream: the BEGIN's log_pos is the txn order
+            // within the current file (GTID, when present, supersedes)
+            if (server.isEmpty) { seq = logPos; stmt = 0L }
+            Nil
+          } else truncateTarget(q, schema) match {
+            case Some(rel) if specs.contains(rel) =>
+              emit(rel, CdcMerge.ActionTruncate,
+                Seq.fill[Any](specs(rel).size)(null))
+            case _ => Nil // other DDL is a catalog concern, not row data
+          }
+        case TableMapEvent =>
+          val tableId = uint(frame, b, 6)
+          var p = b + 8
+          val dbLen = frame(p) & 0xff
+          val db = new String(frame, p + 1, dbLen, StandardCharsets.UTF_8)
+          p += 1 + dbLen + 1
+          val tLen = frame(p) & 0xff
+          val t = new String(frame, p + 1, tLen, StandardCharsets.UTF_8)
+          p += 1 + tLen + 1
+          val (ncols, _) = lenenc(frame, p)
+          val rel = s"$db.$t"
+          specs.get(rel).foreach { sp =>
+            require(sp.size == ncols,
+              s"$rel: TABLE_MAP declares $ncols columns, engine expects ${sp.size}")
+          }
+          tables += tableId -> rel
+          Nil
+        case WriteRowsV2 | UpdateRowsV2 | DeleteRowsV2 =>
+          val tableId = uint(frame, b, 6)
+          val rel = tables.getOrElse(tableId, throw new IllegalStateException(
+            s"ROWS event for unmapped table id $tableId: the stream slice " +
+              "does not carry its TABLE_MAP (start slices at txn boundaries " +
+              "or use the stateful decode)"))
+          specs.get(rel) match {
+            case None => Nil // not a table this consumer decodes
+            case Some(sp) =>
+              var p = b + 8
+              val extraLen = uint(frame, p, 2).toInt
+              p += extraLen // includes the 2 length bytes
+              val (ncols, lb) = lenenc(frame, p)
+              require(ncols == sp.size,
+                s"$rel: ROWS event carries $ncols columns, engine expects ${sp.size}")
+              p += lb
+              val bitmapBytes = ((ncols + 7) / 8).toInt
+              def checkAllPresent(at: Int): Unit = {
+                var i = 0
+                while (i < ncols) {
+                  require((frame(at + i / 8) & (1 << (i % 8))) != 0,
+                    s"$rel: partial row image (binlog_row_image != FULL) " +
+                      s"is not supported — column $i absent")
+                  i += 1
+                }
+              }
+              checkAllPresent(p); p += bitmapBytes
+              if (eventType == UpdateRowsV2) { checkAllPresent(p); p += bitmapBytes }
+              val out = Seq.newBuilder[Change]
+              while (p < end) {
+                val (before, n1) = BinlogRowDecoder.decodeRowAt(frame, p, sp)
+                p += n1
+                eventType match {
+                  case WriteRowsV2 =>
+                    out ++= emit(rel, CdcMerge.ActionInsert, before)
+                  case DeleteRowsV2 =>
+                    out ++= emit(rel, CdcMerge.ActionDelete, before)
+                  case UpdateRowsV2 =>
+                    // delete(before) + insert(after): correct whether or
+                    // not the PK changed (the reference's update-with-
+                    // key-change arm generalized; condense keeps the
+                    // later insert for an unchanged key)
+                    val (after, n2) = BinlogRowDecoder.decodeRowAt(frame, p, sp)
+                    p += n2
+                    out ++= emit(rel, CdcMerge.ActionDelete, before)
+                    out ++= emit(rel, CdcMerge.ActionInsert, after)
+                }
+              }
+              out.result()
+          }
+        case _ => Nil // heartbeat / stop / version-specific bookkeeping
+      }
+    }
+
+    /** `TRUNCATE [TABLE] [db.]name` → qualified target (default db =
+      * the QUERY event's schema field). */
+    private def truncateTarget(q: String, defaultDb: String): Option[String] = {
+      val m = java.util.regex.Pattern.compile(
+        "(?i)^TRUNCATE\\s+(?:TABLE\\s+)?(?:[`\"]?([A-Za-z0-9_]+)[`\"]?\\.)?[`\"]?([A-Za-z0-9_]+)[`\"]?\\s*;?\\s*$")
+        .matcher(q)
+      if (m.matches()) Some(s"${Option(m.group(1)).getOrElse(defaultDb)}.${m.group(2)}")
+      else None
+    }
+
+    private def emit(rel: String, action: Int, vs: Seq[Any]): Seq[Change] = {
+      if (seq < 0) throw new IllegalStateException(
+        s"row event for $rel before any GTID/BEGIN: the stream slice does " +
+          "not start at a transaction boundary")
+      stmt += 1
+      Seq(Change(rel, action, group,
+        if (server.isEmpty) null else server, seq, stmt, vs))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Spark surface (mirrors PgOutputDecoder's)
+
+  private def outSchema(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields ++ Seq(
+      StructField("action", IntegerType),
+      StructField("txn_tag", StringType),
+      StructField("txn_server", BinaryType),
+      StructField("txn_group", StringType),
+      StructField("txn_seq", LongType),
+      StructField("txn_stmt", LongType)))
+
+  private def toRow(c: Change): Row =
+    Row.fromSeq(c.values ++ Seq(c.action, null, c.server, c.group, c.seq, c.stmt))
+
+  /** Decode raw binlog event streams into the flattened delta schema
+    * for one target table (`"db.table"` with declared `specs`), ready
+    * for [[CdcMerge.condense]] + merge. `events` holds one row per
+    * event: slot id, monotone offset, raw event bytes — exactly what
+    * [[FrameLogSource]] emits. A fresh slice must start at a txn
+    * boundary and carry its TABLE_MAPs (the replica re-requests both
+    * on reconnect, like the reference's applier). */
+  def decodeSlotStreams(events: DataFrame, slotCol: String, offsetCol: String,
+      payloadCol: String, targetTable: String, specs: Seq[ColSpec],
+      crc32Checksum: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val schema = outSchema(BinlogRowDecoder.rowSchema(specs))
+    val slotIdx = events.columns.indexOf(slotCol)
+    val payloadIdx = events.columns.indexOf(payloadCol)
+    val specMap = Map(targetTable -> specs)
+    events
+      .repartition(col(slotCol))
+      .sortWithinPartitions(col(slotCol), col(offsetCol))
+      .mapPartitions { it =>
+        val states = scala.collection.mutable.Map.empty[Any, SlotState]
+        it.flatMap { r =>
+          val st = states.getOrElseUpdate(r.get(slotIdx), new SlotState())
+          st.onEvent(r.getAs[Array[Byte]](payloadIdx), specMap, crc32Checksum)
+            .filter(_.relation == targetTable)
+            .map(toRow)
+        }
+      }(Encoders.row(schema))
+  }
+
+  /** Streaming variant whose per-slot decode state (TABLE_MAP registry
+    * + txn coords) lives in the streaming checkpoint, so a connector
+    * may split a transaction — or separate a TABLE_MAP from its rows —
+    * across micro-batches. Same contract as
+    * [[PgOutputDecoder.decodeSlotStreamsStateful]], incl. the per-slot
+    * buffer guard. */
+  def decodeSlotStreamsStateful(events: DataFrame, slotCol: String,
+      offsetCol: String, payloadCol: String, targetTable: String,
+      specs: Seq[ColSpec], crc32Checksum: Boolean = false,
+      maxBufferedBytes: Long = 1L << 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val schema = outSchema(BinlogRowDecoder.rowSchema(specs))
+    val slotIdx = events.columns.indexOf(slotCol)
+    val offsetIdx = events.columns.indexOf(offsetCol)
+    val payloadIdx = events.columns.indexOf(payloadCol)
+    val specMap = Map(targetTable -> specs)
+    events
+      .groupByKey(r => String.valueOf(r.get(slotIdx)))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (slot: String, rows: Iterator[Row],
+            state: org.apache.spark.sql.streaming.GroupState[SlotSnapshot]) =>
+          val st = state.getOption.map(SlotState.restore)
+            .getOrElse(new SlotState())
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var bufBytes = 0L
+          rows.foreach { r =>
+            bufBytes += r.getAs[Array[Byte]](payloadIdx).length + 32L
+            if (bufBytes > maxBufferedBytes) throw new IllegalStateException(
+              s"slot $slot: micro-batch exceeds maxBufferedBytes=" +
+                s"$maxBufferedBytes while buffering for the offset sort — " +
+                "throttle the source (e.g. maxFramesPerTrigger) or raise " +
+                "the cap")
+            buf += r
+          }
+          val out = buf.sortBy(_.getLong(offsetIdx)).iterator
+            .flatMap(r => st.onEvent(r.getAs[Array[Byte]](payloadIdx),
+              specMap, crc32Checksum))
+            .filter(_.relation == targetTable)
+            .map(toRow)
+            .toVector
+          state.update(st.snapshot)
+          out.iterator
+      }(Encoders.product[SlotSnapshot], Encoders.row(schema))
+  }
+}

@@ -124,11 +124,18 @@ object BinlogRowDecoder {
 
   /** Decode one row image into external Spark values (null for columns
     * flagged in the null bitmap). */
-  def decodeRow(data: Array[Byte], specs: Seq[ColSpec]): Seq[Any] = {
+  def decodeRow(data: Array[Byte], specs: Seq[ColSpec]): Seq[Any] =
+    decodeRowAt(data, 0, specs)._1
+
+  /** Offset-aware [[decodeRow]] returning (values, bytes consumed) —
+    * what a multi-row binlog ROWS event needs to walk row images
+    * back-to-back ([[BinlogEventDecoder]]). */
+  private[streaming] def decodeRowAt(data: Array[Byte], start: Int,
+      specs: Seq[ColSpec]): (Seq[Any], Int) = {
     val bitmapBytes = (specs.size + 7) / 8
-    var pos = bitmapBytes
-    specs.zipWithIndex.map { case (spec, i) =>
-      val isNull = (data(i / 8) & (1 << (i % 8))) != 0
+    var pos = start + bitmapBytes
+    val vals = specs.zipWithIndex.map { case (spec, i) =>
+      val isNull = (data(start + i / 8) & (1 << (i % 8))) != 0
       if (isNull) null
       else {
         val (v, size) = decodeCell(data, pos, spec.tpe)
@@ -136,6 +143,7 @@ object BinlogRowDecoder {
         v
       }
     }
+    (vals, pos - start)
   }
 
   private def uint(data: Array[Byte], pos: Int, n: Int): Long = {

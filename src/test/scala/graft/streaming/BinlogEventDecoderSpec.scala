@@ -1,0 +1,233 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+import graft.SparkSpec
+import graft.storage.GraftTable
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import BinlogRowDecoder.{ColSpec, Int64, Varchar}
+
+/** Golden-bytes binlog event decode (reference C1,
+  * `/root/reference/binlogreplication/binlog_replica_applier.go:490-737`):
+  * events are built byte-for-byte to the public binlog v4 layout by an
+  * independent encoder below, decoded by [[BinlogEventDecoder]], and
+  * driven end-to-end through the framelog source + condense + merge. */
+class BinlogEventDecoderSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // independent event encoder (the spec's source of truth)
+
+  private def le(n: Long, bytes: Int): Array[Byte] =
+    (0 until bytes).map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
+
+  private def bytes(parts: Array[Byte]*): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+
+  private def event(tpe: Int, logPos: Long, body: Array[Byte]): Array[Byte] =
+    bytes(le(0L, 4), Array(tpe.toByte), le(1L, 4),
+      le(19L + body.length, 4), le(logPos, 4), le(0L, 2), body)
+
+  private def rotate(file: String): Array[Byte] =
+    event(4, 0L, bytes(le(4L, 8), file.getBytes(StandardCharsets.UTF_8)))
+
+  private val sid: Array[Byte] = (1 to 16).map(_.toByte).toArray
+  private def gtid(gno: Long): Array[Byte] =
+    event(33, 0L, bytes(Array(0.toByte), sid, le(gno, 8)))
+
+  private def query(schema: String, q: String, logPos: Long = 0L,
+      statusVars: Array[Byte] = Array.empty): Array[Byte] = {
+    val s = schema.getBytes(StandardCharsets.UTF_8)
+    event(2, logPos, bytes(le(7L, 4), le(0L, 4), Array(s.length.toByte),
+      le(0L, 2), le(statusVars.length.toLong, 2), statusVars,
+      s, Array(0.toByte), q.getBytes(StandardCharsets.UTF_8)))
+  }
+
+  private def xid(): Array[Byte] = event(16, 0L, le(99L, 8))
+
+  private def tableMap(tableId: Long, db: String, table: String,
+      ncols: Int): Array[Byte] = {
+    val d = db.getBytes(StandardCharsets.UTF_8)
+    val t = table.getBytes(StandardCharsets.UTF_8)
+    // column types/metadata follow in the real event; the decoder
+    // stops at the column count (catalog-driven cell decode), so the
+    // trailing bytes here are representative filler
+    event(19, 0L, bytes(le(tableId, 6), le(1L, 2),
+      Array(d.length.toByte), d, Array(0.toByte),
+      Array(t.length.toByte), t, Array(0.toByte),
+      Array(ncols.toByte),
+      Array.fill(ncols)(8.toByte), Array(0.toByte),
+      Array.fill((ncols + 7) / 8)(0.toByte)))
+  }
+
+  /** Row image: [null bitmap][cells] — pk Int64 + val Varchar(40). */
+  private def rowImg(pk: Option[Long], v: Option[String]): Array[Byte] = {
+    val nullBits = (if (pk.isEmpty) 1 else 0) | (if (v.isEmpty) 2 else 0)
+    bytes(Array(nullBits.toByte),
+      pk.map(le(_, 8)).getOrElse(Array.empty),
+      v.map { s =>
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        bytes(Array(b.length.toByte), b) // 1-byte len (maxLen <= 255)
+      }.getOrElse(Array.empty))
+  }
+
+  private def rowsEvent(tpe: Int, tableId: Long, ncols: Int,
+      images: Array[Byte]*): Array[Byte] = {
+    val bitmaps = if (tpe == 31) 2 else 1
+    event(tpe, 0L, bytes(
+      (Seq(le(tableId, 6), le(1L, 2), le(2L, 2), // extra-len includes itself
+        Array(ncols.toByte)) ++
+        Seq.fill(bitmaps)(Array.fill((ncols + 7) / 8)(0xff.toByte)) ++
+        images): _*))
+  }
+
+  private def writeRows(tid: Long, imgs: Array[Byte]*): Array[Byte] =
+    rowsEvent(30, tid, 2, imgs: _*)
+  private def updateRows(tid: Long, pairs: Array[Byte]*): Array[Byte] =
+    rowsEvent(31, tid, 2, pairs: _*)
+  private def deleteRows(tid: Long, imgs: Array[Byte]*): Array[Byte] =
+    rowsEvent(32, tid, 2, imgs: _*)
+
+  // ------------------------------------------------------------------
+
+  private val specs = Seq(ColSpec("pk", Int64), ColSpec("val", Varchar(40)))
+  private val Tid = 7L
+
+  private def decode(msgs: Seq[Array[Byte]], slot: String = "s1",
+      crc: Boolean = false): DataFrame = {
+    val df = msgs.zipWithIndex.map { case (m, i) => (slot, i.toLong, m) }
+      .toDF("slot", "off", "payload")
+    BinlogEventDecoder.decodeSlotStreams(df, "slot", "off", "payload",
+      "db1.t", specs, crc32Checksum = crc)
+  }
+
+  test("insert/update/delete with GTID txn coords") {
+    val out = decode(Seq(
+      rotate("binlog.000003"),
+      gtid(100L), query("db1", "BEGIN"),
+      tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("a")), rowImg(Some(2L), None)),
+      xid(),
+      gtid(101L), query("db1", "BEGIN"),
+      tableMap(Tid, "db1", "t", 2),
+      updateRows(Tid, rowImg(Some(1L), Some("a")), rowImg(Some(1L), Some("a2"))),
+      deleteRows(Tid, rowImg(Some(2L), None)),
+      xid()))
+      .select("pk", "val", "action", "txn_group", "txn_seq", "txn_stmt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).sortBy(t => (t._5, t._6))
+    assert(out === Array(
+      (1L, "a", CdcMerge.ActionInsert, "binlog.000003", 100L, 1L),
+      (2L, null, CdcMerge.ActionInsert, "binlog.000003", 100L, 2L),
+      (1L, "a", CdcMerge.ActionDelete, "binlog.000003", 101L, 1L),
+      (1L, "a2", CdcMerge.ActionInsert, "binlog.000003", 101L, 2L),
+      (2L, null, CdcMerge.ActionDelete, "binlog.000003", 101L, 3L)))
+  }
+
+  test("txn_server carries the GTID source id") {
+    val out = decode(Seq(gtid(5L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("x")))))
+      .select("txn_server").collect()
+    assert(out.head.getAs[Array[Byte]](0).toSeq === sid.toSeq)
+  }
+
+  test("non-GTID upstream: BEGIN's log_pos orders transactions") {
+    val out = decode(Seq(
+      rotate("binlog.000001"),
+      query("db1", "BEGIN", logPos = 500L),
+      tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("a"))), xid(),
+      query("db1", "BEGIN", logPos = 900L),
+      tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(2L), Some("b"))), xid()))
+      .select("pk", "txn_seq", "txn_server").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2))).sortBy(_._1)
+    assert(out === Array((1L, 500L, null), (2L, 900L, null)))
+  }
+
+  test("TRUNCATE TABLE DDL emits the table-wide action") {
+    val out = decode(Seq(gtid(9L),
+      query("db1", "TRUNCATE TABLE `t`"),
+      query("db1", "TRUNCATE other_db.x"))) // unmapped: dropped
+      .select("action", "txn_seq").collect()
+    assert(out === Array(Row(CdcMerge.ActionTruncate, 9L)))
+  }
+
+  test("events for other tables and unknown event types are skipped") {
+    val heartbeat = event(27, 0L, Array[Byte](1, 2, 3))
+    val out = decode(Seq(gtid(1L), heartbeat,
+      tableMap(Tid, "db1", "t", 2),
+      tableMap(8L, "db1", "other", 2),
+      writeRows(8L, rowImg(Some(5L), Some("z"))),
+      writeRows(Tid, rowImg(Some(1L), Some("a")))))
+    assert(out.count() === 1L)
+  }
+
+  test("crc32 mode strips the 4-byte trailer from every event") {
+    def crc(e: Array[Byte]): Array[Byte] = bytes(e, Array[Byte](1, 2, 3, 4))
+    val out = decode(Seq(
+      crc(rotate("binlog.000009")), crc(gtid(42L)),
+      crc(tableMap(Tid, "db1", "t", 2)),
+      crc(writeRows(Tid, rowImg(Some(3L), Some("c"))))), crc = true)
+      .select("pk", "val", "txn_group", "txn_seq").collect()
+    assert(out === Array(Row(3L, "c", "binlog.000009", 42L)))
+  }
+
+  test("a rows event before its TABLE_MAP fails with a boundary hint") {
+    val err = intercept[org.apache.spark.SparkException](
+      decode(Seq(gtid(1L), writeRows(Tid, rowImg(Some(1L), Some("a"))))).collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).map(x => x +: causes(x.getCause)).getOrElse(Nil)
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("TABLE_MAP"))))
+  }
+
+  test("framelog → stateful binlog decode → merge, restart mid-transaction") {
+    val dir = tmpDir("binlog_framelog")
+    val ckpt = tmpDir("binlog_framelog_ckpt")
+    val table = GraftTable.create(spark, tmpDir("binlog_framelog_tbl"),
+      StructType(Seq(StructField("pk", LongType), StructField("val", StringType))),
+      Seq("pk"))
+    def run(): Unit = {
+      val q = spark.readStream.format("framelog")
+        .option("maxFramesPerTrigger", "2")
+        .load(dir.toString)
+        .transform(BinlogEventDecoder.decodeSlotStreamsStateful(
+          _, "slot", "off", "payload", "db1.t", specs))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          CdcMerge.applyBatch(table,
+            batch.withColumn("action", col("action").cast("int")))
+        }.start()
+      q.awaitTermination()
+    }
+    // TABLE_MAP and rows land in different micro-batches; txn 1 spans
+    // the first run's end — its rows arrive after the restart
+    FrameLog.append(dir, "s1", Seq(
+      0L -> rotate("binlog.000001"),
+      1L -> gtid(100L),
+      2L -> tableMap(Tid, "db1", "t", 2),
+      3L -> writeRows(Tid, rowImg(Some(1L), Some("a")))))
+    run()
+    assert(table.read().orderBy("pk").as[(Long, String)].collect() ===
+      Array((1L, "a")))
+    FrameLog.append(dir, "s1", Seq( // same txn continues: NO re-sends
+      4L -> writeRows(Tid, rowImg(Some(2L), Some("b"))),
+      5L -> xid(),
+      6L -> gtid(101L),
+      7L -> updateRows(Tid, rowImg(Some(1L), Some("a")), rowImg(Some(1L), Some("a9"))),
+      8L -> xid()))
+    run()
+    assert(table.read().orderBy("pk").as[(Long, String)].collect() ===
+      Array((1L, "a9"), (2L, "b")))
+  }
+}
