@@ -31,9 +31,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    try run(SparkEntry.queries("q01_pricing_summary"))
-    catch { case _: Throwable => () } // warmup only
-    reset()
+    // Warm through DISTINCT plan shapes (scan+agg, shuffle join, window)
+    // — one warmup query leaves the others' codegen/exchange/sort paths
+    // cold and the first measured query of that shape absorbs the JIT
+    // cost (r5 bench showed q01 at 9.5s when measured cold vs 1.0s warm).
+    Seq("q01_pricing_summary", "q02_revenue_by_nation", "q11_window_rank")
+      .foreach { name =>
+        try run(SparkEntry.queries(name))
+        catch { case _: Throwable => () } // warmup only
+        reset()
+      }
     // A failing query must be VISIBLE: record its error string and exit
     // non-zero, so a regression can't masquerade as a near-zero "speedup".
     val results = SparkEntry.queries.map { case (name, fn) =>
