@@ -205,7 +205,14 @@ object Operators {
     *     code (fewer than ⌈τ·|s|⌉ overlaps are impossible otherwise),
     *     so the inverted-index join touches Σ df(prefix)² candidate
     *     rows instead of Σ df² — the gap grows with τ;
-    *  3. exact verify — `sorted_intersect_count` on the full arrays.
+    *  3. positional filter — a match at (sorted) positions p_a, p_b
+    *     bounds the overlap by the codes remaining at/after the match:
+    *     |a∩b| ≤ min(|a|−p_a, |b|−p_b), while Jaccard ≥ τ needs
+    *     |a∩b| ≥ ⌈τ/(1+τ)·(|a|+|b|)⌉. Rows whose bound cannot reach
+    *     the requirement drop INSIDE the join, before the pair-distinct
+    *     shuffle (safe: both arrays share one sort order, so a
+    *     qualifying pair's first shared prefix code always passes);
+    *  4. exact verify — `sorted_intersect_count` on the full arrays.
     *
     * Every stage is a keyed shuffle (code, then pair, then id) — no
     * broadcast of the corpus, no driver state: the 100 TB shape. At
@@ -228,15 +235,20 @@ object Operators {
       size(col(setCol)).as("__len"))
       .localCheckpoint()
     val pref = sets.select(col("__id"), col("__len"),
-        explode(slice(col("__cs"), lit(1),
-          (col("__len") - ceil(col("__len") * tau) + 1).cast("int"))).as("__code"))
+        posexplode(slice(col("__cs"), lit(1),
+          (col("__len") - ceil(col("__len") * tau) + 1).cast("int"))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__code")
     val cand = pref.as("x").join(pref.as("y"),
         col("x.__code") === col("y.__code") &&
           col("x.__id") < col("y.__id") &&
-          // length filter inside the join condition: cheap conjuncts
-          // prune before the pair ever materializes downstream
+          // length + positional filters inside the join condition:
+          // cheap conjuncts prune before the pair ever materializes
+          // downstream (`__pos` is 0-based, so |s|−pos codes remain
+          // at/after the match)
           col("y.__len") * tau <= col("x.__len") &&
-          col("x.__len") * tau <= col("y.__len"))
+          col("x.__len") * tau <= col("y.__len") &&
+          least(col("x.__len") - col("x.__pos"), col("y.__len") - col("y.__pos"))
+            >= ceil(lit(tau / (1 + tau)) * (col("x.__len") + col("y.__len"))))
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
       .distinct()
     cand
