@@ -248,6 +248,113 @@ object BinlogEventDecoder {
   }
 
   // ------------------------------------------------------------------
+  // Whole-file ingestion (the `mysqlbinlog --raw` / log-shipping mode)
+
+  private def uintAt(d: Array[Byte], p: Int, n: Int): Long = {
+    var v = 0L; var i = n - 1
+    while (i >= 0) { v = (v << 8) | (d(p + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  private def putLe(d: Array[Byte], p: Int, v: Long, n: Int): Unit = {
+    var i = 0
+    while (i < n) { d(p + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+  }
+
+  /** True when the frame's last 4 bytes are a valid CRC32 of the rest
+    * — how `binlog_checksum=CRC32` is detected without a server-version
+    * table (false-positive odds 2^-32 on a checksum-free event). */
+  private def crcValid(frame: Array[Byte]): Boolean = {
+    if (frame.length < 23) return false
+    val crc = new java.util.zip.CRC32()
+    crc.update(frame, 0, frame.length - 4)
+    crc.getValue == uintAt(frame, frame.length - 4, 4)
+  }
+
+  /** Split one binlog v4 FILE image — 4-byte magic `0xfe bin`, then
+    * events back-to-back, each declaring its own size in the common
+    * header — into (file byte offset, event frame) pairs.
+    *
+    * `binlog_checksum=CRC32` is AUTO-DETECTED from the file's first
+    * event (the FORMAT_DESCRIPTION every binlog file leads with, which
+    * carries its own checksum from 5.6.1 on): its trailer is verified
+    * as an actual CRC32 of the event bytes. When detected, the 4-byte
+    * trailer is stripped from EVERY returned frame, so downstream
+    * decode always runs with `crc32Checksum = false`.
+    *
+    * A torn tail — an event whose declared size overruns the file, as
+    * left by a crash mid-write or a copy of a live segment — yields the
+    * complete-event prefix, mirroring [[FrameLogSource]]'s torn-frame
+    * rule: re-ingesting the finished file picks up the remainder at
+    * offsets the connector's checkpoint has not seen. */
+  def splitFile(bytes: Array[Byte]): Seq[(Long, Array[Byte])] = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xfe &&
+      bytes(1) == 'b'.toByte && bytes(2) == 'i'.toByte && bytes(3) == 'n'.toByte,
+      "not a binlog v4 file (bad magic)")
+    val out = Seq.newBuilder[(Long, Array[Byte])]
+    var pos = 4
+    var crc = false
+    var first = true
+    var done = false
+    while (!done && pos + 19 <= bytes.length) {
+      val size = uintAt(bytes, pos + 9, 4)
+      if (size < 19 || pos + size > bytes.length) done = true // torn tail
+      else {
+        val frame = java.util.Arrays.copyOfRange(bytes, pos, pos + size.toInt)
+        if (first) { crc = crcValid(frame); first = false }
+        out += ((pos.toLong,
+          if (crc) java.util.Arrays.copyOfRange(frame, 0, frame.length - 4)
+          else frame))
+        pos += size.toInt
+      }
+    }
+    out.result()
+  }
+
+  /** One ROTATE frame naming `file`, synthesized at each file's start
+    * so `txn_group` is right from the first transaction — a connecting
+    * replica hears the same fake ROTATE from the server; a file on
+    * disk only names its SUCCESSOR in its tail ROTATE. */
+  private def syntheticRotate(file: String): Array[Byte] = {
+    val nb = file.getBytes(StandardCharsets.UTF_8)
+    val frame = new Array[Byte](19 + 8 + nb.length)
+    frame(4) = RotateEvent.toByte
+    putLe(frame, 9, frame.length.toLong, 4) // event_size
+    putLe(frame, 19, 4L, 8) // position of the first event
+    System.arraycopy(nb, 0, frame, 27, nb.length)
+    frame
+  }
+
+  /** Whole binlog FILES → framelog-shaped `(slot, off, payload)` rows:
+    * the ingestion mode for segments dumped by `mysqlbinlog --raw` or
+    * shipped from the server's log directory, complementing
+    * [[FrameLogSource]]'s live frame tail. Input: rows from Spark's
+    * `binaryFile` source (batch `read` or `readStream` — new segments
+    * stream in as they land).
+    *
+    * slot = file name, so files decode IN PARALLEL. Safe because a
+    * binlog segment is self-contained — it leads with its own
+    * FORMAT_DESCRIPTION, every transaction's TABLE_MAPs precede its
+    * rows, and the server rotates only at transaction boundaries — and
+    * ordering across segments holds because [[CdcMerge.condense]]'s
+    * last-writer-wins key leads with `txn_group` = the file name,
+    * which sorts in binlog sequence (`binlog.000001 < binlog.000002`).
+    * CRC32 trailers are stripped per [[splitFile]]; pass
+    * `crc32Checksum = false` downstream. */
+  def framesFromFiles(files: DataFrame, pathCol: String = "path",
+      contentCol: String = "content"): DataFrame = {
+    val pIdx = files.columns.indexOf(pathCol)
+    val cIdx = files.columns.indexOf(contentCol)
+    files.mapPartitions { it =>
+      it.flatMap { r =>
+        val name = r.getString(pIdx).split('/').last
+        ((0L -> syntheticRotate(name)) +: splitFile(r.getAs[Array[Byte]](cIdx)))
+          .map { case (off, frame) => Row(name, off, frame) }
+      }
+    }(Encoders.row(FrameLog.schema))
+  }
+
+  // ------------------------------------------------------------------
   // Spark surface (mirrors PgOutputDecoder's)
 
   private def outSchema(dataSchema: StructType): StructType =

@@ -189,6 +189,88 @@ class BinlogEventDecoderSpec extends SparkSpec {
       Option(c.getMessage).exists(_.contains("TABLE_MAP"))))
   }
 
+  // ------------------------------------------------------------------
+  // whole-file ingestion (splitFile / framesFromFiles)
+
+  /** Patch the header's event_size to cover the trailer, then append a
+    * REAL CRC32 — splitFile verifies the checksum, not just a length. */
+  private def withCrc(e: Array[Byte]): Array[Byte] = {
+    val sized = e.clone()
+    val total = e.length + 4
+    for (i <- 0 until 4) sized(9 + i) = ((total >> (8 * i)) & 0xff).toByte
+    val crc = new java.util.zip.CRC32(); crc.update(sized, 0, sized.length)
+    bytes(sized, le(crc.getValue, 4))
+  }
+
+  private def fde(): Array[Byte] =
+    event(15, 0L, bytes(le(4L, 2), Array.fill(50)(0.toByte), le(0L, 4),
+      Array(19.toByte), Array.fill(39)(0.toByte)))
+
+  private val magic = Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
+
+  test("splitFile: CRC32 trailers are detected via the FDE and stripped") {
+    val evs = Seq(fde(), gtid(7L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(4L), Some("d"))), xid())
+    val file = bytes((magic +: evs.map(withCrc)): _*)
+    val frames = BinlogEventDecoder.splitFile(file)
+    assert(frames.size === evs.size)
+    // offsets are the events' byte positions in the file
+    assert(frames.head._1 === 4L)
+    assert(frames.map(_._1) === frames.map(_._1).sorted)
+    // trailers stripped: frames decode with crc32Checksum = false
+    val out = decode(frames.map(_._2))
+      .select("pk", "val", "txn_seq").collect()
+    assert(out === Array(Row(4L, "d", 7L)))
+  }
+
+  test("splitFile: a checksum-free file passes frames through unchanged") {
+    val evs = Seq(fde(), gtid(1L))
+    val file = bytes((magic +: evs): _*)
+    assert(BinlogEventDecoder.splitFile(file).map(_._2.toSeq) ===
+      evs.map(_.toSeq))
+  }
+
+  test("splitFile: torn tail yields the complete-event prefix") {
+    val whole = Seq(fde(), gtid(1L), tableMap(Tid, "db1", "t", 2))
+    val torn = writeRows(Tid, rowImg(Some(1L), Some("a"))).dropRight(3)
+    val file = bytes((magic +: whole) :+ torn: _*)
+    assert(BinlogEventDecoder.splitFile(file).size === whole.size)
+  }
+
+  test("splitFile rejects a non-binlog file") {
+    val err = intercept[IllegalArgumentException](
+      BinlogEventDecoder.splitFile("PAR1whatever".getBytes))
+    assert(err.getMessage.contains("magic"))
+  }
+
+  test("framesFromFiles: parallel per-segment decode, LWW across files") {
+    val dir = tmpDir("binlog_segments")
+    // two self-contained segments, non-GTID (BEGIN log_pos = txn_seq):
+    // the SECOND file's transaction has a SMALLER log_pos — only the
+    // txn_group (file name) keeps last-writer-wins ordering right
+    val seg1 = bytes((magic +: Seq(fde(), query("db1", "BEGIN", logPos = 900L),
+      tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("a")), rowImg(Some(2L), Some("b"))),
+      xid()).map(withCrc)): _*)
+    val seg2 = bytes((magic +: Seq(fde(), query("db1", "BEGIN", logPos = 100L),
+      tableMap(Tid, "db1", "t", 2),
+      updateRows(Tid, rowImg(Some(1L), Some("a")), rowImg(Some(1L), Some("z"))),
+      xid())): _*) // second segment checksum-free: detection is per-file
+    java.nio.file.Files.write(dir.resolve("binlog.000001"), seg1)
+    java.nio.file.Files.write(dir.resolve("binlog.000002"), seg2)
+    val frames = BinlogEventDecoder.framesFromFiles(
+      spark.read.format("binaryFile").load(dir.toString))
+    val changes = BinlogEventDecoder.decodeSlotStreams(
+      frames, "slot", "off", "payload", "db1.t", specs)
+    assert(changes.select("txn_group").distinct().collect().map(_.getString(0))
+      .sorted === Array("binlog.000001", "binlog.000002"))
+    val last = CdcMerge.condense(changes, Seq("pk"))
+      .filter(col("action") =!= CdcMerge.ActionDelete)
+      .select("pk", "val").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(last === Array((1L, "z"), (2L, "b")))
+  }
+
   test("framelog → stateful binlog decode → merge, restart mid-transaction") {
     val dir = tmpDir("binlog_framelog")
     val ckpt = tmpDir("binlog_framelog_ckpt")
