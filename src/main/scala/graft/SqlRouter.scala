@@ -595,8 +595,12 @@ object SqlRouter {
             tail.regionMatches(true, i, "WHERE", 0, 5) &&
             (i == 0 || !isWordChar(tail.charAt(i - 1))) &&
             (i + 5 >= tail.length || !isWordChar(tail.charAt(i + 5))) =>
-          return (tail.substring(0, i).trim,
-            Some(tail.substring(i + 5).trim).filter(_.nonEmpty))
+          val cond = tail.substring(i + 5).trim
+          // a bare trailing WHERE is a syntax error, NOT an
+          // unconditional update (silently updating every row from a
+          // truncated statement is the worst possible reading)
+          require(cond.nonEmpty, "empty WHERE clause")
+          return (tail.substring(0, i).trim, Some(cond))
         case _ => ()
       }
       i += 1

@@ -247,8 +247,14 @@ object Operators {
           // at/after the match)
           col("y.__len") * tau <= col("x.__len") &&
           col("x.__len") * tau <= col("y.__len") &&
+          // required overlap ⌈τ/(1+τ)·(|a|+|b|)⌉, nudged DOWN by an
+          // epsilon before the ceil: τ/(1+τ) rounds UP in binary for
+          // many τ (e.g. τ=0.2 → 0.1666…69), and an over-rounded ceil
+          // silently drops boundary pairs the exact verify would keep;
+          // the nudge can only admit extra candidates, never lose one
           least(col("x.__len") - col("x.__pos"), col("y.__len") - col("y.__pos"))
-            >= ceil(lit(tau / (1 + tau)) * (col("x.__len") + col("y.__len"))))
+            >= ceil(lit(tau / (1 + tau)) * (col("x.__len") + col("y.__len"))
+              - lit(1e-6) * (col("x.__len") + col("y.__len"))))
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
       .distinct()
     cand

@@ -101,11 +101,8 @@ object BinlogEventDecoder {
 
     def snapshot: SlotSnapshot = SlotSnapshot(group, server, seq, stmt, tables)
 
-    private def uint(d: Array[Byte], p: Int, n: Int): Long = {
-      var v = 0L; var i = n - 1
-      while (i >= 0) { v = (v << 8) | (d(p + i) & 0xffL); i -= 1 }
-      v
-    }
+    private def uint(d: Array[Byte], p: Int, n: Int): Long =
+      LittleEndian.uint(d, p, n)
 
     /** MySQL length-encoded integer → (value, bytes consumed). */
     private def lenenc(d: Array[Byte], p: Int): (Long, Int) =
@@ -152,6 +149,11 @@ object BinlogEventDecoder {
             Nil
           } else truncateTarget(q, schema) match {
             case Some(rel) if specs.contains(rel) =>
+              // DDL autocommits: no BEGIN precedes it, so on a
+              // non-GTID upstream it is its own transaction at its
+              // own log position (a GTID upstream already sent the
+              // GTID event for it)
+              if (server.isEmpty) { seq = logPos; stmt = 0L }
               emit(rel, CdcMerge.ActionTruncate,
                 Seq.fill[Any](specs(rel).size)(null))
             case _ => Nil // other DDL is a catalog concern, not row data
@@ -250,11 +252,8 @@ object BinlogEventDecoder {
   // ------------------------------------------------------------------
   // Whole-file ingestion (the `mysqlbinlog --raw` / log-shipping mode)
 
-  private def uintAt(d: Array[Byte], p: Int, n: Int): Long = {
-    var v = 0L; var i = n - 1
-    while (i >= 0) { v = (v << 8) | (d(p + i) & 0xffL); i -= 1 }
-    v
-  }
+  private def uintAt(d: Array[Byte], p: Int, n: Int): Long =
+    LittleEndian.uint(d, p, n)
 
   private def putLe(d: Array[Byte], p: Int, v: Long, n: Int): Unit = {
     var i = 0
@@ -408,38 +407,16 @@ object BinlogEventDecoder {
       offsetCol: String, payloadCol: String, targetTable: String,
       specs: Seq[ColSpec], crc32Checksum: Boolean = false,
       maxBufferedBytes: Long = 1L << 30): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val schema = outSchema(BinlogRowDecoder.rowSchema(specs))
-    val slotIdx = events.columns.indexOf(slotCol)
-    val offsetIdx = events.columns.indexOf(offsetCol)
-    val payloadIdx = events.columns.indexOf(payloadCol)
     val specMap = Map(targetTable -> specs)
-    events
-      .groupByKey(r => String.valueOf(r.get(slotIdx)))(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (slot: String, rows: Iterator[Row],
-            state: org.apache.spark.sql.streaming.GroupState[SlotSnapshot]) =>
-          val st = state.getOption.map(SlotState.restore)
-            .getOrElse(new SlotState())
-          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-          var bufBytes = 0L
-          rows.foreach { r =>
-            bufBytes += r.getAs[Array[Byte]](payloadIdx).length + 32L
-            if (bufBytes > maxBufferedBytes) throw new IllegalStateException(
-              s"slot $slot: micro-batch exceeds maxBufferedBytes=" +
-                s"$maxBufferedBytes while buffering for the offset sort — " +
-                "throttle the source (e.g. maxFramesPerTrigger) or raise " +
-                "the cap")
-            buf += r
-          }
-          val out = buf.sortBy(_.getLong(offsetIdx)).iterator
-            .flatMap(r => st.onEvent(r.getAs[Array[Byte]](payloadIdx),
-              specMap, crc32Checksum))
-            .filter(_.relation == targetTable)
-            .map(toRow)
-            .toVector
-          state.update(st.snapshot)
-          out.iterator
-      }(Encoders.product[SlotSnapshot], Encoders.row(schema))
+    SlotStreams.statefulDecode(events, slotCol, offsetCol, payloadCol,
+      schema, maxBufferedBytes, "maxFramesPerTrigger",
+      Encoders.product[SlotSnapshot]) { snap =>
+      val st = snap.map(SlotState.restore).getOrElse(new SlotState())
+      (frame => st.onEvent(frame, specMap, crc32Checksum)
+        .filter(_.relation == targetTable)
+        .map(toRow),
+        () => st.snapshot)
+    }
   }
 }

@@ -146,13 +146,8 @@ object BinlogRowDecoder {
     (vals, pos - start)
   }
 
-  private def uint(data: Array[Byte], pos: Int, n: Int): Long = {
-    // little-endian unsigned read
-    var v = 0L
-    var i = n - 1
-    while (i >= 0) { v = (v << 8) | (data(pos + i) & 0xffL); i -= 1 }
-    v
-  }
+  private def uint(data: Array[Byte], pos: Int, n: Int): Long =
+    LittleEndian.uint(data, pos, n)
 
   private def beUint(data: Array[Byte], pos: Int, n: Int): Long = {
     var v = 0L
@@ -269,7 +264,10 @@ object BinlogRowDecoder {
       require(idx <= values.size, s"enum index $idx of ${values.size}")
       (if (idx == 0) "" else values(idx - 1), n)
     case SetT(values) =>
-      val n = (values.size + 7) / 8
+      // MySQL's pack length has no 5/6/7-byte forms: (members+7)/8
+      // capped rows jump straight to 8 bytes above 32 members
+      // (get_set_pack_length: len > 4 ? 8 : len)
+      val n = { val l = (values.size + 7) / 8; if (l > 4) 8 else l }
       val mask = uint(data, pos, n)
       (values.zipWithIndex.collect {
         case (v, i) if ((mask >> i) & 1L) != 0 => v

@@ -202,17 +202,35 @@ private[streaming] class FrameLogMicroBatchStream(dir: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startPos = FrameLogOffset.positions(start)
-    var budget = limit match {
+    val total = limit match {
       case r: ReadMaxRows => r.maxRows()
       case _ => Long.MaxValue
     }
     val out = mutable.Map.empty[String, Long] ++ startPos // keep gone slots
-    walker.slotFiles().toSeq.sortBy(_._1).foreach { case (slot, p) =>
+    val slots = walker.slotFiles().toSeq.sortBy(_._1)
+    def capFor(slot: String, from: Long): Option[Long] =
+      availableNowTarget.map(_.getOrElse(slot, from))
+    // Fair admission: a per-slot share FIRST (granting the whole budget
+    // in sorted slot order would let one hot early-sorted slot starve
+    // every later slot indefinitely), then a second pass hands idle
+    // slots' unused share out to whoever still has backlog.
+    var budget = total
+    val share =
+      if (total == Long.MaxValue || slots.isEmpty) Long.MaxValue
+      else math.max(1L, total / slots.size)
+    slots.foreach { case (slot, p) =>
       val from = startPos.getOrElse(slot, 0L)
-      val cap = availableNowTarget.map(_.getOrElse(slot, from))
-      val (end, n) = walker.walk(p, from, budget, cap)
+      val (end, n) = walker.walk(p, from, math.min(share, budget), capFor(slot, from))
       budget -= n
       out(slot) = end
+    }
+    if (budget > 0 && share != Long.MaxValue) slots.foreach { case (slot, p) =>
+      if (budget > 0) {
+        val from = out(slot)
+        val (end, n) = walker.walk(p, from, budget, capFor(slot, from))
+        budget -= n
+        out(slot) = end
+      }
     }
     FrameLogOffset(out.toMap)
   }

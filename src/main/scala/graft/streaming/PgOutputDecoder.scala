@@ -213,9 +213,13 @@ object PgOutputDecoder {
         val msgXid = beUint(d, 1, 4)
         val stripped = d(0) +: java.util.Arrays.copyOfRange(d, 5, d.length)
         (t: @unchecked) match {
-          case 'R' => dataMessage(stripped) // registry applies now
           case 'Y' | 'M' => Nil
           case _ =>
+            // 'R' buffers WITH the rows, not applied on arrival: an
+            // in-progress txn can alter the table between its own rows
+            // (R(old), I1, R(new), I2) and the commit-time replay must
+            // decode I1 against the OLD registry entry; an aborted
+            // subxact's R rolls back with its rows via the xid filter
             streamBufs = streamBufs.updated(streamXid,
               streamBufs.getOrElse(streamXid, Vector.empty) :+
                 PendingMsg(msgXid, stripped))
@@ -337,7 +341,12 @@ object PgOutputDecoder {
     case 1082 => // date: signed days since 2000-01-01
       java.sql.Date.valueOf(PgEpochDate.plusDays(beUint(b, 0, 4).toInt))
     case 1114 => // timestamp: signed µs since 2000-01-01 → NTZ
-      PgEpochDate.atStartOfDay.plusNanos(beUint(b, 0, 8) * 1000L)
+      // seconds + sub-second nanos separately: µs·1000 in one Long
+      // wraps for |ts| beyond ~292 years (incl. PG 'infinity')
+      val us1114 = beUint(b, 0, 8)
+      PgEpochDate.atStartOfDay
+        .plusSeconds(Math.floorDiv(us1114, 1000000L))
+        .plusNanos(Math.floorMod(us1114, 1000000L) * 1000L)
     case 1184 => // timestamptz: same µs, as a UTC instant
       val us = beUint(b, 0, 8)
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
@@ -493,40 +502,16 @@ object PgOutputDecoder {
       StructField("txn_group", StringType),
       StructField("txn_seq", LongType),
       StructField("txn_stmt", LongType)))
-    val slotIdx = events.columns.indexOf(slotCol)
-    val offsetIdx = events.columns.indexOf(offsetCol)
-    val payloadIdx = events.columns.indexOf(payloadCol)
-    events
-      // String.valueOf: a null slot id must key the "null" group, not
-      // NPE the decode task (round-5 advice)
-      .groupByKey(r => String.valueOf(r.get(slotIdx)))(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (slot: String, rows: Iterator[Row],
-            state: org.apache.spark.sql.streaming.GroupState[SlotSnapshot]) =>
-          val st = state.getOption
-            .map(SlotState.restore(_, toastAsNull))
-            .getOrElse(new SlotState(toastAsNull))
-          // materialize BEFORE state.update: the output iterator is
-          // consumed after this function returns
-          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-          var bufBytes = 0L
-          rows.foreach { r =>
-            bufBytes += r.getAs[Array[Byte]](payloadIdx).length + 32L
-            if (bufBytes > maxBufferedBytes) throw new IllegalStateException(
-              s"slot $slot: micro-batch exceeds maxBufferedBytes=" +
-                s"$maxBufferedBytes while buffering for the offset sort — " +
-                "throttle the source (e.g. maxFilesPerTrigger) or raise " +
-                "the cap")
-            buf += r
-          }
-          val out = buf.sortBy(_.getLong(offsetIdx)).iterator
-            .flatMap(r => st.onMessage(r.getAs[Array[Byte]](payloadIdx)))
-            .filter(_.relation == targetRelation)
-            .map(c => Row.fromSeq(c.values ++
-              Seq(c.action, null, null, null, c.lsn, c.stmt)))
-            .toVector
-          state.update(st.snapshot)
-          out.iterator
-      }(Encoders.product[SlotSnapshot], Encoders.row(outSchema))
+    SlotStreams.statefulDecode(events, slotCol, offsetCol, payloadCol,
+      outSchema, maxBufferedBytes, "maxFilesPerTrigger/maxFramesPerTrigger",
+      Encoders.product[SlotSnapshot]) { snap =>
+      val st = snap.map(SlotState.restore(_, toastAsNull))
+        .getOrElse(new SlotState(toastAsNull))
+      (bytes => st.onMessage(bytes)
+        .filter(_.relation == targetRelation)
+        .map(c => Row.fromSeq(c.values ++
+          Seq(c.action, null, null, null, c.lsn, c.stmt))),
+        () => st.snapshot)
+    }
   }
 }

@@ -411,5 +411,12 @@ class SqlRouterSpec extends SparkSpec {
     assert(SqlRouter.splitSetWhere("a = (SELECT x WHERE y) WHERE id = 1") ===
       ("a = (SELECT x WHERE y)", Some("id = 1")))
     assert(SqlRouter.splitSetWhere("a = 1") === ("a = 1", None))
+    // a truncated statement ending in a bare WHERE is a syntax error —
+    // NOT an unconditional whole-table update
+    val err = intercept[IllegalArgumentException](
+      SqlRouter.splitSetWhere("v = 9 WHERE"))
+    assert(err.getMessage.contains("WHERE"))
+    assert(exec(e, "SELECT count(*) FROM notes WHERE v = 9").df.get
+      .as[Long].head() === 2L) // unchanged by the failed parse
   }
 }

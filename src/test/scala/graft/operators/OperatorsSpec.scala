@@ -50,6 +50,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("jaccardPairsPrefix keeps exact-threshold pairs (positional-filter rounding)") {
+    // two 9-code sets sharing exactly their 3 LAST-sorted codes:
+    // Jaccard = 3/15 = 0.2 = τ. τ/(1+τ) rounds UP in double for τ=0.2
+    // (0.1666…69·18 = 3.0000000000000004 → ceil 4 without the epsilon
+    // nudge), which silently dropped this boundary pair in the join.
+    val sets = Seq(
+      (1L, (1L to 6L) ++ Seq(100L, 101L, 102L)),
+      (2L, (10L to 15L) ++ Seq(100L, 101L, 102L))
+    ).toDF("id", "cs")
+    val out = Operators.jaccardPairsPrefix(sets, "id", "cs", 0.2)
+      .select("a_id", "b_id", "inter", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Array((1L, 2L, 3L, 0.2)))
+  }
+
   test("connectedComponents labels every node with its component min (both paths)") {
     // two components {1,2,3,4} (chain) and {10,11}; 20 isolated via self-pair
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))

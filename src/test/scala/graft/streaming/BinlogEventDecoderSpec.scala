@@ -160,6 +160,22 @@ class BinlogEventDecoderSpec extends SparkSpec {
     assert(out === Array(Row(CdcMerge.ActionTruncate, 9L)))
   }
 
+  test("non-GTID TRUNCATE (autocommitted DDL, no BEGIN) is its own txn") {
+    // MySQL writes DDL with no BEGIN wrapper: a segment whose first
+    // data-relevant event is a TRUNCATE must not trip the
+    // txn-boundary guard, and its seq is its own log position
+    val out = decode(Seq(
+      rotate("binlog.000005"),
+      query("db1", "TRUNCATE TABLE t", logPos = 700L),
+      query("db1", "BEGIN", logPos = 900L),
+      tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("a"))), xid()))
+      .select("action", "txn_seq").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._2)
+    assert(out === Array((CdcMerge.ActionTruncate, 700L),
+      (CdcMerge.ActionInsert, 900L)))
+  }
+
   test("events for other tables and unknown event types are skipped") {
     val heartbeat = event(27, 0L, Array[Byte](1, 2, 3))
     val out = decode(Seq(gtid(1L), heartbeat,

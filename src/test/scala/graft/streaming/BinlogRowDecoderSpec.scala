@@ -233,6 +233,13 @@ class BinlogRowDecoderSpec extends SparkSpec {
     // a 9-member SET spans two bytes
     val nine = (1 to 9).map(i => s"m$i")
     assert(decodeCell(le(0x101L, 2), 0, SetT(nine))._1 === "m1,m9")
+    // MySQL pack length has no 5/6/7-byte forms: 33+ members store as
+    // 8 bytes (get_set_pack_length caps (n+7)/8 > 4 to 8); a 5-byte
+    // read would shift every later column in the row
+    val forty = (1 to 40).map(i => s"s$i")
+    assert(decodeCell(le(1L | (1L << 39), 8), 0, SetT(forty)) === (("s1,s40", 8)))
+    val thirty3 = (1 to 33).map(i => s"s$i")
+    assert(decodeCell(le(1L << 32, 8), 0, SetT(thirty3)) === (("s33", 8)))
   }
 
   test("charset-declared text cells transcode to UTF-8 strings (A36)") {

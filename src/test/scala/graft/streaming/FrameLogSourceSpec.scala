@@ -158,6 +158,30 @@ class FrameLogSourceSpec extends SparkSpec {
       Array((1L, "a2")))
   }
 
+  test("admission control shares the frame budget across slots (no starvation)") {
+    val dir = tmpDir("framelog_fair")
+    // slot "a" (sorted first) has far more backlog than the budget;
+    // a greedy in-order grant would give "z" zero frames every trigger
+    FrameLog.append(dir, "a", (0L until 10L).map(i => i -> Array[Byte](i.toByte)))
+    FrameLog.append(dir, "z", (0L until 3L).map(i => i -> Array[Byte](i.toByte)))
+    val stream = new FrameLogMicroBatchStream(dir.toString, Some(4L),
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val first = FrameLogOffset.positions(stream.latestOffset(
+      stream.initialOffset(),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(4L)))
+    val recLen = FrameLog.HeaderLen + 1
+    // equal share: 2 frames each, both slots advance
+    assert(first("a") === 2L * recLen)
+    assert(first("z") === 2L * recLen)
+    // second pass hands an idle slot's unused share to the backlog:
+    // "z" has 1 frame left, so "a" gets 2 (its share) + 1 (leftover)
+    val second = FrameLogOffset.positions(stream.latestOffset(
+      FrameLogOffset(first),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(4L)))
+    assert(second("z") === 3L * recLen)
+    assert(second("a") === 5L * recLen)
+  }
+
   test("two slots read in parallel partitions, new slots join mid-stream") {
     val dir = tmpDir("framelog_slots")
     val ckpt = tmpDir("framelog_slots_ckpt")

@@ -487,6 +487,41 @@ class PgOutputDecoderSpec extends SparkSpec {
       (4L, "s2", CdcMerge.ActionInsert, 700L, 1L)))
   }
 
+  test("in-stream Relation buffers with its rows: replay uses the OLD entry") {
+    // the streamed txn redefines the relation BETWEEN its own rows
+    // (R(old) is the global registry here; the in-stream R renames the
+    // oid away from the target): the commit-time replay must decode I1
+    // against the registry as it stood BEFORE the in-stream R — an
+    // eagerly-applied R would drop I1 along with I2
+    val relRenamed = relation(relOid, "public", "elsewhere",
+      ("pk", 20, -1), ("val", 1043, -1))
+    val out = decode(Seq(
+      rel,
+      streamStart(50L, first = true),
+      withXid(50L, insert(relOid, tup(Some("1"), Some("before-ddl")))),
+      withXid(50L, relRenamed),
+      withXid(50L, insert(relOid, tup(Some("2"), Some("after-ddl")))),
+      streamStop(),
+      streamCommit(50L, 800L)))
+      .select("pk", "val").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out === Array((1L, "before-ddl")))
+  }
+
+  test("binary timestamp cells beyond ±292 years do not wrap") {
+    // µs·1000 in one Long overflows for PG 'infinity'
+    // (Long.MaxValue µs) — seconds and sub-second nanos must add
+    // separately, like the timestamptz arm
+    val inf = PgOutputDecoder.binaryValue(be(Long.MaxValue, 8),
+      PgOutputDecoder.PgCol("ts", 1114, -1))
+      .asInstanceOf[java.time.LocalDateTime]
+    assert(inf.getYear > 200000) // far future, not a wrapped past
+    val y2500 = java.time.LocalDateTime.of(2500, 6, 1, 12, 30, 15, 250000000)
+    val us = java.time.temporal.ChronoUnit.MICROS.between(
+      java.time.LocalDateTime.of(2000, 1, 1, 0, 0), y2500)
+    assert(PgOutputDecoder.binaryValue(be(us, 8),
+      PgOutputDecoder.PgCol("ts", 1114, -1)) === y2500)
+  }
+
   test("streamed transaction abort discards the whole buffer") {
     val out = decode(Seq(
       rel,
