@@ -36,6 +36,89 @@ object SimilarityOps {
       centroids: Seq[Array[Double]], cellCol: String = "cell"): DataFrame =
     df.withColumn(cellCol, nearestCell(col(vecCol), centroids))
 
+  /** Column: the `nprobe` nearest centroid indices, ascending squared
+    * L2 (ties to the lowest index) — an IVF query's probe list. Same
+    * codegen shape as [[nearestCell]] plus one array_sort over k
+    * structs. */
+  def nearestCells(vec: Column, centroids: Seq[Array[Double]],
+      nprobe: Int): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe in [1, ${centroids.size}]: $nprobe")
+    val structs = centroids.zipWithIndex.map { case (c, i) =>
+      val cNorm = c.map(x => x * x).sum
+      struct(
+        (lit(-2.0) * call_function("vec_dot", vec, typedlit(c.toSeq)) + lit(cNorm))
+          .as("d"),
+        lit(i).as("i"))
+    }
+    transform(slice(array_sort(array(structs: _*)), 1, nprobe),
+      _.getField("i"))
+  }
+
+  /** Batch rows → persisted-index rows `(idCol, cellCol, vecCol)`: the
+    * append the caller makes to IVF state after a
+    * [[incrementalCosinePairs]] step. */
+  def ivfIndexRows(batch: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, centroids: Seq[Array[Double]]): DataFrame =
+    batch.select(col(idCol),
+      nearestCell(col(vecCol).cast("array<double>"), centroids).as(cellCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+
+  /** One micro-batch of INCREMENTAL embedding near-dup detection over a
+    * persisted IVF index — the embedding-space twin of
+    * [[Operators.incrementalMinHashPairs]], the continuous-ingest shape
+    * at 100 TB: the corpus is cell-assigned ONCE (`index` =
+    * (id, cell, vec) rows accumulated via [[ivfIndexRows]] under a
+    * FIXED centroid set from [[kmeansFit]] — retraining would re-shuffle
+    * the whole corpus), and only the arriving batch computes fresh
+    * assignments. Returns `(a_id, b_id, cos)` with `a_id < b_id` for
+    * cosine ≥ `threshold`, covering corpus↔batch and batch↔batch pairs;
+    * corpus-internal pairs were reported by earlier steps.
+    *
+    * Plan shape: the batch probes its `nprobe` nearest cells (codegen
+    * argmin list, centroids inlined as literals — k stays the COARSE
+    * quantizer size, ~√corpus), candidates come from one equi-join on
+    * the cell id keyed at batch×nprobe rows, and the exact-cosine
+    * verify joins vectors back by id. Nothing broadcasts the corpus;
+    * every stage is a keyed shuffle bounded by the batch's cell
+    * neighborhoods.
+    *
+    * Recall contract: identical to the batch IVF query (q73) — a pair
+    * is seen when the index side's cell is among the batch side's
+    * `nprobe` probes; boundary-straddling pairs need `nprobe` > 1 (the
+    * classic inverted-file trade, tunable per batch).
+    */
+  def incrementalCosinePairs(batch: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, cellCol: String,
+      centroids: Seq[Array[Double]], nprobe: Int,
+      threshold: Double): DataFrame = {
+    val batchVecs = batch.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val probes = batchVecs.select(col("__id").as("__qa"),
+      explode(nearestCells(col("__v"), centroids, nprobe)).as(cellCol))
+    val batchCells = batchVecs.select(col("__id").as("__qb"),
+      nearestCell(col("__v"), centroids).as(cellCol))
+    val indexCells = index.select(col(idCol).as("__qb"), col(cellCol))
+    val cand = probes
+      .join(indexCells.unionByName(batchCells), cellCol)
+      .filter(col("__qa") =!= col("__qb"))
+      .select(least(col("__qa"), col("__qb")).as("__pa"),
+        greatest(col("__qa"), col("__qb")).as("__pb"))
+      .distinct()
+    val allVecs = index.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v")).unionByName(batchVecs)
+    def nrm(v: Column): Column = sqrt(call_function("vec_dot", v, v))
+    cand
+      .join(allVecs.select(col("__id").as("__pa"), col("__v").as("__va")), "__pa")
+      .join(allVecs.select(col("__id").as("__pb"), col("__v").as("__vb")), "__pb")
+      .withColumn("__cos", call_function("vec_dot", col("__va"), col("__vb")) /
+        (nrm(col("__va")) * nrm(col("__vb"))))
+      .filter(col("__cos") >= threshold)
+      .select(col("__pa").as("a_id"), col("__pb").as("b_id"),
+        col("__cos").as("cos"))
+  }
+
   /** Squared distance to the NEAREST of `centroids` (true value, not
     * the per-row-shifted argmin form — comparable ACROSS rows, which
     * farthest-point init needs). */
