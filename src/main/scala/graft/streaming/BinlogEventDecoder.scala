@@ -328,8 +328,10 @@ object BinlogEventDecoder {
     * the ingestion mode for segments dumped by `mysqlbinlog --raw` or
     * shipped from the server's log directory, complementing
     * [[FrameLogSource]]'s live frame tail. Input: rows from Spark's
-    * `binaryFile` source (batch `read` or `readStream` — new segments
-    * stream in as they land).
+    * `binaryFile` source (batch `read`, or `readStream` — new segments
+    * stream in as they land; pair the streaming form with
+    * [[decodeSlotStreamsStateful]], the stateless path's in-partition
+    * sort being a batch-only plan).
     *
     * slot = file name, so files decode IN PARALLEL. Safe because a
     * binlog segment is self-contained — it leads with its own

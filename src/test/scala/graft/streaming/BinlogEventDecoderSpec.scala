@@ -287,6 +287,47 @@ class BinlogEventDecoderSpec extends SparkSpec {
     assert(last === Array((1L, "z"), (2L, "b")))
   }
 
+  test("binaryFile readStream: segments landing mid-stream merge in order") {
+    val dir = tmpDir("binlog_stream_segments")
+    val ckpt = tmpDir("binlog_stream_ckpt")
+    val table = GraftTable.create(spark, tmpDir("binlog_stream_tbl"),
+      StructType(Seq(StructField("pk", LongType), StructField("val", StringType))),
+      Seq("pk"))
+    def seg(evs: Seq[Array[Byte]]): Array[Byte] =
+      bytes((magic +: evs.map(withCrc)): _*)
+    def run(): Unit = {
+      val q = spark.readStream.format("binaryFile")
+        .schema(StructType(Seq( // binaryFile's fixed schema, streaming form
+          StructField("path", StringType), StructField("modificationTime", TimestampType),
+          StructField("length", LongType), StructField("content", BinaryType))))
+        .load(dir.toString)
+        .transform(BinlogEventDecoder.framesFromFiles(_))
+        .transform(BinlogEventDecoder.decodeSlotStreamsStateful(
+          _, "slot", "off", "payload", "db1.t", specs))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          CdcMerge.applyBatch(table,
+            batch.withColumn("action", col("action").cast("int")))
+        }.start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.write(dir.resolve("binlog.000001"), seg(Seq(
+      fde(), gtid(1L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("a"))), xid())))
+    run()
+    assert(table.read().orderBy("pk").as[(Long, String)].collect() ===
+      Array((1L, "a")))
+    java.nio.file.Files.write(dir.resolve("binlog.000002"), seg(Seq(
+      fde(), gtid(2L), tableMap(Tid, "db1", "t", 2),
+      updateRows(Tid, rowImg(Some(1L), Some("a")), rowImg(Some(1L), Some("a2"))),
+      writeRows(Tid, rowImg(Some(2L), Some("b"))), xid())))
+    run() // restart: checkpoint skips segment 1, picks up segment 2
+    assert(table.read().orderBy("pk").as[(Long, String)].collect() ===
+      Array((1L, "a2"), (2L, "b")))
+  }
+
   test("framelog → stateful binlog decode → merge, restart mid-transaction") {
     val dir = tmpDir("binlog_framelog")
     val ckpt = tmpDir("binlog_framelog_ckpt")
