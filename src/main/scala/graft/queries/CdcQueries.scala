@@ -155,11 +155,17 @@ object CdcQueries {
       val e = new Engine(s, Files.createTempDirectory("graft_q81"))
       def run(q: String): Unit = SqlRouter.execute(e, q)
       run("CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING, hits INT)")
+      // the upsert chain runs inside ONE transaction: each statement
+      // reads the previous one's staged manifest and the journal sees
+      // a single atomic publish — the batched-apply shape a real CDC
+      // writer uses (and exercises txn read-your-writes under oracle)
+      run("BEGIN")
       run("INSERT INTO t SELECT c_custkey, c_name, 0 FROM customer WHERE c_custkey <= 600")
       run("REPLACE INTO t SELECT c_custkey, upper(c_name), 1 FROM customer WHERE c_custkey BETWEEN 301 AND 900")
       run("INSERT IGNORE INTO t SELECT c_custkey, 'ignored', 9 FROM customer WHERE c_custkey BETWEEN 500 AND 1000")
       run("INSERT INTO t SELECT c_custkey, c_name, 5 FROM customer WHERE c_custkey BETWEEN 880 AND 920 " +
         "ON DUPLICATE KEY UPDATE hits = hits + VALUES(hits)")
+      run("COMMIT")
       SqlRouter.execute(e, "SELECT id, v, hits FROM t ORDER BY id").df.get
     },
     Some("""WITH seed AS (SELECT c_custkey AS id, c_name AS v, 0 AS hits
