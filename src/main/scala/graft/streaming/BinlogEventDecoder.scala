@@ -70,12 +70,13 @@ object BinlogEventDecoder {
       server: Array[Byte], seq: Long, stmt: Long, values: Seq[Any])
 
   /** Serializable snapshot of one slot's decode state — binlog file,
-    * GTID coords, and the TABLE_MAP registry (table_id → qualified
-    * name). What must survive a micro-batch boundary when the
-    * connector splits a transaction (or separates a TABLE_MAP from its
-    * rows) across batches. */
+    * GTID coords, the TABLE_MAP registry (table_id → qualified name),
+    * and the per-source executed-GTID watermark. What must survive a
+    * micro-batch boundary when the connector splits a transaction (or
+    * separates a TABLE_MAP from its rows) across batches. */
   final case class SlotSnapshot(group: String, server: Array[Byte],
-      seq: Long, stmt: Long, tables: Map[Long, String])
+      seq: Long, stmt: Long, tables: Map[Long, String],
+      executed: Map[String, Long] = Map.empty)
 
   object SlotState {
     def restore(snap: SlotSnapshot): SlotState = {
@@ -85,6 +86,7 @@ object BinlogEventDecoder {
       st.seq = snap.seq
       st.stmt = snap.stmt
       st.tables = snap.tables
+      st.executed = snap.executed
       st
     }
   }
@@ -98,8 +100,25 @@ object BinlogEventDecoder {
     private[BinlogEventDecoder] var seq: Long = -1L
     private[BinlogEventDecoder] var stmt: Long = 0L
     private[BinlogEventDecoder] var tables = Map.empty[Long, String]
+    /** gtid_executed analog (the reference persists the same —
+      * `binlog_metadata_persistence.go`): per source id, the highest
+      * COMMITTED gno. A GTID at or under the watermark marks its whole
+      * transaction already-applied and its rows are skipped — what
+      * makes re-ingesting OVERLAPPING binlog segment files (the
+      * [[framesFromFiles]] hazard: dumps overlap, reconnects replay)
+      * deliver each transaction once. Gnos are monotone per source
+      * within a slot, so a single high-water Long per source suffices.
+      * Marked at the commit marker (XID / GTID-mode DDL), never
+      * mid-transaction. Non-GTID upstreams have no watermark —
+      * downstream condense+merge idempotence is the (weaker) guard. */
+    private[BinlogEventDecoder] var executed = Map.empty[String, Long]
+    private var skipTxn = false
 
-    def snapshot: SlotSnapshot = SlotSnapshot(group, server, seq, stmt, tables)
+    def snapshot: SlotSnapshot =
+      SlotSnapshot(group, server, seq, stmt, tables, executed)
+
+    private def sidHex: String =
+      server.map(b => f"$b%02x").mkString
 
     private def uint(d: Array[Byte], p: Int, n: Int): Long =
       LittleEndian.uint(d, p, n)
@@ -133,8 +152,13 @@ object BinlogEventDecoder {
           server = java.util.Arrays.copyOfRange(frame, b + 1, b + 17)
           seq = uint(frame, b + 17, 8)
           stmt = 0L
+          skipTxn = seq <= executed.getOrElse(sidHex, 0L)
           Nil
-        case XidEvent => Nil // commit marker; coords already assigned
+        case XidEvent => // commit marker; coords already assigned
+          if (!skipTxn && server.nonEmpty)
+            executed += sidHex -> math.max(seq, executed.getOrElse(sidHex, 0L))
+          skipTxn = false
+          Nil
         case QueryEvent =>
           val schemaLen = frame(b + 8) & 0xff
           val statusLen = uint(frame, b + 11, 2).toInt
@@ -154,8 +178,13 @@ object BinlogEventDecoder {
               // own log position (a GTID upstream already sent the
               // GTID event for it)
               if (server.isEmpty) { seq = logPos; stmt = 0L }
-              emit(rel, CdcMerge.ActionTruncate,
+              val out = emit(rel, CdcMerge.ActionTruncate,
                 Seq.fill[Any](specs(rel).size)(null))
+              // the DDL QUERY is its own commit marker (no XID follows)
+              if (!skipTxn && server.nonEmpty)
+                executed += sidHex -> math.max(seq, executed.getOrElse(sidHex, 0L))
+              skipTxn = false
+              out
             case _ => Nil // other DDL is a catalog concern, not row data
           }
         case TableMapEvent =>
@@ -175,6 +204,8 @@ object BinlogEventDecoder {
           }
           tables += tableId -> rel
           Nil
+        case WriteRowsV2 | UpdateRowsV2 | DeleteRowsV2 if skipTxn =>
+          Nil // already-executed txn: skip the row decode entirely
         case WriteRowsV2 | UpdateRowsV2 | DeleteRowsV2 =>
           val tableId = uint(frame, b, 6)
           val rel = tables.getOrElse(tableId, throw new IllegalStateException(
@@ -243,6 +274,7 @@ object BinlogEventDecoder {
       if (seq < 0) throw new IllegalStateException(
         s"row event for $rel before any GTID/BEGIN: the stream slice does " +
           "not start at a transaction boundary")
+      if (skipTxn) return Nil // txn at/under the executed watermark
       stmt += 1
       Seq(Change(rel, action, group,
         if (server.isEmpty) null else server, seq, stmt, vs))

@@ -287,6 +287,45 @@ class BinlogEventDecoderSpec extends SparkSpec {
     assert(last === Array((1L, "z"), (2L, "b")))
   }
 
+  test("executed-GTID watermark: an overlapping re-stream delivers nothing") {
+    // segment 2 re-ships txns 100 and 101 (dump overlap) before the
+    // new txn 102 — the watermark in the slot's serial state must
+    // swallow the replays and deliver 102 once
+    val out = decode(Seq(
+      gtid(100L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("a"))), xid(),
+      gtid(101L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(2L), Some("b"))), xid(),
+      // overlap replay
+      gtid(100L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("a"))), xid(),
+      gtid(101L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(2L), Some("b"))), xid(),
+      // genuinely new
+      gtid(102L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(3L), Some("c"))), xid()))
+      .select("pk", "txn_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(out === Array((1L, 100L), (2L, 101L), (3L, 102L)))
+  }
+
+  test("executed watermark survives the checkpoint snapshot") {
+    val st = new BinlogEventDecoder.SlotState()
+    val sp = Map("db1.t" -> specs)
+    Seq(gtid(7L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("a"))), xid())
+      .foreach(st.onEvent(_, sp))
+    val resumed = BinlogEventDecoder.SlotState.restore(st.snapshot)
+    val replay = Seq(gtid(7L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("a"))), xid())
+      .flatMap(resumed.onEvent(_, sp))
+    assert(replay.isEmpty)
+    val fresh = Seq(gtid(8L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(9L), Some("z"))), xid())
+      .flatMap(resumed.onEvent(_, sp))
+    assert(fresh.map(_.seq) === Seq(8L))
+  }
+
   test("binaryFile readStream: segments landing mid-stream merge in order") {
     val dir = tmpDir("binlog_stream_segments")
     val ckpt = tmpDir("binlog_stream_ckpt")
