@@ -234,9 +234,18 @@ object Operators {
     val sets = codeSets.select(col(idCol).as("__id"), col(setCol).as("__cs"),
       size(col(setCol)).as("__len"))
       .localCheckpoint()
+    // EVERY τ-dependent filter in the cascade is nudged by a relative
+    // epsilon in the ADMIT direction: τ·len (and τ/(1+τ)) round UP in
+    // binary for many τ (e.g. 100·0.55 = 55.000000000000006, τ=0.2 →
+    // 0.1666…69), and an over-rounded bound silently drops
+    // exact-boundary pairs the verify stage — and the all-pairs oracle
+    // — would keep. The nudge only admits extra candidates, which the
+    // exact verify prunes identically on both engines.
+    val eps = 1e-6
     val pref = sets.select(col("__id"), col("__len"),
         posexplode(slice(col("__cs"), lit(1),
-          (col("__len") - ceil(col("__len") * tau) + 1).cast("int"))))
+          (col("__len") - ceil(col("__len") * tau - col("__len") * eps) + 1)
+            .cast("int"))))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__code")
     val cand = pref.as("x").join(pref.as("y"),
         col("x.__code") === col("y.__code") &&
@@ -245,16 +254,11 @@ object Operators {
           // cheap conjuncts prune before the pair ever materializes
           // downstream (`__pos` is 0-based, so |s|−pos codes remain
           // at/after the match)
-          col("y.__len") * tau <= col("x.__len") &&
-          col("x.__len") * tau <= col("y.__len") &&
-          // required overlap ⌈τ/(1+τ)·(|a|+|b|)⌉, nudged DOWN by an
-          // epsilon before the ceil: τ/(1+τ) rounds UP in binary for
-          // many τ (e.g. τ=0.2 → 0.1666…69), and an over-rounded ceil
-          // silently drops boundary pairs the exact verify would keep;
-          // the nudge can only admit extra candidates, never lose one
+          col("y.__len") * tau - col("y.__len") * eps <= col("x.__len") &&
+          col("x.__len") * tau - col("x.__len") * eps <= col("y.__len") &&
           least(col("x.__len") - col("x.__pos"), col("y.__len") - col("y.__pos"))
             >= ceil(lit(tau / (1 + tau)) * (col("x.__len") + col("y.__len"))
-              - lit(1e-6) * (col("x.__len") + col("y.__len"))))
+              - lit(eps) * (col("x.__len") + col("y.__len"))))
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
       .distinct()
     cand

@@ -21,15 +21,20 @@ object SimilarityOps {
     * (struct ordering), keeping assignment deterministic. */
   def nearestCell(vec: Column, centroids: Seq[Array[Double]]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val structs = centroids.zipWithIndex.map { case (c, i) =>
+    array_min(array(distStructs(vec, centroids): _*)).getField("i")
+  }
+
+  /** (shifted distance, index) structs — the shared argmin material of
+    * [[nearestCell]] and [[nearestCells]]. */
+  private def distStructs(vec: Column,
+      centroids: Seq[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
       val cNorm = c.map(x => x * x).sum
       struct(
         (lit(-2.0) * call_function("vec_dot", vec, typedlit(c.toSeq)) + lit(cNorm))
           .as("d"),
         lit(i).as("i"))
     }
-    array_min(array(structs: _*)).getField("i")
-  }
 
   /** Assign every row its nearest-centroid cell id. */
   def kmeansAssign(df: DataFrame, vecCol: String,
@@ -45,14 +50,7 @@ object SimilarityOps {
     require(centroids.nonEmpty, "need at least one centroid")
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe in [1, ${centroids.size}]: $nprobe")
-    val structs = centroids.zipWithIndex.map { case (c, i) =>
-      val cNorm = c.map(x => x * x).sum
-      struct(
-        (lit(-2.0) * call_function("vec_dot", vec, typedlit(c.toSeq)) + lit(cNorm))
-          .as("d"),
-        lit(i).as("i"))
-    }
-    transform(slice(array_sort(array(structs: _*)), 1, nprobe),
+    transform(slice(array_sort(array(distStructs(vec, centroids): _*)), 1, nprobe),
       _.getField("i"))
   }
 

@@ -87,6 +87,14 @@ object BinlogEventDecoder {
       st.stmt = snap.stmt
       st.tables = snap.tables
       st.executed = snap.executed
+      // skipTxn is DERIVED, not stored: a replayed txn's GTID can end
+      // one micro-batch with its rows in the next — the restored state
+      // must keep skipping them. In-flight coords at/under the
+      // watermark ⇒ the current txn was already committed (a normally
+      // in-progress txn is only marked executed at its commit marker,
+      // after which no rows arrive before the next GTID resets this).
+      st.skipTxn = st.server.nonEmpty && st.seq >= 0 &&
+        st.seq <= st.executed.getOrElse(st.sidHex, 0L)
       st
     }
   }
@@ -112,12 +120,12 @@ object BinlogEventDecoder {
       * mid-transaction. Non-GTID upstreams have no watermark —
       * downstream condense+merge idempotence is the (weaker) guard. */
     private[BinlogEventDecoder] var executed = Map.empty[String, Long]
-    private var skipTxn = false
+    private[BinlogEventDecoder] var skipTxn = false
 
     def snapshot: SlotSnapshot =
       SlotSnapshot(group, server, seq, stmt, tables, executed)
 
-    private def sidHex: String =
+    private[BinlogEventDecoder] def sidHex: String =
       server.map(b => f"$b%02x").mkString
 
     private def uint(d: Array[Byte], p: Int, n: Int): Long =
@@ -365,24 +373,45 @@ object BinlogEventDecoder {
     * [[decodeSlotStreamsStateful]], the stateless path's in-partition
     * sort being a batch-only plan).
     *
-    * slot = file name, so files decode IN PARALLEL. Safe because a
-    * binlog segment is self-contained — it leads with its own
-    * FORMAT_DESCRIPTION, every transaction's TABLE_MAPs precede its
-    * rows, and the server rotates only at transaction boundaries — and
-    * ordering across segments holds because [[CdcMerge.condense]]'s
-    * last-writer-wins key leads with `txn_group` = the file name,
-    * which sorts in binlog sequence (`binlog.000001 < binlog.000002`).
+    * Two slot layouts:
+    *  - default (`slot = None`): slot = file name, files decode IN
+    *    PARALLEL. Safe for DISJOINT segments: each is self-contained
+    *    (leading FORMAT_DESCRIPTION, TABLE_MAPs before rows, rotation
+    *    at txn boundaries) and ordering across segments holds because
+    *    [[CdcMerge.condense]]'s last-writer-wins key leads with
+    *    `txn_group` = the file name, which sorts in binlog sequence.
+    *    The executed-GTID watermark is PER SLOT, so it does not span
+    *    files here — a dump that re-ships earlier transactions in a
+    *    later segment would replay them with a later-sorting group.
+    *  - `slot = Some(name)`: every frame lands on that ONE slot with
+    *    offsets `(segment number << 40) | byte position` (segment
+    *    number = the file name's trailing digits, MySQL's
+    *    `binlog.NNNNNN` convention; segments stay under 1 TB). Decode
+    *    is serial in segment order, and the shared watermark swallows
+    *    transactions a later segment re-ships — use this for
+    *    OVERLAPPING dumps / reconnect re-deliveries.
+    *
     * CRC32 trailers are stripped per [[splitFile]]; pass
     * `crc32Checksum = false` downstream. */
   def framesFromFiles(files: DataFrame, pathCol: String = "path",
-      contentCol: String = "content"): DataFrame = {
+      contentCol: String = "content", slot: Option[String] = None): DataFrame = {
     val pIdx = files.columns.indexOf(pathCol)
     val cIdx = files.columns.indexOf(contentCol)
     files.mapPartitions { it =>
       it.flatMap { r =>
         val name = r.getString(pIdx).split('/').last
-        ((0L -> syntheticRotate(name)) +: splitFile(r.getAs[Array[Byte]](cIdx)))
-          .map { case (off, frame) => Row(name, off, frame) }
+        val frames =
+          (0L -> syntheticRotate(name)) +: splitFile(r.getAs[Array[Byte]](cIdx))
+        slot match {
+          case None => frames.map { case (off, f) => Row(name, off, f) }
+          case Some(s) =>
+            val digits = name.reverse.takeWhile(_.isDigit).reverse
+            require(digits.nonEmpty && digits.length <= 6,
+              s"single-slot mode orders segments by the file name's " +
+                s"trailing digits (binlog.NNNNNN, <= 6 of them); got '$name'")
+            val base = digits.toLong << 40
+            frames.map { case (off, f) => Row(s, base | off, f) }
+        }
       }
     }(Encoders.row(FrameLog.schema))
   }

@@ -179,6 +179,9 @@ private[streaming] class FrameLogMicroBatchStream(dir: String,
     with SupportsTriggerAvailableNow {
 
   private val walker = new FrameLogWalker(dir, conf.value)
+  // rotates the fair-admission start slot across triggers (driver-side;
+  // resets on restart, which only re-phases the rotation)
+  private var rotation = 0
   // AvailableNow contract: batches stop once offsets reach the log
   // end captured at query start — appends during the run wait for the
   // next start (Spark calls prepare once per run, incl. after restart)
@@ -207,31 +210,43 @@ private[streaming] class FrameLogMicroBatchStream(dir: String,
       case _ => Long.MaxValue
     }
     val out = mutable.Map.empty[String, Long] ++ startPos // keep gone slots
-    val slots = walker.slotFiles().toSeq.sortBy(_._1)
-    def capFor(slot: String, from: Long): Option[Long] =
-      availableNowTarget.map(_.getOrElse(slot, from))
+    val sorted = walker.slotFiles().toSeq.sortBy(_._1)
     // Fair admission: a per-slot share FIRST (granting the whole budget
     // in sorted slot order would let one hot early-sorted slot starve
-    // every later slot indefinitely), then a second pass hands idle
-    // slots' unused share out to whoever still has backlog.
+    // every later slot indefinitely), visiting slots at a ROTATING
+    // start position (with budget < slot count the integer share floors
+    // at 1 and only the first `budget` slots visited can win — rotation
+    // moves that window every trigger), then a second pass hands idle
+    // slots' unused share to whoever still has backlog (skipping slots
+    // pass 1 already proved drained — each walk is an FS RPC).
+    val slots =
+      if (sorted.isEmpty) sorted
+      else sorted.drop(rotation % sorted.size) ++ sorted.take(rotation % sorted.size)
+    rotation += 1
+    def capFor(slot: String, from: Long): Option[Long] =
+      availableNowTarget.map(_.getOrElse(slot, from))
     var budget = total
     val share =
       if (total == Long.MaxValue || slots.isEmpty) Long.MaxValue
       else math.max(1L, total / slots.size)
+    val drained = mutable.Set.empty[String]
     slots.foreach { case (slot, p) =>
       val from = startPos.getOrElse(slot, 0L)
-      val (end, n) = walker.walk(p, from, math.min(share, budget), capFor(slot, from))
+      val granted = math.min(share, budget)
+      val (end, n) = walker.walk(p, from, granted, capFor(slot, from))
       budget -= n
       out(slot) = end
+      if (n < granted) drained += slot
     }
-    if (budget > 0 && share != Long.MaxValue) slots.foreach { case (slot, p) =>
-      if (budget > 0) {
-        val from = out(slot)
-        val (end, n) = walker.walk(p, from, budget, capFor(slot, from))
-        budget -= n
-        out(slot) = end
+    if (budget > 0 && share != Long.MaxValue)
+      slots.foreach { case (slot, p) =>
+        if (budget > 0 && !drained.contains(slot)) {
+          val from = out(slot)
+          val (end, n) = walker.walk(p, from, budget, capFor(slot, from))
+          budget -= n
+          out(slot) = end
+        }
       }
-    }
     FrameLogOffset(out.toMap)
   }
 

@@ -63,6 +63,16 @@ class OperatorsSpec extends SparkSpec {
       .select("a_id", "b_id", "inter", "jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out === Array((1L, 2L, 3L, 0.2)))
+    // τ=0.55 boundary: |a|=100, b = a's last 55 codes → J = 55/100 =
+    // 0.55 exactly. 100·0.55 = 55.000000000000006 in double: without
+    // the epsilon the LENGTH filter rejects the pair and the PREFIX
+    // ceil shortens a's indexed prefix below the shared suffix.
+    val a100 = (1L to 100L).toArray
+    val sets2 = Seq((10L, a100), (20L, a100.takeRight(55))).toDF("id", "cs")
+    val out2 = Operators.jaccardPairsPrefix(sets2, "id", "cs", 0.55)
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out2 === Array((10L, 20L, 0.55)))
   }
 
   test("connectedComponents labels every node with its component min (both paths)") {

@@ -326,6 +326,50 @@ class BinlogEventDecoderSpec extends SparkSpec {
     assert(fresh.map(_.seq) === Seq(8L))
   }
 
+  test("a replayed txn split across the snapshot boundary stays skipped") {
+    val sp = Map("db1.t" -> specs)
+    val st = new BinlogEventDecoder.SlotState()
+    Seq(gtid(7L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("a"))), xid())
+      .foreach(st.onEvent(_, sp))
+    // replay of txn 7 begins; the micro-batch ends AFTER its GTID —
+    // the next batch restores from the snapshot and must keep skipping
+    st.onEvent(gtid(7L), sp)
+    val resumed = BinlogEventDecoder.SlotState.restore(st.snapshot)
+    val rows = Seq(tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("a"))), xid())
+      .flatMap(resumed.onEvent(_, sp))
+    assert(rows.isEmpty)
+    // the guard is txn-scoped: the NEXT gno decodes normally
+    val next = Seq(gtid(8L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(2L), Some("b"))), xid())
+      .flatMap(resumed.onEvent(_, sp))
+    assert(next.map(_.seq) === Seq(8L))
+  }
+
+  test("single-slot segment mode: an overlapping later file replays nothing") {
+    val dir = tmpDir("binlog_overlap_segments")
+    def seg(evs: Seq[Array[Byte]]): Array[Byte] = bytes((magic +: evs): _*)
+    def txn(gno: Long, pk: Long, v: String): Seq[Array[Byte]] =
+      Seq(gtid(gno), tableMap(Tid, "db1", "t", 2),
+        writeRows(Tid, rowImg(Some(pk), Some(v))), xid())
+    // segment 2 re-ships txn 100 (with a STALE value) before new txn 102
+    java.nio.file.Files.write(dir.resolve("binlog.000001"),
+      seg(fde() +: (txn(100L, 1L, "fresh") ++ txn(101L, 2L, "b"))))
+    java.nio.file.Files.write(dir.resolve("binlog.000002"),
+      seg(fde() +: (txn(100L, 1L, "stale-replay") ++ txn(102L, 3L, "c"))))
+    val frames = BinlogEventDecoder.framesFromFiles(
+      spark.read.format("binaryFile").load(dir.toString), slot = Some("m"))
+    assert(frames.select("slot").distinct().collect().map(_.getString(0))
+      === Array("m"))
+    val out = BinlogEventDecoder.decodeSlotStreams(
+      frames, "slot", "off", "payload", "db1.t", specs)
+      .select("pk", "val", "txn_seq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._3)
+    assert(out === Array((1L, "fresh", 100L), (2L, "b", 101L),
+      (3L, "c", 102L)))
+  }
+
   test("binaryFile readStream: segments landing mid-stream merge in order") {
     val dir = tmpDir("binlog_stream_segments")
     val ckpt = tmpDir("binlog_stream_ckpt")
