@@ -42,8 +42,10 @@ import org.apache.spark.sql.types._
   *  decode path at StreamCommit — so txn_seq becomes the commit LSN
   *  exactly as for non-streamed txns; StreamAbort(xid, subxid) drops
   *  the subtransaction's messages (the whole buffer when subxid ==
-  *  xid). Relation messages inside a stream update the registry
-  *  immediately.
+  *  xid). Relation messages inside a stream buffer WITH the rows and
+  *  apply during the commit-time replay, so rows sent before an
+  *  in-transaction schema change decode against the registry as it
+  *  stood when they were sent.
   *
   * Transaction coordinates map onto the delta schema the same way the
   * reference's applier persists them: `txn_seq` = the Begin message's
@@ -139,7 +141,7 @@ object PgOutputDecoder {
     * keeps one per slot in the streaming checkpoint. */
   final case class SlotSnapshot(rels: Seq[Relation], lsn: Long, stmt: Long,
       inStream: Boolean = false, streamXid: Long = -1L,
-      pending: Seq[StreamTxn] = Nil)
+      pending: Seq[StreamTxn] = Nil, committed: Long = -1L)
 
   object SlotState {
     /** Rebuild a decoder from a checkpointed snapshot. */
@@ -152,6 +154,13 @@ object PgOutputDecoder {
       st.streamXid = snap.streamXid
       st.streamBufs = snap.pending
         .map(t => t.xid -> t.msgs.toVector).toMap
+      st.committed = snap.committed
+      // skipTxn is DERIVED: a replayed txn's Begin can end one
+      // micro-batch with its rows in the next — in-flight coords at or
+      // under the durable watermark mean the current txn was already
+      // emitted (the watermark only advances at Commit, after which no
+      // data message arrives before the next Begin resets this)
+      st.skipTxn = snap.lsn >= 0 && snap.lsn <= snap.committed
       st
     }
   }
@@ -172,12 +181,20 @@ object PgOutputDecoder {
     private var inStream = false
     private var streamXid = -1L
     private var streamBufs = Map.empty[Long, Vector[PendingMsg]]
+    /** Durable watermark (reference C8: `replication.go:746-752` drops
+      * messages with LSN <= the last durably-written LSN): the highest
+      * fully-emitted commit LSN. Transactions at or under it — an
+      * overlapping re-stream, a reconnect replaying from an older
+      * restart point — are skipped whole, advancing only at Commit. */
+    private var committed = -1L
+    private var skipTxn = false
 
     /** Checkpointable copy of the current decode state. */
     def snapshot: SlotSnapshot =
       SlotSnapshot(rels.valuesIterator.toSeq.sortBy(_.oid), lsn, stmt,
         inStream, streamXid,
-        streamBufs.toSeq.sortBy(_._1).map { case (x, ms) => StreamTxn(x, ms) })
+        streamBufs.toSeq.sortBy(_._1).map { case (x, ms) => StreamTxn(x, ms) },
+        committed)
 
     private def tup(d: Array[Byte], p: Int, rel: Relation): (Seq[Any], Int) =
       tuple(d, p, rel, toastAsNull)
@@ -199,8 +216,13 @@ object PgOutputDecoder {
         val commitLsn = beUint(d, 6, 8)
         val msgs = streamBufs.getOrElse(xid, Vector.empty)
         streamBufs -= xid
-        lsn = commitLsn; stmt = 0L
-        msgs.flatMap(m => dataMessage(m.bytes))
+        if (commitLsn <= committed) Nil // replayed streamed txn
+        else {
+          lsn = commitLsn; stmt = 0L
+          val out = msgs.flatMap(m => dataMessage(m.bytes))
+          committed = math.max(committed, commitLsn)
+          out
+        }
       case 'A' => // StreamAbort: xid, subxid
         val xid = beUint(d, 1, 4)
         val subxid = beUint(d, 5, 4)
@@ -231,8 +253,14 @@ object PgOutputDecoder {
     /** Parse one NON-streamed (or replayed) data message. */
     private def dataMessage(d: Array[Byte]): Seq[Change] = (d(0) & 0xff).toChar match {
       case 'B' =>
-        lsn = beUint(d, 1, 8); stmt = 0L; Nil
-      case 'C' | 'O' | 'Y' | 'M' => Nil // commit / origin / type / message
+        lsn = beUint(d, 1, 8); stmt = 0L
+        skipTxn = lsn <= committed // replayed txn: emit nothing
+        Nil
+      case 'C' =>
+        if (!skipTxn && lsn >= 0) committed = math.max(committed, lsn)
+        skipTxn = false
+        Nil
+      case 'O' | 'Y' | 'M' => Nil // origin / type / message
       case 'R' =>
         val oid = beUint(d, 1, 4).toInt
         val (ns, p1) = cstring(d, 5)
@@ -284,6 +312,7 @@ object PgOutputDecoder {
       if (lsn < 0) throw new IllegalStateException(
         s"data message for ${rel.qualified} before any Begin: the stream " +
           "slice does not start at a transaction boundary")
+      if (skipTxn) return Nil // txn at/under the durable watermark
       stmt += 1
       Seq(Change(rel.qualified, action, lsn, stmt, vs))
     }

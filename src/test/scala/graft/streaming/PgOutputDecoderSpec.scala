@@ -522,6 +522,46 @@ class PgOutputDecoderSpec extends SparkSpec {
       PgOutputDecoder.PgCol("ts", 1114, -1)) === y2500)
   }
 
+  test("commit-LSN watermark: an overlapping re-stream delivers nothing") {
+    // txns 100 and 200 commit, then an overlap replays txn 100 with a
+    // stale value before new txn 300 — the per-slot durable watermark
+    // (reference C8, replication.go:746-752) must swallow the replay
+    val out = decode(Seq(
+      rel,
+      begin(100L, 1), insert(relOid, tup(Some("1"), Some("fresh"))), commit(100L),
+      begin(200L, 2), insert(relOid, tup(Some("2"), Some("b"))), commit(200L),
+      begin(100L, 1), insert(relOid, tup(Some("1"), Some("stale"))), commit(100L),
+      begin(300L, 3), insert(relOid, tup(Some("3"), Some("c"))), commit(300L)))
+      .select("pk", "val", "txn_seq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._3)
+    assert(out === Array((1L, "fresh", 100L), (2L, "b", 200L),
+      (3L, "c", 300L)))
+  }
+
+  test("watermark skips a replayed STREAMED txn and survives the snapshot") {
+    val st = new PgOutputDecoder.SlotState()
+    def feed(s: PgOutputDecoder.SlotState, ms: Seq[Array[Byte]]) =
+      ms.flatMap(s.onMessage)
+    assert(feed(st, Seq(rel,
+      streamStart(10L, first = true),
+      withXid(10L, insert(relOid, tup(Some("1"), Some("x")))),
+      streamStop(), streamCommit(10L, 500L))).size === 1)
+    // replayed streamed txn at the same commit LSN: swallowed
+    assert(feed(st, Seq(
+      streamStart(10L, first = true),
+      withXid(10L, insert(relOid, tup(Some("1"), Some("x")))),
+      streamStop(), streamCommit(10L, 500L))).isEmpty)
+    // non-streamed replay mid-txn across a snapshot boundary
+    st.onMessage(begin(500L, 9)) // replay of committed LSN 500 begins
+    val resumed = PgOutputDecoder.SlotState.restore(st.snapshot, false)
+    assert(feed(resumed, Seq(
+      insert(relOid, tup(Some("1"), Some("x"))), commit(500L))).isEmpty)
+    // the next genuinely-new txn decodes normally
+    assert(feed(resumed, Seq(
+      begin(600L, 11), insert(relOid, tup(Some("5"), Some("new"))),
+      commit(600L))).map(_.lsn) === Seq(600L))
+  }
+
   test("streamed transaction abort discards the whole buffer") {
     val out = decode(Seq(
       rel,
