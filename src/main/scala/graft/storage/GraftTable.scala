@@ -48,10 +48,11 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * the snapshot isolation the journal already provides). Versions
     * dropped by [[vacuum]] are gone. */
   def readVersion(v: Long): DataFrame =
-    readManifest(Manifest.loadVersion(path, v))
+    readManifest(Manifest.loadVisibleVersion(path, v))
 
-  /** Retained manifest versions, oldest first. */
-  def history(): Seq[Long] = Manifest.versions(path).sorted
+  /** Retained manifest versions readable by time travel, oldest first
+    * (pending/aborted transaction heads are not history). */
+  def history(): Seq[Long] = Manifest.visibleVersions(path).sorted
 
   /** Logical→physical column name (ALTER RENAME is metadata-only: the
     * physical name in parquet files never changes; writes translate
@@ -101,19 +102,51 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * time, and may be omitted from `df`. */
   def insert(df: DataFrame): Long = {
     val m = manifest
+    val full = withGenerated(m, df)
+    enforceChecks(m, full)
+    val (files, n, st) = writeFiles(full.select(m.schema.fieldNames.map(col): _*))
+    io.commit(path, m.withFiles(m.files ++ files, st))
+    n
+  }
+
+  /** Key join that is NULL-SAFE when the table is keyless: there the
+    * full row image is the key and rows legitimately hold NULLs — SQL
+    * '=' never matches NULL, so a plain join leaves phantom copies
+    * behind on REPLACE/DELETE of such rows. PK tables keep the plain
+    * using-columns join (PKs are non-null by contract; the simple form
+    * keeps the broadcast-hash shape). */
+  private def keyJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      how: String, nullSafe: Boolean): DataFrame =
+    if (!nullSafe) left.join(right, keys, how)
+    else {
+      val r = right.select(keys.map(c => col(c).as(s"__k_$c")): _*)
+      left.join(r, keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _), how)
+    }
+
+  /** Append rows already validated by the caller (merge's blind-append
+    * arms: CHECKs ran, generated columns computed). An append conflicts
+    * with no concurrent commit, so it rebases onto the CURRENT manifest
+    * like [[insert]] — only file-list-replacing writes must collide. */
+  private def appendRows(df: DataFrame): Unit = {
+    val m2 = manifest
+    val (files, _, st) =
+      writeFiles(df.select(m2.schema.fieldNames.map(col): _*), needCount = false)
+    io.commit(path, m2.withFiles(m2.files ++ files, st))
+  }
+
+  /** (Re)compute stored generated columns (`generated.<col>` props)
+    * from the incoming row values — shared by insert, auto-inc insert,
+    * and update (which recomputes from the post-SET image). */
+  private def withGenerated(m: Manifest, df: DataFrame): DataFrame = {
     val gen = m.props.collect {
       case (k, v) if k.startsWith("generated.") => k.stripPrefix("generated.") -> v
     }
-    val full = m.schema.fieldNames.foldLeft(df) { (acc, f) =>
+    m.schema.fieldNames.foldLeft(df) { (acc, f) =>
       if (gen.contains(f)) {
         val without = if (acc.columns.contains(f)) acc.drop(f) else acc
         without.withColumn(f, expr(gen(f)))
       } else acc
     }
-    enforceChecks(m, full)
-    val (files, n, st) = writeFiles(full.select(m.schema.fieldNames.map(col): _*))
-    io.commit(path, m.withFiles(m.files ++ files, st))
-    n
   }
 
   /** CHECK constraints (A22): enforced on every DML write path (insert,
@@ -184,9 +217,12 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       import spark.implicits._
       val offDf = broadcast(
         offsets.toSeq.sortBy(_._1).toDF("__pid", "__off"))
-      val withId = mid.join(offDf, "__pid")
-        .withColumn(idCol, lit(base) + col("__off") + col("__pos"))
+      val withId = withGenerated(m, mid.join(offDf, "__pid")
+        .withColumn(idCol, lit(base) + col("__off") + col("__pos")))
         .select(m.schema.fieldNames.map(col): _*)
+      // same DML contract as insert(): constraints and generated
+      // columns apply to auto-inc appends too
+      enforceChecks(m, withId)
       val (files, n, st) = writeFiles(withId)
       io.commit(path,
         m.withFiles(m.files ++ files, st).copy(autoInc = base + total))
@@ -200,7 +236,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     if (m.files.isEmpty) return 0L
     val tagged = readManifest(m).withColumn("__file", input_file_name())
     val affected = tagged.filter(cond).select(col("__file")).distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => fileKey(r.getString(0))).toSet
     if (affected.isEmpty) return 0L
     val affectedSeq = normalize(m.files).zip(m.files)
       .filter { case (n, _) => affected.contains(n) }.map(_._2)
@@ -213,26 +249,37 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     before - kept
   }
 
-  /** Copy-on-write UPDATE: rewrite affected files applying `set`. */
+  /** Copy-on-write UPDATE: rewrite affected files applying `set`.
+    * Stored generated columns are RECOMPUTED from the post-SET values
+    * (MySQL semantics), and CHECK constraints run on the post-update
+    * image of the rows that matched the PRE-update condition — the
+    * match flag is pinned on the source rows first, because re-applying
+    * `cond` to updated values silently exempts any row whose SET
+    * changed a column the WHERE references. */
   def update(cond: Column, set: Map[String, Column]): Long = {
     val m = manifest
     if (m.files.isEmpty) return 0L
     val tagged = readManifest(m).withColumn("__file", input_file_name())
     val affected = tagged.filter(cond).select(col("__file")).distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => fileKey(r.getString(0))).toSet
     if (affected.isEmpty) return 0L
     val affectedSeq = normalize(m.files).zip(m.files)
       .filter { case (n, _) => affected.contains(n) }.map(_._2)
     val src = readFiles(m, affectedSeq)
-    val updated = src.select(m.schema.fieldNames.map { f =>
+    val flagged = src.withColumn("__m", coalesce(cond, lit(false)))
+    val postSet = flagged.select(col("__m") +: m.schema.fieldNames.map { f =>
       set.get(f) match {
-        case Some(e) => when(coalesce(cond, lit(false)), e).otherwise(col(f)).as(f)
+        case Some(e) => when(col("__m"), e).otherwise(col(f)).as(f)
         case None => col(f)
       }
     }: _*)
-    val nMatched = src.filter(cond).count()
-    enforceChecks(m, updated.filter(coalesce(cond, lit(false))))
-    val (files, _, st) = writeFiles(updated, needCount = false)
+    // generated columns see the post-SET row; recomputing them on
+    // unmatched rows re-derives the value they already store
+    val updated = withGenerated(m, postSet)
+    val nMatched = flagged.filter(col("__m")).count()
+    enforceChecks(m, updated.filter(col("__m")))
+    val (files, _, st) =
+      writeFiles(updated.select(m.schema.fieldNames.map(col): _*), needCount = false)
     io.commit(path, m.withFiles(m.files.diff(affectedSeq) ++ files, st))
     nMatched
   }
@@ -264,7 +311,12 @@ final class GraftTable(val spark: SparkSession, val path: Path,
 
   private def mergeImpl(m: Manifest, pk: Seq[String], dataCols: Array[String],
       changes: DataFrame): Unit = {
-    val upserts = changes.filter(col("action") =!= 0).select(dataCols.map(col): _*)
+    // generated columns recompute ONCE here; both the append fast
+    // paths and the rewrite arm then write the upserts as-is (checks
+    // likewise run once — the appends must not re-pay either job)
+    val upserts = withGenerated(m,
+      changes.filter(col("action") =!= 0).select(dataCols.map(col): _*))
+      .select(dataCols.map(col): _*)
     // one job decides the fast-path flags AND the touched-key bounding
     // box for file-range pruning (not separate probes)
     val statCols = prunablePkCols(m).filter { case (c, _, _) => pk.contains(c) }
@@ -281,7 +333,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     if (hasUpserts) enforceChecks(m, upserts)
 
     if (m.files.isEmpty) {
-      if (hasUpserts) insert(upserts)
+      if (hasUpserts) appendRows(upserts)
       return
     }
 
@@ -318,9 +370,10 @@ final class GraftTable(val spark: SparkSession, val path: Path,
         catch { case scala.util.control.NonFatal(_) => sum = Long.MaxValue }
       sum
     }
+    val keyless = m.pkCols.isEmpty
     if (tableBytes <= RewriteAllMaxBytes) {
-      val survivors = readManifest(m)
-        .join(broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti")
+      val survivors = keyJoin(readManifest(m),
+        broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti", keyless)
       val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
       val (files, _, st) = writeFiles(replacement, needCount = false)
       io.commit(path, m.withFiles(files, st))
@@ -345,14 +398,15 @@ final class GraftTable(val spark: SparkSession, val path: Path,
 
     val affected = if (candidates.isEmpty) Set.empty[String] else {
       val tagged = readFiles(m, candidates).withColumn("__file", input_file_name())
-      tagged
-        .join(broadcastIfSmall(touchedKeys, totalChanges), pk, "left_semi")
-        .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+      keyJoin(tagged, broadcastIfSmall(touchedKeys, totalChanges), pk,
+          "left_semi", keyless)
+        .select(col("__file")).distinct().collect()
+        .map(r => fileKey(r.getString(0))).toSet
     }
 
     if (affected.isEmpty) {
       // Blind-append fast path: nothing overlaps existing data.
-      if (hasUpserts) insert(upserts)
+      if (hasUpserts) appendRows(upserts)
       // deletes of absent keys are no-ops
       return
     }
@@ -360,12 +414,15 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val affectedSeq = normalize(candidates).zip(candidates)
       .filter { case (n, _) => affected.contains(n) }.map(_._2)
     // Survivors: rows in affected files whose PK is untouched.
-    val survivors = readFiles(m, affectedSeq)
-      .join(broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti")
+    val survivors = keyJoin(readFiles(m, affectedSeq),
+      broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti", keyless)
     val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
     val (files, _, st) = writeFiles(replacement, needCount = false)
-    val cur = manifest // re-read: insert() above may have bumped version
-    io.commit(path, cur.withFiles(cur.files.diff(affectedSeq) ++ files, st))
+    // commit against the manifest we READ: the slot derivation is the
+    // whole OCC story — committing a re-read head would silently land
+    // after a concurrent writer whose rewrite our survivor set never
+    // saw (resurrecting its deletes, duplicating its survivors)
+    io.commit(path, m.withFiles(m.files.diff(affectedSeq) ++ files, st))
   }
 
   /** REPLACE INTO (A6, `/root/reference/catalog/table.go:543-552` →
@@ -492,12 +549,14 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       else df.repartitionByRange(nFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
     val (files, _, st) = writeFiles(arranged, needCount = false)
-    val cur = manifest
     // the rewrite DEFINES the layout: record it, or clear a stale
-    // record when an unclustered compaction destroys the ordering
-    val props = if (clusterBy.isEmpty) cur.props - "layout.clusterBy"
-      else cur.props + ("layout.clusterBy" -> clusterBy.mkString(","))
-    io.commit(path, cur.withFiles(files, st).copy(props = props))
+    // record when an unclustered compaction destroys the ordering.
+    // Commit against the manifest we READ — the whole file list is
+    // replaced, so landing after a concurrent commit would silently
+    // drop its files from the table (OCC must collide instead).
+    val props = if (clusterBy.isEmpty) m.props - "layout.clusterBy"
+      else m.props + ("layout.clusterBy" -> clusterBy.mkString(","))
+    io.commit(path, m.withFiles(files, st).copy(props = props))
   }
 
   /** Z-ORDER compaction: rewrite the table sorted by the Morton
@@ -518,8 +577,11 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       min(col(colA).cast("double")).as("minA"), max(col(colA).cast("double")).as("maxA"),
       min(col(colB).cast("double")).as("minB"), max(col(colB).cast("double")).as("maxB"),
       count(lit(1)).as("n")).collect()(0)
-    val (minA, maxA) = (stats.getDouble(0), stats.getDouble(1))
-    val (minB, maxB) = (stats.getDouble(2), stats.getDouble(3))
+    // an all-NULL column (or zero rows) aggregates to null bounds:
+    // degrade that dimension to a constant bucket instead of NPE-ing
+    def bound(i: Int, d: Double) = if (stats.isNullAt(i)) d else stats.getDouble(i)
+    val (minA, maxA) = (bound(0, 0.0), bound(1, 0.0))
+    val (minB, maxB) = (bound(2, 0.0), bound(3, 0.0))
     val rows = stats.getLong(4)
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
     val buckets = (1 << 21) - 1
@@ -677,8 +739,19 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
 
   /** input_file_name() yields file: URIs; manifest stores plain paths. */
+  /** `input_file_name()` yields a PERCENT-ENCODED file URI while
+    * manifest entries are raw local paths — "file://" + raw path never
+    * matches once the warehouse path holds a space/%/non-ASCII char,
+    * silently turning DML into a no-op (or duplicating merged keys).
+    * Compare both sides in decoded absolute-path space instead. */
+  private def fileKey(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme != null && u.getPath != null) u.getPath else s
+    } catch { case _: java.net.URISyntaxException => s }
+
   private def normalize(files: Seq[String]): Seq[String] =
-    files.map(f => "file://" + Paths.get(f).toAbsolutePath.toString)
+    files.map(f => Paths.get(f).toAbsolutePath.toString)
 
   /** PK column types whose per-file min/max stats we record and
     * compare: integral + string cover the real-world PK space; stats

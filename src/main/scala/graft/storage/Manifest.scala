@@ -150,6 +150,21 @@ object Manifest {
       v
     }
 
+  /** Load version `v` for READING (time travel): refuses the payload
+    * of a pending or aborted transaction — [[load]] skips such heads,
+    * and `VERSION AS OF` must not expose rows that were never
+    * committed. A decided-commit version reads fine. */
+  def loadVisibleVersion(table: Path, v: Long): Manifest = {
+    val m = loadVersion(table, v)
+    if (!isVisible(m)) throw new IllegalArgumentException(
+      s"version $v holds an uncommitted transaction's staging")
+    m.copy(props = m.props - PendingProp - TxnDirProp)
+  }
+
+  /** Versions safe for time travel — pending/aborted txn heads hidden. */
+  def visibleVersions(table: Path): Seq[Long] =
+    versions(table).filter(v => isVisible(loadVersion(table, v)))
+
   private def isVisible(m: Manifest): Boolean = m.props.get(PendingProp) match {
     case None => true
     case Some(txnId) =>

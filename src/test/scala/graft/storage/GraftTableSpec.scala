@@ -308,4 +308,130 @@ class GraftTableSpec extends SparkSpec {
       GraftTable.create(spark, t.path, schema)
     }
   }
+
+  // ------------------------------------------------------------------
+  // storage-core review regressions (round 6)
+
+  test("UPDATE enforces CHECKs on rows matched BEFORE the update") {
+    val t = GraftTable.create(spark, tmpDir("graft_chk_upd"), schema,
+      Seq("id"), props = Map("check.v_small" -> "v < 10"))
+    t.insert(Seq((1L, "a", 5.0)).toDF("id", "name", "v"))
+    // SET changes the column WHERE references: re-filtering post-update
+    // values would exempt the row from the check entirely
+    val err = intercept[IllegalArgumentException](
+      t.update(col("v") === 5.0, Map("v" -> lit(50.0))))
+    assert(err.getMessage.contains("v_small"))
+    assert(t.read().select("v").as[Double].head() === 5.0) // unchanged
+  }
+
+  test("UPDATE recomputes stored generated columns from post-SET values") {
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("price", DoubleType), StructField("qty", DoubleType),
+      StructField("total", DoubleType)))
+    val t = GraftTable.create(spark, tmpDir("graft_gen_upd"), sch,
+      Seq("id"), props = Map("generated.total" -> "price * qty"))
+    t.insert(Seq((1L, 2.0, 3.0)).toDF("id", "price", "qty"))
+    assert(t.read().select("total").as[Double].head() === 6.0)
+    t.update(col("id") === 1L, Map("price" -> lit(10.0)))
+    assert(t.read().select("total").as[Double].head() === 30.0)
+  }
+
+  test("insertAutoInc enforces CHECKs and computes generated columns") {
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType), StructField("neg", DoubleType)))
+    val t = GraftTable.create(spark, tmpDir("graft_autoinc_chk"), sch,
+      Seq("id"), props = Map("check.pos" -> "v > 0", "generated.neg" -> "-v"))
+    val n = t.insertAutoInc(Seq(4.0).toDF("v"), "id")
+    assert(n === 1)
+    assert(t.read().select("neg").as[Double].head() === -4.0)
+    intercept[IllegalArgumentException](
+      t.insertAutoInc(Seq(-1.0).toDF("v"), "id"))
+  }
+
+  test("keyless merge matches rows with NULL columns (null-safe key)") {
+    val t = GraftTable.create(spark, tmpDir("graft_keyless_null"), schema, Nil)
+    t.insert(Seq((1L, null.asInstanceOf[String], 1.0)).toDF("id", "name", "v"))
+    // REPLACE of the identical row: old copy must be matched (not
+    // left behind by '=' null semantics) -> exactly one copy remains
+    assert(t.replaceRows(
+      Seq((1L, null.asInstanceOf[String], 1.0)).toDF("id", "name", "v")) === 1)
+    assert(t.read().count() === 1)
+    // a condensed DELETE of the null-bearing row is not a no-op
+    t.merge(Seq((1L, null.asInstanceOf[String], 1.0))
+      .toDF("id", "name", "v").withColumn("action", lit(0)))
+    assert(t.read().count() === 0)
+  }
+
+  test("file-replacing commits collide with a concurrent writer (no lost update)") {
+    val path = tmpDir("graft_occ_race")
+    GraftTable.create(spark, path, schema, Seq("id"))
+    val direct = new GraftTable(spark, path)
+    direct.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "v"))
+    // io seam: a commit lands between our read and our commit
+    def racingTable(marker: Long): GraftTable = {
+      var raced = false
+      GraftTable.open(spark, path, new Manifest.TableIO {
+        def load(table: java.nio.file.Path): Manifest = Manifest.load(table)
+        def commit(table: java.nio.file.Path, m: Manifest): Manifest = {
+          if (!raced) {
+            raced = true
+            direct.insert(Seq((marker, "raced", 9.0)).toDF("id", "name", "v"))
+          }
+          Manifest.commit(table, m)
+        }
+      })
+    }
+    intercept[java.util.ConcurrentModificationException](
+      racingTable(97L).compact())
+    assert(direct.read().filter(col("id") === 97L).count() === 1) // not lost
+    intercept[java.util.ConcurrentModificationException](
+      racingTable(98L).merge(Seq((1L, "z", 2.0)).toDF("id", "name", "v")
+        .withColumn("action", lit(2))))
+    assert(direct.read().filter(col("id") === 98L).count() === 1)
+    intercept[java.util.ConcurrentModificationException](
+      racingTable(99L).delete(col("id") === 1L))
+    assert(direct.read().orderBy("id").select("id").as[Long].collect()
+      === Array(1L, 97L, 98L, 99L))
+  }
+
+  test("time travel refuses an aborted transaction's staged version") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "v"))
+    val m = t.manifest
+    // place an aborted txn's pending version at the journal head
+    val txnDir = tmpDir("graft_txn_aborted")
+    Manifest.tryDecide(txnDir, "tx1", "abort")
+    Manifest.commit(t.path, m.copy(
+      files = Nil, // "rolled back" content a reader must never see
+      props = m.props + (Manifest.PendingProp -> "tx1",
+        Manifest.TxnDirProp -> txnDir.toString)))
+    val staged = Manifest.latestVersion(t.path).get
+    assert(t.read().count() === 1) // load() skips the aborted head
+    assert(!t.history().contains(staged))
+    intercept[IllegalArgumentException](t.readVersion(staged).count())
+    assert(t.readVersion(m.version).count() === 1) // committed: fine
+  }
+
+  test("z-order compaction tolerates an all-NULL column") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v")
+      .withColumn("v", lit(null).cast("double")))
+    t.compactZOrder("id", "v") // v: all bounds null -> constant bucket
+    assert(t.read().count() === 2)
+  }
+
+  test("DML works in a warehouse path containing spaces") {
+    val base = tmpDir("graft spaced dir")
+    val t = GraftTable.create(spark, base.resolve("t"), schema, Seq("id"))
+    t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))
+    // input_file_name() returns percent-encoded URIs: exact-string
+    // matching against raw manifest paths silently no-ops here
+    assert(t.delete(col("id") === 2L) === 1)
+    assert(t.update(col("id") === 1L, Map("v" -> lit(7.0))) === 1)
+    t.merge(Seq((1L, "a2", 8.0)).toDF("id", "name", "v")
+      .withColumn("action", lit(2)))
+    assert(t.read().as[(Long, String, Double)].collect() ===
+      Array((1L, "a2", 8.0)))
+    assert(t.checkUnique().count() === 0) // merge did not duplicate
+  }
 }
