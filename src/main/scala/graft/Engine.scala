@@ -45,6 +45,10 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     require(Files.isDirectory(d), s"no such database: $name")
     if (!cascade) require(listTables(name).isEmpty, s"database $name not empty")
     deleteRecursively(d)
+    // stale temp-view bindings over the deleted files must not survive
+    // (they would serve FileNotFound — or worse, a later re-created
+    // generation could collide with a cached (path, version) owner)
+    unregisterAll()
   }
 
   def listDatabases(): Seq[String] =
@@ -139,10 +143,12 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
 
   /** Reclaim dropped-table storage: for every table directory holding
     * retired journals older than `minAgeMs` (the grace window for
-    * pinned readers), delete the whole dir when no live table was
-    * re-created over it, or just the retired journals when one was
-    * (the re-created table's own [[GraftTable.vacuum]] reclaims the
-    * orphaned data files, which are non-live by construction). Returns
+    * pinned readers), delete the whole dir when nothing else claims it;
+    * when a live re-created table — or a NEWER retired generation still
+    * inside its own grace window, possibly pinned by a reader — shares
+    * the dir, reclaim only the data files the expired journals
+    * reference (generations never share data files: every write lands
+    * under a fresh UUID) plus the journals themselves. Returns
     * directories + journals removed. */
   def vacuumDropped(minAgeMs: Long = 600000L): Long = {
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -151,16 +157,38 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
       val dbDir = warehouse.resolve(db)
       Files.list(dbDir).iterator().asScala.toSeq
         .filter(Files.isDirectory(_)).foreach { tdir =>
-          val retired = Files.list(tdir).iterator().asScala.toSeq.filter { p =>
-            val n = p.getFileName.toString
-            n.startsWith("_dropped.") &&
-              n.split('.').lift(1).exists(ts =>
-                ts.forall(_.isDigit) && ts.toLong <= cutoff)
-          }
-          if (retired.nonEmpty) {
-            if (Files.isDirectory(tdir.resolve("_manifest")))
-              retired.foreach { r => deleteRecursively(r); removed += 1 }
-            else { deleteRecursively(tdir); removed += 1 }
+          val allRetired = Files.list(tdir).iterator().asScala.toSeq
+            .filter(_.getFileName.toString.startsWith("_dropped."))
+          val expired = allRetired.filter(
+            _.getFileName.toString.split('.').lift(1).exists(ts =>
+              ts.forall(_.isDigit) && ts.toLong <= cutoff))
+          if (expired.nonEmpty) {
+            val live = Files.isDirectory(tdir.resolve("_manifest"))
+            if (!live && expired.size == allRetired.size) {
+              // nothing else claims this dir — whole-dir reclaim
+              deleteRecursively(tdir); removed += 1
+            } else {
+              // a live re-created table or a NEWER retired generation
+              // (still inside its own grace window, possibly pinned by
+              // a reader) shares the dir: reclaim only the data files
+              // the expired journals reference, then the journals
+              expired.foreach { r =>
+                val listing = Files.list(r)
+                try listing.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".json"))
+                  .foreach { mf =>
+                    val raw = mapper.readValue(Files.readAllBytes(mf),
+                      classOf[java.util.Map[String, Object]])
+                    raw.get("files") match {
+                      case l: java.util.List[_] => l.asScala.foreach(f =>
+                        Files.deleteIfExists(java.nio.file.Paths.get(f.toString)))
+                      case _ => ()
+                    }
+                  }
+                finally listing.close()
+                deleteRecursively(r); removed += 1
+              }
+            }
           }
         }
     }
@@ -190,23 +218,33 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     manifests.foreach { mf =>
       val raw = mapper.readValue(Files.readAllBytes(mf),
         classOf[java.util.Map[String, Object]])
+      def rehome(p: String): String =
+        if (p.startsWith(srcPrefix)) dstPrefix + p.stripPrefix(srcPrefix) else p
       raw.get("files") match {
         case l: java.util.List[_] =>
-          val patched = l.asScala.map(_.toString match {
-            case p if p.startsWith(srcPrefix) => dstPrefix + p.stripPrefix(srcPrefix)
-            case p => p
-          }).asJava
-          raw.asInstanceOf[java.util.Map[String, Object]].put("files", patched)
-          // atomic replace: a crash mid-rewrite must never leave a
-          // truncated manifest version (same discipline as
-          // Manifest.commit's tmp+link protocol)
-          val tmp = mf.resolveSibling(mf.getFileName.toString + ".tmp")
-          Files.write(tmp, mapper.writeValueAsBytes(raw))
-          Files.move(tmp, mf,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          raw.asInstanceOf[java.util.Map[String, Object]]
+            .put("files", l.asScala.map(e => rehome(e.toString)).asJava)
         case _ => ()
       }
+      // fileStats is keyed by the same absolute paths: leaving the old
+      // keys would silently disable merge-probe pruning after a rename
+      raw.get("fileStats") match {
+        case m: java.util.Map[_, _] =>
+          val patched = new java.util.LinkedHashMap[String, Object]()
+          m.asScala.foreach { case (k, v) =>
+            patched.put(rehome(k.toString), v.asInstanceOf[Object])
+          }
+          raw.asInstanceOf[java.util.Map[String, Object]].put("fileStats", patched)
+        case _ => ()
+      }
+      // atomic replace: a crash mid-rewrite must never leave a
+      // truncated manifest version (same discipline as
+      // Manifest.commit's tmp+link protocol)
+      val tmp = mf.resolveSibling(mf.getFileName.toString + ".tmp")
+      Files.write(tmp, mapper.writeValueAsBytes(raw))
+      Files.move(tmp, mf,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     if (fromDb == currentDb) unregister(f)
     if (toDb == currentDb) unregister(t)
@@ -222,19 +260,31 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
 
   /** Stored views: definition persisted, expanded at query time
     * (`/root/reference/catalog/database.go:331-424`). */
-  def createView(name: String, sqlText: String): Unit = {
+  def createView(name: String, sqlText: String): Unit = synchronized {
     val (db, v) = split(name)
-    val f = warehouse.resolve(db).resolve("_views.json")
     val views = loadViews(db) + (v -> sqlText)
-    Files.write(f, mapper.writeValueAsBytes(views.asJava))
+    writeJsonAtomic(warehouse.resolve(db).resolve("_views.json"), views.asJava)
   }
 
-  def dropView(name: String): Unit = {
+  def dropView(name: String): Unit = synchronized {
     val (db, v) = split(name)
     val views = loadViews(db) - v
-    Files.write(warehouse.resolve(db).resolve("_views.json"),
-      mapper.writeValueAsBytes(views.asJava))
+    writeJsonAtomic(warehouse.resolve(db).resolve("_views.json"), views.asJava)
     if (db == currentDb) unregister(v)
+  }
+
+  /** Catalog-file write discipline: tmp + atomic move (a crash mid-
+    * write must never leave a truncated _views/_vars.json — every
+    * statement in the db would then fail parsing it), read-modify-write
+    * callers synchronized on the engine so concurrent updates don't
+    * erase each other. */
+  private def writeJsonAtomic(f: Path, value: Object): Unit = {
+    val tmp = f.resolveSibling(
+      f.getFileName.toString + "." + java.util.UUID.randomUUID() + ".tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(value))
+    Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def listViews(db: String = currentDb): Seq[String] = loadViews(db).keys.toSeq.sorted
@@ -348,8 +398,27 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
       }
     }
     // views after tables so definitions resolve against them; analysis
-    // is plan-only (no manifest reads, no jobs)
-    views.foreach { case (v, defn) =>
+    // is plan-only (no manifest reads, no jobs). spark.sql analyzes
+    // EAGERLY, so a view defined over another view must register after
+    // its dependency — Map order is arbitrary, so fixpoint-iterate:
+    // each pass registers every view whose dependencies now resolve.
+    var pendingViews = views
+    var progressed = true
+    while (pendingViews.nonEmpty && progressed) {
+      progressed = false
+      pendingViews.foreach { case (v, defn) =>
+        try {
+          spark.sql(defn).createOrReplaceTempView(v)
+          registeredViews += v
+          pendingViews -= v
+          progressed = true
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => () // next pass
+        }
+      }
+    }
+    // remainder (genuinely broken definitions): surface the real error
+    pendingViews.foreach { case (v, defn) =>
       spark.sql(defn).createOrReplaceTempView(v)
       registeredViews += v
     }
@@ -406,13 +475,13 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
 
   def setVar(key: String, value: String, persist: Boolean = false): Unit = {
     spark.conf.set(s"graft.var.$key", value)
-    if (persist) {
+    if (persist) synchronized {
       val f = warehouse.resolve("_vars.json")
       val cur: Map[String, String] =
         if (Files.exists(f))
           mapper.readValue(Files.readAllBytes(f), classOf[java.util.Map[String, String]]).asScala.toMap
         else Map.empty
-      Files.write(f, mapper.writeValueAsBytes((cur + (key -> value)).asJava))
+      writeJsonAtomic(f, (cur + (key -> value)).asJava)
     }
   }
 
@@ -481,8 +550,10 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     }
     if (!Files.isDirectory(warehouse.resolve(db))) createDatabase(db)
     // RESTORE replaces the database's current content (the reference
-    // swaps in the downloaded .db file wholesale)
+    // swaps in the downloaded .db file wholesale) — views included: a
+    // view absent from the backup must not survive the restore
     listTables(db).foreach(t => dropTable(s"$db.$t"))
+    listViews(db).foreach(v => dropView(s"$db.$v"))
     names.foreach { t =>
       val meta = mapper.readValue(Files.readAllBytes(srcDir.resolve(t).resolve("_meta.json")),
         classOf[java.util.Map[String, Object]])

@@ -24,7 +24,7 @@ object SqlRouter {
   private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)\s*""".r
   private val UseDb = """(?is)\s*USE\s+(\w+)\s*""".r
   private val CreateTableAs =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(SELECT.*|VALUES.*|WITH.*)""".r
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(\(\s*SELECT.*\)|SELECT.*|VALUES.*|WITH.*)\s*""".r
   // A19's MySQL structural-copy form (GMS routes CREATE TABLE LIKE to
   // the catalog's schema clone): new empty table with the source's
   // schema, primary key, and properties.
@@ -48,8 +48,6 @@ object SqlRouter {
     """(?is)\s*REPLACE\s+INTO\s+([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
   private val InsertIgnore =
     """(?is)\s*INSERT\s+IGNORE\s+INTO\s+([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
-  private val InsertOnDup =
-    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?\s+(VALUES\s*.*?|SELECT\s+.*?|FROM\s+.*?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.*)""".r
   // transactions (A24) + session/metadata statements (A25-A26)
   private val Begin = """(?is)\s*(?:BEGIN|START\s+TRANSACTION)\s*""".r
   private val CommitTxn = """(?is)\s*COMMIT\s*""".r
@@ -102,14 +100,23 @@ object SqlRouter {
   private val Delete =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?\s*""".r
   private val Truncate = """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*""".r
+  // type may carry a parenthesized argument list incl. commas
+  // (DECIMAL(10,2)); NOT NULL / DEFAULT come in either order (MySQL
+  // and SHOW CREATE TABLE emit "NOT NULL DEFAULT x")
+  // the keyword guard keeps ADD INDEX/KEY/CONSTRAINT forms falling
+  // through to their own handling instead of parsing as a column
   private val AlterAdd =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+([\w()]+)(?:\s+DEFAULT\s+(.+?))?(\s+NOT\s+NULL)?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:COLUMN\s+)?(?!(?:INDEX|KEY|PRIMARY|CONSTRAINT|UNIQUE|FULLTEXT|FOREIGN|PARTITION)\b)(\w+)\s+(\w+(?:\s*\([\d\s,]*\))?)((?:\s+\S.*)?)\s*""".r
+  private val AttrsNotNullFirst =
+    """(?is)\s*NOT\s+NULL(?:\s+DEFAULT\s+(.+?))?\s*""".r
+  private val AttrsDefaultFirst =
+    """(?is)\s*DEFAULT\s+(.+?)(\s+NOT\s+NULL)?\s*""".r
   private val AlterDrop =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*""".r
   private val AlterRename =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*""".r
   private val AlterModify =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:MODIFY\s+(?:COLUMN\s+)?(\w+)|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE)\s+([\w()]+)\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:MODIFY\s+(?:COLUMN\s+)?(\w+)|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE)\s+(\w+(?:\s*\([\d\s,]*\))?)\s*""".r
   private val VersionQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val Optimize = """(?is)\s*OPTIMIZE\s+([\w.]+)\s*""".r
@@ -117,14 +124,53 @@ object SqlRouter {
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+SECONDS)?\s*""".r
   private val Analyze = """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*(?:COMPUTE\s+STATISTICS)?\s*""".r
 
-  def execute(engine: Engine, sqlText: String): Result = sqlText match {
+  def execute(engine: Engine, sqlText: String): Result =
+    executeRouted(engine, stripIdentQuotes(sqlText))
+
+  /** Backtick-quoted identifiers (standard mysqldump output) become
+    * bare identifiers for ROUTING — outside string literals only, and
+    * only when the quoted text is a plain identifier; anything else
+    * keeps its backticks and reaches Catalyst (which parses them
+    * natively). Without this every `CREATE TABLE \`t\` ...` in a dump
+    * silently missed the router and landed in the Spark catalog as a
+    * non-graft table. */
+  private[graft] def stripIdentQuotes(s: String): String = {
+    if (s.indexOf('`') < 0) return s
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == '\\' && i + 1 < s.length) { out.append(s.charAt(i + 1)); i += 1 }
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c; out.append(c)
+        case '`' =>
+          val close = s.indexOf('`', i + 1)
+          val inner = if (close > i) s.substring(i + 1, close) else ""
+          if (close > i && inner.matches("[A-Za-z_][A-Za-z0-9_]*")) {
+            out.append(inner); i = close
+          } else out.append(c)
+        case _ => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  private def executeRouted(engine: Engine, sqlText: String): Result = sqlText match {
     case CreateDb(name) => engine.createDatabase(name); ddl
     case DropDb(name) => engine.dropDatabase(name, cascade = true); ddl
     case UseDb(name) if !name.equalsIgnoreCase("database") =>
       engine.use(name); ddl
-    case CreateTableAs(name, query) =>
+    case CreateTableAs(name, query0) =>
       // A10 CTAS: analyze once for the schema, create, then insert the
-      // same plan's result
+      // same plan's result (a parenthesized source unwraps one layer)
+      val q1 = query0.trim
+      val query = if (q1.startsWith("(") && q1.endsWith(")"))
+        q1.substring(1, q1.length - 1) else q1
       val df = engine.sql(query)
       engine.createTable(name, df.schema)
       Result(None, engine.table(name).insert(df))
@@ -156,13 +202,18 @@ object SqlRouter {
     case InsertIgnore(name, colList, rest) =>
       val t = engine.table(name)
       Result(None, t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest)))
-    case InsertOnDup(name, colList, rest, setList) =>
+    // ON DUPLICATE KEY UPDATE found by a quote-aware scan, never by a
+    // regex that could bite inside a string literal
+    case s0 if splitOnDup(s0).exists(p => Insert.matches(p._1)) =>
+      val (head, setList) = splitOnDup(s0).get
+      val Insert(name, colList, rest) = head: @unchecked
       val t = engine.table(name)
       // MySQL's VALUES(c) refers to the incoming row → the joined
-      // frame's __new_<c>; bare names stay the existing row's columns
+      // frame's __new_<c>; bare names stay the existing row's columns.
+      // The rewrite is quote-aware too: a literal 'VALUES(x)' survives.
       val sets = splitTop(setList).map { kv =>
         val Array(k, v) = kv.split("=", 2)
-        k.trim -> v.trim.replaceAll("(?i)VALUES\\s*\\(\\s*(\\w+)\\s*\\)", "__new_$1")
+        k.trim -> rewriteValuesRefs(v.trim)
       }.toMap
       Result(None, t.upsertOnDuplicate(sourceDfFor(engine, t, colList, rest), sets))
     case Insert(name, colList, rest) =>
@@ -287,10 +338,17 @@ object SqlRouter {
       Result(None, minAge.fold(engine.table(name).vacuum())(
         a => engine.table(name).vacuum(minAgeMs = a)))
     case Analyze(name) => engine.table(name).analyze(); ddl
-    case AlterAdd(name, colName, colType, default, notNull) =>
+    case AlterAdd(name, colName, colType, attrs) =>
+      val (notNull, default) = attrs.trim match {
+        case "" => (false, None)
+        case AttrsNotNullFirst(d) => (true, Option(d))
+        case AttrsDefaultFirst(d, nn) => (nn != null, Some(d))
+        case other => throw new IllegalArgumentException(
+          s"unsupported column attributes: $other")
+      }
       engine.table(name).addColumn(colName,
         StructType.fromDDL(s"x $colType").head.dataType,
-        nullable = notNull == null, defaultSql = Option(default).map(_.trim))
+        nullable = !notNull, defaultSql = default.map(_.trim))
       ddl
     case AlterDrop(name, colName) =>
       engine.table(name).dropColumn(colName); ddl
@@ -577,6 +635,57 @@ object SqlRouter {
     * top-level WHERE keyword — quote-, backtick- and paren-aware, so a
     * WHERE inside a string literal (`SET note = 'a, b = c WHERE x'`)
     * or a scalar subquery never terminates the SET list. */
+  /** Quote-aware scan for a top-level `ON DUPLICATE KEY UPDATE`:
+    * the phrase inside a string literal must not trigger the upsert
+    * arm (or corrupt the statement split). Returns (head, set-list). */
+  private[graft] def splitOnDup(s: String): Option[(String, String)] = {
+    val pat = java.util.regex.Pattern.compile(
+      "(?is)\\GON\\s+DUPLICATE\\s+KEY\\s+UPDATE\\s+")
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < s.length) i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if ((c == 'o' || c == 'O') && i > 0 && s.charAt(i - 1).isWhitespace) {
+        val m = pat.matcher(s)
+        m.region(i, s.length)
+        if (m.lookingAt())
+          return Some((s.substring(0, i), s.substring(m.end())))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `VALUES(c)` → `__new_c`, outside string literals only (a literal
+    * 'VALUES(x)' in a SET expression must survive verbatim). */
+  private[graft] def rewriteValuesRefs(s: String): String = {
+    val pat = java.util.regex.Pattern.compile(
+      "(?is)\\GVALUES\\s*\\(\\s*(\\w+)\\s*\\)")
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < s.length) { out.append(s.charAt(i + 1)); i += 1 }
+        else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') { quote = c; out.append(c); i += 1 }
+      else {
+        val m = pat.matcher(s)
+        m.region(i, s.length)
+        if (m.lookingAt()) { out.append("__new_").append(m.group(1)); i = m.end() }
+        else { out.append(c); i += 1 }
+      }
+    }
+    out.toString
+  }
+
   private[graft] def splitSetWhere(tail: String): (String, Option[String]) = {
     var depth = 0
     var quote: Char = 0

@@ -62,8 +62,13 @@ final class Transaction private[graft] (
   }
 
   /** Open a table handle whose reads and DML run inside this
-    * transaction. */
-  def table(path: Path): GraftTable = new GraftTable(spark, path, TxnIO)
+    * transaction. Validates existence like [[GraftTable.open]] — the
+    * `IF [NOT] EXISTS` probes rely on the not-found signal being
+    * raised HERE, inside a transaction too. */
+  def table(path: Path): GraftTable = {
+    TxnIO.load(path) // staged hit, or Manifest.load's typed not-found
+    new GraftTable(spark, path, TxnIO)
+  }
 
   /** Tables with staged changes. */
   def dirtyTables: Seq[Path] = staged.keys.toSeq

@@ -242,4 +242,82 @@ class EngineSpec extends SparkSpec {
     e.table("t7").insert(Seq((99, 20)).toDF("x", "y"))
     assert(e.sql("SELECT sum(y) FROM t7").as[Long].head() === 90L)
   }
+
+  // ------------------------------------------------------------------
+  // engine review regressions (round 6)
+
+  test("views defined over views register in dependency order") {
+    val e = freshEngine()
+    e.createTable("base", xy)
+    e.table("base").insert(Seq((1, 2)).toDF("x", "y"))
+    // created in REVERSE dependency order: the view map recalls "outer"
+    // before "inner" exists in the session
+    e.createView("outer_v", "SELECT x2 FROM inner_v")
+    e.createView("inner_v", "SELECT x * 2 AS x2 FROM base")
+    spark.catalog.dropTempView("outer_v"); spark.catalog.dropTempView("inner_v")
+    assert(e.sql("SELECT * FROM outer_v").as[Int].head() === 2)
+  }
+
+  test("RENAME TABLE re-anchors per-file PK stats with the files") {
+    val e = freshEngine()
+    e.createTable("rs", StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType))), Seq("id"))
+    e.table("rs").insert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(e.table("rs").manifest.fileStats.nonEmpty)
+    e.renameTable("rs", "rs2")
+    val m = e.table("rs2").manifest
+    assert(m.fileStats.nonEmpty)
+    // stats keys must point at the files as re-homed
+    assert(m.fileStats.keySet === m.files.toSet)
+  }
+
+  test("RESTORE drops views absent from the backup") {
+    val e = freshEngine()
+    e.createTable("t", xy)
+    val backupDir = tmpDir("graft_backup_views")
+    e.backupDatabase("main", backupDir)
+    e.createView("post_backup_v", "SELECT 1 AS one")
+    e.restoreDatabase("main", backupDir)
+    assert(!e.listViews("main").contains("post_backup_v"))
+  }
+
+  test("dropDatabase unbinds stale temp views") {
+    val e = freshEngine()
+    e.createDatabase("tmpdb")
+    e.use("tmpdb")
+    e.createTable("t", xy)
+    e.table("t").insert(Seq((1, 2)).toDF("x", "y"))
+    assert(e.sql("SELECT * FROM t").count() === 1) // binds the temp view
+    e.use("main")
+    e.dropDatabase("tmpdb", cascade = true)
+    e.use("main")
+    // the stale binding must not serve the deleted files
+    val err = intercept[Exception](e.sql("SELECT * FROM t").collect())
+    assert(!err.isInstanceOf[java.io.FileNotFoundException])
+  }
+
+  test("vacuumDropped spares a newer retired generation in its grace window") {
+    val e = freshEngine()
+    e.createTable("g", xy)
+    e.table("g").insert(Seq((1, 1)).toDF("x", "y"))
+    e.dropTable("g")
+    val tdir = e.warehouse.resolve("main").resolve("g")
+    // age the first generation's retired journal past any cutoff
+    import scala.jdk.CollectionConverters._
+    val retired1 = java.nio.file.Files.list(tdir).iterator()
+      .asScala.filter(_.getFileName.toString.startsWith("_dropped.")).toSeq.head
+    val aged = tdir.resolve("_dropped.1." +
+      retired1.getFileName.toString.split('.').last)
+    java.nio.file.Files.move(retired1, aged)
+    // second generation: re-create, insert, snapshot a reader, drop NOW
+    e.createTable("g", xy)
+    e.table("g").insert(Seq((2, 2)).toDF("x", "y"))
+    val pinned = e.table("g").read()
+    e.dropTable("g")
+    assert(e.vacuumDropped(minAgeMs = 600000L) === 1L) // only gen 1
+    assert(pinned.count() === 1) // gen 2's files survive its window
+    // once gen 2 expires too, the whole dir goes
+    assert(e.vacuumDropped(minAgeMs = 0L) === 1L)
+    assert(!java.nio.file.Files.exists(tdir))
+  }
 }

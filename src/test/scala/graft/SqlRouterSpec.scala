@@ -419,4 +419,64 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SELECT count(*) FROM notes WHERE v = 9").df.get
       .as[Long].head() === 2L) // unchanged by the failed parse
   }
+
+  // ------------------------------------------------------------------
+  // router review regressions (round 6)
+
+  test("backticked identifiers route to the graft engine (dump form)") {
+    val e = new Engine(spark, tmpDir("router_bt"))
+    exec(e, "CREATE TABLE `bt` (`id` INT PRIMARY KEY, `v` STRING)")
+    assert(e.listTables().contains("bt")) // graft table, not Spark catalog
+    exec(e, "INSERT INTO `bt` VALUES (1, 'a')")
+    exec(e, "ALTER TABLE `bt` ADD COLUMN `c` DECIMAL(10,2) NOT NULL DEFAULT 0")
+    assert(exec(e, "SELECT id, v, c FROM bt").df.get.count() === 1)
+    // backticks INSIDE string literals survive verbatim
+    exec(e, "UPDATE bt SET v = 'tick `x` kept' WHERE id = 1")
+    assert(exec(e, "SELECT v FROM bt").df.get.as[String].head() === "tick `x` kept")
+    assert(SqlRouter.stripIdentQuotes("SELECT `a b`") === "SELECT `a b`") // not an identifier
+  }
+
+  test("ALTER ADD accepts MySQL's NOT NULL DEFAULT order and comma types") {
+    val e = new Engine(spark, tmpDir("router_alter_order"))
+    exec(e, "CREATE TABLE ao (id INT PRIMARY KEY)")
+    exec(e, "INSERT INTO ao VALUES (1)")
+    exec(e, "ALTER TABLE ao ADD COLUMN p DECIMAL(10,2) NOT NULL DEFAULT 3.5")
+    exec(e, "ALTER TABLE ao ADD COLUMN q STRING DEFAULT 'x' NOT NULL")
+    val r = exec(e, "SELECT p, q FROM ao").df.get.collect()(0)
+    assert(r.getDecimal(0).doubleValue() === 3.5 && r.getString(1) === "x")
+    exec(e, "ALTER TABLE ao MODIFY COLUMN p DECIMAL(12,3)")
+    assert(exec(e, "SELECT p FROM ao").df.get.schema.head.dataType.sql
+      === "DECIMAL(12,3)")
+  }
+
+  test("ON DUPLICATE KEY UPDATE is quote-aware on both split and VALUES()") {
+    val e = new Engine(spark, tmpDir("router_odku_quotes"))
+    exec(e, "CREATE TABLE n (id INT PRIMARY KEY, note STRING)")
+    // the phrase inside a literal: a PLAIN insert, not an upsert
+    exec(e, "INSERT INTO n VALUES (1, 'see ON DUPLICATE KEY UPDATE docs')")
+    assert(exec(e, "SELECT note FROM n").df.get.as[String].head()
+      === "see ON DUPLICATE KEY UPDATE docs")
+    // a literal 'VALUES(x)' in the SET list survives verbatim
+    exec(e, "INSERT INTO n VALUES (1, 'ignored') " +
+      "ON DUPLICATE KEY UPDATE note = 'VALUES(x)'")
+    assert(exec(e, "SELECT note FROM n").df.get.as[String].head() === "VALUES(x)")
+  }
+
+  test("CTAS accepts a parenthesized source query") {
+    val e = new Engine(spark, tmpDir("router_ctas_paren"))
+    exec(e, "CREATE TABLE src (id INT PRIMARY KEY)")
+    exec(e, "INSERT INTO src VALUES (1), (2)")
+    exec(e, "CREATE TABLE dst AS (SELECT id FROM src WHERE id > 1)")
+    assert(exec(e, "SELECT * FROM dst").df.get.count() === 1)
+  }
+
+  test("IF [NOT] EXISTS probes work inside an open transaction") {
+    val e = new Engine(spark, tmpDir("router_txn_exists"))
+    exec(e, "BEGIN")
+    exec(e, "DROP TABLE IF EXISTS missing") // no-op, must not throw
+    exec(e, "CREATE TABLE IF NOT EXISTS fresh (id INT PRIMARY KEY)")
+    exec(e, "INSERT INTO fresh VALUES (1)") // the CREATE really happened
+    exec(e, "COMMIT")
+    assert(exec(e, "SELECT * FROM fresh").df.get.count() === 1)
+  }
 }
