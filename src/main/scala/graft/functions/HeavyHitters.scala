@@ -18,6 +18,7 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class HeavyHitters(k: Int)
     extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  require(k > 0, s"heavy-hitters capacity k must be positive: $k")
 
   override def zero: Map[String, Long] = Map.empty
 

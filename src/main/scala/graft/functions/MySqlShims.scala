@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
 object MySqlShims {
 
   /** MySQL date-format tokens → Spark datetime pattern. Literal runs
-    * are quoted so pattern letters in the input stay literal. */
-  private[functions] def translateFormat(mysql: String): String = {
+    * are quoted so pattern letters in the input stay literal. An
+    * UNMAPPED %x token is an error, never a silently-quoted letter
+    * ('%I:%i' rendering the literal text "I:05" is worse than
+    * failing); weekday tokens (%a/%W → E/EEEE) are FORMAT-only —
+    * Spark's parser rejects 'E' — so parse translation refuses them. */
+  private[functions] def translateFormat(mysql: String,
+      forParse: Boolean = false): String = {
     val map = Map(
       'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "M", 'd' -> "dd",
       'e' -> "d", 'H' -> "HH", 'k' -> "H", 'h' -> "hh", 'l' -> "h",
@@ -41,8 +46,13 @@ object MySqlShims {
         val t = mysql.charAt(i + 1)
         if (t == '%') lit.append('%')
         else map.get(t) match {
+          case Some(_) if forParse && (t == 'a' || t == 'W') =>
+            throw new IllegalArgumentException(
+              s"%$t (weekday name) is format-only: Spark cannot PARSE " +
+                "day-of-week patterns")
           case Some(p) => flushLit(); out.append(p)
-          case None => lit.append(t)
+          case None => throw new IllegalArgumentException(
+            s"unsupported MySQL date-format token %$t")
         }
         i += 2
       } else { lit.append(c); i += 1 }
@@ -53,16 +63,19 @@ object MySqlShims {
 
   /** MySQL STR_TO_DATE(str, '%Y-%m-%d ...') → timestamp. */
   def strToDate(e: Column, mysqlFormat: String): Column =
-    to_timestamp(e, translateFormat(mysqlFormat))
+    to_timestamp(e, translateFormat(mysqlFormat, forParse = true))
 
   /** MySQL DATE_FORMAT(ts, fmt). */
   def dateFormat(e: Column, mysqlFormat: String): Column =
     date_format(e, translateFormat(mysqlFormat))
 
   /** MySQL GROUP_CONCAT(x ORDER BY x SEPARATOR sep) — deterministic
-    * (sorted) variant, as used throughout the query pack. */
+    * (sorted) variant, as used throughout the query pack. Non-string
+    * inputs coerce to string first (MySQL semantics; concat_ws alone
+    * rejects them) — note the sort is then LEXICOGRAPHIC, as MySQL's
+    * ORDER BY over the casted expression would be. */
   def groupConcat(e: Column, sep: String = ","): Column =
-    concat_ws(sep, sort_array(collect_list(e)))
+    concat_ws(sep, sort_array(collect_list(e.cast("string"))))
 
   /** MySQL SUBSTRING_INDEX — Spark ships it natively; re-exported for
     * the dialect layer's completeness. */

@@ -42,7 +42,12 @@ case class VecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // length mismatch -> NULL, like the documented zip_with/aggregate
+    // SQL (zip_with null-pads the shorter side, nulling the sum): a
+    // ragged embedding must surface as null, never as a plausible
+    // partial dot product
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
@@ -65,10 +70,10 @@ case class VecDot(left: Expression, right: Expression)
     val acc = ctx.freshName("acc"); val anyNull = ctx.freshName("anyNull")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |boolean $anyNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean $anyNull = $n != $b.numElements();
+         |for (int $i = 0; !$anyNull && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |  $acc += (double)$a.$lGet($i) * (double)$b.$rGet($i);
          |}
@@ -104,13 +109,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       s"expects bigint arrays, got ${left.dataType} / ${right.dataType}")
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = left.nullable || right.nullable ||
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var n = 0L
     while (i < x.numElements() && j < y.numElements()) {
+      // a null ELEMENT violates the sorted-code-set contract: surface
+      // null (an unboxed read would NPE or count a phantom 0 match)
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv == yv) { n += 1; i += 1; j += 1 }
       else if (xv < yv) i += 1
@@ -131,11 +143,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $i = 0, $j = 0; long $n = 0;
          |int $an = $a.numElements(), $bn = $b.numElements();
          |while ($i < $an && $j < $bn) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
          |  long $xv = $a.getLong($i), $yv = $b.getLong($j);
          |  if ($xv == $yv) { $n++; $i++; $j++; }
          |  else if ($xv < $yv) $i++; else $j++;
          |}
-         |${ev.value} = $n;
+         |if (!${ev.isNull}) { ${ev.value} = $n; }
        """.stripMargin
     })
   }

@@ -88,6 +88,18 @@ object JdkCodecs {
     try {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       val fmt = in.getFormat
+      // only the layouts the sample loop actually decodes: 16-bit
+      // signed little-endian PCM, or 8-bit unsigned PCM. Anything else
+      // AudioSystem parses (float/24-bit/ULAW/big-endian AIFF) must
+      // yield None, not silently-garbled samples that pass curation.
+      val enc = fmt.getEncoding
+      val okFmt =
+        (fmt.getSampleSizeInBits == 16 &&
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          !fmt.isBigEndian) ||
+        (fmt.getSampleSizeInBits == 8 &&
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+      if (!okFmt) return None
       val data = in.readAllBytes()
       val ch = fmt.getChannels
       val bits = fmt.getSampleSizeInBits
@@ -209,18 +221,42 @@ object JdkCodecs {
     var i = 0
     while (i + 1 < b.length && out.length < maxFrames) {
       if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xd8) { // SOI
-        var j = i + 2
-        var endAt = -1
-        while (endAt < 0 && j + 1 < b.length) {
-          if ((b(j) & 0xff) == 0xff && (b(j + 1) & 0xff) == 0xd9) endAt = j + 2 // EOI
-          j += 1
-        }
+        val endAt = jpegEnd(b, i)
         if (endAt < 0) return out // truncated frame
         out :+= java.util.Arrays.copyOfRange(b, i, endAt)
         i = endAt
       } else i += 1
     }
     out
+  }
+
+  /** End offset (exclusive) of the JPEG starting at `soi`, or -1 when
+    * truncated. SEGMENT-aware: length-bearing segments (APPn/COM/DQT/
+    * SOF/...) are SKIPPED by their declared size — an EXIF thumbnail
+    * is a complete embedded JPEG with its own EOI inside APP1, so a
+    * flat scan for FF D9 truncates real camera frames. After SOS the
+    * entropy stream is scanned: encoders byte-stuff FF as FF 00, so
+    * the first FF D9 there genuinely ends the image. */
+  private def jpegEnd(b: Array[Byte], soi: Int): Int = {
+    var i = soi + 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return -1 // marker expected: corrupt
+      val m = b(i + 1) & 0xff
+      if (m == 0xd9) return i + 2 // EOI (legal: zero-scan JPEG)
+      else if (m == 0xda) { // SOS: entropy data until a true EOI
+        var j = i + 2
+        while (j + 1 < b.length) {
+          if ((b(j) & 0xff) == 0xff && (b(j + 1) & 0xff) == 0xd9) return j + 2
+          j += 1
+        }
+        return -1
+      } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // bare markers
+      else if (i + 3 < b.length) {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        i += 2 + len
+      } else return -1
+    }
+    -1
   }
 
   /** Decode frame `idx` of an MJPEG video to pixels. */
@@ -251,6 +287,7 @@ object JdkCodecs {
     * index — players and [[extractMjpegFrames]] stream sequentially. */
   def muxAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
       fps: Int = 10): Array[Byte] = {
+    require(fps > 0, s"fps must be positive: $fps")
     def le32(v: Long): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
         ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)

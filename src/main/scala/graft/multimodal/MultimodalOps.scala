@@ -142,6 +142,7 @@ object MultimodalOps {
     * parallelizes per video then per frame downstream. Frame bytes are
     * the raw per-frame JPEG (decodable by [[JdkCodecs.decodeImage]]). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
+    require(stride > 0, s"frame stride must be positive: $stride")
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val frames = JdkCodecs.extractMjpegFrames(m.bytes)

@@ -80,4 +80,21 @@ class VecDotSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     assert(df.select(expr("vec_dot(a, b)")).as[Double].head() === 11.0)
   }
+
+  test("vec_dot: length mismatch is NULL, like the zip_with SQL") {
+    // a ragged embedding must never yield a plausible partial dot
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D)) AS mm,
+        vec_dot(array(1.0D), array(2.0D)) AS ok""").collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) === 2.0)
+  }
+
+  test("sorted_intersect_count: a null ELEMENT yields null, not a phantom match") {
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(array(CAST(NULL AS BIGINT)), array(0L)) AS n,
+        sorted_intersect_count(array(1L, 2L), array(2L, 3L)) AS ok""").collect()(0)
+    assert(r.isNullAt(0))
+    assert(r.getLong(1) === 1L)
+  }
 }

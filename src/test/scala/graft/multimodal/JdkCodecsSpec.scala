@@ -156,4 +156,47 @@ class JdkCodecsSpec extends SparkSpec {
       assert(JdkCodecs.decodeVideoFrame(v.bytes, v.meta.nFrames).isEmpty)
     }
   }
+
+  test("JPEG frames with EXIF-style embedded thumbnails split correctly") {
+    // an APP1 segment whose payload is a COMPLETE embedded JPEG (its
+    // own SOI..EOI, as EXIF thumbnails are): a flat FF D9 scan would
+    // truncate the outer frame at the thumbnail's EOI
+    def withExifThumb(outer: Array[Byte], thumb: Array[Byte]): Array[Byte] = {
+      val segLen = 2 + thumb.length
+      val app1 = Array(0xff.toByte, 0xe1.toByte,
+        ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++ thumb
+      // splice APP1 right after SOI
+      outer.take(2) ++ app1 ++ outer.drop(2)
+    }
+    val mk = { (shade: Int) =>
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(1, 1, shade)
+      JdkCodecs.encodeJpeg(img)
+    }
+    val thumb = mk(0x808080)
+    val f1 = withExifThumb(mk(0xffffff), thumb)
+    val f2 = mk(0x123456)
+    val frames = JdkCodecs.extractMjpegFrames(f1 ++ f2)
+    assert(frames.length === 2)
+    assert(frames(0).toSeq === f1.toSeq) // not cut at the thumbnail EOI
+    assert(frames(1).toSeq === f2.toSeq)
+    assert(JdkCodecs.decodeImage(frames(0)).isDefined)
+  }
+
+  test("decodeWav refuses non-16/8-bit-PCM layouts instead of garbling") {
+    // 32-bit float WAV: parses in AudioSystem but the sample loop
+    // cannot decode it — must be None, not garbage rms stats
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT, 8000f, 32, 1, 4, 8000f, false)
+    val n = 64
+    val raw = new Array[Byte](n * 4)
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => bb.putFloat(if (i % 2 == 0) 1.0f else -1.0f))
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    assert(JdkCodecs.decodeWav(out.toByteArray).isEmpty)
+  }
 }
