@@ -270,6 +270,11 @@ object SqlRouter {
             csvOpts.copy(header = header), singleStream = true)
         case "PARQUET" => graft.sources.BulkIO.exportParquet(df, path)
         case "JSON" => graft.sources.BulkIO.exportJson(df, path)
+        case "ARROW" => // A14: one IPC stream to the destination file
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val os = hp.getFileSystem(
+            engine.spark.sessionState.newHadoopConf()).create(hp, true)
+          try graft.sources.ArrowCodec.encodeTo(df, os) finally os.close()
         case f => throw new IllegalArgumentException(s"COPY format $f")
       }
       ddl
@@ -283,6 +288,13 @@ object SqlRouter {
         case "PARQUET" =>
           t.insert(engine.spark.read.schema(t.schema).parquet(path))
         case "JSON" => graft.sources.BulkIO.loadJsonInto(t, path)
+        case "ARROW" => // A16: Arrow IPC stream → insert
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val is = hp.getFileSystem(
+            engine.spark.sessionState.newHadoopConf()).open(hp)
+          val df = try graft.sources.ArrowCodec.decodeFrom(engine.spark, is)
+            finally is.close()
+          t.insert(df)
         case f => throw new IllegalArgumentException(s"COPY format $f")
       }
       Result(None, n)
@@ -477,23 +489,38 @@ object SqlRouter {
     * options, header). */
   private def copyOptions(optList: String)
       : (String, graft.sources.BulkIO.CsvOptions, Boolean) = {
-    var fmt = "CSV"
-    var o = graft.sources.BulkIO.CsvOptions()
-    var header = false
-    if (optList != null) splitTop(optList).map(_.trim).filter(_.nonEmpty)
-      .foreach { opt =>
-        val parts = opt.split("\\s+", 2)
-        val value = if (parts.length > 1) unquote(parts(1)) else ""
-        parts(0).toUpperCase match {
-          case "FORMAT" => fmt = value.toUpperCase
-          case "HEADER" => header = parseBool(value)
-          case "DELIMITER" | "SEP" => o = o.copy(sep = value)
-          case "QUOTE" => o = o.copy(quote = value)
-          case "ESCAPE" => o = o.copy(escape = value)
-          case "NULL" | "NULLSTR" => o = o.copy(nullValue = value)
-          case other => throw new IllegalArgumentException(s"COPY option $other")
+    val opts =
+      if (optList == null) Nil
+      else splitTop(optList).map(_.trim).filter(_.nonEmpty)
+        .map { opt =>
+          val parts = opt.split("\\s+", 2)
+          (parts(0).toUpperCase, if (parts.length > 1) unquote(parts(1)) else "")
         }
-      }
+    // format decides the PERSONALITY defaults (PostgreSQL COPY):
+    // CSV — comma, quote '"', escape = quote (doubled quotes), empty
+    // string is NULL; TEXT — tab, no quoting, \N is NULL. Loads are
+    // strict (a malformed line ERRORS, the COPY contract — PERMISSIVE
+    // would silently insert all-null rows).
+    val fmt = opts.collectFirst { case ("FORMAT", v) => v.toUpperCase }
+      .getOrElse("CSV")
+    var o = fmt match {
+      case "TEXT" => graft.sources.BulkIO.CsvOptions(sep = "\t",
+        quote = "\u0000", escape = "\\", nullValue = "\\N", failFast = true)
+      case _ => graft.sources.BulkIO.CsvOptions(sep = ",", quote = "\"",
+        escape = "\"", nullValue = "", failFast = true)
+    }
+    var header = false
+    opts.foreach {
+      case ("FORMAT", _) => ()
+      case ("HEADER", v) => header = parseBool(v)
+      case ("DELIMITER", v) => o = o.copy(sep = v)
+      case ("SEP", v) => o = o.copy(sep = v)
+      case ("QUOTE", v) => o = o.copy(quote = v)
+      case ("ESCAPE", v) => o = o.copy(escape = v)
+      case ("NULL", v) => o = o.copy(nullValue = v)
+      case ("NULLSTR", v) => o = o.copy(nullValue = v)
+      case (other, _) => throw new IllegalArgumentException(s"COPY option $other")
+    }
     (fmt, o, header)
   }
 
@@ -510,7 +537,12 @@ object SqlRouter {
     * TERMINATED/ENCLOSED/ESCAPED BY, IGNORE n LINES (LINES TERMINATED
     * BY accepted, newline-only). */
   private def loadDataOptions(tail: String): graft.sources.BulkIO.CsvOptions = {
-    var o = graft.sources.BulkIO.CsvOptions()
+    // MySQL LOAD DATA defaults (loaddata.go / the MySQL manual):
+    // FIELDS TERMINATED BY '\t', ENCLOSED BY '' (no quoting — \u0000
+    // disables Spark's), ESCAPED BY '\', NULL marker \N. Comma/quote
+    // defaults would mis-parse every standard tab-separated dump.
+    var o = graft.sources.BulkIO.CsvOptions(
+      sep = "\t", quote = "\u0000", escape = "\\", nullValue = "\\N")
     val Term = """(?is)FIELDS\s+TERMINATED\s+BY\s+'([^']*)'""".r
     val Encl = """(?is)(?:OPTIONALLY\s+)?ENCLOSED\s+BY\s+'([^']*)'""".r
     val Esc = """(?is)ESCAPED\s+BY\s+'([^']*)'""".r

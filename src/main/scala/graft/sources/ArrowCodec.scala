@@ -39,13 +39,25 @@ object ArrowCodec {
     new Field(f.name, new FieldType(f.nullable, t, null), null)
   }
 
-  /** Serialize a DataFrame to one Arrow IPC stream (bytes). */
+  /** Serialize a DataFrame to one Arrow IPC stream held in memory —
+    * convenience over [[encodeTo]] for wire-batch-sized results; a
+    * large export should stream to the destination (the COPY TO arrow
+    * path does), since a byte array is O(result) on the driver. */
   def encode(df: DataFrame, batchRows: Int = DefaultBatchRows): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    encodeTo(df, out, batchRows)
+    out.toByteArray
+  }
+
+  /** Serialize a DataFrame as an Arrow IPC stream to `out` — the
+    * FIFO-to-client analog: data stays distributed until the terminal
+    * `toLocalIterator`, and driver memory is O(batch), not O(result). */
+  def encodeTo(df: DataFrame, out: java.io.OutputStream,
+      batchRows: Int = DefaultBatchRows): Unit = {
     val sparkSchema = df.schema
     val schema = new ArrowSchema(sparkSchema.fields.map(arrowField).toSeq.asJava)
     val alloc = new RootAllocator()
     val root = VectorSchemaRoot.create(schema, alloc)
-    val out = new ByteArrayOutputStream()
     val writer = new ArrowStreamWriter(root, null, out)
     try {
       writer.start()
@@ -75,7 +87,6 @@ object ArrowCodec {
       }
       flush()
       writer.end()
-      out.toByteArray
     } finally {
       writer.close(); root.close(); alloc.close()
     }
@@ -107,18 +118,24 @@ object ArrowCodec {
       case other => throw new IllegalArgumentException(s"unsupported $other")
     }
 
-  /** Deserialize an Arrow IPC stream back into a DataFrame. */
-  def decode(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+  /** Deserialize an in-memory Arrow IPC stream back into a DataFrame. */
+  def decode(spark: SparkSession, bytes: Array[Byte]): DataFrame =
+    decodeFrom(spark, new ByteArrayInputStream(bytes))
+
+  /** Deserialize an Arrow IPC stream read from `in`. */
+  def decodeFrom(spark: SparkSession, in: java.io.InputStream): DataFrame = {
     val alloc = new RootAllocator()
-    val reader = new ArrowStreamReader(new ByteArrayInputStream(bytes), alloc)
+    val reader = new ArrowStreamReader(in, alloc)
     try {
       val root = reader.getVectorSchemaRoot
       val fields = root.getSchema.getFields.asScala.toSeq
       val sparkSchema = StructType(fields.map { f =>
         val dt = f.getType match {
           case _: ArrowType.Bool => BooleanType
-          case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
-          case t: ArrowType.Int if t.getBitWidth == 64 => LongType
+          // unsigned wire ints would misread through the signed
+          // vectors (UInt32 3e9 → negative Int) — reject, don't garble
+          case t: ArrowType.Int if t.getBitWidth == 32 && t.getIsSigned => IntegerType
+          case t: ArrowType.Int if t.getBitWidth == 64 && t.getIsSigned => LongType
           case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.SINGLE => FloatType
           case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
           case _: ArrowType.Utf8 => StringType

@@ -24,20 +24,27 @@ import graft.storage.GraftTable
   */
 object BulkIO {
 
-  /** The reference's LOAD DATA option surface. `nullValue` defaults to
-    * MySQL's `\N`; `skipLines` implements `IGNORE n LINES`. */
+  /** The reference's LOAD DATA / COPY option surface. `nullValue`
+    * defaults to MySQL's `\N`; `skipLines` implements `IGNORE n
+    * LINES`; `quote = "\u0000"` disables enclosure (MySQL's ENCLOSED
+    * BY '' default); `failFast` makes malformed lines an ERROR (the PG
+    * COPY contract) instead of PERMISSIVE all-null rows. Statement
+    * handlers pick the dialect's defaults (SqlRouter.loadDataOptions /
+    * copyOptions) — these constructor defaults are the generic-CSV
+    * personality. */
   final case class CsvOptions(
       sep: String = ",",
       quote: String = "\"",
       escape: String = "\\",
       nullValue: String = "\\N",
       header: Boolean = false,
-      skipLines: Int = 0)
+      skipLines: Int = 0,
+      failFast: Boolean = false)
 
   private def readerOpts(o: CsvOptions): Map[String, String] = Map(
     "sep" -> o.sep, "quote" -> o.quote, "escape" -> o.escape,
     "nullValue" -> o.nullValue, "header" -> o.header.toString,
-    "mode" -> "PERMISSIVE")
+    "mode" -> (if (o.failFast) "FAILFAST" else "PERMISSIVE"))
 
   /** LOAD: CSV → DataFrame with a declared schema (never inferred —
     * matches the reference's DDL-driven typing, SURVEY §1.2). */
@@ -48,13 +55,26 @@ object BulkIO {
     } else {
       // IGNORE n LINES: per-file line skip. Line order within a file is
       // reconstructed from (file, monotonic id) — splits of one file get
-      // increasing ids in offset order.
-      val w = Window.partitionBy(col("__f")).orderBy(col("__mid"))
-      val lines = spark.read.text(path)
+      // increasing ids in offset order. A declared header counts as one
+      // more skipped line (from_csv cannot honor the header option).
+      val skip = opts.skipLines + (if (opts.header) 1 else 0)
+      val lines0 = spark.read.text(path)
         .withColumn("__f", input_file_name())
         .withColumn("__mid", monotonically_increasing_id())
+      // the per-file cutoff id is computed on the SKINNY (file, id)
+      // projection and broadcast back — the full line text never
+      // shuffles through the window (a 10 GB file would otherwise land
+      // on one reducer just to drop n lines)
+      val w = Window.partitionBy(col("__f")).orderBy(col("__mid"))
+      val cutoff = lines0.select(col("__f"), col("__mid"))
         .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > opts.skipLines)
+        .filter(col("__rn") <= skip)
+        .groupBy(col("__f")).agg(max(col("__mid")).as("__cut"))
+      val lines = lines0.join(broadcast(cutoff), Seq("__f"), "left")
+        .filter(col("__cut").isNull || col("__mid") > col("__cut"))
+        // blank lines: the csv READER drops them; from_csv would turn
+        // them into spurious all-null rows
+        .filter(length(col("value")) > 0)
       lines.select(from_csv(col("value"), schema, readerOpts(opts)).as("r"))
         .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
     }
@@ -79,15 +99,31 @@ object BulkIO {
   }
 
   /** COPY ... TO (FORMAT CSV) — `singleStream=true` ≈ one FIFO to the
-    * client; false keeps distributed part-files. */
+    * client: the output is ONE FILE at exactly `path` (a Spark
+    * part-file directory named out.csv would break every client that
+    * opens the path as a file); false keeps distributed part-files. */
   def exportCsv(df: DataFrame, path: String, opts: CsvOptions = CsvOptions(),
       singleStream: Boolean = false): Unit = {
-    val out = if (singleStream) df.coalesce(1) else df
-    out.write.mode("overwrite")
-      .options(Map("sep" -> opts.sep, "quote" -> opts.quote,
-        "escape" -> opts.escape, "nullValue" -> opts.nullValue,
-        "header" -> opts.header.toString))
-      .csv(path)
+    val writerOpts = Map("sep" -> opts.sep, "quote" -> opts.quote,
+      "escape" -> opts.escape, "nullValue" -> opts.nullValue,
+      "header" -> opts.header.toString)
+    if (!singleStream) {
+      df.write.mode("overwrite").options(writerOpts).csv(path)
+      return
+    }
+    val tmp = path + ".__graft_tmp_" + java.util.UUID.randomUUID()
+    df.coalesce(1).write.mode("overwrite").options(writerOpts).csv(tmp)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(conf)
+    val part = fs.listStatus(tmpPath).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val dest = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dest, true)
+    if (!fs.rename(part, dest))
+      throw new java.io.IOException(s"could not move $part to $dest")
+    fs.delete(tmpPath, true)
   }
 
   /** COPY ... TO (FORMAT PARQUET / JSON). */

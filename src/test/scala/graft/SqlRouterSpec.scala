@@ -479,4 +479,45 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "COMMIT")
     assert(exec(e, "SELECT * FROM fresh").df.get.count() === 1)
   }
+
+  test("LOAD DATA defaults are MySQL's (tab-separated, no enclosure)") {
+    val e = new Engine(spark, tmpDir("router_loaddefaults"))
+    exec(e, "CREATE TABLE ld (id INT PRIMARY KEY, v STRING)")
+    val f = tmpDir("router_ld_file").resolve("dump.tsv")
+    java.nio.file.Files.writeString(f, "1\t\"quoted\" text\n2\t\\N\n")
+    exec(e, s"LOAD DATA INFILE '$f' INTO TABLE ld")
+    val got = exec(e, "SELECT id, v FROM ld ORDER BY id").df.get
+      .collect().map(r => (r.getInt(0), Option(r.getString(1))))
+    // tab-separated; a leading double quote is DATA (no enclosure);
+    // \N is the NULL marker
+    assert(got === Array((1, Some("\"quoted\" text")), (2, None)))
+  }
+
+  test("COPY CSV treats empty fields as NULL and errors on malformed rows") {
+    val e = new Engine(spark, tmpDir("router_copypg"))
+    exec(e, "CREATE TABLE c (id INT PRIMARY KEY, v STRING)")
+    val f = tmpDir("router_copy_file").resolve("in.csv")
+    java.nio.file.Files.writeString(f, "1,\n2,x\n")
+    exec(e, s"COPY c FROM '$f'")
+    val got = exec(e, "SELECT id, v FROM c ORDER BY id").df.get
+      .collect().map(r => (r.getInt(0), Option(r.getString(1))))
+    assert(got === Array((1, None), (2, Some("x")))) // empty -> NULL (PG)
+    val bad = tmpDir("router_copy_bad").resolve("bad.csv")
+    java.nio.file.Files.writeString(bad, "nonsense,1,2,3,4\n")
+    intercept[Exception](exec(e, s"COPY c FROM '$bad'")) // strict, not all-null
+  }
+
+  test("COPY TO/FROM (FORMAT ARROW) round-trips through the IPC codec") {
+    val e = new Engine(spark, tmpDir("router_arrow"))
+    exec(e, "CREATE TABLE a (id BIGINT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO a VALUES (1, 'x'), (2, NULL)")
+    val f = tmpDir("router_arrow_file").resolve("out.arrow")
+    exec(e, s"COPY a TO '$f' (FORMAT ARROW)")
+    exec(e, "CREATE TABLE b LIKE a")
+    val r = exec(e, s"COPY b FROM '$f' (FORMAT ARROW)")
+    assert(r.affected === 2)
+    assert(exec(e, "SELECT id, v FROM b ORDER BY id").df.get
+      .collect().map(x => (x.getLong(0), Option(x.getString(1))))
+      === Array((1L, Some("x")), (2L, None)))
+  }
 }

@@ -113,4 +113,28 @@ class BulkIOSpec extends SparkSpec {
     val back = ArrowCodec.decode(spark, ArrowCodec.encode(df))
     assert(back.select("payload").as[Array[Byte]].collect().head.toSeq === Seq(1, 2, 3))
   }
+
+  // ------------------------------------------------------------------
+  // sources review regressions (round 6)
+
+  test("singleStream export writes ONE FILE at exactly the given path") {
+    val df = Seq((1, "a"), (2, "b")).toDF("pk", "c1")
+    val out = tmpDir("bulkio_single").resolve("out.csv").toString
+    exportCsv(df, out, CsvOptions(header = true), singleStream = true)
+    val p = java.nio.file.Paths.get(out)
+    assert(java.nio.file.Files.isRegularFile(p)) // a file, not a part-dir
+    val back = loadCsv(spark, out, xySchema, CsvOptions(header = true))
+    assert(back.orderBy("pk").as[(Int, String)].collect()
+      === Array((1, "a"), (2, "b")))
+  }
+
+  test("skipLines tolerates interior blank lines and honors header") {
+    val f = writeFile("blank.csv", "junk to skip\npk,c1\n1,hi\n\n2,ho\n")
+    val df = loadCsv(spark, f, xySchema,
+      CsvOptions(header = true, skipLines = 1))
+    // header counted as one more skipped line; the blank line is NOT an
+    // all-null row
+    assert(df.orderBy("pk").as[(Int, String)].collect()
+      === Array((1, "hi"), (2, "ho")))
+  }
 }
