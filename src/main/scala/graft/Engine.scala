@@ -172,6 +172,12 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
               // (still inside its own grace window, possibly pinned by
               // a reader) shares the dir: reclaim only the data files
               // the expired journals reference, then the journals
+              // Data-file reclaim through the Hadoop FS API, same as
+              // GraftTable.vacuum: manifest entries may be plain paths
+              // OR URIs (and, post-rename, may reference pre-rename
+              // absolute paths) — java.nio on the raw string silently
+              // fails to delete either, leaking storage.
+              val conf = spark.sessionState.newHadoopConf()
               expired.foreach { r =>
                 val listing = Files.list(r)
                 try listing.iterator().asScala
@@ -180,8 +186,21 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
                     val raw = mapper.readValue(Files.readAllBytes(mf),
                       classOf[java.util.Map[String, Object]])
                     raw.get("files") match {
-                      case l: java.util.List[_] => l.asScala.foreach(f =>
-                        Files.deleteIfExists(java.nio.file.Paths.get(f.toString)))
+                      case l: java.util.List[_] => l.asScala.foreach { f =>
+                        val p0 = new org.apache.hadoop.fs.Path(f.toString)
+                        // a rename moved the dir but not the journal's
+                        // absolute entries: re-home onto this table dir
+                        val p =
+                          if (p0.toUri.getPath != null &&
+                              !new java.io.File(p0.toUri.getPath).exists()) {
+                            val rel = p0.toUri.getPath
+                              .split("/data/", 2).lift(1)
+                            rel.fold(p0)(s => new org.apache.hadoop.fs.Path(
+                              tdir.resolve("data").resolve(s).toUri))
+                          } else p0
+                        val fs = p.getFileSystem(conf)
+                        if (fs.exists(p)) { fs.delete(p, false); () }
+                      }
                       case _ => ()
                     }
                   }

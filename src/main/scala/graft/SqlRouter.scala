@@ -125,7 +125,7 @@ object SqlRouter {
   private val Analyze = """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*(?:COMPUTE\s+STATISTICS)?\s*""".r
 
   def execute(engine: Engine, sqlText: String): Result =
-    executeRouted(engine, stripIdentQuotes(sqlText))
+    executeRouted(engine, stripIdentQuotes(sqlText), sqlText)
 
   /** Backtick-quoted identifiers (standard mysqldump output) become
     * bare identifiers for ROUTING — outside string literals only, and
@@ -160,7 +160,12 @@ object SqlRouter {
     out.toString
   }
 
-  private def executeRouted(engine: Engine, sqlText: String): Result = sqlText match {
+  /** `sqlText` is the backtick-stripped form used for ROUTING only;
+    * `original` is what the client sent. The Catalyst fall-through gets
+    * the ORIGINAL: backticks quote reserved-word identifiers (`` `order` ``)
+    * and Spark parses them natively — stripping would turn previously-
+    * valid passthrough SQL into a parse error. */
+  private def executeRouted(engine: Engine, sqlText: String, original: String): Result = sqlText match {
     case CreateDb(name) => engine.createDatabase(name); ddl
     case DropDb(name) => engine.dropDatabase(name, cascade = true); ddl
     case UseDb(name) if !name.equalsIgnoreCase("database") =>
@@ -168,9 +173,7 @@ object SqlRouter {
     case CreateTableAs(name, query0) =>
       // A10 CTAS: analyze once for the schema, create, then insert the
       // same plan's result (a parenthesized source unwraps one layer)
-      val q1 = query0.trim
-      val query = if (q1.startsWith("(") && q1.endsWith(")"))
-        q1.substring(1, q1.length - 1) else q1
+      val query = unwrapParens(query0)
       val df = engine.sql(query)
       engine.createTable(name, df.schema)
       Result(None, engine.table(name).insert(df))
@@ -371,10 +374,39 @@ object SqlRouter {
         Option(mysqlCol).getOrElse(pgCol),
         StructType.fromDDL(s"x $colType").head.dataType)
       ddl
-    case q => Result(Some(engine.sql(q)), 0L)
+    case _ => Result(Some(engine.sql(original)), 0L)
   }
 
   private def ddl: Result = Result(None, -1L)
+
+  /** Strip ONE outer paren layer, only when the leading '(' actually
+    * closes at the trailing ')': `(SELECT a) UNION (SELECT b)` starts
+    * and ends with parens but they are NOT a pair, and naive stripping
+    * would hand Catalyst the invalid `SELECT a) UNION (SELECT b`.
+    * Quote-aware so a ')' inside a string literal can't end the scan. */
+  private[graft] def unwrapParens(q: String): String = {
+    val t = q.trim
+    if (!(t.startsWith("(") && t.endsWith(")"))) return t
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && i + 1 < t.length) i += 1
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0 && i < t.length - 1) return t // closes early: not a pair
+        case _ => ()
+      }
+      i += 1
+    }
+    if (depth == 0) t.substring(1, t.length - 1).trim else t
+  }
 
   /** Statement classification → command tag (A38,
     * `/root/reference/pgserver/stmt.go:37-101`: statement type decides

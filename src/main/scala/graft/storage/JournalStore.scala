@@ -112,14 +112,24 @@ class HadoopJournalStore(conf: org.apache.hadoop.conf.Configuration)
     } finally in.close()
   }
 
+  /** Stores with VERIFIED atomic rename-fails-when-destination-exists
+    * semantics — the contract the exclusive claim below depends on.
+    * An allowlist, not an s3 denylist: a connector with overwriting
+    * rename (gs, older wasb) would silently drop a concurrent writer's
+    * commit — the exact hazard the journal exists to prevent — so
+    * unknown schemes are refused, not trusted. */
+  protected def atomicRenameSchemes: Set[String] =
+    Set("hdfs", "webhdfs", "viewfs", "abfs", "abfss", "o3fs", "ofs")
+
   def writeExclusive(file: Path, bytes: Array[Byte]): Boolean = {
     val target = hp(file)
     if (isLocal(target)) return NioJournalStore.writeExclusive(file, bytes)
     val fs = fsOf(target)
     val scheme = fs.getUri.getScheme
-    require(!Set("s3", "s3a", "s3n").contains(scheme),
-      s"journal on $scheme needs a conditional-put claim (If-None-Match); " +
-        "plain rename is copy+delete there and cannot arbitrate writers")
+    require(atomicRenameSchemes.contains(scheme),
+      s"journal on '$scheme' is not on the verified atomic rename-if-absent " +
+        "allowlist; object stores (s3a, gs, wasb) need a conditional-put " +
+        "claim — use ConditionalPutJournalStore there")
     if (fs.exists(target)) return false
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       s"${target.getName}.tmp.${UUID.randomUUID()}")

@@ -340,7 +340,19 @@ object BinlogEventDecoder {
       if (size < 19 || pos + size > bytes.length) done = true // torn tail
       else {
         val frame = java.util.Arrays.copyOfRange(bytes, pos, pos + size.toInt)
-        if (first) { crc = crcValid(frame); first = false }
+        if (first) {
+          // Two independent signals must agree before trailers are
+          // stripped: (a) the FD event's checksum-algorithm byte — from
+          // 5.6.1 the last byte before the 4-byte trailer, 1 = CRC32 —
+          // and (b) an actual CRC32 match over the event bytes. The
+          // trailer check alone has 2^-32 false-positive odds on a
+          // checksum-free FD event, which would silently truncate 4
+          // bytes from EVERY event in the file with no diagnostic.
+          val algSaysCrc = (frame(4) & 0xff) == FormatDescriptionEvent &&
+            frame.length >= 24 && frame(frame.length - 5) == 1
+          crc = algSaysCrc && crcValid(frame)
+          first = false
+        }
         out += ((pos.toLong,
           if (crc) java.util.Arrays.copyOfRange(frame, 0, frame.length - 4)
           else frame))

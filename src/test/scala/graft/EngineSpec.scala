@@ -296,6 +296,26 @@ class EngineSpec extends SparkSpec {
     assert(!err.isInstanceOf[java.io.FileNotFoundException])
   }
 
+  test("vacuumDropped partial reclaim deletes data files even after a rename") {
+    val e = freshEngine()
+    e.createTable("r", xy)
+    e.table("r").insert(Seq((1, 1)).toDF("x", "y"))
+    // the dir moves main/r -> main/s; the journals move WITH it but
+    // their absolute file entries still name the pre-rename path —
+    // the java.nio string-delete silently failed on those (leak)
+    e.renameTable("r", "s")
+    e.dropTable("s")
+    e.createTable("s", xy) // live re-create forces the PARTIAL path
+    assert(e.vacuumDropped(minAgeMs = 0) === 1L)
+    import scala.jdk.CollectionConverters._
+    val dataDir = e.warehouse.resolve("main").resolve("s").resolve("data")
+    val leaked =
+      if (!java.nio.file.Files.isDirectory(dataDir)) Nil
+      else java.nio.file.Files.walk(dataDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(leaked === Nil) // the dropped generation's files are gone
+  }
+
   test("vacuumDropped spares a newer retired generation in its grace window") {
     val e = freshEngine()
     e.createTable("g", xy)

@@ -436,6 +436,32 @@ class SqlRouterSpec extends SparkSpec {
     assert(SqlRouter.stripIdentQuotes("SELECT `a b`") === "SELECT `a b`") // not an identifier
   }
 
+  // ------------------------------------------------------------------
+  // router review regressions (round 7)
+
+  test("backticked reserved words reach Catalyst UNSTRIPPED (fall-through)") {
+    val e = new Engine(spark, tmpDir("router_bt_kw"))
+    // `order` is a reserved word: stripping its backticks before the
+    // engine.sql fall-through turned valid SQL into a parse error
+    val r = exec(e, "SELECT 1 AS `order`").df.get
+    assert(r.columns.toSeq === Seq("order") && r.as[Int].head() === 1)
+    exec(e, "CREATE TABLE kw (id INT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO kw VALUES (1, 'a')")
+    assert(exec(e, "SELECT `v` FROM kw WHERE `id` = 1").df.get
+      .as[String].head() === "a")
+  }
+
+  test("CTAS paren-unwrap only strips a MATCHED outer pair") {
+    assert(SqlRouter.unwrapParens("(SELECT 1)") === "SELECT 1")
+    assert(SqlRouter.unwrapParens("(SELECT a) UNION ALL (SELECT b)") ===
+      "(SELECT a) UNION ALL (SELECT b)")
+    assert(SqlRouter.unwrapParens("(SELECT ')' AS x)") === "SELECT ')' AS x")
+    val e = new Engine(spark, tmpDir("router_ctas_union"))
+    exec(e, "CREATE TABLE u AS (SELECT 1 AS x) UNION ALL (SELECT 2 AS x)")
+    assert(exec(e, "SELECT x FROM u").df.get.as[Int].collect().sorted
+      === Array(1, 2))
+  }
+
   test("ALTER ADD accepts MySQL's NOT NULL DEFAULT order and comma types") {
     val e = new Engine(spark, tmpDir("router_alter_order"))
     exec(e, "CREATE TABLE ao (id INT PRIMARY KEY)")

@@ -87,10 +87,22 @@ class HadoopJournalSpec extends SparkSpec {
     }
   }
 
+  test("a scheme off the atomic-rename allowlist is refused, not trusted") {
+    // gs / wasb-style overwriting rename would silently drop a
+    // concurrent writer's commit; unknown schemes must hard-fail
+    val store = new HadoopJournalStore(spark.sessionState.newHadoopConf()) {
+      override protected def isLocal(p: org.apache.hadoop.fs.Path) = false
+    }
+    val err = intercept[IllegalArgumentException](
+      store.writeExclusive(tmpDir("hj_refuse").resolve("v1.json"), Array[Byte](1)))
+    assert(err.getMessage.contains("allowlist"))
+  }
+
   test("rename-if-absent claim: first writer wins, loser sees false") {
     // force the non-local arm (temp write + rename) on a local FS
     val store = new HadoopJournalStore(spark.sessionState.newHadoopConf()) {
       override protected def isLocal(p: org.apache.hadoop.fs.Path) = false
+      override protected def atomicRenameSchemes = Set("file")
     }
     val dir = tmpDir("hj_claim")
     val slot = dir.resolve("v000000007.json")

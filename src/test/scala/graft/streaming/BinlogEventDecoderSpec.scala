@@ -218,14 +218,17 @@ class BinlogEventDecoderSpec extends SparkSpec {
     bytes(sized, le(crc.getValue, 4))
   }
 
-  private def fde(): Array[Byte] =
+  /** `alg` >= 0 appends the 5.6.1+ checksum-algorithm byte (1 = CRC32,
+    * 0 = none) as the last body byte; -1 models a pre-5.6.1 FDE. */
+  private def fde(alg: Int = -1): Array[Byte] =
     event(15, 0L, bytes(le(4L, 2), Array.fill(50)(0.toByte), le(0L, 4),
-      Array(19.toByte), Array.fill(39)(0.toByte)))
+      Array(19.toByte), Array.fill(39)(0.toByte),
+      if (alg >= 0) Array(alg.toByte) else Array.empty[Byte]))
 
   private val magic = Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
 
   test("splitFile: CRC32 trailers are detected via the FDE and stripped") {
-    val evs = Seq(fde(), gtid(7L), tableMap(Tid, "db1", "t", 2),
+    val evs = Seq(fde(1), gtid(7L), tableMap(Tid, "db1", "t", 2),
       writeRows(Tid, rowImg(Some(4L), Some("d"))), xid())
     val file = bytes((magic +: evs.map(withCrc)): _*)
     val frames = BinlogEventDecoder.splitFile(file)
@@ -246,6 +249,16 @@ class BinlogEventDecoderSpec extends SparkSpec {
       evs.map(_.toSeq))
   }
 
+  test("splitFile: a CRC-colliding trailer alone does not strip (alg byte must agree)") {
+    // adversarial 2^-32 case: the FDE's declared alg byte says "no
+    // checksum" (0) yet its last 4 bytes happen to CRC-match — the
+    // single-signal r6 detector would truncate every event in the file
+    val f = withCrc(fde(0)) // CRC-valid trailer, alg byte = none
+    val file = bytes(magic, f, gtid(1L))
+    val frames = BinlogEventDecoder.splitFile(file)
+    assert(frames.map(_._2.toSeq) === Seq(f.toSeq, gtid(1L).toSeq))
+  }
+
   test("splitFile: torn tail yields the complete-event prefix") {
     val whole = Seq(fde(), gtid(1L), tableMap(Tid, "db1", "t", 2))
     val torn = writeRows(Tid, rowImg(Some(1L), Some("a"))).dropRight(3)
@@ -264,7 +277,7 @@ class BinlogEventDecoderSpec extends SparkSpec {
     // two self-contained segments, non-GTID (BEGIN log_pos = txn_seq):
     // the SECOND file's transaction has a SMALLER log_pos — only the
     // txn_group (file name) keeps last-writer-wins ordering right
-    val seg1 = bytes((magic +: Seq(fde(), query("db1", "BEGIN", logPos = 900L),
+    val seg1 = bytes((magic +: Seq(fde(1), query("db1", "BEGIN", logPos = 900L),
       tableMap(Tid, "db1", "t", 2),
       writeRows(Tid, rowImg(Some(1L), Some("a")), rowImg(Some(2L), Some("b"))),
       xid()).map(withCrc)): _*)
@@ -397,13 +410,13 @@ class BinlogEventDecoderSpec extends SparkSpec {
       q.awaitTermination()
     }
     java.nio.file.Files.write(dir.resolve("binlog.000001"), seg(Seq(
-      fde(), gtid(1L), tableMap(Tid, "db1", "t", 2),
+      fde(1), gtid(1L), tableMap(Tid, "db1", "t", 2),
       writeRows(Tid, rowImg(Some(1L), Some("a"))), xid())))
     run()
     assert(table.read().orderBy("pk").as[(Long, String)].collect() ===
       Array((1L, "a")))
     java.nio.file.Files.write(dir.resolve("binlog.000002"), seg(Seq(
-      fde(), gtid(2L), tableMap(Tid, "db1", "t", 2),
+      fde(1), gtid(2L), tableMap(Tid, "db1", "t", 2),
       updateRows(Tid, rowImg(Some(1L), Some("a")), rowImg(Some(1L), Some("a2"))),
       writeRows(Tid, rowImg(Some(2L), Some("b"))), xid())))
     run() // restart: checkpoint skips segment 1, picks up segment 2
