@@ -145,3 +145,79 @@ class HadoopJournalStore(conf: org.apache.hadoop.conf.Configuration)
 
   def delete(file: Path): Unit = { fsOf(hp(file)).delete(hp(file), false); () }
 }
+
+/** The minimal object-store surface the journal needs, with the exact
+  * compare-and-set semantics S3 conditional writes ship
+  * (`PutObject` + `If-None-Match: *` → 412 when the key exists; GCS
+  * `ifGenerationMatch=0` and Azure `If-None-Match: *` are the same
+  * contract): a FLAT key namespace, no rename, no directories, and one
+  * atomic create-if-absent primitive. */
+trait ConditionalObjectApi {
+  /** Atomic create-if-absent — the `If-None-Match: *` PUT. True = the
+    * key was created with `bytes`; false = the key already existed
+    * (the 412 Precondition Failed arm), content untouched. Concurrent
+    * callers: exactly one true. */
+  def putIfAbsent(key: String, bytes: Array[Byte]): Boolean
+  def get(key: String): Option[Array[Byte]]
+  /** Keys starting with `prefix`, lexicographic (S3 list order). */
+  def listPrefix(prefix: String): Seq[String]
+  def delete(key: String): Unit
+}
+
+/** In-memory [[ConditionalObjectApi]] — the spec double for S3-family
+  * conditional writes. `ConcurrentHashMap.putIfAbsent` IS the CAS the
+  * real stores provide, so races exercised over this fake exercise the
+  * same arbitration the production path would. */
+final class InMemoryObjectStore extends ConditionalObjectApi {
+  private val objects =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    objects.putIfAbsent(key, bytes.clone()) == null
+
+  def get(key: String): Option[Array[Byte]] =
+    Option(objects.get(key)).map(_.clone())
+
+  def listPrefix(prefix: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    objects.keySet().asScala.filter(_.startsWith(prefix)).toSeq.sorted
+  }
+
+  def delete(key: String): Unit = { objects.remove(key); () }
+
+  def size: Int = objects.size()
+}
+
+/** Journal IO over an object store with conditional-put — the
+  * s3a/gs/wasb deployment shape [[HadoopJournalStore]] refuses. The
+  * exclusive slot claim is a SINGLE `If-None-Match: *` PUT: no temp
+  * file, no rename (object stores have none worth trusting), no
+  * partial-content window (a PUT is all-or-nothing). Directories don't
+  * exist in a flat keyspace, so `mkdirs` is a no-op and `list` is a
+  * prefix scan over `<dir>/` trimmed to immediate children — exactly
+  * how the reference treats its backup bucket layout
+  * (`/root/reference/storage/object_storage.go`). */
+final class ConditionalPutJournalStore(api: ConditionalObjectApi)
+    extends JournalStore {
+  private def key(p: Path): String = p.toString.replace('\\', '/')
+
+  def mkdirs(dir: Path): Unit = () // flat keyspace: nothing to create
+
+  def list(dir: Path): Seq[String] = {
+    val prefix = key(dir) + "/"
+    api.listPrefix(prefix)
+      .map(_.stripPrefix(prefix))
+      .filter(!_.contains('/')) // immediate children only
+  }
+
+  def exists(file: Path): Boolean = api.get(key(file)).isDefined
+
+  def read(file: Path): Array[Byte] =
+    api.get(key(file)).getOrElse(
+      throw new java.nio.file.NoSuchFileException(file.toString))
+
+  def writeExclusive(file: Path, bytes: Array[Byte]): Boolean =
+    api.putIfAbsent(key(file), bytes)
+
+  def delete(file: Path): Unit = api.delete(key(file))
+}
