@@ -65,6 +65,7 @@ object BinlogEventDecoder {
   private val UpdateRowsV2 = 31
   private val DeleteRowsV2 = 32
   private val GtidEvent = 33
+  private val PreviousGtidsEvent = 35
 
   final case class Change(relation: String, action: Int, group: String,
       server: Array[Byte], seq: Long, stmt: Long, values: Seq[Any])
@@ -76,7 +77,7 @@ object BinlogEventDecoder {
     * separates a TABLE_MAP from its rows) across batches. */
   final case class SlotSnapshot(group: String, server: Array[Byte],
       seq: Long, stmt: Long, tables: Map[Long, String],
-      executed: Map[String, Long] = Map.empty)
+      executed: Map[String, String] = Map.empty)
 
   object SlotState {
     def restore(snap: SlotSnapshot): SlotState = {
@@ -94,7 +95,7 @@ object BinlogEventDecoder {
       // in-progress txn is only marked executed at its commit marker,
       // after which no rows arrive before the next GTID resets this).
       st.skipTxn = st.server.nonEmpty && st.seq >= 0 &&
-        st.seq <= st.executed.getOrElse(st.sidHex, 0L)
+        GtidSet.contains(st.executed.getOrElse(st.sidHex, ""), st.seq)
       st
     }
   }
@@ -109,17 +110,20 @@ object BinlogEventDecoder {
     private[BinlogEventDecoder] var stmt: Long = 0L
     private[BinlogEventDecoder] var tables = Map.empty[Long, String]
     /** gtid_executed analog (the reference persists the same —
-      * `binlog_metadata_persistence.go`): per source id, the highest
-      * COMMITTED gno. A GTID at or under the watermark marks its whole
-      * transaction already-applied and its rows are skipped — what
-      * makes re-ingesting OVERLAPPING binlog segment files (the
-      * [[framesFromFiles]] hazard: dumps overlap, reconnects replay)
-      * deliver each transaction once. Gnos are monotone per source
-      * within a slot, so a single high-water Long per source suffices.
+      * `binlog_metadata_persistence.go`): per source id, the canonical
+      * INTERVAL-SET text of committed gnos ([[GtidSet]]). A GTID inside
+      * the set marks its whole transaction already-applied and its rows
+      * are skipped — what makes re-ingesting OVERLAPPING binlog segment
+      * files (the [[framesFromFiles]] hazard: dumps overlap, reconnects
+      * replay) deliver each transaction once. Interval sets, not a
+      * high-water gno, because a multi-threaded-replication upstream
+      * commits gnos OUT OF ORDER — a high-water mark that saw gno 5
+      * would wrongly skip a re-streamed, never-applied gno 3.
       * Marked at the commit marker (XID / GTID-mode DDL), never
-      * mid-transaction. Non-GTID upstreams have no watermark —
-      * downstream condense+merge idempotence is the (weaker) guard. */
-    private[BinlogEventDecoder] var executed = Map.empty[String, Long]
+      * mid-transaction; bootstrapped by each file's PREVIOUS_GTIDS
+      * event. Non-GTID upstreams have no watermark — downstream
+      * condense+merge idempotence is the (weaker) guard. */
+    private[BinlogEventDecoder] var executed = Map.empty[String, String]
     private[BinlogEventDecoder] var skipTxn = false
 
     def snapshot: SlotSnapshot =
@@ -160,12 +164,36 @@ object BinlogEventDecoder {
           server = java.util.Arrays.copyOfRange(frame, b + 1, b + 17)
           seq = uint(frame, b + 17, 8)
           stmt = 0L
-          skipTxn = seq <= executed.getOrElse(sidHex, 0L)
+          skipTxn = GtidSet.contains(executed.getOrElse(sidHex, ""), seq)
           Nil
         case XidEvent => // commit marker; coords already assigned
           if (!skipTxn && server.nonEmpty)
-            executed += sidHex -> math.max(seq, executed.getOrElse(sidHex, 0L))
+            executed += sidHex -> GtidSet.add(executed.getOrElse(sidHex, ""), seq)
           skipTxn = false
+          Nil
+        case PreviousGtidsEvent =>
+          // gtid_executed bootstrap, heading every binlog file (5.6+):
+          // n_sids(8), then per sid: sid(16), n_intervals(8), then per
+          // interval start(8) + end(8) with end EXCLUSIVE. Unioned, not
+          // assigned — this slot may already have processed segments
+          // past what the file's header records.
+          var p = b
+          val nSids = uint(frame, p, 8); p += 8
+          var i = 0L
+          while (i < nSids) {
+            val sid = java.util.Arrays.copyOfRange(frame, p, p + 16)
+            val hex = sid.map(x => f"$x%02x").mkString
+            p += 16
+            val nIv = uint(frame, p, 8); p += 8
+            val iv = Vector.newBuilder[(Long, Long)]
+            var j = 0L
+            while (j < nIv) {
+              iv += ((uint(frame, p, 8), uint(frame, p + 8, 8) - 1))
+              p += 16; j += 1
+            }
+            executed += hex -> GtidSet.union(executed.getOrElse(hex, ""), iv.result())
+            i += 1
+          }
           Nil
         case QueryEvent =>
           val schemaLen = frame(b + 8) & 0xff
@@ -190,7 +218,7 @@ object BinlogEventDecoder {
                 Seq.fill[Any](specs(rel).size)(null))
               // the DDL QUERY is its own commit marker (no XID follows)
               if (!skipTxn && server.nonEmpty)
-                executed += sidHex -> math.max(seq, executed.getOrElse(sidHex, 0L))
+                executed += sidHex -> GtidSet.add(executed.getOrElse(sidHex, ""), seq)
               skipTxn = false
               out
             case _ => Nil // other DDL is a catalog concern, not row data

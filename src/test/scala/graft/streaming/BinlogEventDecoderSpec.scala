@@ -360,6 +360,68 @@ class BinlogEventDecoderSpec extends SparkSpec {
     assert(next.map(_.seq) === Seq(8L))
   }
 
+  private def gtidFrom(src: Array[Byte], gno: Long): Array[Byte] =
+    event(33, 0L, bytes(Array(0.toByte), src, le(gno, 8)))
+
+  /** PREVIOUS_GTIDS (35): n_sids(8), then per sid: sid(16),
+    * n_intervals(8), then start(8) + end(8) with end EXCLUSIVE. */
+  private def previousGtids(sets: (Array[Byte], Seq[(Long, Long)])*): Array[Byte] =
+    event(35, 0L, bytes((le(sets.size.toLong, 8) +: sets.flatMap {
+      case (src, ivs) =>
+        bytes(src, le(ivs.size.toLong, 8)) +:
+          ivs.map { case (a, bEx) => bytes(le(a, 8), le(bEx, 8)) }
+    }): _*))
+
+  test("MTS out-of-order commits: a high-water mark would wrongly skip") {
+    // a logical-clock parallel applier commits gno 5 BEFORE gno 3; the
+    // re-streamed overlap then ships 3 (never applied) and 5 (applied).
+    // The interval set {5} lets 3 through once and swallows 5.
+    val out = decode(Seq(
+      gtid(5L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(5L), Some("e"))), xid(),
+      gtid(3L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(3L), Some("c"))), xid(),
+      gtid(5L), tableMap(Tid, "db1", "t", 2), // replay of the applied txn
+      writeRows(Tid, rowImg(Some(5L), Some("e"))), xid(),
+      gtid(3L), tableMap(Tid, "db1", "t", 2), // replay of the now-applied txn
+      writeRows(Tid, rowImg(Some(3L), Some("c"))), xid()))
+      .select("pk", "txn_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(out === Array((3L, 3L), (5L, 5L))) // each exactly once
+  }
+
+  test("two sources keep independent executed interval sets") {
+    val s2: Array[Byte] = (101 to 116).map(_.toByte).toArray
+    val out = decode(Seq(
+      gtidFrom(sid, 10L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("a"))), xid(),
+      gtidFrom(s2, 5L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(2L), Some("b"))), xid(),
+      // s2's gno 5 replays: skipped; s1's gno 9 never applied: delivered
+      // (under a shared or high-water scheme either could go wrong)
+      gtidFrom(s2, 5L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(2L), Some("b"))), xid(),
+      gtidFrom(sid, 9L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(3L), Some("c"))), xid()))
+      .select("pk", "txn_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out === Array((1L, 10L), (2L, 5L), (3L, 9L)))
+  }
+
+  test("PREVIOUS_GTIDS bootstraps the executed set (gtid_executed header)") {
+    // the file header says sid has executed 1-3 (exclusive end 4):
+    // txn 2 is a replay, txn 4 is new
+    val out = decode(Seq(
+      previousGtids(sid -> Seq((1L, 4L))),
+      gtid(2L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(1L), Some("stale"))), xid(),
+      gtid(4L), tableMap(Tid, "db1", "t", 2),
+      writeRows(Tid, rowImg(Some(2L), Some("new"))), xid()))
+      .select("pk", "val", "txn_seq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out === Array((2L, "new", 4L)))
+  }
+
   test("single-slot segment mode: an overlapping later file replays nothing") {
     val dir = tmpDir("binlog_overlap_segments")
     def seg(evs: Seq[Array[Byte]]): Array[Byte] = bytes((magic +: evs): _*)
