@@ -97,6 +97,40 @@ object FrameLog {
       out.writeLong(off); out.writeInt(bytes.length); out.write(bytes)
     } finally out.close()
   }
+
+  /** Producer-restart resume point: the position stamp of the last
+    * COMPLETE record in a slot's log (a torn tail is skipped, same
+    * rule the reader uses). The log itself is the durable position
+    * store — what was appended IS what was flushed. */
+  def lastOffset(dir: java.nio.file.Path, slot: String): Option[Long] = {
+    val f = dir.resolve(slot + Suffix)
+    if (!java.nio.file.Files.exists(f)) return None
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      val hdr = java.nio.ByteBuffer.allocate(HeaderLen)
+      var pos = 0L
+      var last = Option.empty[Long]
+      var done = false
+      while (!done && pos + HeaderLen <= size) {
+        hdr.clear()
+        var read = 0
+        while (read < HeaderLen) {
+          val n = ch.read(hdr, pos + read)
+          if (n < 0) { done = true; read = HeaderLen } else read += n
+        }
+        if (!done) {
+          hdr.flip()
+          val off = hdr.getLong
+          val len = hdr.getInt
+          if (len < 0 || pos + HeaderLen + len > size) done = true // torn tail
+          else { last = Some(off); pos += HeaderLen + len }
+        }
+      }
+      last
+    } finally ch.close()
+  }
 }
 
 private[streaming] class FrameLogTable(path: String, maxFrames: Option[Long])

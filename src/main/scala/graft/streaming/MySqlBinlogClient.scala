@@ -1,0 +1,324 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream, IOException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets
+
+/** MySQL binlog replication client daemon — the producer half of the C1
+  * connector (reference: the replica applier performs the handshake,
+  * requests the dump, and tolerates heartbeats/reconnects itself,
+  * `/root/reference/binlogreplication/binlog_replica_applier.go:108-482`).
+  * Speaks the PUBLIC client/server protocol:
+  *
+  *   initial handshake → HandshakeResponse41 (mysql_native_password
+  *   scramble) → `SET @master_binlog_checksum = @@global.binlog_checksum`
+  *   → COM_BINLOG_DUMP_GTID(executed gtid set) → event packets.
+  *
+  * Every binlog event frame is appended to `dir/<slot>.framelog` with a
+  * MONOTONE sequence stamp — the `(off, payload)` shape
+  * [[FrameLogSource]] serves and [[BinlogEventDecoder]] consumes.
+  * Heartbeat events (type 27) are transport-only and are NOT appended —
+  * they never appear in a binlog (the reference skips them the same
+  * way, `binlog_replica_applier.go:756-760`).
+  *
+  * Resume: the client tracks its own executed-GTID interval set
+  * ([[GtidSet]]) by watching GTID/XID envelopes as they pass — the same
+  * bookkeeping the reference persists in its position store
+  * (`binlog_metadata_persistence.go`) — persists it to
+  * `dir/<slot>.gtidpos` (atomic tmp+move) at commit points, and asks
+  * the server for everything OUTSIDE that set on (re)connect. A stale
+  * set after a crash only means overlap re-ships, which the decoder's
+  * own executed watermark drops — delivery stays exactly-once without
+  * the client and decoder sharing state. */
+final class MySqlBinlogClient(
+    host: String,
+    port: Int,
+    user: String,
+    password: String,
+    slot: String,
+    dir: java.nio.file.Path,
+    serverId: Long = 54321L,
+    reconnectBackoffMs: Long = 200L,
+    maxRetries: Int = 5,
+    connectTimeoutMs: Int = 4000) {
+
+  @volatile private var stopped = false
+  @volatile private var socket: Socket = _
+  @volatile var lastError: Option[Throwable] = None
+  @volatile var framesAppended: Long = 0L
+  @volatile var reconnects: Long = 0L
+  /** sid hex → canonical interval text ([[GtidSet]]). */
+  @volatile var executed: Map[String, String] = Map.empty
+
+  private var thread: Thread = _
+  private def posFile = dir.resolve(slot + ".gtidpos")
+
+  def start(): MySqlBinlogClient = {
+    loadPosition()
+    thread = new Thread(() => run(), s"mysql-repl-$slot")
+    thread.setDaemon(true)
+    thread.start()
+    this
+  }
+
+  def stop(): Unit = {
+    stopped = true
+    Option(socket).foreach(s => try s.close() catch { case _: IOException => () })
+    Option(thread).foreach(_.join(10000))
+    savePosition()
+  }
+
+  def isRunning: Boolean = Option(thread).exists(_.isAlive)
+
+  def run(): Unit = {
+    var failures = 0
+    while (!stopped && failures <= maxRetries) {
+      try {
+        streamOnce()
+        failures = 0
+        if (!stopped) { reconnects += 1; sleep(reconnectBackoffMs) }
+      } catch {
+        case _: Throwable if stopped => ()
+        case e: Throwable =>
+          lastError = Some(e)
+          failures += 1
+          savePosition()
+          if (!stopped && failures <= maxRetries) {
+            reconnects += 1
+            sleep(reconnectBackoffMs * failures)
+          }
+      }
+    }
+  }
+
+  private def sleep(ms: Long): Unit =
+    try Thread.sleep(ms) catch { case _: InterruptedException => () }
+
+  // --------------------------------------------------------------
+  // gtid position persistence (`sid_hex:intervals` lines)
+
+  private def loadPosition(): Unit = {
+    if (!java.nio.file.Files.exists(posFile)) return
+    val lines = new String(java.nio.file.Files.readAllBytes(posFile),
+      StandardCharsets.UTF_8).linesIterator
+    executed = lines.filter(_.nonEmpty).map { l =>
+      val Array(sid, ivs) = l.split("=", 2)
+      sid -> ivs
+    }.toMap
+  }
+
+  private def savePosition(): Unit = {
+    val body = executed.toSeq.sorted.map { case (s, iv) => s"$s=$iv" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8)
+    val tmp = posFile.resolveSibling(posFile.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp, body)
+    java.nio.file.Files.move(tmp, posFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // --------------------------------------------------------------
+  // one connection's lifetime
+
+  private def streamOnce(): Unit = {
+    val s = new Socket()
+    socket = s
+    s.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    val in = new DataInputStream(s.getInputStream)
+    val out = new DataOutputStream(s.getOutputStream)
+    val log = new FrameAppender(dir, slot)
+    var off = FrameLog.lastOffset(dir, slot).getOrElse(-1L)
+    try {
+      handshake(in, out)
+      // real servers refuse a dump without the checksum handshake
+      query(in, out, "SET @master_binlog_checksum = @@global.binlog_checksum")
+      sendBinlogDumpGtid(out)
+      // in-flight txn coords for the client's own executed bookkeeping
+      var curSid: String = null
+      var curGno = -1L
+      var sinceSave = 0
+      while (!stopped) {
+        val p = readPacket(in)
+        (p(0) & 0xff) match {
+          case 0xff => throw new IOException(s"server error: ${errText(p)}")
+          case 0xfe if p.length < 9 =>
+            throw new IOException("server ended the dump (EOF)")
+          case 0x00 =>
+            val frame = java.util.Arrays.copyOfRange(p, 1, p.length)
+            val evType = frame(4) & 0xff
+            if (evType == 27) () // heartbeat: transport-only, not logged
+            else {
+              off += 1
+              log.append(off, frame)
+              framesAppended += 1
+              evType match {
+                case 33 => // GTID: flags(1) sid(16) gno(8) after the header
+                  curSid = (19 + 1 until 19 + 17)
+                    .map(i => f"${frame(i)}%02x").mkString
+                  curGno = LittleEndian.uint(frame, 19 + 17, 8)
+                case 16 => // XID commit marker
+                  if (curSid != null && curGno > 0) {
+                    executed += curSid ->
+                      GtidSet.add(executed.getOrElse(curSid, ""), curGno)
+                    sinceSave += 1
+                    if (sinceSave >= 64) { log.flush(); savePosition(); sinceSave = 0 }
+                  }
+                case _ => ()
+              }
+            }
+          case other =>
+            throw new IOException(f"unexpected packet first byte 0x$other%02x")
+        }
+      }
+    } finally {
+      log.close()
+      savePosition()
+      try s.close() catch { case _: IOException => () }
+    }
+  }
+
+  // --------------------------------------------------------------
+  // packet plumbing (3-byte LE length + 1-byte seq; >16MB-1 payloads
+  // continue in follow-up packets)
+
+  private var seq = 0
+
+  private def readPacket(in: DataInputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var more = true
+    while (more) {
+      val hdr = new Array[Byte](4)
+      in.readFully(hdr)
+      val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
+      seq = (hdr(3) & 0xff) + 1
+      val body = new Array[Byte](len)
+      in.readFully(body)
+      out.write(body)
+      more = len == 0xffffff
+    }
+    out.toByteArray
+  }
+
+  private def writePacket(out: DataOutputStream, payload: Array[Byte]): Unit = {
+    out.writeByte(payload.length & 0xff)
+    out.writeByte((payload.length >> 8) & 0xff)
+    out.writeByte((payload.length >> 16) & 0xff)
+    out.writeByte(seq & 0xff)
+    seq += 1
+    out.write(payload)
+    out.flush()
+  }
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+
+  private def cstrAt(d: Array[Byte], p: Int): (String, Int) = {
+    val end = d.indexOf(0.toByte, p)
+    (new String(d, p, end - p, StandardCharsets.UTF_8), end + 1)
+  }
+
+  private def errText(p: Array[Byte]): String =
+    // ERR: 0xff code(2) [sqlstate marker+5 with PROTOCOL_41] message
+    new String(p, 9, p.length - 9, StandardCharsets.UTF_8)
+
+  // --------------------------------------------------------------
+  // handshake (public HandshakeV10 / HandshakeResponse41 layout)
+
+  private def handshake(in: DataInputStream, out: DataOutputStream): Unit = {
+    seq = 0
+    val hs = readPacket(in)
+    require((hs(0) & 0xff) == 10, s"unsupported protocol version ${hs(0)}")
+    var p = 1
+    val (_, p1) = cstrAt(hs, p); p = p1 // server version
+    p += 4 // thread id
+    val scramble1 = java.util.Arrays.copyOfRange(hs, p, p + 8)
+    p += 8 + 1 // auth-data-1 + filler
+    p += 2 // capabilities lower
+    val scramble: Array[Byte] =
+      if (p >= hs.length) scramble1
+      else {
+        p += 1 + 2 + 2 // charset + status + capabilities upper
+        val authLen = hs(p) & 0xff
+        p += 1 + 10 // auth data len + reserved
+        val len2 = math.max(13, authLen - 8) - 1 // trailing NUL excluded
+        val scramble2 = java.util.Arrays.copyOfRange(hs, p, p + len2)
+        scramble1 ++ scramble2
+      }
+    // HandshakeResponse41: LONG_PASSWORD | PROTOCOL_41 |
+    // SECURE_CONNECTION | PLUGIN_AUTH
+    val caps = 0x00000001L | 0x00000200L | 0x00008000L | 0x00080000L
+    val token = nativePasswordToken(scramble)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(le(caps, 4))
+    body.write(le(1L << 24, 4)) // max packet
+    body.write(33) // utf8
+    body.write(new Array[Byte](23))
+    body.write(user.getBytes(StandardCharsets.UTF_8)); body.write(0)
+    body.write(token.length); body.write(token)
+    body.write("mysql_native_password".getBytes(StandardCharsets.UTF_8))
+    body.write(0)
+    writePacket(out, body.toByteArray)
+    val ok = readPacket(in)
+    if ((ok(0) & 0xff) == 0xff)
+      throw new IOException(s"authentication failed: ${errText(ok)}")
+  }
+
+  /** mysql_native_password: SHA1(pass) XOR SHA1(scramble ++ SHA1(SHA1(pass))). */
+  private def nativePasswordToken(scramble: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.empty
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+    val h1 = sha.digest(password.getBytes(StandardCharsets.UTF_8))
+    sha.reset()
+    val h2 = sha.digest(h1)
+    sha.reset()
+    sha.update(scramble.take(20))
+    sha.update(h2)
+    val h3 = sha.digest()
+    h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
+  }
+
+  /** COM_QUERY whose statement returns OK (SET/FLUSH-style). */
+  private def query(in: DataInputStream, out: DataOutputStream,
+      sql: String): Unit = {
+    seq = 0
+    writePacket(out, Array(0x03.toByte) ++ sql.getBytes(StandardCharsets.UTF_8))
+    val r = readPacket(in)
+    if ((r(0) & 0xff) == 0xff)
+      throw new IOException(s"query failed: ${errText(r)}")
+  }
+
+  /** COM_BINLOG_DUMP_GTID: flags(2)=THROUGH_GTID, server_id(4),
+    * name_len(4)+name, pos(8), gtid_data_len(4)+gtid_data, where
+    * gtid_data = n_sids(8) then per sid sid(16), n_intervals(8), then
+    * start(8), end(8) with end EXCLUSIVE — the same encoding
+    * PREVIOUS_GTIDS carries. */
+  private def sendBinlogDumpGtid(out: DataOutputStream): Unit = {
+    seq = 0
+    val gtidData = encodeGtidSet()
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(0x1e) // COM_BINLOG_DUMP_GTID
+    body.write(le(0x04L, 2)) // BINLOG_THROUGH_GTID
+    body.write(le(serverId, 4))
+    body.write(le(0L, 4)) // empty binlog file name
+    body.write(le(4L, 8)) // position: start of any file
+    body.write(le(gtidData.length.toLong, 4))
+    body.write(gtidData)
+    writePacket(out, body.toByteArray)
+  }
+
+  private def encodeGtidSet(): Array[Byte] = {
+    val sets = executed.toSeq.sortBy(_._1)
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(le(sets.size.toLong, 8))
+    sets.foreach { case (sidHex, text) =>
+      val sid = sidHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      b.write(sid)
+      val iv = GtidSet.parse(text)
+      b.write(le(iv.size.toLong, 8))
+      iv.foreach { case (a, bIncl) =>
+        b.write(le(a, 8)); b.write(le(bIncl + 1, 8)) // end exclusive
+      }
+    }
+    b.toByteArray
+  }
+}

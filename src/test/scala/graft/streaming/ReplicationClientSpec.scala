@@ -1,0 +1,402 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets
+
+import graft.SparkSpec
+import graft.storage.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Live replication clients driven end-to-end against SCRIPTED fake
+  * server sockets: connect → stream → disconnect → reconnect-resume,
+  * with the resulting framelog decoded and merged, final table state
+  * checked against the expected rows. The fakes speak the same public
+  * wire bytes a real primary would, and ASSERT on what the client
+  * sends (resume LSN / requested GTID set / auth token), so protocol
+  * regressions fail here, not against a live server. */
+class ReplicationClientSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def await(what: String, timeoutMs: Long = 30000L)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond) {
+      if (System.currentTimeMillis() > deadline) fail(s"timed out waiting: $what")
+      Thread.sleep(20)
+    }
+  }
+
+  // ==================================================================
+  // PostgreSQL: START_REPLICATION + standby-status LSN feedback
+
+  private object pg {
+    def be(n: Long, bytes: Int): Array[Byte] =
+      (0 until bytes).reverseIterator.map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
+    def cstr(s: String): Array[Byte] = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      java.util.Arrays.copyOf(b, b.length + 1)
+    }
+    def cat(parts: Array[Byte]*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach(out.write)
+      out.toByteArray
+    }
+    // pgoutput message builders (same public layout the decoder spec uses)
+    def begin(lsn: Long, xid: Long): Array[Byte] =
+      cat(Array('B'.toByte), be(lsn, 8), be(0L, 8), be(xid, 4))
+    def commitMsg(lsn: Long): Array[Byte] =
+      cat(Array('C'.toByte, 0.toByte), be(lsn, 8), be(lsn + 1, 8), be(0L, 8))
+    def relation(oid: Int, ns: String, name: String,
+        cols: (String, Int)*): Array[Byte] =
+      cat(Seq(Array('R'.toByte), be(oid, 4), cstr(ns), cstr(name),
+        Array('d'.toByte), be(cols.size, 2)) ++
+        cols.flatMap { case (cn, typ) =>
+          Seq(Array(0.toByte), cstr(cn), be(typ, 4), be(0xffffffffL, 4))
+        }: _*)
+    def tup(vals: Option[String]*): Array[Byte] =
+      cat(Seq(be(vals.size, 2)) ++ vals.map {
+        case Some(s) =>
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          cat(Array('t'.toByte), be(b.length, 4), b)
+        case None => Array('n'.toByte)
+      }: _*)
+    def insert(oid: Int, t: Array[Byte]): Array[Byte] =
+      cat(Array('I'.toByte), be(oid, 4), Array('N'.toByte), t)
+    def update(oid: Int, t: Array[Byte]): Array[Byte] =
+      cat(Array('U'.toByte), be(oid, 4), Array('N'.toByte), t)
+
+    // server-side protocol plumbing
+    def readStartup(in: DataInputStream): String = {
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      new String(body, StandardCharsets.UTF_8)
+    }
+    def readMsg(in: DataInputStream): (Char, Array[Byte]) = {
+      val tpe = in.readByte().toChar
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      (tpe, body)
+    }
+    def writeMsg(out: DataOutputStream, tpe: Char, body: Array[Byte]): Unit = {
+      out.writeByte(tpe)
+      out.writeInt(4 + body.length)
+      out.write(body)
+      out.flush()
+    }
+    def authOkReady(out: DataOutputStream): Unit = {
+      writeMsg(out, 'R', be(0L, 4))
+      writeMsg(out, 'Z', Array('I'.toByte))
+    }
+    def xlog(out: DataOutputStream, walStart: Long, payload: Array[Byte]): Unit =
+      writeMsg(out, 'd', cat(Array('w'.toByte), be(walStart, 8),
+        be(walStart, 8), be(0L, 8), payload))
+    def keepalive(out: DataOutputStream, walEnd: Long, reply: Boolean): Unit =
+      writeMsg(out, 'd', cat(Array('k'.toByte), be(walEnd, 8), be(0L, 8),
+        Array((if (reply) 1 else 0).toByte)))
+    def startLsn(sql: String): Long = {
+      val m = """LOGICAL ([0-9A-F]+)/([0-9A-F]+)""".r.findFirstMatchIn(sql).get
+      (java.lang.Long.parseLong(m.group(1), 16) << 32) |
+        java.lang.Long.parseLong(m.group(2), 16)
+    }
+  }
+
+  test("pg client: stream → LSN feedback → disconnect → resume → merge") {
+    val dir = tmpDir("pgrepl_log")
+    val relOid = 16384
+    val rel = pg.relation(relOid, "public", "t", ("pk", 20), ("val", 1043))
+    val requestedLsns = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val statusFlushes = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val startupParams = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+
+    val server = new ServerSocket(0)
+    val fake = new Thread(() => {
+      try {
+        // ---- session 1
+        val s1 = server.accept()
+        val in1 = new DataInputStream(s1.getInputStream)
+        val out1 = new DataOutputStream(s1.getOutputStream)
+        startupParams.add(pg.readStartup(in1))
+        pg.authOkReady(out1)
+        val (q1, body1) = pg.readMsg(in1)
+        assert(q1 === 'Q')
+        val sql1 = new String(body1, 0, body1.length - 1, StandardCharsets.UTF_8)
+        requestedLsns.add(pg.startLsn(sql1))
+        pg.writeMsg(out1, 'W', pg.cat(Array(0.toByte), pg.be(0L, 2)))
+        // txn 1: insert (1,'a') — distinct walStart per message
+        pg.xlog(out1, 100L, pg.begin(100L, 9L))
+        pg.xlog(out1, 101L, rel)
+        pg.xlog(out1, 102L, pg.insert(relOid, pg.tup(Some("1"), Some("a"))))
+        pg.xlog(out1, 103L, pg.commitMsg(100L))
+        pg.keepalive(out1, 103L, reply = true)
+        // the client's standby status must report flush = last appended + 1
+        val (t1, st1) = pg.readMsg(in1)
+        assert(t1 === 'd' && st1(0) === 'r'.toByte)
+        statusFlushes.add(BigInt(st1.slice(9, 17)).toLong)
+        s1.close() // abrupt disconnect mid-stream
+        // ---- session 2: the client reconnects and resumes
+        val s2 = server.accept()
+        val in2 = new DataInputStream(s2.getInputStream)
+        val out2 = new DataOutputStream(s2.getOutputStream)
+        pg.readStartup(in2)
+        pg.authOkReady(out2)
+        val (_, body2) = pg.readMsg(in2)
+        val sql2 = new String(body2, 0, body2.length - 1, StandardCharsets.UTF_8)
+        requestedLsns.add(pg.startLsn(sql2))
+        pg.writeMsg(out2, 'W', pg.cat(Array(0.toByte), pg.be(0L, 2)))
+        // txn 2: update (1,'a2'), insert (2,'b')
+        pg.xlog(out2, 200L, pg.begin(200L, 10L))
+        pg.xlog(out2, 201L, rel)
+        pg.xlog(out2, 202L, pg.update(relOid, pg.tup(Some("1"), Some("a2"))))
+        pg.xlog(out2, 203L, pg.insert(relOid, pg.tup(Some("2"), Some("b"))))
+        pg.xlog(out2, 204L, pg.commitMsg(200L))
+        // hold the connection open until the test stops the client
+        try in2.readByte() catch { case _: Throwable => () }
+        s2.close()
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "fake-pg-primary")
+    fake.start()
+
+    val client = new PgReplicationClient("127.0.0.1", server.getLocalPort,
+      "repl", "db1", "s1", "pub1", dir, statusIntervalMs = 60000L).start()
+    try {
+      await("all 9 frames appended")(client.framesAppended == 9L)
+      assert(client.reconnects >= 1L)
+    } finally {
+      client.stop()
+      server.close()
+      fake.join(5000)
+    }
+    assert(serverErr.get() === null,
+      s"fake server assertion failed: ${serverErr.get()}")
+    // what the client TOLD the server
+    assert(startupParams.get(0).contains("replication\u0000database\u0000"))
+    assert(requestedLsns.get(0) === 1L) // empty log: resume from the start
+    assert(statusFlushes.get(0) === 104L) // flushed through walStart 103
+    assert(requestedLsns.get(1) === 104L) // reconnect resumes past txn 1
+
+    // the framelog decodes + merges to the expected final table state
+    val table = GraftTable.create(spark, tmpDir("pgrepl_tbl"),
+      StructType(Seq(StructField("pk", LongType), StructField("val", StringType))),
+      Seq("pk"))
+    val frames = spark.read.format("framelog").load(dir.toString)
+    val changes = PgOutputDecoder.decodeSlotStreams(frames,
+      "slot", "off", "payload", "public.t", StructType(Seq(
+        StructField("pk", LongType), StructField("val", StringType))))
+    CdcMerge.applyBatch(table, changes)
+    assert(table.read().orderBy("pk").as[(Long, String)].collect() ===
+      Array((1L, "a2"), (2L, "b")))
+  }
+
+  // ==================================================================
+  // MySQL: handshake + COM_BINLOG_DUMP_GTID + heartbeat/reconnect
+
+  private object my {
+    def le(n: Long, bytes: Int): Array[Byte] =
+      (0 until bytes).map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
+    def cat(parts: Array[Byte]*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach(out.write)
+      out.toByteArray
+    }
+    // binlog v4 event builders (same public layout the decoder spec uses)
+    def event(tpe: Int, logPos: Long, body: Array[Byte]): Array[Byte] =
+      cat(le(0L, 4), Array(tpe.toByte), le(1L, 4),
+        le(19L + body.length, 4), le(logPos, 4), le(0L, 2), body)
+    val sid: Array[Byte] = (1 to 16).map(_.toByte).toArray
+    val sidHex: String = sid.map(b => f"$b%02x").mkString
+    def gtid(gno: Long): Array[Byte] =
+      event(33, 0L, cat(Array(0.toByte), sid, le(gno, 8)))
+    def xid(): Array[Byte] = event(16, 0L, le(99L, 8))
+    def fde(): Array[Byte] =
+      event(15, 0L, cat(le(4L, 2), Array.fill(50)(0.toByte), le(0L, 4),
+        Array(19.toByte), Array.fill(39)(0.toByte)))
+    def heartbeat(): Array[Byte] =
+      event(27, 0L, "binlog.000001".getBytes(StandardCharsets.UTF_8))
+    def tableMap(tableId: Long, db: String, table: String, ncols: Int): Array[Byte] = {
+      val d = db.getBytes(StandardCharsets.UTF_8)
+      val t = table.getBytes(StandardCharsets.UTF_8)
+      event(19, 0L, cat(le(tableId, 6), le(1L, 2),
+        Array(d.length.toByte), d, Array(0.toByte),
+        Array(t.length.toByte), t, Array(0.toByte),
+        Array(ncols.toByte), Array.fill(ncols)(8.toByte), Array(0.toByte),
+        Array.fill((ncols + 7) / 8)(0.toByte)))
+    }
+    def rowImg(pkv: Long, v: String): Array[Byte] = {
+      val b = v.getBytes(StandardCharsets.UTF_8)
+      cat(Array(0.toByte), le(pkv, 8), Array(b.length.toByte), b)
+    }
+    def writeRows(tid: Long, imgs: Array[Byte]*): Array[Byte] =
+      event(30, 0L, cat((Seq(le(tid, 6), le(1L, 2), le(2L, 2),
+        Array(2.toByte), Array.fill(1)(0xff.toByte)) ++ imgs): _*))
+
+    // server-side packet plumbing
+    def readPacket(in: DataInputStream): Array[Byte] = {
+      val hdr = new Array[Byte](4)
+      in.readFully(hdr)
+      val len = (hdr(0) & 0xff) | ((hdr(1) & 0xff) << 8) | ((hdr(2) & 0xff) << 16)
+      val body = new Array[Byte](len)
+      in.readFully(body)
+      body
+    }
+    def writePacket(out: DataOutputStream, seq: Int, payload: Array[Byte]): Unit = {
+      out.writeByte(payload.length & 0xff)
+      out.writeByte((payload.length >> 8) & 0xff)
+      out.writeByte((payload.length >> 16) & 0xff)
+      out.writeByte(seq & 0xff)
+      out.write(payload)
+      out.flush()
+    }
+    val okPacket: Array[Byte] =
+      Array[Byte](0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00)
+    def handshakeV10(scramble: Array[Byte]): Array[Byte] = {
+      require(scramble.length == 20)
+      cat(Array(10.toByte),
+        "8.0.0-fake".getBytes(StandardCharsets.UTF_8), Array(0.toByte),
+        le(7L, 4), // thread id
+        scramble.take(8), Array(0.toByte), // auth-data-1 + filler
+        le(0xffffL, 2), // caps lower
+        Array(33.toByte), le(2L, 2), le(0x0008L, 2), // charset/status/caps upper
+        Array(21.toByte), Array.fill(10)(0.toByte), // auth len + reserved
+        scramble.drop(8), Array(0.toByte), // auth-data-2 + NUL
+        "mysql_native_password".getBytes(StandardCharsets.UTF_8), Array(0.toByte))
+    }
+    def expectedToken(password: String, scramble: Array[Byte]): Array[Byte] = {
+      val sha = java.security.MessageDigest.getInstance("SHA-1")
+      val h1 = sha.digest(password.getBytes(StandardCharsets.UTF_8))
+      sha.reset(); val h2 = sha.digest(h1)
+      sha.reset(); sha.update(scramble); sha.update(h2)
+      val h3 = sha.digest()
+      h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
+    }
+    /** HandshakeResponse41 → (user, auth token). */
+    def parseResponse(p: Array[Byte]): (String, Array[Byte]) = {
+      var q = 4 + 4 + 1 + 23
+      val end = p.indexOf(0.toByte, q)
+      val user = new String(p, q, end - q, StandardCharsets.UTF_8)
+      q = end + 1
+      val n = p(q) & 0xff
+      (user, java.util.Arrays.copyOfRange(p, q + 1, q + 1 + n))
+    }
+    /** COM_BINLOG_DUMP_GTID → requested executed set (sidHex → text). */
+    def parseDumpGtid(p: Array[Byte]): Map[String, String] = {
+      require((p(0) & 0xff) == 0x1e, "not COM_BINLOG_DUMP_GTID")
+      var q = 1 + 2 + 4
+      val nameLen = LittleEndian.uint(p, q, 4).toInt
+      q += 4 + nameLen + 8
+      q += 4 // data_size
+      val nSids = LittleEndian.uint(p, q, 8); q += 8
+      (0L until nSids).map { _ =>
+        val hex = (q until q + 16).map(i => f"${p(i)}%02x").mkString
+        q += 16
+        val nIv = LittleEndian.uint(p, q, 8); q += 8
+        val iv = (0L until nIv).map { _ =>
+          val a = LittleEndian.uint(p, q, 8)
+          val bEx = LittleEndian.uint(p, q + 8, 8)
+          q += 16
+          (a, bEx - 1)
+        }
+        hex -> GtidSet.format(iv.toVector)
+      }.toMap
+    }
+  }
+
+  test("mysql client: handshake → dump → heartbeat/disconnect → gtid resume → merge") {
+    val dir = tmpDir("myrepl_log")
+    val Tid = 7L
+    val scramble: Array[Byte] = (21 to 40).map(_.toByte).toArray
+    val dumpRequests = new java.util.concurrent.CopyOnWriteArrayList[Map[String, String]]()
+    val authSeen = new java.util.concurrent.CopyOnWriteArrayList[(String, Seq[Byte])]()
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+
+    val server = new ServerSocket(0)
+    def serveSession(events: Seq[Array[Byte]], closeAfter: Boolean): Unit = {
+      val s = server.accept()
+      val in = new DataInputStream(s.getInputStream)
+      val out = new DataOutputStream(s.getOutputStream)
+      my.writePacket(out, 0, my.handshakeV10(scramble))
+      val resp = my.parseResponse(my.readPacket(in))
+      authSeen.add((resp._1, resp._2.toSeq))
+      my.writePacket(out, 2, my.okPacket)
+      val q = my.readPacket(in) // SET @master_binlog_checksum
+      assert((q(0) & 0xff) == 0x03 && new String(q.drop(1), "UTF-8")
+        .toLowerCase.contains("master_binlog_checksum"))
+      my.writePacket(out, 1, my.okPacket)
+      dumpRequests.add(my.parseDumpGtid(my.readPacket(in)))
+      var seq = 1
+      events.foreach { e =>
+        my.writePacket(out, seq, my.cat(Array(0.toByte), e)); seq += 1
+      }
+      if (closeAfter) s.close()
+      else {
+        try in.readByte() catch { case _: Throwable => () }
+        s.close()
+      }
+    }
+    val fake = new Thread(() => {
+      try {
+        // session 1: two committed txns + a transport heartbeat, then drop
+        serveSession(Seq(
+          my.fde(),
+          my.gtid(100L), my.tableMap(Tid, "db1", "t", 2),
+          my.writeRows(Tid, my.rowImg(1L, "a")), my.xid(),
+          my.heartbeat(), // transport-only: must NOT reach the framelog
+          my.gtid(101L), my.tableMap(Tid, "db1", "t", 2),
+          my.writeRows(Tid, my.rowImg(2L, "b")), my.xid()),
+          closeAfter = true)
+        // session 2: replayed overlap (101) + genuinely new txn (102)
+        serveSession(Seq(
+          my.fde(),
+          my.gtid(101L), my.tableMap(Tid, "db1", "t", 2),
+          my.writeRows(Tid, my.rowImg(2L, "b")), my.xid(),
+          my.gtid(102L), my.tableMap(Tid, "db1", "t", 2),
+          my.writeRows(Tid, my.rowImg(3L, "c")), my.xid()),
+          closeAfter = false)
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "fake-mysql-primary")
+    fake.start()
+
+    val client = new MySqlBinlogClient("127.0.0.1", server.getLocalPort,
+      "repl", "secret", "m1", dir).start()
+    try {
+      await("all 18 binlog frames appended")(client.framesAppended == 18L)
+      assert(client.reconnects >= 1L)
+    } finally {
+      client.stop()
+      server.close()
+      fake.join(5000)
+    }
+    assert(serverErr.get() === null,
+      s"fake server assertion failed: ${serverErr.get()}")
+    // auth: the native-password token for 'secret' under our scramble
+    assert(authSeen.get(0)._1 === "repl")
+    assert(authSeen.get(0)._2 === my.expectedToken("secret", scramble).toSeq)
+    // resume: first dump asked for everything; the reconnect's request
+    // carried the executed set so the server can skip 100-101
+    assert(dumpRequests.get(0) === Map.empty)
+    assert(dumpRequests.get(1) === Map(my.sidHex -> "100-101"))
+    assert(client.executed === Map(my.sidHex -> "100-102"))
+    // the position survives a client restart (sidecar file)
+    val reborn = new MySqlBinlogClient("127.0.0.1", 1, "repl", "secret", "m1", dir)
+    reborn.start(); reborn.stop()
+    assert(reborn.executed === Map(my.sidHex -> "100-102"))
+
+    // decode + merge: the replayed txn 101 must deliver exactly once
+    val specs = Seq(BinlogRowDecoder.ColSpec("pk", BinlogRowDecoder.Int64),
+      BinlogRowDecoder.ColSpec("val", BinlogRowDecoder.Varchar(40)))
+    val frames = spark.read.format("framelog").load(dir.toString)
+    val changes = BinlogEventDecoder.decodeSlotStreams(frames,
+      "slot", "off", "payload", "db1.t", specs)
+    assert(changes.count() === 3L) // 101's replay swallowed by the watermark
+    val table = GraftTable.create(spark, tmpDir("myrepl_tbl"),
+      StructType(Seq(StructField("pk", LongType), StructField("val", StringType))),
+      Seq("pk"))
+    CdcMerge.applyBatch(table,
+      changes.withColumn("action", col("action").cast("int")))
+    assert(table.read().orderBy("pk").as[(Long, String)].collect() ===
+      Array((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+}
