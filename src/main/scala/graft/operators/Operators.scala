@@ -498,6 +498,46 @@ object Operators {
       .drop("__pid", "__off")
   }
 
+  /** Per-group `(row_number over a total order, group row count)` with
+    * SIZE-SWITCHED execution — the few-huge-groups percentile/median
+    * shape (q44/q77). Below the crossover the plain per-group window
+    * (one shuffle, one sort task per group) wins; once the LARGEST
+    * group exceeds `maxGroupRows` — more than one task's sort budget —
+    * it serializes the whole group onto one core (and spills), so the
+    * router switches to [[groupedRank]]'s distributed rank. The probe
+    * is a partial-aggregated per-group count — metadata-sized output in
+    * this regime by definition (few groups) — and its result doubles as
+    * the broadcast `countCol`, so neither path pays a `count(*) OVER
+    * (PARTITION BY g)` second window.
+    *
+    * `maxGroupRows` default: measured on local[32], 3 groups
+    * (docs/BENCH_SUMMARY round 7) — at 1M rows/group the two paths tie
+    * (2.40s vs 2.45s), at 2M the distributed path already wins 1.6x
+    * (4.85s vs 3.04s), at 16M it wins 2.9x (50.6s vs 17.6s, the window
+    * regime sorting 16M-row groups on 3 of 32 cores). The crossover is
+    * LOW because the window path wastes (cores - groups) of the
+    * machine; 1M rows/group is where per-task overhead of the extra
+    * shuffle stops mattering.
+    *
+    * Callers with an expensive upstream plan should cache/checkpoint
+    * `df` first — the probe and the ranking pass each evaluate it. */
+  def rankAndCountByGroup(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], rankCol: String = "rn",
+      countCol: String = "n", maxGroupRows: Long = 1_000_000L): DataFrame = {
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(countCol))
+    val biggest = counts.agg(max(col(countCol))).collect()(0)
+    if (biggest.isNullAt(0)) return df // empty input: nothing to rank
+      .withColumn(rankCol, lit(0L)).withColumn(countCol, lit(0L))
+    val ranked =
+      if (biggest.getLong(0) <= maxGroupRows) {
+        val w = Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(orderCols.map(col): _*)
+        df.withColumn(rankCol, row_number().over(w).cast("long"))
+      } else groupedRank(df, groupCols, orderCols, rankCol)
+    ranked.join(broadcast(counts), groupCols)
+  }
+
   /** Exact GLOBAL rank over a unique total order WITHOUT the
     * single-partition window Spark plans for `Window.orderBy` with no
     * partition key (one task sorting the whole table — the q49-class

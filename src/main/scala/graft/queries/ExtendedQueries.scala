@@ -329,13 +329,26 @@ object ExtendedQueries {
       max(CASE WHEN rn = CAST(floor((n - 1) * 0.75) AS BIGINT) + 1 THEN l_extendedprice END) AS p75,
       max(CASE WHEN rn = CAST(floor((n - 1) * 0.9) AS BIGINT) + 1 THEN l_extendedprice END) AS p90
     FROM r GROUP BY l_returnflag ORDER BY l_returnflag"""
-  // NB: a 3-group window means 3-task sorts; [[Operators.groupedRank]]
-  // is the distributed-rank alternative when per-group data exceeds a
-  // task (at sf0.1 the plain window's single shuffle still wins — the
-  // crossover sits where a group no longer fits one task's sort).
+  // Size-switched ranking ([[Operators.rankAndCountByGroup]]): at sf0.1
+  // the 3-group window path runs (one shuffle, fastest below the
+  // crossover); past ~4M rows in one group the SAME query routes to the
+  // distributed groupedRank instead of serializing a group per task —
+  // measured crossover in docs/BENCH_SUMMARY.md round 7.
   private val q77 = QueryDef(
     "q77_percentiles",
-    (s, dir) => { Tables.register(s, dir); s.sql(pctSql) },
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = Operators.rankAndCountByGroup(li, Seq("l_returnflag"),
+        Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
+      def pick(p: Double, name: String) =
+        max(when(col("rn") === floor((col("n") - 1) * p).cast("long") + 1,
+          col("l_extendedprice"))).as(name)
+      ranked.groupBy(col("l_returnflag"))
+        .agg(pick(0.25, "p25"), pick(0.5, "p50"),
+          pick(0.75, "p75"), pick(0.9, "p90"))
+        .orderBy(col("l_returnflag"))
+    },
     Some(pctSql))
 
   // --------------------------------------------------------------------

@@ -905,12 +905,12 @@ object RelationalQueries {
   private val q44 = QueryDef(
     "q44_median_positional",
     (s, dir) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders")
-        .select(col("o_orderstatus"), col("o_totalprice"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))).as("n"))
+      // size-switched rank (Operators.rankAndCountByGroup): the window
+      // path below the crossover, distributed groupedRank past it
+      graft.operators.Operators.rankAndCountByGroup(
+        t(s, dir, "orders").select(col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderkey")),
+        Seq("o_orderstatus"), Seq("o_totalprice", "o_orderkey"))
         .filter(col("rn") === expr("(n + 1) div 2")) // integer division
         .select(col("o_orderstatus"), col("o_totalprice").as("median_price"),
           col("n").as("n_orders"))

@@ -131,6 +131,37 @@ class OperatorsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("rankAndCountByGroup: both regimes agree, and the switch routes by size") {
+    val df = (0 until 6000).map { i =>
+      // one huge group (5k rows), two small ones — the few-huge-groups
+      // percentile shape the size switch exists for
+      (if (i < 5000) "big" else s"g${i % 2}", (i * 37) % 997, i.toLong)
+    }.toDF("g", "v", "id").repartition(7)
+    def run(threshold: Long) =
+      Operators.rankAndCountByGroup(df, Seq("g"), Seq("v", "id"),
+        maxGroupRows = threshold)
+        .select("g", "id", "rn", "n").as[(String, Long, Long, Long)]
+        .collect().sorted
+    val windowed = run(Long.MaxValue) // window regime
+    val routed = run(1L) // forced groupedRank regime
+    assert(windowed === routed)
+    // counts ride along correctly in both
+    assert(windowed.filter(_._1 == "big").map(_._4).distinct === Array(5000L))
+    // the distributed regime's plan range-partitions; the window one doesn't
+    def planOf(threshold: Long) = Operators.rankAndCountByGroup(
+      df, Seq("g"), Seq("v", "id"), maxGroupRows = threshold)
+      .queryExecution.executedPlan.toString
+    // (the range repartition runs eagerly behind groupedRank's
+    // localCheckpoint, so the final plan shows its __pid slice column)
+    assert(planOf(1L).contains("__pid"))
+    assert(!planOf(Long.MaxValue).contains("__pid"))
+    // empty input: no rank job, empty result with the contract columns
+    val empty = Operators.rankAndCountByGroup(df.filter(lit(false)),
+      Seq("g"), Seq("v", "id"))
+    assert(empty.count() === 0L)
+    assert(Seq("rn", "n").forall(empty.columns.contains))
+  }
+
   test("packSequences fills bins greedily in order, per partition key") {
     val docs = Seq(
       ("a", 1L, 600L), ("a", 2L, 500L), ("a", 3L, 400L), ("a", 4L, 300L),
