@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Statement router: the analog of the reference's `DuckBuilder.Build`
   * dispatch (`/root/reference/backend/executor.go:73-168`) — classify a
@@ -30,8 +30,17 @@ object SqlRouter {
   // schema, primary key, and properties.
   private val CreateTableLike =
     """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+LIKE\s+([\w.]+)\s*""".r
+  // the optional tail after the column list is mysqldump's table-option
+  // block (ENGINE=InnoDB DEFAULT CHARSET=... AUTO_INCREMENT=n ...) —
+  // storage-engine concerns with no analog here, accepted and dropped
   private val CreateTable =
-    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*((?:ENGINE|AUTO_INCREMENT|DEFAULT\s+CHARSET|CHARACTER\s+SET|COLLATE|COMMENT|ROW_FORMAT)\s*=.*)?""".r
+  // mysqldump brackets every table's INSERT block in LOCK TABLES ...
+  // WRITE / UNLOCK TABLES; the engine's concurrency story is the
+  // manifest journal, so these are session no-ops (as in the
+  // reference's GMS session handling)
+  private val LockTables =
+    """(?is)\s*(?:LOCK\s+TABLES\s+.+|UNLOCK\s+TABLES)\s*""".r
   private val DropTable =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*""".r
   private val CreateView =
@@ -90,8 +99,11 @@ object SqlRouter {
   // the modifier needs an explicit separator (space or the @@GLOBAL.x
   // dot form) — a bare (GLOBAL)? would eat the prefix of variable
   // names like `global_flag` or `session_timeout`
+  // the optional single `@` accepts MySQL user variables (`SET
+  // @saved_cs_client = ...`, a fixture of every mysqldump footer) as
+  // session variables
   private val SetVariable =
-    """(?is)\s*SET\s+(?:@@)?(?:(GLOBAL|SESSION|PERSIST)(?:\s+|\.))?([\w.]+)\s*=\s*(.+?)\s*""".r
+    """(?is)\s*SET\s+(?:@@)?(?:(GLOBAL|SESSION|PERSIST)(?:\s+|\.))?(@?[\w.]+)\s*=\s*(.+?)\s*""".r
   // the SET/WHERE boundary is found by a quote-aware scan
   // (splitSetWhere), not this regex: a WHERE inside a string literal
   // must not end the SET list
@@ -107,6 +119,11 @@ object SqlRouter {
   // through to their own handling instead of parsing as a column
   private val AlterAdd =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:COLUMN\s+)?(?!(?:INDEX|KEY|PRIMARY|CONSTRAINT|UNIQUE|FULLTEXT|FOREIGN|PARTITION)\b)(\w+)\s+(\w+(?:\s*\([\d\s,]*\))?)((?:\s+\S.*)?)\s*""".r
+  // pg_dump declares primary keys AFTER the data: `ALTER TABLE ONLY t
+  // ADD CONSTRAINT t_pkey PRIMARY KEY (id)` — routed to a manifest
+  // pk update so post-restore upsert/REPLACE semantics work
+  private val AlterAddPk =
+    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ADD\s+(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([\w\s,]+)\)\s*""".r
   private val AttrsNotNullFirst =
     """(?is)\s*NOT\s+NULL(?:\s+DEFAULT\s+(.+?))?\s*""".r
   private val AttrsDefaultFirst =
@@ -183,12 +200,13 @@ object SqlRouter {
         val m = engine.table(src).manifest
         engine.createTable(name, m.schema, m.pkCols, m.props); ddl
       }
-    case CreateTable(ifNotExists, name, colsAndPk) =>
+    case CreateTable(ifNotExists, name, colsAndPk, _) =>
       if (ifNotExists != null && tableExists(engine, name)) ddl
       else {
-        val (schema, pk) = parseColumns(colsAndPk)
-        engine.createTable(name, schema, pk); ddl
+        val (schema, pk, props) = parseColumns(colsAndPk)
+        engine.createTable(name, schema, pk, props); ddl
       }
+    case LockTables() => ddl
     case DropTable(ifExists, name) =>
       if (ifExists != null && !tableExists(engine, name)) ddl
       else { engine.dropTable(name); ddl }
@@ -365,6 +383,13 @@ object SqlRouter {
         StructType.fromDDL(s"x $colType").head.dataType,
         nullable = !notNull, defaultSql = default.map(_.trim))
       ddl
+    case AlterAddPk(name, cols) =>
+      val t = engine.table(name)
+      val pk = cols.split(',').map(_.trim).toSeq
+      pk.foreach(c => require(t.schema.fieldNames.contains(c),
+        s"PRIMARY KEY column $c not in $name"))
+      graft.storage.Manifest.commit(t.path, t.manifest.copy(pkCols = pk))
+      ddl
     case AlterDrop(name, colName) =>
       engine.table(name).dropColumn(colName); ddl
     case AlterRename(name, from, to) =>
@@ -454,9 +479,64 @@ object SqlRouter {
     * that loop). Statement boundaries respect quoted strings; returns
     * one Result per non-empty statement, in order. A failed statement
     * aborts the rest (and, inside BEGIN...COMMIT, leaves the open
-    * transaction to the caller's rollback). */
-  def executeScript(engine: Engine, script: String): Seq[Result] =
-    splitStatements(script).map(execute(engine, _))
+    * transaction to the caller's rollback).
+    *
+    * AUTO-STAGING: a run of 2+ consecutive DML statements against the
+    * SAME table, outside any explicit transaction, executes as ONE
+    * staged transaction — one manifest version, one atomic publish —
+    * instead of a commit per statement (the q81 result generalized:
+    * dump files are exactly this shape, thousands of row-batched
+    * INSERTs per table). Failure mid-run rolls the auto-transaction
+    * back (the caller never opened it) and rethrows; per-statement
+    * Results are unchanged. Any non-DML statement — or DML on another
+    * table — ends the run, so SELECT-after-INSERT still sees committed
+    * state exactly where autocommit semantics put it. */
+  def executeScript(engine: Engine, script: String): Seq[Result] = {
+    val stmts = splitStatements(script)
+    val results = Seq.newBuilder[Result]
+    var i = 0
+    while (i < stmts.length) {
+      val run = if (engine.inTransaction) 1 else dmlRunLength(stmts, i)
+      if (run >= 2) {
+        engine.begin()
+        try {
+          (i until i + run).foreach(j => results += execute(engine, stmts(j)))
+          engine.commit()
+        } catch { case e: Throwable => engine.rollback(); throw e }
+      } else results += execute(engine, stmts(i))
+      i += math.max(run, 1)
+    }
+    results.result()
+  }
+
+  /** Target table of an autocommit-batchable DML statement. REPLACE /
+    * INSERT IGNORE / ON DUPLICATE KEY are included — they stage through
+    * the same table txn API; LOAD/COPY are not (their own bulk commit
+    * is already one version). */
+  private def dmlTarget(stmt: String): Option[String] = {
+    val s = stripIdentQuotes(stmt)
+    s match {
+      case ReplaceInto(name, _, _) => Some(name)
+      case InsertIgnore(name, _, _) => Some(name)
+      case _ if splitOnDup(s).exists(p => Insert.matches(p._1)) =>
+        val Insert(name, _, _) = splitOnDup(s).get._1: @unchecked
+        Some(name)
+      case Insert(name, _, _) => Some(name)
+      case Update(name, _) => Some(name)
+      case Delete(name, _) => Some(name)
+      case _ => None
+    }
+  }
+
+  /** Length of the run of consecutive DML statements on ONE table
+    * starting at `from` (0 when stmts(from) is not batchable DML). */
+  private def dmlRunLength(stmts: Seq[String], from: Int): Int =
+    dmlTarget(stmts(from)).fold(0) { target =>
+      var n = 1
+      while (from + n < stmts.length &&
+        dmlTarget(stmts(from + n)).contains(target)) n += 1
+      n
+    }
 
   /** Split on `;` outside single/double/backtick-quoted spans (''
     * doubling and backslash escapes respected) and outside line
@@ -500,8 +580,20 @@ object SqlRouter {
       i += 1
     }
     out += cur.toString
-    out.toSeq.map(_.trim).filter(_.nonEmpty)
+    // comment-ONLY statements (dump headers, mysqldump's /*!40101 ... */
+    // version-conditional settings — per the dialect tradeoff above,
+    // plain comments here) would otherwise fall through to Catalyst as
+    // empty input and fail the parse
+    out.toSeq.map(_.trim).filter(_.nonEmpty).filterNot(isCommentOnly)
   }
+
+  /** True when the statement holds nothing outside `--` and block
+    * comments. Quote-UNaware by design: this runs on single statements
+    * whose quoted spans were already respected by the splitter, and a
+    * statement STARTING with real SQL never reduces to empty. */
+  private def isCommentOnly(stmt: String): Boolean =
+    stmt.replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("--[^\n]*", " ").trim.isEmpty
 
   /** Build the source DataFrame of an INSERT-family statement: a
     * `VALUES ...` tail is wrapped so Catalyst types the tuples against
@@ -679,20 +771,73 @@ object SqlRouter {
   }
 
   /** Parse `a INT, b STRING, PRIMARY KEY (a)` → (schema, pkCols). */
-  private def parseColumns(body: String): (StructType, Seq[String]) = {
-    val parts = splitTop(body)
-    val (pkParts, colParts) = parts.partition(
-      _.trim.toUpperCase.startsWith("PRIMARY KEY"))
+  /** Secondary-index / constraint entries inside a CREATE TABLE body
+    * (mysqldump emits `KEY idx (col)`, `UNIQUE KEY`, `CONSTRAINT ...
+    * FOREIGN KEY ...`): the engine's index analog is layout clustering
+    * (A21, opted into separately), so these are accepted and dropped. */
+  private val IndexEntry =
+    """(?is)\s*(?:UNIQUE(?:\s+(?:KEY|INDEX))?|KEY|INDEX|FULLTEXT|SPATIAL|CONSTRAINT|FOREIGN\s+KEY)\b.*""".r
+
+  /** `name type [attrs...]` — type may carry a paren argument list and
+    * MySQL's UNSIGNED suffix; everything after is the attribute tail. */
+  private val ColEntry =
+    """(?is)\s*(\S+)\s+(\w+(?:\s*\([^)]*\))?(?:\s+UNSIGNED)?)\s*(.*)""".r
+  private val DefaultAttr =
+    """(?i)\bDEFAULT\s+('(?:[^']|'')*'|\([^)]*\)|\S+)""".r
+
+  private def parseColumns(body: String)
+      : (StructType, Seq[String], Map[String, String]) = {
+    val parts = splitTop(body).map(_.trim).filter(_.nonEmpty)
+    val (pkParts, rest) = parts.partition(
+      _.toUpperCase.startsWith("PRIMARY KEY"))
     val pk = pkParts.headOption.map { p =>
       p.substring(p.indexOf('(') + 1, p.lastIndexOf(')'))
         .split(',').map(_.trim).toSeq
     }.getOrElse(Nil)
+    val cols = rest.filterNot(IndexEntry.matches)
     // strip inline PRIMARY KEY markers on single columns
-    val cols = colParts.map(_.trim)
     val inlinePk = cols.filter(_.toUpperCase.contains("PRIMARY KEY"))
       .map(_.split("\\s+")(0))
-    val ddlStr = cols.map(_.replaceAll("(?i)\\s+PRIMARY\\s+KEY", "")).mkString(", ")
-    (StructType.fromDDL(ddlStr), if (pk.nonEmpty) pk else inlinePk)
+    var defaults = Map.empty[String, String]
+    val fields = cols.map(_.replaceAll("(?i)\\s+PRIMARY\\s+KEY", "")).map {
+      entry =>
+        val ColEntry(name, tpe, attrs) = entry: @unchecked
+        val notNull = "(?i)\\bNOT\\s+NULL\\b".r.findFirstIn(attrs).isDefined
+        DefaultAttr.findFirstMatchIn(attrs)
+          .map(_.group(1)).filterNot(_.equalsIgnoreCase("NULL"))
+          .foreach(d => defaults += s"default.$name" -> d)
+        // pg_dump's multi-word timestamp forms: the zone qualifier
+        // lands in the attribute tail
+        val a = attrs.trim.toUpperCase
+        val dt =
+          if (tpe.equalsIgnoreCase("timestamp") &&
+              a.startsWith("WITHOUT TIME ZONE"))
+            org.apache.spark.sql.types.TimestampNTZType
+          else if (tpe.equalsIgnoreCase("timestamp") &&
+              a.startsWith("WITH TIME ZONE"))
+            org.apache.spark.sql.types.TimestampType
+          else
+            // Spark DDL first (STRING, ARRAY<INT>, ...); MySQL-only
+            // types (MEDIUMINT, ENUM, lowercase dump forms) via the
+            // type mapper
+            try StructType.fromDDL(s"`$name` $tpe").head.dataType
+            catch {
+              case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+                graft.types.TypeMapper.toSpark(tpe).dataType
+              case _: org.apache.spark.SparkException =>
+                graft.types.TypeMapper.toSpark(tpe).dataType
+            }
+        // CHAR/VARCHAR cannot live in a reader schema — store as STRING
+        // (the same normalization TypeMapper applies)
+        val stored = dt match {
+          case _: org.apache.spark.sql.types.VarcharType |
+               _: org.apache.spark.sql.types.CharType =>
+            org.apache.spark.sql.types.StringType
+          case other => other
+        }
+        StructField(name, stored, nullable = !notNull)
+    }
+    (StructType(fields), if (pk.nonEmpty) pk else inlinePk, defaults)
   }
 
   /** Split an UPDATE tail `<set-list> [WHERE <cond>]` at the first

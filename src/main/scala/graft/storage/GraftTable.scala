@@ -84,9 +84,13 @@ final class GraftTable(val spark: SparkSession, val path: Path,
         // the declared logical type via cast-on-read.
         val c = if (physType(m, f.name) == f.dataType) c0 else c0.cast(f.dataType)
         // NOT NULL columns added by ALTER after data existed read the
-        // recorded default for pre-ALTER files (which yield null).
+        // recorded default for pre-ALTER files (which yield null). The
+        // default is cast to the DECLARED type before the coalesce:
+        // dumps record string-literal defaults ('0.00' on a decimal),
+        // and coalesce(decimal, string) would coerce the whole column
+        // to double.
         val v = m.props.get(s"default.${f.name}") match {
-          case Some(d) if !f.nullable => coalesce(c, expr(d))
+          case Some(d) if !f.nullable => coalesce(c, expr(d).cast(f.dataType))
           case _ => c
         }
         v.as(f.name)

@@ -318,6 +318,47 @@ class SqlRouterSpec extends SparkSpec {
     assert(rs.last.df.get.as[String].collect() === Array("a;b", "z"))
   }
 
+  test("auto-staging: consecutive same-table DML commits ONE journal version") {
+    val e = new Engine(spark, tmpDir("router_autostage"))
+    exec(e, "CREATE TABLE t (id INT PRIMARY KEY, v STRING)")
+    val v0 = e.table("t").history().last
+    val rs = SqlRouter.executeScript(e,
+      """INSERT INTO t VALUES (1, 'a');
+         INSERT INTO t VALUES (2, 'b'), (3, 'c');
+         UPDATE t SET v = 'b2' WHERE id = 2;
+         INSERT INTO t VALUES (4, 'd');
+         SELECT count(*) AS n FROM t""")
+    assert(rs.size === 5)
+    // 4 DML statements -> ONE staged publish, not 4 autocommit versions
+    assert(e.table("t").history().last === v0 + 1)
+    assert(rs.last.df.get.as[Long].head() === 4L)
+    assert(exec(e, "SELECT v FROM t ORDER BY id").df.get.as[String].collect()
+      === Array("a", "b2", "c", "d"))
+    // a SELECT (or another table) ends the run: two runs -> two versions
+    SqlRouter.executeScript(e,
+      """INSERT INTO t VALUES (5, 'e');
+         INSERT INTO t VALUES (6, 'f');
+         SELECT 1;
+         INSERT INTO t VALUES (7, 'g');
+         INSERT INTO t VALUES (8, 'h')""")
+    assert(e.table("t").history().last === v0 + 3)
+    // an explicit BEGIN...COMMIT is untouched (no nested auto-txn)
+    SqlRouter.executeScript(e,
+      """BEGIN;
+         INSERT INTO t VALUES (9, 'i');
+         INSERT INTO t VALUES (10, 'j');
+         COMMIT""")
+    assert(e.table("t").history().last === v0 + 4)
+    assert(exec(e, "SELECT count(*) AS n FROM t").df.get.as[Long].head() === 10L)
+    // failure mid-run rolls the WHOLE auto-txn back
+    val before = exec(e, "SELECT count(*) AS n FROM t").df.get.as[Long].head()
+    intercept[Exception](SqlRouter.executeScript(e,
+      """INSERT INTO t VALUES (11, 'k');
+         INSERT INTO t VALUES (12, 'x', 'extra-col')"""))
+    assert(!e.inTransaction) // the auto-txn was rolled back, not leaked
+    assert(exec(e, "SELECT count(*) AS n FROM t").df.get.as[Long].head() === before)
+  }
+
   test("script splitter ignores ';' in comments and backticked names") {
     // dump-file shapes: a ';' inside -- and /* */ comments or inside a
     // backticked identifier must not split the script (round-4 advice)
