@@ -21,7 +21,7 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ ExtendedQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ CdcQueries.defs ++
-      EventQueries.defs ++ PipelineQueries.defs
+      EventQueries.defs ++ PipelineQueries.defs ++ CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

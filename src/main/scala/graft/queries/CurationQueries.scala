@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw crawl and tokenizer: exact substring-level dedup (the
+  * word-n-gram miniature of suffix-array dedup — find every n-gram
+  * shared across documents and measure how much of each document it
+  * covers), benchmark decontamination (drop/flag training docs that
+  * share an n-gram with an eval set), and within-document repetition
+  * metrics (the classic quality-filter family: duplicate-n-gram
+  * fraction and top-n-gram mass).
+  *
+  * Scale design: q92's only shuffles are keyed on the gram hash and on
+  * doc_id — both linear in corpus size, no pair join and no broadcast
+  * of anything corpus-sized. q93 broadcasts ONLY the benchmark gram
+  * set, which is small by construction (eval sets are MBs, corpora are
+  * TBs) — the contamination check is then a map-side semi-join. q94 is
+  * pure narrow per-document compute: the n-gram statistics come from
+  * array HOFs inside one projection, zero shuffles before the final
+  * order.
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Word n-grams with their 1-based start position. Guarded for short
+    * docs (sequence(1, n) with n < 1 would generate a DESCENDING range
+    * in Spark, not an empty one). */
+  private def gramsWithPos(s: SparkSession, dir: String, k: Int): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_words"), posexplode(expr(
+        s"""CASE WHEN size(w) < $k THEN array()
+            ELSE transform(sequence(1, size(w) - ${k - 1}),
+                   i -> array_join(slice(w, i, $k), ' ')) END"""))
+        .as(Seq("p", "g")))
+      .select(col("doc_id"), col("n_words"), (col("p") + 1).as("start"), col("g"))
+
+  /** DuckDB fragment producing the same (doc_id, n_words, start, g)
+    * set; range(a, b) is already empty when b <= a. */
+  private def gramsDuck(k: Int): String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      grams AS (SELECT doc_id, len(w) AS n_words, i AS start,
+          array_to_string(w[i:i+${k - 1}], ' ') AS g
+        FROM w, LATERAL (SELECT unnest(range(1, len(w) - ${k - 2})) AS i))"""
+
+  // --------------------------------------------------------------------
+  // q92 — exact substring dedup at word-8-gram granularity (the
+  // distributable miniature of suffix-array substring dedup): an 8-gram
+  // occurring in 2+ distinct documents is "duplicated text"; per
+  // document, count duplicated gram positions, the distinct word
+  // positions they cover, and the words that would survive removal.
+  private val q92 = QueryDef(
+    "q92_substring_dedup",
+    (s, dir) => {
+      val grams = gramsWithPos(s, dir, 8)
+      // global duplicated-gram set: one keyed shuffle on the gram
+      val dup = grams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("g"))
+      val hits = grams.join(dup, "g")
+        .select(col("doc_id"), col("start")).distinct()
+      val perDoc = hits.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dup_positions"))
+      val covered = hits
+        .select(col("doc_id"), explode(sequence(col("start"), col("start") + 7))
+          .as("idx"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("covered_words"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_words"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
+          coalesce(col("covered_words"), lit(0L)).as("covered_words"),
+          (col("n_words") - coalesce(col("covered_words"), lit(0L)))
+            .as("kept_words"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${gramsDuck(8)},
+      dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      hits AS (SELECT DISTINCT g2.doc_id, g2.start FROM grams g2 JOIN dup USING (g)),
+      per_doc AS (SELECT doc_id, count(*) AS dup_positions FROM hits GROUP BY doc_id),
+      cov AS (SELECT doc_id, count(DISTINCT idx) AS covered_words FROM hits,
+        LATERAL (SELECT unnest(range(start, start + 8)) AS idx) GROUP BY doc_id)
+      SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_words,
+        CAST(coalesce(p.dup_positions, 0) AS BIGINT) AS dup_positions,
+        CAST(coalesce(cov.covered_words, 0) AS BIGINT) AS covered_words,
+        len(string_split(d.text, ' ')) - CAST(coalesce(cov.covered_words, 0) AS BIGINT)
+          AS kept_words
+      FROM documents d
+      LEFT JOIN per_doc p USING (doc_id) LEFT JOIN cov USING (doc_id)
+      ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------------
+  // q93 — benchmark decontamination: docs with doc_id % 7 = 0 stand in
+  // for the held-out eval set; every other document sharing at least
+  // one word-8-gram with it is contaminated. Reports the contaminated
+  // docs with their distinct-gram count, shared-gram count, and
+  // contamination share.
+  private val q93 = QueryDef(
+    "q93_decontamination",
+    (s, dir) => {
+      val grams = gramsWithPos(s, dir, 8)
+        .select(col("doc_id"), col("g")).distinct()
+      val bench = grams.filter(col("doc_id") % 7 === 0)
+        .select(col("g")).distinct()
+      val train = grams.filter(col("doc_id") % 7 =!= 0)
+      val perDoc = train.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      // the eval-set gram list is the ONLY broadcast — small by nature
+      val shared = train.join(broadcast(bench), "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      shared.join(perDoc, "doc_id")
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_grams")).as("share"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${gramsDuck(8)},
+      dg AS (SELECT DISTINCT doc_id, g FROM grams),
+      bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 7 = 0),
+      train AS (SELECT doc_id, g FROM dg WHERE doc_id % 7 <> 0),
+      per_doc AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+      shared AS (SELECT doc_id, count(*) AS n_shared
+        FROM train JOIN bench USING (g) GROUP BY doc_id)
+      SELECT s.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+        CAST(s.n_shared AS BIGINT) AS n_shared,
+        CAST(s.n_shared AS DOUBLE) / p.n_grams AS share
+      FROM shared s JOIN per_doc p USING (doc_id) ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------------
+  // q94 — within-document repetition metrics (the Gopher-style quality
+  // rules): duplicate word-bigram fraction and the mass of the single
+  // most frequent bigram. All statistics come from array HOFs in one
+  // projection — per-document narrow compute, no explode, no shuffle
+  // until the final presentation sort.
+  private val q94 = QueryDef(
+    "q94_repetition_metrics",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          """transform(sequence(1, size(split(text, ' ')) - 1),
+             i -> concat(element_at(split(text, ' '), i), ' ',
+                         element_at(split(text, ' '), i + 1)))""").as("b"))
+        .select(col("doc_id"),
+          size(col("b")).as("n_bigrams"),
+          size(array_distinct(col("b"))).as("n_distinct"),
+          expr("array_max(transform(array_distinct(b), x -> size(filter(b, y -> y = x))))")
+            .as("top_count"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+            .as("dup_frac"),
+          col("top_count"),
+          (col("top_count").cast("double") / col("n_bigrams")).as("top_frac"))
+        .orderBy(col("doc_id")),
+    Some("""WITH b AS (SELECT doc_id,
+        list_transform(range(1, len(string_split(text, ' '))),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) AS b
+      FROM documents)
+      SELECT doc_id, n_bigrams, n_distinct,
+        1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams AS dup_frac,
+        top_count, CAST(top_count AS DOUBLE) / n_bigrams AS top_frac
+      FROM (SELECT doc_id, len(b) AS n_bigrams, len(list_distinct(b)) AS n_distinct,
+        list_max(list_transform(list_distinct(b), x -> len(list_filter(b, y -> y = x)))) AS top_count
+        FROM b) x ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q92, q93, q94)
+}

@@ -48,7 +48,12 @@ object SimilarityQueries {
 
   // --------------------------------------------------------------------
   // q70 — brute-force cosine top-k: every 100th vector is a query; top-5
-  // neighbors by (cosine desc, vec_id asc).
+  // neighbors by (cosine desc, vec_id asc). The ranking runs through the
+  // bounded-state [[graft.functions.TopK]] aggregator, not a window:
+  // row_number() over all q×n candidate pairs shuffles and sorts the
+  // ENTIRE similarity matrix, while the aggregator map-side-combines
+  // each partition down to k rows per query before the (tiny) exchange.
+  // Same exact rows — the (sim DESC, n_id ASC) order is total.
   private val q70 = QueryDef(
     "q70_knn_brute",
     (s, dir) => {
@@ -58,14 +63,14 @@ object SimilarityQueries {
           col("nrm").as("q_nrm"))
       val c = vecs.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("n_id"))
+      val tk = graft.functions.TopK.topk(5)
       broadcast(q).join(c, col("q_id") =!= col("n_id"))
         .withColumn("sim",
           expr(dotSpark("q_emb", "n_emb")) / (col("q_nrm") * col("n_nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+        .groupBy(col("q_id")).agg(tk(col("sim"), col("n_id")).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")).as(Seq("p", "s")))
+        .select(col("q_id"), col("s.id").as("n_id"), col("s.score").as("sim"),
+          (col("p") + 1).as("rank"))
         .orderBy(col("q_id"), col("rank"))
     },
     Some(s"""WITH $normDuck,

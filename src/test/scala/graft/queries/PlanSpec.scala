@@ -115,12 +115,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), p.take(3000))
   }
 
-  test("q70: native vec_dot in plan + partial top-k pushdown") {
+  test("q70: native vec_dot in plan + bounded-state top-k aggregation") {
     val p = plan("q70_knn_brute")
     assert(p.contains("vecdot"), "native expression should appear in plan")
-    // rank<=5 is evaluated as a WindowGroupLimit before the shuffle —
-    // each partition ships at most k rows per query, not all pairs
-    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // ranking is the TopK aggregator, planned as a two-phase object
+    // hash aggregate: partitions combine down to k rows per query
+    // before the exchange, with NO sort of the candidate matrix (the
+    // window formulation's WindowGroupLimit still locally sorts every
+    // partition; the aggregator does O(k) ordered insertion instead)
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.contains("partial_topk"), p.take(3000))
+    assert(!p.contains("Window"), "top-k must not plan a window")
+    // the only sort left is the k-row presentation sort
+    val sorts = p.linesIterator.filter(_.trim.startsWith("+- Sort")).toSeq
+    assert(sorts.size <= 1, "candidate-matrix sort found:\n" + sorts.mkString("\n"))
   }
 
   test("q64: netsums ride ONE aggregation — no 31× bit explode") {
