@@ -122,15 +122,18 @@ object SimilarityQueries {
           col("nrm").as("q_nrm"), col("bucket"))
       val c = bv.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm"), col("bucket"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("n_id"))
+      // bounded-state top-k per query (see q70) — candidates never
+      // leave their partition unranked
+      val tk = graft.functions.TopK.topk(3)
       broadcast(q).join(c, Seq("bucket"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("sim",
           expr(dotSpark("q_emb", "n_emb")) / (col("q_nrm") * col("n_nrm")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("n_id"), col("bucket"), col("sim"), col("rank"))
+        .groupBy(col("q_id"), col("bucket"))
+        .agg(tk(col("sim"), col("n_id")).as("tk"))
+        .select(col("q_id"), col("bucket"), posexplode(col("tk")).as(Seq("p", "s")))
+        .select(col("q_id"), col("s.id").as("n_id"), col("bucket"),
+          col("s.score").as("sim"), (col("p") + 1).as("rank"))
         .orderBy(col("q_id"), col("rank"))
     },
     Some(s"""WITH $normDuck,
@@ -201,27 +204,33 @@ object SimilarityQueries {
       val cents = vecs.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
           col("nrm").as("c_nrm"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_sim").desc, col("c_id"))
+      // cell assignment via the bounded top-2 aggregator, NOT a window:
+      // row_number() over the n×|cells| assignment matrix would shuffle
+      // and sort every (vector, centroid) pair; the aggregator combines
+      // each partition down to 2 rows per vector first. embedding/nrm
+      // are functionally dependent on vec_id, so first() is exact.
+      val tk2 = graft.functions.TopK.topk(2)
       val assign = vecs.crossJoin(broadcast(cents))
         .withColumn("c_sim",
           expr(dotSpark("embedding", "c_emb")) / (col("nrm") * col("c_nrm")))
-        .withColumn("c_rk", row_number().over(wAssign))
-      val cells = assign.filter(col("c_rk") === 1)
+        .groupBy(col("vec_id"))
+        .agg(tk2(col("c_sim"), col("c_id")).as("tk"),
+          first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+      val cells = assign
         .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-          col("nrm").as("n_nrm"), col("c_id").as("cell"))
-      val probes = assign.filter(col("vec_id") % 100 === 0 && col("c_rk") <= 2)
+          col("nrm").as("n_nrm"), col("tk").getItem(0).getField("id").as("cell"))
+      val probes = assign.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"), col("c_id").as("cell"))
-      val wTop = Window.partitionBy(col("q_id"))
-        .orderBy(col("sim").desc, col("n_id"))
+          col("nrm").as("q_nrm"), explode(expr("transform(tk, s -> s.id)")).as("cell"))
+      val tk3 = graft.functions.TopK.topk(3)
       broadcast(probes).join(cells, Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("sim",
           expr(dotSpark("q_emb", "n_emb")) / (col("q_nrm") * col("n_nrm")))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+        .groupBy(col("q_id")).agg(tk3(col("sim"), col("n_id")).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")).as(Seq("p", "s")))
+        .select(col("q_id"), col("s.id").as("n_id"), col("s.score").as("sim"),
+          (col("p") + 1).as("rank"))
         .orderBy(col("q_id"), col("rank"))
     },
     Some(s"""WITH $normDuck,

@@ -131,6 +131,18 @@ class PlanSpec extends SparkSpec {
     assert(sorts.size <= 1, "candidate-matrix sort found:\n" + sorts.mkString("\n"))
   }
 
+  test("q71/q73: ANN ranking and IVF cell assignment plan no window") {
+    // same property as q70 for the bucketed paths — and q73's cell
+    // ASSIGNMENT too: a window over the n×|cells| matrix would shuffle
+    // every (vector, centroid) pair; the top-2 aggregator combines
+    // map-side
+    for (q <- Seq("q71_ann_lsh", "q73_ann_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q must not plan a window:\n" + p.take(2000))
+      assert(p.contains("partial_topk"), s"$q: " + p.take(2000))
+    }
+  }
+
   test("q64: netsums ride ONE aggregation — no 31× bit explode") {
     // the signature folds 31 independent sums in a single doc-keyed
     // hash aggregate; the old shape exploded sequence(0,30) (a Generate
