@@ -60,9 +60,10 @@ class CurationSpec extends SparkSpec {
     assert(p93.contains("BroadcastHashJoin"), "bench gram set should broadcast")
     val p94 = SparkEntry.queries("q94_repetition_metrics")(spark, dir)
       .queryExecution.executedPlan.toString
-    // narrow per-doc HOFs: the only exchange is the presentation sort's
+    // narrow per-doc HOFs: only the explicit compute-spreading
+    // round-robin repartition and the presentation sort may exchange
     val exchanges = p94.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.size <= 1 && !p94.contains("Generate"),
+    assert(exchanges.size <= 2 && !p94.contains("Generate"),
       "q94 must stay narrow:\n" + exchanges.mkString("\n"))
   }
 }
