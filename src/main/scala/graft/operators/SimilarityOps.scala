@@ -117,6 +117,89 @@ object SimilarityOps {
         col("__cos").as("cos"))
   }
 
+  /** EXACT cosine-threshold pairs with metric cell pruning — the
+    * distributable scale path for the brute-force all-pairs scan
+    * (q72's shape). Exactness argument: on UNIT vectors,
+    * cos(a,b) ≥ t ⟺ ‖â−b̂‖ ≤ D with D = √(2−2t); for a in cell i and
+    * b in cell j the triangle inequality gives
+    * ‖cᵢ−cⱼ‖ ≤ rᵢ + ‖â−b̂‖ + rⱼ, so every qualifying pair lives in a
+    * cell pair with ‖cᵢ−cⱼ‖ ≤ rᵢ+rⱼ+D — the admissible set. Candidates
+    * are generated ONLY for admissible cell pairs and then verified
+    * with the caller's exact similarity (computed from the ORIGINAL
+    * vectors, so results are bit-identical to the brute-force scan);
+    * all pruning bounds are nudged by an admit-direction epsilon, the
+    * jaccardPairsPrefix convention.
+    *
+    * Scale shape: no broadcast of the corpus and no nested-loop join —
+    * assignments shuffle keyed on the cell, the k²-row admissible-pair
+    * table broadcasts, and work factors into |cellᵢ|×|cellⱼ| blocks
+    * (the block-matrix decomposition of the pair scan, minus the
+    * blocks the metric bound excludes; on clustered embeddings most
+    * of them). Worst case — a corpus with no cluster structure at a
+    * loose threshold — degrades to the full block set, still with
+    * keyed shuffles only.
+    *
+    * Returns (a_id, b_id, sim) with a_id < b_id, sim ≥ threshold. */
+  def exactCosinePairsPruned(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 16, iters: Int = 4): DataFrame = {
+    require(threshold > -1 && threshold <= 1, s"threshold in (-1,1]: $threshold")
+    val eps = 1e-6
+    def nrm(v: Column): Column = sqrt(call_function("vec_dot", v, v))
+    // unit-normalize ONCE (zero vectors normalize to NaN, never join a
+    // finite-distance bound, and could not pass any cosine threshold)
+    val vecs = df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v0"))
+      .withColumn("__n", nrm(col("__v0")))
+      // a zero/NaN-norm vector cannot pass any cosine threshold, and
+      // left in it would poison a cell radius with NaN
+      .filter(col("__n") > 0)
+      .select(col("__id"),
+        expr("transform(__v0, x -> x / __n)").as("__v"))
+      .localCheckpoint() // scanned by kmeansFit + assignment + radii
+    val cents = kmeansFit(vecs, "__id", "__v", k, iters)
+    val assign = vecs
+      .withColumn("__cell", nearestCell(col("__v"), cents))
+      .localCheckpoint() // feeds radii + both join sides
+    // per-cell covering radius, driver-side (k values)
+    val radius: Map[Int, Double] = assign
+      .withColumn("__d", sqrt(greatest(lit(0.0),
+        call_function("vec_dot", col("__v"), col("__v")) -
+          lit(2.0) * call_function("vec_dot", col("__v"),
+            element_at(typedlit(cents.map(_.toSeq)), col("__cell") + 1)) +
+          element_at(typedlit(cents.map(c => c.map(x => x * x).sum)),
+            col("__cell") + 1))))
+      .groupBy(col("__cell")).agg(max(col("__d")).as("__r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dBound = math.sqrt(math.max(0.0, 2 - 2 * threshold)) + eps
+    def cdist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // admissible (ordered) cell pairs — both orders for i≠j so either
+    // id ordering of a cross-cell pair is generated exactly once
+    val admissible = for {
+      i <- cents.indices; j <- cents.indices
+      if radius.contains(i) && radius.contains(j)
+      if i == j || cdist(cents(i), cents(j)) <= radius(i) + radius(j) + dBound
+    } yield (i, j)
+    val sp = df.sparkSession
+    import sp.implicits._
+    val pairsDf = admissible.toDF("__ca", "__cb")
+    val a = assign.select(col("__id").as("a_id"), col("__cell").as("__ca"))
+    val b = assign.select(col("__id").as("b_id"), col("__cell").as("__cb"))
+    val orig = df.select(col(idCol).as("__oid"), col(vecCol).as("__ov"))
+    val cand = a.join(broadcast(pairsDf), "__ca").join(b, "__cb")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    // exact verify on the ORIGINAL vectors — bit-identical to the
+    // brute-force formulation
+    cand
+      .join(orig.select(col("__oid").as("a_id"), col("__ov").as("__va")), "a_id")
+      .join(orig.select(col("__oid").as("b_id"), col("__ov").as("__vb")), "b_id")
+      .withColumn("sim", call_function("vec_dot", col("__va"), col("__vb")) /
+        (nrm(col("__va")) * nrm(col("__vb"))))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
   /** Squared distance to the NEAREST of `centroids` (true value, not
     * the per-row-shifted argmin form — comparable ACROSS rows, which
     * farthest-point init needs). */

@@ -276,5 +276,27 @@ object SimilarityQueries {
       SELECT src AS vec_id, least(src, min(dst)) AS cluster
       FROM reach GROUP BY src ORDER BY vec_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q91)
+  // --------------------------------------------------------------------
+  // q95 — the SAME exact pair set as q72, produced by the scale path:
+  // [[graft.operators.SimilarityOps.exactCosinePairsPruned]] — k-means
+  // cells + triangle-inequality admissible cell pairs + exact verify on
+  // the original vectors. The oracle is the identical brute-force SQL,
+  // so the driver gate proves pruned ≡ brute end-to-end. No corpus
+  // broadcast, no nested loop: assignments shuffle keyed on the cell
+  // and only the k²-row admissible-pair table broadcasts.
+  private val q95 = QueryDef(
+    "q95_cosine_pairs_pruned",
+    (s, dir) =>
+      graft.operators.SimilarityOps.exactCosinePairsPruned(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, k = 16, iters = 3)
+        .orderBy(col("a_id"), col("b_id")),
+    Some(s"""WITH $normDuck
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+      FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+      WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+      ORDER BY a_id, b_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q91, q95)
 }
