@@ -319,5 +319,17 @@ object GraftFunctions {
       exprs => new org.apache.spark.sql.catalyst.expressions.Encode(
         new org.apache.spark.sql.catalyst.expressions.Decode(
           Seq(exprs(0), exprs(1))), exprs(2)), "built-in")
+    // Bloom-sketch build + probe — Catalyst's runtime-filter pair
+    // (distributed TypedImperativeAggregate build with partial merge;
+    // codegen probe), surfaced as callable functions for
+    // [[graft.operators.Operators.semiJoinBloom]]. Both operate on
+    // xxhash64(key) longs: bloom_agg(h, n_items, n_bits) → binary,
+    // bloom_might_contain(binary, h) → boolean.
+    fr.createOrReplaceTempFunction("bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
+    fr.createOrReplaceTempFunction("bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -610,4 +610,47 @@ object Operators {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderBy: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
+
+  /** Map-side Bloom prefilter: `left` reduced to rows whose `leftKey`
+    * MIGHT appear among `right`'s `rightKey`s — no false negatives,
+    * ≈`fpp` false positives. The sketch is built DISTRIBUTIVELY
+    * (Catalyst's bloom aggregate: per-partition build, partial merge —
+    * the key set never collects anywhere as strings) and the probe is
+    * a codegen'd filter evaluated before any shuffle of `left`, so the
+    * only thing that moves is the sketch's bits. Sized by the standard
+    * m = −n·ln(p)/ln²2, clamped to Spark's runtime-filter cap. Requires
+    * [[graft.functions.GraftFunctions.register]]. */
+  def bloomPrefilter(left: DataFrame, leftKey: String, right: DataFrame,
+      rightKey: String, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp in (0,1): $fpp")
+    val keys = right.select(col(rightKey)).filter(col(rightKey).isNotNull)
+    val n = math.max(1L, keys.distinct().count())
+    val maxBits = left.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    val bits = math.min(maxBits, math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    val sketch = keys
+      .agg(call_function("bloom_agg", xxhash64(col(rightKey)),
+        lit(n), lit(bits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    left.filter(call_function("bloom_might_contain", lit(sketch),
+      xxhash64(col(leftKey))))
+  }
+
+  /** EXACT distributed semi-join through a Bloom prefilter — the
+    * runtime-filter pattern as a whole operator. [[bloomPrefilter]]
+    * cuts `left` to ≈ true hits + fpp·|left| BEFORE the join shuffle,
+    * then an exact semi-join against the key set removes the false
+    * positives, so the result is exactly `left ⋉ right` while the
+    * shuffled probe volume is bounded by the survivor count, not
+    * |left|. The decontamination shape at 100 TB: `left` = corpus
+    * grams (TBs), `right` = eval-set grams (GBs) — neither side
+    * broadcasts, and the corpus-sized shuffle disappears. */
+  def semiJoinBloom(left: DataFrame, leftKey: String, right: DataFrame,
+      rightKey: String, fpp: Double = 0.01): DataFrame = {
+    val pre = bloomPrefilter(left, leftKey, right, rightKey, fpp)
+    pre.join(right.select(col(rightKey).as(leftKey)).na.drop(Seq(leftKey)),
+      Seq(leftKey), "left_semi")
+  }
 }

@@ -104,7 +104,21 @@ object CurationQueries {
   // for the held-out eval set; every other document sharing at least
   // one word-8-gram with it is contaminated. Reports the contaminated
   // docs with their distinct-gram count, shared-gram count, and
-  // contamination share.
+  // contamination share. (Oracle shared with q96, which produces the
+  // same result through the Bloom-prefiltered path.)
+  private val decontamOracle: String =
+    s"""WITH ${gramsDuck(8)},
+      dg AS (SELECT DISTINCT doc_id, g FROM grams),
+      bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 7 = 0),
+      train AS (SELECT doc_id, g FROM dg WHERE doc_id % 7 <> 0),
+      per_doc AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+      shared AS (SELECT doc_id, count(*) AS n_shared
+        FROM train JOIN bench USING (g) GROUP BY doc_id)
+      SELECT s.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+        CAST(s.n_shared AS BIGINT) AS n_shared,
+        CAST(s.n_shared AS DOUBLE) / p.n_grams AS share
+      FROM shared s JOIN per_doc p USING (doc_id) ORDER BY doc_id"""
+
   private val q93 = QueryDef(
     "q93_decontamination",
     (s, dir) => {
@@ -123,17 +137,7 @@ object CurationQueries {
           (col("n_shared").cast("double") / col("n_grams")).as("share"))
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH ${gramsDuck(8)},
-      dg AS (SELECT DISTINCT doc_id, g FROM grams),
-      bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 7 = 0),
-      train AS (SELECT doc_id, g FROM dg WHERE doc_id % 7 <> 0),
-      per_doc AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
-      shared AS (SELECT doc_id, count(*) AS n_shared
-        FROM train JOIN bench USING (g) GROUP BY doc_id)
-      SELECT s.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
-        CAST(s.n_shared AS BIGINT) AS n_shared,
-        CAST(s.n_shared AS DOUBLE) / p.n_grams AS share
-      FROM shared s JOIN per_doc p USING (doc_id) ORDER BY doc_id"""))
+    Some(decontamOracle))
 
   // --------------------------------------------------------------------
   // q94 — within-document repetition metrics (the Gopher-style quality
@@ -190,5 +194,38 @@ object CurationQueries {
         list_max(list_transform(list_distinct(b), x -> len(list_filter(b, y -> y = x)))) AS top_count
         FROM b) x ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q92, q93, q94)
+  // --------------------------------------------------------------------
+  // q96 — the SAME decontamination result as q93, produced through
+  // [[graft.operators.Operators.semiJoinBloom]]: a distributively-built
+  // Bloom sketch of the eval grams prefilters the corpus grams BEFORE
+  // any join shuffle (codegen probe, no false negatives), then the
+  // exact semi-join removes the false positives. q93's exact broadcast
+  // works while eval gram sets fit in a broadcast; this is the shape
+  // that survives when they do not — only the sketch's bits travel, and
+  // the join shuffles survivors, not the corpus. Same oracle SQL as
+  // q93, so the driver gate proves bloom-prefiltered ≡ exact.
+  private val q96 = QueryDef(
+    "q96_decontam_bloom",
+    (s, dir) => {
+      val grams = gramsWithPos(s, dir, 8)
+        .select(col("doc_id"), col("g")).distinct()
+        // the gram explode feeds per-doc counts, the sketch build
+        // (itself two passes: size + aggregate), and both join sides —
+        // materialize it once
+        .localCheckpoint()
+      val bench = grams.filter(col("doc_id") % 7 === 0).select(col("g"))
+      val train = grams.filter(col("doc_id") % 7 =!= 0)
+      val perDoc = train.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val shared = graft.operators.Operators
+        .semiJoinBloom(train, "g", bench, "g", fpp = 0.01)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      shared.join(perDoc, "doc_id")
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_grams")).as("share"))
+        .orderBy(col("doc_id"))
+    },
+    Some(decontamOracle))
+
+  val defs: Seq[QueryDef] = Seq(q92, q93, q94, q96)
 }
