@@ -272,6 +272,77 @@ object Operators {
         col("jaccard"))
   }
 
+  /** Candidate-pair mass of the ppjoin prefix path at threshold `tau`:
+    * Σ over prefix codes of df², where df is the code's document
+    * frequency WITHIN prefixes — each equi-join candidate is one
+    * sorted-merge verify, so this is the prefix path's work in the
+    * same unit as the dense scan's n²/2. One linear aggregation (the
+    * same explode the prefix path itself performs). `sets` must carry
+    * (__cs sorted codes, __len). */
+  private[operators] def prefixCandidateMass(sets: DataFrame,
+      tau: Double): Long = {
+    val eps = 1e-6
+    sets.select(explode(slice(col("__cs"), lit(1),
+        (col("__len") - ceil(col("__len") * tau - col("__len") * eps) + 1)
+          .cast("int"))).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__df"))
+      .agg(sum(col("__df") * col("__df")).as("__m"))
+      .head().getLong(0)
+  }
+
+  /** DENSITY-ADAPTIVE exact Jaccard pairs: routes between the two
+    * exact formulations by MEASURED corpus statistics, not a guess.
+    * The prefix-filtered inverted-index join ([[jaccardPairsPrefix]])
+    * is sub-quadratic on sparse shingle spaces but materializes
+    * Σ df² candidates — on a dense corpus (small hot vocabulary) that
+    * exceeds the n²/2 pairs of the broadcast scan it was meant to
+    * avoid. Both costs are one codegen sorted-merge per unit, so they
+    * are directly comparable: the router pays one linear aggregation
+    * ([[prefixCandidateMass]]) and picks the smaller. The dense route
+    * is additionally gated by `denseMaxDocs` — above it the set-side
+    * broadcast stops fitting in an executor regardless of density
+    * (the same idea as [[connectedComponents]]' driver cutoff).
+    *
+    * Both routes return identical results (exact verify; boundary
+    * epsilon only ever ADMITS candidates): (a_id, b_id, inter,
+    * jaccard ≥ tau). Dense-route results read a `localCheckpoint` —
+    * call [[releaseCheckpoints]] after materializing. */
+  def jaccardPairsAuto(codeSets: DataFrame, idCol: String, setCol: String,
+      tau: Double, denseMaxDocs: Long = 16384): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau in (0,1]: $tau")
+    val sets = codeSets.select(col(idCol).as("__id"), col(setCol).as("__cs"),
+      size(col(setCol)).as("__len"))
+      .localCheckpoint() // feeds the stats pass + whichever route wins
+    val n = sets.count()
+    val useDense = n <= denseMaxDocs && {
+      val densePairs = n * (n - 1) / 2
+      densePairs <= prefixCandidateMass(sets, tau) / 2
+    }
+    if (!useDense) {
+      val out = jaccardPairsPrefix(sets, "__id", "__cs", tau)
+      // jaccardPairsPrefix checkpoints its own (eager) projection of
+      // `sets`, so the stats-pass checkpoint is already superseded
+      freeCheckpoint(sets)
+      out
+    } else {
+      val a = sets.select(col("__id").as("a_id"), col("__cs").as("ca"))
+      val b = sets.select(col("__id").as("b_id"), col("__cs").as("cb"))
+        // AQE would coalesce this few-MB side to one partition and
+        // serialize the whole pair scan onto one core; the scan's cost
+        // is quadratic in rows, not bytes
+        .repartition(256, col("b_id"))
+      // jaccard test inside the join condition with the trivial id
+      // conjunct FIRST, so the codegen'd intersect runs for n²/2
+      // unordered pairs, not all n² ordered ones
+      val inter = expr("sorted_intersect_count(ca, cb)")
+      val jac = inter.cast("double") /
+        (size(col("ca")) + size(col("cb")) - inter)
+      broadcast(a).join(b, col("a_id") < col("b_id") && jac >= tau)
+        .select(col("a_id"), col("b_id"),
+          inter.cast("long").as("inter"), jac.as("jaccard"))
+    }
+  }
+
   /** Connected components over an undirected edge list — the dedup
     * pipeline's clustering step (every near-dup pair collapses into a
     * cluster; keep min id as canonical). Iterative min-label

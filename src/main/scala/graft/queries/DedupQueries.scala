@@ -47,42 +47,18 @@ object DedupQueries {
   // --------------------------------------------------------------------
   // q61 — n-gram Jaccard near-dup pairs: word-bigram shingles, exact
   // Jaccard ≥ 0.08 over hashed shingle sets.
-  /** Shared by q61/q66: exact bigram-Jaccard pairs ≥ 0.08. */
-  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-      // Implementation choice by corpus statistics: with a tiny shingle
-      // vocabulary every shingle is hot, so the classic inverted-index
-      // self-join materializes Σ df² ≈ 600M intermediate rows (measured
-      // 34s at sf0.1). Instead: hash shingles to BIGINT codes, hold one
-      // side's sorted code-sets broadcast, stream the other side across
-      // all cores, and count intersections with the codegen'd
-      // two-pointer merge (SortedIntersectCount) — same exact result,
-      // zero shuffles, ~60 ns/pair. On a sparse corpus (huge shingle
-      // space) the inverted index + prefix filtering wins instead, and
-      // q63's MinHash-LSH is the sub-quadratic scale path either way.
-      // localCheckpoint: the code-set projection feeds BOTH join sides;
-      // without materialization Spark evaluates it once per branch
-      // (plan subtrees are never deduped)
-      val shs = codeSets(s, dir).localCheckpoint()
-      val a = shs.select(col("doc_id").as("a_id"), col("cs").as("ca"))
-      val b = shs.select(col("doc_id").as("b_id"), col("cs").as("cb"))
-        // Explicit partition count: AQE would coalesce this few-MB side
-        // to one partition and serialize the whole pair scan onto one
-        // core; the pair scan's cost is quadratic in rows, not bytes.
-        .repartition(256, col("b_id"))
-      // The jaccard test is part of the JOIN CONDITION we author, with
-      // the trivial id test FIRST: a separate .filter gets pushed into
-      // the join by Catalyst as the LEADING conjunct, making the
-      // codegen'd intersect run for all n² ordered pairs instead of
-      // the n²/2 unordered ones (measured 2× on the pair scan).
-      val jac = expr("sorted_intersect_count(ca, cb)").cast("double") /
-        (size(col("ca")) + size(col("cb")) -
-          expr("sorted_intersect_count(ca, cb)"))
-      broadcast(a).join(b, col("a_id") < col("b_id") && jac >= 0.08)
-        .withColumn("inter", expr("sorted_intersect_count(ca, cb)"))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (size(col("ca")) + size(col("cb")) - col("inter")))
-        .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
-  }
+  /** Shared by q61/q66: exact bigram-Jaccard pairs ≥ 0.08, routed by
+    * MEASURED corpus density ([[graft.operators.Operators
+    * .jaccardPairsAuto]]): this corpus's tiny hot shingle vocabulary
+    * makes the inverted-index self-join materialize Σ df² ≈ 600M
+    * candidates at sf0.1 (measured 34s), so the router picks the
+    * broadcast pair scan with the codegen'd two-pointer merge
+    * (~60 ns/pair, zero shuffles); on a sparse corpus the SAME call
+    * routes to the ppjoin prefix join instead. q63's MinHash-LSH
+    * remains the sub-quadratic scale path either way. */
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Operators.jaccardPairsAuto(
+      codeSets(s, dir), "doc_id", "cs", tau = 0.08)
 
   /** DuckDB CTE fragment producing the exact pair set at `tau`. */
   private def pairsDuckAt(tau: Double): String =
