@@ -160,16 +160,7 @@ object SimilarityOps {
     val assign = vecs
       .withColumn("__cell", nearestCell(col("__v"), cents))
       .localCheckpoint() // feeds radii + both join sides
-    // per-cell covering radius, driver-side (k values)
-    val radius: Map[Int, Double] = assign
-      .withColumn("__d", sqrt(greatest(lit(0.0),
-        call_function("vec_dot", col("__v"), col("__v")) -
-          lit(2.0) * call_function("vec_dot", col("__v"),
-            element_at(typedlit(cents.map(_.toSeq)), col("__cell") + 1)) +
-          element_at(typedlit(cents.map(c => c.map(x => x * x).sum)),
-            col("__cell") + 1))))
-      .groupBy(col("__cell")).agg(max(col("__d")).as("__r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val radius = cellRadii(assign, "__v", "__cell", cents)
     val dBound = math.sqrt(math.max(0.0, 2 - 2 * threshold)) + eps
     def cdist(a: Array[Double], b: Array[Double]): Double =
       math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
@@ -198,6 +189,111 @@ object SimilarityOps {
         (nrm(col("__va")) * nrm(col("__vb"))))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
+  /** Per-cell covering radius: max distance of any UNIT vector in
+    * `vCol` to its cell's centroid — driver-side (k values), one keyed
+    * aggregation. The geometric primitive both metric-pruned operators
+    * ([[exactCosinePairsPruned]], [[exactKnnPruned]]) build their
+    * admissibility bounds from. */
+  private def cellRadii(assign: DataFrame, vCol: String, cellCol: String,
+      cents: Seq[Array[Double]]): Map[Int, Double] =
+    assign
+      .withColumn("__d", sqrt(greatest(lit(0.0),
+        call_function("vec_dot", col(vCol), col(vCol)) -
+          lit(2.0) * call_function("vec_dot", col(vCol),
+            element_at(typedlit(cents.map(_.toSeq)), col(cellCol) + 1)) +
+          element_at(typedlit(cents.map(c => c.map(x => x * x).sum)),
+            col(cellCol) + 1))))
+      .groupBy(col(cellCol)).agg(max(col("__d")).as("__r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  /** EXACT cosine top-k neighbors per query with metric cell pruning —
+    * the distributable scale path for the brute-force KNN scan (q70's
+    * shape). Two phases:
+    *   1. SEED: each query probes only its own nearest cell's members;
+    *      the kth-best similarity found is a LOWER bound t on the true
+    *      kth (fewer than k members → −∞).
+    *   2. PRUNE + VERIFY: for unit vectors, any corpus member x in
+    *      cell j satisfies cos(q,x) = ⟨q̂,ĉⱼ⟩ + ⟨q̂, x̂−ĉⱼ⟩ ≤
+    *      ⟨q̂,cⱼ⟩ + rⱼ (Cauchy–Schwarz + the cell radius), so only
+    *      cells with ⟨q̂,cⱼ⟩ + rⱼ ≥ t − ε can hold a top-k member.
+    *      Exact similarities over the admitted cells' members (from the
+    *      ORIGINAL vectors — bit-identical to the brute scan) feed the
+    *      bounded top-k aggregator for the final ranking.
+    * The seed cell is always re-admitted (its bound ≥ its own best),
+    * so phase 2 ranks a superset of phase 1 — no result stitching.
+    *
+    * Scale shape: both candidate joins are keyed on the cell (corpus
+    * never broadcasts, no per-query corpus scan); the only non-keyed
+    * join is queries × the nCells-row centroid table for the bounds —
+    * bounded by the cell count, not the data. Ranking runs through the
+    * bounded-state top-k aggregator (map-side combine to ≤ k rows per
+    * query before the exchange). On clustered embeddings most cells
+    * fail the bound; the worst case (no cluster structure) degrades to
+    * visiting all cells — still keyed shuffles only.
+    *
+    * Zero-norm vectors have undefined cosine and are excluded on both
+    * sides. Returns (q_id, n_id, sim, rank 1..k) ranked by (sim DESC,
+    * n_id ASC) — a total order, so ties are deterministic. */
+  def exactKnnPruned(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, iters: Int = 3,
+      excludeSelfId: Boolean = true): DataFrame = {
+    require(k > 0, s"k > 0: $k")
+    val eps = 1e-6
+    def nrm(v: Column): Column = sqrt(call_function("vec_dot", v, v))
+    val cvec = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_emb"))
+      .withColumn("n_nrm", nrm(col("n_emb")))
+      .filter(col("n_nrm") > 0)
+      .withColumn("__u",
+        expr("transform(CAST(n_emb AS ARRAY<DOUBLE>), x -> x / n_nrm)"))
+      .localCheckpoint() // scanned by kmeansFit + assignment
+    val cents = kmeansFit(cvec, "n_id", "__u", nCells, iters)
+    val assignU = cvec.withColumn("__cell", nearestCell(col("__u"), cents))
+      .localCheckpoint() // feeds radii + phase-1 + phase-2 probe sides
+    val radius = cellRadii(assignU, "__u", "__cell", cents)
+    val assign = assignU.drop("__u")
+    val qvec = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_emb"))
+      .withColumn("q_nrm", nrm(col("q_emb")))
+      .filter(col("q_nrm") > 0)
+      .withColumn("__qu",
+        expr("transform(CAST(q_emb AS ARRAY<DOUBLE>), x -> x / q_nrm)"))
+      .withColumn("__qcell", nearestCell(col("__qu"), cents))
+      .localCheckpoint() // feeds both phases
+    val tk = graft.functions.TopK.topk(k)
+    def noSelf(c: DataFrame): DataFrame =
+      if (excludeSelfId) c.filter(col("q_id") =!= col("n_id")) else c
+    def simCol: Column = call_function("vec_dot", col("q_emb"), col("n_emb")) /
+      (col("q_nrm") * col("n_nrm"))
+    // phase 1 — kth-sim lower bound from the query's own cell
+    val seeds = noSelf(qvec.join(
+        assign.withColumnRenamed("__cell", "__qcell"), "__qcell"))
+      .withColumn("__sim", simCol)
+      .groupBy(col("q_id")).agg(tk(col("__sim"), col("n_id")).as("__tk"))
+      .select(col("q_id"),
+        when(size(col("__tk")) >= k,
+          element_at(col("__tk"), k).getField("score"))
+          .otherwise(lit(Double.NegativeInfinity)).as("__t"))
+    // phase 2 — bounds join against the nCells-row centroid table,
+    // then exact sims over the admitted cells' members
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val cellsDf = cents.zipWithIndex
+      .flatMap { case (c, i) => radius.get(i).map(r => (i, c.toSeq, r)) }
+      .toDF("__cell", "__cent", "__r")
+    val admitted = qvec
+      .join(seeds, Seq("q_id"), "left") // query alone in its cell → no seed row
+      .withColumn("__t", coalesce(col("__t"), lit(Double.NegativeInfinity)))
+      .crossJoin(broadcast(cellsDf))
+      .filter(call_function("vec_dot", col("__qu"), col("__cent")) + col("__r")
+        >= col("__t") - lit(eps))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("__cell"))
+    noSelf(admitted.join(assign, "__cell"))
+      .withColumn("__sim", simCol)
+      .groupBy(col("q_id")).agg(tk(col("__sim"), col("n_id")).as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")).as(Seq("__p", "__s")))
+      .select(col("q_id"), col("__s").getField("id").as("n_id"),
+        col("__s").getField("score").as("sim"), (col("__p") + 1).as("rank"))
   }
 
   /** Squared distance to the NEAREST of `centroids` (true value, not

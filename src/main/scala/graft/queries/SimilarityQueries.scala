@@ -46,6 +46,19 @@ object SimilarityQueries {
     s"""vecs AS (SELECT vec_id, embedding,
         sqrt(${dotDuck("embedding", "embedding")}) AS nrm FROM embeddings)"""
 
+  /** Brute-force top-5 oracle shared by q70 (brute Spark plan) and q97
+    * (metric-pruned plan) — identical SQL, so the driver gate proves
+    * pruned ≡ brute end-to-end. */
+  private val knnOracle: String =
+    s"""WITH $normDuck,
+      sims AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          ${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
+        FROM vecs q JOIN vecs c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
+      SELECT q_id, n_id, sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        FROM sims) x
+      WHERE rank <= 5 ORDER BY q_id, rank"""
+
   // --------------------------------------------------------------------
   // q70 — brute-force cosine top-k: every 100th vector is a query; top-5
   // neighbors by (cosine desc, vec_id asc). The ranking runs through the
@@ -73,14 +86,7 @@ object SimilarityQueries {
           (col("p") + 1).as("rank"))
         .orderBy(col("q_id"), col("rank"))
     },
-    Some(s"""WITH $normDuck,
-      sims AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-          ${dotDuck("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS sim
-        FROM vecs q JOIN vecs c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
-      SELECT q_id, n_id, sim, rank FROM (
-        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
-        FROM sims) x
-      WHERE rank <= 5 ORDER BY q_id, rank"""))
+    Some(knnOracle))
 
   // --------------------------------------------------------------------
   // q71 — hyperplane-LSH ANN: 8 pseudo-random hyperplanes (deterministic
@@ -298,5 +304,25 @@ object SimilarityQueries {
       WHERE ${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
       ORDER BY a_id, b_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q91, q95)
+  // --------------------------------------------------------------------
+  // q97 — the SAME exact top-5 result as q70, produced by the scale
+  // path: [[graft.operators.SimilarityOps.exactKnnPruned]] — each query
+  // seeds a kth-sim bound from its own k-means cell, then visits only
+  // cells whose ⟨q̂,c⟩+r bound can beat it, with exact sims from the
+  // original vectors. Same oracle SQL as q70, so the driver gate proves
+  // pruned ≡ brute. The corpus never broadcasts (q70 broadcasts the
+  // query side — fine for sparse queries; this shape survives when
+  // queries × corpus both outgrow a broadcast).
+  private val q97 = QueryDef(
+    "q97_knn_pruned",
+    (s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      graft.operators.SimilarityOps.exactKnnPruned(
+        vecs, vecs.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nCells = 16, iters = 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(knnOracle))
+
+  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q91, q95, q97)
 }
