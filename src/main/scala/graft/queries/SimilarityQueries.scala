@@ -293,9 +293,15 @@ object SimilarityQueries {
   private val q95 = QueryDef(
     "q95_cosine_pairs_pruned",
     (s, dir) =>
+      // 8 cells / 2 Lloyd iterations: exactness is cell-count-invariant
+      // (PrunedCosineSpec proves equivalence across k); cells only tune
+      // pruning granularity, and each extra cell/iteration is one more
+      // sequential driver action in the farthest-point init — measured
+      // 5.5s → 2.4s at sf0.1 going 16/3 → 8/2. At cluster scale a
+      // larger k amortizes; the knob is explicit here.
       graft.operators.SimilarityOps.exactCosinePairsPruned(
         t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, k = 16, iters = 3)
+        threshold = 0.4, k = 8, iters = 2)
         .orderBy(col("a_id"), col("b_id")),
     Some(s"""WITH $normDuck
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -317,9 +323,11 @@ object SimilarityQueries {
     "q97_knn_pruned",
     (s, dir) => {
       val vecs = t(s, dir, "embeddings")
+      // 8/2 for the same init-cost reason as q95 (measured 11.6s →
+      // 2.9s at sf0.1); exact for any cell count (PrunedKnnSpec)
       graft.operators.SimilarityOps.exactKnnPruned(
         vecs, vecs.filter(col("vec_id") % 100 === 0),
-        "vec_id", "embedding", k = 5, nCells = 16, iters = 3)
+        "vec_id", "embedding", k = 5, nCells = 8, iters = 2)
         .orderBy(col("q_id"), col("rank"))
     },
     Some(knnOracle))
