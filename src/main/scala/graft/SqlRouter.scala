@@ -141,8 +141,90 @@ object SqlRouter {
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+SECONDS)?\s*""".r
   private val Analyze = """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*(?:COMPUTE\s+STATISTICS)?\s*""".r
 
-  def execute(engine: Engine, sqlText: String): Result =
-    executeRouted(engine, stripIdentQuotes(sqlText), sqlText)
+  def execute(engine: Engine, sqlText: String): Result = {
+    // MySQL literal forms first (the rewrite must reach Catalyst too,
+    // unlike backtick stripping which is routing-only — see ADVICE r6)
+    val lit = normalizeMysqlLiterals(sqlText)
+    executeRouted(engine, stripIdentQuotes(lit), lit)
+  }
+
+  /** Charset introducers MySQL allows before string/hex literals
+    * (`_binary'...'`, `_utf8mb4'abc'` — the forms mysqldump and the
+    * reference's SHOW CREATE fixtures emit, `main_test.go:1103`).
+    * Restricted to the known charset names so a column that happens to
+    * start with '_' is never eaten. */
+  private val Introducers = Set("binary", "utf8", "utf8mb3", "utf8mb4",
+    "latin1", "latin2", "ascii", "ucs2", "utf16", "utf16le", "utf32",
+    "gbk", "big5", "gb2312", "gb18030", "cp850", "cp1250", "cp1251",
+    "cp1256", "cp1257", "sjis", "euckr", "greek", "hebrew", "koi8r",
+    "koi8u", "tis620", "ujis", "eucjpms")
+
+  /** MySQL-only literal forms rewritten to Catalyst-parseable ones —
+    * OUTSIDE quoted/backticked spans only (A37's remaining dialect
+    * gap; without this a mysqldump of any table with BLOB columns
+    * fails to replay):
+    *   `0xDEADBEEF`  → `X'DEADBEEF'` (--hex-blob output; byte-exact,
+    *                    odd digit counts get MySQL's implied leading 0)
+    *   `b'0101'`     → the decimal value (bit literal)
+    *   `_binary'…'`  → `'…'` (introducer dropped: the script text is
+    *                    already in the script's encoding, and the
+    *                    target column's cast supplies the type) */
+  private[graft] def normalizeMysqlLiterals(s: String): String = {
+    def isWord(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_' || c == '$'
+    if (!s.contains("0x") && !s.contains("b'") && !s.contains("B'") &&
+      !s.contains("_")) return s
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    var prev: Char = ' '
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == '\\' && i + 1 < s.length) { out.append(s.charAt(i + 1)); i += 1 }
+        else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else if (c == '0' && !isWord(prev) && i + 1 < s.length &&
+          s.charAt(i + 1) == 'x') {
+        var j = i + 2
+        while (j < s.length && isHexDigit(s.charAt(j))) j += 1
+        val hex = s.substring(i + 2, j)
+        if (hex.nonEmpty && (j >= s.length || !isWord(s.charAt(j)))) {
+          out.append("X'").append(if (hex.length % 2 == 1) "0" else "")
+            .append(hex).append('\'')
+          i = j
+        } else { out.append(c); i += 1 }
+      } else if ((c == 'b' || c == 'B') && !isWord(prev) &&
+          i + 1 < s.length && s.charAt(i + 1) == '\'') {
+        val close = s.indexOf('\'', i + 2)
+        val bits = if (close > 0) s.substring(i + 2, close) else "x"
+        if (close > 0 && bits.forall(ch => ch == '0' || ch == '1')) {
+          out.append(if (bits.isEmpty) "0"
+            else BigInt(bits, 2).toString)
+          i = close + 1
+        } else { out.append(c); i += 1 }
+      } else if (c == '_' && !isWord(prev)) {
+        var j = i + 1
+        while (j < s.length && isWord(s.charAt(j))) j += 1
+        var k = j
+        while (k < s.length && Character.isWhitespace(s.charAt(k))) k += 1
+        val name = s.substring(i + 1, j).toLowerCase
+        val beforeLiteral = k < s.length &&
+          (s.charAt(k) == '\'' || (s.charAt(k) == '0' &&
+            k + 1 < s.length && s.charAt(k + 1) == 'x'))
+        if (Introducers.contains(name) && beforeLiteral) i = k // drop it
+        else { out.append(s.substring(i, j)); i = j }
+      } else { out.append(c); i += 1 }
+      prev = if (out.nonEmpty) out.last else ' '
+    }
+    out.toString
+  }
+
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
   /** Backtick-quoted identifiers (standard mysqldump output) become
     * bare identifiers for ROUTING — outside string literals only, and

@@ -587,4 +587,46 @@ class SqlRouterSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), Option(x.getString(1))))
       === Array((1L, Some("x")), (2L, None)))
   }
+
+  test("normalizeMysqlLiterals: hex, bit, introducers — quote-aware") {
+    val n = SqlRouter.normalizeMysqlLiterals _
+    // --hex-blob literals, incl. MySQL's implied leading zero
+    assert(n("INSERT INTO t VALUES (1, 0x48454C)") ===
+      "INSERT INTO t VALUES (1, X'48454C')")
+    assert(n("SELECT 0xABC") === "SELECT X'0ABC'")
+    // bit literals → decimal; empty → 0
+    assert(n("VALUES (b'0101', B'11', b'')") === "VALUES (5, 3, 0)")
+    // charset introducers dropped before string and hex literals
+    assert(n("VALUES (_binary 'AB', _utf8mb4'x', _binary 0x41)") ===
+      "VALUES ('AB', 'x', X'41')")
+    // inside string/backtick spans: untouched
+    assert(n("SELECT '0xAB b''01'' _binary ok'") ===
+      "SELECT '0xAB b''01'' _binary ok'")
+    assert(n("SELECT `0xAB` FROM `b'tab'`") === "SELECT `0xAB` FROM `b'tab'`")
+    // word-boundary discipline: identifiers keep their text
+    assert(n("SELECT a0x1, _mycol, tab0x FROM t") ===
+      "SELECT a0x1, _mycol, tab0x FROM t")
+    assert(n("SELECT 10x") === "SELECT 10x")
+    // non-introducer underscore word followed by a string is NOT eaten
+    assert(n("SELECT _notacharset 'alias'") === "SELECT _notacharset 'alias'")
+  }
+
+  test("blob columns replay from mysqldump literal forms end-to-end") {
+    val e = new Engine(spark, tmpDir("router_hexblob"))
+    exec(e, "CREATE TABLE bin_t (id INT PRIMARY KEY, payload BLOB, flags INT)")
+    // the three forms a MySQL dump can carry binary/bit data in
+    exec(e, "INSERT INTO bin_t VALUES (1, 0x48454C4C4F, b'0101')")
+    exec(e, "INSERT INTO bin_t VALUES (2, _binary 'AB', b'')")
+    exec(e, "INSERT INTO bin_t (id, payload) VALUES (3, X'00FF7F')")
+    val got = exec(e, "SELECT id, payload, flags FROM bin_t ORDER BY id").df.get
+      .collect()
+      .map(r => (r.getInt(0), Option(r.get(1)).map(_.asInstanceOf[Array[Byte]].toSeq),
+        Option(r.get(2))))
+    assert(got(0) === ((1, Some("HELLO".getBytes("UTF-8").toSeq), Some(5))))
+    assert(got(1) === ((2, Some("AB".getBytes("UTF-8").toSeq), Some(0))))
+    assert(got(2) === ((3, Some(Seq[Byte](0x00, -1, 0x7F)), None)))
+    // and a 0x literal in a predicate routes through engine.sql intact
+    assert(exec(e, "SELECT id FROM bin_t WHERE payload = 0x4142").df.get
+      .collect().map(_.getInt(0)).toSeq === Seq(2))
+  }
 }
