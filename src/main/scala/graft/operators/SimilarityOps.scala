@@ -139,7 +139,9 @@ object SimilarityOps {
     * loose threshold — degrades to the full block set, still with
     * keyed shuffles only.
     *
-    * Returns (a_id, b_id, sim) with a_id < b_id, sim ≥ threshold. */
+    * Returns (a_id, b_id, sim) with a_id < b_id, sim ≥ threshold. The
+    * result reads the cell-index checkpoint lazily — call
+    * [[Operators.releaseCheckpoints]] on it after materializing. */
   def exactCosinePairsPruned(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, k: Int = 16, iters: Int = 4): DataFrame = {
     require(threshold > -1 && threshold <= 1, s"threshold in (-1,1]: $threshold")
@@ -160,6 +162,7 @@ object SimilarityOps {
     val assign = vecs
       .withColumn("__cell", nearestCell(col("__v"), cents))
       .localCheckpoint() // feeds radii + both join sides
+    Operators.releaseCheckpoints(vecs) // superseded by assign
     val radius = cellRadii(assign, "__v", "__cell", cents)
     val dBound = math.sqrt(math.max(0.0, 2 - 2 * threshold)) + eps
     def cdist(a: Array[Double], b: Array[Double]): Double =
@@ -235,7 +238,9 @@ object SimilarityOps {
     *
     * Zero-norm vectors have undefined cosine and are excluded on both
     * sides. Returns (q_id, n_id, sim, rank 1..k) ranked by (sim DESC,
-    * n_id ASC) — a total order, so ties are deterministic. */
+    * n_id ASC) — a total order, so ties are deterministic. The result
+    * reads the cell-index and query checkpoints lazily — call
+    * [[Operators.releaseCheckpoints]] on it after materializing. */
   def exactKnnPruned(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, iters: Int = 3,
       excludeSelfId: Boolean = true): DataFrame = {
@@ -251,6 +256,7 @@ object SimilarityOps {
     val cents = kmeansFit(cvec, "n_id", "__u", nCells, iters)
     val assignU = cvec.withColumn("__cell", nearestCell(col("__u"), cents))
       .localCheckpoint() // feeds radii + phase-1 + phase-2 probe sides
+    Operators.releaseCheckpoints(cvec) // superseded by assignU
     val radius = cellRadii(assignU, "__u", "__cell", cents)
     val assign = assignU.drop("__u")
     val qvec = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_emb"))
@@ -354,6 +360,10 @@ object SimilarityOps {
       }
       it += 1
     }
+    // the working checkpoint is fully consumed (centroids are plain
+    // driver values) — free its storage blocks now rather than waiting
+    // for a driver GC (see Operators.freeCheckpoint)
+    Operators.releaseCheckpoints(vecs)
     cents
   }
 }
