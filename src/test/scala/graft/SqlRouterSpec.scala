@@ -588,6 +588,14 @@ class SqlRouterSpec extends SparkSpec {
       === Array((1L, Some("x")), (2L, None)))
   }
 
+  test("TABLE statement returns all rows (reference table_statement.bats)") {
+    val e = new Engine(spark, tmpDir("router_tablestmt"))
+    exec(e, "CREATE TABLE ts (id INT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO ts VALUES (2,'b'), (1,'a')")
+    assert(exec(e, "TABLE ts ORDER BY id").df.get.collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "a"), (2, "b")))
+  }
+
   test("normalizeMysqlLiterals: hex, bit, introducers — quote-aware") {
     val n = SqlRouter.normalizeMysqlLiterals _
     // --hex-blob literals, incl. MySQL's implied leading zero
