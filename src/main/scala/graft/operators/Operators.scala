@@ -682,31 +682,77 @@ object Operators {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
-  /** Map-side Bloom prefilter: `left` reduced to rows whose `leftKey`
-    * MIGHT appear among `right`'s `rightKey`s — no false negatives,
-    * ≈`fpp` false positives. The sketch is built DISTRIBUTIVELY
-    * (Catalyst's bloom aggregate: per-partition build, partial merge —
-    * the key set never collects anywhere as strings) and the probe is
-    * a codegen'd filter evaluated before any shuffle of `left`, so the
-    * only thing that moves is the sketch's bits. Sized by the standard
-    * m = −n·ln(p)/ln²2, clamped to Spark's runtime-filter cap. Requires
-    * [[graft.functions.GraftFunctions.register]]. */
-  def bloomPrefilter(left: DataFrame, leftKey: String, right: DataFrame,
-      rightKey: String, fpp: Double = 0.01): DataFrame = {
-    require(fpp > 0 && fpp < 1, s"fpp in (0,1): $fpp")
-    val keys = right.select(col(rightKey)).filter(col(rightKey).isNotNull)
-    val n = math.max(1L, keys.distinct().count())
-    val maxBits = left.sparkSession.conf
+  /** Bits for a Bloom sketch of `n` keys at false-positive rate `fpp`
+    * (the standard m = −n·ln(p)/ln²2), clamped to Spark's
+    * runtime-filter cap. */
+  private def bloomBits(spark: org.apache.spark.sql.SparkSession,
+      n: Long, fpp: Double): Long = {
+    val maxBits = spark.conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
       .toLong
-    val bits = math.min(maxBits, math.max(64L,
+    math.min(maxBits, math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
-    val sketch = keys
-      .agg(call_function("bloom_agg", xxhash64(col(rightKey)),
-        lit(n), lit(bits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+  }
+
+  /** Distributed Bloom sketch of `keyCol` as bytes — Catalyst's bloom
+    * aggregate (per-partition build, partial merge; the key set never
+    * collects anywhere as strings), serialized in the standard
+    * `spark.util.sketch.BloomFilter` stream format. `expectedItems` is
+    * the CAPACITY plan, not a measurement: sketches built with the
+    * same (expectedItems, fpp) are parameter-compatible and
+    * [[bloomMerge]] OR-combines them losslessly — the unit of
+    * INCREMENTAL decontamination state (persist the bytes; merge each
+    * arriving eval batch's sketch; probe corpus batches against the
+    * running union — the sketch twin of the MinHash band index).
+    * An empty batch yields the empty sketch with the same parameters.
+    * Requires [[graft.functions.GraftFunctions.register]]. */
+  def bloomSketch(keys: DataFrame, keyCol: String, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    require(fpp > 0 && fpp < 1, s"fpp in (0,1): $fpp")
+    require(expectedItems > 0, s"expectedItems > 0: $expectedItems")
+    val bits = bloomBits(keys.sparkSession, expectedItems, fpp)
+    Option(keys.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .agg(call_function("bloom_agg", xxhash64(col(keyCol)),
+        lit(expectedItems), lit(bits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf"))
+      .getOrElse { // zero rows → the aggregate evals to null
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter
+          .create(expectedItems, bits).writeTo(out)
+        out.toByteArray
+      }
+  }
+
+  /** OR-union of two parameter-compatible sketches (same
+    * expectedItems/fpp at build): exactly the sketch of the key
+    * union — bit-identical, not an approximation of the merge. */
+  def bloomMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb) // throws IncompatibleMergeException on param drift
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
+
+  /** `left` reduced to rows whose `leftKey` MIGHT be in `sketch` — the
+    * probe half of [[bloomSketch]]: a codegen'd filter evaluated
+    * before any shuffle of `left`; only the sketch's bits travel. */
+  def bloomPrefilterWith(left: DataFrame, leftKey: String,
+      sketch: Array[Byte]): DataFrame =
     left.filter(call_function("bloom_might_contain", lit(sketch),
       xxhash64(col(leftKey))))
+
+  /** Map-side Bloom prefilter: `left` reduced to rows whose `leftKey`
+    * MIGHT appear among `right`'s `rightKey`s — no false negatives,
+    * ≈`fpp` false positives. One-shot composition of [[bloomSketch]]
+    * (sized by the measured distinct key count) + [[bloomPrefilterWith]]. */
+  def bloomPrefilter(left: DataFrame, leftKey: String, right: DataFrame,
+      rightKey: String, fpp: Double = 0.01): DataFrame = {
+    val keys = right.select(col(rightKey)).filter(col(rightKey).isNotNull)
+    val n = math.max(1L, keys.distinct().count())
+    bloomPrefilterWith(left, leftKey, bloomSketch(keys, rightKey, n, fpp))
   }
 
   /** EXACT distributed semi-join through a Bloom prefilter — the
