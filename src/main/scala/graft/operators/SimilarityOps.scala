@@ -137,7 +137,10 @@ object SimilarityOps {
     * blocks the metric bound excludes; on clustered embeddings most
     * of them). Worst case — a corpus with no cluster structure at a
     * loose threshold — degrades to the full block set, still with
-    * keyed shuffles only.
+    * keyed shuffles only. Parallelism is bounded by cell-pair
+    * granularity: one giant cell puts its whole block in one task, so
+    * size k with the corpus (k ≈ √n keeps expected block work
+    * constant) — k is an explicit knob for exactly this reason.
     *
     * Returns (a_id, b_id, sim) with a_id < b_id, sim ≥ threshold. The
     * result reads the cell-index checkpoint lazily — call
@@ -234,7 +237,9 @@ object SimilarityOps {
     * bounded-state top-k aggregator (map-side combine to ≤ k rows per
     * query before the exchange). On clustered embeddings most cells
     * fail the bound; the worst case (no cluster structure) degrades to
-    * visiting all cells — still keyed shuffles only.
+    * visiting all cells — still keyed shuffles only. As with
+    * [[exactCosinePairsPruned]], per-cell task granularity means
+    * nCells should grow with the corpus (≈ √n).
     *
     * Zero-norm vectors have undefined cosine and are excluded on both
     * sides. Returns (q_id, n_id, sim, rank 1..k) ranked by (sim DESC,
