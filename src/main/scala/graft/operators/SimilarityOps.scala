@@ -146,7 +146,7 @@ object SimilarityOps {
     * result reads the cell-index checkpoint lazily — call
     * [[Operators.releaseCheckpoints]] on it after materializing. */
   def exactCosinePairsPruned(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, k: Int = 16, iters: Int = 4): DataFrame = {
+      threshold: Double, k: Int = 0, iters: Int = 4): DataFrame = {
     require(threshold > -1 && threshold <= 1, s"threshold in (-1,1]: $threshold")
     val eps = 1e-6
     def nrm(v: Column): Column = sqrt(call_function("vec_dot", v, v))
@@ -161,7 +161,13 @@ object SimilarityOps {
       .select(col("__id"),
         expr("transform(__v0, x -> x / __n)").as("__v"))
       .localCheckpoint() // scanned by kmeansFit + assignment + radii
-    val cents = kmeansFit(vecs, "__id", "__v", k, iters)
+    // k ≤ 0 → auto: √n cells keeps expected cell size √n, so a cell
+    // pair's block work stays linear in n — the "measure, don't guess"
+    // sizing (jaccardPairsAuto's idea applied to cell granularity)
+    val kk = if (k > 0) k
+      else math.max(8, math.min(4096, math.ceil(math.sqrt(
+        vecs.count().toDouble)).toInt))
+    val cents = kmeansFit(vecs, "__id", "__v", kk, iters, init = "hash")
     val assign = vecs
       .withColumn("__cell", nearestCell(col("__v"), cents))
       .localCheckpoint() // feeds radii + both join sides
@@ -247,7 +253,7 @@ object SimilarityOps {
     * reads the cell-index and query checkpoints lazily — call
     * [[Operators.releaseCheckpoints]] on it after materializing. */
   def exactKnnPruned(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int = 16, iters: Int = 3,
+      vecCol: String, k: Int, nCells: Int = 0, iters: Int = 3,
       excludeSelfId: Boolean = true): DataFrame = {
     require(k > 0, s"k > 0: $k")
     val eps = 1e-6
@@ -258,7 +264,11 @@ object SimilarityOps {
       .withColumn("__u",
         expr("transform(CAST(n_emb AS ARRAY<DOUBLE>), x -> x / n_nrm)"))
       .localCheckpoint() // scanned by kmeansFit + assignment
-    val cents = kmeansFit(cvec, "n_id", "__u", nCells, iters)
+    // nCells ≤ 0 → auto-√n, as in exactCosinePairsPruned
+    val cells = if (nCells > 0) nCells
+      else math.max(8, math.min(4096, math.ceil(math.sqrt(
+        cvec.count().toDouble)).toInt))
+    val cents = kmeansFit(cvec, "n_id", "__u", cells, iters, init = "hash")
     val assignU = cvec.withColumn("__cell", nearestCell(col("__u"), cents))
       .localCheckpoint() // feeds radii + phase-1 + phase-2 probe sides
     Operators.releaseCheckpoints(cvec) // superseded by assignU
@@ -326,16 +336,29 @@ object SimilarityOps {
     * order-free mean per dimension. Each iteration is one assignment
     * pass (codegen, no shuffle) plus one k×dim-sized aggregation — the
     * update shuffle carries (cell, dim) partial sums only, never
-    * vectors. Empty cells keep their previous centroid. */
+    * vectors. Empty cells keep their previous centroid.
+    *
+    * `init`: "farthest" (default — best cells, but k SEQUENTIAL driver
+    * actions) or "hash" (ONE action: the k rows with the lowest
+    * xxhash64(id) — a deterministic pseudo-random sample, the right
+    * trade when k grows with the corpus and centroid quality only
+    * tunes pruning effectiveness, never correctness, as in the exact
+    * metric-pruned operators). */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): Seq[Array[Double]] = {
+      iters: Int, init: String = "farthest"): Seq[Array[Double]] = {
     require(k > 0 && iters >= 0, "k > 0, iters >= 0")
+    require(init == "farthest" || init == "hash", s"unknown init $init")
     val vecs = df.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
       .localCheckpoint() // scanned k+iters times
-    var cents: Seq[Array[Double]] = Seq(
-      vecs.orderBy(col("__id")).limit(1)
-        .select(col("__v")).head().getSeq[Double](0).toArray)
+    var cents: Seq[Array[Double]] =
+      if (init == "hash")
+        vecs.orderBy(xxhash64(col("__id")), col("__id")).limit(k)
+          .select(col("__v")).collect()
+          .map(_.getSeq[Double](0).toArray).toSeq
+      else Seq(
+        vecs.orderBy(col("__id")).limit(1)
+          .select(col("__v")).head().getSeq[Double](0).toArray)
     while (cents.size < k) {
       cents = cents :+ vecs
         .withColumn("__d", minSqDist(col("__v"), cents))

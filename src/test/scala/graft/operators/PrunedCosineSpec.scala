@@ -51,7 +51,7 @@ class PrunedCosineSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
 
   test("equals brute force across thresholds and cell counts") {
-    for (t <- Seq(0.95, 0.7, 0.4); k <- Seq(4, 8)) {
+    for (t <- Seq(0.95, 0.7, 0.4); k <- Seq(4, 8, 0)) { // 0 = auto-√n
       val b = brute(t)
       val p = pruned(t, k)
       assert(p.map(x => (x._1, x._2)) === b.map(x => (x._1, x._2)), s"t=$t k=$k")

@@ -55,7 +55,7 @@ class PrunedKnnSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().toSeq
 
   test("equals brute-force top-k across k and cell counts") {
-    for (k <- Seq(1, 5); c <- Seq(4, 12)) {
+    for (k <- Seq(1, 5); c <- Seq(4, 12, 0)) { // 0 = auto-√n
       assert(pruned(k, c) === brute(k), s"k=$k cells=$c")
     }
   }

@@ -35,6 +35,20 @@ class SimilarityOpsSpec extends SparkSpec {
     }
   }
 
+  test("hash init: one-action seeding, still recovers separated centers") {
+    val cents = SimilarityOps.kmeansFit(corpus, "id", "vec", k = 3, iters = 8,
+      init = "hash")
+    assert(cents.length === 3)
+    centers.foreach { c =>
+      val best = cents.map(f =>
+        math.sqrt(f.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(best < 0.5, s"center ${c.toSeq} unrecovered: ${cents.map(_.toSeq)}")
+    }
+    // deterministic: same call, same centroids
+    val again = SimilarityOps.kmeansFit(corpus, "id", "vec", 3, 8, "hash")
+    assert(cents.map(_.toSeq) === again.map(_.toSeq))
+  }
+
   test("kmeansAssign is pure on the trained centroids and deterministic") {
     val cents = SimilarityOps.kmeansFit(corpus, "id", "vec", 3, 8)
     val assigned = SimilarityOps.kmeansAssign(corpus, "vec", cents)
