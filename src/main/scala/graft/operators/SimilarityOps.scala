@@ -317,6 +317,97 @@ object SimilarityOps {
         col("__s").getField("score").as("sim"), (col("__p") + 1).as("rank"))
   }
 
+  /** Product-quantization model: `books(j)(c)` is sub-centroid c of
+    * subspace j — m subspaces of `dsub` dims, `ksub` centroids each.
+    * A vector's code is m small ints (vs dim floats): the memory-bound
+    * ANN tier under IVF — at 100 TB the encoded corpus is dim·4/m
+    * times smaller than the raw embeddings, and a candidate scan costs
+    * O(m) table lookups per pair instead of O(dim) multiplies. */
+  final case class PqModel(m: Int, dsub: Int, ksub: Int,
+      books: Seq[Seq[Array[Double]]])
+
+  /** Fit PQ codebooks: UNIT-normalize (so squared L2 ranks exactly as
+    * cosine), slice each vector into m subspaces, and run the k-means
+    * trainer per subspace (hash init — m·(1+iters) driver actions
+    * total). Deterministic end to end. */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      ksub: Int = 16, iters: Int = 2): PqModel = {
+    require(m > 0 && ksub > 1, s"m > 0, ksub > 1: $m/$ksub")
+    val base = unitVecs(df, idCol, vecCol).localCheckpoint()
+    val dim = base.select(size(col("__u"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val books = (0 until m).map { j =>
+      kmeansFit(base.select(col("__id"),
+          slice(col("__u"), j * dsub + 1, dsub).as("__s")),
+        "__id", "__s", ksub, iters, init = "hash")
+    }
+    Operators.releaseCheckpoints(base)
+    PqModel(m, dsub, ksub, books)
+  }
+
+  /** Encode to `(idCol, code array<int> of length m)` — subspace j's
+    * entry is the argmin sub-centroid (codegen argmin per subspace,
+    * narrow map, no shuffle). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    unitVecs(df, idCol, vecCol)
+      .select(col("__id").as(idCol), array((0 until model.m).map(j =>
+        nearestCell(slice(col("__u"), j * model.dsub + 1, model.dsub),
+          model.books(j))): _*).as("code"))
+
+  /** Approximate top-k by ASYMMETRIC distance: each query precomputes
+    * its m×ksub lookup table of exact sub-distances to every
+    * sub-centroid (one narrow projection over the query side — the
+    * corpus is never decoded), then a candidate's distance is m table
+    * lookups summed by an array fold. Ranking runs through the bounded
+    * top-k aggregator. The scan is query×corpus like the brute
+    * baseline, but each pair costs O(m) lookups on m-int codes instead
+    * of O(dim) multiplies on dim floats — the PQ trade. Returns
+    * (q_id, n_id, approx_dist, rank), rank 1..k by (approx_dist ASC,
+    * n_id ASC); APPROXIMATE by design (spec measures recall vs brute),
+    * self-pairs excluded. */
+  def pqTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: PqModel, k: Int): DataFrame = {
+    require(k > 0, s"k > 0: $k")
+    // flat LUT: entry j*ksub + c = ‖q_j − books(j)(c)‖²  (exact doubles)
+    val lutEntries = for (j <- 0 until model.m; c <- 0 until model.ksub)
+      yield {
+        val sub = slice(col("__u"), j * model.dsub + 1, model.dsub)
+        val cent = typedlit(model.books(j)(c).toSeq)
+        call_function("vec_dot", sub, sub) -
+          lit(2.0) * call_function("vec_dot", sub, cent) +
+          lit(model.books(j)(c).map(x => x * x).sum)
+      }
+    val q = unitVecs(queries, idCol, vecCol)
+      .select(col("__id").as("q_id"), array(lutEntries: _*).as("__lut"))
+    val ksub = model.ksub
+    val tk = graft.functions.TopK.topk(k)
+    broadcast(q)
+      .join(codes.select(col(idCol).as("n_id"), col("code")),
+        col("q_id") =!= col("n_id"))
+      .withColumn("__d", expr(
+        s"""aggregate(zip_with(code, sequence(0, ${model.m - 1}),
+              (c, j) -> element_at(__lut, j * $ksub + c + 1)),
+            CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
+      .groupBy(col("q_id"))
+      .agg(tk(-col("__d"), col("n_id")).as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")).as(Seq("__p", "__s")))
+      .select(col("q_id"), col("__s").getField("id").as("n_id"),
+        (-col("__s").getField("score")).as("approx_dist"),
+        (col("__p") + 1).as("rank"))
+  }
+
+  /** (__id, __u): unit-normalized double vectors, zero-norm rows
+    * dropped (shared by the PQ operators). */
+  private def unitVecs(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v0"))
+      .withColumn("__n", sqrt(call_function("vec_dot", col("__v0"), col("__v0"))))
+      .filter(col("__n") > 0)
+      .select(col("__id"), expr("transform(__v0, x -> x / __n)").as("__u"))
+
   /** Squared distance to the NEAREST of `centroids` (true value, not
     * the per-row-shifted argmin form — comparable ACROSS rows, which
     * farthest-point init needs). */

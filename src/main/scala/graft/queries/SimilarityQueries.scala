@@ -332,5 +332,26 @@ object SimilarityQueries {
     },
     Some(knnOracle))
 
-  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q91, q95, q97)
+  // --------------------------------------------------------------------
+  // q98 — product-quantization ANN (the memory-bound tier: 4-int codes
+  // per 64-float vector = 64× smaller candidate set; asymmetric-distance
+  // scan costs 4 LUT lookups per pair instead of 64 multiplies).
+  // Approximate by design → no SQL oracle (driver records rows-only);
+  // PqSpec pins exact LUT arithmetic, determinism, and recall vs brute.
+  private val q98 = QueryDef(
+    "q98_ann_pq",
+    (s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val model = graft.operators.SimilarityOps.pqFit(
+        vecs, "vec_id", "embedding", m = 4, ksub = 16, iters = 2)
+      val codes = graft.operators.SimilarityOps.pqEncode(
+        vecs, "vec_id", "embedding", model)
+      graft.operators.SimilarityOps.pqTopK(
+        codes, vecs.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", model, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q91, q95, q97, q98)
 }
