@@ -398,6 +398,70 @@ object SimilarityOps {
         (col("__p") + 1).as("rank"))
   }
 
+  /** One-pass IVF-PQ index rows `(idCol, cellCol, code)` — coarse cell
+    * and PQ code from the same unit-vector projection, one narrow map
+    * (the persistable state [[ivfPqTopK]] probes). */
+  def pqIndex(df: DataFrame, idCol: String, vecCol: String, model: PqModel,
+      cents: Seq[Array[Double]], cellCol: String = "cell"): DataFrame =
+    unitVecs(df, idCol, vecCol).select(col("__id").as(idCol),
+      nearestCell(col("__u"), cents).as(cellCol),
+      array((0 until model.m).map(j =>
+        nearestCell(slice(col("__u"), j * model.dsub + 1, model.dsub),
+          model.books(j))): _*).as("code"))
+
+  /** IVF-composed PQ — the production ANN shape at 100 TB (coarse
+    * cells prune WHERE to look, codes compress WHAT is looked at):
+    * `index` carries (idCol, cellCol, code) rows (pqEncode output +
+    * [[kmeansAssign]] on the SAME unit vectors); each query explodes
+    * to its `nprobe` nearest cells and the candidate join is KEYED on
+    * the cell — the corpus side never broadcasts (pqTopK's broadcast
+    * scan is the right plan only while the query set is small), and
+    * each admitted candidate still costs m LUT lookups. With
+    * nprobe = |cells| the candidate set is the full corpus and the
+    * result is IDENTICAL to [[pqTopK]] — the composition adds recall
+    * loss only through cell pruning, never through scoring. Returns
+    * (q_id, n_id, approx_dist, rank). */
+  def ivfPqTopK(index: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, model: PqModel,
+      cents: Seq[Array[Double]], nprobe: Int, k: Int): DataFrame = {
+    require(k > 0, s"k > 0: $k")
+    val lutEntries = for (j <- 0 until model.m; c <- 0 until model.ksub)
+      yield {
+        val sub = slice(col("__u"), j * model.dsub + 1, model.dsub)
+        val cent = typedlit(model.books(j)(c).toSeq)
+        call_function("vec_dot", sub, sub) -
+          lit(2.0) * call_function("vec_dot", sub, cent) +
+          lit(model.books(j)(c).map(x => x * x).sum)
+      }
+    val q = unitVecs(queries, idCol, vecCol)
+      .select(col("__id").as("q_id"), array(lutEntries: _*).as("__lut"),
+        explode(nearestCells(col("__u"), cents, nprobe)).as(cellCol))
+    val ksub = model.ksub
+    val tk = graft.functions.TopK.topk(k)
+    q.join(index.select(col(idCol).as("n_id"), col(cellCol), col("code")),
+        Seq(cellCol))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("__d", expr(
+        s"""aggregate(zip_with(code, sequence(0, ${model.m - 1}),
+              (c, j) -> element_at(__lut, j * $ksub + c + 1)),
+            CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
+      .groupBy(col("q_id"))
+      .agg(tk(-col("__d"), col("n_id")).as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")).as(Seq("__p", "__s")))
+      .select(col("q_id"), col("__s").getField("id").as("n_id"),
+        (-col("__s").getField("score")).as("approx_dist"),
+        (col("__p") + 1).as("rank"))
+  }
+
+  /** Unit-normalized copy `(idCol, vecCol)` — the projection every
+    * cosine-space operator here shares, exposed so compositions train
+    * in the same space (e.g. IVF cells for [[ivfPqTopK]] must live
+    * where the PQ codes live). */
+  def unitNormalized(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    unitVecs(df, idCol, vecCol)
+      .select(col("__id").as(idCol), col("__u").as(vecCol))
+
   /** (__id, __u): unit-normalized double vectors, zero-norm rows
     * dropped (shared by the PQ operators). */
   private def unitVecs(df: DataFrame, idCol: String,

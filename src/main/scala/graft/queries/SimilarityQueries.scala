@@ -353,5 +353,31 @@ object SimilarityQueries {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q91, q95, q97, q98)
+  // --------------------------------------------------------------------
+  // q99 — IVF-composed PQ: coarse cells prune WHERE to look (queries
+  // explode to nprobe cells, candidate join KEYED on the cell — the
+  // corpus never broadcasts), PQ codes compress WHAT is looked at
+  // (m LUT lookups per candidate). The production ANN shape; PqSpec
+  // proves nprobe=all ≡ full PQ scan, so composition adds recall loss
+  // only through cell pruning. Approximate → rows-only driver check.
+  private val q99 = QueryDef(
+    "q99_ann_ivf_pq",
+    (s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val model = graft.operators.SimilarityOps.pqFit(
+        vecs, "vec_id", "embedding", m = 4, ksub = 16, iters = 2)
+      // cells trained in UNIT space — where the codes live
+      val cents = graft.operators.SimilarityOps.kmeansFit(
+        graft.operators.SimilarityOps.unitNormalized(vecs, "vec_id", "embedding"),
+        "vec_id", "embedding", k = 16, iters = 2, init = "hash")
+      val index = graft.operators.SimilarityOps.pqIndex(
+        vecs, "vec_id", "embedding", model, cents)
+      graft.operators.SimilarityOps.ivfPqTopK(
+        index, vecs.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "cell", model, cents, nprobe = 2, k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q91, q95, q97, q98, q99)
 }

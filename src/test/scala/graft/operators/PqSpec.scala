@@ -84,6 +84,46 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@5 $mean below floor")
   }
 
+  test("IVF-PQ with nprobe = all cells is IDENTICAL to the full PQ scan") {
+    val cents = SimilarityOps.kmeansFit(
+      SimilarityOps.unitNormalized(corpus, "vec_id", "embedding"),
+      "vec_id", "embedding", k = 6, iters = 3, init = "hash")
+    val index = SimilarityOps.pqIndex(corpus, "vec_id", "embedding",
+      model, cents).localCheckpoint()
+    val full = SimilarityOps.pqTopK(codes, queries, "vec_id", "embedding",
+        model, k = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val ivf = SimilarityOps.ivfPqTopK(index, queries, "vec_id", "embedding",
+        "cell", model, cents, nprobe = 6, k = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(ivf === full, "probing every cell must reproduce the full scan")
+  }
+
+  test("IVF-PQ keyed probe: good recall at nprobe 2, keyed join shape") {
+    val cents = SimilarityOps.kmeansFit(
+      SimilarityOps.unitNormalized(corpus, "vec_id", "embedding"),
+      "vec_id", "embedding", k = 6, iters = 3, init = "hash")
+    val index = SimilarityOps.pqIndex(corpus, "vec_id", "embedding",
+      model, cents).localCheckpoint()
+    val out = SimilarityOps.ivfPqTopK(index, queries, "vec_id", "embedding",
+      "cell", model, cents, nprobe = 2, k = 5)
+    val got = out.as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // recall vs the FULL PQ scan (isolates cell pruning from coding loss)
+    val full = SimilarityOps.pqTopK(codes, queries, "vec_id", "embedding",
+        model, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = full.map { case (qid, want) =>
+      got.getOrElse(qid, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"nprobe=2 recall ${recalls.sum / recalls.size} below floor")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("the scan never decodes the corpus and stays broadcast-shaped") {
     val plan = SimilarityOps.pqTopK(codes, queries, "vec_id", "embedding",
         model, k = 3)
