@@ -342,8 +342,11 @@ object SimilarityQueries {
     "q98_ann_pq",
     (s, dir) => {
       val vecs = t(s, dir, "embeddings")
+      // iters=1: codebook quality only moves recall a little at this
+      // scale, and each Lloyd pass is m more driver actions (see
+      // BENCH_SUMMARY round-7 second measure)
       val model = graft.operators.SimilarityOps.pqFit(
-        vecs, "vec_id", "embedding", m = 4, ksub = 16, iters = 2)
+        vecs, "vec_id", "embedding", m = 4, ksub = 16, iters = 1)
       val codes = graft.operators.SimilarityOps.pqEncode(
         vecs, "vec_id", "embedding", model)
       graft.operators.SimilarityOps.pqTopK(
@@ -365,11 +368,11 @@ object SimilarityQueries {
     (s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val model = graft.operators.SimilarityOps.pqFit(
-        vecs, "vec_id", "embedding", m = 4, ksub = 16, iters = 2)
+        vecs, "vec_id", "embedding", m = 4, ksub = 16, iters = 1)
       // cells trained in UNIT space — where the codes live
       val cents = graft.operators.SimilarityOps.kmeansFit(
         graft.operators.SimilarityOps.unitNormalized(vecs, "vec_id", "embedding"),
-        "vec_id", "embedding", k = 16, iters = 2, init = "hash")
+        "vec_id", "embedding", k = 16, iters = 1, init = "hash")
       val index = graft.operators.SimilarityOps.pqIndex(
         vecs, "vec_id", "embedding", model, cents)
       graft.operators.SimilarityOps.ivfPqTopK(
