@@ -124,6 +124,24 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("incremental index: per-batch encode rows equal the union build") {
+    // under a FIXED model + cells, pqIndex is a deterministic per-row
+    // narrow map — so appending each batch's rows IS the union index,
+    // and a persisted code table grows by appends exactly like the
+    // MinHash band index and the bloom sketch
+    val cents = SimilarityOps.kmeansFit(
+      SimilarityOps.unitNormalized(corpus, "vec_id", "embedding"),
+      "vec_id", "embedding", k = 6, iters = 3, init = "hash")
+    val (a, b) = (corpus.filter(col("vec_id") < 100),
+      corpus.filter(col("vec_id") >= 100))
+    val incremental = SimilarityOps.pqIndex(a, "vec_id", "embedding", model, cents)
+      .unionByName(SimilarityOps.pqIndex(b, "vec_id", "embedding", model, cents))
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1)
+    val full = SimilarityOps.pqIndex(corpus, "vec_id", "embedding", model, cents)
+      .as[(Long, Int, Seq[Int])].collect().sortBy(_._1)
+    assert(incremental === full)
+  }
+
   test("the scan never decodes the corpus and stays broadcast-shaped") {
     val plan = SimilarityOps.pqTopK(codes, queries, "vec_id", "embedding",
         model, k = 3)
