@@ -368,9 +368,12 @@ object SqlRouter {
         else engine.table(tableName).read()
       val (fmt, csvOpts, header) = copyOptions(optList)
       fmt match {
-        case "CSV" | "TEXT" =>
+        case "CSV" =>
           graft.sources.BulkIO.exportCsv(df, path,
             csvOpts.copy(header = header), singleStream = true)
+        case "TEXT" =>
+          graft.sources.BulkIO.exportPgText(df, path, sep = csvOpts.sep,
+            nullStr = csvOpts.nullValue, singleStream = true)
         case "PARQUET" => graft.sources.BulkIO.exportParquet(df, path)
         case "JSON" => graft.sources.BulkIO.exportJson(df, path)
         case "ARROW" => // A14: one IPC stream to the destination file
@@ -385,9 +388,15 @@ object SqlRouter {
       val t = engine.table(name)
       val (fmt, csvOpts, header) = copyOptions(optList)
       val n = fmt match {
-        case "CSV" | "TEXT" =>
+        case "CSV" =>
           graft.sources.BulkIO.loadCsvInto(t, path,
             csvOpts.copy(header = header))
+        case "TEXT" =>
+          // pg_dump's default format is NOT a csv dialect: escape
+          // sequences decode per field, \N is NULL pre-unescape,
+          // bytea accepts the \x hex form
+          graft.sources.BulkIO.loadPgTextInto(t, path,
+            sep = csvOpts.sep, nullStr = csvOpts.nullValue)
         case "PARQUET" =>
           t.insert(engine.spark.read.schema(t.schema).parquet(path))
         case "JSON" => graft.sources.BulkIO.loadJsonInto(t, path)
@@ -707,8 +716,10 @@ object SqlRouter {
     // string is NULL; TEXT — tab, no quoting, \N is NULL. Loads are
     // strict (a malformed line ERRORS, the COPY contract — PERMISSIVE
     // would silently insert all-null rows).
+    // default TEXT — PostgreSQL's COPY default (`copy.go:42-44` maps
+    // the empty format string to text), NOT csv
     val fmt = opts.collectFirst { case ("FORMAT", v) => v.toUpperCase }
-      .getOrElse("CSV")
+      .getOrElse("TEXT")
     var o = fmt match {
       case "TEXT" => graft.sources.BulkIO.CsvOptions(sep = "\t",
         quote = "\u0000", escape = "\\", nullValue = "\\N", failFast = true)

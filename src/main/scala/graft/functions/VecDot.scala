@@ -184,6 +184,129 @@ case class PolyHash(child: Expression)
     copy(child = newChild)
 }
 
+/** PostgreSQL COPY TEXT-format field unescape (the decode half of
+  * `COPY ... FROM` in the default text format, which pg_dump emits when
+  * not asked for csv): `\b \f \n \r \t \v \\` plus 1–3-digit octal
+  * (`\101`) and `\xH[H]` hex escapes; any other backslashed character
+  * decodes to itself (PG's documented rule). Null → null. One codegen
+  * loop per field — the per-cell hot path of a restore. */
+case class PgUnescapeText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expects string, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    PgUnescapeText.decode(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PgUnescapeText.decode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PgUnescapeText =
+    copy(child = newChild)
+}
+
+/** The encode half of PG COPY TEXT ([[PgUnescapeText]]'s inverse):
+  * backslash, tab, newline, CR, and the other C0 controls PG escapes
+  * (`\b \f \v`) become escape sequences so the emitted field can never
+  * contain a raw delimiter or record separator. Null → null. */
+case class PgEscapeText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expects string, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    PgEscapeText.encode(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PgEscapeText.encode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PgEscapeText =
+    copy(child = newChild)
+}
+
+object PgEscapeText {
+  def encode(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    var needs = false
+    var i = 0
+    while (i < s.length && !needs) {
+      val c = s.charAt(i)
+      needs = c == '\\' || c == '\t' || c == '\n' || c == '\r' ||
+        c == '\b' || c == '\f' || c == '\u000B'
+      i += 1
+    }
+    if (!needs) return u
+    val out = new java.lang.StringBuilder(s.length + 8)
+    i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => out.append("\\\\")
+        case '\t' => out.append("\\t")
+        case '\n' => out.append("\\n")
+        case '\r' => out.append("\\r")
+        case '\b' => out.append("\\b")
+        case '\f' => out.append("\\f")
+        case '\u000B' => out.append("\\v")
+        case c => out.append(c)
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
+  }
+}
+
+object PgUnescapeText {
+  def decode(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    if (s.indexOf('\\') < 0) return u
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '\\' || i + 1 >= s.length) { out.append(c); i += 1 }
+      else {
+        val n = s.charAt(i + 1)
+        i += 2
+        n match {
+          case 'b' => out.append('\b')
+          case 'f' => out.append('\f')
+          case 'n' => out.append('\n')
+          case 'r' => out.append('\r')
+          case 't' => out.append('\t')
+          case 'v' => out.append('\u000B')
+          case 'x' =>
+            // \xH or \xHH; bare \x (no hex digit) is a literal 'x'
+            var v = 0; var d = 0
+            while (d < 2 && i < s.length &&
+                Character.digit(s.charAt(i), 16) >= 0) {
+              v = v * 16 + Character.digit(s.charAt(i), 16); i += 1; d += 1
+            }
+            if (d == 0) out.append('x') else out.append(v.toChar)
+          case o if o >= '0' && o <= '7' =>
+            var v = o - '0'; var d = 1
+            while (d < 3 && i < s.length &&
+                s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+              v = v * 8 + (s.charAt(i) - '0'); i += 1; d += 1
+            }
+            out.append(v.toChar)
+          case other => out.append(other) // PG: unknown escape = itself
+        }
+      }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
+  }
+}
+
 object PolyHash {
   /** Must stay in lock-step with HashFrags.wordCodeDuck (the oracle). */
   def hash(s: String): Long = {
@@ -331,5 +454,10 @@ object GraftFunctions {
     fr.createOrReplaceTempFunction("bloom_might_contain",
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    // A15/A12 text-format restore + dump: PG COPY escape codec
+    fr.createOrReplaceTempFunction("pg_unescape",
+      exprs => PgUnescapeText(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction("pg_escape",
+      exprs => PgEscapeText(exprs(0)), "built-in")
   }
 }

@@ -98,6 +98,86 @@ object BulkIO {
     }
   }
 
+  /** COPY ... FROM in PostgreSQL's default TEXT format — the format
+    * pg_dump emits when not asked for csv. NOT a csv dialect: fields
+    * split on RAW delimiter characters only (tabs/newlines/backslashes
+    * IN data always arrive escaped), `\N` marks NULL BEFORE unescaping
+    * (so a literal field "\\N" decodes to the two-char string), every
+    * other field decodes PG escape sequences (codegen `pg_unescape`),
+    * and BYTEA columns accept the hex form `\x48...` → bytes (PG's
+    * default bytea_output). Strict: a row with the wrong field count
+    * ERRORS (the COPY contract). Reference surface:
+    * `pgserver/dataloader.go:19-289`. */
+  def loadPgTextInto(table: GraftTable, path: String, sep: String = "\t",
+      nullStr: String = "\\N"): Long = {
+    require(sep.length == 1, s"single-char delimiter: '$sep'")
+    graft.functions.GraftFunctions.register(table.spark)
+    val fields = table.schema.fields
+    val arity = fields.length
+    val quotedSep = java.util.regex.Pattern.quote(sep)
+    val lines = table.spark.read.text(path)
+      .select(split(col("value"), quotedSep, -1).as("__f"))
+      // strict arity — PERMISSIVE-style null-padding would silently
+      // corrupt a restore
+      .withColumn("__n", size(col("__f")))
+    val cols = fields.zipWithIndex.map { case (f, i) =>
+      val raw = element_at(col("__f"), i + 1)
+      val nonNull = f.dataType match {
+        case org.apache.spark.sql.types.BinaryType =>
+          when(raw.startsWith("\\x"),
+            unhex(raw.substr(lit(3), length(raw))))
+            .otherwise(call_function("pg_unescape", raw).cast(f.dataType))
+        case dt => call_function("pg_unescape", raw).cast(dt)
+      }
+      when(raw === nullStr, lit(null).cast(f.dataType))
+        .otherwise(nonNull).as(f.name)
+    }
+    val df = lines
+      // assert_true survives optimization (side-effecting), so the
+      // arity check cannot be pruned away with the helper columns
+      .filter(assert_true(col("__n") === arity,
+        concat(lit("COPY TEXT row has "), col("__n"),
+          lit(s" fields, expected $arity"))).isNull)
+      .select(cols.toIndexedSeq: _*)
+    table.insert(df)
+  }
+
+  /** COPY ... TO in PG TEXT format — [[loadPgTextInto]]'s inverse:
+    * every field escapes the delimiter/record chars (codegen
+    * `pg_escape`), BINARY columns emit the `\x` hex form, NULL emits
+    * `nullStr`. Written as one text line per row; `singleStream`
+    * collapses to exactly `path` like [[exportCsv]]. */
+  def exportPgText(df: DataFrame, path: String, sep: String = "\t",
+      nullStr: String = "\\N", singleStream: Boolean = false): Unit = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val cols = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val enc = f.dataType match {
+        case org.apache.spark.sql.types.BinaryType =>
+          concat(lit("\\x"), lower(hex(c)))
+        case org.apache.spark.sql.types.StringType =>
+          call_function("pg_escape", c)
+        case _ => c.cast("string") // numerics/dates never need escapes
+      }
+      when(c.isNull, lit(nullStr)).otherwise(enc)
+    }
+    val lines = df.select(concat_ws(sep, cols.toIndexedSeq: _*).as("value"))
+    if (!singleStream) { lines.write.mode("overwrite").text(path); return }
+    val tmp = path + ".__graft_tmp_" + java.util.UUID.randomUUID()
+    lines.coalesce(1).write.mode("overwrite").text(tmp)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(conf)
+    val part = fs.listStatus(tmpPath).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val dest = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dest, true)
+    if (!fs.rename(part, dest))
+      throw new java.io.IOException(s"could not move $part to $dest")
+    fs.delete(tmpPath, true)
+  }
+
   /** COPY ... TO (FORMAT CSV) — `singleStream=true` ≈ one FIFO to the
     * client: the output is ONE FILE at exactly `path` (a Spark
     * part-file directory named out.csv would break every client that

@@ -565,13 +565,34 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "CREATE TABLE c (id INT PRIMARY KEY, v STRING)")
     val f = tmpDir("router_copy_file").resolve("in.csv")
     java.nio.file.Files.writeString(f, "1,\n2,x\n")
-    exec(e, s"COPY c FROM '$f'")
+    exec(e, s"COPY c FROM '$f' (FORMAT csv)")
     val got = exec(e, "SELECT id, v FROM c ORDER BY id").df.get
       .collect().map(r => (r.getInt(0), Option(r.getString(1))))
     assert(got === Array((1, None), (2, Some("x")))) // empty -> NULL (PG)
     val bad = tmpDir("router_copy_bad").resolve("bad.csv")
     java.nio.file.Files.writeString(bad, "nonsense,1,2,3,4\n")
-    intercept[Exception](exec(e, s"COPY c FROM '$bad'")) // strict, not all-null
+    intercept[Exception](exec(e, s"COPY c FROM '$bad' (FORMAT csv)"))
+  }
+
+  test("bare COPY is PG TEXT format and round-trips escapes + bytea") {
+    val e = new Engine(spark, tmpDir("router_copytext"))
+    exec(e, "CREATE TABLE tt (id INT PRIMARY KEY, v STRING, b BINARY)")
+    exec(e, "INSERT INTO tt VALUES " +
+      "(1, 'tab\\there', X'00FF'), (2, NULL, NULL), (3, 'back\\\\slash', X'41')")
+    val f = tmpDir("router_copytext_file").resolve("out.txt")
+    exec(e, s"COPY tt TO '$f'") // no FORMAT → TEXT, PG's default
+    val raw = java.nio.file.Files.readString(f)
+    assert(raw.contains("tab\\there") && raw.contains("\\x00ff"),
+      raw) // escapes + hex bytea actually on disk
+    exec(e, "CREATE TABLE tt2 LIKE tt")
+    exec(e, s"COPY tt2 FROM '$f'")
+    val got = exec(e, "SELECT id, v, b FROM tt2 ORDER BY id").df.get
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Array[Byte]].toSeq)))
+    assert(got === Array(
+      (1, Some("tab\there"), Some(Seq[Byte](0x00, -1))),
+      (2, None, None),
+      (3, Some("back\\slash"), Some(Seq[Byte](0x41)))))
   }
 
   test("COPY TO/FROM (FORMAT ARROW) round-trips through the IPC codec") {

@@ -137,4 +137,36 @@ class BulkIOSpec extends SparkSpec {
     assert(df.orderBy("pk").as[(Int, String)].collect()
       === Array((1, "hi"), (2, "ho")))
   }
+
+  test("COPY TEXT format: escapes, bytea hex, \\N nulls") {
+    graft.functions.GraftFunctions.register(spark)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("txt", StringType),
+      StructField("payload", BinaryType), StructField("n", LongType)))
+    val t = GraftTable.create(spark, tmpDir("pgtext"), schema, Seq("id"))
+    // what pg_dump actually emits: tab-separated, escape sequences for
+    // control chars/backslash, \x hex bytea, \N nulls
+    val body =
+      "1\ta\\tb\\nc\t\\x48454c4c4f\t7\n" +
+      "2\t\\N\t\\N\t\\N\n" +
+      "3\tocta\\101l and hex\\x41!\t\\x00ff7f\t0\n" +
+      "4\tback\\\\slash\t\\x\t1\n"
+    val f = writeFile("pg.txt", body)
+    assert(BulkIO.loadPgTextInto(t, f) === 4L)
+    val got = t.read().orderBy("id").collect().map(r => (r.getInt(0),
+      Option(r.getString(1)), Option(r.get(2)).map(_.asInstanceOf[Array[Byte]].toSeq),
+      Option(r.get(3))))
+    assert(got(0) === ((1, Some("a\tb\nc"), Some("HELLO".getBytes("UTF-8").toSeq), Some(7L))))
+    assert(got(1) === ((2, None, None, None)))
+    assert(got(2) === ((3, Some("octaAl and hexA!"), Some(Seq[Byte](0x00, -1, 0x7f)), Some(0L))))
+    assert(got(3) === ((4, Some("back\\slash"), Some(Seq.empty[Byte]), Some(1L))))
+  }
+
+  test("COPY TEXT rejects wrong-arity rows instead of null-padding") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    val t = GraftTable.create(spark, tmpDir("pgtext_bad"), schema, Seq("id"))
+    val f = writeFile("bad.txt", "1\ta\n2\tb\textra\n")
+    intercept[Exception](BulkIO.loadPgTextInto(t, f))
+  }
 }
