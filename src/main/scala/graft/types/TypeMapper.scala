@@ -59,6 +59,16 @@ object TypeMapper {
            "LONGTEXT" | "JSON" | "SET" => StringType
       case "BINARY" | "VARBINARY" | "TINYBLOB" | "BLOB" | "MEDIUMBLOB" |
            "LONGBLOB" | "BIT" => BinaryType
+      // PostgreSQL spellings a pg_dump can carry that Spark DDL and the
+      // MySQL arms above don't cover
+      case "BYTEA" => BinaryType
+      case "SERIAL" | "INT4" => IntegerType
+      case "BIGSERIAL" | "INT8" => LongType
+      case "SMALLSERIAL" | "INT2" => ShortType
+      case "FLOAT4" => FloatType
+      case "FLOAT8" => DoubleType
+      case "JSONB" | "UUID" | "CITEXT" => StringType
+      case "TIMESTAMPTZ" => TimestampType
       case other => throw new IllegalArgumentException(s"unsupported MySQL type $other")
     }
 

@@ -114,4 +114,39 @@ class DumpReplaySpec extends SparkSpec {
     assert(e.sql("SELECT note FROM pgtypes WHERE id = 4").as[String].head()
       === "upserted")
   }
+
+  test("pg_dump TEXT-format COPY (the actual default) replays bytea + escapes") {
+    val e = new Engine(spark, tmpDir("dump_pg_text"))
+    // pg_dump's default COPY format: tab-separated, escape sequences,
+    // \N nulls, bytea as \x hex
+    val data = tmpDir("dump_pg_text_data").resolve("blobs.txt")
+    java.nio.file.Files.write(data,
+      ("1\tline one\\nline two\t\\x48454c4c4f\n" +
+        "2\t\\N\t\\N\n" +
+        "3\ttab\\there\t\\x00ff\n").getBytes("UTF-8"))
+    val script =
+      s"""SET client_encoding = 'UTF8';
+         |
+         |CREATE TABLE blobs (
+         |    id bigint NOT NULL,
+         |    body text,
+         |    payload bytea
+         |);
+         |
+         |COPY blobs FROM '${data}';
+         |
+         |ALTER TABLE ONLY blobs
+         |    ADD CONSTRAINT blobs_pkey PRIMARY KEY (id);
+         |""".stripMargin
+    executeScript(e, script)
+    val rows = e.sql("SELECT id, body, payload FROM blobs ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Array[Byte]].toSeq)))
+    assert(rows === Array(
+      (1L, Some("line one\nline two"), Some("HELLO".getBytes("UTF-8").toSeq)),
+      (2L, None, None),
+      (3L, Some("tab\there"), Some(Seq[Byte](0x00, -1)))))
+    assert(e.table("blobs").manifest.schema("payload").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+  }
 }
