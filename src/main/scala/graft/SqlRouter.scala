@@ -197,6 +197,12 @@ object SqlRouter {
             .append(hex).append('\'')
           i = j
         } else { out.append(c); i += 1 }
+      } else if ((c == 'E' || c == 'e') && !isWord(prev) &&
+          i + 1 < s.length && s.charAt(i + 1) == '\'') {
+        // PG escape-string literal E'...' (pre-standard_conforming
+        // dumps): drop the prefix — Catalyst string literals already
+        // process backslash escapes
+        i += 1
       } else if ((c == 'b' || c == 'B') && !isWord(prev) &&
           i + 1 < s.length && s.charAt(i + 1) == '\'') {
         val close = s.indexOf('\'', i + 2)

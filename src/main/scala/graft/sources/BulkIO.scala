@@ -105,8 +105,10 @@ object BulkIO {
     * (so a literal field "\\N" decodes to the two-char string), every
     * other field decodes PG escape sequences (codegen `pg_unescape`),
     * and BYTEA columns accept the hex form `\x48...` → bytes (PG's
-    * default bytea_output). Strict: a row with the wrong field count
-    * ERRORS (the COPY contract). Reference surface:
+    * default bytea_output since 9.0; the legacy `escape` output — raw
+    * octal per byte — would round-trip through UTF-8 and is NOT
+    * supported: dump with the default). Strict: a row with the wrong
+    * field count ERRORS (the COPY contract). Reference surface:
     * `pgserver/dataloader.go:19-289`. */
   def loadPgTextInto(table: GraftTable, path: String, sep: String = "\t",
       nullStr: String = "\\N"): Long = {

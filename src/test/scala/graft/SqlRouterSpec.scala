@@ -638,6 +638,8 @@ class SqlRouterSpec extends SparkSpec {
     assert(n("SELECT 10x") === "SELECT 10x")
     // non-introducer underscore word followed by a string is NOT eaten
     assert(n("SELECT _notacharset 'alias'") === "SELECT _notacharset 'alias'")
+    // PG escape-string prefix dropped; bare identifiers ending in e kept
+    assert(n("SELECT E'a\\nb', e'x', sole 'y'") === "SELECT 'a\\nb', 'x', sole 'y'")
   }
 
   test("blob columns replay from mysqldump literal forms end-to-end") {
