@@ -124,6 +124,15 @@ object SqlRouter {
   // pk update so post-restore upsert/REPLACE semantics work
   private val AlterAddPk =
     """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ADD\s+(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([\w\s,]+)\)\s*""".r
+  // the rest of pg_dump's post-data constraint section: CHECK routes
+  // to the manifest check props (A22 — enforced on every DML path);
+  // FOREIGN KEY / UNIQUE are accepted and DROPPED, the same treatment
+  // as KEY/CONSTRAINT entries inside CREATE TABLE bodies — without
+  // this a dump with any referential constraint aborts mid-replay
+  private val AlterAddCheck =
+    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*(?:NOT\s+VALID\s*)?""".r
+  private val AlterAddIgnoredConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ADD\s+(?:CONSTRAINT\s+\w+\s+)?(?:FOREIGN\s+KEY|UNIQUE|EXCLUDE)\b.*""".r
   private val AttrsNotNullFirst =
     """(?is)\s*NOT\s+NULL(?:\s+DEFAULT\s+(.+?))?\s*""".r
   private val AttrsDefaultFirst =
@@ -173,7 +182,7 @@ object SqlRouter {
     def isWord(c: Char): Boolean =
       Character.isLetterOrDigit(c) || c == '_' || c == '$'
     if (!s.contains("0x") && !s.contains("b'") && !s.contains("B'") &&
-      !s.contains("_")) return s
+      !s.contains("E'") && !s.contains("e'") && !s.contains("_")) return s
     val out = new StringBuilder
     var i = 0
     var quote: Char = 0
@@ -486,6 +495,15 @@ object SqlRouter {
       pk.foreach(c => require(t.schema.fieldNames.contains(c),
         s"PRIMARY KEY column $c not in $name"))
       graft.storage.Manifest.commit(t.path, t.manifest.copy(pkCols = pk))
+      ddl
+    case AlterAddCheck(name, cname, checkExpr) =>
+      val t = engine.table(name)
+      expr(checkExpr) // parse now: a broken expression fails HERE, not on the next insert
+      graft.storage.Manifest.commit(t.path, t.manifest.copy(
+        props = t.manifest.props + (s"check.$cname" -> checkExpr.trim)))
+      ddl
+    case AlterAddIgnoredConstraint(name) =>
+      engine.table(name) // validate the target; the constraint is dropped
       ddl
     case AlterDrop(name, colName) =>
       engine.table(name).dropColumn(colName); ddl

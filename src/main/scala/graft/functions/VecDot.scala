@@ -269,21 +269,30 @@ object PgUnescapeText {
       : org.apache.spark.unsafe.types.UTF8String = {
     val s = u.toString
     if (s.indexOf('\\') < 0) return u
-    val out = new java.lang.StringBuilder(s.length)
+    // BYTE-level output: \xHH and \ooo escapes denote BYTES (PG's
+    // documented semantics — \777 is the byte 0xFF), so a char-level
+    // decode would mangle escaped multi-byte UTF-8. Plain runs flush
+    // through UTF-8; escape bytes write raw.
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    val run = new java.lang.StringBuilder
+    def flush(): Unit = if (run.length > 0) {
+      out.write(run.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      run.setLength(0)
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c != '\\' || i + 1 >= s.length) { out.append(c); i += 1 }
+      if (c != '\\' || i + 1 >= s.length) { run.append(c); i += 1 }
       else {
         val n = s.charAt(i + 1)
         i += 2
         n match {
-          case 'b' => out.append('\b')
-          case 'f' => out.append('\f')
-          case 'n' => out.append('\n')
-          case 'r' => out.append('\r')
-          case 't' => out.append('\t')
-          case 'v' => out.append('\u000B')
+          case 'b' => flush(); out.write('\b')
+          case 'f' => flush(); out.write('\f')
+          case 'n' => flush(); out.write('\n')
+          case 'r' => flush(); out.write('\r')
+          case 't' => flush(); out.write('\t')
+          case 'v' => flush(); out.write(0x0B)
           case 'x' =>
             // \xH or \xHH; bare \x (no hex digit) is a literal 'x'
             var v = 0; var d = 0
@@ -291,19 +300,76 @@ object PgUnescapeText {
                 Character.digit(s.charAt(i), 16) >= 0) {
               v = v * 16 + Character.digit(s.charAt(i), 16); i += 1; d += 1
             }
-            if (d == 0) out.append('x') else out.append(v.toChar)
+            if (d == 0) run.append('x') else { flush(); out.write(v & 0xFF) }
           case o if o >= '0' && o <= '7' =>
             var v = o - '0'; var d = 1
             while (d < 3 && i < s.length &&
                 s.charAt(i) >= '0' && s.charAt(i) <= '7') {
               v = v * 8 + (s.charAt(i) - '0'); i += 1; d += 1
             }
-            out.append(v.toChar)
-          case other => out.append(other) // PG: unknown escape = itself
+            flush(); out.write(v & 0xFF)
+          case other => run.append(other) // PG: unknown escape = itself
         }
       }
     }
-    org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
+    flush()
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out.toByteArray)
+  }
+}
+
+/** Escape-aware PG COPY TEXT field split: a backslash consumes the
+  * following character, so an ESCAPED delimiter (`a\|b` under
+  * DELIMITER '|') never splits — plain `split()` would cut inside the
+  * escape sequence for any delimiter PG escapes in data. Returns the
+  * RAW (still-escaped) fields; [[PgUnescapeText]] decodes them. */
+case class PgSplitFields(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expects (string, string), got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(l: Any, s: Any): Any =
+    PgSplitFields.split(
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.PgSplitFields.split($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PgSplitFields =
+    copy(left = newLeft, right = newRight)
+}
+
+object PgSplitFields {
+  def split(line: org.apache.spark.unsafe.types.UTF8String,
+      sep: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = line.toString
+    val sd = sep.toString
+    require(sd.length == 1, s"single-char delimiter: '$sd'")
+    val d = sd.charAt(0)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.unsafe.types.UTF8String]
+    val cur = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        cur.append(c).append(s.charAt(i + 1)); i += 2
+      } else if (c == d) {
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(cur.toString)
+        cur.setLength(0); i += 1
+      } else { cur.append(c); i += 1 }
+    }
+    out += org.apache.spark.unsafe.types.UTF8String.fromString(cur.toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
   }
 }
 
@@ -459,5 +525,7 @@ object GraftFunctions {
       exprs => PgUnescapeText(exprs(0)), "built-in")
     fr.createOrReplaceTempFunction("pg_escape",
       exprs => PgEscapeText(exprs(0)), "built-in")
+    fr.createOrReplaceTempFunction("pg_split_fields",
+      exprs => PgSplitFields(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -286,7 +286,7 @@ object Operators {
         (col("__len") - ceil(col("__len") * tau - col("__len") * eps) + 1)
           .cast("int"))).as("__c"))
       .groupBy(col("__c")).agg(count(lit(1)).as("__df"))
-      .agg(sum(col("__df") * col("__df")).as("__m"))
+      .agg(coalesce(sum(col("__df") * col("__df")), lit(0L)).as("__m"))
       .head().getLong(0)
   }
 
@@ -314,10 +314,12 @@ object Operators {
       size(col(setCol)).as("__len"))
       .localCheckpoint() // feeds the stats pass + whichever route wins
     val n = sets.count()
-    val useDense = n <= denseMaxDocs && {
+    // n < 2 → no pairs: take the dense route without the stats pass
+    // (prefixCandidateMass' sum() over an empty frame is null)
+    val useDense = n <= denseMaxDocs && (n < 2 || {
       val densePairs = n * (n - 1) / 2
       densePairs <= prefixCandidateMass(sets, tau) / 2
-    }
+    })
     if (!useDense) {
       val out = jaccardPairsPrefix(sets, "__id", "__cs", tau)
       // jaccardPairsPrefix checkpoints its own (eager) projection of
@@ -606,7 +608,12 @@ object Operators {
           .orderBy(orderCols.map(col): _*)
         df.withColumn(rankCol, row_number().over(w).cast("long"))
       } else groupedRank(df, groupCols, orderCols, rankCol)
-    ranked.join(broadcast(counts), groupCols)
+    // null-SAFE join keys: groupBy treats null as a group (and the
+    // window ranks its rows), but an equi-join would drop them — the
+    // window formulation this replaces kept null-keyed groups
+    val cond = groupCols.map(c => ranked(c) <=> counts(c)).reduce(_ && _)
+    ranked.join(broadcast(counts), cond)
+      .select(ranked.columns.map(ranked(_)).toIndexedSeq :+ counts(countCol): _*)
   }
 
   /** Exact GLOBAL rank over a unique total order WITHOUT the

@@ -156,8 +156,10 @@ object SimilarityOps {
         col(vecCol).cast("array<double>").as("__v0"))
       .withColumn("__n", nrm(col("__v0")))
       // a zero/NaN-norm vector cannot pass any cosine threshold, and
-      // left in it would poison a cell radius with NaN
-      .filter(col("__n") > 0)
+      // left in it would poison a cell radius with NaN. NOTE Spark
+      // sorts NaN GREATER than any number, so `> 0` alone keeps NaN —
+      // the isnan guard is load-bearing
+      .filter(col("__n") > 0 && !isnan(col("__n")))
       .select(col("__id"),
         expr("transform(__v0, x -> x / __n)").as("__v"))
       .localCheckpoint() // scanned by kmeansFit + assignment + radii
@@ -260,7 +262,7 @@ object SimilarityOps {
     def nrm(v: Column): Column = sqrt(call_function("vec_dot", v, v))
     val cvec = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_emb"))
       .withColumn("n_nrm", nrm(col("n_emb")))
-      .filter(col("n_nrm") > 0)
+      .filter(col("n_nrm") > 0 && !isnan(col("n_nrm"))) // NaN sorts > 0
       .withColumn("__u",
         expr("transform(CAST(n_emb AS ARRAY<DOUBLE>), x -> x / n_nrm)"))
       .localCheckpoint() // scanned by kmeansFit + assignment
@@ -276,7 +278,7 @@ object SimilarityOps {
     val assign = assignU.drop("__u")
     val qvec = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_emb"))
       .withColumn("q_nrm", nrm(col("q_emb")))
-      .filter(col("q_nrm") > 0)
+      .filter(col("q_nrm") > 0 && !isnan(col("q_nrm"))) // NaN sorts > 0
       .withColumn("__qu",
         expr("transform(CAST(q_emb AS ARRAY<DOUBLE>), x -> x / q_nrm)"))
       .withColumn("__qcell", nearestCell(col("__qu"), cents))
@@ -370,32 +372,12 @@ object SimilarityOps {
   def pqTopK(codes: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, model: PqModel, k: Int): DataFrame = {
     require(k > 0, s"k > 0: $k")
-    // flat LUT: entry j*ksub + c = ‖q_j − books(j)(c)‖²  (exact doubles)
-    val lutEntries = for (j <- 0 until model.m; c <- 0 until model.ksub)
-      yield {
-        val sub = slice(col("__u"), j * model.dsub + 1, model.dsub)
-        val cent = typedlit(model.books(j)(c).toSeq)
-        call_function("vec_dot", sub, sub) -
-          lit(2.0) * call_function("vec_dot", sub, cent) +
-          lit(model.books(j)(c).map(x => x * x).sum)
-      }
     val q = unitVecs(queries, idCol, vecCol)
-      .select(col("__id").as("q_id"), array(lutEntries: _*).as("__lut"))
-    val ksub = model.ksub
-    val tk = graft.functions.TopK.topk(k)
-    broadcast(q)
+      .select(col("__id").as("q_id"), pqLut(model).as("__lut"))
+    val cand = broadcast(q)
       .join(codes.select(col(idCol).as("n_id"), col("code")),
         col("q_id") =!= col("n_id"))
-      .withColumn("__d", expr(
-        s"""aggregate(zip_with(code, sequence(0, ${model.m - 1}),
-              (c, j) -> element_at(__lut, j * $ksub + c + 1)),
-            CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
-      .groupBy(col("q_id"))
-      .agg(tk(-col("__d"), col("n_id")).as("__tk"))
-      .select(col("q_id"), posexplode(col("__tk")).as(Seq("__p", "__s")))
-      .select(col("q_id"), col("__s").getField("id").as("n_id"),
-        (-col("__s").getField("score")).as("approx_dist"),
-        (col("__p") + 1).as("rank"))
+    rankByAdc(cand, model, k)
   }
 
   /** One-pass IVF-PQ index rows `(idCol, cellCol, code)` — coarse cell
@@ -425,22 +407,35 @@ object SimilarityOps {
       vecCol: String, cellCol: String, model: PqModel,
       cents: Seq[Array[Double]], nprobe: Int, k: Int): DataFrame = {
     require(k > 0, s"k > 0: $k")
-    val lutEntries = for (j <- 0 until model.m; c <- 0 until model.ksub)
-      yield {
-        val sub = slice(col("__u"), j * model.dsub + 1, model.dsub)
-        val cent = typedlit(model.books(j)(c).toSeq)
-        call_function("vec_dot", sub, sub) -
-          lit(2.0) * call_function("vec_dot", sub, cent) +
-          lit(model.books(j)(c).map(x => x * x).sum)
-      }
     val q = unitVecs(queries, idCol, vecCol)
-      .select(col("__id").as("q_id"), array(lutEntries: _*).as("__lut"),
+      .select(col("__id").as("q_id"), pqLut(model).as("__lut"),
         explode(nearestCells(col("__u"), cents, nprobe)).as(cellCol))
-    val ksub = model.ksub
-    val tk = graft.functions.TopK.topk(k)
-    q.join(index.select(col(idCol).as("n_id"), col(cellCol), col("code")),
+    val cand = q
+      .join(index.select(col(idCol).as("n_id"), col(cellCol), col("code")),
         Seq(cellCol))
       .filter(col("q_id") =!= col("n_id"))
+    rankByAdc(cand, model, k)
+  }
+
+  /** Flat m×ksub LUT over the unit query column "__u": entry
+    * j·ksub + c = ‖q_j − books(j)(c)‖², exact doubles — the single
+    * source of the ADC arithmetic for [[pqTopK]] and [[ivfPqTopK]]. */
+  private def pqLut(model: PqModel): Column =
+    array((for (j <- 0 until model.m; c <- 0 until model.ksub) yield {
+      val sub = slice(col("__u"), j * model.dsub + 1, model.dsub)
+      val cent = typedlit(model.books(j)(c).toSeq)
+      call_function("vec_dot", sub, sub) -
+        lit(2.0) * call_function("vec_dot", sub, cent) +
+        lit(model.books(j)(c).map(x => x * x).sum)
+    }): _*)
+
+  /** Shared ADC scoring + bounded top-k tail: candidates carrying
+    * (q_id, code, __lut) → (q_id, n_id, approx_dist, rank 1..k) by
+    * (approx_dist ASC, n_id ASC). */
+  private def rankByAdc(cand: DataFrame, model: PqModel, k: Int): DataFrame = {
+    val ksub = model.ksub
+    val tk = graft.functions.TopK.topk(k)
+    cand
       .withColumn("__d", expr(
         s"""aggregate(zip_with(code, sequence(0, ${model.m - 1}),
               (c, j) -> element_at(__lut, j * $ksub + c + 1)),
@@ -469,7 +464,7 @@ object SimilarityOps {
     df.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v0"))
       .withColumn("__n", sqrt(call_function("vec_dot", col("__v0"), col("__v0"))))
-      .filter(col("__n") > 0)
+      .filter(col("__n") > 0 && !isnan(col("__n"))) // NaN sorts > 0
       .select(col("__id"), expr("transform(__v0, x -> x / __n)").as("__u"))
 
   /** Squared distance to the NEAREST of `centroids` (true value, not

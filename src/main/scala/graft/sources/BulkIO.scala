@@ -116,20 +116,27 @@ object BulkIO {
     graft.functions.GraftFunctions.register(table.spark)
     val fields = table.schema.fields
     val arity = fields.length
-    val quotedSep = java.util.regex.Pattern.quote(sep)
     val lines = table.spark.read.text(path)
-      .select(split(col("value"), quotedSep, -1).as("__f"))
+      // escape-AWARE split (PgSplitFields): PG escapes in-data
+      // delimiter characters, so a plain split would cut inside the
+      // escape sequence for any non-default delimiter
+      .select(call_function("pg_split_fields", col("value"), lit(sep))
+        .as("__f"))
       // strict arity — PERMISSIVE-style null-padding would silently
       // corrupt a restore
       .withColumn("__n", size(col("__f")))
     val cols = fields.zipWithIndex.map { case (f, i) =>
       val raw = element_at(col("__f"), i + 1)
+      // unescape FIRST: bytea's hex form travels text-escaped on disk
+      // (`\\x48...` — the backslash itself is escaped), so the `\x`
+      // marker only exists after decode
+      val decoded = call_function("pg_unescape", raw)
       val nonNull = f.dataType match {
         case org.apache.spark.sql.types.BinaryType =>
-          when(raw.startsWith("\\x"),
-            unhex(raw.substr(lit(3), length(raw))))
-            .otherwise(call_function("pg_unescape", raw).cast(f.dataType))
-        case dt => call_function("pg_unescape", raw).cast(dt)
+          when(decoded.startsWith("\\x"),
+            unhex(decoded.substr(lit(3), length(decoded))))
+            .otherwise(decoded.cast(f.dataType))
+        case dt => decoded.cast(dt)
       }
       when(raw === nullStr, lit(null).cast(f.dataType))
         .otherwise(nonNull).as(f.name)
@@ -156,7 +163,10 @@ object BulkIO {
       val c = col(f.name)
       val enc = f.dataType match {
         case org.apache.spark.sql.types.BinaryType =>
-          concat(lit("\\x"), lower(hex(c)))
+          // the \x marker's own backslash must be text-escaped on disk
+          // (pg_escape doubles it) — a bare \x would decode as the
+          // single-byte \xNN escape on a real PG restore
+          call_function("pg_escape", concat(lit("\\x"), lower(hex(c))))
         case org.apache.spark.sql.types.StringType =>
           call_function("pg_escape", c)
         case _ => c.cast("string") // numerics/dates never need escapes

@@ -261,6 +261,18 @@ final class MySqlBinlogClient(
     val ok = readPacket(in)
     if ((ok(0) & 0xff) == 0xff)
       throw new IOException(s"authentication failed: ${errText(ok)}")
+    // AuthSwitchRequest: the account's plugin is not
+    // mysql_native_password (MySQL 8 defaults to caching_sha2). Fail
+    // LOUDLY here — treating it as success desynchronizes the
+    // protocol and burns every retry on opaque connection resets.
+    if ((ok(0) & 0xff) == 0xfe && ok.length > 1) {
+      val plugin = new String(ok.drop(1).takeWhile(_ != 0),
+        StandardCharsets.UTF_8)
+      throw new IOException(
+        s"server requested auth plugin '$plugin'; only " +
+          "mysql_native_password is supported — create the replication " +
+          "user WITH mysql_native_password")
+    }
   }
 
   /** mysql_native_password: SHA1(pass) XOR SHA1(scramble ++ SHA1(SHA1(pass))). */

@@ -121,9 +121,9 @@ class DumpReplaySpec extends SparkSpec {
     // \N nulls, bytea as \x hex
     val data = tmpDir("dump_pg_text_data").resolve("blobs.txt")
     java.nio.file.Files.write(data,
-      ("1\tline one\\nline two\t\\x48454c4c4f\n" +
+      ("1\tline one\\nline two\t\\\\x48454c4c4f\n" +
         "2\t\\N\t\\N\n" +
-        "3\ttab\\there\t\\x00ff\n").getBytes("UTF-8"))
+        "3\ttab\\there\t\\\\x00ff\n").getBytes("UTF-8"))
     val script =
       s"""SET client_encoding = 'UTF8';
          |

@@ -582,7 +582,7 @@ class SqlRouterSpec extends SparkSpec {
     val f = tmpDir("router_copytext_file").resolve("out.txt")
     exec(e, s"COPY tt TO '$f'") // no FORMAT → TEXT, PG's default
     val raw = java.nio.file.Files.readString(f)
-    assert(raw.contains("tab\\there") && raw.contains("\\x00ff"),
+    assert(raw.contains("tab\\there") && raw.contains("\\\\x00ff"),
       raw) // escapes + hex bytea actually on disk
     exec(e, "CREATE TABLE tt2 LIKE tt")
     exec(e, s"COPY tt2 FROM '$f'")
@@ -615,6 +615,23 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "INSERT INTO ts VALUES (2,'b'), (1,'a')")
     assert(exec(e, "TABLE ts ORDER BY id").df.get.collect()
       .map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((1, "a"), (2, "b")))
+  }
+
+  test("post-data ADD CONSTRAINT: CHECK enforced, FK/UNIQUE dropped") {
+    val e = new Engine(spark, tmpDir("router_postdata"))
+    exec(e, "CREATE TABLE parent (id INT PRIMARY KEY)")
+    exec(e, "CREATE TABLE child (id INT PRIMARY KEY, pid INT, qty INT)")
+    // the pg_dump post-data section a dump with referential integrity
+    // emits — must not abort the replay
+    exec(e, "ALTER TABLE ONLY child ADD CONSTRAINT child_pid_fkey " +
+      "FOREIGN KEY (pid) REFERENCES parent(id)")
+    exec(e, "ALTER TABLE ONLY child ADD CONSTRAINT child_pid_uniq UNIQUE (pid)")
+    // CHECK routes to real A22 enforcement
+    exec(e, "ALTER TABLE ONLY child ADD CONSTRAINT qty_pos CHECK (qty > 0)")
+    exec(e, "INSERT INTO child VALUES (1, 10, 5)")
+    intercept[Exception](exec(e, "INSERT INTO child VALUES (2, 11, -1)"))
+    assert(exec(e, "SELECT count(*) FROM child").df.get
+      .collect()(0).getLong(0) === 1L)
   }
 
   test("normalizeMysqlLiterals: hex, bit, introducers — quote-aware") {

@@ -160,6 +160,15 @@ class OperatorsSpec extends SparkSpec {
       Seq("g"), Seq("v", "id"))
     assert(empty.count() === 0L)
     assert(Seq("rn", "n").forall(empty.columns.contains))
+    // null group keys form a group (window semantics) — the count join
+    // must be null-safe, not an equi-join that silently drops them
+    val withNull = Seq((null.asInstanceOf[String], 1, 1L),
+      (null.asInstanceOf[String], 2, 2L), ("a", 3, 3L))
+      .toDF("g", "v", "id")
+    val nulled = Operators.rankAndCountByGroup(withNull, Seq("g"),
+      Seq("v", "id")).select("id", "rn", "n")
+      .as[(Long, Long, Long)].collect().sorted
+    assert(nulled === Array((1L, 1L, 2L), (2L, 2L, 2L), (3L, 1L, 1L)))
   }
 
   test("packSequences fills bins greedily in order, per partition key") {

@@ -60,6 +60,21 @@ class PrunedCosineSpec extends SparkSpec {
     }
   }
 
+  test("a NaN embedding cannot poison other vectors' pairs") {
+    // Spark sorts NaN greater than any number, so a bare `norm > 0`
+    // filter KEEPS NaN rows — one NaN radius then kills every
+    // admissibility test for its cell. The operator must drop the row
+    // and return the exact pair set over the finite vectors.
+    val poisoned = corpus.union(Seq(
+      (600L, Array(Double.NaN, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding"))
+    val got = SimilarityOps.exactCosinePairsPruned(poisoned, "vec_id",
+        "embedding", 0.7, k = 4, iters = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = brute(0.7)
+    assert(got.map(x => (x._1, x._2)) === want.map(x => (x._1, x._2)))
+  }
+
   test("exact-boundary pairs are admitted (epsilon direction)") {
     // two identical vectors: sim = 1.0, the tightest boundary at t = 1
     val dup = corpus.union(Seq(

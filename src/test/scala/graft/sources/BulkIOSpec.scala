@@ -147,10 +147,10 @@ class BulkIOSpec extends SparkSpec {
     // what pg_dump actually emits: tab-separated, escape sequences for
     // control chars/backslash, \x hex bytea, \N nulls
     val body =
-      "1\ta\\tb\\nc\t\\x48454c4c4f\t7\n" +
+      "1\ta\\tb\\nc\t\\\\x48454c4c4f\t7\n" +
       "2\t\\N\t\\N\t\\N\n" +
-      "3\tocta\\101l and hex\\x41!\t\\x00ff7f\t0\n" +
-      "4\tback\\\\slash\t\\x\t1\n"
+      "3\tocta\\101l and hex\\x41!\t\\\\x00ff7f\t0\n" +
+      "4\tback\\\\slash\t\\\\x\t1\n"
     val f = writeFile("pg.txt", body)
     assert(BulkIO.loadPgTextInto(t, f) === 4L)
     val got = t.read().orderBy("id").collect().map(r => (r.getInt(0),
