@@ -190,6 +190,40 @@ object Operators {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** One batch of INCREMENTAL exact gram-overlap detection over a
+    * persisted inverted gram index — the continuous form of the
+    * substring-dedup / decontamination shapes (q92/q93) and the last
+    * member of the incremental family (MinHash bands, IVF cells, bloom
+    * sketch, PQ codes): the corpus is gram-exploded ONCE into `(id,
+    * code)` index rows; each arriving batch probes the index with ITS
+    * OWN codes and then appends them. Inputs are DISTINCT `(idCol,
+    * codeCol)` rows on both sides (hash grams with `poly_hash` to keep
+    * the index compact); an id must not appear on both sides.
+    *
+    * Returns (a_id, b_id, shared) for pairs touching the batch with
+    * ≥ `minShared` common codes — corpus-internal pairs were reported
+    * by earlier steps. Both probe joins are keyed on the code and the
+    * count aggregation on the pair: no broadcast, no driver state. */
+  def incrementalGramPairs(batchCodes: DataFrame, indexCodes: DataFrame,
+      idCol: String, codeCol: String, minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1, s"minShared >= 1: $minShared")
+    // corpus↔batch: each shared code contributes exactly one row
+    val vsIndex = batchCodes.as("x").join(indexCodes.as("y"),
+        col(s"x.$codeCol") === col(s"y.$codeCol") &&
+          col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(least(col(s"x.$idCol"), col(s"y.$idCol")).as("a_id"),
+        greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("b_id"))
+    // batch↔batch: one direction only, or every shared code counts twice
+    val vsBatch = batchCodes.as("x").join(batchCodes.as("y"),
+        col(s"x.$codeCol") === col(s"y.$codeCol") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+    vsIndex.unionByName(vsBatch)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Prefix-filtered inverted-index Jaccard pairs — the SPARSE-corpus
     * exact near-dup path (the all-pairs scan of
     * `DedupQueries.exactJaccardPairs` is the dense-corpus choice; this
