@@ -151,10 +151,42 @@ object SqlRouter {
   private val Analyze = """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*(?:COMPUTE\s+STATISTICS)?\s*""".r
 
   def execute(engine: Engine, sqlText: String): Result = {
+    // Dump section headers ('--\n-- Table structure ...\n--') arrive
+    // ATTACHED to the statement that follows them — splitStatements
+    // keeps comment text — and every routing regex anchors on leading
+    // whitespace, so the comment block must come off the head first or
+    // LOCK TABLES raises a Catalyst ParseException and DROP/CREATE
+    // TABLE silently land in Spark's catalog instead of the engine.
+    val stmt = stripLeadingComments(sqlText)
     // MySQL literal forms first (the rewrite must reach Catalyst too,
     // unlike backtick stripping which is routing-only — see ADVICE r6)
-    val lit = normalizeMysqlLiterals(sqlText)
+    val lit = normalizeMysqlLiterals(stmt)
     executeRouted(engine, stripIdentQuotes(lit), lit)
+  }
+
+  /** Leading `--` / `#` line comments and `/*...*/` blocks come off the
+    * statement head (version-conditional `/*!...*/` included — the same
+    * plain-comment dialect decision splitStatements documents). The
+    * statement BODY is untouched: inline comments after real SQL starts
+    * are Catalyst's business. */
+  private[graft] def stripLeadingComments(s: String): String = {
+    var i = 0
+    var done = false
+    while (!done && i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        val nl = s.indexOf('\n', i)
+        i = if (nl < 0) s.length else nl + 1
+      } else if (c == '#') {
+        val nl = s.indexOf('\n', i)
+        i = if (nl < 0) s.length else nl + 1
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val close = s.indexOf("*/", i + 2)
+        i = if (close < 0) s.length else close + 2
+      } else done = true
+    }
+    if (i == 0) s else s.substring(i)
   }
 
   /** Charset introducers MySQL allows before string/hex literals
@@ -196,6 +228,18 @@ object SqlRouter {
         i += 1
       } else if (c == '\'' || c == '"' || c == '`') {
         quote = c; out.append(c); i += 1
+      } else if ((c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') ||
+          c == '#') {
+        // comment spans copy through verbatim: an apostrophe inside one
+        // must not flip the quote state, and literal-looking text inside
+        // one must not be rewritten (ADVICE r7)
+        val nl = s.indexOf('\n', i)
+        val end = if (nl < 0) s.length else nl + 1
+        out.append(s.substring(i, end)); i = end
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val close = s.indexOf("*/", i + 2)
+        val end = if (close < 0) s.length else close + 2
+        out.append(s.substring(i, end)); i = end
       } else if (c == '0' && !isWord(prev) && i + 1 < s.length &&
           s.charAt(i + 1) == 'x') {
         var j = i + 2
@@ -899,6 +943,27 @@ object SqlRouter {
     * MySQL's UNSIGNED suffix; everything after is the attribute tail. */
   private val ColEntry =
     """(?is)\s*(\S+)\s+(\w+(?:\s*\([^)]*\))?(?:\s+UNSIGNED)?)\s*(.*)""".r
+
+  /** pg_dump's canonical multi-word type spellings folded to their
+    * one-word equivalents so ColEntry's single-word type capture holds
+    * ('character varying(n)' otherwise parses as tpe='character' and
+    * aborts the CREATE TABLE replay). Anchored to the type position —
+    * the word right after the column name — so the same words inside a
+    * later DEFAULT string literal are never rewritten. The time-zone
+    * qualifier of 'time[(p)] with/without time zone' drops here too;
+    * 'timestamp' zone forms keep their attrs-tail handling below
+    * (they map to two DIFFERENT Spark types). */
+  private def normalizePgTypeWords(entry: String): String = {
+    var e = entry
+    e = e.replaceFirst("(?is)^(\\s*\\S+\\s+)character\\s+varying", "$1varchar")
+    e = e.replaceFirst("(?is)^(\\s*\\S+\\s+)character\\b", "$1char")
+    e = e.replaceFirst("(?is)^(\\s*\\S+\\s+)bit\\s+varying", "$1bit")
+    e = e.replaceFirst("(?is)^(\\s*\\S+\\s+)double\\s+precision", "$1double")
+    e = e.replaceFirst(
+      "(?is)^(\\s*\\S+\\s+)time(\\s*\\([^)]*\\))?\\s+with(?:out)?\\s+time\\s+zone",
+      "$1time$2")
+    e
+  }
   private val DefaultAttr =
     """(?i)\bDEFAULT\s+('(?:[^']|'')*'|\([^)]*\)|\S+)""".r
 
@@ -917,21 +982,22 @@ object SqlRouter {
       .map(_.split("\\s+")(0))
     var defaults = Map.empty[String, String]
     val fields = cols.map(_.replaceAll("(?i)\\s+PRIMARY\\s+KEY", "")).map {
-      entry =>
+      entry0 =>
+        val entry = normalizePgTypeWords(entry0)
         val ColEntry(name, tpe, attrs) = entry: @unchecked
         val notNull = "(?i)\\bNOT\\s+NULL\\b".r.findFirstIn(attrs).isDefined
         DefaultAttr.findFirstMatchIn(attrs)
           .map(_.group(1)).filterNot(_.equalsIgnoreCase("NULL"))
           .foreach(d => defaults += s"default.$name" -> d)
         // pg_dump's multi-word timestamp forms: the zone qualifier
-        // lands in the attribute tail
+        // lands in the attribute tail (a fractional precision may sit
+        // between — 'timestamp(6) without time zone')
         val a = attrs.trim.toUpperCase
+        val tbase = tpe.toLowerCase.replaceAll("\\s*\\([^)]*\\)", "").trim
         val dt =
-          if (tpe.equalsIgnoreCase("timestamp") &&
-              a.startsWith("WITHOUT TIME ZONE"))
+          if (tbase == "timestamp" && a.startsWith("WITHOUT TIME ZONE"))
             org.apache.spark.sql.types.TimestampNTZType
-          else if (tpe.equalsIgnoreCase("timestamp") &&
-              a.startsWith("WITH TIME ZONE"))
+          else if (tbase == "timestamp" && a.startsWith("WITH TIME ZONE"))
             org.apache.spark.sql.types.TimestampType
           else
             // Spark DDL first (STRING, ARRAY<INT>, ...); MySQL-only

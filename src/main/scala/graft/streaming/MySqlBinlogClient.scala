@@ -137,6 +137,12 @@ final class MySqlBinlogClient(
       var curSid: String = null
       var curGno = -1L
       var sinceSave = 0
+      def markExecuted(): Unit = if (curSid != null && curGno > 0) {
+        executed += curSid ->
+          GtidSet.add(executed.getOrElse(curSid, ""), curGno)
+        sinceSave += 1
+        if (sinceSave >= 64) { log.flush(); savePosition(); sinceSave = 0 }
+      }
       while (!stopped) {
         val p = readPacket(in)
         (p(0) & 0xff) match {
@@ -157,12 +163,15 @@ final class MySqlBinlogClient(
                     .map(i => f"${frame(i)}%02x").mkString
                   curGno = LittleEndian.uint(frame, 19 + 17, 8)
                 case 16 => // XID commit marker
-                  if (curSid != null && curGno > 0) {
-                    executed += curSid ->
-                      GtidSet.add(executed.getOrElse(curSid, ""), curGno)
-                    sinceSave += 1
-                    if (sinceSave >= 64) { log.flush(); savePosition(); sinceSave = 0 }
-                  }
+                  markExecuted()
+                case 2 => // Query: GTID-mode DDL (and COMMIT on
+                  // non-transactional tables) commits HERE — no XID
+                  // follows, mirroring the decoder's commit-marker
+                  // rule. Without this the gno never joins the
+                  // executed set and every reconnect re-requests and
+                  // re-appends the transaction forever (ADVICE r8).
+                  // BEGIN opens a txn and is NOT a commit marker.
+                  if (!queryIsBegin(frame)) markExecuted()
                 case _ => ()
               }
             }
@@ -273,6 +282,21 @@ final class MySqlBinlogClient(
           "mysql_native_password is supported — create the replication " +
           "user WITH mysql_native_password")
     }
+  }
+
+  /** Query-event text begins with BEGIN (the txn opener — the one Query
+    * form that is NOT its own commit marker). Layout after the 19-byte
+    * header: thread_id(4) exec_time(4) schema_len(1) error_code(2)
+    * status_vars_len(2), status vars, schema, NUL, query text. */
+  private def queryIsBegin(frame: Array[Byte]): Boolean = {
+    val b = 19
+    if (frame.length < b + 13) return false
+    val schemaLen = frame(b + 8) & 0xff
+    val statusLen = (frame(b + 11) & 0xff) | ((frame(b + 12) & 0xff) << 8)
+    val qPos = b + 13 + statusLen + schemaLen + 1
+    qPos + 5 <= frame.length &&
+      new String(frame, qPos, 5, StandardCharsets.UTF_8)
+        .equalsIgnoreCase("BEGIN")
   }
 
   /** mysql_native_password: SHA1(pass) XOR SHA1(scramble ++ SHA1(SHA1(pass))). */

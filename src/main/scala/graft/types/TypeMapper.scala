@@ -67,7 +67,7 @@ object TypeMapper {
       case "SMALLSERIAL" | "INT2" => ShortType
       case "FLOAT4" => FloatType
       case "FLOAT8" => DoubleType
-      case "JSONB" | "UUID" | "CITEXT" => StringType
+      case "JSONB" | "UUID" | "CITEXT" | "CHARACTER" => StringType
       case "TIMESTAMPTZ" => TimestampType
       case other => throw new IllegalArgumentException(s"unsupported MySQL type $other")
     }
@@ -89,7 +89,8 @@ object TypeMapper {
             b.putString(EnumValuesKey,
               orig.substring(orig.indexOf('(') + 1, orig.lastIndexOf(')')))
             Mapped(StringType, b.build())
-          case "VARCHAR" | "CHAR" | "BINARY" | "VARBINARY" | "BIT" =>
+          case "VARCHAR" | "CHAR" | "CHARACTER" | "BINARY" | "VARBINARY" |
+               "BIT" =>
             b.putLong(DisplayWidthKey, args.trim.toLong)
             if (u != null) unsignedInt(bb) else Mapped(signed(bb), b.build())
           case "DATETIME" | "TIMESTAMP" | "TIME" =>

@@ -115,6 +115,92 @@ class DumpReplaySpec extends SparkSpec {
       === "upserted")
   }
 
+  test("section-header comments attached to DROP/LOCK TABLES still route") {
+    // Real mysqldump output puts a '--' header block DIRECTLY before
+    // DROP TABLE and LOCK TABLES — the preceding ';' detaches it from
+    // the prior statement, so it arrives glued to the head of the NEXT
+    // one. Routing regexes anchor on whitespace: without the head strip
+    // LOCK TABLES hits Catalyst (ParseException) and DROP TABLE lands
+    // in Spark's catalog. The header text also carries an apostrophe
+    // ("it's") ahead of hex literals to pin the literal normalizer's
+    // comment awareness.
+    val e = new Engine(spark, tmpDir("dump_hdr"))
+    val script =
+      """-- MySQL dump 10.13  Distrib 8.0.32
+        |
+        |--
+        |-- Table structure for table `hdr`
+        |--
+        |
+        |DROP TABLE IF EXISTS `hdr`;
+        |CREATE TABLE `hdr` (
+        |  `id` int NOT NULL,
+        |  `tag` varchar(20) DEFAULT NULL,
+        |  `payload` blob,
+        |  PRIMARY KEY (`id`)
+        |) ENGINE=InnoDB;
+        |
+        |--
+        |-- Dumping data for table `hdr` (it's the body section)
+        |--
+        |
+        |LOCK TABLES `hdr` WRITE;
+        |INSERT INTO `hdr` VALUES
+        |  (1,'a',0x41), -- it's row one
+        |  (2,'b',0x4243);
+        |UNLOCK TABLES;
+        |""".stripMargin
+    executeScript(e, script)
+    // DROP+CREATE reached the ENGINE (not Spark's catalog), LOCK TABLES
+    // was accepted, and the hex literal AFTER the apostrophe-bearing
+    // inline comment still normalized to X'...'
+    val rows = e.sql("SELECT id, tag, payload FROM hdr ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.get(2).asInstanceOf[Array[Byte]].toSeq))
+    assert(rows === Array(
+      (1, "a", Seq[Byte](0x41)),
+      (2, "b", Seq[Byte](0x42, 0x43))))
+    assert(e.table("hdr").manifest.pkCols === Seq("id"))
+  }
+
+  test("pg_dump multi-word column types parse (character varying, double precision)") {
+    val e = new Engine(spark, tmpDir("dump_pg_mw"))
+    val script =
+      """--
+        |-- Name: mw; Type: TABLE; Schema: public
+        |--
+        |
+        |CREATE TABLE mw (
+        |    id integer NOT NULL,
+        |    name character varying(50),
+        |    code character(3),
+        |    ratio double precision,
+        |    created timestamp(6) without time zone
+        |);
+        |
+        |INSERT INTO mw VALUES (1, 'alpha', 'abc', 0.5, '2024-05-01 09:00:00');
+        |INSERT INTO mw VALUES (2, NULL, NULL, NULL, NULL);
+        |
+        |ALTER TABLE ONLY mw
+        |    ADD CONSTRAINT mw_pkey PRIMARY KEY (id);
+        |""".stripMargin
+    executeScript(e, script)
+    val m = e.table("mw").manifest
+    assert(m.schema("name").dataType === org.apache.spark.sql.types.StringType)
+    assert(m.schema("code").dataType === org.apache.spark.sql.types.StringType)
+    assert(m.schema("ratio").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(m.schema("created").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(m.pkCols === Seq("id"))
+    val rows = e.sql("""SELECT id, name, code, ratio,
+        CAST(created AS STRING) FROM mw ORDER BY id""")
+      .as[(Int, Option[String], Option[String], Option[Double], Option[String])]
+      .collect()
+    assert(rows === Array(
+      (1, Some("alpha"), Some("abc"), Some(0.5), Some("2024-05-01 09:00:00")),
+      (2, None, None, None, None)))
+  }
+
   test("pg_dump TEXT-format COPY (the actual default) replays bytea + escapes") {
     val e = new Engine(spark, tmpDir("dump_pg_text"))
     // pg_dump's default COPY format: tab-separated, escape sequences,

@@ -216,6 +216,12 @@ class ReplicationClientSpec extends SparkSpec {
         Array(19.toByte), Array.fill(39)(0.toByte)))
     def heartbeat(): Array[Byte] =
       event(27, 0L, "binlog.000001".getBytes(StandardCharsets.UTF_8))
+    def queryEvt(sql: String, schema: String = "db1"): Array[Byte] = {
+      val d = schema.getBytes(StandardCharsets.UTF_8)
+      val q = sql.getBytes(StandardCharsets.UTF_8)
+      event(2, 0L, cat(le(7L, 4), le(0L, 4), Array(d.length.toByte),
+        le(0L, 2), le(0L, 2), d, Array(0.toByte), q))
+    }
     def tableMap(tableId: Long, db: String, table: String, ncols: Int): Array[Byte] = {
       val d = db.getBytes(StandardCharsets.UTF_8)
       val t = table.getBytes(StandardCharsets.UTF_8)
@@ -398,5 +404,73 @@ class ReplicationClientSpec extends SparkSpec {
       changes.withColumn("action", col("action").cast("int")))
     assert(table.read().orderBy("pk").as[(Long, String)].collect() ===
       Array((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("mysql client: GTID-mode DDL marks executed (no XID follows)") {
+    // A DDL transaction commits via its Query event — if the client only
+    // marks executed on XID, the gno keeps a permanent gap and every
+    // reconnect re-requests + re-appends it (ADVICE r8). BEGIN is the
+    // one Query form that must NOT mark (the txn is still open).
+    val dir = tmpDir("myrepl_ddl")
+    val Tid = 7L
+    val scramble: Array[Byte] = (21 to 40).map(_.toByte).toArray
+    val dumpRequests = new java.util.concurrent.CopyOnWriteArrayList[Map[String, String]]()
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+
+    val server = new ServerSocket(0)
+    def serveSession(events: Seq[Array[Byte]], closeAfter: Boolean): Unit = {
+      val s = server.accept()
+      val in = new DataInputStream(s.getInputStream)
+      val out = new DataOutputStream(s.getOutputStream)
+      my.writePacket(out, 0, my.handshakeV10(scramble))
+      my.readPacket(in)
+      my.writePacket(out, 2, my.okPacket)
+      my.readPacket(in) // SET @master_binlog_checksum
+      my.writePacket(out, 1, my.okPacket)
+      dumpRequests.add(my.parseDumpGtid(my.readPacket(in)))
+      var seq = 1
+      events.foreach { e =>
+        my.writePacket(out, seq, my.cat(Array(0.toByte), e)); seq += 1
+      }
+      if (closeAfter) s.close()
+      else {
+        try in.readByte() catch { case _: Throwable => () }
+        s.close()
+      }
+    }
+    val fake = new Thread(() => {
+      try {
+        // session 1: gno 100 = autocommitted DDL (Query, no XID);
+        // gno 101 = a normal DML txn whose BEGIN Query must not mark
+        serveSession(Seq(
+          my.fde(),
+          my.gtid(100L), my.queryEvt("CREATE TABLE db1.x (i int)"),
+          my.gtid(101L), my.queryEvt("BEGIN"),
+          my.tableMap(Tid, "db1", "t", 2),
+          my.writeRows(Tid, my.rowImg(1L, "a")), my.xid()),
+          closeAfter = true)
+        // session 2: the reconnect request must already carry 100-101
+        serveSession(Seq(my.fde()), closeAfter = false)
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "fake-mysql-ddl-primary")
+    fake.start()
+
+    val client = new MySqlBinlogClient("127.0.0.1", server.getLocalPort,
+      "repl", "secret", "m2", dir).start()
+    try {
+      await("9 frames appended across both sessions")(
+        client.framesAppended == 9L)
+    } finally {
+      client.stop()
+      server.close()
+      fake.join(5000)
+    }
+    assert(serverErr.get() === null,
+      s"fake server assertion failed: ${serverErr.get()}")
+    assert(dumpRequests.get(0) === Map.empty)
+    // the DDL's gno 100 AND the XID-committed 101 are both executed —
+    // the reconnect does not re-request the DDL transaction
+    assert(dumpRequests.get(1) === Map(my.sidHex -> "100-101"))
+    assert(client.executed === Map(my.sidHex -> "100-101"))
   }
 }
