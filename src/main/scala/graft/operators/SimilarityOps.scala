@@ -417,6 +417,113 @@ object SimilarityOps {
     rankByAdc(cand, model, k)
   }
 
+  /** [[pqEncode]] plus the per-point quantization residual:
+    * `(idCol, code, resid)` with resid = ‖x̂ − decode(code)‖ =
+    * √Σⱼ‖x̂ⱼ − bookⱼ(codeⱼ)‖² — the subspace argmins' own distances,
+    * computed in the same narrow no-shuffle map as the codes. The
+    * residual is what turns ADC from a heuristic score into a BOUND:
+    * by the triangle inequality |‖q̂−x̂‖ − ‖q̂−decode(x)‖| ≤ resid(x),
+    * which [[exactKnnPq]] uses to prune exactly. */
+  def pqEncodeResidual(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val minSq = (0 until model.m).map { j =>
+      val sub = slice(col("__u"), j * model.dsub + 1, model.dsub)
+      // min true sub-dist² = ‖xⱼ‖² + min over c of (−2·xⱼ·c + ‖c‖²)
+      call_function("vec_dot", sub, sub) +
+        array_min(array(distStructs(sub, model.books(j)): _*)).getField("d")
+    }.reduce(_ + _)
+    unitVecs(df, idCol, vecCol).select(col("__id").as(idCol),
+      array((0 until model.m).map(j =>
+        nearestCell(slice(col("__u"), j * model.dsub + 1, model.dsub),
+          model.books(j))): _*).as("code"),
+      sqrt(greatest(lit(0.0), minSq)).as("resid"))
+  }
+
+  /** EXACT cosine top-k with PQ pruning — the third member of the
+    * exact-under-pruning family ([[exactCosinePairsPruned]],
+    * [[exactKnnPruned]]), here with PRODUCT-QUANTIZED candidates:
+    * bit-identical to the brute scan for ANY codebook, so the driver's
+    * hash gate (q70's oracle SQL) proves the whole PQ arithmetic chain
+    * — fit, encode, LUT, ADC fold — end to end.
+    *
+    * Exactness argument: with d(x) = √ADC(q,x) (the EXACT distance
+    * from q̂ to x's decoded point — the LUT entries are exact
+    * per-subspace squared distances) and r(x) the stored residual,
+    * the triangle inequality gives ‖q̂−x̂‖ ≥ d(x) − r(x). Phase 1
+    * exact-verifies the ADC top-k, whose worst member's TRUE distance
+    * t upper-bounds the true kth distance. Phase 2 admits only
+    * candidates with d(x) − r(x) ≤ t + ε — everything else provably
+    * cannot enter the top-k — and exact-verifies the admitted set on
+    * the ORIGINAL vectors, so returned sims are bit-identical to the
+    * brute formulation (float-rounding of the ADC fold moves only
+    * which non-members are admitted, never the result, the same
+    * admit-direction-ε convention as the other pruned operators).
+    *
+    * Scale shape: the candidate scan touches m-int codes (never the
+    * raw corpus — the PQ memory trade), queries broadcast with their
+    * m·ksub LUTs, the two verify joins are keyed on the id, and
+    * ranking runs through the bounded top-k aggregator. Admitted-set
+    * size degrades gracefully with codebook quality: a worse fit
+    * admits more verify work, never wrong answers.
+    *
+    * Returns (q_id, n_id, sim, rank 1..k) by (sim DESC, n_id ASC) —
+    * exact ranks, self-pairs excluded. */
+  def exactKnnPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, model: PqModel, k: Int): DataFrame = {
+    require(k > 0, s"k > 0: $k")
+    val eps = 1e-9
+    def nrm(v: Column): Column = sqrt(call_function("vec_dot", v, v))
+    val codes = pqEncodeResidual(corpus, idCol, vecCol, model)
+    val q = unitVecs(queries, idCol, vecCol)
+      .select(col("__id").as("q_id"), pqLut(model).as("__lut"))
+    val cand = broadcast(q)
+      .join(codes.select(col(idCol).as("n_id"), col("code"), col("resid")),
+        col("q_id") =!= col("n_id"))
+      .withColumn("__d", adcDist(model))
+      // LUT and code dropped BEFORE the checkpoint: only the scored
+      // (q_id, n_id, resid, d) quad is scanned twice (seed + admit)
+      .select(col("q_id"), col("n_id"), col("resid"), col("__d"))
+      .localCheckpoint()
+    // exact-sim verify material: the ORIGINAL vectors, q70's expressions
+    val origQ = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_emb"))
+      .withColumn("q_nrm", nrm(col("q_emb")))
+    val origC = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_emb"))
+      .withColumn("n_nrm", nrm(col("n_emb")))
+    def simCol: Column = call_function("vec_dot", col("q_emb"), col("n_emb")) /
+      (col("q_nrm") * col("n_nrm"))
+    val tk = graft.functions.TopK.topk(k)
+    // phase 1 — ADC top-k, exact-verified: t = the worst member's TRUE
+    // distance ≥ the true kth distance (fewer than k members → +∞)
+    val seedIds = cand
+      .groupBy(col("q_id")).agg(tk(-col("__d"), col("n_id")).as("__tk"))
+      .select(col("q_id"),
+        explode(expr("transform(__tk, s -> s.id)")).as("n_id"),
+        size(col("__tk")).as("__nseed"))
+    val seedT = seedIds
+      .join(origQ, "q_id").join(origC, "n_id")
+      .withColumn("__dist", sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * simCol)))
+      .groupBy(col("q_id"))
+      .agg(max(col("__dist")).as("__t"), first(col("__nseed")).as("__n"))
+      .select(col("q_id"), when(col("__n") >= k, col("__t"))
+        .otherwise(lit(Double.PositiveInfinity)).as("__t"))
+    // phase 2 — residual-bound admission + exact verify + exact ranks
+    val admitted = cand
+      .join(seedT, Seq("q_id"), "left")
+      .withColumn("__t", coalesce(col("__t"), lit(Double.PositiveInfinity)))
+      .filter(sqrt(greatest(lit(0.0), col("__d"))) - col("resid")
+        <= col("__t") + lit(eps))
+      .select(col("q_id"), col("n_id"))
+    // the result reads the scored-candidate checkpoint lazily — as with
+    // the other pruned operators, the caller releases after materializing
+    admitted
+      .join(origQ, "q_id").join(origC, "n_id")
+      .withColumn("__sim", simCol)
+      .groupBy(col("q_id")).agg(tk(col("__sim"), col("n_id")).as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")).as(Seq("__p", "__s")))
+      .select(col("q_id"), col("__s").getField("id").as("n_id"),
+        col("__s").getField("score").as("sim"), (col("__p") + 1).as("rank"))
+  }
+
   /** Flat m×ksub LUT over the unit query column "__u": entry
     * j·ksub + c = ‖q_j − books(j)(c)‖², exact doubles — the single
     * source of the ADC arithmetic for [[pqTopK]] and [[ivfPqTopK]]. */
@@ -429,17 +536,21 @@ object SimilarityOps {
         lit(model.books(j)(c).map(x => x * x).sum)
     }): _*)
 
+  /** ADC distance column over rows carrying (code, __lut): m LUT
+    * lookups summed by an array fold — ‖q̂ − decode(code)‖² in exact
+    * doubles. */
+  private def adcDist(model: PqModel): Column = expr(
+    s"""aggregate(zip_with(code, sequence(0, ${model.m - 1}),
+          (c, j) -> element_at(__lut, j * ${model.ksub} + c + 1)),
+        CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+
   /** Shared ADC scoring + bounded top-k tail: candidates carrying
     * (q_id, code, __lut) → (q_id, n_id, approx_dist, rank 1..k) by
     * (approx_dist ASC, n_id ASC). */
   private def rankByAdc(cand: DataFrame, model: PqModel, k: Int): DataFrame = {
-    val ksub = model.ksub
     val tk = graft.functions.TopK.topk(k)
     cand
-      .withColumn("__d", expr(
-        s"""aggregate(zip_with(code, sequence(0, ${model.m - 1}),
-              (c, j) -> element_at(__lut, j * $ksub + c + 1)),
-            CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
+      .withColumn("__d", adcDist(model))
       .groupBy(col("q_id"))
       .agg(tk(-col("__d"), col("n_id")).as("__tk"))
       .select(col("q_id"), posexplode(col("__tk")).as(Seq("__p", "__s")))

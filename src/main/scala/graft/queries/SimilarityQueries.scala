@@ -333,54 +333,33 @@ object SimilarityQueries {
     Some(knnOracle))
 
   // --------------------------------------------------------------------
-  // q98 — product-quantization ANN (the memory-bound tier: 4-int codes
-  // per 64-float vector = 64× smaller candidate set; asymmetric-distance
-  // scan costs 4 LUT lookups per pair instead of 64 multiplies).
-  // Approximate by design → no SQL oracle (driver records rows-only);
-  // PqSpec pins exact LUT arithmetic, determinism, and recall vs brute.
-  private val q98 = QueryDef(
-    "q98_ann_pq",
+  // q67 — the SAME exact top-5 result as q70, produced by the PQ tier:
+  // [[graft.operators.SimilarityOps.exactKnnPq]] — ADC over 4-int codes
+  // seeds a true-kth-distance bound, the per-point quantization
+  // residual turns ADC into a triangle-inequality admission bound, and
+  // the admitted set is exact-verified on the ORIGINAL vectors. Same
+  // oracle SQL as q70, so the driver's hash gate proves the whole PQ
+  // arithmetic chain (fit → encode → LUT → ADC fold) end to end, for
+  // ANY codebook — the q95/q97 trick applied to the quantized tier.
+  // The APPROXIMATE tiers (pqTopK / ivfPqTopK — the former q98/q99,
+  // retired from the driver surface because approximate ANN has no SQL
+  // oracle) share every one of those primitives and additionally have
+  // PqSpec's recall, determinism, and nprobe=all ≡ full-scan proofs.
+  private val q67 = QueryDef(
+    "q67_knn_pq_exact",
     (s, dir) => {
       val vecs = t(s, dir, "embeddings")
-      // iters=1: codebook quality only moves recall a little at this
-      // scale, and each Lloyd pass is m more driver actions (see
-      // BENCH_SUMMARY round-7 second measure)
+      // iters=1: codebook quality tunes only the admitted-set SIZE
+      // (verify work), never correctness — same knob economics as
+      // q95/q97's 8/2 cells
       val model = graft.operators.SimilarityOps.pqFit(
         vecs, "vec_id", "embedding", m = 4, ksub = 16, iters = 1)
-      val codes = graft.operators.SimilarityOps.pqEncode(
-        vecs, "vec_id", "embedding", model)
-      graft.operators.SimilarityOps.pqTopK(
-        codes, vecs.filter(col("vec_id") % 100 === 0),
+      graft.operators.SimilarityOps.exactKnnPq(
+        vecs, vecs.filter(col("vec_id") % 100 === 0),
         "vec_id", "embedding", model, k = 5)
         .orderBy(col("q_id"), col("rank"))
     },
-    None)
+    Some(knnOracle))
 
-  // --------------------------------------------------------------------
-  // q99 — IVF-composed PQ: coarse cells prune WHERE to look (queries
-  // explode to nprobe cells, candidate join KEYED on the cell — the
-  // corpus never broadcasts), PQ codes compress WHAT is looked at
-  // (m LUT lookups per candidate). The production ANN shape; PqSpec
-  // proves nprobe=all ≡ full PQ scan, so composition adds recall loss
-  // only through cell pruning. Approximate → rows-only driver check.
-  private val q99 = QueryDef(
-    "q99_ann_ivf_pq",
-    (s, dir) => {
-      val vecs = t(s, dir, "embeddings")
-      val model = graft.operators.SimilarityOps.pqFit(
-        vecs, "vec_id", "embedding", m = 4, ksub = 16, iters = 1)
-      // cells trained in UNIT space — where the codes live
-      val cents = graft.operators.SimilarityOps.kmeansFit(
-        graft.operators.SimilarityOps.unitNormalized(vecs, "vec_id", "embedding"),
-        "vec_id", "embedding", k = 16, iters = 1, init = "hash")
-      val index = graft.operators.SimilarityOps.pqIndex(
-        vecs, "vec_id", "embedding", model, cents)
-      graft.operators.SimilarityOps.ivfPqTopK(
-        index, vecs.filter(col("vec_id") % 100 === 0),
-        "vec_id", "embedding", "cell", model, cents, nprobe = 2, k = 5)
-        .orderBy(col("q_id"), col("rank"))
-    },
-    None)
-
-  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q91, q95, q97, q98, q99)
+  val defs: Seq[QueryDef] = Seq(q67, q70, q71, q72, q73, q91, q95, q97)
 }

@@ -142,6 +142,51 @@ class PqSpec extends SparkSpec {
     assert(incremental === full)
   }
 
+  test("residual encode: resid equals the hand-computed decode distance") {
+    val withR = SimilarityOps.pqEncodeResidual(corpus, "vec_id", "embedding",
+      model).as[(Long, Seq[Int], Double)].collect()
+    val vecs = corpus.as[(Long, Array[Double])].collect().toMap
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val codeMap = codes.as[(Long, Seq[Int])].collect().toMap
+    withR.foreach { case (id, code, resid) =>
+      assert(code === codeMap(id)) // same codes as pqEncode
+      val u = unit(vecs(id))
+      val want = math.sqrt((0 until model.m).map { j =>
+        val sub = u.slice(j * model.dsub, (j + 1) * model.dsub)
+        val cent = model.books(j)(code(j))
+        sub.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum)
+      assert(math.abs(resid - want) < 1e-9, s"id=$id: $resid vs $want")
+    }
+  }
+
+  test("exactKnnPq EQUALS the brute exact top-k (ids, sims, ranks)") {
+    // the driver-facing exactness mode (q67): ADC + residual bound
+    // admission + exact verify must be bit-identical to the brute scan
+    // for this arbitrary (deliberately weak: iters could be 0) codebook
+    val got = SimilarityOps.exactKnnPq(corpus, queries, "vec_id",
+        "embedding", model, k = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val vecs = corpus.as[(Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val brute = vecs.filter(_._1 % 20 == 0).flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(5).zipWithIndex
+        .map { case ((nid, s), i) => (qid, nid, i + 1) }
+    }.sortBy(r => (r._1, r._3))
+    assert(got.map(r => (r._1, r._2, r._4)) === brute)
+    // sims are the exact cosines, not ADC approximations
+    val bySim = vecs.toMap
+    got.foreach { case (qid, nid, sim, _) =>
+      assert(math.abs(sim - cos(bySim(qid), bySim(nid))) < 1e-12)
+    }
+  }
+
   test("the scan never decodes the corpus and stays broadcast-shaped") {
     val plan = SimilarityOps.pqTopK(codes, queries, "vec_id", "embedding",
         model, k = 3)
