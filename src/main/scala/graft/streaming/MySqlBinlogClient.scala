@@ -1,18 +1,32 @@
 package graft.streaming
 
 import java.io.{DataInputStream, DataOutputStream, IOException}
-import java.net.{InetSocketAddress, Socket}
+import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
 import java.nio.charset.StandardCharsets
 
 /** MySQL binlog replication client daemon — the producer half of the C1
   * connector (reference: the replica applier performs the handshake,
-  * requests the dump, and tolerates heartbeats/reconnects itself,
+  * requests the dump, registers the heartbeat period, and tolerates
+  * reconnects itself,
   * `/root/reference/binlogreplication/binlog_replica_applier.go:108-482`).
   * Speaks the PUBLIC client/server protocol:
   *
-  *   initial handshake → HandshakeResponse41 (mysql_native_password
-  *   scramble) → `SET @master_binlog_checksum = @@global.binlog_checksum`
-  *   → COM_BINLOG_DUMP_GTID(executed gtid set) → event packets.
+  *   initial handshake → [CLIENT_SSL short response + TLS upgrade when
+  *   `sslContext` is set] → HandshakeResponse41 answering the plugin
+  *   the server announced (mysql_native_password scramble, or the
+  *   caching_sha2_password SHA-256 scramble — MySQL 8's default;
+  *   AuthSwitchRequest to either plugin is honored, and caching_sha2's
+  *   full-authentication path sends the cleartext password over TLS —
+  *   on a plaintext channel it fails loudly instead, the RSA fallback
+  *   being deliberately out of scope) →
+  *   `SET @master_binlog_checksum = @@global.binlog_checksum` →
+  *   `SET @master_heartbeat_period = <ns>` →
+  *   COM_BINLOG_DUMP_GTID(executed gtid set) → event packets.
+  *
+  * Liveness: registering the heartbeat period obliges the primary to
+  * send type-27 heartbeats when idle, so a socket silent for twice the
+  * period means a dead/stalled primary, not an idle one — the client
+  * drops the connection and reconnects with its GTID resume set.
   *
   * Every binlog event frame is appended to `dir/<slot>.framelog` with a
   * MONOTONE sequence stamp — the `(off, payload)` shape
@@ -40,7 +54,13 @@ final class MySqlBinlogClient(
     serverId: Long = 54321L,
     reconnectBackoffMs: Long = 200L,
     maxRetries: Int = 5,
-    connectTimeoutMs: Int = 4000) {
+    connectTimeoutMs: Int = 4000,
+    // heartbeat period the primary is asked to honor; a socket silent
+    // for 2× this is treated as a dead primary and reconnected
+    heartbeatPeriodMs: Long = 30000L,
+    // Some(ctx) → CLIENT_SSL capability + TLS upgrade after the server
+    // handshake, before any credentials travel
+    sslContext: Option[javax.net.ssl.SSLContext] = None) {
 
   @volatile private var stopped = false
   @volatile private var socket: Socket = _
@@ -121,18 +141,40 @@ final class MySqlBinlogClient(
   // one connection's lifetime
 
   private def streamOnce(): Unit = {
-    val s = new Socket()
-    socket = s
-    s.connect(new InetSocketAddress(host, port), connectTimeoutMs)
-    val in = new DataInputStream(s.getInputStream)
-    val out = new DataOutputStream(s.getOutputStream)
+    val plain = new Socket()
+    socket = plain // stop() can close it even mid-TLS-handshake
+    plain.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    var s: Socket = plain
+    var in = new DataInputStream(s.getInputStream)
+    var out = new DataOutputStream(s.getOutputStream)
     val log = new FrameAppender(dir, slot)
     var off = FrameLog.lastOffset(dir, slot).getOrElse(-1L)
     try {
-      handshake(in, out)
+      val (scramble, serverPlugin) = readHandshakeV10(in)
+      sslContext.foreach { ctx =>
+        // SSLRequest (the capability-only HandshakeResponse prefix) in
+        // the clear, then everything — credentials included — over TLS
+        sendSslRequest(out)
+        val ssl = ctx.getSocketFactory
+          .createSocket(s, host, port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(true)
+        ssl.startHandshake()
+        s = ssl
+        socket = ssl
+        in = new DataInputStream(ssl.getInputStream)
+        out = new DataOutputStream(ssl.getOutputStream)
+      }
+      authenticate(in, out, scramble, serverPlugin)
       // real servers refuse a dump without the checksum handshake
       query(in, out, "SET @master_binlog_checksum = @@global.binlog_checksum")
+      // heartbeat registration: the primary now owes us a type-27 event
+      // at this cadence when idle — silence becomes a liveness signal
+      query(in, out,
+        s"SET @master_heartbeat_period = ${heartbeatPeriodMs * 1000000L}")
       sendBinlogDumpGtid(out)
+      s.setSoTimeout(
+        math.min(Int.MaxValue.toLong, heartbeatPeriodMs * 2).toInt)
       // in-flight txn coords for the client's own executed bookkeeping
       var curSid: String = null
       var curGno = -1L
@@ -144,7 +186,13 @@ final class MySqlBinlogClient(
         if (sinceSave >= 64) { log.flush(); savePosition(); sinceSave = 0 }
       }
       while (!stopped) {
-        val p = readPacket(in)
+        val p =
+          try readPacket(in)
+          catch {
+            case _: SocketTimeoutException => throw new IOException(
+              s"primary silent for ${heartbeatPeriodMs * 2}ms (no event " +
+                "or heartbeat) — treating the connection as dead")
+          }
         (p(0) & 0xff) match {
           case 0xff => throw new IOException(s"server error: ${errText(p)}")
           case 0xfe if p.length < 9 =>
@@ -233,7 +281,16 @@ final class MySqlBinlogClient(
   // --------------------------------------------------------------
   // handshake (public HandshakeV10 / HandshakeResponse41 layout)
 
-  private def handshake(in: DataInputStream, out: DataOutputStream): Unit = {
+  // LONG_PASSWORD | PROTOCOL_41 | SECURE_CONNECTION | PLUGIN_AUTH
+  // (+ CLIENT_SSL when a TLS upgrade is requested)
+  private def caps: Long =
+    0x00000001L | 0x00000200L | 0x00008000L | 0x00080000L |
+      (if (sslContext.isDefined) 0x00000800L else 0L)
+
+  /** HandshakeV10 → (full scramble, the auth plugin the server
+    * announced — absent on ancient servers ⇒ native). */
+  private def readHandshakeV10(
+      in: DataInputStream): (Array[Byte], String) = {
     seq = 0
     val hs = readPacket(in)
     require((hs(0) & 0xff) == 10, s"unsupported protocol version ${hs(0)}")
@@ -243,20 +300,45 @@ final class MySqlBinlogClient(
     val scramble1 = java.util.Arrays.copyOfRange(hs, p, p + 8)
     p += 8 + 1 // auth-data-1 + filler
     p += 2 // capabilities lower
-    val scramble: Array[Byte] =
-      if (p >= hs.length) scramble1
-      else {
-        p += 1 + 2 + 2 // charset + status + capabilities upper
-        val authLen = hs(p) & 0xff
-        p += 1 + 10 // auth data len + reserved
-        val len2 = math.max(13, authLen - 8) - 1 // trailing NUL excluded
-        val scramble2 = java.util.Arrays.copyOfRange(hs, p, p + len2)
-        scramble1 ++ scramble2
-      }
-    // HandshakeResponse41: LONG_PASSWORD | PROTOCOL_41 |
-    // SECURE_CONNECTION | PLUGIN_AUTH
-    val caps = 0x00000001L | 0x00000200L | 0x00008000L | 0x00080000L
-    val token = nativePasswordToken(scramble)
+    if (p >= hs.length) (scramble1, "mysql_native_password")
+    else {
+      p += 1 + 2 + 2 // charset + status + capabilities upper
+      val authLen = hs(p) & 0xff
+      p += 1 + 10 // auth data len + reserved
+      val len2 = math.max(13, authLen - 8) - 1 // trailing NUL excluded
+      val scramble2 = java.util.Arrays.copyOfRange(hs, p, p + len2)
+      p += len2 + 1
+      val plugin =
+        if (p >= hs.length) "mysql_native_password"
+        else {
+          val end = hs.indexOf(0.toByte, p)
+          new String(hs, p, (if (end < 0) hs.length else end) - p,
+            StandardCharsets.UTF_8)
+        }
+      (scramble1 ++ scramble2, plugin)
+    }
+  }
+
+  /** SSLRequest: the capability/charset/filler PREFIX of a
+    * HandshakeResponse41 (no user/auth), CLIENT_SSL set — the packet
+    * that tells the server "TLS handshake next". */
+  private def sendSslRequest(out: DataOutputStream): Unit = {
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(le(caps, 4))
+    body.write(le(1L << 24, 4)) // max packet
+    body.write(33) // utf8
+    body.write(new Array[Byte](23))
+    writePacket(out, body.toByteArray)
+  }
+
+  /** HandshakeResponse41 answering the server's announced plugin, then
+    * the auth sub-protocol to an OK packet. */
+  private def authenticate(in: DataInputStream, out: DataOutputStream,
+      scramble: Array[Byte], serverPlugin: String): Unit = {
+    val plugin =
+      if (serverPlugin == "caching_sha2_password") serverPlugin
+      else "mysql_native_password"
+    val token = authToken(plugin, scramble)
     val body = new java.io.ByteArrayOutputStream()
     body.write(le(caps, 4))
     body.write(le(1L << 24, 4)) // max packet
@@ -264,24 +346,78 @@ final class MySqlBinlogClient(
     body.write(new Array[Byte](23))
     body.write(user.getBytes(StandardCharsets.UTF_8)); body.write(0)
     body.write(token.length); body.write(token)
-    body.write("mysql_native_password".getBytes(StandardCharsets.UTF_8))
+    body.write(plugin.getBytes(StandardCharsets.UTF_8))
     body.write(0)
     writePacket(out, body.toByteArray)
-    val ok = readPacket(in)
-    if ((ok(0) & 0xff) == 0xff)
-      throw new IOException(s"authentication failed: ${errText(ok)}")
-    // AuthSwitchRequest: the account's plugin is not
-    // mysql_native_password (MySQL 8 defaults to caching_sha2). Fail
-    // LOUDLY here — treating it as success desynchronizes the
-    // protocol and burns every retry on opaque connection resets.
-    if ((ok(0) & 0xff) == 0xfe && ok.length > 1) {
-      val plugin = new String(ok.drop(1).takeWhile(_ != 0),
-        StandardCharsets.UTF_8)
-      throw new IOException(
-        s"server requested auth plugin '$plugin'; only " +
-          "mysql_native_password is supported — create the replication " +
-          "user WITH mysql_native_password")
+    authLoop(in, out)
+  }
+
+  private def authToken(plugin: String, scramble: Array[Byte]): Array[Byte] =
+    if (plugin == "caching_sha2_password") sha2Token(scramble)
+    else nativePasswordToken(scramble)
+
+  /** Drive AuthSwitchRequest / AuthMoreData rounds to an OK packet. */
+  private def authLoop(in: DataInputStream, out: DataOutputStream): Unit = {
+    while (true) {
+      val p = readPacket(in)
+      (p(0) & 0xff) match {
+        case 0x00 => return // OK
+        case 0xff =>
+          throw new IOException(s"authentication failed: ${errText(p)}")
+        case 0xfe if p.length > 1 =>
+          // AuthSwitchRequest: plugin name + fresh scramble — the
+          // account's plugin differs from the one we offered. Answer
+          // with THAT plugin's token over the new scramble.
+          val (plugin, pos) = cstrAt(p, 1)
+          val data = java.util.Arrays.copyOfRange(p, pos, p.length)
+          val sc =
+            if (data.nonEmpty && data.last == 0) data.dropRight(1) else data
+          plugin match {
+            case "mysql_native_password" | "caching_sha2_password" =>
+              writePacket(out, authToken(plugin, sc))
+            case other => throw new IOException(
+              s"server requested unsupported auth plugin '$other' " +
+                "(mysql_native_password and caching_sha2_password " +
+                "are supported)")
+          }
+        case 0xfe =>
+          throw new IOException("connection closed during authentication")
+        case 0x01 =>
+          // AuthMoreData — the caching_sha2 sub-protocol
+          (if (p.length > 1) p(1) & 0xff else -1) match {
+            case 0x03 => () // fast_auth_success: cache warm; OK follows
+            case 0x04 =>
+              // perform_full_authentication: the cleartext password may
+              // only travel on a TLS channel; the RSA-encrypted
+              // plaintext-channel fallback is deliberately out of scope
+              if (sslContext.isDefined)
+                writePacket(out,
+                  password.getBytes(StandardCharsets.UTF_8) :+ 0.toByte)
+              else throw new IOException(
+                "caching_sha2_password full authentication requires TLS " +
+                  "(server auth cache cold) — pass sslContext, or prime " +
+                  "the cache by connecting once with another client")
+            case _ => () // forward-compatible skip
+          }
+        case other =>
+          throw new IOException(f"unexpected auth packet first byte 0x$other%02x")
+      }
     }
+  }
+
+  /** caching_sha2_password fast-auth scramble:
+    * SHA256(pass) XOR SHA256(SHA256(SHA256(pass)) ++ nonce). */
+  private def sha2Token(scramble: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.empty
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val h1 = md.digest(password.getBytes(StandardCharsets.UTF_8))
+    md.reset()
+    val h2 = md.digest(h1)
+    md.reset()
+    md.update(h2)
+    md.update(scramble.take(20))
+    val h3 = md.digest()
+    h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
   }
 
   /** Query-event text begins with BEGIN (the txn opener — the one Query

@@ -42,7 +42,12 @@ final class PgReplicationClient(
     statusIntervalMs: Long = 10000L,
     reconnectBackoffMs: Long = 200L,
     maxRetries: Int = 5,
-    connectTimeoutMs: Int = 4000) {
+    connectTimeoutMs: Int = 4000,
+    // Some(ctx) → STARTTLS-style upgrade: SSLRequest before the startup
+    // message, the TLS handshake through ctx (production: a default
+    // SSLContext; tests: one trusting a local self-signed cert), and
+    // the whole protocol — auth included — over the wrapped socket.
+    sslContext: Option[javax.net.ssl.SSLContext] = None) {
 
   @volatile private var stopped = false
   @volatile private var socket: Socket = _
@@ -97,9 +102,11 @@ final class PgReplicationClient(
   // one connection's lifetime
 
   private def streamOnce(): Unit = {
-    val s = new Socket()
+    val plain = new Socket()
+    socket = plain // stop() can close it even mid-TLS-handshake
+    plain.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    val s = sslContext.fold(plain)(ctx => startTls(plain, ctx))
     socket = s
-    s.connect(new InetSocketAddress(host, port), connectTimeoutMs)
     // short read timeouts keep the status-update clock ticking while
     // the stream is idle
     s.setSoTimeout(math.min(statusIntervalMs, 250L).toInt)
@@ -170,6 +177,28 @@ final class PgReplicationClient(
   // protocol v3 plumbing (public format: type byte + int32 len + body;
   // the startup message alone has no type byte)
 
+  /** SSLRequest (the PG STARTTLS analog): Int32(8) + magic 80877103
+    * BEFORE any startup message; 'S' → run the TLS handshake and speak
+    * the whole protocol over the wrapped socket, 'N' → the server
+    * refuses TLS (fail loudly: the caller asked for it). */
+  private def startTls(plain: Socket,
+      ctx: javax.net.ssl.SSLContext): Socket = {
+    val out = new DataOutputStream(plain.getOutputStream)
+    out.writeInt(8)
+    out.writeInt(80877103)
+    out.flush()
+    val r = plain.getInputStream.read()
+    if (r != 'S')
+      throw new IOException(
+        s"server refused TLS (SSLRequest answered ${if (r < 0) "EOF" else r.toChar.toString})")
+    val ssl = ctx.getSocketFactory
+      .createSocket(plain, host, port, true)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+    ssl.setUseClientMode(true)
+    ssl.startHandshake()
+    ssl
+  }
+
   private def startup(in: DataInputStream, out: DataOutputStream): Unit = {
     val params = Seq("user" -> user, "database" -> database,
       "replication" -> "database", "application_name" -> s"graft-$slot")
@@ -193,9 +222,16 @@ final class PgReplicationClient(
             case 0 => () // AuthenticationOk
             case 3 => // cleartext password
               sendMessage(out, 'p', cstr(password.getOrElse("")))
+            case 10 => // AuthenticationSASL: NUL-separated mechanism list
+              val mechs = new String(body, 4, body.length - 4,
+                StandardCharsets.UTF_8).split("\u0000").filter(_.nonEmpty)
+              if (!mechs.contains("SCRAM-SHA-256"))
+                throw new IOException("server offers SASL mechanisms " +
+                  s"${mechs.mkString(",")}; only SCRAM-SHA-256 is supported")
+              scramAuthenticate(in, out)
             case other => throw new IOException(
-              s"unsupported authentication request $other (trust or " +
-                "cleartext password only)")
+              s"unsupported authentication request $other (trust, " +
+                "cleartext password, or SCRAM-SHA-256)")
           }
         case Some(('E', body)) =>
           throw new IOException(s"startup failed: ${errorText(body)}")
@@ -203,6 +239,84 @@ final class PgReplicationClient(
         case Some(_) => () // ParameterStatus / BackendKeyData
       }
     }
+  }
+
+  /** SCRAM-SHA-256 (RFC 5802/7677 over the PG SASL framing — the same
+    * public exchange pglogrepl negotiates for the reference,
+    * `pgserver/logrepl/replication.go:222-683` via pgconn):
+    *
+    *   SASLInitialResponse("SCRAM-SHA-256", "n,,n=,r=<nonce>") →
+    *   SASLContinue("r=<nonce+ext>,s=<salt>,i=<iters>") →
+    *   SASLResponse("c=biws,r=<nonce+ext>,p=<proof>") →
+    *   SASLFinal("v=<server signature>") — VERIFIED, a wrong v= is a
+    *   spoofed server and fails the connection.
+    *
+    * The username travels in the startup message (n= stays empty, the
+    * PG convention); passwords are used as UTF-8 bytes (SASLprep
+    * normalization of exotic codepoints is out of scope — ASCII
+    * passwords, the overwhelmingly common case, are unaffected). */
+  private def scramAuthenticate(in: DataInputStream,
+      out: DataOutputStream): Unit = {
+    val pwd = password.getOrElse("")
+    val nonce = {
+      val raw = new Array[Byte](18)
+      new java.security.SecureRandom().nextBytes(raw)
+      java.util.Base64.getEncoder.encodeToString(raw)
+    }
+    val clientFirstBare = s"n=,r=$nonce"
+    val init = new java.io.ByteArrayOutputStream()
+    init.write(cstr("SCRAM-SHA-256"))
+    val cf = ("n,," + clientFirstBare).getBytes(StandardCharsets.UTF_8)
+    init.write((cf.length >> 24) & 0xff); init.write((cf.length >> 16) & 0xff)
+    init.write((cf.length >> 8) & 0xff); init.write(cf.length & 0xff)
+    init.write(cf)
+    sendMessage(out, 'p', init.toByteArray)
+
+    val serverFirst = expectSaslData(in, 11)
+    val attrs = Scram.attributes(serverFirst)
+    val combined = attrs.getOrElse("r",
+      throw new IOException("SCRAM server-first lacks r="))
+    if (!combined.startsWith(nonce))
+      throw new IOException("SCRAM server-first nonce does not extend ours")
+    val salt = java.util.Base64.getDecoder.decode(attrs("s"))
+    val iters = attrs("i").toInt
+    val salted = Scram.hi(pwd, salt, iters)
+    val clientKey = Scram.hmac(salted, "Client Key")
+    val clientFinalNoProof = s"c=biws,r=$combined" // biws = b64("n,,")
+    val authMessage =
+      clientFirstBare + "," + serverFirst + "," + clientFinalNoProof
+    val proof = Scram.xor(clientKey,
+      Scram.hmac(Scram.sha256(clientKey), authMessage))
+    sendMessage(out, 'p', (clientFinalNoProof + ",p=" +
+      java.util.Base64.getEncoder.encodeToString(proof))
+      .getBytes(StandardCharsets.UTF_8))
+
+    val serverFinal = expectSaslData(in, 12)
+    val wantV = java.util.Base64.getEncoder.encodeToString(
+      Scram.hmac(Scram.hmac(salted, "Server Key"), authMessage))
+    if (!Scram.attributes(serverFinal).get("v").contains(wantV))
+      throw new IOException(
+        "SCRAM server signature mismatch — server does not know the password")
+    // AuthenticationOk follows; the startup loop consumes it
+  }
+
+  /** Next 'R' message, which must carry SASL code `want`; returns its
+    * payload text. */
+  private def expectSaslData(in: DataInputStream, want: Int): String = {
+    while (true) {
+      readMessage(in) match {
+        case None => ()
+        case Some(('R', body)) =>
+          if (beInt(body, 0) != want)
+            throw new IOException(
+              s"expected SASL code $want, got ${beInt(body, 0)}")
+          return new String(body, 4, body.length - 4, StandardCharsets.UTF_8)
+        case Some(('E', body)) =>
+          throw new IOException(s"SASL exchange failed: ${errorText(body)}")
+        case Some(_) => ()
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def sendQuery(out: DataOutputStream, sql: String): Unit =
@@ -290,6 +404,55 @@ final class PgReplicationClient(
     }
     sb.toString.trim
   }
+}
+
+/** SCRAM-SHA-256 primitives (RFC 5802 §2.2/§3) — package-visible so the
+  * scripted-server spec computes the same material to VERIFY the
+  * client's proof rather than blindly accepting it. */
+private[streaming] object Scram {
+  import javax.crypto.Mac
+  import javax.crypto.spec.SecretKeySpec
+
+  def sha256(b: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+
+  def hmac(key: Array[Byte], msg: String): Array[Byte] =
+    hmac(key, msg.getBytes(StandardCharsets.UTF_8))
+
+  def hmac(key: Array[Byte], msg: Array[Byte]): Array[Byte] = {
+    val m = Mac.getInstance("HmacSHA256")
+    m.init(new SecretKeySpec(key, "HmacSHA256"))
+    m.doFinal(msg)
+  }
+
+  /** Hi(str, salt, i) = PBKDF2-HMAC-SHA256: U1 = HMAC(str, salt‖INT(1)),
+    * Uₖ = HMAC(str, Uₖ₋₁), result = U1 ⊕ … ⊕ Uᵢ. Implemented directly
+    * over the password's UTF-8 BYTES (PBEKeySpec's char[] round trip
+    * invites charset surprises). */
+  def hi(password: String, salt: Array[Byte], iters: Int): Array[Byte] = {
+    val key = password.getBytes(StandardCharsets.UTF_8)
+    var u = hmac(key, salt ++ Array[Byte](0, 0, 0, 1))
+    val acc = u.clone()
+    var i = 1
+    while (i < iters) {
+      u = hmac(key, u)
+      var j = 0
+      while (j < acc.length) { acc(j) = (acc(j) ^ u(j)).toByte; j += 1 }
+      i += 1
+    }
+    acc
+  }
+
+  def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    a.indices.map(i => (a(i) ^ b(i)).toByte).toArray
+
+  /** "k1=v1,k2=v2" → map (SCRAM attribute lists; values may hold '='
+    * — base64 padding — so split on the FIRST '=' only). */
+  def attributes(s: String): Map[String, String] =
+    s.split(",").filter(_.contains("=")).map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
 }
 
 /** Buffered framelog appender held open for a connection's lifetime —

@@ -258,7 +258,8 @@ class ReplicationClientSpec extends SparkSpec {
     }
     val okPacket: Array[Byte] =
       Array[Byte](0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00)
-    def handshakeV10(scramble: Array[Byte]): Array[Byte] = {
+    def handshakeV10(scramble: Array[Byte],
+        plugin: String = "mysql_native_password"): Array[Byte] = {
       require(scramble.length == 20)
       cat(Array(10.toByte),
         "8.0.0-fake".getBytes(StandardCharsets.UTF_8), Array(0.toByte),
@@ -268,7 +269,7 @@ class ReplicationClientSpec extends SparkSpec {
         Array(33.toByte), le(2L, 2), le(0x0008L, 2), // charset/status/caps upper
         Array(21.toByte), Array.fill(10)(0.toByte), // auth len + reserved
         scramble.drop(8), Array(0.toByte), // auth-data-2 + NUL
-        "mysql_native_password".getBytes(StandardCharsets.UTF_8), Array(0.toByte))
+        plugin.getBytes(StandardCharsets.UTF_8), Array(0.toByte))
     }
     def expectedToken(password: String, scramble: Array[Byte]): Array[Byte] = {
       val sha = java.security.MessageDigest.getInstance("SHA-1")
@@ -278,14 +279,33 @@ class ReplicationClientSpec extends SparkSpec {
       val h3 = sha.digest()
       h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
     }
+    /** caching_sha2_password scramble (the public fast-auth formula). */
+    def expectedSha2Token(password: String, scramble: Array[Byte]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val h1 = md.digest(password.getBytes(StandardCharsets.UTF_8))
+      md.reset(); val h2 = md.digest(h1)
+      md.reset(); md.update(h2); md.update(scramble)
+      val h3 = md.digest()
+      h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
+    }
     /** HandshakeResponse41 → (user, auth token). */
     def parseResponse(p: Array[Byte]): (String, Array[Byte]) = {
+      val (u, t, _) = parseResponseFull(p)
+      (u, t)
+    }
+    /** HandshakeResponse41 → (user, auth token, client plugin). */
+    def parseResponseFull(p: Array[Byte]): (String, Array[Byte], String) = {
       var q = 4 + 4 + 1 + 23
       val end = p.indexOf(0.toByte, q)
       val user = new String(p, q, end - q, StandardCharsets.UTF_8)
       q = end + 1
       val n = p(q) & 0xff
-      (user, java.util.Arrays.copyOfRange(p, q + 1, q + 1 + n))
+      val token = java.util.Arrays.copyOfRange(p, q + 1, q + 1 + n)
+      q += 1 + n
+      val pEnd = p.indexOf(0.toByte, q)
+      val plugin = new String(p, q,
+        (if (pEnd < 0) p.length else pEnd) - q, StandardCharsets.UTF_8)
+      (user, token, plugin)
     }
     /** COM_BINLOG_DUMP_GTID → requested executed set (sidHex → text). */
     def parseDumpGtid(p: Array[Byte]): Map[String, String] = {
@@ -330,6 +350,10 @@ class ReplicationClientSpec extends SparkSpec {
       val q = my.readPacket(in) // SET @master_binlog_checksum
       assert((q(0) & 0xff) == 0x03 && new String(q.drop(1), "UTF-8")
         .toLowerCase.contains("master_binlog_checksum"))
+      my.writePacket(out, 1, my.okPacket)
+      val hb = my.readPacket(in) // SET @master_heartbeat_period
+      assert((hb(0) & 0xff) == 0x03 && new String(hb.drop(1), "UTF-8")
+        .toLowerCase.contains("master_heartbeat_period"))
       my.writePacket(out, 1, my.okPacket)
       dumpRequests.add(my.parseDumpGtid(my.readPacket(in)))
       var seq = 1
@@ -427,6 +451,8 @@ class ReplicationClientSpec extends SparkSpec {
       my.writePacket(out, 2, my.okPacket)
       my.readPacket(in) // SET @master_binlog_checksum
       my.writePacket(out, 1, my.okPacket)
+      my.readPacket(in) // SET @master_heartbeat_period
+      my.writePacket(out, 1, my.okPacket)
       dumpRequests.add(my.parseDumpGtid(my.readPacket(in)))
       var seq = 1
       events.foreach { e =>
@@ -472,5 +498,360 @@ class ReplicationClientSpec extends SparkSpec {
     // the reconnect does not re-request the DDL transaction
     assert(dumpRequests.get(1) === Map(my.sidHex -> "100-101"))
     assert(client.executed === Map(my.sidHex -> "100-101"))
+  }
+
+  // ==================================================================
+  // modern auth (caching_sha2 / SCRAM) + TLS + heartbeat liveness
+
+  /** Self-signed localhost cert via keytool: server context serves it,
+    * client context trusts exactly it. */
+  private lazy val (serverTls, clientTls):
+      (javax.net.ssl.SSLContext, javax.net.ssl.SSLContext) = {
+    val dir = tmpDir("tls_keys")
+    val ksPath = dir.resolve("ks.p12")
+    val pr = new ProcessBuilder("keytool", "-genkeypair", "-alias", "t",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "1",
+      "-storetype", "PKCS12", "-keystore", ksPath.toString,
+      "-storepass", "changeit", "-dname", "CN=localhost")
+      .redirectErrorStream(true).start()
+    assert(pr.waitFor() == 0, "keytool failed")
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    ks.load(java.nio.file.Files.newInputStream(ksPath), "changeit".toCharArray)
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "changeit".toCharArray)
+    val sctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    sctx.init(kmf.getKeyManagers, null, null)
+    val ts = java.security.KeyStore.getInstance("PKCS12")
+    ts.load(null, null)
+    ts.setCertificateEntry("t", ks.getCertificate("t"))
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ts)
+    val cctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    cctx.init(null, tmf.getTrustManagers, null)
+    (sctx, cctx)
+  }
+
+  private def wrapServerTls(s: java.net.Socket): java.net.Socket = {
+    val ssl = serverTls.getSocketFactory
+      .createSocket(s, null, s.getPort, false)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+    ssl.setUseClientMode(false)
+    ssl
+  }
+
+  /** Shared tail of every MySQL auth test: checksum SET, heartbeat SET,
+    * dump request, then `events`. */
+  private def myServeTail(in: DataInputStream, out: DataOutputStream,
+      events: Seq[Array[Byte]]): Unit = {
+    my.readPacket(in) // SET @master_binlog_checksum
+    my.writePacket(out, 1, my.okPacket)
+    my.readPacket(in) // SET @master_heartbeat_period
+    my.writePacket(out, 1, my.okPacket)
+    my.parseDumpGtid(my.readPacket(in))
+    var seq = 1
+    events.foreach { e =>
+      my.writePacket(out, seq, my.cat(Array(0.toByte), e)); seq += 1
+    }
+  }
+
+  private def myOneTxn: Seq[Array[Byte]] = Seq(
+    my.fde(), my.gtid(100L), my.tableMap(7L, "db1", "t", 2),
+    my.writeRows(7L, my.rowImg(1L, "a")), my.xid())
+
+  test("mysql client: caching_sha2 announced → sha2 scramble → fast auth → stream") {
+    val dir = tmpDir("myrepl_sha2")
+    val scramble: Array[Byte] = (41 to 60).map(_.toByte).toArray
+    val seen = new java.util.concurrent.atomic.AtomicReference[(String, Seq[Byte], String)]()
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val server = new ServerSocket(0)
+    val fake = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        my.writePacket(out, 0, my.handshakeV10(scramble, "caching_sha2_password"))
+        val (u, tok, plugin) = my.parseResponseFull(my.readPacket(in))
+        seen.set((u, tok.toSeq, plugin))
+        // fast_auth_success: the scramble matched the cache — OK follows
+        my.writePacket(out, 2, Array[Byte](0x01, 0x03))
+        my.writePacket(out, 3, my.okPacket)
+        myServeTail(in, out, myOneTxn)
+        try in.readByte() catch { case _: Throwable => () }
+        s.close()
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "fake-mysql-sha2")
+    fake.start()
+    val client = new MySqlBinlogClient("127.0.0.1", server.getLocalPort,
+      "repl", "secret", "sha2", dir).start()
+    try await("5 frames via sha2 fast auth")(client.framesAppended == 5L)
+    finally { client.stop(); server.close(); fake.join(5000) }
+    assert(serverErr.get() === null, s"server: ${serverErr.get()}")
+    val (u, tok, plugin) = seen.get()
+    assert(u === "repl")
+    assert(plugin === "caching_sha2_password")
+    assert(tok === my.expectedSha2Token("secret", scramble).toSeq)
+  }
+
+  test("mysql client: AuthSwitchRequest to caching_sha2 → fresh-scramble token → stream") {
+    val dir = tmpDir("myrepl_switch")
+    val scramble: Array[Byte] = (41 to 60).map(_.toByte).toArray
+    val fresh: Array[Byte] = (61 to 80).map(_.toByte).toArray
+    val switched = new java.util.concurrent.atomic.AtomicReference[Seq[Byte]]()
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val server = new ServerSocket(0)
+    val fake = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        // server announces native; the ACCOUNT is caching_sha2 → switch
+        my.writePacket(out, 0, my.handshakeV10(scramble))
+        my.readPacket(in) // native-token response (ignored: wrong plugin)
+        my.writePacket(out, 2, my.cat(Array(0xfe.toByte),
+          "caching_sha2_password".getBytes(StandardCharsets.UTF_8),
+          Array(0.toByte), fresh, Array(0.toByte)))
+        switched.set(my.readPacket(in).toSeq) // token over the FRESH scramble
+        my.writePacket(out, 4, Array[Byte](0x01, 0x03))
+        my.writePacket(out, 5, my.okPacket)
+        myServeTail(in, out, myOneTxn)
+        try in.readByte() catch { case _: Throwable => () }
+        s.close()
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "fake-mysql-switch")
+    fake.start()
+    val client = new MySqlBinlogClient("127.0.0.1", server.getLocalPort,
+      "repl", "secret", "switch", dir).start()
+    try await("5 frames after auth switch")(client.framesAppended == 5L)
+    finally { client.stop(); server.close(); fake.join(5000) }
+    assert(serverErr.get() === null, s"server: ${serverErr.get()}")
+    assert(switched.get() === my.expectedSha2Token("secret", fresh).toSeq)
+  }
+
+  test("mysql client: caching_sha2 full auth WITHOUT TLS fails loudly") {
+    val dir = tmpDir("myrepl_fullauth_plain")
+    val scramble: Array[Byte] = (41 to 60).map(_.toByte).toArray
+    val server = new ServerSocket(0)
+    val fake = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        my.writePacket(out, 0, my.handshakeV10(scramble, "caching_sha2_password"))
+        my.readPacket(in)
+        // cache cold: perform_full_authentication
+        my.writePacket(out, 2, Array[Byte](0x01, 0x04))
+        try in.readByte() catch { case _: Throwable => () }
+        s.close()
+      } catch { case _: Throwable => () }
+    }, "fake-mysql-fullauth")
+    fake.start()
+    val client = new MySqlBinlogClient("127.0.0.1", server.getLocalPort,
+      "repl", "secret", "fullplain", dir, maxRetries = 0).start()
+    try {
+      await("loud failure")(client.lastError.exists(
+        _.getMessage.contains("requires TLS")))
+      await("client gave up")(!client.isRunning)
+      assert(client.framesAppended === 0L)
+    } finally { client.stop(); server.close(); fake.join(5000) }
+  }
+
+  test("mysql client: TLS upgrade, then full auth sends the password over TLS") {
+    val dir = tmpDir("myrepl_tls")
+    val scramble: Array[Byte] = (41 to 60).map(_.toByte).toArray
+    val sslSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pwdSeen = new java.util.concurrent.atomic.AtomicReference[Seq[Byte]]()
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val server = new ServerSocket(0)
+    val fake = new Thread(() => {
+      try {
+        val s0 = server.accept()
+        val in0 = new DataInputStream(s0.getInputStream)
+        val out0 = new DataOutputStream(s0.getOutputStream)
+        my.writePacket(out0, 0, my.handshakeV10(scramble, "caching_sha2_password"))
+        // SSLRequest: capability prefix only, CLIENT_SSL set
+        val sslReq = my.readPacket(in0)
+        assert(sslReq.length == 32, s"SSLRequest length ${sslReq.length}")
+        sslSeen.set((LittleEndian.uint(sslReq, 0, 4) & 0x0800L) != 0)
+        val s = wrapServerTls(s0)
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        val (u, _, plugin) = my.parseResponseFull(my.readPacket(in))
+        assert(u === "repl" && plugin === "caching_sha2_password")
+        // cache cold: full auth — the password may travel, we have TLS
+        my.writePacket(out, 3, Array[Byte](0x01, 0x04))
+        pwdSeen.set(my.readPacket(in).toSeq)
+        my.writePacket(out, 5, my.okPacket)
+        myServeTail(in, out, myOneTxn)
+        try in.readByte() catch { case _: Throwable => () }
+        s.close()
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "fake-mysql-tls")
+    fake.start()
+    val client = new MySqlBinlogClient("127.0.0.1", server.getLocalPort,
+      "repl", "secret", "tls", dir, sslContext = Some(clientTls)).start()
+    try await("5 frames over TLS")(client.framesAppended == 5L)
+    finally { client.stop(); server.close(); fake.join(5000) }
+    assert(serverErr.get() === null, s"server: ${serverErr.get()}")
+    assert(sslSeen.get(), "CLIENT_SSL capability not set in SSLRequest")
+    assert(pwdSeen.get() ===
+      ("secret".getBytes(StandardCharsets.UTF_8) :+ 0.toByte).toSeq)
+  }
+
+  test("mysql client: a silent primary is detected via the heartbeat window and reconnected") {
+    val dir = tmpDir("myrepl_silent")
+    val scramble: Array[Byte] = (41 to 60).map(_.toByte).toArray
+    val sessions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val server = new ServerSocket(0)
+    val fake = new Thread(() => {
+      try {
+        // session 1: one txn, then GO SILENT (no close, no heartbeat)
+        val s1 = server.accept()
+        sessions.incrementAndGet()
+        val in1 = new DataInputStream(s1.getInputStream)
+        val out1 = new DataOutputStream(s1.getOutputStream)
+        my.writePacket(out1, 0, my.handshakeV10(scramble))
+        my.readPacket(in1)
+        my.writePacket(out1, 2, my.okPacket)
+        myServeTail(in1, out1, myOneTxn)
+        // silence — the client must give up on its own
+        // session 2: the reconnect proves liveness detection fired
+        val s2 = server.accept()
+        sessions.incrementAndGet()
+        val in2 = new DataInputStream(s2.getInputStream)
+        val out2 = new DataOutputStream(s2.getOutputStream)
+        my.writePacket(out2, 0, my.handshakeV10(scramble))
+        my.readPacket(in2)
+        my.writePacket(out2, 2, my.okPacket)
+        myServeTail(in2, out2, Seq(my.fde()))
+        try in2.readByte() catch { case _: Throwable => () }
+        s1.close(); s2.close()
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "fake-mysql-silent")
+    fake.start()
+    val client = new MySqlBinlogClient("127.0.0.1", server.getLocalPort,
+      "repl", "secret", "silent", dir, heartbeatPeriodMs = 150L).start()
+    try {
+      await("reconnect after silence")(sessions.get() == 2)
+      await("session-2 frame arrives")(client.framesAppended == 6L)
+      assert(client.lastError.exists(_.getMessage.contains("silent")))
+    } finally { client.stop(); server.close(); fake.join(5000) }
+    assert(serverErr.get() === null, s"server: ${serverErr.get()}")
+  }
+
+  test("pg client: SCRAM-SHA-256 exchange, proof VERIFIED server-side, then stream") {
+    val dir = tmpDir("pgrepl_scram")
+    val relOid = 16390
+    val rel = pg.relation(relOid, "public", "t", ("pk", 20), ("val", 1043))
+    val salt = (1 to 16).map(_.toByte).toArray
+    val iters = 4096
+    val password = "s3cret"
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val proofOk = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = new ServerSocket(0)
+    val fake = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        pg.readStartup(in)
+        // AuthenticationSASL: the mechanism list
+        pg.writeMsg(out, 'R', pg.cat(pg.be(10L, 4),
+          pg.cstr("SCRAM-SHA-256"), Array(0.toByte)))
+        // SASLInitialResponse: mech cstr + int32 len + client-first
+        val (t1, b1) = pg.readMsg(in)
+        assert(t1 === 'p')
+        val mechEnd = b1.indexOf(0.toByte)
+        assert(new String(b1, 0, mechEnd, StandardCharsets.UTF_8)
+          === "SCRAM-SHA-256")
+        val cfLen = java.nio.ByteBuffer.wrap(b1, mechEnd + 1, 4).getInt
+        val clientFirst = new String(b1, mechEnd + 5, cfLen,
+          StandardCharsets.UTF_8)
+        assert(clientFirst.startsWith("n,,"))
+        val clientFirstBare = clientFirst.substring(3)
+        val nonce = Scram.attributes(clientFirstBare)("r")
+        val combined = nonce + "SRVEXT"
+        val serverFirst = s"r=$combined,s=${
+          java.util.Base64.getEncoder.encodeToString(salt)},i=$iters"
+        pg.writeMsg(out, 'R', pg.cat(pg.be(11L, 4),
+          serverFirst.getBytes(StandardCharsets.UTF_8)))
+        // SASLResponse: client-final — verify the proof, don't trust it
+        val (t2, b2) = pg.readMsg(in)
+        assert(t2 === 'p')
+        val clientFinal = new String(b2, StandardCharsets.UTF_8)
+        val noProof = clientFinal.substring(0, clientFinal.indexOf(",p="))
+        assert(noProof === s"c=biws,r=$combined")
+        val authMsg = clientFirstBare + "," + serverFirst + "," + noProof
+        val salted = Scram.hi(password, salt, iters)
+        val clientKey = Scram.hmac(salted, "Client Key")
+        val wantProof = java.util.Base64.getEncoder.encodeToString(
+          Scram.xor(clientKey, Scram.hmac(Scram.sha256(clientKey), authMsg)))
+        proofOk.set(Scram.attributes(clientFinal)("p") == wantProof)
+        val serverSig = java.util.Base64.getEncoder.encodeToString(
+          Scram.hmac(Scram.hmac(salted, "Server Key"), authMsg))
+        pg.writeMsg(out, 'R', pg.cat(pg.be(12L, 4),
+          s"v=$serverSig".getBytes(StandardCharsets.UTF_8)))
+        pg.authOkReady(out)
+        val (q1, _) = pg.readMsg(in)
+        assert(q1 === 'Q')
+        pg.writeMsg(out, 'W', pg.cat(Array(0.toByte), pg.be(0L, 2)))
+        pg.xlog(out, 100L, pg.begin(100L, 9L))
+        pg.xlog(out, 101L, rel)
+        pg.xlog(out, 102L, pg.insert(relOid, pg.tup(Some("1"), Some("a"))))
+        pg.xlog(out, 103L, pg.commitMsg(100L))
+        try in.readByte() catch { case _: Throwable => () }
+        s.close()
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "fake-pg-scram")
+    fake.start()
+    val client = new PgReplicationClient("127.0.0.1", server.getLocalPort,
+      "repl", "db1", "scram1", "pub1", dir, password = Some(password),
+      statusIntervalMs = 60000L).start()
+    try await("4 frames after SCRAM")(client.framesAppended == 4L)
+    finally { client.stop(); server.close(); fake.join(5000) }
+    assert(serverErr.get() === null, s"server: ${serverErr.get()}")
+    assert(proofOk.get(), "client SCRAM proof did not verify")
+  }
+
+  test("pg client: SSLRequest upgrade, SCRAM over TLS, stream over TLS") {
+    val dir = tmpDir("pgrepl_tls")
+    val relOid = 16391
+    val rel = pg.relation(relOid, "public", "t", ("pk", 20), ("val", 1043))
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val server = new ServerSocket(0)
+    val fake = new Thread(() => {
+      try {
+        val s0 = server.accept()
+        val in0 = new DataInputStream(s0.getInputStream)
+        // SSLRequest: Int32(8) + 80877103, answered with 'S'
+        assert(in0.readInt() === 8)
+        assert(in0.readInt() === 80877103)
+        s0.getOutputStream.write('S')
+        s0.getOutputStream.flush()
+        val s = wrapServerTls(s0)
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        pg.readStartup(in)
+        pg.authOkReady(out)
+        val (q1, _) = pg.readMsg(in)
+        assert(q1 === 'Q')
+        pg.writeMsg(out, 'W', pg.cat(Array(0.toByte), pg.be(0L, 2)))
+        pg.xlog(out, 100L, pg.begin(100L, 9L))
+        pg.xlog(out, 101L, rel)
+        pg.xlog(out, 102L, pg.insert(relOid, pg.tup(Some("1"), Some("a"))))
+        pg.xlog(out, 103L, pg.commitMsg(100L))
+        try in.readByte() catch { case _: Throwable => () }
+        s.close()
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "fake-pg-tls")
+    fake.start()
+    val client = new PgReplicationClient("127.0.0.1", server.getLocalPort,
+      "repl", "db1", "tls1", "pub1", dir, statusIntervalMs = 60000L,
+      sslContext = Some(clientTls)).start()
+    try await("4 frames over TLS")(client.framesAppended == 4L)
+    finally { client.stop(); server.close(); fake.join(5000) }
+    assert(serverErr.get() === null, s"server: ${serverErr.get()}")
   }
 }
