@@ -129,7 +129,8 @@ class HadoopJournalStore(conf: org.apache.hadoop.conf.Configuration)
     require(atomicRenameSchemes.contains(scheme),
       s"journal on '$scheme' is not on the verified atomic rename-if-absent " +
         "allowlist; object stores (s3a, gs, wasb) need a conditional-put " +
-        "claim — use ConditionalPutJournalStore there")
+        "claim — use ConditionalPutJournalStore(new S3HttpObjectStore(...)) " +
+        "there")
     if (fs.exists(target)) return false
     val tmp = new org.apache.hadoop.fs.Path(target.getParent,
       s"${target.getName}.tmp.${UUID.randomUUID()}")
