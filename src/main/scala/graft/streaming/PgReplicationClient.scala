@@ -47,7 +47,13 @@ final class PgReplicationClient(
     // message, the TLS handshake through ctx (production: a default
     // SSLContext; tests: one trusting a local self-signed cert), and
     // the whole protocol — auth included — over the wrapped socket.
-    sslContext: Option[javax.net.ssl.SSLContext] = None) {
+    sslContext: Option[javax.net.ssl.SSLContext] = None,
+    // liveness deadline: a replication socket with NO XLogData or
+    // keepalive for this long is a dead/stalled primary, not an idle
+    // one (a healthy primary keepalives at wal_sender_timeout/2) —
+    // drop and reconnect-resume. The MySQL client's heartbeat-window
+    // guard, on the side where the server volunteers the cadence.
+    deadIntervalMs: Long = 60000L) {
 
   @volatile private var stopped = false
   @volatile private var socket: Socket = _
@@ -140,12 +146,19 @@ final class PgReplicationClient(
         statusUpdatesSent += 1
         nextStatusAt = now + statusIntervalMs
       }
+      var lastTrafficAt = System.currentTimeMillis()
       while (!stopped) {
         readMessage(in) match {
           case None => // idle timeout tick
+            if (deadIntervalMs > 0 &&
+              System.currentTimeMillis() - lastTrafficAt > deadIntervalMs)
+              throw new IOException(
+                s"primary silent for ${deadIntervalMs}ms (no XLogData or " +
+                  "keepalive) — treating the connection as dead")
           case Some(('E', body)) =>
             throw new IOException(s"server error: ${errorText(body)}")
           case Some(('d', body)) =>
+            lastTrafficAt = System.currentTimeMillis()
             body(0) match {
               case 'w' =>
                 // XLogData: walStart(8) walEnd(8) serverTime(8) payload

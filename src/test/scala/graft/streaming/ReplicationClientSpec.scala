@@ -815,6 +815,56 @@ class ReplicationClientSpec extends SparkSpec {
     assert(proofOk.get(), "client SCRAM proof did not verify")
   }
 
+  test("pg client: a silent primary is detected via the dead interval and reconnected") {
+    val dir = tmpDir("pgrepl_silent")
+    val relOid = 16392
+    val rel = pg.relation(relOid, "public", "t", ("pk", 20), ("val", 1043))
+    val sessions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val server = new ServerSocket(0)
+    val fake = new Thread(() => {
+      try {
+        // session 1: one committed txn, then GO SILENT — no keepalive,
+        // no close
+        val s1 = server.accept()
+        sessions.incrementAndGet()
+        val in1 = new DataInputStream(s1.getInputStream)
+        val out1 = new DataOutputStream(s1.getOutputStream)
+        pg.readStartup(in1)
+        pg.authOkReady(out1)
+        pg.readMsg(in1)
+        pg.writeMsg(out1, 'W', pg.cat(Array(0.toByte), pg.be(0L, 2)))
+        pg.xlog(out1, 100L, pg.begin(100L, 9L))
+        pg.xlog(out1, 101L, rel)
+        pg.xlog(out1, 102L, pg.insert(relOid, pg.tup(Some("1"), Some("a"))))
+        pg.xlog(out1, 103L, pg.commitMsg(100L))
+        // silence — the client must give up on its own
+        // session 2: the reconnect proves the liveness guard fired
+        val s2 = server.accept()
+        sessions.incrementAndGet()
+        val in2 = new DataInputStream(s2.getInputStream)
+        val out2 = new DataOutputStream(s2.getOutputStream)
+        pg.readStartup(in2)
+        pg.authOkReady(out2)
+        pg.readMsg(in2)
+        pg.writeMsg(out2, 'W', pg.cat(Array(0.toByte), pg.be(0L, 2)))
+        pg.xlog(out2, 200L, pg.begin(200L, 10L))
+        try in2.readByte() catch { case _: Throwable => () }
+        s1.close(); s2.close()
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "fake-pg-silent")
+    fake.start()
+    val client = new PgReplicationClient("127.0.0.1", server.getLocalPort,
+      "repl", "db1", "silent1", "pub1", dir, statusIntervalMs = 60000L,
+      deadIntervalMs = 400L).start()
+    try {
+      await("reconnect after silence")(sessions.get() == 2)
+      await("session-2 frame arrives")(client.framesAppended == 5L)
+      assert(client.lastError.exists(_.getMessage.contains("silent")))
+    } finally { client.stop(); server.close(); fake.join(5000) }
+    assert(serverErr.get() === null, s"server: ${serverErr.get()}")
+  }
+
   test("pg client: SSLRequest upgrade, SCRAM over TLS, stream over TLS") {
     val dir = tmpDir("pgrepl_tls")
     val relOid = 16391
