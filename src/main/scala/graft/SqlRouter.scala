@@ -158,6 +158,9 @@ object SqlRouter {
     // LOCK TABLES raises a Catalyst ParseException and DROP/CREATE
     // TABLE silently land in Spark's catalog instead of the engine.
     val stmt = stripLeadingComments(sqlText)
+    // a comment-only statement strips to nothing: an empty OK (what a
+    // real server answers), never empty input to Catalyst
+    if (stmt.trim.isEmpty) return ddl
     // MySQL literal forms first (the rewrite must reach Catalyst too,
     // unlike backtick stripping which is routing-only — see ADVICE r6)
     val lit = normalizeMysqlLiterals(stmt)
@@ -232,7 +235,12 @@ object SqlRouter {
           c == '#') {
         // comment spans copy through verbatim: an apostrophe inside one
         // must not flip the quote state, and literal-looking text inside
-        // one must not be rewritten (ADVICE r7)
+        // one must not be rewritten (ADVICE r7). '#' is MySQL's third
+        // comment form; PG instead uses '#' in JSON-path operators
+        // (#>, #>>) — the verbatim copy-to-EOL is harmless there EXCEPT
+        // that an E'...' later on the same line keeps its prefix (only
+        // reachable in a pre-standard-conforming dump that also uses
+        // JSON operators in DDL — not a shape pg_dump emits).
         val nl = s.indexOf('\n', i)
         val end = if (nl < 0) s.length else nl + 1
         out.append(s.substring(i, end)); i = end

@@ -426,17 +426,24 @@ object SimilarityOps {
     * which [[exactKnnPq]] uses to prune exactly. */
   def pqEncodeResidual(df: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame = {
-    val minSq = (0 until model.m).map { j =>
+    // ONE argmin per subspace: the min struct carries both the code
+    // (.i) and the shifted distance (.d); min true sub-dist² =
+    // ‖xⱼ‖² + min(−2·xⱼ·c + ‖c‖²). Building the ksub-entry struct
+    // array once — not once for the code and again for the residual —
+    // halves the dominant per-row expression work of the encode stage.
+    val mins = (0 until model.m).map { j =>
       val sub = slice(col("__u"), j * model.dsub + 1, model.dsub)
-      // min true sub-dist² = ‖xⱼ‖² + min over c of (−2·xⱼ·c + ‖c‖²)
-      call_function("vec_dot", sub, sub) +
-        array_min(array(distStructs(sub, model.books(j)): _*)).getField("d")
-    }.reduce(_ + _)
-    unitVecs(df, idCol, vecCol).select(col("__id").as(idCol),
-      array((0 until model.m).map(j =>
-        nearestCell(slice(col("__u"), j * model.dsub + 1, model.dsub),
-          model.books(j))): _*).as("code"),
-      sqrt(greatest(lit(0.0), minSq)).as("resid"))
+      struct(
+        array_min(array(distStructs(sub, model.books(j)): _*)).as("ms"),
+        call_function("vec_dot", sub, sub).as("n2"))
+    }
+    unitVecs(df, idCol, vecCol)
+      .select(col("__id").as(idCol), array(mins: _*).as("__mm"))
+      .select(col(idCol),
+        expr("transform(__mm, x -> x.ms.i)").as("code"),
+        sqrt(greatest(lit(0.0), expr(
+          "aggregate(transform(__mm, x -> x.n2 + x.ms.d), " +
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))).as("resid"))
   }
 
   /** EXACT cosine top-k with PQ pruning — the third member of the

@@ -37,11 +37,42 @@ final class S3HttpObjectStore(
     credentials: Option[(String, String)] = None, // (accessKey, secretKey)
     region: String = "us-east-1",
     connectTimeoutMs: Int = 5000,
-    readTimeoutMs: Int = 15000) extends ConditionalObjectApi {
+    readTimeoutMs: Int = 15000,
+    conflictRetries: Int = 5,
+    conflictBackoffMs: Long = 100L) extends ConditionalObjectApi {
 
   private val base = endpoint.stripSuffix("/")
 
+  /** 412 is definitive (the key exists); 409 — AWS's
+    * ConditionalRequestConflict — only means ANOTHER conditional PUT is
+    * in flight, and that writer may itself fail, so 409 retries with
+    * backoff and, once retries are exhausted, the verdict comes from an
+    * existence check: false only when the key REALLY exists (someone
+    * won), an error otherwise — returning false for a never-created key
+    * would make the journal report a version that has no manifest. */
   def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
+    var attempt = 0
+    while (true) {
+      putOnce(key, bytes) match {
+        case Some(won) => return won
+        case None => // 409: conflict still racing
+          attempt += 1
+          if (attempt > conflictRetries) {
+            if (get(key).isDefined) return false
+            throw new java.io.IOException(
+              s"S3 PUT '$key': conditional-request conflict persisted " +
+                s"across $conflictRetries retries and the key still does " +
+                "not exist")
+          }
+          Thread.sleep(conflictBackoffMs * attempt)
+      }
+    }
+    false // unreachable
+  }
+
+  /** One conditional PUT: Some(true) created, Some(false) exists (412),
+    * None on a 409 conflict. */
+  private def putOnce(key: String, bytes: Array[Byte]): Option[Boolean] = {
     val c = open("PUT", s"/$bucket/${encPath(key)}", "")
     c.setRequestProperty("If-None-Match", "*")
     c.setRequestProperty("Content-Type", "application/octet-stream")
@@ -52,8 +83,9 @@ final class S3HttpObjectStore(
     val out = c.getOutputStream
     try out.write(bytes) finally out.close()
     c.getResponseCode match {
-      case 200 => drain(c); true
-      case 412 | 409 => drain(c); false // exists / concurrent writer
+      case 200 => drain(c); Some(true)
+      case 412 => drain(c); Some(false)
+      case 409 => drain(c); None
       case other => fail("PUT", key, other, c)
     }
   }

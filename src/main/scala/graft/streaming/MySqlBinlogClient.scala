@@ -90,6 +90,13 @@ final class MySqlBinlogClient(
 
   def isRunning: Boolean = Option(thread).exists(_.isAlive)
 
+  /** True once the CURRENT connection attempt reached the event stream
+    * — a later drop restarts the failure budget instead of consuming
+    * it, so `maxRetries` bounds CONSECUTIVE dead-on-arrival attempts,
+    * not disconnects over the daemon's lifetime (six heartbeat-window
+    * trips spread over days must not kill replication permanently). */
+  @volatile private var attemptProgressed = false
+
   def run(): Unit = {
     var failures = 0
     while (!stopped && failures <= maxRetries) {
@@ -101,7 +108,7 @@ final class MySqlBinlogClient(
         case _: Throwable if stopped => ()
         case e: Throwable =>
           lastError = Some(e)
-          failures += 1
+          failures = if (attemptProgressed) 1 else failures + 1
           savePosition()
           if (!stopped && failures <= maxRetries) {
             reconnects += 1
@@ -141,9 +148,14 @@ final class MySqlBinlogClient(
   // one connection's lifetime
 
   private def streamOnce(): Unit = {
+    attemptProgressed = false
     val plain = new Socket()
     socket = plain // stop() can close it even mid-TLS-handshake
     plain.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    // setup-phase read bound: a server stalling mid-handshake/auth must
+    // throw into the reconnect loop, not hang the daemon forever (the
+    // streaming phase replaces this with the heartbeat window below)
+    plain.setSoTimeout(math.max(connectTimeoutMs, 1000))
     var s: Socket = plain
     var in = new DataInputStream(s.getInputStream)
     var out = new DataOutputStream(s.getOutputStream)
@@ -175,6 +187,7 @@ final class MySqlBinlogClient(
       sendBinlogDumpGtid(out)
       s.setSoTimeout(
         math.min(Int.MaxValue.toLong, heartbeatPeriodMs * 2).toInt)
+      attemptProgressed = true // event stream reached
       // in-flight txn coords for the client's own executed bookkeeping
       var curSid: String = null
       var curGno = -1L
@@ -214,12 +227,17 @@ final class MySqlBinlogClient(
                   markExecuted()
                 case 2 => // Query: GTID-mode DDL (and COMMIT on
                   // non-transactional tables) commits HERE — no XID
-                  // follows, mirroring the decoder's commit-marker
-                  // rule. Without this the gno never joins the
-                  // executed set and every reconnect re-requests and
-                  // re-appends the transaction forever (ADVICE r8).
-                  // BEGIN opens a txn and is NOT a commit marker.
-                  if (!queryIsBegin(frame)) markExecuted()
+                  // follows (ADVICE r8). Marking is WHITELISTED to
+                  // statements that definitively end their
+                  // transaction: a mid-txn Query (SAVEPOINT, ROLLBACK
+                  // TO, XA phases) must NOT mark, or a disconnect
+                  // before the XID would advertise the gno as executed
+                  // and the reconnect would skip the transaction's row
+                  // events — permanent data loss. Not marking an
+                  // exotic committing statement only re-streams it
+                  // (the decoder dedups); marking a non-committing one
+                  // loses data, so unknown keywords stay unmarked.
+                  if (queryIsCommitMarker(frame)) markExecuted()
                 case _ => ()
               }
             }
@@ -420,19 +438,29 @@ final class MySqlBinlogClient(
     h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
   }
 
-  /** Query-event text begins with BEGIN (the txn opener — the one Query
-    * form that is NOT its own commit marker). Layout after the 19-byte
-    * header: thread_id(4) exec_time(4) schema_len(1) error_code(2)
-    * status_vars_len(2), status vars, schema, NUL, query text. */
-  private def queryIsBegin(frame: Array[Byte]): Boolean = {
+  /** Statements that autocommit (DDL) or explicitly commit — the Query
+    * forms that ARE their own commit marker under a GTID envelope.
+    * Deliberately a whitelist: see the call site. */
+  private val CommitKeywords = Set("COMMIT", "CREATE", "ALTER", "DROP",
+    "TRUNCATE", "RENAME", "GRANT", "REVOKE", "ANALYZE", "OPTIMIZE",
+    "REPAIR")
+
+  /** Query-event text starts with a transaction-ending keyword. Layout
+    * after the 19-byte header: thread_id(4) exec_time(4) schema_len(1)
+    * error_code(2) status_vars_len(2), status vars, schema, NUL,
+    * query text. */
+  private def queryIsCommitMarker(frame: Array[Byte]): Boolean = {
     val b = 19
     if (frame.length < b + 13) return false
     val schemaLen = frame(b + 8) & 0xff
     val statusLen = (frame(b + 11) & 0xff) | ((frame(b + 12) & 0xff) << 8)
-    val qPos = b + 13 + statusLen + schemaLen + 1
-    qPos + 5 <= frame.length &&
-      new String(frame, qPos, 5, StandardCharsets.UTF_8)
-        .equalsIgnoreCase("BEGIN")
+    var p = b + 13 + statusLen + schemaLen + 1
+    if (p >= frame.length) return false
+    while (p < frame.length && Character.isWhitespace(frame(p).toChar)) p += 1
+    var e = p
+    while (e < frame.length && Character.isLetter(frame(e).toChar)) e += 1
+    e > p && CommitKeywords.contains(
+      new String(frame, p, e - p, StandardCharsets.UTF_8).toUpperCase)
   }
 
   /** mysql_native_password: SHA1(pass) XOR SHA1(scramble ++ SHA1(SHA1(pass))). */

@@ -80,7 +80,26 @@ final class PgReplicationClient(
 
   def isRunning: Boolean = Option(thread).exists(_.isAlive)
 
-  /** Blocking connect-stream-reconnect loop. */
+  /** True once the CURRENT connection attempt reached streaming state
+    * (startup + CopyBoth) — proof the primary is alive and willing, so
+    * a later drop of that connection restarts the failure budget
+    * instead of consuming it. Without this, `maxRetries` counts
+    * failures over the daemon's whole LIFETIME: six disconnects spread
+    * over six days — or six liveness-deadline trips against a healthy
+    * idle primary with keepalives off — would kill replication
+    * permanently. */
+  @volatile private var attemptProgressed = false
+  /** Wall-clock bound on the connection-setup phase (auth, CopyBoth);
+    * [[checkSetupDeadline]] enforces it on idle ticks. */
+  @volatile private var setupDeadline = Long.MaxValue
+
+  private def checkSetupDeadline(phase: String): Unit =
+    if (System.currentTimeMillis() > setupDeadline)
+      throw new IOException(
+        s"server silent during $phase — connection setup timed out")
+
+  /** Blocking connect-stream-reconnect loop. `maxRetries` bounds
+    * CONSECUTIVE attempts that fail before reaching streaming state. */
   def run(): Unit = {
     var failures = 0
     while (!stopped && failures <= maxRetries) {
@@ -92,7 +111,7 @@ final class PgReplicationClient(
         case _: Throwable if stopped => () // closing the socket unblocks reads
         case e: Throwable =>
           lastError = Some(e)
-          failures += 1
+          failures = if (attemptProgressed) 1 else failures + 1
           if (!stopped && failures <= maxRetries) {
             reconnects += 1
             sleep(reconnectBackoffMs * failures) // linear backoff
@@ -108,9 +127,12 @@ final class PgReplicationClient(
   // one connection's lifetime
 
   private def streamOnce(): Unit = {
+    attemptProgressed = false
     val plain = new Socket()
     socket = plain // stop() can close it even mid-TLS-handshake
     plain.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    // bound the raw SSLRequest-response read (no message framing yet)
+    plain.setSoTimeout(math.max(connectTimeoutMs, 1000))
     val s = sslContext.fold(plain)(ctx => startTls(plain, ctx))
     socket = s
     // short read timeouts keep the status-update clock ticking while
@@ -120,6 +142,11 @@ final class PgReplicationClient(
     val out = new DataOutputStream(s.getOutputStream)
     val log = new FrameAppender(dir, slot)
     try {
+      // the setup loops convert socket timeouts into idle ticks, so a
+      // server that accepts and then stalls mid-auth would spin forever
+      // without a wall-clock deadline — liveness must cover setup too
+      setupDeadline = System.currentTimeMillis() +
+        math.max(connectTimeoutMs * 4L, 2000L)
       startup(in, out)
       // resume AFTER the last durably-appended record — the log is the
       // position store (a crash between append and server confirm only
@@ -130,6 +157,8 @@ final class PgReplicationClient(
         s"""START_REPLICATION SLOT "$slot" LOGICAL ${lsnText(lastFlushed + 1)} """ +
           s"(proto_version '1', publication_names '$publication')")
       expectCopyBoth(in)
+      setupDeadline = Long.MaxValue
+      attemptProgressed = true // streaming state reached
       var nextStatusAt = System.currentTimeMillis() + statusIntervalMs
       def sendStatus(): Unit = {
         log.flush()
@@ -229,7 +258,7 @@ final class PgReplicationClient(
     var ready = false
     while (!ready) {
       readMessage(in) match {
-        case None => ()
+        case None => checkSetupDeadline("startup/authentication")
         case Some(('R', body)) =>
           beInt(body, 0) match {
             case 0 => () // AuthenticationOk
@@ -318,7 +347,7 @@ final class PgReplicationClient(
   private def expectSaslData(in: DataInputStream, want: Int): String = {
     while (true) {
       readMessage(in) match {
-        case None => ()
+        case None => checkSetupDeadline("SCRAM exchange")
         case Some(('R', body)) =>
           if (beInt(body, 0) != want)
             throw new IOException(
@@ -338,7 +367,7 @@ final class PgReplicationClient(
   private def expectCopyBoth(in: DataInputStream): Unit = {
     while (true) {
       readMessage(in) match {
-        case None => ()
+        case None => checkSetupDeadline("START_REPLICATION")
         case Some(('W', _)) => return // CopyBothResponse
         case Some(('E', body)) =>
           throw new IOException(s"START_REPLICATION failed: ${errorText(body)}")
@@ -378,13 +407,24 @@ final class PgReplicationClient(
   }
 
   private def blockingFully(in: DataInputStream, buf: Array[Byte]): Unit = {
+    val start = System.currentTimeMillis()
     var done = 0
     while (done < buf.length) {
       try {
         val n = in.read(buf, done, buf.length - done)
         if (n < 0) throw new IOException("server closed connection mid-message")
         done += n
-      } catch { case _: SocketTimeoutException => () } // keep reading
+      } catch {
+        case _: SocketTimeoutException =>
+          // a message the server STARTED but stalls inside is a dead
+          // connection too — both liveness deadlines apply here, or a
+          // mid-message stall would spin on timeout ticks forever
+          checkSetupDeadline("message read")
+          if (deadIntervalMs > 0 &&
+            System.currentTimeMillis() - start > deadIntervalMs)
+            throw new IOException(
+              s"server stalled mid-message for ${deadIntervalMs}ms")
+      }
     }
   }
 

@@ -27,11 +27,19 @@ final class FakeS3Server(
   @volatile private var stopped = false
   val sigFailures = new java.util.concurrent.atomic.AtomicInteger(0)
   val requests = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** While positive, conditional PUTs answer 409 ConditionalRequestConflict
+    * (AWS's "another conditional writer is racing you" arm) and
+    * decrement — the client must retry, then settle via existence. */
+  val conflictPuts = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def port: Int = server.getLocalPort
   def endpoint: String = s"http://127.0.0.1:$port"
   def size: Int = objects.size()
   def contents(key: String): Option[Array[Byte]] = Option(objects.get(key))
+  /** Test hook: drop an object in as if another writer created it. */
+  def preload(key: String, bytes: Array[Byte]): Unit = {
+    objects.put(key, bytes); ()
+  }
 
   private val acceptor = new Thread(() => {
     while (!stopped) {
@@ -107,7 +115,11 @@ final class FakeS3Server(
       (method, key) match {
         case ("PUT", k) if k.nonEmpty =>
           if (headers.get("if-none-match").contains("*")) {
-            if (objects.putIfAbsent(k, body) == null)
+            if (conflictPuts.getAndUpdate(n => math.max(0, n - 1)) > 0)
+              respond(409, "Conflict",
+                "<Error><Code>ConditionalRequestConflict</Code></Error>"
+                  .getBytes(StandardCharsets.UTF_8))
+            else if (objects.putIfAbsent(k, body) == null)
               respond(200, "OK", extra = Seq("ETag: \"fake\""))
             else respond(412, "Precondition Failed",
               "<Error><Code>PreconditionFailed</Code></Error>"

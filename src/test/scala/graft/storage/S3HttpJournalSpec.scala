@@ -114,6 +114,37 @@ class S3HttpJournalSpec extends SparkSpec {
     }
   }
 
+  test("409 ConditionalRequestConflict: retried, then settled by existence") {
+    withS3 { (server, api) =>
+      // transient conflicts, key still free → the claim must WIN after
+      // retrying, not report a phantom 'exists'
+      server.conflictPuts.set(2)
+      assert(api.putIfAbsent("c/slot", Array(1)))
+      assert(server.contents("c/slot").get.toSeq === Seq(1.toByte))
+      // conflicts through every retry, but ANOTHER writer's object
+      // exists → the existence check settles it: false is truthful
+      server.conflictPuts.set(1000)
+      server.preload("c/won", Array(9))
+      assert(!api.putIfAbsent("c/won", Array(2)))
+      server.conflictPuts.set(0)
+      assert(server.contents("c/won").get.toSeq === Seq(9.toByte))
+    }
+  }
+
+  test("a conflict that never resolves and no object errors out (not false)") {
+    val server = new FakeS3Server("journal", credentials = creds)
+    try {
+      val api = new S3HttpObjectStore(server.endpoint, "journal",
+        credentials = creds, conflictRetries = 2, conflictBackoffMs = 10L)
+      server.conflictPuts.set(100) // conflicts forever, key never created
+      val e = intercept[java.io.IOException](api.putIfAbsent("c/dead", Array(1)))
+      assert(e.getMessage.contains("conflict"))
+      // a false here would make the journal report a version with no
+      // manifest behind it — the error is the honest answer
+      assert(server.size === 0)
+    } finally server.stop()
+  }
+
   test("a wrong secret is rejected with 403 (SignatureDoesNotMatch)") {
     val server = new FakeS3Server("journal", credentials = creds)
     try {

@@ -467,15 +467,25 @@ class ReplicationClientSpec extends SparkSpec {
     val fake = new Thread(() => {
       try {
         // session 1: gno 100 = autocommitted DDL (Query, no XID);
-        // gno 101 = a normal DML txn whose BEGIN Query must not mark
+        // gno 101 = a DML txn carrying a mid-txn SAVEPOINT Query —
+        // neither BEGIN nor SAVEPOINT may mark (only its XID does);
+        // gno 102 = a txn cut off by the disconnect AFTER its
+        // SAVEPOINT but BEFORE its XID — marking it executed would
+        // make the reconnect skip its row events (data loss)
         serveSession(Seq(
           my.fde(),
           my.gtid(100L), my.queryEvt("CREATE TABLE db1.x (i int)"),
           my.gtid(101L), my.queryEvt("BEGIN"),
+          my.queryEvt("SAVEPOINT s1"),
           my.tableMap(Tid, "db1", "t", 2),
-          my.writeRows(Tid, my.rowImg(1L, "a")), my.xid()),
+          my.writeRows(Tid, my.rowImg(1L, "a")), my.xid(),
+          my.gtid(102L), my.queryEvt("BEGIN"),
+          my.queryEvt("SAVEPOINT s2"),
+          my.tableMap(Tid, "db1", "t", 2),
+          my.writeRows(Tid, my.rowImg(2L, "b"))),
           closeAfter = true)
-        // session 2: the reconnect request must already carry 100-101
+        // session 2: the reconnect request must carry 100-101 — and
+        // NOT 102, whose commit never arrived
         serveSession(Seq(my.fde()), closeAfter = false)
       } catch { case e: Throwable => serverErr.set(e) }
     }, "fake-mysql-ddl-primary")
@@ -484,8 +494,8 @@ class ReplicationClientSpec extends SparkSpec {
     val client = new MySqlBinlogClient("127.0.0.1", server.getLocalPort,
       "repl", "secret", "m2", dir).start()
     try {
-      await("9 frames appended across both sessions")(
-        client.framesAppended == 9L)
+      await("15 frames appended across both sessions")(
+        client.framesAppended == 15L)
     } finally {
       client.stop()
       server.close()
@@ -494,8 +504,9 @@ class ReplicationClientSpec extends SparkSpec {
     assert(serverErr.get() === null,
       s"fake server assertion failed: ${serverErr.get()}")
     assert(dumpRequests.get(0) === Map.empty)
-    // the DDL's gno 100 AND the XID-committed 101 are both executed —
-    // the reconnect does not re-request the DDL transaction
+    // the DDL's gno 100 AND the XID-committed 101 are executed; the
+    // interrupted 102 is NOT — its SAVEPOINT was no commit marker, so
+    // the reconnect re-requests it and its rows are not lost
     assert(dumpRequests.get(1) === Map(my.sidHex -> "100-101"))
     assert(client.executed === Map(my.sidHex -> "100-101"))
   }
@@ -863,6 +874,78 @@ class ReplicationClientSpec extends SparkSpec {
       assert(client.lastError.exists(_.getMessage.contains("silent")))
     } finally { client.stop(); server.close(); fake.join(5000) }
     assert(serverErr.get() === null, s"server: ${serverErr.get()}")
+  }
+
+  test("pg client: repeated silence does NOT exhaust the lifetime failure budget") {
+    // maxRetries bounds CONSECUTIVE dead-on-arrival attempts; a
+    // connection that reached streaming state restarts the budget, so a
+    // healthy-but-idle primary (keepalives off) tripping the liveness
+    // deadline every interval reconnect-churns forever instead of
+    // killing replication after maxRetries trips.
+    val dir = tmpDir("pgrepl_budget")
+    val sessions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val server = new ServerSocket(0)
+    val fake = new Thread(() => {
+      try {
+        // four sessions, each reaching CopyBoth then going silent —
+        // with maxRetries = 1 the pre-fix counter dies on session 3
+        (1 to 4).foreach { _ =>
+          val s = server.accept()
+          val in = new DataInputStream(s.getInputStream)
+          val out = new DataOutputStream(s.getOutputStream)
+          pg.readStartup(in)
+          pg.authOkReady(out)
+          pg.readMsg(in)
+          pg.writeMsg(out, 'W', pg.cat(Array(0.toByte), pg.be(0L, 2)))
+          // counted only once the session's writes are DONE — the test
+          // stops the client on the 4th count, and a stop mid-write
+          // would break this pipe
+          sessions.incrementAndGet()
+          // silence — liveness deadline must fire each time
+        }
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "fake-pg-budget")
+    fake.start()
+    val client = new PgReplicationClient("127.0.0.1", server.getLocalPort,
+      "repl", "db1", "budget1", "pub1", dir, statusIntervalMs = 60000L,
+      maxRetries = 1, deadIntervalMs = 300L).start()
+    try {
+      await("four sessions despite maxRetries=1")(sessions.get() == 4)
+      assert(client.isRunning)
+    } finally { client.stop(); server.close(); fake.join(5000) }
+    assert(serverErr.get() === null, s"server: ${serverErr.get()}")
+  }
+
+  test("pg client: a server that stalls during setup cannot hang the daemon") {
+    // accepts TCP, never answers the startup message — the setup
+    // deadline must throw into the reconnect loop instead of spinning
+    // on idle ticks forever
+    val dir = tmpDir("pgrepl_setupstall")
+    val sessions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = new ServerSocket(0)
+    val fake = new Thread(() => {
+      try {
+        (1 to 2).foreach { _ =>
+          val s = server.accept()
+          sessions.incrementAndGet()
+          // swallow the client's startup bytes, answer NOTHING; EOF
+          // arrives when the client's setup deadline fires and closes
+          try while (s.getInputStream.read() != -1) () catch { case _: Throwable => () }
+          s.close()
+        }
+      } catch { case _: Throwable => () }
+    }, "fake-pg-setupstall")
+    fake.start()
+    val client = new PgReplicationClient("127.0.0.1", server.getLocalPort,
+      "repl", "db1", "stall1", "pub1", dir, statusIntervalMs = 60000L,
+      connectTimeoutMs = 300).start()
+    try {
+      await("second connection proves the first setup stall threw", 20000L)(
+        sessions.get() >= 2)
+      assert(client.lastError.exists(
+        _.getMessage.contains("setup timed out")))
+    } finally { client.stop(); server.close(); fake.join(5000) }
   }
 
   test("pg client: SSLRequest upgrade, SCRAM over TLS, stream over TLS") {
