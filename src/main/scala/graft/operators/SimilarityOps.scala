@@ -329,9 +329,21 @@ object SimilarityOps {
       books: Seq[Seq[Array[Double]]])
 
   /** Fit PQ codebooks: UNIT-normalize (so squared L2 ranks exactly as
-    * cosine), slice each vector into m subspaces, and run the k-means
-    * trainer per subspace (hash init — m·(1+iters) driver actions
-    * total). Deterministic end to end. */
+    * cosine), slice each vector into m subspaces, and train all m
+    * codebooks TOGETHER — the subspaces partition the same rows, so
+    * one hash-init action samples every subspace's seeds at once and
+    * each Lloyd iteration is ONE corpus pass (per-row codegen argmin
+    * for all m subspaces, one (j, cell, dim)-keyed aggregation of
+    * m·ksub·dsub partial sums) instead of m separate passes. At scale
+    * that is the difference between scanning the corpus iters times
+    * and m·iters times. Equivalent to training each subspace
+    * independently — hash init picks the same ksub ROWS for every
+    * subspace either way, assignments are per-subspace independent,
+    * empty cells keep their previous centroid (the fused mean's
+    * partial-sum order may differ from the per-subspace trainer's in
+    * the last ulp, which moves no correctness property: the exact
+    * operators are exact for ANY codebook and the approximate tiers'
+    * guarantees are recall floors). Deterministic end to end. */
   def pqFit(df: DataFrame, idCol: String, vecCol: String, m: Int,
       ksub: Int = 16, iters: Int = 2): PqModel = {
     require(m > 0 && ksub > 1, s"m > 0, ksub > 1: $m/$ksub")
@@ -339,10 +351,40 @@ object SimilarityOps {
     val dim = base.select(size(col("__u"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val books = (0 until m).map { j =>
-      kmeansFit(base.select(col("__id"),
-          slice(col("__u"), j * dsub + 1, dsub).as("__s")),
-        "__id", "__s", ksub, iters, init = "hash")
+    // init: ONE action — the ksub lowest-hash rows seed all m books
+    val seeds = base.orderBy(xxhash64(col("__id")), col("__id")).limit(ksub)
+      .select(col("__u")).collect().map(_.getSeq[Double](0).toArray)
+    var books: Seq[Seq[Array[Double]]] = (0 until m).map { j =>
+      seeds.toSeq.map(v => v.slice(j * dsub, (j + 1) * dsub))
+    }
+    var it = 0
+    while (it < iters) {
+      val assign = (0 until m).map { j =>
+        val sub = slice(col("__u"), j * dsub + 1, dsub)
+        struct(nearestCell(sub, books(j)).as("cell"), sub.as("sub"))
+      }
+      val updated = base
+        .select(posexplode(array(assign: _*)).as(Seq("__j", "__s")))
+        .select(col("__j"), col("__s.cell").as("__cell"),
+          posexplode(col("__s.sub")).as(Seq("__dim", "__x")))
+        .groupBy(col("__j"), col("__cell"), col("__dim"))
+        .agg(sum(col("__x")).as("__sx"), count(lit(1)).as("__n"))
+        .collect()
+      val byCell = updated.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = books.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (old, c) =>
+          byCell.get((j, c)) match {
+            case Some(rows) =>
+              val next = new Array[Double](dsub)
+              rows.foreach { r =>
+                next(r.getInt(2)) = r.getDouble(3) / r.getLong(4)
+              }
+              next
+            case None => old // empty cell: keep previous centroid
+          }
+        }
+      }
+      it += 1
     }
     Operators.releaseCheckpoints(base)
     PqModel(m, dsub, ksub, books)
