@@ -81,8 +81,12 @@ object SqlRouter {
   // (`/root/reference/backend/loaddata.go:24-227`)
   private val CopyTo =
     """(?is)\s*COPY\s+(?:\((.+)\)|([\w.]+))\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+  // the optional column list is pg_dump's shape (`COPY t (a, b, c)
+  // FROM ...`); it must name the table's columns in order — pg_dump
+  // always emits the full list in declaration order, and a silent
+  // positional remap would corrupt a hand-edited dump
   private val CopyFrom =
-    """(?is)\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+    """(?is)\s*COPY\s+([\w.]+)\s*(?:\(([\w\s,"]*)\))?\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   private val LoadData =
     """(?is)\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'([^']+)'\s+(?:(IGNORE|REPLACE)\s+)?INTO\s+TABLE\s+([\w.]+)(.*)""".r
   // A28 as SQL: MySQL-style session prepared statements
@@ -143,6 +147,34 @@ object SqlRouter {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*""".r
   private val AlterModify =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:MODIFY\s+(?:COLUMN\s+)?(\w+)|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE)\s+(\w+(?:\s*\([\d\s,]*\))?)\s*""".r
+  // ---- pg_dump's administrative statements (A42): a verbatim modern
+  // dump carries these between the DDL and data sections. Semantics
+  // that survive restore (sequence position → the auto-inc counter,
+  // column defaults) land in the manifest; ownership/ACL/comment
+  // metadata is accepted and dropped, the same treatment as KEY
+  // entries — without these arms the first OWNER TO aborts the replay.
+  private val OwnerTo =
+    """(?is)\s*ALTER\s+(?:TABLE|SEQUENCE|VIEW|SCHEMA|DATABASE|FUNCTION|TYPE|INDEX|MATERIALIZED\s+VIEW)\s+(?:ONLY\s+)?[\w.$"]+\s+OWNER\s+TO\s+.*""".r
+  private val SequenceDdl =
+    """(?is)\s*(?:CREATE|ALTER|DROP)\s+SEQUENCE\s+.*""".r
+  private val CommentOn = """(?is)\s*COMMENT\s+ON\s+.*""".r
+  private val GrantRevoke = """(?is)\s*(?:GRANT|REVOKE)\s+.*""".r
+  private val CreateSchema =
+    """(?is)\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:AUTHORIZATION\s+.*)?""".r
+  private val SelectSetConfig =
+    """(?is)\s*SELECT\s+(?:pg_catalog\.)?set_config\s*\(.*""".r
+  // setval repositions a sequence; pg_dump emits one per serial column
+  // after the COPY data. The `<table>_<col>_seq` naming convention is
+  // resolved against existing tables and mapped onto the table's
+  // auto-increment counter so post-restore id assignment continues
+  // from the right place.
+  private val SelectSetval =
+    """(?is)\s*SELECT\s+(?:pg_catalog\.)?setval\s*\(\s*'([\w.]+)'\s*,\s*(\d+)\s*(?:,\s*(true|false)\s*)?\)\s*;?\s*""".r
+  private val AlterColDefault =
+    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+SET\s+DEFAULT\s+(.*\S)\s*""".r
+  private val AlterColDropDefault =
+    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+DROP\s+DEFAULT\s*""".r
+
   private val VersionQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val Optimize = """(?is)\s*OPTIMIZE\s+([\w.]+)\s*""".r
@@ -163,8 +195,48 @@ object SqlRouter {
     if (stmt.trim.isEmpty) return ddl
     // MySQL literal forms first (the rewrite must reach Catalyst too,
     // unlike backtick stripping which is routing-only — see ADVICE r6)
-    val lit = normalizeMysqlLiterals(stmt)
+    val lit = stripPublicSchema(normalizeMysqlLiterals(stmt))
     executeRouted(engine, stripIdentQuotes(lit), lit)
+  }
+
+  /** pg_dump qualifies every object with its schema, and the default
+    * schema is `public` — which the engine's `db.table` convention
+    * would read as a DATABASE named public. The qualifier is dropped
+    * (outside quoted spans; `"public"` and `'public'` survive) so the
+    * dump restores into the CURRENT database, which is what the
+    * unqualified original names meant. Dialect tradeoff, PG-leaning
+    * like splitStatements': a MySQL database literally named `public`
+    * must be addressed via USE. */
+  private[graft] def stripPublicSchema(s: String): String = {
+    val idx = s.toLowerCase.indexOf("public.")
+    if (idx < 0) return s
+    def isWord(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_' || c == '$'
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    var prev: Char = ' '
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < s.length) {
+          out.append(s.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else if ((c == 'p' || c == 'P') && !isWord(prev) && prev != '.' &&
+          i + 7 <= s.length &&
+          s.substring(i, i + 7).equalsIgnoreCase("public.") &&
+          i + 7 < s.length &&
+          (Character.isLetter(s.charAt(i + 7)) || s.charAt(i + 7) == '_' ||
+            s.charAt(i + 7) == '"')) {
+        i += 7 // drop the qualifier, keep the object name
+      } else { out.append(c); i += 1 }
+      prev = if (out.nonEmpty) out.last else ' '
+    }
+    out.toString
   }
 
   /** Leading `--` / `#` line comments and `/*...*/` blocks come off the
@@ -451,8 +523,14 @@ object SqlRouter {
         case f => throw new IllegalArgumentException(s"COPY format $f")
       }
       ddl
-    case CopyFrom(name, path, optList) =>
+    case CopyFrom(name, colList, path, optList) =>
       val t = engine.table(name)
+      Option(colList).map(_.split(',').map(
+        _.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+        .foreach(cs => require(cs == t.schema.fieldNames.toSeq,
+          s"COPY column list (${cs.mkString(", ")}) must name ${name}'s " +
+            s"columns in declaration order (${t.schema.fieldNames.mkString(", ")})"))
       val (fmt, csvOpts, header) = copyOptions(optList)
       val n = fmt match {
         case "CSV" =>
@@ -566,6 +644,53 @@ object SqlRouter {
         Option(mysqlCol).getOrElse(pgCol),
         StructType.fromDDL(s"x $colType").head.dataType)
       ddl
+    case AlterColDefault(name, colName, default) =>
+      val t = engine.table(name)
+      require(t.schema.fieldNames.contains(colName),
+        s"no column $colName in $name")
+      // a nextval(...) default IS the serial marker, not a literal —
+      // recorded as the auto-inc flag; literal defaults go to the same
+      // default.* props CREATE TABLE records
+      val props =
+        if (default.toLowerCase.contains("nextval("))
+          t.manifest.props + (s"autoinc.$colName" -> "true")
+        else t.manifest.props + (s"default.$colName" -> default.trim)
+      graft.storage.Manifest.commit(t.path, t.manifest.copy(props = props))
+      ddl
+    case AlterColDropDefault(name, colName) =>
+      val t = engine.table(name)
+      graft.storage.Manifest.commit(t.path, t.manifest.copy(
+        props = t.manifest.props - s"default.$colName" - s"autoinc.$colName"))
+      ddl
+    case SelectSetval(seqName, value, isCalled) =>
+      // next id = value + 1 when is_called (the default), value itself
+      // otherwise; unresolvable sequence names are accepted and dropped
+      // (a failed setval must not abort the restore)
+      val base = seqName.split('.').last.stripSuffix("_seq")
+      val next = value.toLong +
+        (if (isCalled == null || isCalled.equalsIgnoreCase("true")) 1 else 0)
+      Iterator.iterate(base.lastIndexOf('_'))(i => base.lastIndexOf('_', i - 1))
+        .takeWhile(_ > 0)
+        .map(i => (base.substring(0, i), base.substring(i + 1)))
+        .find { case (tn, cn) => tableExists(engine, tn) &&
+          engine.table(tn).schema.fieldNames.contains(cn) }
+        .foreach { case (tn, _) =>
+          val t = engine.table(tn)
+          if (next > t.manifest.autoInc)
+            graft.storage.Manifest.commit(t.path,
+              t.manifest.copy(autoInc = next))
+        }
+      ddl
+    case SelectSetConfig() => ddl // session GUCs: no engine analog
+    case OwnerTo() => ddl // ownership metadata: accepted, dropped
+    case SequenceDdl() => ddl // sequence objects live as autoinc props
+    case CommentOn() => ddl
+    case GrantRevoke() => ddl // ACLs: no engine analog
+    case CreateSchema(name) =>
+      // pg schemas map onto databases here; 'public' is the current db
+      if (!name.equalsIgnoreCase("public") &&
+        !engine.listDatabases().contains(name)) engine.createDatabase(name)
+      ddl
     case _ => Result(Some(engine.sql(original)), 0L)
   }
 
@@ -659,7 +784,7 @@ object SqlRouter {
     * table — ends the run, so SELECT-after-INSERT still sees committed
     * state exactly where autocommit semantics put it. */
   def executeScript(engine: Engine, script: String): Seq[Result] = {
-    val stmts = splitStatements(script)
+    val stmts = splitStatements(spoolStdinCopies(script))
     val results = Seq.newBuilder[Result]
     var i = 0
     while (i < stmts.length) {
@@ -704,6 +829,49 @@ object SqlRouter {
         dmlTarget(stmts(from + n)).contains(target)) n += 1
       n
     }
+
+  /** pg_dump's DEFAULT data shape: `COPY t (cols) FROM stdin;` at line
+    * start, TEXT-format rows immediately after, a `\.` line closing the
+    * block. The rows are raw bytes to the SQL lexer (tabs, backslash
+    * escapes, no quoting) — they must come OUT of the script before
+    * statement splitting or the first `;`-bearing row shreds the parse.
+    * Each block's data is spooled verbatim to a temp file and the
+    * statement rewritten to the `COPY ... FROM '<file>'` form the
+    * router already executes (TEXT decode incl. \x bytea). A literal
+    * `\.` line cannot occur INSIDE the data: COPY TEXT escapes every
+    * backslash, so the terminator is unambiguous. */
+  private val StdinCopyHead =
+    """(?im)^[ \t]*(COPY\s+[^;\n]+?)\s+FROM\s+stdin\s*;[ \t]*\r?\n""".r
+
+  private[graft] def spoolStdinCopies(script: String): String = {
+    if (!script.toLowerCase.contains("from stdin")) return script
+    val out = new StringBuilder
+    var pos = 0
+    var m = StdinCopyHead.findFirstMatchIn(script)
+    while (m.isDefined) {
+      val mm = m.get
+      out.append(script.substring(pos, pos + mm.start))
+      val dataStart = pos + mm.end
+      // terminator: a line holding exactly `\.`
+      val term = ("(?m)^\\\\\\.[ \t]*\r?$").r
+        .findFirstMatchIn(script.substring(dataStart))
+        .getOrElse(throw new IllegalArgumentException(
+          "COPY FROM stdin block is missing its \\. terminator"))
+      val data = script.substring(dataStart, dataStart + term.start)
+      val tmp = java.nio.file.Files.createTempFile("graft_copy_stdin", ".txt")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.write(tmp,
+        data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.append(mm.group(1)).append(" FROM '")
+        .append(tmp.toString.replace("\\", "\\\\")).append("';\n")
+      pos = dataStart + term.end
+      // skip the terminator's trailing newline so no empty line leaks
+      if (pos < script.length && script.charAt(pos) == '\n') pos += 1
+      m = StdinCopyHead.findFirstMatchIn(script.substring(pos))
+    }
+    out.append(script.substring(pos))
+    out.toString
+  }
 
   /** Split on `;` outside single/double/backtick-quoted spans (''
     * doubling and backslash escapes respected) and outside line

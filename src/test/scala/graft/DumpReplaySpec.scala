@@ -201,6 +201,114 @@ class DumpReplaySpec extends SparkSpec {
       (2, None, None, None, None)))
   }
 
+  test("modern pg_dump replays VERBATIM: stdin COPY, schema qualifiers, sequences, ACLs") {
+    // the real shape `pg_dump` emits today: session GUCs + set_config,
+    // public.-qualified names, OWNER TO, serial column as integer +
+    // CREATE SEQUENCE + SET DEFAULT nextval + setval, COPY ... FROM
+    // stdin with inline TEXT data, post-data pkey, COMMENT ON, GRANT
+    val e = new Engine(spark, tmpDir("dump_pg_modern"))
+    val script =
+      """--
+        |-- PostgreSQL database dump
+        |--
+        |
+        |SET statement_timeout = 0;
+        |SET lock_timeout = 0;
+        |SET client_encoding = 'UTF8';
+        |SET standard_conforming_strings = on;
+        |SELECT pg_catalog.set_config('search_path', '', false);
+        |SET row_security = off;
+        |
+        |SET default_tablespace = '';
+        |SET default_table_access_method = heap;
+        |
+        |--
+        |-- Name: users; Type: TABLE; Schema: public; Owner: app
+        |--
+        |
+        |CREATE TABLE public.users (
+        |    id integer NOT NULL,
+        |    name character varying(80),
+        |    note text,
+        |    created timestamp without time zone
+        |);
+        |
+        |ALTER TABLE public.users OWNER TO app;
+        |
+        |--
+        |-- Name: users_id_seq; Type: SEQUENCE; Schema: public; Owner: app
+        |--
+        |
+        |CREATE SEQUENCE public.users_id_seq
+        |    AS integer
+        |    START WITH 1
+        |    INCREMENT BY 1
+        |    NO MINVALUE
+        |    NO MAXVALUE
+        |    CACHE 1;
+        |
+        |ALTER SEQUENCE public.users_id_seq OWNER TO app;
+        |
+        |ALTER SEQUENCE public.users_id_seq OWNED BY public.users.id;
+        |
+        |--
+        |-- Name: users id; Type: DEFAULT; Schema: public; Owner: app
+        |--
+        |
+        |ALTER TABLE ONLY public.users ALTER COLUMN id SET DEFAULT nextval('public.users_id_seq'::regclass);
+        |
+        |--
+        |-- Data for Name: users; Type: TABLE DATA; Schema: public; Owner: app
+        |--
+        |
+        |COPY public.users (id, name, note, created) FROM stdin;
+        |1	alice	first; said "hi"	2024-01-01 10:00:00
+        |2	bob	\N	\N
+        |3	carol	tab\there-ам&	2024-02-01 08:30:00
+        |\.
+        |
+        |--
+        |-- Name: users_id_seq; Type: SEQUENCE SET; Schema: public; Owner: app
+        |--
+        |
+        |SELECT pg_catalog.setval('public.users_id_seq', 3, true);
+        |
+        |--
+        |-- Name: users users_pkey; Type: CONSTRAINT; Schema: public; Owner: app
+        |--
+        |
+        |ALTER TABLE ONLY public.users
+        |    ADD CONSTRAINT users_pkey PRIMARY KEY (id);
+        |
+        |COMMENT ON TABLE public.users IS 'application users';
+        |
+        |GRANT SELECT ON TABLE public.users TO readonly;
+        |""".stripMargin
+    executeScript(e, script)
+
+    val rows = e.sql("""SELECT id, name, note, CAST(created AS STRING)
+        FROM users ORDER BY id""")
+      .as[(Int, Option[String], Option[String], Option[String])].collect()
+    assert(rows === Array(
+      (1, Some("alice"), Some("first; said \"hi\""), Some("2024-01-01 10:00:00")),
+      (2, Some("bob"), None, None),
+      (3, Some("carol"), Some("tab\there-ам&"), Some("2024-02-01 08:30:00"))))
+    val m = e.table("users").manifest
+    assert(m.pkCols === Seq("id")) // post-data constraint landed
+    assert(m.schema("name").dataType === org.apache.spark.sql.types.StringType)
+    // the serial machinery mapped onto the engine's auto-inc: the
+    // nextval default flagged the column, setval positioned the counter
+    assert(m.props.get("autoinc.id") === Some("true"))
+    assert(m.autoInc === 4L) // setval(3, true) → next id 4
+    val n = e.table("users").insertAutoInc(
+      Seq((Option.empty[String], Option.empty[String], Option.empty[String]))
+        .toDF("name", "note", "created")
+        .selectExpr("name", "note", "CAST(created AS TIMESTAMP_NTZ) AS created"),
+      "id")
+    assert(n === 1L)
+    assert(e.sql("SELECT max(id) FROM users").as[Int].head() === 4)
+  }
+
   test("pg_dump TEXT-format COPY (the actual default) replays bytea + escapes") {
     val e = new Engine(spark, tmpDir("dump_pg_text"))
     // pg_dump's default COPY format: tab-separated, escape sequences,
