@@ -175,6 +175,20 @@ object SqlRouter {
   private val AlterColDropDefault =
     """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+DROP\s+DEFAULT\s*""".r
 
+  // stored programs (mysqldump --routines/--triggers, pg_dump
+  // functions): no engine analog — Spark has no stored procedures, the
+  // same position the reference's DuckDB backend is in — so they are
+  // accepted and dropped rather than aborting the replay. Plain
+  // `CREATE FUNCTION` stays Catalyst's (Spark's JVM-UDF registration
+  // form); only the MySQL spelling with a DEFINER or a RETURNS-typed
+  // SQL body routes here.
+  private val CreateRoutine =
+    """(?is)\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?(?:PROCEDURE|TRIGGER|EVENT)\b.*""".r
+  private val CreateMysqlFunction =
+    """(?is)\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION\s+[\w.`"]+\s*\(.*?\)\s*RETURNS\b.*""".r
+  private val DropRoutine =
+    """(?is)\s*DROP\s+(?:PROCEDURE|TRIGGER|EVENT)\s+.*""".r
+
   private val VersionQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val Optimize = """(?is)\s*OPTIMIZE\s+([\w.]+)\s*""".r
@@ -681,6 +695,9 @@ object SqlRouter {
               t.manifest.copy(autoInc = next))
         }
       ddl
+    case CreateRoutine() => ddl // stored programs: accepted, dropped
+    case CreateMysqlFunction() => ddl
+    case DropRoutine() => ddl
     case SelectSetConfig() => ddl // session GUCs: no engine analog
     case OwnerTo() => ddl // ownership metadata: accepted, dropped
     case SequenceDdl() => ddl // sequence objects live as autoinc props
@@ -784,7 +801,7 @@ object SqlRouter {
     * table — ends the run, so SELECT-after-INSERT still sees committed
     * state exactly where autocommit semantics put it. */
   def executeScript(engine: Engine, script: String): Seq[Result] = {
-    val stmts = splitStatements(spoolStdinCopies(script))
+    val stmts = splitScriptStatements(spoolStdinCopies(script))
     val results = Seq.newBuilder[Result]
     var i = 0
     while (i < stmts.length) {
@@ -873,6 +890,33 @@ object SqlRouter {
     out.toString
   }
 
+  /** mysqldump --routines/--triggers wraps stored-program definitions
+    * in client-side `DELIMITER ;;` switches precisely so the `;`
+    * statements INSIDE a routine body don't end it. Honored here the
+    * way the mysql client does — line-based: a line reading
+    * `DELIMITER <tok>` flushes the current segment under the current
+    * separator and switches it. */
+  private val DelimiterLine = """(?i)^\s*DELIMITER\s+(\S+)\s*$""".r
+
+  private[graft] def splitScriptStatements(script: String): Seq[String] = {
+    if (!script.toUpperCase.contains("DELIMITER "))
+      return splitStatements(script)
+    val out = Seq.newBuilder[String]
+    var sep = ";"
+    val seg = new StringBuilder
+    def flush(): Unit = {
+      out ++= splitStatements(seg.toString, sep); seg.clear()
+    }
+    script.linesWithSeparators.foreach { raw =>
+      raw.stripLineEnd match {
+        case DelimiterLine(d) => flush(); sep = d
+        case _ => seg.append(raw)
+      }
+    }
+    flush()
+    out.result()
+  }
+
   /** Split on `;` outside single/double/backtick-quoted spans (''
     * doubling and backslash escapes respected) and outside line
     * (`--`) and block comments — a ';' inside a comment or a
@@ -887,7 +931,8 @@ object SqlRouter {
     * likewise non-nesting (MySQL rule; PG nests) — the first `*&#47;`
     * closes the comment. Both choices match what mysqldump/pg_dump
     * actually emit. */
-  private[graft] def splitStatements(s: String): Seq[String] = {
+  private[graft] def splitStatements(s: String,
+      sep: String = ";"): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var quote: Char = 0
@@ -907,9 +952,11 @@ object SqlRouter {
         val close = s.indexOf("*/", i + 2)
         val end = if (close < 0) s.length else close + 2
         cur.append(s.substring(i, end)); i = end - 1
+      } else if (c == sep.charAt(0) && s.startsWith(sep, i)) {
+        out += cur.toString; cur.clear()
+        i += sep.length - 1
       } else c match {
         case '\'' | '"' | '`' => quote = c; cur.append(c)
-        case ';' => out += cur.toString; cur.clear()
         case _ => cur.append(c)
       }
       i += 1

@@ -309,6 +309,45 @@ class DumpReplaySpec extends SparkSpec {
     assert(e.sql("SELECT max(id) FROM users").as[Int].head() === 4)
   }
 
+  test("mysqldump --routines section (DELIMITER blocks) replays without shredding") {
+    // stored-program bodies carry ';' statements inside; the dump
+    // switches the client delimiter to ';;' around them. The splitter
+    // must honor that or the body's first ';' shreds the parse. The
+    // routines themselves have no engine analog (Spark has no stored
+    // procedures — the reference's DuckDB backend is in the same
+    // position) and are accepted + dropped; everything around them
+    // must still land.
+    val e = new Engine(spark, tmpDir("dump_routines"))
+    val script =
+      """DROP TABLE IF EXISTS `acc`;
+        |CREATE TABLE `acc` (
+        |  `id` int NOT NULL,
+        |  `v` int DEFAULT NULL,
+        |  PRIMARY KEY (`id`)
+        |);
+        |INSERT INTO `acc` VALUES (1,10),(2,20);
+        |
+        |--
+        |-- Dumping routines for database 'shop'
+        |--
+        |DELIMITER ;;
+        |CREATE DEFINER=`root`@`localhost` PROCEDURE `refresh_totals`()
+        |BEGIN
+        |  UPDATE acc SET v = v + 1;
+        |  SELECT count(*) FROM acc;
+        |END ;;
+        |DELIMITER ;
+        |
+        |INSERT INTO `acc` VALUES (3,30);
+        |""".stripMargin
+    executeScript(e, script)
+    // the routine was dropped, NOT executed (v unchanged), and the
+    // statements after the DELIMITER blocks still ran
+    val rows = e.sql("SELECT id, v FROM acc ORDER BY id")
+      .as[(Int, Option[Int])].collect()
+    assert(rows === Array((1, Some(10)), (2, Some(20)), (3, Some(30))))
+  }
+
   test("pg_dump TEXT-format COPY (the actual default) replays bytea + escapes") {
     val e = new Engine(spark, tmpDir("dump_pg_text"))
     // pg_dump's default COPY format: tab-separated, escape sequences,
