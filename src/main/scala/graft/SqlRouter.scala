@@ -169,7 +169,19 @@ object SqlRouter {
   // auto-increment counter so post-restore id assignment continues
   // from the right place.
   private val SelectSetval =
-    """(?is)\s*SELECT\s+(?:pg_catalog\.)?setval\s*\(\s*'([\w.]+)'\s*,\s*(\d+)\s*(?:,\s*(true|false)\s*)?\)\s*;?\s*""".r
+    """(?is)\s*SELECT\s+(?:pg_catalog\.)?setval\s*\(\s*'([\w.]+)'\s*,\s*(-?\d+)\s*(?:,\s*(true|false)\s*)?\)\s*;?\s*""".r
+  // forms the precise arm can't parse (expression arguments) are still
+  // accepted — a sequence reposition must never abort the restore
+  private val SelectSetvalAny =
+    """(?is)\s*SELECT\s+(?:pg_catalog\.)?setval\s*\(.*""".r
+  // pg_dump's post-data secondary indexes (CREATE [UNIQUE] INDEX ...
+  // USING btree (...)): the engine's scan-acceleration analog is layout
+  // clustering (A21, opted into separately), so like KEY entries inside
+  // CREATE TABLE bodies these are accepted and dropped — Catalyst
+  // parses CREATE INDEX but would fail analysis against engine tables
+  private val CreateIndexStmt =
+    """(?is)\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+NOT\s+EXISTS\s+)?[\w."]*\s*ON\s+.*""".r
+  private val DropIndexStmt = """(?is)\s*DROP\s+INDEX\s+.*""".r
   private val AlterColDefault =
     """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+SET\s+DEFAULT\s+(.*\S)\s*""".r
   private val AlterColDropDefault =
@@ -698,7 +710,10 @@ object SqlRouter {
     case CreateRoutine() => ddl // stored programs: accepted, dropped
     case CreateMysqlFunction() => ddl
     case DropRoutine() => ddl
+    case SelectSetvalAny() => ddl // unparseable setval form: accepted
     case SelectSetConfig() => ddl // session GUCs: no engine analog
+    case CreateIndexStmt() => ddl // index metadata: layout is the analog
+    case DropIndexStmt() => ddl
     case OwnerTo() => ddl // ownership metadata: accepted, dropped
     case SequenceDdl() => ddl // sequence objects live as autoinc props
     case CommentOn() => ddl

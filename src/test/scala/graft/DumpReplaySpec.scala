@@ -280,6 +280,12 @@ class DumpReplaySpec extends SparkSpec {
         |ALTER TABLE ONLY public.users
         |    ADD CONSTRAINT users_pkey PRIMARY KEY (id);
         |
+        |--
+        |-- Name: users_name_idx; Type: INDEX; Schema: public; Owner: app
+        |--
+        |
+        |CREATE INDEX users_name_idx ON public.users USING btree (name);
+        |
         |COMMENT ON TABLE public.users IS 'application users';
         |
         |GRANT SELECT ON TABLE public.users TO readonly;
