@@ -187,6 +187,55 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("exactKnnPq ≡ brute on randomized corpora (duplicates, zero vectors, varied knobs)") {
+    // the hash gate (q67) rests on exactness for ANY codebook — so the
+    // property is pinned across corpora with exact-tie duplicates, a
+    // zero vector on each side, and varying k/ksub/iters
+    (0 until 5).foreach { trial =>
+      val n = 60 + trial * 17
+      val dim = 8
+      val raw = (0L until n.toLong).map { i =>
+        val r = lcg(i * 7919 + trial * 131 + 3).take(dim).toArray
+        val base = Array.fill(dim)(0.0); base((i % 3).toInt * 2) = 3.0
+        (i, base.zip(r).map { case (b, x) => b + x })
+      }.toArray
+      // every 11th vector duplicates its predecessor (exact sim ties);
+      // id 10 is the zero vector — a query id too, so BOTH sides of
+      // the zero-norm exclusion are exercised
+      val rows = raw.map { case (i, v) =>
+        if (i == 10) (i, Array.fill(dim)(0.0))
+        else if (i % 11 == 0 && i > 0) (i, raw((i - 1).toInt)._2)
+        else (i, v)
+      }
+      val corpus = rows.toSeq.toDF("vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") % 10 === 0)
+      val k = 3 + trial % 3
+      val m2 = SimilarityOps.pqFit(corpus, "vec_id", "embedding",
+        m = 4, ksub = 4 + trial % 5, iters = trial % 3)
+      val got = SimilarityOps.exactKnnPq(corpus, queries, "vec_id",
+          "embedding", m2, k)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      def cos(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum /
+          (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+      val live = rows.filter { case (_, v) => norm(v) > 0 }
+      val brute = live.filter(_._1 % 10 == 0).flatMap { case (qid, qv) =>
+        live.filter(_._1 != qid)
+          .map { case (nid, nv) => (nid, cos(qv, nv)) }
+          .sortBy { case (nid, s) => (-s, nid) }.take(k).zipWithIndex
+          .map { case ((nid, _), i) => (qid, nid, i + 1) }
+      }.sortBy(r => (r._1, r._3))
+      assert(got.map(r => (r._1, r._2, r._4)).toSeq === brute.toSeq,
+        s"trial $trial: ids/ranks diverged from brute")
+      val byId = rows.toMap
+      got.foreach { case (qid, nid, sim, _) =>
+        assert(math.abs(sim - cos(byId(qid), byId(nid))) < 1e-12,
+          s"trial $trial: sim for ($qid,$nid)")
+      }
+    }
+  }
+
   test("the scan never decodes the corpus and stays broadcast-shaped") {
     val plan = SimilarityOps.pqTopK(codes, queries, "vec_id", "embedding",
         model, k = 3)
