@@ -268,6 +268,20 @@ class DumpReplaySpec extends SparkSpec {
         |\.
         |
         |--
+        |-- Name: tags; Type: TABLE; Schema: public; Owner: app
+        |--
+        |
+        |CREATE TABLE public.tags (
+        |    uid integer,
+        |    tag text
+        |);
+        |
+        |COPY public.tags (uid, tag) FROM stdin;
+        |1	admin
+        |3	beta; tester
+        |\.
+        |
+        |--
         |-- Name: users_id_seq; Type: SEQUENCE SET; Schema: public; Owner: app
         |--
         |
@@ -306,6 +320,10 @@ class DumpReplaySpec extends SparkSpec {
     // nextval default flagged the column, setval positioned the counter
     assert(m.props.get("autoinc.id") === Some("true"))
     assert(m.autoInc === 4L) // setval(3, true) → next id 4
+    // the SECOND stdin block (spool-loop position arithmetic) landed too
+    assert(e.sql("SELECT uid, tag FROM tags ORDER BY uid")
+      .as[(Int, String)].collect() ===
+      Array((1, "admin"), (3, "beta; tester")))
     val n = e.table("users").insertAutoInc(
       Seq((Option.empty[String], Option.empty[String], Option.empty[String]))
         .toDF("name", "note", "created")
