@@ -154,7 +154,7 @@ object SqlRouter {
   // metadata is accepted and dropped, the same treatment as KEY
   // entries — without these arms the first OWNER TO aborts the replay.
   private val OwnerTo =
-    """(?is)\s*ALTER\s+(?:TABLE|SEQUENCE|VIEW|SCHEMA|DATABASE|FUNCTION|TYPE|INDEX|MATERIALIZED\s+VIEW)\s+(?:ONLY\s+)?[\w.$"]+\s+OWNER\s+TO\s+.*""".r
+    """(?is)\s*ALTER\s+(?:TABLE|SEQUENCE|VIEW|SCHEMA|DATABASE|FUNCTION|PROCEDURE|TYPE|INDEX|MATERIALIZED\s+VIEW)\s+(?:ONLY\s+)?[\w.$"]+\s*(?:\([^)]*\))?\s+OWNER\s+TO\s+.*""".r
   private val SequenceDdl =
     """(?is)\s*(?:CREATE|ALTER|DROP)\s+SEQUENCE\s+.*""".r
   private val CommentOn = """(?is)\s*COMMENT\s+ON\s+.*""".r
@@ -190,14 +190,21 @@ object SqlRouter {
   // stored programs (mysqldump --routines/--triggers, pg_dump
   // functions): no engine analog — Spark has no stored procedures, the
   // same position the reference's DuckDB backend is in — so they are
-  // accepted and dropped rather than aborting the replay. Plain
-  // `CREATE FUNCTION` stays Catalyst's (Spark's JVM-UDF registration
-  // form); only the MySQL spelling with a DEFINER or a RETURNS-typed
-  // SQL body routes here.
+  // accepted and dropped rather than aborting the replay. CREATE
+  // FUNCTION needs care: Spark 4 has its OWN SQL-UDF form
+  // (`CREATE FUNCTION f(x DOUBLE) RETURNS DOUBLE RETURN x * x`) and
+  // the JVM-class form (`... AS 'class'`), which must still reach
+  // Catalyst — only spellings carrying a dump-only marker route here:
+  // MySQL's DEFINER clause / routine characteristics / BEGIN body, or
+  // PG's LANGUAGE clause / dollar-quoted body.
   private val CreateRoutine =
-    """(?is)\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?(?:PROCEDURE|TRIGGER|EVENT)\b.*""".r
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:DEFINER\s*=\s*\S+\s+)?(?:PROCEDURE|TRIGGER|EVENT)\b.*""".r
   private val CreateMysqlFunction =
-    """(?is)\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION\s+[\w.`"]+\s*\(.*?\)\s*RETURNS\b.*""".r
+    ("""(?is)\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)FUNCTION\s+[\w.`"]+\s*\(.*?\)\s*RETURNS\b.*""" +
+      """|(?is)\s*CREATE\s+FUNCTION\s+[\w.`"]+\s*\(.*?\)\s*RETURNS\b""" +
+      """(?=.*\b(?:BEGIN|DETERMINISTIC|CONTAINS\s+SQL|READS\s+SQL\s+DATA|MODIFIES\s+SQL\s+DATA|NO\s+SQL|SQL\s+SECURITY)\b).*""").r
+  private val CreatePgFunction =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?=.*(?:\bLANGUAGE\s+\w+|\$\w*\$)).*""".r
   private val DropRoutine =
     """(?is)\s*DROP\s+(?:PROCEDURE|TRIGGER|EVENT)\s+.*""".r
 
@@ -709,6 +716,7 @@ object SqlRouter {
       ddl
     case CreateRoutine() => ddl // stored programs: accepted, dropped
     case CreateMysqlFunction() => ddl
+    case CreatePgFunction() => ddl
     case DropRoutine() => ddl
     case SelectSetvalAny() => ddl // unparseable setval form: accepted
     case SelectSetConfig() => ddl // session GUCs: no engine analog
@@ -816,21 +824,26 @@ object SqlRouter {
     * table — ends the run, so SELECT-after-INSERT still sees committed
     * state exactly where autocommit semantics put it. */
   def executeScript(engine: Engine, script: String): Seq[Result] = {
-    val stmts = splitScriptStatements(spoolStdinCopies(script))
-    val results = Seq.newBuilder[Result]
-    var i = 0
-    while (i < stmts.length) {
-      val run = if (engine.inTransaction) 1 else dmlRunLength(stmts, i)
-      if (run >= 2) {
-        engine.begin()
-        try {
-          (i until i + run).foreach(j => results += execute(engine, stmts(j)))
-          engine.commit()
-        } catch { case e: Throwable => engine.rollback(); throw e }
-      } else results += execute(engine, stmts(i))
-      i += math.max(run, 1)
-    }
-    results.result()
+    val (pre, spooled) = spoolStdinCopies(script)
+    try {
+      val stmts = splitScriptStatements(pre)
+      val results = Seq.newBuilder[Result]
+      var i = 0
+      while (i < stmts.length) {
+        val run = if (engine.inTransaction) 1 else dmlRunLength(stmts, i)
+        if (run >= 2) {
+          engine.begin()
+          try {
+            (i until i + run).foreach(j => results += execute(engine, stmts(j)))
+            engine.commit()
+          } catch { case e: Throwable => engine.rollback(); throw e }
+        } else results += execute(engine, stmts(i))
+        i += math.max(run, 1)
+      }
+      results.result()
+    } finally spooled.foreach(p =>
+      try { java.nio.file.Files.deleteIfExists(p); () }
+      catch { case _: Exception => () })
   }
 
   /** Target table of an autocommit-batchable DML statement. REPLACE /
@@ -874,35 +887,52 @@ object SqlRouter {
     * backslash, so the terminator is unambiguous. */
   private val StdinCopyHead =
     """(?im)^[ \t]*(COPY\s+[^;\n]+?)\s+FROM\s+stdin\s*;[ \t]*\r?\n""".r
+  private val StdinTerminator =
+    java.util.regex.Pattern.compile("(?m)^\\\\\\.[ \\t]*\\r?$")
 
-  private[graft] def spoolStdinCopies(script: String): String = {
-    if (!script.toLowerCase.contains("from stdin")) return script
-    val out = new StringBuilder
+  /** Returns the rewritten script plus the temp files it spooled — the
+    * CALLER deletes them once the statements have executed (leaning on
+    * deleteOnExit would hold every dump's data until process death).
+    * Known limitation: the line-anchored prescan is not quote-aware, so
+    * a multi-line string literal whose interior line reads exactly
+    * `COPY ... FROM stdin;` would be misread as a block header — a
+    * shape no dump generator emits (COPY TEXT data escapes newlines, so
+    * dump literals are single-line). */
+  private[graft] def spoolStdinCopies(
+      script: String): (String, Seq[java.nio.file.Path]) = {
+    if (!script.toLowerCase.contains("from stdin")) return (script, Nil)
+    // java StringBuilder: it HAS append(CharSequence, from, to) — on
+    // Scala's the 3-arg call AUTO-TUPLES into append(Any) and writes
+    // "(text,0,329)"; and matcher regions avoid re-copying the
+    // remaining script once per block (dumps are mostly COPY blocks)
+    val out = new java.lang.StringBuilder
+    val tmps = Seq.newBuilder[java.nio.file.Path]
+    val head = StdinCopyHead.pattern.matcher(script)
     var pos = 0
-    var m = StdinCopyHead.findFirstMatchIn(script)
-    while (m.isDefined) {
-      val mm = m.get
-      out.append(script.substring(pos, pos + mm.start))
-      val dataStart = pos + mm.end
-      // terminator: a line holding exactly `\.`
-      val term = ("(?m)^\\\\\\.[ \t]*\r?$").r
-        .findFirstMatchIn(script.substring(dataStart))
-        .getOrElse(throw new IllegalArgumentException(
-          "COPY FROM stdin block is missing its \\. terminator"))
-      val data = script.substring(dataStart, dataStart + term.start)
+    while (head.find(pos)) {
+      out.append(script, pos, head.start)
+      val dataStart = head.`end`
+      val term = StdinTerminator.matcher(script)
+      term.region(dataStart, script.length)
+      if (!term.find()) throw new IllegalArgumentException(
+        "COPY FROM stdin block is missing its \\. terminator")
+      // COPY TEXT escapes CR inside values (\r), so a literal CR here
+      // is always a CRLF line ending — normalize it away or the
+      // trailing \r folds into every row's last field
+      val data = script.substring(dataStart, term.start).replace("\r\n", "\n")
       val tmp = java.nio.file.Files.createTempFile("graft_copy_stdin", ".txt")
-      tmp.toFile.deleteOnExit()
+      tmps += tmp
       java.nio.file.Files.write(tmp,
         data.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.append(mm.group(1)).append(" FROM '")
+      out.append(head.group(1)).append(" FROM '")
         .append(tmp.toString.replace("\\", "\\\\")).append("';\n")
-      pos = dataStart + term.end
-      // skip the terminator's trailing newline so no empty line leaks
+      pos = term.`end`
+      // step over the terminator's line ending (CRLF or LF)
+      if (pos < script.length && script.charAt(pos) == '\r') pos += 1
       if (pos < script.length && script.charAt(pos) == '\n') pos += 1
-      m = StdinCopyHead.findFirstMatchIn(script.substring(pos))
     }
-    out.append(script.substring(pos))
-    out.toString
+    out.append(script, pos, script.length)
+    (out.toString, tmps.result())
   }
 
   /** mysqldump --routines/--triggers wraps stored-program definitions
@@ -967,6 +997,22 @@ object SqlRouter {
         val close = s.indexOf("*/", i + 2)
         val end = if (close < 0) s.length else close + 2
         cur.append(s.substring(i, end)); i = end - 1
+      } else if (c == '$') {
+        // PG dollar-quoted span ($$...$$ or $tag$...$tag$): function
+        // bodies carry ';' statements inside — the span copies through
+        // verbatim. Tags start with a letter/underscore (so `$1`
+        // positional params never open a span).
+        var j = i + 1
+        while (j < s.length && (s.charAt(j).isLetterOrDigit ||
+          s.charAt(j) == '_')) j += 1
+        val validTag = j < s.length && s.charAt(j) == '$' &&
+          (j == i + 1 || s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_')
+        if (validTag) {
+          val tag = s.substring(i, j + 1)
+          val close = s.indexOf(tag, j + 1)
+          val end = if (close < 0) s.length else close + tag.length
+          cur.append(s.substring(i, end)); i = end - 1
+        } else cur.append(c)
       } else if (c == sep.charAt(0) && s.startsWith(sep, i)) {
         out += cur.toString; cur.clear()
         i += sep.length - 1

@@ -352,8 +352,14 @@ object SimilarityOps {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     // init: ONE action — the ksub lowest-hash rows seed all m books
-    val seeds = base.orderBy(xxhash64(col("__id")), col("__id")).limit(ksub)
+    val sampled = base.orderBy(xxhash64(col("__id")), col("__id")).limit(ksub)
       .select(col("__u")).collect().map(_.getSeq[Double](0).toArray)
+    require(sampled.nonEmpty, "pqFit: no non-zero vectors to train on")
+    // a corpus smaller than ksub still yields EXACTLY ksub centroids —
+    // every consumer (pqLut, the encoders) indexes books(j)(c) for
+    // c < ksub, so the codebook length is part of the model contract;
+    // duplicate centroids are harmless (argmin ties break low)
+    val seeds = Array.tabulate(ksub)(i => sampled(i % sampled.length))
     var books: Seq[Seq[Array[Double]]] = (0 until m).map { j =>
       seeds.toSeq.map(v => v.slice(j * dsub, (j + 1) * dsub))
     }

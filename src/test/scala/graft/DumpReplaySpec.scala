@@ -268,6 +268,21 @@ class DumpReplaySpec extends SparkSpec {
         |\.
         |
         |--
+        |-- Name: touch_updated(); Type: FUNCTION; Schema: public; Owner: app
+        |--
+        |
+        |CREATE FUNCTION public.touch_updated() RETURNS trigger
+        |    LANGUAGE plpgsql
+        |    AS $$
+        |BEGIN
+        |  NEW.created := now();
+        |  RETURN NEW;
+        |END;
+        |$$;
+        |
+        |ALTER FUNCTION public.touch_updated() OWNER TO app;
+        |
+        |--
         |-- Name: tags; Type: TABLE; Schema: public; Owner: app
         |--
         |

@@ -677,4 +677,37 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SELECT id FROM bin_t WHERE payload = 0x4142").df.get
       .collect().map(_.getInt(0)).toSeq === Seq(2))
   }
+
+  test("stored-program arms drop dump routines but keep Spark's own CREATE FUNCTION") {
+    val e = new Engine(spark, tmpDir("router_fn"))
+    // MySQL/PG dump spellings: accepted + dropped (no engine analog)
+    assert(exec(e,
+      "CREATE DEFINER=`root`@`localhost` FUNCTION `f`(x INT) RETURNS INT\nBEGIN\nRETURN x;\nEND").df.isEmpty)
+    assert(exec(e,
+      "CREATE FUNCTION g(x INT) RETURNS INT DETERMINISTIC RETURN x + 1").df.isEmpty)
+    assert(exec(e,
+      "CREATE FUNCTION h() RETURNS trigger LANGUAGE plpgsql AS $$BEGIN RETURN NEW; END;$$").df.isEmpty)
+    // Spark 4's SQL-UDF form must still reach Catalyst and WORK
+    exec(e, "CREATE FUNCTION plus_one(x INT) RETURNS INT RETURN x + 1")
+    assert(exec(e, "SELECT plus_one(41) AS v").df.get
+      .collect().head.getInt(0) === 42)
+    // none of the dropped spellings registered anything
+    intercept[Exception](exec(e, "SELECT g(1)").df.get.collect())
+  }
+
+  test("dollar-quoted bodies survive statement splitting") {
+    val script =
+      """CREATE FUNCTION t() RETURNS trigger LANGUAGE plpgsql AS $$
+        |BEGIN
+        |  UPDATE x SET a = 1;
+        |  RETURN NEW;
+        |END;
+        |$$;
+        |SELECT 1 AS one;
+        |""".stripMargin
+    val stmts = SqlRouter.splitStatements(script)
+    assert(stmts.size === 2)
+    assert(stmts.head.contains("UPDATE x SET a = 1;")) // body intact
+    assert(stmts(1) === "SELECT 1 AS one")
+  }
 }

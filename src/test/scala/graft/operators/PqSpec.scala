@@ -236,6 +236,20 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("a corpus smaller than ksub still trains a full-width usable model") {
+    // books(j).length == ksub is part of the model contract — pqLut
+    // indexes c < ksub — so a 6-row corpus under ksub=8 must pad seeds
+    // (duplicate centroids are fine: argmin ties break low)
+    val tiny = corpus.filter(col("vec_id") < 6)
+    val m2 = SimilarityOps.pqFit(tiny, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 1)
+    assert(m2.books.forall(_.size == 8))
+    val out = SimilarityOps.exactKnnPq(tiny,
+        tiny.filter(col("vec_id") === 0), "vec_id", "embedding", m2, k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length === 3) // ranks against the other 5 vectors
+  }
+
   test("the scan never decodes the corpus and stays broadcast-shaped") {
     val plan = SimilarityOps.pqTopK(codes, queries, "vec_id", "embedding",
         model, k = 3)
