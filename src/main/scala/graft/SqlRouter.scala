@@ -163,6 +163,14 @@ object SqlRouter {
     """(?is)\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:AUTHORIZATION\s+.*)?""".r
   private val SelectSetConfig =
     """(?is)\s*SELECT\s+(?:pg_catalog\.)?set_config\s*\(.*""".r
+  // pg_dumpall / --use-set-session-authorization dumps: '=' -less SET
+  // forms and RESET — session-role bookkeeping with no engine analog
+  private val SetSessionAuth =
+    """(?is)\s*SET\s+(?:LOCAL\s+)?SESSION\s+AUTHORIZATION\b.*""".r
+  // RESET is scoped to the forms dumps emit — Spark's own `RESET
+  // <conf>` command must keep reaching Catalyst
+  private val SetRole =
+    """(?is)\s*(?:SET\s+(?:LOCAL\s+)?ROLE\b.*|RESET\s+(?:ROLE|ALL|SESSION\s+AUTHORIZATION|search_path)\s*)""".r
   // setval repositions a sequence; pg_dump emits one per serial column
   // after the COPY data. The `<table>_<col>_seq` naming convention is
   // resolved against existing tables and mapped onto the table's
@@ -718,6 +726,8 @@ object SqlRouter {
     case CreateMysqlFunction() => ddl
     case CreatePgFunction() => ddl
     case DropRoutine() => ddl
+    case SetSessionAuth() => ddl // session-role bookkeeping: no analog
+    case SetRole() => ddl
     case SelectSetvalAny() => ddl // unparseable setval form: accepted
     case SelectSetConfig() => ddl // session GUCs: no engine analog
     case CreateIndexStmt() => ddl // index metadata: layout is the analog

@@ -695,6 +695,15 @@ class SqlRouterSpec extends SparkSpec {
     intercept[Exception](exec(e, "SELECT g(1)").df.get.collect())
   }
 
+  test("session-authorization/role forms are accepted (pg_dumpall shape)") {
+    val e = new Engine(spark, tmpDir("router_auth"))
+    assert(exec(e, "SET SESSION AUTHORIZATION app").df.isEmpty)
+    assert(exec(e, "SET LOCAL SESSION AUTHORIZATION DEFAULT").df.isEmpty)
+    assert(exec(e, "SET ROLE readonly").df.isEmpty)
+    assert(exec(e, "RESET ROLE").df.isEmpty)
+    assert(exec(e, "RESET search_path").df.isEmpty)
+  }
+
   test("dollar-quoted bodies survive statement splitting") {
     val script =
       """CREATE FUNCTION t() RETURNS trigger LANGUAGE plpgsql AS $$
