@@ -211,8 +211,15 @@ object SqlRouter {
     ("""(?is)\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)FUNCTION\s+[\w.`"]+\s*\(.*?\)\s*RETURNS\b.*""" +
       """|(?is)\s*CREATE\s+FUNCTION\s+[\w.`"]+\s*\(.*?\)\s*RETURNS\b""" +
       """(?=.*\b(?:BEGIN|DETERMINISTIC|CONTAINS\s+SQL|READS\s+SQL\s+DATA|MODIFIES\s+SQL\s+DATA|NO\s+SQL|SQL\s+SECURITY)\b).*""").r
+  // PG's marker is the AS-body: every PG function carries
+  // `AS $$...$$` / `AS '...'` plus a LANGUAGE clause. Spark 4's SQL
+  // UDF may carry LANGUAGE SQL too but its body is `RETURN expr` (no
+  // AS-string — and `CAST(x AS INT)` in it must not count, hence the
+  // quote/dollar anchor); Spark's JVM form has AS 'class' but never
+  // LANGUAGE.
   private val CreatePgFunction =
-    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(?=.*(?:\bLANGUAGE\s+\w+|\$\w*\$)).*""".r
+    ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+""" +
+      """(?:(?=.*\$\w*\$)|(?=.*\bLANGUAGE\s+\w+)(?=.*\bAS\s*['$])).*""").r
   private val DropRoutine =
     """(?is)\s*DROP\s+(?:PROCEDURE|TRIGGER|EVENT)\s+.*""".r
 

@@ -687,9 +687,15 @@ class SqlRouterSpec extends SparkSpec {
       "CREATE FUNCTION g(x INT) RETURNS INT DETERMINISTIC RETURN x + 1").df.isEmpty)
     assert(exec(e,
       "CREATE FUNCTION h() RETURNS trigger LANGUAGE plpgsql AS $$BEGIN RETURN NEW; END;$$").df.isEmpty)
-    // Spark 4's SQL-UDF form must still reach Catalyst and WORK
+    // Spark 4's SQL-UDF form must still reach Catalyst and WORK —
+    // including with its optional LANGUAGE SQL clause and an AS-cast
+    // in the body (neither may trip the PG-function discriminator)
     exec(e, "CREATE FUNCTION plus_one(x INT) RETURNS INT RETURN x + 1")
     assert(exec(e, "SELECT plus_one(41) AS v").df.get
+      .collect().head.getInt(0) === 42)
+    exec(e, "CREATE FUNCTION twice(x INT) RETURNS INT LANGUAGE SQL " +
+      "RETURN CAST(x AS INT) * 2")
+    assert(exec(e, "SELECT twice(21) AS v").df.get
       .collect().head.getInt(0) === 42)
     // none of the dropped spellings registered anything
     intercept[Exception](exec(e, "SELECT g(1)").df.get.collect())
