@@ -710,6 +710,35 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "RESET search_path").df.isEmpty)
   }
 
+  test("splitStatements property: randomized quoted/commented units split exactly") {
+    // deterministic LCG over compositions of the features the splitter
+    // must respect — semicolons inside every quoting/commenting form
+    // must NOT split, real separators between units MUST
+    val units = Seq(
+      "SELECT 'a;b'",
+      "INSERT INTO t VALUES ('it''s;ok', \"x;y\")",
+      "SELECT `col;weird` FROM t",
+      "SELECT 1 -- tail; comment\n",
+      "SELECT /* block; comment */ 2",
+      "SELECT $$dollar; body$$",
+      "SELECT $fn$tagged; body$fn$",
+      "UPDATE t SET v = 'a\\';q'",
+      "DELETE FROM t WHERE x = 3")
+    var seed = 42L
+    def nextInt(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    (0 until 50).foreach { trial =>
+      val k = 1 + nextInt(6)
+      val chosen = (0 until k).map(_ => units(nextInt(units.size)))
+      val script = chosen.mkString("", ";\n", ";")
+      val got = SqlRouter.splitStatements(script)
+      assert(got.map(_.trim) === chosen.map(_.trim),
+        s"trial $trial: ${script.take(120)}")
+    }
+  }
+
   test("dollar-quoted bodies survive statement splitting") {
     val script =
       """CREATE FUNCTION t() RETURNS trigger LANGUAGE plpgsql AS $$
