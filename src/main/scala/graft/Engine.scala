@@ -504,6 +504,11 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** RESET analog: drop the session-scoped value (the persisted global,
+    * if any, shows through again — PG's session/system layering). */
+  def unsetVar(key: String): Unit =
+    spark.conf.unset(s"graft.var.$key")
+
   /** All variables visible to SHOW VARIABLES: persisted globals
     * overlaid by session-scoped settings. */
   def listVars(): Map[String, String] = {

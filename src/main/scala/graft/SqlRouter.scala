@@ -168,9 +168,12 @@ object SqlRouter {
   private val SetSessionAuth =
     """(?is)\s*SET\s+(?:LOCAL\s+)?SESSION\s+AUTHORIZATION\b.*""".r
   // RESET is scoped to the forms dumps emit — Spark's own `RESET
-  // <conf>` command must keep reaching Catalyst
+  // <conf>` command must keep reaching Catalyst. Role forms are pure
+  // bookkeeping; RESET of a session VARIABLE must clear the engine var
+  // the SET arm recorded, or SHOW VARIABLES serves stale state.
   private val SetRole =
-    """(?is)\s*(?:SET\s+(?:LOCAL\s+)?ROLE\b.*|RESET\s+(?:ROLE|ALL|SESSION\s+AUTHORIZATION|search_path)\s*)""".r
+    """(?is)\s*(?:SET\s+(?:LOCAL\s+)?ROLE\b.*|RESET\s+(?:ROLE|ALL|SESSION\s+AUTHORIZATION)\s*)""".r
+  private val ResetVar = """(?is)\s*RESET\s+([\w.]+)\s*""".r
   // setval repositions a sequence; pg_dump emits one per serial column
   // after the COPY data. The `<table>_<col>_seq` naming convention is
   // resolved against existing tables and mapped onto the table's
@@ -207,21 +210,57 @@ object SqlRouter {
   // PG's LANGUAGE clause / dollar-quoted body.
   private val CreateRoutine =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:DEFINER\s*=\s*\S+\s+)?(?:PROCEDURE|TRIGGER|EVENT)\b.*""".r
+  // UNAMBIGUOUS dump-function markers, tested on a quote-MASKED copy
+  // (a '$tmp$' or 'save as' inside a string literal of a legitimate
+  // Spark UDF body must not trip these): MySQL's DEFINER clause or a
+  // BEGIN body; PG's dollar-quoted body, or a LANGUAGE clause paired
+  // with an AS-string body (Spark's SQL UDF may carry LANGUAGE SQL but
+  // its body is `RETURN expr`; Spark's JVM form has AS 'class' but
+  // never LANGUAGE).
   private val CreateMysqlFunction =
     ("""(?is)\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)FUNCTION\s+[\w.`"]+\s*\(.*?\)\s*RETURNS\b.*""" +
-      """|(?is)\s*CREATE\s+FUNCTION\s+[\w.`"]+\s*\(.*?\)\s*RETURNS\b""" +
-      """(?=.*\b(?:BEGIN|DETERMINISTIC|CONTAINS\s+SQL|READS\s+SQL\s+DATA|MODIFIES\s+SQL\s+DATA|NO\s+SQL|SQL\s+SECURITY)\b).*""").r
-  // PG's marker is the AS-body: every PG function carries
-  // `AS $$...$$` / `AS '...'` plus a LANGUAGE clause. Spark 4's SQL
-  // UDF may carry LANGUAGE SQL too but its body is `RETURN expr` (no
-  // AS-string — and `CAST(x AS INT)` in it must not count, hence the
-  // quote/dollar anchor); Spark's JVM form has AS 'class' but never
-  // LANGUAGE.
+      """|(?is)\s*CREATE\s+FUNCTION\s+[\w.`"]+\s*\(.*?\)\s*RETURNS\b(?=.*\bBEGIN\b).*""").r
   private val CreatePgFunction =
     ("""(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+""" +
       """(?:(?=.*\$\w*\$)|(?=.*\bLANGUAGE\s+\w+)(?=.*\bAS\s*['$])).*""").r
+  // the AMBIGUOUS spelling: routine characteristics (DETERMINISTIC,
+  // CONTAINS SQL, ...) with a RETURN body are BOTH valid Spark 4
+  // SQL-UDF syntax and valid MySQL-dump syntax — resolved by trying
+  // Catalyst (a MySQL one-line scalar function then registers as a
+  // WORKING Spark UDF, better restore fidelity than dropping) and
+  // accepting-as-dropped only what Catalyst rejects.
+  private val CreateFunctionAmbiguous =
+    ("""(?is)\s*CREATE\s+FUNCTION\s+[\w.`"]+\s*\(.*?\)\s*RETURNS\b""" +
+      """(?=.*\b(?:DETERMINISTIC|CONTAINS\s+SQL|READS\s+SQL\s+DATA|MODIFIES\s+SQL\s+DATA|NO\s+SQL|SQL\s+SECURITY)\b).*""").r
   private val DropRoutine =
     """(?is)\s*DROP\s+(?:PROCEDURE|TRIGGER|EVENT)\s+.*""".r
+
+  /** Single-quoted spans blanked (quote chars kept) so the dump-function
+    * discriminators never fire on markers INSIDE string literals. */
+  private def maskSingleQuoted(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var inQ = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '\'') { inQ = false; b.append(c) } else b.append('x')
+      } else {
+        if (c == '\'') inQ = true
+        b.append(c)
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  private def isDumpFunction(s: String): Boolean = {
+    val masked = maskSingleQuoted(s)
+    CreateMysqlFunction.matches(masked) || CreatePgFunction.matches(masked)
+  }
+
+  private def isAmbiguousFunction(s: String): Boolean =
+    CreateFunctionAmbiguous.matches(maskSingleQuoted(s))
 
   private val VersionQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
@@ -730,11 +769,23 @@ object SqlRouter {
         }
       ddl
     case CreateRoutine() => ddl // stored programs: accepted, dropped
-    case CreateMysqlFunction() => ddl
-    case CreatePgFunction() => ddl
+    case _ if isDumpFunction(sqlText) => ddl
+    case _ if isAmbiguousFunction(sqlText) =>
+      // valid as BOTH a Spark SQL UDF and a MySQL dump function: let
+      // Catalyst try (registers a working UDF); drop only on rejection
+      try Result(Some(engine.sql(original)), 0L)
+      catch {
+        case _: org.apache.spark.sql.catalyst.parser.ParseException => ddl
+        case _: org.apache.spark.sql.AnalysisException => ddl
+      }
     case DropRoutine() => ddl
     case SetSessionAuth() => ddl // session-role bookkeeping: no analog
     case SetRole() => ddl
+    case ResetVar(name) if engine.getVar(name).isDefined =>
+      // a variable the SET arm recorded: RESET clears the session value
+      engine.unsetVar(name); ddl
+    case ResetVar(name) if name.equalsIgnoreCase("search_path") =>
+      ddl // never SET this session: still dump bookkeeping, accepted
     case SelectSetvalAny() => ddl // unparseable setval form: accepted
     case SelectSetConfig() => ddl // session GUCs: no engine analog
     case CreateIndexStmt() => ddl // index metadata: layout is the analog

@@ -680,11 +680,11 @@ class SqlRouterSpec extends SparkSpec {
 
   test("stored-program arms drop dump routines but keep Spark's own CREATE FUNCTION") {
     val e = new Engine(spark, tmpDir("router_fn"))
-    // MySQL/PG dump spellings: accepted + dropped (no engine analog)
+    // UNAMBIGUOUS dump spellings: accepted + dropped (no engine analog)
     assert(exec(e,
       "CREATE DEFINER=`root`@`localhost` FUNCTION `f`(x INT) RETURNS INT\nBEGIN\nRETURN x;\nEND").df.isEmpty)
     assert(exec(e,
-      "CREATE FUNCTION g(x INT) RETURNS INT DETERMINISTIC RETURN x + 1").df.isEmpty)
+      "CREATE FUNCTION fb(x INT) RETURNS INT\nBEGIN\nRETURN x;\nEND").df.isEmpty)
     assert(exec(e,
       "CREATE FUNCTION h() RETURNS trigger LANGUAGE plpgsql AS $$BEGIN RETURN NEW; END;$$").df.isEmpty)
     // Spark 4's SQL-UDF form must still reach Catalyst and WORK —
@@ -697,8 +697,20 @@ class SqlRouterSpec extends SparkSpec {
       "RETURN CAST(x AS INT) * 2")
     assert(exec(e, "SELECT twice(21) AS v").df.get
       .collect().head.getInt(0) === 42)
-    // none of the dropped spellings registered anything
-    intercept[Exception](exec(e, "SELECT g(1)").df.get.collect())
+    // dump-marker text INSIDE string literals must not trip the drop
+    // arms: this Spark UDF's body contains '$tmp$' and 'save as'
+    exec(e, "CREATE FUNCTION strip_tag(s STRING) RETURNS STRING " +
+      "RETURN replace(replace(s, '$tmp$', ''), 'save as', '')")
+    assert(exec(e, "SELECT strip_tag('a$tmp$b') AS v").df.get
+      .collect().head.getString(0) === "ab")
+    // the AMBIGUOUS spelling — characteristics + RETURN body is valid
+    // Spark 4 SQL-UDF syntax AND valid MySQL-dump syntax — registers
+    // as a WORKING UDF via Catalyst (better restore fidelity than a
+    // drop), never aborts
+    exec(e, "CREATE FUNCTION g(x INT) RETURNS INT DETERMINISTIC RETURN x + 1")
+    assert(exec(e, "SELECT g(1) AS v").df.get.collect().head.getInt(0) === 2)
+    // none of the DROPPED spellings registered anything
+    intercept[Exception](exec(e, "SELECT fb(1)").df.get.collect())
   }
 
   test("session-authorization/role forms are accepted (pg_dumpall shape)") {
@@ -708,6 +720,11 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SET ROLE readonly").df.isEmpty)
     assert(exec(e, "RESET ROLE").df.isEmpty)
     assert(exec(e, "RESET search_path").df.isEmpty)
+    // RESET of a variable the SET arm recorded clears the session value
+    exec(e, "SET search_path = myschema")
+    assert(e.getVar("search_path") === Some("myschema"))
+    exec(e, "RESET search_path")
+    assert(e.getVar("search_path") === None)
   }
 
   test("splitStatements property: randomized quoted/commented units split exactly") {
