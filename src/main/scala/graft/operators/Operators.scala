@@ -811,4 +811,48 @@ object Operators {
     pre.join(right.select(col(rightKey).as(leftKey)).na.drop(Seq(leftKey)),
       Seq(leftKey), "left_semi")
   }
+
+  /** One PII scrub rule: `countCol` gets the number of `regex` matches
+    * in the input text; matches are replaced with `placeholder`. */
+  final case class ScrubRule(countCol: String, placeholder: String,
+      regex: String)
+
+  /** The default rule set of the C4/Dolma/FineWeb-style scrub pass:
+    * email addresses, NANP phone numbers, dotted-quad IPs. The regex
+    * subset (character classes, bounded repetition, literals — no \b,
+    * no lookaround) behaves identically under Java regex and RE2, so
+    * results stay portable across engines. */
+  val DefaultPiiRules: Seq[ScrubRule] = Seq(
+    ScrubRule("n_emails", "<EMAIL>",
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ScrubRule("n_phones", "<PHONE>", "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ScrubRule("n_ips", "<IP>",
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"))
+
+  /** PII DETECTION + REDACTION over a free-text column (the scrub step
+    * between crawl and tokenizer): per rule, a `countCol` with the
+    * match count, plus `outCol` holding the text with every match
+    * replaced by the rule's placeholder.
+    *
+    * Counts are measured on the ORIGINAL text (rules count
+    * independently); redaction applies rules IN ORDER over the running
+    * result — give placeholders an alphabet no later rule can match
+    * (the angle-bracket tags satisfy this for the default rules).
+    *
+    * 100 TB shape: pure narrow per-row compute — all counting and
+    * replacing happens inside one codegen'd projection attached to the
+    * scan, no shuffle, no state. */
+  def piiScrub(df: DataFrame, textCol: String,
+      rules: Seq[ScrubRule] = DefaultPiiRules,
+      outCol: String = "scrubbed"): DataFrame = {
+    val withCounts = rules.foldLeft(df) { (d, r) =>
+      d.withColumn(r.countCol,
+        size(regexp_extract_all(col(textCol), lit(r.regex), lit(0)))
+          .cast("long"))
+    }
+    val scrubbed = rules.foldLeft(col(textCol)) { (c, r) =>
+      regexp_replace(c, r.regex, r.placeholder)
+    }
+    withCounts.withColumn(outCol, scrubbed)
+  }
 }

@@ -236,14 +236,19 @@ object CurationQueries {
   // detection AND redaction byte-for-byte via md5): docs ≡0 mod 3 get
   // an email, ≡0 mod 5 a NANP phone, ≡0 mod 7 a dotted-quad IP.
   //
-  // Scale design: pure narrow per-document compute — three regex scans
+  // Scale design: the scrub itself is [[graft.operators.Operators
+  // .piiScrub]] — pure narrow per-document compute, three regex scans
   // and three replaces inside one codegen'd projection, zero shuffles
-  // before the presentation sort. The regex subset (classes, bounded
-  // repetition, literals) behaves identically under Java regex and
-  // RE2, which is what makes the md5 cross-engine check possible.
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
-  private val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  // before the presentation sort. The default rules' regex subset
+  // (classes, bounded repetition, literals) behaves identically under
+  // Java regex and RE2, which is what makes the md5 cross-engine check
+  // possible.
+  private val EmailRe =
+    graft.operators.Operators.DefaultPiiRules(0).regex
+  private val PhoneRe =
+    graft.operators.Operators.DefaultPiiRules(1).regex
+  private val IpRe =
+    graft.operators.Operators.DefaultPiiRules(2).regex
 
   private val q68 = QueryDef(
     "q68_pii_redaction",
@@ -267,18 +272,7 @@ object CurationQueries {
       // redaction order: emails first (their local parts may contain
       // digits), then phones, then IPs; the <TAG> placeholders cannot
       // re-match any pattern, so the chain is confluent.
-      aug.select(col("doc_id"),
-          size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
-            .cast("long").as("n_emails"),
-          size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0)))
-            .cast("long").as("n_phones"),
-          size(regexp_extract_all(col("aug"), lit(IpRe), lit(0)))
-            .cast("long").as("n_ips"),
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
-              PhoneRe, "<PHONE>"),
-            IpRe, "<IP>").as("red"))
+      graft.operators.Operators.piiScrub(aug, "aug", outCol = "red")
         .select(col("doc_id"), col("n_emails"), col("n_phones"),
           col("n_ips"),
           (col("n_emails") + col("n_phones") + col("n_ips")).as("pii_total"),

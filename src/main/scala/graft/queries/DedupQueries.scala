@@ -296,7 +296,12 @@ object DedupQueries {
   // keep the BEST member instead — here the longest document (token
   // count as the quality proxy, lowest doc_id as the deterministic
   // tie-break), reporting per cluster the keeper and the token mass
-  // dedup would drop.
+  // dedup would drop. Clusters come from the STRONG near-dup graph
+  // (τ=0.5, q89's pair set) — the regime where merging copies is
+  // actually safe; the dense τ=0.08 graph (q66) percolates into giant
+  // components whose "canonical member" is not a meaningful keep
+  // decision (and whose transitive-closure oracle costs 400+ s in
+  // DuckDB at sf0.1 vs ~25 s for the τ=0.5 graph).
   //
   // Scale design: cluster assignment comes from the bounded-iteration
   // min-label operator (keyed shuffles only); the argmax is ONE
@@ -308,7 +313,9 @@ object DedupQueries {
     "q69_canonical_selection",
     (s, dir) => {
       val comp = graft.operators.Operators.connectedComponents(
-        exactJaccardPairs(s, dir).select(col("a_id"), col("b_id")),
+        graft.operators.Operators.jaccardPairsAuto(
+          codeSets(s, dir), "doc_id", "cs", tau = 0.5)
+          .select(col("a_id"), col("b_id")),
         "a_id", "b_id", maxIter = 50)
         .select(col("id").as("doc_id"), col("cluster"))
       val tok = t(s, dir, "documents")
@@ -325,7 +332,7 @@ object DedupQueries {
           (col("total_tokens") - col("m.t")).as("dropped_tokens"))
         .orderBy(col("cluster"))
     },
-    Some(s"""WITH RECURSIVE $pairsDuck,
+    Some(s"""WITH RECURSIVE ${pairsDuckAt(0.5)},
       edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
         UNION SELECT b_id, a_id FROM pairs),
       reach(src, dst) AS (

@@ -234,6 +234,27 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("r").select("t").as[Int].collect() === Array(1, 2))
   }
 
+  test("piiScrub counts and redacts realistic spans; no-shuffle plan") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+spam@sub.example.co.uk or call +1-415-555-0199"),
+      (2L, "two mails a@b.io c.d@e.org and server 192.168.0.1"),
+      (3L, "clean text with version 1.2 and price $3.50"),
+      (4L, "10.0.0.1 leads; trailing mail x@y.zz")
+    ).toDF("id", "text")
+    val out = Operators.piiScrub(df, "text")
+      .select("id", "n_emails", "n_phones", "n_ips", "scrubbed")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 1L, 1L, 0L,
+      "mail me at <EMAIL> or call <PHONE>")))
+    assert(out(1) === ((2L, 2L, 0L, 1L, "two mails <EMAIL> <EMAIL> and server <IP>")))
+    // dotted version/price numbers must NOT look like IPs (2 groups, not 4)
+    assert(out(2) === ((3L, 0L, 0L, 0L, "clean text with version 1.2 and price $3.50")))
+    assert(out(3) === ((4L, 1L, 0L, 1L, "<IP> leads; trailing mail <EMAIL>")))
+    // narrow shape: no exchange anywhere in the scrub plan
+    val plan = Operators.piiScrub(df, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("approxNtile buckets are monotone and near-even") {
     val df = (1 to 4000).map(i => ((i * 7919) % 4096).toDouble).toDF("x")
     val out = Operators.approxNtile(df, "x", 4)
