@@ -161,6 +161,64 @@ class PropertySpec extends SparkSpec {
     assert(ZOrder2.interleave(1, 1) === 3L)
   }
 
+  test("struct-max argmax equals the window row_number pick (q69's core)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // random (group, id, quality) with heavy ties in quality — the
+    // regime where a non-deterministic max_by would diverge
+    val rowGen = Gen.zip(Gen.choose(0, 8), Gen.choose(0L, 400L),
+      Gen.choose(0L, 5L))
+    val rows = samples(rowGen, 300).distinctBy(r => (r._1, r._2))
+    val df = rows.toDF("g", "id", "q")
+    val viaStruct = df.groupBy(col("g"))
+      .agg(max(struct(col("q").as("q"), (-col("id")).as("neg"))).as("m"))
+      .select(col("g"), (-col("m.neg")).as("keep"), col("m.q").as("kq"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val best = rs.minBy(r => (-r._3, r._2)) // max q, then min id
+      g -> ((best._2, best._3))
+    }
+    assert(viaStruct === expected)
+  }
+
+  test("piiScrub recovers spans planted at random positions and scrubs clean") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+    val piiGen = Gen.oneOf(
+      Gen.zip(word, word).map { case (u, d) => (s"$u@$d.org", "e") },
+      Gen.zip(Gen.choose(100, 999), Gen.choose(100, 999), Gen.choose(1000, 9999))
+        .map { case (a, b, c) => (s"+1-$a-$b-$c", "p") },
+      Gen.zip(Gen.choose(0, 255), Gen.choose(0, 255), Gen.choose(0, 255))
+        .map { case (a, b, c) => (s"$a.$b.$c.${(a + c) % 256}", "i") })
+    val docGen = for {
+      pre <- Gen.listOf(word)
+      spans <- Gen.listOf(piiGen)
+      sep <- Gen.listOfN(math.max(1, spans.length), word)
+    } yield {
+      // interleave filler words and spans; spaces keep spans intact
+      val body = spans.zip(sep).flatMap { case ((s, _), w) => Seq(s, w) }
+      val text = (pre ++ body).mkString(" ")
+      val n = spans.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      (text, n.getOrElse("e", 0L), n.getOrElse("p", 0L), n.getOrElse("i", 0L))
+    }
+    val cases = samples(docGen, 120)
+    val df = cases.zipWithIndex
+      .map { case ((t, e, p, i), ix) => (ix.toLong, t, e, p, i) }
+      .toDF("id", "text", "xe", "xp", "xi")
+    val out = graft.operators.Operators.piiScrub(df, "text")
+    val bad = out.filter(col("n_emails") =!= col("xe") ||
+      col("n_phones") =!= col("xp") || col("n_ips") =!= col("xi"))
+      .select("id", "text").as[(Long, String)].collect()
+    assert(bad.isEmpty, bad.take(3).mkString("\n"))
+    // scrubbing is complete under re-scan
+    val residue = graft.operators.Operators
+      .piiScrub(out.select(col("scrubbed").as("text")), "text")
+      .agg(sum(col("n_emails") + col("n_phones") + col("n_ips")))
+      .as[Long].head()
+    assert(residue === 0L)
+  }
+
   test("hashSample keep-sets are monotone in the sampling rate") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
