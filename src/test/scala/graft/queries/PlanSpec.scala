@@ -175,4 +175,23 @@ class PlanSpec extends SparkSpec {
     assert(docs.collect().map(r => (String.valueOf(r.get(0)), r.getLong(1))).sorted ===
       oldShape.collect().map(r => (String.valueOf(r.get(0)), r.getLong(1))).sorted)
   }
+
+  test("q68: scrub is one narrow projection — only repartition + sort exchanges") {
+    val p = plan("q68_pii_redaction")
+    // the explicit compute-spread repartition and the presentation sort
+    // are the ONLY exchanges; the scrub itself never shuffles
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("+- Exchange") || l.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"$exchanges exchanges:\n${p.take(2500)}")
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q69: keeper argmax is an aggregation, never a per-cluster window sort") {
+    val p = plan("q69_canonical_selection")
+    assert(!p.contains("Window"), p.take(2500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2500))
+    // two-phase agg: map-side partial max(struct) before the shuffle
+    assert(p.contains("partial_max"), p.take(2500))
+  }
 }
