@@ -17,8 +17,9 @@ import java.nio.charset.StandardCharsets
   *   caching_sha2_password SHA-256 scramble — MySQL 8's default;
   *   AuthSwitchRequest to either plugin is honored, and caching_sha2's
   *   full-authentication path sends the cleartext password over TLS —
-  *   on a plaintext channel it fails loudly instead, the RSA fallback
-  *   being deliberately out of scope) →
+  *   on a plaintext channel the in-band RSA public-key exchange runs
+  *   when `allowPublicKeyRetrieval` opts in, matching stock clients'
+  *   flag-guarded behavior, and fails loudly otherwise) →
   *   `SET @master_binlog_checksum = @@global.binlog_checksum` →
   *   `SET @master_heartbeat_period = <ns>` →
   *   COM_BINLOG_DUMP_GTID(executed gtid set) → event packets.
@@ -60,7 +61,14 @@ final class MySqlBinlogClient(
     heartbeatPeriodMs: Long = 30000L,
     // Some(ctx) → CLIENT_SSL capability + TLS upgrade after the server
     // handshake, before any credentials travel
-    sslContext: Option[javax.net.ssl.SSLContext] = None) {
+    sslContext: Option[javax.net.ssl.SSLContext] = None,
+    // caching_sha2 full auth on a PLAINTEXT channel: when true, fetch
+    // the server's RSA public key in-band and send the scramble-XORed
+    // password OAEP-encrypted (the documented fallback every stock
+    // client implements behind a flag). Default FALSE, matching those
+    // clients' safety default — an in-band key over an untrusted
+    // channel is MITM-able; prefer sslContext.
+    allowPublicKeyRetrieval: Boolean = false) {
 
   @volatile private var stopped = false
   @volatile private var socket: Socket = _
@@ -367,15 +375,20 @@ final class MySqlBinlogClient(
     body.write(plugin.getBytes(StandardCharsets.UTF_8))
     body.write(0)
     writePacket(out, body.toByteArray)
-    authLoop(in, out)
+    authLoop(in, out, scramble)
   }
 
   private def authToken(plugin: String, scramble: Array[Byte]): Array[Byte] =
     if (plugin == "caching_sha2_password") sha2Token(scramble)
     else nativePasswordToken(scramble)
 
-  /** Drive AuthSwitchRequest / AuthMoreData rounds to an OK packet. */
-  private def authLoop(in: DataInputStream, out: DataOutputStream): Unit = {
+  /** Drive AuthSwitchRequest / AuthMoreData rounds to an OK packet.
+    * `scramble` is the nonce the CURRENT plugin round is bound to —
+    * full authentication XORs the password against it, so an
+    * AuthSwitchRequest's fresh scramble must replace it. */
+  private def authLoop(in: DataInputStream, out: DataOutputStream,
+      scramble: Array[Byte]): Unit = {
+    var active = scramble
     while (true) {
       val p = readPacket(in)
       (p(0) & 0xff) match {
@@ -392,6 +405,7 @@ final class MySqlBinlogClient(
             if (data.nonEmpty && data.last == 0) data.dropRight(1) else data
           plugin match {
             case "mysql_native_password" | "caching_sha2_password" =>
+              active = sc
               writePacket(out, authToken(plugin, sc))
             case other => throw new IOException(
               s"server requested unsupported auth plugin '$other' " +
@@ -406,21 +420,54 @@ final class MySqlBinlogClient(
             case 0x03 => () // fast_auth_success: cache warm; OK follows
             case 0x04 =>
               // perform_full_authentication: the cleartext password may
-              // only travel on a TLS channel; the RSA-encrypted
-              // plaintext-channel fallback is deliberately out of scope
+              // travel on a TLS channel; on plaintext, the opt-in RSA
+              // fallback fetches the server public key in-band and
+              // sends the scramble-XORed password OAEP-encrypted
               if (sslContext.isDefined)
                 writePacket(out,
                   password.getBytes(StandardCharsets.UTF_8) :+ 0.toByte)
-              else throw new IOException(
+              else if (allowPublicKeyRetrieval) {
+                writePacket(out, Array(0x02.toByte)) // request public key
+                val kp = readPacket(in)
+                if ((kp(0) & 0xff) != 0x01) throw new IOException(
+                  f"expected AuthMoreData with the server public key, got 0x${kp(0) & 0xff}%02x")
+                val pem = new String(kp, 1, kp.length - 1, StandardCharsets.UTF_8)
+                writePacket(out, rsaEncryptedPassword(pem, active))
+              } else throw new IOException(
                 "caching_sha2_password full authentication requires TLS " +
-                  "(server auth cache cold) — pass sslContext, or prime " +
-                  "the cache by connecting once with another client")
+                  "(server auth cache cold) — pass sslContext, set " +
+                  "allowPublicKeyRetrieval=true to accept the in-band " +
+                  "RSA key (MITM-able on an untrusted network), or " +
+                  "prime the cache by connecting once with another client")
             case _ => () // forward-compatible skip
           }
         case other =>
           throw new IOException(f"unexpected auth packet first byte 0x$other%02x")
       }
     }
+  }
+
+  /** caching_sha2 full-auth RSA fallback: (password ++ NUL) XORed with
+    * the cycled 20-byte nonce, encrypted under the server's announced
+    * public key with RSA-OAEP(SHA-1) — the exchange every public
+    * client implements (reference's library:
+    * go-mysql `client/auth.go`; protocol documented in the MySQL
+    * internals manual, "sha256_password / caching_sha2_password"). */
+  private def rsaEncryptedPassword(pem: String,
+      scramble: Array[Byte]): Array[Byte] = {
+    val b64 = pem.linesIterator
+      .filterNot(_.contains("-----")).mkString.trim
+    val der = java.util.Base64.getMimeDecoder.decode(b64)
+    val key = java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+    val input = password.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+    val nonce = scramble.take(20)
+    val obf = Array.tabulate(input.length)(i =>
+      (input(i) ^ nonce(i % nonce.length)).toByte)
+    val c = javax.crypto.Cipher
+      .getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+    c.doFinal(obf)
   }
 
   /** caching_sha2_password fast-auth scramble:

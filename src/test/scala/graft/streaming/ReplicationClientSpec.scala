@@ -668,6 +668,60 @@ class ReplicationClientSpec extends SparkSpec {
     } finally { client.stop(); server.close(); fake.join(5000) }
   }
 
+  test("mysql client: full auth over plaintext runs the RSA exchange when opted in") {
+    val dir = tmpDir("myrepl_fullauth_rsa")
+    val scramble: Array[Byte] = (41 to 60).map(_.toByte).toArray
+    val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+    kpg.initialize(2048)
+    val keys = kpg.generateKeyPair()
+    val pem = "-----BEGIN PUBLIC KEY-----\n" +
+      java.util.Base64.getMimeEncoder(64, "\n".getBytes)
+        .encodeToString(keys.getPublic.getEncoded) +
+      "\n-----END PUBLIC KEY-----\n"
+    val decrypted = new java.util.concurrent.atomic.AtomicReference[Seq[Byte]]()
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val server = new ServerSocket(0)
+    val fake = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        my.writePacket(out, 0, my.handshakeV10(scramble, "caching_sha2_password"))
+        my.readPacket(in) // fast-auth token (cache cold — ignored)
+        // cache cold: perform_full_authentication
+        my.writePacket(out, 2, Array[Byte](0x01, 0x04))
+        // client must request the public key with a 0x02 packet
+        val req = my.readPacket(in)
+        assert(req.length == 1 && req(0) == 0x02, s"bad key request: ${req.toSeq}")
+        my.writePacket(out, 3, my.cat(Array(0x01.toByte),
+          pem.getBytes(StandardCharsets.UTF_8)))
+        // decrypt WITH THE PRIVATE KEY — verifies the client's OAEP
+        // encryption and nonce-XOR from the wire, not tautologically
+        val blob = my.readPacket(in)
+        val c = javax.crypto.Cipher
+          .getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE, keys.getPrivate)
+        decrypted.set(c.doFinal(blob).toSeq)
+        my.writePacket(out, 5, my.okPacket)
+        myServeTail(in, out, myOneTxn)
+        try in.readByte() catch { case _: Throwable => () }
+        s.close()
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "fake-mysql-rsa")
+    fake.start()
+    val client = new MySqlBinlogClient("127.0.0.1", server.getLocalPort,
+      "repl", "secret", "fullrsa", dir, maxRetries = 0,
+      allowPublicKeyRetrieval = true).start()
+    try await("5 frames after RSA full auth")(client.framesAppended == 5L)
+    finally { client.stop(); server.close(); fake.join(5000) }
+    assert(serverErr.get() === null, s"server: ${serverErr.get()}")
+    // expected plaintext: password ++ NUL, XORed with the cycled nonce
+    val input = "secret".getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+    val expected = input.indices.map(i =>
+      (input(i) ^ scramble(i % scramble.length)).toByte)
+    assert(decrypted.get() === expected)
+  }
+
   test("mysql client: TLS upgrade, then full auth sends the password over TLS") {
     val dir = tmpDir("myrepl_tls")
     val scramble: Array[Byte] = (41 to 60).map(_.toByte).toArray
