@@ -308,6 +308,11 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
 
   def listViews(db: String = currentDb): Seq[String] = loadViews(db).keys.toSeq.sorted
 
+  /** View name → definition text for a database (A34's pg_views needs
+    * the definitions, not just the names). */
+  private[graft] def viewDefs(db: String = currentDb): Map[String, String] =
+    loadViews(db)
+
   private def loadViews(db: String): Map[String, String] = {
     val f = warehouse.resolve(db).resolve("_views.json")
     if (!Files.exists(f)) Map.empty
@@ -396,6 +401,13 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
       views ++= hit
       ids ++= hit.values.flatMap(idents)
     }
+    // pg_catalog / information_schema emulation (A34): a statement
+    // that references a rewritten `__sys__<rel>` / `__is__<rel>` name —
+    // directly or through a view definition in the closure above —
+    // gets the frame registered from live metadata (metadata-sized,
+    // no jobs)
+    ids.filter(n => n.startsWith("__sys__") || n.startsWith("__is__"))
+      .foreach(PgCatalog.registerIfKnown(this, _))
     allTables.filter(t => ids.contains(t.toLowerCase)).foreach { t =>
       val p = warehouse.resolve(currentDb).resolve(t)
       if (inTransaction) {

@@ -14,6 +14,7 @@ object SparkEntry {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.GraftFunctions.register(spark)
+    graft.functions.MySqlShims.register(spark)
     spark
   }
 

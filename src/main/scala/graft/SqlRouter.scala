@@ -235,6 +235,18 @@ object SqlRouter {
   private val DropRoutine =
     """(?is)\s*DROP\s+(?:PROCEDURE|TRIGGER|EVENT)\s+.*""".r
 
+  // ---- A35 in-place probes: recovery / WAL / setting queries answered
+  // from engine state without a Catalyst round trip, the reference's
+  // in_place_handler.go:20-192 contract. Whole-statement matches only;
+  // the same spellings EMBEDDED in larger queries are rewritten by
+  // PgCompat on the Catalyst path instead.
+  private val PgIsInRecoveryQ =
+    """(?is)\s*SELECT\s+(?:pg_catalog\.)?pg_is_in_recovery\s*\(\s*\)\s*;?\s*""".r
+  private val PgWalLsnQ =
+    """(?is)\s*SELECT\s+(?:pg_catalog\.)?(pg_current_wal_lsn|pg_last_wal_replay_lsn)\s*\(\s*\)\s*;?\s*""".r
+  private val CurrentSettingQ =
+    """(?is)\s*SELECT\s+(?:pg_catalog\.)?current_setting\s*\(\s*'([^']+)'\s*\)\s*;?\s*""".r
+
   /** Single-quoted spans blanked (quote chars kept) so the dump-function
     * discriminators never fire on markers INSIDE string literals. */
   private def maskSingleQuoted(s: String): String = {
@@ -499,7 +511,7 @@ object SqlRouter {
       // A10 CTAS: analyze once for the schema, create, then insert the
       // same plan's result (a parenthesized source unwraps one layer)
       val query = unwrapParens(query0)
-      val df = engine.sql(query)
+      val df = engine.sql(PgCompat.rewriteQuery(engine, query))
       engine.createTable(name, df.schema)
       Result(None, engine.table(name).insert(df))
     case CreateTableLike(ifNotExists, name, src) =>
@@ -518,7 +530,11 @@ object SqlRouter {
     case DropTable(ifExists, name) =>
       if (ifExists != null && !tableExists(engine, name)) ddl
       else { engine.dropTable(name); ddl }
-    case CreateView(name, defn) => engine.createView(name, defn); ddl
+    case CreateView(name, defn) =>
+      // PG spellings fold before the definition is stored: the stored
+      // text re-analyzes on every later registration, where the compat
+      // rewrite no longer runs
+      engine.createView(name, PgCompat.rewriteQuery(engine, defn)); ddl
     case DropView(name) => engine.dropView(name); ddl
     case Begin() => engine.begin(); ddl
     // MySQL treats COMMIT/ROLLBACK without an open transaction as
@@ -799,7 +815,33 @@ object SqlRouter {
       if (!name.equalsIgnoreCase("public") &&
         !engine.listDatabases().contains(name)) engine.createDatabase(name)
       ddl
-    case _ => Result(Some(engine.sql(original)), 0L)
+    // A35 in-place probes (reference in_place_handler.go:20-192).
+    // Recovery state: 't' when a subscription is being applied — the
+    // engine drives replication clients programmatically, so the
+    // pg_subscription surface is empty and the answer is 'f' (the
+    // reference's own default when its subscription table is empty).
+    case PgIsInRecoveryQ() =>
+      Result(Some(seqDf(engine, Seq("f"), "pg_is_in_recovery")), 0L)
+    case PgWalLsnQ(fn) =>
+      // the replication position a standby would report: a recorded
+      // engine variable when a replication pipeline set one, else the
+      // reference's '0/0' default (in_place_handler.go:48-68)
+      val lsn = engine.getVar("wal_replay_lsn").getOrElse("0/0")
+      Result(Some(seqDf(engine, Seq(lsn), fn.toLowerCase)), 0L)
+    case CurrentSettingQ(name) =>
+      val v = PgCatalog.setting(engine, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"unrecognized configuration parameter \"$name\""))
+      Result(Some(seqDf(engine, Seq(v), "current_setting")), 0L)
+    case q if PgCompat.fullMatch(q).isDefined =>
+      // A35 hardcoded psql intro queries (full_match_handler.go:29-60)
+      Result(Some(engine.sql(
+        PgCompat.rewriteQuery(engine, PgCompat.fullMatch(q).get))), 0L)
+    case _ =>
+      // the Catalyst-bound path: PG client spellings (pg_catalog refs,
+      // ::casts, regex ops, = ANY, compat macros) fold to Spark SQL
+      // first — a no-op for statements without them (PgCompat gate)
+      Result(Some(engine.sql(PgCompat.rewriteQuery(engine, original))), 0L)
   }
 
   private def ddl: Result = Result(None, -1L)

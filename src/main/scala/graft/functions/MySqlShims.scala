@@ -100,6 +100,18 @@ object MySqlShims {
     // A31 __sys__.my_split_list_str(s) — regexp split to array
     fr.createOrReplaceTempFunction("my_split_list_str",
       exprs => StringSplit(exprs(0), Literal.create("[,;\\s]+"), Literal(-1)), "built-in")
+    // A32 as SQL: information_schema._pg_expandarray(a) → array of
+    // (x, n) structs — element with 1-based ordinality. PG's form is a
+    // set-returning function; Spark's dialect reaches the rows via
+    // `inline(_pg_expandarray(a))` or a LATERAL VIEW explode (the
+    // PgCompat scaladoc documents the spelling difference). Composed
+    // from codegen'd collection expressions, no UDF.
+    fr.createOrReplaceTempFunction("_pg_expandarray", { exprs =>
+      import org.apache.spark.sql.catalyst.expressions._
+      val arr = exprs.head
+      ArraysZip(Seq(arr, new Sequence(Literal(1), Size(arr), None, None)),
+        Seq(Literal("x"), Literal("n")))
+    }, "built-in")
     // A29 ps_current_thread_id() — connection/session id analog
     val sessionId = java.util.UUID.randomUUID().getLeastSignificantBits.abs
     spark.udf.register("ps_current_thread_id", () => sessionId)
