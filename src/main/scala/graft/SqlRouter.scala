@@ -281,6 +281,67 @@ object SqlRouter {
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+SECONDS)?\s*""".r
   private val Analyze = """(?is)\s*ANALYZE\s+(?:TABLE\s+)?([\w.]+)\s*(?:COMPUTE\s+STATISTICS)?\s*""".r
 
+  // EXPLAIN — a first-class query statement in the reference (the PG
+  // path hands it to DuckDB wholesale: `pgserver/stmt.go:73-74` tags it
+  // EXPLAIN, `pgserver/duck_handler.go:197` executes it like any other
+  // query). The engine answers with Spark's plan text, one line per
+  // row — the shape of PG's `QUERY PLAN` result set. The option head
+  // accepts all three dialects' spellings: PG `ANALYZE`/`VERBOSE`/
+  // `(option, ...)`, MySQL `FORMAT=TREE|JSON|TRADITIONAL` (one plan
+  // format here — the modifier is accepted and dropped), and Spark's
+  // native `EXTENDED|CODEGEN|COST|FORMATTED` modes.
+  private val Explain = """(?is)\s*EXPLAIN\s+(.+)""".r
+  /** PG boolean EXPLAIN options (+ the paren-list members PG 17
+    * accepts) — used only to tell an option list from a parenthesized
+    * query head. */
+  private val ExplainOptWords = Set("ANALYZE", "VERBOSE", "COSTS",
+    "SETTINGS", "GENERIC_PLAN", "BUFFERS", "SERIALIZE", "WAL", "TIMING",
+    "SUMMARY", "MEMORY", "FORMAT", "OFF", "ON", "TRUE", "FALSE")
+
+  /** Splits EXPLAIN's option head from the explained statement.
+    * Returns (analyze, spark explain mode, inner statement). */
+  private[graft] def parseExplain(tail0: String): (Boolean, String, String) = {
+    var analyze = false
+    var mode = "formatted"
+    var t = tail0.trim
+    def eatWord(w: String): Boolean = {
+      val hit = t.length >= w.length &&
+        t.substring(0, w.length).equalsIgnoreCase(w) &&
+        (t.length == w.length || !(t.charAt(w.length).isLetterOrDigit ||
+          t.charAt(w.length) == '_'))
+      if (hit) t = t.substring(w.length).trim
+      hit
+    }
+    var done = false
+    while (!done && t.nonEmpty) {
+      if (t.startsWith("(") &&
+        ExplainOptWords.contains(t.drop(1).trim
+          .takeWhile(c => c.isLetter || c == '_').toUpperCase)) {
+        // PG parenthesized option list (never nests; a parenthesized
+        // QUERY head fails the first-word test above and falls through)
+        val close = t.indexOf(')')
+        val opts = if (close > 0) t.substring(1, close).toUpperCase else ""
+        if (opts.split("[,\\s]+").contains("ANALYZE")) analyze = true
+        if (opts.split("[,\\s]+").contains("VERBOSE")) mode = "extended"
+        t = if (close > 0) t.substring(close + 1).trim else ""
+      }
+      else if (eatWord("ANALYZE")) analyze = true
+      else if (eatWord("VERBOSE")) mode = "extended"
+      else if (eatWord("EXTENDED")) mode = "extended"
+      else if (eatWord("CODEGEN")) mode = "codegen"
+      else if (eatWord("COST")) mode = "cost"
+      else if (eatWord("FORMATTED")) mode = "formatted"
+      else if (t.toUpperCase.startsWith("FORMAT")) {
+        "(?is)^FORMAT\\s*=?\\s*\\w+\\s*(.*)$".r.findFirstMatchIn(t) match {
+          case Some(g) => t = g.group(1).trim
+          case None => done = true
+        }
+      }
+      else done = true
+    }
+    (analyze, mode, t)
+  }
+
   def execute(engine: Engine, sqlText: String): Result = {
     // Dump section headers ('--\n-- Table structure ...\n--') arrive
     // ATTACHED to the statement that follows them — splitStatements
@@ -579,6 +640,31 @@ object SqlRouter {
       Result(None, t.delete(cond))
     case VersionQuery(name, v) =>
       Result(Some(engine.table(name).readVersion(v.toLong)), 0L)
+    case Explain(tail) =>
+      val (analyze, mode, inner) = parseExplain(tail)
+      // leading '('s come off only for the KEYWORD check — set-op heads
+      // like `(SELECT ...) ORDER BY x` never strip to a bare pair
+      val head = inner.dropWhile(c => c == '(' || c.isWhitespace).toUpperCase
+      require(inner.nonEmpty &&
+        Seq("SELECT", "WITH", "TABLE", "VALUES").exists(head.startsWith),
+        "EXPLAIN supports query statements (SELECT/WITH/TABLE/VALUES)")
+      val df = engine.sql(PgCompat.rewriteQuery(engine, inner))
+      val lines: Seq[String] =
+        if (analyze) {
+          // EXPLAIN ANALYZE runs the DataFrame's OWN physical plan (not
+          // a detached write job) so the adaptive plan printed after is
+          // the runtime-final one (isFinalPlan=true), with wall time —
+          // the engine's analog of DuckDB's timed operator tree
+          val qe = df.queryExecution
+          val t0 = System.nanoTime()
+          qe.toRdd.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          qe.executedPlan.toString.split('\n').toSeq :+
+            f"Execution Time: $secs%.3f s"
+        } else df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+          .split('\n').toSeq
+      Result(Some(seqDf(engine, lines, "explain_plan")), 0L)
     case Truncate(name) => engine.table(name).truncate(); ddl
     case ShowDatabases() =>
       Result(Some(seqDf(engine, engine.listDatabases(), "database_name")), 0L)
@@ -897,6 +983,7 @@ object SqlRouter {
       case ("USE", _) => "USE"
       case ("SET", _) => "SET"
       case ("SHOW", _) | ("DESCRIBE", _) | ("DESC", _) => "SHOW"
+      case ("EXPLAIN", _) => "EXPLAIN"
       case ("CREATE", u) => "CREATE " + u.split("\\s+").drop(1)
         .dropWhile(Set("OR", "REPLACE", "TEMPORARY", "TEMP", "UNIQUE"))
         .headOption.getOrElse("")

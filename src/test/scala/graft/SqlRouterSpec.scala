@@ -771,4 +771,50 @@ class SqlRouterSpec extends SparkSpec {
     assert(stmts.head.contains("UPDATE x SET a = 1;")) // body intact
     assert(stmts(1) === "SELECT 1 AS one")
   }
+
+  test("EXPLAIN: query statement type answered with the Spark plan") {
+    val e = new Engine(spark, tmpDir("router_explain"))
+    exec(e, "CREATE TABLE ex1 (id BIGINT PRIMARY KEY, grp STRING, v DOUBLE)")
+    exec(e, "INSERT INTO ex1 VALUES (1,'a',1.0), (2,'a',2.0), (3,'b',3.0)")
+
+    // plain EXPLAIN: formatted physical plan, one line per row, and the
+    // engine table's scan + the filter actually show in it
+    val plan = exec(e,
+      "EXPLAIN SELECT grp, sum(v) AS s FROM ex1 WHERE id > 1 GROUP BY grp")
+      .df.get.as[String].collect().mkString("\n")
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("Scan parquet") || plan.contains("Scan ExistingRDD")
+      || plan.contains("LocalTableScan"))
+    assert(SqlRouter.classify("EXPLAIN SELECT 1") === "EXPLAIN")
+
+    // EXPLAIN ANALYZE (PG/DuckDB spelling): runs the plan — the printed
+    // adaptive plan is the runtime-final one, with a timing footer
+    val analyzed = exec(e, "EXPLAIN ANALYZE SELECT grp, count(*) FROM ex1 GROUP BY grp")
+      .df.get.as[String].collect()
+    assert(analyzed.exists(_.contains("isFinalPlan=true")))
+    assert(analyzed.last.startsWith("Execution Time:"))
+
+    // PG paren option list + MySQL FORMAT= + Spark native modes all parse
+    assert(exec(e, "EXPLAIN (COSTS OFF) SELECT 1 AS x").df.get.count() > 0)
+    assert(exec(e, "EXPLAIN FORMAT=TREE SELECT 1 AS x").df.get.count() > 0)
+    val ext = exec(e, "EXPLAIN EXTENDED SELECT 1 AS x")
+      .df.get.as[String].collect().mkString("\n")
+    assert(ext.contains("== Analyzed Logical Plan =="))
+    // a parenthesized QUERY head is a query, not an option list
+    assert(exec(e, "EXPLAIN (SELECT 1 AS x UNION ALL SELECT 2) ORDER BY x")
+      .df.get.count() > 0)
+
+    // option-head parser unit cases
+    assert(SqlRouter.parseExplain("ANALYZE SELECT 1") === ((true, "formatted", "SELECT 1")))
+    assert(SqlRouter.parseExplain("(ANALYZE, FORMAT JSON) SELECT 1") ===
+      ((true, "formatted", "SELECT 1")))
+    assert(SqlRouter.parseExplain("VERBOSE SELECT 1") === ((false, "extended", "SELECT 1")))
+    // ANALYZED is a column alias start, not the ANALYZE option
+    assert(SqlRouter.parseExplain("SELECT 1 AS analyzed")._1 === false)
+
+    // non-query statements are refused loudly, not silently mis-planned
+    intercept[IllegalArgumentException] {
+      exec(e, "EXPLAIN INSERT INTO ex1 VALUES (4,'c',4.0)")
+    }
+  }
 }
