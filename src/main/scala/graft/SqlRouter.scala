@@ -372,20 +372,21 @@ object SqlRouter {
     if (idx < 0) return s
     def isWord(c: Char): Boolean =
       Character.isLetterOrDigit(c) || c == '_' || c == '$'
+    // knobs: comments are spans here too — an apostrophe inside a
+    // `--` comment must not flip quote state (or every later real
+    // `public.` qualifier on that statement would be kept/eaten
+    // wrongly); no '#' (PG-leaning like the rest of this path)
+    val sps = SqlText.spans(s)
     val out = new StringBuilder
     var i = 0
-    var quote: Char = 0
+    var si = 0
     var prev: Char = ' '
     while (i < s.length) {
+      while (sps(si).end <= i) si += 1
+      val sp = sps(si)
       val c = s.charAt(i)
-      if (quote != 0) {
-        out.append(c)
-        if (c == '\\' && quote != '`' && i + 1 < s.length) {
-          out.append(s.charAt(i + 1)); i += 1
-        } else if (c == quote) quote = 0
-        i += 1
-      } else if (c == '\'' || c == '"' || c == '`') {
-        quote = c; out.append(c); i += 1
+      if (sp.kind != SqlText.Code) {
+        out.append(s.substring(i, sp.end)); i = sp.end
       } else if ((c == 'p' || c == 'P') && !isWord(prev) && prev != '.' &&
           i + 7 <= s.length &&
           s.substring(i, i + 7).equalsIgnoreCase("public.") &&
@@ -405,21 +406,23 @@ object SqlRouter {
     * statement BODY is untouched: inline comments after real SQL starts
     * are Catalyst's business. */
   private[graft] def stripLeadingComments(s: String): String = {
+    // knobs: '#' IS a comment here — this runs per-statement on the
+    // head, where MySQL scripts put `# section` banners and a PG
+    // statement never BEGINS with a JSON-path operator
     var i = 0
+    val it = SqlText.spans(s, hashComments = true).iterator
     var done = false
-    while (!done && i < s.length) {
-      val c = s.charAt(i)
-      if (Character.isWhitespace(c)) i += 1
-      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
-        val nl = s.indexOf('\n', i)
-        i = if (nl < 0) s.length else nl + 1
-      } else if (c == '#') {
-        val nl = s.indexOf('\n', i)
-        i = if (nl < 0) s.length else nl + 1
-      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-        val close = s.indexOf("*/", i + 2)
-        i = if (close < 0) s.length else close + 2
-      } else done = true
+    while (!done && it.hasNext) {
+      val sp = it.next()
+      sp.kind match {
+        case SqlText.LineComment | SqlText.BlockComment => i = sp.end
+        case SqlText.Code =>
+          (sp.start until sp.end).find(k => !s.charAt(k).isWhitespace) match {
+            case Some(k) => i = k; done = true
+            case None => i = sp.end
+          }
+        case _ => i = sp.start; done = true // quoted: statement starts here
+      }
     }
     if (i == 0) s else s.substring(i)
   }
@@ -450,36 +453,30 @@ object SqlRouter {
       Character.isLetterOrDigit(c) || c == '_' || c == '$'
     if (!s.contains("0x") && !s.contains("b'") && !s.contains("B'") &&
       !s.contains("E'") && !s.contains("e'") && !s.contains("_")) return s
+    // knobs: '#' IS a comment (an apostrophe or literal-looking text
+    // inside one must neither flip quote state nor be rewritten —
+    // ADVICE r7; for PG text the verbatim copy-to-EOL is harmless
+    // EXCEPT that an E'...' later on a line with a JSON-path '#'
+    // operator keeps its prefix — only reachable in a
+    // pre-standard-conforming dump that also uses JSON operators in
+    // DDL, not a shape pg_dump emits). Backslash escapes apply inside
+    // backticks too (this scanner's historical reading).
+    val sps = SqlText.spans(s, hashComments = true,
+      backslashInBacktick = true)
     val out = new StringBuilder
     var i = 0
-    var quote: Char = 0
+    var si = 0
     var prev: Char = ' '
     while (i < s.length) {
+      while (sps(si).end <= i) si += 1
+      val sp = sps(si)
       val c = s.charAt(i)
-      if (quote != 0) {
-        out.append(c)
-        if (c == '\\' && i + 1 < s.length) { out.append(s.charAt(i + 1)); i += 1 }
-        else if (c == quote) quote = 0
-        i += 1
-      } else if (c == '\'' || c == '"' || c == '`') {
-        quote = c; out.append(c); i += 1
-      } else if ((c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') ||
-          c == '#') {
-        // comment spans copy through verbatim: an apostrophe inside one
-        // must not flip the quote state, and literal-looking text inside
-        // one must not be rewritten (ADVICE r7). '#' is MySQL's third
-        // comment form; PG instead uses '#' in JSON-path operators
-        // (#>, #>>) — the verbatim copy-to-EOL is harmless there EXCEPT
-        // that an E'...' later on the same line keeps its prefix (only
-        // reachable in a pre-standard-conforming dump that also uses
-        // JSON operators in DDL — not a shape pg_dump emits).
-        val nl = s.indexOf('\n', i)
-        val end = if (nl < 0) s.length else nl + 1
-        out.append(s.substring(i, end)); i = end
-      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-        val close = s.indexOf("*/", i + 2)
-        val end = if (close < 0) s.length else close + 2
-        out.append(s.substring(i, end)); i = end
+      if (sp.kind != SqlText.Code) {
+        // quoted/comment spans copy through verbatim (a rewrite below
+        // can CONSUME a following quoted span — b'0101', _utf8'…' —
+        // after which i has moved to that span's end and the cursor
+        // resync above skips it)
+        out.append(s.substring(i, sp.end)); i = sp.end
       } else if (c == '0' && !isWord(prev) && i + 1 < s.length &&
           s.charAt(i + 1) == 'x') {
         var j = i + 2
@@ -534,26 +531,18 @@ object SqlRouter {
     * non-graft table. */
   private[graft] def stripIdentQuotes(s: String): String = {
     if (s.indexOf('`') < 0) return s
+    // knobs: defaults — a backtick span closes at the next backtick
+    // (no backslash escapes, MySQL's rule), and backticks inside
+    // comments stay untouched
     val out = new StringBuilder
-    var i = 0
-    var quote: Char = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (quote != 0) {
-        out.append(c)
-        if (c == '\\' && i + 1 < s.length) { out.append(s.charAt(i + 1)); i += 1 }
-        else if (c == quote) quote = 0
-      } else c match {
-        case '\'' | '"' => quote = c; out.append(c)
-        case '`' =>
-          val close = s.indexOf('`', i + 1)
-          val inner = if (close > i) s.substring(i + 1, close) else ""
-          if (close > i && inner.matches("[A-Za-z_][A-Za-z0-9_]*")) {
-            out.append(inner); i = close
-          } else out.append(c)
-        case _ => out.append(c)
-      }
-      i += 1
+    SqlText.spans(s).foreach { sp =>
+      val isBacktick = sp.kind == SqlText.Quoted && s.charAt(sp.start) == '`'
+      if (isBacktick) {
+        val closed = sp.end > sp.start + 1 && s.charAt(sp.end - 1) == '`'
+        val inner = if (closed) s.substring(sp.start + 1, sp.end - 1) else ""
+        if (closed && inner.matches("[A-Za-z_][A-Za-z0-9_]*")) out.append(inner)
+        else out.append(s.substring(sp.start, sp.end))
+      } else out.append(s.substring(sp.start, sp.end))
     }
     out.toString
   }
@@ -1175,49 +1164,22 @@ object SqlRouter {
     * actually emit. */
   private[graft] def splitStatements(s: String,
       sep: String = ";"): Seq[String] = {
+    // knobs: no '#' comments (PG `#>` operators flow through here),
+    // dollar-quoted bodies opaque (PG functions carry ';' inside), no
+    // backslash escape in backticks (MySQL doubles them instead)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    var quote: Char = 0
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (quote != 0) {
-        cur.append(c)
-        if (c == '\\' && quote != '`' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 1 }
-        else if (c == quote) quote = 0
-      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
-        // line comment: copy through end-of-line (keep text: harmless)
-        val nl = s.indexOf('\n', i)
-        val end = if (nl < 0) s.length else nl + 1
-        cur.append(s.substring(i, end)); i = end - 1
-      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-        val close = s.indexOf("*/", i + 2)
-        val end = if (close < 0) s.length else close + 2
-        cur.append(s.substring(i, end)); i = end - 1
-      } else if (c == '$') {
-        // PG dollar-quoted span ($$...$$ or $tag$...$tag$): function
-        // bodies carry ';' statements inside — the span copies through
-        // verbatim. Tags start with a letter/underscore (so `$1`
-        // positional params never open a span).
-        var j = i + 1
-        while (j < s.length && (s.charAt(j).isLetterOrDigit ||
-          s.charAt(j) == '_')) j += 1
-        val validTag = j < s.length && s.charAt(j) == '$' &&
-          (j == i + 1 || s.charAt(i + 1).isLetter || s.charAt(i + 1) == '_')
-        if (validTag) {
-          val tag = s.substring(i, j + 1)
-          val close = s.indexOf(tag, j + 1)
-          val end = if (close < 0) s.length else close + tag.length
-          cur.append(s.substring(i, end)); i = end - 1
-        } else cur.append(c)
-      } else if (c == sep.charAt(0) && s.startsWith(sep, i)) {
-        out += cur.toString; cur.clear()
-        i += sep.length - 1
-      } else c match {
-        case '\'' | '"' | '`' => quote = c; cur.append(c)
-        case _ => cur.append(c)
-      }
-      i += 1
+    SqlText.spans(s, dollarQuotes = true).foreach { sp =>
+      if (sp.kind == SqlText.Code) {
+        var i = sp.start
+        while (i < sp.end) {
+          if (s.charAt(i) == sep.charAt(0) && s.startsWith(sep, i) &&
+            i + sep.length <= sp.end) {
+            out += cur.toString; cur.clear()
+            i += sep.length
+          } else { cur.append(s.charAt(i)); i += 1 }
+        }
+      } else cur.append(s.substring(sp.start, sp.end)) // quoted/comment/dollar: verbatim
     }
     out += cur.toString
     // comment-ONLY statements (dump headers, mysqldump's /*!40101 ... */
@@ -1228,12 +1190,18 @@ object SqlRouter {
   }
 
   /** True when the statement holds nothing outside `--` and block
-    * comments. Quote-UNaware by design: this runs on single statements
-    * whose quoted spans were already respected by the splitter, and a
-    * statement STARTING with real SQL never reduces to empty. */
+    * comments (an unterminated block comment spans to end-of-input, the
+    * splitter's own reading). A statement starting with real SQL never
+    * reduces to empty. */
   private def isCommentOnly(stmt: String): Boolean =
-    stmt.replaceAll("(?s)/\\*.*?\\*/", " ")
-      .replaceAll("--[^\n]*", " ").trim.isEmpty
+    SqlText.spans(stmt).forall { sp =>
+      sp.kind match {
+        case SqlText.LineComment | SqlText.BlockComment => true
+        case SqlText.Code =>
+          (sp.start until sp.end).forall(i => stmt.charAt(i).isWhitespace)
+        case _ => false
+      }
+    }
 
   /** Build the source DataFrame of an INSERT-family statement: a
     * `VALUES ...` tail is wrapped so Catalyst types the tuples against

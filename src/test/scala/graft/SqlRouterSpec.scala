@@ -772,6 +772,56 @@ class SqlRouterSpec extends SparkSpec {
     assert(stmts(1) === "SELECT 1 AS one")
   }
 
+  test("SqlText spans partition the input exactly, across knob settings") {
+    val samples = Seq(
+      "SELECT 'a;b', \"c\", `d` -- tail 'x\n/* block ' */ $$body';$$ #m\n0xAB",
+      "INSERT INTO t VALUES ('it''s', 'a\\'q', `b`)",
+      "-- only\n/* unterminated",
+      "'unterminated too",
+      "$fn$ tagged; 'body' $fn$ SELECT 1",
+      "")
+    for {
+      s <- samples
+      hash <- Seq(true, false)
+      dollar <- Seq(true, false)
+      bsBt <- Seq(true, false)
+    } {
+      val sps = SqlText.spans(s, hash, dollar, bsBt)
+      assert(sps.map(sp => s.substring(sp.start, sp.end)).mkString === s,
+        s"partition of ${s.take(40)} hash=$hash dollar=$dollar")
+      assert(sps.forall(sp => sp.end > sp.start))
+      // adjacent spans meet exactly
+      sps.sliding(2).foreach {
+        case Seq(a, b) => assert(a.end === b.start)
+        case _ => ()
+      }
+    }
+    // knob semantics
+    assert(SqlText.spans("a # b", hashComments = true)
+      .exists(_.kind == SqlText.LineComment))
+    assert(!SqlText.spans("a # b")
+      .exists(_.kind == SqlText.LineComment))
+    assert(SqlText.spans("$1 $$x$$", dollarQuotes = true)
+      .count(_.kind == SqlText.Dollar) === 1) // $1 never opens a span
+  }
+
+  test("stripPublicSchema: an apostrophe inside a comment can't flip quote state") {
+    // the bug class ADVICE r7 flagged on the literal normalizer: the
+    // comment's apostrophe used to open a phantom string span, after
+    // which every later real qualifier was kept verbatim
+    val q = "-- it's the header\nSELECT * FROM public.users u " +
+      "JOIN public.orders o ON u.id = o.uid"
+    val out = SqlRouter.stripPublicSchema(q)
+    assert(!out.contains("public."))
+    assert(out.contains("FROM users"))
+    // and the protections stay: quoted occurrences survive untouched
+    val keep = "SELECT 'public.keep', \"public\".x FROM t -- public.nope"
+    val kept = SqlRouter.stripPublicSchema(keep)
+    assert(kept.contains("'public.keep'"))
+    assert(kept.contains("\"public\""))
+    assert(kept.contains("-- public.nope"))
+  }
+
   test("EXPLAIN: query statement type answered with the Spark plan") {
     val e = new Engine(spark, tmpDir("router_explain"))
     exec(e, "CREATE TABLE ex1 (id BIGINT PRIMARY KEY, grp STRING, v DOUBLE)")
