@@ -56,7 +56,8 @@ object PgCatalog {
     * pg_namespace. */
   val infoSchemaNames: Set[String] = Set(
     "schemata", "tables", "columns", "views", "table_constraints",
-    "key_column_usage")
+    "key_column_usage", "statistics", "routines",
+    "referential_constraints")
 
   /** Fixed oids of the catalog relations themselves (public PostgreSQL
     * constants — what `'pg_class'::regclass` must resolve to). */
@@ -498,6 +499,40 @@ object PgCatalog {
                 r.nspname, r.name, c, i + 1)
             }
           })
+
+      case "statistics" =>
+        // MySQL's index-metadata relation (Connector/J getIndexInfo
+        // reads it). The PK is the only key structure (A21: layout is
+        // the index analog) — one row per PK column, MySQL column
+        // conventions: non_unique 0, index_name PRIMARY, collation 'A'.
+        mk(spark, ddl("table_catalog STRING, table_schema STRING, " +
+          "table_name STRING, non_unique INT, index_schema STRING, " +
+          "index_name STRING, seq_in_index INT, column_name STRING, " +
+          "collation STRING, cardinality BIGINT, index_type STRING"),
+          snap.rels.filter(r => r.kind == "r" && r.pk.nonEmpty).flatMap { r =>
+            r.pk.zipWithIndex.map { case (c, i) =>
+              Row(dbOf(engine, r), r.nspname, r.name, 0, r.nspname,
+                "PRIMARY", i + 1, c, "A", null, "btree-analog")
+            }
+          })
+
+      case "routines" =>
+        // stored programs are accepted-and-dropped (CreateRoutine), so
+        // the relation is EMPTY with the standard shape — introspection
+        // tools get zero rows, not an unknown-relation error
+        mk(spark, ddl("specific_name STRING, routine_catalog STRING, " +
+          "routine_schema STRING, routine_name STRING, " +
+          "routine_type STRING, data_type STRING, " +
+          "routine_definition STRING, external_language STRING"), Nil)
+
+      case "referential_constraints" =>
+        // FK constraints are validated-and-dropped on replay
+        // (AlterAddIgnoredConstraint) — empty, standard shape
+        mk(spark, ddl("constraint_catalog STRING, constraint_schema STRING, " +
+          "constraint_name STRING, unique_constraint_catalog STRING, " +
+          "unique_constraint_schema STRING, unique_constraint_name STRING, " +
+          "match_option STRING, update_rule STRING, delete_rule STRING, " +
+          "table_name STRING, referenced_table_name STRING"), Nil)
 
       case other =>
         throw new IllegalArgumentException(

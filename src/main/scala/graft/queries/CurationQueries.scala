@@ -301,5 +301,59 @@ object CurationQueries {
         md5(red) AS redacted_md5
       FROM red ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q68, q92, q93, q94, q96)
+  // --------------------------------------------------------------------
+  // q101 — per-source capping (the domain-balancing step of C4/Dolma
+  // curation: no single domain may dominate the mixture). Keep the 50
+  // longest documents per source (token count desc, doc_id tie-break)
+  // and account the dropped token mass per source.
+  // Scale: ONE aggregation keyed on source — the bounded [[TopK]]
+  // Aggregator holds k rows per group with map-side combine, so the
+  // shuffle carries per-partition k-row sketches + partial sums, never
+  // document rows. The oracle's window formulation would shuffle and
+  // sort EVERY document by source; that is exactly the plan this query
+  // exists to avoid (PlanSpec locks the no-Window shape). Kept-mass
+  // arithmetic: token counts are exact integers (< 2^53) riding in the
+  // sketch's double scores, folded in fixed array order — the final
+  // BIGINT cast is exact, and drop_share is two IEEE ops on exact
+  // inputs, so the driver hash-compare holds.
+  private val q101 = QueryDef(
+    "q101_source_cap",
+    (s, dir) => {
+      val k = 50
+      val docs = t(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          col("doc_id"))
+      val tk = graft.functions.TopK.topk(k)
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("tok_total"),
+          tk(col("toks").cast("double"), col("doc_id")).as("kept"))
+        .select(col("source"), col("n_docs"), col("tok_total"),
+          size(col("kept")).cast("long").as("n_kept"),
+          expr("CAST(aggregate(kept, 0.0D, (acc, x) -> acc + x.score) AS BIGINT)")
+            .as("tok_kept"))
+        .withColumn("drop_share",
+          lit(1.0) - col("tok_kept").cast("double") / col("tok_total"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+        SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents),
+      r AS (SELECT source, doc_id, toks,
+        row_number() OVER (PARTITION BY source
+          ORDER BY toks DESC, doc_id ASC) AS rn FROM d)
+      SELECT source, n_docs, tok_total, n_kept, tok_kept,
+        1.0 - CAST(tok_kept AS DOUBLE) / tok_total AS drop_share
+      FROM (
+        SELECT source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(toks) AS BIGINT) AS tok_total,
+          CAST(sum(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN rn <= 50 THEN toks ELSE 0 END) AS BIGINT) AS tok_kept
+        FROM r GROUP BY source) x
+      ORDER BY source"""))
+
+  val defs: Seq[QueryDef] = Seq(q68, q92, q93, q94, q96, q101)
 }

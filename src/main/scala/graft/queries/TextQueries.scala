@@ -236,5 +236,67 @@ object TextQueries {
       HAVING count(*) > (SELECT count(*) FROM toks) / 32.0
       ORDER BY n_tok DESC, token"""))
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q52, q53, q54, q55, q56)
+  // --------------------------------------------------------------------
+  // q100 — bigram-LM familiarity scoring: the perplexity-filter step of
+  // CCNet/Dolma-style quality pipelines, arithmetized for an exact
+  // oracle. Each document is scored by how familiar its word bigrams
+  // are to the corpus-level bigram model: `avg_bf` = mean corpus
+  // frequency of the doc's bigram instances (natural text is built
+  // from common bigrams; machine noise isn't), `novelty` = fraction of
+  // bigram instances that occur in NO other document. Deliberately NO
+  // log-probs: transcendental functions and float sums diverge across
+  // engines, so every aggregate here is an INTEGER sum with one final
+  // double division per output column — the driver's hash compare
+  // stays exact.
+  // Scale: tokens → per-doc bigram counts (keyed shuffle with map-side
+  // combine), the corpus model derives FROM those counts (second,
+  // smaller shuffle), model joins back on the bigram key (keyed
+  // shuffle join — nothing corpus-sized broadcasts), then one per-doc
+  // aggregation. The model is reused from the same frame, not
+  // recomputed from raw text.
+  private val q100 = QueryDef(
+    "q100_lm_familiarity",
+    (s, dir) => {
+      val bigrams = t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(words) - 1),
+             i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"""))
+          .as("bigram"))
+      val perDoc = bigrams.groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("k"))
+      val model = perDoc.groupBy(col("bigram")).agg(sum(col("k")).as("cb"))
+      perDoc.join(model, "bigram")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          sum(col("k") * col("cb")).as("sum_bf"),
+          sum(when(col("cb") === col("k"), col("k")).otherwise(lit(0L)))
+            .as("n_novel"))
+        .withColumn("avg_bf", col("sum_bf").cast("double") / col("n_bigrams"))
+        .withColumn("novelty", col("n_novel").cast("double") / col("n_bigrams"))
+        .orderBy(col("avg_bf").asc, col("doc_id"))
+        .limit(200)
+        .select(col("doc_id"), col("n_bigrams"), col("sum_bf"),
+          col("avg_bf"), col("novelty"))
+    },
+    Some("""WITH bg AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+        FROM documents),
+      perdoc AS (SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY doc_id, bigram),
+      model AS (SELECT bigram, CAST(sum(k) AS BIGINT) AS cb FROM perdoc GROUP BY bigram)
+      SELECT doc_id, n_bigrams, sum_bf,
+        CAST(sum_bf AS DOUBLE) / n_bigrams AS avg_bf,
+        CAST(n_novel AS DOUBLE) / n_bigrams AS novelty
+      FROM (
+        SELECT p.doc_id, CAST(sum(p.k) AS BIGINT) AS n_bigrams,
+          CAST(sum(p.k * m.cb) AS BIGINT) AS sum_bf,
+          CAST(sum(CASE WHEN m.cb = p.k THEN p.k ELSE 0 END) AS BIGINT) AS n_novel
+        FROM perdoc p JOIN model m ON p.bigram = m.bigram
+        GROUP BY p.doc_id) x
+      ORDER BY avg_bf ASC, doc_id LIMIT 200"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q50, q51, q52, q53, q54, q55, q56, q100)
 }

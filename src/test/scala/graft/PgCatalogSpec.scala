@@ -241,6 +241,19 @@ class PgCatalogSpec extends SparkSpec {
     assert(rows(e,
       "SELECT view_definition FROM information_schema.views WHERE table_name = 'rich_accounts'")
       .head.getString(0).toLowerCase.contains("from accounts"))
+    // MySQL Connector/J getIndexInfo shape: statistics lists PK columns
+    assert(rows(e,
+      """SELECT index_name, seq_in_index, column_name, non_unique
+        |FROM information_schema.statistics
+        |WHERE table_name = 'accounts' ORDER BY seq_in_index""".stripMargin)
+      === Seq(Row("PRIMARY", 1, "id", 0)))
+    // stored programs and FKs are accepted-and-dropped, so their
+    // relations answer EMPTY, not unknown-relation
+    assert(rows(e,
+      "SELECT routine_name FROM information_schema.routines").isEmpty)
+    assert(rows(e,
+      "SELECT constraint_name FROM information_schema.referential_constraints")
+      .isEmpty)
     // bare `tables` stays an ordinary identifier: a user table named
     // `tables` is NOT shadowed by the emulation
     SqlRouter.execute(e, "CREATE TABLE tables (x INT)")

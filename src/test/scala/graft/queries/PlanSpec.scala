@@ -194,4 +194,29 @@ class PlanSpec extends SparkSpec {
     // two-phase agg: map-side partial max(struct) before the shuffle
     assert(p.contains("partial_max"), p.take(2500))
   }
+
+  test("q100: the bigram model's exchange is built once and reused") {
+    // perDoc feeds BOTH the model aggregation and the instance side of
+    // the join; exchange reuse (an AQE runtime decision — only the
+    // FINAL adaptive plan shows it) means the corpus is tokenized and
+    // shuffled once, not twice
+    val df = SparkEntry.queries("q100_lm_familiarity")(spark, dir)
+    val qe = df.queryExecution
+    qe.toRdd.count()
+    val p = qe.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q101: per-source cap is a bounded-state aggregation, not a window sort") {
+    // the oracle's row_number() formulation shuffles and sorts every
+    // document; the TopK sketch shuffles k-row summaries per partition
+    val p = plan("q101_source_cap")
+    assert(!p.contains("Window"), p.take(3000))
+    // typed Aggregator plans as ObjectHashAggregate with a partial phase
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
 }
