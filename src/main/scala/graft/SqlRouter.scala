@@ -356,7 +356,33 @@ object SqlRouter {
     // MySQL literal forms first (the rewrite must reach Catalyst too,
     // unlike backtick stripping which is routing-only — see ADVICE r6)
     val lit = stripPublicSchema(normalizeMysqlLiterals(stmt))
-    executeRouted(engine, stripIdentQuotes(lit), lit)
+    executeRouted(engine, stripIdentQuotes(stripComments(lit)), lit)
+  }
+
+  /** Comment spans removed for ROUTING (each replaced by one space so
+    * tokens can't glue). mysqldump rides real syntax inside
+    * version-conditional comments — most commonly the 50100
+    * `PARTITION BY RANGE (...) (PARTITION p0 ...)` trailer on
+    * CREATE TABLE — and those inner parens derail the greedy
+    * `CREATE TABLE (cols)` capture: the column body swallowed through
+    * the comment and the stored PK became garbage like `id)\n) ENGINE`.
+    * With comments gone the capture ends at the real column-list close.
+    * Partitioning itself is accepted-and-dropped (the engine's layout
+    * analog is clustering, A21) — same as every other in-comment
+    * option. ROUTING text only: the Catalyst fall-through still
+    * receives the original, comments included. Dollar-quoted bodies
+    * stay opaque (a block-comment opener inside a PG function body is
+    * content) and '#' stays code (PG `#>` operators). */
+  private[graft] def stripComments(s: String): String = {
+    if (!s.contains("--") && !s.contains("/*")) return s
+    val out = new StringBuilder
+    SqlText.spans(s, dollarQuotes = true).foreach { sp =>
+      sp.kind match {
+        case SqlText.LineComment | SqlText.BlockComment => out.append(' ')
+        case _ => out.append(s.substring(sp.start, sp.end))
+      }
+    }
+    out.toString
   }
 
   /** pg_dump qualifies every object with its schema, and the default

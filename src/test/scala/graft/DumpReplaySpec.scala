@@ -66,6 +66,37 @@ class DumpReplaySpec extends SparkSpec {
       .as[String].head() === "z")
   }
 
+  test("partitioned-table dump: the 50100 PARTITION BY trailer can't derail CREATE") {
+    // mysqldump emits partitioning as a version-conditional comment
+    // DIRECTLY inside the CREATE TABLE statement, full of parens:
+    //   ) ENGINE=InnoDB ... /*!50100 PARTITION BY RANGE (`id`)
+    //   (PARTITION p0 VALUES LESS THAN (100) ENGINE = InnoDB, ...) */;
+    // the greedy column-body capture used to swallow through it and
+    // store a garbage PK ("id)\n) ENGINE..."), which then broke every
+    // later INSERT's file pruning. Routing now strips comment spans.
+    val e = new Engine(spark, tmpDir("dump_part"))
+    val script =
+      """DROP TABLE IF EXISTS `pt`;
+        |CREATE TABLE `pt` (
+        |  `id` bigint NOT NULL,
+        |  `v` varchar(32) DEFAULT NULL,
+        |  PRIMARY KEY (`id`)
+        |) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4
+        |/*!50100 PARTITION BY RANGE (`id`)
+        |(PARTITION p0 VALUES LESS THAN (100) ENGINE = InnoDB,
+        | PARTITION p1 VALUES LESS THAN MAXVALUE ENGINE = InnoDB) */;
+        |INSERT INTO `pt` VALUES (1,'a'),(200,'b');
+        |""".stripMargin
+    executeScript(e, script)
+    val m = e.table("pt").manifest
+    assert(m.pkCols === Seq("id")) // not "id)\n) ENGINE..."
+    assert(m.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(e.sql("SELECT count(*) FROM pt").as[Long].head() === 2)
+    // partitioning is accepted-and-dropped; pk semantics live
+    SqlRouter.execute(e, "REPLACE INTO pt VALUES (200,'c')")
+    assert(e.sql("SELECT v FROM pt WHERE id = 200").as[String].head() === "c")
+  }
+
   test("pg_dump-shaped script (COPY + post-data pkey) replays to the exact state") {
     val e = new Engine(spark, tmpDir("dump_pg"))
     // the bulk rows travel as a COPY file, the pg restore shape
