@@ -518,12 +518,23 @@ object PgCatalog {
 
       case "routines" =>
         // stored programs are accepted-and-dropped (CreateRoutine), so
-        // the relation is EMPTY with the standard shape — introspection
-        // tools get zero rows, not an unknown-relation error
+        // the relation is EMPTY — but with MySQL's FULL column set:
+        // Connector/J's getProcedures/getFunctions select
+        // ROUTINE_COMMENT/CREATED/LAST_ALTERED etc., and a missing
+        // column is an AnalysisException, not the intended zero rows
         mk(spark, ddl("specific_name STRING, routine_catalog STRING, " +
           "routine_schema STRING, routine_name STRING, " +
           "routine_type STRING, data_type STRING, " +
-          "routine_definition STRING, external_language STRING"), Nil)
+          "character_maximum_length INT, numeric_precision INT, " +
+          "numeric_scale INT, dtd_identifier STRING, " +
+          "routine_body STRING, routine_definition STRING, " +
+          "external_name STRING, external_language STRING, " +
+          "parameter_style STRING, is_deterministic STRING, " +
+          "sql_data_access STRING, security_type STRING, " +
+          "created TIMESTAMP, last_altered TIMESTAMP, sql_mode STRING, " +
+          "routine_comment STRING, definer STRING, " +
+          "character_set_client STRING, collation_connection STRING, " +
+          "database_collation STRING"), Nil)
 
       case "referential_constraints" =>
         // FK constraints are validated-and-dropped on replay

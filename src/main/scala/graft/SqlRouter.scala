@@ -318,11 +318,20 @@ object SqlRouter {
         ExplainOptWords.contains(t.drop(1).trim
           .takeWhile(c => c.isLetter || c == '_').toUpperCase)) {
         // PG parenthesized option list (never nests; a parenthesized
-        // QUERY head fails the first-word test above and falls through)
+        // QUERY head fails the first-word test above and falls through).
+        // Each entry is `NAME [value]` — `(ANALYZE OFF)` is an explicit
+        // opt-OUT, so the boolean value must be honored, not just the
+        // token's presence
         val close = t.indexOf(')')
         val opts = if (close > 0) t.substring(1, close).toUpperCase else ""
-        if (opts.split("[,\\s]+").contains("ANALYZE")) analyze = true
-        if (opts.split("[,\\s]+").contains("VERBOSE")) mode = "extended"
+        val offVals = Set("OFF", "FALSE", "0")
+        opts.split(",").map(_.trim.split("\\s+")).foreach {
+          case Array("ANALYZE", rest @ _*) =>
+            analyze = !rest.headOption.exists(offVals)
+          case Array("VERBOSE", rest @ _*) =>
+            if (!rest.headOption.exists(offVals)) mode = "extended"
+          case _ => () // COSTS/BUFFERS/FORMAT/...: no engine analog
+        }
         t = if (close > 0) t.substring(close + 1).trim else ""
       }
       else if (eatWord("ANALYZE")) analyze = true
@@ -435,6 +444,15 @@ object SqlRouter {
     // knobs: '#' IS a comment here — this runs per-statement on the
     // head, where MySQL scripts put `# section` banners and a PG
     // statement never BEGINS with a JSON-path operator
+    var h = 0
+    while (h < s.length && Character.isWhitespace(s.charAt(h))) h += 1
+    // fast path for the hot replay loop: a statement whose head is not
+    // a comment opener (the multi-megabyte INSERTs of a dump) returns
+    // without building the full span vector
+    val headIsComment = h < s.length && (s.charAt(h) == '#' ||
+      (h + 1 < s.length && ((s.charAt(h) == '-' && s.charAt(h + 1) == '-') ||
+        (s.charAt(h) == '/' && s.charAt(h + 1) == '*'))))
+    if (!headIsComment) return (if (h == 0) s else s.substring(h))
     var i = 0
     val it = SqlText.spans(s, hashComments = true).iterator
     var done = false
@@ -1192,10 +1210,15 @@ object SqlRouter {
       sep: String = ";"): Seq[String] = {
     // knobs: no '#' comments (PG `#>` operators flow through here),
     // dollar-quoted bodies opaque (PG functions carry ';' inside), no
-    // backslash escape in backticks (MySQL doubles them instead)
+    // backslash escape in backticks (MySQL doubles them instead).
+    // EXCEPT when the separator itself contains '$' — `DELIMITER $$`
+    // is the textbook MySQL routine-dump convention, and treating its
+    // separators as dollar-quote openers would glue the whole segment
+    // into one statement (a MySQL script with a $ delimiter is not a
+    // place PG dollar bodies can appear)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    SqlText.spans(s, dollarQuotes = true).foreach { sp =>
+    SqlText.spans(s, dollarQuotes = !sep.contains("$")).foreach { sp =>
       if (sp.kind == SqlText.Code) {
         var i = sp.start
         while (i < sp.end) {

@@ -418,6 +418,28 @@ class DumpReplaySpec extends SparkSpec {
     assert(rows === Array((1, Some(10)), (2, Some(20)), (3, Some(30))))
   }
 
+  test("DELIMITER $$ (the textbook convention) splits too — '$$' is the separator, not a dollar quote") {
+    // with sep='$$' the splitter must NOT treat the separators as PG
+    // dollar-quote openers, or the whole segment glues into one
+    // statement and everything after the routine is silently lost
+    val e = new Engine(spark, tmpDir("dump_routines_dollar"))
+    val script =
+      """CREATE TABLE `acc2` (`id` int NOT NULL, `v` int, PRIMARY KEY (`id`));
+        |DELIMITER $$
+        |CREATE PROCEDURE `p`()
+        |BEGIN
+        |  UPDATE acc2 SET v = 0;
+        |END$$
+        |INSERT INTO `acc2` VALUES (1,10)$$
+        |DELIMITER ;
+        |INSERT INTO `acc2` VALUES (2,20);
+        |""".stripMargin
+    executeScript(e, script)
+    val rows = e.sql("SELECT id, v FROM acc2 ORDER BY id")
+      .as[(Int, Option[Int])].collect()
+    assert(rows === Array((1, Some(10)), (2, Some(20))))
+  }
+
   test("pg_dump TEXT-format COPY (the actual default) replays bytea + escapes") {
     val e = new Engine(spark, tmpDir("dump_pg_text"))
     // pg_dump's default COPY format: tab-separated, escape sequences,

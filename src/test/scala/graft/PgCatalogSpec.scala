@@ -248,9 +248,14 @@ class PgCatalogSpec extends SparkSpec {
         |WHERE table_name = 'accounts' ORDER BY seq_in_index""".stripMargin)
       === Seq(Row("PRIMARY", 1, "id", 0)))
     // stored programs and FKs are accepted-and-dropped, so their
-    // relations answer EMPTY, not unknown-relation
+    // relations answer EMPTY, not unknown-relation — with MySQL's full
+    // column set (Connector/J getProcedures selects ROUTINE_COMMENT,
+    // CREATED, ...; a missing column would be an AnalysisException)
     assert(rows(e,
-      "SELECT routine_name FROM information_schema.routines").isEmpty)
+      """SELECT routine_name, routine_type, routine_comment AS remarks,
+        |created, last_altered, is_deterministic, definer
+        |FROM information_schema.routines
+        |WHERE routine_schema = 'public'""".stripMargin).isEmpty)
     assert(rows(e,
       "SELECT constraint_name FROM information_schema.referential_constraints")
       .isEmpty)

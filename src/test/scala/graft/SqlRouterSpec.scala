@@ -859,6 +859,13 @@ class SqlRouterSpec extends SparkSpec {
     assert(SqlRouter.parseExplain("(ANALYZE, FORMAT JSON) SELECT 1") ===
       ((true, "formatted", "SELECT 1")))
     assert(SqlRouter.parseExplain("VERBOSE SELECT 1") === ((false, "extended", "SELECT 1")))
+    // PG boolean option VALUES are honored: (ANALYZE OFF) is an
+    // explicit opt-out, it must NOT run the query
+    assert(SqlRouter.parseExplain("(ANALYZE OFF) SELECT 1")._1 === false)
+    assert(SqlRouter.parseExplain("(ANALYZE FALSE, VERBOSE) SELECT 1") ===
+      ((false, "extended", "SELECT 1")))
+    assert(SqlRouter.parseExplain("(ANALYZE ON) SELECT 1")._1 === true)
+    assert(SqlRouter.parseExplain("(VERBOSE OFF) SELECT 1")._2 === "formatted")
     // ANALYZED is a column alias start, not the ANALYZE option
     assert(SqlRouter.parseExplain("SELECT 1 AS analyzed")._1 === false)
 
