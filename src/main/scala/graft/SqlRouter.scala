@@ -197,6 +197,12 @@ object SqlRouter {
     """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+SET\s+DEFAULT\s+(.*\S)\s*""".r
   private val AlterColDropDefault =
     """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+DROP\s+DEFAULT\s*""".r
+  // modern pg_dump (PG 10+): identity columns restore via a post-data
+  // ALTER with a multi-line sequence-option list, not a nextval default
+  private val AlterAddIdentity =
+    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+ADD\s+GENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY\s*(?:\(([^)]*)\))?\s*""".r
+  private val AlterDropIdentity =
+    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+DROP\s+IDENTITY\s*(?:IF\s+EXISTS\s*)?""".r
 
   // stored programs (mysqldump --routines/--triggers, pg_dump
   // functions): no engine analog — Spark has no stored procedures, the
@@ -614,11 +620,22 @@ object SqlRouter {
         val m = engine.table(src).manifest
         engine.createTable(name, m.schema, m.pkCols, m.props); ddl
       }
-    case CreateTable(ifNotExists, name, colsAndPk, _) =>
+    case CreateTable(ifNotExists, name, colsAndPk, opts) =>
       if (ifNotExists != null && tableExists(engine, name)) ddl
       else {
-        val (schema, pk, props) = parseColumns(colsAndPk)
-        engine.createTable(name, schema, pk, props); ddl
+        val (schema, pk, props0) = parseColumns(colsAndPk)
+        // counter seed: identity START WITH from the column body, or
+        // mysqldump's AUTO_INCREMENT=n table option (how a dump
+        // restores id continuity)
+        val seed = props0.get("autoinc.__seed").map(_.toLong)
+          .orElse(Option(opts).flatMap(o =>
+            """(?i)\bAUTO_INCREMENT\s*=\s*(\d+)""".r
+              .findFirstMatchIn(o).map(_.group(1).toLong)))
+        val t = engine.createTable(name, schema, pk,
+          props0 - "autoinc.__seed")
+        seed.filter(_ > 1L).foreach(sd => graft.storage.Manifest.commit(
+          t.path, t.manifest.copy(autoInc = sd)))
+        ddl
       }
     case LockTables() => ddl
     case DropTable(ifExists, name) =>
@@ -657,7 +674,21 @@ object SqlRouter {
       Result(None, t.upsertOnDuplicate(sourceDfFor(engine, t, colList, rest), sets))
     case Insert(name, colList, rest) =>
       val t = engine.table(name)
-      Result(None, t.insert(sourceDfFor(engine, t, colList, rest)))
+      val m = t.manifest
+      // MySQL assigns the id when the column list omits the
+      // auto-increment column — A23 through the SQL surface, not just
+      // the insertAutoInc API
+      val omittedAuto = m.schema.fieldNames
+        .find(c => m.props.get(s"autoinc.$c").contains("true"))
+        .filter(c => colList != null &&
+          !colList.split(',').map(_.trim).exists(_.equalsIgnoreCase(c)))
+      omittedAuto match {
+        case Some(c) =>
+          Result(None,
+            t.insertAutoInc(sourceDfFor(engine, t, colList, rest).drop(c), c))
+        case None =>
+          Result(None, t.insert(sourceDfFor(engine, t, colList, rest)))
+      }
     case Update(name, tail) =>
       val t = engine.table(name)
       val (setList, where) = splitSetWhere(tail)
@@ -883,6 +914,21 @@ object SqlRouter {
       val t = engine.table(name)
       graft.storage.Manifest.commit(t.path, t.manifest.copy(
         props = t.manifest.props - s"default.$colName" - s"autoinc.$colName"))
+      ddl
+    case AlterAddIdentity(name, colName, seqOpts) =>
+      val t = engine.table(name)
+      require(t.schema.fieldNames.contains(colName),
+        s"no column $colName in $name")
+      val start = Option(seqOpts).flatMap(o =>
+        StartWith.findFirstMatchIn(o).map(_.group(1).toLong))
+      graft.storage.Manifest.commit(t.path, t.manifest.copy(
+        props = t.manifest.props + (s"autoinc.$colName" -> "true"),
+        autoInc = start.fold(t.manifest.autoInc)(math.max(t.manifest.autoInc, _))))
+      ddl
+    case AlterDropIdentity(name, colName) =>
+      val t = engine.table(name)
+      graft.storage.Manifest.commit(t.path, t.manifest.copy(
+        props = t.manifest.props - s"autoinc.$colName"))
       ddl
     case SelectSetval(seqName, value, isCalled) =>
       // next id = value + 1 when is_called (the default), value itself
@@ -1464,6 +1510,18 @@ object SqlRouter {
   }
   private val DefaultAttr =
     """(?i)\bDEFAULT\s+('(?:[^']|'')*'|\([^)]*\)|\S+)""".r
+  // identity/auto-increment/generated column attributes (inline forms):
+  // MySQL `AUTO_INCREMENT`, PG 10+ `GENERATED {ALWAYS|BY DEFAULT} AS
+  // IDENTITY [(seq options)]`, and stored generated columns
+  // `GENERATED ALWAYS AS (expr) {STORED|VIRTUAL}` (mysqldump
+  // double-parenthesizes the expression). IdentityAttr must test
+  // before GeneratedAttr AND before DefaultAttr — its spelling
+  // contains both GENERATED and DEFAULT.
+  private val IdentityAttr =
+    """(?is)\bGENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY\s*(\([^)]*\))?""".r
+  private val GeneratedAttr =
+    """(?is)\bGENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*(?:STORED|VIRTUAL)?""".r
+  private val StartWith = """(?is)\bSTART\s+WITH\s+(\d+)""".r
 
   private def parseColumns(body: String)
       : (StructType, Seq[String], Map[String, String]) = {
@@ -1482,7 +1540,28 @@ object SqlRouter {
     val fields = cols.map(_.replaceAll("(?i)\\s+PRIMARY\\s+KEY", "")).map {
       entry0 =>
         val entry = normalizePgTypeWords(entry0)
-        val ColEntry(name, tpe, attrs) = entry: @unchecked
+        val ColEntry(name, tpe, attrs0) = entry: @unchecked
+        // identity/auto-inc/generated come OFF the attribute tail
+        // BEFORE the DEFAULT scan (PG's GENERATED BY DEFAULT AS
+        // IDENTITY contains the word DEFAULT — the naive scan would
+        // record default.<col>='AS')
+        var attrs = attrs0
+        IdentityAttr.findFirstMatchIn(attrs).foreach { m =>
+          defaults += s"autoinc.$name" -> "true"
+          Option(m.group(1)).flatMap(o =>
+            StartWith.findFirstMatchIn(o).map(_.group(1))).foreach(st =>
+            defaults += "autoinc.__seed" -> st)
+          attrs = IdentityAttr.replaceAllIn(attrs, " ")
+        }
+        if (IdentityAttr.findFirstIn(attrs0).isEmpty)
+          GeneratedAttr.findFirstMatchIn(attrs).foreach { m =>
+            defaults += s"generated.$name" -> m.group(1).trim
+            attrs = GeneratedAttr.replaceAllIn(attrs, " ")
+          }
+        if ("(?i)\\bAUTO_INCREMENT\\b".r.findFirstIn(attrs).isDefined) {
+          defaults += s"autoinc.$name" -> "true"
+          attrs = attrs.replaceAll("(?i)\\bAUTO_INCREMENT\\b", " ")
+        }
         val notNull = "(?i)\\bNOT\\s+NULL\\b".r.findFirstIn(attrs).isDefined
         DefaultAttr.findFirstMatchIn(attrs)
           .map(_.group(1)).filterNot(_.equalsIgnoreCase("NULL"))

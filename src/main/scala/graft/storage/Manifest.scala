@@ -49,11 +49,25 @@ final case class Manifest(
     fileStats: Map[String, Map[String, Seq[String]]] = Map.empty) {
 
   /** Swap the file list; stats for dropped files are shed, stats for
-    * newly written files ride in via `newStats`. */
+    * newly written files ride in via `newStats`. MySQL advances the
+    * auto-increment counter past any EXPLICITLY inserted id (A23) —
+    * the per-file PK stats computed for merge pruning carry the
+    * incoming max for free, so the bump costs no extra job here.
+    * Files without usable stats simply don't advance it; the
+    * AUTO_INCREMENT=n option / setval replay stays the authoritative
+    * seed. */
   def withFiles(f: Seq[String],
       newStats: Map[String, Map[String, Seq[String]]] = Map.empty): Manifest = {
     val listed = f.toSet
-    copy(files = f,
+    val bumped = props.keys.collectFirst {
+      case k if k.startsWith("autoinc.") && !k.startsWith("autoinc.__") =>
+        val c = k.stripPrefix("autoinc.")
+        val phys = props.getOrElse(s"phys.$c", c)
+        newStats.values.flatMap(_.get(phys)).flatMap(_.lift(1))
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+    }.collect { case maxes if maxes.nonEmpty => maxes.max + 1 }
+      .fold(autoInc)(math.max(autoInc, _))
+    copy(files = f, autoInc = bumped,
       fileStats = (fileStats ++ newStats).filter { case (k, _) => listed(k) })
   }
 }

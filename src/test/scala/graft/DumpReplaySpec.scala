@@ -97,6 +97,80 @@ class DumpReplaySpec extends SparkSpec {
     assert(e.sql("SELECT v FROM pt WHERE id = 200").as[String].head() === "c")
   }
 
+  test("PG 10+ identity columns replay: ADD GENERATED AS IDENTITY and inline forms") {
+    // modern pg_dump restores identity (the serial replacement) as a
+    // post-data ALTER with a multi-line sequence-option list; this
+    // used to abort the whole replay with a ParseException
+    val e = new Engine(spark, tmpDir("dump_identity"))
+    val script =
+      """CREATE TABLE ids (
+        |    id bigint NOT NULL,
+        |    v text
+        |);
+        |ALTER TABLE ids ALTER COLUMN id ADD GENERATED BY DEFAULT AS IDENTITY (
+        |    SEQUENCE NAME ids_id_seq
+        |    START WITH 5
+        |    INCREMENT BY 1
+        |    NO MINVALUE
+        |    NO MAXVALUE
+        |    CACHE 1
+        |);
+        |INSERT INTO ids (id, v) VALUES (1, 'a');
+        |INSERT INTO ids (v) VALUES ('b');
+        |""".stripMargin
+    executeScript(e, script)
+    // BY DEFAULT: explicit id kept, omitted id assigned from START WITH
+    assert(e.sql("SELECT id FROM ids ORDER BY id").as[Long].collect().toSeq
+      === Seq(1L, 5L))
+    assert(e.table("ids").manifest.props.get("autoinc.id") === Some("true"))
+    // inline CREATE form (hand-written DDL)
+    SqlRouter.executeScript(e,
+      """CREATE TABLE ids2 (id bigint GENERATED ALWAYS AS IDENTITY, v text);
+        |INSERT INTO ids2 (v) VALUES ('a'), ('b');
+        |""".stripMargin)
+    assert(e.sql("SELECT id FROM ids2 ORDER BY id").as[Long].collect().toSeq
+      === Seq(1L, 2L))
+    // DROP IDENTITY clears the assignment
+    SqlRouter.execute(e, "ALTER TABLE ids ALTER COLUMN id DROP IDENTITY IF EXISTS")
+    assert(e.table("ids").manifest.props.get("autoinc.id") === None)
+  }
+
+  test("mysqldump auto-increment: inline attr, AUTO_INCREMENT=n option, explicit-id bump") {
+    val e = new Engine(spark, tmpDir("dump_autoinc"))
+    executeScript(e,
+      """CREATE TABLE `ai` (
+        |  `id` int NOT NULL AUTO_INCREMENT,
+        |  `v` varchar(8) DEFAULT NULL,
+        |  PRIMARY KEY (`id`)
+        |) ENGINE=InnoDB AUTO_INCREMENT=7 DEFAULT CHARSET=utf8mb4;
+        |INSERT INTO `ai` VALUES (1,'a'),(2,'b');
+        |""".stripMargin)
+    // the dump's AUTO_INCREMENT=7 option restores id continuity: the
+    // next assigned id is 7, not 3 (used to be lost → NOT NULL crash)
+    SqlRouter.execute(e, "INSERT INTO ai (v) VALUES ('c')")
+    assert(e.sql("SELECT id FROM ai ORDER BY id").as[Int].collect().toSeq
+      === Seq(1, 2, 7))
+    // MySQL advances the counter past explicitly inserted ids (the
+    // per-file PK stats carry the max for free — no extra job)
+    SqlRouter.execute(e, "INSERT INTO ai VALUES (100, 'x')")
+    SqlRouter.execute(e, "INSERT INTO ai (v) VALUES ('y')")
+    assert(e.sql("SELECT max(id) FROM ai").as[Int].head() === 101)
+  }
+
+  test("mysqldump stored generated column replays and computes") {
+    val e = new Engine(spark, tmpDir("dump_gen"))
+    executeScript(e,
+      """CREATE TABLE `g` (
+        |  `a` int NOT NULL,
+        |  `b` int GENERATED ALWAYS AS ((`a` * 2)) STORED,
+        |  PRIMARY KEY (`a`)
+        |);
+        |INSERT INTO `g` (`a`) VALUES (3);
+        |""".stripMargin)
+    assert(e.table("g").manifest.props.get("generated.b") === Some("(a * 2)"))
+    assert(e.sql("SELECT b FROM g").as[Option[Int]].head() === Some(6))
+  }
+
   test("pg_dump-shaped script (COPY + post-data pkey) replays to the exact state") {
     val e = new Engine(spark, tmpDir("dump_pg"))
     // the bulk rows travel as a COPY file, the pg restore shape
