@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Statement router: the analog of the reference's `DuckBuilder.Build`
@@ -115,7 +115,16 @@ object SqlRouter {
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*)""".r
   private val Delete =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?\s*""".r
-  private val Truncate = """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*""".r
+  // PG truncates several tables in one statement and can reset the
+  // identity counters: TRUNCATE a, b RESTART IDENTITY CASCADE
+  private val Truncate =
+    """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?(?:ONLY\s+)?([\w.]+(?:\s*,\s*[\w.]+)*)\s*(RESTART\s+IDENTITY|CONTINUE\s+IDENTITY)?\s*(?:CASCADE|RESTRICT)?\s*""".r
+  // MySQL's alternative DML spellings: INSERT INTO t SET a=1, b=2
+  // (reference: GMS parses these natively on the MySQL path)
+  private val InsertSet =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+SET\s+(.+)""".r
+  private val ReplaceSet =
+    """(?is)\s*REPLACE\s+INTO\s+([\w.]+)\s+SET\s+(.+)""".r
   // type may carry a parenthesized argument list incl. commas
   // (DECIMAL(10,2)); NOT NULL / DEFAULT come in either order (MySQL
   // and SHOW CREATE TABLE emit "NOT NULL DEFAULT x")
@@ -673,22 +682,7 @@ object SqlRouter {
       }.toMap
       Result(None, t.upsertOnDuplicate(sourceDfFor(engine, t, colList, rest), sets))
     case Insert(name, colList, rest) =>
-      val t = engine.table(name)
-      val m = t.manifest
-      // MySQL assigns the id when the column list omits the
-      // auto-increment column — A23 through the SQL surface, not just
-      // the insertAutoInc API
-      val omittedAuto = m.schema.fieldNames
-        .find(c => m.props.get(s"autoinc.$c").contains("true"))
-        .filter(c => colList != null &&
-          !colList.split(',').map(_.trim).exists(_.equalsIgnoreCase(c)))
-      omittedAuto match {
-        case Some(c) =>
-          Result(None,
-            t.insertAutoInc(sourceDfFor(engine, t, colList, rest).drop(c), c))
-        case None =>
-          Result(None, t.insert(sourceDfFor(engine, t, colList, rest)))
-      }
+      doInsert(engine, name, colList, rest)
     case Update(name, tail) =>
       val t = engine.table(name)
       val (setList, where) = splitSetWhere(tail)
@@ -704,6 +698,25 @@ object SqlRouter {
       Result(None, t.delete(cond))
     case VersionQuery(name, v) =>
       Result(Some(engine.table(name).readVersion(v.toLong)), 0L)
+    case InsertSet(name, setList) =>
+      // MySQL's INSERT ... SET form is sugar for a one-row column-list
+      // insert; rebuilding the VALUES form reuses the whole insert
+      // path (defaults, generated columns, auto-inc routing, RETURNING)
+      val kvs = splitTop(setList).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        (k.trim, v.trim)
+      }
+      doInsert(engine, name, kvs.map(_._1).mkString(", "),
+        s"VALUES (${kvs.map(_._2).mkString(", ")})")
+    case ReplaceSet(name, setList) =>
+      val kvs = splitTop(setList).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        (k.trim, v.trim)
+      }
+      val t = engine.table(name)
+      Result(None, t.replaceRows(sourceDfFor(engine, t,
+        kvs.map(_._1).mkString(", "),
+        s"VALUES (${kvs.map(_._2).mkString(", ")})")))
     case Explain(tail) =>
       val (analyze, mode, inner) = parseExplain(tail)
       // leading '('s come off only for the KEYWORD check — set-op heads
@@ -729,7 +742,15 @@ object SqlRouter {
           org.apache.spark.sql.execution.ExplainMode.fromString(mode))
           .split('\n').toSeq
       Result(Some(seqDf(engine, lines, "explain_plan")), 0L)
-    case Truncate(name) => engine.table(name).truncate(); ddl
+    case Truncate(names, restart) =>
+      names.split(',').map(_.trim).filter(_.nonEmpty).foreach { n =>
+        val t = engine.table(n)
+        t.truncate()
+        if (restart != null && restart.toUpperCase.startsWith("RESTART"))
+          graft.storage.Manifest.commit(t.path,
+            t.manifest.copy(autoInc = 1L))
+      }
+      ddl
     case ShowDatabases() =>
       Result(Some(seqDf(engine, engine.listDatabases(), "database_name")), 0L)
     case ShowTables() =>
@@ -1135,6 +1156,8 @@ object SqlRouter {
         val Insert(name, _, _) = splitOnDup(s).get._1: @unchecked
         Some(name)
       case Insert(name, _, _) => Some(name)
+      case InsertSet(name, _) => Some(name)
+      case ReplaceSet(name, _) => Some(name)
       case Update(name, _) => Some(name)
       case Delete(name, _) => Some(name)
       case _ => None
@@ -1397,6 +1420,70 @@ object SqlRouter {
 
   /** Source frame for an INSERT-family statement with an optional
     * explicit column list (null = all columns). */
+  /** The INSERT execution path shared by the VALUES/SELECT form and
+    * MySQL's `INSERT ... SET` sugar. Routes through the distributed
+    * auto-inc assignment when the column list omits the table's
+    * auto-increment column (A23 via SQL), and answers PG's
+    * `RETURNING <exprs>` tail: for auto-assigned inserts the returned
+    * rows read back by the id range this statement assigned (exact —
+    * ids are contiguous — and generated columns carry their stored
+    * values); for explicit inserts they project the typed source rows.
+    * (UPDATE/DELETE RETURNING are not routed — INSERT's id-grab is the
+    * dominant application shape.) */
+  private def doInsert(engine: Engine, name: String, colList: String,
+      rest0: String): Result = {
+    val t = engine.table(name)
+    val m = t.manifest
+    val (rest, returning) = splitReturning(rest0)
+    val omittedAuto = m.schema.fieldNames
+      .find(c => m.props.get(s"autoinc.$c").contains("true"))
+      .filter(c => colList != null &&
+        !colList.split(',').map(_.trim).exists(_.equalsIgnoreCase(c)))
+    omittedAuto match {
+      case Some(c) =>
+        val base = m.autoInc
+        val n = t.insertAutoInc(
+          sourceDfFor(engine, t, colList, rest).drop(c), c)
+        val df = returning.map(rx => t.read()
+          .filter(col(c) >= lit(base) && col(c) < lit(base + n))
+          .selectExpr(splitTop(rx).map(_.trim): _*))
+        Result(df, n)
+      case None =>
+        val src = sourceDfFor(engine, t, colList, rest)
+        val n = t.insert(src)
+        Result(returning.map(rx =>
+          src.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+    }
+  }
+
+  /** Split a top-level `RETURNING <exprs>` tail off an INSERT source —
+    * quote- and paren-aware, so the word inside a string literal or a
+    * scalar subquery never triggers. */
+  private[graft] def splitReturning(s: String): (String, Option[String]) = {
+    var i = 0
+    var depth = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < s.length) i += 1
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'r' | 'R' if depth == 0 && i > 0 &&
+            s.charAt(i - 1).isWhitespace && i + 9 <= s.length &&
+            s.substring(i, i + 9).equalsIgnoreCase("RETURNING") &&
+            (i + 9 == s.length || !s.charAt(i + 9).isLetterOrDigit) =>
+          return (s.substring(0, i), Some(s.substring(i + 9).trim))
+        case _ => ()
+      }
+      i += 1
+    }
+    (s, None)
+  }
+
   private def sourceDfFor(engine: Engine, t: graft.storage.GraftTable,
       colList: String, rest: String): DataFrame =
     if (colList == null) sourceDf(engine, t, rest)
@@ -1571,8 +1658,18 @@ object SqlRouter {
         // between — 'timestamp(6) without time zone')
         val a = attrs.trim.toUpperCase
         val tbase = tpe.toLowerCase.replaceAll("\\s*\\([^)]*\\)", "").trim
+        // PG's classic serial pseudo-types ARE the identity declaration
+        // (implicitly NOT NULL, implicitly auto-assigned)
+        val serialType = tbase match {
+          case "serial" | "serial4" => Some(org.apache.spark.sql.types.IntegerType)
+          case "bigserial" | "serial8" => Some(org.apache.spark.sql.types.LongType)
+          case "smallserial" | "serial2" => Some(org.apache.spark.sql.types.ShortType)
+          case _ => None
+        }
+        serialType.foreach(_ => defaults += s"autoinc.$name" -> "true")
         val dt =
-          if (tbase == "timestamp" && a.startsWith("WITHOUT TIME ZONE"))
+          if (serialType.isDefined) serialType.get
+          else if (tbase == "timestamp" && a.startsWith("WITHOUT TIME ZONE"))
             org.apache.spark.sql.types.TimestampNTZType
           else if (tbase == "timestamp" && a.startsWith("WITH TIME ZONE"))
             org.apache.spark.sql.types.TimestampType
@@ -1595,7 +1692,7 @@ object SqlRouter {
             org.apache.spark.sql.types.StringType
           case other => other
         }
-        StructField(name, stored, nullable = !notNull)
+        StructField(name, stored, nullable = !notNull && serialType.isEmpty)
     }
     (StructType(fields), if (pk.nonEmpty) pk else inlinePk, defaults)
   }

@@ -822,6 +822,47 @@ class SqlRouterSpec extends SparkSpec {
     assert(kept.contains("-- public.nope"))
   }
 
+  test("serial columns, INSERT..SET, multi-table TRUNCATE, INSERT..RETURNING") {
+    val e = new Engine(spark, tmpDir("router_shapes"))
+
+    // PG classic serial: implicitly NOT NULL + auto-assigned
+    exec(e, "CREATE TABLE s1 (id serial PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO s1 (v) VALUES ('a'), ('b')")
+    assert(exec(e, "SELECT id FROM s1 ORDER BY id").df.get.as[Int].collect()
+      === Array(1, 2))
+    assert(!e.table("s1").schema("id").nullable)
+
+    // MySQL INSERT ... SET sugar routes through the same insert path
+    exec(e, "CREATE TABLE t1 (a INT, b STRING)")
+    exec(e, "INSERT INTO t1 SET a = 1, b = 'x, y=z'") // comma/= inside literal
+    assert(exec(e, "SELECT a, b FROM t1").df.get.as[(Int, String)].head()
+      === ((1, "x, y=z")))
+    exec(e, "REPLACE INTO t1 SET a = 2, b = 'w'")
+    assert(exec(e, "SELECT count(*) FROM t1").df.get.as[Long].head() === 2)
+
+    // PG multi-table TRUNCATE with identity restart
+    exec(e, "INSERT INTO s1 (v) VALUES ('c')") // id 3
+    exec(e, "CREATE TABLE s2 (x INT)")
+    exec(e, "INSERT INTO s2 VALUES (9)")
+    exec(e, "TRUNCATE s1, s2 RESTART IDENTITY CASCADE")
+    assert(exec(e, "SELECT count(*) FROM s1").df.get.as[Long].head() === 0)
+    assert(exec(e, "SELECT count(*) FROM s2").df.get.as[Long].head() === 0)
+    exec(e, "INSERT INTO s1 (v) VALUES ('again')")
+    assert(exec(e, "SELECT id FROM s1").df.get.as[Int].head() === 1) // restarted
+
+    // INSERT ... RETURNING: the id-grab shape (auto-assigned → exact
+    // read-back by the assigned range), plus the explicit-insert form
+    val r1 = exec(e, "INSERT INTO s1 (v) VALUES ('r1'), ('r2') RETURNING id, v")
+    assert(r1.affected === 2)
+    assert(r1.df.get.as[(Int, String)].collect().sortBy(_._1)
+      === Array((2, "r1"), (3, "r2")))
+    val r2 = exec(e, "INSERT INTO t1 (a, b) VALUES (7, 'k') RETURNING b, a")
+    assert(r2.df.get.as[(String, Int)].head() === (("k", 7)))
+    // the word RETURNING inside a string literal does not trigger
+    val r3 = exec(e, "INSERT INTO t1 (a, b) VALUES (8, 'not RETURNING x')")
+    assert(r3.df.isEmpty && r3.affected === 1)
+  }
+
   test("EXPLAIN: query statement type answered with the Spark plan") {
     val e = new Engine(spark, tmpDir("router_explain"))
     exec(e, "CREATE TABLE ex1 (id BIGINT PRIMARY KEY, grp STRING, v DOUBLE)")
