@@ -667,6 +667,46 @@ object SqlRouter {
     case InsertIgnore(name, colList, rest) =>
       val t = engine.table(name)
       Result(None, t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest)))
+    // PG's upsert spelling (ON CONFLICT ... DO NOTHING | DO UPDATE SET
+    // ... [WHERE ...]) maps onto the same storage machinery as MySQL's
+    // ON DUPLICATE KEY: `excluded.c` is the incoming row (the __new_<c>
+    // convention), a bare/table-qualified c is the existing row, and a
+    // WHERE guard folds into per-column CASE expressions. The conflict
+    // target must be the PK — the table's only uniqueness structure.
+    // This arm must test BEFORE the plain Insert arm (whose source
+    // capture would swallow the clause into the VALUES tail).
+    case s0 if splitOnConflict(s0).exists(p => Insert.matches(p._1)) =>
+      val (head, ctail) = splitOnConflict(s0).get
+      val Insert(name, colList, rest) = head: @unchecked
+      val t = engine.table(name)
+      val m = t.manifest
+      ctail match {
+        case ConflictTail(target, nothing, setList) =>
+          Option(target).foreach { tg =>
+            val cols = tg.split(',')
+              .map(_.trim.stripPrefix("\"").stripSuffix("\"").toLowerCase).toSet
+            require(cols == m.pkCols.map(_.toLowerCase).toSet,
+              s"ON CONFLICT target ($tg) must be the primary key " +
+                s"(${m.pkCols.mkString(", ")})")
+          }
+          if (nothing != null)
+            Result(None, t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest)))
+          else {
+            val (sets0, whereOpt) = splitSetWhere(setList)
+            val sets = splitTop(sets0).map { kv =>
+              val Array(k, v) = kv.split("=", 2)
+              val key = k.trim.stripPrefix("\"").stripSuffix("\"")
+              val rhs = rewriteConflictRefs(v.trim, name)
+              key -> whereOpt.map(w =>
+                s"CASE WHEN (${rewriteConflictRefs(w, name)}) THEN ($rhs) ELSE $key END")
+                .getOrElse(rhs)
+            }.toMap
+            Result(None,
+              t.upsertOnDuplicate(sourceDfFor(engine, t, colList, rest), sets))
+          }
+        case other => throw new IllegalArgumentException(
+          s"unsupported ON CONFLICT clause: $other")
+      }
     // ON DUPLICATE KEY UPDATE found by a quote-aware scan, never by a
     // regex that could bite inside a string literal
     case s0 if splitOnDup(s0).exists(p => Insert.matches(p._1)) =>
@@ -1728,6 +1768,72 @@ object SqlRouter {
 
   /** `VALUES(c)` → `__new_c`, outside string literals only (a literal
     * 'VALUES(x)' in a SET expression must survive verbatim). */
+  /** Quote-aware top-level split at PG's `ON CONFLICT` — the phrase
+    * inside a string literal must not trigger the upsert arm. Returns
+    * (insert head, conflict-clause tail). */
+  private[graft] def splitOnConflict(s: String): Option[(String, String)] = {
+    val pat = java.util.regex.Pattern.compile("(?is)\\GON\\s+CONFLICT\\b")
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < s.length) i += 1
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if ((c == 'o' || c == 'O') && i > 0 && s.charAt(i - 1).isWhitespace) {
+        val m = pat.matcher(s)
+        m.region(i, s.length)
+        if (m.lookingAt())
+          return Some((s.substring(0, i), s.substring(m.end())))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `[(cols)] | ON CONSTRAINT name` target, then DO NOTHING or
+    * DO UPDATE SET <list>. */
+  private val ConflictTail =
+    """(?is)\s*(?:\(\s*([\w\s,"]+?)\s*\)\s*|ON\s+CONSTRAINT\s+[\w."]+\s+)?DO\s+(?:(NOTHING)|UPDATE\s+SET\s+(.+))\s*""".r
+
+  /** PG upsert SET/WHERE expressions reference the incoming row as
+    * `excluded.c` and the existing row as `c` or `<table>.c` — folded
+    * to the `__new_<c>` / bare-column convention upsertOnDuplicate
+    * evaluates. Quote-aware; word-boundary-guarded. */
+  private[graft] def rewriteConflictRefs(s: String, table: String): String = {
+    val bare = table.split('.').last
+    val pat = java.util.regex.Pattern.compile(
+      "(?is)\\G(?:EXCLUDED\\s*\\.\\s*(\\w+)|" +
+        java.util.regex.Pattern.quote(bare) + "\\s*\\.\\s*(\\w+))")
+    def isWord(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_' || c == '$'
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < s.length) {
+          out.append(s.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else {
+        val m = pat.matcher(s)
+        m.region(i, s.length)
+        if ((i == 0 || !isWord(s.charAt(i - 1))) && m.lookingAt()) {
+          if (m.group(1) != null) out.append("__new_").append(m.group(1))
+          else out.append(m.group(2))
+          i = m.end()
+        } else { out.append(c); i += 1 }
+      }
+    }
+    out.toString
+  }
+
   private[graft] def rewriteValuesRefs(s: String): String = {
     val pat = java.util.regex.Pattern.compile(
       "(?is)\\GVALUES\\s*\\(\\s*(\\w+)\\s*\\)")

@@ -863,6 +863,37 @@ class SqlRouterSpec extends SparkSpec {
     assert(r3.df.isEmpty && r3.affected === 1)
   }
 
+  test("PG ON CONFLICT upsert: DO NOTHING, DO UPDATE with excluded refs and WHERE guard") {
+    val e = new Engine(spark, tmpDir("router_onconflict"))
+    exec(e, "CREATE TABLE oc (id BIGINT PRIMARY KEY, v STRING, n INT)")
+    exec(e, "INSERT INTO oc VALUES (1, 'a', 10), (2, 'b', 20)")
+
+    // DO NOTHING: existing keys kept, new keys inserted
+    exec(e, "INSERT INTO oc VALUES (1, 'X', 99), (3, 'c', 30) ON CONFLICT (id) DO NOTHING")
+    assert(exec(e, "SELECT v FROM oc WHERE id = 1").df.get.as[String].head() === "a")
+    assert(exec(e, "SELECT count(*) FROM oc").df.get.as[Long].head() === 3)
+
+    // DO UPDATE: excluded.* is the incoming row; bare/table-qualified
+    // names are the existing row
+    exec(e, "INSERT INTO oc VALUES (1, 'Z', 5) ON CONFLICT (id) DO UPDATE SET v = excluded.v, n = oc.n + excluded.n")
+    assert(exec(e, "SELECT v, n FROM oc WHERE id = 1").df.get.as[(String, Int)].head()
+      === (("Z", 15)))
+
+    // WHERE guard: the update applies only where the condition holds
+    exec(e, "INSERT INTO oc VALUES (1, 'W', 100), (2, 'W', 1) ON CONFLICT (id) DO UPDATE SET n = excluded.n WHERE excluded.n > oc.n")
+    assert(exec(e, "SELECT n FROM oc WHERE id = 1").df.get.as[Int].head() === 100)
+    assert(exec(e, "SELECT n FROM oc WHERE id = 2").df.get.as[Int].head() === 20)
+
+    // the phrase inside a string literal does not trigger the arm
+    exec(e, "INSERT INTO oc VALUES (4, 'on conflict (id) do nothing', 1)")
+    assert(exec(e, "SELECT count(*) FROM oc").df.get.as[Long].head() === 4)
+
+    // a non-PK conflict target is refused loudly
+    intercept[IllegalArgumentException] {
+      exec(e, "INSERT INTO oc VALUES (5, 'x', 1) ON CONFLICT (v) DO NOTHING")
+    }
+  }
+
   test("EXPLAIN: query statement type answered with the Spark plan") {
     val e = new Engine(spark, tmpDir("router_explain"))
     exec(e, "CREATE TABLE ex1 (id BIGINT PRIMARY KEY, grp STRING, v DOUBLE)")
