@@ -62,7 +62,28 @@ object SqlRouter {
   private val CommitTxn = """(?is)\s*COMMIT\s*""".r
   private val RollbackTxn = """(?is)\s*ROLLBACK\s*""".r
   private val ShowDatabases = """(?is)\s*SHOW\s+DATABASES\s*""".r
-  private val ShowTables = """(?is)\s*SHOW\s+TABLES\s*""".r
+  // SHOW TABLES answers views too (MySQL/GMS behavior); FULL adds the
+  // Table_type column and LIKE filters with MySQL pattern semantics
+  private val ShowTables =
+    """(?is)\s*SHOW\s+(FULL\s+)?TABLES\s*(?:LIKE\s+'([^']*)')?\s*""".r
+  private val ShowTableStatus =
+    """(?is)\s*SHOW\s+TABLE\s+STATUS\s*(?:(?:FROM|IN)\s+(\w+)\s*)?(?:LIKE\s+'([^']*)')?\s*""".r
+  // connect-time client statements (MySQL drivers issue these on every
+  // session): SET NAMES records the three character-set session vars
+  // like the real server; the SHOW lists answer with correctly-shaped
+  // frames (the reference gets these from GMS)
+  private val SetNames =
+    """(?is)\s*SET\s+NAMES\s+'?(\w+)'?\s*(?:COLLATE\s+'?(\w+)'?)?\s*""".r
+  private val ShowCollation =
+    """(?is)\s*SHOW\s+COLLATION\s*(?:LIKE\s+'[^']*')?\s*""".r
+  private val ShowCharset =
+    """(?is)\s*SHOW\s+(?:CHARACTER\s+SET|CHARSET)\s*(?:LIKE\s+'[^']*')?\s*""".r
+  private val ShowEngines = """(?is)\s*SHOW\s+(?:STORAGE\s+)?ENGINES\s*""".r
+  private val ShowStatus =
+    """(?is)\s*SHOW\s+(?:GLOBAL\s+|SESSION\s+)?STATUS\s*(?:LIKE\s+'[^']*')?\s*""".r
+  // PG: INSERT with every column defaulted
+  private val InsertDefaults =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+DEFAULT\s+VALUES\s*""".r
   private val ShowColumns =
     """(?is)\s*(?:SHOW\s+COLUMNS\s+FROM|DESCRIBE|DESC)\s+([\w.]+)\s*""".r
   private val ShowCreateTable =
@@ -379,8 +400,30 @@ object SqlRouter {
     if (stmt.trim.isEmpty) return ddl
     // MySQL literal forms first (the rewrite must reach Catalyst too,
     // unlike backtick stripping which is routing-only — see ADVICE r6)
-    val lit = stripPublicSchema(normalizeMysqlLiterals(stmt))
+    val lit = stripLockingTail(
+      stripPublicSchema(normalizeMysqlLiterals(stmt)))
     executeRouted(engine, stripIdentQuotes(stripComments(lit)), lit)
+  }
+
+  private val LockingTail =
+    ("""(?is)\s+(?:FOR\s+(?:UPDATE|SHARE|NO\s+KEY\s+UPDATE|KEY\s+SHARE)""" +
+      """(?:\s+OF\s+[\w\s,."]+)?(?:\s+NOWAIT|\s+SKIP\s+LOCKED)?""" +
+      """|LOCK\s+IN\s+SHARE\s+MODE)\s*;?\s*$""").r
+
+  /** Row-locking clauses (`SELECT ... FOR UPDATE`, `LOCK IN SHARE
+    * MODE`) come off query tails: the engine's concurrency story is
+    * the manifest journal's optimistic commit, not row locks, so the
+    * clause is accepted-and-dropped (what a snapshot-isolated engine
+    * does). End-anchored, so the phrase inside a string literal never
+    * matches — a literal at statement end keeps its closing quote
+    * between the phrase and `$`. */
+  private[graft] def stripLockingTail(s: String): String = {
+    val head = s.trim.dropWhile(c => c == '(' || c.isWhitespace)
+    val isQuery = Seq("SELECT", "WITH", "TABLE", "VALUES")
+      .exists(head.toUpperCase.startsWith)
+    if (!isQuery) s
+    else LockingTail.findFirstMatchIn(s).map(m => s.substring(0, m.start))
+      .getOrElse(s)
   }
 
   /** Comment spans removed for ROUTING (each replaced by one space so
@@ -721,6 +764,27 @@ object SqlRouter {
         k.trim -> rewriteValuesRefs(v.trim)
       }.toMap
       Result(None, t.upsertOnDuplicate(sourceDfFor(engine, t, colList, rest), sets))
+    case InsertDefaults(name) =>
+      // PG's all-defaults one-row insert: declared DEFAULTs, null
+      // elsewhere, the auto-increment column assigned
+      val t = engine.table(name)
+      val m = t.manifest
+      val auto = m.schema.fieldNames
+        .find(c => m.props.get(s"autoinc.$c").contains("true"))
+      val one = engine.spark.range(1)
+      def defaultFor(f: StructField) =
+        m.props.get(s"default.${f.name}")
+          .map(d => expr(d).cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+      auto match {
+        case Some(c) =>
+          val src = one.select(
+            m.schema.fields.filterNot(_.name == c).map(defaultFor).toSeq: _*)
+          Result(None, t.insertAutoInc(src, c))
+        case None =>
+          Result(None, t.insert(one.select(
+            m.schema.fields.map(defaultFor).toSeq: _*)))
+      }
     case Insert(name, colList, rest) =>
       doInsert(engine, name, colList, rest)
     case Update(name, tail) =>
@@ -793,8 +857,77 @@ object SqlRouter {
       ddl
     case ShowDatabases() =>
       Result(Some(seqDf(engine, engine.listDatabases(), "database_name")), 0L)
-    case ShowTables() =>
-      Result(Some(seqDf(engine, engine.listTables(), "table_name")), 0L)
+    case ShowTables(full, like) =>
+      val sp = engine.spark
+      import sp.implicits._
+      val entries = (engine.listTables().map((_, "BASE TABLE")) ++
+        engine.listViews().map((_, "VIEW"))).sortBy(_._1)
+      val filtered = Option(like).fold(entries)(p =>
+        entries.filter(e => likeMatch(p, e._1)))
+      if (full != null)
+        Result(Some(filtered.toDF("table_name", "table_type")), 0L)
+      else Result(Some(seqDf(engine, filtered.map(_._1), "table_name")), 0L)
+    case ShowTableStatus(db, like) =>
+      val sp = engine.spark
+      val names0 = engine.listTables(
+        Option(db).getOrElse(engine.currentDatabase))
+      val names = Option(like).fold(names0)(p => names0.filter(likeMatch(p, _)))
+      val schema = StructType.fromDDL("Name STRING, Engine STRING, " +
+        "Version INT, Row_format STRING, Rows BIGINT, " +
+        "Avg_row_length BIGINT, Data_length BIGINT, Max_data_length BIGINT, " +
+        "Index_length BIGINT, Data_free BIGINT, Auto_increment BIGINT, " +
+        "Create_time TIMESTAMP, Update_time TIMESTAMP, Check_time TIMESTAMP, " +
+        "Collation STRING, Checksum BIGINT, Create_options STRING, " +
+        "Comment STRING")
+      val rows = names.map { n =>
+        val m = engine.table(Option(db).map(d => s"$d.$n").getOrElse(n)).manifest
+        val rowCount = m.props.get("stats.rowCount").map(c =>
+          java.lang.Long.valueOf(c.toLong)).orNull
+        val autoInc =
+          if (m.props.keys.exists(_.startsWith("autoinc.")))
+            java.lang.Long.valueOf(m.autoInc)
+          else null
+        Row(n, "graft", 10, "Columnar", rowCount, null, null, null, null,
+          null, autoInc, null, null, null, "utf8mb4_0900_ai_ci", null, "", "")
+      }
+      Result(Some(sp.createDataFrame(
+        sp.sparkContext.parallelize(rows, 1), schema)), 0L)
+    case SetNames(cs, coll) =>
+      Seq("character_set_client", "character_set_connection",
+        "character_set_results").foreach(engine.setVar(_, cs, persist = false))
+      Option(coll).foreach(engine.setVar("collation_connection", _, persist = false))
+      ddl
+    case ShowCollation() =>
+      val sp = engine.spark
+      import sp.implicits._
+      Result(Some(Seq(
+        ("utf8mb4_0900_ai_ci", "utf8mb4", 255, "Yes", "Yes", 0),
+        ("utf8mb4_bin", "utf8mb4", 46, "", "Yes", 1),
+        ("binary", "binary", 63, "Yes", "Yes", 1))
+        .toDF("Collation", "Charset", "Id", "Default", "Compiled", "Sortlen")), 0L)
+    case ShowCharset() =>
+      val sp = engine.spark
+      import sp.implicits._
+      Result(Some(Seq(
+        ("utf8mb4", "UTF-8 Unicode", "utf8mb4_0900_ai_ci", 4),
+        ("binary", "Binary pseudo charset", "binary", 1),
+        ("latin1", "cp1252 West European", "latin1_swedish_ci", 1))
+        .toDF("Charset", "Description", "Default collation", "Maxlen")), 0L)
+    case ShowEngines() =>
+      val sp = engine.spark
+      import sp.implicits._
+      Result(Some(Seq(
+        ("graft", "DEFAULT", "Spark-native columnar engine with manifest journal",
+          "YES", "NO", "NO"))
+        .toDF("Engine", "Support", "Comment", "Transactions", "XA", "Savepoints")), 0L)
+    case ShowStatus() =>
+      val sp = engine.spark
+      import sp.implicits._
+      val uptime =
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000
+      Result(Some(Seq(
+        ("Uptime", uptime.toString), ("Threads_connected", "1"))
+        .toDF("Variable_name", "Value")), 0L)
     case ShowColumns(name) =>
       val t = engine.table(name)
       val m = t.manifest
@@ -905,11 +1038,8 @@ object SqlRouter {
       val sp = engine.spark
       import sp.implicits._
       val vars = engine.listVars().toSeq.sortBy(_._1)
-      val filtered = Option(like).fold(vars) { pat =>
-        val rx = ("(?i)^" + java.util.regex.Pattern.quote(pat)
-          .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r
-        vars.filter(v => rx.findFirstIn(v._1).isDefined)
-      }
+      val filtered = Option(like).fold(vars)(pat =>
+        vars.filter(v => likeMatch(pat, v._1)))
       Result(Some(filtered.toDF("variable_name", "value")), 0L)
     case SetVariable(modifier, key, value) =>
       val persist = modifier != null &&
@@ -1572,6 +1702,12 @@ object SqlRouter {
     else ""
     (cols ++ pk).mkString(s"CREATE TABLE ${name.split('.').last} (\n", ",\n", s"\n)$props")
   }
+
+  /** MySQL LIKE pattern (%/_ wildcards) match, case-insensitive. */
+  private def likeMatch(pat: String, s: String): Boolean =
+    ("(?i)^" + java.util.regex.Pattern.quote(pat)
+      .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r
+      .findFirstIn(s).isDefined
 
   private def seqDf(engine: Engine, xs: Seq[String], colName: String): DataFrame = {
     val sp = engine.spark

@@ -863,6 +863,53 @@ class SqlRouterSpec extends SparkSpec {
     assert(r3.df.isEmpty && r3.affected === 1)
   }
 
+  test("MySQL client-session surface: SET NAMES, SHOW lists, locking tails, DEFAULT VALUES") {
+    val e = new Engine(spark, tmpDir("router_client"))
+    exec(e, "CREATE TABLE users (id BIGINT PRIMARY KEY, v STRING)")
+    exec(e, "CREATE VIEW vu AS SELECT id FROM users")
+    exec(e, "INSERT INTO users VALUES (1, 'a')")
+
+    // SET NAMES records the session charset vars like the real server
+    exec(e, "SET NAMES utf8mb4 COLLATE utf8mb4_0900_ai_ci")
+    assert(e.getVar("character_set_client") === Some("utf8mb4"))
+    assert(e.getVar("collation_connection") === Some("utf8mb4_0900_ai_ci"))
+
+    // SHOW TABLES answers views too, filters with LIKE, FULL adds type
+    assert(exec(e, "SHOW TABLES").df.get.as[String].collect().sorted
+      === Array("users", "vu"))
+    assert(exec(e, "SHOW TABLES LIKE 'use%'").df.get.as[String].collect()
+      === Array("users"))
+    assert(exec(e, "SHOW FULL TABLES").df.get.as[(String, String)].collect()
+      .toMap === Map("users" -> "BASE TABLE", "vu" -> "VIEW"))
+
+    // SHOW TABLE STATUS: MySQL column names, live row/auto-inc stats
+    exec(e, "ANALYZE TABLE users COMPUTE STATISTICS")
+    val st = exec(e, "SHOW TABLE STATUS LIKE 'users'").df.get.collect()
+    assert(st.length === 1)
+    assert(st.head.getAs[String]("Name") === "users")
+    assert(st.head.getAs[Long]("Rows") === 1L)
+
+    // connect-time lists are shaped, non-empty
+    assert(exec(e, "SHOW COLLATION").df.get.columns.head === "Collation")
+    assert(exec(e, "SHOW CHARACTER SET").df.get.count() > 0)
+    assert(exec(e, "SHOW ENGINES").df.get.count() === 1)
+    assert(exec(e, "SHOW STATUS").df.get.count() > 0)
+
+    // row-locking tails are accepted-and-dropped (snapshot semantics);
+    // the phrase inside a trailing string literal is untouched
+    assert(exec(e, "SELECT v FROM users WHERE id = 1 FOR UPDATE")
+      .df.get.as[String].head() === "a")
+    assert(exec(e, "SELECT v FROM users LOCK IN SHARE MODE")
+      .df.get.count() === 1)
+    assert(exec(e, "SELECT 'keep FOR UPDATE'").df.get.as[String].head()
+      === "keep FOR UPDATE")
+
+    // PG all-defaults insert
+    exec(e, "CREATE TABLE d1 (id serial PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO d1 DEFAULT VALUES")
+    assert(exec(e, "SELECT id FROM d1").df.get.as[Int].head() === 1)
+  }
+
   test("PG ON CONFLICT upsert: DO NOTHING, DO UPDATE with excluded refs and WHERE guard") {
     val e = new Engine(spark, tmpDir("router_onconflict"))
     exec(e, "CREATE TABLE oc (id BIGINT PRIMARY KEY, v STRING, n INT)")
