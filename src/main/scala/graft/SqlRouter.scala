@@ -134,8 +134,11 @@ object SqlRouter {
   // must not end the SET list
   private val Update =
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*)""".r
+  // the WHERE capture is greedy and swallows a RETURNING tail (split
+  // quote-aware in the arm); the separate RETURNING group only fires
+  // for the no-WHERE form
   private val Delete =
-    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?\s*""".r
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?(?:\s+RETURNING\s+(.+))?\s*""".r
   // PG truncates several tables in one statement and can reset the
   // identity counters: TRUNCATE a, b RESTART IDENTITY CASCADE
   private val Truncate =
@@ -787,19 +790,50 @@ object SqlRouter {
       }
     case Insert(name, colList, rest) =>
       doInsert(engine, name, colList, rest)
-    case Update(name, tail) =>
+    case Update(name, tail0) =>
       val t = engine.table(name)
+      val (tail, returning) = splitReturning(tail0)
       val (setList, where) = splitSetWhere(tail)
       val sets = splitTop(setList).map { kv =>
         val Array(k, v) = kv.split("=", 2)
         k.trim -> expr(v.trim)
       }.toMap
       val cond = where.map(expr).getOrElse(expr("true"))
-      Result(None, t.update(cond, sets))
-    case Delete(name, where) =>
+      // RETURNING answers the POST-update images of the matched rows:
+      // the pre-update file list is frozen at construction (files are
+      // immutable until vacuum), the SET and generated-column
+      // expressions re-apply over it — the same semantics update()
+      // itself evaluates
+      val pre = t.read().filter(cond)
+      val n = t.update(cond, sets)
+      Result(returning.map { rx =>
+        val m = t.manifest
+        val afterSets = pre.select(m.schema.fieldNames.map(f =>
+          sets.get(f).map(_.cast(m.schema(f).dataType).as(f))
+            .getOrElse(col(f))): _*)
+        val gen = m.props.collect {
+          case (k, v) if k.startsWith("generated.") =>
+            k.stripPrefix("generated.") -> v
+        }
+        val post = if (gen.isEmpty) afterSets
+          else afterSets.select(m.schema.fieldNames.map(f =>
+            gen.get(f).map(g => expr(g).cast(m.schema(f).dataType).as(f))
+              .getOrElse(col(f))): _*)
+        post.selectExpr(splitTop(rx).map(_.trim): _*)
+      }, n)
+    case Delete(name, whereRaw, retNoWhere) =>
       val t = engine.table(name)
-      val cond = Option(where).map(expr).getOrElse(expr("true"))
-      Result(None, t.delete(cond))
+      val (whereClean, ret1) = Option(whereRaw)
+        .map(splitReturning).map(p => (Some(p._1), p._2))
+        .getOrElse((None, None))
+      val returning = ret1.orElse(Option(retNoWhere))
+      val cond = whereClean.filter(_.trim.nonEmpty).map(expr)
+        .getOrElse(expr("true"))
+      // deleted-row images: frozen pre-delete file list
+      val pre = t.read().filter(cond)
+      val n = t.delete(cond)
+      Result(returning.map(rx =>
+        pre.selectExpr(splitTop(rx).map(_.trim): _*)), n)
     case VersionQuery(name, v) =>
       Result(Some(engine.table(name).readVersion(v.toLong)), 0L)
     case InsertSet(name, setList) =>
@@ -1329,7 +1363,7 @@ object SqlRouter {
       case InsertSet(name, _) => Some(name)
       case ReplaceSet(name, _) => Some(name)
       case Update(name, _) => Some(name)
-      case Delete(name, _) => Some(name)
+      case Delete(name, _, _) => Some(name)
       case _ => None
     }
   }

@@ -910,6 +910,34 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SELECT id FROM d1").df.get.as[Int].head() === 1)
   }
 
+  test("UPDATE/DELETE RETURNING answer post-update and deleted-row images") {
+    val e = new Engine(spark, tmpDir("router_dml_returning"))
+    exec(e, "CREATE TABLE r (id BIGINT PRIMARY KEY, v INT)")
+    exec(e, "INSERT INTO r VALUES (1, 10), (2, 20), (3, 30)")
+
+    // UPDATE RETURNING: post-update images of the matched rows only
+    val u = exec(e, "UPDATE r SET v = v * 2 WHERE v < 25 RETURNING id, v")
+    assert(u.affected === 2)
+    assert(u.df.get.as[(Long, Int)].collect().sortBy(_._1)
+      === Array((1L, 20), (2L, 40)))
+    assert(exec(e, "SELECT v FROM r WHERE id = 3").df.get.as[Int].head() === 30)
+
+    // DELETE RETURNING: the deleted rows' images; also the no-WHERE form
+    val d = exec(e, "DELETE FROM r WHERE id = 1 RETURNING v")
+    assert(d.affected === 1)
+    assert(d.df.get.as[Int].head() === 20)
+    val dAll = exec(e, "DELETE FROM r RETURNING id")
+    assert(dAll.affected === 2)
+    assert(dAll.df.get.as[Long].collect().sorted === Array(2L, 3L))
+    assert(exec(e, "SELECT count(*) FROM r").df.get.as[Long].head() === 0)
+
+    // the word inside a string literal doesn't trigger (UPDATE path)
+    exec(e, "INSERT INTO r VALUES (9, 1)")
+    val u2 = exec(e, "UPDATE r SET v = length('x RETURNING y') WHERE id = 9")
+    assert(u2.df.isEmpty && u2.affected === 1)
+    assert(exec(e, "SELECT v FROM r WHERE id = 9").df.get.as[Int].head() === 13)
+  }
+
   test("PG ON CONFLICT upsert: DO NOTHING, DO UPDATE with excluded refs and WHERE guard") {
     val e = new Engine(spark, tmpDir("router_onconflict"))
     exec(e, "CREATE TABLE oc (id BIGINT PRIMARY KEY, v STRING, n INT)")
