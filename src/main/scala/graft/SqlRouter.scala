@@ -75,12 +75,12 @@ object SqlRouter {
   private val SetNames =
     """(?is)\s*SET\s+NAMES\s+'?(\w+)'?\s*(?:COLLATE\s+'?(\w+)'?)?\s*""".r
   private val ShowCollation =
-    """(?is)\s*SHOW\s+COLLATION\s*(?:LIKE\s+'[^']*')?\s*""".r
+    """(?is)\s*SHOW\s+COLLATION\s*(?:LIKE\s+'([^']*)')?\s*""".r
   private val ShowCharset =
-    """(?is)\s*SHOW\s+(?:CHARACTER\s+SET|CHARSET)\s*(?:LIKE\s+'[^']*')?\s*""".r
+    """(?is)\s*SHOW\s+(?:CHARACTER\s+SET|CHARSET)\s*(?:LIKE\s+'([^']*)')?\s*""".r
   private val ShowEngines = """(?is)\s*SHOW\s+(?:STORAGE\s+)?ENGINES\s*""".r
   private val ShowStatus =
-    """(?is)\s*SHOW\s+(?:GLOBAL\s+|SESSION\s+)?STATUS\s*(?:LIKE\s+'[^']*')?\s*""".r
+    """(?is)\s*SHOW\s+(?:GLOBAL\s+|SESSION\s+)?STATUS\s*(?:LIKE\s+'([^']*)')?\s*""".r
   // PG: INSERT with every column defaulted
   private val InsertDefaults =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+DEFAULT\s+VALUES\s*""".r
@@ -404,8 +404,40 @@ object SqlRouter {
     // MySQL literal forms first (the rewrite must reach Catalyst too,
     // unlike backtick stripping which is routing-only — see ADVICE r6)
     val lit = stripLockingTail(
-      stripPublicSchema(normalizeMysqlLiterals(stmt)))
+      stripPublicSchema(normalizeMysqlLiterals(foldDollarQuotes(stmt))))
     executeRouted(engine, stripIdentQuotes(stripComments(lit)), lit)
+  }
+
+  private val DollarFoldHeads = Set("INSERT", "UPDATE", "DELETE",
+    "SELECT", "VALUES", "WITH", "TABLE", "REPLACE")
+
+  /** PG dollar-quoted literals (`$$...$$`, `$tag$...$tag$`) fold to
+    * standard escaped string literals on DML/query statements —
+    * Catalyst has no dollar-quoting, so `SET body = $$it's$$` would
+    * otherwise be a guaranteed parse error. Restricted to DML/query
+    * heads: CREATE FUNCTION bodies must stay dollar-quoted for the
+    * routine discriminators and the dump drop-arms. Unterminated spans
+    * pass through verbatim (loud failure beats silent truncation). */
+  private[graft] def foldDollarQuotes(s: String): String = {
+    if (!s.contains("$")) return s
+    val head = s.dropWhile(_.isWhitespace).takeWhile(_.isLetter).toUpperCase
+    if (!DollarFoldHeads.contains(head)) return s
+    val out = new StringBuilder
+    SqlText.spans(s, dollarQuotes = true).foreach { sp =>
+      val tagEnd = if (sp.kind == SqlText.Dollar)
+        s.indexOf('$', sp.start + 1) + 1 else -1
+      val tagLen = tagEnd - sp.start
+      val closed = sp.kind == SqlText.Dollar &&
+        sp.end - sp.start >= 2 * tagLen &&
+        s.regionMatches(sp.end - tagLen, s, sp.start, tagLen)
+      if (closed) {
+        val content = s.substring(sp.start + tagLen, sp.end - tagLen)
+        out.append('\'')
+          .append(content.replace("\\", "\\\\").replace("'", "\\'"))
+          .append('\'')
+      } else out.append(s.substring(sp.start, sp.end))
+    }
+    out.toString
   }
 
   private val LockingTail =
@@ -722,10 +754,14 @@ object SqlRouter {
     // This arm must test BEFORE the plain Insert arm (whose source
     // capture would swallow the clause into the VALUES tail).
     case s0 if splitOnConflict(s0).exists(p => Insert.matches(p._1)) =>
-      val (head, ctail) = splitOnConflict(s0).get
+      val (head, ctail0) = splitOnConflict(s0).get
       val Insert(name, colList, rest) = head: @unchecked
       val t = engine.table(name)
       val m = t.manifest
+      // RETURNING (the ORM id-grab upsert shape) comes off the clause
+      // tail first — ConflictTail would otherwise reject DO NOTHING
+      // forms and swallow it into the DO UPDATE set list
+      val (ctail, returning) = splitReturning(ctail0)
       ctail match {
         case ConflictTail(target, nothing, setList) =>
           Option(target).foreach { tg =>
@@ -735,9 +771,25 @@ object SqlRouter {
               s"ON CONFLICT target ($tg) must be the primary key " +
                 s"(${m.pkCols.mkString(", ")})")
           }
-          if (nothing != null)
-            Result(None, t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest)))
-          else {
+          val pk = m.pkCols
+          def retSel(df: DataFrame, rx: String): DataFrame =
+            df.selectExpr(splitTop(rx).map(_.trim): _*)
+          if (nothing != null) returning match {
+            case None =>
+              Result(None,
+                t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest)))
+            case Some(rx) =>
+              // PG returns only the rows actually INSERTED under DO
+              // NOTHING; the pre-insert key set is frozen (immutable
+              // files), the source pinned once
+              val src = sourceDfFor(engine, t, colList, rest)
+                .localCheckpoint(true)
+              val preKeys = t.read().select(pk.map(col): _*)
+              val n = t.insertIgnoreRows(src)
+              val inserted = src.dropDuplicates(pk)
+                .join(preKeys, pk, "left_anti")
+              Result(Some(retSel(inserted, rx)), n)
+          } else {
             val (sets0, whereOpt) = splitSetWhere(setList)
             val sets = splitTop(sets0).map { kv =>
               val Array(k, v) = kv.split("=", 2)
@@ -747,8 +799,33 @@ object SqlRouter {
                 s"CASE WHEN (${rewriteConflictRefs(w, name)}) THEN ($rhs) ELSE $key END")
                 .getOrElse(rhs)
             }.toMap
-            Result(None,
-              t.upsertOnDuplicate(sourceDfFor(engine, t, colList, rest), sets))
+            returning match {
+              case None =>
+                Result(None, t.upsertOnDuplicate(
+                  sourceDfFor(engine, t, colList, rest), sets))
+              case Some(rx) =>
+                // post-images mirror the upsert's math over the frozen
+                // pre-upsert read: updated rows get the SET
+                // expressions, new rows their inserted values (same
+                // volatile-expression caveat as UPDATE RETURNING)
+                val src = sourceDfFor(engine, t, colList, rest)
+                  .localCheckpoint(true)
+                val pre = t.read()
+                val n = t.upsertOnDuplicate(src, sets)
+                val batch = src.dropDuplicates(pk)
+                val renamed = batch.select(
+                  batch.columns.map(c => col(c).as(s"__new_$c")): _*)
+                val updatedImg = pre.join(renamed,
+                  pk.map(c => col(c) === col(s"__new_$c")).reduce(_ && _),
+                  "inner")
+                  .select(m.schema.fieldNames.map(f =>
+                    sets.get(f).map(e => expr(e).cast(m.schema(f).dataType))
+                      .getOrElse(col(f)).as(f)): _*)
+                val newImg = batch.join(pre.select(pk.map(col): _*),
+                  pk, "left_anti")
+                  .select(m.schema.fieldNames.map(col): _*)
+                Result(Some(retSel(updatedImg.unionByName(newImg), rx)), n)
+            }
           }
         case other => throw new IllegalArgumentException(
           s"unsupported ON CONFLICT clause: $other")
@@ -803,12 +880,15 @@ object SqlRouter {
       // the pre-update file list is frozen at construction (files are
       // immutable until vacuum), the SET and generated-column
       // expressions re-apply over it — the same semantics update()
-      // itself evaluates
-      val pre = t.read().filter(cond)
+      // itself evaluates. Caveat: a VOLATILE set expression (uuid(),
+      // rand()) re-evaluates here and may differ from the stored
+      // value; deterministic expressions match exactly. Built only
+      // when RETURNING is present — the common path pays nothing.
+      val pre = returning.map(_ => t.read().filter(cond))
       val n = t.update(cond, sets)
       Result(returning.map { rx =>
         val m = t.manifest
-        val afterSets = pre.select(m.schema.fieldNames.map(f =>
+        val afterSets = pre.get.select(m.schema.fieldNames.map(f =>
           sets.get(f).map(_.cast(m.schema(f).dataType).as(f))
             .getOrElse(col(f))): _*)
         val gen = m.props.collect {
@@ -829,23 +909,33 @@ object SqlRouter {
       val returning = ret1.orElse(Option(retNoWhere))
       val cond = whereClean.filter(_.trim.nonEmpty).map(expr)
         .getOrElse(expr("true"))
-      // deleted-row images: frozen pre-delete file list
-      val pre = t.read().filter(cond)
+      // deleted-row images: frozen pre-delete file list (built only
+      // when RETURNING is present)
+      val pre = returning.map(_ => t.read().filter(cond))
       val n = t.delete(cond)
       Result(returning.map(rx =>
-        pre.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+        pre.get.selectExpr(splitTop(rx).map(_.trim): _*)), n)
     case VersionQuery(name, v) =>
       Result(Some(engine.table(name).readVersion(v.toLong)), 0L)
-    case InsertSet(name, setList) =>
+    case InsertSet(name, tail) =>
       // MySQL's INSERT ... SET form is sugar for a one-row column-list
-      // insert; rebuilding the VALUES form reuses the whole insert
-      // path (defaults, generated columns, auto-inc routing, RETURNING)
-      val kvs = splitTop(setList).map { kv =>
+      // insert. An ON DUPLICATE KEY UPDATE or RETURNING tail rides in
+      // the captured SET list (both are quote-aware splits), so the
+      // statement is rebuilt in canonical VALUES form and RE-ROUTED —
+      // the ODKU/auto-inc/RETURNING arms then apply unchanged.
+      val (tail1, ret) = splitReturning(tail)
+      val (setPart, odku) = splitOnDup(tail1).getOrElse((tail1, null))
+      require(odku == null || ret.isEmpty,
+        "ON DUPLICATE KEY UPDATE with RETURNING is not supported")
+      val kvs = splitTop(setPart).map { kv =>
         val Array(k, v) = kv.split("=", 2)
         (k.trim, v.trim)
       }
-      doInsert(engine, name, kvs.map(_._1).mkString(", "),
-        s"VALUES (${kvs.map(_._2).mkString(", ")})")
+      val canonical = s"INSERT INTO $name (${kvs.map(_._1).mkString(", ")})" +
+        s" VALUES (${kvs.map(_._2).mkString(", ")})" +
+        Option(odku).map(o => s" ON DUPLICATE KEY UPDATE $o").getOrElse("") +
+        ret.map(r => s" RETURNING $r").getOrElse("")
+      executeRouted(engine, canonical, canonical)
     case ReplaceSet(name, setList) =>
       val kvs = splitTop(setList).map { kv =>
         val Array(k, v) = kv.split("=", 2)
@@ -880,13 +970,15 @@ object SqlRouter {
           org.apache.spark.sql.execution.ExplainMode.fromString(mode))
           .split('\n').toSeq
       Result(Some(seqDf(engine, lines, "explain_plan")), 0L)
-    case Truncate(names, restart) =>
+    case Truncate(names, identity) =>
+      // dialect: bare TRUNCATE resets the auto-inc counter (MySQL
+      // semantics — the common expectation); PG's explicit CONTINUE
+      // IDENTITY spelling keeps it, RESTART IDENTITY resets. One
+      // commit per table through the io seam (txn-safe).
+      val keep = identity != null &&
+        identity.toUpperCase.startsWith("CONTINUE")
       names.split(',').map(_.trim).filter(_.nonEmpty).foreach { n =>
-        val t = engine.table(n)
-        t.truncate()
-        if (restart != null && restart.toUpperCase.startsWith("RESTART"))
-          graft.storage.Manifest.commit(t.path,
-            t.manifest.copy(autoInc = 1L))
+        engine.table(n).truncate(restartIdentity = !keep)
       }
       ddl
     case ShowDatabases() =>
@@ -931,21 +1023,25 @@ object SqlRouter {
         "character_set_results").foreach(engine.setVar(_, cs, persist = false))
       Option(coll).foreach(engine.setVar("collation_connection", _, persist = false))
       ddl
-    case ShowCollation() =>
+    case ShowCollation(like) =>
       val sp = engine.spark
       import sp.implicits._
-      Result(Some(Seq(
+      val rows = Seq(
         ("utf8mb4_0900_ai_ci", "utf8mb4", 255, "Yes", "Yes", 0),
         ("utf8mb4_bin", "utf8mb4", 46, "", "Yes", 1),
         ("binary", "binary", 63, "Yes", "Yes", 1))
+      Result(Some(Option(like).fold(rows)(p =>
+        rows.filter(r => likeMatch(p, r._1)))
         .toDF("Collation", "Charset", "Id", "Default", "Compiled", "Sortlen")), 0L)
-    case ShowCharset() =>
+    case ShowCharset(like) =>
       val sp = engine.spark
       import sp.implicits._
-      Result(Some(Seq(
+      val rows = Seq(
         ("utf8mb4", "UTF-8 Unicode", "utf8mb4_0900_ai_ci", 4),
         ("binary", "Binary pseudo charset", "binary", 1),
         ("latin1", "cp1252 West European", "latin1_swedish_ci", 1))
+      Result(Some(Option(like).fold(rows)(p =>
+        rows.filter(r => likeMatch(p, r._1)))
         .toDF("Charset", "Description", "Default collation", "Maxlen")), 0L)
     case ShowEngines() =>
       val sp = engine.spark
@@ -954,13 +1050,15 @@ object SqlRouter {
         ("graft", "DEFAULT", "Spark-native columnar engine with manifest journal",
           "YES", "NO", "NO"))
         .toDF("Engine", "Support", "Comment", "Transactions", "XA", "Savepoints")), 0L)
-    case ShowStatus() =>
+    case ShowStatus(like) =>
       val sp = engine.spark
       import sp.implicits._
       val uptime =
         java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000
-      Result(Some(Seq(
+      val rows = Seq(
         ("Uptime", uptime.toString), ("Threads_connected", "1"))
+      Result(Some(Option(like).fold(rows)(p =>
+        rows.filter(r => likeMatch(p, r._1)))
         .toDF("Variable_name", "Value")), 0L)
     case ShowColumns(name) =>
       val t = engine.table(name)
@@ -1653,37 +1751,46 @@ object SqlRouter {
           .selectExpr(splitTop(rx).map(_.trim): _*))
         Result(df, n)
       case None =>
-        val src = sourceDfFor(engine, t, colList, rest)
-        val n = t.insert(src)
-        Result(returning.map(rx =>
-          src.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+        val src0 = sourceDfFor(engine, t, colList, rest)
+        returning match {
+          case None => Result(None, t.insert(src0))
+          case Some(rx) =>
+            // pin the source rows ONCE: a lazy re-execution after the
+            // insert would re-evaluate volatile expressions (uuid(),
+            // now()) or re-read the now-changed table for a SELECT
+            // source, returning values that differ from what was
+            // stored
+            val src = src0.localCheckpoint(true)
+            val n = t.insert(src)
+            Result(Some(src.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+        }
     }
   }
 
-  /** Split a top-level `RETURNING <exprs>` tail off an INSERT source —
-    * quote- and paren-aware, so the word inside a string literal or a
-    * scalar subquery never triggers. */
+  /** Split a top-level `RETURNING <exprs>` tail off a DML source —
+    * built on the shared span scanner (dollar-quoted bodies opaque)
+    * plus a paren-depth count within code spans, so the word inside a
+    * string literal, a `$$...$$` body, or a scalar subquery never
+    * triggers. */
   private[graft] def splitReturning(s: String): (String, Option[String]) = {
-    var i = 0
     var depth = 0
-    var quote: Char = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (quote != 0) {
-        if (c == '\\' && quote != '`' && i + 1 < s.length) i += 1
-        else if (c == quote) quote = 0
-      } else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case 'r' | 'R' if depth == 0 && i > 0 &&
-            s.charAt(i - 1).isWhitespace && i + 9 <= s.length &&
-            s.substring(i, i + 9).equalsIgnoreCase("RETURNING") &&
-            (i + 9 == s.length || !s.charAt(i + 9).isLetterOrDigit) =>
-          return (s.substring(0, i), Some(s.substring(i + 9).trim))
-        case _ => ()
+    SqlText.spans(s, dollarQuotes = true).foreach { sp =>
+      if (sp.kind == SqlText.Code) {
+        var i = sp.start
+        while (i < sp.end) {
+          s.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case 'r' | 'R' if depth == 0 && i > 0 &&
+                s.charAt(i - 1).isWhitespace && i + 9 <= sp.end &&
+                s.substring(i, i + 9).equalsIgnoreCase("RETURNING") &&
+                (i + 9 == s.length || !s.charAt(i + 9).isLetterOrDigit) =>
+              return (s.substring(0, i), Some(s.substring(i + 9).trim))
+            case _ => ()
+          }
+          i += 1
+        }
       }
-      i += 1
     }
     (s, None)
   }

@@ -512,9 +512,16 @@ final class GraftTable(val spark: SparkSession, val path: Path,
 
   /** TRUNCATE = commit an empty file list (old files stay for readers
     * pinned to older versions; vacuuming is a separate concern). */
-  def truncate(): Unit = {
+  /** TRUNCATE. `restartIdentity` resets the auto-increment counter in
+    * the SAME commit — through the io seam, so inside a staged
+    * transaction a rollback undoes the truncation and the counter
+    * together (a separate direct Manifest.commit would publish
+    * uncommitted state past the transaction). */
+  def truncate(restartIdentity: Boolean = false): Unit = {
     val m = manifest
-    io.commit(path, m.withFiles(Nil))
+    val cleared = m.withFiles(Nil)
+    io.commit(path,
+      if (restartIdentity) cleared.copy(autoInc = 1L) else cleared)
   }
 
   /** Best-effort uniqueness validation (SURVEY §7 "known hard spots":

@@ -938,6 +938,73 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SELECT v FROM r WHERE id = 9").df.get.as[Int].head() === 13)
   }
 
+  test("review regressions: txn truncate, self-referencing RETURNING, SET+ODKU, LIKE filters") {
+    val e = new Engine(spark, tmpDir("router_review3"))
+    exec(e, "CREATE TABLE t (id INT NOT NULL AUTO_INCREMENT, v STRING, PRIMARY KEY (id))")
+    exec(e, "INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+
+    // TRUNCATE ... RESTART IDENTITY inside a transaction stages through
+    // the txn io — a ROLLBACK undoes BOTH the truncation and the reset
+    exec(e, "BEGIN")
+    exec(e, "TRUNCATE t RESTART IDENTITY")
+    exec(e, "ROLLBACK")
+    assert(exec(e, "SELECT count(*) FROM t").df.get.as[Long].head() === 2)
+    // bare TRUNCATE resets the counter (MySQL semantics); CONTINUE
+    // IDENTITY keeps it
+    exec(e, "INSERT INTO t (v) VALUES ('c')") // id 3
+    exec(e, "TRUNCATE TABLE t")
+    exec(e, "INSERT INTO t (v) VALUES ('one')")
+    assert(exec(e, "SELECT id FROM t").df.get.as[Int].head() === 1)
+    exec(e, "TRUNCATE t CONTINUE IDENTITY")
+    exec(e, "INSERT INTO t (v) VALUES ('two')")
+    assert(exec(e, "SELECT id FROM t").df.get.as[Int].head() === 2)
+
+    // a SELECT-sourced INSERT RETURNING answers the values actually
+    // stored, not a re-execution over the post-insert table
+    exec(e, "CREATE TABLE s (id BIGINT PRIMARY KEY)")
+    exec(e, "INSERT INTO s VALUES (10)")
+    val r = exec(e, "INSERT INTO s SELECT max(id) + 1 FROM s RETURNING id")
+    assert(r.df.get.as[Long].head() === 11L)
+
+    // INSERT ... SET with ON DUPLICATE KEY UPDATE re-routes canonically
+    exec(e, "INSERT INTO t SET v = 'dup' ON DUPLICATE KEY UPDATE v = 'upd'")
+    exec(e, "UPDATE t SET id = 2 WHERE false") // no-op; keep state clear
+    val before = exec(e, "SELECT count(*) FROM t").df.get.as[Long].head()
+    exec(e, s"INSERT INTO t SET id = 2, v = 'x' ON DUPLICATE KEY UPDATE v = 'upd2'")
+    assert(exec(e, "SELECT count(*) FROM t").df.get.as[Long].head() === before)
+    assert(exec(e, "SELECT v FROM t WHERE id = 2").df.get.as[String].head() === "upd2")
+
+    // SHOW ... LIKE filters apply
+    assert(exec(e, "SHOW SESSION STATUS LIKE 'Ssl_version'").df.get.count() === 0)
+    assert(exec(e, "SHOW STATUS LIKE 'Uptime'").df.get.count() === 1)
+    assert(exec(e, "SHOW COLLATION LIKE 'utf8mb4%'").df.get.count() === 2)
+
+    // RETURNING inside a dollar-quoted literal stays inert
+    exec(e, "CREATE TABLE dq (id INT, body STRING)")
+    exec(e, "INSERT INTO dq VALUES (1, 'x')")
+    exec(e, "UPDATE dq SET body = $$text RETURNING rows$$ WHERE id = 1")
+    assert(exec(e, "SELECT body FROM dq").df.get.as[String].head()
+      === "text RETURNING rows")
+  }
+
+  test("ON CONFLICT ... RETURNING: the ORM id-grab upsert shape") {
+    val e = new Engine(spark, tmpDir("router_ocret"))
+    exec(e, "CREATE TABLE oc2 (id BIGINT PRIMARY KEY, v STRING, n INT)")
+    exec(e, "INSERT INTO oc2 VALUES (1, 'a', 10)")
+
+    // DO NOTHING RETURNING answers only the rows actually inserted
+    val r1 = exec(e,
+      "INSERT INTO oc2 VALUES (1, 'skip', 0), (2, 'new', 20) ON CONFLICT (id) DO NOTHING RETURNING id, v")
+    assert(r1.df.get.as[(Long, String)].collect().toSeq === Seq((2L, "new")))
+
+    // DO UPDATE RETURNING answers post-images: updated and inserted
+    val r2 = exec(e,
+      "INSERT INTO oc2 VALUES (1, 'z', 5), (3, 'c', 30) ON CONFLICT (id) DO UPDATE SET n = oc2.n + excluded.n RETURNING id, n")
+    assert(r2.df.get.as[(Long, Int)].collect().sortBy(_._1).toSeq
+      === Seq((1L, 15), (3L, 30)))
+    assert(exec(e, "SELECT n FROM oc2 WHERE id = 1").df.get.as[Int].head() === 15)
+  }
+
   test("PG ON CONFLICT upsert: DO NOTHING, DO UPDATE with excluded refs and WHERE guard") {
     val e = new Engine(spark, tmpDir("router_onconflict"))
     exec(e, "CREATE TABLE oc (id BIGINT PRIMARY KEY, v STRING, n INT)")
