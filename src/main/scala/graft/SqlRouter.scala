@@ -24,17 +24,17 @@ object SqlRouter {
   private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)\s*""".r
   private val UseDb = """(?is)\s*USE\s+(\w+)\s*""".r
   private val CreateTableAs =
-    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(\(\s*SELECT.*\)|SELECT.*|VALUES.*|WITH.*)\s*""".r
+    """(?is)\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+|UNLOGGED\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(\(\s*SELECT.*\)|SELECT.*|VALUES.*|WITH.*)\s*""".r
   // A19's MySQL structural-copy form (GMS routes CREATE TABLE LIKE to
   // the catalog's schema clone): new empty table with the source's
   // schema, primary key, and properties.
   private val CreateTableLike =
-    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+LIKE\s+([\w.]+)\s*""".r
+    """(?is)\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+|UNLOGGED\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+LIKE\s+([\w.]+)\s*""".r
   // the optional tail after the column list is mysqldump's table-option
   // block (ENGINE=InnoDB DEFAULT CHARSET=... AUTO_INCREMENT=n ...) —
   // storage-engine concerns with no analog here, accepted and dropped
   private val CreateTable =
-    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*((?:ENGINE|AUTO_INCREMENT|DEFAULT\s+CHARSET|CHARACTER\s+SET|COLLATE|COMMENT|ROW_FORMAT)\s*=.*)?""".r
+    """(?is)\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+|UNLOGGED\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*((?:ENGINE|AUTO_INCREMENT|DEFAULT\s+CHARSET|CHARACTER\s+SET|COLLATE|COMMENT|ROW_FORMAT)\s*=.*)?""".r
   // mysqldump brackets every table's INSERT block in LOCK TABLES ...
   // WRITE / UNLOCK TABLES; the engine's concurrency story is the
   // manifest journal, so these are session no-ops (as in the
@@ -101,7 +101,7 @@ object SqlRouter {
   // datawriter/dataloader execute) and MySQL LOAD DATA INFILE
   // (`/root/reference/backend/loaddata.go:24-227`)
   private val CopyTo =
-    """(?is)\s*COPY\s+(?:\((.+)\)|([\w.]+))\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+    """(?is)\s*COPY\s+(?:\((.+)\)|([\w.]+))\s+TO\s+(?:'([^']+)'|STDOUT)\s*(?:\((.*)\))?\s*""".r
   // the optional column list is pg_dump's shape (`COPY t (a, b, c)
   // FROM ...`); it must name the table's columns in order — pg_dump
   // always emits the full list in declaration order, and a silent
@@ -179,7 +179,7 @@ object SqlRouter {
   private val AlterRename =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*""".r
   private val AlterModify =
-    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:MODIFY\s+(?:COLUMN\s+)?(\w+)|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE)\s+(\w+(?:\s*\([\d\s,]*\))?)\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+(?:MODIFY\s+(?:COLUMN\s+)?(\w+)|ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE)\s+(\w+(?:\s*\([\d\s,]*\))?)\s*(?:USING\s+(.*\S)\s*)?""".r
   // ---- pg_dump's administrative statements (A42): a verbatim modern
   // dump carries these between the DDL and data sections. Semantics
   // that survive restore (sequence position → the auto-inc counter,
@@ -315,6 +315,19 @@ object SqlRouter {
 
   private val VersionQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  // PG's SELECT ... INTO newtab = CTAS. Matched against the MASKED
+  // text (maskSingleQuoted preserves length, so group offsets slice
+  // the original) — an " INTO x FROM " inside a string literal must
+  // not hijack a plain SELECT.
+  private val SelectInto =
+    """(?is)\s*SELECT\s+(.*?)\s+INTO\s+([\w.]+)\s+(FROM\s+.*)""".r
+  private def selectIntoParts(s: String): Option[(String, String, String)] = {
+    val mm = SelectInto.pattern.matcher(maskSingleQuoted(s))
+    if (!mm.matches()) None
+    else Some((s.substring(mm.start(1), mm.end(1)),
+      s.substring(mm.start(2), mm.end(2)),
+      s.substring(mm.start(3), mm.end(3))))
+  }
   private val Optimize = """(?is)\s*OPTIMIZE\s+([\w.]+)\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+SECONDS)?\s*""".r
@@ -696,11 +709,25 @@ object SqlRouter {
       engine.use(name); ddl
     case CreateTableAs(name, query0) =>
       // A10 CTAS: analyze once for the schema, create, then insert the
-      // same plan's result (a parenthesized source unwraps one layer)
-      val query = unwrapParens(query0)
+      // same plan's result (a parenthesized source unwraps one layer).
+      // PG's WITH [NO] DATA suffix: NO DATA creates the schema only
+      // (end-anchored strip — a trailing string literal keeps its
+      // closing quote between the phrase and $)
+      val NoData = """(?is)\s+WITH\s+(NO\s+)?DATA\s*$""".r
+      val (q1, noData) = NoData.findFirstMatchIn(query0)
+        .map(m => (query0.substring(0, m.start), m.group(1) != null))
+        .getOrElse((query0, false))
+      val query = unwrapParens(q1)
       val df = engine.sql(PgCompat.rewriteQuery(engine, query))
       engine.createTable(name, df.schema)
-      Result(None, engine.table(name).insert(df))
+      if (noData) ddl else Result(None, engine.table(name).insert(df))
+    case s0 if selectIntoParts(s0).isDefined =>
+      // PG's SELECT ... INTO newtab = CTAS; rebuilt canonically and
+      // re-routed (the INTO is found on the masked text, so the word
+      // inside a string literal never triggers)
+      val (cols, name, rest) = selectIntoParts(s0).get
+      val canonical = s"CREATE TABLE $name AS SELECT $cols $rest"
+      executeRouted(engine, canonical, canonical)
     case CreateTableLike(ifNotExists, name, src) =>
       if (ifNotExists != null && tableExists(engine, name)) ddl
       else {
@@ -1084,6 +1111,10 @@ object SqlRouter {
       val df =
         if (query != null) engine.sql(query)
         else engine.table(tableName).read()
+      // COPY ... TO STDOUT: the reference streams the formatted rows
+      // over the wire; engine-side the useful answer is the row set
+      // itself (a protocol shell would format it)
+      if (path == null) return Result(Some(df), 0L)
       val (fmt, csvOpts, header) = copyOptions(optList)
       fmt match {
         case "CSV" =>
@@ -1215,9 +1246,20 @@ object SqlRouter {
       engine.table(name).dropColumn(colName); ddl
     case AlterRename(name, from, to) =>
       engine.table(name).renameColumn(from, to); ddl
-    case AlterModify(name, mysqlCol, pgCol, colType) =>
-      engine.table(name).modifyColumnType(
-        Option(mysqlCol).getOrElse(pgCol),
+    case AlterModify(name, mysqlCol, pgCol, colType, using) =>
+      val c = Option(mysqlCol).getOrElse(pgCol)
+      // PG's USING conversion expression: the storage design pins each
+      // file at its original physical type and converts by CAST on
+      // read, so only a cast-of-the-column-itself is expressible —
+      // anything else refuses loudly rather than silently miscasting
+      Option(using).map(_.trim).filter(_.nonEmpty).foreach { u =>
+        val ok = u.equalsIgnoreCase(c) ||
+          u.matches(s"(?i)\\s*$c\\s*::\\s*[\\w ()]+\\s*") ||
+          u.matches(s"(?i)\\s*CAST\\s*\\(\\s*$c\\s+AS\\s+[\\w ()]+\\s*\\)\\s*")
+        require(ok,
+          s"ALTER TYPE USING supports only a cast of $c itself: USING $u")
+      }
+      engine.table(name).modifyColumnType(c,
         StructType.fromDDL(s"x $colType").head.dataType)
       ddl
     case AlterColDefault(name, colName, default) =>

@@ -938,6 +938,38 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SELECT v FROM r WHERE id = 9").df.get.as[Int].head() === 13)
   }
 
+  test("temp/unlogged tables, SELECT INTO, CTAS WITH NO DATA, TYPE USING, COPY TO STDOUT") {
+    val e = new Engine(spark, tmpDir("router_shapes2"))
+    exec(e, "CREATE TABLE base (id BIGINT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO base VALUES (1,'a'), (2,'b')")
+
+    // TEMP/UNLOGGED prefixes route to ordinary tables (documented:
+    // persistence beyond the session is the divergence, not a failure)
+    exec(e, "CREATE TEMPORARY TABLE tmp1 (x INT)")
+    exec(e, "CREATE UNLOGGED TABLE ul1 (x INT)")
+    assert(e.listTables().contains("tmp1") && e.listTables().contains("ul1"))
+
+    // PG SELECT INTO = CTAS; the phrase inside a literal stays inert
+    exec(e, "SELECT id, v INTO newt FROM base WHERE id = 1")
+    assert(exec(e, "SELECT v FROM newt").df.get.as[String].head() === "a")
+    assert(exec(e, "SELECT 'go INTO x FROM y' FROM base").df.get.count() === 2)
+
+    // CTAS WITH NO DATA creates schema only
+    exec(e, "CREATE TABLE cn AS SELECT * FROM base WITH NO DATA")
+    assert(e.table("cn").schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(exec(e, "SELECT count(*) FROM cn").df.get.as[Long].head() === 0)
+
+    // ALTER TYPE USING: cast-of-the-column accepted, anything else loud
+    exec(e, "ALTER TABLE cn ALTER COLUMN id TYPE INT USING id::int")
+    intercept[IllegalArgumentException] {
+      exec(e, "ALTER TABLE cn ALTER COLUMN v TYPE INT USING length(v)")
+    }
+
+    // COPY TO STDOUT answers the rows as a result set
+    val r = exec(e, "COPY base TO STDOUT (FORMAT CSV)")
+    assert(r.df.get.count() === 2)
+  }
+
   test("review regressions: txn truncate, self-referencing RETURNING, SET+ODKU, LIKE filters") {
     val e = new Engine(spark, tmpDir("router_review3"))
     exec(e, "CREATE TABLE t (id INT NOT NULL AUTO_INCREMENT, v STRING, PRIMARY KEY (id))")
