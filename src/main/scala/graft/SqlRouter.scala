@@ -24,7 +24,7 @@ object SqlRouter {
   private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)\s*""".r
   private val UseDb = """(?is)\s*USE\s+(\w+)\s*""".r
   private val CreateTableAs =
-    """(?is)\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+|UNLOGGED\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(\(\s*SELECT.*\)|SELECT.*|VALUES.*|WITH.*)\s*""".r
+    """(?is)\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+|UNLOGGED\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(\(\s*SELECT.*\)|SELECT.*|VALUES.*|WITH.*)\s*""".r
   // A19's MySQL structural-copy form (GMS routes CREATE TABLE LIKE to
   // the catalog's schema clone): new empty table with the source's
   // schema, primary key, and properties.
@@ -315,18 +315,29 @@ object SqlRouter {
 
   private val VersionQuery =
     """(?is)\s*SELECT\s+\*\s+FROM\s+([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
-  // PG's SELECT ... INTO newtab = CTAS. Matched against the MASKED
-  // text (maskSingleQuoted preserves length, so group offsets slice
-  // the original) — an " INTO x FROM " inside a string literal must
-  // not hijack a plain SELECT.
+  /** CTAS `WITH [NO] DATA` suffix (hoisted: one compiled pattern). */
+  private val CtasNoData = """(?is)\s+WITH\s+(NO\s+)?DATA\s*$""".r
+
+  // PG's SELECT ... INTO [TEMP[ORARY]|UNLOGGED] [TABLE] newtab = CTAS.
+  // Matched against the MASKED text (maskSingleQuoted preserves
+  // length, so group offsets slice the original) — an " INTO x FROM "
+  // inside a string literal must not hijack a plain SELECT. The
+  // extractor pre-checks the cheap head/keyword conditions so the
+  // guard costs nothing on the non-SELECT statements flowing past it.
   private val SelectInto =
-    """(?is)\s*SELECT\s+(.*?)\s+INTO\s+([\w.]+)\s+(FROM\s+.*)""".r
-  private def selectIntoParts(s: String): Option[(String, String, String)] = {
-    val mm = SelectInto.pattern.matcher(maskSingleQuoted(s))
-    if (!mm.matches()) None
-    else Some((s.substring(mm.start(1), mm.end(1)),
-      s.substring(mm.start(2), mm.end(2)),
-      s.substring(mm.start(3), mm.end(3))))
+    ("""(?is)\s*SELECT\s+(.*?)\s+INTO\s+(?:(?:TEMP(?:ORARY)?|UNLOGGED)\s+)?""" +
+      """(?:TABLE\s+)?([\w.]+)\s+(FROM\s+.*)""").r
+  private object SelectIntoStmt {
+    def unapply(s: String): Option[(String, String, String)] = {
+      val head = s.dropWhile(_.isWhitespace)
+      if (!head.regionMatches(true, 0, "SELECT", 0, 6) ||
+        !s.toUpperCase.contains("INTO")) return None
+      val mm = SelectInto.pattern.matcher(maskSingleQuoted(s))
+      if (!mm.matches()) None
+      else Some((s.substring(mm.start(1), mm.end(1)),
+        s.substring(mm.start(2), mm.end(2)),
+        s.substring(mm.start(3), mm.end(3))))
+    }
   }
   private val Optimize = """(?is)\s*OPTIMIZE\s+([\w.]+)\s*""".r
   private val Vacuum =
@@ -707,25 +718,28 @@ object SqlRouter {
     case DropDb(name) => engine.dropDatabase(name, cascade = true); ddl
     case UseDb(name) if !name.equalsIgnoreCase("database") =>
       engine.use(name); ddl
-    case CreateTableAs(name, query0) =>
+    case CreateTableAs(ifNotExists, name, query0) =>
       // A10 CTAS: analyze once for the schema, create, then insert the
       // same plan's result (a parenthesized source unwraps one layer).
-      // PG's WITH [NO] DATA suffix: NO DATA creates the schema only
+      // IF NOT EXISTS on an existing table is a no-op that must not
+      // even run the query (idempotent schema scripts). PG's WITH
+      // [NO] DATA suffix: NO DATA creates the schema only
       // (end-anchored strip — a trailing string literal keeps its
       // closing quote between the phrase and $)
-      val NoData = """(?is)\s+WITH\s+(NO\s+)?DATA\s*$""".r
-      val (q1, noData) = NoData.findFirstMatchIn(query0)
-        .map(m => (query0.substring(0, m.start), m.group(1) != null))
-        .getOrElse((query0, false))
-      val query = unwrapParens(q1)
-      val df = engine.sql(PgCompat.rewriteQuery(engine, query))
-      engine.createTable(name, df.schema)
-      if (noData) ddl else Result(None, engine.table(name).insert(df))
-    case s0 if selectIntoParts(s0).isDefined =>
+      if (ifNotExists != null && tableExists(engine, name)) ddl
+      else {
+        val (q1, noData) = CtasNoData.findFirstMatchIn(query0)
+          .map(m => (query0.substring(0, m.start), m.group(1) != null))
+          .getOrElse((query0, false))
+        val query = unwrapParens(q1)
+        val df = engine.sql(PgCompat.rewriteQuery(engine, query))
+        engine.createTable(name, df.schema)
+        if (noData) ddl else Result(None, engine.table(name).insert(df))
+      }
+    case SelectIntoStmt(cols, name, rest) =>
       // PG's SELECT ... INTO newtab = CTAS; rebuilt canonically and
       // re-routed (the INTO is found on the masked text, so the word
       // inside a string literal never triggers)
-      val (cols, name, rest) = selectIntoParts(s0).get
       val canonical = s"CREATE TABLE $name AS SELECT $cols $rest"
       executeRouted(engine, canonical, canonical)
     case CreateTableLike(ifNotExists, name, src) =>
@@ -1111,11 +1125,17 @@ object SqlRouter {
       val df =
         if (query != null) engine.sql(query)
         else engine.table(tableName).read()
+      val (fmt, csvOpts, header) = copyOptions(optList)
       // COPY ... TO STDOUT: the reference streams the formatted rows
       // over the wire; engine-side the useful answer is the row set
-      // itself (a protocol shell would format it)
-      if (path == null) return Result(Some(df), 0L)
-      val (fmt, csvOpts, header) = copyOptions(optList)
+      // itself (a protocol shell would format it). Options validate
+      // FIRST — a bogus FORMAT must fail as loudly here as on the
+      // to-file path.
+      if (path == null) {
+        require(Set("CSV", "TEXT", "PARQUET", "JSON", "ARROW")(fmt),
+          s"COPY format $fmt")
+        return Result(Some(df), 0L)
+      }
       fmt match {
         case "CSV" =>
           graft.sources.BulkIO.exportCsv(df, path,
@@ -1250,14 +1270,22 @@ object SqlRouter {
       val c = Option(mysqlCol).getOrElse(pgCol)
       // PG's USING conversion expression: the storage design pins each
       // file at its original physical type and converts by CAST on
-      // read, so only a cast-of-the-column-itself is expressible —
-      // anything else refuses loudly rather than silently miscasting
+      // read, so only a cast of the column itself TO THE DECLARED TYPE
+      // is expressible — anything else (another expression, or a cast
+      // to a different type that would silently degrade to the
+      // declared one) refuses loudly rather than silently miscasting
       Option(using).map(_.trim).filter(_.nonEmpty).foreach { u =>
+        def norm(t: String) = t.toLowerCase.replaceAll("\\s+", "")
+        val castTarget =
+          s"(?is)^\\s*$c\\s*::\\s*([\\w, ()]+?)\\s*$$".r
+            .findFirstMatchIn(u).map(_.group(1))
+            .orElse(s"(?is)^\\s*CAST\\s*\\(\\s*$c\\s+AS\\s+([\\w, ()]+?)\\s*\\)\\s*$$".r
+              .findFirstMatchIn(u).map(_.group(1)))
         val ok = u.equalsIgnoreCase(c) ||
-          u.matches(s"(?i)\\s*$c\\s*::\\s*[\\w ()]+\\s*") ||
-          u.matches(s"(?i)\\s*CAST\\s*\\(\\s*$c\\s+AS\\s+[\\w ()]+\\s*\\)\\s*")
+          castTarget.exists(t => norm(t) == norm(colType))
         require(ok,
-          s"ALTER TYPE USING supports only a cast of $c itself: USING $u")
+          s"ALTER TYPE USING supports only a cast of $c to $colType " +
+            s"itself: USING $u")
       }
       engine.table(name).modifyColumnType(c,
         StructType.fromDDL(s"x $colType").head.dataType)

@@ -965,9 +965,29 @@ class SqlRouterSpec extends SparkSpec {
       exec(e, "ALTER TABLE cn ALTER COLUMN v TYPE INT USING length(v)")
     }
 
-    // COPY TO STDOUT answers the rows as a result set
+    // COPY TO STDOUT answers the rows as a result set; a bogus FORMAT
+    // fails as loudly as on the to-file path
     val r = exec(e, "COPY base TO STDOUT (FORMAT CSV)")
     assert(r.df.get.count() === 2)
+    intercept[IllegalArgumentException] {
+      exec(e, "COPY base TO STDOUT (FORMAT BOGUS)")
+    }
+
+    // CTAS IF NOT EXISTS is an idempotent no-op that doesn't run the query
+    exec(e, "CREATE TABLE IF NOT EXISTS newt AS SELECT * FROM base")
+    assert(exec(e, "SELECT count(*) FROM newt").df.get.as[Long].head() === 1)
+
+    // SELECT INTO with PG's TEMP/TABLE keywords
+    exec(e, "SELECT id INTO TEMP TABLE ti FROM base WHERE id = 2")
+    assert(exec(e, "SELECT id FROM ti").df.get.as[Long].head() === 2L)
+
+    // USING accepts a cast to the DECLARED comma-parameterized type,
+    // refuses a cast to a different type (it would silently degrade)
+    exec(e, "CREATE TABLE uz (a INT, b DOUBLE)")
+    exec(e, "ALTER TABLE uz ALTER COLUMN b TYPE DECIMAL(10,2) USING b::decimal(10, 2)")
+    intercept[IllegalArgumentException] {
+      exec(e, "ALTER TABLE uz ALTER COLUMN a TYPE INT USING a::date")
+    }
   }
 
   test("review regressions: txn truncate, self-referencing RETURNING, SET+ODKU, LIKE filters") {
