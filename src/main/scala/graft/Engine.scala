@@ -504,8 +504,15 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
   // ------------------------------------------------------------------
   // Session + persisted variables (A25)
 
+  // session vars are scoped to THIS engine (warehouse), not the shared
+  // SparkSession: two engines over one session must not see each
+  // other's SET state (and dialect evidence like statement_timeout
+  // must not leak across databases)
+  private val varPrefix =
+    s"graft.var.${Integer.toHexString(warehouse.toAbsolutePath.toString.hashCode)}."
+
   def setVar(key: String, value: String, persist: Boolean = false): Unit = {
-    spark.conf.set(s"graft.var.$key", value)
+    spark.conf.set(s"$varPrefix$key", value)
     if (persist) synchronized {
       val f = warehouse.resolve("_vars.json")
       val cur: Map[String, String] =
@@ -519,7 +526,7 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
   /** RESET analog: drop the session-scoped value (the persisted global,
     * if any, shows through again — PG's session/system layering). */
   def unsetVar(key: String): Unit =
-    spark.conf.unset(s"graft.var.$key")
+    spark.conf.unset(s"$varPrefix$key")
 
   /** All variables visible to SHOW VARIABLES: persisted globals
     * overlaid by session-scoped settings. */
@@ -530,13 +537,13 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
         mapper.readValue(Files.readAllBytes(f), classOf[java.util.Map[String, String]]).asScala.toMap
       else Map.empty
     val session = spark.conf.getAll.collect {
-      case (k, v) if k.startsWith("graft.var.") => k.stripPrefix("graft.var.") -> v
+      case (k, v) if k.startsWith(varPrefix) => k.stripPrefix(varPrefix) -> v
     }
     persisted ++ session
   }
 
   def getVar(key: String): Option[String] =
-    spark.conf.getOption(s"graft.var.$key").orElse {
+    spark.conf.getOption(s"$varPrefix$key").orElse {
       val f = warehouse.resolve("_vars.json")
       if (!Files.exists(f)) None
       else Option(mapper.readValue(Files.readAllBytes(f),

@@ -827,7 +827,9 @@ object SqlRouter {
                 .localCheckpoint(true)
               val preKeys = t.read().select(pk.map(col): _*)
               val n = t.insertIgnoreRows(src)
-              val inserted = src.dropDuplicates(pk)
+              // same first-occurrence condensation insertIgnoreRows
+              // applies, so the image rows ARE the stored rows
+              val inserted = t.firstPerKey(src, pk)
                 .join(preKeys, pk, "left_anti")
               Result(Some(retSel(inserted, rx)), n)
           } else {
@@ -848,17 +850,29 @@ object SqlRouter {
                 // post-images mirror the upsert's math over the frozen
                 // pre-upsert read: updated rows get the SET
                 // expressions, new rows their inserted values (same
-                // volatile-expression caveat as UPDATE RETURNING)
+                // volatile-expression caveat as UPDATE RETURNING).
+                // The batch condenses with the SAME last-occurrence
+                // ordering upsertOnDuplicate applies, so returned
+                // values agree with stored rows even for duplicate
+                // in-batch keys.
                 val src = sourceDfFor(engine, t, colList, rest)
                   .localCheckpoint(true)
                 val pre = t.read()
                 val n = t.upsertOnDuplicate(src, sets)
-                val batch = src.dropDuplicates(pk)
+                val batch = t.lastPerKey(src, pk)
                 val renamed = batch.select(
                   batch.columns.map(c => col(c).as(s"__new_$c")): _*)
-                val updatedImg = pre.join(renamed,
+                val joined = pre.join(renamed,
                   pk.map(c => col(c) === col(s"__new_$c")).reduce(_ && _),
                   "inner")
+                // PG's RETURNING emits only rows actually updated: a
+                // DO UPDATE ... WHERE guard excludes non-matching
+                // conflict rows from the result entirely (their stored
+                // row is untouched)
+                val guarded = whereOpt.map(w =>
+                  joined.filter(expr(rewriteConflictRefs(w, name))))
+                  .getOrElse(joined)
+                val updatedImg = guarded
                   .select(m.schema.fieldNames.map(f =>
                     sets.get(f).map(e => expr(e).cast(m.schema(f).dataType))
                       .getOrElse(col(f)).as(f)): _*)
@@ -1013,11 +1027,16 @@ object SqlRouter {
       Result(Some(seqDf(engine, lines, "explain_plan")), 0L)
     case Truncate(names, identity) =>
       // dialect: bare TRUNCATE resets the auto-inc counter (MySQL
-      // semantics — the common expectation); PG's explicit CONTINUE
-      // IDENTITY spelling keeps it, RESTART IDENTITY resets. One
-      // commit per table through the io seam (txn-safe).
-      val keep = identity != null &&
-        identity.toUpperCase.startsWith("CONTINUE")
+      // semantics — the common expectation) UNLESS the session shows
+      // PG evidence (a pg_dump/psql preamble SET like
+      // standard_conforming_strings or search_path was replayed), in
+      // which case PG's default CONTINUE IDENTITY preserves the
+      // sequence position. Explicit CONTINUE/RESTART IDENTITY
+      // spellings always win. One commit per table through the io
+      // seam (txn-safe).
+      val keep =
+        if (identity != null) identity.toUpperCase.startsWith("CONTINUE")
+        else pgSessionEvidence(engine)
       names.split(',').map(_.trim).filter(_.nonEmpty).foreach { n =>
         engine.table(n).truncate(restartIdentity = !keep)
       }
@@ -1837,6 +1856,16 @@ object SqlRouter {
     }
   }
 
+  /** PG-session evidence for dialect-defaulted statements (bare
+    * TRUNCATE's identity semantics): pg_dump and psql preambles SET
+    * variables that only exist in PostgreSQL, and those SETs are
+    * recorded as session variables by the SetVariable arm. MySQL tools
+    * never set these (they SET NAMES / @saved_cs_client / sql_mode). */
+  private def pgSessionEvidence(engine: Engine): Boolean =
+    Seq("standard_conforming_strings", "search_path", "statement_timeout",
+      "lock_timeout", "client_min_messages", "row_security")
+      .exists(engine.getVar(_).isDefined)
+
   /** Split a top-level `RETURNING <exprs>` tail off a DML source —
     * built on the shared span scanner (dollar-quoted bodies opaque)
     * plus a paren-depth count within code spans, so the word inside a
@@ -1854,7 +1883,13 @@ object SqlRouter {
             case 'r' | 'R' if depth == 0 && i > 0 &&
                 s.charAt(i - 1).isWhitespace && i + 9 <= sp.end &&
                 s.substring(i, i + 9).equalsIgnoreCase("RETURNING") &&
-                (i + 9 == s.length || !s.charAt(i + 9).isLetterOrDigit) =>
+                (i + 9 == s.length || {
+                  // identifier-boundary, not letter/digit-boundary:
+                  // `returning_customer = true` in a SET list is one
+                  // identifier in PG's lexer, never the keyword
+                  val c9 = s.charAt(i + 9)
+                  !c9.isLetterOrDigit && c9 != '_' && c9 != '$'
+                }) =>
               return (s.substring(0, i), Some(s.substring(i + 9).trim))
             case _ => ()
           }

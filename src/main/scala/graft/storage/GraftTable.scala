@@ -454,7 +454,11 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val m = manifest
     require(m.pkCols.nonEmpty, "INSERT IGNORE needs a primary key")
     val pk = m.pkCols
-    val fresh = df.dropDuplicates(pk)
+    // first occurrence wins (NOT dropDuplicates' arbitrary pick):
+    // later in-batch duplicates conflict with the just-inserted first
+    // row in both MySQL and PG, and the router's RETURNING image uses
+    // the same condensation so returned values match stored rows
+    val fresh = firstPerKey(df, pk)
       .join(read().select(pk.map(col): _*), pk, "left_anti")
     insert(fresh)
   }
@@ -499,11 +503,24 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   }
 
   /** One row per key, LAST occurrence in input order winning (MySQL
-    * statement-order semantics for REPLACE/ODKU batches). */
-  private def lastPerKey(df: DataFrame, key: Seq[String]): DataFrame = {
+    * statement-order semantics for REPLACE/ODKU batches). Exposed to
+    * the router so RETURNING images condense batches with the SAME
+    * ordering the write path applies. */
+  private[graft] def lastPerKey(df: DataFrame, key: Seq[String]): DataFrame =
+    pickPerKey(df, key, last = true)
+
+  /** One row per key, FIRST occurrence winning — INSERT IGNORE /
+    * ON CONFLICT DO NOTHING semantics (later duplicates conflict with
+    * the just-inserted first row in both MySQL and PG). */
+  private[graft] def firstPerKey(df: DataFrame, key: Seq[String]): DataFrame =
+    pickPerKey(df, key, last = false)
+
+  private def pickPerKey(df: DataFrame, key: Seq[String],
+      last: Boolean): DataFrame = {
     val cols = df.columns
+    val ord = if (last) col("__ord").desc else col("__ord").asc
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(key.map(col): _*).orderBy(col("__ord").desc)
+      .partitionBy(key.map(col): _*).orderBy(ord)
     df.withColumn("__ord", monotonically_increasing_id())
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -1140,4 +1140,65 @@ class SqlRouterSpec extends SparkSpec {
       exec(e, "EXPLAIN INSERT INTO ex1 VALUES (4,'c',4.0)")
     }
   }
+
+  test("advice r8 regressions: returning_ idents, guarded RETURNING, dup-key images, PG TRUNCATE default") {
+    val e = new Engine(spark, tmpDir("router_advice9"))
+
+    // an identifier starting with 'returning' is ONE identifier in
+    // PG's lexer, never the keyword — the SET list must stay whole
+    exec(e, "CREATE TABLE adv (id BIGINT PRIMARY KEY, returning_customer BOOLEAN, n INT)")
+    exec(e, "INSERT INTO adv VALUES (1, false, 10)")
+    val u = exec(e, "UPDATE adv SET n = 2, returning_customer = true WHERE id = 1")
+    assert(u.affected === 1)
+    assert(u.df.isEmpty) // no RETURNING clause was parsed
+    assert(exec(e, "SELECT returning_customer, n FROM adv WHERE id = 1")
+      .df.get.as[(Boolean, Int)].head() === ((true, 2)))
+
+    // guarded DO UPDATE ... WHERE ... RETURNING: only rows actually
+    // updated or inserted come back; guard-excluded conflict rows are
+    // omitted (PG semantics), not echoed unchanged
+    exec(e, "CREATE TABLE g (id BIGINT PRIMARY KEY, n INT)")
+    exec(e, "INSERT INTO g VALUES (1, 10), (2, 20)")
+    val r = exec(e, "INSERT INTO g VALUES (1, 100), (2, 1), (3, 30) " +
+      "ON CONFLICT (id) DO UPDATE SET n = excluded.n WHERE excluded.n > g.n " +
+      "RETURNING id, n")
+    assert(r.df.get.as[(Long, Int)].collect().sortBy(_._1).toSeq
+      === Seq((1L, 100), (3L, 30)))
+    assert(exec(e, "SELECT n FROM g WHERE id = 2").df.get.as[Int].head() === 20)
+
+    // duplicate in-batch keys: the RETURNING image condenses with the
+    // write path's ordering — DO UPDATE keeps the LAST occurrence
+    // (upsertOnDuplicate), DO NOTHING the FIRST (insertIgnoreRows) —
+    // so returned values always equal stored rows
+    val r2 = exec(e, "INSERT INTO g VALUES (5, 1), (5, 2), (5, 3) " +
+      "ON CONFLICT (id) DO UPDATE SET n = excluded.n RETURNING id, n")
+    assert(r2.df.get.as[(Long, Int)].collect().toSeq === Seq((5L, 3)))
+    assert(exec(e, "SELECT n FROM g WHERE id = 5").df.get.as[Int].head() === 3)
+    val r3 = exec(e, "INSERT INTO g VALUES (6, 1), (6, 2) " +
+      "ON CONFLICT (id) DO NOTHING RETURNING id, n")
+    assert(r3.df.get.as[(Long, Int)].collect().toSeq === Seq((6L, 1)))
+    assert(exec(e, "SELECT n FROM g WHERE id = 6").df.get.as[Int].head() === 1)
+
+    // a PG-shaped session (pg_dump preamble SET replayed) flips bare
+    // TRUNCATE to PG's default CONTINUE IDENTITY; a fresh engine
+    // without that evidence keeps MySQL's reset semantics (covered by
+    // the review-regressions test above)
+    val e2 = new Engine(spark, tmpDir("router_advice9_pg"))
+    exec(e2, "CREATE TABLE pt (id INT NOT NULL AUTO_INCREMENT, v STRING, PRIMARY KEY (id))")
+    exec(e2, "SET statement_timeout = 0") // pg_dump preamble line
+    exec(e2, "INSERT INTO pt (v) VALUES ('a'), ('b')") // ids 1,2
+    exec(e2, "TRUNCATE pt")
+    exec(e2, "INSERT INTO pt (v) VALUES ('c')")
+    assert(exec(e2, "SELECT id FROM pt").df.get.as[Int].head() === 3)
+    // explicit RESTART IDENTITY still resets even under PG evidence
+    exec(e2, "TRUNCATE pt RESTART IDENTITY")
+    exec(e2, "INSERT INTO pt (v) VALUES ('d')")
+    assert(exec(e2, "SELECT id FROM pt").df.get.as[Int].head() === 1)
+    // ...and the evidence does not leak into the OTHER engine
+    exec(e, "CREATE TABLE mt (id INT NOT NULL AUTO_INCREMENT, v STRING, PRIMARY KEY (id))")
+    exec(e, "INSERT INTO mt (v) VALUES ('a'), ('b')")
+    exec(e, "TRUNCATE mt")
+    exec(e, "INSERT INTO mt (v) VALUES ('c')")
+    assert(exec(e, "SELECT id FROM mt").df.get.as[Int].head() === 1)
+  }
 }
