@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures the LAST 2000 chars of sbt stdout as the
+// bench artifact. Default LoggedOutput prefixes every app line with
+// "[info] " (7 chars each) and breaks JSON parsing of the output;
+// StdoutOutput pipes the forked JVM's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and the trailing "[success] Total time: ..." line (~75 chars)
+// would otherwise eat tail budget after the headline JSON line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -28,3 +36,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+Global / excludeLintKeys += showSuccess

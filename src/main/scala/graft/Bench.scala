@@ -4,19 +4,29 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints per-query timings plus ONE headline JSON line.
   *
-  * Output contract (driver log-tail capture truncates the FRONT of long
-  * lines, and may keep only the last lines):
-  *   line 1: {"bench_q_1of2":{"q01":[spark,oracle],...}}
-  *   line 2: {"bench_q_2of2":{...}}
-  *   line 3: {"errs":{only failures},"oracle_failed":[...],
-  *            "baseline_only":[...],"baseline_total":B,"sf":...,
-  *            "oracle_total":...,"ratio":...,
-  *            "metric":"total","value":N,"unit":"sec"}
-  * The per-query map — qNN keys, 2-decimal [spark, oracle] second pairs
-  * so a slow query is attributable to engine vs environment in one
-  * read — travels on its own two lines AHEAD of the headline; the
-  * headline line itself stays short enough to always parse, with
-  * metric/value LAST so the total survives front-truncation regardless.
+  * Output contract. The driver tail-captures the LAST 2000 CHARS of
+  * sbt stdout — a total-byte budget, not a per-line one (r8 proved
+  * this: the window boundary cut mid-line into the first per-query
+  * line). So the whole emission is sized to ~1700 chars: build.sbt
+  * pipes the forked stdout through verbatim (no "[info] " prefixes)
+  * and suppresses the trailing "[success]" line, and the per-query
+  * encoding is compact:
+  *   lines 1-4: {"bqK":"<id>:<cold>/<oracle> ..."} — id is the query
+  *     number without the q/zero prefix (1=q01, 100=q100), cold is
+  *     this epoch's first timed run in seconds, oracle the intra-epoch
+  *     DuckDB seconds ("x" when the oracle didn't run).
+  *   line 5 (only when nonempty): {"warm":"<id>:<warm> ..."} — the
+  *     second-run time for queries whose cold run was anomalously
+  *     slower (cold > 1.5x warm and > 0.5s absolute gap). A query
+  *     listed here is slow from epoch position (JIT/page-cache/
+  *     first-job effects), NOT from its plan — the r7/r8 q23 anomaly
+  *     made attributable in the artifact itself.
+  *   last line: {"errs":{only failures},"oracle_failed":[...],
+  *     "baseline_only":[...],"baseline_total":B,"warm_total":W,
+  *     "sf":...,"oracle_total":...,"ratio":...,
+  *     "metric":"total","value":N,"unit":"sec"}
+  * The headline totals stay cold-run sums (comparable with r≤8);
+  * metric/value ride LAST so the total survives any front-truncation.
   *
   * q70/q72 are brute-force oracle anchors for the hash-checked pruned
   * tiers (q95/q97) — `baseline_only`: timed and reported, but excluded
@@ -73,14 +83,23 @@ object Bench {
       }
     // A failing query must be VISIBLE: record its error string and exit
     // non-zero, so a regression can't masquerade as a near-zero "speedup".
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err: Option[String] =
-        try { run(fn); None }
-        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      val dt = math.round((System.nanoTime() - t0) / 1e6) / 1e3 // ms precision
-      reset()
-      name -> (dt, err)
+    // Each query runs TWICE (cold, then warm): the cold time is the
+    // comparable headline number, the warm time attributes epoch-
+    // position anomalies (q23 in r7/r8 driver epochs) in-artifact.
+    case class Timing(cold: Double, warm: Double, err: Option[String])
+    val results: Map[String, Timing] = SparkEntry.queries.map { case (name, fn) =>
+      def timed(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err: Option[String] =
+          try { run(fn); None }
+          catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        val dt = math.round((System.nanoTime() - t0) / 1e6) / 1e3 // ms precision
+        reset()
+        (dt, err)
+      }
+      val (cold, err1) = timed()
+      val (warm, err2) = if (err1.isEmpty) timed() else (cold, err1)
+      name -> Timing(cold, warm, err1.orElse(err2))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -90,8 +109,8 @@ object Bench {
       } + "\""
     // errs carries ONLY failing queries — the all-null map doubled the
     // r6 line length and pushed the timings map off the captured tail.
-    val errs = results.collect { case (k, (_, Some(e))) =>
-      s"\"" + k + "\":" + jstr(e.take(200))
+    val errs = results.collect { case (k, t) if t.err.isDefined =>
+      s"\"" + k + "\":" + jstr(t.err.get.take(200))
     }.mkString("{", ",", "}")
 
     val (oracleTimes, oracleFailed) = runOracle(sfDir)
@@ -100,29 +119,46 @@ object Bench {
     // succeeded, and not a baseline-only anchor — matched on BOTH sides
     val lfl = SparkEntry.oracleSql.keySet
       .filter(oracleTimes.contains)
-      .filter(k => results.get(k).exists(_._2.isEmpty))
+      .filter(k => results.get(k).exists(_.err.isEmpty))
       .diff(BaselineOnly)
     val oracleTotal: Option[Double] =
       if (oracleTimes.isEmpty) None else Some(lfl.toSeq.map(oracleTimes).sum)
-    val sparkLfl = lfl.toSeq.flatMap(k => results.get(k).map(_._1)).sum
+    val sparkLfl = lfl.toSeq.flatMap(k => results.get(k).map(_.cold)).sum
     val ratio = oracleTotal.filter(_ > 0).map(t => sparkLfl / t)
 
     val total = results.collect {
-      case (k, (v, _)) if !BaselineOnly.contains(k) => v }.sum
+      case (k, t) if !BaselineOnly.contains(k) => t.cold }.sum
+    val warmTotal = results.collect {
+      case (k, t) if !BaselineOnly.contains(k) => t.warm }.sum
     val baselineTotal = results.collect {
-      case (k, (v, _)) if BaselineOnly.contains(k) => v }.sum
+      case (k, t) if BaselineOnly.contains(k) => t.cold }.sum
 
-    // per-query map: qNN keys, 2-decimal [spark, oracle] pairs, split
-    // across two lines so each stays well inside the tail window
     def r2(v: Double): String = (math.round(v * 100) / 100.0).toString
-    val perQ = results.toSeq.sortBy(_._1).map { case (name, (t, _)) =>
-      val key = name.takeWhile(_ != '_')
-      val o = oracleTimes.get(name).map(r2).getOrElse("null")
-      s""""$key":[${r2(t)},$o]"""
+    // compact time format: 2dp under 10s, 1dp above — per-query
+    // resolution where it matters, bytes saved where it doesn't
+    def fmtT(v: Double): String = if (v >= 10) f"$v%.1f" else f"$v%.2f"
+    // query id without the q/zero prefix: q01 -> 1, q100 -> 100
+    def qid(name: String): Int = name.tail.takeWhile(_.isDigit).toInt
+    val perQ = results.toSeq.sortBy(p => qid(p._1)).map { case (name, t) =>
+      val o = oracleTimes.get(name).map(fmtT).getOrElse("x")
+      s"${qid(name)}:${fmtT(t.cold)}/$o"
     }
-    val (h1, h2) = perQ.splitAt((perQ.size + 1) / 2)
-    println(s"""{"bench_q_1of2":${h1.mkString("{", ",", "}")}}""")
-    println(s"""{"bench_q_2of2":${h2.mkString("{", ",", "}")}}""")
+    // 4 lines of ~25 entries: the whole emission must stay inside the
+    // driver's 2000-char tail window WITH the headline — total bytes
+    // are the constraint, and this encoding lands ~1700
+    val chunk = (perQ.size + 3) / 4
+    perQ.grouped(chunk).zipWithIndex.foreach { case (g, i) =>
+      println(s"""{"bq${i + 1}":"${g.mkString(" ")}"}""")
+    }
+    // anomaly self-report: queries whose cold run was inflated by
+    // epoch position, with the warm time that attributes it
+    val anomalies = results.toSeq
+      .filter(p => p._2.err.isEmpty && p._2.cold > 1.5 * p._2.warm &&
+        p._2.cold - p._2.warm > 0.5)
+      .sortBy(p => qid(p._1))
+      .map(p => s"${qid(p._1)}:${fmtT(p._2.warm)}")
+    if (anomalies.nonEmpty)
+      println(s"""{"warm":"${anomalies.mkString(" ")}"}""")
 
     val oracleJson = oracleTotal.fold("null")(t => r2(t))
     val ratioJson = ratio.fold("null")(r => (math.round(r * 1000) / 1e3).toString)
@@ -130,11 +166,12 @@ object Bench {
       .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     val baselineJson = BaselineOnly.toSeq.sorted
       .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-    // headline fields LAST: log-tail capture truncates the FRONT of
-    // long lines, and the total must survive truncation
-    println(s"""{"errs":$errs,"oracle_failed":$failedJson,"baseline_only":$baselineJson,"baseline_total":${r2(baselineTotal)},"sf":"$sfDir","oracle_total":$oracleJson,"ratio":$ratioJson,"metric":"total","value":${r2(total)},"unit":"sec"}""")
+    // headline fields LAST: the tail window truncates the FRONT of the
+    // captured stream, and the total must survive truncation
+    println(s"""{"errs":$errs,"oracle_failed":$failedJson,"baseline_only":$baselineJson,"baseline_total":${r2(baselineTotal)},"warm_total":${r2(warmTotal)},"sf":"$sfDir","oracle_total":$oracleJson,"ratio":$ratioJson,"metric":"total","value":${r2(total)},"unit":"sec"}""")
+    System.out.flush()
     spark.stop()
-    if (results.values.exists(_._2.isDefined)) sys.exit(1)
+    if (results.values.exists(_.err.isDefined)) sys.exit(1)
   }
 
   /** Intra-epoch DuckDB oracle: PER-QUERY seconds over every oracleSql
