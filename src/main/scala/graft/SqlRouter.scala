@@ -134,6 +134,38 @@ object SqlRouter {
   // must not end the SET list
   private val Update =
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.*)""".r
+  // multi-table UPDATE (MySQL join spelling / PG alias'd target): the
+  // plain Update regex above takes the single-bare-name form first, so
+  // anything landing here has a join spec or alias before SET
+  private object UpdateJoinStmt {
+    /** (table refs, tail after SET) */
+    def unapply(s: String): Option[(String, String)] = {
+      val head = s.dropWhile(_.isWhitespace)
+      if (!head.regionMatches(true, 0, "UPDATE", 0, 6) ||
+        head.length <= 6 || !head.charAt(6).isWhitespace) return None
+      splitTopWord(head.substring(7), "SET").filter(_._1.nonEmpty)
+    }
+  }
+  // multi-table DELETE: `DELETE a FROM <refs>` (MySQL) and
+  // `DELETE FROM t [AS a] USING <refs>` (PG + MySQL's second spelling)
+  private object DeleteJoinStmt {
+    /** (target spec, refs+tail, usingForm) */
+    def unapply(s: String): Option[(String, String, Boolean)] = {
+      val head = s.dropWhile(_.isWhitespace)
+      if (!head.regionMatches(true, 0, "DELETE", 0, 6) ||
+        head.length <= 6 || !head.charAt(6).isWhitespace) return None
+      val body = head.substring(7).trim
+      if (body.regionMatches(true, 0, "FROM", 0, 4) &&
+        body.length > 4 && body.charAt(4).isWhitespace)
+        splitTopWord(body.substring(5), "USING")
+          .map { case (tgt, refs) => (tgt, refs, true) }
+          .filter(_._1.nonEmpty)
+      else
+        splitTopWord(body, "FROM")
+          .map { case (tgt, refs) => (tgt, refs, false) }
+          .filter(_._1.nonEmpty)
+    }
+  }
   // the WHERE capture is greedy and swallows a RETURNING tail (split
   // quote-aware in the arm); the separate RETURNING group only fires
   // for the no-WHERE form
@@ -337,6 +369,38 @@ object SqlRouter {
       else Some((s.substring(mm.start(1), mm.end(1)),
         s.substring(mm.start(2), mm.end(2)),
         s.substring(mm.start(3), mm.end(3))))
+    }
+  }
+  // MySQL `SELECT ... INTO OUTFILE 'path' [FIELDS ...] [LINES ...]` /
+  // `INTO DUMPFILE 'path'` (GMS surface the reference inherits:
+  // `/root/reference/main_test.go:933` TestSelectIntoFile; the option
+  // surface is `backend/loaddata.go:115-227` inverted). The clause is
+  // found on the MASKED text so a literal containing the phrase never
+  // triggers; both MySQL positions parse (trailing — options run to
+  // end of statement — and before FROM, where MySQL allows no options).
+  private val IntoOutfileClause = java.util.regex.Pattern.compile(
+    """(?is)\s\bINTO\s+(OUTFILE|DUMPFILE)\s+('[^']*')""")
+  private object SelectOutfileStmt {
+    /** (query without the clause, isDumpfile, path, options tail) */
+    def unapply(s: String): Option[(String, Boolean, String, String)] = {
+      val head = s.dropWhile(_.isWhitespace)
+      if (!head.regionMatches(true, 0, "SELECT", 0, 6)) return None
+      val up = s.toUpperCase
+      if (!up.contains("OUTFILE") && !up.contains("DUMPFILE")) return None
+      val m = IntoOutfileClause.matcher(maskSingleQuoted(s))
+      if (!m.find()) return None
+      val dump = m.group(1).equalsIgnoreCase("DUMPFILE")
+      val path = s.substring(m.start(2) + 1, m.end(2) - 1)
+      val before = s.substring(0, m.start).trim
+      val after = s.substring(m.end).trim
+      val afterHead = after.takeWhile(!_.isWhitespace).toUpperCase
+      if (after.isEmpty ||
+        Set("FIELDS", "COLUMNS", "LINES", "CHARACTER")(afterHead))
+        Some((before, dump, path, after)) // trailing position
+      else if (afterHead == "FROM")
+        Some((s"$before $after", dump, path, "")) // before-FROM position
+      else throw new IllegalArgumentException(
+        s"unsupported INTO ${m.group(1).toUpperCase} tail: $after")
     }
   }
   private val Optimize = """(?is)\s*OPTIMIZE\s+([\w.]+)\s*""".r
@@ -736,6 +800,44 @@ object SqlRouter {
         engine.createTable(name, df.schema)
         if (noData) ddl else Result(None, engine.table(name).insert(df))
       }
+    case SelectOutfileStmt(query, dump, path, optTail) =>
+      // MySQL SELECT ... INTO OUTFILE/DUMPFILE. The export is
+      // LOAD DATA's exact inverse — same option parser, same
+      // tab/no-quote/backslash/\N defaults — so OUTFILE → LOAD DATA
+      // round-trips to identical state. At scale the query runs
+      // distributed and only the final single-file stream serializes
+      // (the semantics of "one file at this path", same as COPY TO).
+      val df = engine.sql(PgCompat.rewriteQuery(engine, query))
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(engine.spark.sessionState.newHadoopConf())
+      // MySQL refuses to overwrite an existing file (error 1086)
+      require(!fs.exists(hp), s"File '$path' already exists")
+      if (dump) {
+        // DUMPFILE: one row, raw column bytes, no escaping or
+        // terminators (the blob-export shape)
+        val rows = df.limit(2).collect()
+        require(rows.length <= 1, "Result consisted of more than one row")
+        val out = fs.create(hp, false)
+        try rows.headOption.foreach { r =>
+          df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+            if (!r.isNullAt(i)) f.dataType match {
+              case org.apache.spark.sql.types.BinaryType =>
+                out.write(r.getAs[Array[Byte]](i))
+              case _ => out.write(r.get(i).toString.getBytes("UTF-8"))
+            }
+          }
+        } finally out.close()
+        Result(None, rows.length.toLong)
+      } else {
+        val opts = loadDataOptions(optTail)
+        val cached = df.persist()
+        try {
+          val n = cached.count()
+          graft.sources.BulkIO.exportCsv(cached, path, opts,
+            singleStream = true)
+          Result(None, n)
+        } finally cached.unpersist()
+      }
     case SelectIntoStmt(cols, name, rest) =>
       // PG's SELECT ... INTO newtab = CTAS; rebuilt canonically and
       // re-routed (the INTO is found on the masked text, so the word
@@ -923,22 +1025,36 @@ object SqlRouter {
     case Insert(name, colList, rest) =>
       doInsert(engine, name, colList, rest)
     case Update(name, tail0) =>
-      val t = engine.table(name)
       val (tail, returning) = splitReturning(tail0)
-      val (setList, where) = splitSetWhere(tail)
-      val sets = splitTop(setList).map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        k.trim -> expr(v.trim)
-      }.toMap
-      val cond = where.map(expr).getOrElse(expr("true"))
-      // RETURNING answers the POST-update images of the matched rows:
-      // the pre-update file list is frozen at construction (files are
-      // immutable until vacuum), the SET and generated-column
-      // expressions re-apply over it — the same semantics update()
-      // itself evaluates. Caveat: a VOLATILE set expression (uuid(),
-      // rand()) re-evaluates here and may differ from the stored
-      // value; deterministic expressions match exactly. Built only
-      // when RETURNING is present — the common path pays nothing.
+      val (setList0, whereOpt) = splitSetWhere(tail)
+      val pgFrom = splitTopWord(setList0, "FROM")
+      if (pgFrom.isDefined) {
+        // PG UPDATE ... FROM: the target joins the FROM list on the
+        // WHERE condition (DuckDB speaks this too — oracle-checkable)
+        val (setPart, fromList) = pgFrom.get
+        return updateViaJoin(engine, name, name.split('.').last,
+          s"$name, $fromList", parseSetList(setPart), whereOpt, returning)
+      }
+      val t = engine.table(name)
+      val m0 = t.manifest
+      val setPairs = parseSetList(setList0)
+      val touchesPk = setPairs.exists(p =>
+        m0.pkCols.exists(_.equalsIgnoreCase(
+          p._1.stripPrefix("\"").stripSuffix("\""))))
+      if (returning.isDefined && m0.pkCols.nonEmpty && !touchesPk)
+        // RETURNING answers the STORED images exactly (volatile SET
+        // expressions included): stage through the merge path, which
+        // materializes the post-image frame once for write and read
+        return updateViaJoin(engine, name, name.split('.').last, name,
+          setPairs, whereOpt, returning)
+      val sets = setPairs.map(p => p._1 -> expr(p._2)).toMap
+      val cond = whereOpt.map(expr).getOrElse(expr("true"))
+      // RETURNING here (only the keyless / pk-touching tables reach
+      // this arm with it — pk tables took the staged path above)
+      // re-applies the SET and generated-column expressions over the
+      // frozen pre-update file list. Caveat: a VOLATILE set expression
+      // (uuid(), rand()) re-evaluates and may differ from the stored
+      // value on THESE tables; deterministic expressions match exactly.
       val pre = returning.map(_ => t.read().filter(cond))
       val n = t.update(cond, sets)
       Result(returning.map { rx =>
@@ -956,6 +1072,33 @@ object SqlRouter {
               .getOrElse(col(f))): _*)
         post.selectExpr(splitTop(rx).map(_.trim): _*)
       }, n)
+    case UpdateJoinStmt(refs, tailAfterSet) =>
+      // MySQL `UPDATE a JOIN b ON ... SET a.x = ...` and the alias'd
+      // PG forms. Which table is the target follows from the SET
+      // columns' qualifiers (exactly one table may be written).
+      val (tail1, returning) = splitReturning(tailAfterSet)
+      val (setList1, whereOpt) = splitSetWhere(tail1)
+      val (setPart, fromOpt) = splitTopWord(setList1, "FROM")
+        .map { case (sp, fl) => (sp, Some(fl)) }.getOrElse((setList1, None))
+      val sets = parseSetList(setPart)
+      val refsList = joinRefs(refs)
+      require(refsList.nonEmpty, s"cannot parse UPDATE table references: $refs")
+      val quals = sets.collect {
+        case (k, _) if k.contains('.') =>
+          k.substring(0, k.lastIndexOf('.')).replace("`", "")
+      }.map(_.toLowerCase).distinct
+      val (target, alias) = quals match {
+        case Seq() => refsList.head
+        case Seq(q) => refsList.find(r => r._2.equalsIgnoreCase(q) ||
+          r._1.equalsIgnoreCase(q) || r._1.split('.').last.equalsIgnoreCase(q))
+          .getOrElse(throw new IllegalArgumentException(
+            s"SET qualifier $q names no table in: $refs"))
+        case many => throw new IllegalArgumentException(
+          s"UPDATE writing several tables (${many.mkString(", ")}) " +
+            "is not supported — one statement per target")
+      }
+      val joinSrc = refs + fromOpt.map(f => s", $f").getOrElse("")
+      updateViaJoin(engine, target, alias, joinSrc, sets, whereOpt, returning)
     case Delete(name, whereRaw, retNoWhere) =>
       val t = engine.table(name)
       val (whereClean, ret1) = Option(whereRaw)
@@ -970,6 +1113,33 @@ object SqlRouter {
       val n = t.delete(cond)
       Result(returning.map(rx =>
         pre.get.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+    case DeleteJoinStmt(targetSpec0, refsAndTail, usingForm) =>
+      // MySQL `DELETE a FROM a JOIN b ...` / `DELETE FROM a USING a
+      // JOIN b ...` and PG `DELETE FROM a [AS x] USING b WHERE ...`
+      val (refsAndTail1, returning) = splitReturning(refsAndTail)
+      val (refs, whereOpt) = splitSetWhere(refsAndTail1)
+      val refsList = joinRefs(refs)
+      require(refsList.nonEmpty, s"cannot parse DELETE table references: $refs")
+      val targetSpec = targetSpec0.stripSuffix(".*").trim
+      require(!targetSpec.contains(","),
+        "DELETE from several tables in one statement is not supported " +
+          "— one statement per target")
+      if (usingForm) {
+        val Seq((tname, talias)) = joinRefs(targetSpec)
+        // MySQL repeats the target inside USING; PG does not — add it
+        // to the join source only when absent
+        val present = refsList.exists(r => r._1.equalsIgnoreCase(tname) ||
+          r._2.equalsIgnoreCase(talias))
+        val joinSrc = if (present) refs else s"$targetSpec, $refs"
+        deleteViaJoin(engine, tname, talias, joinSrc, whereOpt, returning)
+      } else {
+        val r = refsList.find(x => x._2.equalsIgnoreCase(targetSpec) ||
+          x._1.equalsIgnoreCase(targetSpec) ||
+          x._1.split('.').last.equalsIgnoreCase(targetSpec))
+          .getOrElse(throw new IllegalArgumentException(
+            s"DELETE target $targetSpec names no table in: $refs"))
+        deleteViaJoin(engine, r._1, r._2, refs, whereOpt, returning)
+      }
     case VersionQuery(name, v) =>
       Result(Some(engine.table(name).readVersion(v.toLong)), 0L)
     case InsertSet(name, tail) =>
@@ -1856,6 +2026,130 @@ object SqlRouter {
     }
   }
 
+  private val JoinKeywords = Set("JOIN", "STRAIGHT_JOIN", "LEFT", "RIGHT",
+    "INNER", "OUTER", "CROSS", "FULL", "NATURAL", "ON", "USING", "AS",
+    "WHERE", "ORDER", "GROUP", "LIMIT")
+
+  /** (table, alias) pairs named by a join source, in order — enough
+    * for multi-table DML target resolution. Tokenizes top-level words
+    * of the masked text (ON expressions contribute no refs because a
+    * ref is only consumed right after the start/comma/JOIN boundary;
+    * USING column lists and subquery sources hide inside parens). */
+  private[graft] def joinRefs(src: String): Seq[(String, String)] = {
+    val masked = maskSingleQuoted(src)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var i = 0
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && (Character.isLetterOrDigit(c) || c == '_' || c == '`')) {
+        val j0 = i
+        while (i < masked.length && (Character.isLetterOrDigit(masked.charAt(i)) ||
+          "._$`".indexOf(masked.charAt(i)) >= 0)) i += 1
+        toks += src.substring(j0, i)
+      } else if (depth == 0 && c == ',') { toks += ","; i += 1 }
+      else i += 1
+    }
+    val refs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var expectRef = true
+    var k = 0
+    def bare(t: String) = t.replace("`", "")
+    while (k < toks.length) {
+      val t = toks(k)
+      val up = t.toUpperCase
+      if (t == "," || up == "JOIN" || up == "STRAIGHT_JOIN") expectRef = true
+      else if (expectRef && !JoinKeywords(up)) {
+        val name = bare(t)
+        var alias = name.split('.').last
+        if (k + 2 < toks.length && toks(k + 1).equalsIgnoreCase("AS") &&
+          !JoinKeywords(toks(k + 2).toUpperCase)) { alias = bare(toks(k + 2)); k += 2 }
+        else if (k + 1 < toks.length && toks(k + 1) != "," &&
+          !JoinKeywords(toks(k + 1).toUpperCase)) { alias = bare(toks(k + 1)); k += 1 }
+        refs += ((name, alias))
+        expectRef = false
+      }
+      k += 1
+    }
+    refs.toSeq
+  }
+
+  /** Multi-table UPDATE core (MySQL `UPDATE a JOIN b ... SET ...`
+    * — GMS surface `/root/reference/main_test.go:948` —, PG
+    * `UPDATE t SET ... FROM ...`, and the staged single-table form):
+    * the join evaluates as an ordinary distributed Catalyst join
+    * projecting ONE post-image row per target PK, and the image set
+    * applies through the same CDC merge path C7 uses — touched-PK
+    * file pruning, generated-column recompute, CHECK enforcement,
+    * the txn io seam. 100 TB: the join shuffles on its own keys
+    * (broadcast when a side is small), then CoW rewrites only files
+    * containing touched keys; nothing driver-sized anywhere. The
+    * staged frame is localCheckpoint-materialized ONCE, so the count,
+    * the merge, and RETURNING all read the same frozen rows —
+    * RETURNING is exact even for volatile SET expressions. */
+  private def updateViaJoin(engine: Engine, target: String, alias: String,
+      joinSrc: String, sets: Seq[(String, String)], where: Option[String],
+      returning: Option[String]): Result = {
+    val t = engine.table(target)
+    val m = t.manifest
+    require(m.pkCols.nonEmpty,
+      s"multi-table UPDATE needs a PRIMARY KEY on $target")
+    val setMap: Seq[(String, String)] = sets.map { case (k, v) =>
+      val bare = (if (k.contains('.')) k.substring(k.lastIndexOf('.') + 1) else k)
+        .stripPrefix("\"").stripSuffix("\"").replace("`", "")
+      require(m.schema.fieldNames.exists(_.equalsIgnoreCase(bare)),
+        s"SET column $k is not a column of $target")
+      require(!m.pkCols.exists(_.equalsIgnoreCase(bare)),
+        s"updating primary-key column $bare through a join UPDATE is not supported")
+      bare -> v
+    }
+    val proj = m.schema.fieldNames.map { f =>
+      setMap.collectFirst { case (k, v) if k.equalsIgnoreCase(f) =>
+        s"($v) AS `$f`" }.getOrElse(s"$alias.`$f` AS `$f`")
+    }.mkString(", ")
+    val sql = s"SELECT $proj FROM $joinSrc" +
+      where.map(w => s" WHERE $w").getOrElse("")
+    val img = engine.sql(PgCompat.rewriteQuery(engine, sql))
+      .select(m.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      // several join matches per key collapse to one arbitrary winner —
+      // both MySQL and PG leave the pick unspecified
+      .dropDuplicates(m.pkCols)
+    val staged = img.localCheckpoint(true)
+    val n = staged.count()
+    if (n > 0) t.merge(staged.withColumn("action", lit(1)))
+    Result(returning.map(rx =>
+      staged.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+  }
+
+  /** Multi-table DELETE core (MySQL `DELETE a FROM a JOIN b ...`,
+    * `DELETE FROM a USING ...`, PG `DELETE ... USING`): the join
+    * projects the target's matched row images, the key set applies as
+    * a merge delete (action 0) — same pruned CoW path, same scale
+    * story as [[updateViaJoin]]. */
+  private def deleteViaJoin(engine: Engine, target: String, alias: String,
+      joinSrc: String, where: Option[String],
+      returning: Option[String]): Result = {
+    val t = engine.table(target)
+    val m = t.manifest
+    require(m.pkCols.nonEmpty,
+      s"multi-table DELETE needs a PRIMARY KEY on $target")
+    val proj = m.schema.fieldNames.map(f => s"$alias.`$f` AS `$f`")
+      .mkString(", ")
+    val sql = s"SELECT $proj FROM $joinSrc" +
+      where.map(w => s" WHERE $w").getOrElse("")
+    val img = engine.sql(PgCompat.rewriteQuery(engine, sql))
+      .select(m.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      .dropDuplicates(m.pkCols)
+    val staged = img.localCheckpoint(true)
+    val n = staged.count()
+    if (n > 0) t.merge(staged.withColumn("action", lit(0)))
+    Result(returning.map(rx =>
+      staged.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+  }
+
   /** PG-session evidence for dialect-defaulted statements (bare
     * TRUNCATE's identity semantics): pg_dump and psql preambles SET
     * variables that only exist in PostgreSQL, and those SETs are
@@ -2239,6 +2533,60 @@ object SqlRouter {
     }
     out.toString
   }
+
+  /** Split at the FIRST top-level occurrence of `word` (quote- and
+    * paren-depth-aware, keyword-boundary-checked) — the generic form of
+    * [[splitSetWhere]]'s WHERE scan. Returns (before, after-the-word). */
+  private[graft] def splitTopWord(s: String, word: String): Option[(String, String)] = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val w0 = Character.toLowerCase(word.charAt(0))
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < s.length) i += 1
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case lc if Character.toLowerCase(lc) == w0 && depth == 0 &&
+            s.regionMatches(true, i, word, 0, word.length) &&
+            (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+            (i + word.length >= s.length || !isWordChar(s.charAt(i + word.length))) =>
+          return Some((s.substring(0, i).trim, s.substring(i + word.length).trim))
+        case _ => ()
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** SET-list parser shared by the single- and multi-table UPDATE arms:
+    * top-level comma split, with PG tuple-SET `(a, b) = (e1, e2)`
+    * expanded positionally. A row-subquery RHS is refused loudly —
+    * correlating it per-row needs a LATERAL rewrite, and silently
+    * evaluating it once would be wrong. */
+  private[graft] def parseSetList(setList: String): Seq[(String, String)] =
+    splitTop(setList).flatMap { kv =>
+      val Array(k0, v0) = kv.split("=", 2)
+      val (k, v) = (k0.trim, v0.trim)
+      if (k.startsWith("(")) {
+        require(k.endsWith(")") && v.startsWith("(") && v.endsWith(")"),
+          s"malformed tuple SET: $kv")
+        val names = splitTop(k.substring(1, k.length - 1)).map(_.trim)
+        val inner = v.substring(1, v.length - 1).trim
+        require(!inner.toUpperCase.startsWith("SELECT"),
+          "row-subquery tuple SET is not supported; spell the scalar " +
+            "subqueries per column")
+        val vals = splitTop(inner).map(_.trim)
+        require(names.size == vals.size,
+          s"tuple SET arity mismatch: (${names.size}) vs (${vals.size})")
+        names.zip(vals)
+      } else Seq(k -> v)
+    }
 
   private[graft] def splitSetWhere(tail: String): (String, Option[String]) = {
     var depth = 0

@@ -187,5 +187,57 @@ object CdcQueries {
           WHERE o.id NOT IN (SELECT id FROM s3))
       SELECT id, v, CAST(hits AS INT) AS hits FROM s4 ORDER BY id"""))
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q81)
+  // --------------------------------------------------------------------
+  // q102 — multi-table DML routed as SQL through the real engine
+  // (reference GMS surface `/root/reference/main_test.go:948`
+  // TestUpdate / enginetest delete-joins): PG UPDATE ... FROM, the
+  // MySQL join-UPDATE spelling, tuple-SET, and DELETE ... USING, each
+  // applying through the CoW merge path, then the final state read
+  // back. The oracle states every step declaratively (left-join CASE
+  // for the guarded updates, NOT EXISTS for the join delete). All
+  // arithmetic is single IEEE ops over the parquet doubles — bit-exact
+  // across engines.
+  private val q102 = QueryDef(
+    "q102_join_dml",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      val e = new Engine(s, Files.createTempDirectory("graft_q102"))
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING, bal DOUBLE)")
+      run("CREATE TABLE adj (id BIGINT PRIMARY KEY, delta DOUBLE)")
+      run("INSERT INTO t SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 500")
+      run("INSERT INTO adj SELECT c_custkey, CAST(c_nationkey AS DOUBLE) " +
+        "FROM customer WHERE c_custkey BETWEEN 200 AND 700")
+      // PG spelling: join update via FROM
+      run("UPDATE t SET bal = bal + a.delta FROM adj a WHERE t.id = a.id AND a.delta > 10")
+      // MySQL spelling: explicit JOIN, target from the SET qualifier
+      run("UPDATE t JOIN adj ON t.id = adj.id SET t.v = upper(t.v) WHERE adj.delta <= 10")
+      // tuple-SET, positional expansion
+      run("UPDATE t SET (v, bal) = (concat(v, '!'), bal * 2) WHERE id <= 100")
+      // join delete
+      run("DELETE FROM t USING adj WHERE t.id = adj.id AND adj.delta > 20")
+      SqlRouter.execute(e, "SELECT id, v, bal FROM t ORDER BY id").df.get
+    },
+    Some("""WITH seed AS (SELECT c_custkey AS id, c_name AS v, c_acctbal AS bal
+        FROM customer WHERE c_custkey <= 500),
+      adj AS (SELECT c_custkey AS id, CAST(c_nationkey AS DOUBLE) AS delta
+        FROM customer WHERE c_custkey BETWEEN 200 AND 700),
+      s1 AS (SELECT s.id, s.v,
+          CASE WHEN a.id IS NOT NULL AND a.delta > 10
+            THEN s.bal + a.delta ELSE s.bal END AS bal
+        FROM seed s LEFT JOIN adj a ON s.id = a.id),
+      s2 AS (SELECT s.id,
+          CASE WHEN a.id IS NOT NULL AND a.delta <= 10
+            THEN upper(s.v) ELSE s.v END AS v, s.bal
+        FROM s1 s LEFT JOIN adj a ON s.id = a.id),
+      s3 AS (SELECT id,
+          CASE WHEN id <= 100 THEN concat(v, '!') ELSE v END AS v,
+          CASE WHEN id <= 100 THEN bal * 2 ELSE bal END AS bal
+        FROM s2),
+      s4 AS (SELECT * FROM s3 s WHERE NOT EXISTS
+          (SELECT 1 FROM adj a WHERE a.id = s.id AND a.delta > 20))
+      SELECT id, v, bal FROM s4 ORDER BY id"""))
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q81, q102)
 }

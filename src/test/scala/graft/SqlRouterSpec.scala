@@ -1141,6 +1141,127 @@ class SqlRouterSpec extends SparkSpec {
     }
   }
 
+  test("SELECT INTO OUTFILE is LOAD DATA's inverse: round-trip restores exact state") {
+    val e = new Engine(spark, tmpDir("router_outfile"))
+    exec(e, "CREATE TABLE src (id BIGINT PRIMARY KEY, v STRING, d DOUBLE)")
+    exec(e, "INSERT INTO src VALUES (1, 'plain', 1.5), (2, NULL, 2.5), " +
+      "(3, 'comma,and semi;', 3.5)")
+    val f = tmpDir("outfile_rt").resolve("t.tsv").toString
+
+    // trailing position, default options (tab/no-quote/backslash/\N)
+    val r = exec(e, s"SELECT id, v, d FROM src ORDER BY id INTO OUTFILE '$f'")
+    assert(r.affected === 3)
+    // the file is ONE file at exactly the path, \N for NULL
+    val bytes = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)), "UTF-8")
+    assert(bytes.contains("2\t\\N\t2.5"))
+
+    exec(e, "CREATE TABLE dst (id BIGINT PRIMARY KEY, v STRING, d DOUBLE)")
+    exec(e, s"LOAD DATA INFILE '$f' INTO TABLE dst")
+    assert(exec(e, "SELECT * FROM dst ORDER BY id").df.get.collect().toSeq
+      === exec(e, "SELECT * FROM src ORDER BY id").df.get.collect().toSeq)
+
+    // explicit FIELDS options round-trip too (the loaddata.go surface
+    // inverted); before-FROM clause position parses as well
+    val f2 = tmpDir("outfile_rt2").resolve("t.csv").toString
+    exec(e, s"SELECT id, v FROM src INTO OUTFILE '$f2' " +
+      "FIELDS TERMINATED BY '|' ESCAPED BY '\\\\'")
+    exec(e, "CREATE TABLE dst2 (id BIGINT PRIMARY KEY, v STRING)")
+    exec(e, s"LOAD DATA INFILE '$f2' INTO TABLE dst2 " +
+      "FIELDS TERMINATED BY '|' ESCAPED BY '\\\\'")
+    assert(exec(e, "SELECT count(*) FROM dst2").df.get.as[Long].head() === 3)
+    val f3 = tmpDir("outfile_rt3").resolve("t3.tsv").toString
+    exec(e, s"SELECT id INTO OUTFILE '$f3' FROM src WHERE id > 1")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f3)), "UTF-8").linesIterator.size === 2)
+
+    // MySQL refuses to overwrite an existing file (error 1086 analog)
+    intercept[IllegalArgumentException] {
+      exec(e, s"SELECT id FROM src INTO OUTFILE '$f'")
+    }
+    // the phrase inside a string literal stays inert
+    val lit = exec(e, "SELECT 'x INTO OUTFILE ''/tmp/nope''' AS s").df.get
+    assert(lit.as[String].head() === "x INTO OUTFILE '/tmp/nope'")
+
+    // INTO DUMPFILE: one row, raw bytes, no terminators
+    val fd = tmpDir("outfile_dump").resolve("one.bin").toString
+    exec(e, s"SELECT v FROM src WHERE id = 1 INTO DUMPFILE '$fd'")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fd)), "UTF-8") === "plain")
+    intercept[IllegalArgumentException] {
+      exec(e, s"SELECT id FROM src INTO DUMPFILE '${fd}2'")
+    }
+  }
+
+  test("multi-table UPDATE/DELETE joins and tuple-SET route onto the CoW merge path") {
+    val e = new Engine(spark, tmpDir("router_joindml"))
+    exec(e, "CREATE TABLE acc (id BIGINT PRIMARY KEY, owner STRING, bal DOUBLE)")
+    exec(e, "CREATE TABLE adj (id BIGINT PRIMARY KEY, delta DOUBLE, flag STRING)")
+    exec(e, "INSERT INTO acc VALUES (1,'a',10), (2,'b',20), (3,'c',30), (4,'d',40)")
+    exec(e, "INSERT INTO adj VALUES (1, 5, 'y'), (3, -10, 'y'), (4, 99, 'n')")
+
+    // MySQL join UPDATE: target resolved from the SET qualifier
+    val u1 = exec(e,
+      "UPDATE acc JOIN adj ON acc.id = adj.id SET acc.bal = acc.bal + adj.delta WHERE adj.flag = 'y'")
+    assert(u1.affected === 2)
+    assert(exec(e, "SELECT bal FROM acc ORDER BY id").df.get.as[Double].collect()
+      .toSeq === Seq(15.0, 20.0, 20.0, 40.0))
+
+    // PG UPDATE ... FROM with WHERE join; RETURNING answers stored rows
+    val u2 = exec(e,
+      "UPDATE acc SET owner = adj.flag FROM adj WHERE acc.id = adj.id AND adj.delta > 0 RETURNING id, owner")
+    assert(u2.df.get.as[(Long, String)].collect().sortBy(_._1).toSeq
+      === Seq((1L, "y"), (4L, "n")))
+    assert(exec(e, "SELECT owner FROM acc WHERE id = 4").df.get.as[String].head() === "n")
+
+    // tuple-SET expands positionally (plain single-table arm)
+    exec(e, "UPDATE acc SET (owner, bal) = ('z', 0) WHERE id = 2")
+    assert(exec(e, "SELECT owner, bal FROM acc WHERE id = 2")
+      .df.get.as[(String, Double)].head() === (("z", 0.0)))
+    // ...and a row-subquery RHS is refused loudly
+    intercept[IllegalArgumentException] {
+      exec(e, "UPDATE acc SET (owner, bal) = (SELECT 'q', 1) WHERE id = 2")
+    }
+
+    // MySQL multi-table DELETE: DELETE a FROM a JOIN b
+    val d1 = exec(e, "DELETE acc FROM acc JOIN adj ON acc.id = adj.id WHERE adj.delta < 0")
+    assert(d1.affected === 1)
+    assert(exec(e, "SELECT count(*) FROM acc WHERE id = 3").df.get.as[Long].head() === 0)
+
+    // PG DELETE ... USING (target not repeated in USING)
+    val d2 = exec(e, "DELETE FROM acc USING adj WHERE acc.id = adj.id AND adj.flag = 'n' RETURNING id")
+    assert(d2.df.get.as[Long].collect().toSeq === Seq(4L))
+    assert(exec(e, "SELECT id FROM acc ORDER BY id").df.get.as[Long].collect()
+      .toSeq === Seq(1L, 2L))
+
+    // MySQL DELETE FROM a USING a JOIN b (target repeated): state above
+    exec(e, "INSERT INTO acc VALUES (9,'x',1)")
+    exec(e, "INSERT INTO adj VALUES (9, 0, 'y')")
+    val d3 = exec(e, "DELETE FROM acc USING acc JOIN adj ON acc.id = adj.id WHERE adj.id = 9")
+    assert(d3.affected === 1)
+
+    // writing two tables in one UPDATE is refused loudly
+    intercept[IllegalArgumentException] {
+      exec(e, "UPDATE acc JOIN adj ON acc.id = adj.id SET acc.bal = 0, adj.delta = 0")
+    }
+    // join-UPDATE of a primary-key column is refused loudly
+    intercept[IllegalArgumentException] {
+      exec(e, "UPDATE acc JOIN adj ON acc.id = adj.id SET acc.id = adj.id + 100")
+    }
+
+    // aliased forms: UPDATE t AS x ... / DELETE FROM t AS x USING
+    exec(e, "UPDATE acc AS x JOIN adj AS y ON x.id = y.id SET x.owner = y.flag")
+    assert(exec(e, "SELECT owner FROM acc WHERE id = 1").df.get.as[String].head() === "y")
+
+    // volatile SET + RETURNING: returned value IS the stored value
+    exec(e, "CREATE TABLE vt (id BIGINT PRIMARY KEY, tok STRING)")
+    exec(e, "INSERT INTO vt VALUES (1, 'old')")
+    val rv = exec(e, "UPDATE vt SET tok = uuid() WHERE id = 1 RETURNING tok")
+      .df.get.as[String].head()
+    assert(exec(e, "SELECT tok FROM vt WHERE id = 1").df.get.as[String].head() === rv)
+    assert(rv !== "old")
+  }
+
   test("advice r8 regressions: returning_ idents, guarded RETURNING, dup-key images, PG TRUNCATE default") {
     val e = new Engine(spark, tmpDir("router_advice9"))
 
