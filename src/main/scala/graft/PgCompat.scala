@@ -52,6 +52,7 @@ object PgCompat {
     var s = sql
     if (lower.contains("pg_") || lower.contains("information_schema"))
       s = dropFunctionQualifiers(toSys(s))
+    if (s.contains("_pg_expandarray")) s = expandSrf(s)
     s = macros(engine, s)
     if (s.toLowerCase.contains("any")) s = anyOp(s)
     if (s.contains("~")) s = regexOps(s)
@@ -465,6 +466,130 @@ object PgCompat {
       cur = cur.substring(0, lo) + rep + cur.substring(hi)
     }
     cur
+  }
+
+  // ------------------------------------------------------------------
+  // 8. set-returning function in the SELECT list. PG multiplies rows
+  //    when an SRF sits in the select list — pgjdbc's getPrimaryKeys
+  //    emits `(information_schema._pg_expandarray(i.indkey)).n` and a
+  //    bare `_pg_expandarray(i.indkey) AS KEYS` in one list (reference
+  //    surface `pgserver/in_place_handler_test.go:92-117`). Spark has
+  //    no select-list generators for this shape, so every select-list
+  //    occurrence folds to a field of ONE shared
+  //    `LATERAL VIEW explode(_pg_expandarray(arg)) AS __srf` appended
+  //    to the same subselect's FROM clause: `(f(a)).n` → `__srf.n`,
+  //    bare `f(a)` → `__srf` (a struct — outer `(alias.KEYS).x`
+  //    field access keeps working). All occurrences must share one
+  //    argument (they do in the JDBC shape; PG 10+ runs same-arity
+  //    SRFs in lockstep, so differing args are refused loudly rather
+  //    than silently cross-joined). FROM-clause spellings (the
+  //    already-working LATERAL VIEW inline(...) form) are left alone.
+
+  private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '$'
+
+  private[graft] def expandSrf(s: String): String = {
+    if (!s.toLowerCase.contains("_pg_expandarray")) return s
+    val masked = maskQuoted(s, maskDouble = true)
+    val mlower = masked.toLowerCase
+    val n = s.length
+    def wordAt(j: Int, w: String): Boolean =
+      mlower.regionMatches(j, w, 0, w.length) &&
+        (j == 0 || !isWordChar(mlower.charAt(j - 1))) &&
+        (j + w.length >= n || !isWordChar(mlower.charAt(j + w.length)))
+    // (replaceStart, replaceEnd, replacement, clauseDepth, argText)
+    final case class Occ(start: Int, end: Int, repl: String,
+      selDepth: Int, arg: String)
+    val occs = scala.collection.mutable.ArrayBuffer.empty[Occ]
+    val state = scala.collection.mutable.Map.empty[Int, Char] // 's'|'o'
+    var depth = 0
+    var i = 0
+    val clauseWords = Seq("from", "where", "group", "order", "having", "limit")
+    while (i < n) {
+      val c = masked.charAt(i)
+      if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { state.remove(depth); depth -= 1; i += 1 }
+      else if (wordAt(i, "select")) { state(depth) = 's'; i += 6 }
+      else if (clauseWords.exists(wordAt(i, _))) { state(depth) = 'o'; i += 4 }
+      else if (wordAt(i, "_pg_expandarray")) {
+        var j = i + 15
+        while (j < n && masked.charAt(j).isWhitespace) j += 1
+        if (j < n && masked.charAt(j) == '(') {
+          var d2 = 1; var k2 = j + 1
+          while (k2 < n && d2 > 0) {
+            if (masked.charAt(k2) == '(') d2 += 1
+            else if (masked.charAt(k2) == ')') d2 -= 1
+            k2 += 1
+          }
+          val arg = s.substring(j + 1, k2 - 1).trim
+          // nearest enclosing depth with a clause state decides whether
+          // this occurrence is in a select list (the LATERAL VIEW
+          // inline(...) spelling resolves to 'o' and stays untouched)
+          var dd = depth; var st = 'o'; var found = false
+          while (dd >= 0 && !found) state.get(dd) match {
+            case Some(x) => st = x; found = true
+            case None => dd -= 1
+          }
+          if (st == 's') {
+            var p = i - 1
+            while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
+            var q = k2
+            while (q < n && s.charAt(q).isWhitespace) q += 1
+            if (p >= 0 && s.charAt(p) == '(' && q < n && s.charAt(q) == ')') {
+              var r = q + 1
+              while (r < n && s.charAt(r).isWhitespace) r += 1
+              if (r < n && s.charAt(r) == '.') {
+                var e2 = r + 1
+                while (e2 < n && isWordChar(s.charAt(e2))) e2 += 1
+                occs += Occ(p, e2, "__srf." + s.substring(r + 1, e2), dd, arg)
+              } else occs += Occ(p, q + 1, "__srf", dd, arg)
+            } else occs += Occ(i, k2, "__srf", dd, arg)
+          }
+          i = k2
+        } else i += 15
+      } else i += 1
+    }
+    if (occs.isEmpty) return s
+    require(occs.map(_.arg).distinct.size == 1 &&
+      occs.map(_.selDepth).distinct.size == 1,
+      "select-list _pg_expandarray occurrences must share one argument " +
+        "and one subselect")
+    val arg = occs.head.arg
+    val selDepth = occs.head.selDepth
+    // insertion point: end of the SAME subselect's FROM clause — the
+    // first boundary keyword at selDepth after it, or where the depth
+    // drops below selDepth, or end of statement
+    var insertAt = -1
+    var sawFrom = false
+    depth = 0; i = occs.last.end
+    // depth at resume point: recompute from scratch (cheap — one pass)
+    depth = masked.substring(0, i).count(_ == '(') -
+      masked.substring(0, i).count(_ == ')')
+    while (i < n && insertAt < 0) {
+      val c = masked.charAt(i)
+      if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (sawFrom && depth < selDepth) insertAt = i
+        i += 1
+      }
+      else if (depth == selDepth && wordAt(i, "from")) { sawFrom = true; i += 4 }
+      else if (sawFrom && depth == selDepth &&
+        Seq("where", "group", "order", "having", "limit").exists(wordAt(i, _)))
+        insertAt = i
+      else i += 1
+    }
+    if (insertAt < 0) insertAt = n
+    require(sawFrom, "select-list _pg_expandarray needs a FROM clause")
+    val lateral = s" LATERAL VIEW explode(_pg_expandarray($arg)) __graft_srf AS __srf "
+    val b = new java.lang.StringBuilder
+    var pos = 0
+    occs.sortBy(_.start).foreach { o =>
+      b.append(s, pos, o.start).append(o.repl)
+      pos = o.end
+    }
+    b.append(s, pos, insertAt).append(lateral).append(s, insertAt, n)
+    b.toString
   }
 
   // ------------------------------------------------------------------

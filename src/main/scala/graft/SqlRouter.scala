@@ -485,10 +485,23 @@ object SqlRouter {
     // whitespace, so the comment block must come off the head first or
     // LOCK TABLES raises a Catalyst ParseException and DROP/CREATE
     // TABLE silently land in Spark's catalog instead of the engine.
-    val stmt = stripLeadingComments(sqlText)
+    val stmt0 = stripLeadingComments(sqlText)
     // a comment-only statement strips to nothing: an empty OK (what a
     // real server answers), never empty input to Catalyst
-    if (stmt.trim.isEmpty) return ddl
+    if (stmt0.trim.isEmpty) return ddl
+    // ANSI_QUOTES sql_mode (reference anchor
+    // `/root/reference/main_test.go:585` TestAnsiQuotesSqlMode): when
+    // the session mode carries it — SET sql_mode = 'ANSI_QUOTES' or
+    // the composite 'ANSI' — double quotes lex as IDENTIFIER quotes,
+    // so they fold to backticks here, BEFORE the literal pipeline:
+    // the normalizer and Catalyst then both read them as identifiers,
+    // and the routing regexes see them via the backtick stripper.
+    // Without the mode, MySQL semantics hold ("x" is a string).
+    val stmt =
+      if (stmt0.contains("\"") && engine.getVar("sql_mode")
+        .exists(_.toUpperCase.contains("ANSI")))
+        PgCompat.quoteIdents(stmt0)
+      else stmt0
     // MySQL literal forms first (the rewrite must reach Catalyst too,
     // unlike backtick stripping which is routing-only — see ADVICE r6)
     val lit = stripLockingTail(

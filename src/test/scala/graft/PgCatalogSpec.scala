@@ -100,6 +100,43 @@ class PgCatalogSpec extends SparkSpec {
     assert(out === Seq(Row("accounts", "id", 1, "accounts_pkey")))
   }
 
+  test("pgjdbc getPrimaryKeys runs in its ORIGINAL select-list-SRF spelling") {
+    val e = mkEngine("pgcat_jdbc_orig")
+    // the driver's exact emission: SRF in the select list, the bare
+    // call aliased AS KEYS, and the outer (result.KEYS).x field access
+    // — auto-rewritten to a shared LATERAL VIEW
+    val out = rows(e,
+      """SELECT result.TABLE_NAME, result.COLUMN_NAME, result.KEY_SEQ, result.PK_NAME
+        |FROM (SELECT
+        |          ct.relname AS TABLE_NAME,
+        |          a.attname AS COLUMN_NAME,
+        |          (information_schema._pg_expandarray(i.indkey)).n AS KEY_SEQ,
+        |          ci.relname AS PK_NAME,
+        |          information_schema._pg_expandarray(i.indkey) AS KEYS,
+        |          a.attnum AS A_ATTNUM
+        |      FROM pg_catalog.pg_class ct
+        |           JOIN pg_catalog.pg_attribute a ON (ct.oid = a.attrelid)
+        |           JOIN pg_catalog.pg_namespace n ON (ct.relnamespace = n.oid)
+        |           JOIN pg_catalog.pg_index i ON (a.attrelid = i.indrelid)
+        |           JOIN pg_catalog.pg_class ci ON (ci.oid = i.indexrelid)
+        |      WHERE n.nspname = 'public'
+        |            AND ct.relname = 'accounts'
+        |            AND i.indisprimary) result
+        |WHERE result.A_ATTNUM = (result.KEYS).x
+        |ORDER BY result.table_name, result.pk_name, result.key_seq""".stripMargin)
+    assert(out === Seq(Row("accounts", "id", 1, "accounts_pkey")))
+    // the FROM-clause LATERAL VIEW spelling stays untouched (the
+    // rewrite only targets select-list occurrences)
+    assert(PgCompat.expandSrf(
+      "SELECT k.n FROM t LATERAL VIEW inline(_pg_expandarray(a)) k") ===
+      "SELECT k.n FROM t LATERAL VIEW inline(_pg_expandarray(a)) k")
+    // differing arguments are refused loudly, never cross-joined
+    intercept[IllegalArgumentException] {
+      PgCompat.expandSrf(
+        "SELECT (_pg_expandarray(a)).n, (_pg_expandarray(b)).x FROM t")
+    }
+  }
+
   test("pg_type probes and regtype/regclass resolution") {
     val e = mkEngine("pgcat_types")
     assert(rows(e, "SELECT oid FROM pg_catalog.pg_type WHERE typname = 'int4'")

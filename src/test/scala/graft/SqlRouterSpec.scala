@@ -1262,6 +1262,34 @@ class SqlRouterSpec extends SparkSpec {
     assert(rv !== "old")
   }
 
+  test("ANSI_QUOTES sql_mode flips double-quote lexing per session") {
+    val e = new Engine(spark, tmpDir("router_ansiq"))
+    exec(e, "CREATE TABLE aq (id BIGINT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO aq VALUES (1, 'str')")
+
+    // default MySQL mode: "v" is a STRING literal
+    assert(exec(e, "SELECT \"v\" AS x FROM aq").df.get.as[String].head() === "v")
+
+    // same statement under ANSI_QUOTES: "v" is the COLUMN
+    exec(e, "SET sql_mode = 'ANSI_QUOTES'")
+    assert(exec(e, "SELECT \"v\" AS x FROM aq").df.get.as[String].head() === "str")
+
+    // quoted identifiers route through DDL/DML like backticks do
+    exec(e, "CREATE TABLE \"Qt\" (\"Id\" BIGINT PRIMARY KEY, \"Val\" STRING)")
+    assert(e.listTables().exists(_.equalsIgnoreCase("Qt")))
+    exec(e, "INSERT INTO \"Qt\" VALUES (1, 'x')")
+    assert(exec(e, "SELECT \"Val\" AS w FROM \"Qt\"").df.get.as[String].head() === "x")
+    exec(e, "UPDATE \"Qt\" SET \"Val\" = 'y' WHERE \"Id\" = 1")
+    assert(exec(e, "SELECT \"Val\" AS w FROM \"Qt\"").df.get.as[String].head() === "y")
+
+    // composite 'ANSI' mode carries ANSI_QUOTES; resetting restores
+    // MySQL string lexing
+    exec(e, "SET sql_mode = 'ANSI'")
+    assert(exec(e, "SELECT \"v\" AS x FROM aq").df.get.as[String].head() === "str")
+    exec(e, "SET sql_mode = ''")
+    assert(exec(e, "SELECT \"v\" AS x FROM aq").df.get.as[String].head() === "v")
+  }
+
   test("advice r8 regressions: returning_ idents, guarded RETURNING, dup-key images, PG TRUNCATE default") {
     val e = new Engine(spark, tmpDir("router_advice9"))
 
