@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence harness for the dedup/ANN family (round-9 verdict
+  * item 6): runs the production-path operators over synthetically
+  * scaled corpora and prints wall time, output size, and the
+  * THEORETICAL candidate masses per scale factor, so the 100-TB
+  * "sub-quadratic" verdicts rest on measured growth curves instead of
+  * argument. Results are summarized in docs/BENCH_SUMMARY.md.
+  *
+  * Corpus construction: the sf documents/embeddings replicated
+  * `factor`× with disjoint id ranges; replica r ≥ 1 perturbs content
+  * deterministically — ~1/7 of words rewritten (hash-salted by r) so
+  * replicas are NEAR-duplicates of their originals (Jaccard ≈ 0.6 on
+  * bigram shingles), and embeddings get ±1.5% per-dim hash noise
+  * (cosine ≈ 0.997 to the original). That is the shape a real dedup
+  * workload scales with: both fresh mass AND duplicate mass grow.
+  *
+  * Measured per factor:
+  *  - mass line: n, brute n(n-1)/2, the ppjoin prefix-filter candidate
+  *    mass at τ=0.5 (Σ df² over indexed prefixes — what the inverted
+  *    index would materialize), and the LSH band-bucket pair mass
+  *    (Σ s(s-1)/2 over (band, v) buckets — what the banded join
+  *    materializes before verify).
+  *  - lsh_pairs: MinHash 8-perm / 4-band candidate join + exact verify
+  *    (q63's shape) — the headline sub-quadratic dedup path.
+  *  - ppjoin05: prefix-filtered exact Jaccard τ=0.5 (q89).
+  *  - clusters05: density-routed pairs τ=0.5 → connected components
+  *    (q69's graph).
+  *  - jacc_auto008 (factors ≤ 2 only): the q61/q66 dense regime — the
+  *    router's broadcast pair scan is deliberately O(n²) where the
+  *    measured Σ df² exceeds it; its curve documents WHY LSH is the
+  *    scale path, and capping the factor keeps the run bounded.
+  *  - cos_pruned04 / emb_clusters: metric-pruned exact cosine pairs
+  *    (q95) and components over them (q91's result on the scale path).
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 2, 5, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.configure(spark)
+    graft.functions.GraftFunctions.register(spark)
+
+    val docs0 = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val embs0 = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val idOff = 10000000L
+
+    def scaledDocs(f: Int): DataFrame = (0 until f).map { r =>
+      if (r == 0) docs0
+      else docs0.select((col("doc_id") + lit(r * idOff)).as("doc_id"),
+        expr(s"array_join(transform(split(text, ' '), w -> " +
+          s"CASE WHEN pmod(hash(w, $r), 7) = 0 " +
+          s"THEN concat('w', abs(hash(w, $r))) ELSE w END), ' ')").as("text"))
+    }.reduce(_.unionByName(_))
+
+    def scaledEmbs(f: Int): DataFrame = (0 until f).map { r =>
+      if (r == 0) embs0
+      else embs0.select((col("vec_id") + lit(r * idOff)).as("vec_id"),
+        expr(s"transform(embedding, (v, i) -> CAST(v + 0.015e0 * " +
+          s"(pmod(hash(vec_id, i, $r), 101) - 50) / 50.0e0 AS FLOAT))")
+          .as("embedding"))
+    }.reduce(_.unionByName(_))
+
+    // NO blanket unpersist between ops: the scaled inputs are
+    // localCheckpoint-pinned and must survive the whole factor;
+    // operator-internal checkpoints leak until the factor ends, which
+    // this corpus size affords
+    def timed(tag: String, f: Int)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"$tag","factor":$f,"rows":$n,"sec":$dt%.2f}""")
+    }
+
+    import graft.operators.{Operators, SimilarityOps}
+
+    /** q63's LSH shape: banded candidates + exact verify at τ=0.5. */
+    def lshPairs(cs: DataFrame): DataFrame = {
+      val bands = Operators.minHashBands(cs, "doc_id", "cs")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(cs.select(col("doc_id").as("a_id"), col("cs").as("ca")), "a_id")
+        .join(cs.select(col("doc_id").as("b_id"), col("cs").as("cb")), "b_id")
+        .withColumn("inter", expr("sorted_intersect_count(ca, cb)"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("ca")) + size(col("cb")) - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+    }
+
+    factors.foreach { f =>
+      val docs = scaledDocs(f).localCheckpoint(true)
+      val cs = docs.select(col("doc_id"),
+        expr("shingle_code_set(text)").as("cs")).localCheckpoint(true)
+      val n = cs.count()
+
+      // theoretical candidate masses — what each strategy would verify
+      val sets = cs.select(col("doc_id").as("__id"), col("cs").as("__cs"),
+        size(col("cs")).as("__len"))
+      val prefixMass = Operators.prefixCandidateMass(sets, 0.5)
+      val lshMass = Operators.minHashBands(cs, "doc_id", "cs")
+        .groupBy(col("band"), col("v")).count()
+        .agg(sum(expr("count * (count - 1) / 2")).cast("long")).collect()(0)
+        .getLong(0)
+      println(s"""{"op":"mass","factor":$f,"n":$n,"brute":${n * (n - 1) / 2},""" +
+        s""""prefix05":$prefixMass,"lsh_buckets":$lshMass}""")
+
+      timed("lsh_pairs", f)(lshPairs(cs))
+      timed("ppjoin05", f)(
+        Operators.jaccardPairsPrefix(cs, "doc_id", "cs", 0.5))
+      timed("clusters05", f)(
+        Operators.connectedComponents(
+          Operators.jaccardPairsAuto(cs, "doc_id", "cs", 0.5)
+            .select(col("a_id"), col("b_id")),
+          "a_id", "b_id", maxIter = 50))
+      if (f <= 2)
+        timed("jacc_auto008", f)(
+          Operators.jaccardPairsAuto(cs, "doc_id", "cs", 0.08))
+
+      val embs = scaledEmbs(f).localCheckpoint(true)
+      timed("cos_pruned04", f)(
+        SimilarityOps.exactCosinePairsPruned(
+          embs, "vec_id", "embedding", threshold = 0.4, k = 8, iters = 2))
+      timed("emb_clusters", f)(
+        Operators.connectedComponents(
+          SimilarityOps.exactCosinePairsPruned(
+            embs, "vec_id", "embedding", threshold = 0.4, k = 8, iters = 2)
+            .select(col("a_id"), col("b_id")),
+          "a_id", "b_id", maxIter = 50))
+    }
+    spark.stop()
+  }
+}

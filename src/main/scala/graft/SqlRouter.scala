@@ -962,39 +962,11 @@ object SqlRouter {
                 Result(None, t.upsertOnDuplicate(
                   sourceDfFor(engine, t, colList, rest), sets))
               case Some(rx) =>
-                // post-images mirror the upsert's math over the frozen
-                // pre-upsert read: updated rows get the SET
-                // expressions, new rows their inserted values (same
-                // volatile-expression caveat as UPDATE RETURNING).
-                // The batch condenses with the SAME last-occurrence
-                // ordering upsertOnDuplicate applies, so returned
-                // values agree with stored rows even for duplicate
-                // in-batch keys.
                 val src = sourceDfFor(engine, t, colList, rest)
                   .localCheckpoint(true)
-                val pre = t.read()
-                val n = t.upsertOnDuplicate(src, sets)
-                val batch = t.lastPerKey(src, pk)
-                val renamed = batch.select(
-                  batch.columns.map(c => col(c).as(s"__new_$c")): _*)
-                val joined = pre.join(renamed,
-                  pk.map(c => col(c) === col(s"__new_$c")).reduce(_ && _),
-                  "inner")
-                // PG's RETURNING emits only rows actually updated: a
-                // DO UPDATE ... WHERE guard excludes non-matching
-                // conflict rows from the result entirely (their stored
-                // row is untouched)
-                val guarded = whereOpt.map(w =>
-                  joined.filter(expr(rewriteConflictRefs(w, name))))
-                  .getOrElse(joined)
-                val updatedImg = guarded
-                  .select(m.schema.fieldNames.map(f =>
-                    sets.get(f).map(e => expr(e).cast(m.schema(f).dataType))
-                      .getOrElse(col(f)).as(f)): _*)
-                val newImg = batch.join(pre.select(pk.map(col): _*),
-                  pk, "left_anti")
-                  .select(m.schema.fieldNames.map(col): _*)
-                Result(Some(retSel(updatedImg.unionByName(newImg), rx)), n)
+                val (img, n) = upsertWithImages(t, src, sets,
+                  whereOpt.map(w => rewriteConflictRefs(w, name)))
+                Result(Some(retSel(img, rx)), n)
             }
           }
         case other => throw new IllegalArgumentException(
@@ -1003,9 +975,11 @@ object SqlRouter {
     // ON DUPLICATE KEY UPDATE found by a quote-aware scan, never by a
     // regex that could bite inside a string literal
     case s0 if splitOnDup(s0).exists(p => Insert.matches(p._1)) =>
-      val (head, setList) = splitOnDup(s0).get
+      val (head, setList0) = splitOnDup(s0).get
       val Insert(name, colList, rest) = head: @unchecked
       val t = engine.table(name)
+      // a MariaDB 10.5+ RETURNING tail rides after the ODKU set list
+      val (setList, returning) = splitReturning(setList0)
       // MySQL's VALUES(c) refers to the incoming row → the joined
       // frame's __new_<c>; bare names stay the existing row's columns.
       // The rewrite is quote-aware too: a literal 'VALUES(x)' survives.
@@ -1013,7 +987,15 @@ object SqlRouter {
         val Array(k, v) = kv.split("=", 2)
         k.trim -> rewriteValuesRefs(v.trim)
       }.toMap
-      Result(None, t.upsertOnDuplicate(sourceDfFor(engine, t, colList, rest), sets))
+      returning match {
+        case None => Result(None,
+          t.upsertOnDuplicate(sourceDfFor(engine, t, colList, rest), sets))
+        case Some(rx) =>
+          val src = sourceDfFor(engine, t, colList, rest)
+            .localCheckpoint(true)
+          val (img, n) = upsertWithImages(t, src, sets, None)
+          Result(Some(img.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+      }
     case InsertDefaults(name) =>
       // PG's all-defaults one-row insert: declared DEFAULTs, null
       // elsewhere, the auto-increment column assigned
@@ -1163,8 +1145,6 @@ object SqlRouter {
       // the ODKU/auto-inc/RETURNING arms then apply unchanged.
       val (tail1, ret) = splitReturning(tail)
       val (setPart, odku) = splitOnDup(tail1).getOrElse((tail1, null))
-      require(odku == null || ret.isEmpty,
-        "ON DUPLICATE KEY UPDATE with RETURNING is not supported")
       val kvs = splitTop(setPart).map { kv =>
         val Array(k, v) = kv.split("=", 2)
         (k.trim, v.trim)
@@ -2161,6 +2141,35 @@ object SqlRouter {
     if (n > 0) t.merge(staged.withColumn("action", lit(0)))
     Result(returning.map(rx =>
       staged.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+  }
+
+  /** Upsert + the post-images RETURNING projects, shared by PG
+    * `ON CONFLICT ... DO UPDATE ... [WHERE guard] RETURNING` and
+    * MariaDB `INSERT ... ON DUPLICATE KEY UPDATE ... RETURNING`:
+    * updated rows get the SET expressions over the frozen pre-upsert
+    * read (guard-filtered — only rows actually updated are emitted,
+    * PG semantics), new rows their inserted values. The batch
+    * condenses with upsertOnDuplicate's OWN last-occurrence ordering,
+    * so images agree with stored rows for duplicate in-batch keys.
+    * `src` must be pinned (localCheckpoint) by the caller. */
+  private def upsertWithImages(t: graft.storage.GraftTable, src: DataFrame,
+      sets: Map[String, String], guardSql: Option[String]): (DataFrame, Long) = {
+    val m = t.manifest
+    val pk = m.pkCols
+    val pre = t.read()
+    val n = t.upsertOnDuplicate(src, sets)
+    val batch = t.lastPerKey(src, pk)
+    val renamed = batch.select(
+      batch.columns.map(c => col(c).as(s"__new_$c")): _*)
+    val joined = pre.join(renamed,
+      pk.map(c => col(c) === col(s"__new_$c")).reduce(_ && _), "inner")
+    val guarded = guardSql.map(w => joined.filter(expr(w))).getOrElse(joined)
+    val updatedImg = guarded.select(m.schema.fieldNames.map(f =>
+      sets.get(f).map(e => expr(e).cast(m.schema(f).dataType))
+        .getOrElse(col(f)).as(f)): _*)
+    val newImg = batch.join(pre.select(pk.map(col): _*), pk, "left_anti")
+      .select(m.schema.fieldNames.map(col): _*)
+    (updatedImg.unionByName(newImg), n)
   }
 
   /** PG-session evidence for dialect-defaulted statements (bare

@@ -313,7 +313,7 @@ object Operators {
     * same unit as the dense scan's n²/2. One linear aggregation (the
     * same explode the prefix path itself performs). `sets` must carry
     * (__cs sorted codes, __len). */
-  private[operators] def prefixCandidateMass(sets: DataFrame,
+  private[graft] def prefixCandidateMass(sets: DataFrame,
       tau: Double): Long = {
     val eps = 1e-6
     sets.select(explode(slice(col("__cs"), lit(1),

@@ -1262,6 +1262,24 @@ class SqlRouterSpec extends SparkSpec {
     assert(rv !== "old")
   }
 
+  test("MariaDB INSERT ... ON DUPLICATE KEY UPDATE ... RETURNING answers post-images") {
+    val e = new Engine(spark, tmpDir("router_odkuret"))
+    exec(e, "CREATE TABLE mo (id BIGINT PRIMARY KEY, v STRING, hits INT)")
+    exec(e, "INSERT INTO mo VALUES (1, 'a', 10)")
+
+    val r = exec(e, "INSERT INTO mo VALUES (1, 'x', 5), (2, 'b', 20) " +
+      "ON DUPLICATE KEY UPDATE hits = hits + VALUES(hits) RETURNING id, v, hits")
+    assert(r.df.get.as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      === Seq((1L, "a", 15), (2L, "b", 20)))
+    assert(exec(e, "SELECT hits FROM mo WHERE id = 1").df.get.as[Int].head() === 15)
+
+    // the INSERT ... SET sugar with ODKU + RETURNING re-routes too
+    val r2 = exec(e, "INSERT INTO mo SET id = 2, v = 'c', hits = 7 " +
+      "ON DUPLICATE KEY UPDATE v = VALUES(v) RETURNING id, v, hits")
+    assert(r2.df.get.as[(Long, String, Int)].collect().toSeq
+      === Seq((2L, "c", 20)))
+  }
+
   test("ANSI_QUOTES sql_mode flips double-quote lexing per session") {
     val e = new Engine(spark, tmpDir("router_ansiq"))
     exec(e, "CREATE TABLE aq (id BIGINT PRIMARY KEY, v STRING)")
