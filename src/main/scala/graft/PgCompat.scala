@@ -52,7 +52,7 @@ object PgCompat {
     var s = sql
     if (lower.contains("pg_") || lower.contains("information_schema"))
       s = dropFunctionQualifiers(toSys(s))
-    if (s.contains("_pg_expandarray")) s = expandSrf(s)
+    if (s.toLowerCase.contains("_pg_expandarray")) s = expandSrf(s)
     s = macros(engine, s)
     if (s.toLowerCase.contains("any")) s = anyOp(s)
     if (s.contains("~")) s = regexOps(s)
@@ -497,19 +497,23 @@ object PgCompat {
       mlower.regionMatches(j, w, 0, w.length) &&
         (j == 0 || !isWordChar(mlower.charAt(j - 1))) &&
         (j + w.length >= n || !isWordChar(mlower.charAt(j + w.length)))
-    // (replaceStart, replaceEnd, replacement, clauseDepth, argText)
+    // (replaceStart, replaceEnd, replacement, clauseDepth,
+    //  owning-SELECT position, argText)
     final case class Occ(start: Int, end: Int, repl: String,
-      selDepth: Int, arg: String)
+      selDepth: Int, selAt: Int, arg: String)
     val occs = scala.collection.mutable.ArrayBuffer.empty[Occ]
     val state = scala.collection.mutable.Map.empty[Int, Char] // 's'|'o'
+    // position of the SELECT that set state(d)='s' — the subselect's
+    // IDENTITY (two sibling subselects share a depth but not this)
+    val selPos = scala.collection.mutable.Map.empty[Int, Int]
     var depth = 0
     var i = 0
     val clauseWords = Seq("from", "where", "group", "order", "having", "limit")
     while (i < n) {
       val c = masked.charAt(i)
       if (c == '(') { depth += 1; i += 1 }
-      else if (c == ')') { state.remove(depth); depth -= 1; i += 1 }
-      else if (wordAt(i, "select")) { state(depth) = 's'; i += 6 }
+      else if (c == ')') { state.remove(depth); selPos.remove(depth); depth -= 1; i += 1 }
+      else if (wordAt(i, "select")) { state(depth) = 's'; selPos(depth) = i; i += 6 }
       else if (clauseWords.exists(wordAt(i, _))) { state(depth) = 'o'; i += 4 }
       else if (wordAt(i, "_pg_expandarray")) {
         var j = i + 15
@@ -531,6 +535,7 @@ object PgCompat {
             case None => dd -= 1
           }
           if (st == 's') {
+            val at = selPos.getOrElse(dd, -1)
             var p = i - 1
             while (p >= 0 && s.charAt(p).isWhitespace) p -= 1
             var q = k2
@@ -541,9 +546,9 @@ object PgCompat {
               if (r < n && s.charAt(r) == '.') {
                 var e2 = r + 1
                 while (e2 < n && isWordChar(s.charAt(e2))) e2 += 1
-                occs += Occ(p, e2, "__srf." + s.substring(r + 1, e2), dd, arg)
-              } else occs += Occ(p, q + 1, "__srf", dd, arg)
-            } else occs += Occ(i, k2, "__srf", dd, arg)
+                occs += Occ(p, e2, "__srf." + s.substring(r + 1, e2), dd, at, arg)
+              } else occs += Occ(p, q + 1, "__srf", dd, at, arg)
+            } else occs += Occ(i, k2, "__srf", dd, at, arg)
           }
           i = k2
         } else i += 15
@@ -551,7 +556,7 @@ object PgCompat {
     }
     if (occs.isEmpty) return s
     require(occs.map(_.arg).distinct.size == 1 &&
-      occs.map(_.selDepth).distinct.size == 1,
+      occs.map(o => (o.selDepth, o.selAt)).distinct.size == 1,
       "select-list _pg_expandarray occurrences must share one argument " +
         "and one subselect")
     val arg = occs.head.arg
@@ -596,13 +601,20 @@ object PgCompat {
   // 7. double-quoted identifiers → backticks (PG quoting → Spark
   //    quoting; "" inside an identifier unescapes to ").
 
-  private[graft] def quoteIdents(s: String): String = {
+  /** `backslashEscapes = true` for MySQL-lexed input (the ANSI_QUOTES
+    * sql_mode fold): `\'` inside a single-quoted literal must not
+    * close it. PG callers keep the default — standard_conforming
+    * strings treat backslash literally. */
+  private[graft] def quoteIdents(s: String,
+      backslashEscapes: Boolean = false): String = {
     val b = new java.lang.StringBuilder
     var i = 0
     var inSingle = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') {
+      if (inSingle && backslashEscapes && c == '\\' && i + 1 < s.length) {
+        b.append(c).append(s.charAt(i + 1)); i += 2
+      } else if (c == '\'') {
         // '' doubling stays inside the literal
         inSingle = !inSingle
         b.append(c); i += 1

@@ -79,8 +79,9 @@ object ScaleBench {
     def timed(tag: String, f: Int)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
       val n = df.count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"""{"op":"$tag","factor":$f,"rows":$n,"sec":$dt%.2f}""")
+      // Double.toString (locale-safe), not %f (default-locale commas)
+      val dt = math.round((System.nanoTime() - t0) / 1e7) / 100.0
+      println(s"""{"op":"$tag","factor":$f,"rows":$n,"sec":$dt}""")
     }
 
     import graft.operators.{Operators, SimilarityOps}

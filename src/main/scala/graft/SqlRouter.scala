@@ -387,7 +387,11 @@ object SqlRouter {
       if (!head.regionMatches(true, 0, "SELECT", 0, 6)) return None
       val up = s.toUpperCase
       if (!up.contains("OUTFILE") && !up.contains("DUMPFILE")) return None
-      val m = IntoOutfileClause.matcher(maskSingleQuoted(s))
+      // BOTH quote kinds mask (length-preserving): in default MySQL
+      // mode double quotes are string literals, and the phrase inside
+      // one must stay inert
+      val m = IntoOutfileClause.matcher(
+        PgCompat.maskQuoted(s, maskDouble = true))
       if (!m.find()) return None
       val dump = m.group(1).equalsIgnoreCase("DUMPFILE")
       val path = s.substring(m.start(2) + 1, m.end(2) - 1)
@@ -500,7 +504,8 @@ object SqlRouter {
     val stmt =
       if (stmt0.contains("\"") && engine.getVar("sql_mode")
         .exists(_.toUpperCase.contains("ANSI")))
-        PgCompat.quoteIdents(stmt0)
+        // MySQL lexing: backslash escapes stay active inside '...'
+        PgCompat.quoteIdents(stmt0, backslashEscapes = true)
       else stmt0
     // MySQL literal forms first (the rewrite must reach Catalyst too,
     // unlike backtick stripping which is routing-only — see ADVICE r6)
@@ -1033,16 +1038,30 @@ object SqlRouter {
       val t = engine.table(name)
       val m0 = t.manifest
       val setPairs = parseSetList(setList0)
+      // normalize keys EXACTLY like updateViaJoin does (qualifier +
+      // quote stripping) — `SET t.id = 7` must read as a PK touch here
+      // or the staged path would reject a statement the classic arm
+      // handles
+      def bareKey(k: String): String =
+        (if (k.contains('.')) k.substring(k.lastIndexOf('.') + 1) else k)
+          .stripPrefix("\"").stripSuffix("\"").replace("`", "")
       val touchesPk = setPairs.exists(p =>
-        m0.pkCols.exists(_.equalsIgnoreCase(
-          p._1.stripPrefix("\"").stripSuffix("\""))))
+        m0.pkCols.exists(_.equalsIgnoreCase(bareKey(p._1))))
       if (returning.isDefined && m0.pkCols.nonEmpty && !touchesPk)
         // RETURNING answers the STORED images exactly (volatile SET
         // expressions included): stage through the merge path, which
         // materializes the post-image frame once for write and read
         return updateViaJoin(engine, name, name.split('.').last, name,
           setPairs, whereOpt, returning)
-      val sets = setPairs.map(p => p._1 -> expr(p._2)).toMap
+      // keys normalize to bare schema columns and must all resolve —
+      // update() ignores unknown keys, and a silently dropped
+      // `SET t.id = 7` is the worst reading of a qualified key
+      val sets = setPairs.map { p =>
+        val k = bareKey(p._1)
+        require(m0.schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+          s"SET column ${p._1} is not a column of $name")
+        m0.schema.fieldNames.find(_.equalsIgnoreCase(k)).get -> expr(p._2)
+      }.toMap
       val cond = whereOpt.map(expr).getOrElse(expr("true"))
       // RETURNING here (only the keyless / pk-touching tables reach
       // this arm with it — pk tables took the staged path above)
@@ -2103,12 +2122,23 @@ object SqlRouter {
     }.mkString(", ")
     val sql = s"SELECT $proj FROM $joinSrc" +
       where.map(w => s" WHERE $w").getOrElse("")
-    val img = engine.sql(PgCompat.rewriteQuery(engine, sql))
+    val raw = engine.sql(PgCompat.rewriteQuery(engine, sql))
       .select(m.schema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       // several join matches per key collapse to one arbitrary winner —
       // both MySQL and PG leave the pick unspecified
       .dropDuplicates(m.pkCols)
+    // generated columns recompute over the post-SET image HERE, before
+    // the checkpoint — merge recomputes them again for storage, and
+    // RETURNING must read the same values, not the pre-update ones
+    val gen = m.props.collect {
+      case (k, v) if k.startsWith("generated.") =>
+        k.stripPrefix("generated.") -> v
+    }
+    val img = if (gen.isEmpty) raw
+      else raw.select(m.schema.fieldNames.map(f =>
+        gen.get(f).map(g => expr(g).cast(m.schema(f).dataType).as(f))
+          .getOrElse(col(f))).toIndexedSeq: _*)
     val staged = img.localCheckpoint(true)
     val n = staged.count()
     if (n > 0) t.merge(staged.withColumn("action", lit(1)))
@@ -2563,7 +2593,8 @@ object SqlRouter {
     var depth = 0
     var quote: Char = 0
     var i = 0
-    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def isWordChar(c: Char) =
+      Character.isLetterOrDigit(c) || c == '_' || c == '$'
     val w0 = Character.toLowerCase(word.charAt(0))
     while (i < s.length) {
       val c = s.charAt(i)
@@ -2610,36 +2641,16 @@ object SqlRouter {
       } else Seq(k -> v)
     }
 
-  private[graft] def splitSetWhere(tail: String): (String, Option[String]) = {
-    var depth = 0
-    var quote: Char = 0
-    var i = 0
-    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
-    while (i < tail.length) {
-      val c = tail.charAt(i)
-      if (quote != 0) {
-        if (c == '\\' && quote != '`' && i + 1 < tail.length) i += 1
-        else if (c == quote) quote = 0
-      } else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case 'w' | 'W' if depth == 0 &&
-            tail.regionMatches(true, i, "WHERE", 0, 5) &&
-            (i == 0 || !isWordChar(tail.charAt(i - 1))) &&
-            (i + 5 >= tail.length || !isWordChar(tail.charAt(i + 5))) =>
-          val cond = tail.substring(i + 5).trim
-          // a bare trailing WHERE is a syntax error, NOT an
-          // unconditional update (silently updating every row from a
-          // truncated statement is the worst possible reading)
-          require(cond.nonEmpty, "empty WHERE clause")
-          return (tail.substring(0, i).trim, Some(cond))
-        case _ => ()
-      }
-      i += 1
+  private[graft] def splitSetWhere(tail: String): (String, Option[String]) =
+    splitTopWord(tail, "WHERE") match {
+      case Some((before, cond)) =>
+        // a bare trailing WHERE is a syntax error, NOT an
+        // unconditional update (silently updating every row from a
+        // truncated statement is the worst possible reading)
+        require(cond.nonEmpty, "empty WHERE clause")
+        (before, Some(cond))
+      case None => (tail.trim, None)
     }
-    (tail.trim, None)
-  }
 
   /** Split on commas at paren depth 0, outside quoted strings (a
     * literal like `'a,b'` must never split). */

@@ -135,6 +135,16 @@ class PgCatalogSpec extends SparkSpec {
       PgCompat.expandSrf(
         "SELECT (_pg_expandarray(a)).n, (_pg_expandarray(b)).x FROM t")
     }
+    // ...and so are SIBLING subselects at the same depth — only one
+    // would receive the LATERAL VIEW
+    intercept[IllegalArgumentException] {
+      PgCompat.expandSrf(
+        "SELECT (SELECT (_pg_expandarray(a)).n FROM t1) p, " +
+          "(SELECT (_pg_expandarray(a)).x FROM t2) q FROM z")
+    }
+    // case-insensitive spelling still rewrites (PG folds identifiers)
+    assert(PgCompat.expandSrf("SELECT (_PG_ExpandArray(a)).n FROM t")
+      .contains("LATERAL VIEW"))
   }
 
   test("pg_type probes and regtype/regclass resolution") {

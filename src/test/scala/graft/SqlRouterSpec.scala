@@ -1262,6 +1262,45 @@ class SqlRouterSpec extends SparkSpec {
     assert(rv !== "old")
   }
 
+  test("review round-9 regressions: generated-col RETURNING, quoted OUTFILE, qualified SET keys") {
+    val e = new Engine(spark, tmpDir("router_r9rev"))
+
+    // staged UPDATE ... RETURNING recomputes generated columns — the
+    // returned value must be the stored post-SET derivation
+    exec(e, "CREATE TABLE gc (id BIGINT PRIMARY KEY, a INT, g INT GENERATED ALWAYS AS (a + 1) STORED)")
+    exec(e, "INSERT INTO gc (id, a) VALUES (1, 10)")
+    val r = exec(e, "UPDATE gc SET a = 5 WHERE id = 1 RETURNING g")
+    assert(r.df.get.as[Int].head() === 6)
+    assert(exec(e, "SELECT g FROM gc WHERE id = 1").df.get.as[Int].head() === 6)
+
+    // 'INTO OUTFILE' inside a DOUBLE-quoted MySQL string literal stays
+    // inert (default mode: double quotes are strings)
+    val lit2 = exec(e, "SELECT \"see INTO OUTFILE '/tmp/nope' docs\" AS s").df.get
+    assert(lit2.as[String].head() === "see INTO OUTFILE '/tmp/nope' docs")
+
+    // qualified SET keys: non-PK updates apply (never silently
+    // dropped), PK updates route to the classic arm and work
+    exec(e, "CREATE TABLE qk (id BIGINT PRIMARY KEY, v STRING)")
+    exec(e, "INSERT INTO qk VALUES (1, 'a')")
+    exec(e, "UPDATE qk SET qk.v = 'b' WHERE id = 1")
+    assert(exec(e, "SELECT v FROM qk WHERE id = 1").df.get.as[String].head() === "b")
+    val rq = exec(e, "UPDATE qk SET qk.id = 2 WHERE id = 1 RETURNING id")
+    assert(rq.df.get.as[Long].head() === 2L)
+    assert(exec(e, "SELECT id FROM qk").df.get.as[Long].head() === 2L)
+    // ...and an unknown SET column is refused loudly, not ignored
+    intercept[IllegalArgumentException] {
+      exec(e, "UPDATE qk SET nope = 1 WHERE id = 2")
+    }
+
+    // ANSI_QUOTES with a backslash-escaped quote inside a string: the
+    // literal survives, the double-quoted span still folds
+    exec(e, "SET sql_mode = 'ANSI_QUOTES'")
+    val s2 = exec(e, "SELECT 'don\\'t say \"v\"' AS x, \"v\" AS y FROM (SELECT 'col' AS v)")
+      .df.get.as[(String, String)].head()
+    assert(s2 === (("don't say \"v\"", "col")))
+    exec(e, "SET sql_mode = ''")
+  }
+
   test("MariaDB INSERT ... ON DUPLICATE KEY UPDATE ... RETURNING answers post-images") {
     val e = new Engine(spark, tmpDir("router_odkuret"))
     exec(e, "CREATE TABLE mo (id BIGINT PRIMARY KEY, v STRING, hits INT)")

@@ -127,8 +127,11 @@ def duck(bench_path, sf, out):
         print(f"q{q:<5d} {pairs[q][0]:8.2f} "
               f"{'     n/a' if not d else format(d, '8.2f')} "
               f"{'' if not d else format(r, '7.1f')}")
-    tot_s = sum(pairs[q][0] for q in pairs if q in by_id)
-    tot_d = sum(v for v in duckt.values() if v)
+    # both totals over the SAME query set: a front-truncated artifact
+    # must not understate the ratio by dropping spark time only
+    common = [q for q in pairs if q in by_id and duckt.get(q)]
+    tot_s = sum(pairs[q][0] for q in common)
+    tot_d = sum(duckt[q] for q in common)
     print(f"\nTOTAL spark={tot_s:.1f}s duck={tot_d:.1f}s "
           f"ratio={tot_s / tot_d:.2f}")
 
