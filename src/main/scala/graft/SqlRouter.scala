@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -166,11 +166,12 @@ object SqlRouter {
           .filter(_._1.nonEmpty)
     }
   }
-  // the WHERE capture is greedy and swallows a RETURNING tail (split
-  // quote-aware in the arm); the separate RETURNING group only fires
-  // for the no-WHERE form
+  // the whole tail captures raw; the arm splits RETURNING / LIMIT /
+  // ORDER BY / WHERE off it quote-aware (a regex alternation over
+  // those four optional clauses would misread literals). The USING
+  // form falls through to DeleteJoinStmt via the arm's guard.
   private val Delete =
-    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?(?:\s+RETURNING\s+(.+))?\s*""".r
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)(\s+\S.*)?\s*""".r
   // PG truncates several tables in one statement and can reset the
   // identity counters: TRUNCATE a, b RESTART IDENTITY CASCADE
   private val Truncate =
@@ -895,11 +896,25 @@ object SqlRouter {
       // rewrite no longer runs
       engine.createView(name, PgCompat.rewriteQuery(engine, defn)); ddl
     case DropView(name) => engine.dropView(name); ddl
-    case Begin() => engine.begin(); ddl
+    case Begin() =>
+      // MySQL: beginning a transaction implicitly COMMITS any current
+      // one (a BEGIN under autocommit=0 closes the implicit txn)
+      if (engine.inTransaction) engine.commit()
+      engine.begin(); ddl
     // MySQL treats COMMIT/ROLLBACK without an open transaction as
-    // no-ops (autocommit mode) — clients issue them routinely
-    case CommitTxn() => if (engine.inTransaction) engine.commit(); ddl
-    case RollbackTxn() => if (engine.inTransaction) engine.rollback(); ddl
+    // no-ops (autocommit mode) — clients issue them routinely. Under
+    // autocommit=0 a fresh implicit transaction opens immediately
+    // after either (the session is never outside one — the semantics
+    // the reference's binlog applier manages explicitly,
+    // `binlogreplication/binlog_replica_applier.go:572-805`).
+    case CommitTxn() =>
+      if (engine.inTransaction) engine.commit()
+      if (engine.getVar("autocommit").contains("0")) engine.begin()
+      ddl
+    case RollbackTxn() =>
+      if (engine.inTransaction) engine.rollback()
+      if (engine.getVar("autocommit").contains("0")) engine.begin()
+      ddl
     case ReplaceInto(name, colList, rest) =>
       val t = engine.table(name)
       Result(None, t.replaceRows(sourceDfFor(engine, t, colList, rest)))
@@ -1026,11 +1041,31 @@ object SqlRouter {
       doInsert(engine, name, colList, rest)
     case Update(name, tail0) =>
       val (tail, returning) = splitReturning(tail0)
-      val (setList0, whereOpt) = splitSetWhere(tail)
+      // MySQL's trailing ORDER BY/LIMIT come off before the SET/WHERE
+      // split (they'd otherwise ride inside the WHERE capture)
+      val (tailL, limitOpt) = splitTopWord(tail, "LIMIT") match {
+        case Some((b, l)) =>
+          require(l.trim.matches("\\d+"), s"unsupported UPDATE LIMIT tail: $l")
+          (b, Some(l.trim.toInt))
+        case None => (tail, None)
+      }
+      val (tailO, orderOpt) = splitTopWord(tailL, "ORDER") match {
+        case Some((b, o)) =>
+          val ob = o.trim
+          require(ob.regionMatches(true, 0, "BY", 0, 2) && ob.length > 2 &&
+            ob.charAt(2).isWhitespace, s"unsupported UPDATE ORDER tail: $o")
+          (b, Some(ob.substring(3).trim))
+        case None => (tailL, None)
+      }
+      val (setList0, whereOpt) = splitSetWhere(tailO)
       val pgFrom = splitTopWord(setList0, "FROM")
       if (pgFrom.isDefined) {
         // PG UPDATE ... FROM: the target joins the FROM list on the
-        // WHERE condition (DuckDB speaks this too — oracle-checkable)
+        // WHERE condition (DuckDB speaks this too — oracle-checkable).
+        // Neither MySQL's multi-table UPDATE nor PG's FROM form takes
+        // ORDER BY/LIMIT.
+        require(orderOpt.isEmpty && limitOpt.isEmpty,
+          "UPDATE ... FROM does not take ORDER BY/LIMIT")
         val (setPart, fromList) = pgFrom.get
         return updateViaJoin(engine, name, name.split('.').last,
           s"$name, $fromList", parseSetList(setPart), whereOpt, returning)
@@ -1047,12 +1082,6 @@ object SqlRouter {
           .stripPrefix("\"").stripSuffix("\"").replace("`", "")
       val touchesPk = setPairs.exists(p =>
         m0.pkCols.exists(_.equalsIgnoreCase(bareKey(p._1))))
-      if (returning.isDefined && m0.pkCols.nonEmpty && !touchesPk)
-        // RETURNING answers the STORED images exactly (volatile SET
-        // expressions included): stage through the merge path, which
-        // materializes the post-image frame once for write and read
-        return updateViaJoin(engine, name, name.split('.').last, name,
-          setPairs, whereOpt, returning)
       // keys normalize to bare schema columns and must all resolve —
       // update() ignores unknown keys, and a silently dropped
       // `SET t.id = 7` is the worst reading of a qualified key
@@ -1063,6 +1092,26 @@ object SqlRouter {
         m0.schema.fieldNames.find(_.equalsIgnoreCase(k)).get -> expr(p._2)
       }.toMap
       val cond = whereOpt.map(expr).getOrElse(expr("true"))
+      if (orderOpt.isDefined || limitOpt.isDefined) {
+        // MySQL `UPDATE ... [ORDER BY ...] LIMIT n`: the matched slice
+        // stages through the merge path (PK-keyed; PK-changing SETs
+        // would re-key the merge and are refused)
+        require(m0.pkCols.nonEmpty && !touchesPk,
+          "UPDATE with ORDER BY/LIMIT needs a PRIMARY KEY and non-PK SETs")
+        var matched = t.read().filter(cond)
+        orderOpt.foreach(o => matched = matched.sort(parseSortCols(o): _*))
+        limitOpt.foreach(nm => matched = matched.limit(nm))
+        val post = matched.select(m0.schema.fieldNames.map(f =>
+          sets.get(f).map(_.cast(m0.schema(f).dataType).as(f))
+            .getOrElse(col(f))): _*)
+        return stageMergeImages(t, post, action = 1, returning)
+      }
+      if (returning.isDefined && m0.pkCols.nonEmpty && !touchesPk)
+        // RETURNING answers the STORED images exactly (volatile SET
+        // expressions included): stage through the merge path, which
+        // materializes the post-image frame once for write and read
+        return updateViaJoin(engine, name, name.split('.').last, name,
+          setPairs, whereOpt, returning)
       // RETURNING here (only the keyless / pk-touching tables reach
       // this arm with it — pk tables took the staged path above)
       // re-applies the SET and generated-column expressions over the
@@ -1113,20 +1162,35 @@ object SqlRouter {
       }
       val joinSrc = refs + fromOpt.map(f => s", $f").getOrElse("")
       updateViaJoin(engine, target, alias, joinSrc, sets, whereOpt, returning)
-    case Delete(name, whereRaw, retNoWhere) =>
+    case Delete(name, tailRaw) if !Option(tailRaw).map(_.trim).exists(x =>
+        x.regionMatches(true, 0, "USING", 0, 5) &&
+          (x.length == 5 || x.charAt(5).isWhitespace)) =>
       val t = engine.table(name)
-      val (whereClean, ret1) = Option(whereRaw)
-        .map(splitReturning).map(p => (Some(p._1), p._2))
-        .getOrElse((None, None))
-      val returning = ret1.orElse(Option(retNoWhere))
-      val cond = whereClean.filter(_.trim.nonEmpty).map(expr)
-        .getOrElse(expr("true"))
-      // deleted-row images: frozen pre-delete file list (built only
-      // when RETURNING is present)
-      val pre = returning.map(_ => t.read().filter(cond))
-      val n = t.delete(cond)
-      Result(returning.map(rx =>
-        pre.get.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+      val (whereOpt, orderOpt, limitOpt, returning) =
+        parseDmlTail(Option(tailRaw).getOrElse(""), "DELETE")
+      val cond = whereOpt.map(expr).getOrElse(expr("true"))
+      if (orderOpt.isEmpty && limitOpt.isEmpty) {
+        // deleted-row images: frozen pre-delete file list (built only
+        // when RETURNING is present)
+        val pre = returning.map(_ => t.read().filter(cond))
+        val n = t.delete(cond)
+        Result(returning.map(rx =>
+          pre.get.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+      } else {
+        // MySQL `DELETE ... [ORDER BY ...] LIMIT n` — the batched-
+        // delete shape. The matched slice stages through the merge
+        // path keyed on the PK (a keyless table would delete every
+        // duplicate of a limited row's image — refused instead).
+        val m = t.manifest
+        require(m.pkCols.nonEmpty,
+          "DELETE with ORDER BY/LIMIT needs a PRIMARY KEY")
+        var matched = t.read().filter(cond)
+        orderOpt.foreach(o => matched = matched.sort(parseSortCols(o): _*))
+        limitOpt.foreach(nm => matched = matched.limit(nm))
+        stageMergeImages(t,
+          matched.select(m.schema.fieldNames.map(col): _*),
+          action = 0, returning)
+      }
     case DeleteJoinStmt(targetSpec0, refsAndTail, usingForm) =>
       // MySQL `DELETE a FROM a JOIN b ...` / `DELETE FROM a USING a
       // JOIN b ...` and PG `DELETE FROM a [AS x] USING b WHERE ...`
@@ -1425,6 +1489,18 @@ object SqlRouter {
       val filtered = Option(like).fold(vars)(pat =>
         vars.filter(v => likeMatch(pat, v._1)))
       Result(Some(filtered.toDF("variable_name", "value")), 0L)
+    case SetVariable(modifier, key, value) if key.equalsIgnoreCase("autocommit") =>
+      // Connector/J's setAutoCommit(false) emits this; the session
+      // then lives inside an implicit transaction that COMMIT/ROLLBACK
+      // close-and-reopen. autocommit=1 commits any open txn (MySQL's
+      // implicit-commit rule).
+      val v = unquote(value).trim.toLowerCase
+      val on = Set("1", "on", "true").contains(v)
+      require(on || Set("0", "off", "false").contains(v),
+        s"autocommit value $value")
+      if (!on && !engine.inTransaction) engine.begin()
+      if (on && engine.inTransaction) engine.commit()
+      engine.setVar("autocommit", if (on) "1" else "0"); ddl
     case SetVariable(modifier, key, value) =>
       val persist = modifier != null &&
         (modifier.equalsIgnoreCase("GLOBAL") || modifier.equalsIgnoreCase("PERSIST"))
@@ -2128,23 +2204,76 @@ object SqlRouter {
       // several join matches per key collapse to one arbitrary winner —
       // both MySQL and PG leave the pick unspecified
       .dropDuplicates(m.pkCols)
-    // generated columns recompute over the post-SET image HERE, before
-    // the checkpoint — merge recomputes them again for storage, and
-    // RETURNING must read the same values, not the pre-update ones
+    stageMergeImages(t, raw, action = 1, returning)
+  }
+
+  /** Stage a row-image frame through the merge path: generated columns
+    * recomputed over the post-SET image (RETURNING must read the
+    * stored derivation, not the pre-update one), ONE localCheckpoint
+    * materialization shared by the write, the count, and RETURNING —
+    * volatile expressions stay exact. */
+  private def stageMergeImages(t: graft.storage.GraftTable, img0: DataFrame,
+      action: Int, returning: Option[String]): Result = {
+    val m = t.manifest
     val gen = m.props.collect {
       case (k, v) if k.startsWith("generated.") =>
         k.stripPrefix("generated.") -> v
     }
-    val img = if (gen.isEmpty) raw
-      else raw.select(m.schema.fieldNames.map(f =>
+    val img = if (gen.isEmpty || action == 0) img0
+      else img0.select(m.schema.fieldNames.map(f =>
         gen.get(f).map(g => expr(g).cast(m.schema(f).dataType).as(f))
           .getOrElse(col(f))).toIndexedSeq: _*)
     val staged = img.localCheckpoint(true)
     val n = staged.count()
-    if (n > 0) t.merge(staged.withColumn("action", lit(1)))
+    if (n > 0) t.merge(staged.withColumn("action", lit(action)))
     Result(returning.map(rx =>
       staged.selectExpr(splitTop(rx).map(_.trim): _*)), n)
   }
+
+  /** DML tail parser: `[WHERE cond] [ORDER BY items] [LIMIT n]
+    * [RETURNING exprs]` split quote-aware off a raw captured tail —
+    * anything left over fails loudly (the regex capture is the whole
+    * tail, so an unrecognized clause must never silently vanish). */
+  private def parseDmlTail(tail0: String, what: String)
+      : (Option[String], Option[String], Option[Int], Option[String]) = {
+    val (t1, returning) = splitReturning(tail0)
+    val (t2, limitOpt) = splitTopWord(t1, "LIMIT") match {
+      case Some((b, l)) =>
+        require(l.trim.matches("\\d+"), s"unsupported $what LIMIT tail: $l")
+        (b, Some(l.trim.toInt))
+      case None => (t1, None)
+    }
+    val (t3, orderOpt) = splitTopWord(t2, "ORDER") match {
+      case Some((b, o)) =>
+        val ob = o.trim
+        require(ob.regionMatches(true, 0, "BY", 0, 2) && ob.length > 2 &&
+          ob.charAt(2).isWhitespace, s"unsupported $what ORDER tail: $o")
+        (b, Some(ob.substring(3).trim))
+      case None => (t2, None)
+    }
+    val w = t3.trim
+    val whereOpt =
+      if (w.isEmpty) None
+      else {
+        require(w.regionMatches(true, 0, "WHERE", 0, 5) && w.length > 5 &&
+          w.charAt(5).isWhitespace, s"unsupported $what tail: $w")
+        val c = w.substring(6).trim
+        require(c.nonEmpty, "empty WHERE clause")
+        Some(c)
+      }
+    (whereOpt, orderOpt, limitOpt, returning)
+  }
+
+  /** `ORDER BY` item list → sort Columns ("x DESC, y" etc.; NULLS
+    * FIRST/LAST and other tails fail loudly in expr()). */
+  private def parseSortCols(spec: String): Seq[Column] =
+    splitTop(spec).map { item =>
+      val it = item.trim
+      val up = it.toUpperCase
+      if (up.endsWith(" DESC")) expr(it.substring(0, it.length - 5)).desc
+      else if (up.endsWith(" ASC")) expr(it.substring(0, it.length - 4)).asc
+      else expr(it)
+    }
 
   /** Multi-table DELETE core (MySQL `DELETE a FROM a JOIN b ...`,
     * `DELETE FROM a USING ...`, PG `DELETE ... USING`): the join
@@ -2166,11 +2295,7 @@ object SqlRouter {
       .select(m.schema.fields.map(f =>
         col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       .dropDuplicates(m.pkCols)
-    val staged = img.localCheckpoint(true)
-    val n = staged.count()
-    if (n > 0) t.merge(staged.withColumn("action", lit(0)))
-    Result(returning.map(rx =>
-      staged.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+    stageMergeImages(t, img, action = 0, returning)
   }
 
   /** Upsert + the post-images RETURNING projects, shared by PG

@@ -1262,6 +1262,75 @@ class SqlRouterSpec extends SparkSpec {
     assert(rv !== "old")
   }
 
+  test("UPDATE/DELETE ORDER BY LIMIT: the batched-DML shape") {
+    val e = new Engine(spark, tmpDir("router_dmllimit"))
+    exec(e, "CREATE TABLE bd (id BIGINT PRIMARY KEY, v INT)")
+    exec(e, "INSERT INTO bd VALUES (1,10), (2,20), (3,30), (4,40), (5,50)")
+
+    // DELETE the two smallest by v
+    val d = exec(e, "DELETE FROM bd ORDER BY v LIMIT 2")
+    assert(d.affected === 2)
+    assert(exec(e, "SELECT id FROM bd ORDER BY id").df.get.as[Long].collect()
+      .toSeq === Seq(3L, 4L, 5L))
+    // WHERE + DESC + LIMIT + RETURNING: the deleted images come back
+    val d2 = exec(e, "DELETE FROM bd WHERE v > 25 ORDER BY v DESC LIMIT 1 RETURNING id, v")
+    assert(d2.df.get.as[(Long, Int)].collect().toSeq === Seq((5L, 50)))
+    assert(exec(e, "SELECT count(*) FROM bd").df.get.as[Long].head() === 2)
+
+    // UPDATE the largest remaining row only
+    val u = exec(e, "UPDATE bd SET v = v + 1 ORDER BY v DESC LIMIT 1")
+    assert(u.affected === 1)
+    assert(exec(e, "SELECT v FROM bd ORDER BY id").df.get.as[Int].collect()
+      .toSeq === Seq(30, 41))
+    // LIMIT without ORDER BY: some single row updates
+    val u2 = exec(e, "UPDATE bd SET v = 0 LIMIT 1")
+    assert(u2.affected === 1)
+    assert(exec(e, "SELECT count(*) FROM bd WHERE v = 0").df.get.as[Long].head() === 1)
+
+    // garbage tails are refused loudly, never silently dropped
+    intercept[IllegalArgumentException] {
+      exec(e, "DELETE FROM bd SOMETHING ELSE")
+    }
+    intercept[IllegalArgumentException] {
+      exec(e, "UPDATE bd SET v = 1 LIMIT 1 OFFSET 2")
+    }
+  }
+
+  test("SET autocommit drives the implicit-transaction lifecycle") {
+    val e = new Engine(spark, tmpDir("router_autocommit"))
+    exec(e, "CREATE TABLE ac (id BIGINT PRIMARY KEY, v INT)")
+
+    // autocommit=0 opens an implicit txn; ROLLBACK discards staged DML
+    // and immediately reopens one
+    exec(e, "SET autocommit = 0")
+    assert(e.inTransaction)
+    exec(e, "INSERT INTO ac VALUES (1, 10)")
+    exec(e, "ROLLBACK")
+    assert(exec(e, "SELECT count(*) FROM ac").df.get.as[Long].head() === 0)
+    assert(e.inTransaction) // fresh implicit txn
+    exec(e, "INSERT INTO ac VALUES (2, 20)")
+    exec(e, "COMMIT")
+    assert(exec(e, "SELECT count(*) FROM ac").df.get.as[Long].head() === 1)
+
+    // BEGIN under an open implicit txn commits it first (MySQL rule)
+    exec(e, "INSERT INTO ac VALUES (3, 30)")
+    exec(e, "BEGIN")
+    exec(e, "ROLLBACK") // rolls back ONLY the explicit txn's (empty) work
+    assert(exec(e, "SELECT count(*) FROM ac").df.get.as[Long].head() === 2)
+
+    // autocommit=1 commits whatever is open and ends the lifecycle
+    exec(e, "INSERT INTO ac VALUES (4, 40)")
+    exec(e, "SET autocommit = 1")
+    assert(!e.inTransaction)
+    assert(exec(e, "SELECT count(*) FROM ac").df.get.as[Long].head() === 3)
+    exec(e, "COMMIT") // plain no-op again
+    assert(!e.inTransaction)
+
+    intercept[IllegalArgumentException] {
+      exec(e, "SET autocommit = maybe")
+    }
+  }
+
   test("review round-9 regressions: generated-col RETURNING, quoted OUTFILE, qualified SET keys") {
     val e = new Engine(spark, tmpDir("router_r9rev"))
 
