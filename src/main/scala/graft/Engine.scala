@@ -24,6 +24,7 @@ import graft.storage.{GraftTable, Manifest, Transaction}
   */
 final class Engine(val spark: SparkSession, val warehouse: Path) {
   SparkEntry.configure(spark)
+  graft.functions.MySqlShims.registerSession(this)
   private val mapper = new ObjectMapper()
   Files.createDirectories(warehouse)
 

@@ -120,7 +120,14 @@ object SqlRouter {
   private val ShowIndex =
     """(?is)\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+([\w.]+)\s*""".r
   private val ShowVariables =
-    """(?is)\s*SHOW\s+VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*""".r
+    """(?is)\s*SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?\s*""".r
+  // diagnostics-area probes every client library issues after DML
+  private val ShowWarnErr =
+    """(?is)\s*SHOW\s+(?:WARNINGS|ERRORS)(?:\s+LIMIT\s+\d+(?:\s*,\s*\d+)?)?\s*""".r
+  private val ShowCountWarnErr =
+    """(?is)\s*SHOW\s+COUNT\s*\(\s*\*\s*\)\s+(?:WARNINGS|ERRORS)\s*""".r
+  private val ShowGrants =
+    """(?is)\s*SHOW\s+GRANTS(?:\s+FOR\s+[^;]+)?\s*""".r
   // the modifier needs an explicit separator (space or the @@GLOBAL.x
   // dot form) — a bare (GLOBAL)? would eat the prefix of variable
   // names like `global_flag` or `session_timeout`
@@ -502,12 +509,23 @@ object SqlRouter {
     // the normalizer and Catalyst then both read them as identifiers,
     // and the routing regexes see them via the backtick stripper.
     // Without the mode, MySQL semantics hold ("x" is a string).
-    val stmt =
+    val stmtQ =
       if (stmt0.contains("\"") && engine.getVar("sql_mode")
         .exists(_.toUpperCase.contains("ANSI")))
         // MySQL lexing: backslash escapes stay active inside '...'
         PgCompat.quoteIdents(stmt0, backslashEscapes = true)
       else stmt0
+    // `SELECT @@x` (the client handshake surface) folds sysvar refs to
+    // literals on QUERY heads only — SET statements keep their @@
+    // spelling for the SetVariable arm
+    val stmt =
+      if (stmtQ.contains("@@") && {
+        val h = stmtQ.dropWhile(_.isWhitespace)
+        h.regionMatches(true, 0, "SELECT", 0, 6) ||
+          h.regionMatches(true, 0, "WITH", 0, 4) ||
+          h.headOption.contains('(')
+      }) rewriteSysVars(engine, stmtQ)
+      else stmtQ
     // MySQL literal forms first (the rewrite must reach Catalyst too,
     // unlike backtick stripping which is routing-only — see ADVICE r6)
     val lit = stripLockingTail(
@@ -1032,7 +1050,10 @@ object SqlRouter {
         case Some(c) =>
           val src = one.select(
             m.schema.fields.filterNot(_.name == c).map(defaultFor).toSeq: _*)
-          Result(None, t.insertAutoInc(src, c))
+          val base = m.autoInc
+          val n = t.insertAutoInc(src, c)
+          if (n > 0) engine.setVar("last_insert_id", base.toString)
+          Result(None, n)
         case None =>
           Result(None, t.insert(one.select(
             m.schema.fields.map(defaultFor).toSeq: _*)))
@@ -1485,10 +1506,27 @@ object SqlRouter {
     case ShowVariables(like) =>
       val sp = engine.spark
       import sp.implicits._
-      val vars = engine.listVars().toSeq.sortBy(_._1)
+      // stock defaults under the session overlay — a client probing
+      // `SHOW VARIABLES LIKE 'max_allowed_packet'` gets a real answer
+      // on a fresh session, like the real server
+      val vars = (SysVarDefaults ++ engine.listVars()).toSeq.sortBy(_._1)
       val filtered = Option(like).fold(vars)(pat =>
         vars.filter(v => likeMatch(pat, v._1)))
       Result(Some(filtered.toDF("variable_name", "value")), 0L)
+    case ShowWarnErr() =>
+      // the engine refuses bad statements instead of warning: the
+      // diagnostics area is always empty
+      Result(Some(engine.spark.createDataFrame(
+        engine.spark.sparkContext.emptyRDD[Row],
+        StructType.fromDDL("Level STRING, Code INT, Message STRING"))), 0L)
+    case ShowCountWarnErr() =>
+      val sp = engine.spark
+      import sp.implicits._
+      Result(Some(Seq(0).toDF("count")), 0L)
+    case ShowGrants() =>
+      Result(Some(seqDf(engine,
+        Seq("GRANT ALL PRIVILEGES ON *.* TO 'root'@'%'"),
+        "Grants for root@%")), 0L)
     case SetVariable(modifier, key, value) if key.equalsIgnoreCase("autocommit") =>
       // Connector/J's setAutoCommit(false) emits this; the session
       // then lives inside an implicit transaction that COMMIT/ROLLBACK
@@ -2093,6 +2131,8 @@ object SqlRouter {
         val base = m.autoInc
         val n = t.insertAutoInc(
           sourceDfFor(engine, t, colList, rest).drop(c), c)
+        // MySQL LAST_INSERT_ID(): the FIRST id this statement assigned
+        if (n > 0) engine.setVar("last_insert_id", base.toString)
         val df = returning.map(rx => t.read()
           .filter(col(c) >= lit(base) && col(c) < lit(base + n))
           .selectExpr(splitTop(rx).map(_.trim): _*))
@@ -2325,6 +2365,79 @@ object SqlRouter {
     val newImg = batch.join(pre.select(pk.map(col): _*), pk, "left_anti")
       .select(m.schema.fieldNames.map(col): _*)
     (updatedImg.unionByName(newImg), n)
+  }
+
+  /** MySQL system-variable defaults for the connect-time read surface
+    * (`SELECT @@x`, SHOW VARIABLES probes): the subset real clients
+    * ask for, stock-MySQL-8 reference values. Session SETs overlay
+    * these; an unknown `@@name` errors like the real server does. */
+  private[graft] val SysVarDefaults: Map[String, String] = Map(
+    "autocommit" -> "1",
+    "auto_increment_increment" -> "1",
+    "auto_increment_offset" -> "1",
+    "character_set_client" -> "utf8mb4",
+    "character_set_connection" -> "utf8mb4",
+    "character_set_results" -> "utf8mb4",
+    "character_set_server" -> "utf8mb4",
+    "character_set_database" -> "utf8mb4",
+    "collation_server" -> "utf8mb4_0900_ai_ci",
+    "collation_connection" -> "utf8mb4_0900_ai_ci",
+    "collation_database" -> "utf8mb4_0900_ai_ci",
+    "init_connect" -> "",
+    "interactive_timeout" -> "28800",
+    "wait_timeout" -> "28800",
+    "net_read_timeout" -> "30",
+    "net_write_timeout" -> "60",
+    "net_buffer_length" -> "16384",
+    "max_allowed_packet" -> "67108864",
+    "license" -> "GPL",
+    "lower_case_table_names" -> "0",
+    "performance_schema" -> "1",
+    "sql_mode" -> "",
+    "system_time_zone" -> "UTC",
+    "time_zone" -> "SYSTEM",
+    "transaction_isolation" -> "REPEATABLE-READ",
+    "tx_isolation" -> "REPEATABLE-READ",
+    "transaction_read_only" -> "0",
+    "tx_read_only" -> "0",
+    "version" -> "8.0.33",
+    "version_comment" -> "graft Spark engine",
+    "warning_count" -> "0",
+    "error_count" -> "0",
+    "have_ssl" -> "YES",
+    "hostname" -> "localhost",
+    "last_insert_id" -> "0")
+
+  /** `@@[scope.]name` references in query statements fold to literal
+    * values (session vars over [[SysVarDefaults]]) — the Connector/J /
+    * mysql-CLI handshake shape (`SELECT @@session.auto_increment_
+    * increment AS ..., ...`). Quoted spans stay untouched; an unknown
+    * variable is refused with the server's wording. */
+  private[graft] def rewriteSysVars(engine: Engine, s: String): String = {
+    val pat = java.util.regex.Pattern.compile(
+      "@@(?:(?i:SESSION|GLOBAL|LOCAL)\\.)?([A-Za-z_][A-Za-z0-9_]*)")
+    val out = new StringBuilder
+    SqlText.spans(s).foreach { sp =>
+      if (sp.kind != SqlText.Code) out.append(s.substring(sp.start, sp.end))
+      else {
+        val mm = pat.matcher(s.substring(sp.start, sp.end))
+        val sb = new StringBuffer
+        while (mm.find()) {
+          val name = mm.group(1).toLowerCase
+          val v = engine.getVar(name).orElse(SysVarDefaults.get(name))
+            .getOrElse(throw new IllegalArgumentException(
+              s"Unknown system variable '$name'"))
+          val litTxt =
+            if (v.matches("-?\\d{1,18}")) v
+            else "'" + v.replace("'", "''") + "'"
+          mm.appendReplacement(sb,
+            java.util.regex.Matcher.quoteReplacement(litTxt))
+        }
+        mm.appendTail(sb)
+        out.append(sb)
+      }
+    }
+    out.toString
   }
 
   /** PG-session evidence for dialect-defaulted statements (bare

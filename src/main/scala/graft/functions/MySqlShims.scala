@@ -116,4 +116,30 @@ object MySqlShims {
     val sessionId = java.util.UUID.randomUUID().getLeastSignificantBits.abs
     spark.udf.register("ps_current_thread_id", () => sessionId)
   }
+
+  /** Engine-bound MySQL session functions — the connect-time surface
+    * every client touches (mysql CLI `\s`, Connector/J handshakes,
+    * ORM id-grabs): `DATABASE()`/`SCHEMA()`, `CONNECTION_ID()`,
+    * `LAST_INSERT_ID()`. Values resolve at PLAN time from the owning
+    * engine; on a shared SparkSession the last-registered engine wins
+    * (the ps_current_thread_id precedent — one engine per session in
+    * any real deployment). */
+  def registerSession(engine: graft.Engine): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val fr = engine.spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    fr.createOrReplaceTempFunction("database",
+      _ => Literal(engine.currentDatabase), "built-in")
+    fr.createOrReplaceTempFunction("schema",
+      _ => Literal(engine.currentDatabase), "built-in")
+    val connId = java.util.UUID.randomUUID().getLeastSignificantBits.abs
+    fr.createOrReplaceTempFunction("connection_id",
+      _ => Literal(connId), "built-in")
+    // MySQL: the FIRST auto-assigned id of the most recent INSERT in
+    // this session (0 before any); the router records it on the
+    // auto-inc insert paths
+    fr.createOrReplaceTempFunction("last_insert_id",
+      _ => Literal(engine.getVar("last_insert_id")
+        .map(_.toLong).getOrElse(0L)), "built-in")
+  }
 }

@@ -1262,6 +1262,55 @@ class SqlRouterSpec extends SparkSpec {
     assert(rv !== "old")
   }
 
+  test("connect-time client surface: @@sysvars, session functions, diagnostics SHOWs") {
+    val e = new Engine(spark, tmpDir("router_handshake"))
+
+    // the Connector/J handshake shape: multiple @@refs with aliases
+    val hs = exec(e, "SELECT @@session.auto_increment_increment AS aii, " +
+      "@@character_set_client AS csc, @@max_allowed_packet AS map").df.get
+    assert(hs.collect().head.toSeq === Seq(1, "utf8mb4", 67108864))
+    // mysql CLI banner query; session SET overlays the default
+    assert(exec(e, "SELECT @@version_comment LIMIT 1").df.get.count() === 1)
+    assert(exec(e, "SELECT @@autocommit AS a").df.get.as[Int].head() === 1)
+    exec(e, "SET sql_mode = 'NO_ENGINE_SUBSTITUTION'")
+    assert(exec(e, "SELECT @@sql_mode AS m").df.get.as[String].head()
+      === "NO_ENGINE_SUBSTITUTION")
+    exec(e, "SET sql_mode = ''")
+    // unknown sysvar errors like the server; quoted spans stay inert
+    intercept[IllegalArgumentException] { exec(e, "SELECT @@no_such_var") }
+    assert(exec(e, "SELECT '@@autocommit' AS s").df.get.as[String].head()
+      === "@@autocommit")
+
+    // engine-bound session functions
+    exec(e, "CREATE DATABASE hsdb")
+    exec(e, "USE hsdb")
+    assert(exec(e, "SELECT DATABASE() AS d").df.get.as[String].head() === "hsdb")
+    exec(e, "USE main")
+    assert(exec(e, "SELECT DATABASE() AS d").df.get.as[String].head() === "main")
+    assert(exec(e, "SELECT CONNECTION_ID() AS c").df.get.as[Long].head() > 0)
+
+    // LAST_INSERT_ID(): 0 before any insert, then the FIRST id the
+    // most recent auto-inc statement assigned (MySQL batch rule)
+    assert(exec(e, "SELECT LAST_INSERT_ID() AS l").df.get.as[Long].head() === 0L)
+    exec(e, "CREATE TABLE li (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, PRIMARY KEY (id))")
+    exec(e, "INSERT INTO li (v) VALUES ('a'), ('b')")
+    assert(exec(e, "SELECT LAST_INSERT_ID() AS l").df.get.as[Long].head() === 1L)
+    exec(e, "INSERT INTO li (v) VALUES ('c')")
+    assert(exec(e, "SELECT LAST_INSERT_ID() AS l").df.get.as[Long].head() === 3L)
+
+    // SHOW VARIABLES answers stock defaults under the session overlay
+    assert(exec(e, "SHOW VARIABLES LIKE 'max_allowed_packet'")
+      .df.get.collect().head.getString(1) === "67108864")
+    assert(exec(e, "SHOW SESSION VARIABLES LIKE 'wait_timeout'").df.get.count() === 1)
+
+    // diagnostics area: always-empty warnings/errors, a root grant row
+    assert(exec(e, "SHOW WARNINGS").df.get.count() === 0)
+    assert(exec(e, "SHOW ERRORS LIMIT 10").df.get.count() === 0)
+    assert(exec(e, "SHOW COUNT(*) WARNINGS").df.get.as[Int].head() === 0)
+    assert(exec(e, "SHOW GRANTS").df.get.as[String].head()
+      .startsWith("GRANT ALL PRIVILEGES"))
+  }
+
   test("UPDATE/DELETE ORDER BY LIMIT: the batched-DML shape") {
     val e = new Engine(spark, tmpDir("router_dmllimit"))
     exec(e, "CREATE TABLE bd (id BIGINT PRIMARY KEY, v INT)")
