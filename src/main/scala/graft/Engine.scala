@@ -529,6 +529,12 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
   def unsetVar(key: String): Unit =
     spark.conf.unset(s"$varPrefix$key")
 
+  /** DISCARD ALL / RESET ALL: drop every session-scoped variable
+    * (persisted globals show through again). */
+  def clearSessionVars(): Unit =
+    spark.conf.getAll.keys.filter(_.startsWith(varPrefix))
+      .foreach(spark.conf.unset)
+
   /** All variables visible to SHOW VARIABLES: persisted globals
     * overlaid by session-scoped settings. */
   def listVars(): Map[String, String] = {

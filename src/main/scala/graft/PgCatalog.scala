@@ -574,7 +574,7 @@ object PgCatalog {
   // Settings surface (A35's current_setting probe): engine variables
   // first, then the PG defaults clients commonly read.
 
-  private val settingDefaults = Map(
+  private[graft] val settingDefaults = Map(
     "server_version" -> "15.0",
     "server_version_num" -> "150000",
     "server_encoding" -> "UTF8",

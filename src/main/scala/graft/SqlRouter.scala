@@ -58,9 +58,29 @@ object SqlRouter {
   private val InsertIgnore =
     """(?is)\s*INSERT\s+IGNORE\s+INTO\s+([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
   // transactions (A24) + session/metadata statements (A25-A26)
-  private val Begin = """(?is)\s*(?:BEGIN|START\s+TRANSACTION)\s*""".r
-  private val CommitTxn = """(?is)\s*COMMIT\s*""".r
-  private val RollbackTxn = """(?is)\s*ROLLBACK\s*""".r
+  // transaction heads with their PG/MySQL modifier tails (WORK,
+  // ISOLATION LEVEL x y, READ ONLY/WRITE, [NOT] DEFERRABLE, AND [NO]
+  // CHAIN, [NO] RELEASE) — modifiers accepted; single-writer snapshot
+  // semantics are what the engine provides regardless
+  private val Begin =
+    ("""(?is)\s*(?:BEGIN|START\s+TRANSACTION)""" +
+      """(?:\s*,?\s*(?:WORK|TRANSACTION|ISOLATION\s+LEVEL\s+\w+(?:\s+\w+)?|""" +
+      """READ\s+(?:ONLY|WRITE)|NOT\s+DEFERRABLE|DEFERRABLE))*\s*""").r
+  private val CommitTxn =
+    """(?is)\s*COMMIT(?:\s+WORK)?(?:\s+AND\s+(?:NO\s+)?CHAIN)?(?:\s+(?:NO\s+)?RELEASE)?\s*""".r
+  private val RollbackTxn =
+    """(?is)\s*ROLLBACK(?:\s+WORK)?(?:\s+AND\s+(?:NO\s+)?CHAIN)?(?:\s+(?:NO\s+)?RELEASE)?\s*""".r
+  // PG session-state statements psql/pgjdbc/poolers emit
+  private val SetTimeZone = """(?is)\s*SET\s+TIME\s+ZONE\s+(.+?)\s*""".r
+  private val SetTransactionChar =
+    """(?is)\s*SET\s+(?:SESSION\s+CHARACTERISTICS\s+AS\s+)?(?:(?:GLOBAL|SESSION)\s+)?TRANSACTION\s+(.+?)\s*""".r
+  private val Discard =
+    """(?is)\s*DISCARD\s+(ALL|PLANS|SEQUENCES|TEMP(?:ORARY)?)\s*""".r
+  private val ResetVar = """(?is)\s*RESET\s+(ALL|[\w.]+)\s*""".r
+  private val PgShowTxnIso =
+    """(?is)\s*SHOW\s+TRANSACTION\s+ISOLATION\s+LEVEL\s*""".r
+  private val PgShowAll = """(?is)\s*SHOW\s+ALL\s*""".r
+  private val PgShowGuc = """(?is)\s*SHOW\s+([A-Za-z_][\w.]*)\s*""".r
   private val ShowDatabases = """(?is)\s*SHOW\s+DATABASES\s*""".r
   // SHOW TABLES answers views too (MySQL/GMS behavior); FULL adds the
   // Table_type column and LIKE filters with MySQL pattern semantics
@@ -134,8 +154,10 @@ object SqlRouter {
   // the optional single `@` accepts MySQL user variables (`SET
   // @saved_cs_client = ...`, a fixture of every mysqldump footer) as
   // session variables
+  // `= value` and PG's `TO value` spellings both parse; LOCAL (PG
+  // txn-scoped) is accepted as session scope
   private val SetVariable =
-    """(?is)\s*SET\s+(?:@@)?(?:(GLOBAL|SESSION|PERSIST)(?:\s+|\.))?(@?[\w.]+)\s*=\s*(.+?)\s*""".r
+    """(?is)\s*SET\s+(?:@@)?(?:(GLOBAL|SESSION|PERSIST|LOCAL)(?:\s+|\.))?(@?[\w.]+)(?:\s*=\s*|\s+TO\s+)(.+?)\s*""".r
   // the SET/WHERE boundary is found by a quote-aware scan
   // (splitSetWhere), not this regex: a WHERE inside a string literal
   // must not end the SET list
@@ -246,7 +268,6 @@ object SqlRouter {
   // the SET arm recorded, or SHOW VARIABLES serves stale state.
   private val SetRole =
     """(?is)\s*(?:SET\s+(?:LOCAL\s+)?ROLE\b.*|RESET\s+(?:ROLE|ALL|SESSION\s+AUTHORIZATION)\s*)""".r
-  private val ResetVar = """(?is)\s*RESET\s+([\w.]+)\s*""".r
   // setval repositions a sequence; pg_dump emits one per serial column
   // after the COPY data. The `<table>_<col>_seq` naming convention is
   // resolved against existing tables and mapped onto the table's
@@ -1527,6 +1548,25 @@ object SqlRouter {
       Result(Some(seqDf(engine,
         Seq("GRANT ALL PRIVILEGES ON *.* TO 'root'@'%'"),
         "Grants for root@%")), 0L)
+    case SetTimeZone(tz) =>
+      engine.setVar("timezone", unquote(tz)); ddl
+    case SetTransactionChar(chars) =>
+      // SET [SESSION CHARACTERISTICS AS] TRANSACTION ISOLATION LEVEL x
+      // / READ ONLY|WRITE — accepted; the isolation name is recorded so
+      // SHOW TRANSACTION ISOLATION LEVEL answers what was set
+      """(?is)ISOLATION\s+LEVEL\s+(\w+(?:\s+\w+)?)""".r
+        .findFirstMatchIn(chars)
+        .foreach(m => engine.setVar("transaction_isolation",
+          m.group(1).toLowerCase.replaceAll("\\s+", " ")))
+      ddl
+    case Discard(what) =>
+      // psycopg/pgbouncer pool reset; ALL clears session state
+      if (what.equalsIgnoreCase("ALL")) engine.clearSessionVars()
+      ddl
+    case ResetVar(what) =>
+      if (what.equalsIgnoreCase("ALL")) engine.clearSessionVars()
+      else engine.unsetVar(what.toLowerCase)
+      ddl
     case SetVariable(modifier, key, value) if key.equalsIgnoreCase("autocommit") =>
       // Connector/J's setAutoCommit(false) emits this; the session
       // then lives inside an implicit transaction that COMMIT/ROLLBACK
@@ -1670,11 +1710,6 @@ object SqlRouter {
     case DropRoutine() => ddl
     case SetSessionAuth() => ddl // session-role bookkeeping: no analog
     case SetRole() => ddl
-    case ResetVar(name) if engine.getVar(name).isDefined =>
-      // a variable the SET arm recorded: RESET clears the session value
-      engine.unsetVar(name); ddl
-    case ResetVar(name) if name.equalsIgnoreCase("search_path") =>
-      ddl // never SET this session: still dump bookkeeping, accepted
     case SelectSetvalAny() => ddl // unparseable setval form: accepted
     case SelectSetConfig() => ddl // session GUCs: no engine analog
     case CreateIndexStmt() => ddl // index metadata: layout is the analog
@@ -1706,6 +1741,27 @@ object SqlRouter {
         throw new IllegalArgumentException(
           s"unrecognized configuration parameter \"$name\""))
       Result(Some(seqDf(engine, Seq(v), "current_setting")), 0L)
+    case PgShowTxnIso() =>
+      Result(Some(seqDf(engine,
+        Seq(PgCatalog.setting(engine, "transaction_isolation")
+          .getOrElse("read committed")), "transaction_isolation")), 0L)
+    case PgShowAll() =>
+      val sp = engine.spark
+      import sp.implicits._
+      val rows = (SqlRouter.SysVarDefaults ++ PgCatalog.settingDefaults ++
+        engine.listVars()).toSeq.sortBy(_._1)
+        .map { case (k, v) => (k, v, "") }
+      Result(Some(rows.toDF("name", "setting", "description")), 0L)
+    // PG's bare `SHOW <guc>` (psql/pgjdbc read search_path,
+    // server_version, standard_conforming_strings, TimeZone...) —
+    // LAST of the SHOW arms: every MySQL SHOW shape above matched
+    // first, so a single trailing identifier is a GUC read here
+    case PgShowGuc(name) =>
+      val v = PgCatalog.setting(engine, name)
+        .orElse(SysVarDefaults.get(name.toLowerCase))
+        .getOrElse(throw new IllegalArgumentException(
+          s"unrecognized configuration parameter \"$name\""))
+      Result(Some(seqDf(engine, Seq(v), name.toLowerCase)), 0L)
     case q if PgCompat.fullMatch(q).isDefined =>
       // A35 hardcoded psql intro queries (full_match_handler.go:29-60)
       Result(Some(engine.sql(

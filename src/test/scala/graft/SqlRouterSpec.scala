@@ -1262,6 +1262,54 @@ class SqlRouterSpec extends SparkSpec {
     assert(rv !== "old")
   }
 
+  test("PG session-statement surface: SHOW guc, SET TO, txn modifiers, DISCARD/RESET") {
+    val e = new Engine(spark, tmpDir("router_pgsession"))
+
+    // pgjdbc connection setup, both SET spellings
+    exec(e, "SET extra_float_digits = 3")
+    exec(e, "SET client_encoding TO 'UTF8'")
+    assert(exec(e, "SHOW client_encoding").df.get.as[String].head() === "UTF8")
+
+    // bare GUC SHOW: PG defaults under the session overlay, the column
+    // named after the parameter; unknown GUCs error with PG's wording
+    val sv = exec(e, "SHOW server_version").df.get
+    assert(sv.columns.toSeq === Seq("server_version"))
+    assert(sv.as[String].head() === "15.0")
+    assert(exec(e, "SHOW search_path").df.get.as[String].head() === "public")
+    intercept[IllegalArgumentException] { exec(e, "SHOW no_such_guc") }
+
+    // isolation characteristics record and read back
+    assert(exec(e, "SHOW TRANSACTION ISOLATION LEVEL").df.get.as[String].head()
+      === "read committed")
+    exec(e, "SET SESSION CHARACTERISTICS AS TRANSACTION ISOLATION LEVEL SERIALIZABLE")
+    assert(exec(e, "SHOW TRANSACTION ISOLATION LEVEL").df.get.as[String].head()
+      === "serializable")
+
+    // txn-head modifiers parse; the machinery works under them
+    exec(e, "CREATE TABLE pt (id BIGINT PRIMARY KEY)")
+    exec(e, "BEGIN ISOLATION LEVEL REPEATABLE READ")
+    exec(e, "INSERT INTO pt VALUES (1)")
+    exec(e, "ROLLBACK WORK")
+    assert(exec(e, "SELECT count(*) FROM pt").df.get.as[Long].head() === 0)
+    exec(e, "START TRANSACTION READ WRITE")
+    exec(e, "INSERT INTO pt VALUES (2)")
+    exec(e, "COMMIT WORK")
+    assert(exec(e, "SELECT count(*) FROM pt").df.get.as[Long].head() === 1)
+
+    // SET TIME ZONE / RESET / DISCARD ALL session-state lifecycle
+    exec(e, "SET TIME ZONE 'America/New_York'")
+    assert(exec(e, "SHOW TimeZone").df.get.as[String].head() === "America/New_York")
+    exec(e, "RESET timezone")
+    assert(exec(e, "SHOW TimeZone").df.get.as[String].head() === "UTC")
+    exec(e, "SET statement_timeout = 0")
+    exec(e, "DISCARD ALL")
+    assert(exec(e, "SHOW VARIABLES LIKE 'statement_timeout'").df.get.count() === 0)
+
+    // SHOW ALL lists (name, setting, description) rows
+    assert(exec(e, "SHOW ALL").df.get
+      .filter("name = 'server_version'").count() === 1)
+  }
+
   test("connect-time client surface: @@sysvars, session functions, diagnostics SHOWs") {
     val e = new Engine(spark, tmpDir("router_handshake"))
 
