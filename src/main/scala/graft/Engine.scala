@@ -122,6 +122,9 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
 
   def inTransaction: Boolean = activeTxn.isDefined
 
+  /** The open transaction, for savepoint routing. */
+  def currentTransaction: Option[Transaction] = activeTxn
+
   /** DROP TABLE — deferred delete (uniform with the engine's version-
     * retention story everywhere else, round-5 verdict #9): one atomic
     * rename retires the JOURNAL (`_manifest` → `_dropped.<ts>.<id>`),

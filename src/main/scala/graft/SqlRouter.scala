@@ -70,6 +70,14 @@ object SqlRouter {
     """(?is)\s*COMMIT(?:\s+WORK)?(?:\s+AND\s+(?:NO\s+)?CHAIN)?(?:\s+(?:NO\s+)?RELEASE)?\s*""".r
   private val RollbackTxn =
     """(?is)\s*ROLLBACK(?:\s+WORK)?(?:\s+AND\s+(?:NO\s+)?CHAIN)?(?:\s+(?:NO\s+)?RELEASE)?\s*""".r
+  // savepoints — the nested-transaction shape psycopg/ORMs emit. The
+  // ROLLBACK TO form must stay distinct from the plain-rollback regex
+  // (it is: RollbackTxn's optional groups never match a TO tail).
+  private val SavepointStmt = """(?is)\s*SAVEPOINT\s+[`"]?(\w+)[`"]?\s*""".r
+  private val RollbackToSp =
+    """(?is)\s*ROLLBACK\s+(?:WORK\s+)?TO\s+(?:SAVEPOINT\s+)?[`"]?(\w+)[`"]?\s*""".r
+  private val ReleaseSp =
+    """(?is)\s*RELEASE\s+(?:SAVEPOINT\s+)?[`"]?(\w+)[`"]?\s*""".r
   // PG session-state statements psql/pgjdbc/poolers emit
   private val SetTimeZone = """(?is)\s*SET\s+TIME\s+ZONE\s+(.+?)\s*""".r
   private val SetTransactionChar =
@@ -953,6 +961,20 @@ object SqlRouter {
     case RollbackTxn() =>
       if (engine.inTransaction) engine.rollback()
       if (engine.getVar("autocommit").contains("0")) engine.begin()
+      ddl
+    case SavepointStmt(nm) =>
+      // outside a transaction MySQL accepts-and-ignores; PG errors —
+      // the lenient reading keeps autocommit scripts running
+      engine.currentTransaction.foreach(_.savepoint(nm)); ddl
+    case RollbackToSp(nm) =>
+      engine.currentTransaction.getOrElse(throw new IllegalStateException(
+        "ROLLBACK TO SAVEPOINT can only be used in transaction blocks"))
+        .rollbackTo(nm)
+      ddl
+    case ReleaseSp(nm) =>
+      engine.currentTransaction.getOrElse(throw new IllegalStateException(
+        "RELEASE SAVEPOINT can only be used in transaction blocks"))
+        .release(nm)
       ddl
     case ReplaceInto(name, colList, rest) =>
       val t = engine.table(name)

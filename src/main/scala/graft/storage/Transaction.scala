@@ -108,4 +108,38 @@ final class Transaction private[graft] (
     closed = true
     staged.clear()
   }
+
+  // ------------------------------------------------------------------
+  // Savepoints (the psycopg/ORM nested-transaction shape): a savepoint
+  // is a SNAPSHOT of the staged manifest map — manifests are immutable
+  // values, so the snapshot is O(tables touched) references. Data
+  // files staged after a savepoint become invisible orphans on
+  // rollback-to (vacuum reclaims them), exactly like a full rollback.
+  // Names are a flat map (PG's destroy-later-savepoints nesting is
+  // approximated by redefinition — the loop shape ORMs emit).
+
+  private val savepoints = TrieMap.empty[String, Map[Path, Manifest]]
+
+  def savepoint(name: String): Unit = {
+    require(!closed, "transaction already closed")
+    savepoints.put(name.toLowerCase, staged.toMap)
+  }
+
+  /** Restore the staged state to `name`'s snapshot. The savepoint
+    * itself survives (PG semantics: roll back to it repeatedly). */
+  def rollbackTo(name: String): Unit = {
+    require(!closed, "transaction already closed")
+    val snap = savepoints.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"savepoint \"$name\" does not exist"))
+    staged.clear()
+    staged ++= snap
+  }
+
+  def release(name: String): Unit = {
+    require(!closed, "transaction already closed")
+    if (savepoints.remove(name.toLowerCase).isEmpty)
+      throw new IllegalArgumentException(
+        s"savepoint \"$name\" does not exist")
+  }
 }

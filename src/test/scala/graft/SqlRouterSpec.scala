@@ -1262,6 +1262,38 @@ class SqlRouterSpec extends SparkSpec {
     assert(rv !== "old")
   }
 
+  test("SAVEPOINT / ROLLBACK TO / RELEASE: the nested-transaction shape") {
+    val e = new Engine(spark, tmpDir("router_savepoint"))
+    exec(e, "CREATE TABLE sp (id BIGINT PRIMARY KEY, v STRING)")
+
+    exec(e, "BEGIN")
+    exec(e, "INSERT INTO sp VALUES (1, 'keep')")
+    exec(e, "SAVEPOINT sp1")
+    exec(e, "INSERT INTO sp VALUES (2, 'drop')")
+    exec(e, "UPDATE sp SET v = 'mutated' WHERE id = 1")
+    // read-your-writes sees the savepoint-era state...
+    assert(exec(e, "SELECT count(*) FROM sp").df.get.as[Long].head() === 2)
+    exec(e, "ROLLBACK TO SAVEPOINT sp1")
+    // ...and rolling back restores exactly the snapshot
+    assert(exec(e, "SELECT v FROM sp ORDER BY id").df.get.as[String].collect()
+      .toSeq === Seq("keep"))
+    // the savepoint survives a rollback-to (PG: reusable)
+    exec(e, "INSERT INTO sp VALUES (3, 'second-try')")
+    exec(e, "ROLLBACK TO sp1")
+    assert(exec(e, "SELECT count(*) FROM sp").df.get.as[Long].head() === 1)
+    exec(e, "INSERT INTO sp VALUES (4, 'final')")
+    exec(e, "RELEASE SAVEPOINT sp1")
+    intercept[IllegalArgumentException] { exec(e, "ROLLBACK TO sp1") }
+    exec(e, "COMMIT")
+    assert(exec(e, "SELECT id FROM sp ORDER BY id").df.get.as[Long].collect()
+      .toSeq === Seq(1L, 4L))
+
+    // outside a transaction: SAVEPOINT is tolerated (MySQL reading),
+    // ROLLBACK TO is refused loudly
+    exec(e, "SAVEPOINT loose")
+    intercept[IllegalStateException] { exec(e, "ROLLBACK TO SAVEPOINT loose") }
+  }
+
   test("PG session-statement surface: SHOW guc, SET TO, txn modifiers, DISCARD/RESET") {
     val e = new Engine(spark, tmpDir("router_pgsession"))
 
