@@ -515,7 +515,11 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
   private val varPrefix =
     s"graft.var.${Integer.toHexString(warehouse.toAbsolutePath.toString.hashCode)}."
 
-  def setVar(key: String, value: String, persist: Boolean = false): Unit = {
+  def setVar(key0: String, value: String, persist: Boolean = false): Unit = {
+    // variable names are case-insensitive in BOTH dialects (PG folds
+    // GUC names, MySQL sysvars likewise): normalize once on write so
+    // `SET TimeZone` and `SHOW timezone` meet at one key
+    val key = key0.toLowerCase
     spark.conf.set(s"$varPrefix$key", value)
     if (persist) synchronized {
       val f = warehouse.resolve("_vars.json")
@@ -530,7 +534,7 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
   /** RESET analog: drop the session-scoped value (the persisted global,
     * if any, shows through again — PG's session/system layering). */
   def unsetVar(key: String): Unit =
-    spark.conf.unset(s"$varPrefix$key")
+    spark.conf.unset(s"$varPrefix${key.toLowerCase}")
 
   /** DISCARD ALL / RESET ALL: drop every session-scoped variable
     * (persisted globals show through again). */
@@ -552,13 +556,15 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     persisted ++ session
   }
 
-  def getVar(key: String): Option[String] =
+  def getVar(key0: String): Option[String] = {
+    val key = key0.toLowerCase
     spark.conf.getOption(s"$varPrefix$key").orElse {
       val f = warehouse.resolve("_vars.json")
       if (!Files.exists(f)) None
       else Option(mapper.readValue(Files.readAllBytes(f),
         classOf[java.util.Map[String, String]]).get(key))
     }
+  }
 
   // ------------------------------------------------------------------
   // BACKUP / RESTORE (A39,

@@ -592,7 +592,13 @@ object PgCatalog {
     * PG default, else None (the caller surfaces the PG error). */
   def setting(engine: Engine, name: String): Option[String] = {
     val key = name.toLowerCase
-    engine.getVar(key).orElse {
+    engine.getVar(key).map { v =>
+      // the session var stores MySQL spelling (READ-COMMITTED — what
+      // @@transaction_isolation readers map); PG surfaces answer
+      // lowercase-spaced
+      if (key == "transaction_isolation")
+        v.toLowerCase.replace('-', ' ') else v
+    }.orElse {
       if (key == "timezone")
         Some(engine.spark.conf.get("spark.sql.session.timeZone", "UTC"))
       else settingDefaults.get(key)

@@ -66,10 +66,13 @@ object SqlRouter {
     ("""(?is)\s*(?:BEGIN|START\s+TRANSACTION)""" +
       """(?:\s*,?\s*(?:WORK|TRANSACTION|ISOLATION\s+LEVEL\s+\w+(?:\s+\w+)?|""" +
       """READ\s+(?:ONLY|WRITE)|NOT\s+DEFERRABLE|DEFERRABLE))*\s*""").r
+  // the AND CHAIN group captures: a chained commit/rollback BEGINS a
+  // new transaction (both dialects) — accepting the words while
+  // dropping that would silently auto-commit the client's next work
   private val CommitTxn =
-    """(?is)\s*COMMIT(?:\s+WORK)?(?:\s+AND\s+(?:NO\s+)?CHAIN)?(?:\s+(?:NO\s+)?RELEASE)?\s*""".r
+    """(?is)\s*COMMIT(?:\s+WORK)?(?:\s+AND\s+((?:NO\s+)?CHAIN))?(?:\s+(?:NO\s+)?RELEASE)?\s*""".r
   private val RollbackTxn =
-    """(?is)\s*ROLLBACK(?:\s+WORK)?(?:\s+AND\s+(?:NO\s+)?CHAIN)?(?:\s+(?:NO\s+)?RELEASE)?\s*""".r
+    """(?is)\s*ROLLBACK(?:\s+WORK)?(?:\s+AND\s+((?:NO\s+)?CHAIN))?(?:\s+(?:NO\s+)?RELEASE)?\s*""".r
   // savepoints — the nested-transaction shape psycopg/ORMs emit. The
   // ROLLBACK TO form must stay distinct from the plain-rollback regex
   // (it is: RollbackTxn's optional groups never match a TO tail).
@@ -270,10 +273,11 @@ object SqlRouter {
   // forms and RESET — session-role bookkeeping with no engine analog
   private val SetSessionAuth =
     """(?is)\s*SET\s+(?:LOCAL\s+)?SESSION\s+AUTHORIZATION\b.*""".r
-  // RESET is scoped to the forms dumps emit — Spark's own `RESET
-  // <conf>` command must keep reaching Catalyst. Role forms are pure
-  // bookkeeping; RESET of a session VARIABLE must clear the engine var
-  // the SET arm recorded, or SHOW VARIABLES serves stale state.
+  // Role forms are pure bookkeeping. RESET routes via the ResetVar arm
+  // (declared with the PG session statements): ALL / undotted names /
+  // recorded session vars clear engine state; a DOTTED name that is
+  // NOT a recorded var is Spark's own `RESET <conf>` and keeps
+  // reaching Catalyst (the arm's guard).
   private val SetRole =
     """(?is)\s*(?:SET\s+(?:LOCAL\s+)?ROLE\b.*|RESET\s+(?:ROLE|ALL|SESSION\s+AUTHORIZATION)\s*)""".r
   // setval repositions a sequence; pg_dump emits one per serial column
@@ -944,9 +948,16 @@ object SqlRouter {
       engine.createView(name, PgCompat.rewriteQuery(engine, defn)); ddl
     case DropView(name) => engine.dropView(name); ddl
     case Begin() =>
-      // MySQL: beginning a transaction implicitly COMMITS any current
-      // one (a BEGIN under autocommit=0 closes the implicit txn)
-      if (engine.inTransaction) engine.commit()
+      // nested BEGIN diverges by dialect: MySQL implicitly COMMITS the
+      // current transaction (also how a BEGIN under autocommit=0
+      // closes the implicit one); PG warns and keeps the open
+      // transaction — keyed on the same session evidence as bare
+      // TRUNCATE, so a pg-shaped session never silently commits
+      // in-flight work
+      if (engine.inTransaction) {
+        if (pgSessionEvidence(engine)) return ddl // PG: warn-and-ignore
+        engine.commit()
+      }
       engine.begin(); ddl
     // MySQL treats COMMIT/ROLLBACK without an open transaction as
     // no-ops (autocommit mode) — clients issue them routinely. Under
@@ -954,13 +965,15 @@ object SqlRouter {
     // after either (the session is never outside one — the semantics
     // the reference's binlog applier manages explicitly,
     // `binlogreplication/binlog_replica_applier.go:572-805`).
-    case CommitTxn() =>
+    case CommitTxn(chain) =>
       if (engine.inTransaction) engine.commit()
-      if (engine.getVar("autocommit").contains("0")) engine.begin()
+      val chained = chain != null && !chain.toUpperCase.startsWith("NO")
+      if (chained || engine.getVar("autocommit").contains("0")) engine.begin()
       ddl
-    case RollbackTxn() =>
+    case RollbackTxn(chain) =>
       if (engine.inTransaction) engine.rollback()
-      if (engine.getVar("autocommit").contains("0")) engine.begin()
+      val chained = chain != null && !chain.toUpperCase.startsWith("NO")
+      if (chained || engine.getVar("autocommit").contains("0")) engine.begin()
       ddl
     case SavepointStmt(nm) =>
       // outside a transaction MySQL accepts-and-ignores; PG errors —
@@ -1107,20 +1120,7 @@ object SqlRouter {
       val (tail, returning) = splitReturning(tail0)
       // MySQL's trailing ORDER BY/LIMIT come off before the SET/WHERE
       // split (they'd otherwise ride inside the WHERE capture)
-      val (tailL, limitOpt) = splitTopWord(tail, "LIMIT") match {
-        case Some((b, l)) =>
-          require(l.trim.matches("\\d+"), s"unsupported UPDATE LIMIT tail: $l")
-          (b, Some(l.trim.toInt))
-        case None => (tail, None)
-      }
-      val (tailO, orderOpt) = splitTopWord(tailL, "ORDER") match {
-        case Some((b, o)) =>
-          val ob = o.trim
-          require(ob.regionMatches(true, 0, "BY", 0, 2) && ob.length > 2 &&
-            ob.charAt(2).isWhitespace, s"unsupported UPDATE ORDER tail: $o")
-          (b, Some(ob.substring(3).trim))
-        case None => (tailL, None)
-      }
+      val (tailO, orderOpt, limitOpt) = splitLimitOrder(tail, "UPDATE")
       val (setList0, whereOpt) = splitSetWhere(tailO)
       val pgFrom = splitTopWord(setList0, "FROM")
       if (pgFrom.isDefined) {
@@ -1226,9 +1226,15 @@ object SqlRouter {
       }
       val joinSrc = refs + fromOpt.map(f => s", $f").getOrElse("")
       updateViaJoin(engine, target, alias, joinSrc, sets, whereOpt, returning)
-    case Delete(name, tailRaw) if !Option(tailRaw).map(_.trim).exists(x =>
-        x.regionMatches(true, 0, "USING", 0, 5) &&
-          (x.length == 5 || x.charAt(5).isWhitespace)) =>
+    case Delete(name, tailRaw) if Option(tailRaw).map(_.trim).forall(x =>
+        // single-table tails only: WHERE/ORDER/LIMIT/RETURNING or
+        // nothing. Anything else — `USING ...`, `AS x USING ...`, a
+        // bare alias — belongs to DeleteJoinStmt (or fails loudly
+        // there), never to this arm's tail parser.
+        x.isEmpty || {
+          val w = x.takeWhile(!_.isWhitespace).toUpperCase
+          Set("WHERE", "ORDER", "LIMIT", "RETURNING")(w)
+        }) =>
       val t = engine.table(name)
       val (whereOpt, orderOpt, limitOpt, returning) =
         parseDmlTail(Option(tailRaw).getOrElse(""), "DELETE")
@@ -1574,18 +1580,27 @@ object SqlRouter {
       engine.setVar("timezone", unquote(tz)); ddl
     case SetTransactionChar(chars) =>
       // SET [SESSION CHARACTERISTICS AS] TRANSACTION ISOLATION LEVEL x
-      // / READ ONLY|WRITE — accepted; the isolation name is recorded so
-      // SHOW TRANSACTION ISOLATION LEVEL answers what was set
+      // / READ ONLY|WRITE — accepted; the isolation name is recorded in
+      // MYSQL spelling (dashed uppercase — what Connector/J's
+      // @@transaction_isolation read maps); the PG read surfaces
+      // (SHOW TRANSACTION ISOLATION LEVEL, current_setting) convert to
+      // PG spelling in PgCatalog.setting
       """(?is)ISOLATION\s+LEVEL\s+(\w+(?:\s+\w+)?)""".r
         .findFirstMatchIn(chars)
-        .foreach(m => engine.setVar("transaction_isolation",
-          m.group(1).toLowerCase.replaceAll("\\s+", " ")))
+        .foreach { m =>
+          val mysql = m.group(1).toUpperCase.replaceAll("\\s+", "-")
+          engine.setVar("transaction_isolation", mysql)
+          engine.setVar("tx_isolation", mysql)
+        }
       ddl
     case Discard(what) =>
       // psycopg/pgbouncer pool reset; ALL clears session state
       if (what.equalsIgnoreCase("ALL")) engine.clearSessionVars()
       ddl
-    case ResetVar(what) =>
+    case ResetVar(what) if what.equalsIgnoreCase("ALL") ||
+        !what.contains(".") || engine.getVar(what).isDefined =>
+      // dotted names NOT recorded as session vars fall through: they
+      // are Spark's own `RESET <conf>` and Catalyst owns them
       if (what.equalsIgnoreCase("ALL")) engine.clearSessionVars()
       else engine.unsetVar(what.toLowerCase)
       ddl
@@ -1777,8 +1792,14 @@ object SqlRouter {
     // PG's bare `SHOW <guc>` (psql/pgjdbc read search_path,
     // server_version, standard_conforming_strings, TimeZone...) —
     // LAST of the SHOW arms: every MySQL SHOW shape above matched
-    // first, so a single trailing identifier is a GUC read here
-    case PgShowGuc(name) =>
+    // first, so a single trailing identifier is a GUC read here.
+    // Structural SHOW keywords (Spark's SHOW VIEWS/FUNCTIONS/SCHEMAS,
+    // MySQL's PROCESSLIST etc.) are NOT GUCs — they pass through to
+    // Catalyst or fail there loudly, never as a bogus parameter error.
+    case PgShowGuc(name)
+      if !Set("SCHEMAS", "VIEWS", "FUNCTIONS", "CATALOGS", "NAMESPACES",
+        "PROCESSLIST", "TRIGGERS", "PLUGINS", "PRIVILEGES", "PROFILES",
+        "EVENTS")(name.toUpperCase) =>
       val v = PgCatalog.setting(engine, name)
         .orElse(SysVarDefaults.get(name.toLowerCase))
         .getOrElse(throw new IllegalArgumentException(
@@ -2348,18 +2369,16 @@ object SqlRouter {
       staged.selectExpr(splitTop(rx).map(_.trim): _*)), n)
   }
 
-  /** DML tail parser: `[WHERE cond] [ORDER BY items] [LIMIT n]
-    * [RETURNING exprs]` split quote-aware off a raw captured tail —
-    * anything left over fails loudly (the regex capture is the whole
-    * tail, so an unrecognized clause must never silently vanish). */
-  private def parseDmlTail(tail0: String, what: String)
-      : (Option[String], Option[String], Option[Int], Option[String]) = {
-    val (t1, returning) = splitReturning(tail0)
-    val (t2, limitOpt) = splitTopWord(t1, "LIMIT") match {
+  /** Trailing `[ORDER BY items] [LIMIT n]` split quote-aware off a DML
+    * tail — shared by the UPDATE arm and [[parseDmlTail]] so the two
+    * paths can never drift. Returns (rest, orderItems, limit). */
+  private def splitLimitOrder(tail: String, what: String)
+      : (String, Option[String], Option[Int]) = {
+    val (t2, limitOpt) = splitTopWord(tail, "LIMIT") match {
       case Some((b, l)) =>
         require(l.trim.matches("\\d+"), s"unsupported $what LIMIT tail: $l")
         (b, Some(l.trim.toInt))
-      case None => (t1, None)
+      case None => (tail, None)
     }
     val (t3, orderOpt) = splitTopWord(t2, "ORDER") match {
       case Some((b, o)) =>
@@ -2369,6 +2388,17 @@ object SqlRouter {
         (b, Some(ob.substring(3).trim))
       case None => (t2, None)
     }
+    (t3, orderOpt, limitOpt)
+  }
+
+  /** DML tail parser: `[WHERE cond] [ORDER BY items] [LIMIT n]
+    * [RETURNING exprs]` split quote-aware off a raw captured tail —
+    * anything left over fails loudly (the regex capture is the whole
+    * tail, so an unrecognized clause must never silently vanish). */
+  private def parseDmlTail(tail0: String, what: String)
+      : (Option[String], Option[String], Option[Int], Option[String]) = {
+    val (t1, returning) = splitReturning(tail0)
+    val (t3, orderOpt, limitOpt) = splitLimitOrder(t1, what)
     val w = t3.trim
     val whereOpt =
       if (w.isEmpty) None
@@ -2495,7 +2525,9 @@ object SqlRouter {
     val pat = java.util.regex.Pattern.compile(
       "@@(?:(?i:SESSION|GLOBAL|LOCAL)\\.)?([A-Za-z_][A-Za-z0-9_]*)")
     val out = new StringBuilder
-    SqlText.spans(s).foreach { sp =>
+    // dollarQuotes: a $$...$$ literal carrying user@@host text must
+    // stay opaque (this rewrite runs BEFORE foldDollarQuotes)
+    SqlText.spans(s, dollarQuotes = true).foreach { sp =>
       if (sp.kind != SqlText.Code) out.append(s.substring(sp.start, sp.end))
       else {
         val mm = pat.matcher(s.substring(sp.start, sp.end))

@@ -118,20 +118,26 @@ final class Transaction private[graft] (
   // Names are a flat map (PG's destroy-later-savepoints nesting is
   // approximated by redefinition — the loop shape ORMs emit).
 
-  private val savepoints = TrieMap.empty[String, Map[Path, Manifest]]
+  private val savepoints =
+    TrieMap.empty[String, (Long, Map[Path, Manifest])]
+  private val spSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   def savepoint(name: String): Unit = {
     require(!closed, "transaction already closed")
-    savepoints.put(name.toLowerCase, staged.toMap)
+    savepoints.put(name.toLowerCase, (spSeq.incrementAndGet(), staged.toMap))
   }
 
   /** Restore the staged state to `name`'s snapshot. The savepoint
-    * itself survives (PG semantics: roll back to it repeatedly). */
+    * itself survives (PG semantics: roll back to it repeatedly) but
+    * savepoints established AFTER it are destroyed — rolling back to
+    * an outer point then "forward" to an inner one would resurrect
+    * writes the application already saw discarded. */
   def rollbackTo(name: String): Unit = {
     require(!closed, "transaction already closed")
-    val snap = savepoints.getOrElse(name.toLowerCase,
+    val (seq, snap) = savepoints.getOrElse(name.toLowerCase,
       throw new IllegalArgumentException(
         s"savepoint \"$name\" does not exist"))
+    savepoints.filterInPlace { case (_, (s, _)) => s <= seq }
     staged.clear()
     staged ++= snap
   }

@@ -1262,6 +1262,67 @@ class SqlRouterSpec extends SparkSpec {
     assert(rv !== "old")
   }
 
+  test("review r9 second pass: aliased USING, chained txns, savepoint ordering, SHOW keywords") {
+    val e = new Engine(spark, tmpDir("router_rev2"))
+    exec(e, "CREATE TABLE ra (id BIGINT PRIMARY KEY, v INT)")
+    exec(e, "CREATE TABLE rb (id BIGINT PRIMARY KEY)")
+    exec(e, "INSERT INTO ra VALUES (1, 10), (2, 20)")
+    exec(e, "INSERT INTO rb VALUES (2)")
+
+    // aliased PG DELETE ... USING reaches the join arm
+    val d = exec(e, "DELETE FROM ra AS x USING rb WHERE x.id = rb.id")
+    assert(d.affected === 1)
+    assert(exec(e, "SELECT id FROM ra").df.get.as[Long].collect().toSeq === Seq(1L))
+
+    // COMMIT AND CHAIN begins a new transaction — the follow-up work
+    // is still transactional and rolls back
+    exec(e, "BEGIN")
+    exec(e, "INSERT INTO ra VALUES (3, 30)")
+    exec(e, "COMMIT AND CHAIN")
+    exec(e, "INSERT INTO ra VALUES (4, 40)")
+    exec(e, "ROLLBACK")
+    assert(exec(e, "SELECT id FROM ra ORDER BY id").df.get.as[Long].collect()
+      .toSeq === Seq(1L, 3L))
+
+    // rollback-to destroys savepoints established after the target
+    exec(e, "BEGIN")
+    exec(e, "SAVEPOINT a")
+    exec(e, "INSERT INTO ra VALUES (5, 50)")
+    exec(e, "SAVEPOINT b")
+    exec(e, "ROLLBACK TO a")
+    intercept[IllegalArgumentException] { exec(e, "ROLLBACK TO b") }
+    exec(e, "ROLLBACK")
+
+    // isolation level: MySQL spelling at @@, PG spelling at SHOW
+    exec(e, "SET SESSION TRANSACTION ISOLATION LEVEL READ COMMITTED")
+    assert(exec(e, "SELECT @@transaction_isolation AS i").df.get.as[String]
+      .head() === "READ-COMMITTED")
+    assert(exec(e, "SHOW TRANSACTION ISOLATION LEVEL").df.get.as[String]
+      .head() === "read committed")
+
+    // structural SHOW keywords are not GUC-parameter errors
+    assert(exec(e, "SHOW SCHEMAS").df.isDefined)
+    // mixed-case GUC set/read meet at one normalized key
+    exec(e, "SET TimeZone = 'America/Denver'")
+    assert(exec(e, "SHOW timezone").df.get.as[String].head() === "America/Denver")
+    exec(e, "RESET TIMEZONE")
+    assert(exec(e, "SHOW TimeZone").df.get.as[String].head() === "UTC")
+    // an unrecorded dotted name is Spark's own RESET — Catalyst path
+    exec(e, "RESET spark.sql.adaptive.enabled")
+    // @@ inside a dollar-quoted literal stays opaque
+    assert(exec(e, "SELECT $$a@@b$$ AS t").df.get.as[String].head() === "a@@b")
+
+    // nested BEGIN under PG session evidence keeps the txn open
+    // (MySQL sessions commit-then-begin — covered by autocommit spec)
+    exec(e, "SET statement_timeout = 0") // pg preamble evidence
+    exec(e, "BEGIN")
+    exec(e, "INSERT INTO ra VALUES (6, 60)")
+    exec(e, "BEGIN") // PG: warn-and-ignore
+    exec(e, "ROLLBACK")
+    assert(exec(e, "SELECT count(*) FROM ra WHERE id = 6")
+      .df.get.as[Long].head() === 0)
+  }
+
   test("SAVEPOINT / ROLLBACK TO / RELEASE: the nested-transaction shape") {
     val e = new Engine(spark, tmpDir("router_savepoint"))
     exec(e, "CREATE TABLE sp (id BIGINT PRIMARY KEY, v STRING)")
@@ -1416,8 +1477,10 @@ class SqlRouterSpec extends SparkSpec {
     assert(u2.affected === 1)
     assert(exec(e, "SELECT count(*) FROM bd WHERE v = 0").df.get.as[Long].head() === 1)
 
-    // garbage tails are refused loudly, never silently dropped
-    intercept[IllegalArgumentException] {
+    // garbage tails are refused loudly, never silently dropped (an
+    // unrecognized tail is not a single-table DELETE — it falls
+    // through and Catalyst rejects it)
+    intercept[Exception] {
       exec(e, "DELETE FROM bd SOMETHING ELSE")
     }
     intercept[IllegalArgumentException] {
