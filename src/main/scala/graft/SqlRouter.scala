@@ -73,6 +73,11 @@ object SqlRouter {
     """(?is)\s*COMMIT(?:\s+WORK)?(?:\s+AND\s+((?:NO\s+)?CHAIN))?(?:\s+(?:NO\s+)?RELEASE)?\s*""".r
   private val RollbackTxn =
     """(?is)\s*ROLLBACK(?:\s+WORK)?(?:\s+AND\s+((?:NO\s+)?CHAIN))?(?:\s+(?:NO\s+)?RELEASE)?\s*""".r
+  // aliased single-table DELETE (PG `DELETE FROM t [AS] x WHERE x...`)
+  // — tried AFTER the plain and join forms, so the "alias" here is a
+  // genuine alias word, never USING/WHERE/etc.
+  private val DeleteAliased =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+(?:AS\s+)?([A-Za-z_]\w*)(\s+\S.*)?\s*""".r
   // savepoints — the nested-transaction shape psycopg/ORMs emit. The
   // ROLLBACK TO form must stay distinct from the plain-rollback regex
   // (it is: RollbackTxn's optional groups never match a TO tail).
@@ -1261,6 +1266,18 @@ object SqlRouter {
           matched.select(m.schema.fieldNames.map(col): _*),
           action = 0, returning)
       }
+    case DeleteAliased(name, alias, tailRaw)
+      if Option(tailRaw).map(_.trim).forall(x => x.isEmpty || {
+        val w = x.takeWhile(!_.isWhitespace).toUpperCase
+        Set("WHERE", "RETURNING")(w)
+      }) && !Set("WHERE", "ORDER", "LIMIT", "RETURNING", "USING")(
+        alias.toUpperCase) =>
+      // aliased single-table DELETE rides the join-delete machinery
+      // with the one-table join source (alias-qualified refs resolve)
+      val (whereOpt, _, _, returning) =
+        parseDmlTail(Option(tailRaw).getOrElse(""), "DELETE")
+      deleteViaJoin(engine, name, alias, s"$name AS $alias",
+        whereOpt, returning)
     case DeleteJoinStmt(targetSpec0, refsAndTail, usingForm) =>
       // MySQL `DELETE a FROM a JOIN b ...` / `DELETE FROM a USING a
       // JOIN b ...` and PG `DELETE FROM a [AS x] USING b WHERE ...`

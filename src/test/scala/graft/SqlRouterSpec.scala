@@ -1274,6 +1274,15 @@ class SqlRouterSpec extends SparkSpec {
     assert(d.affected === 1)
     assert(exec(e, "SELECT id FROM ra").df.get.as[Long].collect().toSeq === Seq(1L))
 
+    // bare-aliased single-table forms (PG spellings)
+    exec(e, "INSERT INTO ra VALUES (7, 70), (8, 80)")
+    exec(e, "UPDATE ra AS y SET y.v = y.v + 1 WHERE y.id = 7")
+    assert(exec(e, "SELECT v FROM ra WHERE id = 7").df.get.as[Int].head() === 71)
+    val da = exec(e, "DELETE FROM ra AS z WHERE z.id = 8 RETURNING id")
+    assert(da.df.get.as[Long].collect().toSeq === Seq(8L))
+    exec(e, "DELETE FROM ra y WHERE y.id = 7") // alias without AS
+    assert(exec(e, "SELECT count(*) FROM ra WHERE id >= 7").df.get.as[Long].head() === 0)
+
     // COMMIT AND CHAIN begins a new transaction — the follow-up work
     // is still transactional and rolls back
     exec(e, "BEGIN")
