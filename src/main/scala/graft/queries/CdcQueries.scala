@@ -239,5 +239,41 @@ object CdcQueries {
           (SELECT 1 FROM adj a WHERE a.id = s.id AND a.delta > 20))
       SELECT id, v, bal FROM s4 ORDER BY id"""))
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q81, q102)
+  // --------------------------------------------------------------------
+  // q103 — the session-DML lifecycle under the oracle gate: autocommit
+  // implicit transactions, rollback, savepoints (round-9 staged-map
+  // snapshots), and MySQL's batched ORDER BY/LIMIT DML, all routed as
+  // SQL through the real engine. The statements exercise the txn
+  // machinery; the oracle states only the SURVIVING rows declaratively
+  // (custkeys are contiguous FROM 0, so id<=400 is 401 rows, "the 10
+  // smallest" is id<=9, and "delete the 50 largest" keeps id<=350).
+  // bal+1 is one IEEE op — bit-exact both sides.
+  private val q103 = QueryDef(
+    "q103_session_dml",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      val e = new Engine(s, Files.createTempDirectory("graft_q103"))
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING, bal DOUBLE)")
+      run("INSERT INTO t SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 400")
+      run("SET autocommit = 0") // implicit txn opens
+      run("DELETE FROM t WHERE id > 300") // staged...
+      run("ROLLBACK") // ...discarded; a fresh implicit txn opens
+      run("UPDATE t SET bal = bal + 1 WHERE id <= 100")
+      run("SAVEPOINT s1")
+      run("UPDATE t SET bal = 0 WHERE id <= 50") // staged past s1...
+      run("ROLLBACK TO SAVEPOINT s1") // ...undone, bal+1 survives
+      run("UPDATE t SET v = upper(v) ORDER BY id LIMIT 10")
+      run("DELETE FROM t ORDER BY id DESC LIMIT 50")
+      run("COMMIT")
+      run("SET autocommit = 1")
+      SqlRouter.execute(e, "SELECT id, v, bal FROM t ORDER BY id").df.get
+    },
+    Some("""SELECT c_custkey AS id,
+        CASE WHEN c_custkey <= 9 THEN upper(c_name) ELSE c_name END AS v,
+        CASE WHEN c_custkey <= 100 THEN c_acctbal + 1 ELSE c_acctbal END AS bal
+      FROM customer WHERE c_custkey <= 350 ORDER BY id"""))
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q81, q102, q103)
 }
