@@ -233,4 +233,88 @@ class PropertySpec extends SparkSpec {
     }
     assert(kept.last._2.size === 1500) // permille 1000 keeps everything
   }
+
+  test("splitTopWord never fires inside quotes, parens, or identifiers") {
+    // fragments whose composition covers the scanner's decision space:
+    // the keyword in code position, inside every quote kind, inside
+    // parens, and embedded in identifiers
+    // note: a bare \' fragment is deliberately absent — backslash
+    // handling inside literals is dialect territory where splitTopWord
+    // (escapes honored) and maskQuoted (verbatim) legitimately differ
+    val frag = Gen.oneOf(
+      "a = 1", "'x WHERE y'", "\"w WHERE z\"", "`q WHERE r`",
+      "(SELECT 1 WHERE true)", "wherever", "my_where", "where_to",
+      "f(a, 'b)')", "x")
+    val gen = Gen.listOfN(6, frag).map(_.mkString(" "))
+    samples(gen, 150).foreach { s =>
+      SqlRouter.splitTopWord(s, "WHERE") match {
+        case Some((before, after)) =>
+          // the split point is a REAL keyword: gluing the pieces back
+          // with it reproduces the input modulo whitespace, and the
+          // before-part carries balanced quotes/parens
+          def squash(x: String) = x.replaceAll("\\s+", " ").trim
+          assert(squash(s"$before WHERE $after") === squash(s))
+          assert(before.count(_ == '(') === before.count(_ == ')'))
+          Seq('\'', '"', '`').foreach(q =>
+            assert(before.count(_ == q) % 2 === 0, s"unbalanced $q in: $before"))
+        case None =>
+          // no top-level keyword: every WHERE in the input is quoted,
+          // parenthesized, or part of an identifier — verified by the
+          // masked scan finding none either
+          val masked = PgCompat.maskQuoted(s, maskDouble = true)
+          """(?i)(?<![\w$])where(?![\w$])""".r.findAllMatchIn(masked).foreach { m =>
+            // any remaining bare WHERE must be inside parens or backticks
+            val prefix = masked.substring(0, m.start)
+            val depth = prefix.count(_ == '(') - prefix.count(_ == ')')
+            val inBacktick = prefix.count(_ == '`') % 2 == 1
+            assert(depth > 0 || inBacktick, s"missed WHERE in: $s")
+          }
+      }
+    }
+  }
+
+  test("parseSetList expands tuple-SETs positionally and preserves plain pairs") {
+    val ident = Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    val value = Gen.oneOf("1", "'a,b'", "f(x, y)", "(1 + 2)", "'it''s'")
+    val plain = Gen.zip(ident, value).map { case (k, v) => (Seq(k -> v), s"$k = $v") }
+    val tuple = for {
+      ks <- Gen.listOfN(3, ident).map(_.distinct).suchThat(_.size >= 2)
+      vs <- Gen.listOfN(3, value).map(_.take(ks.size))
+      if vs.size == ks.size
+    } yield (ks.zip(vs), s"(${ks.mkString(", ")}) = (${vs.mkString(", ")})")
+    val gen = Gen.nonEmptyListOf(Gen.oneOf(plain, tuple))
+    samples(gen, 120).foreach { entries =>
+      val expected = entries.flatMap(_._1)
+      val sql = entries.map(_._2).mkString(", ")
+      val parsed = SqlRouter.parseSetList(sql).map { case (k, v) => (k.trim, v.trim) }
+      assert(parsed === expected, s"input: $sql")
+    }
+  }
+
+  test("joinRefs recovers names and aliases across join spellings") {
+    val name = Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    val ref = for {
+      n <- name; a <- Gen.option(name)
+      spell <- Gen.oneOf(0, 1, 2)
+    } yield a match {
+      case Some(al) if spell == 1 => ((n, al), s"$n AS $al")
+      case Some(al) => ((n, al), s"$n $al")
+      case None => ((n, n), n)
+    }
+    val joiner = Gen.oneOf(" JOIN ", " LEFT JOIN ", " INNER JOIN ",
+      " CROSS JOIN ", ", ")
+    val gen = for {
+      refs <- Gen.listOfN(3, ref).suchThat(_.nonEmpty)
+      js <- Gen.listOfN(2, joiner)
+    } yield {
+      val txt = refs.map(_._2).zipWithIndex.map { case (t, i) =>
+        if (i == 0) t else js((i - 1) % js.size) + t
+      }.mkString
+      // ON conditions between refs must contribute nothing
+      (refs.map(_._1), txt + " ON a.id = b.id")
+    }
+    samples(gen, 120).foreach { case (expected, txt) =>
+      assert(SqlRouter.joinRefs(txt) === expected, s"input: $txt")
+    }
+  }
 }
