@@ -101,7 +101,7 @@ object SqlRouter {
   // SHOW TABLES answers views too (MySQL/GMS behavior); FULL adds the
   // Table_type column and LIKE filters with MySQL pattern semantics
   private val ShowTables =
-    """(?is)\s*SHOW\s+(FULL\s+)?TABLES\s*(?:LIKE\s+'([^']*)')?\s*""".r
+    """(?is)\s*SHOW\s+(FULL\s+)?TABLES\s*(?:(?:FROM|IN)\s+(\w+)\s*)?(?:LIKE\s+'([^']*)')?\s*""".r
   private val ShowTableStatus =
     """(?is)\s*SHOW\s+TABLE\s+STATUS\s*(?:(?:FROM|IN)\s+(\w+)\s*)?(?:LIKE\s+'([^']*)')?\s*""".r
   // connect-time client statements (MySQL drivers issue these on every
@@ -1376,11 +1376,14 @@ object SqlRouter {
       ddl
     case ShowDatabases() =>
       Result(Some(seqDf(engine, engine.listDatabases(), "database_name")), 0L)
-    case ShowTables(full, like) =>
+    case ShowTables(full, db, like) =>
       val sp = engine.spark
       import sp.implicits._
-      val entries = (engine.listTables().map((_, "BASE TABLE")) ++
-        engine.listViews().map((_, "VIEW"))).sortBy(_._1)
+      // FROM/IN <db> (the Connector/J getTables spelling) scopes the
+      // listing to that database's tables and views
+      val d = Option(db).getOrElse(engine.currentDatabase)
+      val entries = (engine.listTables(d).map((_, "BASE TABLE")) ++
+        engine.listViews(d).map((_, "VIEW"))).sortBy(_._1)
       val filtered = Option(like).fold(entries)(p =>
         entries.filter(e => likeMatch(p, e._1)))
       if (full != null)

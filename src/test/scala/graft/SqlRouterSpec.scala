@@ -1453,6 +1453,14 @@ class SqlRouterSpec extends SparkSpec {
       .df.get.collect().head.getString(1) === "67108864")
     assert(exec(e, "SHOW SESSION VARIABLES LIKE 'wait_timeout'").df.get.count() === 1)
 
+    // SHOW [FULL] TABLES FROM <db> scopes to that database
+    exec(e, "CREATE DATABASE otherdb")
+    exec(e, "CREATE TABLE otherdb.ot (a INT)")
+    assert(exec(e, "SHOW TABLES FROM otherdb").df.get.as[String].collect()
+      .toSeq === Seq("ot"))
+    assert(exec(e, "SHOW FULL TABLES IN otherdb").df.get.collect()
+      .head.toSeq === Seq("ot", "BASE TABLE"))
+
     // diagnostics area: always-empty warnings/errors, a root grant row
     assert(exec(e, "SHOW WARNINGS").df.get.count() === 0)
     assert(exec(e, "SHOW ERRORS LIMIT 10").df.get.count() === 0)
