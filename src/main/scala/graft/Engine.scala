@@ -506,6 +506,29 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
   }
 
   // ------------------------------------------------------------------
+  // Session dialect (round-9 verdict #3: one flag instead of per-arm
+  // heuristics). Every statement the router sees is scanned for
+  // unambiguous dialect markers (backticks / `@@` sysvars / MySQL-only
+  // SETs → mysql; PG-only GUC SETs / `SET x TO y` / DISCARD → pg) and
+  // the LATEST evidence wins — a session that replays a mysqldump and
+  // then a pg_dump flips mid-session, matching whichever tool is
+  // currently talking. Statements with no marker leave the flag
+  // untouched. While no evidence has arrived the old var-based
+  // heuristic (pgSessionEvidence in SqlRouter) initializes the answer.
+  // Session-scoped: never persisted, never shared across engines.
+
+  @volatile private var sessionDialectVar: Option[String] = None
+
+  /** `Some("pg")` / `Some("mysql")` once evidence has been seen. */
+  def sessionDialect: Option[String] = sessionDialectVar
+
+  /** Record dialect evidence (router-driven; latest evidence wins). */
+  def observeDialect(d: String): Unit = {
+    require(d == "pg" || d == "mysql", s"unknown dialect '$d'")
+    sessionDialectVar = Some(d)
+  }
+
+  // ------------------------------------------------------------------
   // Session + persisted variables (A25)
 
   // session vars are scoped to THIS engine (warehouse), not the shared

@@ -539,6 +539,9 @@ object SqlRouter {
     // a comment-only statement strips to nothing: an empty OK (what a
     // real server answers), never empty input to Catalyst
     if (stmt0.trim.isEmpty) return ddl
+    // dialect markers are read BEFORE any normalization (backticks and
+    // @@ are themselves the markers) — see isPgSession
+    observeDialectEvidence(engine, stmt0)
     // ANSI_QUOTES sql_mode (reference anchor
     // `/root/reference/main_test.go:585` TestAnsiQuotesSqlMode): when
     // the session mode carries it — SET sql_mode = 'ANSI_QUOTES' or
@@ -960,7 +963,7 @@ object SqlRouter {
       // TRUNCATE, so a pg-shaped session never silently commits
       // in-flight work
       if (engine.inTransaction) {
-        if (pgSessionEvidence(engine)) return ddl // PG: warn-and-ignore
+        if (isPgSession(engine)) return ddl // PG: warn-and-ignore
         engine.commit()
       }
       engine.begin(); ddl
@@ -1369,7 +1372,7 @@ object SqlRouter {
       // seam (txn-safe).
       val keep =
         if (identity != null) identity.toUpperCase.startsWith("CONTINUE")
-        else pgSessionEvidence(engine)
+        else isPgSession(engine)
       names.split(',').map(_.trim).filter(_.nonEmpty).foreach { n =>
         engine.table(n).truncate(restartIdentity = !keep)
       }
@@ -2574,11 +2577,90 @@ object SqlRouter {
     * TRUNCATE's identity semantics): pg_dump and psql preambles SET
     * variables that only exist in PostgreSQL, and those SETs are
     * recorded as session variables by the SetVariable arm. MySQL tools
-    * never set these (they SET NAMES / @saved_cs_client / sql_mode). */
+    * never set these (they SET NAMES / @saved_cs_client / sql_mode).
+    * Since round 10 this is only the INITIALIZER for the session
+    * dialect flag — see [[isPgSession]]. */
   private def pgSessionEvidence(engine: Engine): Boolean =
     Seq("standard_conforming_strings", "search_path", "statement_timeout",
       "lock_timeout", "client_min_messages", "row_security")
       .exists(engine.getVar(_).isDefined)
+
+  /** THE dialect fork (round-9 verdict #3): every dialect-defaulted
+    * behavior (bare-TRUNCATE identity, nested-BEGIN, join-DML
+    * multi-match policy, information_schema convention) keys on this
+    * one question. The flag is fed by [[observeDialectEvidence]] on
+    * every routed statement (latest unambiguous marker wins — so a
+    * session can flip mid-stream when a different client takes over);
+    * until any marker arrives, the recorded-GUC heuristic
+    * [[pgSessionEvidence]] initializes the answer, which keeps
+    * behavior identical for var-persisted sessions from older rounds. */
+  private[graft] def isPgSession(engine: Engine): Boolean =
+    engine.sessionDialect match {
+      case Some(d) => d == "pg"
+      case None    => pgSessionEvidence(engine)
+    }
+
+  // PG-only GUCs a SET statement can name (pg_dump/psql preambles plus
+  // the common psycopg/pgjdbc session knobs). MySQL has none of these.
+  private val PgOnlyGucs = Set(
+    "standard_conforming_strings", "search_path", "statement_timeout",
+    "lock_timeout", "client_min_messages", "row_security",
+    "client_encoding", "xmloption", "escape_string_warning",
+    "idle_in_transaction_session_timeout", "default_table_access_method",
+    "default_tablespace", "synchronous_commit", "datestyle", "intervalstyle",
+    "application_name", "extra_float_digits", "bytea_output")
+
+  // MySQL-only SET targets (connect-time + dump preambles). `NAMES`
+  // covers `SET NAMES utf8mb4`; the rest are sysvars PG lacks.
+  private val MySqlOnlySetVars = Set(
+    "names", "sql_mode", "autocommit", "sql_log_bin", "unique_checks",
+    "foreign_key_checks", "character_set_client", "character_set_results",
+    "character_set_connection", "collation_connection", "sql_notes",
+    "net_write_timeout", "max_execution_time", "sql_select_limit",
+    "insert_id", "time_zone", "wait_timeout", "interactive_timeout")
+
+  private val SetHeadVar =
+    java.util.regex.Pattern.compile(
+      "(?is)^\\s*SET\\s+(?:LOCAL\\s+|SESSION\\s+|GLOBAL\\s+|PERSIST\\s+)?" +
+        "(@{0,2})([A-Za-z_][A-Za-z0-9_.$]*)\\s*(TO\\b|=|\\s)?")
+
+  /** Scan one incoming statement (pre-normalization, backticks and
+    * `@@` intact) for unambiguous dialect markers and record them on
+    * the engine. Ambiguous statements (almost all of them) record
+    * nothing. Cheap: two `contains` probes and one anchored regex on
+    * SET/DISCARD/LOCK heads only. */
+  private def observeDialectEvidence(engine: Engine, stmt: String): Unit = {
+    // backtick identifiers and @@sysvar refs exist only in MySQL's
+    // lexer — either anywhere in the statement is decisive (a backtick
+    // inside a string literal is possible but a '`' never reaches PG
+    // from any real PG tool; same for '@@')
+    if (stmt.indexOf('`') >= 0 || stmt.contains("@@")) {
+      engine.observeDialect("mysql"); return
+    }
+    val head = stmt.dropWhile(_.isWhitespace)
+    val kw = head.takeWhile(c => c.isLetter).toUpperCase
+    kw match {
+      case "SET" =>
+        val m = SetHeadVar.matcher(head)
+        if (m.find()) {
+          val ats = m.group(1)
+          val name = m.group(2).toLowerCase
+          val sep = Option(m.group(3)).map(_.trim.toUpperCase).getOrElse("")
+          if (ats == "@") engine.observeDialect("mysql") // user var SET @x
+          else if (MySqlOnlySetVars.contains(name)) engine.observeDialect("mysql")
+          else if (PgOnlyGucs.contains(name)) engine.observeDialect("pg")
+          else if (sep == "TO") engine.observeDialect("pg") // SET x TO y
+        }
+      case "DISCARD" => engine.observeDialect("pg")
+      case "LOCK" | "UNLOCK" =>
+        if (head.toUpperCase.contains("TABLES")) engine.observeDialect("mysql")
+      case "SHOW" =>
+        val rest = head.drop(4).trim.takeWhile(!_.isWhitespace).toUpperCase
+        if (Set("VARIABLES", "WARNINGS", "ERRORS", "GRANTS", "ENGINES",
+          "STATUS").contains(rest)) engine.observeDialect("mysql")
+      case _ => ()
+    }
+  }
 
   /** Split a top-level `RETURNING <exprs>` tail off a DML source —
     * built on the shared span scanner (dollar-quoted bodies opaque)

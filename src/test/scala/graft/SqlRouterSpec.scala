@@ -1685,4 +1685,51 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "INSERT INTO mt (v) VALUES ('c')")
     assert(exec(e, "SELECT id FROM mt").df.get.as[Int].head() === 1)
   }
+
+  test("session dialect flag: latest evidence wins and flips mid-session") {
+    val e = new Engine(spark, tmpDir("router_dialect"))
+    assert(e.sessionDialect.isEmpty)
+    exec(e, "CREATE TABLE dt (id INT NOT NULL AUTO_INCREMENT, v STRING, PRIMARY KEY (id))")
+
+    // backtick identifiers are decisive MySQL evidence
+    exec(e, "INSERT INTO `dt` (v) VALUES ('a'), ('b')") // ids 1,2
+    assert(e.sessionDialect === Some("mysql"))
+    exec(e, "TRUNCATE dt") // MySQL default: RESTART identity
+    exec(e, "INSERT INTO dt (v) VALUES ('c')")
+    assert(exec(e, "SELECT id FROM dt").df.get.as[Int].head() === 1)
+
+    // a PG tool takes over: SET x TO y spelling flips the flag, and
+    // bare TRUNCATE now preserves the sequence (CONTINUE IDENTITY)
+    exec(e, "SET search_path TO public")
+    assert(e.sessionDialect === Some("pg"))
+    exec(e, "TRUNCATE dt")
+    exec(e, "INSERT INTO dt (v) VALUES ('d')")
+    assert(exec(e, "SELECT id FROM dt").df.get.as[Int].head() === 2)
+
+    // ...and back: SET NAMES is MySQL connect-time, flag flips again
+    exec(e, "SET NAMES utf8mb4")
+    assert(e.sessionDialect === Some("mysql"))
+    exec(e, "TRUNCATE dt")
+    exec(e, "INSERT INTO dt (v) VALUES ('e')")
+    assert(exec(e, "SELECT id FROM dt").df.get.as[Int].head() === 1)
+
+    // nested BEGIN keys on the same flag: MySQL implicitly commits the
+    // open transaction, PG warns and keeps it
+    exec(e, "BEGIN")
+    exec(e, "INSERT INTO dt (v) VALUES ('f')")
+    exec(e, "BEGIN") // mysql: commits the insert, opens a fresh txn
+    exec(e, "ROLLBACK")
+    assert(exec(e, "SELECT count(*) FROM dt").df.get.as[Long].head() === 2)
+
+    exec(e, "SET statement_timeout = 0") // pg evidence
+    exec(e, "BEGIN")
+    exec(e, "INSERT INTO dt (v) VALUES ('g')")
+    exec(e, "BEGIN") // pg: warn-and-ignore, txn stays open
+    exec(e, "ROLLBACK")
+    assert(exec(e, "SELECT count(*) FROM dt").df.get.as[Long].head() === 2)
+
+    // statements with no unambiguous marker leave the flag untouched
+    exec(e, "SELECT 1")
+    assert(e.sessionDialect === Some("pg"))
+  }
 }
