@@ -506,6 +506,24 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
   }
 
   // ------------------------------------------------------------------
+  // Diagnostics area (SHOW WARNINGS). The engine REFUSES bad
+  // statements instead of warning, so this stays empty except for the
+  // few places a statement succeeds with a caveat worth surfacing —
+  // join-DML multi-match collapse being the first (round-9 verdict
+  // #7). MySQL lifecycle: the area persists until the next
+  // non-diagnostic statement (the router clears it).
+
+  private val warningsBuf =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+
+  def addWarning(level: String, code: Int, message: String): Unit =
+    synchronized { warningsBuf += ((level, code, message)) }
+
+  def warnings: Seq[(String, Int, String)] = synchronized { warningsBuf.toSeq }
+
+  def clearWarnings(): Unit = synchronized { warningsBuf.clear() }
+
+  // ------------------------------------------------------------------
   // Session dialect (round-9 verdict #3: one flag instead of per-arm
   // heuristics). Every statement the router sees is scanned for
   // unambiguous dialect markers (backticks / `@@` sysvars / MySQL-only

@@ -347,6 +347,119 @@ case class PgSplitFields(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MySQL SELECT INTO OUTFILE field encoding (reference
+  * `backend/loaddata.go:115-227`'s exact inverse; MySQL manual "FIELDS
+  * ESCAPED BY" output rules): the escape char prefixes ITSELF and each
+  * character of `special` (the first char of FIELDS TERMINATED BY,
+  * the line terminator, the enclosure char when set) — written as
+  * escape + the ACTUAL character, not a letter form — and ASCII NUL is
+  * written as escape + '0'. Everything else passes through. Null →
+  * null (the caller writes the `\N` marker). */
+case class MySqlEscapeText(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expects (string, string), got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(l: Any, s: Any): Any =
+    MySqlEscapeText.encode(
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.MySqlEscapeText.encode($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MySqlEscapeText =
+    copy(left = newLeft, right = newRight)
+}
+
+object MySqlEscapeText {
+  def encode(u: org.apache.spark.unsafe.types.UTF8String,
+      sp: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    val special = sp.toString
+    var needs = false
+    var i = 0
+    while (i < s.length && !needs) {
+      val c = s.charAt(i)
+      needs = c == '\\' || c == '\u0000' || special.indexOf(c) >= 0
+      i += 1
+    }
+    if (!needs) return u
+    val out = new java.lang.StringBuilder(s.length + 8)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\') out.append("\\\\")
+      else if (c == '\u0000') out.append("\\0")
+      else if (special.indexOf(c) >= 0) out.append('\\').append(c)
+      else out.append(c)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
+  }
+}
+
+/** MySQL LOAD DATA field decoding ([[MySqlEscapeText]]'s inverse plus
+  * the letter forms the MySQL reader accepts on input): `\0`→NUL,
+  * `\b \n \r \t \Z`→their control characters, and `\X`→X for any other
+  * X (which is how escape + actual-tab/newline/backslash round-trip).
+  * `\N` NULL markers are matched on the RAW field by the caller,
+  * before decoding. */
+case class MySqlUnescapeText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expects string, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    MySqlUnescapeText.decode(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MySqlUnescapeText.decode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MySqlUnescapeText =
+    copy(child = newChild)
+}
+
+object MySqlUnescapeText {
+  def decode(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val s = u.toString
+    if (s.indexOf('\\') < 0) return u
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '\\' || i + 1 >= s.length) { out.append(c); i += 1 }
+      else {
+        s.charAt(i + 1) match {
+          case '0' => out.append('\u0000')
+          case 'b' => out.append('\b')
+          case 'n' => out.append('\n')
+          case 'r' => out.append('\r')
+          case 't' => out.append('\t')
+          case 'Z' => out.append('\u001A')
+          case other => out.append(other) // incl. \\ and escaped actuals
+        }
+        i += 2
+      }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(out.toString)
+  }
+}
+
 object PgSplitFields {
   def split(line: org.apache.spark.unsafe.types.UTF8String,
       sep: org.apache.spark.unsafe.types.UTF8String)
@@ -527,5 +640,10 @@ object GraftFunctions {
       exprs => PgEscapeText(exprs(0)), "built-in")
     fr.createOrReplaceTempFunction("pg_split_fields",
       exprs => PgSplitFields(exprs(0), exprs(1)), "built-in")
+    // A12 SELECT INTO OUTFILE / A11 LOAD DATA: MySQL escape codec
+    fr.createOrReplaceTempFunction("mysql_escape",
+      exprs => MySqlEscapeText(exprs(0), exprs(1)), "built-in")
+    fr.createOrReplaceTempFunction("mysql_unescape",
+      exprs => MySqlUnescapeText(exprs(0)), "built-in")
   }
 }

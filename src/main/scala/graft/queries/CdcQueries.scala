@@ -275,5 +275,137 @@ object CdcQueries {
         CASE WHEN c_custkey <= 100 THEN c_acctbal + 1 ELSE c_acctbal END AS bal
       FROM customer WHERE c_custkey <= 350 ORDER BY id"""))
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q81, q102, q103)
+  // --------------------------------------------------------------------
+  // q104 — the DDL lifecycle under the oracle gate (round-9 verdict
+  // #5): CREATE with auto-inc, explicit-id seeding (which must advance
+  // the counter, A23 MySQL semantics), auto-assigned rows surviving a
+  // delete (no id reuse), ALTER ADD with backfill default, ALTER ADD
+  // GENERATED (lazy per-row backfill + recompute on UPDATE), MODIFY,
+  // RENAME COLUMN and RENAME TABLE — all routed as SQL, with the
+  // oracle stating only the final state. score arithmetic is single
+  // IEEE ops over small literals — bit-exact across engines.
+  private val q104 = QueryDef(
+    "q104_ddl_lifecycle",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      val e = new Engine(s, Files.createTempDirectory("graft_q104"))
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE TABLE d (id BIGINT NOT NULL AUTO_INCREMENT, label STRING, " +
+        "score DOUBLE, PRIMARY KEY (id))")
+      // explicit ids advance the counter to max(id)+1
+      run("INSERT INTO d SELECT c_custkey + 1, c_name, c_acctbal " +
+        "FROM customer WHERE c_custkey <= 150")
+      run("INSERT INTO d (label, score) VALUES ('auto_a', 0.5)") // id 152
+      run("DELETE FROM d WHERE label = 'auto_a'")
+      run("INSERT INTO d (label, score) VALUES ('auto_b', 0.25)") // id 153, not 152
+      run("ALTER TABLE d ADD COLUMN bonus DOUBLE DEFAULT 2.0 NOT NULL")
+      run("ALTER TABLE d ADD COLUMN total DOUBLE GENERATED ALWAYS AS " +
+        "(score + bonus) STORED")
+      run("UPDATE d SET bonus = 5.0 WHERE id <= 50") // generated recomputes
+      run("ALTER TABLE d MODIFY COLUMN label VARCHAR(100)")
+      run("ALTER TABLE d RENAME COLUMN bonus TO extra")
+      run("ALTER TABLE d RENAME TO d2")
+      SqlRouter.execute(e,
+        "SELECT id, label, score, extra, total FROM d2 ORDER BY id").df.get
+    },
+    Some("""WITH seed AS (
+        SELECT CAST(c_custkey + 1 AS BIGINT) AS id, c_name AS label,
+          c_acctbal AS score
+        FROM customer WHERE c_custkey <= 150
+        UNION ALL SELECT 153, 'auto_b', 0.25),
+      widened AS (SELECT id, label, score,
+          CASE WHEN id <= 50 THEN 5.0 ELSE 2.0 END AS extra
+        FROM seed)
+      SELECT id, label, score, extra, score + extra AS total
+      FROM widened ORDER BY id"""))
+
+  // --------------------------------------------------------------------
+  // q105 — unique-index ON CONFLICT arbiters under the oracle gate
+  // (round-9 verdict #2, reference `catalog/table.go:555-638`): the
+  // UNIQUE KEY records at CREATE, a DO UPDATE batch keyed on the
+  // unique column accumulates into existing rows (which keep their
+  // PRIMARY KEYS) while inserting the rest, and a DO NOTHING batch
+  // addressed via ON CONSTRAINT <name> inserts only novel keys. The
+  // oracle restates each batch declaratively. hits are integer sums.
+  private val q105 = QueryDef(
+    "q105_unique_arbiter",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      val e = new Engine(s, Files.createTempDirectory("graft_q105"))
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE TABLE t (id BIGINT PRIMARY KEY, email STRING, hits INT, " +
+        "UNIQUE KEY uq_email (email))")
+      run("INSERT INTO t SELECT c_custkey, concat('e', CAST(c_custkey AS STRING)), 1 " +
+        "FROM customer WHERE c_custkey <= 300")
+      run("INSERT INTO t SELECT c_custkey + 10000, concat('e', CAST(c_custkey AS STRING)), 5 " +
+        "FROM customer WHERE c_custkey BETWEEN 200 AND 400 " +
+        "ON CONFLICT (email) DO UPDATE SET hits = hits + excluded.hits")
+      run("INSERT INTO t SELECT c_custkey + 20000, concat('e', CAST(c_custkey AS STRING)), 9 " +
+        "FROM customer WHERE c_custkey BETWEEN 350 AND 450 " +
+        "ON CONFLICT ON CONSTRAINT uq_email DO NOTHING")
+      SqlRouter.execute(e,
+        "SELECT id, email, hits FROM t ORDER BY id").df.get
+    },
+    Some("""WITH seed AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id,
+          concat('e', CAST(c_custkey AS VARCHAR)) AS email, 1 AS hits
+        FROM customer WHERE c_custkey <= 300),
+      up AS (SELECT CAST(c_custkey + 10000 AS BIGINT) AS id,
+          concat('e', CAST(c_custkey AS VARCHAR)) AS email, 5 AS hits
+        FROM customer WHERE c_custkey BETWEEN 200 AND 400),
+      s1 AS (SELECT s.id, s.email, s.hits + coalesce(u.hits, 0) AS hits
+          FROM seed s LEFT JOIN up u ON s.email = u.email
+        UNION ALL
+        SELECT u.id, u.email, u.hits FROM up u
+          WHERE u.email NOT IN (SELECT email FROM seed)),
+      ign AS (SELECT CAST(c_custkey + 20000 AS BIGINT) AS id,
+          concat('e', CAST(c_custkey AS VARCHAR)) AS email, 9 AS hits
+        FROM customer WHERE c_custkey BETWEEN 350 AND 450),
+      s2 AS (SELECT * FROM s1
+        UNION ALL
+        SELECT i.id, i.email, i.hits FROM ign i
+          WHERE i.email NOT IN (SELECT email FROM s1))
+      SELECT id, email, CAST(hits AS INT) AS hits FROM s2 ORDER BY id"""))
+
+  // --------------------------------------------------------------------
+  // q106 — OUTFILE dialect compatibility proven by a FOREIGN reader:
+  // the engine exports with MySQL FIELDS ESCAPED BY encoding and loads
+  // it back through its own LOAD DATA (the round-trip the Spark side
+  // returns); the ORACLE reads the very same file with DuckDB's
+  // read_csv using the reference's exact option mapping
+  // (`backend/loaddata.go:160-190`: sep='\t', quote='', escape='',
+  // nullstr='\N') — so the hash gate fails unless the bytes on disk
+  // parse identically in an independent engine. Content is the plain
+  // corpus (names carry no tabs/newlines; the gnarly escape cases are
+  // byte-asserted in SqlRouterSpec — DuckDB, like the reference,
+  // cannot decode the `\` escapes read_csv-side).
+  private val q106 = QueryDef(
+    "q106_outfile_duckdb",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      val e = new Engine(s, Files.createTempDirectory("graft_q106"))
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE TABLE src (id BIGINT PRIMARY KEY, name STRING, bal DOUBLE)")
+      run("INSERT INTO src SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "WHERE c_custkey <= 250")
+      run("UPDATE src SET name = NULL WHERE id % 50 = 0") // \N spellings
+      val f = "/tmp/graft_q106_outfile.tsv"
+      new java.io.File(f).delete() // OUTFILE refuses overwrite (1086)
+      run(s"SELECT id, name, bal FROM src ORDER BY id INTO OUTFILE '$f'")
+      run("CREATE TABLE back (id BIGINT PRIMARY KEY, name STRING, bal DOUBLE)")
+      run(s"LOAD DATA INFILE '$f' INTO TABLE back")
+      SqlRouter.execute(e, "SELECT id, name, bal FROM back ORDER BY id").df.get
+    },
+    Some("""SELECT id, name, bal
+      FROM read_csv('/tmp/graft_q106_outfile.tsv', auto_detect = false,
+        header = false, sep = '\t', quote = '', escape = '',
+        nullstr = '\N',
+        columns = {'id': 'BIGINT', 'name': 'VARCHAR', 'bal': 'DOUBLE'})
+      ORDER BY id"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106)
 }

@@ -205,7 +205,13 @@ object BulkIO {
     }
     val tmp = path + ".__graft_tmp_" + java.util.UUID.randomUUID()
     df.coalesce(1).write.mode("overwrite").options(writerOpts).csv(tmp)
-    val conf = df.sparkSession.sessionState.newHadoopConf()
+    moveSinglePart(df.sparkSession, tmp, path)
+  }
+
+  /** Collapse a one-part Spark output directory to exactly `path`. */
+  private def moveSinglePart(spark: SparkSession, tmp: String,
+      path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val fs = tmpPath.getFileSystem(conf)
     val part = fs.listStatus(tmpPath).map(_.getPath)
@@ -216,6 +222,119 @@ object BulkIO {
     if (!fs.rename(part, dest))
       throw new java.io.IOException(s"could not move $part to $dest")
     fs.delete(tmpPath, true)
+  }
+
+  /** SELECT ... INTO OUTFILE in MySQL's FIELDS ESCAPED BY encoding —
+    * the byte-exact inverse of the reference's LOAD DATA contract
+    * (`/root/reference/backend/loaddata.go:115-227`, MySQL manual
+    * output rules): with a non-empty escape char, the escape char
+    * itself, the first FIELDS TERMINATED BY char, the line terminator
+    * and the enclosure char are written as escape + ACTUAL character
+    * (a field containing a tab serializes as `\<tab>`, an embedded
+    * newline as `\<newline>` INSIDE the physical line), ASCII NUL as
+    * `\0`, and NULL as `\N` — or as the word `NULL` when enclosed or
+    * escape-less, exactly the reference's nullstr fork. Enclosure
+    * (when set) wraps every field. The query runs distributed; only
+    * the final single-file stream serializes. */
+  def exportMySqlText(df: DataFrame, path: String,
+      opts: CsvOptions = CsvOptions(), singleStream: Boolean = true): Unit = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val enc = if (opts.quote == "\u0000") "" else opts.quote
+    val esc = opts.escape
+    // chars that must be escaped: first sep char, line terminator,
+    // enclosure (MySQL manual: "the FIELDS ESCAPED BY character is
+    // used to prefix ... the first character of FIELDS TERMINATED BY
+    // and LINES TERMINATED BY")
+    val special = opts.sep.take(1) + "\n" + enc
+    // reference loaddata.go nullstr fork: enclosed or escape-less
+    // dialects spell NULL as the word; otherwise \N
+    val nullRep =
+      if (enc.nonEmpty || esc.isEmpty) "NULL"
+      else esc.take(1) + "N"
+    val cols = df.schema.fields.map { f =>
+      val base = col(f.name).cast("string")
+      val escaped =
+        if (esc.isEmpty) base
+        else call_function("mysql_escape", base, lit(special))
+      val enclosed =
+        if (enc.isEmpty) escaped
+        else concat(lit(enc), escaped, lit(enc))
+      when(col(f.name).isNull, lit(nullRep)).otherwise(enclosed)
+    }
+    val lines = df.select(concat_ws(opts.sep, cols.toIndexedSeq: _*).as("value"))
+    if (!singleStream) { lines.write.mode("overwrite").text(path); return }
+    val tmp = path + ".__graft_tmp_" + java.util.UUID.randomUUID()
+    lines.coalesce(1).write.mode("overwrite").text(tmp)
+    moveSinglePart(df.sparkSession, tmp, path)
+  }
+
+  /** LOAD DATA for MySQL's backslash-escape dialect —
+    * [[exportMySqlText]]'s reading half, and MORE faithful than the
+    * reference (whose DuckDB read_csv cannot interpret `\` escapes and
+    * passes `escape = ''` — `loaddata.go:177-180`'s TODO): an escaped
+    * line terminator does NOT end the record, `\N` (raw, unenclosed)
+    * is NULL, fields split on raw separators only, and letter escapes
+    * decode per the MySQL input rules. Each FILE parses as one unit
+    * (MySQL reads the file sequentially too) via wholetext — a glob of
+    * files still parallelizes per file; fields then decode in codegen.
+    * Strict arity like the PG TEXT path. */
+  def loadMySqlTextInto(table: GraftTable, path: String,
+      opts: CsvOptions = CsvOptions(), mode: DupMode = Append): Long = {
+    val spark = table.spark
+    graft.functions.GraftFunctions.register(spark)
+    require(opts.escape == "\\", "mysql-text load expects ESCAPED BY '\\'")
+    val sep = opts.sep.take(1)
+    val enc = if (opts.quote == "\u0000") "" else opts.quote
+    import spark.implicits._
+    val files = spark.read.option("wholetext", "true").text(path).as[String]
+    // escape-aware record split + IGNORE n LINES, per file
+    val skip = opts.skipLines
+    val lines = files.flatMap { content =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new java.lang.StringBuilder
+      var i = 0
+      while (i < content.length) {
+        val c = content.charAt(i)
+        if (c == '\\' && i + 1 < content.length) {
+          cur.append(c).append(content.charAt(i + 1)); i += 2
+        } else if (c == '\n') {
+          out += cur.toString; cur.setLength(0); i += 1
+        } else { cur.append(c); i += 1 }
+      }
+      if (cur.length > 0) out += cur.toString
+      out.drop(skip)
+    }.toDF("value").filter(length(col("value")) > 0)
+    val fields = table.schema.fields
+    val arity = fields.length
+    val split = lines
+      .select(call_function("pg_split_fields", col("value"), lit(sep)).as("__f"))
+      .withColumn("__n", size(col("__f")))
+    val cols = fields.zipWithIndex.map { case (f, i) =>
+      val raw0 = element_at(col("__f"), i + 1)
+      // enclosure strip (raw, before unescaping)
+      val raw =
+        if (enc.isEmpty) raw0
+        else when(raw0.startsWith(enc) && raw0.endsWith(enc) &&
+          length(raw0) >= 2 * enc.length,
+          raw0.substr(lit(enc.length + 1), length(raw0) - 2 * enc.length))
+          .otherwise(raw0)
+      val decoded = call_function("mysql_unescape", raw)
+      // \N only counts UNENCLOSED and raw (a literal field `\\N`
+      // decodes to the two-char string, like the PG path)
+      when(raw0 === "\\N" || raw0 === "NULL" && lit(enc.nonEmpty),
+        lit(null).cast(f.dataType))
+        .otherwise(decoded.cast(f.dataType)).as(f.name)
+    }
+    val df = split
+      .filter(assert_true(col("__n") === arity,
+        concat(lit("LOAD DATA row has "), col("__n"),
+          lit(s" fields, expected $arity"))).isNull)
+      .select(cols.toIndexedSeq: _*)
+    mode match {
+      case Append => table.insert(df)
+      case Ignore => table.insertIgnoreRows(df)
+      case Replace => table.replaceRows(df)
+    }
   }
 
   /** COPY ... TO (FORMAT PARQUET / JSON). */

@@ -109,8 +109,32 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val full = withGenerated(m, df)
     enforceChecks(m, full)
     val (files, n, st) = writeFiles(full.select(m.schema.fieldNames.map(col): _*))
-    io.commit(path, m.withFiles(m.files ++ files, st))
+    io.commit(path, m.withFiles(m.files ++ files, st)
+      .copy(autoInc = autoIncAfterExplicit(m, files, st)))
     n
+  }
+
+  /** MySQL counter semantics (A23): an INSERT carrying EXPLICIT ids
+    * advances the auto-inc counter past max(id), so a later
+    * auto-assigned row never collides (`INSERT .. VALUES (7,..)` then
+    * `INSERT (name) VALUES (..)` yields 8). The max comes from the
+    * just-written parquet footer stats — zero extra jobs; an integral
+    * PK always carries them. Files without usable stats leave the
+    * counter unchanged (the pre-round-10 behavior). */
+  private def autoIncAfterExplicit(m: Manifest, files: Seq[String],
+      st: Map[String, Map[String, Seq[String]]]): Long = {
+    val autoCol = m.props.collectFirst {
+      case (k, "true") if k.startsWith("autoinc.") => k.stripPrefix("autoinc.")
+    }
+    val bump = for {
+      c <- autoCol
+      if m.pkCols.contains(c) &&
+        m.schema(c).dataType != org.apache.spark.sql.types.StringType
+      maxes = files.flatMap(f =>
+        st.get(f).flatMap(_.get(physName(m, c))).map(_(1).toLong))
+      if maxes.nonEmpty
+    } yield math.max(m.autoInc, maxes.max + 1L)
+    bump.getOrElse(m.autoInc)
   }
 
   /** Key join that is NULL-SAFE when the table is keyless: there the
@@ -450,10 +474,12 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   /** INSERT IGNORE (A11/§2.B INSERT edge semantics): rows whose PK
     * already exists — or repeats within the batch — are silently
     * dropped; the rest append. Returns rows actually inserted. */
-  def insertIgnoreRows(df: DataFrame): Long = {
+  def insertIgnoreRows(df: DataFrame, key0: Seq[String] = Nil): Long = {
     val m = manifest
     require(m.pkCols.nonEmpty, "INSERT IGNORE needs a primary key")
-    val pk = m.pkCols
+    // `key0` overrides the conflict key with a recorded unique index
+    // (ON CONFLICT (unique_col) DO NOTHING — the PG arbiter form)
+    val pk = if (key0.nonEmpty) key0 else m.pkCols
     // first occurrence wins (NOT dropDuplicates' arbitrary pick):
     // later in-batch duplicates conflict with the just-inserted first
     // row in both MySQL and PG, and the router's RETURNING image uses
@@ -477,10 +503,17 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * reproducing that would need a per-key ordered fold of arbitrary
     * SQL expressions. Batches without repeated keys (the normal CDC /
     * upsert shape) are exact. */
-  def upsertOnDuplicate(df0: DataFrame, set: Map[String, String]): Long = {
+  def upsertOnDuplicate(df0: DataFrame, set: Map[String, String],
+      key0: Seq[String] = Nil): Long = {
     val m = manifest
     require(m.pkCols.nonEmpty, "ON DUPLICATE KEY UPDATE requires a primary key")
-    val pk = m.pkCols
+    // `key0` overrides the conflict key with a recorded unique index
+    // (ON CONFLICT (unique_col) DO UPDATE). The updated images keep
+    // the existing rows' PRIMARY KEYS (non-set columns pass through),
+    // so the PK-keyed merge below replaces exactly the matched rows —
+    // which is why this override requires a PK table (on a keyless
+    // table the full-row-image merge key couldn't find the old image).
+    val pk = if (key0.nonEmpty) key0 else m.pkCols
     val dataCols = m.schema.fieldNames
     val batch = lastPerKey(df0.select(dataCols.map(col): _*), pk)
     val renamed = batch.select(batch.columns.map(c => col(c).as(s"__new_$c")): _*)
@@ -539,6 +572,40 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val cleared = m.withFiles(Nil)
     io.commit(path,
       if (restartIdentity) cleared.copy(autoInc = 1L) else cleared)
+  }
+
+  // ------------------------------------------------------------------
+  // Recorded unique indexes (A21 metadata; reference
+  // `catalog/table.go:555-638` builds a unique ART index per
+  // CREATE UNIQUE INDEX). The engine records the COLUMN SETS —
+  // `unique.<name>` prop → ordered column list — and the router uses
+  // them as ON CONFLICT arbiters. Enforcement stays best-effort
+  // ([[checkUnique]]), matching the reference's replicated mode where
+  // ART indexes are disabled.
+
+  /** All recorded unique indexes: name → column list. */
+  def uniqueIndexes: Map[String, Seq[String]] =
+    manifest.props.collect { case (k, v) if k.startsWith("unique.") =>
+      k.stripPrefix("unique.") -> v.split(',').map(_.trim).toSeq
+    }
+
+  /** Record a unique index (columns must exist). Through the io seam —
+    * transactional like every other manifest commit. */
+  def addUniqueIndex(name: String, cols: Seq[String]): Unit = {
+    val m = manifest
+    cols.foreach(c => require(m.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"unknown column '$c' in unique index $name"))
+    io.commit(path, m.copy(props =
+      m.props + (s"unique.$name" -> cols.mkString(","))))
+  }
+
+  /** Drop a recorded unique index; false if the name is unknown. */
+  def dropUniqueIndex(name: String): Boolean = {
+    val m = manifest
+    if (!m.props.contains(s"unique.$name")) false
+    else {
+      io.commit(path, m.copy(props = m.props - s"unique.$name")); true
+    }
   }
 
   /** Best-effort uniqueness validation (SURVEY §7 "known hard spots":
@@ -740,14 +807,44 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     require(!m.schema.fieldNames.contains(to), s"column exists: $to")
     val phys = physName(m, from)
     val props0 = m.props - s"phys.$from"
-    val props = (if (phys == to) props0 else props0 + (s"phys.$to" -> phys)) ++
+    val props1 = (if (phys == to) props0 else props0 + (s"phys.$to" -> phys)) ++
       m.props.get(s"default.$from").map(d => s"default.$to" -> d) ++
       m.props.get(s"phystype.$from").map(t => s"phystype.$to" -> t)
+    // stored EXPRESSIONS that reference the renamed column — generated
+    // columns, CHECK constraints, expression defaults, unique-index
+    // column lists — rename with it (PG semantics: dependencies follow
+    // the rename; MySQL refuses instead, and silently-broken exprs
+    // would be worse than either)
+    val props = props1.map {
+      case (k, v) if k.startsWith("generated.") || k.startsWith("check.") ||
+          k.startsWith("default.") =>
+        k -> renameInExpr(v, from, to)
+      case (k, v) if k.startsWith("unique.") =>
+        k -> v.split(',').map(c =>
+          if (c.trim.equalsIgnoreCase(from)) to else c.trim).mkString(",")
+      case kv => kv
+    }
     io.commit(path, m.copy(
       schema = StructType(m.schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f)),
       pkCols = m.pkCols.map(c => if (c == from) to else c),
       props = props - s"default.$from" - s"phystype.$from"))
+  }
+
+  /** Word-boundary identifier rename inside a stored SQL expression;
+    * string literals stay untouched (span-scanned). */
+  private def renameInExpr(e: String, from: String, to: String): String = {
+    if (!e.toLowerCase.contains(from.toLowerCase)) return e
+    val pat = ("(?i)(?<![A-Za-z0-9_$.])" +
+      java.util.regex.Pattern.quote(from) + "(?![A-Za-z0-9_$])").r
+    val b = new StringBuilder
+    graft.SqlText.spans(e, dollarQuotes = false).foreach { sp =>
+      val seg = e.substring(sp.start, sp.end)
+      if (sp.kind != graft.SqlText.Code) b.append(seg)
+      else b.append(pat.replaceAllIn(seg,
+        java.util.regex.Matcher.quoteReplacement(to)))
+    }
+    b.toString
   }
 
   // ------------------------------------------------------------------

@@ -313,6 +313,92 @@ class PgCatalogSpec extends SparkSpec {
     assert(rows(e, "SELECT x FROM tables") === Seq(Row(7)))
   }
 
+  test("MySQL-convention information_schema overlay (Connector/J useInformationSchema=true)") {
+    val e = mkEngine("pgcat_mysql_is")
+    // a MySQL session announces itself at connect time (@@ sysvars)
+    SqlRouter.execute(e, "SELECT @@version_comment LIMIT 1")
+    assert(e.sessionDialect === Some("mysql"))
+
+    // Connector/J getTables, the information_schema path: TABLE_SCHEMA
+    // must equal DATABASE() (the silently-empty surface of round 9),
+    // the CASE alias folds BASE TABLE→TABLE, and the group-less
+    // alias-HAVING tail runs (MySQL-ism, rewritten to a subquery)
+    val tables = rows(e,
+      """SELECT TABLE_SCHEMA AS TABLE_CAT, NULL AS TABLE_SCHEM, TABLE_NAME,
+        | CASE WHEN TABLE_TYPE='BASE TABLE' THEN
+        |   CASE WHEN TABLE_SCHEMA = 'mysql' OR TABLE_SCHEMA = 'performance_schema'
+        |        THEN 'SYSTEM TABLE' ELSE 'TABLE' END
+        |  WHEN TABLE_TYPE='TEMPORARY' THEN 'LOCAL_TEMPORARY'
+        |  ELSE TABLE_TYPE END AS TABLE_TYPE,
+        | TABLE_COMMENT AS REMARKS, NULL AS TYPE_CAT, NULL AS TYPE_SCHEM,
+        | NULL AS TYPE_NAME, NULL AS SELF_REFERENCING_COL_NAME,
+        | NULL AS REF_GENERATION
+        |FROM INFORMATION_SCHEMA.TABLES
+        |WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME LIKE '%'
+        |HAVING TABLE_TYPE IN ('TABLE','VIEW')
+        |ORDER BY TABLE_TYPE, TABLE_SCHEMA, TABLE_NAME""".stripMargin)
+    assert(tables.map(r => (r.getString(0), r.getString(2), r.getString(3)))
+      === Seq(("main", "accounts", "TABLE"), ("main", "notes", "TABLE"),
+        ("main", "rich_accounts", "VIEW")))
+    // ...and the rows agree with the fully-routed SHOW surface
+    val shown = rows(e, "SHOW FULL TABLES").map(r =>
+      (r.getString(0), r.getString(1)))
+    assert(tables.map(r => (r.getString(2),
+      if (r.getString(3) == "VIEW") "VIEW" else "BASE TABLE")) === shown)
+
+    // Connector/J getColumns source columns: COLUMN_TYPE / COLUMN_KEY /
+    // EXTRA / IS_NULLABLE with MySQL type spellings
+    val cols = rows(e,
+      """SELECT TABLE_SCHEMA AS TABLE_CAT, COLUMN_NAME,
+        | UPPER(DATA_TYPE) AS TYPE_NAME, UPPER(COLUMN_TYPE) AS FULL_TYPE,
+        | CHARACTER_MAXIMUM_LENGTH, NUMERIC_PRECISION, NUMERIC_SCALE,
+        | IF(IS_NULLABLE='YES', 1, 0) AS NULLABLE, COLUMN_KEY,
+        | IF(EXTRA LIKE '%auto_increment%','YES','NO') AS IS_AUTOINCREMENT,
+        | ORDINAL_POSITION
+        |FROM INFORMATION_SCHEMA.COLUMNS
+        |WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = 'accounts'
+        |ORDER BY ORDINAL_POSITION""".stripMargin)
+    assert(cols.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getInt(7), r.getString(8)))
+      === Seq(("main", "id", "BIGINT", 0, "PRI"),
+        ("main", "owner", "TEXT", 1, ""),
+        ("main", "bal", "DOUBLE", 1, "")))
+
+    // auto_increment surfaces through EXTRA, recorded spelling through
+    // COLUMN_TYPE
+    SqlRouter.execute(e, "CREATE TABLE seqd (id INT NOT NULL AUTO_INCREMENT, " +
+      "tag VARCHAR(40), PRIMARY KEY (id))")
+    val seqd = rows(e,
+      """SELECT COLUMN_NAME, COLUMN_TYPE, COLUMN_KEY, EXTRA,
+        | CHARACTER_MAXIMUM_LENGTH
+        |FROM information_schema.columns
+        |WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = 'seqd'
+        |ORDER BY ORDINAL_POSITION""".stripMargin)
+    assert(seqd.map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3))) === Seq(("id", "int", "PRI", "auto_increment"),
+      ("tag", "varchar(40)", "", "")))
+    assert(seqd(1).getInt(4) === 40)
+
+    // getImportedKeys probes REFERENCED_TABLE_SCHEMA — present, empty
+    assert(rows(e,
+      """SELECT CONSTRAINT_NAME FROM information_schema.key_column_usage
+        |WHERE REFERENCED_TABLE_SCHEMA IS NOT NULL""".stripMargin).isEmpty)
+    // statistics respells table_schema too (getIndexInfo WHERE clause)
+    assert(rows(e,
+      """SELECT INDEX_NAME, COLUMN_NAME FROM information_schema.statistics
+        |WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = 'accounts'""".stripMargin)
+      === Seq(Row("PRIMARY", "id")))
+
+    // the PG-verbatim frames are untouched: a session without MySQL
+    // evidence keeps the spec'd 'public' convention
+    val pg = mkEngine("pgcat_mysql_is_pg")
+    assert(pg.sessionDialect.isEmpty)
+    assert(rows(pg,
+      """SELECT table_name FROM information_schema.tables
+        |WHERE table_schema = 'public' ORDER BY table_name""".stripMargin)
+      .map(_.getString(0)) === Seq("accounts", "notes", "rich_accounts"))
+  }
+
   test("regex-operator and cast rewrites are quote-aware (units)") {
     val e = new Engine(spark, tmpDir("pgcat_units"))
     // a tilde inside a string literal never rewrites

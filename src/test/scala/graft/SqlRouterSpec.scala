@@ -1193,6 +1193,38 @@ class SqlRouterSpec extends SparkSpec {
     }
   }
 
+  test("OUTFILE writes MySQL FIELDS ESCAPED BY encoding, byte-exact, and LOAD DATA decodes it") {
+    val e = new Engine(spark, tmpDir("router_outfile_esc"))
+    exec(e, "CREATE TABLE src (id BIGINT PRIMARY KEY, v STRING)")
+    // embedded tab, newline, backslash, NUL — every character the
+    // MySQL output rules escape (inserted via the table API so no SQL
+    // literal-escape layer sits between the test and the file)
+    e.table("src").insert(Seq(
+      (1L, "a\tb"), (2L, "l1\nl2"), (3L, "back\\slash"),
+      (4L, "z\u0000q")).toDF("id", "v"))
+    exec(e, "INSERT INTO src VALUES (5, NULL)")
+
+    val f = tmpDir("outfile_esc").resolve("t.tsv").toString
+    exec(e, s"SELECT id, v FROM src ORDER BY id INTO OUTFILE '$f'")
+    val bytes = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)), "UTF-8")
+    // MySQL writes escape + ACTUAL character (backslash+tab, backslash+
+    // newline), doubles the backslash, spells NUL as \0 and NULL as \N
+    assert(bytes ===
+      "1\ta\\\tb\n" +
+      "2\tl1\\\nl2\n" +
+      "3\tback\\\\slash\n" +
+      "4\tz\\0q\n" +
+      "5\t\\N\n")
+
+    // ...and LOAD DATA reads it back to the exact original state —
+    // including the record whose escaped newline spans physical lines
+    exec(e, "CREATE TABLE dst (id BIGINT PRIMARY KEY, v STRING)")
+    exec(e, s"LOAD DATA INFILE '$f' INTO TABLE dst")
+    assert(exec(e, "SELECT * FROM dst ORDER BY id").df.get.collect().toSeq
+      === exec(e, "SELECT * FROM src ORDER BY id").df.get.collect().toSeq)
+  }
+
   test("multi-table UPDATE/DELETE joins and tuple-SET route onto the CoW merge path") {
     val e = new Engine(spark, tmpDir("router_joindml"))
     exec(e, "CREATE TABLE acc (id BIGINT PRIMARY KEY, owner STRING, bal DOUBLE)")
@@ -1684,6 +1716,107 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "TRUNCATE mt")
     exec(e, "INSERT INTO mt (v) VALUES ('c')")
     assert(exec(e, "SELECT id FROM mt").df.get.as[Int].head() === 1)
+  }
+
+  test("unique indexes record and serve as ON CONFLICT arbiters") {
+    val e = new Engine(spark, tmpDir("router_unique"))
+    // mysqldump body form records the column set
+    exec(e, "CREATE TABLE u (id BIGINT PRIMARY KEY, email STRING, n INT, " +
+      "UNIQUE KEY uq_email (email))")
+    assert(e.table("u").uniqueIndexes === Map("uq_email" -> Seq("email")))
+    exec(e, "INSERT INTO u VALUES (1, 'a@x', 1), (2, 'b@x', 1)")
+
+    // conflict keyed on the unique column: the existing row KEEPS its
+    // primary key (PG semantics — only SET columns change)
+    val r = exec(e, "INSERT INTO u VALUES (9, 'a@x', 100), (3, 'c@x', 3) " +
+      "ON CONFLICT (email) DO UPDATE SET n = excluded.n RETURNING id, email, n")
+    assert(r.df.get.as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      === Seq((1L, "a@x", 100), (3L, "c@x", 3)))
+    assert(exec(e, "SELECT id, n FROM u ORDER BY id").df.get
+      .as[(Long, Int)].collect().toSeq === Seq((1L, 100), (2L, 1), (3L, 3)))
+
+    // DO NOTHING keyed on the unique column
+    val r2 = exec(e, "INSERT INTO u VALUES (10, 'b@x', 5), (4, 'd@x', 4) " +
+      "ON CONFLICT (email) DO NOTHING")
+    assert(r2.affected === 1)
+    assert(exec(e, "SELECT count(*) FROM u").df.get.as[Long].head() === 4)
+
+    // ON CONSTRAINT <name> resolves the recorded index by name
+    exec(e, "INSERT INTO u VALUES (11, 'd@x', 40) " +
+      "ON CONFLICT ON CONSTRAINT uq_email DO UPDATE SET n = excluded.n")
+    assert(exec(e, "SELECT id, n FROM u WHERE email = 'd@x'").df.get
+      .as[(Long, Int)].head() === ((4L, 40)))
+
+    // ALTER TABLE ADD CONSTRAINT UNIQUE + CREATE UNIQUE INDEX record;
+    // DROP INDEX (both spellings) unrecords; plain INDEX stays dropped
+    exec(e, "CREATE TABLE v (id BIGINT PRIMARY KEY, a INT, b INT)")
+    exec(e, "ALTER TABLE v ADD CONSTRAINT uq_ab UNIQUE (a, b)")
+    assert(e.table("v").uniqueIndexes === Map("uq_ab" -> Seq("a", "b")))
+    exec(e, "CREATE UNIQUE INDEX uq_b ON v USING btree (b)")
+    assert(e.table("v").uniqueIndexes.keySet === Set("uq_ab", "uq_b"))
+    exec(e, "CREATE INDEX plain_a ON v (a)")
+    assert(e.table("v").uniqueIndexes.keySet === Set("uq_ab", "uq_b"))
+    exec(e, "DROP INDEX uq_b ON v") // MySQL spelling
+    exec(e, "DROP INDEX uq_ab")     // PG spelling (scans the db)
+    assert(e.table("v").uniqueIndexes.isEmpty)
+
+    // a target that is neither the PK nor a recorded unique set still
+    // refuses loudly
+    val ex = intercept[IllegalArgumentException](
+      exec(e, "INSERT INTO v VALUES (1, 1, 1) ON CONFLICT (a) DO NOTHING"))
+    assert(ex.getMessage.contains("recorded unique index"))
+
+    // inline column attribute form
+    exec(e, "CREATE TABLE w (id BIGINT PRIMARY KEY, tag STRING UNIQUE)")
+    assert(e.table("w").uniqueIndexes === Map("tag_key" -> Seq("tag")))
+
+    // MariaDB-style multi-row exercise through the ODKU-equivalent
+    // spelling keeps working against the PK (regression guard)
+    exec(e, "INSERT INTO w VALUES (1, 'x') " +
+      "ON CONFLICT (id) DO UPDATE SET tag = excluded.tag")
+  }
+
+  test("bare-aliased single-table UPDATE/DELETE route without a join") {
+    val e = new Engine(spark, tmpDir("router_barealias"))
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, v INT)")
+    exec(e, "INSERT INTO t VALUES (1, 10), (2, 20), (3, 30)")
+    // UPDATE t AS x ... with alias-qualified refs everywhere
+    val u = exec(e, "UPDATE t AS x SET x.v = x.v + 1 WHERE x.id <= 2")
+    assert(u.affected === 2)
+    // implicit-alias spelling (no AS)
+    val u2 = exec(e, "UPDATE t x SET x.v = 0 WHERE x.id = 3")
+    assert(u2.affected === 1)
+    assert(exec(e, "SELECT v FROM t ORDER BY id").df.get
+      .as[Int].collect().toSeq === Seq(11, 21, 0))
+    // DELETE FROM t AS x / bare-alias form
+    assert(exec(e, "DELETE FROM t AS x WHERE x.id = 1").affected === 1)
+    assert(exec(e, "DELETE FROM t x WHERE x.v = 0").affected === 1)
+    assert(exec(e, "SELECT id FROM t").df.get.as[Long].collect().toSeq
+      === Seq(2L))
+  }
+
+  test("join-UPDATE multi-match collapse records a SHOW WARNINGS note") {
+    val e = new Engine(spark, tmpDir("router_fanout"))
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, v INT)")
+    exec(e, "CREATE TABLE m (mid BIGINT, tid BIGINT, dv INT)")
+    exec(e, "INSERT INTO t VALUES (1, 0), (2, 0)")
+    // two match rows for tid=1 — the collapse picks one, unspecified
+    exec(e, "INSERT INTO m VALUES (10, 1, 5), (11, 1, 7), (12, 2, 9)")
+    val r = exec(e, "UPDATE t JOIN m ON t.id = m.tid SET t.v = m.dv")
+    assert(r.affected === 2)
+    val warn = exec(e, "SHOW WARNINGS").df.get.collect()
+    assert(warn.length === 1)
+    assert(warn.head.getString(0) === "Note")
+    assert(warn.head.getString(2).contains("join matches collapsed"))
+    assert(exec(e, "SHOW COUNT(*) WARNINGS").df.get.as[Int].head() === 1)
+    // the surviving value is one of the match rows' values
+    val v1 = exec(e, "SELECT v FROM t WHERE id = 1").df.get.as[Int].head()
+    assert(v1 === 5 || v1 === 7)
+    assert(exec(e, "SELECT v FROM t WHERE id = 2").df.get.as[Int].head() === 9)
+    // a unique join leaves the diagnostics area clean (cleared by the
+    // next non-SHOW statement, and no new note recorded)
+    exec(e, "UPDATE t JOIN m ON t.id = m.tid AND m.mid = 12 SET t.v = 1")
+    assert(exec(e, "SHOW WARNINGS").df.get.collect().isEmpty)
   }
 
   test("session dialect flag: latest evidence wins and flips mid-session") {
