@@ -296,6 +296,50 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     if (db == currentDb) unregister(v)
   }
 
+  // ------------------------------------------------------------------
+  // User-defined types (PG CREATE TYPE ... AS ENUM / CREATE DOMAIN —
+  // the reference's DuckDB backend supports both; pg_dump replays
+  // them before the tables that use them). Persisted per warehouse as
+  // `_types.json`: name → kind :: payload list ("enum" :: values, or
+  // "domain" :: base type spelling). Columns typed with an enum store
+  // as STRING plus an auto CHECK over the value set; a domain column
+  // resolves to its base type (SqlRouter.resolveUserType).
+
+  /** name (lowercase) → (kind, payload). */
+  def userTypes: Map[String, (String, Seq[String])] = synchronized {
+    val f = warehouse.resolve("_types.json")
+    if (!Files.exists(f)) Map.empty
+    else mapper.readValue(Files.readAllBytes(f),
+      classOf[java.util.Map[String, java.util.List[String]]])
+      .asScala.map { case (k, v) =>
+        val l = v.asScala.toSeq
+        k -> (l.head, l.tail)
+      }.toMap
+  }
+
+  private def writeTypes(ts: Map[String, (String, Seq[String])]): Unit = {
+    val enc = ts.map { case (k, (kind, payload)) =>
+      k -> (kind +: payload).asJava
+    }
+    writeJsonAtomic(warehouse.resolve("_types.json"), enc.asJava)
+  }
+
+  def createEnumType(name: String, values: Seq[String]): Unit = synchronized {
+    writeTypes(userTypes + (name.toLowerCase -> ("enum", values)))
+  }
+
+  def createDomainType(name: String, base: String): Unit = synchronized {
+    writeTypes(userTypes + (name.toLowerCase -> ("domain", Seq(base))))
+  }
+
+  /** DROP TYPE/DOMAIN; false when the name is unknown. */
+  def dropUserType(name: String): Boolean = synchronized {
+    val ts = userTypes
+    val k = name.toLowerCase
+    if (!ts.contains(k)) false
+    else { writeTypes(ts - k); true }
+  }
+
   /** Catalog-file write discipline: tmp + atomic move (a crash mid-
     * write must never leave a truncated _views/_vars.json — every
     * statement in the db would then fail parsing it), read-modify-write

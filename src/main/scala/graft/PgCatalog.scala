@@ -155,7 +155,8 @@ object PgCatalog {
   private final case class Rel(oid: Long, nspOid: Long, nspname: String,
       name: String, kind: String, schema: StructType, pk: Seq[String],
       checks: Int, autoinc: Set[String], defaults: Map[String, String],
-      viewDef: Option[String], pkIndexOid: Long)
+      viewDef: Option[String], pkIndexOid: Long,
+      uniques: Map[String, Seq[String]] = Map.empty)
 
   private final case class Snapshot(namespaces: Seq[(Long, String, Long, String)],
       rels: Seq[Rel])
@@ -193,7 +194,9 @@ object PgCatalog {
             .map(_.stripPrefix("autoinc.")).toSet,
           m.props.collect { case (k, v) if k.startsWith("default.") =>
             k.stripPrefix("default.") -> v },
-          None, pkOid)
+          None, pkOid,
+          m.props.collect { case (k, v) if k.startsWith("unique.") =>
+            k.stripPrefix("unique.") -> v.split(',').map(_.trim).toSeq })
         if (pkOid != 0L)
           rels += Rel(pkOid, nspOid, nspname, s"${t}_pkey", "i",
             new StructType(), Nil, 0, Set.empty, Map.empty, None, 0L)
@@ -484,7 +487,10 @@ object PgCatalog {
               Seq(Row(dbOf(engine, r), r.nspname, s"${r.name}_pkey",
                 r.nspname, r.name, "PRIMARY KEY"))
             else Nil
-            pk ++ (0 until r.checks).map(i =>
+            val uq = r.uniques.keys.toSeq.sorted.map(nm =>
+              Row(dbOf(engine, r), r.nspname, nm, r.nspname, r.name,
+                "UNIQUE"))
+            pk ++ uq ++ (0 until r.checks).map(i =>
               Row(dbOf(engine, r), r.nspname, s"${r.name}_check_$i",
                 r.nspname, r.name, "CHECK"))
           })
@@ -493,10 +499,15 @@ object PgCatalog {
         mk(spark, ddl("constraint_catalog STRING, constraint_schema STRING, " +
           "constraint_name STRING, table_schema STRING, table_name STRING, " +
           "column_name STRING, ordinal_position INT"),
-          snap.rels.filter(r => r.kind == "r" && r.pk.nonEmpty).flatMap { r =>
+          snap.rels.filter(_.kind == "r").flatMap { r =>
             r.pk.zipWithIndex.map { case (c, i) =>
               Row(dbOf(engine, r), r.nspname, s"${r.name}_pkey",
                 r.nspname, r.name, c, i + 1)
+            } ++ r.uniques.toSeq.sortBy(_._1).flatMap { case (nm, cols) =>
+              cols.zipWithIndex.map { case (c, i) =>
+                Row(dbOf(engine, r), r.nspname, nm, r.nspname, r.name,
+                  c, i + 1)
+              }
             }
           })
 
@@ -509,10 +520,17 @@ object PgCatalog {
           "table_name STRING, non_unique INT, index_schema STRING, " +
           "index_name STRING, seq_in_index INT, column_name STRING, " +
           "collation STRING, cardinality BIGINT, index_type STRING"),
-          snap.rels.filter(r => r.kind == "r" && r.pk.nonEmpty).flatMap { r =>
+          snap.rels.filter(_.kind == "r").flatMap { r =>
             r.pk.zipWithIndex.map { case (c, i) =>
               Row(dbOf(engine, r), r.nspname, r.name, 0, r.nspname,
                 "PRIMARY", i + 1, c, "A", null, "btree-analog")
+            } ++ r.uniques.toSeq.sortBy(_._1).flatMap { case (nm, cols) =>
+              // recorded unique indexes (A21 round-10) list alongside
+              // the PK — what getIndexInfo(unique=true) reads
+              cols.zipWithIndex.map { case (c, i) =>
+                Row(dbOf(engine, r), r.nspname, r.name, 0, r.nspname,
+                  nm, i + 1, c, "A", null, "btree-analog")
+              }
             }
           })
 

@@ -113,12 +113,17 @@ object ScaleBench {
       val sets = cs.select(col("doc_id").as("__id"), col("cs").as("__cs"),
         size(col("cs")).as("__len"))
       val prefixMass = Operators.prefixCandidateMass(sets, 0.5)
+      // round-10: the POST-filter survivor count too — the pairs that
+      // actually reach verify after the in-join length/positional
+      // conjuncts, vs the Σ df² upper bound above
+      val survivors = Operators.prefixSurvivorCount(sets, 0.5)
       val lshMass = Operators.minHashBands(cs, "doc_id", "cs")
         .groupBy(col("band"), col("v")).count()
         .agg(sum(expr("count * (count - 1) / 2")).cast("long")).collect()(0)
         .getLong(0)
       println(s"""{"op":"mass","factor":$f,"n":$n,"brute":${n * (n - 1) / 2},""" +
-        s""""prefix05":$prefixMass,"lsh_buckets":$lshMass}""")
+        s""""prefix05":$prefixMass,"prefix05_survivors":$survivors,""" +
+        s""""lsh_buckets":$lshMass}""")
 
       timed("lsh_pairs", f)(lshPairs(cs))
       timed("ppjoin05", f)(
@@ -136,12 +141,38 @@ object ScaleBench {
       timed("cos_pruned04", f)(
         SimilarityOps.exactCosinePairsPruned(
           embs, "vec_id", "embedding", threshold = 0.4, k = 8, iters = 2))
+      // round-10: the same operator with cells RETUNED per factor —
+      // k ≈ √n (the standard IVF sizing) instead of the fixed 8 the
+      // fixed-k curve pays for at 10×; the delta is what per-scale
+      // tuning buys
+      val nEmb = embs.count()
+      val kTuned = math.max(8, math.round(math.sqrt(nEmb.toDouble)).toInt)
+      timed(s"cos_pruned04_k$kTuned", f)(
+        SimilarityOps.exactCosinePairsPruned(
+          embs, "vec_id", "embedding", threshold = 0.4, k = kTuned, iters = 2))
       timed("emb_clusters", f)(
         Operators.connectedComponents(
           SimilarityOps.exactCosinePairsPruned(
             embs, "vec_id", "embedding", threshold = 0.4, k = 8, iters = 2)
             .select(col("a_id"), col("b_id")),
           "a_id", "b_id", maxIter = 50))
+    }
+
+    // round-10: one factor-20 point for the headline LSH path alone —
+    // the other ops are bounded per factor, this one extends the
+    // sub-quadratic curve a doubling further
+    if (args.isEmpty) {
+      val f = 20
+      val cs = scaledDocs(f).select(col("doc_id"),
+        expr("shingle_code_set(text)").as("cs")).localCheckpoint(true)
+      val n = cs.count()
+      val lshMass = Operators.minHashBands(cs, "doc_id", "cs")
+        .groupBy(col("band"), col("v")).count()
+        .agg(sum(expr("count * (count - 1) / 2")).cast("long")).collect()(0)
+        .getLong(0)
+      println(s"""{"op":"mass","factor":$f,"n":$n,"brute":${n * (n - 1) / 2},""" +
+        s""""lsh_buckets":$lshMass}""")
+      timed("lsh_pairs", f)(lshPairs(cs))
     }
     spark.stop()
   }

@@ -217,6 +217,21 @@ object SqlRouter {
   // form falls through to DeleteJoinStmt via the arm's guard.
   private val Delete =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)(\s+\S.*)?\s*""".r
+  // MySQL server-maintenance statements clients and maintenance
+  // scripts emit (mysqldump --flush-logs/--flush-privileges preambles,
+  // mysqlcheck, replication cutover scripts): FLUSH and KILL have no
+  // engine analog and accept as no-ops like the reference's GMS layer;
+  // CHECK TABLE answers the 4-column OK frame; CHECKSUM TABLE computes
+  // an engine-defined checksum (MySQL documents checksums as
+  // version/engine-specific — only same-engine comparisons are
+  // meaningful, which this satisfies deterministically)
+  private val FlushStmt = """(?is)\s*FLUSH\s+\S.*""".r
+  private val KillStmt =
+    """(?is)\s*KILL\s+(?:QUERY\s+|CONNECTION\s+)?\d+\s*""".r
+  private val CheckTableStmt =
+    """(?is)\s*CHECK\s+TABLE\s+([\w.`]+(?:\s*,\s*[\w.`]+)*)((?:\s+(?:FOR\s+UPGRADE|QUICK|FAST|MEDIUM|EXTENDED|CHANGED))*)\s*""".r
+  private val ChecksumTableStmt =
+    """(?is)\s*CHECKSUM\s+TABLES?\s+([\w.`]+(?:\s*,\s*[\w.`]+)*)\s*(?:QUICK|EXTENDED)?\s*""".r
   // PG truncates several tables in one statement and can reset the
   // identity counters: TRUNCATE a, b RESTART IDENTITY CASCADE
   private val Truncate =
@@ -269,6 +284,20 @@ object SqlRouter {
   private val SequenceDdl =
     """(?is)\s*(?:CREATE|ALTER|DROP)\s+SEQUENCE\s+.*""".r
   private val CommentOn = """(?is)\s*COMMENT\s+ON\s+.*""".r
+  // PG user-defined types (the reference's DuckDB backend supports
+  // both; pg_dump replays them before the tables that use them):
+  // enums map onto STRING + an auto CHECK over the value set, domains
+  // onto their base type. Extensions have no engine analog — accepted
+  // like the other pg_dump pre/post-data statements so a dump with
+  // `CREATE EXTENSION IF NOT EXISTS plpgsql` never aborts mid-replay.
+  private val CreateEnumType =
+    """(?is)\s*CREATE\s+TYPE\s+([\w.]+)\s+AS\s+ENUM\s*\((.*)\)\s*""".r
+  private val CreateDomainStmt =
+    """(?is)\s*CREATE\s+DOMAIN\s+([\w.]+)\s+(?:AS\s+)?(\w+(?:\s+precision|\s+varying)?(?:\s*\([\d\s,]*\))?).*""".r
+  private val DropTypeStmt =
+    """(?is)\s*DROP\s+(?:TYPE|DOMAIN)\s+(IF\s+EXISTS\s+)?([\w.]+)\s*(?:CASCADE|RESTRICT)?\s*""".r
+  private val ExtensionDdl =
+    """(?is)\s*(?:CREATE|DROP|ALTER)\s+EXTENSION\b.*""".r
   private val GrantRevoke = """(?is)\s*(?:GRANT|REVOKE)\s+.*""".r
   private val CreateSchema =
     """(?is)\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(?:AUTHORIZATION\s+.*)?""".r
@@ -944,7 +973,7 @@ object SqlRouter {
     case CreateTable(ifNotExists, name, colsAndPk, opts) =>
       if (ifNotExists != null && tableExists(engine, name)) ddl
       else {
-        val (schema, pk, props0) = parseColumns(colsAndPk)
+        val (schema, pk, props0) = parseColumns(engine, colsAndPk)
         // counter seed: identity START WITH from the column body, or
         // mysqldump's AUTO_INCREMENT=n table option (how a dump
         // restores id continuity)
@@ -959,6 +988,33 @@ object SqlRouter {
         ddl
       }
     case LockTables() => ddl
+    case FlushStmt() => ddl // privileges/logs/tables: no engine analog
+    case KillStmt() => ddl  // session cancel: statements run to completion
+    case CheckTableStmt(names, _) =>
+      val sp = engine.spark
+      import sp.implicits._
+      val rows = names.split(',').map(_.trim.replace("`", "")).map { n =>
+        engine.table(n) // a missing table errors, like the real server
+        val qual = if (n.contains('.')) n else s"${engine.currentDatabase}.$n"
+        (qual, "check", "status", "OK")
+      }
+      Result(Some(rows.toSeq.toDF("Table", "Op", "Msg_type", "Msg_text")), 0L)
+    case ChecksumTableStmt(names) =>
+      // order-independent 32-bit fold of xxhash64 over full row images:
+      // distributed, deterministic for a given table state, and equal
+      // across two graft replicas holding the same rows (the use case)
+      val sp = engine.spark
+      import sp.implicits._
+      val rows = names.split(',').map(_.trim.replace("`", "")).map { n =>
+        val df = engine.table(n).read()
+        val cols = df.columns.map(c => s"`$c`").mkString(", ")
+        val h = df.selectExpr(
+          s"coalesce(sum(pmod(xxhash64($cols), 4294967296)) % 4294967296, 0)")
+          .head().getLong(0)
+        val qual = if (n.contains('.')) n else s"${engine.currentDatabase}.$n"
+        (qual, h)
+      }
+      Result(Some(rows.toSeq.toDF("Table", "Checksum")), 0L)
     case DropTable(ifExists, name) =>
       if (ifExists != null && !tableExists(engine, name)) ddl
       else { engine.dropTable(name); ddl }
@@ -1113,10 +1169,20 @@ object SqlRouter {
     // regex that could bite inside a string literal
     case s0 if splitOnDup(s0).exists(p => Insert.matches(p._1)) =>
       val (head, setList0) = splitOnDup(s0).get
-      val Insert(name, colList, rest) = head: @unchecked
+      val Insert(name, colList, rest0) = head: @unchecked
       val t = engine.table(name)
+      // MySQL 8.0.19+ row alias (`VALUES (...) AS new [(a, b)]`) — the
+      // modern spelling that replaces the deprecated VALUES(c): the
+      // alias comes off the source tail and its references fold to the
+      // same __new_<c> convention
+      val (rest, rowAlias) = splitRowAlias(rest0)
       // a MariaDB 10.5+ RETURNING tail rides after the ODKU set list
-      val (setList, returning) = splitReturning(setList0)
+      val (setList1, returning) = splitReturning(setList0)
+      val setList = rowAlias.fold(setList1) { case (al, colAliases) =>
+        rewriteRowAliasRefs(setList1, al, colAliases,
+          Option(colList).map(_.split(',').map(_.trim).toSeq)
+            .getOrElse(t.manifest.schema.fieldNames.toSeq))
+      }
       // MySQL's VALUES(c) refers to the incoming row → the joined
       // frame's __new_<c>; bare names stay the existing row's columns.
       // The rewrite is quote-aware too: a literal 'VALUES(x)' survives.
@@ -1609,15 +1675,22 @@ object SqlRouter {
       // clustering metadata surfaces as the scan-acceleration analog
       val sp = engine.spark
       import sp.implicits._
-      val m = engine.table(name).manifest
+      val t0 = engine.table(name)
+      val m = t0.manifest
       val pkRows = m.pkCols.zipWithIndex.map { case (c, i) =>
         (name.split('.').last, "PRIMARY", i + 1, c, "btree-analog")
+      }
+      // recorded unique column sets (A21 round-10) list alongside
+      val uqRows = t0.uniqueIndexes.toSeq.sortBy(_._1).flatMap {
+        case (nm, cols) => cols.zipWithIndex.map { case (c, i) =>
+          (name.split('.').last, nm, i + 1, c, "btree-analog")
+        }
       }
       val clustered = m.props.get("layout.clusterBy").toSeq.flatMap(
         _.split(',').zipWithIndex.map { case (c, i) =>
           (name.split('.').last, "CLUSTERING", i + 1, c.trim, "file-skipping")
         })
-      Result(Some((pkRows ++ clustered).toDF(
+      Result(Some((pkRows ++ uqRows ++ clustered).toDF(
         "table_name", "key_name", "seq_in_index", "column_name", "index_type")), 0L)
     case ShowVariables(like) =>
       val sp = engine.spark
@@ -1712,13 +1785,20 @@ object SqlRouter {
           s"unsupported column attributes: $other")
       }
       val t = engine.table(name)
+      val userTyA = resolveUserType(engine, colType)
       t.addColumn(colName,
-        StructType.fromDDL(s"x $colType").head.dataType,
+        userTyA.map(_._1).getOrElse(
+          StructType.fromDDL(s"x $colType").head.dataType),
         nullable = gen.isEmpty && !notNull,
         defaultSql = gen.orElse(default.map(_.trim)))
       gen.foreach(g => graft.storage.Manifest.commit(t.path,
         t.manifest.copy(props =
           t.manifest.props + (s"generated.$colName" -> g))))
+      userTyA.collect { case (_, values) if values.nonEmpty =>
+        graft.storage.Manifest.commit(t.path, t.manifest.copy(props =
+          t.manifest.props +
+            (s"check.enum_$colName" -> enumCheck(colName, values))))
+      }
       ddl
     case AlterAddPk(name, cols) =>
       val t = engine.table(name)
@@ -1859,6 +1939,21 @@ object SqlRouter {
       }
       ddl
     case OwnerTo() => ddl // ownership metadata: accepted, dropped
+    case CreateEnumType(name, valueList) =>
+      val values = splitTop(valueList).map(_.trim).filter(_.nonEmpty)
+        .map(v => v.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+      require(values.nonEmpty, s"CREATE TYPE $name AS ENUM needs values")
+      engine.createEnumType(name.split('.').last, values)
+      ddl
+    case CreateDomainStmt(name, base) =>
+      engine.createDomainType(name.split('.').last, base.trim)
+      ddl
+    case DropTypeStmt(ifExists, name) =>
+      val dropped = engine.dropUserType(name.split('.').last)
+      if (!dropped && ifExists == null) throw new IllegalArgumentException(
+        s"""type "$name" does not exist""")
+      ddl
+    case ExtensionDdl() => ddl
     case SequenceDdl() => ddl // sequence objects live as autoinc props
     case CommentOn() => ddl
     case GrantRevoke() => ddl // ACLs: no engine analog
@@ -2872,8 +2967,12 @@ object SqlRouter {
           else if (sep == "TO") engine.observeDialect("pg") // SET x TO y
         }
       case "DISCARD" => engine.observeDialect("pg")
-      case "LOCK" | "UNLOCK" =>
-        if (head.toUpperCase.contains("TABLES")) engine.observeDialect("mysql")
+      case "FLUSH" | "CHECKSUM" => engine.observeDialect("mysql")
+      case "KILL" => engine.observeDialect("mysql")
+      case "LOCK" | "UNLOCK" | "CHECK" =>
+        if (head.toUpperCase.contains("TABLES") ||
+          head.regionMatches(true, 0, "CHECK TABLE", 0, 11))
+          engine.observeDialect("mysql")
       case "SHOW" =>
         val rest = head.drop(4).trim.takeWhile(!_.isWhitespace).toUpperCase
         if (Set("VARIABLES", "WARNINGS", "ERRORS", "GRANTS", "ENGINES",
@@ -3079,7 +3178,34 @@ object SqlRouter {
       engine.table(table).addUniqueIndex(nm, cs)
     }
 
-  private def parseColumns(body: String)
+  /** Resolve a declared type against the user-type registry: enum →
+    * (StringType, its values — the caller adds the CHECK), domain →
+    * (its base type, Nil). None for every built-in spelling. */
+  private def resolveUserType(engine: Engine, tpe: String)
+      : Option[(org.apache.spark.sql.types.DataType, Seq[String])] = {
+    val base = tpe.toLowerCase.replaceAll("\\s*\\([^)]*\\)", "").trim
+      .split('.').last
+    engine.userTypes.get(base).map {
+      case ("enum", values) =>
+        (org.apache.spark.sql.types.StringType, values)
+      case ("domain", Seq(b)) =>
+        val dt =
+          try StructType.fromDDL(s"x $b").head.dataType
+          catch { case _: Exception =>
+            graft.types.TypeMapper.toSpark(b).dataType }
+        (dt, Nil)
+      case (kind, _) => throw new IllegalArgumentException(
+        s"unsupported user type kind $kind for $base")
+    }
+  }
+
+  /** The auto CHECK an enum-typed column carries (PG enforces the
+    * value set; the engine's CHECK machinery is the analog). */
+  private def enumCheck(name: String, values: Seq[String]): String =
+    s"`$name` IS NULL OR `$name` IN (" +
+      values.map(v => "'" + v.replace("'", "''") + "'").mkString(", ") + ")"
+
+  private def parseColumns(engine: Engine, body: String)
       : (StructType, Seq[String], Map[String, String]) = {
     val parts = splitTop(body).map(_.trim).filter(_.nonEmpty)
     val (pkParts, rest) = parts.partition(
@@ -3156,8 +3282,15 @@ object SqlRouter {
           case _ => None
         }
         serialType.foreach(_ => defaults += s"autoinc.$name" -> "true")
+        val userTy = if (serialType.isDefined) None
+          else resolveUserType(engine, tbase)
+        userTy.collect { case (_, values) if values.nonEmpty =>
+          // enum columns carry PG's value-set enforcement as a CHECK
+          defaults += s"check.enum_$name" -> enumCheck(name, values)
+        }
         val dt =
           if (serialType.isDefined) serialType.get
+          else if (userTy.isDefined) userTy.get._1
           else if (tbase == "timestamp" && a.startsWith("WITHOUT TIME ZONE"))
             org.apache.spark.sql.types.TimestampNTZType
           else if (tbase == "timestamp" && a.startsWith("WITH TIME ZONE"))
@@ -3287,6 +3420,73 @@ object SqlRouter {
       }
     }
     out.toString
+  }
+
+  /** MySQL 8.0.19 row alias: a TRAILING `AS alias [(colAliases)]` on a
+    * VALUES insert source comes off (quote-aware — found on a masked
+    * copy, sliced from the original). Returns (source without the
+    * alias tail, Some(alias, colAliases)). Only VALUES heads qualify:
+    * a SELECT source legitimately ends in a column `AS x`. */
+  private[graft] def splitRowAlias(rest: String)
+      : (String, Option[(String, Seq[String])]) = {
+    val headWord = rest.dropWhile(_.isWhitespace)
+      .takeWhile(_.isLetter).toUpperCase
+    if (headWord != "VALUES" && headWord != "VALUE") return (rest, None)
+    // mask non-code spans so AS inside a string literal never matches
+    val masked = {
+      val b = new StringBuilder(rest)
+      SqlText.spans(rest, dollarQuotes = false).foreach { sp =>
+        if (sp.kind != SqlText.Code)
+          for (i <- sp.start until sp.end) b.setCharAt(i, ' ')
+      }
+      b.toString
+    }
+    val m = java.util.regex.Pattern.compile(
+      "(?is)\\)\\s*AS\\s+([A-Za-z_]\\w*)\\s*(?:\\(\\s*([\\w\\s,]+?)\\s*\\))?\\s*$")
+      .matcher(masked)
+    if (!m.find()) return (rest, None)
+    val alias = m.group(1)
+    val colAliases = Option(m.group(2)).map(
+      _.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    (rest.substring(0, m.start() + 1), Some((alias, colAliases)))
+  }
+
+  /** Fold row-alias references in an ODKU set list to the __new_<c>
+    * convention: `alias.c` → `__new_c`; with column aliases
+    * (`AS new(x, y)`), both `alias.x` and BARE `x` map positionally
+    * onto the insert columns (MySQL gives the alias precedence over
+    * same-named table columns in the ODKU clause). Quote-aware. */
+  private[graft] def rewriteRowAliasRefs(setList: String, alias: String,
+      colAliases: Seq[String], insertCols: Seq[String]): String = {
+    var s = setList
+    def spanReplace(regex: scala.util.matching.Regex,
+        to: scala.util.matching.Regex.Match => String): Unit = {
+      val b = new StringBuilder
+      SqlText.spans(s, dollarQuotes = false).foreach { sp =>
+        val seg = s.substring(sp.start, sp.end)
+        if (sp.kind != SqlText.Code) b.append(seg)
+        else b.append(regex.replaceAllIn(seg,
+          m => java.util.regex.Matcher.quoteReplacement(to(m))))
+      }
+      s = b.toString
+    }
+    // AS new(x, y): x, y map positionally onto the insert column list
+    val aliasMap: Map[String, String] = colAliases.zipWithIndex.collect {
+      case (a, i) if i < insertCols.length => a.toLowerCase -> insertCols(i)
+    }.toMap
+    // alias.c → __new_<real>; without column aliases c IS the column
+    spanReplace(("(?i)(?<![A-Za-z0-9_$.`])" +
+      java.util.regex.Pattern.quote(alias) + "\\.(\\w+)").r,
+      m => "__new_" + aliasMap.getOrElse(m.group(1).toLowerCase, m.group(1)))
+    // bare column aliases (defined only by the col-alias form); the
+    // `_`-excluding lookbehind keeps already-rewritten __new_<c>
+    // occurrences stable
+    aliasMap.foreach { case (a, real) =>
+      spanReplace(("(?i)(?<![A-Za-z0-9_$.`])" +
+        java.util.regex.Pattern.quote(a) + "(?![A-Za-z0-9_$])").r,
+        _ => "__new_" + real)
+    }
+    s
   }
 
   private[graft] def rewriteValuesRefs(s: String): String = {

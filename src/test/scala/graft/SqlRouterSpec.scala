@@ -1770,6 +1770,21 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "CREATE TABLE w (id BIGINT PRIMARY KEY, tag STRING UNIQUE)")
     assert(e.table("w").uniqueIndexes === Map("tag_key" -> Seq("tag")))
 
+    // recorded indexes surface through the introspection surfaces
+    val idx = exec(e, "SHOW INDEX FROM u").df.get.collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getString(3))).toSeq
+    assert(idx.contains(("PRIMARY", 1, "id")))
+    assert(idx.contains(("uq_email", 1, "email")))
+    assert(exec(e,
+      """SELECT index_name, column_name FROM information_schema.statistics
+        |WHERE table_name = 'u' ORDER BY index_name""".stripMargin)
+      .df.get.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("PRIMARY", "id"), ("uq_email", "email")))
+    assert(exec(e,
+      """SELECT constraint_name FROM information_schema.table_constraints
+        |WHERE table_name = 'u' AND constraint_type = 'UNIQUE'""".stripMargin)
+      .df.get.collect().map(_.getString(0)).toSeq === Seq("uq_email"))
+
     // MariaDB-style multi-row exercise through the ODKU-equivalent
     // spelling keeps working against the PK (regression guard)
     exec(e, "INSERT INTO w VALUES (1, 'x') " +
@@ -1793,6 +1808,81 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "DELETE FROM t x WHERE x.v = 0").affected === 1)
     assert(exec(e, "SELECT id FROM t").df.get.as[Long].collect().toSeq
       === Seq(2L))
+  }
+
+  test("PG user types: CREATE TYPE AS ENUM / CREATE DOMAIN / extension DDL replay") {
+    val e = new Engine(spark, tmpDir("router_usertypes"))
+    // the pg_dump preamble lines that used to abort a replay
+    exec(e, "CREATE EXTENSION IF NOT EXISTS plpgsql WITH SCHEMA pg_catalog")
+    exec(e, "COMMENT ON EXTENSION plpgsql IS 'PL/pgSQL procedural language'")
+
+    exec(e, "CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    exec(e, "CREATE DOMAIN posint AS integer")
+    exec(e, "CREATE TABLE moods (id BIGINT PRIMARY KEY, m mood, n posint)")
+    exec(e, "INSERT INTO moods VALUES (1, 'happy', 5), (2, NULL, 7)")
+    assert(exec(e, "SELECT m FROM moods WHERE id = 1").df.get
+      .as[String].head() === "happy")
+    // the enum's value set enforces through the CHECK machinery
+    intercept[Exception](exec(e, "INSERT INTO moods VALUES (3, 'angry', 1)"))
+    // the domain resolved to its base type at column creation
+    assert(e.table("moods").schema("n").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+
+    // DROP TYPE: gone-ness errors without IF EXISTS; columns already
+    // typed keep their storage type and check
+    exec(e, "DROP TYPE mood CASCADE")
+    intercept[IllegalArgumentException](exec(e, "DROP TYPE mood"))
+    exec(e, "DROP TYPE IF EXISTS mood")
+    intercept[Exception](exec(e, "INSERT INTO moods VALUES (3, 'angry', 1)"))
+
+    // ALTER ADD with a user enum type records the check too
+    exec(e, "CREATE TYPE shirt_size AS ENUM ('s', 'm', 'l')")
+    exec(e, "ALTER TABLE moods ADD COLUMN sz shirt_size")
+    exec(e, "INSERT INTO moods VALUES (4, NULL, 1, 'm')")
+    intercept[Exception](
+      exec(e, "INSERT INTO moods VALUES (5, NULL, 1, 'xl')"))
+    assert(exec(e, "SELECT count(*) FROM moods").df.get.as[Long].head() === 3)
+  }
+
+  test("MySQL 8.0.19 row-alias ODKU and maintenance statements") {
+    val e = new Engine(spark, tmpDir("router_rowalias"))
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, a INT, b INT)")
+    exec(e, "INSERT INTO t VALUES (1, 10, 100)")
+
+    // plain row alias: alias.col is the incoming row (the modern
+    // replacement for the deprecated VALUES(col))
+    val r = exec(e, "INSERT INTO t VALUES (1, 20, 200), (2, 2, 2) AS new " +
+      "ON DUPLICATE KEY UPDATE a = new.a, b = b + new.b")
+    assert(r.affected === 3) // 2 per update + 1 per insert
+    assert(exec(e, "SELECT a, b FROM t WHERE id = 1").df.get
+      .as[(Int, Int)].head() === ((20, 300)))
+    assert(exec(e, "SELECT a, b FROM t WHERE id = 2").df.get
+      .as[(Int, Int)].head() === ((2, 2)))
+
+    // column aliases: bare alias names map positionally onto the
+    // insert column list; alias.colAlias works too
+    exec(e, "INSERT INTO t (id, a, b) VALUES (1, 7, 70) AS new(nid, na, nb) " +
+      "ON DUPLICATE KEY UPDATE a = na, b = new.nb")
+    assert(exec(e, "SELECT a, b FROM t WHERE id = 1").df.get
+      .as[(Int, Int)].head() === ((7, 70)))
+    // a string literal containing ' AS new' stays inert
+    exec(e, "INSERT INTO t VALUES (5, 1, 1) " +
+      "ON DUPLICATE KEY UPDATE a = a") // control: no alias parsed
+    assert(exec(e, "SELECT count(*) FROM t").df.get.as[Long].head() === 3)
+
+    // maintenance statements (mysqldump/mysqlcheck surface)
+    exec(e, "FLUSH PRIVILEGES")
+    exec(e, "FLUSH LOCAL LOGS")
+    exec(e, "KILL QUERY 42")
+    val chk = exec(e, "CHECK TABLE t").df.get.collect()
+    assert(chk.length === 1)
+    assert(chk.head.getString(2) === "status" && chk.head.getString(3) === "OK")
+    val cs1 = exec(e, "CHECKSUM TABLE t").df.get.collect().head.getLong(1)
+    assert(cs1 === exec(e, "CHECKSUM TABLE t").df.get.collect().head.getLong(1))
+    exec(e, "INSERT INTO t VALUES (9, 9, 9)")
+    assert(exec(e, "CHECKSUM TABLE t").df.get.collect().head.getLong(1) !== cs1)
+    // missing table errors loudly, like the real server
+    intercept[Exception](exec(e, "CHECK TABLE nope"))
   }
 
   test("join-UPDATE multi-match collapse records a SHOW WARNINGS note") {
