@@ -333,7 +333,11 @@ object SqlRouter {
   private val CreateIndexStmt =
     """(?is)\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+NOT\s+EXISTS\s+)?([\w."]*)\s*ON\s+(?:ONLY\s+)?([\w."]+)\s*(?:USING\s+\w+\s*)?(?:\(([^)]*)\))?.*""".r
   private val DropIndexStmt =
-    """(?is)\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+EXISTS\s+)?([\w."]+)\s*(?:ON\s+([\w."]+))?\s*(?:CASCADE|RESTRICT)?\s*""".r
+    """(?is)\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+EXISTS\s+)?([\w."]+)\s*(?:ON\s+([\w."]+))?(?:\s+(?:ALGORITHM|LOCK)\s*=?\s*\w+)*\s*(?:CASCADE|RESTRICT)?\s*""".r
+  // the pre-round-10 catch-all: spellings the strict form above misses
+  // (ALGORITHM=/LOCK= online-DDL tails, multi-index drops) stay
+  // accepted-and-dropped rather than regressing to a Catalyst error
+  private val DropIndexAny = """(?is)\s*DROP\s+INDEX\s+.*""".r
   // ALTER TABLE t ADD [CONSTRAINT nm] UNIQUE [KEY|INDEX] [nm] (cols)
   private val AlterAddUnique =
     """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w."]+)\s+ADD\s+(?:CONSTRAINT\s+([\w."]+)\s+)?UNIQUE\s*(?:KEY\s+|INDEX\s+)?([\w."]+)?\s*\(([^)]*)\)\s*""".r
@@ -1110,14 +1114,23 @@ object SqlRouter {
                   s"ON CONFLICT target ($tg) must be the primary key " +
                     s"(${m.pkCols.mkString(", ")}) or a recorded unique index"))
             case (None, Some(nm0)) =>
-              val nm = nm0.stripPrefix("\"").stripSuffix("\"")
-              if (nm.equalsIgnoreCase(s"${t.path.getFileName}_pkey") ||
-                nm.toLowerCase.endsWith("_pkey")) m.pkCols
-              else t.uniqueIndexes.getOrElse(nm,
-                t.uniqueIndexes.find(_._1.equalsIgnoreCase(nm)).map(_._2)
-                  .getOrElse(throw new IllegalArgumentException(
-                    s"ON CONFLICT ON CONSTRAINT $nm: no such recorded " +
-                      "unique constraint")))
+              // exact resolution only (PG errors on unknown constraint
+              // names): a recorded unique index by name first, then
+              // THIS table's auto-named PK constraint — never a
+              // suffix guess that could silently key on the wrong
+              // arbiter
+              val nm = nm0.split('.').last
+                .stripPrefix("\"").stripSuffix("\"")
+              val bareTable = name.split('.').last
+              t.uniqueIndexes.get(nm)
+                .orElse(t.uniqueIndexes.find(_._1.equalsIgnoreCase(nm))
+                  .map(_._2))
+                .getOrElse {
+                  if (nm.equalsIgnoreCase(s"${bareTable}_pkey") &&
+                    m.pkCols.nonEmpty) m.pkCols
+                  else throw new IllegalArgumentException(
+                    s"""constraint "$nm" for table "$bareTable" does not exist""")
+                }
             case _ => m.pkCols
           }
           val pk = arbiter
@@ -1177,18 +1190,22 @@ object SqlRouter {
       // same __new_<c> convention
       val (rest, rowAlias) = splitRowAlias(rest0)
       // a MariaDB 10.5+ RETURNING tail rides after the ODKU set list
-      val (setList1, returning) = splitReturning(setList0)
-      val setList = rowAlias.fold(setList1) { case (al, colAliases) =>
-        rewriteRowAliasRefs(setList1, al, colAliases,
-          Option(colList).map(_.split(',').map(_.trim).toSeq)
-            .getOrElse(t.manifest.schema.fieldNames.toSeq))
-      }
+      val (setList, returning) = splitReturning(setList0)
+      val insertCols = Option(colList)
+        .map(_.split(',').map(_.trim).toSeq)
+        .getOrElse(t.manifest.schema.fieldNames.toSeq)
       // MySQL's VALUES(c) refers to the incoming row → the joined
       // frame's __new_<c>; bare names stay the existing row's columns.
       // The rewrite is quote-aware too: a literal 'VALUES(x)' survives.
+      // Row-alias references rewrite on the RHS ONLY — the assignment
+      // TARGET is always a real column, even when a column alias
+      // shadows its name (`AS n(a) ... UPDATE a = a + 1`).
       val sets = splitTop(setList).map { kv =>
         val Array(k, v) = kv.split("=", 2)
-        k.trim -> rewriteValuesRefs(v.trim)
+        val v1 = rowAlias.fold(v.trim) { case (al, colAliases) =>
+          rewriteRowAliasRefs(v.trim, al, colAliases, insertCols)
+        }
+        k.trim -> rewriteValuesRefs(v1)
       }.toMap
       returning match {
         case None => Result(None,
@@ -1791,27 +1808,18 @@ object SqlRouter {
           StructType.fromDDL(s"x $colType").head.dataType),
         nullable = gen.isEmpty && !notNull,
         defaultSql = gen.orElse(default.map(_.trim)))
-      gen.foreach(g => graft.storage.Manifest.commit(t.path,
-        t.manifest.copy(props =
-          t.manifest.props + (s"generated.$colName" -> g))))
+      gen.foreach(g => t.setProps(s"generated.$colName" -> g))
       userTyA.collect { case (_, values) if values.nonEmpty =>
-        graft.storage.Manifest.commit(t.path, t.manifest.copy(props =
-          t.manifest.props +
-            (s"check.enum_$colName" -> enumCheck(colName, values))))
+        t.setProps(s"check.enum_$colName" -> enumCheck(colName, values))
       }
       ddl
     case AlterAddPk(name, cols) =>
-      val t = engine.table(name)
-      val pk = cols.split(',').map(_.trim).toSeq
-      pk.foreach(c => require(t.schema.fieldNames.contains(c),
-        s"PRIMARY KEY column $c not in $name"))
-      graft.storage.Manifest.commit(t.path, t.manifest.copy(pkCols = pk))
+      engine.table(name).setPrimaryKey(cols.split(',').map(_.trim).toSeq)
       ddl
     case AlterAddCheck(name, cname, checkExpr) =>
       val t = engine.table(name)
       expr(checkExpr) // parse now: a broken expression fails HERE, not on the next insert
-      graft.storage.Manifest.commit(t.path, t.manifest.copy(
-        props = t.manifest.props + (s"check.$cname" -> checkExpr.trim)))
+      t.setProps(s"check.$cname" -> checkExpr.trim)
       ddl
     case AlterAddUnique(name, cnm, inm, colList) =>
       // UNIQUE constraints RECORD their column set (arbiter metadata);
@@ -1938,6 +1946,7 @@ object SqlRouter {
             engine.table(tn).dropUniqueIndex(nm))
       }
       ddl
+    case DropIndexAny() => ddl // online-DDL tails, multi-drops: no-op
     case OwnerTo() => ddl // ownership metadata: accepted, dropped
     case CreateEnumType(name, valueList) =>
       val values = splitTop(valueList).map(_.trim).filter(_.nonEmpty)
@@ -2021,7 +2030,17 @@ object SqlRouter {
 
   private val AggHeads =
     Seq("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "STDDEV",
-      "VARIANCE", "VAR_POP", "VAR_SAMP", "STDDEV_POP", "STDDEV_SAMP")
+      "VARIANCE", "VAR_POP", "VAR_SAMP", "STDDEV_POP", "STDDEV_SAMP",
+      "BOOL_AND", "BOOL_OR", "ANY_VALUE", "BIT_AND", "BIT_OR", "BIT_XOR",
+      "COLLECT_LIST", "COLLECT_SET", "ARRAY_AGG", "STRING_AGG", "LISTAGG",
+      "JSON_ARRAYAGG", "JSON_OBJECTAGG", "PERCENTILE", "PERCENTILE_APPROX",
+      "MEDIAN", "MODE", "FIRST", "FIRST_VALUE", "LAST", "LAST_VALUE",
+      "APPROX_COUNT_DISTINCT", "HLL_SKETCH_AGG", "KURTOSIS", "SKEWNESS",
+      "CORR", "COVAR_POP", "COVAR_SAMP", "REGR_SLOPE", "REGR_INTERCEPT")
+
+  private def hasAggCall(s: String): Boolean =
+    AggHeads.exists(a =>
+      ("(?i)\\b" + a + "\\s*\\(").r.findFirstIn(s).isDefined)
 
   /** MySQL-ism: `HAVING` without GROUP BY filters plain rows and may
     * reference select-list ALIASES (Connector/J's
@@ -2074,8 +2093,7 @@ object SqlRouter {
     if (havingPos < 0 || groupPos >= 0 || fromPos < 0) return s
     val end = if (tailPos > havingPos) tailPos else s.length
     var cond = s.substring(havingPos + 6, end).trim
-    if (AggHeads.exists(a =>
-      ("(?i)\\b" + a + "\\s*\\(").r.findFirstIn(cond).isDefined)) return s
+    if (hasAggCall(cond)) return s
     // select-list aliases: top-level comma items of `expr AS alias`
     // shape between SELECT and FROM
     val selStart = s.indexOf(head.substring(0, 6)) + 6
@@ -2086,6 +2104,17 @@ object SqlRouter {
       case AliasRe(expr, alias) => Some(alias.toLowerCase -> expr.trim)
       case _ => None
     }.toMap
+    // the rewrite exists for ALIAS references (the Connector/J shape);
+    // a condition touching no alias — or one whose referenced alias
+    // expands to an AGGREGATE (`count(*) AS n ... HAVING n > 5` is
+    // MySQL's global-aggregate form) — stays native HAVING, which
+    // Spark already evaluates correctly
+    val referenced = aliases.keys.filter { a =>
+      ("(?i)(?<![A-Za-z0-9_$.])" + java.util.regex.Pattern.quote(a) +
+        "(?![A-Za-z0-9_$])").r.findFirstIn(cond).isDefined
+    }.toSeq
+    if (referenced.isEmpty) return s
+    if (referenced.exists(a => hasAggCall(aliases(a)))) return s
     // inline each alias reference in the condition (code spans only —
     // an alias word inside a string literal stays text)
     aliases.foreach { case (alias, expr) =>
@@ -2946,11 +2975,30 @@ object SqlRouter {
     * SET/DISCARD/LOCK heads only. */
   private def observeDialectEvidence(engine: Engine, stmt: String): Unit = {
     // backtick identifiers and @@sysvar refs exist only in MySQL's
-    // lexer — either anywhere in the statement is decisive (a backtick
-    // inside a string literal is possible but a '`' never reaches PG
-    // from any real PG tool; same for '@@')
+    // lexer — but only OUTSIDE string literals (a PG INSERT can carry
+    // markdown backticks in data), and `@@` only when shaped like a
+    // sysvar reference `@@name` (PG's text-search operator is
+    // `tsv @@ to_tsquery(...)` — operator, space, never glued to an
+    // identifier). So the probe runs on the literal-masked text.
     if (stmt.indexOf('`') >= 0 || stmt.contains("@@")) {
-      engine.observeDialect("mysql"); return
+      val code = new StringBuilder
+      SqlText.spans(stmt, dollarQuotes = true).foreach { sp =>
+        // a backtick-DELIMITED quoted span is itself the evidence (the
+        // lexer saw a backtick in code position); '...'/"..." string
+        // bodies are excluded so quoted DATA never flips the dialect
+        val backtickSpan =
+          sp.kind == SqlText.Quoted && stmt.charAt(sp.start) == '`'
+        if (sp.kind == SqlText.Code || backtickSpan)
+          code.append(stmt.substring(sp.start, sp.end))
+      }
+      val c = code.toString
+      // `@@name` (glued) is the sysvar shape; PG's text-search operator
+      // is conventionally spaced (`tsv @@ to_tsquery`) — the rare glued
+      // PG spelling is accepted as residual ambiguity
+      if (c.indexOf('`') >= 0 ||
+        "@@[A-Za-z_]".r.findFirstIn(c).isDefined) {
+        engine.observeDialect("mysql"); return
+      }
     }
     val head = stmt.dropWhile(_.isWhitespace)
     val kw = head.takeWhile(c => c.isLetter).toUpperCase

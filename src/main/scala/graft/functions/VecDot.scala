@@ -381,16 +381,21 @@ case class MySqlEscapeText(left: Expression, right: Expression)
 }
 
 object MySqlEscapeText {
+  /** `sp`'s FIRST char is the FIELDS ESCAPED BY character; the rest
+    * are the specials to prefix. Only the escape char itself doubles
+    * (MySQL: a custom `ESCAPED BY '^'` leaves backslashes alone). */
   def encode(u: org.apache.spark.unsafe.types.UTF8String,
       sp: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {
     val s = u.toString
-    val special = sp.toString
+    val spec = sp.toString
+    val esc = spec.charAt(0)
+    val special = spec.substring(1)
     var needs = false
     var i = 0
     while (i < s.length && !needs) {
       val c = s.charAt(i)
-      needs = c == '\\' || c == '\u0000' || special.indexOf(c) >= 0
+      needs = c == esc || c == '\u0000' || special.indexOf(c) >= 0
       i += 1
     }
     if (!needs) return u
@@ -398,9 +403,9 @@ object MySqlEscapeText {
     i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\\') out.append("\\\\")
-      else if (c == '\u0000') out.append("\\0")
-      else if (special.indexOf(c) >= 0) out.append('\\').append(c)
+      if (c == esc) out.append(esc).append(esc)
+      else if (c == '\u0000') out.append(esc).append('0')
+      else if (special.indexOf(c) >= 0) out.append(esc).append(c)
       else out.append(c)
       i += 1
     }

@@ -255,7 +255,9 @@ object BulkIO {
       val base = col(f.name).cast("string")
       val escaped =
         if (esc.isEmpty) base
-        else call_function("mysql_escape", base, lit(special))
+        // mysql_escape's 2nd arg: FIRST char = the escape character
+        // (FIELDS ESCAPED BY may be custom), rest = chars to prefix
+        else call_function("mysql_escape", base, lit(esc.take(1) + special))
       val enclosed =
         if (enc.isEmpty) escaped
         else concat(lit(enc), escaped, lit(enc))
@@ -283,6 +285,23 @@ object BulkIO {
     val spark = table.spark
     graft.functions.GraftFunctions.register(spark)
     require(opts.escape == "\\", "mysql-text load expects ESCAPED BY '\\'")
+    // wholetext holds each file as ONE string (the price of decoding
+    // escaped line terminators, which no line-splitting reader can
+    // see); the JVM caps strings at 2 GB and the scan buffers ~2-3x
+    // the file, so oversized files fall back to the streaming CSV
+    // reader — reference parity (DuckDB read_csv with escape=''),
+    // which handles every dump that carries no in-data escapes.
+    val maxBytes = spark.conf
+      .getOption("spark.graft.load.wholeTextMaxBytes")
+      .map(_.toLong).getOrElse(512L * 1024 * 1024)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+    val oversized = entries.exists { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).exists(_.getLen > maxBytes)
+      else st.getLen > maxBytes
+    }
+    if (oversized) return loadCsvInto(table, path, opts, mode)
     val sep = opts.sep.take(1)
     val enc = if (opts.quote == "\u0000") "" else opts.quote
     import spark.implicits._

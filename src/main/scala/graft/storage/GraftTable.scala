@@ -486,7 +486,27 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // the same condensation so returned values match stored rows
     val fresh = firstPerKey(df, pk)
       .join(read().select(pk.map(col): _*), pk, "left_anti")
+    guardArbiterPkCollision(m, pk, fresh)
     insert(fresh)
+  }
+
+  /** Under a NON-PK conflict arbiter, a source row with a novel
+    * arbiter value but an EXISTING primary key passes the arbiter
+    * anti-join and would land as a second row (or silently replace one)
+    * for that PK — PG raises a PK violation there, and so do we: one
+    * semi-join count per arbiter-keyed statement, nothing on the PK
+    * fast path. */
+  private def guardArbiterPkCollision(m: Manifest, key: Seq[String],
+      toInsert: DataFrame): Unit = {
+    if (key.map(_.toLowerCase).toSet == m.pkCols.map(_.toLowerCase).toSet)
+      return
+    val dup = toInsert.select(m.pkCols.map(col): _*)
+      .join(readManifest(m).select(m.pkCols.map(col): _*), m.pkCols, "semi")
+      .count()
+    require(dup == 0,
+      s"duplicate key value violates the PRIMARY KEY (${m.pkCols.mkString(", ")}): " +
+        s"$dup incoming row(s) carry an existing primary key with a novel " +
+        "conflict-arbiter value")
   }
 
   /** INSERT ... ON DUPLICATE KEY UPDATE (§2.B INSERT edge semantics,
@@ -527,6 +547,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val newRows = renamed.join(existing.select(pk.map(col): _*),
       pk.map(c => col(s"__new_$c") === col(c)).reduce(_ && _), "left_anti")
       .select(dataCols.map(c => col(s"__new_$c").as(c)): _*)
+    guardArbiterPkCollision(m, pk, newRows)
     val changes = updated.withColumn("action", lit(1))
       .unionByName(newRows.withColumn("action", lit(2))).persist()
     val counts = changes.groupBy(col("action")).count()
@@ -588,6 +609,23 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     manifest.props.collect { case (k, v) if k.startsWith("unique.") =>
       k.stripPrefix("unique.") -> v.split(',').map(_.trim).toSeq
     }
+
+  /** Merge manifest props through the io seam — transactional like
+    * every other commit (a direct Manifest.commit would publish staged
+    * state past an open transaction's rollback; see truncate's note). */
+  def setProps(kv: (String, String)*): Unit = {
+    val m = manifest
+    io.commit(path, m.copy(props = m.props ++ kv))
+  }
+
+  /** Set the primary key columns through the io seam (pg_dump's
+    * post-data ADD CONSTRAINT ... PRIMARY KEY). */
+  def setPrimaryKey(cols: Seq[String]): Unit = {
+    val m = manifest
+    cols.foreach(c => require(m.schema.fieldNames.contains(c),
+      s"PRIMARY KEY column $c does not exist"))
+    io.commit(path, m.copy(pkCols = cols))
+  }
 
   /** Record a unique index (columns must exist). Through the io seam —
     * transactional like every other manifest commit. */
@@ -815,13 +853,22 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // column lists — rename with it (PG semantics: dependencies follow
     // the rename; MySQL refuses instead, and silently-broken exprs
     // would be worse than either)
-    val props = props1.map {
+    val props2 = props1.map {
       case (k, v) if k.startsWith("generated.") || k.startsWith("check.") ||
           k.startsWith("default.") =>
         k -> renameInExpr(v, from, to)
       case (k, v) if k.startsWith("unique.") =>
         k -> v.split(',').map(c =>
           if (c.trim.equalsIgnoreCase(from)) to else c.trim).mkString(",")
+      case kv => kv
+    }
+    // per-column prop KEYS follow the rename too — an orphaned
+    // `generated.<old>` would silently stop recomputing the column,
+    // an orphaned `autoinc.<old>` would stop assigning ids
+    val props = props2.map {
+      case (k, v) if k == s"generated.$from" => s"generated.$to" -> v
+      case (k, v) if k == s"autoinc.$from" => s"autoinc.$to" -> v
+      case (k, v) if k == s"check.enum_$from" => s"check.enum_$to" -> v
       case kv => kv
     }
     io.commit(path, m.copy(

@@ -1810,6 +1810,74 @@ class SqlRouterSpec extends SparkSpec {
       === Seq(2L))
   }
 
+  test("review regressions: dialect-evidence masking, arbiter PK guard, rename follow-through, txn-staged ALTER props") {
+    // 1. quoted data and PG's @@ operator never flip the dialect
+    val e = new Engine(spark, tmpDir("router_rev10"))
+    exec(e, "CREATE TABLE notes (id BIGINT PRIMARY KEY, body STRING)")
+    exec(e, "INSERT INTO notes VALUES (1, 'use `code` fences')")
+    assert(e.sessionDialect.isEmpty) // backticks inside a literal: data
+    val ftProbe = intercept[Exception](
+      exec(e, "SELECT * FROM notes WHERE body @@ to_tsquery('x')"))
+    assert(e.sessionDialect.isEmpty) // spaced @@ operator: no evidence
+    exec(e, "SELECT `id` FROM notes") // backtick-quoted ident: evidence
+    assert(e.sessionDialect === Some("mysql"))
+
+    // 2. a novel arbiter value carrying an EXISTING primary key is a
+    // PK violation, not a silent duplicate/replace
+    exec(e, "CREATE TABLE u (id BIGINT PRIMARY KEY, email STRING, n INT, " +
+      "UNIQUE KEY uq_email (email))")
+    exec(e, "INSERT INTO u VALUES (1, 'a@x', 1)")
+    val pkClash = intercept[IllegalArgumentException](exec(e,
+      "INSERT INTO u VALUES (1, 'fresh@x', 9) ON CONFLICT (email) DO NOTHING"))
+    assert(pkClash.getMessage.toLowerCase.contains("primary key"))
+    val pkClash2 = intercept[IllegalArgumentException](exec(e,
+      "INSERT INTO u VALUES (1, 'fresh@x', 9) ON CONFLICT (email) " +
+        "DO UPDATE SET n = excluded.n"))
+    assert(pkClash2.getMessage.toLowerCase.contains("primary key"))
+    // ...and an unknown ON CONSTRAINT name errors like PG
+    val badC = intercept[IllegalArgumentException](exec(e,
+      "INSERT INTO u VALUES (2, 'b@x', 1) " +
+        "ON CONFLICT ON CONSTRAINT orders_pkey DO NOTHING"))
+    assert(badC.getMessage.contains("does not exist"))
+    // the auto-named PK constraint of THIS table still resolves
+    exec(e, "INSERT INTO u VALUES (2, 'b@x', 1) " +
+      "ON CONFLICT ON CONSTRAINT u_pkey DO NOTHING")
+
+    // 3. renaming a GENERATED column keeps it recomputing (prop key
+    // follows the rename)
+    exec(e, "CREATE TABLE g (id BIGINT PRIMARY KEY, a DOUBLE, " +
+      "tot DOUBLE GENERATED ALWAYS AS (a * 2) STORED)")
+    exec(e, "INSERT INTO g (id, a) VALUES (1, 3)")
+    exec(e, "ALTER TABLE g RENAME COLUMN tot TO grand")
+    exec(e, "UPDATE g SET a = 5 WHERE id = 1")
+    assert(exec(e, "SELECT grand FROM g WHERE id = 1").df.get
+      .as[Double].head() === 10.0)
+
+    // 4. ALTER ADD's generated/check props stage WITH the column: a
+    // rollback removes both, leaving no orphaned enforcement
+    exec(e, "CREATE TYPE lvl AS ENUM ('lo', 'hi')")
+    exec(e, "BEGIN")
+    exec(e, "ALTER TABLE g ADD COLUMN l lvl")
+    exec(e, "ROLLBACK")
+    assert(!e.table("g").schema.fieldNames.contains("l"))
+    assert(!e.table("g").manifest.props.contains("check.enum_l"))
+    exec(e, "INSERT INTO g (id, a) VALUES (2, 1)") // no orphan check fires
+
+    // 5. online-DDL DROP INDEX tails stay accepted
+    exec(e, "DROP INDEX uq_email ON u ALGORITHM=INPLACE LOCK=NONE")
+    assert(e.table("u").uniqueIndexes.isEmpty)
+
+    // 6. row alias whose column alias shadows a real column: the SET
+    // target stays the real column
+    exec(e, "CREATE TABLE ra (id BIGINT PRIMARY KEY, a INT)")
+    exec(e, "INSERT INTO ra VALUES (1, 10)")
+    exec(e, "INSERT INTO ra (id, a) VALUES (1, 5) AS n(nid, a) " +
+      "ON DUPLICATE KEY UPDATE a = a + 100")
+    // bare `a` in the RHS is the COLUMN ALIAS (incoming 5) + 100
+    assert(exec(e, "SELECT a FROM ra WHERE id = 1").df.get
+      .as[Int].head() === 105)
+  }
+
   test("PG user types: CREATE TYPE AS ENUM / CREATE DOMAIN / extension DDL replay") {
     val e = new Engine(spark, tmpDir("router_usertypes"))
     // the pg_dump preamble lines that used to abort a replay
