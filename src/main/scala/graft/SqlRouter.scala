@@ -284,6 +284,21 @@ object SqlRouter {
   private val SequenceDdl =
     """(?is)\s*(?:CREATE|ALTER|DROP)\s+SEQUENCE\s+.*""".r
   private val CommentOn = """(?is)\s*COMMENT\s+ON\s+.*""".r
+  // pg_dump's metadata-only ALTER TABLE forms (planner/replication/
+  // trigger/RLS knobs with no engine analog): validated against a real
+  // table, then accepted — any of these aborting a restore would be
+  // strictly worse than ignoring a knob the engine doesn't have.
+  // ATTACH/DETACH PARTITION is deliberately NOT here: it is
+  // data-routing, and silently ignoring it would corrupt a
+  // partitioned restore — it stays a loud failure.
+  private val AlterIgnoredMeta =
+    ("""(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?([\w."]+)\s+(?:""" +
+      """REPLICA\s+IDENTITY\b|VALIDATE\s+CONSTRAINT\b|CLUSTER\s+ON\b|""" +
+      """SET\s+(?:WITHOUT\s+(?:CLUSTER|OIDS)|(?:UN)?LOGGED\b|ACCESS\s+METHOD\b|\()|""" +
+      """ALTER\s+COLUMN\s+[\w"]+\s+SET\s+(?:STATISTICS|STORAGE|COMPRESSION)\b|""" +
+      """(?:DISABLE|ENABLE)\s+(?:ALWAYS\s+|REPLICA\s+)?(?:TRIGGER|RULE)\b|""" +
+      """(?:NO\s+)?FORCE\s+ROW\s+LEVEL\s+SECURITY|""" +
+      """(?:ENABLE|DISABLE)\s+ROW\s+LEVEL\s+SECURITY).*""").r
   // PG user-defined types (the reference's DuckDB backend supports
   // both; pg_dump replays them before the tables that use them):
   // enums map onto STRING + an auto CHECK over the value set, domains
@@ -1830,6 +1845,9 @@ object SqlRouter {
     case AlterAddIgnoredConstraint(name) =>
       engine.table(name) // validate the target; the constraint is dropped
       ddl
+    case AlterIgnoredMeta(name) =>
+      engine.table(name) // validate the target; the knob has no analog
+      ddl
     case AlterDrop(name, colName) =>
       engine.table(name).dropColumn(colName); ddl
     case AlterRename(name, from, to) =>
@@ -2950,7 +2968,8 @@ object SqlRouter {
     "standard_conforming_strings", "search_path", "statement_timeout",
     "lock_timeout", "client_min_messages", "row_security",
     "client_encoding", "xmloption", "escape_string_warning",
-    "idle_in_transaction_session_timeout", "default_table_access_method",
+    "idle_in_transaction_session_timeout", "transaction_timeout",
+    "idle_session_timeout", "default_table_access_method",
     "default_tablespace", "synchronous_commit", "datestyle", "intervalstyle",
     "application_name", "extra_float_digits", "bytea_output")
 

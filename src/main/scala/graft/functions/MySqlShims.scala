@@ -141,5 +141,15 @@ object MySqlShims {
     fr.createOrReplaceTempFunction("last_insert_id",
       _ => Literal(engine.getVar("last_insert_id")
         .map(_.toLong).getOrElse(0L)), "built-in")
+    // VERSION(): every client banner reads it. Dialect-aware at
+    // ANALYSIS time (the builder lambda re-evaluates per statement):
+    // a pg-shaped session gets the PG spelling matching
+    // server_version, everyone else MySQL's matching @@version —
+    // shadowing Spark's own version() for engine-routed statements.
+    fr.createOrReplaceTempFunction("version",
+      _ => Literal(
+        if (engine.sessionDialect.contains("pg"))
+          "PostgreSQL 15.0 (graft), 64-bit"
+        else "8.0.33"), "built-in")
   }
 }

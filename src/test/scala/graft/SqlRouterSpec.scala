@@ -1878,6 +1878,30 @@ class SqlRouterSpec extends SparkSpec {
       .as[Int].head() === 105)
   }
 
+  test("pg_dump metadata-only ALTERs accept; partition attach stays loud") {
+    val e = new Engine(spark, tmpDir("router_metaalter"))
+    exec(e, "CREATE TABLE pt (id BIGINT PRIMARY KEY, v STRING)")
+    // the knob surface pg_dump emits for tuned tables — none of these
+    // may abort a restore
+    exec(e, "ALTER TABLE ONLY pt REPLICA IDENTITY FULL")
+    exec(e, "ALTER TABLE pt VALIDATE CONSTRAINT some_fk")
+    exec(e, "ALTER TABLE ONLY pt ALTER COLUMN v SET STATISTICS 1000")
+    exec(e, "ALTER TABLE pt ALTER COLUMN v SET STORAGE EXTERNAL")
+    exec(e, "ALTER TABLE pt SET (fillfactor = 70)")
+    exec(e, "ALTER TABLE pt DISABLE TRIGGER ALL")
+    exec(e, "ALTER TABLE pt ENABLE ROW LEVEL SECURITY")
+    exec(e, "ALTER TABLE pt CLUSTER ON some_idx")
+    exec(e, "ALTER TABLE pt SET UNLOGGED")
+    // a missing table still errors (the accept arm validates)
+    intercept[Exception](exec(e, "ALTER TABLE nope REPLICA IDENTITY FULL"))
+    // ATTACH PARTITION is data routing — silently ignoring it would
+    // corrupt a partitioned restore, so it must stay a loud failure
+    intercept[Exception](exec(e,
+      "ALTER TABLE pt ATTACH PARTITION c FOR VALUES FROM (1) TO (2)"))
+    exec(e, "INSERT INTO pt VALUES (1, 'a')")
+    assert(exec(e, "SELECT count(*) FROM pt").df.get.as[Long].head() === 1)
+  }
+
   test("PG user types: CREATE TYPE AS ENUM / CREATE DOMAIN / extension DDL replay") {
     val e = new Engine(spark, tmpDir("router_usertypes"))
     // the pg_dump preamble lines that used to abort a replay
@@ -2022,5 +2046,12 @@ class SqlRouterSpec extends SparkSpec {
     // statements with no unambiguous marker leave the flag untouched
     exec(e, "SELECT 1")
     assert(e.sessionDialect === Some("pg"))
+
+    // VERSION() follows the dialect (every client banner reads it)
+    assert(exec(e, "SELECT version() AS v").df.get.as[String].head()
+      .startsWith("PostgreSQL 15.0"))
+    exec(e, "SET NAMES utf8mb4")
+    assert(exec(e, "SELECT VERSION() AS v").df.get.as[String].head()
+      === "8.0.33")
   }
 }
