@@ -3116,19 +3116,53 @@ object SqlRouter {
     * reference assembles it from its catalog comments/sequences,
     * `/root/reference/catalog/table.go` — here the manifest IS the
     * catalog). */
+  /** SHOW CREATE TABLE rendering. Since round 10 the FULL recorded
+    * constraint surface round-trips — AUTO_INCREMENT (+ counter
+    * position as the table option), DEFAULTs, GENERATED columns,
+    * UNIQUE KEY entries and CHECK constraints all render as clauses
+    * the CREATE TABLE parser reads back, so a SHOW CREATE-based dump
+    * restores the table's complete behavior, not just its shape.
+    * Remaining internal props (phys./stats./layout.) stay visible as
+    * TBLPROPERTIES, which the replay path ignores by design. */
   private def createTableSql(engine: Engine, name: String): String = {
-    val m = engine.table(name).manifest
+    val t = engine.table(name)
+    val m = t.manifest
     val cols = m.schema.fields.map { f =>
       val nn = if (f.nullable) "" else " NOT NULL"
-      s"  ${f.name} ${f.dataType.sql}$nn"
+      val auto =
+        if (m.props.get(s"autoinc.${f.name}").contains("true"))
+          " AUTO_INCREMENT" else ""
+      val gen = m.props.get(s"generated.${f.name}")
+        .map(g => s" GENERATED ALWAYS AS ($g) STORED").getOrElse("")
+      val dflt =
+        if (auto.nonEmpty || gen.nonEmpty) ""
+        else m.props.get(s"default.${f.name}")
+          .map(d => s" DEFAULT $d").getOrElse("")
+      s"  ${f.name} ${f.dataType.sql}$nn$auto$gen$dflt"
     }
     val pk = if (m.pkCols.nonEmpty)
       Seq(s"  PRIMARY KEY (${m.pkCols.mkString(", ")})") else Nil
-    val props = if (m.props.nonEmpty)
-      " TBLPROPERTIES (" + m.props.toSeq.sorted
+    val uq = t.uniqueIndexes.toSeq.sortBy(_._1).map { case (nm, cs) =>
+      s"  UNIQUE KEY $nm (${cs.mkString(", ")})"
+    }
+    val checks = m.props.toSeq.filter(_._1.startsWith("check."))
+      .sortBy(_._1).map { case (k, v) =>
+        s"  CONSTRAINT ${k.stripPrefix("check.")} CHECK ($v)"
+      }
+    val renderedPrefixes =
+      Seq("autoinc.", "generated.", "default.", "unique.", "check.")
+    val rest = m.props.filterNot { case (k, _) =>
+      renderedPrefixes.exists(k.startsWith)
+    }
+    val props = if (rest.nonEmpty)
+      " TBLPROPERTIES (" + rest.toSeq.sorted
         .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
     else ""
-    (cols ++ pk).mkString(s"CREATE TABLE ${name.split('.').last} (\n", ",\n", s"\n)$props")
+    val autoOpt =
+      if (m.autoInc > 1 && m.props.keys.exists(_.startsWith("autoinc.")))
+        s" AUTO_INCREMENT=${m.autoInc}" else ""
+    (cols ++ pk ++ uq ++ checks).mkString(
+      s"CREATE TABLE ${name.split('.').last} (\n", ",\n", s"\n)$autoOpt$props")
   }
 
   /** MySQL LIKE pattern (%/_ wildcards) match, case-insensitive. */
@@ -3172,7 +3206,11 @@ object SqlRouter {
     * FOREIGN KEY ...`): the engine's index analog is layout clustering
     * (A21, opted into separately), so these are accepted and dropped. */
   private val IndexEntry =
-    """(?is)\s*(?:UNIQUE(?:\s+(?:KEY|INDEX))?|KEY|INDEX|FULLTEXT|SPATIAL|CONSTRAINT|FOREIGN\s+KEY)\b.*""".r
+    """(?is)\s*(?:(?:UNIQUE(?:\s+(?:KEY|INDEX))?|KEY|INDEX|FULLTEXT|SPATIAL|CONSTRAINT|FOREIGN\s+KEY)\b|CHECK\s*\().*""".r
+  // inline CHECK table constraints (mysqldump 8 emits
+  // `CONSTRAINT nm CHECK (expr)` in the body; the ANSI bare form too)
+  private val CheckEntry =
+    """(?is)\s*(?:CONSTRAINT\s+([\w`"]+)\s+)?CHECK\s*\((.*)\)\s*(?:NOT\s+ENFORCED|ENFORCED)?\s*""".r
 
   /** `name type [attrs...]` — type may carry a paren argument list and
     * MySQL's UNSIGNED suffix; everything after is the attribute tail. */
@@ -3298,6 +3336,17 @@ object SqlRouter {
             .getOrElse(cs.mkString("_") + "_key")
           defaults += s"unique.$nm" -> cs.mkString(",")
         }
+      case CheckEntry(cnm, ex) =>
+        // inline CHECK constraints record like the post-data ALTER
+        // form (A22); the expression parses NOW so a broken one fails
+        // the CREATE, not the next insert
+        expr(ex.trim)
+        val nm = Option(cnm)
+          .map(_.stripPrefix("`").stripSuffix("`")
+            .stripPrefix("\"").stripSuffix("\""))
+          .getOrElse("check_" +
+            defaults.keys.count(_.startsWith("check.")))
+        defaults += s"check.$nm" -> ex.trim
       case _ => ()
     }
     val fields = cols.map(_.replaceAll("(?i)\\s+PRIMARY\\s+KEY", "")).map {

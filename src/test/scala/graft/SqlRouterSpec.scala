@@ -1878,6 +1878,49 @@ class SqlRouterSpec extends SparkSpec {
       .as[Int].head() === 105)
   }
 
+  test("SHOW CREATE TABLE round-trips the FULL constraint surface") {
+    val e = new Engine(spark, tmpDir("router_showcreate_full"))
+    exec(e, "CREATE TABLE rt (id BIGINT NOT NULL AUTO_INCREMENT, " +
+      "email STRING, sc DOUBLE DEFAULT 1.5, " +
+      "tot DOUBLE GENERATED ALWAYS AS (sc * 2) STORED, " +
+      "PRIMARY KEY (id), UNIQUE KEY uq_e (email), " +
+      "CONSTRAINT pos_sc CHECK (sc >= 0))")
+    // inline CHECK recorded at CREATE (mysqldump 8 emits this form)
+    assert(e.table("rt").manifest.props("check.pos_sc") === "sc >= 0")
+    intercept[Exception](
+      exec(e, "INSERT INTO rt (email, sc) VALUES ('x@x', -1)"))
+    exec(e, "INSERT INTO rt (email, sc) VALUES ('a@x', 2)") // id 1
+
+    val (_, ddl) = exec(e, "SHOW CREATE TABLE rt").df.get
+      .as[(String, String)].head()
+    assert(ddl.contains("AUTO_INCREMENT") &&
+      ddl.contains("UNIQUE KEY uq_e (email)") &&
+      ddl.contains("CONSTRAINT pos_sc CHECK (sc >= 0)") &&
+      ddl.contains("GENERATED ALWAYS AS (sc * 2) STORED") &&
+      ddl.contains("DEFAULT 1.5"))
+
+    // replaying the rendered DDL restores BEHAVIOR, not just shape
+    exec(e, ddl.replace("CREATE TABLE rt", "CREATE TABLE rt2"))
+    val t2 = e.table("rt2")
+    assert(t2.manifest.pkCols === Seq("id"))
+    assert(t2.uniqueIndexes === Map("uq_e" -> Seq("email")))
+    assert(t2.manifest.props("check.pos_sc") === "sc >= 0")
+    assert(t2.manifest.props("generated.tot") === "sc * 2")
+    assert(t2.manifest.props("default.sc") === "1.5")
+    // counter continuity via the AUTO_INCREMENT= table option
+    exec(e, "INSERT INTO rt2 (email, sc) VALUES ('b@x', 3)")
+    assert(exec(e, "SELECT id, tot FROM rt2").df.get
+      .as[(Long, Double)].head() === ((2L, 6.0)))
+    // the check enforces on the replayed table too
+    intercept[Exception](
+      exec(e, "INSERT INTO rt2 (email, sc) VALUES ('c@x', -9)"))
+    // and the unique index arbitrates
+    exec(e, "INSERT INTO rt2 (id, email, sc) VALUES (50, 'b@x', 7) " +
+      "ON CONFLICT (email) DO UPDATE SET sc = excluded.sc")
+    assert(exec(e, "SELECT id, sc FROM rt2 WHERE email = 'b@x'").df.get
+      .as[(Long, Double)].head() === ((2L, 7.0)))
+  }
+
   test("pg_dump metadata-only ALTERs accept; partition attach stays loud") {
     val e = new Engine(spark, tmpDir("router_metaalter"))
     exec(e, "CREATE TABLE pt (id BIGINT PRIMARY KEY, v STRING)")
