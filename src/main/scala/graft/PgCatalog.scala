@@ -156,7 +156,8 @@ object PgCatalog {
       name: String, kind: String, schema: StructType, pk: Seq[String],
       checks: Int, autoinc: Set[String], defaults: Map[String, String],
       viewDef: Option[String], pkIndexOid: Long,
-      uniques: Map[String, Seq[String]] = Map.empty)
+      uniques: Map[String, Seq[String]] = Map.empty,
+      generated: Map[String, String] = Map.empty)
 
   private final case class Snapshot(namespaces: Seq[(Long, String, Long, String)],
       rels: Seq[Rel])
@@ -196,7 +197,9 @@ object PgCatalog {
             k.stripPrefix("default.") -> v },
           None, pkOid,
           m.props.collect { case (k, v) if k.startsWith("unique.") =>
-            k.stripPrefix("unique.") -> v.split(',').map(_.trim).toSeq })
+            k.stripPrefix("unique.") -> v.split(',').map(_.trim).toSeq },
+          m.props.collect { case (k, v) if k.startsWith("generated.") =>
+            k.stripPrefix("generated.") -> v })
         if (pkOid != 0L)
           rels += Rel(pkOid, nspOid, nspname, s"${t}_pkey", "i",
             new StructType(), Nil, 0, Set.empty, Map.empty, None, 0L)
@@ -450,7 +453,8 @@ object PgCatalog {
           "table_name STRING, column_name STRING, ordinal_position INT, " +
           "column_default STRING, is_nullable STRING, data_type STRING, " +
           "character_maximum_length INT, numeric_precision INT, " +
-          "numeric_scale INT, udt_name STRING")
+          "numeric_scale INT, udt_name STRING, is_generated STRING, " +
+          "generation_expression STRING")
         mk(spark, schema, snap.rels.filter(_.kind == "r").flatMap { r =>
           r.schema.fields.zipWithIndex.map { case (f, i) =>
             val (prec, scale) = f.dataType match {
@@ -468,7 +472,9 @@ object PgCatalog {
               if (f.nullable && !r.pk.contains(f.name)) "YES" else "NO",
               pgDataTypeName(f.dataType), null, prec, scale,
               builtinTypes.find(_.oid == pgTypeOid(f.dataType))
-                .map(_.name).getOrElse("text"))
+                .map(_.name).getOrElse("text"),
+              if (r.generated.contains(f.name)) "ALWAYS" else "NEVER",
+              r.generated.get(f.name).orNull)
           }
         })
 
@@ -677,8 +683,11 @@ object PgCatalog {
                 if (isStr) "utf8mb4" else null,
                 if (isStr) "utf8mb4_0900_ai_ci" else null,
                 colType, if (r.pk.contains(f.name)) "PRI" else "",
-                if (auto) "auto_increment" else "",
-                "select,insert,update,references", "", "", null)
+                if (auto) "auto_increment"
+                else if (r.generated.contains(f.name)) "STORED GENERATED"
+                else "",
+                "select,insert,update,references", "",
+                r.generated.getOrElse(f.name, ""), null)
             }
           })
 

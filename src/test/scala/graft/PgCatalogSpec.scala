@@ -389,6 +389,16 @@ class PgCatalogSpec extends SparkSpec {
         |WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = 'accounts'""".stripMargin)
       === Seq(Row("PRIMARY", "id")))
 
+    // generated columns surface through EXTRA / GENERATION_EXPRESSION
+    SqlRouter.execute(e, "CREATE TABLE genc (id BIGINT PRIMARY KEY, " +
+      "a DOUBLE, tot DOUBLE GENERATED ALWAYS AS (a * 2) STORED)")
+    assert(rows(e,
+      """SELECT COLUMN_NAME, EXTRA, GENERATION_EXPRESSION
+        |FROM information_schema.columns
+        |WHERE TABLE_SCHEMA = DATABASE() AND TABLE_NAME = 'genc'
+        |  AND COLUMN_NAME = 'tot'""".stripMargin)
+      === Seq(Row("tot", "STORED GENERATED", "a * 2")))
+
     // the PG-verbatim frames are untouched: a session without MySQL
     // evidence keeps the spec'd 'public' convention
     val pg = mkEngine("pgcat_mysql_is_pg")
@@ -397,6 +407,18 @@ class PgCatalogSpec extends SparkSpec {
       """SELECT table_name FROM information_schema.tables
         |WHERE table_schema = 'public' ORDER BY table_name""".stripMargin)
       .map(_.getString(0)) === Seq("accounts", "notes", "rich_accounts"))
+    // ...and PG's own generated-column spellings answer there
+    SqlRouter.execute(pg, "CREATE TABLE genp (id BIGINT PRIMARY KEY, " +
+      "a DOUBLE, tot DOUBLE GENERATED ALWAYS AS (a * 2) STORED)")
+    assert(rows(pg,
+      """SELECT is_generated, generation_expression
+        |FROM information_schema.columns
+        |WHERE table_name = 'genp' AND column_name = 'tot'""".stripMargin)
+      === Seq(Row("ALWAYS", "a * 2")))
+    assert(rows(pg,
+      """SELECT is_generated FROM information_schema.columns
+        |WHERE table_name = 'genp' AND column_name = 'a'""".stripMargin)
+      === Seq(Row("NEVER")))
   }
 
   test("regex-operator and cast rewrites are quote-aware (units)") {
