@@ -406,6 +406,59 @@ object CdcQueries {
         columns = {'id': 'BIGINT', 'name': 'VARCHAR', 'bal': 'DOUBLE'})
       ORDER BY id"""))
 
+  // --------------------------------------------------------------------
+  // q107 — round-10's surfaces composed under the hash gate: a user
+  // enum type, a table carrying the FULL constraint surface (auto-inc,
+  // default, unique key, named CHECK, enum column), SHOW CREATE TABLE
+  // replayed THROUGH the router as a second table (the behavior
+  // round-trip), and an ON CONFLICT upsert arbitrated by the
+  // REPLAYED unique index. The oracle restates the final state
+  // declaratively; bal + 99.0 is one IEEE add — bit-exact both sides.
+  private val q107 = QueryDef(
+    "q107_showcreate_roundtrip",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      val e = new Engine(s, Files.createTempDirectory("graft_q107"))
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE TYPE tier AS ENUM ('basic', 'gold')")
+      run("CREATE TABLE acct (id BIGINT NOT NULL AUTO_INCREMENT, " +
+        "name STRING, t tier, bal DOUBLE DEFAULT 0.5, PRIMARY KEY (id), " +
+        "UNIQUE KEY uq_name (name), CONSTRAINT nonneg CHECK (bal >= -100000))")
+      run("INSERT INTO acct SELECT c_custkey + 1, c_name, " +
+        "CASE WHEN c_custkey % 3 = 0 THEN 'gold' ELSE 'basic' END, c_acctbal " +
+        "FROM customer WHERE c_custkey <= 200")
+      val ddl = SqlRouter.execute(e, "SHOW CREATE TABLE acct")
+        .df.get.collect()(0).getString(1)
+      run(ddl.replace("CREATE TABLE acct", "CREATE TABLE acct2"))
+      run("INSERT INTO acct2 SELECT id, name, t, bal FROM acct")
+      // the upsert keys on the unique index the SHOW CREATE replay
+      // carried over — names 150..200 accumulate, 201..250 insert
+      run("INSERT INTO acct2 SELECT c_custkey + 10000, c_name, 'gold', 99.0 " +
+        "FROM customer WHERE c_custkey BETWEEN 150 AND 250 " +
+        "ON CONFLICT (name) DO UPDATE SET bal = bal + excluded.bal")
+      run("INSERT INTO acct2 VALUES (20000, 'zzz_new', 'basic', 0.5)")
+      SqlRouter.execute(e,
+        "SELECT id, name, t, bal FROM acct2 ORDER BY id").df.get
+    },
+    Some("""WITH seed AS (
+        SELECT CAST(c_custkey + 1 AS BIGINT) AS id, c_name AS name,
+          CASE WHEN c_custkey % 3 = 0 THEN 'gold' ELSE 'basic' END AS t,
+          c_acctbal AS bal
+        FROM customer WHERE c_custkey <= 200),
+      up AS (SELECT CAST(c_custkey + 10000 AS BIGINT) AS id,
+          c_name AS name, 'gold' AS t, 99.0 AS bal
+        FROM customer WHERE c_custkey BETWEEN 150 AND 250),
+      s1 AS (SELECT s.id, s.name, s.t,
+          CASE WHEN u.name IS NOT NULL THEN s.bal + 99.0 ELSE s.bal END AS bal
+        FROM seed s LEFT JOIN up u ON s.name = u.name
+        UNION ALL
+        SELECT u.id, u.name, u.t, u.bal FROM up u
+          WHERE u.name NOT IN (SELECT name FROM seed)),
+      fin AS (SELECT * FROM s1
+        UNION ALL SELECT 20000, 'zzz_new', 'basic', 0.5)
+      SELECT id, name, t, bal FROM fin ORDER BY id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106)
+    Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107)
 }
