@@ -39,8 +39,11 @@ object SqlRouter {
   // WRITE / UNLOCK TABLES; the engine's concurrency story is the
   // manifest journal, so these are session no-ops (as in the
   // reference's GMS session handling)
+  // TABLES? also admits PG's `LOCK TABLE t [IN <mode> MODE]` — same
+  // no-op treatment (advisory locking has no analog; the manifest
+  // journal serializes commits)
   private val LockTables =
-    """(?is)\s*(?:LOCK\s+TABLES\s+.+|UNLOCK\s+TABLES)\s*""".r
+    """(?is)\s*(?:LOCK\s+TABLES?\s+.+|UNLOCK\s+TABLES)\s*""".r
   private val DropTable =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*""".r
   private val CreateView =
@@ -292,7 +295,7 @@ object SqlRouter {
   // data-routing, and silently ignoring it would corrupt a
   // partitioned restore — it stays a loud failure.
   private val AlterIgnoredMeta =
-    ("""(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?([\w."]+)\s+(?:""" +
+    ("""(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?(IF\s+EXISTS\s+)?([\w."]+)\s+(?:""" +
       """REPLICA\s+IDENTITY\b|VALIDATE\s+CONSTRAINT\b|CLUSTER\s+ON\b|""" +
       """SET\s+(?:WITHOUT\s+(?:CLUSTER|OIDS)|(?:UN)?LOGGED\b|ACCESS\s+METHOD\b|\()|""" +
       """ALTER\s+COLUMN\s+[\w"]+\s+SET\s+(?:STATISTICS|STORAGE|COMPRESSION)\b|""" +
@@ -345,8 +348,12 @@ object SqlRouter {
   // clustering (A21, opted into separately), so like KEY entries inside
   // CREATE TABLE bodies these are accepted and dropped — Catalyst
   // parses CREATE INDEX but would fail analysis against engine tables
+  // the post-table remainder captures whole so the arm can extract a
+  // BALANCED column/expression list and inspect the tail — a PG
+  // `WHERE pred` tail makes the index PARTIAL, which must NOT record
+  // as a total ON CONFLICT arbiter (round-10 advice)
   private val CreateIndexStmt =
-    """(?is)\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+NOT\s+EXISTS\s+)?([\w."]*)\s*ON\s+(?:ONLY\s+)?([\w."]+)\s*(?:USING\s+\w+\s*)?(?:\(([^)]*)\))?.*""".r
+    """(?is)\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+NOT\s+EXISTS\s+)?([\w."]*)\s*ON\s+(?:ONLY\s+)?([\w."]+)\s*(.*?);?\s*""".r
   private val DropIndexStmt =
     """(?is)\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+EXISTS\s+)?([\w."]+)\s*(?:ON\s+([\w."]+))?(?:\s+(?:ALGORITHM|LOCK)\s*=?\s*\w+)*\s*(?:CASCADE|RESTRICT)?\s*""".r
   // the pre-round-10 catch-all: spellings the strict form above misses
@@ -355,7 +362,7 @@ object SqlRouter {
   private val DropIndexAny = """(?is)\s*DROP\s+INDEX\s+.*""".r
   // ALTER TABLE t ADD [CONSTRAINT nm] UNIQUE [KEY|INDEX] [nm] (cols)
   private val AlterAddUnique =
-    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w."]+)\s+ADD\s+(?:CONSTRAINT\s+([\w."]+)\s+)?UNIQUE\s*(?:KEY\s+|INDEX\s+)?([\w."]+)?\s*\(([^)]*)\)\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w."]+)\s+ADD\s+(?:CONSTRAINT\s+([\w."]+)\s+)?UNIQUE\s*(?:KEY\s+|INDEX\s+)?([\w."]+)?\s*\((.*)\)\s*(?:USING\s+\w+\s*|COMMENT\s+'[^']*'\s*)*""".r
   private val AlterColDefault =
     """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+SET\s+DEFAULT\s+(.*\S)\s*""".r
   private val AlterColDropDefault =
@@ -989,7 +996,15 @@ object SqlRouter {
         val m = engine.table(src).manifest
         engine.createTable(name, m.schema, m.pkCols, m.props); ddl
       }
-    case CreateTable(ifNotExists, name, colsAndPk, opts) =>
+    case CreateTable(ifNotExists, name, colsAndPk0, opts) =>
+      // SHOW CREATE renders leftover internal props (phys./stats./
+      // layout.) as a TBLPROPERTIES trailer the replay ignores by
+      // design — but the greedy body capture swallows it INTO the
+      // body, where it corrupts the last entry (a UNIQUE KEY would
+      // silently drop). Peel it back off the captured body.
+      val colsAndPk =
+        "(?is)^(.*)\\)\\s*TBLPROPERTIES\\s*\\((?:[^()']|'[^']*')*$".r
+          .findFirstMatchIn(colsAndPk0).map(_.group(1)).getOrElse(colsAndPk0)
       if (ifNotExists != null && tableExists(engine, name)) ddl
       else {
         val (schema, pk, props0) = parseColumns(engine, colsAndPk)
@@ -1117,14 +1132,17 @@ object SqlRouter {
           // the resolved key columns; updated images keep their PKs,
           // so the PK-keyed merge stays exact.
           val pkSet = m.pkCols.map(_.toLowerCase).toSet
+          // expression targets/indexes match on whitespace-stripped
+          // lowercase text — `LOWER( email )` finds `lower(email)`
+          def normE(e: String) = e.toLowerCase.replaceAll("\\s+", "")
           val arbiter: Seq[String] = (Option(target), Option(constraint)) match {
             case (Some(tg), _) =>
-              val cols = tg.split(',')
+              val cols = splitTop(tg)
                 .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
               val lc = cols.map(_.toLowerCase).toSet
               if (lc == pkSet) m.pkCols
-              else t.uniqueIndexes.values
-                .find(_.map(_.toLowerCase).toSet == lc)
+              else t.uniqueArbiters.values
+                .find(_.map(normE).toSet == cols.map(normE).toSet)
                 .getOrElse(throw new IllegalArgumentException(
                   s"ON CONFLICT target ($tg) must be the primary key " +
                     s"(${m.pkCols.mkString(", ")}) or a recorded unique index"))
@@ -1137,8 +1155,8 @@ object SqlRouter {
               val nm = nm0.split('.').last
                 .stripPrefix("\"").stripSuffix("\"")
               val bareTable = name.split('.').last
-              t.uniqueIndexes.get(nm)
-                .orElse(t.uniqueIndexes.find(_._1.equalsIgnoreCase(nm))
+              t.uniqueArbiters.get(nm)
+                .orElse(t.uniqueArbiters.find(_._1.equalsIgnoreCase(nm))
                   .map(_._2))
                 .getOrElse {
                   if (nm.equalsIgnoreCase(s"${bareTable}_pkey") &&
@@ -1158,15 +1176,17 @@ object SqlRouter {
             case Some(rx) =>
               // PG returns only the rows actually INSERTED under DO
               // NOTHING; the pre-insert key set is frozen (immutable
-              // files), the source pinned once
+              // files), the source pinned once. Expression arbiters
+              // compute on both frames via the table's helper.
               val src = sourceDfFor(engine, t, colList, rest)
                 .localCheckpoint(true)
-              val preKeys = t.read().select(pk.map(col): _*)
+              val (keyCols, addArb) = t.withArbiterKey(pk)
+              val preKeys = addArb(t.read()).select(keyCols.map(col): _*)
               val n = t.insertIgnoreRows(src, pk)
               // same first-occurrence condensation insertIgnoreRows
               // applies, so the image rows ARE the stored rows
-              val inserted = t.firstPerKey(src, pk)
-                .join(preKeys, pk, "left_anti")
+              val inserted = t.firstPerKey(addArb(src), keyCols)
+                .join(preKeys, keyCols, "left_anti")
               Result(Some(retSel(inserted, rx)), n)
           } else {
             val (sets0, whereOpt) = splitSetWhere(setList)
@@ -1845,8 +1865,11 @@ object SqlRouter {
     case AlterAddIgnoredConstraint(name) =>
       engine.table(name) // validate the target; the constraint is dropped
       ddl
-    case AlterIgnoredMeta(name) =>
-      engine.table(name) // validate the target; the knob has no analog
+    case AlterIgnoredMeta(ifExists, name) =>
+      // IF EXISTS (pg_dump --if-exists) must never abort a restore on
+      // a missing table (round-10 advice); without it the target
+      // validates as before
+      if (ifExists == null) engine.table(name)
       ddl
     case AlterDrop(name, colName) =>
       engine.table(name).dropColumn(colName); ddl
@@ -1943,14 +1966,24 @@ object SqlRouter {
     case SetRole() => ddl
     case SelectSetvalAny() => ddl // unparseable setval form: accepted
     case SelectSetConfig() => ddl // session GUCs: no engine analog
-    case CreateIndexStmt(unique, idxName, tblName, colList) =>
+    case CreateIndexStmt(unique, idxName, tblName, rest0) =>
       // UNIQUE indexes record their column sets (ON CONFLICT arbiter
       // metadata, reference `catalog/table.go:555-638`); plain indexes
       // stay accepted-and-dropped — layout clustering is the engine's
       // scan-acceleration analog (A21)
-      if (unique != null)
-        recordUnique(engine, tblName,
-          Option(idxName).filter(_.nonEmpty), colList)
+      if (unique != null) {
+        val rest = "(?is)^USING\\s+\\w+\\s*".r
+          .replaceFirstIn(rest0.trim, "")
+        extractParenGroup(rest) match {
+          case Some((colList, tail)) if benignIndexTail(tail) =>
+            recordUnique(engine, tblName,
+              Option(idxName).filter(_.nonEmpty), colList)
+          case _ => () // partial (WHERE ...) / unparsed: accepted-and-
+                       // dropped — a partial index recorded as a TOTAL
+                       // arbiter would make ON CONFLICT update rows PG
+                       // would have inserted
+        }
+      }
       ddl
     case DropIndexStmt(idxName, tbl) =>
       // MySQL spells the table (DROP INDEX i ON t); PG names only the
@@ -2046,19 +2079,82 @@ object SqlRouter {
         PgCompat.rewriteQuery(engine, rewriteAliasHaving(original)))), 0L)
   }
 
-  private val AggHeads =
-    Seq("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "STDDEV",
-      "VARIANCE", "VAR_POP", "VAR_SAMP", "STDDEV_POP", "STDDEV_SAMP",
-      "BOOL_AND", "BOOL_OR", "ANY_VALUE", "BIT_AND", "BIT_OR", "BIT_XOR",
-      "COLLECT_LIST", "COLLECT_SET", "ARRAY_AGG", "STRING_AGG", "LISTAGG",
-      "JSON_ARRAYAGG", "JSON_OBJECTAGG", "PERCENTILE", "PERCENTILE_APPROX",
-      "MEDIAN", "MODE", "FIRST", "FIRST_VALUE", "LAST", "LAST_VALUE",
-      "APPROX_COUNT_DISTINCT", "HLL_SKETCH_AGG", "KURTOSIS", "SKEWNESS",
-      "CORR", "COVAR_POP", "COVAR_SAMP", "REGR_SLOPE", "REGR_INTERCEPT")
+  /** Call heads PROVABLY SCALAR for the alias-HAVING inline (round-10
+    * advice): the old approach blacklisted known AGGREGATE heads, but
+    * any miss (count_if, min_by, percentile_cont, a UDAF...) inlined an
+    * aggregate into WHERE and broke a query Spark's native HAVING
+    * handled fine. Inverted: the rewrite fires only when every
+    * `name(`-headed call in the condition and the referenced alias
+    * expansions is on this whitelist — an unknown head (aggregate,
+    * window, UDF, UDAF) falls back to native HAVING, which is always
+    * analyzable (worst case: the alias doesn't resolve, the same error
+    * MySQL-only syntax always produced on Spark). SQL keywords that
+    * look like calls (`IN (`, `CASE`, `EXISTS (`...) count as scalar —
+    * they are expression syntax, not functions. */
+  private val ScalarHeads = Set(
+    // expression-syntax keywords
+    "IN", "NOT", "AND", "OR", "BETWEEN", "LIKE", "ILIKE", "RLIKE",
+    "REGEXP", "IS", "CASE", "WHEN", "THEN", "ELSE", "END", "ESCAPE",
+    "INTERVAL", "ROW", "DISTINCT",
+    // conditionals / generic
+    "CAST", "TRY_CAST", "CONVERT", "COALESCE", "NULLIF", "IF", "IFNULL",
+    "NVL", "NVL2", "GREATEST", "LEAST", "DECODE",
+    // string
+    "UPPER", "LOWER", "TRIM", "LTRIM", "RTRIM", "BTRIM", "INITCAP",
+    "CONCAT", "CONCAT_WS", "SUBSTR", "SUBSTRING", "LEFT", "RIGHT",
+    "LPAD", "RPAD", "REPLACE", "REVERSE", "LENGTH", "CHAR_LENGTH",
+    "CHARACTER_LENGTH", "OCTET_LENGTH", "BIT_LENGTH", "POSITION",
+    "INSTR", "LOCATE", "SPLIT", "SPLIT_PART", "SUBSTRING_INDEX",
+    "REGEXP_REPLACE", "REGEXP_EXTRACT", "REGEXP_LIKE", "REGEXP_SUBSTR",
+    "TRANSLATE", "FORMAT", "REPEAT", "SPACE", "ASCII", "CHR", "CHAR",
+    "MD5", "SHA1", "SHA2", "CRC32", "HEX", "UNHEX", "TO_CHAR",
+    // numeric
+    "ABS", "SIGN", "MOD", "ROUND", "BROUND", "TRUNC", "TRUNCATE",
+    "FLOOR", "CEIL", "CEILING", "POWER", "POW", "SQRT", "CBRT", "EXP",
+    "LN", "LOG", "LOG10", "LOG2", "SIN", "COS", "TAN", "ASIN", "ACOS",
+    "ATAN", "ATAN2", "DEGREES", "RADIANS", "PI", "PMOD",
+    // datetime
+    "YEAR", "MONTH", "DAY", "DAYOFMONTH", "DAYOFWEEK", "DAYOFYEAR",
+    "HOUR", "MINUTE", "SECOND", "QUARTER", "WEEK", "WEEKOFYEAR",
+    "DATE", "DATE_FORMAT", "DATE_ADD", "DATE_SUB", "ADDDATE", "SUBDATE",
+    "DATEDIFF", "DATE_TRUNC", "TO_DATE", "TO_TIMESTAMP",
+    "UNIX_TIMESTAMP", "FROM_UNIXTIME", "EXTRACT", "NOW", "CURRENT_DATE",
+    "CURRENT_TIMESTAMP", "CURDATE", "CURTIME", "LAST_DAY", "MAKEDATE",
+    // collections (scalar constructors/accessors)
+    "ARRAY", "MAP", "STRUCT", "NAMED_STRUCT", "ELEMENT_AT",
+    "ARRAY_CONTAINS", "SIZE", "CARDINALITY", "GET_JSON_OBJECT",
+    "JSON_EXTRACT", "JSON_VALUE")
 
-  private def hasAggCall(s: String): Boolean =
-    AggHeads.exists(a =>
-      ("(?i)\\b" + a + "\\s*\\(").r.findFirstIn(s).isDefined)
+  /** Uppercased identifiers immediately heading a `(` in CODE spans —
+    * `count (x)` included (SQL allows the space), string-literal text
+    * excluded. */
+  private[graft] def callHeads(s: String): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    SqlText.spans(s, dollarQuotes = true).foreach { sp =>
+      if (sp.kind == SqlText.Code) {
+        var i = sp.start
+        while (i < sp.end) {
+          val c = s.charAt(i)
+          if ((c.isLetter || c == '_') &&
+              (i == 0 || { val p = s.charAt(i - 1)
+                !p.isLetterOrDigit && p != '_' && p != '$' && p != '.' })) {
+            var j = i
+            while (j < sp.end && { val d = s.charAt(j)
+              d.isLetterOrDigit || d == '_' || d == '$' }) j += 1
+            var k = j
+            while (k < sp.end && s.charAt(k).isWhitespace) k += 1
+            if (k < sp.end && s.charAt(k) == '(')
+              out += s.substring(i, j).toUpperCase
+            i = j
+          } else i += 1
+        }
+      }
+    }
+    out.toSet
+  }
+
+  private def provablyScalar(s: String): Boolean =
+    callHeads(s).forall(ScalarHeads.contains)
 
   /** MySQL-ism: `HAVING` without GROUP BY filters plain rows and may
     * reference select-list ALIASES (Connector/J's
@@ -2111,7 +2207,10 @@ object SqlRouter {
     if (havingPos < 0 || groupPos >= 0 || fromPos < 0) return s
     val end = if (tailPos > havingPos) tailPos else s.length
     var cond = s.substring(havingPos + 6, end).trim
-    if (hasAggCall(cond)) return s
+    // a non-scalar call in the condition itself (aggregate, unknown
+    // UDF/UDAF) means this is — or may be — the global-aggregate form:
+    // keep native HAVING, which Spark evaluates correctly
+    if (!provablyScalar(cond)) return s
     // select-list aliases: top-level comma items of `expr AS alias`
     // shape between SELECT and FROM
     val selStart = s.indexOf(head.substring(0, 6)) + 6
@@ -2132,20 +2231,26 @@ object SqlRouter {
         "(?![A-Za-z0-9_$])").r.findFirstIn(cond).isDefined
     }.toSeq
     if (referenced.isEmpty) return s
-    if (referenced.exists(a => hasAggCall(aliases(a)))) return s
-    // inline each alias reference in the condition (code spans only —
-    // an alias word inside a string literal stays text)
-    aliases.foreach { case (alias, expr) =>
-      val b = new StringBuilder
-      SqlText.spans(cond, dollarQuotes = true).foreach { sp =>
-        val seg = cond.substring(sp.start, sp.end)
-        if (sp.kind != SqlText.Code) b.append(seg)
-        else b.append(("(?i)(?<![A-Za-z0-9_$.])" + java.util.regex.Pattern.quote(alias) +
-          "(?![A-Za-z0-9_$])").r.replaceAllIn(seg,
-          java.util.regex.Matcher.quoteReplacement(s"($expr)")))
-      }
-      cond = b.toString
+    // an expansion whose call heads aren't all provably scalar
+    // (aggregate, window, UDAF, unknown UDF) must NOT land in WHERE
+    if (referenced.exists(a => !provablyScalar(aliases(a)))) return s
+    // inline ONLY the referenced aliases, in a SINGLE pass over the
+    // ORIGINAL condition (code spans only — an alias word inside a
+    // string literal stays text). One pass means an alias name that
+    // happens to match a base column inside ANOTHER alias's expansion
+    // is never chain-substituted into it (round-10 advice).
+    val pat = ("(?i)(?<![A-Za-z0-9_$.])(" +
+      referenced.map(java.util.regex.Pattern.quote).mkString("|") +
+      ")(?![A-Za-z0-9_$])").r
+    val b = new java.lang.StringBuilder
+    SqlText.spans(cond, dollarQuotes = true).foreach { sp =>
+      val seg = cond.substring(sp.start, sp.end)
+      if (sp.kind != SqlText.Code) b.append(seg)
+      else b.append(pat.replaceAllIn(seg, mm =>
+        java.util.regex.Matcher.quoteReplacement(
+          "(" + aliases(mm.group(1).toLowerCase) + ")")))
     }
+    cond = b.toString
     val base = s.substring(0, havingPos).stripTrailing()
     val tail = if (tailPos > havingPos) " " + s.substring(tailPos) else ""
     val glue = if (wherePos >= 0 && wherePos < havingPos) "AND" else "WHERE"
@@ -2843,10 +2948,12 @@ object SqlRouter {
       sets: Map[String, String], guardSql: Option[String],
       key0: Seq[String] = Nil): (DataFrame, Long) = {
     val m = t.manifest
-    val pk = if (key0.nonEmpty) key0 else m.pkCols
-    val pre = t.read()
-    val n = t.upsertOnDuplicate(src, sets, pk)
-    val batch = t.lastPerKey(src, pk)
+    // arbiter entries may be expressions — same __arb_* computation the
+    // storage merge applies, so the image join keys align with it
+    val (pk, addArb) = t.withArbiterKey(if (key0.nonEmpty) key0 else m.pkCols)
+    val pre = addArb(t.read())
+    val n = t.upsertOnDuplicate(src, sets, key0)
+    val batch = t.lastPerKey(addArb(src), pk)
     val renamed = batch.select(
       batch.columns.map(c => col(c).as(s"__new_$c")): _*)
     val joined = pre.join(renamed,
@@ -3037,8 +3144,13 @@ object SqlRouter {
       case "FLUSH" | "CHECKSUM" => engine.observeDialect("mysql")
       case "KILL" => engine.observeDialect("mysql")
       case "LOCK" | "UNLOCK" | "CHECK" =>
-        if (head.toUpperCase.contains("TABLES") ||
-          head.regionMatches(true, 0, "CHECK TABLE", 0, 11))
+        // the MySQL statements are exactly `[UN]LOCK TABLES` / `CHECK
+        // TABLE` at the statement HEAD — a substring scan would let
+        // PG's `LOCK TABLE audit_tables IN EXCLUSIVE MODE` flip the
+        // session dialect (round-10 advice), silently changing
+        // nested-BEGIN commit behavior mid-transaction
+        if ("(?is)^\\s*(?:UN)?LOCK\\s+TABLES\\b".r.findFirstIn(head).isDefined ||
+          "(?is)^\\s*CHECK\\s+TABLE\\b".r.findFirstIn(head).isDefined)
           engine.observeDialect("mysql")
       case "SHOW" =>
         val rest = head.drop(4).trim.takeWhile(!_.isWhitespace).toUpperCase
@@ -3142,8 +3254,13 @@ object SqlRouter {
     }
     val pk = if (m.pkCols.nonEmpty)
       Seq(s"  PRIMARY KEY (${m.pkCols.mkString(", ")})") else Nil
-    val uq = t.uniqueIndexes.toSeq.sortBy(_._1).map { case (nm, cs) =>
-      s"  UNIQUE KEY $nm (${cs.mkString(", ")})"
+    val uq = t.uniqueArbiters.toSeq.sortBy(_._1).map { case (nm, cs) =>
+      // expression entries render MySQL-functional-index style
+      // (`((lower(email)))`) — the CREATE parser's expression fallback
+      // reads them back, so a SHOW CREATE replay keeps the arbiter
+      val entries = cs.map(e =>
+        if (e.matches("[A-Za-z_][A-Za-z0-9_$]*")) e else s"($e)")
+      s"  UNIQUE KEY $nm (${entries.mkString(", ")})"
     }
     val checks = m.props.toSeq.filter(_._1.startsWith("check."))
       .sortBy(_._1).map { case (k, v) =>
@@ -3253,7 +3370,7 @@ object SqlRouter {
   private val StartWith = """(?is)\bSTART\s+WITH\s+(\d+)""".r
 
   private val UniqueEntry =
-    """(?is)\s*(?:CONSTRAINT\s+([\w`"]+)\s+)?UNIQUE(?:\s+(?:KEY|INDEX))?\s*([\w`"]+)?\s*\(([^)]*)\)\s*""".r
+    """(?is)\s*(?:CONSTRAINT\s+([\w`"]+)\s+)?UNIQUE(?:\s+(?:KEY|INDEX))?\s*([\w`"]+)?\s*\((.*)\)\s*(?:USING\s+\w+\s*|COMMENT\s+'[^']*'\s*)*""".r
 
   /** Normalize a unique-target column list to plain identifiers; None
     * when any entry is an expression / prefix-length form (those stay
@@ -3271,9 +3388,29 @@ object SqlRouter {
   }
 
   /** Record a unique index/constraint column set on the table's
-    * manifest (the ON CONFLICT arbiter metadata). */
+    * manifest (the ON CONFLICT arbiter metadata). Plain column lists
+    * record as before; EXPRESSION lists (`lower(email)` — PG
+    * expression-index arbiters) record as normalized expression text
+    * when every entry analyzes against the table schema. Entries that
+    * do neither (MySQL prefix lengths `email(10)`, operator classes)
+    * stay accepted-and-dropped like the reference's unsupported index
+    * kinds. */
   private def recordUnique(engine: Engine, table: String,
-      name: Option[String], colList: String): Unit =
+      name: Option[String], colList: String): Unit = {
+    if (uniqueCols(colList).isEmpty) {
+      val exprs = uniqueExprEntries(colList)
+      if (exprs.nonEmpty) {
+        val nm = name.map(_.split('.').last
+          .stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)
+          .getOrElse(exprs.mkString("_")
+            .replaceAll("[^A-Za-z0-9_]+", "_").stripSuffix("_") + "_key")
+        try engine.table(table).addUniqueExprIndex(nm, exprs)
+        catch { case scala.util.control.NonFatal(_) => () } // dropped
+      }
+      return
+    }
     uniqueCols(colList).foreach { cs =>
       val nm = name.map(_.split('.').last
         .stripPrefix("\"").stripSuffix("\"")
@@ -3282,6 +3419,88 @@ object SqlRouter {
         .getOrElse(cs.mkString("_") + "_key")
       engine.table(table).addUniqueIndex(nm, cs)
     }
+  }
+
+  /** Normalize a unique-index EXPRESSION list: top-level split; strip
+    * redundant outer parens (MySQL functional-index style
+    * `((lower(email)))`) and ASC/DESC + NULLS ordering tails (index
+    * metadata, not arbiter identity). */
+  private def uniqueExprEntries(colList: String): Seq[String] =
+    Option(colList).toSeq.flatMap(splitTop).map { e0 =>
+      var e = e0.trim
+        .replaceAll("(?is)\\s+(?:ASC|DESC)(?:\\s+NULLS\\s+(?:FIRST|LAST))?\\s*$", "")
+      while (e.startsWith("(") && e.endsWith(")") &&
+          balancedOuter(e)) e = e.substring(1, e.length - 1).trim
+      e
+    }.filter(_.nonEmpty)
+
+  /** Extract a leading balanced `( ... )` group (quote-aware) and the
+    * remainder after it. None when the string doesn't start with `(`
+    * or the parens never balance. */
+  private def extractParenGroup(s0: String): Option[(String, String)] = {
+    val s = s0.trim
+    if (!s.startsWith("(")) return None
+    var depth = 0
+    var quote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote) { if (c == '\'') quote = false }
+      else c match {
+        case '\'' => quote = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some((s.substring(1, i), s.substring(i + 1)))
+        case _ => ()
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Index-DDL tails that do NOT change arbiter semantics: storage/
+    * method/visibility knobs. A `WHERE` predicate (partial index) or
+    * anything unrecognized is NOT benign — the recorded column set
+    * would overclaim uniqueness. INCLUDE payload columns don't affect
+    * the keyed set; NULLS [NOT] DISTINCT changes only all-NULL-key
+    * behavior, which the best-effort enforcement posture tolerates. */
+  private def benignIndexTail(t0: String): Boolean = {
+    var t = t0.trim
+    val pats = Seq(
+      "(?is)^USING\\s+\\w+", "(?is)^WITH\\s*\\([^)]*\\)",
+      "(?is)^TABLESPACE\\s+\\S+", "(?is)^INCLUDE\\s*\\([^)]*\\)",
+      "(?is)^COMMENT\\s+'(?:[^']|'')*'",
+      "(?is)^(?:ALGORITHM|LOCK)\\s*=?\\s*\\w+",
+      "(?is)^NULLS\\s+(?:NOT\\s+)?DISTINCT",
+      "(?is)^(?:VISIBLE|INVISIBLE)").map(_.r)
+    var changed = true
+    while (changed && t.nonEmpty) {
+      changed = false
+      pats.foreach { p =>
+        p.findFirstIn(t).foreach { m0 =>
+          t = t.substring(m0.length).trim; changed = true
+        }
+      }
+    }
+    t.isEmpty
+  }
+
+  /** Outer parens are a REDUNDANT wrapper only when they match each
+    * other: `(lower(email))` yes, `(a), (b)` no. */
+  private def balancedOuter(s: String): Boolean = {
+    var depth = 0
+    var i = 0
+    while (i < s.length - 1) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return false
+        case _ => ()
+      }
+      i += 1
+    }
+    true
+  }
 
   /** Resolve a declared type against the user-type registry: enum →
     * (StringType, its values — the caller adds the CHECK), domain →
@@ -3329,12 +3548,30 @@ object SqlRouter {
     // KEY/CONSTRAINT entries stay dropped (layout is the index analog)
     rest.filter(IndexEntry.matches).foreach {
       case UniqueEntry(cnm, inm, colList) =>
-        uniqueCols(colList).foreach { cs =>
-          val nm = Option(cnm).orElse(Option(inm))
-            .map(_.stripPrefix("`").stripSuffix("`")
-              .stripPrefix("\"").stripSuffix("\""))
-            .getOrElse(cs.mkString("_") + "_key")
-          defaults += s"unique.$nm" -> cs.mkString(",")
+        def entryName(fallback: => String) = Option(cnm).orElse(Option(inm))
+          .map(_.stripPrefix("`").stripSuffix("`")
+            .stripPrefix("\"").stripSuffix("\""))
+          .getOrElse(fallback)
+        uniqueCols(colList) match {
+          case Some(cs) =>
+            defaults += s"unique.${entryName(cs.mkString("_") + "_key")}" ->
+              cs.mkString(",")
+          case None =>
+            // EXPRESSION entries (SHOW CREATE functional-index render
+            // `((lower(email)))`, ANSI expression constraints): each
+            // must at least PARSE; column resolution can't run here
+            // (the table doesn't exist yet), and a non-parsing entry
+            // (MySQL prefix length `email(5)`... parses as a call —
+            // those arrive only via CREATE INDEX, which analyzes)
+            // stays accepted-and-dropped
+            val exprs = uniqueExprEntries(colList)
+            val ok = exprs.nonEmpty && exprs.forall(x =>
+              scala.util.Try(expr(x)).isSuccess)
+            if (ok) {
+              val nm = entryName(exprs.mkString("_")
+                .replaceAll("[^A-Za-z0-9_]+", "_").stripSuffix("_") + "_key")
+              defaults += s"unique.$nm" -> ("expr:" + exprs.mkString(","))
+            }
         }
       case CheckEntry(cnm, ex) =>
         // inline CHECK constraints record like the post-data ALTER
@@ -3498,8 +3735,13 @@ object SqlRouter {
 
   /** `[(cols)] | ON CONSTRAINT name` target, then DO NOTHING or
     * DO UPDATE SET <list>. */
+  // the target may be a column list OR an expression list (PG
+  // expression-index arbiters: `ON CONFLICT (lower(email))`) — the
+  // capture allows two paren-nesting levels and quoted literals so the
+  // lazy match closes at the target's `) DO`, never inside a call
   private val ConflictTail =
-    """(?is)\s*(?:\(\s*([\w\s,"]+?)\s*\)\s*|ON\s+CONSTRAINT\s+([\w."]+)\s+)?DO\s+(?:(NOTHING)|UPDATE\s+SET\s+(.+))\s*""".r
+    ("""(?is)\s*(?:\(\s*((?:[^()']|'[^']*'|\((?:[^()']|'[^']*'|\([^()]*\))*\))+?)\s*\)\s*""" +
+      """|ON\s+CONSTRAINT\s+([\w."]+)\s+)?DO\s+(?:(NOTHING)|UPDATE\s+SET\s+(.+))\s*""").r
 
   /** PG upsert SET/WHERE expressions reference the incoming row as
     * `excluded.c` and the existing row as `c` or `<table>.c` — folded

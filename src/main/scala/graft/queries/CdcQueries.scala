@@ -459,6 +459,52 @@ object CdcQueries {
         UNION ALL SELECT 20000, 'zzz_new', 'basic', 0.5)
       SELECT id, name, t, bal FROM fin ORDER BY id"""))
 
+  // --------------------------------------------------------------------
+  // q108 — MySQL counter semantics THROUGH the merge machinery (round-10
+  // verdict #1, reference `catalog/table.go:785-949`): explicit ids
+  // written by REPLACE, the ON DUPLICATE KEY insert arm, and INSERT
+  // IGNORE must all advance the auto-inc counter past max(id), so the
+  // next bare INSERT takes counter+explicit-max, never a stale low id.
+  // Each auto-assigned probe row's id is therefore fully determined by
+  // the preceding explicit id — the hash gate fails if ANY of the three
+  // merge-family paths leaves the counter stale. Seed rows use explicit
+  // ids (deterministic name↔id mapping); every later insert is one row.
+  private val q108 = QueryDef(
+    "q108_autoinc_merge",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      val e = new Engine(s, Files.createTempDirectory("graft_q108"))
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE TABLE t (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, " +
+        "n INT, PRIMARY KEY (id))")
+      run("INSERT INTO t SELECT c_custkey, c_name, 1 FROM customer " +
+        "WHERE c_custkey <= 100") // explicit seed: counter -> 101
+      run("INSERT INTO t (v, n) VALUES ('auto_a', 1)") // id 101
+      run("REPLACE INTO t VALUES (50, 'rep50', 9)")    // replaces id 50
+      run("REPLACE INTO t VALUES (500, 'rep', 2)")     // counter -> 501
+      run("INSERT INTO t (v, n) VALUES ('auto_b', 3)") // id 501, not 102
+      run("INSERT INTO t VALUES (800, 'odku', 4) " +
+        "ON DUPLICATE KEY UPDATE n = n + 1")           // counter -> 801
+      run("INSERT INTO t (v, n) VALUES ('auto_c', 5)") // id 801
+      run("INSERT IGNORE INTO t VALUES (900, 'ign', 6)") // counter -> 901
+      run("INSERT INTO t (v, n) VALUES ('auto_d', 7)") // id 901
+      SqlRouter.execute(e, "SELECT id, v, n FROM t ORDER BY id").df.get
+    },
+    Some("""WITH seed AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS v, 1 AS n
+        FROM customer WHERE c_custkey <= 100 AND c_custkey <> 50),
+      fin AS (SELECT * FROM seed
+        UNION ALL SELECT 50, 'rep50', 9
+        UNION ALL SELECT 101, 'auto_a', 1
+        UNION ALL SELECT 500, 'rep', 2
+        UNION ALL SELECT 501, 'auto_b', 3
+        UNION ALL SELECT 800, 'odku', 4
+        UNION ALL SELECT 801, 'auto_c', 5
+        UNION ALL SELECT 900, 'ign', 6
+        UNION ALL SELECT 901, 'auto_d', 7)
+      SELECT id, v, CAST(n AS INT) AS n FROM fin ORDER BY id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107)
+    Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108)
 }

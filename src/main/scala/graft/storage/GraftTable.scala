@@ -478,14 +478,16 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val m = manifest
     require(m.pkCols.nonEmpty, "INSERT IGNORE needs a primary key")
     // `key0` overrides the conflict key with a recorded unique index
-    // (ON CONFLICT (unique_col) DO NOTHING — the PG arbiter form)
-    val pk = if (key0.nonEmpty) key0 else m.pkCols
+    // (ON CONFLICT (unique_col) DO NOTHING — the PG arbiter form);
+    // entries may be EXPRESSIONS (`lower(email)`) — computed on both
+    // sides of the anti-join, dropped by insert's schema projection
+    val (pk, addArb) = withArbiterKey(if (key0.nonEmpty) key0 else m.pkCols)
     // first occurrence wins (NOT dropDuplicates' arbitrary pick):
     // later in-batch duplicates conflict with the just-inserted first
     // row in both MySQL and PG, and the router's RETURNING image uses
     // the same condensation so returned values match stored rows
-    val fresh = firstPerKey(df, pk)
-      .join(read().select(pk.map(col): _*), pk, "left_anti")
+    val fresh = firstPerKey(addArb(df), pk)
+      .join(addArb(read()).select(pk.map(col): _*), pk, "left_anti")
     guardArbiterPkCollision(m, pk, fresh)
     insert(fresh)
   }
@@ -500,13 +502,29 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       toInsert: DataFrame): Unit = {
     if (key.map(_.toLowerCase).toSet == m.pkCols.map(_.toLowerCase).toSet)
       return
-    val dup = toInsert.select(m.pkCols.map(col): _*)
-      .join(readManifest(m).select(m.pkCols.map(col): _*), m.pkCols, "semi")
-      .count()
-    require(dup == 0,
+    // ONE job answers both PG violations (round-10 advice): a marker
+    // left-join + aggregate counts (a) incoming rows whose PK already
+    // EXISTS (novel arbiter value, stored PK) and (b) in-batch PK
+    // duplicates surviving the arbiter condensation (two batch rows,
+    // distinct arbiter values, same PK — PG inserts the first and
+    // raises on the second).
+    val ex = readManifest(m).select(m.pkCols.map(col): _*)
+      .withColumn("__ex", lit(1))
+    val r = toInsert.select(m.pkCols.map(col): _*)
+      .join(ex, m.pkCols, "left")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(struct(m.pkCols.map(col): _*)).as("nd"),
+        count(col("__ex")).as("hit"))
+      .collect()(0)
+    val (n, nd, hit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(hit == 0,
       s"duplicate key value violates the PRIMARY KEY (${m.pkCols.mkString(", ")}): " +
-        s"$dup incoming row(s) carry an existing primary key with a novel " +
+        s"$hit incoming row(s) carry an existing primary key with a novel " +
         "conflict-arbiter value")
+    require(nd == n,
+      s"duplicate key value violates the PRIMARY KEY (${m.pkCols.mkString(", ")}): " +
+        s"${n - nd} in-batch duplicate(s) share a primary key across distinct " +
+        "conflict-arbiter values")
   }
 
   /** INSERT ... ON DUPLICATE KEY UPDATE (§2.B INSERT edge semantics,
@@ -533,11 +551,15 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // so the PK-keyed merge below replaces exactly the matched rows —
     // which is why this override requires a PK table (on a keyless
     // table the full-row-image merge key couldn't find the old image).
-    val pk = if (key0.nonEmpty) key0 else m.pkCols
+    // arbiter entries may be EXPRESSIONS (`lower(email)`): computed as
+    // __arb_* columns on the batch (before the __new_ rename, so they
+    // ride it) and on the existing rows, keying the match; the data
+    // projections below drop them
+    val (pk, addArb) = withArbiterKey(if (key0.nonEmpty) key0 else m.pkCols)
     val dataCols = m.schema.fieldNames
-    val batch = lastPerKey(df0.select(dataCols.map(col): _*), pk)
+    val batch = lastPerKey(addArb(df0.select(dataCols.map(col): _*)), pk)
     val renamed = batch.select(batch.columns.map(c => col(c).as(s"__new_$c")): _*)
-    val existing = readManifest(m)
+    val existing = addArb(readManifest(m))
     val matched = existing.join(renamed,
       pk.map(c => col(c) === col(s"__new_$c")).reduce(_ && _), "inner")
     val updated = matched.select(dataCols.map { f =>
@@ -604,10 +626,26 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   // ([[checkUnique]]), matching the reference's replicated mode where
   // ART indexes are disabled.
 
-  /** All recorded unique indexes: name → column list. */
+  /** Recorded unique indexes over PLAIN COLUMN lists: name → columns.
+    * Expression indexes (`expr:`-valued props) are excluded — use
+    * [[uniqueArbiters]] when expressions qualify. */
   def uniqueIndexes: Map[String, Seq[String]] =
+    manifest.props.collect {
+      case (k, v) if k.startsWith("unique.") && !v.startsWith("expr:") =>
+        k.stripPrefix("unique.") -> v.split(',').map(_.trim).toSeq
+    }
+
+  /** EVERY recorded unique index: name → arbiter expression list (a
+    * plain column name is the trivial expression). Expression indexes
+    * (PG `CREATE UNIQUE INDEX ON t (lower(email))`) store normalized
+    * expression text under an `expr:` prefix, split at top-level commas
+    * (an expression may contain commas inside calls). */
+  def uniqueArbiters: Map[String, Seq[String]] =
     manifest.props.collect { case (k, v) if k.startsWith("unique.") =>
-      k.stripPrefix("unique.") -> v.split(',').map(_.trim).toSeq
+      k.stripPrefix("unique.") -> (
+        if (v.startsWith("expr:"))
+          GraftTable.splitTopLevel(v.stripPrefix("expr:")).map(_.trim)
+        else v.split(',').map(_.trim).toSeq)
     }
 
   /** Merge manifest props through the io seam — transactional like
@@ -635,6 +673,47 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       s"unknown column '$c' in unique index $name"))
     io.commit(path, m.copy(props =
       m.props + (s"unique.$name" -> cols.mkString(","))))
+  }
+
+  /** Record an EXPRESSION unique index (`lower(email)` — the PG
+    * expression-index arbiter surface, reference `catalog/table.go:
+    * 555-638` routes unique ART indexes the same way). Each expression
+    * is validated by ANALYZING it against the table schema on an empty
+    * frame — a MySQL prefix-length form (`email(10)`) fails analysis
+    * (no such function) and never records a bogus arbiter. Throws on
+    * invalid expressions; callers keeping the accepted-and-dropped
+    * posture catch. */
+  def addUniqueExprIndex(name: String, exprs: Seq[String]): Unit = {
+    val m = manifest
+    require(exprs.nonEmpty, s"unique index $name needs expressions")
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), m.schema)
+    probe.selectExpr(exprs: _*) // analysis throws on unknown col/function
+    io.commit(path, m.copy(props =
+      m.props + (s"unique.$name" -> ("expr:" + exprs.mkString(",")))))
+  }
+
+  /** Resolve a mixed column/expression arbiter key against a frame:
+    * plain schema columns pass through; expression entries compute
+    * into `__arb_<i>` columns. Returns the key COLUMN NAMES plus a
+    * function augmenting any frame (incoming batch or stored rows)
+    * with the computed columns — both sides of an arbiter join must go
+    * through it so the join keys align. Extra `__arb_*` columns are
+    * dropped by the schema-projection every write path applies. */
+  private[graft] def withArbiterKey(key: Seq[String])
+      : (Seq[String], DataFrame => DataFrame) = {
+    val m = manifest
+    val fields = m.schema.fieldNames.map(_.toLowerCase).toSet
+    val mapped = key.zipWithIndex.map { case (k, i) =>
+      if (k.matches("[A-Za-z_][A-Za-z0-9_$]*") && fields(k.toLowerCase))
+        (k, None)
+      else (s"__arb_$i", Some(k))
+    }
+    val add = (df: DataFrame) => mapped.foldLeft(df) {
+      case (d, (n, Some(e))) => d.withColumn(n, expr(e))
+      case (d, _) => d
+    }
+    (mapped.map(_._1), add)
   }
 
   /** Drop a recorded unique index; false if the name is unknown. */
@@ -858,8 +937,14 @@ final class GraftTable(val spark: SparkSession, val path: Path,
           k.startsWith("default.") =>
         k -> renameInExpr(v, from, to)
       case (k, v) if k.startsWith("unique.") =>
-        k -> v.split(',').map(c =>
-          if (c.trim.equalsIgnoreCase(from)) to else c.trim).mkString(",")
+        // expression indexes hold SQL TEXT — the ENGINEERING_NOTES
+        // invariant: every prop namespace holding SQL text rides the
+        // identifier rewrite (an orphaned `lower(old_name)` arbiter
+        // would fail analysis on the next ON CONFLICT)
+        k -> (if (v.startsWith("expr:"))
+          "expr:" + renameInExpr(v.stripPrefix("expr:"), from, to)
+        else v.split(',').map(c =>
+          if (c.trim.equalsIgnoreCase(from)) to else c.trim).mkString(","))
       case kv => kv
     }
     // per-column prop KEYS follow the rename too — an orphaned
@@ -1033,6 +1118,30 @@ object GraftTable {
     * — spec observability ONLY: lets tests assert a merge touching one
     * key range opened only the overlapping files. Not part of the API. */
   @volatile private[graft] var lastProbeFiles: Seq[String] = Nil
+
+  /** Split at top-level commas (paren-depth 0, single-quote-aware) —
+    * an expression-index entry like `concat(a, b)` must stay one item. */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var quote = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote) { if (c == '\'') quote = false }
+      else c match {
+        case '\'' => quote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
 
   /** CREATE TABLE: initialize an empty manifest (A19 analog). */
   def create(spark: SparkSession, path: Path, schema: StructType,

@@ -2097,4 +2097,128 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SELECT VERSION() AS v").df.get.as[String].head()
       === "8.0.33")
   }
+
+  test("alias-HAVING rewrite: non-whitelisted aggregates stay native, single-pass inline") {
+    // count_if is an aggregate the old name-blacklist missed: the
+    // expansion must NOT inline into WHERE (round-10 advice)
+    val kept = SqlRouter.rewriteAliasHaving(
+      "SELECT count_if(x > 0) AS n FROM t HAVING n > 5")
+    assert(kept === "SELECT count_if(x > 0) AS n FROM t HAVING n > 5")
+    // unknown call heads (UDAFs) likewise stay native
+    assert(SqlRouter.rewriteAliasHaving(
+      "SELECT my_udaf(x) AS n FROM t HAVING n > 5")
+      .contains("HAVING"))
+    // scalar-whitelisted expansions still rewrite (the Connector/J shape)
+    val rw = SqlRouter.rewriteAliasHaving(
+      "SELECT upper(c) AS tag FROM t HAVING tag IN ('A','B')")
+    assert(rw.contains("WHERE ((upper(c)) IN ('A','B'))") && !rw.toUpperCase.contains("HAVING"))
+    // single pass: alias `b` referenced in HAVING expands once; the
+    // word `a` INSIDE b's expansion must not be re-substituted even
+    // though `a` is also a select-list alias
+    val chained = SqlRouter.rewriteAliasHaving(
+      "SELECT x AS a, a + 1 AS b FROM t HAVING b > 5")
+    assert(chained.contains("WHERE ((a + 1) > 5)"),
+      s"chained alias corrupted: $chained")
+  }
+
+  test("partial unique index is NOT recorded as a total arbiter") {
+    val e = new Engine(spark, tmpDir("router_partial_uq"))
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, email STRING, active BOOLEAN)")
+    exec(e, "CREATE UNIQUE INDEX uq_act ON t (email) WHERE active")
+    assert(e.table("t").uniqueArbiters.isEmpty,
+      "a WHERE-tailed (partial) index must stay accepted-and-dropped")
+    // benign tails still record
+    exec(e, "CREATE UNIQUE INDEX uq_em ON t USING btree (email) TABLESPACE ts1")
+    assert(e.table("t").uniqueArbiters("uq_em") === Seq("email"))
+  }
+
+  test("PG LOCK TABLE on a table named *_tables does not flip the dialect") {
+    val e = new Engine(spark, tmpDir("router_lock_dialect"))
+    exec(e, "CREATE TABLE audit_tables (id INT)")
+    exec(e, "BEGIN")
+    exec(e, "LOCK TABLE audit_tables IN EXCLUSIVE MODE")
+    assert(e.sessionDialect !== Some("mysql"),
+      "substring TABLES must not count as MySQL evidence")
+    exec(e, "ROLLBACK")
+    exec(e, "LOCK TABLES audit_tables READ") // the real MySQL statement
+    assert(e.sessionDialect === Some("mysql"))
+    exec(e, "UNLOCK TABLES")
+  }
+
+  test("ALTER TABLE IF EXISTS <missing> metadata knob never aborts a restore") {
+    val e = new Engine(spark, tmpDir("router_ifexists_meta"))
+    // pg_dump --if-exists emits these against tables a selective
+    // restore may not have created
+    exec(e, "ALTER TABLE IF EXISTS nope REPLICA IDENTITY FULL")
+    exec(e, "CREATE TABLE t (id INT)")
+    exec(e, "ALTER TABLE IF EXISTS t REPLICA IDENTITY FULL")
+    intercept[Exception] {
+      exec(e, "ALTER TABLE nope2 REPLICA IDENTITY FULL") // no IF EXISTS: loud
+    }
+  }
+
+  test("non-PK arbiter: in-batch rows with distinct arbiter values but one PK violate") {
+    val e = new Engine(spark, tmpDir("router_arb_pkdup"))
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, email STRING, n INT, " +
+      "UNIQUE KEY uq_em (email))")
+    exec(e, "INSERT INTO t VALUES (1, 'a@x', 1)")
+    val ex = intercept[Exception] {
+      exec(e, "INSERT INTO t VALUES (7, 'b@x', 1), (7, 'c@x', 1) " +
+        "ON CONFLICT (email) DO NOTHING")
+    }
+    assert(ex.getMessage.toLowerCase.contains("primary key"))
+  }
+
+  test("expression arbiters: lower(email) records, keys upserts, renames, round-trips") {
+    val e = new Engine(spark, tmpDir("router_expr_arb"))
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, email STRING, hits INT)")
+    exec(e, "CREATE UNIQUE INDEX uq_lower ON t (lower(email))")
+    assert(e.table("t").uniqueArbiters("uq_lower") === Seq("lower(email)"))
+    exec(e, "INSERT INTO t VALUES (1, 'Ann@X.com', 1), (2, 'bo@y.com', 1)")
+    // DO UPDATE keyed on the expression: 'ANN@x.COM' collides with row 1
+    exec(e, "INSERT INTO t VALUES (10, 'ANN@x.COM', 5), (11, 'cy@z.io', 7) " +
+      "ON CONFLICT (lower(email)) DO UPDATE SET hits = hits + excluded.hits")
+    assert(exec(e, "SELECT id, hits FROM t ORDER BY id").df.get
+      .as[(Long, Int)].collect() === Array((1L, 6), (2L, 1), (11L, 7)))
+    // DO NOTHING via ON CONSTRAINT name resolution
+    exec(e, "INSERT INTO t VALUES (20, 'BO@Y.COM', 9), (21, 'dee@w.net', 9) " +
+      "ON CONFLICT ON CONSTRAINT uq_lower DO NOTHING")
+    assert(exec(e, "SELECT count(*) FROM t").df.get.as[Long].head() === 4)
+    // a MySQL prefix-length form still drops (no bogus arbiter)
+    exec(e, "CREATE UNIQUE INDEX uq_pre ON t (email(5))")
+    assert(!e.table("t").uniqueArbiters.contains("uq_pre"))
+    // RENAME COLUMN rewrites the recorded expression text
+    exec(e, "ALTER TABLE t RENAME COLUMN email TO mail")
+    assert(e.table("t").uniqueArbiters("uq_lower") === Seq("lower(mail)"))
+    // SHOW CREATE renders the functional index and the replay keeps it
+    val ddl = exec(e, "SHOW CREATE TABLE t").df.get.collect()(0).getString(1)
+    assert(ddl.contains("UNIQUE KEY uq_lower ((lower(mail)))"), ddl)
+    exec(e, ddl.replace("CREATE TABLE t", "CREATE TABLE t2"))
+    assert(e.table("t2").uniqueArbiters("uq_lower") === Seq("lower(mail)"))
+  }
+
+  test("explicit ids through the merge path advance the auto-inc counter") {
+    // MySQL advances the counter past ANY explicitly inserted id,
+    // including rows written by REPLACE / ON DUPLICATE KEY UPDATE /
+    // ON CONFLICT (reference catalog/table.go:785-949) — a later
+    // auto-assigned INSERT must never collide
+    val e = new Engine(spark, tmpDir("router_ai_merge"))
+    exec(e, "CREATE TABLE t (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, PRIMARY KEY (id))")
+    exec(e, "INSERT INTO t (v) VALUES ('a')") // id 1, counter -> 2
+    exec(e, "REPLACE INTO t VALUES (100, 'x')")
+    assert(e.table("t").manifest.autoInc === 101L,
+      "REPLACE with explicit id must advance the counter")
+    exec(e, "INSERT INTO t (v) VALUES ('b')") // must take 101, not 2
+    assert(exec(e, "SELECT id FROM t WHERE v = 'b'").df.get.as[Long].head() === 101L)
+
+    // the ODKU insert arm advances too
+    exec(e, "INSERT INTO t VALUES (200, 'y') ON DUPLICATE KEY UPDATE v = 'upd'")
+    exec(e, "INSERT INTO t (v) VALUES ('c')")
+    assert(exec(e, "SELECT id FROM t WHERE v = 'c'").df.get.as[Long].head() === 201L)
+
+    // INSERT IGNORE of an explicit id advances as well
+    exec(e, "INSERT IGNORE INTO t VALUES (300, 'z')")
+    exec(e, "INSERT INTO t (v) VALUES ('d')")
+    assert(exec(e, "SELECT id FROM t WHERE v = 'd'").df.get.as[Long].head() === 301L)
+  }
 }
