@@ -345,6 +345,14 @@ object CdcQueries {
       run("INSERT INTO t SELECT c_custkey + 20000, concat('e', CAST(c_custkey AS STRING)), 9 " +
         "FROM customer WHERE c_custkey BETWEEN 350 AND 450 " +
         "ON CONFLICT ON CONSTRAINT uq_email DO NOTHING")
+      // round-11: an EXPRESSION arbiter (PG expression-index surface,
+      // `catalog/table.go:555-638`): mixed-case emails collide only
+      // through lower(email) — existing rows accumulate, the rest
+      // insert with their original casing
+      run("CREATE UNIQUE INDEX uq_lower ON t (lower(email))")
+      run("INSERT INTO t SELECT c_custkey + 30000, concat('E', CAST(c_custkey AS STRING)), 3 " +
+        "FROM customer WHERE c_custkey BETWEEN 400 AND 500 " +
+        "ON CONFLICT (lower(email)) DO UPDATE SET hits = hits + excluded.hits")
       SqlRouter.execute(e,
         "SELECT id, email, hits FROM t ORDER BY id").df.get
     },
@@ -366,8 +374,16 @@ object CdcQueries {
       s2 AS (SELECT * FROM s1
         UNION ALL
         SELECT i.id, i.email, i.hits FROM ign i
-          WHERE i.email NOT IN (SELECT email FROM s1))
-      SELECT id, email, CAST(hits AS INT) AS hits FROM s2 ORDER BY id"""))
+          WHERE i.email NOT IN (SELECT email FROM s1)),
+      up3 AS (SELECT CAST(c_custkey + 30000 AS BIGINT) AS id,
+          concat('E', CAST(c_custkey AS VARCHAR)) AS email, 3 AS hits
+        FROM customer WHERE c_custkey BETWEEN 400 AND 500),
+      s3 AS (SELECT s.id, s.email, s.hits + coalesce(u.hits, 0) AS hits
+          FROM s2 s LEFT JOIN up3 u ON lower(u.email) = lower(s.email)
+        UNION ALL
+        SELECT u.id, u.email, u.hits FROM up3 u
+          WHERE lower(u.email) NOT IN (SELECT lower(email) FROM s2))
+      SELECT id, email, CAST(hits AS INT) AS hits FROM s3 ORDER BY id"""))
 
   // --------------------------------------------------------------------
   // q106 — OUTFILE dialect compatibility proven by a FOREIGN reader:
