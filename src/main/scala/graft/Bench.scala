@@ -167,6 +167,23 @@ object Bench {
       .map(p => s"${qid(p._1)}:${fmtT(p._2.warm)}")
     if (anomalies.nonEmpty)
       println(s"""{"warm":"${anomalies.mkString(" ")}"}""")
+    // the warm gate's blind spot (r10 verdict: q23 ran 4.3s on BOTH
+    // runs of one epoch): a query slow relative to its oracle on cold
+    // AND warm is flagged here with both samples — a reader (and
+    // tools/bench_compare.py) can then separate "slow both runs this
+    // epoch" (contention/GC/statement-floor chains, warm ≈ cold every
+    // round) from a cold-only JIT artifact, instead of the artifact
+    // staying silent about it
+    val slowBoth = results.toSeq
+      .filter { case (name, t) =>
+        t.err.isEmpty && t.cold > 2.0 &&
+          oracleTimes.get(name).exists(o => t.cold > 10 * o) &&
+          !(t.cold > 1.5 * t.warm && t.cold - t.warm > 0.5)
+      }
+      .sortBy(p => qid(p._1))
+      .map { case (name, t) => s"${qid(name)}:${fmtT(t.cold)}/${fmtT(t.warm)}" }
+    if (slowBoth.nonEmpty)
+      println(s"""{"anomaly":"${slowBoth.mkString(" ")}"}""")
 
     val oracleJson = oracleTotal.fold("null")(t => r2(t))
     val ratioJson = ratio.fold("null")(r => (math.round(r * 1000) / 1e3).toString)

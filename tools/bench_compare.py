@@ -60,6 +60,17 @@ def parse_pairs(text):
     return pairs, warm
 
 
+def parse_anomaly(text):
+    """r11+ {"anomaly":"id:cold/warm ..."} — queries slow vs their
+    oracle on BOTH runs of the epoch (the warm gate's blind spot):
+    contention/GC/statement-floor, not a cold-only JIT artifact."""
+    out = {}
+    for m in re.finditer(r'"anomaly"\s*:\s*"([^"]*)"', text):
+        for e in re.finditer(r'(\d+):([\d.]+)/([\d.]+)', m.group(1)):
+            out[int(e.group(1))] = (float(e.group(2)), float(e.group(3)))
+    return out
+
+
 def parse_headline(text):
     out = {}
     for k in ("oracle_total", "ratio", "value", "warm_total", "baseline_total"):
@@ -73,6 +84,7 @@ def diff(old_path, new_path):
     ot, nt = load_text(old_path), load_text(new_path)
     op, _ = parse_pairs(ot)
     np_, nwarm = parse_pairs(nt)
+    nanom = parse_anomaly(nt)
     oh, nh = parse_headline(ot), parse_headline(nt)
     flagged = []
     for q in sorted(set(op) & set(np_)):
@@ -85,7 +97,14 @@ def diff(old_path, new_path):
         note = "REGRESSED" if n > o else "improved"
         if q in nwarm and n > o:
             note += f" (warm={nwarm[q]:.2f}s -> epoch-position, not plan)"
+        elif q in nanom and n > o:
+            c, w = nanom[q]
+            note += (f" (anomaly: slow BOTH runs, cold={c:.2f}s warm={w:.2f}s"
+                     " -> epoch contention or statement floor, check plan)")
         print(f"q{q:<5d} {o:8.2f} {n:8.2f} {r:6.1f}  {note}")
+    if nanom:
+        qs = " ".join(f"q{q}={c:.2f}/{w:.2f}" for q, (c, w) in sorted(nanom.items()))
+        print(f"anomaly (slow vs oracle on both runs): {qs}")
     if not flagged:
         print("  (no per-query delta > 1.5x and > 0.5s)")
     missing = sorted(set(op) ^ set(np_))
