@@ -2650,16 +2650,29 @@ object SqlRouter {
     val Encl = """(?is)(?:OPTIONALLY\s+)?ENCLOSED\s+BY\s+'([^']*)'""".r
     val Esc = """(?is)ESCAPED\s+BY\s+'([^']*)'""".r
     val Skip = """(?is)IGNORE\s+(\d+)\s+LINES""".r
+    // LINES [STARTING BY 's'] [TERMINATED BY 't'] — both honored by
+    // the escape-aware reader (`backend/loaddata.go:160-190` surface;
+    // the reference's builder drops the prefix and degrades multi-char
+    // terminators — this engine implements the MySQL semantics)
+    val LinesCl =
+      """(?is)\bLINES\s+(?:STARTING\s+BY\s+'([^']*)'\s*)?(?:TERMINATED\s+BY\s+'([^']*)')?""".r
     Term.findFirstMatchIn(tail).foreach(m => o = o.copy(sep = unescapeSeq(m.group(1))))
     Encl.findFirstMatchIn(tail).foreach(m => o = o.copy(quote = unescapeSeq(m.group(1))))
     Esc.findFirstMatchIn(tail).foreach(m => o = o.copy(escape = unescapeSeq(m.group(1))))
     Skip.findFirstMatchIn(tail).foreach(m => o = o.copy(skipLines = m.group(1).toInt))
+    LinesCl.findAllMatchIn(tail).foreach { m =>
+      Option(m.group(1)).filter(_.nonEmpty)
+        .foreach(s => o = o.copy(lineStart = unescapeSeq(s)))
+      Option(m.group(2)).filter(_.nonEmpty)
+        .foreach(t => o = o.copy(lineSep = unescapeSeq(t)))
+    }
     o
   }
 
   /** `\t`-style escapes inside LOAD DATA string options. */
   private def unescapeSeq(s: String): String =
-    s.replace("\\t", "\t").replace("\\n", "\n").replace("\\\\", "\\")
+    s.replace("\\t", "\t").replace("\\n", "\n").replace("\\r", "\r")
+      .replace("\\0", "\u0000").replace("\\\\", "\\")
 
   /** Existence probe for IF [NOT] EXISTS forms. Only the typed
     * not-found signal means "absent" — a corrupt manifest or an IO

@@ -521,6 +521,47 @@ object CdcQueries {
         UNION ALL SELECT 901, 'auto_d', 7)
       SELECT id, v, CAST(n AS INT) AS n FROM fin ORDER BY id"""))
 
+  // --------------------------------------------------------------------
+  // q109 — LOAD DATA LINES surface proven by a FOREIGN reader (the
+  // q106 pattern): a fixture file with \r\n terminators and a LINES
+  // STARTING BY prefix — junk before the prefix drops, prefix-less
+  // lines skip entirely (MySQL manual semantics; the reference's
+  // DuckDB builder degrades multi-char terminators and drops the
+  // prefix — `backend/loaddata.go:162-167`). The engine loads it via
+  // LOAD DATA; the ORACLE reads the very same bytes with DuckDB's
+  // read_csv (new_line='\r\n') restating the prefix rule with
+  // strpos/substr — so the hash gate fails unless both engines parse
+  // the bytes identically.
+  private val q109 = QueryDef(
+    "q109_loaddata_lines",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      val e = new Engine(s, Files.createTempDirectory("graft_q109"))
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      val f = "/tmp/graft_q109_lines.txt"
+      val body = new StringBuilder
+      (1 to 200).foreach { i =>
+        if (i % 10 == 0) body.append("line without the marker\r\n")
+        else body.append(s"junk$i>>$i\tname_$i\r\n")
+      }
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+        body.toString)
+      run("CREATE TABLE t (id BIGINT PRIMARY KEY, name STRING)")
+      run(s"LOAD DATA INFILE '$f' INTO TABLE t " +
+        "FIELDS TERMINATED BY '\\t' " +
+        "LINES STARTING BY '>>' TERMINATED BY '\\r\\n'")
+      SqlRouter.execute(e, "SELECT id, name FROM t ORDER BY id").df.get
+    },
+    Some("""SELECT CAST(substr(c0, strpos(c0, '>>') + 2) AS BIGINT) AS id,
+        c1 AS name
+      FROM read_csv('/tmp/graft_q109_lines.txt', auto_detect = false,
+        header = false, sep = '\t', quote = '', escape = '',
+        new_line = '\r\n', null_padding = true,
+        columns = {'c0': 'VARCHAR', 'c1': 'VARCHAR'})
+      WHERE strpos(c0, '>>') > 0
+      ORDER BY id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108)
+    Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108,
+      q109)
 }

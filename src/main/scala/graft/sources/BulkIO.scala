@@ -39,7 +39,16 @@ object BulkIO {
       nullValue: String = "\\N",
       header: Boolean = false,
       skipLines: Int = 0,
-      failFast: Boolean = false)
+      failFast: Boolean = false,
+      /** `LINES TERMINATED BY` — may be MULTI-CHAR (`\r\n`, `xx`);
+        * honored by the escape-aware reader (the reference's builder
+        * degrades every multi-char value to `\r\n`,
+        * `backend/loaddata.go:162-167`). */
+      lineSep: String = "\n",
+      /** `LINES STARTING BY` — MySQL semantics: skip everything up to
+        * and INCLUDING the prefix; a line without the prefix is
+        * skipped entirely. Empty = off. */
+      lineStart: String = "")
 
   private def readerOpts(o: CsvOptions): Map[String, String] = Map(
     "sep" -> o.sep, "quote" -> o.quote, "escape" -> o.escape,
@@ -301,13 +310,32 @@ object BulkIO {
       if (st.isDirectory) fs.listStatus(st.getPath).exists(_.getLen > maxBytes)
       else st.getLen > maxBytes
     }
-    if (oversized) return loadCsvInto(table, path, opts, mode)
+    val customLines = opts.lineStart.nonEmpty || opts.lineSep != "\n"
+    if (oversized) {
+      // the streaming CSV fallback cannot express a line PREFIX or an
+      // arbitrary multi-char terminator — failing loudly beats a
+      // silent misparse of every row
+      require(!customLines,
+        "LOAD DATA with LINES STARTING BY / multi-char LINES TERMINATED " +
+          s"BY needs the in-memory reader; file exceeds ${maxBytes}B")
+      return loadCsvInto(table, path, opts, mode)
+    }
     val sep = opts.sep.take(1)
     val enc = if (opts.quote == "\u0000") "" else opts.quote
     import spark.implicits._
     val files = spark.read.option("wholetext", "true").text(path).as[String]
-    // escape-aware record split + IGNORE n LINES, per file
+    // escape-aware record split + IGNORE n LINES, per file. The
+    // terminator may be MULTI-CHAR (`\r\n`, `xx`) — matched only at
+    // unescaped positions, so an escaped first terminator char in data
+    // never splits a record. LINES STARTING BY applies per record
+    // AFTER the skip: MySQL drops everything up to and including the
+    // prefix and skips prefix-less lines entirely — semantics the
+    // reference's DuckDB builder cannot express (`backend/loaddata.go:
+    // 162-167` degrades multi-char terminators to '\r\n' and drops the
+    // prefix option).
     val skip = opts.skipLines
+    val term = if (opts.lineSep.isEmpty) "\n" else opts.lineSep
+    val start = opts.lineStart
     val lines = files.flatMap { content =>
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       val cur = new java.lang.StringBuilder
@@ -316,12 +344,18 @@ object BulkIO {
         val c = content.charAt(i)
         if (c == '\\' && i + 1 < content.length) {
           cur.append(c).append(content.charAt(i + 1)); i += 2
-        } else if (c == '\n') {
-          out += cur.toString; cur.setLength(0); i += 1
+        } else if (c == term.charAt(0) &&
+            content.regionMatches(i, term, 0, term.length)) {
+          out += cur.toString; cur.setLength(0); i += term.length
         } else { cur.append(c); i += 1 }
       }
       if (cur.length > 0) out += cur.toString
-      out.drop(skip)
+      val recs = out.drop(skip)
+      if (start.isEmpty) recs
+      else recs.flatMap { r =>
+        val p = r.indexOf(start)
+        if (p < 0) None else Some(r.substring(p + start.length))
+      }
     }.toDF("value").filter(length(col("value")) > 0)
     val fields = table.schema.fields
     val arity = fields.length

@@ -169,4 +169,56 @@ class BulkIOSpec extends SparkSpec {
     val f = writeFile("bad.txt", "1\ta\n2\tb\textra\n")
     intercept[Exception](BulkIO.loadPgTextInto(t, f))
   }
+
+  test("LINES TERMINATED BY: multi-char terminators, escaped first char stays data") {
+    graft.functions.GraftFunctions.register(spark)
+    val t = GraftTable.create(spark, tmpDir("lines_term"), xySchema, Seq("pk"))
+    // \r\n terminators; a field carrying an ESCAPED \r (via \\r byte
+    // pair is not the MySQL spelling — the writer emits backslash+CR)
+    // must not split the record
+    val body = "1\tone\r\n2\ttwo\\\r\nstill\r\n3\tthree\r\n"
+    val f = writeFile("crlf.txt", body)
+    val opts = CsvOptions(sep = "\t", quote = "\u0000", escape = "\\",
+      nullValue = "\\N", lineSep = "\r\n")
+    assert(BulkIO.loadMySqlTextInto(t, f, opts) === 3L)
+    val got = t.read().orderBy("pk").as[(Int, String)].collect()
+    assert(got(0) === ((1, "one")) && got(2) === ((3, "three")))
+    assert(got(1)._2.startsWith("two") && got(1)._2.contains("still"),
+      s"escaped CR split the record: ${got(1)}")
+
+    // arbitrary multi-char terminator (the reference degrades these
+    // to \r\n — backend/loaddata.go:162-167; MySQL honors them)
+    val t2 = GraftTable.create(spark, tmpDir("lines_xx"), xySchema, Seq("pk"))
+    val f2 = writeFile("xx.txt", "1\taxx2\tbxx3\tcxx")
+    assert(BulkIO.loadMySqlTextInto(t2, f2,
+      opts.copy(lineSep = "xx")) === 3L)
+    assert(t2.read().orderBy("pk").as[(Int, String)].collect()
+      === Array((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("LINES STARTING BY: prefix and junk before it drop; prefix-less lines skip") {
+    graft.functions.GraftFunctions.register(spark)
+    val t = GraftTable.create(spark, tmpDir("lines_start"), xySchema, Seq("pk"))
+    // MySQL manual semantics: skip up to AND INCLUDING the prefix;
+    // a line without the prefix is skipped entirely
+    val body = "junk>>1\tone\n>>2\ttwo\nno prefix here\nxx>>3\tthree\n"
+    val f = writeFile("prefix.txt", body)
+    val opts = CsvOptions(sep = "\t", quote = "\u0000", escape = "\\",
+      nullValue = "\\N", lineStart = ">>")
+    assert(BulkIO.loadMySqlTextInto(t, f, opts) === 3L)
+    assert(t.read().orderBy("pk").as[(Int, String)].collect()
+      === Array((1, "one"), (2, "two"), (3, "three")))
+  }
+
+  test("LOAD DATA SQL: LINES STARTING BY + TERMINATED BY route through the reader") {
+    val e = new graft.Engine(spark, tmpDir("lines_sql"))
+    graft.SqlRouter.execute(e, "CREATE TABLE t (pk INT PRIMARY KEY, c1 STRING)")
+    val f = writeFile("sql_lines.txt", "##1\tone\r\nskipme\r\n##2\ttwo\r\n")
+    graft.SqlRouter.execute(e, s"LOAD DATA INFILE '$f' INTO TABLE t " +
+      "FIELDS TERMINATED BY '\\t' " +
+      "LINES STARTING BY '##' TERMINATED BY '\\r\\n'")
+    import org.apache.spark.sql.Row
+    assert(graft.SqlRouter.execute(e, "SELECT pk, c1 FROM t ORDER BY pk")
+      .df.get.collect().toSeq === Seq(Row(1, "one"), Row(2, "two")))
+  }
 }
