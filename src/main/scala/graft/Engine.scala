@@ -90,6 +90,21 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     }
   }
 
+  /** The frame a table name BINDS to in SQL: a plain table's read(),
+    * or — for a partitioned PARENT (PG declarative partitioning,
+    * pg_dump replay) — the union of its attached children. An empty
+    * parent (no children yet) reads as its own empty frame. Scale:
+    * unionByName of N child scans is exactly the plan PG's planner
+    * builds (an Append of child scans); partition pruning is
+    * Catalyst's job once the WHERE folds into each branch. */
+  private[graft] def tableFrame(name: String): org.apache.spark.sql.DataFrame = {
+    val t = table(name)
+    val kids = t.partitionChildren
+    if (kids.isEmpty) t.read()
+    else kids.map { case (c, _) => table(c).read() }
+      .reduce(_.unionByName(_))
+  }
+
   // ------------------------------------------------------------------
   // Multi-statement transactions (A24,
   // `/root/reference/backend/session.go:87-145`): session-scoped, like
@@ -462,7 +477,7 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
         // staged manifests live in memory: always rebind for
         // read-your-writes, and drop the ownership entry so the next
         // non-txn statement rebinds from the published journal
-        table(t).read().createOrReplaceTempView(t)
+        tableFrame(t).createOrReplaceTempView(t)
         Engine.viewOwners.remove(t)
       } else {
         // ownership is session-global and keyed by (table dir, raw
@@ -470,7 +485,20 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
         // any committed write, forces a rebind; an unchanged table is
         // one directory listing, zero manifest reads, zero re-analysis
         val v = Manifest.latestVersion(p).getOrElse(-1L)
-        if (!Engine.viewOwners.get(t).contains((p, v))) {
+        // partitioned-parent detection WITHOUT a manifest read on the
+        // cached path: the (dir, version) pair pins the props, so the
+        // children list is cacheable; a parent ALWAYS rebinds (its
+        // children's data moves under the parent's unchanged version —
+        // DDL-rare tables, a few manifest reads per statement, no jobs)
+        var kids = Engine.partCache.get((p, v))
+        if (kids == null) {
+          kids = table(t).partitionChildren.map(_._1)
+          Engine.partCache.put((p, v), kids)
+        }
+        if (kids.nonEmpty) {
+          tableFrame(t).createOrReplaceTempView(t)
+          Engine.viewOwners.remove(t)
+        } else if (!Engine.viewOwners.get(t).contains((p, v))) {
           table(t).read().createOrReplaceTempView(t)
           Engine.viewOwners.put(t, (p, v))
         }
@@ -735,4 +763,11 @@ object Engine {
     * from. */
   private val viewOwners =
     scala.collection.concurrent.TrieMap.empty[String, (Path, Long)]
+
+  /** (table dir, version) → attached-children names. A manifest
+    * version pins its props, so the children LIST is cacheable by the
+    * same key the ownership check already computes — the cached
+    * non-partitioned path stays zero-manifest-read. */
+  private[graft] val partCache =
+    new java.util.concurrent.ConcurrentHashMap[(Path, Long), Seq[String]]()
 }

@@ -1002,12 +1002,23 @@ object SqlRouter {
       // design — but the greedy body capture swallows it INTO the
       // body, where it corrupts the last entry (a UNIQUE KEY would
       // silently drop). Peel it back off the captured body.
-      val colsAndPk =
+      val colsAndPk1 =
         "(?is)^(.*)\\)\\s*TBLPROPERTIES\\s*\\((?:[^()']|'[^']*')*$".r
           .findFirstMatchIn(colsAndPk0).map(_.group(1)).getOrElse(colsAndPk0)
+      // PG declarative partitioning: `... ) PARTITION BY RANGE (col)`
+      // rides after the body's closing paren, which the greedy body
+      // capture swallowed the same way — peel it, record the strategy
+      val partBy =
+        "(?is)^(.*)\\)\\s*PARTITION\\s+BY\\s+(RANGE|LIST|HASH)\\s*\\(\\s*(.*?)\\s*\\)?\\s*$".r
+          .findFirstMatchIn(colsAndPk1)
+      val colsAndPk = partBy.map(_.group(1)).getOrElse(colsAndPk1)
       if (ifNotExists != null && tableExists(engine, name)) ddl
       else {
-        val (schema, pk, props0) = parseColumns(engine, colsAndPk)
+        val (schema, pk, props00) = parseColumns(engine, colsAndPk)
+        val props0 = partBy.fold(props00) { m0 =>
+          props00 + ("partition.by" ->
+            s"${m0.group(2).toUpperCase} (${m0.group(3)})")
+        }
         // counter seed: identity START WITH from the column body, or
         // mysqldump's AUTO_INCREMENT=n table option (how a dump
         // restores id continuity)

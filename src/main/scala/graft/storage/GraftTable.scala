@@ -612,6 +612,8 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * uncommitted state past the transaction). */
   def truncate(restartIdentity: Boolean = false): Unit = {
     val m = manifest
+    require(!m.props.contains("partition.by"),
+      "TRUNCATE on a partitioned parent is not supported: truncate its partitions")
     val cleared = m.withFiles(Nil)
     io.commit(path,
       if (restartIdentity) cleared.copy(autoInc = 1L) else cleared)
@@ -625,6 +627,27 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   // them as ON CONFLICT arbiters. Enforcement stays best-effort
   // ([[checkUnique]]), matching the reference's replicated mode where
   // ART indexes are disabled.
+
+  // ------------------------------------------------------------------
+  // PG declarative partitioning (pg_dump replay surface). A PARENT
+  // (`partition.by` prop) stores NO data: reads union the attached
+  // children (Engine binds that), INSERT routes rows by bounds (the
+  // router), and every other write on the parent fails loudly — the
+  // reference's DuckDB backend doesn't implement partitioning at all,
+  // so a loud parent beats silently writing rows no reader would see.
+
+  /** RANGE/LIST/HASH + key column text, when this table is a
+    * partitioned PARENT. */
+  def partitionBy: Option[String] = manifest.props.get("partition.by")
+
+  /** Attached children: (bare child table name, bounds text —
+    * `FOR VALUES ...` or `DEFAULT`), DEFAULT last, names sorted. */
+  def partitionChildren: Seq[(String, String)] =
+    manifest.props.collect { case (k, v) if k.startsWith("partchild.") =>
+      k.stripPrefix("partchild.") -> v
+    }.toSeq.sortBy { case (n, b) =>
+      (if (b.trim.equalsIgnoreCase("DEFAULT")) 1 else 0, n)
+    }
 
   /** Recorded unique indexes over PLAIN COLUMN lists: name → columns.
     * Expression indexes (`expr:`-valued props) are excluded — use
@@ -1047,6 +1070,14 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       : (Seq[String], Long, Map[String, Map[String, Seq[String]]]) = {
     val dest = path.resolve("data").resolve(UUID.randomUUID().toString)
     val m = manifest
+    // the single funnel every writer passes through — a partitioned
+    // parent must never hold its own files (readers union the
+    // children; rows written here would be invisible). INSERT routes
+    // in the router BEFORE reaching a child's insert; everything else
+    // (UPDATE/DELETE/REPLACE/upsert/LOAD on the parent) fails here.
+    require(!m.props.contains("partition.by"),
+      s"table at $path is a partitioned parent: write to its partitions " +
+        "(or INSERT through the parent, which routes by bounds)")
     // store physical names + coerce to the PHYSICAL column types (DDL
     // typing wins over expression result types, e.g. generated columns;
     // ALTER MODIFY keeps every file at the original storage type so one
