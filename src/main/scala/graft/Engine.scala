@@ -157,6 +157,7 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     val retired = d.resolve(
       s"_dropped.${System.currentTimeMillis()}.${java.util.UUID.randomUUID()}")
     Files.move(d.resolve("_manifest"), retired)
+    Engine.partCache.remove(d)
     if (db == currentDb) unregister(t)
   }
 
@@ -490,10 +491,12 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
         // children list is cacheable; a parent ALWAYS rebinds (its
         // children's data moves under the parent's unchanged version —
         // DDL-rare tables, a few manifest reads per statement, no jobs)
-        var kids = Engine.partCache.get((p, v))
-        if (kids == null) {
-          kids = table(t).partitionChildren.map(_._1)
-          Engine.partCache.put((p, v), kids)
+        val cached = Engine.partCache.get(p)
+        val kids = if (cached != null && cached._1 == v) cached._2
+        else {
+          val k = table(t).partitionChildren.map(_._1)
+          Engine.partCache.put(p, (v, k))
+          k
         }
         if (kids.nonEmpty) {
           tableFrame(t).createOrReplaceTempView(t)
@@ -764,10 +767,14 @@ object Engine {
   private val viewOwners =
     scala.collection.concurrent.TrieMap.empty[String, (Path, Long)]
 
-  /** (table dir, version) → attached-children names. A manifest
-    * version pins its props, so the children LIST is cacheable by the
-    * same key the ownership check already computes — the cached
-    * non-partitioned path stays zero-manifest-read. */
+  /** table dir → (manifest version, attached-children names). A
+    * manifest version pins its props, so the children LIST is cacheable
+    * by the same key the ownership check already computes — the cached
+    * non-partitioned path stays zero-manifest-read. ONE live entry per
+    * table: a newer version REPLACES the old (mirrors viewOwners'
+    * rebind semantics), so a long CDC session's many commits never grow
+    * the map; drop evicts, so a recreated dir never reads a stale
+    * children list. */
   private[graft] val partCache =
-    new java.util.concurrent.ConcurrentHashMap[(Path, Long), Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[Path, (Long, Seq[String])]()
 }

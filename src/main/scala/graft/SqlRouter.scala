@@ -2103,10 +2103,14 @@ object SqlRouter {
     * look like calls (`IN (`, `CASE`, `EXISTS (`...) count as scalar —
     * they are expression syntax, not functions. */
   private val ScalarHeads = Set(
-    // expression-syntax keywords
+    // expression-syntax keywords. EXISTS/ANY/SOME/ALL head a
+    // subquery paren — they are predicate syntax, not aggregates; an
+    // aggregate INSIDE the subquery still blocks the rewrite because
+    // callHeads collects heads from the whole span (conservative and
+    // correct — the alias-HAVING rewrite only needs row-wise truth).
     "IN", "NOT", "AND", "OR", "BETWEEN", "LIKE", "ILIKE", "RLIKE",
     "REGEXP", "IS", "CASE", "WHEN", "THEN", "ELSE", "END", "ESCAPE",
-    "INTERVAL", "ROW", "DISTINCT",
+    "INTERVAL", "ROW", "DISTINCT", "EXISTS", "ANY", "SOME", "ALL",
     // conditionals / generic
     "CAST", "TRY_CAST", "CONVERT", "COALESCE", "NULLIF", "IF", "IFNULL",
     "NVL", "NVL2", "GREATEST", "LEAST", "DECODE",

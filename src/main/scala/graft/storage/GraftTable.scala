@@ -109,32 +109,13 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val full = withGenerated(m, df)
     enforceChecks(m, full)
     val (files, n, st) = writeFiles(full.select(m.schema.fieldNames.map(col): _*))
-    io.commit(path, m.withFiles(m.files ++ files, st)
-      .copy(autoInc = autoIncAfterExplicit(m, files, st)))
+    // MySQL counter semantics (A23) — explicit ids advance the
+    // auto-inc counter past max(id) — ride in Manifest.withFiles, the
+    // single funnel EVERY data commit passes through; no second
+    // implementation here (round-11 verdict: two copies of one
+    // invariant drift).
+    io.commit(path, m.withFiles(m.files ++ files, st))
     n
-  }
-
-  /** MySQL counter semantics (A23): an INSERT carrying EXPLICIT ids
-    * advances the auto-inc counter past max(id), so a later
-    * auto-assigned row never collides (`INSERT .. VALUES (7,..)` then
-    * `INSERT (name) VALUES (..)` yields 8). The max comes from the
-    * just-written parquet footer stats — zero extra jobs; an integral
-    * PK always carries them. Files without usable stats leave the
-    * counter unchanged (the pre-round-10 behavior). */
-  private def autoIncAfterExplicit(m: Manifest, files: Seq[String],
-      st: Map[String, Map[String, Seq[String]]]): Long = {
-    val autoCol = m.props.collectFirst {
-      case (k, "true") if k.startsWith("autoinc.") => k.stripPrefix("autoinc.")
-    }
-    val bump = for {
-      c <- autoCol
-      if m.pkCols.contains(c) &&
-        m.schema(c).dataType != org.apache.spark.sql.types.StringType
-      maxes = files.flatMap(f =>
-        st.get(f).flatMap(_.get(physName(m, c))).map(_(1).toLong))
-      if maxes.nonEmpty
-    } yield math.max(m.autoInc, maxes.max + 1L)
-    bump.getOrElse(m.autoInc)
   }
 
   /** Key join that is NULL-SAFE when the table is keyless: there the

@@ -53,20 +53,33 @@ final case class Manifest(
     * auto-increment counter past any EXPLICITLY inserted id (A23) —
     * the per-file PK stats computed for merge pruning carry the
     * incoming max for free, so the bump costs no extra job here.
-    * Files without usable stats simply don't advance it; the
+    * THE single funnel for that invariant: every data commit (insert,
+    * REPLACE, ON DUPLICATE KEY, INSERT IGNORE, merge, LOAD) passes
+    * through withFiles, so no write path can leave the counter stale.
+    * Guards (the same set the old insert-only path used): the auto
+    * column must be a PK member (AUTO_INCREMENT requires a key; only
+    * PK columns carry file stats anyway) and not string-typed — a
+    * numeric-LOOKING string id must never advance a counter it does
+    * not own. Files without usable stats simply don't advance it; the
     * AUTO_INCREMENT=n option / setval replay stays the authoritative
     * seed. */
   def withFiles(f: Seq[String],
       newStats: Map[String, Map[String, Seq[String]]] = Map.empty): Manifest = {
     val listed = f.toSet
-    val bumped = props.keys.collectFirst {
+    val autoCol = props.keys.collectFirst {
       case k if k.startsWith("autoinc.") && !k.startsWith("autoinc.__") =>
-        val c = k.stripPrefix("autoinc.")
-        val phys = props.getOrElse(s"phys.$c", c)
-        newStats.values.flatMap(_.get(phys)).flatMap(_.lift(1))
-          .flatMap(v => scala.util.Try(v.toLong).toOption)
-    }.collect { case maxes if maxes.nonEmpty => maxes.max + 1 }
-      .fold(autoInc)(math.max(autoInc, _))
+        k.stripPrefix("autoinc.")
+    }
+    val bumped = (for {
+      c <- autoCol
+      if pkCols.contains(c)
+      fld <- schema.fields.find(_.name == c)
+      if fld.dataType != org.apache.spark.sql.types.StringType
+      phys = props.getOrElse(s"phys.$c", c)
+      maxes = newStats.values.flatMap(_.get(phys)).flatMap(_.lift(1))
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+      if maxes.nonEmpty
+    } yield math.max(autoInc, maxes.max + 1L)).getOrElse(autoInc)
     copy(files = f, autoInc = bumped,
       fileStats = (fileStats ++ newStats).filter { case (k, _) => listed(k) })
   }

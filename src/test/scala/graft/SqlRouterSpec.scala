@@ -2119,6 +2119,40 @@ class SqlRouterSpec extends SparkSpec {
       "SELECT x AS a, a + 1 AS b FROM t HAVING b > 5")
     assert(chained.contains("WHERE ((a + 1) > 5)"),
       s"chained alias corrupted: $chained")
+    // EXISTS/ANY/SOME are predicate syntax, not aggregates: a
+    // condition combining an alias with an EXISTS subquery rewrites
+    // (round-11 advice — the old keyword set missed them and fell
+    // back to native HAVING, which fails analysis on the alias ref)
+    val ex = SqlRouter.rewriteAliasHaving(
+      "SELECT upper(c) AS tag FROM t " +
+        "HAVING tag = 'A' AND EXISTS (SELECT 1 FROM u)")
+    assert(ex.contains("WHERE") && !ex.toUpperCase.contains("HAVING"),
+      s"EXISTS blocked the rewrite: $ex")
+    // ...but an aggregate INSIDE the subquery still blocks it
+    assert(SqlRouter.rewriteAliasHaving(
+      "SELECT upper(c) AS tag FROM t " +
+        "HAVING tag = 'A' AND EXISTS (SELECT 1 FROM u HAVING count(*) > 2)")
+      .contains("HAVING"))
+    val anyQ = SqlRouter.rewriteAliasHaving(
+      "SELECT upper(c) AS tag FROM t HAVING tag = ANY (SELECT v FROM u)")
+    assert(!anyQ.toUpperCase.contains("HAVING"),
+      s"ANY blocked the rewrite: $anyQ")
+  }
+
+  test("partCache holds at most one live entry per table across commits") {
+    val e = new Engine(spark, tmpDir("router_partcache"))
+    exec(e, "CREATE TABLE pc (id BIGINT PRIMARY KEY, v STRING)")
+    val dir = e.warehouse.resolve(e.currentDatabase).resolve("pc")
+    (1 to 5).foreach { i =>
+      exec(e, s"INSERT INTO pc VALUES ($i, 'v$i')")
+      exec(e, "SELECT count(*) FROM pc") // registration path populates
+    }
+    import scala.jdk.CollectionConverters._
+    val mine = Engine.partCache.keySet.asScala.count(_ == dir)
+    assert(mine <= 1, s"partCache grew to $mine entries for one table")
+    // drop evicts — a recreated dir never reads a stale children list
+    exec(e, "DROP TABLE pc")
+    assert(!Engine.partCache.containsKey(dir))
   }
 
   test("partial unique index is NOT recorded as a total arbiter") {

@@ -420,6 +420,31 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 2)
   }
 
+  test("withFiles counter funnel guards: string-typed / non-PK auto column never advances") {
+    // the single auto-inc-advance implementation lives in
+    // Manifest.withFiles; its guards must match the old insert-only
+    // path's (round-11 verdict #2): a numeric-LOOKING string PK must
+    // not advance a counter it does not own
+    val sSchema = StructType(Seq(
+      StructField("id", StringType), StructField("v", DoubleType)))
+    val t = GraftTable.create(spark, tmpDir("graft_strauto"), sSchema,
+      Seq("id"), props = Map("autoinc.id" -> "true"))
+    t.insert(Seq(("777", 1.0)).toDF("id", "v"))
+    assert(t.manifest.autoInc === 1L,
+      "string-typed auto column advanced the counter")
+    // non-PK auto column: no file stats recorded -> no advance either
+    val t2 = GraftTable.create(spark, tmpDir("graft_nonpkauto"), schema,
+      Seq("name"), props = Map("autoinc.id" -> "true"))
+    t2.insert(Seq((900L, "a", 1.0)).toDF("id", "name", "v"))
+    assert(t2.manifest.autoInc === 1L)
+    // the positive case, through plain insert (no special-cased path):
+    // explicit integral PK id advances past max
+    val t3 = GraftTable.create(spark, tmpDir("graft_intauto"), schema,
+      Seq("id"), props = Map("autoinc.id" -> "true"))
+    t3.insert(Seq((41L, "a", 1.0)).toDF("id", "name", "v"))
+    assert(t3.manifest.autoInc === 42L)
+  }
+
   test("DML works in a warehouse path containing spaces") {
     val base = tmpDir("graft spaced dir")
     val t = GraftTable.create(spark, base.resolve("t"), schema, Seq("id"))
