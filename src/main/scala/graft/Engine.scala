@@ -95,14 +95,29 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     * pg_dump replay) — the union of its attached children. An empty
     * parent (no children yet) reads as its own empty frame. Scale:
     * unionByName of N child scans is exactly the plan PG's planner
-    * builds (an Append of child scans); partition pruning is
-    * Catalyst's job once the WHERE folds into each branch. */
+    * builds (an Append of child scans), and each branch carries its
+    * recorded BOUNDS as a filter — a WHERE contradicting a child's
+    * bounds folds that branch to empty (Catalyst constraint
+    * propagation + PruneFilters + PropagateEmptyRelation), which is
+    * PG-style partition pruning: at 100 TB the difference between
+    * scanning one partition and all of them. Children only ever hold
+    * in-bounds rows (routed INSERT, validated ATTACH), so the filter
+    * never changes results. */
   private[graft] def tableFrame(name: String): org.apache.spark.sql.DataFrame = {
     val t = table(name)
     val kids = t.partitionChildren
     if (kids.isEmpty) t.read()
-    else kids.map { case (c, _) => table(c).read() }
-      .reduce(_.unionByName(_))
+    else {
+      val spec = t.partitionBy.flatMap(by =>
+        scala.util.Try(Partitioning.parse(by)).toOption)
+      kids.map { case (c, b) =>
+        val df = table(c).read()
+        spec.flatMap(s =>
+          scala.util.Try(Partitioning.boundPredicateSql(s, b)).toOption.flatten)
+          .map(p => df.filter(org.apache.spark.sql.functions.expr(p)))
+          .getOrElse(df)
+      }.reduce(_.unionByName(_))
+    }
   }
 
   // ------------------------------------------------------------------

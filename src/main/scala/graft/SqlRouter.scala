@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.functions.{col, count, expr, first, lit, max}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, first, lit, max, when}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Statement router: the analog of the reference's `DuckBuilder.Build`
@@ -35,6 +35,19 @@ object SqlRouter {
   // storage-engine concerns with no analog here, accepted and dropped
   private val CreateTable =
     """(?is)\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+|UNLOGGED\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*((?:ENGINE|AUTO_INCREMENT|DEFAULT\s+CHARSET|CHARACTER\s+SET|COLLATE|COMMENT|ROW_FORMAT)\s*=.*)?""".r
+  // PG declarative partitioning DDL (A19/A42 restore surface;
+  // reference `pgserver/` accepts these via DuckDB passthrough).
+  // PARTITION OF creates-and-attaches in one statement; pg_dump ≥11
+  // instead emits a plain CREATE TABLE per child followed by
+  // `ALTER TABLE ONLY parent ATTACH PARTITION child FOR VALUES ...`.
+  // DETACH turns the child back into a standalone table keeping its
+  // rows (PG semantics).
+  private val CreateTablePartOf =
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+PARTITION\s+OF\s+([\w.]+)\s+(FOR\s+VALUES\s+.+|DEFAULT)\s*""".r
+  private val AlterAttachPartition =
+    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ATTACH\s+PARTITION\s+([\w.]+)\s+(FOR\s+VALUES\s+.+|DEFAULT)\s*""".r
+  private val AlterDetachPartition =
+    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+DETACH\s+PARTITION\s+([\w.]+)(?:\s+(?:CONCURRENTLY|FINALIZE))?\s*""".r
   // mysqldump brackets every table's INSERT block in LOCK TABLES ...
   // WRITE / UNLOCK TABLES; the engine's concurrency story is the
   // manifest journal, so these are session no-ops (as in the
@@ -996,6 +1009,32 @@ object SqlRouter {
         val m = engine.table(src).manifest
         engine.createTable(name, m.schema, m.pkCols, m.props); ddl
       }
+    case CreateTablePartOf(ifNotExists, name, parentName, bounds) =>
+      // child inherits the parent's full behavioral surface (schema,
+      // PK, defaults, generated columns, CHECKs, enum sets, auto-inc
+      // marking — PG children inherit constraints and defaults), and
+      // the parent records the bounds under `partchild.<bare name>`
+      // through the io seam so ATTACH is transactional with the
+      // statement. Recorded child names are BARE: children live in
+      // the parent's database (enforced here).
+      if (ifNotExists != null && tableExists(engine, name)) ddl
+      else {
+        val parent = engine.table(parentName)
+        val by = parent.partitionBy.getOrElse(throw new IllegalArgumentException(
+          s"$parentName is not partitioned"))
+        val spec = Partitioning.parse(by)
+        Partitioning.validateNewChild(spec, bounds, parent.partitionChildren)
+        require(sameDb(engine, name, parentName),
+          s"partition $name must live in $parentName's database")
+        val m = parent.manifest
+        val inherited = m.props.filterNot { case (k, _) =>
+          k == "partition.by" || k.startsWith("partchild.") ||
+            k.startsWith("stats.") }
+        engine.createTable(name, m.schema, m.pkCols, inherited)
+        parent.setProps(
+          s"partchild.${name.split('.').last}" -> bounds.trim)
+        ddl
+      }
     case CreateTable(ifNotExists, name, colsAndPk0, opts) =>
       // SHOW CREATE renders leftover internal props (phys./stats./
       // layout.) as a TBLPROPERTIES trailer the replay ignores by
@@ -1007,9 +1046,18 @@ object SqlRouter {
           .findFirstMatchIn(colsAndPk0).map(_.group(1)).getOrElse(colsAndPk0)
       // PG declarative partitioning: `... ) PARTITION BY RANGE (col)`
       // rides after the body's closing paren, which the greedy body
-      // capture swallowed the same way — peel it, record the strategy
+      // capture swallowed the same way — peel it, record the strategy.
+      // The key capture admits one paren nesting level (expression
+      // keys like `lower(x)`; the trailing close-paren is optional
+      // because the OUTER CreateTable regex already consumed the
+      // statement's last `)`), and the trailer must END the body —
+      // MySQL's `PARTITION BY RANGE (c) (PARTITION p0 VALUES LESS
+      // THAN ...)` partition list / `PARTITIONS n` tail deliberately
+      // does NOT match and stays a loud parse failure (round-11
+      // advice: a swallowed MySQL list recorded a bogus PG parent
+      // that then rejected every write).
       val partBy =
-        "(?is)^(.*)\\)\\s*PARTITION\\s+BY\\s+(RANGE|LIST|HASH)\\s*\\(\\s*(.*?)\\s*\\)?\\s*$".r
+        "(?is)^(.*)\\)\\s*PARTITION\\s+BY\\s+(RANGE|LIST|HASH)\\s*\\(\\s*((?:[^()]|\\([^()]*\\))*?)\\s*\\)?\\s*$".r
           .findFirstMatchIn(colsAndPk1)
       val colsAndPk = partBy.map(_.group(1)).getOrElse(colsAndPk1)
       if (ifNotExists != null && tableExists(engine, name)) ddl
@@ -1295,6 +1343,29 @@ object SqlRouter {
       val (tailO, orderOpt, limitOpt) = splitLimitOrder(tail, "UPDATE")
       val (setList0, whereOpt) = splitSetWhere(tailO)
       val pgFrom = splitTopWord(setList0, "FROM")
+      val tPar = engine.table(name)
+      if (tPar.partitionBy.isDefined) {
+        // PG routes parent UPDATEs to the children; fan the SAME
+        // statement out per child (each child update is the ordinary
+        // distributed CoW path). Cross-partition row movement (a SET
+        // touching a partition-key column) and RETURNING (needs a
+        // cross-child union) are refused loudly rather than half-done.
+        require(returning.isEmpty, "RETURNING through a partitioned " +
+          "parent is not supported: target the partition directly")
+        val spec = Partitioning.parse(tPar.partitionBy.get)
+        val setCols = parseSetList(pgFrom.map(_._1).getOrElse(setList0))
+          .map(_._1.split('.').last.replace("`", "").replace("\"", "")
+            .toLowerCase).toSet
+        val moved = spec.keys.filter(k => setCols.contains(k.trim.toLowerCase))
+        require(moved.isEmpty, s"UPDATE of partition key " +
+          s"${moved.mkString(", ")} through the parent would move rows " +
+          "between partitions — update the partition directly")
+        val n = tPar.partitionChildren.map { case (c, _) =>
+          val s2 = s"UPDATE ${childRef(name, c)} SET $tail0"
+          executeRouted(engine, s2, s2).affected
+        }.sum
+        return Result(None, n)
+      }
       if (pgFrom.isDefined) {
         // PG UPDATE ... FROM: the target joins the FROM list on the
         // WHERE condition (DuckDB speaks this too — oracle-checkable).
@@ -1410,6 +1481,20 @@ object SqlRouter {
       val t = engine.table(name)
       val (whereOpt, orderOpt, limitOpt, returning) =
         parseDmlTail(Option(tailRaw).getOrElse(""), "DELETE")
+      if (t.partitionBy.isDefined) {
+        // parent DELETE fans out per child (PG semantics). LIMIT
+        // would apply per child (over-deleting) and RETURNING needs a
+        // cross-child union — both refused loudly.
+        require(orderOpt.isEmpty && limitOpt.isEmpty && returning.isEmpty,
+          "DELETE through a partitioned parent takes only WHERE: " +
+            "target the partition for ORDER BY/LIMIT/RETURNING")
+        val tl = Option(tailRaw).getOrElse("")
+        val n = t.partitionChildren.map { case (c, _) =>
+          val s2 = s"DELETE FROM ${childRef(name, c)} $tl"
+          executeRouted(engine, s2, s2).affected
+        }.sum
+        return Result(None, n)
+      }
       val cond = whereOpt.map(expr).getOrElse(expr("true"))
       if (orderOpt.isEmpty && limitOpt.isEmpty) {
         // deleted-row images: frozen pre-delete file list (built only
@@ -1538,7 +1623,14 @@ object SqlRouter {
         if (identity != null) identity.toUpperCase.startsWith("CONTINUE")
         else isPgSession(engine)
       names.split(',').map(_.trim).filter(_.nonEmpty).foreach { n =>
-        engine.table(n).truncate(restartIdentity = !keep)
+        val t = engine.table(n)
+        if (t.partitionBy.isDefined) {
+          // PG: TRUNCATE on the parent truncates every partition; the
+          // parent's own (file-less) manifest only resets the counter
+          t.partitionChildren.foreach { case (c, _) =>
+            engine.table(childRef(n, c)).truncate(restartIdentity = !keep) }
+          if (!keep) t.resetAutoInc()
+        } else t.truncate(restartIdentity = !keep)
       }
       ddl
     case ShowDatabases() =>
@@ -1875,6 +1967,54 @@ object SqlRouter {
       ddl
     case AlterAddIgnoredConstraint(name) =>
       engine.table(name) // validate the target; the constraint is dropped
+      ddl
+    case AlterAttachPartition(parentName, childName, bounds) =>
+      // the pg_dump ≥11 shape: child created as a plain table, then
+      // attached. Attach validates like PG does — schema compatibility
+      // by column-name set, bound shape + overlap, and the child's
+      // EXISTING rows against the bounds (one limit-1 probe job; a
+      // violating row is exactly the corruption silent-accept would
+      // bury). DEFAULT attach checks rows against the SIBLINGS'
+      // bounds instead (a row a non-default sibling owns must not
+      // hide in the default partition).
+      val parent = engine.table(parentName)
+      val by = parent.partitionBy.getOrElse(throw new IllegalArgumentException(
+        s"$parentName is not partitioned"))
+      val spec = Partitioning.parse(by)
+      Partitioning.validateNewChild(spec, bounds, parent.partitionChildren)
+      require(sameDb(engine, childName, parentName),
+        s"partition $childName must live in $parentName's database")
+      val child = engine.table(childName)
+      val pCols = parent.manifest.schema.fieldNames.map(_.toLowerCase).toSet
+      val cCols = child.manifest.schema.fieldNames.map(_.toLowerCase).toSet
+      require(pCols == cCols,
+        s"$childName columns ${cCols.mkString(",")} do not match " +
+          s"$parentName's ${pCols.mkString(",")}")
+      Partitioning.boundPredicateSql(spec, bounds) match {
+        case Some(p) =>
+          require(child.read().filter(!coalesce(expr(p), lit(false)))
+            .limit(1).count() == 0,
+            s"rows in $childName violate the partition bound $bounds")
+        case None =>
+          val siblings = parent.partitionChildren.flatMap { case (_, b) =>
+            Partitioning.boundPredicateSql(spec, b) }
+          if (siblings.nonEmpty)
+            require(child.read().filter(siblings.map(s =>
+              coalesce(expr(s), lit(false))).reduce(_ || _))
+              .limit(1).count() == 0,
+              s"rows in $childName belong to a non-default partition")
+      }
+      parent.setProps(
+        s"partchild.${childName.split('.').last}" -> bounds.trim)
+      ddl
+    case AlterDetachPartition(parentName, childName) =>
+      // the child becomes a standalone table KEEPING its rows (PG
+      // semantics); a name that is not an attached partition is loud
+      val parent = engine.table(parentName)
+      val key = s"partchild.${childName.split('.').last}"
+      require(parent.manifest.props.contains(key),
+        s"$childName is not a partition of $parentName")
+      parent.dropProps(key)
       ddl
     case AlterIgnoredMeta(ifExists, name) =>
       // IF EXISTS (pg_dump --if-exists) must never abort a restore on
@@ -2714,6 +2854,8 @@ object SqlRouter {
     val t = engine.table(name)
     val m = t.manifest
     val (rest, returning) = splitReturning(rest0)
+    if (m.props.contains("partition.by"))
+      return routedInsert(engine, name, t, colList, rest, returning)
     val omittedAuto = m.schema.fieldNames
       .find(c => m.props.get(s"autoinc.$c").contains("true"))
       .filter(c => colList != null &&
@@ -2744,6 +2886,98 @@ object SqlRouter {
             Result(Some(src.selectExpr(splitTop(rx).map(_.trim): _*)), n)
         }
     }
+  }
+
+  /** Same-database check for parent/child partition names (recorded
+    * child names are bare, resolved against the parent's database). */
+  private def sameDb(engine: Engine, a: String, b: String): Boolean = {
+    def db(n: String) =
+      if (n.contains('.')) n.substring(0, n.lastIndexOf('.'))
+      else engine.currentDatabase
+    db(a) == db(b)
+  }
+
+  /** Qualify a recorded bare child name against the parent's database
+    * spelling, so fan-out works when the parent was referenced
+    * db-qualified. */
+  private def childRef(parentName: String, child: String): String =
+    if (parentName.contains('.'))
+      parentName.substring(0, parentName.lastIndexOf('.') + 1) + child
+    else child
+
+  /** INSERT through a partitioned PARENT routes rows to children by
+    * bounds (the behavior PG implements in its executor —
+    * `GraftTable.writeFiles`' parent guard promises exactly this).
+    *
+    * Scale shape: the source frame is frozen ONCE (localCheckpoint —
+    * volatile expressions and auto-assigned ids must not recompute),
+    * then ONE distributed aggregate computes per-child routed counts
+    * via a first-match-wins CASE tag — mutually exclusive by
+    * construction even if recorded ranges overlapped — and only
+    * NON-EMPTY children get an insert (each an ordinary distributed
+    * append over a filter of the frozen frame). A 100-child parent
+    * receiving rows for 2 children runs 1 + 2 jobs, not 100. A row no
+    * child accepts is loud BEFORE any child commits. The CASE chain
+    * is O(#children) deep — fine for PG-typical child counts (10s to
+    * low 100s); 10k+ children would want a broadcast-joined bounds
+    * table instead.
+    *
+    * Auto-inc: the PARENT owns the counter (PG: the parent owns the
+    * sequence). Ids are assigned at parent level (same distributive
+    * offsets as insertAutoInc), the counter advances in a
+    * manifest-only commit on the parent, and the id-carrying rows
+    * route as explicit values. */
+  private def routedInsert(engine: Engine, parentName: String,
+      t: graft.storage.GraftTable, colList: String, rest: String,
+      returning: Option[String]): Result = {
+    val m = t.manifest
+    val spec = Partitioning.parse(m.props("partition.by"))
+    val kids = t.partitionChildren
+    require(kids.nonEmpty,
+      s"$parentName has no partitions: attach one before inserting")
+    val omittedAuto = m.schema.fieldNames
+      .find(c => m.props.get(s"autoinc.$c").contains("true"))
+      .filter(c => colList != null &&
+        !colList.split(',').map(_.trim).exists(_.equalsIgnoreCase(c)))
+    val src = omittedAuto match {
+      case Some(c) =>
+        val base = m.autoInc
+        val (withIds, total) = t.assignAutoIncIds(
+          sourceDfFor(engine, t, colList, rest).drop(c), c)
+        t.advanceAutoInc(base + total)
+        if (total > 0) engine.setVar("last_insert_id", base.toString)
+        withIds
+      case None =>
+        sourceDfFor(engine, t, colList, rest).localCheckpoint(true)
+    }
+    val preds = kids.map { case (c, b) =>
+      (c, Partitioning.boundPredicateSql(spec, b).map(expr)) }
+    val defaultChild = preds.collectFirst { case (c, None) => c }
+    val nonDefault = preds.collect { case (c, Some(p)) => (c, p) }
+    val tag = {
+      val chain = nonDefault.foldLeft(Option.empty[Column]) {
+        case (acc, (c, p)) =>
+          val hit = coalesce(p, lit(false))
+          Some(acc.fold(when(hit, lit(c)))(_.when(hit, lit(c))))
+      }
+      chain.fold(lit(defaultChild.orNull): Column)(
+        _.otherwise(lit(defaultChild.orNull)))
+    }
+    val counts = src.groupBy(tag.as("__part")).count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    counts.get(None).filter(_ > 0).foreach { n =>
+      throw new IllegalArgumentException(
+        s"no partition of $parentName found for $n inserted row(s)")
+    }
+    var total = 0L
+    preds.foreach { case (c, _) =>
+      counts.get(Some(c)).filter(_ > 0).foreach { _ =>
+        total += engine.table(childRef(parentName, c))
+          .insert(src.filter(tag === lit(c)))
+      }
+    }
+    Result(returning.map(rx =>
+      src.selectExpr(splitTop(rx).map(_.trim): _*)), total)
   }
 
   private val JoinKeywords = Set("JOIN", "STRAIGHT_JOIN", "LEFT", "RIGHT",
@@ -3297,7 +3531,8 @@ object SqlRouter {
     val renderedPrefixes =
       Seq("autoinc.", "generated.", "default.", "unique.", "check.")
     val rest = m.props.filterNot { case (k, _) =>
-      renderedPrefixes.exists(k.startsWith)
+      renderedPrefixes.exists(k.startsWith) || k == "partition.by" ||
+        k.startsWith("partchild.")
     }
     val props = if (rest.nonEmpty)
       " TBLPROPERTIES (" + rest.toSeq.sorted
@@ -3306,8 +3541,15 @@ object SqlRouter {
     val autoOpt =
       if (m.autoInc > 1 && m.props.keys.exists(_.startsWith("autoinc.")))
         s" AUTO_INCREMENT=${m.autoInc}" else ""
+    // a partitioned parent renders its PARTITION BY trailer — the
+    // CREATE parser's peel reads it back; children re-attach via
+    // their own ATTACH statements (a SHOW CREATE-based dump carries
+    // those separately, like pg_dump)
+    val partOpt = m.props.get("partition.by")
+      .map(p => s" PARTITION BY $p").getOrElse("")
     (cols ++ pk ++ uq ++ checks).mkString(
-      s"CREATE TABLE ${name.split('.').last} (\n", ",\n", s"\n)$autoOpt$props")
+      s"CREATE TABLE ${name.split('.').last} (\n", ",\n",
+      s"\n)$partOpt$autoOpt$props")
   }
 
   /** MySQL LIKE pattern (%/_ wildcards) match, case-insensitive. */

@@ -561,7 +561,76 @@ object CdcQueries {
       WHERE strpos(c0, '>>') > 0
       ORDER BY id"""))
 
+  // --------------------------------------------------------------------
+  // q110 — PG declarative partitioning end-to-end under the hash gate
+  // (round-11 verdict #1; reference `pgserver/stmt.go` restore
+  // surface): a RANGE parent with two bounded children + DEFAULT,
+  // INSERT routed through the parent by bounds, UPDATE/DELETE fanned
+  // out per child, then one partition DETACHED — the oracle restates
+  // the whole lifecycle in DuckDB as WHERE-bounded selects over
+  // `orders`, so the hash fails if routing misplaces one row, a
+  // fan-out statement misses a child, or detach fails to shrink the
+  // parent's union. Price rides as DECIMAL(18,2) end-to-end (oracle
+  // determinism discipline — no float sums).
+  private val q110 = QueryDef(
+    "q110_partitioned_routing",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      val e = new Engine(s, Files.createTempDirectory("graft_q110"))
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE TABLE po (okey BIGINT, prio STRING, " +
+        "price DECIMAL(18,2)) PARTITION BY RANGE (okey)")
+      run("CREATE TABLE po_lo PARTITION OF po " +
+        "FOR VALUES FROM (MINVALUE) TO (20000)")
+      run("CREATE TABLE po_mid PARTITION OF po " +
+        "FOR VALUES FROM (20000) TO (40000)")
+      run("CREATE TABLE po_hi PARTITION OF po DEFAULT")
+      run("INSERT INTO po SELECT o_orderkey, o_orderpriority, " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) FROM orders")
+      run("UPDATE po SET prio = 'X' WHERE okey % 10 = 0")
+      run("DELETE FROM po WHERE okey % 7 = 3")
+      run("ALTER TABLE po DETACH PARTITION po_mid")
+      SqlRouter.execute(e,
+        "SELECT 'lo' AS part, count(*) AS cnt, " +
+          "CAST(sum(price) AS DECIMAL(18,2)) AS amt, " +
+          "count(CASE WHEN prio = 'X' THEN 1 END) AS flagged FROM po_lo " +
+        "UNION ALL SELECT 'mid', count(*), " +
+          "CAST(sum(price) AS DECIMAL(18,2)), " +
+          "count(CASE WHEN prio = 'X' THEN 1 END) FROM po_mid " +
+        "UNION ALL SELECT 'hi', count(*), " +
+          "CAST(sum(price) AS DECIMAL(18,2)), " +
+          "count(CASE WHEN prio = 'X' THEN 1 END) FROM po_hi " +
+        "UNION ALL SELECT 'parent', count(*), " +
+          "CAST(sum(price) AS DECIMAL(18,2)), " +
+          "count(CASE WHEN prio = 'X' THEN 1 END) FROM po " +
+        "ORDER BY part").df.get
+    },
+    Some("""WITH base AS (
+        SELECT o_orderkey AS okey,
+          CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderpriority END AS prio,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE NOT (o_orderkey % 7 = 3)),
+      lo AS (SELECT * FROM base WHERE okey < 20000),
+      mid AS (SELECT * FROM base WHERE okey >= 20000 AND okey < 40000),
+      hi AS (SELECT * FROM base WHERE okey >= 40000),
+      fin AS (
+        SELECT 'lo' AS part, count(*) AS cnt,
+          CAST(sum(price) AS DECIMAL(18,2)) AS amt,
+          count(CASE WHEN prio = 'X' THEN 1 END) AS flagged FROM lo
+        UNION ALL SELECT 'mid', count(*),
+          CAST(sum(price) AS DECIMAL(18,2)),
+          count(CASE WHEN prio = 'X' THEN 1 END) FROM mid
+        UNION ALL SELECT 'hi', count(*),
+          CAST(sum(price) AS DECIMAL(18,2)),
+          count(CASE WHEN prio = 'X' THEN 1 END) FROM hi
+        UNION ALL SELECT 'parent', count(*),
+          CAST(sum(price) AS DECIMAL(18,2)),
+          count(CASE WHEN prio = 'X' THEN 1 END)
+        FROM (SELECT * FROM lo UNION ALL SELECT * FROM hi))
+      SELECT part, cnt, amt, flagged FROM fin ORDER BY part"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108,
-      q109)
+      q109, q110)
 }

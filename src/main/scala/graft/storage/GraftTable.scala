@@ -214,18 +214,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       .withColumn("__pos", expr("CAST(__mid & 8589934591 AS BIGINT)"))
     mid.cache()
     try {
-      val counts = mid.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-      val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts).map {
-        case (off, (pid, _)) => pid -> off
-      }.toMap
-      val total = counts.map(_._2).sum
-      // (pid, offset) as a broadcast join, NOT a chained when() — a
-      // chained expression is O(#partitions) deep and blows plan size /
-      // codegen at 10k+ partitions; the join stays a flat hash lookup.
-      import spark.implicits._
-      val offDf = broadcast(
-        offsets.toSeq.sortBy(_._1).toDF("__pid", "__off"))
+      val (offDf, total) = idOffsets(mid)
       val withId = withGenerated(m, mid.join(offDf, "__pid")
         .withColumn(idCol, lit(base) + col("__off") + col("__pos")))
         .select(m.schema.fieldNames.map(col): _*)
@@ -237,6 +226,62 @@ final class GraftTable(val spark: SparkSession, val path: Path,
         m.withFiles(m.files ++ files, st).copy(autoInc = base + total))
       n
     } finally mid.unpersist()
+  }
+
+  /** Per-Spark-partition offsets for distributive consecutive-id
+    * assignment: the broadcastable (__pid, __off) frame plus total row
+    * count. A broadcast join, NOT a chained when() — a chained
+    * expression is O(#partitions) deep and blows plan size / codegen
+    * at 10k+ partitions; the join stays a flat hash lookup. */
+  private def idOffsets(mid: DataFrame): (DataFrame, Long) = {
+    val counts = mid.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts).map {
+      case (off, (pid, _)) => pid -> off
+    }
+    val total = counts.map(_._2).sum
+    import spark.implicits._
+    (broadcast(offsets.toSeq.sortBy(_._1).toDF("__pid", "__off")), total)
+  }
+
+  /** Assign consecutive auto-inc ids WITHOUT writing files — the
+    * partitioned-parent INSERT path: the parent owns the counter but
+    * stores no data, so the router needs the id-assigned frame back to
+    * route rows to children. Returns the FROZEN (localCheckpoint)
+    * frame — ids derive from monotonically_increasing_id and must
+    * never recompute — plus the row count; the caller advances the
+    * counter via [[advanceAutoInc]]. */
+  def assignAutoIncIds(df: DataFrame, idCol: String): (DataFrame, Long) = {
+    val m = manifest
+    val base = m.autoInc
+    val mid = df.withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", expr("CAST(__mid >> 33 AS BIGINT)"))
+      .withColumn("__pos", expr("CAST(__mid & 8589934591 AS BIGINT)"))
+    mid.cache()
+    try {
+      val (offDf, total) = idOffsets(mid)
+      val withId = mid.join(offDf, "__pid")
+        .withColumn(idCol, lit(base) + col("__off") + col("__pos"))
+        .select(m.schema.fieldNames.map(col): _*)
+        .localCheckpoint(true)
+      (withId, total)
+    } finally mid.unpersist()
+  }
+
+  /** Advance the auto-inc counter without touching data — a
+    * manifest-only commit through the io seam, transactional with the
+    * statement like every other commit. Monotone: never rolls back. */
+  def advanceAutoInc(to: Long): Unit = {
+    val m = manifest
+    if (to > m.autoInc) io.commit(path, m.copy(autoInc = to))
+  }
+
+  /** TRUNCATE RESTART IDENTITY's counter reset for a partitioned
+    * PARENT: the parent holds no files (the router truncates each
+    * child), so only the counter moves — manifest-only commit. */
+  def resetAutoInc(): Unit = {
+    val m = manifest
+    if (m.autoInc != 1L) io.commit(path, m.copy(autoInc = 1L))
   }
 
   /** Copy-on-write DELETE: rewrite only files containing matches. */
@@ -658,6 +703,13 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   def setProps(kv: (String, String)*): Unit = {
     val m = manifest
     io.commit(path, m.copy(props = m.props ++ kv))
+  }
+
+  /** Remove manifest props through the io seam (DETACH PARTITION drops
+    * the parent's `partchild.<name>` entry). */
+  def dropProps(keys: String*): Unit = {
+    val m = manifest
+    io.commit(path, m.copy(props = m.props -- keys))
   }
 
   /** Set the primary key columns through the io seam (pg_dump's

@@ -97,6 +97,70 @@ class DumpReplaySpec extends SparkSpec {
     assert(e.sql("SELECT v FROM pt WHERE id = 200").as[String].head() === "c")
   }
 
+  test("partitioned pg_dump replays to exact state: PARTITION BY + ATTACH + per-leaf COPY") {
+    // the shape pg_dump ≥11 emits for a declaratively partitioned
+    // table: the parent CREATE carries the PARTITION BY trailer,
+    // children are plain CREATEs attached via ALTER TABLE ONLY ...
+    // ATTACH PARTITION, and COPY targets the LEAF partitions
+    val e = new Engine(spark, tmpDir("dump_pg_part"))
+    val script =
+      """SET statement_timeout = 0;
+        |SET standard_conforming_strings = on;
+        |SELECT pg_catalog.set_config('search_path', '', false);
+        |
+        |CREATE TABLE public.measurements (
+        |    city_id bigint NOT NULL,
+        |    logdate date NOT NULL,
+        |    peaktemp bigint
+        |) PARTITION BY RANGE (logdate);
+        |
+        |ALTER TABLE public.measurements OWNER TO app;
+        |
+        |CREATE TABLE public.m_y2023 (
+        |    city_id bigint NOT NULL,
+        |    logdate date NOT NULL,
+        |    peaktemp bigint
+        |);
+        |
+        |ALTER TABLE ONLY public.measurements ATTACH PARTITION public.m_y2023 FOR VALUES FROM ('2023-01-01') TO ('2024-01-01');
+        |
+        |CREATE TABLE public.m_y2024 (
+        |    city_id bigint NOT NULL,
+        |    logdate date NOT NULL,
+        |    peaktemp bigint
+        |);
+        |
+        |ALTER TABLE ONLY public.measurements ATTACH PARTITION public.m_y2024 FOR VALUES FROM ('2024-01-01') TO ('2025-01-01');
+        |
+        |COPY public.m_y2023 (city_id, logdate, peaktemp) FROM stdin;
+        |1	2023-03-01	21
+        |2	2023-07-14	33
+        |\.
+        |
+        |COPY public.m_y2024 (city_id, logdate, peaktemp) FROM stdin;
+        |1	2024-01-02	\N
+        |\.
+        |
+        |ALTER TABLE ONLY public.m_y2023
+        |    ADD CONSTRAINT m_y2023_pkey PRIMARY KEY (city_id, logdate);
+        |""".stripMargin
+    executeScript(e, script)
+    assert(e.table("measurements").partitionBy === Some("RANGE (logdate)"))
+    assert(e.table("measurements").partitionChildren.map(_._1).sorted
+      === Seq("m_y2023", "m_y2024"))
+    // the parent unions the leaves exactly
+    assert(e.sql("SELECT count(*) FROM measurements").as[Long].head() === 3L)
+    assert(SqlRouter.execute(e,
+      "SELECT city_id FROM measurements WHERE logdate >= DATE'2024-01-01'")
+      .df.get.as[Long].collect().toSeq === Seq(1L))
+    // post-restore: INSERT through the parent routes by the restored bounds
+    SqlRouter.execute(e,
+      "INSERT INTO measurements VALUES (9, DATE'2023-12-31', 5)")
+    assert(e.sql("SELECT count(*) FROM m_y2023").as[Long].head() === 3L)
+    intercept[Exception](SqlRouter.execute(e,
+      "INSERT INTO measurements VALUES (9, DATE'2025-06-01', 5)"))
+  }
+
   test("PG 10+ identity columns replay: ADD GENERATED AS IDENTITY and inline forms") {
     // modern pg_dump restores identity (the serial replacement) as a
     // post-data ALTER with a multi-line sequence-option list; this

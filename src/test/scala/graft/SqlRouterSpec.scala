@@ -1937,8 +1937,8 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "ALTER TABLE pt SET UNLOGGED")
     // a missing table still errors (the accept arm validates)
     intercept[Exception](exec(e, "ALTER TABLE nope REPLICA IDENTITY FULL"))
-    // ATTACH PARTITION is data routing — silently ignoring it would
-    // corrupt a partitioned restore, so it must stay a loud failure
+    // ATTACH PARTITION on a NON-partitioned table is loud (the
+    // partitioned path has its own suite below)
     intercept[Exception](exec(e,
       "ALTER TABLE pt ATTACH PARTITION c FOR VALUES FROM (1) TO (2)"))
     exec(e, "INSERT INTO pt VALUES (1, 'a')")
@@ -2254,5 +2254,131 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "INSERT IGNORE INTO t VALUES (300, 'z')")
     exec(e, "INSERT INTO t (v) VALUES ('d')")
     assert(exec(e, "SELECT id FROM t WHERE v = 'd'").df.get.as[Long].head() === 301L)
+  }
+
+  // ------------------------------------------------------------------
+  // PG declarative partitioning (round-12: the full PARTITION OF /
+  // ATTACH / DETACH / routed-DML surface — pg_dump ≥11 restore shape)
+
+  test("partitioning: RANGE parent routes INSERT, prunes, detaches") {
+    val e = new Engine(spark, tmpDir("router_part_range"))
+    exec(e, "CREATE TABLE pt (id BIGINT, v STRING) PARTITION BY RANGE (id)")
+    // empty parent reads as empty, no partitions yet -> INSERT is loud
+    assert(exec(e, "SELECT count(*) FROM pt").df.get.as[Long].head() === 0L)
+    intercept[Exception](exec(e, "INSERT INTO pt VALUES (1, 'a')"))
+    exec(e, "CREATE TABLE pt_lo PARTITION OF pt FOR VALUES FROM (MINVALUE) TO (100)")
+    exec(e, "CREATE TABLE pt_mid PARTITION OF pt FOR VALUES FROM (100) TO (200)")
+    // no default yet: out-of-range is loud BEFORE any child commits
+    intercept[Exception](exec(e, "INSERT INTO pt VALUES (500, 'x')"))
+    assert(exec(e, "SELECT count(*) FROM pt_lo").df.get.as[Long].head() === 0L)
+    exec(e, "CREATE TABLE pt_hi PARTITION OF pt DEFAULT")
+    exec(e, "INSERT INTO pt VALUES (5, 'a'), (150, 'b'), (500, 'c'), (99, 'd')")
+    assert(exec(e, "SELECT count(*) FROM pt_lo").df.get.as[Long].head() === 2L)
+    assert(exec(e, "SELECT count(*) FROM pt_mid").df.get.as[Long].head() === 1L)
+    assert(exec(e, "SELECT count(*) FROM pt_hi").df.get.as[Long].head() === 1L)
+    assert(exec(e, "SELECT id FROM pt ORDER BY id").df.get.as[Long].collect()
+      === Array(5L, 99L, 150L, 500L))
+    // overlap is loud at attach time
+    intercept[Exception](exec(e,
+      "CREATE TABLE pt_bad PARTITION OF pt FOR VALUES FROM (150) TO (300)"))
+    intercept[Exception](exec(e, "CREATE TABLE pt_d2 PARTITION OF pt DEFAULT"))
+    // UPDATE/DELETE fan out per child
+    assert(exec(e, "UPDATE pt SET v = 'B' WHERE id = 150").affected === 1L)
+    assert(exec(e, "SELECT v FROM pt_mid").df.get.as[String].head() === "B")
+    // partition-key SET through the parent is refused (row movement)
+    intercept[Exception](exec(e, "UPDATE pt SET id = 5000 WHERE id = 150"))
+    assert(exec(e, "DELETE FROM pt WHERE id >= 99").affected === 3L)
+    assert(exec(e, "SELECT count(*) FROM pt").df.get.as[Long].head() === 1L)
+    // DETACH: the child keeps rows, the parent stops unioning them
+    exec(e, "INSERT INTO pt VALUES (120, 'mid')")
+    exec(e, "ALTER TABLE pt DETACH PARTITION pt_mid")
+    assert(exec(e, "SELECT count(*) FROM pt").df.get.as[Long].head() === 1L)
+    assert(exec(e, "SELECT count(*) FROM pt_mid").df.get.as[Long].head() === 1L)
+    intercept[Exception](exec(e, "ALTER TABLE pt DETACH PARTITION pt_mid"))
+    // TRUNCATE on the parent truncates every attached child
+    exec(e, "TRUNCATE TABLE pt")
+    assert(exec(e, "SELECT count(*) FROM pt").df.get.as[Long].head() === 0L)
+    assert(exec(e, "SELECT count(*) FROM pt_mid").df.get.as[Long].head() === 1L)
+  }
+
+  test("partitioning: ATTACH validates schema, bounds and existing rows") {
+    val e = new Engine(spark, tmpDir("router_part_attach"))
+    exec(e, "CREATE TABLE pt (id BIGINT, v STRING) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE c1 (id BIGINT, v STRING)")
+    exec(e, "INSERT INTO c1 VALUES (5, 'ok'), (999, 'stray')")
+    // a row outside the declared bounds refuses the attach
+    intercept[Exception](exec(e,
+      "ALTER TABLE ONLY pt ATTACH PARTITION c1 FOR VALUES FROM (0) TO (100)"))
+    exec(e, "DELETE FROM c1 WHERE id = 999")
+    exec(e, "ALTER TABLE ONLY pt ATTACH PARTITION c1 FOR VALUES FROM (0) TO (100)")
+    assert(exec(e, "SELECT count(*) FROM pt").df.get.as[Long].head() === 1L)
+    // schema mismatch is loud
+    exec(e, "CREATE TABLE c2 (id BIGINT, other STRING)")
+    intercept[Exception](exec(e,
+      "ALTER TABLE pt ATTACH PARTITION c2 FOR VALUES FROM (100) TO (200)"))
+    // DEFAULT attach refuses rows a non-default sibling owns
+    exec(e, "CREATE TABLE c3 (id BIGINT, v STRING)")
+    exec(e, "INSERT INTO c3 VALUES (50, 'belongs-to-c1')")
+    intercept[Exception](exec(e, "ALTER TABLE pt ATTACH PARTITION c3 DEFAULT"))
+    exec(e, "UPDATE c3 SET id = 5000")
+    exec(e, "ALTER TABLE pt ATTACH PARTITION c3 DEFAULT")
+    assert(exec(e, "SELECT count(*) FROM pt").df.get.as[Long].head() === 2L)
+  }
+
+  test("partitioning: LIST with NULL, HASH modulus, and auto-inc through the parent") {
+    val e = new Engine(spark, tmpDir("router_part_list"))
+    exec(e, "CREATE TABLE lt (k STRING, n INT) PARTITION BY LIST (k)")
+    exec(e, "CREATE TABLE lt_ab PARTITION OF lt FOR VALUES IN ('a', 'b')")
+    exec(e, "CREATE TABLE lt_null PARTITION OF lt FOR VALUES IN (NULL, 'z')")
+    // duplicate list value is loud
+    intercept[Exception](exec(e,
+      "CREATE TABLE lt_dup PARTITION OF lt FOR VALUES IN ('b')"))
+    exec(e, "INSERT INTO lt VALUES ('a', 1), (NULL, 2), ('z', 3)")
+    assert(exec(e, "SELECT count(*) FROM lt_ab").df.get.as[Long].head() === 1L)
+    assert(exec(e, "SELECT count(*) FROM lt_null").df.get.as[Long].head() === 2L)
+    intercept[Exception](exec(e, "INSERT INTO lt VALUES ('q', 9)"))
+
+    val e2 = new Engine(spark, tmpDir("router_part_hash"))
+    exec(e2, "CREATE TABLE ht (id BIGINT, v STRING) PARTITION BY HASH (id)")
+    exec(e2, "CREATE TABLE ht_0 PARTITION OF ht FOR VALUES WITH (MODULUS 2, REMAINDER 0)")
+    intercept[Exception](exec(e2,
+      "CREATE TABLE ht_dup PARTITION OF ht FOR VALUES WITH (MODULUS 2, REMAINDER 0)"))
+    exec(e2, "CREATE TABLE ht_1 PARTITION OF ht FOR VALUES WITH (MODULUS 2, REMAINDER 1)")
+    exec(e2, "INSERT INTO ht SELECT id, concat('v', id) FROM range(100)")
+    val c0 = exec(e2, "SELECT count(*) FROM ht_0").df.get.as[Long].head()
+    val c1 = exec(e2, "SELECT count(*) FROM ht_1").df.get.as[Long].head()
+    assert(c0 + c1 === 100L && c0 > 0 && c1 > 0)
+    assert(exec(e2, "SELECT count(*) FROM ht").df.get.as[Long].head() === 100L)
+
+    // the parent owns the auto-inc counter; ids stay unique across
+    // children and explicit ids advance it (the withFiles funnel)
+    val e3 = new Engine(spark, tmpDir("router_part_auto"))
+    exec(e3, "CREATE TABLE at (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    exec(e3, "CREATE TABLE at_lo PARTITION OF at FOR VALUES FROM (1) TO (1000)")
+    exec(e3, "CREATE TABLE at_hi PARTITION OF at DEFAULT")
+    exec(e3, "INSERT INTO at (v) VALUES ('a'), ('b')") // ids 1, 2
+    exec(e3, "INSERT INTO at VALUES (5000, 'explicit')") // -> at_hi
+    exec(e3, "INSERT INTO at (v) VALUES ('c')") // id 3 (parent counter)
+    assert(exec(e3, "SELECT id FROM at ORDER BY id").df.get.as[Long].collect()
+      === Array(1L, 2L, 3L, 5000L))
+    assert(exec(e3, "SELECT count(*) FROM at_hi").df.get.as[Long].head() === 1L)
+  }
+
+  test("partitioning: MySQL partition-list trailer stays a loud parse failure") {
+    val e = new Engine(spark, tmpDir("router_part_mysql"))
+    intercept[Exception](exec(e,
+      "CREATE TABLE m (id BIGINT, v STRING) PARTITION BY RANGE (id) " +
+        "(PARTITION p0 VALUES LESS THAN (6), PARTITION p1 VALUES LESS THAN (10))"))
+    intercept[Exception](exec(e,
+      "CREATE TABLE m2 (id BIGINT, v STRING) PARTITION BY HASH (id) PARTITIONS 4"))
+    assert(e.listTables().isEmpty)
+    // SHOW CREATE round-trips the PG parent's PARTITION BY trailer
+    exec(e, "CREATE TABLE pt (id BIGINT, v STRING) PARTITION BY RANGE (id)")
+    val show = exec(e, "SHOW CREATE TABLE pt").df.get.collect()(0).getString(1)
+    assert(show.contains("PARTITION BY RANGE (id)"), show)
+    exec(e, "DROP TABLE pt")
+    exec(e, show) // replays as a partitioned parent
+    assert(e.table("pt").partitionBy === Some("RANGE (id)"))
   }
 }

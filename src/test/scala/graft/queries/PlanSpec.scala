@@ -219,4 +219,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p.take(3000))
     assert(p.contains("partial_"), p.take(3000))
   }
+
+  test("partitioned parent: a bounds-contradicting WHERE prunes child branches") {
+    // each union branch carries its recorded bounds as a filter, so
+    // Catalyst folds `id >= 100 AND id < 10` to false and drops the
+    // branch entirely (PropagateEmptyRelation) — PG partition pruning.
+    // At 100 TB this is one partition scanned instead of all of them.
+    import graft.{Engine, SqlRouter}
+    val e = new Engine(spark, tmpDir("plan_partprune"))
+    def run(q: String): Unit = SqlRouter.execute(e, q)
+    run("CREATE TABLE pp (id BIGINT, v STRING) PARTITION BY RANGE (id)")
+    run("CREATE TABLE pp_a PARTITION OF pp FOR VALUES FROM (0) TO (100)")
+    run("CREATE TABLE pp_b PARTITION OF pp FOR VALUES FROM (100) TO (200)")
+    run("INSERT INTO pp VALUES (5, 'a'), (150, 'b')")
+    val df = SqlRouter.execute(e, "SELECT v FROM pp WHERE id = 150").df.get
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected a single surviving child scan:\n$p")
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("b"))
+  }
 }
