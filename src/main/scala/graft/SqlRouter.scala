@@ -1076,6 +1076,25 @@ object SqlRouter {
               .findFirstMatchIn(o).map(_.group(1).toLong)))
         val t = engine.createTable(name, schema, pk,
           props0 - "autoinc.__seed")
+        // re-validate recorded expression arbiters now that the schema
+        // exists (round-11 advice #2): the body parser could only
+        // check Try(expr(_)) — a MySQL prefix-length entry like
+        // `email(10)` PARSES as a call, so a mysqldump UNIQUE KEY
+        // would record a bogus `expr:email(10)` arbiter that fails at
+        // DML time and renders an invalid SHOW CREATE. The same
+        // empty-frame analysis addUniqueExprIndex applies strips any
+        // entry that doesn't resolve — the dump degrades to
+        // accepted-and-dropped, the pre-r11 behavior.
+        val bogus = t.manifest.props.collect {
+          case (k, v) if k.startsWith("unique.") && v.startsWith("expr:") &&
+            scala.util.Try {
+              val probe = engine.spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+              probe.selectExpr(graft.storage.GraftTable.splitTopLevel(
+                v.stripPrefix("expr:")).map(_.trim): _*)
+            }.isFailure => k
+        }
+        if (bogus.nonEmpty) t.dropProps(bogus.toSeq: _*)
         seed.filter(_ > 1L).foreach(sd => graft.storage.Manifest.commit(
           t.path, t.manifest.copy(autoInc = sd)))
         ddl
@@ -3701,7 +3720,16 @@ object SqlRouter {
         .replaceAll("(?is)\\s+(?:ASC|DESC)(?:\\s+NULLS\\s+(?:FIRST|LAST))?\\s*$", "")
       while (e.startsWith("(") && e.endsWith(")") &&
           balancedOuter(e)) e = e.substring(1, e.length - 1).trim
-      e
+      // a quoted/backticked PLAIN identifier in a mixed list
+      // normalizes to the bare name at RECORD time (round-11 verdict
+      // #6): selectExpr reads `"Email"` as a string LITERAL, so an
+      // un-normalized entry would analyze fine and then arbiter-join
+      // on a CONSTANT — the silent worst case. Bare names instead
+      // resolve as columns (or fail analysis loudly).
+      val inner = e.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("`").stripSuffix("`")
+      if ((e.startsWith("\"") || e.startsWith("`")) &&
+        inner.matches("[A-Za-z_][A-Za-z0-9_$]*")) inner else e
     }.filter(_.nonEmpty)
 
   /** Extract a leading balanced `( ... )` group (quote-aware) and the
@@ -3859,7 +3887,14 @@ object SqlRouter {
     val fields = cols.map(_.replaceAll("(?i)\\s+PRIMARY\\s+KEY", "")).map {
       entry0 =>
         val entry = normalizePgTypeWords(entry0)
-        val ColEntry(name, tpe, attrs0) = entry: @unchecked
+        val ColEntry(name0, tpe, attrs0) = entry: @unchecked
+        // a quoted identifier (pg_dump quotes mixed-case/reserved
+        // column names; mysqldump backticks everything) strips to the
+        // bare name — the quotes are SQL syntax, not part of the
+        // column's name (leaving them in creates a field literally
+        // named `"Email"` that nothing can reference)
+        val name = name0.stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("`").stripSuffix("`")
         // identity/auto-inc/generated come OFF the attribute tail
         // BEFORE the DEFAULT scan (PG's GENERATED BY DEFAULT AS
         // IDENTITY contains the word DEFAULT — the naive scan would

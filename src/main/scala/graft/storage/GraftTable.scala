@@ -759,11 +759,20 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   private[graft] def withArbiterKey(key: Seq[String])
       : (Seq[String], DataFrame => DataFrame) = {
     val m = manifest
-    val fields = m.schema.fieldNames.map(_.toLowerCase).toSet
-    val mapped = key.zipWithIndex.map { case (k, i) =>
-      if (k.matches("[A-Za-z_][A-Za-z0-9_$]*") && fields(k.toLowerCase))
-        (k, None)
-      else (s"__arb_$i", Some(k))
+    val mapped = key.zipWithIndex.map { case (k0, i) =>
+      // quoted/backticked plain identifiers (older recorded arbiters;
+      // record time normalizes new ones) resolve to the schema's
+      // canonical column spelling — NEVER the expression path, where
+      // selectExpr would read `"Email"` as a string literal and join
+      // on a constant
+      val k = k0.trim.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("`").stripSuffix("`")
+      val field = if (k.matches("[A-Za-z_][A-Za-z0-9_$]*"))
+        m.schema.fieldNames.find(_.equalsIgnoreCase(k)) else None
+      field match {
+        case Some(f) => (f, None)
+        case None => (s"__arb_$i", Some(k0))
+      }
     }
     val add = (df: DataFrame) => mapped.foldLeft(df) {
       case (d, (n, Some(e))) => d.withColumn(n, expr(e))

@@ -2166,6 +2166,47 @@ class SqlRouterSpec extends SparkSpec {
     assert(e.table("t").uniqueArbiters("uq_em") === Seq("email"))
   }
 
+  test("expression-arbiter hardening: prefix-length entries strip, quoted columns stay plain") {
+    val e = new Engine(spark, tmpDir("router_arb_hard"))
+    // mysqldump body: `UNIQUE KEY uq (email(10))` parses as a CALL, so
+    // the body-time Try(expr) check passed it — the post-create
+    // re-analysis must strip it (accepted-and-dropped, never a bogus
+    // arbiter that fails at DML time)
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, email STRING, " +
+      "UNIQUE KEY uq (email(10)))")
+    assert(e.table("t").uniqueArbiters.isEmpty,
+      s"prefix-length entry recorded: ${e.table("t").uniqueArbiters}")
+    // ...while a resolving expression entry in the SAME position stays
+    exec(e, "CREATE TABLE t2 (id BIGINT PRIMARY KEY, email STRING, " +
+      "UNIQUE KEY uq2 ((lower(email))))")
+    assert(e.table("t2").uniqueArbiters("uq2") === Seq("lower(email)"))
+    // a quoted plain column records as the bare column, not as an
+    // expression — selectExpr would read `"Email"` as a string LITERAL
+    // and arbiter-join on a constant (the silent worst case)
+    exec(e, "CREATE TABLE t3 (id BIGINT PRIMARY KEY, \"Email\" STRING)")
+    exec(e, "CREATE UNIQUE INDEX uq3 ON t3 (\"Email\")")
+    assert(e.table("t3").uniqueArbiters("uq3") === Seq("Email"))
+    // mixed list: the quoted plain column normalizes bare at record
+    // time; the expression rides alongside
+    exec(e, "CREATE TABLE t4 (id BIGINT PRIMARY KEY, tenant STRING, " +
+      "email STRING)")
+    exec(e, "CREATE UNIQUE INDEX uq4 ON t4 (\"tenant\", lower(email))")
+    assert(e.table("t4").uniqueArbiters("uq4") === Seq("tenant", "lower(email)"))
+    // ...and the arbiter actually works: same (tenant, lower(email))
+    // resolves the conflict instead of inserting a duplicate
+    exec(e, "INSERT INTO t4 VALUES (1, 'acme', 'A@x.com')")
+    exec(e, "INSERT INTO t4 VALUES (2, 'acme', 'a@X.COM') " +
+      "ON CONFLICT ON CONSTRAINT uq4 DO UPDATE SET email = excluded.email")
+    assert(exec(e, "SELECT count(*) FROM t4").df.get.as[Long].head() === 1L)
+    assert(exec(e, "SELECT email FROM t4").df.get.as[String].head()
+      === "a@X.COM")
+    // two different tenants, same email: NO conflict (a constant-key
+    // arbiter join would wrongly collapse these)
+    exec(e, "INSERT INTO t4 VALUES (3, 'globex', 'a@x.com') " +
+      "ON CONFLICT ON CONSTRAINT uq4 DO UPDATE SET email = excluded.email")
+    assert(exec(e, "SELECT count(*) FROM t4").df.get.as[Long].head() === 2L)
+  }
+
   test("PG LOCK TABLE on a table named *_tables does not flip the dialect") {
     val e = new Engine(spark, tmpDir("router_lock_dialect"))
     exec(e, "CREATE TABLE audit_tables (id INT)")
