@@ -104,8 +104,10 @@ object ScaleBench {
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
       cand
-        .join(cs.select(col("doc_id").as("a_id"), col("cs").as("ca")), "a_id")
-        .join(cs.select(col("doc_id").as("b_id"), col("cs").as("cb")), "b_id")
+        .join(cs.select(col("doc_id").as("a_id"), col("cs").as("ca"))
+          .hint("shuffle_hash"), "a_id")
+        .join(cs.select(col("doc_id").as("b_id"), col("cs").as("cb"))
+          .hint("shuffle_hash"), "b_id")
         .withColumn("inter", expr("sorted_intersect_count(ca, cb)"))
         .withColumn("jaccard", col("inter").cast("double") /
           (size(col("ca")) + size(col("cb")) - col("inter")))

@@ -1029,8 +1029,11 @@ object SqlRouter {
         val m = parent.manifest
         val inherited = m.props.filterNot { case (k, _) =>
           k == "partition.by" || k.startsWith("partchild.") ||
-            k.startsWith("stats.") }
-        engine.createTable(name, m.schema, m.pkCols, inherited)
+            k == "partof" || k.startsWith("stats.") }
+        // `partof` is the child's reverse pointer: DROP TABLE child
+        // detaches from the parent in one manifest commit, no scan
+        engine.createTable(name, m.schema, m.pkCols,
+          inherited + ("partof" -> parentName.split('.').last))
         parent.setProps(
           s"partchild.${name.split('.').last}" -> bounds.trim)
         ddl
@@ -1129,7 +1132,28 @@ object SqlRouter {
       Result(Some(rows.toSeq.toDF("Table", "Checksum")), 0L)
     case DropTable(ifExists, name) =>
       if (ifExists != null && !tableExists(engine, name)) ddl
-      else { engine.dropTable(name); ddl }
+      else {
+        val t = engine.table(name)
+        // PG semantics: partitions are dependent objects — DROP on a
+        // partitioned parent drops every attached child with it, and
+        // DROP on an attached child implicitly detaches it (otherwise
+        // the parent's next read fails on a dangling partchild prop)
+        if (t.partitionBy.isDefined)
+          t.partitionChildren.foreach { case (c, _) =>
+            val ref = childRef(name, c)
+            if (tableExists(engine, ref)) engine.dropTable(ref)
+          }
+        else t.manifest.props.get("partof").foreach { parentName =>
+          // the child's reverse pointer (written at attach) makes this
+          // one manifest commit, never a catalog scan
+          val ref = childRef(name, parentName)
+          if (tableExists(engine, ref))
+            engine.table(ref).dropProps(
+              s"partchild.${name.split('.').last}")
+        }
+        engine.dropTable(name)
+        ddl
+      }
     case CreateView(name, defn) =>
       // PG spellings fold before the definition is stored: the stored
       // text re-analyzes on every later registration, where the compat
@@ -2025,6 +2049,7 @@ object SqlRouter {
       }
       parent.setProps(
         s"partchild.${childName.split('.').last}" -> bounds.trim)
+      child.setProps("partof" -> parentName.split('.').last)
       ddl
     case AlterDetachPartition(parentName, childName) =>
       // the child becomes a standalone table KEEPING its rows (PG
@@ -2034,6 +2059,7 @@ object SqlRouter {
       require(parent.manifest.props.contains(key),
         s"$childName is not a partition of $parentName")
       parent.dropProps(key)
+      engine.table(childName).dropProps("partof")
       ddl
     case AlterIgnoredMeta(ifExists, name) =>
       // IF EXISTS (pg_dump --if-exists) must never abort a restore on
@@ -3551,7 +3577,7 @@ object SqlRouter {
       Seq("autoinc.", "generated.", "default.", "unique.", "check.")
     val rest = m.props.filterNot { case (k, _) =>
       renderedPrefixes.exists(k.startsWith) || k == "partition.by" ||
-        k.startsWith("partchild.")
+        k.startsWith("partchild.") || k == "partof"
     }
     val props = if (rest.nonEmpty)
       " TBLPROPERTIES (" + rest.toSeq.sorted

@@ -118,9 +118,13 @@ object Operators {
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id")).distinct()
     val sets = codes.groupBy(col("__id"))
       .agg(sort_array(collect_set(col("__code"))).as("__cs"))
+    // shuffle-hash on the set sides (see jaccardPairsPrefix's note:
+    // never sort candidate rows carrying a set payload)
     cand
-      .join(sets.select(col("__id").as("a_id"), col("__cs").as("ca")), "a_id")
-      .join(sets.select(col("__id").as("b_id"), col("__cs").as("cb")), "b_id")
+      .join(sets.select(col("__id").as("a_id"), col("__cs").as("ca"))
+        .hint("shuffle_hash"), "a_id")
+      .join(sets.select(col("__id").as("b_id"), col("__cs").as("cb"))
+        .hint("shuffle_hash"), "b_id")
       .withColumn("inter", expr("sorted_intersect_count(ca, cb)"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ca")) + size(col("cb")) - col("inter")))
@@ -180,9 +184,12 @@ object Operators {
         greatest(col(s"x.$idCol"), col(s"y.$idCol")).as("b_id"))
       .distinct()
     val allSets = indexSets.unionByName(batchSets)
+    // shuffle-hash on the set sides (see jaccardPairsPrefix's note)
     cand
-      .join(allSets.select(col(idCol).as("a_id"), col(setCol).as("ca")), "a_id")
-      .join(allSets.select(col(idCol).as("b_id"), col(setCol).as("cb")), "b_id")
+      .join(allSets.select(col(idCol).as("a_id"), col(setCol).as("ca"))
+        .hint("shuffle_hash"), "a_id")
+      .join(allSets.select(col(idCol).as("b_id"), col(setCol).as("cb"))
+        .hint("shuffle_hash"), "b_id")
       .withColumn("inter", expr("sorted_intersect_count(ca, cb)"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ca")) + size(col("cb")) - col("inter")))
@@ -276,9 +283,18 @@ object Operators {
     // — would keep. The nudge only admits extra candidates, which the
     // exact verify prunes identically on both engines.
     val cand = prefixCandidates(sets, tau)
+    // shuffle-hash hints on the set sides: SMJ would SORT candidate
+    // rows already carrying a code-set payload (spill = survivor mass
+    // × set size — ScaleBench factor 20 measured 987 M survivors); SHJ
+    // builds the per-partition map on the corpus side and STREAMS the
+    // narrow id-pair side, so only id pairs shuffle/sort. Same rows,
+    // different physical shape — and the right one at 1000 executors:
+    // build side is n/partitions sets, probe side arbitrarily large.
     cand
-      .join(sets.select(col("__id").as("a_id"), col("__cs").as("ca")), "a_id")
-      .join(sets.select(col("__id").as("b_id"), col("__cs").as("cb")), "b_id")
+      .join(sets.select(col("__id").as("a_id"), col("__cs").as("ca"))
+        .hint("shuffle_hash"), "a_id")
+      .join(sets.select(col("__id").as("b_id"), col("__cs").as("cb"))
+        .hint("shuffle_hash"), "b_id")
       .withColumn("inter", expr("sorted_intersect_count(ca, cb)"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ca")) + size(col("cb")) - col("inter")))

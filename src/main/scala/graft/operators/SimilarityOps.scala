@@ -113,9 +113,13 @@ object SimilarityOps {
     val allVecs = index.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v")).unionByName(batchVecs)
     def nrm(v: Column): Column = sqrt(call_function("vec_dot", v, v))
+    // shuffle-hash on the vector sides (see exactCosinePairsPruned's
+    // note: never sort candidate rows carrying a vector payload)
     cand
-      .join(allVecs.select(col("__id").as("__pa"), col("__v").as("__va")), "__pa")
-      .join(allVecs.select(col("__id").as("__pb"), col("__v").as("__vb")), "__pb")
+      .join(allVecs.select(col("__id").as("__pa"), col("__v").as("__va"))
+        .hint("shuffle_hash"), "__pa")
+      .join(allVecs.select(col("__id").as("__pb"), col("__v").as("__vb"))
+        .hint("shuffle_hash"), "__pb")
       .withColumn("__cos", call_function("vec_dot", col("__va"), col("__vb")) /
         (nrm(col("__va")) * nrm(col("__vb"))))
       .filter(col("__cos") >= threshold)

@@ -2406,6 +2406,29 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e3, "SELECT count(*) FROM at_hi").df.get.as[Long].head() === 1L)
   }
 
+  test("partitioning: DROP drops children with the parent; dropping a child detaches") {
+    val e = new Engine(spark, tmpDir("router_part_drop"))
+    exec(e, "CREATE TABLE dt (id BIGINT, v STRING) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE dt_a PARTITION OF dt FOR VALUES FROM (0) TO (100)")
+    exec(e, "CREATE TABLE dt_b PARTITION OF dt DEFAULT")
+    exec(e, "INSERT INTO dt VALUES (1, 'a'), (500, 'b')")
+    // DROP on an attached child implicitly detaches (one manifest
+    // commit via the child's partof reverse pointer — no catalog scan)
+    exec(e, "DROP TABLE dt_a")
+    assert(e.table("dt").partitionChildren.map(_._1) === Seq("dt_b"))
+    assert(exec(e, "SELECT count(*) FROM dt").df.get.as[Long].head() === 1L)
+    // a DETACHED child drops like any table, parent untouched
+    exec(e, "ALTER TABLE dt DETACH PARTITION dt_b")
+    exec(e, "DROP TABLE dt_b")
+    assert(e.table("dt").partitionChildren.isEmpty)
+    // DROP on the parent drops every attached child with it (PG:
+    // partitions are dependent objects)
+    exec(e, "CREATE TABLE dt2 (id BIGINT, v STRING) PARTITION BY LIST (v)")
+    exec(e, "CREATE TABLE dt2_x PARTITION OF dt2 FOR VALUES IN ('x')")
+    exec(e, "DROP TABLE dt2")
+    assert(!e.listTables().contains("dt2_x"))
+  }
+
   test("partitioning: MySQL partition-list trailer stays a loud parse failure") {
     val e = new Engine(spark, tmpDir("router_part_mysql"))
     intercept[Exception](exec(e,
