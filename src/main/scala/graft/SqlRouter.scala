@@ -1819,26 +1819,42 @@ object SqlRouter {
           s"COPY column list (${cs.mkString(", ")}) must name ${name}'s " +
             s"columns in declaration order (${t.schema.fieldNames.mkString(", ")})"))
       val (fmt, csvOpts, header) = copyOptions(optList)
+      // a partitioned PARENT routes the loaded frame to its children
+      // by bounds (COPY is PG's primary ingest path — PG routes it);
+      // plain tables write directly as before
+      val parentRoute: Option[DataFrame => Long] =
+        if (t.partitionBy.isEmpty) None
+        else Some(df => routeFrame(engine, name, t,
+          df.localCheckpoint(true), _.insert(_)))
+      def sink(df: => DataFrame, direct: => Long): Long =
+        parentRoute.fold(direct)(_(df))
       val n = fmt match {
         case "CSV" =>
-          graft.sources.BulkIO.loadCsvInto(t, path,
-            csvOpts.copy(header = header))
+          sink(graft.sources.BulkIO.loadCsv(engine.spark, path, t.schema,
+              csvOpts.copy(header = header)),
+            graft.sources.BulkIO.loadCsvInto(t, path,
+              csvOpts.copy(header = header)))
         case "TEXT" =>
           // pg_dump's default format is NOT a csv dialect: escape
           // sequences decode per field, \N is NULL pre-unescape,
           // bytea accepts the \x hex form
-          graft.sources.BulkIO.loadPgTextInto(t, path,
-            sep = csvOpts.sep, nullStr = csvOpts.nullValue)
+          sink(graft.sources.BulkIO.pgTextFrame(engine.spark, t.schema,
+              path, sep = csvOpts.sep, nullStr = csvOpts.nullValue),
+            graft.sources.BulkIO.loadPgTextInto(t, path,
+              sep = csvOpts.sep, nullStr = csvOpts.nullValue))
         case "PARQUET" =>
-          t.insert(engine.spark.read.schema(t.schema).parquet(path))
-        case "JSON" => graft.sources.BulkIO.loadJsonInto(t, path)
+          val df = engine.spark.read.schema(t.schema).parquet(path)
+          sink(df, t.insert(df))
+        case "JSON" =>
+          sink(engine.spark.read.schema(t.schema).json(path),
+            graft.sources.BulkIO.loadJsonInto(t, path))
         case "ARROW" => // A16: Arrow IPC stream → insert
           val hp = new org.apache.hadoop.fs.Path(path)
           val is = hp.getFileSystem(
             engine.spark.sessionState.newHadoopConf()).open(hp)
           val df = try graft.sources.ArrowCodec.decodeFrom(engine.spark, is)
             finally is.close()
-          t.insert(df)
+          sink(df, t.insert(df))
         case f => throw new IllegalArgumentException(s"COPY format $f")
       }
       Result(None, n)
@@ -1855,10 +1871,26 @@ object SqlRouter {
       // escaped line terminators decode correctly, OUTFILE's exact
       // inverse (the reference cannot: loaddata.go:177-180 TODO).
       // Enclosed dialects are real quoted CSV — Spark's reader owns it.
-      val n =
-        if (opts.escape == "\\" && opts.quote == "\u0000")
-          graft.sources.BulkIO.loadMySqlTextInto(t, path, opts, mode)
-        else graft.sources.BulkIO.loadCsvInto(t, path, opts, mode)
+      val escAware = opts.escape == "\\" && opts.quote == "\u0000"
+      val n = if (t.partitionBy.isDefined) {
+        // partitioned parent: build the frame, route by bounds; the
+        // IGNORE/REPLACE duplicate-key semantics apply PER CHILD —
+        // exactly right, since a key lives in one partition
+        val df =
+          if (escAware)
+            graft.sources.BulkIO.mySqlTextFrame(engine.spark, t.schema,
+              path, opts)
+          else graft.sources.BulkIO.loadCsv(engine.spark, path, t.schema, opts)
+        val write: (graft.storage.GraftTable, DataFrame) => Long =
+          mode match {
+            case graft.sources.BulkIO.Ignore => _.insertIgnoreRows(_)
+            case graft.sources.BulkIO.Replace => _.replaceRows(_)
+            case _ => _.insert(_)
+          }
+        routeFrame(engine, name, t, df.localCheckpoint(true), write)
+      } else if (escAware)
+        graft.sources.BulkIO.loadMySqlTextInto(t, path, opts, mode)
+      else graft.sources.BulkIO.loadCsvInto(t, path, opts, mode)
       Result(None, n)
     case Prepare(name, text) =>
       engine.prepare(name, text.replace("''", "'")); ddl
@@ -2976,9 +3008,10 @@ object SqlRouter {
       t: graft.storage.GraftTable, colList: String, rest: String,
       returning: Option[String]): Result = {
     val m = t.manifest
-    val spec = Partitioning.parse(m.props("partition.by"))
-    val kids = t.partitionChildren
-    require(kids.nonEmpty,
+    // fail on a no-partition parent (and a malformed strategy) BEFORE
+    // evaluating the source — its expressions may be volatile
+    Partitioning.parse(m.props("partition.by"))
+    require(t.partitionChildren.nonEmpty,
       s"$parentName has no partitions: attach one before inserting")
     val omittedAuto = m.schema.fieldNames
       .find(c => m.props.get(s"autoinc.$c").contains("true"))
@@ -2995,6 +3028,27 @@ object SqlRouter {
       case None =>
         sourceDfFor(engine, t, colList, rest).localCheckpoint(true)
     }
+    val total = routeFrame(engine, parentName, t, src, _.insert(_))
+    Result(returning.map(rx =>
+      src.selectExpr(splitTop(rx).map(_.trim): _*)), total)
+  }
+
+  /** Route a FROZEN (localCheckpoint'ed) frame into a partitioned
+    * parent's children by bounds — the shared core of routed INSERT,
+    * COPY FROM, and LOAD DATA on a parent. `write` is the per-child
+    * commit (plain insert, or LOAD's IGNORE/REPLACE duplicate-key
+    * semantics applied PER CHILD, which is exactly PG/MySQL behavior
+    * since a key lives in one partition). See [[routedInsert]]'s
+    * scaladoc for the scale shape (one tag aggregate, only non-empty
+    * children commit, unroutable rows loud first). */
+  private def routeFrame(engine: Engine, parentName: String,
+      t: graft.storage.GraftTable, src: DataFrame,
+      write: (graft.storage.GraftTable, DataFrame) => Long): Long = {
+    val m = t.manifest
+    val spec = Partitioning.parse(m.props("partition.by"))
+    val kids = t.partitionChildren
+    require(kids.nonEmpty,
+      s"$parentName has no partitions: attach one before inserting")
     val preds = kids.map { case (c, b) =>
       (c, Partitioning.boundPredicateSql(spec, b).map(expr)) }
     val defaultChild = preds.collectFirst { case (c, None) => c }
@@ -3017,12 +3071,11 @@ object SqlRouter {
     var total = 0L
     preds.foreach { case (c, _) =>
       counts.get(Some(c)).filter(_ > 0).foreach { _ =>
-        total += engine.table(childRef(parentName, c))
-          .insert(src.filter(tag === lit(c)))
+        total += write(engine.table(childRef(parentName, c)),
+          src.filter(tag === lit(c)))
       }
     }
-    Result(returning.map(rx =>
-      src.selectExpr(splitTop(rx).map(_.trim): _*)), total)
+    total
   }
 
   private val JoinKeywords = Set("JOIN", "STRAIGHT_JOIN", "LEFT", "RIGHT",

@@ -120,12 +120,19 @@ object BulkIO {
     * field count ERRORS (the COPY contract). Reference surface:
     * `pgserver/dataloader.go:19-289`. */
   def loadPgTextInto(table: GraftTable, path: String, sep: String = "\t",
-      nullStr: String = "\\N"): Long = {
+      nullStr: String = "\\N"): Long =
+    table.insert(pgTextFrame(table.spark, table.schema, path, sep, nullStr))
+
+  /** [[loadPgTextInto]]'s frame builder — shared with the router's
+    * partitioned-parent COPY routing, which needs the frame BEFORE any
+    * table write. */
+  def pgTextFrame(spark: SparkSession, schema: StructType, path: String,
+      sep: String = "\t", nullStr: String = "\\N"): DataFrame = {
     require(sep.length == 1, s"single-char delimiter: '$sep'")
-    graft.functions.GraftFunctions.register(table.spark)
-    val fields = table.schema.fields
+    graft.functions.GraftFunctions.register(spark)
+    val fields = schema.fields
     val arity = fields.length
-    val lines = table.spark.read.text(path)
+    val lines = spark.read.text(path)
       // escape-AWARE split (PgSplitFields): PG escapes in-data
       // delimiter characters, so a plain split would cut inside the
       // escape sequence for any non-default delimiter
@@ -150,14 +157,13 @@ object BulkIO {
       when(raw === nullStr, lit(null).cast(f.dataType))
         .otherwise(nonNull).as(f.name)
     }
-    val df = lines
+    lines
       // assert_true survives optimization (side-effecting), so the
       // arity check cannot be pruned away with the helper columns
       .filter(assert_true(col("__n") === arity,
         concat(lit("COPY TEXT row has "), col("__n"),
           lit(s" fields, expected $arity"))).isNull)
       .select(cols.toIndexedSeq: _*)
-    table.insert(df)
   }
 
   /** COPY ... TO in PG TEXT format — [[loadPgTextInto]]'s inverse:
@@ -291,7 +297,19 @@ object BulkIO {
     * Strict arity like the PG TEXT path. */
   def loadMySqlTextInto(table: GraftTable, path: String,
       opts: CsvOptions = CsvOptions(), mode: DupMode = Append): Long = {
-    val spark = table.spark
+    val df = mySqlTextFrame(table.spark, table.schema, path, opts)
+    mode match {
+      case Append => table.insert(df)
+      case Ignore => table.insertIgnoreRows(df)
+      case Replace => table.replaceRows(df)
+    }
+  }
+
+  /** [[loadMySqlTextInto]]'s frame builder (shared with the router's
+    * partitioned-parent LOAD DATA routing). Falls back to the
+    * streaming CSV frame for oversized files, like the Into form. */
+  def mySqlTextFrame(spark: SparkSession, schema: StructType,
+      path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     require(opts.escape == "\\", "mysql-text load expects ESCAPED BY '\\'")
     // wholetext holds each file as ONE string (the price of decoding
@@ -318,7 +336,7 @@ object BulkIO {
       require(!customLines,
         "LOAD DATA with LINES STARTING BY / multi-char LINES TERMINATED " +
           s"BY needs the in-memory reader; file exceeds ${maxBytes}B")
-      return loadCsvInto(table, path, opts, mode)
+      return loadCsv(spark, path, schema, opts)
     }
     val sep = opts.sep.take(1)
     val enc = if (opts.quote == "\u0000") "" else opts.quote
@@ -357,7 +375,7 @@ object BulkIO {
         if (p < 0) None else Some(r.substring(p + start.length))
       }
     }.toDF("value").filter(length(col("value")) > 0)
-    val fields = table.schema.fields
+    val fields = schema.fields
     val arity = fields.length
     val split = lines
       .select(call_function("pg_split_fields", col("value"), lit(sep)).as("__f"))
@@ -378,16 +396,11 @@ object BulkIO {
         lit(null).cast(f.dataType))
         .otherwise(decoded.cast(f.dataType)).as(f.name)
     }
-    val df = split
+    split
       .filter(assert_true(col("__n") === arity,
         concat(lit("LOAD DATA row has "), col("__n"),
           lit(s" fields, expected $arity"))).isNull)
       .select(cols.toIndexedSeq: _*)
-    mode match {
-      case Append => table.insert(df)
-      case Ignore => table.insertIgnoreRows(df)
-      case Replace => table.replaceRows(df)
-    }
   }
 
   /** COPY ... TO (FORMAT PARQUET / JSON). */

@@ -2429,6 +2429,34 @@ class SqlRouterSpec extends SparkSpec {
     assert(!e.listTables().contains("dt2_x"))
   }
 
+  test("partitioning: COPY FROM and LOAD DATA route through the parent") {
+    val e = new Engine(spark, tmpDir("router_part_copy"))
+    exec(e, "CREATE TABLE ct (id BIGINT PRIMARY KEY, v STRING) " +
+      "PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE ct_lo PARTITION OF ct FOR VALUES FROM (0) TO (100)")
+    exec(e, "CREATE TABLE ct_hi PARTITION OF ct DEFAULT")
+    val f = java.nio.file.Files.createTempFile("graft_part_copy", ".csv")
+    java.nio.file.Files.writeString(f, "5,a\n500,b\n7,c\n")
+    assert(exec(e, s"COPY ct FROM '$f' (FORMAT CSV)").affected === 3L)
+    assert(exec(e, "SELECT count(*) FROM ct_lo").df.get.as[Long].head() === 2L)
+    assert(exec(e, "SELECT count(*) FROM ct_hi").df.get.as[Long].head() === 1L)
+    // LOAD DATA REPLACE: duplicate-key semantics apply per child
+    val f2 = java.nio.file.Files.createTempFile("graft_part_load", ".tsv")
+    java.nio.file.Files.writeString(f2, "5\tA2\n900\tnew\n")
+    assert(exec(e,
+      s"LOAD DATA INFILE '$f2' REPLACE INTO TABLE ct").affected === 2L)
+    assert(exec(e, "SELECT v FROM ct WHERE id = 5").df.get.as[String].head()
+      === "A2")
+    assert(exec(e, "SELECT count(*) FROM ct").df.get.as[Long].head() === 4L)
+    // an out-of-range row in the file is loud BEFORE any child commits
+    exec(e, "ALTER TABLE ct DETACH PARTITION ct_hi")
+    val f3 = java.nio.file.Files.createTempFile("graft_part_bad", ".csv")
+    java.nio.file.Files.writeString(f3, "50,x\n5000,y\n")
+    intercept[Exception](exec(e, s"COPY ct FROM '$f3' (FORMAT CSV)"))
+    assert(exec(e, "SELECT count(*) FROM ct_lo WHERE v = 'x'")
+      .df.get.as[Long].head() === 0L)
+  }
+
   test("partitioning: MySQL partition-list trailer stays a loud parse failure") {
     val e = new Engine(spark, tmpDir("router_part_mysql"))
     intercept[Exception](exec(e,
