@@ -43,7 +43,7 @@ object PgCatalog {
     "pg_namespace", "pg_class", "pg_attribute", "pg_type", "pg_proc",
     "pg_range", "pg_index", "pg_enum", "pg_description", "pg_matviews",
     "pg_stat_user_tables", "pg_stat_replication", "pg_subscription",
-    "pg_tables", "pg_views")
+    "pg_tables", "pg_views", "pg_inherits", "pg_partitioned_table")
 
   /** SQL-addressable information_schema relations (the standard surface
     * client tools introspect with — the reference's own pg_index /
@@ -64,7 +64,8 @@ object PgCatalog {
   val catalogRelOids: Map[String, Long] = Map(
     "pg_type" -> 1247L, "pg_attribute" -> 1249L, "pg_proc" -> 1255L,
     "pg_class" -> 1259L, "pg_description" -> 2609L, "pg_index" -> 2610L,
-    "pg_namespace" -> 2615L, "pg_enum" -> 3501L, "pg_range" -> 3541L)
+    "pg_inherits" -> 2611L, "pg_namespace" -> 2615L, "pg_enum" -> 3501L,
+    "pg_partitioned_table" -> 3350L, "pg_range" -> 3541L)
 
   // ------------------------------------------------------------------
   // Type table: the PG built-in types the engine's type system maps
@@ -157,7 +158,13 @@ object PgCatalog {
       checks: Int, autoinc: Set[String], defaults: Map[String, String],
       viewDef: Option[String], pkIndexOid: Long,
       uniques: Map[String, Seq[String]] = Map.empty,
-      generated: Map[String, String] = Map.empty)
+      generated: Map[String, String] = Map.empty,
+      /** `RANGE (keys)` text when this rel is a partitioned PARENT. */
+      partStrat: Option[String] = None,
+      /** (parent bare name, bounds text) when this rel is an attached
+        * partition — surfaces as relispartition/relpartbound and
+        * pg_inherits. */
+      partOf: Option[(String, String)] = None)
 
   private final case class Snapshot(namespaces: Seq[(Long, String, Long, String)],
       rels: Seq[Rel])
@@ -185,8 +192,12 @@ object PgCatalog {
     val rels = Seq.newBuilder[Rel]
     dbs.foreach { db =>
       val (nspOid, nspname) = nsOf(db)
-      engine.listTables(db).sorted.foreach { t =>
-        val m = engine.table(s"$db.$t").manifest
+      // one manifest pass per db; the parent→child bounds lookup for
+      // relpartbound/pg_inherits reads the PARENT's partchild props
+      val mans = engine.listTables(db).sorted
+        .map(t => t -> engine.table(s"$db.$t").manifest)
+      val byName = mans.toMap
+      mans.foreach { case (t, m) =>
         val oid = next; next += 1
         val pkOid = if (m.pkCols.nonEmpty) { val o = next; next += 1; o } else 0L
         rels += Rel(oid, nspOid, nspname, t, "r", m.schema, m.pkCols,
@@ -199,7 +210,11 @@ object PgCatalog {
           m.props.collect { case (k, v) if k.startsWith("unique.") =>
             k.stripPrefix("unique.") -> v.split(',').map(_.trim).toSeq },
           m.props.collect { case (k, v) if k.startsWith("generated.") =>
-            k.stripPrefix("generated.") -> v })
+            k.stripPrefix("generated.") -> v },
+          partStrat = m.props.get("partition.by"),
+          partOf = m.props.get("partof").flatMap(p =>
+            byName.get(p).flatMap(_.props.get(s"partchild.$t"))
+              .map(b => (p, b))))
         if (pkOid != 0L)
           rels += Rel(pkOid, nspOid, nspname, s"${t}_pkey", "i",
             new StructType(), Nil, 0, Set.empty, Map.empty, None, 0L)
@@ -273,6 +288,48 @@ object PgCatalog {
             false, 0L, -1, 0, t.coll, null, null)
         })
 
+      case "pg_inherits" =>
+        // declarative partitioning's parent↔child edges (what psql's
+        // \d+ partition listing joins pg_class through)
+        val schema = ddl("inhrelid BIGINT, inhparent BIGINT, " +
+          "inhseqno INT, inhdetachpending BOOLEAN")
+        val oidOf = snap.rels.map(r => (r.nspOid, r.name) -> r.oid).toMap
+        mk(spark, schema, snap.rels.flatMap { r =>
+          r.partOf.flatMap { case (p, _) =>
+            oidOf.get((r.nspOid, p)).map(po => Row(r.oid, po, 1, false))
+          }
+        })
+
+      case "pg_partitioned_table" =>
+        // key metadata of each partitioned parent: strategy char,
+        // key attnums (0 for expression keys, whose text rides in
+        // partexprs — PG's own convention), and the DEFAULT child oid
+        val schema = ddl("partrelid BIGINT, partstrat STRING, " +
+          "partnatts INT, partdefid BIGINT, partattrs ARRAY<INT>, " +
+          "partexprs STRING")
+        val oidOf = snap.rels.map(r => (r.nspOid, r.name) -> r.oid).toMap
+        mk(spark, schema, snap.rels.flatMap { r =>
+          r.partStrat.flatMap { by =>
+            scala.util.Try(graft.Partitioning.parse(by)).toOption.map { spec =>
+              val attnum = spec.keys.map { k =>
+                if (k.matches("[A-Za-z_][A-Za-z0-9_$]*"))
+                  r.schema.fieldNames.indexWhere(_.equalsIgnoreCase(k)) + 1
+                else 0
+              }
+              val exprs = spec.keys.filterNot(
+                _.matches("[A-Za-z_][A-Za-z0-9_$]*"))
+              val defOid = snap.rels.find(c =>
+                c.partOf.exists { case (p, b) =>
+                  p == r.name && c.nspOid == r.nspOid &&
+                    b.trim.equalsIgnoreCase("DEFAULT")
+                }).map(_.oid).getOrElse(0L)
+              Row(r.oid, spec.strategy.take(1).toLowerCase,
+                spec.keys.length, defOid, attnum,
+                if (exprs.isEmpty) null else exprs.mkString(", "))
+            }
+          }
+        })
+
       case "pg_class" => // 36 columns per the reference DDL
         val schema = ddl("oid BIGINT, relname STRING, relnamespace BIGINT, " +
           "reltype BIGINT, reloftype BIGINT, relowner BIGINT, relam BIGINT, " +
@@ -285,11 +342,18 @@ object PgCatalog {
           "relispartition BOOLEAN, relrewrite BIGINT, relfrozenxid BIGINT, " +
           "relminmxid BIGINT, relacl STRING, reloptions STRING, relpartbound STRING")
         mk(spark, schema, snap.rels.map { r =>
+          // a partitioned parent is relkind 'p' with relhassubclass;
+          // an attached partition carries relispartition + its bounds
+          // in relpartbound (pg_get_expr's passthrough returns the
+          // text — what psql's \d+ partition listing renders)
           Row(r.oid, r.name, r.nspOid, 0L, 0L, 10L, 2L, r.oid, 0L, 0,
-            -1.0f, 0, 0L, r.pk.nonEmpty, false, "p", r.kind,
-            r.schema.fields.length, r.checks, false, false, false, false,
-            false, true, if (r.pk.nonEmpty) "d" else "n", false, 0L, 0L,
-            0L, null, null, null)
+            -1.0f, 0, 0L, r.pk.nonEmpty, false, "p",
+            if (r.partStrat.isDefined) "p" else r.kind,
+            r.schema.fields.length, r.checks, false, false,
+            r.partStrat.isDefined, false,
+            false, true, if (r.pk.nonEmpty) "d" else "n",
+            r.partOf.isDefined, 0L, 0L,
+            0L, null, null, r.partOf.map(_._2).orNull)
         })
 
       case "pg_attribute" =>

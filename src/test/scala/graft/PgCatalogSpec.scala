@@ -447,4 +447,38 @@ class PgCatalogSpec extends SparkSpec {
     assert(PgCompat.quoteIdents("""SELECT "a-b" FROM "T" WHERE x = 'he said ""'""")
       === "SELECT `a-b` FROM `T` WHERE x = 'he said \"\"'")
   }
+
+  test("psql \\d+ partition listing: pg_inherits, relpartbound, pg_partitioned_table") {
+    val e = new Engine(spark, tmpDir("pgcat_part"))
+    SqlRouter.execute(e,
+      "CREATE TABLE pt (id BIGINT, v STRING) PARTITION BY RANGE (id)")
+    SqlRouter.execute(e,
+      "CREATE TABLE pt_lo PARTITION OF pt FOR VALUES FROM (0) TO (100)")
+    SqlRouter.execute(e, "CREATE TABLE pt_hi PARTITION OF pt DEFAULT")
+    // the parent is relkind 'p' with relhassubclass
+    assert(rows(e, "SELECT relkind, relhassubclass FROM pg_catalog.pg_class " +
+      "WHERE relname = 'pt'") === Seq(Row("p", true)))
+    // the \d+ shape: children + bounds through pg_inherits and
+    // pg_get_expr over relpartbound
+    val kids = rows(e,
+      """SELECT c.relname, pg_get_expr(c.relpartbound, c.oid)
+        |FROM pg_catalog.pg_inherits i
+        |JOIN pg_catalog.pg_class c ON c.oid = i.inhrelid
+        |JOIN pg_catalog.pg_class p ON p.oid = i.inhparent
+        |WHERE p.relname = 'pt' ORDER BY c.relname""".stripMargin)
+    assert(kids === Seq(Row("pt_hi", "DEFAULT"),
+      Row("pt_lo", "FOR VALUES FROM (0) TO (100)")))
+    // strategy + key attnum + default-partition oid
+    val meta = rows(e,
+      """SELECT pt.partstrat, pt.partnatts, d.relname
+        |FROM pg_catalog.pg_partitioned_table pt
+        |JOIN pg_catalog.pg_class d ON d.oid = pt.partdefid""".stripMargin)
+    assert(meta === Seq(Row("r", 1, "pt_hi")))
+    // detach removes the edge
+    SqlRouter.execute(e, "ALTER TABLE pt DETACH PARTITION pt_lo")
+    assert(rows(e, "SELECT count(*) FROM pg_catalog.pg_inherits")
+      === Seq(Row(1L)))
+    assert(rows(e, "SELECT relispartition FROM pg_catalog.pg_class " +
+      "WHERE relname = 'pt_lo'") === Seq(Row(false)))
+  }
 }
