@@ -283,18 +283,25 @@ object Operators {
     // — would keep. The nudge only admits extra candidates, which the
     // exact verify prunes identically on both engines.
     val cand = prefixCandidates(sets, tau)
-    // shuffle-hash hints on the set sides: SMJ would SORT candidate
-    // rows already carrying a code-set payload (spill = survivor mass
-    // × set size — ScaleBench factor 20 measured 987 M survivors); SHJ
-    // builds the per-partition map on the corpus side and STREAMS the
-    // narrow id-pair side, so only id pairs shuffle/sort. Same rows,
-    // different physical shape — and the right one at 1000 executors:
-    // build side is n/partitions sets, probe side arbitrarily large.
+    // verify-join physical shape, chosen by MEASURED corpus size (the
+    // count reads the checkpoint's cached blocks — near-free):
+    //  - small corpus → explicit broadcast: the candidate side never
+    //    shuffles at all (the pre-round-12 auto-broadcast plan, made
+    //    deliberate);
+    //  - large corpus → shuffle-hash: SMJ would SORT candidate rows
+    //    already carrying a code-set payload (spill = survivor mass ×
+    //    set size; ScaleBench factor 20 measured 987 M survivors), SHJ
+    //    builds the per-partition map on the n/partitions corpus slice
+    //    and STREAMS the narrow id-pair side. Threshold ~32 k sets ×
+    //    a few hundred bytes ≈ an executor-safe broadcast.
+    val nDocs = sets.count()
+    def side(idAs: String, csAs: String): DataFrame = {
+      val s = sets.select(col("__id").as(idAs), col("__cs").as(csAs))
+      if (nDocs <= 32768) broadcast(s) else s.hint("shuffle_hash")
+    }
     cand
-      .join(sets.select(col("__id").as("a_id"), col("__cs").as("ca"))
-        .hint("shuffle_hash"), "a_id")
-      .join(sets.select(col("__id").as("b_id"), col("__cs").as("cb"))
-        .hint("shuffle_hash"), "b_id")
+      .join(side("a_id", "ca"), "a_id")
+      .join(side("b_id", "cb"), "b_id")
       .withColumn("inter", expr("sorted_intersect_count(ca, cb)"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ca")) + size(col("cb")) - col("inter")))
