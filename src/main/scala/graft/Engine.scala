@@ -103,7 +103,15 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     * scanning one partition and all of them. Children only ever hold
     * in-bounds rows (routed INSERT, validated ATTACH), so the filter
     * never changes results. */
-  private[graft] def tableFrame(name: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def tableFrame(name: String): org.apache.spark.sql.DataFrame =
+    tableFrame(name, depth = 0)
+
+  /** Recursive for SUBPARTITIONED trees (a child may itself be a
+    * parent); the depth cap turns a malformed props cycle into a loud
+    * error instead of a stack overflow. */
+  private def tableFrame(name: String,
+      depth: Int): org.apache.spark.sql.DataFrame = {
+    require(depth < 32, s"partition tree under $name deeper than 32 levels")
     val t = table(name)
     val kids = t.partitionChildren
     if (kids.isEmpty) t.read()
@@ -111,7 +119,7 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
       val spec = t.partitionBy.flatMap(by =>
         scala.util.Try(Partitioning.parse(by)).toOption)
       kids.map { case (c, b) =>
-        val df = table(c).read()
+        val df = tableFrame(c, depth + 1)
         spec.flatMap(s =>
           scala.util.Try(Partitioning.boundPredicateSql(s, b)).toOption.flatten)
           .map(p => df.filter(org.apache.spark.sql.functions.expr(p)))

@@ -1023,7 +1023,14 @@ object SqlRouter {
         val by = parent.partitionBy.getOrElse(throw new IllegalArgumentException(
           s"$parentName is not partitioned"))
         val spec = Partitioning.parse(by)
-        Partitioning.validateNewChild(spec, bounds, parent.partitionChildren)
+        // SUBPARTITIONING (pg_dump of multi-level tables): a trailing
+        // `PARTITION BY <strategy> (keys)` makes this child itself a
+        // parent — peel it off the bounds capture and record it
+        val subBy =
+          """(?is)^(.*?)\s+PARTITION\s+BY\s+(RANGE|LIST|HASH)\s*\(\s*((?:[^()]|\([^()]*\))*)\s*\)\s*$""".r
+            .findFirstMatchIn(bounds)
+        val bounds1 = subBy.map(_.group(1).trim).getOrElse(bounds)
+        Partitioning.validateNewChild(spec, bounds1, parent.partitionChildren)
         require(sameDb(engine, name, parentName),
           s"partition $name must live in $parentName's database")
         val m = parent.manifest
@@ -1032,10 +1039,12 @@ object SqlRouter {
             k == "partof" || k.startsWith("stats.") }
         // `partof` is the child's reverse pointer: DROP TABLE child
         // detaches from the parent in one manifest commit, no scan
+        val subProp = subBy.map(m0 =>
+          "partition.by" -> s"${m0.group(2).toUpperCase} (${m0.group(3)})")
         engine.createTable(name, m.schema, m.pkCols,
-          inherited + ("partof" -> parentName.split('.').last))
+          inherited + ("partof" -> parentName.split('.').last) ++ subProp)
         parent.setProps(
-          s"partchild.${name.split('.').last}" -> bounds.trim)
+          s"partchild.${name.split('.').last}" -> bounds1)
         ddl
       }
     case CreateTable(ifNotExists, name, colsAndPk0, opts) =>
@@ -1141,7 +1150,9 @@ object SqlRouter {
         if (t.partitionBy.isDefined)
           t.partitionChildren.foreach { case (c, _) =>
             val ref = childRef(name, c)
-            if (tableExists(engine, ref)) engine.dropTable(ref)
+            // re-route so a SUBPARTITIONED child drops its own tree
+            if (tableExists(engine, ref))
+              executeRouted(engine, s"DROP TABLE $ref", s"DROP TABLE $ref")
           }
         else t.manifest.props.get("partof").foreach { parentName =>
           // the child's reverse pointer (written at attach) makes this
@@ -1666,14 +1677,7 @@ object SqlRouter {
         if (identity != null) identity.toUpperCase.startsWith("CONTINUE")
         else isPgSession(engine)
       names.split(',').map(_.trim).filter(_.nonEmpty).foreach { n =>
-        val t = engine.table(n)
-        if (t.partitionBy.isDefined) {
-          // PG: TRUNCATE on the parent truncates every partition; the
-          // parent's own (file-less) manifest only resets the counter
-          t.partitionChildren.foreach { case (c, _) =>
-            engine.table(childRef(n, c)).truncate(restartIdentity = !keep) }
-          if (!keep) t.resetAutoInc()
-        } else t.truncate(restartIdentity = !keep)
+        truncateCascade(engine, n, restart = !keep)
       }
       ddl
     case ShowDatabases() =>
@@ -2065,16 +2069,20 @@ object SqlRouter {
       require(pCols == cCols,
         s"$childName columns ${cCols.mkString(",")} do not match " +
           s"$parentName's ${pCols.mkString(",")}")
+      // validation reads tableFrame, not read(): an attached child may
+      // itself be a partitioned parent (subpartitioning), whose rows
+      // live in ITS children
       Partitioning.boundPredicateSql(spec, bounds) match {
         case Some(p) =>
-          require(child.read().filter(!coalesce(expr(p), lit(false)))
+          require(engine.tableFrame(childName)
+            .filter(!coalesce(expr(p), lit(false)))
             .limit(1).count() == 0,
             s"rows in $childName violate the partition bound $bounds")
         case None =>
           val siblings = parent.partitionChildren.flatMap { case (_, b) =>
             Partitioning.boundPredicateSql(spec, b) }
           if (siblings.nonEmpty)
-            require(child.read().filter(siblings.map(s =>
+            require(engine.tableFrame(childName).filter(siblings.map(s =>
               coalesce(expr(s), lit(false))).reduce(_ || _))
               .limit(1).count() == 0,
               s"rows in $childName belong to a non-default partition")
@@ -2965,6 +2973,19 @@ object SqlRouter {
     }
   }
 
+  /** PG: TRUNCATE on a partitioned parent truncates every partition
+    * (recursively through subpartition levels); the parent's own
+    * file-less manifest only resets the counter. */
+  private def truncateCascade(engine: Engine, n: String,
+      restart: Boolean): Unit = {
+    val t = engine.table(n)
+    if (t.partitionBy.isDefined) {
+      t.partitionChildren.foreach { case (c, _) =>
+        truncateCascade(engine, childRef(n, c), restart) }
+      if (restart) t.resetAutoInc()
+    } else t.truncate(restartIdentity = restart)
+  }
+
   /** Same-database check for parent/child partition names (recorded
     * child names are bare, resolved against the parent's database). */
   private def sameDb(engine: Engine, a: String, b: String): Boolean = {
@@ -3071,8 +3092,14 @@ object SqlRouter {
     var total = 0L
     preds.foreach { case (c, _) =>
       counts.get(Some(c)).filter(_ > 0).foreach { _ =>
-        total += write(engine.table(childRef(parentName, c)),
-          src.filter(tag === lit(c)))
+        val ref = childRef(parentName, c)
+        val childT = engine.table(ref)
+        val slice = src.filter(tag === lit(c))
+        // a SUBPARTITIONED child routes its slice one level further
+        total +=
+          (if (childT.partitionBy.isDefined)
+            routeFrame(engine, ref, childT, slice, write)
+          else write(childT, slice))
       }
     }
     total

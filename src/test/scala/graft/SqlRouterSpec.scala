@@ -2457,6 +2457,39 @@ class SqlRouterSpec extends SparkSpec {
       .df.get.as[Long].head() === 0L)
   }
 
+  test("partitioning: subpartitioned tree routes, reads, truncates and drops recursively") {
+    val e = new Engine(spark, tmpDir("router_part_sub"))
+    exec(e, "CREATE TABLE root (id BIGINT, region STRING, v STRING) " +
+      "PARTITION BY RANGE (id)")
+    // a child that is itself a parent (the pg_dump subpartition shape)
+    exec(e, "CREATE TABLE mid PARTITION OF root " +
+      "FOR VALUES FROM (0) TO (1000) PARTITION BY LIST (region)")
+    exec(e, "CREATE TABLE mid_eu PARTITION OF mid FOR VALUES IN ('eu')")
+    exec(e, "CREATE TABLE mid_us PARTITION OF mid FOR VALUES IN ('us')")
+    exec(e, "CREATE TABLE hi PARTITION OF root DEFAULT")
+    // two-level routing through the root
+    exec(e, "INSERT INTO root VALUES (5, 'eu', 'a'), (6, 'us', 'b'), " +
+      "(5000, 'eu', 'c')")
+    assert(exec(e, "SELECT count(*) FROM mid_eu").df.get.as[Long].head() === 1L)
+    assert(exec(e, "SELECT count(*) FROM mid_us").df.get.as[Long].head() === 1L)
+    assert(exec(e, "SELECT count(*) FROM hi").df.get.as[Long].head() === 1L)
+    // reads union recursively at every level
+    assert(exec(e, "SELECT count(*) FROM root").df.get.as[Long].head() === 3L)
+    assert(exec(e, "SELECT count(*) FROM mid").df.get.as[Long].head() === 2L)
+    // an in-range row with no matching leaf is loud
+    intercept[Exception](exec(e, "INSERT INTO root VALUES (7, 'jp', 'x')"))
+    // UPDATE/DELETE fan out through the levels
+    assert(exec(e, "UPDATE root SET v = 'Z' WHERE region = 'eu'")
+      .affected === 2L)
+    assert(exec(e, "DELETE FROM root WHERE id = 6").affected === 1L)
+    // TRUNCATE cascades to the leaves
+    exec(e, "TRUNCATE TABLE root")
+    assert(exec(e, "SELECT count(*) FROM mid_eu").df.get.as[Long].head() === 0L)
+    // DROP root drops the whole tree
+    exec(e, "DROP TABLE root")
+    assert(e.listTables().isEmpty)
+  }
+
   test("partitioning: MySQL partition-list trailer stays a loud parse failure") {
     val e = new Engine(spark, tmpDir("router_part_mysql"))
     intercept[Exception](exec(e,
