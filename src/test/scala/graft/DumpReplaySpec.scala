@@ -159,6 +159,32 @@ class DumpReplaySpec extends SparkSpec {
     assert(e.sql("SELECT count(*) FROM m_y2023").as[Long].head() === 3L)
     intercept[Exception](SqlRouter.execute(e,
       "INSERT INTO measurements VALUES (9, DATE'2025-06-01', 5)"))
+    // SUBPARTITIONED restore shape: the mid-level table's CREATE
+    // carries its own PARTITION BY trailer, both levels attach via
+    // ALTER, COPY targets the leaf
+    executeScript(e,
+      """CREATE TABLE public.m_y2025 (
+        |    city_id bigint NOT NULL,
+        |    logdate date NOT NULL,
+        |    peaktemp bigint
+        |) PARTITION BY RANGE (city_id);
+        |ALTER TABLE ONLY public.measurements ATTACH PARTITION public.m_y2025 FOR VALUES FROM ('2025-01-01') TO ('2026-01-01');
+        |CREATE TABLE public.m_y2025_a (
+        |    city_id bigint NOT NULL,
+        |    logdate date NOT NULL,
+        |    peaktemp bigint
+        |);
+        |ALTER TABLE ONLY public.m_y2025 ATTACH PARTITION public.m_y2025_a FOR VALUES FROM (0) TO (100);
+        |COPY public.m_y2025_a (city_id, logdate, peaktemp) FROM stdin;
+        |7	2025-06-01	19
+        |\.
+        |""".stripMargin)
+    assert(e.table("m_y2025").partitionBy === Some("RANGE (city_id)"))
+    // both levels union into the root; two-level routing works
+    assert(e.sql("SELECT count(*) FROM measurements").as[Long].head() === 5L)
+    SqlRouter.execute(e,
+      "INSERT INTO measurements VALUES (8, DATE'2025-07-04', 30)")
+    assert(e.sql("SELECT count(*) FROM m_y2025_a").as[Long].head() === 2L)
   }
 
   test("PG 10+ identity columns replay: ADD GENERATED AS IDENTITY and inline forms") {

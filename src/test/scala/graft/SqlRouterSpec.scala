@@ -2490,6 +2490,26 @@ class SqlRouterSpec extends SparkSpec {
     assert(e.listTables().isEmpty)
   }
 
+  test("partitioning: a routed INSERT inside a transaction rolls back atomically") {
+    val e = new Engine(spark, tmpDir("router_part_txn"))
+    exec(e, "CREATE TABLE tt (id BIGINT, v STRING) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE tt_lo PARTITION OF tt FOR VALUES FROM (0) TO (100)")
+    exec(e, "CREATE TABLE tt_hi PARTITION OF tt DEFAULT")
+    exec(e, "INSERT INTO tt VALUES (1, 'keep')")
+    exec(e, "BEGIN")
+    // one statement, commits staged on BOTH children
+    exec(e, "INSERT INTO tt VALUES (2, 'a'), (500, 'b')")
+    assert(exec(e, "SELECT count(*) FROM tt").df.get.as[Long].head() === 3L)
+    exec(e, "ROLLBACK")
+    // every child's staged commit rolled back together
+    assert(exec(e, "SELECT count(*) FROM tt").df.get.as[Long].head() === 1L)
+    assert(exec(e, "SELECT count(*) FROM tt_hi").df.get.as[Long].head() === 0L)
+    exec(e, "BEGIN")
+    exec(e, "INSERT INTO tt VALUES (3, 'c'), (600, 'd')")
+    exec(e, "COMMIT")
+    assert(exec(e, "SELECT count(*) FROM tt").df.get.as[Long].head() === 3L)
+  }
+
   test("partitioning: MySQL partition-list trailer stays a loud parse failure") {
     val e = new Engine(spark, tmpDir("router_part_mysql"))
     intercept[Exception](exec(e,
