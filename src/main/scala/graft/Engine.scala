@@ -116,8 +116,15 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     val kids = t.partitionChildren
     if (kids.isEmpty) t.read()
     else {
+      // HASH children are NEVER bounds-filtered on read: a restored
+      // pg_dump placed rows by PG's partition hash, which this
+      // engine's routing hash cannot reproduce — filtering would
+      // silently hide those rows. RANGE/LIST bounds ARE row
+      // properties (and enforced as child CHECKs), so their filters
+      // stay — they are what makes partition pruning work.
       val spec = t.partitionBy.flatMap(by =>
         scala.util.Try(Partitioning.parse(by)).toOption)
+        .filter(_.strategy != "HASH")
       kids.map { case (c, b) =>
         val df = tableFrame(c, depth + 1)
         spec.flatMap(s =>

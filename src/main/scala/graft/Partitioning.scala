@@ -183,7 +183,14 @@ object Partitioning {
 
   private def listValues(b: String): Seq[String] =
     """(?is)^IN\s*\((.*)\)\s*$""".r.findFirstMatchIn(stripForValues(b))
-      .map(m => splitTop(m.group(1)).map(_.trim.toUpperCase))
+      .map(m => splitTop(m.group(1)).map { v0 =>
+        // quoted string literals compare VERBATIM — LIST values are
+        // case-sensitive ('eu' and 'EU' are distinct partitions, in
+        // PG and in this engine's own routing predicate); only bare
+        // tokens (NULL, numbers) normalize case
+        val v = v0.trim
+        if (v.startsWith("'")) v else v.toUpperCase
+      })
       .getOrElse(Seq.empty)
 
   private def hashBounds(body: String, orig: String): (Long, Long) = {
@@ -220,6 +227,17 @@ object Partitioning {
       lo <- rank(splitTop(m.group(1)).head)
       hi <- rank(splitTop(m.group(2)).head)
     } yield (lo, hi)
+  }
+
+  /** Column names a partition key references — bare identifiers in the
+    * key text that exist in `fields` (function names filter out). The
+    * UPDATE-through-parent guard refuses SETs touching any of them:
+    * an expression key like `lower(name)` must block `SET name`. */
+  def keyColumns(spec: Spec, fields: Seq[String]): Seq[String] = {
+    val lower = fields.map(f => f.toLowerCase -> f).toMap
+    spec.keys.flatMap(k =>
+      "[A-Za-z_][A-Za-z0-9_$]*".r.findAllIn(k)
+        .flatMap(t => lower.get(t.toLowerCase))).distinct
   }
 
   /** Split on top-level commas (parens + single quotes nest). */

@@ -43,7 +43,7 @@ object SqlRouter {
   // DETACH turns the child back into a standalone table keeping its
   // rows (PG semantics).
   private val CreateTablePartOf =
-    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+PARTITION\s+OF\s+([\w.]+)\s+(FOR\s+VALUES\s+.+|DEFAULT)\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+PARTITION\s+OF\s+([\w.]+)\s+(FOR\s+VALUES\s+.+|DEFAULT(?:\s+PARTITION\s+BY\s+.+)?)\s*""".r
   private val AlterAttachPartition =
     """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ATTACH\s+PARTITION\s+([\w.]+)\s+(FOR\s+VALUES\s+.+|DEFAULT)\s*""".r
   private val AlterDetachPartition =
@@ -1033,6 +1033,7 @@ object SqlRouter {
         Partitioning.validateNewChild(spec, bounds1, parent.partitionChildren)
         require(sameDb(engine, name, parentName),
           s"partition $name must live in $parentName's database")
+        probeDefaultSibling(engine, parentName, parent, spec, bounds1)
         val m = parent.manifest
         val inherited = m.props.filterNot { case (k, _) =>
           k == "partition.by" || k.startsWith("partchild.") ||
@@ -1041,10 +1042,8 @@ object SqlRouter {
         // detaches from the parent in one manifest commit, no scan
         val subProp = subBy.map(m0 =>
           "partition.by" -> s"${m0.group(2).toUpperCase} (${m0.group(3)})")
-        engine.createTable(name, m.schema, m.pkCols,
-          inherited + ("partof" -> parentName.split('.').last) ++ subProp)
-        parent.setProps(
-          s"partchild.${name.split('.').last}" -> bounds1)
+        engine.createTable(name, m.schema, m.pkCols, inherited ++ subProp)
+        recordAttachment(engine, parentName, parent, spec, name, bounds1)
         ddl
       }
     case CreateTable(ifNotExists, name, colsAndPk0, opts) =>
@@ -1406,12 +1405,22 @@ object SqlRouter {
         // cross-child union) are refused loudly rather than half-done.
         require(returning.isEmpty, "RETURNING through a partitioned " +
           "parent is not supported: target the partition directly")
+        // LIMIT would apply PER CHILD (up to n×children rows — the
+        // same over-application the DELETE arm refuses)
+        require(orderOpt.isEmpty && limitOpt.isEmpty,
+          "UPDATE through a partitioned parent takes no ORDER BY/LIMIT: " +
+            "target the partition directly")
         val spec = Partitioning.parse(tPar.partitionBy.get)
         val setCols = parseSetList(pgFrom.map(_._1).getOrElse(setList0))
           .map(_._1.split('.').last.replace("`", "").replace("\"", "")
             .toLowerCase).toSet
-        val moved = spec.keys.filter(k => setCols.contains(k.trim.toLowerCase))
-        require(moved.isEmpty, s"UPDATE of partition key " +
+        // guard COLUMNS the key references, not key text — an
+        // expression key `lower(name)` must block `SET name` too (the
+        // per-child __partbound CHECK backstops this loudly anyway)
+        val moved = Partitioning
+          .keyColumns(spec, tPar.manifest.schema.fieldNames.toSeq)
+          .filter(c => setCols.contains(c.toLowerCase))
+        require(moved.isEmpty, s"UPDATE of partition key column(s) " +
           s"${moved.mkString(", ")} through the parent would move rows " +
           "between partitions — update the partition directly")
         val n = tPar.partitionChildren.map { case (c, _) =>
@@ -2071,25 +2080,28 @@ object SqlRouter {
           s"$parentName's ${pCols.mkString(",")}")
       // validation reads tableFrame, not read(): an attached child may
       // itself be a partitioned parent (subpartitioning), whose rows
-      // live in ITS children
-      Partitioning.boundPredicateSql(spec, bounds) match {
-        case Some(p) =>
-          require(engine.tableFrame(childName)
-            .filter(!coalesce(expr(p), lit(false)))
-            .limit(1).count() == 0,
-            s"rows in $childName violate the partition bound $bounds")
-        case None =>
-          val siblings = parent.partitionChildren.flatMap { case (_, b) =>
-            Partitioning.boundPredicateSql(spec, b) }
-          if (siblings.nonEmpty)
-            require(engine.tableFrame(childName).filter(siblings.map(s =>
-              coalesce(expr(s), lit(false))).reduce(_ || _))
+      // live in ITS children. HASH bounds skip the row probe — a
+      // restored dump's rows were placed by PG's hash, which this
+      // engine's routing hash cannot reproduce (structural duplicate
+      // (modulus, remainder) checks still ran above).
+      if (spec.strategy != "HASH")
+        Partitioning.boundPredicateSql(spec, bounds) match {
+          case Some(p) =>
+            require(engine.tableFrame(childName)
+              .filter(!coalesce(expr(p), lit(false)))
               .limit(1).count() == 0,
-              s"rows in $childName belong to a non-default partition")
-      }
-      parent.setProps(
-        s"partchild.${childName.split('.').last}" -> bounds.trim)
-      child.setProps("partof" -> parentName.split('.').last)
+              s"rows in $childName violate the partition bound $bounds")
+          case None =>
+            val siblings = parent.partitionChildren.flatMap { case (_, b) =>
+              Partitioning.boundPredicateSql(spec, b) }
+            if (siblings.nonEmpty)
+              require(engine.tableFrame(childName).filter(siblings.map(s =>
+                coalesce(expr(s), lit(false))).reduce(_ || _))
+                .limit(1).count() == 0,
+                s"rows in $childName belong to a non-default partition")
+        }
+      probeDefaultSibling(engine, parentName, parent, spec, bounds)
+      recordAttachment(engine, parentName, parent, spec, childName, bounds)
       ddl
     case AlterDetachPartition(parentName, childName) =>
       // the child becomes a standalone table KEEPING its rows (PG
@@ -2099,7 +2111,9 @@ object SqlRouter {
       require(parent.manifest.props.contains(key),
         s"$childName is not a partition of $parentName")
       parent.dropProps(key)
-      engine.table(childName).dropProps("partof")
+      // the bound CHECK leaves with the attachment — a detached table
+      // is a plain table again
+      engine.table(childName).dropProps("partof", "check.__partbound")
       ddl
     case AlterIgnoredMeta(ifExists, name) =>
       // IF EXISTS (pg_dump --if-exists) must never abort a restore on
@@ -2973,6 +2987,49 @@ object SqlRouter {
     }
   }
 
+  /** Shared attach bookkeeping for CREATE..PARTITION OF and ATTACH
+    * PARTITION: the default-sibling probe (PG: attaching bounds the
+    * DEFAULT partition already holds rows for is refused — those rows
+    * would otherwise duplicate keys with future routed inserts and
+    * stay hidden in the default), the parent's `partchild.*` prop,
+    * the child's `partof` reverse pointer, and — for non-HASH,
+    * non-DEFAULT bounds — the bound recorded as a child CHECK, so
+    * DIRECT child DML that violates the partition constraint fails
+    * loudly (PG semantics) instead of writing rows the parent's
+    * bounds-filtered read would silently hide. HASH children get no
+    * CHECK and no read filter: a restored pg_dump placed their rows
+    * by PG's hash, not this engine's. */
+  /** PG: attaching bounds the DEFAULT partition already holds rows
+    * for is refused — those rows would duplicate keys with future
+    * routed inserts and stay hidden in the default. Runs BEFORE any
+    * mutation (a refusal must leave no orphan child behind). */
+  private def probeDefaultSibling(engine: Engine, parentName: String,
+      parent: graft.storage.GraftTable, spec: Partitioning.Spec,
+      bounds: String): Unit = {
+    val pred = Partitioning.boundPredicateSql(spec, bounds)
+    if (pred.isDefined && spec.strategy != "HASH")
+      parent.partitionChildren
+        .find(_._2.trim.equalsIgnoreCase("DEFAULT")).foreach { case (d, _) =>
+          require(engine.tableFrame(childRef(parentName, d))
+            .filter(coalesce(expr(pred.get), lit(false))).limit(1).count() == 0,
+            s"default partition $d holds rows the new bounds $bounds own: " +
+              "move them before attaching")
+        }
+  }
+
+  private def recordAttachment(engine: Engine, parentName: String,
+      parent: graft.storage.GraftTable, spec: Partitioning.Spec,
+      childName: String, bounds: String): Unit = {
+    val pred = Partitioning.boundPredicateSql(spec, bounds)
+    parent.setProps(
+      s"partchild.${childName.split('.').last}" -> bounds.trim)
+    val child = engine.table(childName)
+    val checkProp = pred.filter(_ => spec.strategy != "HASH")
+      .map("check.__partbound" -> _)
+    child.setProps(
+      (("partof" -> parentName.split('.').last) +: checkProp.toSeq): _*)
+  }
+
   /** PG: TRUNCATE on a partitioned parent truncates every partition
     * (recursively through subpartition levels); the parent's own
     * file-less manifest only resets the counter. */
@@ -3050,6 +3107,19 @@ object SqlRouter {
         sourceDfFor(engine, t, colList, rest).localCheckpoint(true)
     }
     val total = routeFrame(engine, parentName, t, src, _.insert(_))
+    // A23 through the parent: EXPLICIT ids must advance the PARENT's
+    // counter (it owns id assignment; the children's withFiles bumps
+    // advance counters nothing reads). One max() over the frozen
+    // frame, same guards as the withFiles funnel (PK member,
+    // non-string type).
+    if (omittedAuto.isEmpty) m.schema.fieldNames
+      .find(c => m.props.get(s"autoinc.$c").contains("true"))
+      .filter(c => m.pkCols.contains(c) &&
+        m.schema(c).dataType != org.apache.spark.sql.types.StringType)
+      .foreach { c =>
+        Option(src.agg(max(col(c).cast("long"))).head().get(0))
+          .foreach(mx => t.advanceAutoInc(mx.asInstanceOf[Long] + 1L))
+      }
     Result(returning.map(rx =>
       src.selectExpr(splitTop(rx).map(_.trim): _*)), total)
   }

@@ -2392,18 +2392,85 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e2, "SELECT count(*) FROM ht").df.get.as[Long].head() === 100L)
 
     // the parent owns the auto-inc counter; ids stay unique across
-    // children and explicit ids advance it (the withFiles funnel)
+    // children and explicit ids advance it (the A23 invariant through
+    // the parent — a later auto-assigned id never collides)
     val e3 = new Engine(spark, tmpDir("router_part_auto"))
     exec(e3, "CREATE TABLE at (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, " +
       "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
     exec(e3, "CREATE TABLE at_lo PARTITION OF at FOR VALUES FROM (1) TO (1000)")
     exec(e3, "CREATE TABLE at_hi PARTITION OF at DEFAULT")
     exec(e3, "INSERT INTO at (v) VALUES ('a'), ('b')") // ids 1, 2
-    exec(e3, "INSERT INTO at VALUES (5000, 'explicit')") // -> at_hi
-    exec(e3, "INSERT INTO at (v) VALUES ('c')") // id 3 (parent counter)
+    exec(e3, "INSERT INTO at VALUES (5000, 'explicit')") // -> at_hi, counter -> 5001
+    exec(e3, "INSERT INTO at (v) VALUES ('c')") // id 5001, never 3
     assert(exec(e3, "SELECT id FROM at ORDER BY id").df.get.as[Long].collect()
-      === Array(1L, 2L, 3L, 5000L))
-    assert(exec(e3, "SELECT count(*) FROM at_hi").df.get.as[Long].head() === 1L)
+      === Array(1L, 2L, 5000L, 5001L))
+    assert(exec(e3, "SELECT count(*) FROM at_hi").df.get.as[Long].head() === 2L)
+  }
+
+  test("partitioning: direct child DML enforces the partition bound (CHECK)") {
+    val e = new Engine(spark, tmpDir("router_part_check"))
+    exec(e, "CREATE TABLE bt (id BIGINT, v STRING) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE bt_lo PARTITION OF bt FOR VALUES FROM (0) TO (100)")
+    // an out-of-bounds row written DIRECTLY to the child is loud (PG
+    // enforces the partition constraint) — silently accepting it would
+    // make the row invisible through the parent's bounds-filtered read
+    intercept[Exception](exec(e, "INSERT INTO bt_lo VALUES (500, 'x')"))
+    exec(e, "INSERT INTO bt_lo VALUES (50, 'ok')")
+    // an UPDATE moving the key out of bounds is loud too
+    intercept[Exception](exec(e, "UPDATE bt_lo SET id = 500 WHERE id = 50"))
+    // detach releases the constraint — the table is plain again
+    exec(e, "ALTER TABLE bt DETACH PARTITION bt_lo")
+    exec(e, "INSERT INTO bt_lo VALUES (500, 'now fine')")
+    assert(exec(e, "SELECT count(*) FROM bt_lo").df.get.as[Long].head() === 2L)
+  }
+
+  test("partitioning: attach refused while the DEFAULT partition holds owned rows") {
+    val e = new Engine(spark, tmpDir("router_part_defprobe"))
+    exec(e, "CREATE TABLE dpt (k BIGINT, v STRING) PARTITION BY LIST (k)")
+    exec(e, "CREATE TABLE dpt_d PARTITION OF dpt DEFAULT")
+    exec(e, "INSERT INTO dpt VALUES (5, 'in-default')")
+    // PG: the default's rows would violate its updated constraint
+    intercept[Exception](exec(e,
+      "CREATE TABLE dpt_5 PARTITION OF dpt FOR VALUES IN (5)"))
+    exec(e, "DELETE FROM dpt_d WHERE k = 5")
+    exec(e, "CREATE TABLE dpt_5 PARTITION OF dpt FOR VALUES IN (5)")
+    exec(e, "INSERT INTO dpt VALUES (5, 'routed')")
+    assert(exec(e, "SELECT count(*) FROM dpt_5").df.get.as[Long].head() === 1L)
+    // LIST values are case-sensitive: 'EU' is not a duplicate of 'eu'
+    exec(e, "CREATE TABLE dpt_eu PARTITION OF dpt FOR VALUES IN (7)")
+    val e2 = new Engine(spark, tmpDir("router_part_listcase"))
+    exec(e2, "CREATE TABLE lt (r STRING) PARTITION BY LIST (r)")
+    exec(e2, "CREATE TABLE lt_a PARTITION OF lt FOR VALUES IN ('eu')")
+    exec(e2, "CREATE TABLE lt_b PARTITION OF lt FOR VALUES IN ('EU')")
+    exec(e2, "INSERT INTO lt VALUES ('eu'), ('EU')")
+    assert(exec(e2, "SELECT count(*) FROM lt_a").df.get.as[Long].head() === 1L)
+    assert(exec(e2, "SELECT count(*) FROM lt_b").df.get.as[Long].head() === 1L)
+  }
+
+  test("partitioning: HASH children read unfiltered; expression-key SET refused; LIMIT refused") {
+    // HASH reads union WITHOUT the routing-hash filter — a restored
+    // dump's rows were placed by PG's hash, not this engine's, and
+    // must never silently vanish from parent reads
+    val e = new Engine(spark, tmpDir("router_part_hashread"))
+    exec(e, "CREATE TABLE h (id BIGINT, v STRING) PARTITION BY HASH (id)")
+    exec(e, "CREATE TABLE h0 (id BIGINT, v STRING)")
+    exec(e, "INSERT INTO h0 VALUES (1, 'pg-placed'), (2, 'pg-placed')")
+    exec(e, "ALTER TABLE h ATTACH PARTITION h0 " +
+      "FOR VALUES WITH (MODULUS 2, REMAINDER 0)")
+    exec(e, "CREATE TABLE h1 PARTITION OF h " +
+      "FOR VALUES WITH (MODULUS 2, REMAINDER 1)")
+    // both rows visible regardless of which remainder our hash assigns
+    assert(exec(e, "SELECT count(*) FROM h").df.get.as[Long].head() === 2L)
+    // expression partition keys: SET on a referenced column is refused
+    val e2 = new Engine(spark, tmpDir("router_part_exprkey"))
+    exec(e2, "CREATE TABLE xt (name STRING, v INT) " +
+      "PARTITION BY RANGE (lower(name))")
+    exec(e2, "CREATE TABLE xt_a PARTITION OF xt " +
+      "FOR VALUES FROM ('a') TO ('n')")
+    exec(e2, "INSERT INTO xt VALUES ('alice', 1)")
+    intercept[Exception](exec(e2, "UPDATE xt SET name = 'zed' WHERE v = 1"))
+    // UPDATE ... LIMIT through the parent would apply per child
+    intercept[Exception](exec(e2, "UPDATE xt SET v = 2 LIMIT 1"))
   }
 
   test("partitioning: DROP drops children with the parent; dropping a child detaches") {
