@@ -1214,10 +1214,24 @@ object SqlRouter {
       ddl
     case ReplaceInto(name, colList, rest) =>
       val t = engine.table(name)
-      Result(None, t.replaceRows(sourceDfFor(engine, t, colList, rest)))
+      // a partitioned parent routes with per-child REPLACE semantics —
+      // valid because MySQL (like PG) requires every unique key on a
+      // partitioned table to include the partition key, so a
+      // conflicting row can only live in the child the incoming row
+      // routes to
+      if (t.partitionBy.isDefined)
+        Result(None, routeFrame(engine, name, t,
+          sourceDfFor(engine, t, colList, rest).localCheckpoint(true),
+          _.replaceRows(_)))
+      else Result(None, t.replaceRows(sourceDfFor(engine, t, colList, rest)))
     case InsertIgnore(name, colList, rest) =>
       val t = engine.table(name)
-      Result(None, t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest)))
+      if (t.partitionBy.isDefined)
+        Result(None, routeFrame(engine, name, t,
+          sourceDfFor(engine, t, colList, rest).localCheckpoint(true),
+          _.insertIgnoreRows(_)))
+      else Result(None,
+        t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest)))
     // PG's upsert spelling (ON CONFLICT ... DO NOTHING | DO UPDATE SET
     // ... [WHERE ...]) maps onto the same storage machinery as MySQL's
     // ON DUPLICATE KEY: `excluded.c` is the incoming row (the __new_<c>
@@ -1355,6 +1369,13 @@ object SqlRouter {
         k.trim -> rewriteValuesRefs(v1)
       }.toMap
       returning match {
+        case None if t.partitionBy.isDefined =>
+          // per-child ODKU is exact for the same reason as REPLACE
+          // (unique keys include the partition key); RETURNING would
+          // need a cross-child union and stays loud
+          Result(None, routeFrame(engine, name, t,
+            sourceDfFor(engine, t, colList, rest).localCheckpoint(true),
+            _.upsertOnDuplicate(_, sets)))
         case None => Result(None,
           t.upsertOnDuplicate(sourceDfFor(engine, t, colList, rest), sets))
         case Some(rx) =>
@@ -3107,19 +3128,6 @@ object SqlRouter {
         sourceDfFor(engine, t, colList, rest).localCheckpoint(true)
     }
     val total = routeFrame(engine, parentName, t, src, _.insert(_))
-    // A23 through the parent: EXPLICIT ids must advance the PARENT's
-    // counter (it owns id assignment; the children's withFiles bumps
-    // advance counters nothing reads). One max() over the frozen
-    // frame, same guards as the withFiles funnel (PK member,
-    // non-string type).
-    if (omittedAuto.isEmpty) m.schema.fieldNames
-      .find(c => m.props.get(s"autoinc.$c").contains("true"))
-      .filter(c => m.pkCols.contains(c) &&
-        m.schema(c).dataType != org.apache.spark.sql.types.StringType)
-      .foreach { c =>
-        Option(src.agg(max(col(c).cast("long"))).head().get(0))
-          .foreach(mx => t.advanceAutoInc(mx.asInstanceOf[Long] + 1L))
-      }
     Result(returning.map(rx =>
       src.selectExpr(splitTop(rx).map(_.trim): _*)), total)
   }
@@ -3172,6 +3180,21 @@ object SqlRouter {
           else write(childT, slice))
       }
     }
+    // A23 through the parent: EXPLICIT ids (INSERT, REPLACE, IGNORE,
+    // ODKU, COPY, LOAD — every routed path) advance the PARENT's
+    // counter, which owns id assignment; the children's own withFiles
+    // bumps advance counters nothing reads. One max() over the frozen
+    // frame, same guards as the withFiles funnel (PK member,
+    // non-string type); already-advanced counters (the auto-assign
+    // path) see an equal value and skip the commit.
+    m.schema.fieldNames
+      .find(c => m.props.get(s"autoinc.$c").contains("true"))
+      .filter(c => m.pkCols.contains(c) &&
+        m.schema(c).dataType != org.apache.spark.sql.types.StringType)
+      .foreach { c =>
+        Option(src.agg(max(col(c).cast("long"))).head().get(0))
+          .foreach(mx => t.advanceAutoInc(mx.asInstanceOf[Long] + 1L))
+      }
     total
   }
 

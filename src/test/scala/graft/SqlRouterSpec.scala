@@ -2577,6 +2577,35 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SELECT count(*) FROM tt").df.get.as[Long].head() === 3L)
   }
 
+  test("partitioning: REPLACE / INSERT IGNORE / ODKU route with per-child semantics") {
+    val e = new Engine(spark, tmpDir("router_part_merge"))
+    exec(e, "CREATE TABLE mt (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, " +
+      "n INT, PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE mt_lo PARTITION OF mt FOR VALUES FROM (1) TO (100)")
+    exec(e, "CREATE TABLE mt_hi PARTITION OF mt DEFAULT")
+    exec(e, "INSERT INTO mt VALUES (1, 'a', 1), (150, 'b', 1)")
+    // REPLACE resolves against the child holding the key (a unique
+    // key on a partitioned table always includes the partition key)
+    exec(e, "REPLACE INTO mt VALUES (150, 'b2', 9)")
+    assert(exec(e, "SELECT v FROM mt WHERE id = 150").df.get.as[String].head()
+      === "b2")
+    assert(exec(e, "SELECT count(*) FROM mt").df.get.as[Long].head() === 2L)
+    // IGNORE keeps the existing row
+    exec(e, "INSERT IGNORE INTO mt VALUES (1, 'clobber', 0)")
+    assert(exec(e, "SELECT v FROM mt WHERE id = 1").df.get.as[String].head()
+      === "a")
+    // ODKU updates in place per child
+    exec(e, "INSERT INTO mt VALUES (150, 'x', 5) " +
+      "ON DUPLICATE KEY UPDATE n = n + 1")
+    assert(exec(e, "SELECT n FROM mt WHERE id = 150").df.get.as[Int].head()
+      === 10)
+    // q108's invariant THROUGH the parent: every merge-family explicit
+    // id advanced the parent's counter — the next auto id is 151
+    exec(e, "INSERT INTO mt (v, n) VALUES ('auto', 0)")
+    assert(exec(e, "SELECT id FROM mt WHERE v = 'auto'").df.get.as[Long].head()
+      === 151L)
+  }
+
   test("partitioning: MySQL partition-list trailer stays a loud parse failure") {
     val e = new Engine(spark, tmpDir("router_part_mysql"))
     intercept[Exception](exec(e,
