@@ -1296,6 +1296,15 @@ object SqlRouter {
           def retSel(df: DataFrame, rx: String): DataFrame =
             df.selectExpr(splitTop(rx).map(_.trim): _*)
           if (nothing != null) returning match {
+            case None if t.partitionBy.isDefined =>
+              // per-child DO NOTHING is exact: PG requires every
+              // unique key on a partitioned table to include the
+              // partition key, so the conflicting row can only live
+              // in the child the incoming row routes to. The resolved
+              // arbiter columns exist on every child (same schema).
+              Result(None, routeFrame(engine, name, t,
+                sourceDfFor(engine, t, colList, rest).localCheckpoint(true),
+                _.insertIgnoreRows(_, pk)))
             case None =>
               Result(None,
                 t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest), pk))
@@ -1325,6 +1334,13 @@ object SqlRouter {
                 .getOrElse(rhs)
             }.toMap
             returning match {
+              case None if t.partitionBy.isDefined =>
+                // per-child DO UPDATE, same argument as DO NOTHING;
+                // RETURNING stays loud (cross-child image union)
+                Result(None, routeFrame(engine, name, t,
+                  sourceDfFor(engine, t, colList, rest)
+                    .localCheckpoint(true),
+                  _.upsertOnDuplicate(_, sets, pk)))
               case None =>
                 Result(None, t.upsertOnDuplicate(
                   sourceDfFor(engine, t, colList, rest), sets, pk))

@@ -630,7 +630,122 @@ object CdcQueries {
         FROM (SELECT * FROM lo UNION ALL SELECT * FROM hi))
       SELECT part, cnt, amt, flagged FROM fin ORDER BY part"""))
 
+  // --------------------------------------------------------------------
+  // q111 — the merge family THROUGH a partitioned parent, under the
+  // hash gate (extends q110; reference `pgserver/stmt.go` +
+  // `backend/loaddata.go` merge semantics): REPLACE, INSERT IGNORE
+  // (both the all-conflict and the all-new shape), MySQL ODKU with
+  // VALUES(), and PG ON CONFLICT DO UPDATE with a discriminating
+  // WHERE guard all route per child — exact because a unique key on a
+  // partitioned table must include the partition key — and each
+  // explicit-id statement advances the PARENT's auto-inc counter, so
+  // the closing auto-assign row's id is max(explicit)+1. The oracle
+  // restates every step as CASE folds over `customer`; the guard rows
+  // (`n < 5`) split the ODKU-touched set from the untouched set, so a
+  // wrong guard, a misrouted child, or a stale counter each flip the
+  // hash. Balances ride DECIMAL(18,2) end-to-end.
+  private val q111 = QueryDef(
+    "q111_partitioned_merge",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      val e = new Engine(s, Files.createTempDirectory("graft_q111"))
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE TABLE pc (id BIGINT NOT NULL AUTO_INCREMENT, " +
+        "name STRING, bal DECIMAL(18,2), seg STRING, n INT, " +
+        "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+      run("CREATE TABLE pc_lo PARTITION OF pc " +
+        "FOR VALUES FROM (MINVALUE) TO (500)")
+      run("CREATE TABLE pc_hi PARTITION OF pc DEFAULT")
+      run("INSERT INTO pc SELECT c_custkey, c_name, " +
+        "CAST(c_acctbal AS DECIMAL(18,2)), c_mktsegment, 0 FROM customer")
+      // REPLACE re-images every tenth row with n=1
+      run("REPLACE INTO pc SELECT c_custkey, c_name, " +
+        "CAST(c_acctbal AS DECIMAL(18,2)), c_mktsegment, 1 FROM customer " +
+        "WHERE c_custkey % 10 = 0")
+      // IGNORE: all-conflict (no-op) then all-new (lands in pc_hi and
+      // pushes the explicit-id high-water mark to the largest
+      // custkey divisible by 100, plus 5000)
+      run("INSERT IGNORE INTO pc SELECT c_custkey, 'clobber', 0, 'X', 9 " +
+        "FROM customer WHERE c_custkey % 7 = 0")
+      run("INSERT IGNORE INTO pc SELECT c_custkey + 5000, c_name, " +
+        "CAST(c_acctbal AS DECIMAL(18,2)), c_mktsegment, 2 FROM customer " +
+        "WHERE c_custkey % 100 = 0")
+      // MySQL ODKU: every 25th seeded row gains VALUES(n) = 5
+      run("INSERT INTO pc SELECT c_custkey, c_name, " +
+        "CAST(c_acctbal AS DECIMAL(18,2)), c_mktsegment, 5 FROM customer " +
+        "WHERE c_custkey % 25 = 0 ON DUPLICATE KEY UPDATE n = n + VALUES(n)")
+      // PG ON CONFLICT: guard n < 5 updates only rows the ODKU did
+      // NOT touch (every 20th that is not a 100th)
+      run("INSERT INTO pc SELECT c_custkey, c_name, " +
+        "CAST(c_acctbal AS DECIMAL(18,2)), c_mktsegment, 100 FROM customer " +
+        "WHERE c_custkey % 20 = 0 " +
+        "ON CONFLICT (id) DO UPDATE SET n = pc.n + excluded.n " +
+        "WHERE pc.n < 5")
+      // the counter advanced through EVERY routed merge path above
+      run("INSERT INTO pc (name, bal, seg, n) VALUES ('auto', 0, 'AUTO', 0)")
+      SqlRouter.execute(e,
+        "SELECT 'auto' AS part, count(*) AS cnt, " +
+          "CAST(sum(bal) AS DECIMAL(18,2)) AS amt, " +
+          "CAST(max(id) AS BIGINT) AS ntot FROM pc WHERE seg = 'AUTO' " +
+        "UNION ALL SELECT 'hi', count(*), " +
+          "CAST(sum(bal) AS DECIMAL(18,2)), " +
+          "CAST(sum(n) AS BIGINT) FROM pc_hi " +
+        "UNION ALL SELECT 'lo', count(*), " +
+          "CAST(sum(bal) AS DECIMAL(18,2)), " +
+          "CAST(sum(n) AS BIGINT) FROM pc_lo " +
+        "UNION ALL SELECT 'parent', count(*), " +
+          "CAST(sum(bal) AS DECIMAL(18,2)), " +
+          "CAST(sum(n) AS BIGINT) FROM pc " +
+        "ORDER BY part").df.get
+    },
+    Some("""WITH mx AS (SELECT max(c_custkey) AS m,
+        greatest(max(c_custkey),
+          max(CASE WHEN c_custkey % 100 = 0 THEN c_custkey END) + 5000)
+          AS hwm
+      FROM customer),
+      seeded AS (
+        SELECT c_custkey AS id, c_name AS name,
+          CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_mktsegment AS seg,
+          CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END AS n
+        FROM customer),
+      withnew AS (
+        SELECT * FROM seeded
+        UNION ALL
+        SELECT c_custkey + 5000, c_name, CAST(c_acctbal AS DECIMAL(18,2)),
+          c_mktsegment, 2
+        FROM customer WHERE c_custkey % 100 = 0),
+      odku AS (
+        SELECT id, name, bal, seg,
+          CASE WHEN id % 25 = 0 AND id <= (SELECT m FROM mx)
+            THEN n + 5 ELSE n END AS n
+        FROM withnew),
+      conflicted AS (
+        SELECT id, name, bal, seg,
+          CASE WHEN id % 20 = 0 AND id <= (SELECT m FROM mx) AND n < 5
+            THEN n + 100 ELSE n END AS n
+        FROM odku),
+      fin AS (
+        SELECT * FROM conflicted
+        UNION ALL
+        SELECT (SELECT hwm FROM mx) + 1, 'auto',
+          CAST(0 AS DECIMAL(18,2)), 'AUTO', 0),
+      agg AS (
+        SELECT 'auto' AS part, count(*) AS cnt,
+          CAST(sum(bal) AS DECIMAL(18,2)) AS amt,
+          CAST(max(id) AS BIGINT) AS ntot FROM fin WHERE seg = 'AUTO'
+        UNION ALL SELECT 'hi', count(*),
+          CAST(sum(bal) AS DECIMAL(18,2)),
+          CAST(sum(n) AS BIGINT) FROM fin WHERE id >= 500
+        UNION ALL SELECT 'lo', count(*),
+          CAST(sum(bal) AS DECIMAL(18,2)),
+          CAST(sum(n) AS BIGINT) FROM fin WHERE id < 500
+        UNION ALL SELECT 'parent', count(*),
+          CAST(sum(bal) AS DECIMAL(18,2)),
+          CAST(sum(n) AS BIGINT) FROM fin)
+      SELECT part, cnt, amt, ntot FROM agg ORDER BY part"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110)
+      q109, q110, q111)
 }

@@ -2606,6 +2606,31 @@ class SqlRouterSpec extends SparkSpec {
       === 151L)
   }
 
+  test("partitioning: PG ON CONFLICT routes through a partitioned parent") {
+    val e = new Engine(spark, tmpDir("router_part_conflict"))
+    exec(e, "CREATE TABLE pt (id BIGINT NOT NULL, v STRING, n INT, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE pt_lo PARTITION OF pt FOR VALUES FROM (1) TO (100)")
+    exec(e, "CREATE TABLE pt_hi PARTITION OF pt DEFAULT")
+    exec(e, "INSERT INTO pt VALUES (1, 'a', 1), (150, 'b', 1)")
+    // DO NOTHING keeps the existing row in whichever child holds it
+    exec(e, "INSERT INTO pt VALUES (1, 'clobber', 0), (50, 'new', 2) " +
+      "ON CONFLICT (id) DO NOTHING")
+    assert(exec(e, "SELECT v FROM pt WHERE id = 1").df.get.as[String].head()
+      === "a")
+    assert(exec(e, "SELECT count(*) FROM pt").df.get.as[Long].head() === 3L)
+    // DO UPDATE resolves per child, excluded.* refs and WHERE guard intact
+    exec(e, "INSERT INTO pt VALUES (150, 'x', 5) " +
+      "ON CONFLICT (id) DO UPDATE SET n = pt.n + excluded.n WHERE pt.n < 10")
+    assert(exec(e, "SELECT n FROM pt WHERE id = 150").df.get.as[Int].head()
+      === 6)
+    // the guard leaves a non-matching row untouched
+    exec(e, "INSERT INTO pt VALUES (150, 'x', 99) " +
+      "ON CONFLICT (id) DO UPDATE SET n = excluded.n WHERE pt.n > 100")
+    assert(exec(e, "SELECT n FROM pt WHERE id = 150").df.get.as[Int].head()
+      === 6)
+  }
+
   test("partitioning: MySQL partition-list trailer stays a loud parse failure") {
     val e = new Engine(spark, tmpDir("router_part_mysql"))
     intercept[Exception](exec(e,
