@@ -164,7 +164,10 @@ object PgCatalog {
       /** (parent bare name, bounds text) when this rel is an attached
         * partition — surfaces as relispartition/relpartbound and
         * pg_inherits. */
-      partOf: Option[(String, String)] = None)
+      partOf: Option[(String, String)] = None,
+      /** columns whose identity flavor is GENERATED ALWAYS —
+        * attidentity 'a' (BY DEFAULT / AUTO_INCREMENT stay 'd'). */
+      identityAlways: Set[String] = Set.empty)
 
   private final case class Snapshot(namespaces: Seq[(Long, String, Long, String)],
       rels: Seq[Rel])
@@ -211,6 +214,10 @@ object PgCatalog {
             k.stripPrefix("unique.") -> v.split(',').map(_.trim).toSeq },
           m.props.collect { case (k, v) if k.startsWith("generated.") =>
             k.stripPrefix("generated.") -> v },
+          identityAlways = m.props.collect {
+            case (k, v) if k.startsWith("identity.") && v == "always" =>
+              k.stripPrefix("identity.")
+          }.toSet,
           partStrat = m.props.get("partition.by"),
           partOf = m.props.get("partof").flatMap(p =>
             byName.get(p).flatMap(_.props.get(s"partchild.$t"))
@@ -374,7 +381,8 @@ object PgCatalog {
               if (len > 0) "p" else "x",
               !f.nullable || r.pk.contains(f.name),
               r.defaults.contains(f.name) || r.autoinc.contains(f.name),
-              if (r.autoinc.contains(f.name)) "d" else "",
+              if (r.identityAlways.contains(f.name)) "a"
+              else if (r.autoinc.contains(f.name)) "d" else "",
               "", false, true, 0, ty.map(_.coll).getOrElse(0L))
           }
         })

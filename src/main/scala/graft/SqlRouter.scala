@@ -64,8 +64,11 @@ object SqlRouter {
   private val DropView = """(?is)\s*DROP\s+VIEW\s+([\w.]+)\s*""".r
   // every INSERT-family form accepts an optional explicit column list:
   // unlisted columns get their declared DEFAULT expression, else null
+  // OVERRIDING {SYSTEM|USER} VALUE (PG identity; pg_dump --inserts
+  // emits it for GENERATED ALWAYS columns) rides at the head of the
+  // source capture — doInsert peels it
   private val Insert =
-    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?\s+(VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([\w\s,]+)\)\s*)?\s+(OVERRIDING\s+(?:SYSTEM|USER)\s+VALUE\s+.*|VALUES\s*.*|SELECT\s+.*|FROM\s+.*)""".r
   // MySQL DML edge statements (reference routes them at
   // /root/reference/backend/executor.go:84-116 and
   // /root/reference/catalog/table.go:543-552; tested main_test.go:840-869)
@@ -383,7 +386,7 @@ object SqlRouter {
   // modern pg_dump (PG 10+): identity columns restore via a post-data
   // ALTER with a multi-line sequence-option list, not a nextval default
   private val AlterAddIdentity =
-    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+ADD\s+GENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY\s*(?:\(([^)]*)\))?\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+ADD\s+GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY\s*(?:\(([^)]*)\))?\s*""".r
   private val AlterDropIdentity =
     """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+DROP\s+IDENTITY\s*(?:IF\s+EXISTS\s*)?""".r
 
@@ -1457,9 +1460,61 @@ object SqlRouter {
         val moved = Partitioning
           .keyColumns(spec, tPar.manifest.schema.fieldNames.toSeq)
           .filter(c => setCols.contains(c.toLowerCase))
-        require(moved.isEmpty, s"UPDATE of partition key column(s) " +
-          s"${moved.mkString(", ")} through the parent would move rows " +
-          "between partitions — update the partition directly")
+        if (moved.nonEmpty) {
+          // PG ≥11 row movement: an UPDATE that changes the partition
+          // key deletes the matched originals and routes the post-SET
+          // images back through the parent's bounds — the exact
+          // mechanism PG documents (DELETE + re-routed INSERT). The
+          // images are frozen FIRST and validated routable to full
+          // subpartition depth with a no-op writer BEFORE any delete,
+          // so an out-of-bounds SET fails loudly with nothing changed.
+          // FROM-joined movement stays loud (the per-child fan-out
+          // can't see the join, and the single-table rewrite here
+          // can't see the FROM list).
+          require(pgFrom.isEmpty, "UPDATE ... FROM cannot move rows " +
+            "between partitions: target the partition directly")
+          val mp = tPar.manifest
+          def bare(k: String): String =
+            (if (k.contains('.')) k.substring(k.lastIndexOf('.') + 1)
+             else k).stripPrefix("\"").stripSuffix("\"").replace("`", "")
+          val sets = parseSetList(setList0).map { p =>
+            val k = bare(p._1)
+            require(mp.schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+              s"SET column ${p._1} is not a column of $name")
+            mp.schema.fieldNames.find(_.equalsIgnoreCase(k)).get ->
+              expr(p._2)
+          }.toMap
+          val cond = whereOpt.map(expr).getOrElse(expr("true"))
+          val afterSets = engine.tableFrame(name).filter(cond)
+            .select(mp.schema.fieldNames.map(f =>
+              sets.get(f).map(_.cast(mp.schema(f).dataType).as(f))
+                .getOrElse(col(f))): _*)
+          // stored generated columns recompute from the post-SET row
+          // BEFORE routing — a generated partition key must route on
+          // its fresh value (each child's insert recomputes them too,
+          // and its __partbound CHECK backstops the placement)
+          val gen = mp.props.collect {
+            case (k, v) if k.startsWith("generated.") =>
+              k.stripPrefix("generated.") -> v
+          }
+          val images = (if (gen.isEmpty) afterSets
+            else afterSets.select(mp.schema.fieldNames.map(f =>
+              gen.get(f).map(g => expr(g).cast(mp.schema(f).dataType).as(f))
+                .getOrElse(col(f))): _*)).localCheckpoint(true)
+          val nMoved = images.count()
+          if (nMoved == 0L) return Result(None, 0L)
+          routeFrame(engine, name, tPar, images, (_, _) => 0L)
+          // inherited CHECKs validate on the images BEFORE the delete
+          // too — a violating SET must abort with nothing changed
+          // (cast/expression errors already fired at the eager
+          // checkpoint above; partition bounds at the no-op route)
+          tPar.enforceChecks(mp, images)
+          val del = s"DELETE FROM $name" +
+            whereOpt.map(w => s" WHERE $w").getOrElse("")
+          executeRouted(engine, del, del)
+          routeFrame(engine, name, tPar, images, _.insert(_))
+          return Result(None, nMoved)
+        }
         val n = tPar.partitionChildren.map { case (c, _) =>
           val s2 = s"UPDATE ${childRef(name, c)} SET $tail0"
           executeRouted(engine, s2, s2).affected
@@ -2204,20 +2259,25 @@ object SqlRouter {
       graft.storage.Manifest.commit(t.path, t.manifest.copy(
         props = t.manifest.props - s"default.$colName" - s"autoinc.$colName"))
       ddl
-    case AlterAddIdentity(name, colName, seqOpts) =>
+    case AlterAddIdentity(name, colName, flavor, seqOpts) =>
       val t = engine.table(name)
       require(t.schema.fieldNames.contains(colName),
         s"no column $colName in $name")
       val start = Option(seqOpts).flatMap(o =>
         StartWith.findFirstMatchIn(o).map(_.group(1).toLong))
+      val idProps =
+        if (flavor.equalsIgnoreCase("ALWAYS"))
+          Map(s"identity.$colName" -> "always")
+        else Map.empty[String, String]
       graft.storage.Manifest.commit(t.path, t.manifest.copy(
-        props = t.manifest.props + (s"autoinc.$colName" -> "true"),
+        props = t.manifest.props + (s"autoinc.$colName" -> "true") ++ idProps,
         autoInc = start.fold(t.manifest.autoInc)(math.max(t.manifest.autoInc, _))))
       ddl
     case AlterDropIdentity(name, colName) =>
       val t = engine.table(name)
       graft.storage.Manifest.commit(t.path, t.manifest.copy(
-        props = t.manifest.props - s"autoinc.$colName"))
+        props = t.manifest.props - s"autoinc.$colName" -
+          s"identity.$colName"))
       ddl
     case SelectSetval(seqName, value, isCalled) =>
       // next id = value + 1 when is_called (the default), value itself
@@ -2989,13 +3049,43 @@ object SqlRouter {
       rest0: String): Result = {
     val t = engine.table(name)
     val m = t.manifest
-    val (rest, returning) = splitReturning(rest0)
-    if (m.props.contains("partition.by"))
-      return routedInsert(engine, name, t, colList, rest, returning)
-    val omittedAuto = m.schema.fieldNames
+    val (rest1, returning) = splitReturning(rest0)
+    // PG identity override clause, sitting between the column list
+    // and the source (pg_dump --inserts emits OVERRIDING SYSTEM VALUE
+    // for GENERATED ALWAYS columns; OVERRIDING USER VALUE discards
+    // the supplied values in favor of the sequence)
+    val (rest, overriding) =
+      """(?is)^\s*OVERRIDING\s+(SYSTEM|USER)\s+VALUE\s+(.*)$""".r
+        .findFirstMatchIn(rest1)
+        .map(mo => (mo.group(2), Some(mo.group(1).toUpperCase)))
+        .getOrElse((rest1, None))
+    val autoCol = m.schema.fieldNames
       .find(c => m.props.get(s"autoinc.$c").contains("true"))
-      .filter(c => colList != null &&
-        !colList.split(',').map(_.trim).exists(_.equalsIgnoreCase(c)))
+    def providesCol(c: String): Boolean = colList == null ||
+      colList.split(',').map(_.trim).exists(_.equalsIgnoreCase(c))
+    // PG refuses explicit values for a GENERATED ALWAYS identity
+    // column unless OVERRIDING SYSTEM VALUE is present (COPY bypasses
+    // the check, exactly like PG's COPY). BY DEFAULT identity and
+    // MySQL AUTO_INCREMENT keep accepting explicit ids.
+    autoCol.filter(c => m.props.get(s"identity.$c").contains("always") &&
+        providesCol(c) && overriding.isEmpty).foreach { c =>
+      throw new IllegalArgumentException(
+        s"""cannot insert a non-DEFAULT value into column "$c": it is """ +
+          "an identity column defined as GENERATED ALWAYS — use " +
+          "OVERRIDING SYSTEM VALUE to override")
+    }
+    if (m.props.contains("partition.by")) {
+      require(!overriding.contains("USER"), "OVERRIDING USER VALUE " +
+        "through a partitioned parent is not supported: target the " +
+        "partition directly")
+      return routedInsert(engine, name, t, colList, rest, returning)
+    }
+    // OVERRIDING USER VALUE: the identity column auto-assigns even
+    // when the statement supplies it — same arm as an omitted column
+    // (the supplied values are built and dropped)
+    val omittedAuto =
+      if (overriding.contains("USER")) autoCol
+      else autoCol.filter(c => colList != null && !providesCol(c))
     omittedAuto match {
       case Some(c) =>
         val base = m.autoInc
@@ -3738,7 +3828,9 @@ object SqlRouter {
     val cols = m.schema.fields.map { f =>
       val nn = if (f.nullable) "" else " NOT NULL"
       val auto =
-        if (m.props.get(s"autoinc.${f.name}").contains("true"))
+        if (m.props.get(s"identity.${f.name}").contains("always"))
+          " GENERATED ALWAYS AS IDENTITY" // replays with the ALWAYS flavor
+        else if (m.props.get(s"autoinc.${f.name}").contains("true"))
           " AUTO_INCREMENT" else ""
       val gen = m.props.get(s"generated.${f.name}")
         .map(g => s" GENERATED ALWAYS AS ($g) STORED").getOrElse("")
@@ -3763,7 +3855,8 @@ object SqlRouter {
         s"  CONSTRAINT ${k.stripPrefix("check.")} CHECK ($v)"
       }
     val renderedPrefixes =
-      Seq("autoinc.", "generated.", "default.", "unique.", "check.")
+      Seq("autoinc.", "identity.", "generated.", "default.", "unique.",
+        "check.")
     val rest = m.props.filterNot { case (k, _) =>
       renderedPrefixes.exists(k.startsWith) || k == "partition.by" ||
         k.startsWith("partchild.") || k == "partof"
@@ -3868,7 +3961,7 @@ object SqlRouter {
   // before GeneratedAttr AND before DefaultAttr — its spelling
   // contains both GENERATED and DEFAULT.
   private val IdentityAttr =
-    """(?is)\bGENERATED\s+(?:ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY\s*(\([^)]*\))?""".r
+    """(?is)\bGENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY\s*(\([^)]*\))?""".r
   private val GeneratedAttr =
     """(?is)\bGENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*(?:STORED|VIRTUAL)?""".r
   private val StartWith = """(?is)\bSTART\s+WITH\s+(\d+)""".r
@@ -4117,7 +4210,11 @@ object SqlRouter {
         var attrs = attrs0
         IdentityAttr.findFirstMatchIn(attrs).foreach { m =>
           defaults += s"autoinc.$name" -> "true"
-          Option(m.group(1)).flatMap(o =>
+          // the ALWAYS flavor is enforced at INSERT time (PG refuses
+          // explicit values without OVERRIDING SYSTEM VALUE)
+          if (m.group(1).equalsIgnoreCase("ALWAYS"))
+            defaults += s"identity.$name" -> "always"
+          Option(m.group(2)).flatMap(o =>
             StartWith.findFirstMatchIn(o).map(_.group(1))).foreach(st =>
             defaults += "autoinc.__seed" -> st)
           attrs = IdentityAttr.replaceAllIn(attrs, " ")

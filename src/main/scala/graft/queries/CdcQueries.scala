@@ -643,7 +643,10 @@ object CdcQueries {
   // restates every step as CASE folds over `customer`; the guard rows
   // (`n < 5`) split the ODKU-touched set from the untouched set, so a
   // wrong guard, a misrouted child, or a stale counter each flip the
-  // hash. Balances ride DECIMAL(18,2) end-to-end.
+  // hash. A closing partition-key UPDATE moves rows between children
+  // (PG >=11 row movement: delete + bounds-routed re-insert), shifting
+  // the per-partition aggregates. Balances ride DECIMAL(18,2)
+  // end-to-end.
   private val q111 = QueryDef(
     "q111_partitioned_merge",
     (s, dir) => {
@@ -684,6 +687,11 @@ object CdcQueries {
         "WHERE pc.n < 5")
       // the counter advanced through EVERY routed merge path above
       run("INSERT INTO pc (name, bal, seg, n) VALUES ('auto', 0, 'AUTO', 0)")
+      // PG >=11 row movement: changing the partition key re-routes the
+      // matched rows from pc_lo into pc_hi (delete + bounds-routed
+      // re-insert) — the per-partition aggregates shift or the hash
+      // fails
+      run("UPDATE pc SET id = id + 10000 WHERE id < 500 AND id % 250 = 0")
       SqlRouter.execute(e,
         "SELECT 'auto' AS part, count(*) AS cnt, " +
           "CAST(sum(bal) AS DECIMAL(18,2)) AS amt, " +
@@ -725,11 +733,15 @@ object CdcQueries {
           CASE WHEN id % 20 = 0 AND id <= (SELECT m FROM mx) AND n < 5
             THEN n + 100 ELSE n END AS n
         FROM odku),
-      fin AS (
+      fin0 AS (
         SELECT * FROM conflicted
         UNION ALL
         SELECT (SELECT hwm FROM mx) + 1, 'auto',
           CAST(0 AS DECIMAL(18,2)), 'AUTO', 0),
+      fin AS (
+        SELECT CASE WHEN id < 500 AND id % 250 = 0 THEN id + 10000
+          ELSE id END AS id, name, bal, seg, n
+        FROM fin0),
       agg AS (
         SELECT 'auto' AS part, count(*) AS cnt,
           CAST(sum(bal) AS DECIMAL(18,2)) AS amt,

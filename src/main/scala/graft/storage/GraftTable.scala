@@ -162,7 +162,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * update, merge upserts) — one combined aggregation job over the
     * written rows only, never a table scan. MySQL semantics: a NULL
     * check result PASSES; only a definite FALSE is a violation. */
-  private def enforceChecks(m: Manifest, rows: DataFrame): Unit = {
+  private[graft] def enforceChecks(m: Manifest, rows: DataFrame): Unit = {
     val checks = m.props.collect {
       case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
     }.toSeq
@@ -1018,6 +1018,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val props = props2.map {
       case (k, v) if k == s"generated.$from" => s"generated.$to" -> v
       case (k, v) if k == s"autoinc.$from" => s"autoinc.$to" -> v
+      case (k, v) if k == s"identity.$from" => s"identity.$to" -> v
       case (k, v) if k == s"check.enum_$from" => s"check.enum_$to" -> v
       case kv => kv
     }

@@ -2326,8 +2326,11 @@ class SqlRouterSpec extends SparkSpec {
     // UPDATE/DELETE fan out per child
     assert(exec(e, "UPDATE pt SET v = 'B' WHERE id = 150").affected === 1L)
     assert(exec(e, "SELECT v FROM pt_mid").df.get.as[String].head() === "B")
-    // partition-key SET through the parent is refused (row movement)
-    intercept[Exception](exec(e, "UPDATE pt SET id = 5000 WHERE id = 150"))
+    // partition-key SET through the parent MOVES the row (PG >=11)
+    assert(exec(e, "UPDATE pt SET id = 5000 WHERE id = 150").affected === 1L)
+    assert(exec(e, "SELECT count(*) FROM pt_mid").df.get.as[Long].head() === 0L)
+    assert(exec(e, "SELECT v FROM pt_hi WHERE id = 5000").df.get
+      .as[String].head() === "B")
     assert(exec(e, "DELETE FROM pt WHERE id >= 99").affected === 3L)
     assert(exec(e, "SELECT count(*) FROM pt").df.get.as[Long].head() === 1L)
     // DETACH: the child keeps rows, the parent stops unioning them
@@ -2606,6 +2609,52 @@ class SqlRouterSpec extends SparkSpec {
       === 151L)
   }
 
+  test("PG identity ALWAYS: explicit ids refused; OVERRIDING SYSTEM/USER VALUE") {
+    val e = new Engine(spark, tmpDir("router_identity_ovr"))
+    exec(e, "CREATE TABLE idt (id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "v STRING, PRIMARY KEY (id))")
+    exec(e, "INSERT INTO idt (v) VALUES ('a')")
+    // PG refuses a plain explicit value into a GENERATED ALWAYS column
+    val ex = intercept[Exception](
+      exec(e, "INSERT INTO idt (id, v) VALUES (10, 'x')"))
+    assert(ex.getMessage.contains("GENERATED ALWAYS"))
+    // a positional insert provides the column too
+    intercept[Exception](exec(e, "INSERT INTO idt VALUES (10, 'x')"))
+    // pg_dump --inserts shape: OVERRIDING SYSTEM VALUE admits it, and
+    // the explicit id advances the counter
+    exec(e,
+      "INSERT INTO idt (id, v) OVERRIDING SYSTEM VALUE VALUES (10, 'x')")
+    exec(e, "INSERT INTO idt (v) VALUES ('b')")
+    // OVERRIDING USER VALUE discards the supplied id for the sequence
+    exec(e,
+      "INSERT INTO idt (id, v) OVERRIDING USER VALUE VALUES (99, 'y')")
+    assert(exec(e, "SELECT id FROM idt ORDER BY id").df.get
+      .as[Long].collect().toSeq === Seq(1L, 10L, 11L, 12L))
+    // BY DEFAULT identity keeps accepting explicit ids
+    exec(e, "CREATE TABLE idd (id BIGINT GENERATED BY DEFAULT AS " +
+      "IDENTITY, v STRING, PRIMARY KEY (id))")
+    exec(e, "INSERT INTO idd (id, v) VALUES (5, 'z')")
+    assert(exec(e, "SELECT id FROM idd").df.get.as[Long].head() === 5L)
+    // SHOW CREATE round-trips the ALWAYS flavor
+    val (_, show) = exec(e, "SHOW CREATE TABLE idt").df.get
+      .as[(String, String)].head()
+    assert(show.contains("GENERATED ALWAYS AS IDENTITY"))
+    // pg_catalog surfaces it: attidentity 'a' (psql \d reads this)
+    assert(exec(e, "SELECT a.attidentity FROM pg_catalog.pg_attribute a " +
+      "JOIN pg_catalog.pg_class c ON a.attrelid = c.oid " +
+      "WHERE c.relname = 'idt' AND a.attname = 'id'").df.get
+      .as[String].head() === "a")
+    // ALTER-added ALWAYS enforces too; DROP IDENTITY releases it
+    exec(e, "CREATE TABLE ida (id BIGINT NOT NULL, v STRING, " +
+      "PRIMARY KEY (id))")
+    exec(e, "ALTER TABLE ida ALTER COLUMN id ADD GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 3)")
+    intercept[Exception](exec(e, "INSERT INTO ida (id, v) VALUES (9, 'q')"))
+    exec(e, "ALTER TABLE ida ALTER COLUMN id DROP IDENTITY")
+    exec(e, "INSERT INTO ida (id, v) VALUES (9, 'q')")
+    assert(exec(e, "SELECT id FROM ida").df.get.as[Long].head() === 9L)
+  }
+
   test("partitioning: PG ON CONFLICT routes through a partitioned parent") {
     val e = new Engine(spark, tmpDir("router_part_conflict"))
     exec(e, "CREATE TABLE pt (id BIGINT NOT NULL, v STRING, n INT, " +
@@ -2629,6 +2678,41 @@ class SqlRouterSpec extends SparkSpec {
       "ON CONFLICT (id) DO UPDATE SET n = excluded.n WHERE pt.n > 100")
     assert(exec(e, "SELECT n FROM pt WHERE id = 150").df.get.as[Int].head()
       === 6)
+  }
+
+  test("partitioning: UPDATE of the partition key moves rows between children") {
+    val e = new Engine(spark, tmpDir("router_part_move"))
+    exec(e, "CREATE TABLE mv (id BIGINT NOT NULL, v STRING, " +
+      "PRIMARY KEY (id), CHECK (v <> 'bad')) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE mv_lo PARTITION OF mv FOR VALUES FROM (0) TO (500)")
+    exec(e, "CREATE TABLE mv_hi PARTITION OF mv " +
+      "FOR VALUES FROM (500) TO (2000)")
+    exec(e, "INSERT INTO mv VALUES (10, 'a'), (20, 'b'), (600, 'c')")
+    // lo -> hi movement; the untouched row stays put
+    val n = exec(e, "UPDATE mv SET id = id + 1000 WHERE id < 15").affected
+    assert(n === 1L)
+    assert(exec(e, "SELECT count(*) FROM mv_lo").df.get.as[Long].head() === 1L)
+    assert(exec(e, "SELECT count(*) FROM mv_hi").df.get.as[Long].head() === 2L)
+    assert(exec(e, "SELECT id FROM mv WHERE v = 'a'").df.get.as[Long].head()
+      === 1010L)
+    // images that STILL match the WHERE must not be deleted by it:
+    // delete-originals runs before the re-routed insert
+    exec(e, "UPDATE mv SET id = id + 1 WHERE id >= 600")
+    assert(exec(e, "SELECT sort_array(collect_list(id)) ids FROM mv")
+      .df.get.selectExpr("ids").as[Seq[Long]].head() === Seq(20L, 601L, 1011L))
+    // out-of-bounds movement fails loudly BEFORE any delete
+    val ex = intercept[Exception](
+      exec(e, "UPDATE mv SET id = id + 9000 WHERE id = 20"))
+    assert(ex.getMessage.contains("no partition"))
+    assert(exec(e, "SELECT count(*) FROM mv").df.get.as[Long].head() === 3L)
+    assert(exec(e, "SELECT id FROM mv WHERE v = 'b'").df.get.as[Long].head()
+      === 20L)
+    // an inherited CHECK violation aborts BEFORE the delete too
+    val ex2 = intercept[Exception](
+      exec(e, "UPDATE mv SET id = id + 600, v = 'bad' WHERE id = 20"))
+    assert(ex2.getMessage.contains("CHECK"))
+    assert(exec(e, "SELECT v FROM mv WHERE id = 20").df.get.as[String].head()
+      === "b")
   }
 
   test("partitioning: MySQL partition-list trailer stays a loud parse failure") {
