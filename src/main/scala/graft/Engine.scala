@@ -275,6 +275,19 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     val dst = warehouse.resolve(toDb).resolve(t)
     require(Files.isDirectory(src.resolve("_manifest")), s"no such table: $from")
     require(!Files.exists(dst), s"target exists: $to")
+    // partition pointers are NAME-based: a renamed CHILD must re-key
+    // the parent's `partchild.*` entry and a renamed PARENT must
+    // re-point every child's `partof` (PG renames either side
+    // transparently; an orphaned pointer would break parent reads and
+    // bounds routing). Cross-database renames of a linked table stay
+    // loud — childRef resolves children in the parent's database —
+    // and the check runs BEFORE the move so a refusal changes nothing.
+    val props = table(s"$fromDb.$f").manifest.props
+    val linked = props.contains("partof") ||
+      props.keys.exists(_.startsWith("partchild."))
+    require(!linked || fromDb == toDb,
+      s"cannot rename $from across databases: it participates in a " +
+        "partition tree (detach first)")
     Files.move(src, dst)
     // manifests record absolute data-file paths (immutable snapshots);
     // re-anchor every version so history and time travel survive the move
@@ -315,6 +328,11 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    props.get("partof").foreach(parent =>
+      table(s"$toDb.$parent").renameProp(s"partchild.$f", s"partchild.$t"))
+    props.keys.filter(_.startsWith("partchild.")).toSeq
+      .map(_.stripPrefix("partchild."))
+      .foreach(c => table(s"$toDb.$c").setProps("partof" -> t))
     if (fromDb == currentDb) unregister(f)
     if (toDb == currentDb) unregister(t)
   }

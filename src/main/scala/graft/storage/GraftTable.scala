@@ -705,6 +705,16 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     io.commit(path, m.copy(props = m.props ++ kv))
   }
 
+  /** Re-key a manifest prop in ONE commit — a renamed partition child
+    * re-keys the parent's `partchild.<name>` entry, and doing it as
+    * drop+set would orphan or duplicate the pointer on a crash between
+    * the two commits. No-op when `from` is absent. */
+  def renameProp(from: String, to: String): Unit = {
+    val m = manifest
+    m.props.get(from).foreach(v =>
+      io.commit(path, m.copy(props = m.props - from + (to -> v))))
+  }
+
   /** Remove manifest props through the io seam (DETACH PARTITION drops
     * the parent's `partchild.<name>` entry). */
   def dropProps(keys: String*): Unit = {

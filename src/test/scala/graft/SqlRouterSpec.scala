@@ -2715,6 +2715,35 @@ class SqlRouterSpec extends SparkSpec {
       === "b")
   }
 
+  test("partitioning: RENAME re-keys partchild/partof pointers") {
+    val e = new Engine(spark, tmpDir("router_part_rename"))
+    exec(e, "CREATE TABLE rp (id BIGINT NOT NULL, v STRING, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE rp_a PARTITION OF rp FOR VALUES FROM (0) TO (100)")
+    exec(e, "CREATE TABLE rp_b PARTITION OF rp DEFAULT")
+    exec(e, "INSERT INTO rp VALUES (1, 'x'), (200, 'y')")
+    // renaming a CHILD re-keys the parent's partchild entry: reads and
+    // routing keep working under the new name
+    exec(e, "ALTER TABLE rp_a RENAME TO rp_first")
+    assert(exec(e, "SELECT count(*) FROM rp").df.get.as[Long].head() === 2L)
+    exec(e, "INSERT INTO rp VALUES (2, 'z')")
+    assert(exec(e, "SELECT count(*) FROM rp_first").df.get.as[Long].head()
+      === 2L)
+    // renaming the PARENT re-points every child's partof: dropping a
+    // child under the new parent name detaches cleanly
+    exec(e, "RENAME TABLE rp TO rp2")
+    assert(exec(e, "SELECT count(*) FROM rp2").df.get.as[Long].head() === 3L)
+    exec(e, "DROP TABLE rp_b")
+    assert(exec(e, "SELECT count(*) FROM rp2").df.get.as[Long].head() === 2L)
+    exec(e, "INSERT INTO rp2 VALUES (3, 'w')")
+    assert(exec(e, "SELECT count(*) FROM rp_first").df.get.as[Long].head()
+      === 3L)
+    // a linked table refuses a cross-database rename, nothing changed
+    exec(e, "CREATE DATABASE otherdb")
+    intercept[Exception](exec(e, "RENAME TABLE rp_first TO otherdb.rpf"))
+    assert(exec(e, "SELECT count(*) FROM rp2").df.get.as[Long].head() === 3L)
+  }
+
   test("partitioning: MySQL partition-list trailer stays a loud parse failure") {
     val e = new Engine(spark, tmpDir("router_part_mysql"))
     intercept[Exception](exec(e,
