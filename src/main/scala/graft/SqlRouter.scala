@@ -3273,19 +3273,38 @@ object SqlRouter {
       throw new IllegalArgumentException(
         s"no partition of $parentName found for $n inserted row(s)")
     }
-    var total = 0L
-    preds.foreach { case (c, _) =>
-      counts.get(Some(c)).filter(_ > 0).foreach { _ =>
-        val ref = childRef(parentName, c)
-        val childT = engine.table(ref)
-        val slice = src.filter(tag === lit(c))
-        // a SUBPARTITIONED child routes its slice one level further
-        total +=
-          (if (childT.partitionBy.isDefined)
-            routeFrame(engine, ref, childT, slice, write)
-          else write(childT, slice))
-      }
+    val hit = preds.collect {
+      case (c, _) if counts.get(Some(c)).exists(_ > 0) => c }
+    def writeChild(c: String): Long = {
+      val ref = childRef(parentName, c)
+      val childT = engine.table(ref)
+      val slice = src.filter(tag === lit(c))
+      // a SUBPARTITIONED child routes its slice one level further
+      if (childT.partitionBy.isDefined)
+        routeFrame(engine, ref, childT, slice, write)
+      else write(childT, slice)
     }
+    // children are INDEPENDENT tables (disjoint dirs, disjoint
+    // manifests), so autocommit writes run CONCURRENTLY — each slice
+    // filters the one checkpointed source, and wall-clock drops from
+    // sum(children) to ~max(children), the difference between a
+    // routed 100 TB bulk load taking N sequential scans' time and one.
+    // Inside an explicit transaction the staged io seam serializes
+    // (same loop, same per-child order) — staging is not a proven
+    // concurrent structure and atomicity matters more than latency
+    // there.
+    val total =
+      if (hit.size > 1 && !engine.inTransaction) {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(hit.size, 8))
+        val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          import scala.concurrent.{Await, Future}
+          val fs = hit.map(c => Future(writeChild(c))(ec))
+          fs.map(f =>
+            Await.result(f, scala.concurrent.duration.Duration.Inf)).sum
+        } finally pool.shutdown()
+      } else hit.map(writeChild).sum
     // A23 through the parent: EXPLICIT ids (INSERT, REPLACE, IGNORE,
     // ODKU, COPY, LOAD — every routed path) advance the PARENT's
     // counter, which owns id assignment; the children's own withFiles
