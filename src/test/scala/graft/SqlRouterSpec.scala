@@ -2744,6 +2744,27 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SELECT count(*) FROM rp2").df.get.as[Long].head() === 3L)
   }
 
+  test("partitioning: concurrent child writes place every row (8 children)") {
+    val e = new Engine(spark, tmpDir("router_part_par"))
+    exec(e, "CREATE TABLE p8 (id BIGINT NOT NULL, v STRING, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    (0 until 8).foreach(i => exec(e,
+      s"CREATE TABLE p8_$i PARTITION OF p8 " +
+        s"FOR VALUES FROM (${i * 100}) TO (${(i + 1) * 100})"))
+    // one routed INSERT spanning all 8 children exercises the
+    // concurrent write pool
+    exec(e, "INSERT INTO p8 SELECT id, concat('v', id) FROM range(0, 800)")
+    (0 until 8).foreach(i =>
+      assert(exec(e, s"SELECT count(*) FROM p8_$i").df.get.as[Long].head()
+        === 100L, s"child $i"))
+    assert(exec(e, "SELECT count(*) FROM p8").df.get.as[Long].head() === 800L)
+    // boundary rows landed in the right child, values intact
+    assert(exec(e, "SELECT v FROM p8_3 WHERE id = 300").df.get
+      .as[String].head() === "v300")
+    assert(exec(e, "SELECT v FROM p8_3 WHERE id = 399").df.get
+      .as[String].head() === "v399")
+  }
+
   test("partitioning: MySQL partition-list trailer stays a loud parse failure") {
     val e = new Engine(spark, tmpDir("router_part_mysql"))
     intercept[Exception](exec(e,
