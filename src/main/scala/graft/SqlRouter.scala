@@ -1511,8 +1511,23 @@ object SqlRouter {
           tPar.enforceChecks(mp, images)
           val del = s"DELETE FROM $name" +
             whereOpt.map(w => s" WHERE $w").getOrElse("")
-          executeRouted(engine, del, del)
-          routeFrame(engine, name, tPar, images, _.insert(_))
+          // the delete and the re-insert publish ATOMICALLY: inside a
+          // user transaction they stage with it; in autocommit an
+          // internal transaction wraps them (PG's row movement is one
+          // statement — a crash between the two halves must not lose
+          // the moved rows)
+          val ownTxn = !engine.inTransaction
+          if (ownTxn) engine.begin()
+          try {
+            executeRouted(engine, del, del)
+            routeFrame(engine, name, engine.table(name), images,
+              _.insert(_))
+            if (ownTxn) engine.commit()
+          } catch {
+            case scala.util.control.NonFatal(ex2) =>
+              if (ownTxn && engine.inTransaction) engine.rollback()
+              throw ex2
+          }
           return Result(None, nMoved)
         }
         val n = tPar.partitionChildren.map { case (c, _) =>

@@ -153,9 +153,25 @@ class DumpReplaySpec extends SparkSpec {
     assert(SqlRouter.execute(e,
       "SELECT city_id FROM measurements WHERE logdate >= DATE'2024-01-01'")
       .df.get.as[Long].collect().toSeq === Seq(1L))
+    // pg_dump >=12 also ADDs the PARENT's constraint post-data
+    executeScript(e,
+      """ALTER TABLE ONLY public.measurements
+        |    ADD CONSTRAINT measurements_pkey PRIMARY KEY (city_id, logdate);
+        |""".stripMargin)
+    assert(e.table("measurements").manifest.pkCols
+      === Seq("city_id", "logdate"))
     // post-restore: INSERT through the parent routes by the restored bounds
     SqlRouter.execute(e,
       "INSERT INTO measurements VALUES (9, DATE'2023-12-31', 5)")
+    assert(e.sql("SELECT count(*) FROM m_y2023").as[Long].head() === 3L)
+    // ...and the restored parent PK serves as an ON CONFLICT arbiter
+    // with per-child resolution
+    SqlRouter.execute(e,
+      "INSERT INTO measurements VALUES (9, DATE'2023-12-31', 8) " +
+        "ON CONFLICT (city_id, logdate) DO UPDATE SET peaktemp = " +
+        "excluded.peaktemp")
+    assert(SqlRouter.execute(e, "SELECT peaktemp FROM measurements " +
+      "WHERE city_id = 9").df.get.as[Long].head() === 8L)
     assert(e.sql("SELECT count(*) FROM m_y2023").as[Long].head() === 3L)
     intercept[Exception](SqlRouter.execute(e,
       "INSERT INTO measurements VALUES (9, DATE'2025-06-01', 5)"))

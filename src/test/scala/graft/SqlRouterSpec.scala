@@ -2713,6 +2713,15 @@ class SqlRouterSpec extends SparkSpec {
     assert(ex2.getMessage.contains("CHECK"))
     assert(exec(e, "SELECT v FROM mv WHERE id = 20").df.get.as[String].head()
       === "b")
+    // movement is transactional: the delete and re-insert stage with a
+    // user transaction and roll back as one
+    exec(e, "BEGIN")
+    exec(e, "UPDATE mv SET id = id + 600 WHERE id = 20")
+    assert(exec(e, "SELECT count(*) FROM mv_lo").df.get.as[Long].head() === 0L)
+    exec(e, "ROLLBACK")
+    assert(exec(e, "SELECT id FROM mv WHERE v = 'b'").df.get.as[Long].head()
+      === 20L)
+    assert(exec(e, "SELECT count(*) FROM mv").df.get.as[Long].head() === 3L)
   }
 
   test("partitioning: RENAME re-keys partchild/partof pointers") {
