@@ -2272,7 +2272,8 @@ object SqlRouter {
     case AlterColDropDefault(name, colName) =>
       val t = engine.table(name)
       graft.storage.Manifest.commit(t.path, t.manifest.copy(
-        props = t.manifest.props - s"default.$colName" - s"autoinc.$colName"))
+        props = t.manifest.props - s"default.$colName" -
+          s"autoinc.$colName" - s"identity.$colName"))
       ddl
     case AlterAddIdentity(name, colName, flavor, seqOpts) =>
       val t = engine.table(name)
@@ -3815,9 +3816,18 @@ object SqlRouter {
   }
 
   private def sourceDfFor(engine: Engine, t: graft.storage.GraftTable,
-      colList: String, rest: String): DataFrame =
+      colList: String, rest0: String): DataFrame = {
+    // OVERRIDING SYSTEM VALUE means "use the supplied values" — which
+    // is what every source build does — so it peels here and the
+    // valid PG combo `INSERT ... OVERRIDING SYSTEM VALUE ... ON
+    // CONFLICT` works through the upsert arms too. OVERRIDING USER
+    // VALUE changes semantics (discard the values) and is handled by
+    // doInsert alone; anywhere else it stays a loud parse failure.
+    val rest = """(?is)^\s*OVERRIDING\s+SYSTEM\s+VALUE\s+(.*)$""".r
+      .findFirstMatchIn(rest0).map(_.group(1)).getOrElse(rest0)
     if (colList == null) sourceDf(engine, t, rest)
     else sourceDfCols(engine, t, colList.split(',').map(_.trim).toSeq, rest)
+  }
 
   /** Column-list INSERT: type the VALUES tuples against the listed
     * columns; unlisted columns get their declared DEFAULT expression

@@ -2625,6 +2625,11 @@ class SqlRouterSpec extends SparkSpec {
     exec(e,
       "INSERT INTO idt (id, v) OVERRIDING SYSTEM VALUE VALUES (10, 'x')")
     exec(e, "INSERT INTO idt (v) VALUES ('b')")
+    // the valid PG combo: OVERRIDING SYSTEM VALUE ... ON CONFLICT
+    exec(e, "INSERT INTO idt (id, v) OVERRIDING SYSTEM VALUE VALUES " +
+      "(10, 'x2') ON CONFLICT (id) DO UPDATE SET v = excluded.v")
+    assert(exec(e, "SELECT v FROM idt WHERE id = 10").df.get
+      .as[String].head() === "x2")
     // OVERRIDING USER VALUE discards the supplied id for the sequence
     exec(e,
       "INSERT INTO idt (id, v) OVERRIDING USER VALUE VALUES (99, 'y')")
