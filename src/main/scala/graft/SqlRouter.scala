@@ -1132,7 +1132,9 @@ object SqlRouter {
       val sp = engine.spark
       import sp.implicits._
       val rows = names.split(',').map(_.trim.replace("`", "")).map { n =>
-        val df = engine.table(n).read()
+        // tableFrame: a partitioned parent checksums its union (read()
+        // on the file-less parent would silently checksum zero rows)
+        val df = engine.tableFrame(n)
         val cols = df.columns.map(c => s"`$c`").mkString(", ")
         val h = df.selectExpr(
           s"coalesce(sum(pmod(xxhash64($cols), 4294967296)) % 4294967296, 0)")
@@ -1901,7 +1903,10 @@ object SqlRouter {
     case CopyTo(query, tableName, path, optList) =>
       val df =
         if (query != null) engine.sql(query)
-        else engine.table(tableName).read()
+        // tableFrame, not read(): a partitioned PARENT exports its
+        // children's union — read() on the file-less parent would
+        // silently export an empty file
+        else engine.tableFrame(tableName)
       val (fmt, csvOpts, header) = copyOptions(optList)
       // COPY ... TO STDOUT: the reference streams the formatted rows
       // over the wire; engine-side the useful answer is the row set
@@ -2113,12 +2118,36 @@ object SqlRouter {
       val persist = modifier != null &&
         (modifier.equalsIgnoreCase("GLOBAL") || modifier.equalsIgnoreCase("PERSIST"))
       engine.setVar(key, unquote(value), persist); ddl
-    case Optimize(name) => engine.table(name).compact(); ddl
+    case Optimize(name) =>
+      // maintenance fans out to the LEAVES of a partition tree (the
+      // parent owns no files) — PG's VACUUM/vacuumdb and MySQL's
+      // OPTIMIZE both process partitions
+      forEachLeaf(engine, name)(_.compact()); ddl
     case Vacuum(name, retain) =>
       val minAge = Option(retain).map(_.toLong * 1000)
-      Result(None, minAge.fold(engine.table(name).vacuum())(
-        a => engine.table(name).vacuum(minAgeMs = a)))
-    case Analyze(name) => engine.table(name).analyze(); ddl
+      var n = 0L
+      forEachLeaf(engine, name)(tt =>
+        n += minAge.fold(tt.vacuum())(a => tt.vacuum(minAgeMs = a)))
+      Result(None, n)
+    case Analyze(name) =>
+      val t0 = engine.table(name)
+      if (t0.partitionBy.isDefined) {
+        // PG: ANALYZE on a partitioned parent analyzes the LEAVES (the
+        // parent owns no files — its own scan would record 0 rows);
+        // the parent then records the union's total rowCount so SHOW
+        // TABLE STATUS answers usefully
+        def walk(n: String): Long = {
+          val tt = engine.table(n)
+          if (tt.partitionBy.isDefined)
+            tt.partitionChildren.map(c => walk(childRef(n, c._1))).sum
+          else {
+            tt.analyze()
+            tt.manifest.props.get("stats.rowCount").fold(0L)(_.toLong)
+          }
+        }
+        t0.setProps("stats.rowCount" -> walk(name).toString)
+      } else t0.analyze()
+      ddl
     case AlterAdd(name, colName, colType, attrs) =>
       // ALTER ADD ... GENERATED ALWAYS AS (expr) STORED (MySQL 5.7+):
       // the expression doubles as the read-time default, so PRE-ALTER
@@ -3198,6 +3227,18 @@ object SqlRouter {
   /** Qualify a recorded bare child name against the parent's database
     * spelling, so fan-out works when the parent was referenced
     * db-qualified. */
+  /** Apply a maintenance op to every LEAF under `name` (or to the
+    * table itself when it is not partitioned) — OPTIMIZE/VACUUM/ANALYZE
+    * fan out like PG's, since a parent owns no files. */
+  private def forEachLeaf(engine: Engine, name: String)(
+      f: graft.storage.GraftTable => Unit): Unit = {
+    val t = engine.table(name)
+    if (t.partitionBy.isDefined)
+      t.partitionChildren.foreach(c =>
+        forEachLeaf(engine, childRef(name, c._1))(f))
+    else f(t)
+  }
+
   private def childRef(parentName: String, child: String): String =
     if (parentName.contains('.'))
       parentName.substring(0, parentName.lastIndexOf('.') + 1) + child

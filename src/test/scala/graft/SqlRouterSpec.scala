@@ -2779,6 +2779,33 @@ class SqlRouterSpec extends SparkSpec {
       .as[String].head() === "v399")
   }
 
+  test("partitioning: COPY TO / CHECKSUM / ANALYZE / VACUUM see the union") {
+    val e = new Engine(spark, tmpDir("router_part_maint"))
+    exec(e, "CREATE TABLE mp (id BIGINT NOT NULL, v STRING, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE mp_lo PARTITION OF mp FOR VALUES FROM (0) TO (50)")
+    exec(e, "CREATE TABLE mp_hi PARTITION OF mp DEFAULT")
+    exec(e, "INSERT INTO mp VALUES (1, 'a'), (60, 'b'), (70, 'c')")
+    // COPY parent TO exports the children's union, not an empty file
+    val out = tmpDir("router_part_copyto").resolve("mp.csv").toString
+    exec(e, s"COPY mp TO '$out' (FORMAT CSV, HEADER)")
+    val lines = scala.io.Source.fromFile(out).getLines().toList
+    assert(lines.length === 4) // header + 3 rows
+    // CHECKSUM TABLE folds the union (a file-less parent would be 0)
+    val ck = exec(e, "CHECKSUM TABLE mp").df.get.collect()(0).getLong(1)
+    val ckLo = exec(e, "CHECKSUM TABLE mp_lo").df.get.collect()(0).getLong(1)
+    assert(ck !== 0L)
+    assert(ck !== ckLo)
+    // ANALYZE records the union's rowCount on the parent
+    exec(e, "ANALYZE TABLE mp")
+    assert(e.table("mp").manifest.props("stats.rowCount") === "3")
+    assert(e.table("mp_hi").manifest.props("stats.rowCount") === "2")
+    // VACUUM / OPTIMIZE fan to the leaves without touching the parent
+    exec(e, "VACUUM mp")
+    exec(e, "OPTIMIZE mp")
+    assert(exec(e, "SELECT count(*) FROM mp").df.get.as[Long].head() === 3L)
+  }
+
   test("partitioning: MySQL partition-list trailer stays a loud parse failure") {
     val e = new Engine(spark, tmpDir("router_part_mysql"))
     intercept[Exception](exec(e,
