@@ -559,6 +559,73 @@ class DumpReplaySpec extends SparkSpec {
     assert(e.sql("SELECT max(id) FROM users").as[Int].head() === 4)
   }
 
+  test("partitioned + identity pg_dump: ALWAYS on the parent, setval, leaf COPY") {
+    // the composition a modern PG database actually dumps: a LIST
+    // parent whose id is GENERATED ALWAYS (added post-data with a
+    // SEQUENCE NAME option block), children attached, data COPYed to
+    // the leaves (COPY bypasses identity enforcement like PG), the
+    // parent PK added post-data, and setval positioning the counter
+    val e = new Engine(spark, tmpDir("dump_pg_part_identity"))
+    executeScript(e,
+      """CREATE TABLE public.events_p (
+        |    id bigint NOT NULL,
+        |    kind text NOT NULL,
+        |    n bigint
+        |) PARTITION BY LIST (kind);
+        |
+        |CREATE TABLE public.ev_a (
+        |    id bigint NOT NULL,
+        |    kind text NOT NULL,
+        |    n bigint
+        |);
+        |ALTER TABLE ONLY public.events_p ATTACH PARTITION public.ev_a FOR VALUES IN ('a');
+        |
+        |CREATE TABLE public.ev_rest (
+        |    id bigint NOT NULL,
+        |    kind text NOT NULL,
+        |    n bigint
+        |);
+        |ALTER TABLE ONLY public.events_p ATTACH PARTITION public.ev_rest DEFAULT;
+        |
+        |ALTER TABLE public.events_p ALTER COLUMN id ADD GENERATED ALWAYS AS IDENTITY (
+        |    SEQUENCE NAME public.events_p_id_seq
+        |    START WITH 1
+        |    INCREMENT BY 1
+        |    NO MINVALUE
+        |    NO MAXVALUE
+        |    CACHE 1
+        |);
+        |
+        |COPY public.ev_a (id, kind, n) FROM stdin;
+        |1	a	10
+        |\.
+        |
+        |COPY public.ev_rest (id, kind, n) FROM stdin;
+        |2	b	20
+        |\.
+        |
+        |ALTER TABLE ONLY public.events_p
+        |    ADD CONSTRAINT events_p_pkey PRIMARY KEY (id, kind);
+        |
+        |SELECT pg_catalog.setval('public.events_p_id_seq', 2, true);
+        |""".stripMargin)
+    assert(e.sql("SELECT count(*) FROM events_p").as[Long].head() === 2L)
+    // the restored counter continues: an auto-assigned insert routes
+    // by bounds and takes id 3
+    SqlRouter.execute(e, "INSERT INTO events_p (kind, n) VALUES ('c', 30)")
+    assert(SqlRouter.execute(e,
+      "SELECT id FROM events_p WHERE kind = 'c'").df.get.as[Long].head()
+      === 3L)
+    assert(e.sql("SELECT count(*) FROM ev_rest").as[Long].head() === 2L)
+    // the restored ALWAYS flavor enforces through the parent
+    val ex = intercept[Exception](SqlRouter.execute(e,
+      "INSERT INTO events_p VALUES (99, 'a', 0)"))
+    assert(ex.getMessage.contains("GENERATED ALWAYS"))
+    SqlRouter.execute(e, "INSERT INTO events_p (id, kind, n) " +
+      "OVERRIDING SYSTEM VALUE VALUES (99, 'a', 0)")
+    assert(e.sql("SELECT count(*) FROM ev_a").as[Long].head() === 2L)
+  }
+
   test("mysqldump --routines section (DELIMITER blocks) replays without shredding") {
     // stored-program bodies carry ';' statements inside; the dump
     // switches the client delimiter to ';;' around them. The splitter
