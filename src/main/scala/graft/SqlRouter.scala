@@ -1227,14 +1227,14 @@ object SqlRouter {
       if (t.partitionBy.isDefined)
         Result(None, routeFrame(engine, name, t,
           sourceDfFor(engine, t, colList, rest).localCheckpoint(true),
-          _.replaceRows(_)))
+          _.replaceRows(_), serial = true))
       else Result(None, t.replaceRows(sourceDfFor(engine, t, colList, rest)))
     case InsertIgnore(name, colList, rest) =>
       val t = engine.table(name)
       if (t.partitionBy.isDefined)
         Result(None, routeFrame(engine, name, t,
           sourceDfFor(engine, t, colList, rest).localCheckpoint(true),
-          _.insertIgnoreRows(_)))
+          _.insertIgnoreRows(_), serial = true))
       else Result(None,
         t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest)))
     // PG's upsert spelling (ON CONFLICT ... DO NOTHING | DO UPDATE SET
@@ -1309,7 +1309,7 @@ object SqlRouter {
               // arbiter columns exist on every child (same schema).
               Result(None, routeFrame(engine, name, t,
                 sourceDfFor(engine, t, colList, rest).localCheckpoint(true),
-                _.insertIgnoreRows(_, pk)))
+                _.insertIgnoreRows(_, pk), serial = true))
             case None =>
               Result(None,
                 t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest), pk))
@@ -1345,7 +1345,7 @@ object SqlRouter {
                 Result(None, routeFrame(engine, name, t,
                   sourceDfFor(engine, t, colList, rest)
                     .localCheckpoint(true),
-                  _.upsertOnDuplicate(_, sets, pk)))
+                  _.upsertOnDuplicate(_, sets, pk), serial = true))
               case None =>
                 Result(None, t.upsertOnDuplicate(
                   sourceDfFor(engine, t, colList, rest), sets, pk))
@@ -1396,7 +1396,7 @@ object SqlRouter {
           // need a cross-child union and stays loud
           Result(None, routeFrame(engine, name, t,
             sourceDfFor(engine, t, colList, rest).localCheckpoint(true),
-            _.upsertOnDuplicate(_, sets)))
+            _.upsertOnDuplicate(_, sets), serial = true))
         case None => Result(None,
           t.upsertOnDuplicate(sourceDfFor(engine, t, colList, rest), sets))
         case Some(rx) =>
@@ -2012,7 +2012,8 @@ object SqlRouter {
             case graft.sources.BulkIO.Replace => _.replaceRows(_)
             case _ => _.insert(_)
           }
-        routeFrame(engine, name, t, df.localCheckpoint(true), write)
+        routeFrame(engine, name, t, df.localCheckpoint(true), write,
+          serial = mode != graft.sources.BulkIO.Append)
       } else if (escAware)
         graft.sources.BulkIO.loadMySqlTextInto(t, path, opts, mode)
       else graft.sources.BulkIO.loadCsvInto(t, path, opts, mode)
@@ -3305,7 +3306,8 @@ object SqlRouter {
     * children commit, unroutable rows loud first). */
   private def routeFrame(engine: Engine, parentName: String,
       t: graft.storage.GraftTable, src: DataFrame,
-      write: (graft.storage.GraftTable, DataFrame) => Long): Long = {
+      write: (graft.storage.GraftTable, DataFrame) => Long,
+      serial: Boolean = false): Long = {
     val m = t.manifest
     val spec = Partitioning.parse(m.props("partition.by"))
     val kids = t.partitionChildren
@@ -3338,7 +3340,7 @@ object SqlRouter {
       val slice = src.filter(tag === lit(c))
       // a SUBPARTITIONED child routes its slice one level further
       if (childT.partitionBy.isDefined)
-        routeFrame(engine, ref, childT, slice, write)
+        routeFrame(engine, ref, childT, slice, write, serial)
       else write(childT, slice)
     }
     // children are INDEPENDENT tables (disjoint dirs, disjoint
@@ -3349,9 +3351,13 @@ object SqlRouter {
     // Inside an explicit transaction the staged io seam serializes
     // (same loop, same per-child order) — staging is not a proven
     // concurrent structure and atomicity matters more than latency
-    // there.
+    // there. The MERGE family (REPLACE / INSERT IGNORE / ODKU /
+    // ON CONFLICT) passes serial=true: those writes read-modify-write
+    // the child's existing files, and determinism-by-construction
+    // (one child at a time, declaration order) is worth more than the
+    // latency of a path that is never the bulk-load fast path.
     val total =
-      if (hit.size > 1 && !engine.inTransaction) {
+      if (hit.size > 1 && !engine.inTransaction && !serial) {
         val pool = java.util.concurrent.Executors
           .newFixedThreadPool(math.min(hit.size, 8))
         val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)

@@ -666,9 +666,11 @@ object CdcQueries {
       run("REPLACE INTO pc SELECT c_custkey, c_name, " +
         "CAST(c_acctbal AS DECIMAL(18,2)), c_mktsegment, 1 FROM customer " +
         "WHERE c_custkey % 10 = 0")
-      // IGNORE: all-conflict (no-op) then all-new (lands in pc_hi and
-      // pushes the explicit-id high-water mark to the largest
-      // custkey divisible by 100, plus 5000)
+      // IGNORE: all-conflict (no-op), then a +5000-shifted batch —
+      // only ids ABOVE the seeded max are genuinely new and land in
+      // pc_hi (at sf>=0.1 the shifted ids overlap seeded PKs and the
+      // engine correctly drops them); the surviving rows push the
+      // explicit-id high-water mark to max(custkey % 100 = 0) + 5000
       run("INSERT IGNORE INTO pc SELECT c_custkey, 'clobber', 0, 'X', 9 " +
         "FROM customer WHERE c_custkey % 7 = 0")
       run("INSERT IGNORE INTO pc SELECT c_custkey + 5000, c_name, " +
@@ -722,7 +724,8 @@ object CdcQueries {
         UNION ALL
         SELECT c_custkey + 5000, c_name, CAST(c_acctbal AS DECIMAL(18,2)),
           c_mktsegment, 2
-        FROM customer WHERE c_custkey % 100 = 0),
+        FROM customer WHERE c_custkey % 100 = 0
+          AND c_custkey + 5000 > (SELECT m FROM mx)),
       odku AS (
         SELECT id, name, bal, seg,
           CASE WHEN id % 25 = 0 AND id <= (SELECT m FROM mx)

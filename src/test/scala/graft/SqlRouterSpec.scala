@@ -2779,6 +2779,42 @@ class SqlRouterSpec extends SparkSpec {
       .as[String].head() === "v399")
   }
 
+  test("partitioning: merge-family chain is loop-stable (20 iterations, bit-exact)") {
+    // round-12 adjudication: the driver's q111 hash flake traced to a
+    // wrong oracle (sf0.1 id collisions), NOT to routeFrame's
+    // concurrent child writes — but the merge family is now
+    // deterministic-by-construction anyway (serial=true per-child
+    // writes in declaration order). This spec locks that in: the
+    // exact q111 statement shape, run 20 times from scratch, must
+    // produce ONE bit-exact result row set every time.
+    def runChain(i: Int): String = {
+      val e = new Engine(spark, tmpDir(s"router_loopstab_$i"))
+      exec(e, "CREATE TABLE lc (id BIGINT NOT NULL AUTO_INCREMENT, " +
+        "v STRING, n INT, PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+      exec(e, "CREATE TABLE lc_lo PARTITION OF lc FOR VALUES FROM (1) TO (60)")
+      exec(e, "CREATE TABLE lc_hi PARTITION OF lc DEFAULT")
+      exec(e, "INSERT INTO lc SELECT id, concat('v', id), 0 FROM range(1, 121)")
+      exec(e, "REPLACE INTO lc SELECT id, concat('r', id), 1 " +
+        "FROM range(1, 121) WHERE id % 10 = 0")
+      exec(e, "INSERT IGNORE INTO lc SELECT id, 'clobber', 9 " +
+        "FROM range(1, 121) WHERE id % 7 = 0")
+      exec(e, "INSERT INTO lc SELECT id, concat('v', id), 5 FROM range(1, 121) " +
+        "WHERE id % 25 = 0 ON DUPLICATE KEY UPDATE n = n + VALUES(n)")
+      exec(e, "INSERT INTO lc SELECT id, concat('v', id), 100 " +
+        "FROM range(1, 121) WHERE id % 20 = 0 " +
+        "ON CONFLICT (id) DO UPDATE SET n = lc.n + excluded.n WHERE lc.n < 5")
+      exec(e, "UPDATE lc SET id = id + 200 WHERE id < 60 AND id % 30 = 0")
+      val rows = exec(e,
+        "SELECT id, v, n FROM lc ORDER BY id, v, n").df.get.collect()
+      e.dropTable("lc") // drops the tree; keeps the spark session lean
+      rows.map(_.toString).mkString("\n")
+    }
+    val first = runChain(0)
+    (1 until 20).foreach { i =>
+      assert(runChain(i) === first, s"iteration $i diverged")
+    }
+  }
+
   test("partitioning: COPY TO / CHECKSUM / ANALYZE / VACUUM see the union") {
     val e = new Engine(spark, tmpDir("router_part_maint"))
     exec(e, "CREATE TABLE mp (id BIGINT NOT NULL, v STRING, " +
