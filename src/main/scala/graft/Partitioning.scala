@@ -68,7 +68,16 @@ object Partitioning {
         require(lo.length == spec.keys.length && hi.length == spec.keys.length,
           s"bound arity ${lo.length}/${hi.length} != key arity " +
             s"${spec.keys.length}: $bounds")
-        Some(s"(${rangeCmp(spec.keys, lo, lower = true)} AND " +
+        // PG's partition constraint carries IS NOT NULL per key: the
+        // bound comparison is only defined over non-null tuples, and
+        // without the conjunct a direct INSERT of a NULL key into a
+        // bounded child would pass the CHECK (NULL = unknown = pass)
+        // yet vanish from the parent's bounds-filtered read — the
+        // silent-hide this module promises to avoid. Routing is
+        // unaffected (NULL still falls to DEFAULT via coalesce).
+        val notNull = spec.keys.map(k => s"(($k) IS NOT NULL)")
+          .mkString(" AND ")
+        Some(s"($notNull AND ${rangeCmp(spec.keys, lo, lower = true)} AND " +
           s"${rangeCmp(spec.keys, hi, lower = false)})")
       case "LIST" =>
         val m = """(?is)^IN\s*\((.*)\)\s*$""".r.findFirstMatchIn(body)
@@ -79,6 +88,11 @@ object Partitioning {
         val k = spec.keys.head
         val inPart =
           if (rest.isEmpty) None
+          // same IS NOT NULL rationale as RANGE when NULL is not a
+          // listed value — `k IN (..)` is NULL (CHECK-pass) on a NULL
+          // key, and PG's constraint spells the conjunct out
+          else if (nulls.isEmpty)
+            Some(s"((($k) IS NOT NULL) AND (($k) IN (${rest.mkString(", ")})))")
           else Some(s"(($k) IN (${rest.mkString(", ")}))")
         val nullPart = if (nulls.isEmpty) None else Some(s"(($k) IS NULL)")
         Some((inPart.toSeq ++ nullPart).mkString("(", " OR ", ")"))
@@ -219,7 +233,7 @@ object Partitioning {
         // rank quoted strings by the first 6 UTF16 units — a total
         // order consistent with lexicographic order on those units
         val s = v.substring(1, v.length - 1)
-        Some(s.take(6).padTo(6, ' ')
+        Some(s.take(6).padTo(6, 0.toChar)
           .foldLeft(0.0)((acc, c) => acc * 65536.0 + c.toInt))
       } else v.toDoubleOption
     }
@@ -227,6 +241,32 @@ object Partitioning {
       lo <- rank(splitTop(m.group(1)).head)
       hi <- rank(splitTop(m.group(2)).head)
     } yield (lo, hi)
+  }
+
+  /** PG DDL invariant (advice r12): every unique structure — the
+    * PRIMARY KEY or any unique index — on a partitioned table must
+    * include ALL partition key columns; PG refuses the DDL outright
+    * ("unique constraint on partitioned table must include all
+    * partitioning columns"). The per-child routing of the merge
+    * family RELIES on it: a key that doesn't cover the partition key
+    * could have its conflicting row living in a SIBLING partition,
+    * and the routed per-child merge would silently mint a duplicate.
+    * An expression partition key can never be covered by a column
+    * list, so any unique structure refuses there too (PG:
+    * "unsupported ... constraint with partition key definition"). */
+  def requireKeyCovered(spec: Spec, arbCols: Seq[String],
+      what: String): Unit = {
+    val lc = arbCols.map(_.trim.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("`").stripSuffix("`").toLowerCase).toSet
+    spec.keys.map(_.trim).foreach { k =>
+      val plain = k.matches("[A-Za-z_][A-Za-z0-9_$]*")
+      require(plain && lc.contains(k.toLowerCase),
+        s"$what on a table partitioned by ${spec.strategy} " +
+          s"(${spec.keys.mkString(", ")}) must include all partition key " +
+          s"columns (missing: $k) — a key not covering the partition key " +
+          "could conflict with a row in a sibling partition (PG refuses " +
+          "this at DDL)")
+    }
   }
 
   /** Column names a partition key references — bare identifiers in the

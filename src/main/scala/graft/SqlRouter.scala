@@ -1045,6 +1045,24 @@ object SqlRouter {
         // detaches from the parent in one manifest commit, no scan
         val subProp = subBy.map(m0 =>
           "partition.by" -> s"${m0.group(2).toUpperCase} (${m0.group(3)})")
+        // a subpartitioned child inherits the parent's PK and unique
+        // indexes — its OWN partition key must be covered by them
+        // (PG refuses the recursive index build otherwise)
+        subProp.map(_._2).map(Partitioning.parse).foreach { sub =>
+          if (m.pkCols.nonEmpty)
+            Partitioning.requireKeyCovered(sub, m.pkCols, "PRIMARY KEY")
+          inherited.foreach {
+            case (k, v) if k.startsWith("unique.") =>
+              val entries =
+                if (v.startsWith("expr:"))
+                  graft.storage.GraftTable.splitTopLevel(
+                    v.stripPrefix("expr:")).map(_.trim)
+                else v.split(',').map(_.trim).toSeq
+              Partitioning.requireKeyCovered(sub, entries,
+                s"unique index ${k.stripPrefix("unique.")}")
+            case _ => ()
+          }
+        }
         engine.createTable(name, m.schema, m.pkCols, inherited ++ subProp)
         recordAttachment(engine, parentName, parent, spec, name, bounds1)
         ddl
@@ -1078,8 +1096,25 @@ object SqlRouter {
       else {
         val (schema, pk, props00) = parseColumns(engine, colsAndPk)
         val props0 = partBy.fold(props00) { m0 =>
-          props00 + ("partition.by" ->
-            s"${m0.group(2).toUpperCase} (${m0.group(3)})")
+          val by = s"${m0.group(2).toUpperCase} (${m0.group(3)})"
+          // PG invariant: PK and every unique structure declared in
+          // the body must cover the partition key (the routed merge
+          // family depends on it — see Partitioning.requireKeyCovered)
+          val spec = Partitioning.parse(by)
+          if (pk.nonEmpty)
+            Partitioning.requireKeyCovered(spec, pk, "PRIMARY KEY")
+          props00.foreach {
+            case (k, v) if k.startsWith("unique.") =>
+              val entries =
+                if (v.startsWith("expr:"))
+                  graft.storage.GraftTable.splitTopLevel(
+                    v.stripPrefix("expr:")).map(_.trim)
+                else v.split(',').map(_.trim).toSeq
+              Partitioning.requireKeyCovered(spec, entries,
+                s"unique index ${k.stripPrefix("unique.")}")
+            case _ => ()
+          }
+          props00 + ("partition.by" -> by)
         }
         // counter seed: identity START WITH from the column body, or
         // mysqldump's AUTO_INCREMENT=n table option (how a dump
@@ -1150,7 +1185,12 @@ object SqlRouter {
         // PG semantics: partitions are dependent objects — DROP on a
         // partitioned parent drops every attached child with it, and
         // DROP on an attached child implicitly detaches it (otherwise
-        // the parent's next read fails on a dangling partchild prop)
+        // the parent's next read fails on a dangling partchild prop).
+        // Both steps run unconditionally: a SUBPARTITIONED mid-level
+        // node is parent AND child at once, so it must drop its
+        // subtree and ALSO remove its entry from its own parent —
+        // an if/else here left the grandparent with a dangling
+        // pointer that broke every later read (advice r12).
         if (t.partitionBy.isDefined)
           t.partitionChildren.foreach { case (c, _) =>
             val ref = childRef(name, c)
@@ -1158,7 +1198,7 @@ object SqlRouter {
             if (tableExists(engine, ref))
               executeRouted(engine, s"DROP TABLE $ref", s"DROP TABLE $ref")
           }
-        else t.manifest.props.get("partof").foreach { parentName =>
+        t.manifest.props.get("partof").foreach { parentName =>
           // the child's reverse pointer (written at attach) makes this
           // one manifest commit, never a catalog scan
           val ref = childRef(name, parentName)
@@ -1297,6 +1337,12 @@ object SqlRouter {
                 }
             case _ => m.pkCols
           }
+          // backstop for pre-invariant manifests: a routed per-child
+          // merge is only exact when the arbiter covers the partition
+          // key — refuse loudly instead of minting duplicates
+          t.partitionBy.map(Partitioning.parse).foreach(
+            Partitioning.requireKeyCovered(_, arbiter,
+              "ON CONFLICT arbiter"))
           val pk = arbiter
           def retSel(df: DataFrame, rx: String): DataFrame =
             df.selectExpr(splitTop(rx).map(_.trim): _*)
@@ -2177,7 +2223,13 @@ object SqlRouter {
       }
       ddl
     case AlterAddPk(name, cols) =>
-      engine.table(name).setPrimaryKey(cols.split(',').map(_.trim).toSeq)
+      val t = engine.table(name)
+      val pkCols = cols.split(',').map(_.trim).toSeq
+      // pg_dump declares the parent's PK post-data — same coverage
+      // invariant as an inline PRIMARY KEY (Partitioning scaladoc)
+      t.partitionBy.map(Partitioning.parse).foreach(
+        Partitioning.requireKeyCovered(_, pkCols, "PRIMARY KEY"))
+      t.setPrimaryKey(pkCols)
       ddl
     case AlterAddCheck(name, cname, checkExpr) =>
       val t = engine.table(name)
@@ -4085,6 +4137,16 @@ object SqlRouter {
     * kinds. */
   private def recordUnique(engine: Engine, table: String,
       name: Option[String], colList: String): Unit = {
+    // CREATE UNIQUE INDEX / ADD UNIQUE on a partitioned parent must
+    // cover the partition key (Partitioning.requireKeyCovered) — the
+    // entries are checked verbatim, expression or plain
+    engine.table(table).partitionBy.map(Partitioning.parse).foreach {
+      spec =>
+        val entries = uniqueCols(colList)
+          .getOrElse(uniqueExprEntries(colList))
+        Partitioning.requireKeyCovered(spec, entries,
+          name.fold("unique index")(n => s"unique index $n"))
+    }
     if (uniqueCols(colList).isEmpty) {
       val exprs = uniqueExprEntries(colList)
       if (exprs.nonEmpty) {

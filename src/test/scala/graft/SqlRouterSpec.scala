@@ -2418,9 +2418,29 @@ class SqlRouterSpec extends SparkSpec {
     // enforces the partition constraint) — silently accepting it would
     // make the row invisible through the parent's bounds-filtered read
     intercept[Exception](exec(e, "INSERT INTO bt_lo VALUES (500, 'x')"))
+    // a NULL partition key is loud too (advice r12): the bound CHECK
+    // carries PG's IS NOT NULL conjunct, so the NULL doesn't slip in
+    // as CHECK-unknown and then hide from the parent's filtered read
+    intercept[Exception](exec(e, "INSERT INTO bt_lo VALUES (NULL, 'n')"))
     exec(e, "INSERT INTO bt_lo VALUES (50, 'ok')")
     // an UPDATE moving the key out of bounds is loud too
     intercept[Exception](exec(e, "UPDATE bt_lo SET id = 500 WHERE id = 50"))
+    // ... while a NULL key routed THROUGH the parent still lands in
+    // the DEFAULT partition (routing semantics unchanged)
+    exec(e, "CREATE TABLE bt_d PARTITION OF bt DEFAULT")
+    exec(e, "INSERT INTO bt VALUES (NULL, 'null-row')")
+    assert(exec(e, "SELECT count(*) FROM bt_d").df.get.as[Long].head() === 1L)
+    assert(exec(e, "SELECT count(*) FROM bt WHERE id IS NULL").df.get
+      .as[Long].head() === 1L)
+    // LIST without NULL in the value list rejects a NULL-key direct
+    // insert the same way; a NULL-listed child accepts it
+    exec(e, "CREATE TABLE lnt (k STRING, v STRING) PARTITION BY LIST (k)")
+    exec(e, "CREATE TABLE lnt_ab PARTITION OF lnt FOR VALUES IN ('a', 'b')")
+    exec(e, "CREATE TABLE lnt_n PARTITION OF lnt FOR VALUES IN (NULL, 'z')")
+    intercept[Exception](exec(e, "INSERT INTO lnt_ab VALUES (NULL, 'x')"))
+    exec(e, "INSERT INTO lnt_n VALUES (NULL, 'ok')")
+    assert(exec(e, "SELECT count(*) FROM lnt WHERE k IS NULL").df.get
+      .as[Long].head() === 1L)
     // detach releases the constraint — the table is plain again
     exec(e, "ALTER TABLE bt DETACH PARTITION bt_lo")
     exec(e, "INSERT INTO bt_lo VALUES (500, 'now fine')")
@@ -2555,7 +2575,17 @@ class SqlRouterSpec extends SparkSpec {
     // TRUNCATE cascades to the leaves
     exec(e, "TRUNCATE TABLE root")
     assert(exec(e, "SELECT count(*) FROM mid_eu").df.get.as[Long].head() === 0L)
-    // DROP root drops the whole tree
+    // DROP of the MID-LEVEL node (parent and child at once) drops its
+    // own subtree AND detaches from root — advice r12: the grandparent
+    // must not keep a dangling partchild pointer, or every later
+    // read/DML on it throws
+    exec(e, "INSERT INTO root VALUES (8, 'eu', 'back'), (6000, 'us', 'd')")
+    exec(e, "DROP TABLE mid")
+    assert(e.listTables().toSet === Set("root", "hi"))
+    assert(exec(e, "SELECT count(*) FROM root").df.get.as[Long].head() === 1L)
+    exec(e, "INSERT INTO root VALUES (7000, 'jp', 'e')") // routes to hi
+    assert(exec(e, "SELECT count(*) FROM root").df.get.as[Long].head() === 2L)
+    // DROP root drops the rest of the tree
     exec(e, "DROP TABLE root")
     assert(e.listTables().isEmpty)
   }
@@ -2777,6 +2807,37 @@ class SqlRouterSpec extends SparkSpec {
       .as[String].head() === "v300")
     assert(exec(e, "SELECT v FROM p8_3 WHERE id = 399").df.get
       .as[String].head() === "v399")
+  }
+
+  test("partitioning: unique structures must cover the partition key (PG DDL invariant)") {
+    val e = new Engine(spark, tmpDir("router_part_cover"))
+    // inline PK omitting the partition key refuses at CREATE (PG:
+    // "unique constraint ... must include all partitioning columns")
+    intercept[Exception](exec(e, "CREATE TABLE bad1 (id BIGINT, k BIGINT, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (k)"))
+    // body UNIQUE KEY omitting it refuses too
+    intercept[Exception](exec(e, "CREATE TABLE bad2 (id BIGINT, k BIGINT, " +
+      "v STRING, UNIQUE KEY uv (v)) PARTITION BY LIST (k)"))
+    // an expression partition key can never be covered by a PK
+    intercept[Exception](exec(e, "CREATE TABLE bad3 (id BIGINT, name STRING, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (lower(name))"))
+    assert(e.listTables().isEmpty)
+    // covering composite PK is fine; post-hoc uniques check the same way
+    exec(e, "CREATE TABLE ok (id BIGINT, k BIGINT, v STRING, " +
+      "PRIMARY KEY (id, k)) PARTITION BY RANGE (k)")
+    intercept[Exception](exec(e, "CREATE UNIQUE INDEX uv ON ok (v)"))
+    exec(e, "CREATE UNIQUE INDEX ukv ON ok (k, v)")
+    // pg_dump's post-data ADD CONSTRAINT PRIMARY KEY checks too
+    exec(e, "CREATE TABLE ok2 (id BIGINT, k BIGINT) PARTITION BY RANGE (k)")
+    intercept[Exception](exec(e,
+      "ALTER TABLE ONLY ok2 ADD CONSTRAINT ok2_pkey PRIMARY KEY (id)"))
+    exec(e, "ALTER TABLE ONLY ok2 ADD CONSTRAINT ok2_pkey PRIMARY KEY (id, k)")
+    // a subpartitioned child inheriting the PK must have ITS key
+    // covered as well (PG refuses the recursive index build)
+    exec(e, "CREATE TABLE tr (a BIGINT, b STRING, PRIMARY KEY (a)) " +
+      "PARTITION BY RANGE (a)")
+    intercept[Exception](exec(e, "CREATE TABLE tr_sub PARTITION OF tr " +
+      "FOR VALUES FROM (0) TO (10) PARTITION BY LIST (b)"))
   }
 
   test("partitioning: merge-family chain is loop-stable (20 iterations, bit-exact)") {
