@@ -46,6 +46,35 @@ object Bench {
     * hash-proven pruned twins (q95/q97) — never the production path. */
   private val BaselineOnly = Set("q70_knn_brute", "q72_cosine_pairs")
 
+  /** Previous-round per-query band at sf0.1 (round-12 verdict #3):
+    * min(cold, warm) over the last two driver rounds (BENCH_r11/r12).
+    * Any cold run exceeding 2x its band lands in the `band` line with
+    * its warm time, so a >2x outlier self-explains in the artifact —
+    * the reader separates "epoch position" (warm back inside the band)
+    * from a real regression (warm outside too) without consulting the
+    * previous artifact. Refresh each round from the latest BENCH_r
+    * artifacts; entries are keyed by bare query number. */
+  private val PrevBand: Map[Int, Double] = Map(
+    1 -> 0.79, 2 -> 0.98, 3 -> 0.4, 4 -> 0.76, 5 -> 0.13, 6 -> 0.6,
+    7 -> 0.56, 8 -> 0.38, 9 -> 0.23, 10 -> 0.17, 11 -> 0.24, 12 -> 0.27,
+    13 -> 0.28, 14 -> 0.58, 15 -> 0.23, 16 -> 0.36, 17 -> 0.67, 18 -> 0.29,
+    19 -> 0.32, 20 -> 0.35, 21 -> 0.25, 22 -> 0.13, 23 -> 0.84, 24 -> 0.35,
+    25 -> 0.21, 26 -> 0.16, 27 -> 0.5, 28 -> 0.21, 29 -> 0.48, 30 -> 0.3,
+    31 -> 0.87, 32 -> 0.37, 33 -> 0.33, 34 -> 0.23, 35 -> 0.38, 36 -> 0.15,
+    37 -> 0.35, 38 -> 0.25, 39 -> 0.63, 40 -> 0.33, 41 -> 1.55, 42 -> 0.52,
+    43 -> 0.7, 44 -> 0.88, 45 -> 0.19, 46 -> 0.33, 47 -> 0.74, 48 -> 0.29,
+    49 -> 0.59, 50 -> 0.29, 51 -> 0.34, 52 -> 0.33, 53 -> 0.32, 54 -> 1.03,
+    55 -> 0.46, 56 -> 0.44, 57 -> 0.54, 58 -> 0.25, 59 -> 0.22, 60 -> 0.34,
+    61 -> 4.01, 62 -> 0.55, 63 -> 1.06, 64 -> 0.91, 65 -> 0.34, 66 -> 2.91,
+    67 -> 1.4, 68 -> 0.46, 69 -> 1.53, 70 -> 0.38, 71 -> 1.68, 72 -> 1.48,
+    73 -> 0.68, 74 -> 1.09, 75 -> 0.34, 76 -> 0.28, 77 -> 1.56, 78 -> 0.32,
+    79 -> 0.15, 80 -> 0.16, 81 -> 2.66, 82 -> 0.84, 83 -> 0.52, 84 -> 0.35,
+    85 -> 0.48, 86 -> 0.26, 87 -> 0.47, 88 -> 0.55, 89 -> 5.98, 90 -> 0.45,
+    91 -> 1.29, 92 -> 0.96, 93 -> 1.02, 94 -> 0.56, 95 -> 1.28, 96 -> 0.81,
+    97 -> 0.7, 100 -> 1.39, 101 -> 0.4, 102 -> 2.43, 103 -> 1.82,
+    104 -> 1.37, 105 -> 4.34, 106 -> 0.99, 107 -> 2.75, 108 -> 3.77,
+    109 -> 0.38, 110 -> 2.89, 111 -> 8.02)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -184,6 +213,29 @@ object Bench {
       .map { case (name, t) => s"${qid(name)}:${fmtT(t.cold)}/${fmtT(t.warm)}" }
     if (slowBoth.nonEmpty)
       println(s"""{"anomaly":"${slowBoth.mkString(" ")}"}""")
+    // previous-round band check (r12 verdict #3): EVERY >2x cold
+    // outlier vs the last rounds' per-query floor self-reports with
+    // its warm time — `id:cold/warm!band`. Warm back inside ~the band
+    // = epoch position; warm outside too = treat as a real change.
+    // Bands are sf0.1 numbers, so the line only emits at that scale.
+    if (sfDir.contains("sf0.1")) {
+      val outliers = results.toSeq
+        .filter { case (name, t) =>
+          t.err.isEmpty && PrevBand.get(qid(name)).exists(b =>
+            t.cold > math.max(2 * b, b + 1.0))
+        }
+        .sortBy(p => qid(p._1))
+        .map { case (name, t) =>
+          s"${qid(name)}:${fmtT(t.cold)}/${fmtT(t.warm)}!${fmtT(PrevBand(qid(name)))}"
+        }
+      if (outliers.nonEmpty) {
+        // byte budget: the whole emission must stay inside the
+        // driver's 2000-char tail window — cap the line, count the rest
+        val shown = outliers.take(8)
+        val more = if (outliers.size > 8) s" +${outliers.size - 8}" else ""
+        println(s"""{"band":"${shown.mkString(" ")}$more"}""")
+      }
+    }
 
     val oracleJson = oracleTotal.fold("null")(t => r2(t))
     val ratioJson = ratio.fold("null")(r => (math.round(r * 1000) / 1e3).toString)

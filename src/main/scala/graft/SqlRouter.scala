@@ -1488,11 +1488,9 @@ object SqlRouter {
       if (tPar.partitionBy.isDefined) {
         // PG routes parent UPDATEs to the children; fan the SAME
         // statement out per child (each child update is the ordinary
-        // distributed CoW path). Cross-partition row movement (a SET
-        // touching a partition-key column) and RETURNING (needs a
-        // cross-child union) are refused loudly rather than half-done.
-        require(returning.isEmpty, "RETURNING through a partitioned " +
-          "parent is not supported: target the partition directly")
+        // distributed CoW path). RETURNING (round-12 verdict #4) is
+        // the cross-child union of the per-child RETURNING frames —
+        // for row movement it answers the frozen post-SET images.
         // LIMIT would apply PER CHILD (up to n×children rows — the
         // same over-application the DELETE arm refuses)
         require(orderOpt.isEmpty && limitOpt.isEmpty,
@@ -1550,7 +1548,8 @@ object SqlRouter {
               gen.get(f).map(g => expr(g).cast(mp.schema(f).dataType).as(f))
                 .getOrElse(col(f))): _*)).localCheckpoint(true)
           val nMoved = images.count()
-          if (nMoved == 0L) return Result(None, 0L)
+          if (nMoved == 0L) return Result(returning.map(rx =>
+            images.selectExpr(splitTop(rx).map(_.trim): _*)), 0L)
           routeFrame(engine, name, tPar, images, (_, _) => 0L)
           // inherited CHECKs validate on the images BEFORE the delete
           // too — a violating SET must abort with nothing changed
@@ -1576,13 +1575,20 @@ object SqlRouter {
               if (ownTxn && engine.inTransaction) engine.rollback()
               throw ex2
           }
-          return Result(None, nMoved)
+          // movement RETURNING = the frozen post-SET images (PG
+          // returns the NEW rows), already checkpointed above
+          return Result(returning.map(rx =>
+            images.selectExpr(splitTop(rx).map(_.trim): _*)), nMoved)
         }
-        val n = tPar.partitionChildren.map { case (c, _) =>
+        // fan out WITH the returning tail: each child answers its own
+        // stored images, the parent unions them (disjoint children)
+        val childResults = tPar.partitionChildren.map { case (c, _) =>
           val s2 = s"UPDATE ${childRef(name, c)} SET $tail0"
-          executeRouted(engine, s2, s2).affected
-        }.sum
-        return Result(None, n)
+          executeRouted(engine, s2, s2)
+        }
+        val n = childResults.map(_.affected).sum
+        return Result(returning.flatMap(_ =>
+          childResults.flatMap(_.df).reduceOption(_ union _)), n)
       }
       if (pgFrom.isDefined) {
         // PG UPDATE ... FROM: the target joins the FROM list on the
@@ -1700,18 +1706,22 @@ object SqlRouter {
       val (whereOpt, orderOpt, limitOpt, returning) =
         parseDmlTail(Option(tailRaw).getOrElse(""), "DELETE")
       if (t.partitionBy.isDefined) {
-        // parent DELETE fans out per child (PG semantics). LIMIT
-        // would apply per child (over-deleting) and RETURNING needs a
-        // cross-child union — both refused loudly.
-        require(orderOpt.isEmpty && limitOpt.isEmpty && returning.isEmpty,
-          "DELETE through a partitioned parent takes only WHERE: " +
-            "target the partition for ORDER BY/LIMIT/RETURNING")
+        // parent DELETE fans out per child (PG semantics). RETURNING
+        // (round-12 verdict #4) is the cross-child union of the
+        // per-child RETURNING frames — each child freezes its own
+        // pre-delete images. LIMIT would apply per child
+        // (over-deleting) and stays refused loudly.
+        require(orderOpt.isEmpty && limitOpt.isEmpty,
+          "DELETE through a partitioned parent takes only WHERE " +
+            "[RETURNING]: target the partition for ORDER BY/LIMIT")
         val tl = Option(tailRaw).getOrElse("")
-        val n = t.partitionChildren.map { case (c, _) =>
+        val childResults = t.partitionChildren.map { case (c, _) =>
           val s2 = s"DELETE FROM ${childRef(name, c)} $tl"
-          executeRouted(engine, s2, s2).affected
-        }.sum
-        return Result(None, n)
+          executeRouted(engine, s2, s2)
+        }
+        val n = childResults.map(_.affected).sum
+        return Result(returning.flatMap(_ =>
+          childResults.flatMap(_.df).reduceOption(_ union _)), n)
       }
       val cond = whereOpt.map(expr).getOrElse(expr("true"))
       if (orderOpt.isEmpty && limitOpt.isEmpty) {
@@ -1995,8 +2005,7 @@ object SqlRouter {
       // plain tables write directly as before
       val parentRoute: Option[DataFrame => Long] =
         if (t.partitionBy.isEmpty) None
-        else Some(df => routeFrame(engine, name, t,
-          df.localCheckpoint(true), _.insert(_)))
+        else Some(df => routeFrameSinglePass(engine, name, t, df))
       def sink(df: => DataFrame, direct: => Long): Long =
         parentRoute.fold(direct)(_(df))
       val n = fmt match {
@@ -2052,14 +2061,15 @@ object SqlRouter {
             graft.sources.BulkIO.mySqlTextFrame(engine.spark, t.schema,
               path, opts)
           else graft.sources.BulkIO.loadCsv(engine.spark, path, t.schema, opts)
-        val write: (graft.storage.GraftTable, DataFrame) => Long =
-          mode match {
-            case graft.sources.BulkIO.Ignore => _.insertIgnoreRows(_)
-            case graft.sources.BulkIO.Replace => _.replaceRows(_)
-            case _ => _.insert(_)
-          }
-        routeFrame(engine, name, t, df.localCheckpoint(true), write,
-          serial = mode != graft.sources.BulkIO.Append)
+        mode match {
+          case graft.sources.BulkIO.Ignore =>
+            routeFrame(engine, name, t, df.localCheckpoint(true),
+              _.insertIgnoreRows(_), serial = true)
+          case graft.sources.BulkIO.Replace =>
+            routeFrame(engine, name, t, df.localCheckpoint(true),
+              _.replaceRows(_), serial = true)
+          case _ => routeFrameSinglePass(engine, name, t, df)
+        }
       } else if (escAware)
         graft.sources.BulkIO.loadMySqlTextInto(t, path, opts, mode)
       else graft.sources.BulkIO.loadCsvInto(t, path, opts, mode)
@@ -3341,9 +3351,13 @@ object SqlRouter {
         if (total > 0) engine.setVar("last_insert_id", base.toString)
         withIds
       case None =>
-        sourceDfFor(engine, t, colList, rest).localCheckpoint(true)
+        // single-pass ingest consumes the source exactly once (the
+        // staged partitionBy write) — a checkpoint is only needed when
+        // RETURNING re-reads the frame afterwards
+        val s0 = sourceDfFor(engine, t, colList, rest)
+        if (returning.isDefined) s0.localCheckpoint(true) else s0
     }
-    val total = routeFrame(engine, parentName, t, src, _.insert(_))
+    val total = routeFrameSinglePass(engine, parentName, t, src)
     Result(returning.map(rx =>
       src.selectExpr(splitTop(rx).map(_.trim): _*)), total)
   }
@@ -3436,6 +3450,116 @@ object SqlRouter {
           .foreach(mx => t.advanceAutoInc(mx.asInstanceOf[Long] + 1L))
       }
     total
+  }
+
+  /** SINGLE-PASS routed ingest for PLAIN-INSERT semantics (round-12
+    * verdict #2): instead of checkpointing the source and re-reading
+    * it once per hit child, ONE distributed job tags every row with
+    * its LEAF partition (a nested-CASE index spanning every level of
+    * the tree) and writes per-leaf parquet directly via
+    * `write.partitionBy("__part")` — Spark groups rows by tag at the
+    * write, so the source is scanned exactly once regardless of how
+    * many children it spans. Each leaf then ADOPTS its files with a
+    * driver-side move + footer read + manifest commit (no second data
+    * job), falling back to a re-read insert only for a child whose
+    * physical layout diverged post-attach. At 100 TB this is the
+    * difference between one bulk-load scan and N of them; it also
+    * removes the routing groupBy-count job (unroutable rows surface
+    * from the staged write's null-tag directory instead — still loud,
+    * and still before ANY child manifest commits).
+    *
+    * Merge-family writes (REPLACE / IGNORE / ODKU / ON CONFLICT) stay
+    * on [[routeFrame]]: those are per-child read-modify-writes, not
+    * blind appends, and adoption can't express them. */
+  private def routeFrameSinglePass(engine: Engine, parentName: String,
+      t: graft.storage.GraftTable, src: DataFrame): Long = {
+    val m = t.manifest
+    // leaf tag: index string per LEAF table across the whole tree,
+    // first-match-wins per level (same chaining as routeFrame)
+    val leafMap = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def build(pn: String, pt: graft.storage.GraftTable): Column = {
+      val spec = Partitioning.parse(pt.manifest.props("partition.by"))
+      val kids = pt.partitionChildren
+      require(kids.nonEmpty,
+        s"$pn has no partitions: attach one before inserting")
+      val entries = kids.map { case (c, b) =>
+        val ref = childRef(pn, c)
+        val childT = engine.table(ref)
+        val leafCol: Column =
+          if (childT.partitionBy.isDefined) build(ref, childT)
+          else {
+            val idx = leafMap.size.toString
+            leafMap += idx -> ref
+            lit(idx)
+          }
+        (Partitioning.boundPredicateSql(spec, b).map(expr), leafCol)
+      }
+      val dflt = entries.collectFirst { case (None, lc) => lc }
+        .getOrElse(lit(null).cast("string"))
+      val chain = entries.collect { case (Some(p), lc) => (p, lc) }
+        .foldLeft(Option.empty[Column]) { case (acc, (p, lc)) =>
+          val hit = coalesce(p, lit(false))
+          Some(acc.fold(when(hit, lc))(_.when(hit, lc)))
+        }
+      chain.fold(dflt)(_.otherwise(dflt))
+    }
+    val tag = build(parentName, t)
+    val logical = t.logicalForIngest(src)
+    val physical = t.physicalize(logical.withColumn("__part", tag))
+    val staging = t.path.resolve("ingest")
+      .resolve(java.util.UUID.randomUUID().toString)
+    physical.write.partitionBy("__part").parquet(staging.toString)
+    import scala.jdk.CollectionConverters._
+    def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (!java.nio.file.Files.isDirectory(p)) Nil
+      else java.nio.file.Files.list(p).iterator().asScala.toSeq
+    def rmTree(p: java.nio.file.Path): Unit = {
+      ls(p).foreach(rmTree)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    try {
+      val dirs = ls(staging)
+        .filter(_.getFileName.toString.startsWith("__part="))
+      // rows no leaf claims land in the null-tag directory — loud,
+      // and loud BEFORE any manifest committed (nothing to undo)
+      dirs.find(_.getFileName.toString
+          .endsWith("__HIVE_DEFAULT_PARTITION__")).foreach { d =>
+        val bad = engine.spark.read.parquet(d.toString).count()
+        throw new IllegalArgumentException(
+          s"no partition of $parentName found for $bad inserted row(s)")
+      }
+      // A23: explicit ids through every routed path advance the
+      // PARENT's counter — one column-pruned scan over the staged
+      // local files, not a re-scan of the source
+      m.schema.fieldNames
+        .find(c => m.props.get(s"autoinc.$c").contains("true"))
+        .filter(c => m.pkCols.contains(c) &&
+          m.schema(c).dataType != org.apache.spark.sql.types.StringType)
+        .filter(_ => dirs.nonEmpty)
+        .foreach { c =>
+          val phys = t.physicalName(c)
+          Option(engine.spark.read.parquet(staging.toString)
+            .agg(max(col(phys).cast("long"))).head().get(0))
+            .foreach(mx => t.advanceAutoInc(mx.asInstanceOf[Long] + 1L))
+        }
+      val parentToken = t.physicalLayoutToken
+      dirs.sortBy(_.getFileName.toString).map { d =>
+        val idx = d.getFileName.toString.stripPrefix("__part=")
+        val ref = leafMap.getOrElse(idx, throw new IllegalStateException(
+          s"unknown routing tag $idx under $staging"))
+        val leaf = engine.table(ref)
+        val files = ls(d)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+        if (leaf.physicalLayoutToken == parentToken) leaf.adoptFiles(files)
+        else {
+          // diverged child (post-attach ALTER): re-read the staged
+          // slice in the parent's layout and insert logically
+          val raw = engine.spark.read.parquet(d.toString)
+          leaf.insert(raw.toDF(m.schema.fieldNames.toSeq: _*))
+        }
+      }.sum
+    } finally rmTree(staging)
   }
 
   private val JoinKeywords = Set("JOIN", "STRAIGHT_JOIN", "LEFT", "RIGHT",

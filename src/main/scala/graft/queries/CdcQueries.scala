@@ -645,8 +645,9 @@ object CdcQueries {
   // wrong guard, a misrouted child, or a stale counter each flip the
   // hash. A closing partition-key UPDATE moves rows between children
   // (PG >=11 row movement: delete + bounds-routed re-insert), shifting
-  // the per-partition aggregates. Balances ride DECIMAL(18,2)
-  // end-to-end.
+  // the per-partition aggregates — and its RETURNING clause (the
+  // frozen post-SET images, r12 verdict #4) folds into the gate as the
+  // 'moved' row. Balances ride DECIMAL(18,2) end-to-end.
   private val q111 = QueryDef(
     "q111_partitioned_merge",
     (s, dir) => {
@@ -692,8 +693,16 @@ object CdcQueries {
       // PG >=11 row movement: changing the partition key re-routes the
       // matched rows from pc_lo into pc_hi (delete + bounds-routed
       // re-insert) — the per-partition aggregates shift or the hash
-      // fails
-      run("UPDATE pc SET id = id + 10000 WHERE id < 500 AND id % 250 = 0")
+      // fails. RETURNING (r12 verdict #4) answers the frozen post-SET
+      // images; their fold joins the gate as the 'moved' row.
+      val movedDf = SqlRouter.execute(e,
+        "UPDATE pc SET id = id + 10000 WHERE id < 500 AND id % 250 = 0 " +
+          "RETURNING id, bal").df.get
+      val movedRow = movedDf.agg(
+        count(lit(1)).as("cnt"),
+        sum("bal").cast("decimal(18,2)").as("amt"),
+        max("id").cast("long").as("ntot"))
+        .select(lit("moved").as("part"), col("cnt"), col("amt"), col("ntot"))
       SqlRouter.execute(e,
         "SELECT 'auto' AS part, count(*) AS cnt, " +
           "CAST(sum(bal) AS DECIMAL(18,2)) AS amt, " +
@@ -706,8 +715,8 @@ object CdcQueries {
           "CAST(sum(n) AS BIGINT) FROM pc_lo " +
         "UNION ALL SELECT 'parent', count(*), " +
           "CAST(sum(bal) AS DECIMAL(18,2)), " +
-          "CAST(sum(n) AS BIGINT) FROM pc " +
-        "ORDER BY part").df.get
+          "CAST(sum(n) AS BIGINT) FROM pc").df.get
+        .union(movedRow).orderBy("part")
     },
     Some("""WITH mx AS (SELECT max(c_custkey) AS m,
         greatest(max(c_custkey),
@@ -745,6 +754,9 @@ object CdcQueries {
         SELECT CASE WHEN id < 500 AND id % 250 = 0 THEN id + 10000
           ELSE id END AS id, name, bal, seg, n
         FROM fin0),
+      moved AS (
+        SELECT id + 10000 AS id, bal FROM fin0
+        WHERE id < 500 AND id % 250 = 0),
       agg AS (
         SELECT 'auto' AS part, count(*) AS cnt,
           CAST(sum(bal) AS DECIMAL(18,2)) AS amt,
@@ -755,6 +767,9 @@ object CdcQueries {
         UNION ALL SELECT 'lo', count(*),
           CAST(sum(bal) AS DECIMAL(18,2)),
           CAST(sum(n) AS BIGINT) FROM fin WHERE id < 500
+        UNION ALL SELECT 'moved', count(*),
+          CAST(sum(bal) AS DECIMAL(18,2)),
+          CAST(max(id) AS BIGINT) FROM moved
         UNION ALL SELECT 'parent', count(*),
           CAST(sum(bal) AS DECIMAL(18,2)),
           CAST(sum(n) AS BIGINT) FROM fin)

@@ -1143,15 +1143,22 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     out.write.parquet(dest.toString)
     val files = Files.list(dest).iterator().asScala
       .map(_.toString).filter(f => f.endsWith(".parquet")).toSeq.sorted
-    // metadata straight from the parquet footers on the driver — no
-    // Spark job at all (a count() job costs a fixed ~100-300ms of
-    // scheduling per DML statement, which dominates the many-small-
-    // commits CDC path). One footer open serves both the row count
-    // (when the caller reports rows-affected) and the per-file PK
-    // min/max stats that merge's probe pruning feeds on.
+    val (rows, stats) = collectFooterMeta(files, m, needCount)
+    (files, rows, stats)
+  }
+
+  /** Row count + per-file PK min/max straight from the parquet footers
+    * on the driver — no Spark job at all (a count() job costs a fixed
+    * ~100-300ms of scheduling per DML statement, which dominates the
+    * many-small-commits CDC path). One footer open serves both the row
+    * count (when the caller reports rows-affected) and the per-file PK
+    * min/max stats that merge's probe pruning feeds on. */
+  private def collectFooterMeta(files: Seq[String], m: Manifest,
+      needCount: Boolean)
+      : (Long, Map[String, Map[String, Seq[String]]]) = {
     val statCols = prunablePkCols(m)
     if (files.isEmpty || (!needCount && statCols.isEmpty))
-      return (files, 0L, Map.empty)
+      return (0L, Map.empty)
     val conf = spark.sessionState.newHadoopConf()
     var rows = 0L
     val stats = Map.newBuilder[String, Map[String, Seq[String]]]
@@ -1174,7 +1181,73 @@ final class GraftTable(val spark: SparkSession, val path: Path,
         if (perCol.nonEmpty) stats += f -> perCol
       } finally r.close()
     }
-    (files, rows, stats.result())
+    (rows, stats.result())
+  }
+
+  /** Parent-side preparation for SINGLE-PASS routed ingest (round-12
+    * verdict #2), step 1: generated columns, CHECK enforcement,
+    * declaration order — the logical half of what [[insert]] does.
+    * Partition children inherit the parent's props verbatim at attach,
+    * so one pass over the routed union replaces one identical pass per
+    * child; the per-child `check.__partbound` CHECK holds BY
+    * CONSTRUCTION for routed rows (the router only tags a row for a
+    * child whose bound predicate is definitively true). */
+  private[graft] def logicalForIngest(df: DataFrame): DataFrame = {
+    val m = manifest
+    val full = withGenerated(m, df)
+    enforceChecks(m, full)
+    full.select(m.schema.fieldNames.map(col): _*)
+  }
+
+  /** Step 2: physical names + physical types for every schema column —
+    * the storage half of [[insert]]'s write transformation. Non-schema
+    * columns (the router's `__part` routing tag) pass through
+    * untouched. */
+  private[graft] def physicalize(df: DataFrame): DataFrame = {
+    val m = manifest
+    val types = m.schema.fields.map(f => f.name -> physType(m, f.name)).toMap
+    df.select(df.columns.map { c =>
+      types.get(c).map(col(c).cast(_).as(physName(m, c))).getOrElse(col(c))
+    }: _*)
+  }
+
+  /** Fingerprint of this table's physical parquet layout (declaration
+    * order + physical names + physical types). Two tables with equal
+    * tokens accept each other's files verbatim — the single-pass
+    * routed ingest adopts parent-written files into a child only when
+    * the tokens match (they always do straight after attach; a
+    * diverged child falls back to a re-read insert). */
+  private[graft] def physicalLayoutToken: String = {
+    val m = manifest
+    m.schema.fields.map(f =>
+      s"${physName(m, f.name)}:${physType(m, f.name).catalogString}")
+      .mkString("|")
+  }
+
+  /** Physical parquet column name for a logical column (router-side
+    * reads of staged single-pass files). */
+  private[graft] def physicalName(logical: String): String =
+    physName(manifest, logical)
+
+  /** Adopt parquet files ALREADY WRITTEN in this table's physical
+    * layout (single-pass routed ingest): move them under data/<uuid>,
+    * fold footer metadata, one manifest commit through the io seam —
+    * transactional like every other write. The caller guarantees the
+    * rows passed generated-column processing and CHECKs and that
+    * [[physicalLayoutToken]] matches the writer's. */
+  private[graft] def adoptFiles(staged: Seq[Path]): Long = {
+    if (staged.isEmpty) return 0L
+    val m = manifest
+    require(!m.props.contains("partition.by"),
+      s"table at $path is a partitioned parent: it never holds files")
+    val dest = path.resolve("data").resolve(UUID.randomUUID().toString)
+    Files.createDirectories(dest)
+    val moved = staged.map { f =>
+      Files.move(f, dest.resolve(f.getFileName.toString)).toString
+    }.sorted
+    val (rows, st) = collectFooterMeta(moved, m, needCount = true)
+    io.commit(path, m.withFiles(m.files ++ moved, st))
+    rows
   }
 
   /** Fold row-group statistics into one string-encoded (min, max). */

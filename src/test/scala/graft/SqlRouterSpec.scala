@@ -2759,6 +2759,39 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SELECT count(*) FROM mv").df.get.as[Long].head() === 3L)
   }
 
+  test("partitioning: UPDATE/DELETE RETURNING through the parent (r12 verdict #4)") {
+    val e = new Engine(spark, tmpDir("router_part_ret"))
+    exec(e, "CREATE TABLE rt (id BIGINT NOT NULL, v STRING, n INT, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE rt_lo PARTITION OF rt FOR VALUES FROM (0) TO (100)")
+    exec(e, "CREATE TABLE rt_hi PARTITION OF rt DEFAULT")
+    exec(e, "INSERT INTO rt VALUES (1, 'a', 1), (50, 'b', 2), " +
+      "(150, 'c', 3), (250, 'd', 4)")
+    // UPDATE RETURNING answers post-images ACROSS children
+    val up = exec(e,
+      "UPDATE rt SET n = n * 10 WHERE id IN (50, 150) RETURNING id, n")
+    assert(up.affected === 2L)
+    assert(up.df.get.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getInt(1))).toSeq === Seq((50L, 20), (150L, 30)))
+    // row-movement RETURNING answers the frozen post-SET images
+    val mv = exec(e,
+      "UPDATE rt SET id = id + 300 WHERE id = 50 RETURNING id, v")
+    assert(mv.affected === 1L)
+    assert(mv.df.get.collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq === Seq((350L, "b")))
+    assert(exec(e, "SELECT count(*) FROM rt_lo").df.get.as[Long].head() === 1L)
+    // DELETE RETURNING unions the per-child pre-delete images
+    val del = exec(e, "DELETE FROM rt WHERE n >= 20 RETURNING id, v, n")
+    assert(del.affected === 2L)
+    assert(del.df.get.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      === Seq((150L, "c", 30), (350L, "b", 20)))
+    assert(exec(e, "SELECT count(*) FROM rt").df.get.as[Long].head() === 2L)
+    // ORDER BY/LIMIT stay refused through the parent
+    intercept[Exception](exec(e, "DELETE FROM rt ORDER BY id LIMIT 1"))
+    intercept[Exception](exec(e, "UPDATE rt SET n = 0 LIMIT 1"))
+  }
+
   test("partitioning: RENAME re-keys partchild/partof pointers") {
     val e = new Engine(spark, tmpDir("router_part_rename"))
     exec(e, "CREATE TABLE rp (id BIGINT NOT NULL, v STRING, " +
@@ -2874,6 +2907,43 @@ class SqlRouterSpec extends SparkSpec {
     (1 until 20).foreach { i =>
       assert(runChain(i) === first, s"iteration $i diverged")
     }
+  }
+
+  test("partitioning: routed INSERT is single-pass — one source scan for N children") {
+    // round-12 verdict #2: the old shape was checkpoint + groupBy-count
+    // + one filtered re-read PER child (3 + N jobs). The single-pass
+    // shape is ONE partitionBy write job (+1 footer-less manifest
+    // commit per child, no Spark job), so a 6-child insert with no
+    // auto-inc and no CHECKs runs exactly one job.
+    val e = new Engine(spark, tmpDir("router_part_onepass"))
+    exec(e, "CREATE TABLE sp (id BIGINT, v STRING) PARTITION BY RANGE (id)")
+    (0 until 6).foreach(i => exec(e,
+      s"CREATE TABLE sp_$i PARTITION OF sp " +
+        s"FOR VALUES FROM (${i * 100}) TO (${(i + 1) * 100})"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      exec(e, "INSERT INTO sp SELECT id, concat('v', id) FROM range(0, 600)")
+      // listener events post asynchronously — wait for the bus to
+      // drain (bounded retry keeps the spec deterministic)
+      var waited = 0
+      while (jobs.get() == 0 && waited < 100) { Thread.sleep(50); waited += 1 }
+      Thread.sleep(300) // absorb any stragglers before asserting an upper bound
+      assert(jobs.get() === 1,
+        s"routed INSERT ran ${jobs.get()} jobs — expected the single " +
+          "partitionBy write")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the rows all landed
+    (0 until 6).foreach(i =>
+      assert(exec(e, s"SELECT count(*) FROM sp_$i").df.get.as[Long].head()
+        === 100L, s"child $i"))
+    assert(exec(e, "SELECT count(*) FROM sp").df.get.as[Long].head() === 600L)
   }
 
   test("partitioning: COPY TO / CHECKSUM / ANALYZE / VACUUM see the union") {
