@@ -649,9 +649,54 @@ object SqlRouter {
       else stmtQ
     // MySQL literal forms first (the rewrite must reach Catalyst too,
     // unlike backtick stripping which is routing-only — see ADVICE r6)
-    val lit = stripLockingTail(
+    val lit0 = stripLockingTail(
       stripPublicSchema(normalizeMysqlLiterals(foldDollarQuotes(stmt))))
+    val lit = stripMySqlPartitionTrailer(engine, lit0)
     executeRouted(engine, stripIdentQuotes(stripComments(lit)), lit)
+  }
+
+  /** MySQL partition-clause trailers on CREATE TABLE — the explicit
+    * partition LIST, `PARTITIONS n`, KEY/LINEAR strategies, COLUMNS
+    * spellings, SUBPARTITION BY — are accepted and DROPPED like the
+    * reference's GMS path treats them (storage partitioning is the
+    * engine's own layout concern; a MySQL dump must replay, r12
+    * verdict #7). PG's bare `PARTITION BY <strategy> (keys)` trailer
+    * — no partition list, no PARTITIONS count — is NOT touched: that
+    * is the real declarative-partitioning path. The drop is visible:
+    * a Note lands in the diagnostics area (SHOW WARNINGS). Matching
+    * runs on quote-masked text, and a trailer inside an unclosed
+    * comment span (mysqldump's bang-50100 version conditional) is
+    * left for the comment pipeline. */
+  private def stripMySqlPartitionTrailer(engine: Engine, s: String): String = {
+    val head = s.dropWhile(_.isWhitespace)
+    if (!head.regionMatches(true, 0, "CREATE", 0, 6)) return s
+    // column-body CREATEs only — a CTAS SELECT can carry window
+    // `PARTITION BY` text this strip must never look at
+    if ("""(?is)^\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+|UNLOGGED\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.`"]+\s*\(""".r
+        .findFirstIn(s).isEmpty) return s
+    val masked = maskSingleQuoted(s)
+    // a paren-free run between the body's close and the trailer admits
+    // mysqldump's table options (ENGINE=... DEFAULT CHARSET=...)
+    val m =
+      """(?is)^(.*\)[^()]*)(PARTITION\s+BY\s+(?:LINEAR\s+)?(?:RANGE|LIST|HASH|KEY)\b.*)$""".r
+        .findFirstMatchIn(masked).getOrElse(return s)
+    val at = m.start(2)
+    if (masked.lastIndexOf("/*", at) > masked.lastIndexOf("*/", at)) return s
+    val trailer = m.group(2)
+    val mysqlOnly =
+      """(?is)PARTITION\s+BY\s+(?:LINEAR\s+)?KEY\b""".r
+        .findFirstIn(trailer).isDefined ||
+      """(?is)PARTITION\s+BY\s+LINEAR\b""".r.findFirstIn(trailer).isDefined ||
+      """(?is)PARTITION\s+BY\s+(?:RANGE|LIST)\s+COLUMNS\b""".r
+        .findFirstIn(trailer).isDefined ||
+      """(?is)\bPARTITIONS\s+\d+""".r.findFirstIn(trailer).isDefined ||
+      """(?is)\bSUBPARTITION\b""".r.findFirstIn(trailer).isDefined ||
+      """(?is)\(\s*PARTITION\b""".r.findFirstIn(trailer).isDefined
+    if (!mysqlOnly) return s
+    engine.addWarning("Note", 1287,
+      "PARTITION BY clause ignored: MySQL storage partitioning is " +
+        "handled by the engine's own layout (A21)")
+    s.take(m.end(1))
   }
 
   private val DollarFoldHeads = Set("INSERT", "UPDATE", "DELETE",

@@ -114,8 +114,32 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // single funnel EVERY data commit passes through; no second
     // implementation here (round-11 verdict: two copies of one
     // invariant drift).
-    io.commit(path, m.withFiles(m.files ++ files, st))
+    commitAppend(files, st)
     n
+  }
+
+  /** Commit an APPEND with optimistic rebase: a blind file-add
+    * semantically conflicts with NO concurrent commit (it reads no
+    * rows), so a lost OCC race re-reads the manifest and retries —
+    * two engines bulk-loading the same partition child from one
+    * warehouse both land (r12 verdict #6). Bounded so a pathological
+    * storm still surfaces. File-list-REPLACING writes (update /
+    * delete / merge rewrites) keep failing loudly on conflict: their
+    * read set must not be stale. Auto-inc ASSIGNING inserts don't
+    * come through here either — their ids were minted against the
+    * read manifest and a silent rebase could mint duplicates. */
+  private def commitAppend(files: Seq[String],
+      st: Map[String, Map[String, Seq[String]]]): Unit = {
+    var attempts = 16
+    while (true) {
+      val cur = manifest
+      try { io.commit(path, cur.withFiles(cur.files ++ files, st)); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts -= 1
+          if (attempts <= 0) throw e
+      }
+    }
   }
 
   /** Key join that is NULL-SAFE when the table is keyless: there the
@@ -140,7 +164,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val m2 = manifest
     val (files, _, st) =
       writeFiles(df.select(m2.schema.fieldNames.map(col): _*), needCount = false)
-    io.commit(path, m2.withFiles(m2.files ++ files, st))
+    commitAppend(files, st)
   }
 
   /** (Re)compute stored generated columns (`generated.<col>` props)
@@ -272,8 +296,19 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * manifest-only commit through the io seam, transactional with the
     * statement like every other commit. Monotone: never rolls back. */
   def advanceAutoInc(to: Long): Unit = {
-    val m = manifest
-    if (to > m.autoInc) io.commit(path, m.copy(autoInc = to))
+    // monotone, so a lost OCC race just re-reads and retries — two
+    // engines advancing one parent's counter concurrently both land
+    var attempts = 16
+    while (true) {
+      val m = manifest
+      if (to <= m.autoInc) return
+      try { io.commit(path, m.copy(autoInc = to)); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts -= 1
+          if (attempts <= 0) throw e
+      }
+    }
   }
 
   /** TRUNCATE RESTART IDENTITY's counter reset for a partitioned
@@ -1246,7 +1281,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       Files.move(f, dest.resolve(f.getFileName.toString)).toString
     }.sorted
     val (rows, st) = collectFooterMeta(moved, m, needCount = true)
-    io.commit(path, m.withFiles(m.files ++ moved, st))
+    commitAppend(moved, st)
     rows
   }
 

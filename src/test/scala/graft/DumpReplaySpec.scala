@@ -97,6 +97,31 @@ class DumpReplaySpec extends SparkSpec {
     assert(e.sql("SELECT v FROM pt WHERE id = 200").as[String].head() === "c")
   }
 
+  test("partitioned-table dump: the BARE (uncommented) MySQL trailer replays too") {
+    // dumps piped through `sed 's|/\*!50100 \(.*\) \*/|\1|'` (a common
+    // cross-server replay trick) carry the partition clause OUTSIDE
+    // any comment — r12 verdict #7: accept-and-ignore like the
+    // reference's GMS path, never a bogus PG parent
+    val e = new Engine(spark, tmpDir("dump_part_bare"))
+    val script =
+      """CREATE TABLE `bt` (
+        |  `id` bigint NOT NULL,
+        |  `v` varchar(32) DEFAULT NULL,
+        |  PRIMARY KEY (`id`)
+        |) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4
+        |PARTITION BY RANGE (`id`)
+        |(PARTITION p0 VALUES LESS THAN (100) ENGINE = InnoDB,
+        | PARTITION p1 VALUES LESS THAN MAXVALUE ENGINE = InnoDB);
+        |INSERT INTO `bt` VALUES (1,'a'),(200,'b');
+        |""".stripMargin
+    executeScript(e, script)
+    assert(e.table("bt").partitionBy === None)
+    assert(e.table("bt").manifest.pkCols === Seq("id"))
+    assert(e.sql("SELECT count(*) FROM bt").as[Long].head() === 2)
+    SqlRouter.execute(e, "REPLACE INTO bt VALUES (200,'c')")
+    assert(e.sql("SELECT v FROM bt WHERE id = 200").as[String].head() === "c")
+  }
+
   test("partitioned pg_dump replays to exact state: PARTITION BY + ATTACH + per-leaf COPY") {
     // the shape pg_dump ≥11 emits for a declaratively partitioned
     // table: the parent CREATE carries the PARTITION BY trailer,

@@ -2909,6 +2909,46 @@ class SqlRouterSpec extends SparkSpec {
     }
   }
 
+  test("partitioning: two engines route concurrent INSERTs into one tree (r12 verdict #6)") {
+    // the journal's 8-writer race lifted to partition trees: two
+    // Engine instances over the SAME warehouse interleave routed
+    // INSERTs whose slices hit the SAME children — blind appends
+    // rebase-and-retry on lost OCC races (GraftTable.commitAppend),
+    // so every row lands exactly once and the tree stays consistent.
+    val wh = tmpDir("router_part_2eng")
+    val e1 = new Engine(spark, wh)
+    exec(e1, "CREATE TABLE cr (id BIGINT NOT NULL, v STRING, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    exec(e1, "CREATE TABLE cr_lo PARTITION OF cr FOR VALUES FROM (0) TO (500)")
+    exec(e1, "CREATE TABLE cr_hi PARTITION OF cr DEFAULT")
+    val e2 = new Engine(spark, wh)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    // each engine fires 6 routed INSERTs of 100 rows spanning BOTH
+    // children; id ranges are disjoint across engines
+    def worker(e: Engine, base: Long): Thread = new Thread(() => {
+      start.await()
+      try (0 until 6).foreach { i =>
+        val lo = base + i * 100
+        exec(e, s"INSERT INTO cr SELECT id, concat('v', id) " +
+          s"FROM range($lo, ${lo + 100})")
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val ts = Seq(worker(e1, 0L), worker(e2, 2000L))
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent routed INSERT failed: ${errs.peek()}")
+    // every row exactly once, each in the right child
+    val fresh = new Engine(spark, wh)
+    assert(exec(fresh, "SELECT count(*) FROM cr").df.get.as[Long].head()
+      === 1200L)
+    assert(exec(fresh, "SELECT count(DISTINCT id) FROM cr").df.get
+      .as[Long].head() === 1200L)
+    assert(exec(fresh, "SELECT count(*) FROM cr_lo").df.get.as[Long].head()
+      === 500L)
+    assert(exec(fresh, "SELECT count(*) FROM cr_hi").df.get.as[Long].head()
+      === 700L)
+  }
+
   test("partitioning: routed INSERT is single-pass — one source scan for N children") {
     // round-12 verdict #2: the old shape was checkpoint + groupBy-count
     // + one filtered re-read PER child (3 + N jobs). The single-pass
@@ -2973,13 +3013,33 @@ class SqlRouterSpec extends SparkSpec {
     assert(exec(e, "SELECT count(*) FROM mp").df.get.as[Long].head() === 3L)
   }
 
-  test("partitioning: MySQL partition-list trailer stays a loud parse failure") {
+  test("partitioning: MySQL partition trailers accept-and-ignore; PG trailers route") {
+    // r12 verdict #7: the BARE (non-comment) MySQL partition trailer —
+    // explicit list / PARTITIONS n / KEY / COLUMNS — is a no-op table
+    // option like the reference's GMS path treats it: the table
+    // creates PLAIN (never a bogus PG parent that rejects every
+    // write), a Note lands in the diagnostics area, and writes work.
     val e = new Engine(spark, tmpDir("router_part_mysql"))
-    intercept[Exception](exec(e,
+    exec(e,
       "CREATE TABLE m (id BIGINT, v STRING) PARTITION BY RANGE (id) " +
-        "(PARTITION p0 VALUES LESS THAN (6), PARTITION p1 VALUES LESS THAN (10))"))
-    intercept[Exception](exec(e,
-      "CREATE TABLE m2 (id BIGINT, v STRING) PARTITION BY HASH (id) PARTITIONS 4"))
+        "(PARTITION p0 VALUES LESS THAN (6), PARTITION p1 VALUES LESS THAN (10))")
+    assert(e.table("m").partitionBy === None)
+    val w = exec(e, "SHOW WARNINGS").df.get.collect()
+    assert(w.exists(_.getString(2).contains("PARTITION BY clause ignored")))
+    exec(e, "INSERT INTO m VALUES (3, 'a'), (8, 'b')")
+    assert(exec(e, "SELECT count(*) FROM m").df.get.as[Long].head() === 2L)
+    exec(e,
+      "CREATE TABLE m2 (id BIGINT, v STRING) PARTITION BY HASH (id) PARTITIONS 4")
+    assert(e.table("m2").partitionBy === None)
+    exec(e, "CREATE TABLE m3 (a BIGINT, b STRING) PARTITION BY KEY (a)")
+    assert(e.table("m3").partitionBy === None)
+    exec(e, "CREATE TABLE m4 (a BIGINT, d DATE) " +
+      "PARTITION BY RANGE COLUMNS(d) (PARTITION p0 VALUES LESS THAN ('2020-01-01'))")
+    assert(e.table("m4").partitionBy === None)
+    exec(e, "DROP TABLE m")
+    exec(e, "DROP TABLE m2")
+    exec(e, "DROP TABLE m3")
+    exec(e, "DROP TABLE m4")
     assert(e.listTables().isEmpty)
     // SHOW CREATE round-trips the PG parent's PARTITION BY trailer
     exec(e, "CREATE TABLE pt (id BIGINT, v STRING) PARTITION BY RANGE (id)")
