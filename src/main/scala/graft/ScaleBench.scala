@@ -126,15 +126,19 @@ object ScaleBench {
       val prefixMass = Operators.prefixCandidateMass(sets, 0.5)
       // round-10: the POST-filter survivor count too — the pairs that
       // actually reach verify after the in-join length/positional
-      // conjuncts, vs the Σ df² upper bound above
+      // conjuncts, vs the Σ df² upper bound above. Round-13 adds the
+      // DF-ORDERED survivor count — the mass the production path
+      // (canonical frequency order) actually materializes.
       val survivors = Operators.prefixSurvivorCount(sets, 0.5)
+      val survDford = Operators.prefixSurvivorCount(
+        Operators.freqRankedSets(cs, "doc_id", "cs"), 0.5)
       val lshMass = Operators.minHashBands(cs, "doc_id", "cs")
         .groupBy(col("band"), col("v")).count()
         .agg(sum(expr("count * (count - 1) / 2")).cast("long")).collect()(0)
         .getLong(0)
       println(s"""{"op":"mass","factor":$f,"n":$n,"brute":${n * (n - 1) / 2},""" +
         s""""prefix05":$prefixMass,"prefix05_survivors":$survivors,""" +
-        s""""lsh_buckets":$lshMass}""")
+        s""""survivors_dford":$survDford,"lsh_buckets":$lshMass}""")
 
       timed("lsh_pairs", f)(lshPairs(cs))
       timed("ppjoin05", f)(
@@ -185,13 +189,15 @@ object ScaleBench {
           size(col("cs")).as("__len"))
         val prefixMass = Operators.prefixCandidateMass(sets, 0.5)
         val survivors = Operators.prefixSurvivorCount(sets, 0.5)
+        val survDford = Operators.prefixSurvivorCount(
+          Operators.freqRankedSets(cs, "doc_id", "cs"), 0.5)
         val lshMass = Operators.minHashBands(cs, "doc_id", "cs")
           .groupBy(col("band"), col("v")).count()
           .agg(sum(expr("count * (count - 1) / 2")).cast("long")).collect()(0)
           .getLong(0)
         println(s"""{"op":"mass","factor":$f,"n":$n,"brute":${n * (n - 1) / 2},""" +
           s""""prefix05":$prefixMass,"prefix05_survivors":$survivors,""" +
-          s""""lsh_buckets":$lshMass}""")
+          s""""survivors_dford":$survDford,"lsh_buckets":$lshMass}""")
         timed("lsh_pairs", f)(lshPairs(cs))
         timed("ppjoin05", f)(
           Operators.jaccardPairsPrefix(cs, "doc_id", "cs", 0.5))

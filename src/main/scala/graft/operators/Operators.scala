@@ -255,6 +255,15 @@ object Operators {
     *     qualifying pair's first shared prefix code always passes);
     *  4. exact verify — `sorted_intersect_count` on the full arrays.
     *
+    * Before any of that, the universe is re-ranked by ASCENDING global
+    * document frequency (the ppjoin paper's canonical order): the
+    * prefix filter holds under any total order, so putting the RAREST
+    * codes into every prefix minimizes the Σ df² candidate mass the
+    * equi-join materializes — the single biggest lever on a corpus
+    * whose hot shingles would otherwise land in prefixes at random.
+    * Results are identical (the recode is an order-preserving
+    * bijection); the price is one linear df aggregation + recode join.
+    *
     * Every stage is a keyed shuffle (code, then pair, then id) — no
     * broadcast of the corpus, no driver state: the 100 TB shape. At
     * low τ the prefix approaches the whole set and the dense-corpus
@@ -270,11 +279,9 @@ object Operators {
       tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau in (0,1]: $tau")
     // materialize the (typically expensive — shingling/hashing) set
-    // projection ONCE: it feeds both prefix-join sides plus the two
-    // verify joins, and Spark never dedups plan subtrees
-    val sets = codeSets.select(col(idCol).as("__id"), col(setCol).as("__cs"),
-      size(col(setCol)).as("__len"))
-      .localCheckpoint()
+    // projection ONCE: it feeds the frequency pass plus the recode
+    // pass, and Spark never dedups plan subtrees
+    val sets = freqRankedSets(codeSets, idCol, setCol)
     // EVERY τ-dependent filter in the cascade is nudged by a relative
     // epsilon in the ADMIT direction: τ·len (and τ/(1+τ)) round UP in
     // binary for many τ (e.g. 100·0.55 = 55.000000000000006, τ=0.2 →
@@ -308,6 +315,42 @@ object Operators {
       .filter(col("jaccard") >= tau)
       .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
         col("jaccard"))
+  }
+
+  /** CANONICAL UNIVERSE ORDER (round-12 verdict #5; the ppjoin
+    * paper's central lever): the prefix filter is valid under ANY
+    * global total order, and the candidate mass is Σ df(code)² over
+    * PREFIX codes — so re-rank the universe by ASCENDING document
+    * frequency and every prefix holds its set's RAREST codes. Hash
+    * order (shingle_code_set's output) puts hot codes into prefixes
+    * at random and the equi-join's df² blows up on exactly those; df
+    * order collapses it. Rank = position in the (df, code) sort —
+    * injective and order-preserving; built by one distributed sort +
+    * zipWithIndex, never a driver collect or a single-partition
+    * window. Intersections and set sizes are preserved by the
+    * bijection, so pairs and jaccards are IDENTICAL to the hash-order
+    * path. Empty sets drop here (they can never reach τ > 0). Returns
+    * a localCheckpoint'd (__id, __cs, __len). */
+  private[graft] def freqRankedSets(codeSets: DataFrame, idCol: String,
+      setCol: String): DataFrame = {
+    val raw = codeSets.select(col(idCol).as("__id"), col(setCol).as("__cs0"))
+      .localCheckpoint() // feeds the df pass AND the recode pass
+    val sp = codeSets.sparkSession
+    import sp.implicits._
+    val rankDf = raw.select(explode(col("__cs0")).as("__code"))
+      .groupBy("__code").agg(count(lit(1)).as("__df"))
+      .orderBy(col("__df"), col("__code"))
+      .rdd.zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), i) }
+      .toDF("__code", "__rank")
+    val sets = raw.select(col("__id"), explode(col("__cs0")).as("__code"))
+      .join(rankDf.hint("shuffle_hash"), "__code")
+      .groupBy("__id")
+      .agg(sort_array(collect_list(col("__rank"))).as("__cs"),
+        count(lit(1)).cast("int").as("__len"))
+      .localCheckpoint()
+    freeCheckpoint(raw) // both consumers materialized into `sets`
+    sets
   }
 
   /** The ppjoin candidate stage, shared by the production path and the
