@@ -2265,18 +2265,19 @@ object SqlRouter {
         case other => throw new IllegalArgumentException(
           s"unsupported column attributes: $other")
       }
-      val t = engine.table(name)
-      val userTyA = resolveUserType(engine, colType)
-      t.addColumn(colName,
-        userTyA.map(_._1).getOrElse(
-          StructType.fromDDL(s"x $colType").head.dataType),
-        nullable = gen.isEmpty && !notNull,
-        defaultSql = gen.orElse(default.map(_.trim)))
-      gen.foreach(g => t.setProps(s"generated.$colName" -> g))
-      userTyA.collect { case (_, values) if values.nonEmpty =>
-        t.setProps(s"check.enum_$colName" -> enumCheck(colName, values))
+      fanAlterToChildren(engine, name, sqlText, original) {
+        val t = engine.table(name)
+        val userTyA = resolveUserType(engine, colType)
+        t.addColumn(colName,
+          userTyA.map(_._1).getOrElse(
+            StructType.fromDDL(s"x $colType").head.dataType),
+          nullable = gen.isEmpty && !notNull,
+          defaultSql = gen.orElse(default.map(_.trim)))
+        gen.foreach(g => t.setProps(s"generated.$colName" -> g))
+        userTyA.collect { case (_, values) if values.nonEmpty =>
+          t.setProps(s"check.enum_$colName" -> enumCheck(colName, values))
+        }
       }
-      ddl
     case AlterAddPk(name, cols) =>
       val t = engine.table(name)
       val pkCols = cols.split(',').map(_.trim).toSeq
@@ -2287,10 +2288,13 @@ object SqlRouter {
       t.setPrimaryKey(pkCols)
       ddl
     case AlterAddCheck(name, cname, checkExpr) =>
-      val t = engine.table(name)
-      expr(checkExpr) // parse now: a broken expression fails HERE, not on the next insert
-      t.setProps(s"check.$cname" -> checkExpr.trim)
-      ddl
+      // PG recurses CHECK constraints to partitions too — without the
+      // fan a DIRECT child insert would bypass the parent's constraint
+      fanAlterToChildren(engine, name, sqlText, original) {
+        val t = engine.table(name)
+        expr(checkExpr) // parse now: a broken expression fails HERE, not on the next insert
+        t.setProps(s"check.$cname" -> checkExpr.trim)
+      }
     case AlterAddUnique(name, cnm, inm, colList) =>
       // UNIQUE constraints RECORD their column set (arbiter metadata);
       // enforcement stays best-effort like the reference's replicated
@@ -2366,9 +2370,11 @@ object SqlRouter {
       if (ifExists == null) engine.table(name)
       ddl
     case AlterDrop(name, colName) =>
-      engine.table(name).dropColumn(colName); ddl
+      fanAlterToChildren(engine, name, sqlText, original)(
+        engine.table(name).dropColumn(colName))
     case AlterRename(name, from, to) =>
-      engine.table(name).renameColumn(from, to); ddl
+      fanAlterToChildren(engine, name, sqlText, original)(
+        engine.table(name).renameColumn(from, to))
     case AlterModify(name, mysqlCol, pgCol, colType, using) =>
       val c = Option(mysqlCol).getOrElse(pgCol)
       // PG's USING conversion expression: the storage design pins each
@@ -2390,28 +2396,30 @@ object SqlRouter {
           s"ALTER TYPE USING supports only a cast of $c to $colType " +
             s"itself: USING $u")
       }
-      engine.table(name).modifyColumnType(c,
-        StructType.fromDDL(s"x $colType").head.dataType)
-      ddl
+      fanAlterToChildren(engine, name, sqlText, original)(
+        engine.table(name).modifyColumnType(c,
+          StructType.fromDDL(s"x $colType").head.dataType))
     case AlterColDefault(name, colName, default) =>
-      val t = engine.table(name)
-      require(t.schema.fieldNames.contains(colName),
-        s"no column $colName in $name")
-      // a nextval(...) default IS the serial marker, not a literal —
-      // recorded as the auto-inc flag; literal defaults go to the same
-      // default.* props CREATE TABLE records
-      val props =
-        if (default.toLowerCase.contains("nextval("))
-          t.manifest.props + (s"autoinc.$colName" -> "true")
-        else t.manifest.props + (s"default.$colName" -> default.trim)
-      graft.storage.Manifest.commit(t.path, t.manifest.copy(props = props))
-      ddl
+      fanAlterToChildren(engine, name, sqlText, original) {
+        val t = engine.table(name)
+        require(t.schema.fieldNames.contains(colName),
+          s"no column $colName in $name")
+        // a nextval(...) default IS the serial marker, not a literal —
+        // recorded as the auto-inc flag; literal defaults go to the
+        // same default.* props CREATE TABLE records
+        val props =
+          if (default.toLowerCase.contains("nextval("))
+            t.manifest.props + (s"autoinc.$colName" -> "true")
+          else t.manifest.props + (s"default.$colName" -> default.trim)
+        graft.storage.Manifest.commit(t.path, t.manifest.copy(props = props))
+      }
     case AlterColDropDefault(name, colName) =>
-      val t = engine.table(name)
-      graft.storage.Manifest.commit(t.path, t.manifest.copy(
-        props = t.manifest.props - s"default.$colName" -
-          s"autoinc.$colName" - s"identity.$colName"))
-      ddl
+      fanAlterToChildren(engine, name, sqlText, original) {
+        val t = engine.table(name)
+        graft.storage.Manifest.commit(t.path, t.manifest.copy(
+          props = t.manifest.props - s"default.$colName" -
+            s"autoinc.$colName" - s"identity.$colName"))
+      }
     case AlterAddIdentity(name, colName, flavor, seqOpts) =>
       val t = engine.table(name)
       require(t.schema.fieldNames.contains(colName),
@@ -3338,6 +3346,49 @@ object SqlRouter {
   /** Apply a maintenance op to every LEAF under `name` (or to the
     * table itself when it is not partitioned) — OPTIMIZE/VACUUM/ANALYZE
     * fan out like PG's, since a parent owns no files. */
+  /** PG semantics: column-level ALTERs (ADD/DROP/RENAME/MODIFY COLUMN,
+    * SET/DROP DEFAULT, ADD CHECK) on a partitioned parent recurse to
+    * every attached child — partitions share the parent's column set,
+    * and a parent whose metadata changed without its children would
+    * LIE on every read (the round-13 probe showed RENAME "succeeding"
+    * while the parent's union kept serving the old column — the exact
+    * silent-wrongness shape this engine refuses). Child statements
+    * re-route, so subpartitioned mid-level nodes recurse; children go
+    * first and, in autocommit, the whole fan wraps in an internal
+    * transaction so a mid-fan failure rolls the tree back together. */
+  private def fanAlterToChildren(engine: Engine, name: String,
+      stmt: String, original: String)(parentAction: => Unit): Result = {
+    val kids =
+      if (!tableExists(engine, name)) Seq.empty
+      else {
+        val t = engine.table(name)
+        if (t.partitionBy.isDefined) t.partitionChildren else Seq.empty
+      }
+    if (kids.isEmpty) { parentAction; return ddl }
+    val ownTxn = !engine.inTransaction
+    if (ownTxn) engine.begin()
+    try {
+      kids.foreach { case (c, _) =>
+        executeRouted(engine, reTargetAlter(stmt, childRef(name, c)),
+          reTargetAlter(original, childRef(name, c)))
+      }
+      parentAction
+      if (ownTxn) engine.commit()
+    } catch {
+      case scala.util.control.NonFatal(ex) =>
+        if (ownTxn && engine.inTransaction) engine.rollback()
+        throw ex
+    }
+    ddl
+  }
+
+  /** Swap the target table of an ALTER statement, preserving the tail
+    * verbatim (captures can't rebuild DEFAULT expressions safely). */
+  private def reTargetAlter(stmt: String, child: String): String =
+    """(?is)^(\s*ALTER\s+TABLE\s+(?:ONLY\s+)?(?:IF\s+EXISTS\s+)?)[\w.`"]+""".r
+      .replaceFirstIn(stmt,
+        "$1" + java.util.regex.Matcher.quoteReplacement(child))
+
   private def forEachLeaf(engine: Engine, name: String)(
       f: graft.storage.GraftTable => Unit): Unit = {
     val t = engine.table(name)

@@ -2792,6 +2792,54 @@ class SqlRouterSpec extends SparkSpec {
     intercept[Exception](exec(e, "UPDATE rt SET n = 0 LIMIT 1"))
   }
 
+  test("partitioning: column ALTERs recurse to every child (PG semantics)") {
+    // round-13 probe: RENAME on a parent "succeeded" while the
+    // parent's union kept serving the old column — the silent lie.
+    // Column ALTERs now fan to children (subpartition depth included).
+    val e = new Engine(spark, tmpDir("router_part_alter"))
+    exec(e, "CREATE TABLE pa (id BIGINT, region STRING, v STRING) " +
+      "PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE pa_mid PARTITION OF pa " +
+      "FOR VALUES FROM (0) TO (100) PARTITION BY LIST (region)")
+    exec(e, "CREATE TABLE pa_mid_eu PARTITION OF pa_mid FOR VALUES IN ('eu')")
+    exec(e, "CREATE TABLE pa_hi PARTITION OF pa DEFAULT")
+    exec(e, "INSERT INTO pa VALUES (1, 'eu', 'a'), (200, 'us', 'b')")
+    // ADD COLUMN reaches every leaf and the parent read serves it
+    exec(e, "ALTER TABLE pa ADD COLUMN n INT DEFAULT 7 NOT NULL")
+    assert(exec(e, "SELECT sum(n) FROM pa").df.get.as[Long].head() === 14L)
+    assert(exec(e, "SELECT n FROM pa_mid_eu").df.get.as[Int].head() === 7)
+    // RENAME: the parent read serves the NEW name, children agree
+    exec(e, "ALTER TABLE pa RENAME COLUMN v TO label")
+    assert(exec(e, "SELECT label FROM pa WHERE id = 1").df.get
+      .as[String].head() === "a")
+    assert(exec(e, "SELECT label FROM pa_hi").df.get.as[String].head() === "b")
+    // MODIFY type recurses
+    exec(e, "ALTER TABLE pa MODIFY COLUMN n BIGINT")
+    assert(exec(e, "SELECT n FROM pa_hi").df.get.as[Long].head() === 7L)
+    // SET DEFAULT recurses: a direct child insert sees it
+    exec(e, "ALTER TABLE pa ALTER COLUMN label SET DEFAULT 'dflt'")
+    exec(e, "INSERT INTO pa_hi (id, region, n) VALUES (300, 'us', 1)")
+    assert(exec(e, "SELECT label FROM pa WHERE id = 300").df.get
+      .as[String].head() === "dflt")
+    // ADD CHECK recurses: a DIRECT child insert can't bypass it
+    exec(e, "ALTER TABLE pa ADD CONSTRAINT n_pos CHECK (n >= 0)")
+    intercept[Exception](exec(e,
+      "INSERT INTO pa_hi VALUES (301, 'us', 'x', -5)"))
+    // DROP COLUMN recurses
+    exec(e, "ALTER TABLE pa DROP COLUMN label")
+    assert(!e.table("pa_mid_eu").schema.fieldNames.contains("label"))
+    assert(exec(e, "SELECT count(*) FROM pa").df.get.as[Long].head() === 3L)
+    // a mid-fan failure rolls the whole tree back (duplicate column on
+    // ONE child pre-created out-of-band)
+    exec(e, "CREATE TABLE q (id BIGINT, v STRING) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE q_a PARTITION OF q FOR VALUES FROM (0) TO (10)")
+    exec(e, "CREATE TABLE q_b PARTITION OF q DEFAULT")
+    exec(e, "ALTER TABLE q_b ADD COLUMN extra INT")
+    intercept[Exception](exec(e, "ALTER TABLE q ADD COLUMN extra INT"))
+    assert(!e.table("q_a").schema.fieldNames.contains("extra"),
+      "mid-fan failure must not leave a half-altered tree")
+  }
+
   test("partitioning: RENAME re-keys partchild/partof pointers") {
     val e = new Engine(spark, tmpDir("router_part_rename"))
     exec(e, "CREATE TABLE rp (id BIGINT NOT NULL, v STRING, " +
