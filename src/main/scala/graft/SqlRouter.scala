@@ -2228,8 +2228,16 @@ object SqlRouter {
     case Vacuum(name, retain) =>
       val minAge = Option(retain).map(_.toLong * 1000)
       var n = 0L
-      forEachLeaf(engine, name)(tt =>
-        n += minAge.fold(tt.vacuum())(a => tt.vacuum(minAgeMs = a)))
+      // EVERY node, parents included: a parent owns no data files but
+      // its ingest/ staging can hold crash orphans and its manifest
+      // journal grows with counter advances
+      def walkVac(nm: String): Unit = {
+        val tt = engine.table(nm)
+        n += minAge.fold(tt.vacuum())(a => tt.vacuum(minAgeMs = a))
+        if (tt.partitionBy.isDefined)
+          tt.partitionChildren.foreach(c => walkVac(childRef(nm, c._1)))
+      }
+      walkVac(name)
       Result(None, n)
     case Analyze(name) =>
       val t0 = engine.table(name)

@@ -954,9 +954,20 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val conf = spark.sessionState.newHadoopConf()
     val dataDir = new org.apache.hadoop.fs.Path(path.resolve("data").toUri)
     val fs = dataDir.getFileSystem(conf)
-    if (!fs.exists(dataDir)) return 0L
     val cutoff = System.currentTimeMillis() - minAgeMs
     var removed = 0L
+    // orphaned single-pass INGEST staging (a crash between the
+    // partitionBy write and the per-leaf adoption leaks the whole
+    // staging dir — nothing references it, so age-gated removal is
+    // safe; a healthy statement deletes its own dir in a finally)
+    val ingestDir = new org.apache.hadoop.fs.Path(path.resolve("ingest").toUri)
+    if (fs.exists(ingestDir))
+      fs.listStatus(ingestDir).filter(_.isDirectory).foreach { d =>
+        if (d.getModificationTime <= cutoff) {
+          removed += 1; fs.delete(d.getPath, true); ()
+        }
+      }
+    if (!fs.exists(dataDir)) return removed
     val it = fs.listFiles(dataDir, true)
     while (it.hasNext) {
       val s = it.next()

@@ -3055,8 +3055,16 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "ANALYZE TABLE mp")
     assert(e.table("mp").manifest.props("stats.rowCount") === "3")
     assert(e.table("mp_hi").manifest.props("stats.rowCount") === "2")
-    // VACUUM / OPTIMIZE fan to the leaves without touching the parent
-    exec(e, "VACUUM mp")
+    // VACUUM visits every node: a crash-orphaned single-pass staging
+    // dir under the PARENT is age-gated away (round 13)
+    val orphan = e.table("mp").path.resolve("ingest").resolve("dead-run")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-0.parquet"), "x")
+    exec(e, "VACUUM mp") // default age gate: young orphan survives
+    assert(java.nio.file.Files.exists(orphan))
+    exec(e, "VACUUM mp RETAIN 0 SECONDS")
+    assert(!java.nio.file.Files.exists(orphan),
+      "aged ingest orphan must be reclaimed")
     exec(e, "OPTIMIZE mp")
     assert(exec(e, "SELECT count(*) FROM mp").df.get.as[Long].head() === 3L)
   }
