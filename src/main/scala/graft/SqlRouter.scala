@@ -1408,17 +1408,37 @@ object SqlRouter {
               // PG returns only the rows actually INSERTED under DO
               // NOTHING; the pre-insert key set is frozen (immutable
               // files), the source pinned once. Expression arbiters
-              // compute on both frames via the table's helper.
+              // compute on both frames via the table's helper. Through
+              // a PARTITIONED parent the same logic runs per child
+              // (serial, like every routed merge) and the RETURNING
+              // frames union across children (r13; the ORM id-grab
+              // upsert works on partitioned tables in PG).
               val src = sourceDfFor(engine, t, colList, rest)
                 .localCheckpoint(true)
-              val (keyCols, addArb) = t.withArbiterKey(pk)
-              val preKeys = addArb(t.read()).select(keyCols.map(col): _*)
-              val n = t.insertIgnoreRows(src, pk)
-              // same first-occurrence condensation insertIgnoreRows
-              // applies, so the image rows ARE the stored rows
-              val inserted = t.firstPerKey(addArb(src), keyCols)
-                .join(preKeys, keyCols, "left_anti")
-              Result(Some(retSel(inserted, rx)), n)
+              def ignoreWithImages(ct: graft.storage.GraftTable,
+                  slice: DataFrame): (DataFrame, Long) = {
+                val (keyCols, addArb) = ct.withArbiterKey(pk)
+                val preKeys = addArb(ct.read()).select(keyCols.map(col): _*)
+                val n = ct.insertIgnoreRows(slice, pk)
+                // same first-occurrence condensation insertIgnoreRows
+                // applies, so the image rows ARE the stored rows
+                (ct.firstPerKey(addArb(slice), keyCols)
+                  .join(preKeys, keyCols, "left_anti"), n)
+              }
+              if (t.partitionBy.isDefined) {
+                val frames =
+                  scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+                val n = routeFrame(engine, name, t, src, (ct, slice) => {
+                  val (img, k) = ignoreWithImages(ct, slice)
+                  frames.synchronized { frames += img }
+                  k
+                }, serial = true)
+                Result(Some(retSel(frames.reduceOption(_ union _)
+                  .getOrElse(src.limit(0)), rx)), n)
+              } else {
+                val (img, n) = ignoreWithImages(t, src)
+                Result(Some(retSel(img, rx)), n)
+              }
           } else {
             val (sets0, whereOpt) = splitSetWhere(setList)
             val sets = splitTop(sets0).map { kv =>
@@ -1443,9 +1463,24 @@ object SqlRouter {
               case Some(rx) =>
                 val src = sourceDfFor(engine, t, colList, rest)
                   .localCheckpoint(true)
-                val (img, n) = upsertWithImages(t, src, sets,
-                  whereOpt.map(w => rewriteConflictRefs(w, name)), pk)
-                Result(Some(retSel(img, rx)), n)
+                val guard = whereOpt.map(w => rewriteConflictRefs(w, name))
+                if (t.partitionBy.isDefined) {
+                  // per-child upsert-with-images, RETURNING = the
+                  // cross-child union (r13; same serial routing as
+                  // every merge through a partitioned parent)
+                  val frames =
+                    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+                  val n = routeFrame(engine, name, t, src, (ct, slice) => {
+                    val (img, k) = upsertWithImages(ct, slice, sets, guard, pk)
+                    frames.synchronized { frames += img }
+                    k
+                  }, serial = true)
+                  Result(Some(retSel(frames.reduceOption(_ union _)
+                    .getOrElse(src.limit(0)), rx)), n)
+                } else {
+                  val (img, n) = upsertWithImages(t, src, sets, guard, pk)
+                  Result(Some(retSel(img, rx)), n)
+                }
             }
           }
         case other => throw new IllegalArgumentException(
@@ -1493,8 +1528,23 @@ object SqlRouter {
         case Some(rx) =>
           val src = sourceDfFor(engine, t, colList, rest)
             .localCheckpoint(true)
-          val (img, n) = upsertWithImages(t, src, sets, None)
-          Result(Some(img.selectExpr(splitTop(rx).map(_.trim): _*)), n)
+          def sel(df: DataFrame): DataFrame =
+            df.selectExpr(splitTop(rx).map(_.trim): _*)
+          if (t.partitionBy.isDefined) {
+            // MariaDB ODKU RETURNING through a partitioned parent:
+            // per-child images, cross-child union (r13)
+            val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+            val n = routeFrame(engine, name, t, src, (ct, slice) => {
+              val (img, k) = upsertWithImages(ct, slice, sets, None)
+              frames.synchronized { frames += img }
+              k
+            }, serial = true)
+            Result(Some(sel(frames.reduceOption(_ union _)
+              .getOrElse(src.limit(0)))), n)
+          } else {
+            val (img, n) = upsertWithImages(t, src, sets, None)
+            Result(Some(sel(img)), n)
+          }
       }
     case InsertDefaults(name) =>
       // PG's all-defaults one-row insert: declared DEFAULTs, null

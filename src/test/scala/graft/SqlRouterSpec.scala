@@ -2715,6 +2715,39 @@ class SqlRouterSpec extends SparkSpec {
       === 6)
   }
 
+  test("partitioning: merge-family RETURNING through the parent (id-grab upserts)") {
+    // r13: the ORM id-grab shapes — INSERT ... ON CONFLICT DO
+    // NOTHING/DO UPDATE ... RETURNING and MariaDB ODKU RETURNING —
+    // work through a partitioned parent: per-child images, serial
+    // routing, cross-child union.
+    val e = new Engine(spark, tmpDir("router_part_mret"))
+    exec(e, "CREATE TABLE mr (id BIGINT NOT NULL, v STRING, n INT, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE mr_lo PARTITION OF mr FOR VALUES FROM (0) TO (100)")
+    exec(e, "CREATE TABLE mr_hi PARTITION OF mr DEFAULT")
+    exec(e, "INSERT INTO mr VALUES (1, 'a', 1), (150, 'b', 2)")
+    // DO NOTHING RETURNING answers ONLY the actually-inserted rows,
+    // across both children
+    val dn = exec(e, "INSERT INTO mr VALUES (1, 'dup', 0), (50, 'new', 3), " +
+      "(250, 'new2', 4) ON CONFLICT (id) DO NOTHING RETURNING id")
+    assert(dn.affected === 2L)
+    assert(dn.df.get.as[Long].collect().sorted === Array(50L, 250L))
+    // DO UPDATE RETURNING answers post-images across children
+    val du = exec(e, "INSERT INTO mr VALUES (1, 'x', 10), (150, 'y', 20) " +
+      "ON CONFLICT (id) DO UPDATE SET n = mr.n + excluded.n " +
+      "RETURNING id, n")
+    assert(du.df.get.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getInt(1))).toSeq === Seq((1L, 11), (150L, 22)))
+    // MariaDB ODKU RETURNING, same shape
+    val od = exec(e, "INSERT INTO mr VALUES (50, 'z', 100), (260, 'w', 5) " +
+      "ON DUPLICATE KEY UPDATE n = n + VALUES(n) RETURNING id, n")
+    assert(od.df.get.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getInt(1))).toSeq === Seq((50L, 103), (260L, 5)))
+    // tree state consistent after all three
+    assert(exec(e, "SELECT count(*) FROM mr").df.get.as[Long].head() === 5L)
+    assert(exec(e, "SELECT count(*) FROM mr_lo").df.get.as[Long].head() === 2L)
+  }
+
   test("partitioning: UPDATE of the partition key moves rows between children") {
     val e = new Engine(spark, tmpDir("router_part_move"))
     exec(e, "CREATE TABLE mv (id BIGINT NOT NULL, v STRING, " +
