@@ -2356,9 +2356,11 @@ object SqlRouter {
     case AlterAddUnique(name, cnm, inm, colList) =>
       // UNIQUE constraints RECORD their column set (arbiter metadata);
       // enforcement stays best-effort like the reference's replicated
-      // mode (ART indexes disabled)
-      recordUnique(engine, name, Option(cnm).orElse(Option(inm)), colList)
-      ddl
+      // mode (ART indexes disabled). PG recurses index builds to
+      // partitions — the fan keeps a child-direct ON CONFLICT able to
+      // resolve the same arbiter (r13).
+      fanAlterToChildren(engine, name, sqlText, original)(
+        recordUnique(engine, name, Option(cnm).orElse(Option(inm)), colList))
     case AlterAddIgnoredConstraint(name) =>
       engine.table(name) // validate the target; the constraint is dropped
       ddl
@@ -2542,8 +2544,16 @@ object SqlRouter {
           .replaceFirstIn(rest0.trim, "")
         extractParenGroup(rest) match {
           case Some((colList, tail)) if benignIndexTail(tail) =>
-            recordUnique(engine, tblName,
-              Option(idxName).filter(_.nonEmpty), colList)
+            // PG recurses unique-index builds through partition trees
+            // (r13) — record on the target and every node below it
+            def rec(nm: String): Unit = {
+              recordUnique(engine, nm,
+                Option(idxName).filter(_.nonEmpty), colList)
+              val tt = engine.table(nm)
+              if (tt.partitionBy.isDefined)
+                tt.partitionChildren.foreach(c => rec(childRef(nm, c._1)))
+            }
+            rec(tblName)
           case _ => () // partial (WHERE ...) / unparsed: accepted-and-
                        // dropped — a partial index recorded as a TOTAL
                        // arbiter would make ON CONFLICT update rows PG
@@ -2557,9 +2567,21 @@ object SqlRouter {
       // (one manifest read per table, a DDL-rate cost)
       val nm = idxName.split('.').last
       Option(tbl) match {
-        case Some(tn) => engine.table(tn).dropUniqueIndex(nm)
+        case Some(tn) =>
+          // fanned unique indexes live on every tree node (r13): drop
+          // from the target and its whole subtree
+          def drop(n0: String): Unit = {
+            val tt = engine.table(n0)
+            tt.dropUniqueIndex(nm)
+            if (tt.partitionBy.isDefined)
+              tt.partitionChildren.foreach(c => drop(childRef(n0, c._1)))
+          }
+          drop(tn)
         case None =>
-          engine.listTables().exists(tn =>
+          // PG form names only the index; fanned copies share the name
+          // across the tree, so drop it from EVERY table holding it
+          // (`exists` would stop at the first and leave stale copies)
+          engine.listTables().foreach(tn =>
             engine.table(tn).dropUniqueIndex(nm))
       }
       ddl

@@ -2952,6 +2952,18 @@ class SqlRouterSpec extends SparkSpec {
       "PARTITION BY RANGE (a)")
     intercept[Exception](exec(e, "CREATE TABLE tr_sub PARTITION OF tr " +
       "FOR VALUES FROM (0) TO (10) PARTITION BY LIST (b)"))
+    // unique-index DDL recurses to children (PG index builds do):
+    // a child-direct ON CONFLICT can then resolve the same arbiter
+    exec(e, "CREATE TABLE ok_c1 PARTITION OF ok FOR VALUES FROM (0) TO (10)")
+    exec(e, "CREATE UNIQUE INDEX kv2 ON ok (k, v)")
+    assert(e.table("ok_c1").uniqueIndexes.contains("kv2"))
+    exec(e, "ALTER TABLE ok ADD CONSTRAINT kv3 UNIQUE (k, v)")
+    assert(e.table("ok_c1").uniqueIndexes.contains("kv3"))
+    exec(e, "DROP INDEX kv2 ON ok")
+    assert(!e.table("ok_c1").uniqueIndexes.contains("kv2"))
+    exec(e, "DROP INDEX kv3") // PG form: every holder drops it
+    assert(!e.table("ok").uniqueIndexes.contains("kv3"))
+    assert(!e.table("ok_c1").uniqueIndexes.contains("kv3"))
   }
 
   test("partitioning: merge-family chain is loop-stable (20 iterations, bit-exact)") {
