@@ -1055,7 +1055,19 @@ object SqlRouter {
       if (ifNotExists != null && tableExists(engine, name)) ddl
       else {
         val m = engine.table(src).manifest
-        engine.createTable(name, m.schema, m.pkCols, m.props); ddl
+        // LIKE copies the COLUMN surface (types, defaults, checks,
+        // auto-inc marking) — NEVER the partition linkage: a copied
+        // `partchild.*` would make the clone claim the ORIGINAL's
+        // children (two parents writing one child — silent corruption)
+        // and a copied `partof` would attach it to a parent that
+        // doesn't know it. PG's LIKE copies columns, not partitioning.
+        // Source stats describe the source's data, not the clone's.
+        val props = m.props.filterNot { case (k, _) =>
+          k == "partition.by" || k.startsWith("partchild.") ||
+            k == "partof" || k == "check.__partbound" ||
+            k.startsWith("stats.")
+        }
+        engine.createTable(name, m.schema, m.pkCols, props); ddl
       }
     case CreateTablePartOf(ifNotExists, name, parentName, bounds) =>
       // child inherits the parent's full behavioral surface (schema,

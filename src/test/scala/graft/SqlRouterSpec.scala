@@ -2715,6 +2715,36 @@ class SqlRouterSpec extends SparkSpec {
       === 6)
   }
 
+  test("partitioning: CREATE TABLE LIKE never copies partition linkage") {
+    // r13 audit: LIKE used to copy props wholesale — a clone of a
+    // parent claimed the ORIGINAL's children via partchild.*, and a
+    // clone of a child carried a partof pointer its parent never
+    // recorded. Both are the two-writers-one-child corruption shape.
+    val e = new Engine(spark, tmpDir("router_part_like"))
+    exec(e, "CREATE TABLE lp (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE lp_a PARTITION OF lp FOR VALUES FROM (0) TO (100)")
+    exec(e, "CREATE TABLE lp_b PARTITION OF lp DEFAULT")
+    exec(e, "INSERT INTO lp VALUES (1, 'a'), (200, 'b')")
+    exec(e, "CREATE TABLE clone LIKE lp")
+    assert(e.table("clone").partitionBy === None)
+    assert(!e.table("clone").manifest.props.keys.exists(k =>
+      k.startsWith("partchild.") || k == "partof"))
+    // the clone is a PLAIN empty table; writes stay its own
+    exec(e, "INSERT INTO clone VALUES (1, 'x')")
+    assert(exec(e, "SELECT count(*) FROM clone").df.get.as[Long].head() === 1L)
+    assert(exec(e, "SELECT count(*) FROM lp").df.get.as[Long].head() === 2L)
+    assert(exec(e, "SELECT count(*) FROM lp_a").df.get.as[Long].head() === 1L)
+    // a clone of a CHILD is standalone too (no partof, no bound CHECK)
+    exec(e, "CREATE TABLE cclone LIKE lp_a")
+    assert(!e.table("cclone").manifest.props.contains("partof"))
+    exec(e, "INSERT INTO cclone VALUES (500, 'out-of-old-bounds')")
+    assert(exec(e, "SELECT count(*) FROM cclone").df.get.as[Long].head() === 1L)
+    // the auto-inc MARKING copies (MySQL LIKE semantics)
+    exec(e, "INSERT INTO clone (v) VALUES ('auto')")
+    assert(exec(e, "SELECT max(id) FROM clone").df.get.as[Long].head() >= 2L)
+  }
+
   test("partitioning: merge-family RETURNING through the parent (id-grab upserts)") {
     // r13: the ORM id-grab shapes — INSERT ... ON CONFLICT DO
     // NOTHING/DO UPDATE ... RETURNING and MariaDB ODKU RETURNING —
