@@ -783,11 +783,19 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
       val schema = org.apache.spark.sql.types.DataType
         .fromJson(meta.get("schema").asInstanceOf[String])
         .asInstanceOf[StructType]
+      val props = meta.get("props")
+        .asInstanceOf[java.util.Map[String, String]].asScala.toMap
       val tbl = GraftTable.create(spark, warehouse.resolve(db).resolve(t), schema,
         meta.get("pkCols").asInstanceOf[java.util.List[String]].asScala.toSeq,
         meta.get("autoInc").asInstanceOf[Number].longValue(),
-        meta.get("props").asInstanceOf[java.util.Map[String, String]].asScala.toMap)
-      tbl.insert(spark.read.schema(schema).parquet(srcDir.resolve(t).resolve("data").toString))
+        props)
+      // a partitioned PARENT owns no files (its rows live in the
+      // children, each restored as its own table; the partchild.*
+      // pointers in props relink the tree) — inserting its empty
+      // backup frame would trip the parent-never-holds-files guard
+      if (!props.contains("partition.by"))
+        tbl.insert(spark.read.schema(schema)
+          .parquet(srcDir.resolve(t).resolve("data").toString))
     }
     val vf = srcDir.resolve("_views.json")
     if (Files.exists(vf)) {

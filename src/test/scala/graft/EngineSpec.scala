@@ -141,6 +141,34 @@ class EngineSpec extends SparkSpec {
     assert(e2.sql("SELECT x FROM v1").as[Int].collect() === Array(2))
   }
 
+  test("backup + restore round-trips a partition TREE (r13)") {
+    // the parent owns no files; its rows live in the children and the
+    // partchild.*/partof props relink the tree on restore — the old
+    // path crashed inserting the parent's empty backup frame into the
+    // parent-never-holds-files guard
+    val e = freshEngine()
+    def run(q: String) = SqlRouter.execute(e, q)
+    run("CREATE TABLE pt (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    run("CREATE TABLE pt_lo PARTITION OF pt FOR VALUES FROM (0) TO (100)")
+    run("CREATE TABLE pt_hi PARTITION OF pt DEFAULT")
+    run("INSERT INTO pt VALUES (1, 'a'), (200, 'b')")
+    val dest = tmpDir("backup_tree")
+    e.backupDatabase("main", dest)
+    val e2 = new Engine(spark, tmpDir("restore_tree_wh"))
+    e2.restoreDatabase("restored", dest)
+    e2.use("restored")
+    def run2(q: String) = SqlRouter.execute(e2, q)
+    // tree relinked: parent reads the union, routing works, the
+    // counter survived
+    assert(run2("SELECT count(*) FROM pt").df.get.as[Long].head() === 2L)
+    run2("INSERT INTO pt VALUES (50, 'c'), (300, 'd')")
+    assert(run2("SELECT count(*) FROM pt_lo").df.get.as[Long].head() === 2L)
+    assert(run2("SELECT count(*) FROM pt_hi").df.get.as[Long].head() === 2L)
+    run2("INSERT INTO pt (v) VALUES ('auto')")
+    assert(run2("SELECT max(id) FROM pt").df.get.as[Long].head() === 301L)
+  }
+
   test("ALTER: add column with default, rename, drop — metadata only") {
     val e = freshEngine()
     e.createTable("t", xy, Seq("x"))
