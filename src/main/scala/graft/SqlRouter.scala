@@ -1893,7 +1893,18 @@ object SqlRouter {
         deleteViaJoin(engine, r._1, r._2, refs, whereOpt, returning)
       }
     case VersionQuery(name, v) =>
-      Result(Some(engine.table(name).readVersion(v.toLong)), 0L)
+      val t = engine.table(name)
+      // a partitioned parent holds no files at ANY version — its
+      // history lives across the children's independent manifests, so
+      // there is no single version number that names a tree snapshot.
+      // Refuse loudly instead of answering the parent's own empty
+      // file list (the silent-zero shape); the children time-travel
+      // individually.
+      require(t.partitionBy.isEmpty,
+        s"time travel on partitioned parent $name is not defined: " +
+          "each partition has its own version history — query the " +
+          "partition directly")
+      Result(Some(t.readVersion(v.toLong)), 0L)
     case InsertSet(name, tail) =>
       // MySQL's INSERT ... SET form is sugar for a one-row column-list
       // insert. An ON DUPLICATE KEY UPDATE or RETURNING tail rides in

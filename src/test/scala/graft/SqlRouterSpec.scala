@@ -2853,6 +2853,15 @@ class SqlRouterSpec extends SparkSpec {
     // ORDER BY/LIMIT stay refused through the parent
     intercept[Exception](exec(e, "DELETE FROM rt ORDER BY id LIMIT 1"))
     intercept[Exception](exec(e, "UPDATE rt SET n = 0 LIMIT 1"))
+    // time travel on the parent refuses loudly (each partition has its
+    // own version history — the parent's own file list is empty at
+    // every version, and answering it would be the silent-zero shape)
+    val tt = intercept[Exception](
+      exec(e, "SELECT * FROM rt VERSION AS OF 1"))
+    assert(tt.getMessage.contains("time travel"))
+    val hist = e.table("rt_hi").history()
+    assert(exec(e, s"SELECT * FROM rt_hi VERSION AS OF ${hist.last}").df.get
+      .count() >= 0L) // children time-travel individually
   }
 
   test("partitioning: column ALTERs recurse to every child (PG semantics)") {
