@@ -2321,9 +2321,14 @@ object SqlRouter {
         // TABLE STATUS answers usefully
         def walk(n: String): Long = {
           val tt = engine.table(n)
-          if (tt.partitionBy.isDefined)
-            tt.partitionChildren.map(c => walk(childRef(n, c._1))).sum
-          else {
+          if (tt.partitionBy.isDefined) {
+            val sum = tt.partitionChildren.map(c =>
+              walk(childRef(n, c._1))).sum
+            // mid-level nodes record their subtree's union too, so
+            // SHOW TABLE STATUS answers at every level of the tree
+            if (n != name) tt.setProps("stats.rowCount" -> sum.toString)
+            sum
+          } else {
             tt.analyze()
             tt.manifest.props.get("stats.rowCount").fold(0L)(_.toLong)
           }
