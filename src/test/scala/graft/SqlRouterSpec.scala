@@ -2715,6 +2715,27 @@ class SqlRouterSpec extends SparkSpec {
       === 6)
   }
 
+  test("partitioning: DETACH of a subpartitioned mid-level node keeps its subtree") {
+    val e = new Engine(spark, tmpDir("router_part_middetach"))
+    exec(e, "CREATE TABLE droot (id BIGINT, r STRING, v STRING) " +
+      "PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE dmid PARTITION OF droot " +
+      "FOR VALUES FROM (0) TO (100) PARTITION BY LIST (r)")
+    exec(e, "CREATE TABLE dmid_eu PARTITION OF dmid FOR VALUES IN ('eu')")
+    exec(e, "CREATE TABLE dhi PARTITION OF droot DEFAULT")
+    exec(e, "INSERT INTO droot VALUES (1, 'eu', 'a'), (200, 'us', 'b')")
+    exec(e, "ALTER TABLE droot DETACH PARTITION dmid")
+    // root no longer sees dmid's rows; dmid stands alone as a parent
+    assert(exec(e, "SELECT count(*) FROM droot").df.get.as[Long].head() === 1L)
+    assert(exec(e, "SELECT count(*) FROM dmid").df.get.as[Long].head() === 1L)
+    assert(e.table("dmid").partitionBy === Some("LIST (r)"))
+    assert(!e.table("dmid").manifest.props.contains("partof"))
+    // detached mid routes its OWN inserts; the old level-1 bound is gone
+    exec(e, "INSERT INTO dmid VALUES (5000, 'eu', 'c')")
+    assert(exec(e, "SELECT count(*) FROM dmid_eu").df.get.as[Long].head() === 2L)
+    assert(exec(e, "SELECT count(*) FROM droot").df.get.as[Long].head() === 1L)
+  }
+
   test("partitioning: CREATE TABLE LIKE never copies partition linkage") {
     // r13 audit: LIKE used to copy props wholesale — a clone of a
     // parent claimed the ORIGINAL's children via partchild.*, and a
