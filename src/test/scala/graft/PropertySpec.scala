@@ -317,4 +317,54 @@ class PropertySpec extends SparkSpec {
       assert(SqlRouter.joinRefs(txt) === expected, s"input: $txt")
     }
   }
+
+  test("RANGE bound predicates match PG's lexicographic extended-real semantics") {
+    // Partitioning.rangeCmp compiles multi-key bounds with
+    // MINVALUE/MAXVALUE sentinel truncation into nested AND/OR text —
+    // the fiddliest partition code. Oracle: treat MINVALUE as -inf and
+    // MAXVALUE as +inf, compare tuples lexicographically on extended
+    // reals; FROM is row >= lo, TO is row < hi (PG semantics — the
+    // sentinel resolves the comparison at its position, which is
+    // exactly PG's "components after a sentinel are ignored").
+    import org.apache.spark.sql.functions.col
+    sealed trait B
+    case class V(v: Long) extends B
+    case object MinV extends B
+    case object MaxV extends B
+    def spell(b: B): String = b match {
+      case V(v) => v.toString; case MinV => "MINVALUE"; case MaxV => "MAXVALUE"
+    }
+    def ext(b: B): Double = b match {
+      case V(v) => v.toDouble
+      case MinV => Double.NegativeInfinity
+      case MaxV => Double.PositiveInfinity
+    }
+    def lexCmp(row: Seq[Long], bound: Seq[B]): Int =
+      row.zip(bound).iterator.map { case (r, b) =>
+        java.lang.Double.compare(r.toDouble, ext(b))
+      }.find(_ != 0).getOrElse(0)
+    val bGen = Gen.oneOf(Gen.choose(-2L, 2L).map(V(_): B),
+      Gen.const(MinV: B), Gen.const(MaxV: B))
+    val boundsGen = for {
+      lo <- Gen.listOfN(2, bGen)
+      hi <- Gen.listOfN(2, bGen)
+    } yield (lo, hi)
+    val rows = for (a <- -3L to 3L; b <- -3L to 3L) yield (a, b)
+    import spark.implicits._
+    val df = rows.toDF("a", "b")
+    val spec = Partitioning.Spec("RANGE", Seq("a", "b"))
+    samples(boundsGen, 60).foreach { case (lo, hi) =>
+      val bounds = s"FOR VALUES FROM (${lo.map(spell).mkString(", ")}) " +
+        s"TO (${hi.map(spell).mkString(", ")})"
+      val pred = Partitioning.boundPredicateSql(spec, bounds).get
+      val got = df.selectExpr("a", "b", s"coalesce($pred, false) AS p")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2))
+        .toMap
+      rows.foreach { case (a, b) =>
+        val expect = lexCmp(Seq(a, b), lo) >= 0 && lexCmp(Seq(a, b), hi) < 0
+        assert(got((a, b)) === expect,
+          s"row ($a, $b) vs $bounds — predicate: $pred")
+      }
+    }
+  }
 }
