@@ -432,7 +432,15 @@ object Operators {
     * Both routes return identical results (exact verify; boundary
     * epsilon only ever ADMITS candidates): (a_id, b_id, inter,
     * jaccard ≥ tau). Dense-route results read a `localCheckpoint` —
-    * call [[releaseCheckpoints]] after materializing. */
+    * call [[releaseCheckpoints]] after materializing.
+    *
+    * The mass estimate is measured in the INPUT's hash order, while
+    * the prefix route itself re-ranks by document frequency
+    * ([[freqRankedSets]]) and typically materializes 2–5× less — so
+    * the router is CONSERVATIVE toward the dense route. That bias is
+    * safe: it only matters near the crossover, where both routes cost
+    * about the same, and the dense route is additionally capped by
+    * `denseMaxDocs` anyway. */
   def jaccardPairsAuto(codeSets: DataFrame, idCol: String, setCol: String,
       tau: Double, denseMaxDocs: Long = 16384): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau in (0,1]: $tau")
