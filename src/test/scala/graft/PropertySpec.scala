@@ -367,4 +367,32 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("LIST bound predicates match set membership, NULL semantics included") {
+    import org.apache.spark.sql.functions.col
+    // values: small strings + optional NULL membership; rows include
+    // NULL keys — a NULL key belongs to a child iff NULL is LISTED
+    // (the IS NOT NULL conjunct keeps it out of every other child)
+    val valGen = Gen.nonEmptyListOf(
+      Gen.oneOf("'a'", "'b'", "'c'", "'EU'", "'eu'", "NULL")).map(_.distinct)
+    val rows: Seq[Option[String]] =
+      Seq(Some("a"), Some("b"), Some("c"), Some("EU"), Some("eu"),
+        Some("zz"), None)
+    import spark.implicits._
+    val df = rows.map(v => Tuple1(v.orNull)).toDF("k")
+    val spec = Partitioning.Spec("LIST", Seq("k"))
+    samples(valGen, 40).foreach { vals =>
+      val bounds = s"FOR VALUES IN (${vals.mkString(", ")})"
+      val pred = Partitioning.boundPredicateSql(spec, bounds).get
+      val got = df.selectExpr("k", s"coalesce($pred, false) AS p")
+        .collect().map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+      val listed = vals.filter(_ != "NULL")
+        .map(_.stripPrefix("'").stripSuffix("'")).toSet
+      val nullListed = vals.contains("NULL")
+      rows.foreach { k =>
+        val expect = k.fold(nullListed)(listed.contains)
+        assert(got(k) === expect, s"key $k vs $bounds — predicate: $pred")
+      }
+    }
+  }
 }

@@ -3102,6 +3102,33 @@ class SqlRouterSpec extends SparkSpec {
       === 700L)
   }
 
+  test("partitioning: cross-engine merge conflicts stay LOUD (no silent lost update)") {
+    // blind appends rebase-and-retry (commitAppend), but file-list-
+    // REPLACING merge writes must NOT: their read set (the files they
+    // rewrote) is stale after a lost race, and a silent retry could
+    // resurrect a row the winner replaced. Contract: the loser throws;
+    // the table stays exactly the winner's state.
+    val wh = tmpDir("router_merge_race")
+    val e1 = new Engine(spark, wh)
+    exec(e1, "CREATE TABLE mrace (id BIGINT NOT NULL, v STRING, " +
+      "PRIMARY KEY (id))")
+    exec(e1, "INSERT INTO mrace VALUES (1, 'base')")
+    val e2 = new Engine(spark, wh)
+    // e1 stages a merge read against the current version, e2 commits a
+    // replace first — e1's commit must fail loudly
+    val t1 = e1.table("mrace")
+    val base = t1.manifest
+    exec(e2, "REPLACE INTO mrace VALUES (1, 'winner')")
+    val ex = intercept[Exception] {
+      // direct low-level collision: replay a commit on the stale base
+      graft.storage.Manifest.commit(t1.path,
+        base.withFiles(base.files, Map.empty))
+    }
+    assert(ex.isInstanceOf[java.util.ConcurrentModificationException])
+    assert(exec(e1, "SELECT v FROM mrace WHERE id = 1").df.get
+      .as[String].head() === "winner")
+  }
+
   test("partitioning: routed INSERT is single-pass — one source scan for N children") {
     // round-12 verdict #2: the old shape was checkpoint + groupBy-count
     // + one filtered re-read PER child (3 + N jobs). The single-pass
