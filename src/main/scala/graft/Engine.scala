@@ -22,11 +22,30 @@ import graft.storage.{GraftTable, Manifest, Transaction}
   * `__sys__.persistent_variable` table
   * (`/root/reference/catalog/internal_tables.go:174-180`).
   */
-final class Engine(val spark: SparkSession, val warehouse: Path) {
+final class Engine(parentSession: SparkSession, val warehouse: Path) {
+  /** Engine-private child session (round-13 verdict #2): every Engine
+    * gets its own `newSession()` — an ISOLATED temp-view catalog over
+    * the shared SparkContext, cache, and builder-time confs. Before
+    * this, `registerReferenced` bound BARE table names session-globally
+    * (ownership map keyed by name), so two Engines with same-named
+    * tables (`t`, `acct`, ... — six query defs each create a `t`)
+    * racing in one SparkSession could rebind each other's views between
+    * analysis and execution — silent wrong-table reads with plausible
+    * row counts. Child-session catalogs make the bare name PER ENGINE;
+    * no lock, no ident rewriting, and `spark.newSession()` carries the
+    * SparkSessionExtensions (injected Catalyst functions) along. */
+  val spark: SparkSession = parentSession.newSession()
   SparkEntry.configure(spark)
   graft.functions.MySqlShims.registerSession(this)
   private val mapper = new ObjectMapper()
   Files.createDirectories(warehouse)
+
+  /** Bind external parquet reference tables (testdata) into THIS
+    * engine's isolated SQL namespace, so engine SQL can join its own
+    * tables against them. Replaces the old pattern of registering on
+    * the caller's session (invisible to the child catalog). */
+  def bindTables(sfDir: String, names: String*): Unit =
+    names.foreach(n => Tables.load(spark, sfDir, n).createOrReplaceTempView(n))
 
   @volatile private var currentDb = "main"
   if (!Files.isDirectory(warehouse.resolve("main"))) createDatabase("main")
@@ -491,6 +510,14 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
   // bottleneck at thousands of tables.
   private val registeredViews = scala.collection.mutable.Set.empty[String]
 
+  /** Temp-view ownership: view name → (table directory, manifest
+    * version bound). PER ENGINE since round 14 — the child-session
+    * catalog makes names engine-local, so ownership only needs to
+    * notice this engine's own committed writes (any commit bumps the
+    * journal version → rebind) and database switches. */
+  private val viewOwners =
+    scala.collection.concurrent.TrieMap.empty[String, (Path, Long)]
+
   private def idents(s: String): Set[String] =
     // \w+ (not letter-led): CREATE TABLE accepts digit-led names like
     // `2024_data`, so the reference scan must tokenize them whole —
@@ -527,7 +554,7 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
         // read-your-writes, and drop the ownership entry so the next
         // non-txn statement rebinds from the published journal
         tableFrame(t).createOrReplaceTempView(t)
-        Engine.viewOwners.remove(t)
+        viewOwners.remove(t)
       } else {
         // ownership is session-global and keyed by (table dir, raw
         // journal version): another engine over another warehouse, or
@@ -548,10 +575,10 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
         }
         if (kids.nonEmpty) {
           tableFrame(t).createOrReplaceTempView(t)
-          Engine.viewOwners.remove(t)
-        } else if (!Engine.viewOwners.get(t).contains((p, v))) {
+          viewOwners.remove(t)
+        } else if (!viewOwners.get(t).contains((p, v))) {
           table(t).read().createOrReplaceTempView(t)
-          Engine.viewOwners.put(t, (p, v))
+          viewOwners.put(t, (p, v))
         }
       }
     }
@@ -584,7 +611,7 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
 
   private def unregister(name: String): Unit = synchronized {
     spark.catalog.dropTempView(name)
-    Engine.viewOwners.remove(name)
+    viewOwners.remove(name)
     registeredViews -= name
   }
 
@@ -592,9 +619,9 @@ final class Engine(val spark: SparkSession, val warehouse: Path) {
     * current database changes so stale names can't shadow the new
     * database's tables. */
   private def unregisterAll(): Unit = synchronized {
-    Engine.viewOwners.filter(_._2._1.startsWith(warehouse)).keys.foreach { n =>
+    viewOwners.filter(_._2._1.startsWith(warehouse)).keys.foreach { n =>
       spark.catalog.dropTempView(n)
-      Engine.viewOwners.remove(n)
+      viewOwners.remove(n)
     }
     registeredViews.foreach(spark.catalog.dropTempView(_))
     registeredViews.clear()

@@ -151,8 +151,8 @@ object CdcQueries {
     "q81_replace_upsert",
     (s, dir) => {
       import graft.{Engine, SqlRouter}
-      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
       val e = new Engine(s, Files.createTempDirectory("graft_q81"))
+      e.bindTables(dir, "customer")
       def run(q: String): Unit = SqlRouter.execute(e, q)
       run("CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING, hits INT)")
       // the upsert chain runs inside ONE transaction: each statement
@@ -201,8 +201,8 @@ object CdcQueries {
     "q102_join_dml",
     (s, dir) => {
       import graft.{Engine, SqlRouter}
-      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
       val e = new Engine(s, Files.createTempDirectory("graft_q102"))
+      e.bindTables(dir, "customer")
       def run(q: String): Unit = SqlRouter.execute(e, q)
       run("CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING, bal DOUBLE)")
       run("CREATE TABLE adj (id BIGINT PRIMARY KEY, delta DOUBLE)")
@@ -252,8 +252,8 @@ object CdcQueries {
     "q103_session_dml",
     (s, dir) => {
       import graft.{Engine, SqlRouter}
-      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
       val e = new Engine(s, Files.createTempDirectory("graft_q103"))
+      e.bindTables(dir, "customer")
       def run(q: String): Unit = SqlRouter.execute(e, q)
       run("CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING, bal DOUBLE)")
       run("INSERT INTO t SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 400")
@@ -288,8 +288,8 @@ object CdcQueries {
     "q104_ddl_lifecycle",
     (s, dir) => {
       import graft.{Engine, SqlRouter}
-      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
       val e = new Engine(s, Files.createTempDirectory("graft_q104"))
+      e.bindTables(dir, "customer")
       def run(q: String): Unit = SqlRouter.execute(e, q)
       run("CREATE TABLE d (id BIGINT NOT NULL AUTO_INCREMENT, label STRING, " +
         "score DOUBLE, PRIMARY KEY (id))")
@@ -332,8 +332,8 @@ object CdcQueries {
     "q105_unique_arbiter",
     (s, dir) => {
       import graft.{Engine, SqlRouter}
-      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
       val e = new Engine(s, Files.createTempDirectory("graft_q105"))
+      e.bindTables(dir, "customer")
       def run(q: String): Unit = SqlRouter.execute(e, q)
       run("CREATE TABLE t (id BIGINT PRIMARY KEY, email STRING, hits INT, " +
         "UNIQUE KEY uq_email (email))")
@@ -401,8 +401,8 @@ object CdcQueries {
     "q106_outfile_duckdb",
     (s, dir) => {
       import graft.{Engine, SqlRouter}
-      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
       val e = new Engine(s, Files.createTempDirectory("graft_q106"))
+      e.bindTables(dir, "customer")
       def run(q: String): Unit = SqlRouter.execute(e, q)
       run("CREATE TABLE src (id BIGINT PRIMARY KEY, name STRING, bal DOUBLE)")
       run("INSERT INTO src SELECT c_custkey, c_name, c_acctbal FROM customer " +
@@ -434,8 +434,8 @@ object CdcQueries {
     "q107_showcreate_roundtrip",
     (s, dir) => {
       import graft.{Engine, SqlRouter}
-      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
       val e = new Engine(s, Files.createTempDirectory("graft_q107"))
+      e.bindTables(dir, "customer")
       def run(q: String): Unit = SqlRouter.execute(e, q)
       run("CREATE TYPE tier AS ENUM ('basic', 'gold')")
       run("CREATE TABLE acct (id BIGINT NOT NULL AUTO_INCREMENT, " +
@@ -489,8 +489,8 @@ object CdcQueries {
     "q108_autoinc_merge",
     (s, dir) => {
       import graft.{Engine, SqlRouter}
-      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
       val e = new Engine(s, Files.createTempDirectory("graft_q108"))
+      e.bindTables(dir, "customer")
       def run(q: String): Unit = SqlRouter.execute(e, q)
       run("CREATE TABLE t (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, " +
         "n INT, PRIMARY KEY (id))")
@@ -576,8 +576,8 @@ object CdcQueries {
     "q110_partitioned_routing",
     (s, dir) => {
       import graft.{Engine, SqlRouter}
-      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
       val e = new Engine(s, Files.createTempDirectory("graft_q110"))
+      e.bindTables(dir, "orders")
       def run(q: String): Unit = SqlRouter.execute(e, q)
       run("CREATE TABLE po (okey BIGINT, prio STRING, " +
         "price DECIMAL(18,2)) PARTITION BY RANGE (okey)")
@@ -652,8 +652,8 @@ object CdcQueries {
     "q111_partitioned_merge",
     (s, dir) => {
       import graft.{Engine, SqlRouter}
-      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
       val e = new Engine(s, Files.createTempDirectory("graft_q111"))
+      e.bindTables(dir, "customer")
       def run(q: String): Unit = SqlRouter.execute(e, q)
       run("CREATE TABLE pc (id BIGINT NOT NULL AUTO_INCREMENT, " +
         "name STRING, bal DECIMAL(18,2), seg STRING, n INT, " +
@@ -703,7 +703,7 @@ object CdcQueries {
         sum("bal").cast("decimal(18,2)").as("amt"),
         max("id").cast("long").as("ntot"))
         .select(lit("moved").as("part"), col("cnt"), col("amt"), col("ntot"))
-      SqlRouter.execute(e,
+      val gateSql =
         "SELECT 'auto' AS part, count(*) AS cnt, " +
           "CAST(sum(bal) AS DECIMAL(18,2)) AS amt, " +
           "CAST(max(id) AS BIGINT) AS ntot FROM pc WHERE seg = 'AUTO' " +
@@ -715,8 +715,38 @@ object CdcQueries {
           "CAST(sum(n) AS BIGINT) FROM pc_lo " +
         "UNION ALL SELECT 'parent', count(*), " +
           "CAST(sum(bal) AS DECIMAL(18,2)), " +
-          "CAST(sum(n) AS BIGINT) FROM pc").df.get
+          "CAST(sum(n) AS BIGINT) FROM pc"
+      val gate = SqlRouter.execute(e, gateSql).df.get
         .union(movedRow).orderBy("part")
+      // ---- round-13 verdict #1: INSTRUMENT the driver-only hash gap.
+      // (a) Materialize ONCE and print the 5 gate rows to stderr, so
+      // any harness log (Verify, Bench, the driver's) records the
+      // exact values that get hashed; returning a frame built from the
+      // collected rows also makes the result immune to re-evaluation.
+      // (b) Self-check: a FRESH engine over the same committed
+      // warehouse recomputes the 4 state rows. Any divergence —
+      // catalog race, stale binding, lost write — turns the silent
+      // hash flip into a LOUD err the driver gate records. It runs
+      // CONCURRENTLY with the primary collect (independent engines
+      // over immutable committed files) so the check costs ~no wall.
+      val recheckF = scala.concurrent.Future {
+        val e2 = new Engine(s, e.warehouse)
+        SqlRouter.execute(e2, gateSql).df.get.orderBy("part").collect()
+      }(scala.concurrent.ExecutionContext.global)
+      val rows = gate.collect()
+      def render(rs: Array[org.apache.spark.sql.Row]): String =
+        rs.map(r => s"${r.getString(0)}:${r.getLong(1)}/" +
+          s"${Option(r.getDecimal(2)).map(_.toPlainString).getOrElse("null")}/" +
+          s"${r.getLong(3)}").mkString(" ")
+      System.err.println(s"[q111-gate] ${render(rows)}")
+      val recheck = scala.concurrent.Await.result(recheckF,
+        scala.concurrent.duration.Duration.Inf)
+      val firstPass = rows.filter(_.getString(0) != "moved")
+      if (render(firstPass) != render(recheck))
+        throw new IllegalStateException(
+          s"q111 self-check diverged: first=[${render(firstPass)}] " +
+            s"fresh-engine=[${render(recheck)}]")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     },
     Some("""WITH mx AS (SELECT max(c_custkey) AS m,
         greatest(max(c_custkey),
