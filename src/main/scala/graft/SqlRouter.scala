@@ -1323,17 +1323,17 @@ object SqlRouter {
       // routes to
       if (t.partitionBy.isDefined)
         Result(None, routeFrame(engine, name, t,
-          sourceDfFor(engine, t, colList, rest).localCheckpoint(true),
-          _.replaceRows(_), serial = true))
-      else Result(None, t.replaceRows(sourceDfFor(engine, t, colList, rest)))
+          mergeSource(engine, t, colList, rest),
+          _.replaceRows(_)))
+      else Result(None, t.replaceRows(mergeSource(engine, t, colList, rest)))
     case InsertIgnore(name, colList, rest) =>
       val t = engine.table(name)
       if (t.partitionBy.isDefined)
         Result(None, routeFrame(engine, name, t,
-          sourceDfFor(engine, t, colList, rest).localCheckpoint(true),
-          _.insertIgnoreRows(_), serial = true))
+          mergeSource(engine, t, colList, rest),
+          _.insertIgnoreRows(_)))
       else Result(None,
-        t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest)))
+        t.insertIgnoreRows(mergeSource(engine, t, colList, rest)))
     // PG's upsert spelling (ON CONFLICT ... DO NOTHING | DO UPDATE SET
     // ... [WHERE ...]) maps onto the same storage machinery as MySQL's
     // ON DUPLICATE KEY: `excluded.c` is the incoming row (the __new_<c>
@@ -1411,22 +1411,21 @@ object SqlRouter {
               // in the child the incoming row routes to. The resolved
               // arbiter columns exist on every child (same schema).
               Result(None, routeFrame(engine, name, t,
-                sourceDfFor(engine, t, colList, rest).localCheckpoint(true),
-                _.insertIgnoreRows(_, pk), serial = true))
+                mergeSource(engine, t, colList, rest),
+                _.insertIgnoreRows(_, pk)))
             case None =>
               Result(None,
-                t.insertIgnoreRows(sourceDfFor(engine, t, colList, rest), pk))
+                t.insertIgnoreRows(mergeSource(engine, t, colList, rest), pk))
             case Some(rx) =>
               // PG returns only the rows actually INSERTED under DO
               // NOTHING; the pre-insert key set is frozen (immutable
               // files), the source pinned once. Expression arbiters
               // compute on both frames via the table's helper. Through
               // a PARTITIONED parent the same logic runs per child
-              // (serial, like every routed merge) and the RETURNING
+              // (concurrent across disjoint children) and the RETURNING
               // frames union across children (r13; the ORM id-grab
               // upsert works on partitioned tables in PG).
-              val src = sourceDfFor(engine, t, colList, rest)
-                .localCheckpoint(true)
+              val src = mergeSource(engine, t, colList, rest)
               def ignoreWithImages(ct: graft.storage.GraftTable,
                   slice: DataFrame): (DataFrame, Long) = {
                 val (keyCols, addArb) = ct.withArbiterKey(pk)
@@ -1438,14 +1437,17 @@ object SqlRouter {
                   .join(preKeys, keyCols, "left_anti"), n)
               }
               if (t.partitionBy.isDefined) {
+                // keyed by child path: concurrent child writes finish
+                // in any order, the union assembles deterministically
                 val frames =
-                  scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+                  scala.collection.concurrent.TrieMap.empty[String, DataFrame]
                 val n = routeFrame(engine, name, t, src, (ct, slice) => {
                   val (img, k) = ignoreWithImages(ct, slice)
-                  frames.synchronized { frames += img }
+                  frames.put(ct.path.toString, img)
                   k
-                }, serial = true)
-                Result(Some(retSel(frames.reduceOption(_ union _)
+                })
+                Result(Some(retSel(frames.toSeq.sortBy(_._1).map(_._2)
+                  .reduceOption(_ union _)
                   .getOrElse(src.limit(0)), rx)), n)
               } else {
                 val (img, n) = ignoreWithImages(t, src)
@@ -1466,28 +1468,27 @@ object SqlRouter {
                 // per-child DO UPDATE, same argument as DO NOTHING;
                 // RETURNING stays loud (cross-child image union)
                 Result(None, routeFrame(engine, name, t,
-                  sourceDfFor(engine, t, colList, rest)
-                    .localCheckpoint(true),
-                  _.upsertOnDuplicate(_, sets, pk), serial = true))
+                  mergeSource(engine, t, colList, rest),
+                  _.upsertOnDuplicate(_, sets, pk)))
               case None =>
                 Result(None, t.upsertOnDuplicate(
                   sourceDfFor(engine, t, colList, rest), sets, pk))
               case Some(rx) =>
-                val src = sourceDfFor(engine, t, colList, rest)
-                  .localCheckpoint(true)
+                val src = mergeSource(engine, t, colList, rest)
                 val guard = whereOpt.map(w => rewriteConflictRefs(w, name))
                 if (t.partitionBy.isDefined) {
                   // per-child upsert-with-images, RETURNING = the
-                  // cross-child union (r13; same serial routing as
-                  // every merge through a partitioned parent)
+                  // cross-child union assembled by child path
+                  // (deterministic under concurrent child writes)
                   val frames =
-                    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+                    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
                   val n = routeFrame(engine, name, t, src, (ct, slice) => {
                     val (img, k) = upsertWithImages(ct, slice, sets, guard, pk)
-                    frames.synchronized { frames += img }
+                    frames.put(ct.path.toString, img)
                     k
-                  }, serial = true)
-                  Result(Some(retSel(frames.reduceOption(_ union _)
+                  })
+                  Result(Some(retSel(frames.toSeq.sortBy(_._1).map(_._2)
+                    .reduceOption(_ union _)
                     .getOrElse(src.limit(0)), rx)), n)
                 } else {
                   val (img, n) = upsertWithImages(t, src, sets, guard, pk)
@@ -1533,25 +1534,27 @@ object SqlRouter {
           // (unique keys include the partition key); RETURNING would
           // need a cross-child union and stays loud
           Result(None, routeFrame(engine, name, t,
-            sourceDfFor(engine, t, colList, rest).localCheckpoint(true),
-            _.upsertOnDuplicate(_, sets), serial = true))
+            mergeSource(engine, t, colList, rest),
+            _.upsertOnDuplicate(_, sets)))
         case None => Result(None,
-          t.upsertOnDuplicate(sourceDfFor(engine, t, colList, rest), sets))
+          t.upsertOnDuplicate(mergeSource(engine, t, colList, rest), sets))
         case Some(rx) =>
-          val src = sourceDfFor(engine, t, colList, rest)
-            .localCheckpoint(true)
+          val src = mergeSource(engine, t, colList, rest)
           def sel(df: DataFrame): DataFrame =
             df.selectExpr(splitTop(rx).map(_.trim): _*)
           if (t.partitionBy.isDefined) {
             // MariaDB ODKU RETURNING through a partitioned parent:
-            // per-child images, cross-child union (r13)
-            val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+            // per-child images, cross-child union keyed by child path
+            // (deterministic under concurrent child writes)
+            val frames =
+              scala.collection.concurrent.TrieMap.empty[String, DataFrame]
             val n = routeFrame(engine, name, t, src, (ct, slice) => {
               val (img, k) = upsertWithImages(ct, slice, sets, None)
-              frames.synchronized { frames += img }
+              frames.put(ct.path.toString, img)
               k
-            }, serial = true)
-            Result(Some(sel(frames.reduceOption(_ union _)
+            })
+            Result(Some(sel(frames.toSeq.sortBy(_._1).map(_._2)
+              .reduceOption(_ union _)
               .getOrElse(src.limit(0)))), n)
           } else {
             val (img, n) = upsertWithImages(t, src, sets, None)
@@ -2182,10 +2185,10 @@ object SqlRouter {
         mode match {
           case graft.sources.BulkIO.Ignore =>
             routeFrame(engine, name, t, df.localCheckpoint(true),
-              _.insertIgnoreRows(_), serial = true)
+              _.insertIgnoreRows(_))
           case graft.sources.BulkIO.Replace =>
             routeFrame(engine, name, t, df.localCheckpoint(true),
-              _.replaceRows(_), serial = true)
+              _.replaceRows(_))
           case _ => routeFrameSinglePass(engine, name, t, df)
         }
       } else if (escAware)
@@ -2606,11 +2609,32 @@ object SqlRouter {
           }
           drop(tn)
         case None =>
-          // PG form names only the index; fanned copies share the name
-          // across the tree, so drop it from EVERY table holding it
-          // (`exists` would stop at the first and leave stale copies)
-          engine.listTables().foreach(tn =>
-            engine.table(tn).dropUniqueIndex(nm))
+          // PG form names only the index. Index names here are
+          // per-manifest, not schema-unique, so two UNRELATED tables
+          // may legitimately hold distinct same-named indexes — the
+          // old drop-from-every-table silently removed live arbiters
+          // (r13 advice). Resolve like PG's search_path instead: the
+          // FIRST root holder wins (a holder whose partition parent
+          // doesn't also hold the fanned copy), and the drop recurses
+          // its subtree to collect the r13 fanned copies.
+          val holders = engine.listTables().filter(tn =>
+            engine.table(tn).uniqueIndexes.contains(nm))
+          val roots = holders.filter { tn =>
+            !engine.table(tn).manifest.props.get("partof")
+              .exists(holders.contains)
+          }
+          roots.headOption.foreach { rootTn =>
+            def drop(n0: String): Unit = {
+              val tt = engine.table(n0)
+              tt.dropUniqueIndex(nm)
+              if (tt.partitionBy.isDefined)
+                tt.partitionChildren.foreach(c => drop(childRef(n0, c._1)))
+            }
+            drop(rootTn)
+            if (roots.size > 1) engine.addWarning("Warning", 1064,
+              s"index $nm also exists on unrelated table(s) " +
+                s"${roots.tail.mkString(", ")}; dropped from $rootTn only")
+          }
       }
       ddl
     case DropIndexAny() => ddl // online-DDL tails, multi-drops: no-op
@@ -3566,7 +3590,57 @@ object SqlRouter {
       src.selectExpr(splitTop(rx).map(_.trim): _*)), total)
   }
 
-  /** Route a FROZEN (localCheckpoint'ed) frame into a partitioned
+  /** Freeze a merge-family source only when it MUST be frozen: a plan
+    * with any non-deterministic expression (rand/uuid/now-family)
+    * could change values between the routing count, the per-child
+    * slices, and a RETURNING re-select, so it pins via an eager
+    * localCheckpoint. A fully deterministic plan — the overwhelmingly
+    * common shape: parquet/table scans + pure expressions, with file
+    * lists already pinned by the manifest at frame build — re-reads
+    * identically and skips the checkpoint, saving one materialization
+    * job per statement (the micro-batch statement floor) AND, at
+    * 100 TB, the block-store copy of the whole source: each child then
+    * reads a column-pruned, filter-pushed scan instead. */
+  private def frozenSource(engine: Engine, t: graft.storage.GraftTable,
+      colList: String, rest: String): DataFrame = {
+    val df = sourceDfFor(engine, t, colList, rest)
+    val deterministic = df.queryExecution.analyzed.find(p =>
+      p.expressions.exists(e => e.exists(!_.deterministic))).isEmpty
+    if (deterministic) df else df.localCheckpoint(true)
+  }
+
+  /** Merge-family source (REPLACE / INSERT IGNORE / ODKU / ON
+    * CONFLICT): an OMITTED AUTO_INCREMENT column gets ids ASSIGNED,
+    * exactly like the plain-INSERT path — MySQL assigns (and burns,
+    * under InnoDB defaults, even for rows that end up updating) auto
+    * ids for these statements too. Before round 14 an omitted id rode
+    * in as NULL from the default-fill and was silently STORED; the
+    * write-funnel NOT NULL guard now makes that loud, and this helper
+    * makes it correct. Explicit ids (column listed, or no column list
+    * at all) pass through [[frozenSource]] untouched. */
+  private def mergeSource(engine: Engine, t: graft.storage.GraftTable,
+      colList: String, rest: String): DataFrame = {
+    val m = t.manifest
+    val omittedAuto = m.schema.fieldNames
+      .find(c => m.props.get(s"autoinc.$c").contains("true"))
+      .filter(c => colList != null &&
+        !colList.split(',').map(_.trim).exists(_.equalsIgnoreCase(c)))
+    omittedAuto match {
+      case Some(c) =>
+        val base = m.autoInc
+        // already frozen: ids derive from monotonically_increasing_id
+        // and must never recompute
+        val (withIds, total) = t.assignAutoIncIds(
+          sourceDfFor(engine, t, colList, rest).drop(c), c)
+        t.advanceAutoInc(base + total)
+        if (total > 0) engine.setVar("last_insert_id", base.toString)
+        withIds
+      case None => frozenSource(engine, t, colList, rest)
+    }
+  }
+
+  /** Route a FROZEN (checkpointed or deterministic — [[frozenSource]])
+    * frame into a partitioned
     * parent's children by bounds — the shared core of routed INSERT,
     * COPY FROM, and LOAD DATA on a parent. `write` is the per-child
     * commit (plain insert, or LOAD's IGNORE/REPLACE duplicate-key
@@ -3576,8 +3650,7 @@ object SqlRouter {
     * children commit, unroutable rows loud first). */
   private def routeFrame(engine: Engine, parentName: String,
       t: graft.storage.GraftTable, src: DataFrame,
-      write: (graft.storage.GraftTable, DataFrame) => Long,
-      serial: Boolean = false): Long = {
+      write: (graft.storage.GraftTable, DataFrame) => Long): Long = {
     val m = t.manifest
     val spec = Partitioning.parse(m.props("partition.by"))
     val kids = t.partitionChildren
@@ -3610,24 +3683,28 @@ object SqlRouter {
       val slice = src.filter(tag === lit(c))
       // a SUBPARTITIONED child routes its slice one level further
       if (childT.partitionBy.isDefined)
-        routeFrame(engine, ref, childT, slice, write, serial)
+        routeFrame(engine, ref, childT, slice, write)
       else write(childT, slice)
     }
     // children are INDEPENDENT tables (disjoint dirs, disjoint
-    // manifests), so autocommit writes run CONCURRENTLY — each slice
-    // filters the one checkpointed source, and wall-clock drops from
-    // sum(children) to ~max(children), the difference between a
-    // routed 100 TB bulk load taking N sequential scans' time and one.
-    // Inside an explicit transaction the staged io seam serializes
-    // (same loop, same per-child order) — staging is not a proven
-    // concurrent structure and atomicity matters more than latency
-    // there. The MERGE family (REPLACE / INSERT IGNORE / ODKU /
-    // ON CONFLICT) passes serial=true: those writes read-modify-write
-    // the child's existing files, and determinism-by-construction
-    // (one child at a time, declaration order) is worth more than the
-    // latency of a path that is never the bulk-load fast path.
+    // manifests, disjoint key spaces — every unique key on a
+    // partitioned table includes the partition key), so autocommit
+    // writes run CONCURRENTLY — each slice filters the one
+    // checkpointed source, and wall-clock drops from sum(children) to
+    // ~max(children), the difference between a routed 100 TB bulk
+    // load taking N sequential scans' time and one. This includes the
+    // MERGE family (REPLACE / INSERT IGNORE / ODKU / ON CONFLICT):
+    // r12 serialized those as a determinism guess at the q111 driver
+    // gate, two red rounds proved serialization was not the cause,
+    // and the results are order-independent by construction (disjoint
+    // children; RETURNING frames assemble keyed by child path, not by
+    // completion order — the 20-iteration bit-exact loop spec pins
+    // it). Inside an explicit transaction the staged io seam
+    // serializes (same loop, same per-child order) — staging is not a
+    // proven concurrent structure and atomicity matters more than
+    // latency there.
     val total =
-      if (hit.size > 1 && !engine.inTransaction && !serial) {
+      if (hit.size > 1 && !engine.inTransaction) {
         val pool = java.util.concurrent.Executors
           .newFixedThreadPool(math.min(hit.size, 8))
         val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -3679,9 +3756,13 @@ object SqlRouter {
       t: graft.storage.GraftTable, src: DataFrame): Long = {
     val m = t.manifest
     // leaf tag: index string per LEAF table across the whole tree,
-    // first-match-wins per level (same chaining as routeFrame)
+    // first-match-wins per level (same chaining as routeFrame);
+    // ancestry records each leaf's MID-LEVEL parents (root excluded)
+    // so their A23 counters advance like routeFrame's per-level pass
     val leafMap = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def build(pn: String, pt: graft.storage.GraftTable): Column = {
+    val ancestry = scala.collection.mutable.Map.empty[String, Seq[String]]
+    def build(pn: String, pt: graft.storage.GraftTable,
+        mids: Seq[String]): Column = {
       val spec = Partitioning.parse(pt.manifest.props("partition.by"))
       val kids = pt.partitionChildren
       require(kids.nonEmpty,
@@ -3690,10 +3771,11 @@ object SqlRouter {
         val ref = childRef(pn, c)
         val childT = engine.table(ref)
         val leafCol: Column =
-          if (childT.partitionBy.isDefined) build(ref, childT)
+          if (childT.partitionBy.isDefined) build(ref, childT, mids :+ ref)
           else {
             val idx = leafMap.size.toString
             leafMap += idx -> ref
+            ancestry += idx -> mids
             lit(idx)
           }
         (Partitioning.boundPredicateSql(spec, b).map(expr), leafCol)
@@ -3707,7 +3789,7 @@ object SqlRouter {
         }
       chain.fold(dflt)(_.otherwise(dflt))
     }
-    val tag = build(parentName, t)
+    val tag = build(parentName, t, Nil)
     val logical = t.logicalForIngest(src)
     val physical = t.physicalize(logical.withColumn("__part", tag))
     val staging = t.path.resolve("ingest")
@@ -3733,20 +3815,55 @@ object SqlRouter {
           s"no partition of $parentName found for $bad inserted row(s)")
       }
       // A23: explicit ids through every routed path advance the
-      // PARENT's counter — one column-pruned scan over the staged
-      // local files, not a re-scan of the source
-      m.schema.fieldNames
-        .find(c => m.props.get(s"autoinc.$c").contains("true"))
-        .filter(c => m.pkCols.contains(c) &&
-          m.schema(c).dataType != org.apache.spark.sql.types.StringType)
-        .filter(_ => dirs.nonEmpty)
-        .foreach { c =>
-          val phys = t.physicalName(c)
-          Option(engine.spark.read.parquet(staging.toString)
-            .agg(max(col(phys).cast("long"))).head().get(0))
-            .foreach(mx => t.advanceAutoInc(mx.asInstanceOf[Long] + 1L))
-        }
+      // PARENT's counter AND every mid-level parent's on the path to a
+      // hit leaf (routeFrame advanced per level; adoption must too —
+      // else an auto-assign INSERT aimed later at a mid-level parent
+      // reads a stale counter and mints ids duplicating routed
+      // explicit ones). One grouped, column-pruned scan over the
+      // staged local files yields every per-leaf max at once.
+      val perLeafMax: Map[String, Long] =
+        m.schema.fieldNames
+          .find(c => m.props.get(s"autoinc.$c").contains("true"))
+          .filter(c => m.pkCols.contains(c) &&
+            m.schema(c).dataType != org.apache.spark.sql.types.StringType)
+          .filter(_ => dirs.nonEmpty)
+          .map { c =>
+            val phys = t.physicalName(c)
+            engine.spark.read.parquet(staging.toString)
+              // partition-type inference may read the tag as INT —
+              // cast back to the string key space of leafMap
+              .groupBy(col("__part").cast("string").as("__p"))
+              .agg(max(col(phys).cast("long")).as("__mx"))
+              .collect()
+              .flatMap(r => Option(r.getString(0)).flatMap(p =>
+                if (r.isNullAt(1)) None else Some(p -> r.getLong(1))))
+              .toMap
+          }.getOrElse(Map.empty)
+      if (perLeafMax.nonEmpty) {
+        t.advanceAutoInc(perLeafMax.values.max + 1L)
+        ancestry.toSeq
+          .flatMap { case (idx, mids) => perLeafMax.get(idx).map(mids -> _) }
+          .flatMap { case (mids, mx) => mids.map(_ -> mx) }
+          .groupMapReduce(_._1)(_._2)(math.max)
+          .foreach { case (ref, mx) => engine.table(ref).advanceAutoInc(mx + 1L) }
+      }
+      // Adoption eligibility (r13 advice, medium): byte layout must
+      // match AND the leaf must impose no row semantics beyond the
+      // parent's. logicalForIngest enforced only the PARENT's CHECKs
+      // and generated columns, and routing itself guarantees each
+      // child's `__partbound` CHECK (rows land by the same bound
+      // predicates, first-match-wins) — but a CHECK or generated
+      // column added DIRECTLY to a child is invisible to that pass,
+      // and PG enforces a partition-local CHECK on rows routed through
+      // the parent. Such a leaf takes the logical-insert fallback,
+      // which runs the leaf's own manifest rules (checks + generated).
+      def semanticsOf(tbl: graft.storage.GraftTable): String =
+        tbl.manifest.props.toSeq.filter { case (k, _) =>
+          (k.startsWith("check.") && k != "check.__partbound") ||
+            k.startsWith("generated.")
+        }.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
       val parentToken = t.physicalLayoutToken
+      val parentSemantics = semanticsOf(t)
       dirs.sortBy(_.getFileName.toString).map { d =>
         val idx = d.getFileName.toString.stripPrefix("__part=")
         val ref = leafMap.getOrElse(idx, throw new IllegalStateException(
@@ -3755,10 +3872,12 @@ object SqlRouter {
         val files = ls(d)
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .sortBy(_.getFileName.toString)
-        if (leaf.physicalLayoutToken == parentToken) leaf.adoptFiles(files)
+        if (leaf.physicalLayoutToken == parentToken &&
+            semanticsOf(leaf) == parentSemantics) leaf.adoptFiles(files)
         else {
-          // diverged child (post-attach ALTER): re-read the staged
-          // slice in the parent's layout and insert logically
+          // diverged child (post-attach ALTER, child-local CHECK or
+          // generated column): re-read the staged slice in the
+          // parent's layout and insert logically through the leaf
           val raw = engine.spark.read.parquet(d.toString)
           leaf.insert(raw.toDF(m.schema.fieldNames.toSeq: _*))
         }

@@ -1183,7 +1183,8 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // schema covers all generations)
     val types = m.schema.fields.map(f => f.name -> physType(m, f.name)).toMap
     val out = df.select(df.columns.map { c =>
-      val v = types.get(c).map(col(c).cast(_)).getOrElse(col(c))
+      val g = notNullGuard(m, c).getOrElse(col(c))
+      val v = types.get(c).map(g.cast(_)).getOrElse(g)
       v.as(physName(m, c))
     }: _*)
     out.write.parquet(dest.toString)
@@ -1253,8 +1254,29 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val m = manifest
     val types = m.schema.fields.map(f => f.name -> physType(m, f.name)).toMap
     df.select(df.columns.map { c =>
-      types.get(c).map(col(c).cast(_).as(physName(m, c))).getOrElse(col(c))
+      val g = notNullGuard(m, c).getOrElse(col(c))
+      types.get(c).map(g.cast(_).as(physName(m, c))).getOrElse(col(c))
     }: _*)
+  }
+
+  /** NOT NULL enforcement at the write funnel (round-14; before this,
+    * an explicit NULL through a NOT NULL column — including an
+    * AUTO_INCREMENT primary key — was silently STORED, corrupting key
+    * joins where NULL never matches). A declared-NOT-NULL or PK column
+    * (MySQL: a PRIMARY KEY member is implicitly NOT NULL) writes
+    * through `coalesce(col, raise_error(...))`: zero extra jobs, full
+    * codegen, the error fires inside the write job itself — the exact
+    * shape that still works when the write is 100 TB wide. NULL is
+    * never an assign trigger for AUTO_INCREMENT either (see
+    * Manifest.withFiles: NO_AUTO_VALUE_ON_ZERO-style semantics). */
+  private def notNullGuard(m: Manifest, c: String): Option[Column] = {
+    val f = m.schema.fields.find(_.name == c)
+    val mustNotBeNull = f.exists(!_.nullable) ||
+      (f.isDefined && m.pkCols.contains(c))
+    if (mustNotBeNull)
+      Some(coalesce(col(c),
+        raise_error(lit(s"Column '$c' cannot be null"))))
+    else None
   }
 
   /** Fingerprint of this table's physical parquet layout (declaration

@@ -62,7 +62,19 @@ final case class Manifest(
     * numeric-LOOKING string id must never advance a counter it does
     * not own. Files without usable stats simply don't advance it; the
     * AUTO_INCREMENT=n option / setval replay stays the authoritative
-    * seed. */
+    * seed.
+    *
+    * Explicit id 0 (round-13 verdict #5 — DECIDED semantics): the
+    * engine behaves as if MySQL's NO_AUTO_VALUE_ON_ZERO mode were
+    * always on — an explicit 0 through an AUTO_INCREMENT column is
+    * STORED LITERALLY, never re-assigned (default MySQL would mint the
+    * next id; PG identity and the testdata's 0-based keys both want
+    * the literal). An explicit NULL is NOT an assign trigger either:
+    * it fails loudly instead of silently minting. Assignment happens
+    * ONLY when the column is omitted from the insert list (or the
+    * whole VALUES row uses DEFAULT). AutoIncZeroSemanticsSpec pins
+    * these behaviors; the q111 oracle agrees (testdata custkeys start
+    * at 0 and ride through AUTO_INCREMENT columns literally). */
   def withFiles(f: Seq[String],
       newStats: Map[String, Map[String, Seq[String]]] = Map.empty): Manifest = {
     val listed = f.toSet

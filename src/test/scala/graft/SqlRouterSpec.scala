@@ -3237,4 +3237,88 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, show) // replays as a partitioned parent
     assert(e.table("pt").partitionBy === Some("RANGE (id)"))
   }
+
+  test("partitioning: child-local CHECK enforced on rows routed through the parent") {
+    // r13 advice (medium): the single-pass ingest enforced only the
+    // PARENT's CHECKs; a CHECK added directly to one child must still
+    // reject rows routed into it (PG semantics), while the other
+    // children keep the adoption fast path.
+    val e = new Engine(spark, tmpDir("router_part_childck"))
+    exec(e, "CREATE TABLE ck (id BIGINT, v STRING) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE ck_a PARTITION OF ck FOR VALUES FROM (0) TO (100)")
+    exec(e, "CREATE TABLE ck_b PARTITION OF ck DEFAULT")
+    exec(e, "ALTER TABLE ck_a ADD CONSTRAINT no_bad CHECK (v <> 'bad')")
+    // 'bad' routed to ck_b: only the parent's (empty) rules apply there
+    exec(e, "INSERT INTO ck VALUES (200, 'bad')")
+    // clean rows into the guarded child take the logical fallback
+    exec(e, "INSERT INTO ck VALUES (5, 'ok'), (6, 'fine')")
+    // a violating row routed into the guarded child is LOUD...
+    val ex = intercept[Exception](exec(e, "INSERT INTO ck VALUES (7, 'bad')"))
+    assert(ex.getMessage.contains("no_bad"))
+    // ...and nothing of the failed statement landed
+    assert(exec(e, "SELECT count(*) FROM ck").df.get.as[Long].head() === 3L)
+    assert(exec(e, "SELECT count(*) FROM ck_a").df.get.as[Long].head() === 2L)
+    // a child-local generated column diverges the same way: fallback
+    // recomputes it with the LEAF's rule instead of adopting raw bytes
+    exec(e, "INSERT INTO ck VALUES (8, 'bad2')") // ck_a accepts non-'bad'
+    assert(exec(e, "SELECT v FROM ck_a WHERE id = 8").df.get
+      .as[String].head() === "bad2")
+  }
+
+  test("partitioning: routed explicit ids advance MID-LEVEL parents' counters") {
+    // r13 advice (low): single-pass adoption advanced only the ROOT's
+    // A23 counter; an auto-assign INSERT aimed at a mid-level parent
+    // then read a stale counter and could mint ids duplicating routed
+    // explicit ones. Every mid-level node on the path to a hit leaf
+    // must advance, like routeFrame's per-level pass did.
+    val e = new Engine(spark, tmpDir("router_part_midinc"))
+    exec(e, "CREATE TABLE ar (id BIGINT NOT NULL AUTO_INCREMENT, " +
+      "v STRING, PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE ar_mid PARTITION OF ar " +
+      "FOR VALUES FROM (0) TO (1000) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE ar_mid_a PARTITION OF ar_mid " +
+      "FOR VALUES FROM (0) TO (500)")
+    exec(e, "CREATE TABLE ar_mid_b PARTITION OF ar_mid " +
+      "FOR VALUES FROM (500) TO (1000)")
+    exec(e, "CREATE TABLE ar_hi PARTITION OF ar DEFAULT")
+    // explicit ids 1..39 routed through the ROOT (single-pass adopt)
+    exec(e, "INSERT INTO ar SELECT id, concat('v', id) FROM range(1, 40)")
+    // auto-assign at the MID level: its counter must have advanced
+    exec(e, "INSERT INTO ar_mid (v) VALUES ('auto')")
+    val autoId = exec(e, "SELECT id FROM ar_mid WHERE v = 'auto'")
+      .df.get.as[Long].head()
+    assert(autoId === 40L, s"mid-level counter was stale: minted $autoId")
+    // no duplicate ids anywhere in the tree
+    val (n, d) = exec(e,
+      "SELECT count(*), count(DISTINCT id) FROM ar").df.get
+      .as[(Long, Long)].head()
+    assert(n === 40L && d === 40L)
+  }
+
+  test("DROP INDEX bare form: unrelated same-named indexes survive, tree copies drop") {
+    // r13 advice (low): the bare-PG spelling dropped the name from
+    // EVERY table; index names are per-manifest here, so an unrelated
+    // table's live arbiter silently vanished. First root holder wins
+    // (PG search_path spirit), its fanned subtree copies drop with it,
+    // the unrelated holder stays, and a warning surfaces the ambiguity.
+    val e = new Engine(spark, tmpDir("router_dropidx"))
+    exec(e, "CREATE TABLE pa (id BIGINT NOT NULL, em STRING, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE pa_lo PARTITION OF pa FOR VALUES FROM (0) TO (10)")
+    exec(e, "CREATE TABLE zz (id BIGINT PRIMARY KEY, em STRING)")
+    exec(e, "CREATE UNIQUE INDEX uq_em ON pa (em, id)")
+    exec(e, "CREATE UNIQUE INDEX uq_em ON zz (em)")
+    assert(e.table("pa_lo").uniqueIndexes.contains("uq_em")) // fanned copy
+    exec(e, "DROP INDEX uq_em") // bare PG form
+    assert(!e.table("pa").uniqueIndexes.contains("uq_em"))
+    assert(!e.table("pa_lo").uniqueIndexes.contains("uq_em"),
+      "fanned subtree copy must drop with the root")
+    assert(e.table("zz").uniqueIndexes.contains("uq_em"),
+      "unrelated same-named index must survive")
+    assert(e.warnings.exists(_._3.contains("uq_em")),
+      "ambiguous bare drop must surface a warning")
+    // second drop removes the remaining holder (now unambiguous)
+    exec(e, "DROP INDEX uq_em")
+    assert(!e.table("zz").uniqueIndexes.contains("uq_em"))
+  }
 }
