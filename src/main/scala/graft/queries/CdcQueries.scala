@@ -805,7 +805,80 @@ object CdcQueries {
           CAST(sum(n) AS BIGINT) FROM fin)
       SELECT part, cnt, amt, ntot FROM agg ORDER BY part"""))
 
+  // --------------------------------------------------------------------
+  // q112 — column ALTERs THROUGH a partitioned parent, under the hash
+  // gate (round-13 verdict #4: the r13 tree-fan semantics were
+  // spec-only; reference `catalog/table.go:223-479` column DDL). ADD
+  // COLUMN with DEFAULT backfills every leaf, post-ALTER DML routes,
+  // RENAME + MODIFY recurse, SET DEFAULT applies to a later routed
+  // insert, and DROP COLUMN narrows the tree — each step shifts the
+  // per-partition aggregates or the hash fails. The oracle restates
+  // the chain as CASE folds over `customer`; balances ride
+  // DECIMAL(18,2) end-to-end, tier sums are integer-exact.
+  private val q112 = QueryDef(
+    "q112_partitioned_alter",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      val e = new Engine(s, Files.createTempDirectory("graft_q112"))
+      e.bindTables(dir, "customer")
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE TABLE pal (id BIGINT NOT NULL, name STRING, " +
+        "bal DECIMAL(18,2), PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+      run("CREATE TABLE pal_lo PARTITION OF pal " +
+        "FOR VALUES FROM (MINVALUE) TO (700)")
+      run("CREATE TABLE pal_hi PARTITION OF pal DEFAULT")
+      run("INSERT INTO pal SELECT c_custkey, c_name, " +
+        "CAST(c_acctbal AS DECIMAL(18,2)) FROM customer")
+      // ADD COLUMN w/ DEFAULT fans to every leaf; existing rows read 3
+      run("ALTER TABLE pal ADD COLUMN tier INT DEFAULT 3 NOT NULL")
+      // post-ALTER DML through the parent sees the new column
+      run("UPDATE pal SET tier = 1 WHERE id % 4 = 0")
+      // RENAME + type MODIFY recurse through the tree
+      run("ALTER TABLE pal RENAME COLUMN bal TO amount")
+      run("ALTER TABLE pal MODIFY COLUMN tier BIGINT")
+      // SET DEFAULT applies to a later routed insert (omitted columns)
+      run("ALTER TABLE pal ALTER COLUMN name SET DEFAULT 'anon'")
+      run("INSERT INTO pal (id, amount) VALUES (100000000, 12.50)")
+      // fold the defaulted name into the gate before dropping it
+      run("UPDATE pal SET tier = tier + 10 WHERE name = 'anon'")
+      run("ALTER TABLE pal ADD CONSTRAINT amt_floor CHECK (amount >= -1000)")
+      run("ALTER TABLE pal DROP COLUMN name")
+      SqlRouter.execute(e,
+        "SELECT 'hi' AS part, count(*) AS cnt, " +
+          "CAST(sum(amount) AS DECIMAL(18,2)) AS amt, " +
+          "CAST(sum(tier) AS BIGINT) AS ts FROM pal_hi " +
+        "UNION ALL SELECT 'lo', count(*), " +
+          "CAST(sum(amount) AS DECIMAL(18,2)), " +
+          "CAST(sum(tier) AS BIGINT) FROM pal_lo " +
+        "UNION ALL SELECT 'parent', count(*), " +
+          "CAST(sum(amount) AS DECIMAL(18,2)), " +
+          "CAST(sum(tier) AS BIGINT) FROM pal " +
+        "ORDER BY part").df.get
+    },
+    Some("""WITH seeded AS (
+        SELECT c_custkey AS id, c_name AS name,
+          CAST(c_acctbal AS DECIMAL(18,2)) AS amount, 3 AS tier
+        FROM customer),
+      t1 AS (SELECT id, name, amount,
+          CASE WHEN id % 4 = 0 THEN 1 ELSE tier END AS tier FROM seeded),
+      t2 AS (SELECT * FROM t1
+        UNION ALL SELECT 100000000, 'anon', CAST(12.50 AS DECIMAL(18,2)), 3),
+      t3 AS (SELECT id, amount,
+          CASE WHEN name = 'anon' THEN tier + 10 ELSE tier END AS tier
+        FROM t2),
+      agg AS (
+        SELECT 'hi' AS part, count(*) AS cnt,
+          CAST(sum(amount) AS DECIMAL(18,2)) AS amt,
+          CAST(sum(tier) AS BIGINT) AS ts FROM t3 WHERE id >= 700
+        UNION ALL SELECT 'lo', count(*),
+          CAST(sum(amount) AS DECIMAL(18,2)),
+          CAST(sum(tier) AS BIGINT) FROM t3 WHERE id < 700
+        UNION ALL SELECT 'parent', count(*),
+          CAST(sum(amount) AS DECIMAL(18,2)),
+          CAST(sum(tier) AS BIGINT) FROM t3)
+      SELECT part, cnt, amt, ts FROM agg ORDER BY part"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111)
+      q109, q110, q111, q112)
 }
