@@ -47,7 +47,7 @@ object Bench {
   private val BaselineOnly = Set("q70_knn_brute", "q72_cosine_pairs")
 
   /** Previous-round per-query band at sf0.1 (round-12 verdict #3):
-    * min(cold, warm) over the last two driver rounds (BENCH_r11/r12).
+    * min(cold, warm) over the last two driver rounds (BENCH_r12/r13).
     * Any cold run exceeding 2x its band lands in the `band` line with
     * its warm time, so a >2x outlier self-explains in the artifact —
     * the reader separates "epoch position" (warm back inside the band)
@@ -59,19 +59,19 @@ object Bench {
     7 -> 0.56, 8 -> 0.38, 9 -> 0.23, 10 -> 0.17, 11 -> 0.24, 12 -> 0.27,
     13 -> 0.28, 14 -> 0.58, 15 -> 0.23, 16 -> 0.36, 17 -> 0.67, 18 -> 0.29,
     19 -> 0.32, 20 -> 0.35, 21 -> 0.25, 22 -> 0.13, 23 -> 0.84, 24 -> 0.35,
-    25 -> 0.21, 26 -> 0.16, 27 -> 0.5, 28 -> 0.21, 29 -> 0.48, 30 -> 0.3,
+    25 -> 0.21, 26 -> 0.16, 27 -> 0.37, 28 -> 0.21, 29 -> 0.48, 30 -> 0.3,
     31 -> 0.87, 32 -> 0.37, 33 -> 0.33, 34 -> 0.23, 35 -> 0.38, 36 -> 0.15,
-    37 -> 0.35, 38 -> 0.25, 39 -> 0.63, 40 -> 0.33, 41 -> 1.55, 42 -> 0.52,
-    43 -> 0.7, 44 -> 0.88, 45 -> 0.19, 46 -> 0.33, 47 -> 0.74, 48 -> 0.29,
-    49 -> 0.59, 50 -> 0.29, 51 -> 0.34, 52 -> 0.33, 53 -> 0.32, 54 -> 1.03,
-    55 -> 0.46, 56 -> 0.44, 57 -> 0.54, 58 -> 0.25, 59 -> 0.22, 60 -> 0.34,
+    37 -> 0.35, 38 -> 0.25, 39 -> 0.59, 40 -> 0.33, 41 -> 1.55, 42 -> 0.52,
+    43 -> 0.7, 44 -> 0.88, 45 -> 0.18, 46 -> 0.33, 47 -> 0.74, 48 -> 0.29,
+    49 -> 0.59, 50 -> 0.29, 51 -> 0.34, 52 -> 0.33, 53 -> 0.31, 54 -> 0.69,
+    55 -> 0.45, 56 -> 0.4, 57 -> 0.54, 58 -> 0.25, 59 -> 0.22, 60 -> 0.34,
     61 -> 4.01, 62 -> 0.55, 63 -> 1.06, 64 -> 0.91, 65 -> 0.34, 66 -> 2.91,
-    67 -> 1.4, 68 -> 0.46, 69 -> 1.53, 70 -> 0.38, 71 -> 1.68, 72 -> 1.48,
+    67 -> 1.4, 68 -> 0.46, 69 -> 1.53, 70 -> 0.38, 71 -> 1.62, 72 -> 1.48,
     73 -> 0.68, 74 -> 1.09, 75 -> 0.34, 76 -> 0.28, 77 -> 1.56, 78 -> 0.32,
-    79 -> 0.15, 80 -> 0.16, 81 -> 2.66, 82 -> 0.84, 83 -> 0.52, 84 -> 0.35,
+    79 -> 0.14, 80 -> 0.16, 81 -> 2.66, 82 -> 0.84, 83 -> 0.52, 84 -> 0.35,
     85 -> 0.48, 86 -> 0.26, 87 -> 0.47, 88 -> 0.55, 89 -> 5.98, 90 -> 0.45,
     91 -> 1.29, 92 -> 0.96, 93 -> 1.02, 94 -> 0.56, 95 -> 1.28, 96 -> 0.81,
-    97 -> 0.7, 100 -> 1.39, 101 -> 0.4, 102 -> 2.43, 103 -> 1.82,
+    97 -> 0.7, 100 -> 1.32, 101 -> 0.36, 102 -> 2.43, 103 -> 1.82,
     104 -> 1.37, 105 -> 4.34, 106 -> 0.99, 107 -> 2.75, 108 -> 3.77,
     109 -> 0.38, 110 -> 2.89, 111 -> 8.02)
 
@@ -116,7 +116,16 @@ object Bench {
     // comparable headline number, the warm time attributes epoch-
     // position anomalies (q23 in r7/r8 driver epochs) in-artifact.
     case class Timing(cold: Double, warm: Double, err: Option[String])
-    val results: Map[String, Timing] = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter (comma-separated name substrings): time a
+    // handful of queries under the SAME warmup + reset regime as the
+    // full run. The driver never sets it — full-suite behavior and the
+    // output contract are unchanged.
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(f) if f.nonEmpty => name => f.split(',').exists(name.contains)
+      case _ => _ => true
+    }
+    val results: Map[String, Timing] = SparkEntry.queries
+      .filter(kv => only(kv._1)).map { case (name, fn) =>
       def timed(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err: Option[String] =
