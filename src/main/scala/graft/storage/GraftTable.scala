@@ -107,8 +107,8 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   def insert(df: DataFrame): Long = {
     val m = manifest
     val full = withGenerated(m, df)
-    enforceChecks(m, full)
-    val (files, n, st) = writeFiles(full.select(m.schema.fieldNames.map(col): _*))
+    val (files, n, st) = writeFilesChecked(m,
+      full.select(m.schema.fieldNames.map(col): _*))
     // MySQL counter semantics (A23) — explicit ids advance the
     // auto-inc counter past max(id) — ride in Manifest.withFiles, the
     // single funnel EVERY data commit passes through; no second
@@ -243,9 +243,8 @@ final class GraftTable(val spark: SparkSession, val path: Path,
         .withColumn(idCol, lit(base) + col("__off") + col("__pos")))
         .select(m.schema.fieldNames.map(col): _*)
       // same DML contract as insert(): constraints and generated
-      // columns apply to auto-inc appends too
-      enforceChecks(m, withId)
-      val (files, n, st) = writeFiles(withId)
+      // columns apply to auto-inc appends too (checks ride the write)
+      val (files, n, st) = writeFilesChecked(m, withId)
       io.commit(path,
         m.withFiles(m.files ++ files, st).copy(autoInc = base + total))
       n
@@ -384,7 +383,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * delete-only → copy-on-write anti-join delete;
     * general → rewrite files containing touched PKs, re-append upserts.
     */
-  def merge(changes0: DataFrame): Unit = {
+  def merge(changes0: DataFrame): MergeCounts = {
     val m = manifest
     val dataCols = m.schema.fieldNames
     // Keyless tables (reference index-less mode,
@@ -399,38 +398,62 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   }
 
   private def mergeImpl(m: Manifest, pk: Seq[String], dataCols: Array[String],
-      changes: DataFrame): Unit = {
-    // generated columns recompute ONCE here; both the append fast
-    // paths and the rewrite arm then write the upserts as-is (checks
-    // likewise run once — the appends must not re-pay either job)
-    val upserts = withGenerated(m,
-      changes.filter(col("action") =!= 0).select(dataCols.map(col): _*))
+      changes: DataFrame): MergeCounts = {
+    // generated columns recompute ONCE here (extra columns like
+    // `action` pass through withGenerated untouched); both the append
+    // fast paths and the rewrite arm then write the upserts as-is
+    val genAll = withGenerated(m, changes)
+    val upserts = genAll.filter(col("action") =!= 0)
       .select(dataCols.map(col): _*)
-    // one job decides the fast-path flags AND the touched-key bounding
-    // box for file-range pruning (not separate probes)
+    // ONE job decides the fast-path flags, the per-action counts the
+    // CALLERS need (REPLACE affected-rows, ODKU's 1-per-insert +
+    // 2-per-update — round 14: they used to run their OWN counting
+    // job first), the CHECK-constraint verdicts (round 14: previously
+    // a second aggregation action per child per statement; evaluated
+    // on the post-generated images, upsert rows only, same
+    // NULL-passes semantics as enforceChecks), AND the touched-key
+    // bounding box for file-range pruning
     val statCols = prunablePkCols(m).filter { case (c, _, _) => pk.contains(c) }
+    val checks = m.props.collect {
+      case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
+    }.toSeq
+    val checkAggs = checks.map { case (name, e) =>
+      max(when(col("action") =!= 0 &&
+        coalesce(expr(e), lit(true)) === false, 1).otherwise(0)).as(name)
+    }
     val aggs = Seq(count(lit(1)).as("__n"),
-      count(when(col("action") === 0, 1)).as("__nd")) ++
+      count(when(col("action") === 0, 1)).as("__nd"),
+      count(when(col("action") === 1, 1)).as("__nu")) ++
+      checkAggs ++
       statCols.flatMap { case (c, _, _) =>
         Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))
       }
-    val probe = changes.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val probe = genAll.agg(aggs.head, aggs.tail: _*).collect()(0)
     val totalChanges = probe.getLong(0)
     val hasDeletes = probe.getLong(1) > 0
     val hasUpserts = totalChanges - probe.getLong(1) > 0
-    if (!hasUpserts && !hasDeletes) return
-    if (hasUpserts) enforceChecks(m, upserts)
+    val counts = MergeCounts(totalChanges, probe.getLong(1), probe.getLong(2))
+    val violated = checks.zipWithIndex.collect {
+      case ((name, _), i)
+        if !probe.isNullAt(3 + i) && probe.getInt(3 + i) == 1 => name
+    }
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint(s) violated: ${violated.mkString(", ")}")
+    if (!hasUpserts && !hasDeletes) return counts
 
     if (m.files.isEmpty) {
       if (hasUpserts) appendRows(upserts)
-      return
+      return counts
     }
 
     // Touched-key bounding box per prunable PK column (a null bound —
     // all-null keys — disables pruning on that column, stays correct).
     val keyRanges: Seq[(String, DataType, String, String)] =
       statCols.zipWithIndex.flatMap { case ((_, phys, t), i) =>
-        val (lo, hi) = (probe.get(2 + 2 * i), probe.get(3 + 2 * i))
+        // stats start after the 3 count slots and the check slots
+        val o = 3 + checks.size
+        val (lo, hi) = (probe.get(o + 2 * i), probe.get(o + 1 + 2 * i))
         if (lo == null || hi == null) None
         else Some((phys, t, lo.toString, hi.toString))
       }
@@ -466,7 +489,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
       val (files, _, st) = writeFiles(replacement, needCount = false)
       io.commit(path, m.withFiles(files, st))
-      return
+      return counts
     }
     // Stats pruning BEFORE the scan probe (round-5 verdict; the ART-
     // index analog): a file whose recorded PK range misses the batch's
@@ -497,7 +520,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       // Blind-append fast path: nothing overlaps existing data.
       if (hasUpserts) appendRows(upserts)
       // deletes of absent keys are no-ops
-      return
+      return counts
     }
 
     val affectedSeq = normalize(candidates).zip(candidates)
@@ -512,6 +535,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // after a concurrent writer whose rewrite our survivor set never
     // saw (resurrecting its deletes, duplicating its survivors)
     io.commit(path, m.withFiles(m.files.diff(affectedSeq) ++ files, st))
+    counts
   }
 
   /** REPLACE INTO (A6, `/root/reference/catalog/table.go:543-552` →
@@ -524,12 +548,9 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val m = manifest
     val key = if (m.pkCols.nonEmpty) m.pkCols else m.schema.fieldNames.toSeq
     val condensed = lastPerKey(df.select(m.schema.fieldNames.map(col): _*), key)
-      .persist()
-    try {
-      val n = condensed.count()
-      merge(condensed.withColumn("action", lit(2)))
-      n
-    } finally condensed.unpersist()
+    // the row count rides merge's own probe aggregate — no separate
+    // count() job (round 14: that job was per child per statement)
+    merge(condensed.withColumn("action", lit(2))).total
   }
 
   /** INSERT IGNORE (A11/§2.B INSERT edge semantics): rows whose PK
@@ -632,11 +653,12 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       .select(dataCols.map(c => col(s"__new_$c").as(c)): _*)
     guardArbiterPkCollision(m, pk, newRows)
     val changes = updated.withColumn("action", lit(1))
-      .unionByName(newRows.withColumn("action", lit(2))).persist()
-    val counts = changes.groupBy(col("action")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    merge(changes) // merge persists/unpersists the same plan
-    counts.getOrElse(2, 0L) + 2 * counts.getOrElse(1, 0L)
+      .unionByName(newRows.withColumn("action", lit(2)))
+    // MySQL affected rows (1 per insert, 2 per update) come off
+    // merge's own probe aggregate — the old groupBy-count collect was
+    // a second multi-stage job per child per statement (round 14)
+    val c = merge(changes)
+    (c.total - c.updates) + 2 * c.updates
   }
 
   /** One row per key, LAST occurrence in input order winning (MySQL
@@ -1165,6 +1187,66 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       else None
     }
 
+  /** [[writeFiles]] with the table's CHECK constraints validated IN
+    * the write action itself (round 14): an `Observation` aggregates
+    * each check's violation flag while the rows stream through the
+    * writer — zero extra jobs where enforceChecks cost one aggregation
+    * action per DML write (per CHILD on partition trees, whose
+    * children all carry a `__partbound` CHECK). A violation surfaces
+    * BEFORE the manifest commit: the staged files are deleted and the
+    * statement fails with enforceChecks' error text, so nothing is
+    * ever visible. MySQL NULL-passes semantics unchanged. If the
+    * observation event is lost (listener race), the old aggregation
+    * job runs as the fallback — never weaker enforcement. */
+  private def writeFilesChecked(m: Manifest, df: DataFrame,
+      needCount: Boolean = true)
+      : (Seq[String], Long, Map[String, Map[String, Seq[String]]]) = {
+    val checks = m.props.collect {
+      case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
+    }.toSeq
+    if (checks.isEmpty) return writeFiles(df, needCount)
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = checks.map { case (name, e) =>
+      max(when(coalesce(expr(e), lit(true)) === false, 1).otherwise(0))
+        .as(name)
+    }
+    val out = writeFiles(df.observe(obs, aggs.head, aggs.tail: _*), needCount)
+    // obs.get blocks until the writer's execution event posts; the
+    // bounded wait turns a lost event into the fallback, not a hang
+    val metrics: Option[Map[String, Any]] =
+      try Some(scala.concurrent.Await.result(
+        scala.concurrent.Future(obs.get)(
+          scala.concurrent.ExecutionContext.global),
+        scala.concurrent.duration.Duration(15, "s")))
+      catch { case _: java.util.concurrent.TimeoutException => None }
+    val violated = metrics match {
+      case Some(mm) => checks.collect {
+        case (name, _) if mm.get(name).exists(v =>
+          v != null && v.asInstanceOf[Number].intValue() == 1) => name
+      }
+      case None =>
+        // event lost: fall back to the explicit aggregation pass
+        try { enforceChecks(m, df); Nil }
+        catch { case e: IllegalArgumentException => cleanupStaged(out._1); throw e }
+    }
+    if (violated.nonEmpty) {
+      cleanupStaged(out._1)
+      throw new IllegalArgumentException(
+        s"CHECK constraint(s) violated: ${violated.mkString(", ")}")
+    }
+    out
+  }
+
+  /** Remove just-written, never-committed staging output (CHECK
+    * violation unwinding — the files were invisible to every reader). */
+  private def cleanupStaged(files: Seq[String]): Unit =
+    files.map(f => Paths.get(f).getParent).distinct.foreach { d =>
+      try {
+        Files.list(d).iterator().asScala.foreach(Files.deleteIfExists(_))
+        Files.deleteIfExists(d)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   private def writeFiles(df: DataFrame, needCount: Boolean = true)
       : (Seq[String], Long, Map[String, Map[String, Seq[String]]]) = {
     val dest = path.resolve("data").resolve(UUID.randomUUID().toString)
@@ -1337,6 +1419,13 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       Some(Seq(vals.map(_._1).min.toString, vals.map(_._2).max.toString))
   }
 }
+
+/** Per-action row counts of an applied merge, computed inside the
+  * merge's single probe aggregate: `total` change rows, `deletes`
+  * (action 0), `updates` (action 1); inserts = total − deletes −
+  * updates. Returned so REPLACE / ODKU affected-row math never pays a
+  * second counting job. */
+final case class MergeCounts(total: Long, deletes: Long, updates: Long)
 
 object GraftTable {
   /** Last merge's probe-scan candidate file list (post stats-pruning)
