@@ -329,9 +329,22 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val affectedSeq = normalize(m.files).zip(m.files)
       .filter { case (n, _) => affected.contains(n) }.map(_._2)
     val affectedDf = readFiles(m, affectedSeq)
-    val survivors = affectedDf.filter(!coalesce(cond, lit(false)))
-    val before = affectedDf.count()
+    // the pre-filter row count rides the rewrite action (observe node
+    // BELOW the survivor filter counts every streamed row) — round 14:
+    // it was a separate count job per DELETE statement
+    val obs = org.apache.spark.sql.Observation()
+    val observed = affectedDf.observe(obs, count(lit(1)).as("__all"))
+    val survivors = observed.filter(!coalesce(cond, lit(false)))
     val (files, kept, st) = writeFiles(survivors)
+    val before: Long =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future(obs.get)(
+          scala.concurrent.ExecutionContext.global),
+        scala.concurrent.duration.Duration(15, "s"))
+        .get("__all").map(_.asInstanceOf[Number].longValue())
+        .getOrElse(affectedDf.count())
+      catch { case _: java.util.concurrent.TimeoutException =>
+        affectedDf.count() } // event lost: pay the explicit count
     val newFiles = m.files.diff(affectedSeq) ++ files
     io.commit(path, m.withFiles(newFiles, st))
     before - kept
@@ -364,10 +377,47 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // generated columns see the post-SET row; recomputing them on
     // unmatched rows re-derives the value they already store
     val updated = withGenerated(m, postSet)
-    val nMatched = flagged.filter(col("__m")).count()
-    enforceChecks(m, updated.filter(col("__m")))
-    val (files, _, st) =
-      writeFiles(updated.select(m.schema.fieldNames.map(col): _*), needCount = false)
+    // the matched count AND the CHECK verdicts (post-SET images,
+    // matched rows only) ride the rewrite action itself via an
+    // Observation — round 14: they were two more aggregation jobs per
+    // UPDATE statement; a violation still aborts BEFORE the commit
+    val checks = m.props.collect {
+      case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
+    }.toSeq
+    val obs = org.apache.spark.sql.Observation()
+    val metricAggs = count(when(col("__m"), 1)).as("__nm") +:
+      checks.map { case (name, e) =>
+        max(when(col("__m") &&
+          coalesce(expr(e), lit(true)) === false, 1).otherwise(0)).as(name)
+      }
+    val observed = updated.observe(obs, metricAggs.head, metricAggs.tail: _*)
+    val (files, _, st) = writeFiles(
+      observed.select(m.schema.fieldNames.map(col): _*), needCount = false)
+    val metrics: Option[Map[String, Any]] =
+      try Some(scala.concurrent.Await.result(
+        scala.concurrent.Future(obs.get)(
+          scala.concurrent.ExecutionContext.global),
+        scala.concurrent.duration.Duration(15, "s")))
+      catch { case _: java.util.concurrent.TimeoutException => None }
+    val nMatched = metrics match {
+      case Some(mm) =>
+        val violated = checks.collect {
+          case (name, _) if mm.get(name).exists(v =>
+            v != null && v.asInstanceOf[Number].intValue() == 1) => name
+        }
+        if (violated.nonEmpty) {
+          cleanupStaged(files)
+          throw new IllegalArgumentException(
+            s"CHECK constraint(s) violated: ${violated.mkString(", ")}")
+        }
+        mm.get("__nm").map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
+      case None =>
+        // event lost: pay the explicit passes (never weaker checks)
+        try enforceChecks(m, updated.filter(col("__m")))
+        catch { case e: IllegalArgumentException =>
+          cleanupStaged(files); throw e }
+        flagged.filter(col("__m")).count()
+    }
     io.commit(path, m.withFiles(m.files.diff(affectedSeq) ++ files, st))
     nMatched
   }
