@@ -408,6 +408,11 @@ object CdcQueries {
       run("INSERT INTO src SELECT c_custkey, c_name, c_acctbal FROM customer " +
         "WHERE c_custkey <= 250")
       run("UPDATE src SET name = NULL WHERE id % 50 = 0") // \N spellings
+      // FIXED path: the oracle's static SQL must read the same file,
+      // so two harnesses running q106 concurrently at DIFFERENT scale
+      // factors race on it (last writer wins, the other's hash gate
+      // reads foreign bytes). The driver runs suites sequentially;
+      // builder-side stress/verify runs must not overlap on this query.
       val f = "/tmp/graft_q106_outfile.tsv"
       new java.io.File(f).delete() // OUTFILE refuses overwrite (1086)
       run(s"SELECT id, name, bal FROM src ORDER BY id INTO OUTFILE '$f'")
