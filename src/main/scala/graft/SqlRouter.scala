@@ -3790,7 +3790,11 @@ object SqlRouter {
       chain.fold(dflt)(_.otherwise(dflt))
     }
     val tag = build(parentName, t, Nil)
-    val logical = t.logicalForIngest(src)
+    // the parent's CHECK pass rides the staged write itself (round 14:
+    // it was a separate aggregation job per routed INSERT on parents
+    // carrying constraints); a violation throws before ANY leaf
+    // adopts, and the finally-rmTree reclaims the staging
+    val (logical, validateChecks) = t.logicalForIngestObserved(src)
     val physical = t.physicalize(logical.withColumn("__part", tag))
     val staging = t.path.resolve("ingest")
       .resolve(java.util.UUID.randomUUID().toString)
@@ -3804,6 +3808,7 @@ object SqlRouter {
       java.nio.file.Files.deleteIfExists(p)
     }
     try {
+      validateChecks() // violation throws here: nothing adopted yet
       val dirs = ls(staging)
         .filter(_.getFileName.toString.startsWith("__part="))
       // rows no leaf claims land in the null-tag directory — loud,
@@ -3849,7 +3854,7 @@ object SqlRouter {
       }
       // Adoption eligibility (r13 advice, medium): byte layout must
       // match AND the leaf must impose no row semantics beyond the
-      // parent's. logicalForIngest enforced only the PARENT's CHECKs
+      // parent's. The ingest pass enforces only the PARENT's CHECKs
       // and generated columns, and routing itself guarantees each
       // child's `__partbound` CHECK (rows land by the same bound
       // predicates, first-match-wins) — but a CHECK or generated

@@ -1251,40 +1251,52 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   private def writeFilesChecked(m: Manifest, df: DataFrame,
       needCount: Boolean = true)
       : (Seq[String], Long, Map[String, Map[String, Seq[String]]]) = {
+    val (observed, validate) = observeChecks(m, df)
+    val out = writeFiles(observed, needCount)
+    try validate()
+    catch { case e: IllegalArgumentException =>
+      cleanupStaged(out._1); throw e }
+    out
+  }
+
+  /** Attach the manifest's CHECK constraints as an `Observation` on
+    * `df` and return the observed frame plus a validator to invoke
+    * AFTER the caller's write action completes and BEFORE anything
+    * commits. The metrics aggregate while the rows stream through the
+    * writer — zero extra jobs; obs.get blocks until the execution
+    * event posts, so the bounded wait turns a lost event into the
+    * explicit-aggregation fallback, never weaker enforcement. */
+  private[graft] def observeChecks(m: Manifest,
+      df: DataFrame): (DataFrame, () => Unit) = {
     val checks = m.props.collect {
       case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
     }.toSeq
-    if (checks.isEmpty) return writeFiles(df, needCount)
+    if (checks.isEmpty) return (df, () => ())
     val obs = org.apache.spark.sql.Observation()
     val aggs = checks.map { case (name, e) =>
       max(when(coalesce(expr(e), lit(true)) === false, 1).otherwise(0))
         .as(name)
     }
-    val out = writeFiles(df.observe(obs, aggs.head, aggs.tail: _*), needCount)
-    // obs.get blocks until the writer's execution event posts; the
-    // bounded wait turns a lost event into the fallback, not a hang
-    val metrics: Option[Map[String, Any]] =
-      try Some(scala.concurrent.Await.result(
-        scala.concurrent.Future(obs.get)(
-          scala.concurrent.ExecutionContext.global),
-        scala.concurrent.duration.Duration(15, "s")))
-      catch { case _: java.util.concurrent.TimeoutException => None }
-    val violated = metrics match {
-      case Some(mm) => checks.collect {
-        case (name, _) if mm.get(name).exists(v =>
-          v != null && v.asInstanceOf[Number].intValue() == 1) => name
+    val observed = df.observe(obs, aggs.head, aggs.tail: _*)
+    val validate = () => {
+      val metrics: Option[Map[String, Any]] =
+        try Some(scala.concurrent.Await.result(
+          scala.concurrent.Future(obs.get)(
+            scala.concurrent.ExecutionContext.global),
+          scala.concurrent.duration.Duration(15, "s")))
+        catch { case _: java.util.concurrent.TimeoutException => None }
+      val violated = metrics match {
+        case Some(mm) => checks.collect {
+          case (name, _) if mm.get(name).exists(v =>
+            v != null && v.asInstanceOf[Number].intValue() == 1) => name
+        }
+        case None => enforceChecks(m, df); Nil
       }
-      case None =>
-        // event lost: fall back to the explicit aggregation pass
-        try { enforceChecks(m, df); Nil }
-        catch { case e: IllegalArgumentException => cleanupStaged(out._1); throw e }
+      if (violated.nonEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint(s) violated: ${violated.mkString(", ")}")
     }
-    if (violated.nonEmpty) {
-      cleanupStaged(out._1)
-      throw new IllegalArgumentException(
-        s"CHECK constraint(s) violated: ${violated.mkString(", ")}")
-    }
-    out
+    (observed, validate)
   }
 
   /** Remove just-written, never-committed staging output (CHECK
@@ -1371,11 +1383,18 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * child; the per-child `check.__partbound` CHECK holds BY
     * CONSTRUCTION for routed rows (the router only tags a row for a
     * child whose bound predicate is definitively true). */
-  private[graft] def logicalForIngest(df: DataFrame): DataFrame = {
+  /** The logical half of the single-pass routed ingest: generated
+    * columns computed, the parent's CHECK validation DEFERRED into the
+    * caller's own write action ([[observeChecks]]) — returns the
+    * projected frame plus the validator to invoke after that action
+    * and before any manifest commits, so the parent-CHECK pass is not
+    * a separate job. */
+  private[graft] def logicalForIngestObserved(
+      df: DataFrame): (DataFrame, () => Unit) = {
     val m = manifest
     val full = withGenerated(m, df)
-    enforceChecks(m, full)
-    full.select(m.schema.fieldNames.map(col): _*)
+    val (observed, validate) = observeChecks(m, full)
+    (observed.select(m.schema.fieldNames.map(col): _*), validate)
   }
 
   /** Step 2: physical names + physical types for every schema column —
