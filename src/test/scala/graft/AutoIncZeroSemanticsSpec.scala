@@ -39,6 +39,18 @@ class AutoIncZeroSemanticsSpec extends SparkSpec {
     assert(exec(e, "SELECT count(*) FROM t").df.get.as[Long].head() === 0L)
   }
 
+  test("UPDATE that nulls a NOT NULL / PK column is loud, nothing committed") {
+    val e = new Engine(spark, tmpDir("autoinc_updnull"))
+    exec(e, "CREATE TABLE t (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, " +
+      "PRIMARY KEY (id))")
+    exec(e, "INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    intercept[Exception](exec(e, "UPDATE t SET id = NULL WHERE id = 2"))
+    // the copy-on-write rewrite aborted before its manifest commit
+    assert(exec(e, "SELECT count(*), CAST(min(id) AS BIGINT), " +
+      "CAST(max(id) AS BIGINT) FROM t").df.get
+      .as[(Long, Long, Long)].head() === ((2L, 1L, 2L)))
+  }
+
   test("explicit 0 through a PARTITIONED parent routes and stays literal") {
     val e = new Engine(spark, tmpDir("autoinc_zero_part"))
     exec(e, "CREATE TABLE p (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, " +
