@@ -21,7 +21,13 @@ object SqlRouter {
   final case class Result(df: Option[DataFrame], affected: Long)
 
   private val CreateDb = """(?is)\s*CREATE\s+DATABASE\s+(\w+)\s*""".r
-  private val DropDb = """(?is)\s*DROP\s+DATABASE\s+(\w+)\s*""".r
+  // MySQL: DROP DATABASE [IF EXISTS] db; the CASCADE/RESTRICT trailer
+  // is PG's DROP SCHEMA spelling riding the same arm (databases map
+  // onto pg schemas here — see CreateSchema). Without the trailer the
+  // statement previously FELL THROUGH to Catalyst and failed against
+  // spark_catalog (round 14, q113).
+  private val DropDb =
+    """(?is)\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)\s*(?:CASCADE|RESTRICT)?\s*""".r
   private val UseDb = """(?is)\s*USE\s+(\w+)\s*""".r
   private val CreateTableAs =
     """(?is)\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+|UNLOGGED\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(\(\s*SELECT.*\)|SELECT.*|VALUES.*|WITH.*)\s*""".r
@@ -982,7 +988,10 @@ object SqlRouter {
     * valid passthrough SQL into a parse error. */
   private def executeRouted(engine: Engine, sqlText: String, original: String): Result = sqlText match {
     case CreateDb(name) => engine.createDatabase(name); ddl
-    case DropDb(name) => engine.dropDatabase(name, cascade = true); ddl
+    case DropDb(ifExists, name) =>
+      if (ifExists == null || engine.listDatabases().contains(name))
+        engine.dropDatabase(name, cascade = true)
+      ddl
     case UseDb(name) if !name.equalsIgnoreCase("database") =>
       engine.use(name); ddl
     case CreateTableAs(ifNotExists, name, query0) =>

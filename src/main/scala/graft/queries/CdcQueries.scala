@@ -883,7 +883,76 @@ object CdcQueries {
           CAST(sum(tier) AS BIGINT) FROM t3)
       SELECT part, cnt, amt, ts FROM agg ORDER BY part"""))
 
+  // --------------------------------------------------------------------
+  // q113 — the storage LIFECYCLE through a partitioned tree, under the
+  // hash gate (round-14: BACKUP/RESTORE and VACUUM/OPTIMIZE were
+  // spec-only; reference `pgserver/backup_handler.go:28-175` +
+  // `catalog/provider.go` restore, VACUUM analog): seed + delete
+  // (leaves dead CoW generations), OPTIMIZE (compaction), VACUUM
+  // RETAIN 0 (dead-file reclaim), BACKUP the database, mutate AFTER
+  // the backup, DROP, RESTORE (partition tree relinked), and read the
+  // per-partition aggregates — which must show the BACKED-UP state,
+  // not the post-backup mutation. Every lifecycle op that corrupted a
+  // file list, lost a partition link, or reclaimed a LIVE file flips
+  // the hash.
+  private val q113 = QueryDef(
+    "q113_lifecycle_backup_restore",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      val wh = Files.createTempDirectory("graft_q113")
+      val e = new Engine(s, wh)
+      e.bindTables(dir, "customer")
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE DATABASE lc")
+      run("USE lc")
+      e.bindTables(dir, "customer") // USE drops engine-side bindings
+      run("CREATE TABLE lt (id BIGINT NOT NULL, name STRING, " +
+        "bal DECIMAL(18,2), PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+      run("CREATE TABLE lt_lo PARTITION OF lt " +
+        "FOR VALUES FROM (MINVALUE) TO (800)")
+      run("CREATE TABLE lt_hi PARTITION OF lt DEFAULT")
+      run("INSERT INTO lt SELECT c_custkey, c_name, " +
+        "CAST(c_acctbal AS DECIMAL(18,2)) FROM customer")
+      // dead CoW generations on both children
+      run("DELETE FROM lt WHERE id % 3 = 0")
+      run("UPDATE lt SET bal = bal + 1.00 WHERE id % 5 = 0")
+      run("OPTIMIZE lt")
+      run("VACUUM lt RETAIN 0 SECONDS")
+      val bdir = Files.createTempDirectory("graft_q113_backup")
+      run(s"BACKUP DATABASE lc TO '$bdir'")
+      // post-backup mutation MUST NOT survive the restore
+      run("DELETE FROM lt WHERE id < 100")
+      run("USE main")
+      run("DROP DATABASE lc CASCADE")
+      run(s"RESTORE DATABASE lc FROM '$bdir'")
+      run("USE lc")
+      SqlRouter.execute(e,
+        "SELECT 'hi' AS part, count(*) AS cnt, " +
+          "CAST(sum(bal) AS DECIMAL(18,2)) AS amt FROM lt_hi " +
+        "UNION ALL SELECT 'lo', count(*), " +
+          "CAST(sum(bal) AS DECIMAL(18,2)) FROM lt_lo " +
+        "UNION ALL SELECT 'parent', count(*), " +
+          "CAST(sum(bal) AS DECIMAL(18,2)) FROM lt " +
+        "ORDER BY part").df.get
+    },
+    Some("""WITH seeded AS (
+        SELECT c_custkey AS id,
+          CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer WHERE NOT (c_custkey % 3 = 0)),
+      st AS (SELECT id,
+          CASE WHEN id % 5 = 0 THEN CAST(bal + 1.00 AS DECIMAL(18,2))
+            ELSE bal END AS bal
+        FROM seeded),
+      agg AS (
+        SELECT 'hi' AS part, count(*) AS cnt,
+          CAST(sum(bal) AS DECIMAL(18,2)) AS amt FROM st WHERE id >= 800
+        UNION ALL SELECT 'lo', count(*),
+          CAST(sum(bal) AS DECIMAL(18,2)) FROM st WHERE id < 800
+        UNION ALL SELECT 'parent', count(*),
+          CAST(sum(bal) AS DECIMAL(18,2)) FROM st)
+      SELECT part, cnt, amt FROM agg ORDER BY part"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112)
+      q109, q110, q111, q112, q113)
 }

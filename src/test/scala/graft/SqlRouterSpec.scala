@@ -3238,6 +3238,18 @@ class SqlRouterSpec extends SparkSpec {
     assert(e.table("pt").partitionBy === Some("RANGE (id)"))
   }
 
+  test("DROP DATABASE: IF EXISTS tolerated, CASCADE/RESTRICT trailers route") {
+    val e = new Engine(spark, tmpDir("router_dropdb"))
+    exec(e, "CREATE DATABASE d1")
+    exec(e, "DROP DATABASE d1 CASCADE") // PG DROP SCHEMA spelling
+    assert(!e.listDatabases().contains("d1"))
+    exec(e, "DROP DATABASE IF EXISTS d1") // absent: a tolerated no-op
+    intercept[Exception](exec(e, "DROP DATABASE d1")) // bare form stays loud
+    exec(e, "CREATE DATABASE d2")
+    exec(e, "DROP DATABASE IF EXISTS d2")
+    assert(!e.listDatabases().contains("d2"))
+  }
+
   test("partitioning: child-local CHECK enforced on rows routed through the parent") {
     // r13 advice (medium): the single-pass ingest enforced only the
     // PARENT's CHECKs; a CHECK added directly to one child must still
