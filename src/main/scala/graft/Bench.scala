@@ -124,6 +124,10 @@ object Bench {
       case Some(f) if f.nonEmpty => name => f.split(',').exists(name.contains)
       case _ => _ => true
     }
+    // fail fast on a filter matching nothing — otherwise the run pays
+    // the full oracle pass and then crashes on an empty grouping
+    require(SparkEntry.queries.keys.exists(only),
+      "SPARK_GRAFT_ONLY matched no queries")
     val results: Map[String, Timing] = SparkEntry.queries
       .filter(kv => only(kv._1)).map { case (name, fn) =>
       def timed(): (Double, Option[String]) = {

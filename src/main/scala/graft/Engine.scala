@@ -556,10 +556,11 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
         tableFrame(t).createOrReplaceTempView(t)
         viewOwners.remove(t)
       } else {
-        // ownership is session-global and keyed by (table dir, raw
-        // journal version): another engine over another warehouse, or
-        // any committed write, forces a rebind; an unchanged table is
-        // one directory listing, zero manifest reads, zero re-analysis
+        // ownership is PER ENGINE (the child-session catalog makes
+        // names engine-local) and keyed by (table dir, raw journal
+        // version): any committed write forces a rebind; an unchanged
+        // table is one directory listing, zero manifest reads, zero
+        // re-analysis
         val v = Manifest.latestVersion(p).getOrElse(-1L)
         // partitioned-parent detection WITHOUT a manifest read on the
         // cached path: the (dir, version) pair pins the props, so the
@@ -842,14 +843,6 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
 }
 
 object Engine {
-  /** Session-global temp-view ownership: view name → (table directory,
-    * manifest version bound). Engines over different warehouses share
-    * one SparkSession's temp-view namespace; the ownership check makes
-    * a cached binding valid only for the exact table state it was built
-    * from. */
-  private val viewOwners =
-    scala.collection.concurrent.TrieMap.empty[String, (Path, Long)]
-
   /** table dir → (manifest version, attached-children names). A
     * manifest version pins its props, so the children LIST is cacheable
     * by the same key the ownership check already computes — the cached

@@ -25,9 +25,12 @@ object SqlRouter {
   // is PG's DROP SCHEMA spelling riding the same arm (databases map
   // onto pg schemas here — see CreateSchema). Without the trailer the
   // statement previously FELL THROUGH to Catalyst and failed against
-  // spark_catalog (round 14, q113).
+  // spark_catalog (round 14, q113). The trailer is CAPTURED because
+  // the semantics differ: an explicit RESTRICT must refuse a non-empty
+  // database (PG) instead of silently destroying its tables; bare
+  // MySQL DROP DATABASE and explicit CASCADE both drop everything.
   private val DropDb =
-    """(?is)\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)\s*(?:CASCADE|RESTRICT)?\s*""".r
+    """(?is)\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?(\w+)\s*(CASCADE|RESTRICT)?\s*""".r
   private val UseDb = """(?is)\s*USE\s+(\w+)\s*""".r
   private val CreateTableAs =
     """(?is)\s*CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+|UNLOGGED\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(\(\s*SELECT.*\)|SELECT.*|VALUES.*|WITH.*)\s*""".r
@@ -988,9 +991,10 @@ object SqlRouter {
     * valid passthrough SQL into a parse error. */
   private def executeRouted(engine: Engine, sqlText: String, original: String): Result = sqlText match {
     case CreateDb(name) => engine.createDatabase(name); ddl
-    case DropDb(ifExists, name) =>
+    case DropDb(ifExists, name, trailer) =>
       if (ifExists == null || engine.listDatabases().contains(name))
-        engine.dropDatabase(name, cascade = true)
+        engine.dropDatabase(name,
+          cascade = trailer == null || !trailer.equalsIgnoreCase("RESTRICT"))
       ddl
     case UseDb(name) if !name.equalsIgnoreCase("database") =>
       engine.use(name); ddl
@@ -1337,12 +1341,17 @@ object SqlRouter {
       else Result(None, t.replaceRows(mergeSource(engine, t, colList, rest)))
     case InsertIgnore(name, colList, rest) =>
       val t = engine.table(name)
-      if (t.partitionBy.isDefined)
-        Result(None, routeFrame(engine, name, t,
-          mergeSource(engine, t, colList, rest),
-          _.insertIgnoreRows(_)))
-      else Result(None,
-        t.insertIgnoreRows(mergeSource(engine, t, colList, rest)))
+      // MySQL leaves LAST_INSERT_ID() untouched when nothing inserts
+      // (all-duplicate batch); mergeSource sets it at id-assignment
+      // time, so a zero-insert outcome restores the prior value
+      val priorLid = engine.getVar("last_insert_id")
+      val n =
+        if (t.partitionBy.isDefined)
+          routeFrame(engine, name, t,
+            mergeSource(engine, t, colList, rest), _.insertIgnoreRows(_))
+        else t.insertIgnoreRows(mergeSource(engine, t, colList, rest))
+      if (n == 0) engine.setVar("last_insert_id", priorLid.getOrElse("0"))
+      Result(None, n)
     // PG's upsert spelling (ON CONFLICT ... DO NOTHING | DO UPDATE SET
     // ... [WHERE ...]) maps onto the same storage machinery as MySQL's
     // ON DUPLICATE KEY: `excluded.c` is the incoming row (the __new_<c>
@@ -1413,18 +1422,25 @@ object SqlRouter {
           def retSel(df: DataFrame, rx: String): DataFrame =
             df.selectExpr(splitTop(rx).map(_.trim): _*)
           if (nothing != null) returning match {
-            case None if t.partitionBy.isDefined =>
+            case None =>
               // per-child DO NOTHING is exact: PG requires every
               // unique key on a partitioned table to include the
               // partition key, so the conflicting row can only live
               // in the child the incoming row routes to. The resolved
               // arbiter columns exist on every child (same schema).
-              Result(None, routeFrame(engine, name, t,
-                mergeSource(engine, t, colList, rest),
-                _.insertIgnoreRows(_, pk)))
-            case None =>
-              Result(None,
-                t.insertIgnoreRows(mergeSource(engine, t, colList, rest), pk))
+              // LAST_INSERT_ID stays untouched when nothing inserts
+              // (same restore as INSERT IGNORE).
+              val priorLid = engine.getVar("last_insert_id")
+              val n =
+                if (t.partitionBy.isDefined)
+                  routeFrame(engine, name, t,
+                    mergeSource(engine, t, colList, rest),
+                    _.insertIgnoreRows(_, pk))
+                else t.insertIgnoreRows(
+                  mergeSource(engine, t, colList, rest), pk)
+              if (n == 0)
+                engine.setVar("last_insert_id", priorLid.getOrElse("0"))
+              Result(None, n)
             case Some(rx) =>
               // PG returns only the rows actually INSERTED under DO
               // NOTHING; the pre-insert key set is frozen (immutable
@@ -1481,7 +1497,7 @@ object SqlRouter {
                   _.upsertOnDuplicate(_, sets, pk)))
               case None =>
                 Result(None, t.upsertOnDuplicate(
-                  sourceDfFor(engine, t, colList, rest), sets, pk))
+                  mergeSource(engine, t, colList, rest), sets, pk))
               case Some(rx) =>
                 val src = mergeSource(engine, t, colList, rest)
                 val guard = whereOpt.map(w => rewriteConflictRefs(w, name))
@@ -3613,9 +3629,27 @@ object SqlRouter {
   private def frozenSource(engine: Engine, t: graft.storage.GraftTable,
       colList: String, rest: String): DataFrame = {
     val df = sourceDfFor(engine, t, colList, rest)
-    val deterministic = df.queryExecution.analyzed.find(p =>
-      p.expressions.exists(e => e.exists(!_.deterministic))).isEmpty
-    if (deterministic) df else df.localCheckpoint(true)
+    if (planIsStable(df.queryExecution.analyzed)) df
+    else df.localCheckpoint(true)
+  }
+
+  /** True when every evaluation of the plan yields the same rows.
+    * Three hazards beyond `Expression.deterministic`: the now()-family
+    * reports deterministic=true but is STAMPED PER QueryExecution
+    * (ComputeCurrentTime) — and routeFrame derives several Datasets
+    * from the source, each its own execution; subquery plans hide
+    * their expressions from the outer `plan.expressions` walk; and a
+    * nested view/CTE may carry either anywhere in its tree. */
+  private def planIsStable(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def exprStable(e: Expression): Boolean = !e.exists {
+      case _: CurrentTimestampLike | _: CurrentDate | _: LocalTimestamp |
+          _: CurrentTimeZone => true
+      case sq: SubqueryExpression => !planIsStable(sq.plan)
+      case other => !other.deterministic
+    }
+    plan.find(p => p.expressions.exists(e => !exprStable(e))).isEmpty
   }
 
   /** Merge-family source (REPLACE / INSERT IGNORE / ODKU / ON
@@ -3678,8 +3712,25 @@ object SqlRouter {
       chain.fold(lit(defaultChild.orNull): Column)(
         _.otherwise(lit(defaultChild.orNull)))
     }
-    val counts = src.groupBy(tag.as("__part")).count().collect()
+    // ONE aggregate answers the routing counts, the loud unroutable
+    // check, AND (when the parent carries an auto-inc pk) the explicit
+    // id max the A23 advance below needs — round-14 review: the max()
+    // used to re-execute the whole (possibly unfrozen) source a third
+    // time as its own action
+    val autoCol = m.schema.fieldNames
+      .find(c => m.props.get(s"autoinc.$c").contains("true"))
+      .filter(c => m.pkCols.contains(c) &&
+        m.schema(c).dataType != org.apache.spark.sql.types.StringType)
+    val aggCols = count(lit(1)).as("__n") +:
+      autoCol.map(c => max(col(c).cast("long")).as("__mx")).toSeq
+    val stats = src.groupBy(tag.as("__part"))
+      .agg(aggCols.head, aggCols.tail: _*).collect()
+    val counts = stats
       .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val explicitMax: Option[Long] = autoCol.flatMap { _ =>
+      val ms = stats.filter(!_.isNullAt(2)).map(_.getLong(2))
+      if (ms.isEmpty) None else Some(ms.max)
+    }
     counts.get(None).filter(_ > 0).foreach { n =>
       throw new IllegalArgumentException(
         s"no partition of $parentName found for $n inserted row(s)")
@@ -3727,18 +3778,11 @@ object SqlRouter {
     // A23 through the parent: EXPLICIT ids (INSERT, REPLACE, IGNORE,
     // ODKU, COPY, LOAD — every routed path) advance the PARENT's
     // counter, which owns id assignment; the children's own withFiles
-    // bumps advance counters nothing reads. One max() over the frozen
-    // frame, same guards as the withFiles funnel (PK member,
-    // non-string type); already-advanced counters (the auto-assign
-    // path) see an equal value and skip the commit.
-    m.schema.fieldNames
-      .find(c => m.props.get(s"autoinc.$c").contains("true"))
-      .filter(c => m.pkCols.contains(c) &&
-        m.schema(c).dataType != org.apache.spark.sql.types.StringType)
-      .foreach { c =>
-        Option(src.agg(max(col(c).cast("long"))).head().get(0))
-          .foreach(mx => t.advanceAutoInc(mx.asInstanceOf[Long] + 1L))
-      }
+    // bumps advance counters nothing reads. The max rode the routing
+    // aggregate above — no extra job, same guards as the withFiles
+    // funnel; already-advanced counters (the auto-assign path) see an
+    // equal value and skip the commit.
+    explicitMax.foreach(mx => t.advanceAutoInc(mx + 1L))
     total
   }
 
@@ -3871,11 +3915,19 @@ object SqlRouter {
       // and PG enforces a partition-local CHECK on rows routed through
       // the parent. Such a leaf takes the logical-insert fallback,
       // which runs the leaf's own manifest rules (checks + generated).
-      def semanticsOf(tbl: graft.storage.GraftTable): String =
-        tbl.manifest.props.toSeq.filter { case (k, _) =>
+      def semanticsOf(tbl: graft.storage.GraftTable): String = {
+        val mm = tbl.manifest
+        val props = mm.props.toSeq.filter { case (k, _) =>
           (k.startsWith("check.") && k != "check.__partbound") ||
             k.startsWith("generated.")
-        }.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+        }.sorted.map { case (k, v) => s"$k=$v" }
+        // NULLABILITY is a row semantic physicalLayoutToken does not
+        // fingerprint (names+types only): a child-local MODIFY ... NOT
+        // NULL must force the logical fallback, whose write funnel
+        // raises on NULLs — adoption would store them silently
+        val nn = mm.schema.fields.map(f => s"${f.name}!${f.nullable}")
+        (props ++ nn).mkString(";")
+      }
       val parentToken = t.physicalLayoutToken
       val parentSemantics = semanticsOf(t)
       dirs.sortBy(_.getFileName.toString).map { d =>

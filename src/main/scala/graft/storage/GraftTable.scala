@@ -332,19 +332,13 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // the pre-filter row count rides the rewrite action (observe node
     // BELOW the survivor filter counts every streamed row) — round 14:
     // it was a separate count job per DELETE statement
-    val obs = org.apache.spark.sql.Observation()
-    val observed = affectedDf.observe(obs, count(lit(1)).as("__all"))
+    val (observed, fetch) = observeOnce(affectedDf,
+      Seq(count(lit(1)).as("__all")))
     val survivors = observed.filter(!coalesce(cond, lit(false)))
     val (files, kept, st) = writeFiles(survivors)
-    val before: Long =
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future(obs.get)(
-          scala.concurrent.ExecutionContext.global),
-        scala.concurrent.duration.Duration(15, "s"))
-        .get("__all").map(_.asInstanceOf[Number].longValue())
-        .getOrElse(affectedDf.count())
-      catch { case _: java.util.concurrent.TimeoutException =>
-        affectedDf.count() } // event lost: pay the explicit count
+    val before: Long = fetch()
+      .flatMap(_.get("__all").map(_.asInstanceOf[Number].longValue()))
+      .getOrElse(affectedDf.count()) // event lost: pay the explicit count
     val newFiles = m.files.diff(affectedSeq) ++ files
     io.commit(path, m.withFiles(newFiles, st))
     before - kept
@@ -384,27 +378,14 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val checks = m.props.collect {
       case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
     }.toSeq
-    val obs = org.apache.spark.sql.Observation()
-    val metricAggs = count(when(col("__m"), 1)).as("__nm") +:
-      checks.map { case (name, e) =>
-        max(when(col("__m") &&
-          coalesce(expr(e), lit(true)) === false, 1).otherwise(0)).as(name)
-      }
-    val observed = updated.observe(obs, metricAggs.head, metricAggs.tail: _*)
+    val (observed, fetch) = observeOnce(updated,
+      count(when(col("__m"), 1)).as("__nm") +:
+        checkMetricAggs(checks, Some(col("__m"))))
     val (files, _, st) = writeFiles(
       observed.select(m.schema.fieldNames.map(col): _*), needCount = false)
-    val metrics: Option[Map[String, Any]] =
-      try Some(scala.concurrent.Await.result(
-        scala.concurrent.Future(obs.get)(
-          scala.concurrent.ExecutionContext.global),
-        scala.concurrent.duration.Duration(15, "s")))
-      catch { case _: java.util.concurrent.TimeoutException => None }
-    val nMatched = metrics match {
+    val nMatched = fetch() match {
       case Some(mm) =>
-        val violated = checks.collect {
-          case (name, _) if mm.get(name).exists(v =>
-            v != null && v.asInstanceOf[Number].intValue() == 1) => name
-        }
+        val violated = violatedIn(checks, mm)
         if (violated.nonEmpty) {
           cleanupStaged(files)
           throw new IllegalArgumentException(
@@ -1259,37 +1240,59 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     out
   }
 
+  /** Observe `metrics` on `df`'s NEXT action; the returned thunk
+    * yields the metric map, or None when the execution event was lost
+    * (bounded wait; `blocking` lets the global pool compensate for the
+    * getter thread a lost event strands, so repeated losses can't
+    * starve unrelated work). Shared by the insert/merge CHECK ride,
+    * UPDATE's matched-count+CHECK ride, and DELETE's pre-filter count
+    * — one copy of the subtle timeout/fallback machinery. */
+  private def observeOnce(df: DataFrame, metrics: Seq[Column])
+      : (DataFrame, () => Option[Map[String, Any]]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    val fetch = () =>
+      try Some(scala.concurrent.Await.result(
+        scala.concurrent.Future(scala.concurrent.blocking(obs.get))(
+          scala.concurrent.ExecutionContext.global),
+        scala.concurrent.duration.Duration(15, "s")))
+      catch { case _: java.util.concurrent.TimeoutException => None }
+    (observed, fetch)
+  }
+
+  /** CHECK metric expressions for [[observeOnce]]: MySQL NULL-passes
+    * semantics, optionally gated to a row subset (UPDATE's matched
+    * rows). */
+  private def checkMetricAggs(checks: Seq[(String, String)],
+      gate: Option[Column]): Seq[Column] =
+    checks.map { case (name, e) =>
+      val hit = coalesce(expr(e), lit(true)) === false
+      max(when(gate.map(_ && hit).getOrElse(hit), 1).otherwise(0)).as(name)
+    }
+
+  private def violatedIn(checks: Seq[(String, String)],
+      mm: Map[String, Any]): Seq[String] =
+    checks.collect {
+      case (name, _) if mm.get(name).exists(v =>
+        v != null && v.asInstanceOf[Number].intValue() == 1) => name
+    }
+
   /** Attach the manifest's CHECK constraints as an `Observation` on
     * `df` and return the observed frame plus a validator to invoke
     * AFTER the caller's write action completes and BEFORE anything
     * commits. The metrics aggregate while the rows stream through the
-    * writer — zero extra jobs; obs.get blocks until the execution
-    * event posts, so the bounded wait turns a lost event into the
-    * explicit-aggregation fallback, never weaker enforcement. */
+    * writer — zero extra jobs; a lost event degrades to the explicit
+    * aggregation fallback, never weaker enforcement. */
   private[graft] def observeChecks(m: Manifest,
       df: DataFrame): (DataFrame, () => Unit) = {
     val checks = m.props.collect {
       case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
     }.toSeq
     if (checks.isEmpty) return (df, () => ())
-    val obs = org.apache.spark.sql.Observation()
-    val aggs = checks.map { case (name, e) =>
-      max(when(coalesce(expr(e), lit(true)) === false, 1).otherwise(0))
-        .as(name)
-    }
-    val observed = df.observe(obs, aggs.head, aggs.tail: _*)
+    val (observed, fetch) = observeOnce(df, checkMetricAggs(checks, None))
     val validate = () => {
-      val metrics: Option[Map[String, Any]] =
-        try Some(scala.concurrent.Await.result(
-          scala.concurrent.Future(obs.get)(
-            scala.concurrent.ExecutionContext.global),
-          scala.concurrent.duration.Duration(15, "s")))
-        catch { case _: java.util.concurrent.TimeoutException => None }
-      val violated = metrics match {
-        case Some(mm) => checks.collect {
-          case (name, _) if mm.get(name).exists(v =>
-            v != null && v.asInstanceOf[Number].intValue() == 1) => name
-        }
+      val violated = fetch() match {
+        case Some(mm) => violatedIn(checks, mm)
         case None => enforceChecks(m, df); Nil
       }
       if (violated.nonEmpty)

@@ -51,6 +51,57 @@ class AutoIncZeroSemanticsSpec extends SparkSpec {
       .as[(Long, Long, Long)].head() === ((2L, 1L, 2L)))
   }
 
+  test("merge family assigns OMITTED auto-inc ids (was: silent NULL id)") {
+    val e = new Engine(spark, tmpDir("autoinc_merge"))
+    exec(e, "CREATE TABLE t (id BIGINT NOT NULL AUTO_INCREMENT, em STRING, " +
+      "n INT, PRIMARY KEY (id), UNIQUE KEY uq_em (em))")
+    // every arm of the family with the id column omitted:
+    exec(e, "INSERT IGNORE INTO t (em, n) VALUES ('a', 1)") // id 1
+    exec(e, "REPLACE INTO t (em, n) VALUES ('b', 2)") // id 2
+    exec(e, "INSERT INTO t (em, n) VALUES ('c', 3) " +
+      "ON DUPLICATE KEY UPDATE n = n + 1") // id 3
+    // the arm the round-14 review caught: non-partitioned ON CONFLICT
+    // DO UPDATE without RETURNING (previously default-filled NULL id)
+    exec(e, "INSERT INTO t (em, n) VALUES ('d', 4) " +
+      "ON CONFLICT (em) DO UPDATE SET n = t.n + excluded.n") // id 4
+    exec(e, "INSERT INTO t (em, n) VALUES ('a', 9) " +
+      "ON CONFLICT (em) DO UPDATE SET n = t.n + excluded.n") // update, id burns
+    val rows = exec(e, "SELECT id, em, n FROM t ORDER BY id").df.get
+      .as[(Long, String, Int)].collect().toSeq
+    assert(rows.map(_._2) === Seq("a", "b", "c", "d"))
+    assert(rows.map(_._1) === Seq(1L, 2L, 3L, 4L), s"ids were $rows")
+    assert(rows.head._3 === 10) // the guarded update applied
+  }
+
+  test("LAST_INSERT_ID untouched when IGNORE / DO NOTHING inserts nothing") {
+    val e = new Engine(spark, tmpDir("autoinc_lid"))
+    exec(e, "CREATE TABLE t (id BIGINT NOT NULL AUTO_INCREMENT, em STRING, " +
+      "PRIMARY KEY (id), UNIQUE KEY uq_em (em))")
+    exec(e, "INSERT INTO t (em) VALUES ('a')")
+    assert(e.getVar("last_insert_id").contains("1"))
+    // all-conflict DO NOTHING: zero rows insert, the session var and
+    // the stored ids stay as they were (the burned counter may move)
+    exec(e, "INSERT INTO t (em) VALUES ('a') ON CONFLICT (em) DO NOTHING")
+    assert(e.getVar("last_insert_id").contains("1"),
+      "LAST_INSERT_ID moved on a zero-insert statement")
+    assert(exec(e, "SELECT count(*) FROM t").df.get.as[Long].head() === 1L)
+  }
+
+  test("volatile/now-family merge sources freeze: one stamp across children") {
+    val e = new Engine(spark, tmpDir("autoinc_volatile"))
+    exec(e, "CREATE TABLE v (id BIGINT NOT NULL, ts TIMESTAMP, " +
+      "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
+    exec(e, "CREATE TABLE v_lo PARTITION OF v FOR VALUES FROM (0) TO (50)")
+    exec(e, "CREATE TABLE v_hi PARTITION OF v DEFAULT")
+    // now() reports deterministic=true but is stamped PER
+    // QueryExecution: without the freeze each child's write (its own
+    // execution) would store a different timestamp
+    exec(e, "REPLACE INTO v SELECT id, current_timestamp() FROM range(0, 100)")
+    assert(exec(e, "SELECT count(*) FROM v").df.get.as[Long].head() === 100L)
+    assert(exec(e, "SELECT count(DISTINCT ts) FROM v").df.get
+      .as[Long].head() === 1L, "now() re-stamped across child writes")
+  }
+
   test("explicit 0 through a PARTITIONED parent routes and stays literal") {
     val e = new Engine(spark, tmpDir("autoinc_zero_part"))
     exec(e, "CREATE TABLE p (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, " +

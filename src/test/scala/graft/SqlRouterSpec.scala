@@ -3243,6 +3243,15 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "CREATE DATABASE d1")
     exec(e, "DROP DATABASE d1 CASCADE") // PG DROP SCHEMA spelling
     assert(!e.listDatabases().contains("d1"))
+    // explicit RESTRICT refuses a NON-EMPTY database (PG semantics) —
+    // the trailer-tolerant arm must not silently destroy its tables
+    exec(e, "CREATE DATABASE d3")
+    exec(e, "USE d3")
+    exec(e, "CREATE TABLE keepme (id BIGINT)")
+    exec(e, "USE main")
+    intercept[Exception](exec(e, "DROP DATABASE d3 RESTRICT"))
+    assert(e.listDatabases().contains("d3"), "RESTRICT dropped a non-empty db")
+    exec(e, "DROP DATABASE d3 CASCADE")
     exec(e, "DROP DATABASE IF EXISTS d1") // absent: a tolerated no-op
     intercept[Exception](exec(e, "DROP DATABASE d1")) // bare form stays loud
     exec(e, "CREATE DATABASE d2")
