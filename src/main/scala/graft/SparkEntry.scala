@@ -22,7 +22,8 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ ExtendedQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ CdcQueries.defs ++
-      EventQueries.defs ++ PipelineQueries.defs ++ CurationQueries.defs
+      EventQueries.defs ++ PipelineQueries.defs ++ CurationQueries.defs ++
+      DiagQueries.defs // qx-prefixed driver-gate diagnostics (r15)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

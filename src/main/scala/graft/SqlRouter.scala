@@ -380,7 +380,7 @@ object SqlRouter {
   private val CreateIndexStmt =
     """(?is)\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+NOT\s+EXISTS\s+)?([\w."]*)\s*ON\s+(?:ONLY\s+)?([\w."]+)\s*(.*?);?\s*""".r
   private val DropIndexStmt =
-    """(?is)\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(?:IF\s+EXISTS\s+)?([\w."]+)\s*(?:ON\s+([\w."]+))?(?:\s+(?:ALGORITHM|LOCK)\s*=?\s*\w+)*\s*(?:CASCADE|RESTRICT)?\s*""".r
+    """(?is)\s*DROP\s+INDEX\s+(?:CONCURRENTLY\s+)?(IF\s+EXISTS\s+)?([\w."]+)\s*(?:ON\s+([\w."]+))?(?:\s+(?:ALGORITHM|LOCK)\s*=?\s*\w+)*\s*(?:CASCADE|RESTRICT)?\s*""".r
   // the pre-round-10 catch-all: spellings the strict form above misses
   // (ALGORITHM=/LOCK= online-DDL tails, multi-index drops) stay
   // accepted-and-dropped rather than regressing to a Catalyst error
@@ -1341,6 +1341,9 @@ object SqlRouter {
       else Result(None, t.replaceRows(mergeSource(engine, t, colList, rest)))
     case InsertIgnore(name, colList, rest) =>
       val t = engine.table(name)
+      // MySQL checks EVERY unique index (r15): the omitted-auto-PK +
+      // single-unique-arbiter shape keys the ignore on that arbiter
+      val igKey = impliedUniqueArbiter(t, "INSERT IGNORE", colList)
       // MySQL leaves LAST_INSERT_ID() untouched when nothing inserts
       // (all-duplicate batch); mergeSource sets it at id-assignment
       // time, so a zero-insert outcome restores the prior value
@@ -1348,8 +1351,9 @@ object SqlRouter {
       val n =
         if (t.partitionBy.isDefined)
           routeFrame(engine, name, t,
-            mergeSource(engine, t, colList, rest), _.insertIgnoreRows(_))
-        else t.insertIgnoreRows(mergeSource(engine, t, colList, rest))
+            mergeSource(engine, t, colList, rest),
+            _.insertIgnoreRows(_, igKey))
+        else t.insertIgnoreRows(mergeSource(engine, t, colList, rest), igKey)
       if (n == 0) engine.setVar("last_insert_id", priorLid.getOrElse("0"))
       Result(None, n)
     // PG's upsert spelling (ON CONFLICT ... DO NOTHING | DO UPDATE SET
@@ -1488,16 +1492,35 @@ object SqlRouter {
                 s"CASE WHEN (${rewriteConflictRefs(w, name)}) THEN ($rhs) ELSE $key END")
                 .getOrElse(rhs)
             }.toMap
+            // MySQL/PG leave LAST_INSERT_ID() untouched when a DO
+            // UPDATE batch only updates rows (r14 ADVICE): mergeSource
+            // sets it at id-assignment time, BEFORE the merge knows the
+            // insert count, so a zero-insert outcome restores the prior
+            // value here — same contract as the INSERT IGNORE restore,
+            // keyed on INSERTS (the affected count is nonzero for a
+            // pure-update batch and could not stand in).
+            val priorLid = engine.getVar("last_insert_id")
+            val insertedTot = new java.util.concurrent.atomic.AtomicLong(0)
+            def restoreLid(): Unit =
+              if (insertedTot.get == 0)
+                engine.setVar("last_insert_id", priorLid.getOrElse("0"))
             returning match {
               case None if t.partitionBy.isDefined =>
                 // per-child DO UPDATE, same argument as DO NOTHING;
                 // RETURNING stays loud (cross-child image union)
-                Result(None, routeFrame(engine, name, t,
-                  mergeSource(engine, t, colList, rest),
-                  _.upsertOnDuplicate(_, sets, pk)))
+                val n = routeFrame(engine, name, t,
+                  mergeSource(engine, t, colList, rest), (ct, slice) => {
+                    val (aff, ins) =
+                      ct.upsertOnDuplicateCounts(slice, sets, pk)
+                    insertedTot.addAndGet(ins); aff
+                  })
+                restoreLid()
+                Result(None, n)
               case None =>
-                Result(None, t.upsertOnDuplicate(
-                  mergeSource(engine, t, colList, rest), sets, pk))
+                val (aff, ins) = t.upsertOnDuplicateCounts(
+                  mergeSource(engine, t, colList, rest), sets, pk)
+                insertedTot.addAndGet(ins); restoreLid()
+                Result(None, aff)
               case Some(rx) =>
                 val src = mergeSource(engine, t, colList, rest)
                 val guard = whereOpt.map(w => rewriteConflictRefs(w, name))
@@ -1508,15 +1531,19 @@ object SqlRouter {
                   val frames =
                     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
                   val n = routeFrame(engine, name, t, src, (ct, slice) => {
-                    val (img, k) = upsertWithImages(ct, slice, sets, guard, pk)
+                    val (img, k, ins) =
+                      upsertWithImages(ct, slice, sets, guard, pk)
                     frames.put(ct.path.toString, img)
+                    insertedTot.addAndGet(ins)
                     k
                   })
+                  restoreLid()
                   Result(Some(retSel(frames.toSeq.sortBy(_._1).map(_._2)
                     .reduceOption(_ union _)
                     .getOrElse(src.limit(0)), rx)), n)
                 } else {
-                  val (img, n) = upsertWithImages(t, src, sets, guard, pk)
+                  val (img, n, ins) = upsertWithImages(t, src, sets, guard, pk)
+                  insertedTot.addAndGet(ins); restoreLid()
                   Result(Some(retSel(img, rx)), n)
                 }
             }
@@ -1553,16 +1580,34 @@ object SqlRouter {
         }
         k.trim -> rewriteValuesRefs(v1)
       }.toMap
+      // MySQL ODKU checks EVERY unique index (r15): the omitted-auto-PK
+      // + single-unique-arbiter shape keys the upsert on that arbiter
+      val odkuKey = impliedUniqueArbiter(t, "ON DUPLICATE KEY UPDATE",
+        colList)
+      // LAST_INSERT_ID() restore on a zero-insert ODKU batch (r14
+      // ADVICE) — same contract as the ON CONFLICT DO UPDATE arm above
+      val priorLid = engine.getVar("last_insert_id")
+      val insertedTot = new java.util.concurrent.atomic.AtomicLong(0)
+      def restoreLid(): Unit =
+        if (insertedTot.get == 0)
+          engine.setVar("last_insert_id", priorLid.getOrElse("0"))
       returning match {
         case None if t.partitionBy.isDefined =>
           // per-child ODKU is exact for the same reason as REPLACE
           // (unique keys include the partition key); RETURNING would
           // need a cross-child union and stays loud
-          Result(None, routeFrame(engine, name, t,
-            mergeSource(engine, t, colList, rest),
-            _.upsertOnDuplicate(_, sets)))
-        case None => Result(None,
-          t.upsertOnDuplicate(mergeSource(engine, t, colList, rest), sets))
+          val n = routeFrame(engine, name, t,
+            mergeSource(engine, t, colList, rest), (ct, slice) => {
+              val (aff, ins) = ct.upsertOnDuplicateCounts(slice, sets, odkuKey)
+              insertedTot.addAndGet(ins); aff
+            })
+          restoreLid()
+          Result(None, n)
+        case None =>
+          val (aff, ins) = t.upsertOnDuplicateCounts(
+            mergeSource(engine, t, colList, rest), sets, odkuKey)
+          insertedTot.addAndGet(ins); restoreLid()
+          Result(None, aff)
         case Some(rx) =>
           val src = mergeSource(engine, t, colList, rest)
           def sel(df: DataFrame): DataFrame =
@@ -1574,15 +1619,18 @@ object SqlRouter {
             val frames =
               scala.collection.concurrent.TrieMap.empty[String, DataFrame]
             val n = routeFrame(engine, name, t, src, (ct, slice) => {
-              val (img, k) = upsertWithImages(ct, slice, sets, None)
+              val (img, k, ins) = upsertWithImages(ct, slice, sets, None, odkuKey)
               frames.put(ct.path.toString, img)
+              insertedTot.addAndGet(ins)
               k
             })
+            restoreLid()
             Result(Some(sel(frames.toSeq.sortBy(_._1).map(_._2)
               .reduceOption(_ union _)
               .getOrElse(src.limit(0)))), n)
           } else {
-            val (img, n) = upsertWithImages(t, src, sets, None)
+            val (img, n, ins) = upsertWithImages(t, src, sets, None, odkuKey)
+            insertedTot.addAndGet(ins); restoreLid()
             Result(Some(sel(img)), n)
           }
       }
@@ -2545,7 +2593,8 @@ object SqlRouter {
       val idProps =
         if (flavor.equalsIgnoreCase("ALWAYS"))
           Map(s"identity.$colName" -> "always")
-        else Map.empty[String, String]
+        else Map(s"identity.$colName" -> "by_default") // PG-only column:
+        // excluded from the MySQL NULL-triggers-assign rewrite (r15)
       graft.storage.Manifest.commit(t.path, t.manifest.copy(
         props = t.manifest.props + (s"autoinc.$colName" -> "true") ++ idProps,
         autoInc = start.fold(t.manifest.autoInc)(math.max(t.manifest.autoInc, _))))
@@ -2617,7 +2666,7 @@ object SqlRouter {
         }
       }
       ddl
-    case DropIndexStmt(idxName, tbl) =>
+    case DropIndexStmt(ifExists, idxName, tbl) =>
       // MySQL spells the table (DROP INDEX i ON t); PG names only the
       // index — then every table in the current db is a candidate
       // (one manifest read per table, a DDL-rate cost)
@@ -2648,6 +2697,15 @@ object SqlRouter {
             !engine.table(tn).manifest.props.get("partof")
               .exists(holders.contains)
           }
+          // a name no table holds: PG errors, but plain (non-unique)
+          // indexes are accepted-and-dropped at CREATE here, so their
+          // later DROP is legitimate dump-replay traffic — surface a
+          // WARNING instead of the old silent no-op (r14 ADVICE), and
+          // stay silent under IF EXISTS
+          if (roots.isEmpty && ifExists == null)
+            engine.addWarning("Warning", 1091,
+              s"""index "$nm" is not recorded on any table """ +
+                "(unique indexes only are recorded); DROP INDEX was a no-op")
           roots.headOption.foreach { rootTn =>
             def drop(n0: String): Unit = {
               val tt = engine.table(n0)
@@ -3392,23 +3450,39 @@ object SqlRouter {
           "an identity column defined as GENERATED ALWAYS — use " +
           "OVERRIDING SYSTEM VALUE to override")
     }
+    // MySQL NULL-triggers-assign (r14 ADVICE): mysqldump/ORM replays
+    // spell `INSERT INTO t VALUES (NULL, ...)` expecting the AUTO_
+    // INCREMENT column to assign. When EVERY tuple of a literal VALUES
+    // source carries literal NULL at that position, rewrite to the
+    // omitted-column form — the auto-assign path then mints ids and
+    // advances the counter exactly as MySQL does. PG identity columns
+    // are excluded (PG raises NOT NULL there, it never assigns on
+    // NULL), and mixed NULL/explicit batches stay on the explicit
+    // path where the write-funnel NOT NULL guard stays loud (per-row
+    // mixed assignment would need per-row sequencing).
+    val (colListA, restA) =
+      if (autoCol.exists(c => m.props.contains(s"identity.$c")))
+        (colList, rest)
+      else rewriteNullAutoInc(m.schema.fieldNames.toSeq, autoCol,
+        colList, rest)
     if (m.props.contains("partition.by")) {
       require(!overriding.contains("USER"), "OVERRIDING USER VALUE " +
         "through a partitioned parent is not supported: target the " +
         "partition directly")
-      return routedInsert(engine, name, t, colList, rest, returning)
+      return routedInsert(engine, name, t, colListA, restA, returning)
     }
     // OVERRIDING USER VALUE: the identity column auto-assigns even
     // when the statement supplies it — same arm as an omitted column
     // (the supplied values are built and dropped)
     val omittedAuto =
       if (overriding.contains("USER")) autoCol
-      else autoCol.filter(c => colList != null && !providesCol(c))
+      else autoCol.filter(c => colListA != null && !colListA.split(',')
+        .map(_.trim).exists(_.equalsIgnoreCase(c)))
     omittedAuto match {
       case Some(c) =>
         val base = m.autoInc
         val n = t.insertAutoInc(
-          sourceDfFor(engine, t, colList, rest).drop(c), c)
+          sourceDfFor(engine, t, colListA, restA).drop(c), c)
         // MySQL LAST_INSERT_ID(): the FIRST id this statement assigned
         if (n > 0) engine.setVar("last_insert_id", base.toString)
         val df = returning.map(rx => t.read()
@@ -3416,7 +3490,7 @@ object SqlRouter {
           .selectExpr(splitTop(rx).map(_.trim): _*))
         Result(df, n)
       case None =>
-        val src0 = sourceDfFor(engine, t, colList, rest)
+        val src0 = sourceDfFor(engine, t, colListA, restA)
         returning match {
           case None => Result(None, t.insert(src0))
           case Some(rx) =>
@@ -3430,6 +3504,65 @@ object SqlRouter {
             Result(Some(src.selectExpr(splitTop(rx).map(_.trim): _*)), n)
         }
     }
+  }
+
+  /** MySQL's implicit conflict arbiter for INSERT IGNORE / ON
+    * DUPLICATE KEY UPDATE: MySQL checks EVERY unique index, not only
+    * the PK. The engine's merge is single-keyed, so this resolves the
+    * one shape where the rule is unambiguous — the ORM upsert idiom:
+    * the AUTO_INCREMENT PK is OMITTED from the column list (its fresh
+    * ids can never conflict with stored rows) and exactly ONE unique
+    * arbiter is recorded, which then IS the conflict key. With several
+    * unique arbiters and an omitted PK, MySQL's multi-index resolution
+    * would be needed — stay loud rather than silently pick one. Every
+    * other shape (PK provided, or no unique index) keeps the PK key. */
+  private def impliedUniqueArbiter(t: graft.storage.GraftTable,
+      stmt: String, colList: String): Seq[String] = {
+    val m = t.manifest
+    val autoOmitted = m.schema.fieldNames
+      .find(c => m.props.get(s"autoinc.$c").contains("true"))
+      .exists(c => colList != null &&
+        !colList.split(',').map(_.trim).exists(_.equalsIgnoreCase(c)))
+    val arbs = t.uniqueArbiters
+    if (!autoOmitted || arbs.isEmpty) Nil
+    else {
+      require(arbs.size == 1,
+        s"$stmt with an omitted auto-increment key and several unique " +
+          "indexes is ambiguous here: name the arbiter with " +
+          "INSERT ... ON CONFLICT (<target>)")
+      arbs.values.head
+    }
+  }
+
+  /** MySQL NULL-triggers-assign on AUTO_INCREMENT (r14 ADVICE): when a
+    * plain-INSERT literal VALUES source carries literal NULL at the
+    * auto-inc column position in EVERY tuple, rewrite to the
+    * omitted-column spelling (drop the position and the column-list
+    * entry) so the auto-assign path mints the ids. Purely syntactic —
+    * zero cost on every other shape; SELECT sources and mixed batches
+    * pass through unchanged (and hit the loud NOT NULL write guard). */
+  private def rewriteNullAutoInc(schemaCols: Seq[String],
+      autoCol: Option[String], colList: String, rest: String)
+      : (String, String) = {
+    val c = autoCol.getOrElse(return (colList, rest))
+    val cols: Seq[String] =
+      if (colList == null) schemaCols
+      else colList.split(',').map(_.trim).toSeq
+    val idx = cols.indexWhere(_.equalsIgnoreCase(c))
+    if (idx < 0) return (colList, rest)
+    val vm = """(?is)^\s*VALUES\s*(.*)$""".r.findFirstMatchIn(rest)
+      .getOrElse(return (colList, rest))
+    val tuples = splitTop(vm.group(1)).map(_.trim)
+    if (tuples.isEmpty ||
+        !tuples.forall(tp => tp.startsWith("(") && tp.endsWith(")")))
+      return (colList, rest)
+    val fields = tuples.map(tp => splitTop(tp.substring(1, tp.length - 1)))
+    if (!fields.forall(f => f.length == cols.length &&
+        f(idx).trim.equalsIgnoreCase("NULL")))
+      return (colList, rest)
+    (cols.patch(idx, Nil, 1).mkString(", "),
+      fields.map(_.patch(idx, Nil, 1).map(_.trim)
+        .mkString("(", ", ", ")")).mkString("VALUES ", ", ", ""))
   }
 
   /** Shared attach bookkeeping for CREATE..PARTITION OF and ATTACH
@@ -3770,9 +3903,21 @@ object SqlRouter {
         val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
         try {
           import scala.concurrent.{Await, Future}
-          val fs = hit.map(c => Future(writeChild(c))(ec))
-          fs.map(f =>
-            Await.result(f, scala.concurrent.duration.Duration.Inf)).sum
+          val fs = hit.map(c => c -> Future(writeChild(c))(ec))
+          // generous NAMED bound (r14 verdict #5): a wedged child write
+          // under Duration.Inf hung the statement forever with zero
+          // diagnostic; 30 min is far above any healthy child write at
+          // target scale while still surfacing WHICH child hung
+          fs.map { case (c, f) =>
+            try Await.result(f,
+              scala.concurrent.duration.Duration(30, "min"))
+            catch {
+              case _: java.util.concurrent.TimeoutException =>
+                throw new IllegalStateException(
+                  s"routed write into partition child '$c' of " +
+                    s"$parentName did not finish within 30 minutes")
+            }
+          }.sum
         } finally pool.shutdown()
       } else hit.map(writeChild).sum
     // A23 through the parent: EXPLICIT ids (INSERT, REPLACE, IGNORE,
@@ -4179,13 +4324,13 @@ object SqlRouter {
     * `src` must be pinned (localCheckpoint) by the caller. */
   private def upsertWithImages(t: graft.storage.GraftTable, src: DataFrame,
       sets: Map[String, String], guardSql: Option[String],
-      key0: Seq[String] = Nil): (DataFrame, Long) = {
+      key0: Seq[String] = Nil): (DataFrame, Long, Long) = {
     val m = t.manifest
     // arbiter entries may be expressions — same __arb_* computation the
     // storage merge applies, so the image join keys align with it
     val (pk, addArb) = t.withArbiterKey(if (key0.nonEmpty) key0 else m.pkCols)
     val pre = addArb(t.read())
-    val n = t.upsertOnDuplicate(src, sets, key0)
+    val (n, inserted) = t.upsertOnDuplicateCounts(src, sets, key0)
     val batch = t.lastPerKey(addArb(src), pk)
     val renamed = batch.select(
       batch.columns.map(c => col(c).as(s"__new_$c")): _*)
@@ -4197,7 +4342,7 @@ object SqlRouter {
         .getOrElse(col(f)).as(f)): _*)
     val newImg = batch.join(pre.select(pk.map(col): _*), pk, "left_anti")
       .select(m.schema.fieldNames.map(col): _*)
-    (updatedImg.unionByName(newImg), n)
+    (updatedImg.unionByName(newImg), n, inserted)
   }
 
   /** MySQL system-variable defaults for the connect-time read surface
@@ -4486,6 +4631,8 @@ object SqlRouter {
       val auto =
         if (m.props.get(s"identity.${f.name}").contains("always"))
           " GENERATED ALWAYS AS IDENTITY" // replays with the ALWAYS flavor
+        else if (m.props.get(s"identity.${f.name}").contains("by_default"))
+          " GENERATED BY DEFAULT AS IDENTITY"
         else if (m.props.get(s"autoinc.${f.name}").contains("true"))
           " AUTO_INCREMENT" else ""
       val gen = m.props.get(s"generated.${f.name}")
@@ -4877,9 +5024,13 @@ object SqlRouter {
         IdentityAttr.findFirstMatchIn(attrs).foreach { m =>
           defaults += s"autoinc.$name" -> "true"
           // the ALWAYS flavor is enforced at INSERT time (PG refuses
-          // explicit values without OVERRIDING SYSTEM VALUE)
+          // explicit values without OVERRIDING SYSTEM VALUE); BY
+          // DEFAULT records its flavor too so the MySQL-only
+          // NULL-triggers-assign rewrite can exclude PG identity
+          // columns (PG raises NOT NULL on explicit NULL, r15)
           if (m.group(1).equalsIgnoreCase("ALWAYS"))
             defaults += s"identity.$name" -> "always"
+          else defaults += s"identity.$name" -> "by_default"
           Option(m.group(2)).flatMap(o =>
             StartWith.findFirstMatchIn(o).map(_.group(1))).foreach(st =>
             defaults += "autoinc.__seed" -> st)
@@ -4917,7 +5068,12 @@ object SqlRouter {
           case "smallserial" | "serial2" => Some(org.apache.spark.sql.types.ShortType)
           case _ => None
         }
-        serialType.foreach(_ => defaults += s"autoinc.$name" -> "true")
+        serialType.foreach { _ =>
+          defaults += s"autoinc.$name" -> "true"
+          // serial IS PG identity-by-default: explicit NULL raises in
+          // PG, so exclude it from the MySQL NULL-assign rewrite (r15)
+          defaults += s"identity.$name" -> "by_default"
+        }
         val userTy = if (serialType.isDefined) None
           else resolveUserType(engine, tbase)
         userTy.collect { case (_, values) if values.nonEmpty =>

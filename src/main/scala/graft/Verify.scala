@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
+    // BEFORE any SparkEntry access: the q106/q109 oracle SQL freezes
+    // its per-sf /tmp fixture path at query-class init from this prop
+    System.setProperty("graft.sf.dir", sfDir)
     // optional 3rd arg: comma-separated query-name substrings — local
     // iteration on one query without paying the full 100+-query dump
     // (the driver always invokes the 2-arg form = no filter)

@@ -19,6 +19,20 @@ import graft.streaming.CdcMerge
   */
 object CdcQueries {
 
+  /** Per-scale-factor /tmp path for the q106/q109 byte-level fixtures
+    * (r14 ADVICE: the fixed path raced when two harnesses ran the same
+    * query at DIFFERENT scale factors — last writer won and the other's
+    * oracle read foreign bytes). The fn side derives the tag from its
+    * `dir` argument; the ORACLE side is a static string frozen at class
+    * init, so Verify/Bench set `graft.sf.dir` FIRST thing in main() and
+    * the two spellings agree within any one harness run. Same-sf
+    * concurrent runs still share a path — inherent, the oracle SQL must
+    * name one file. */
+  private[queries] def sfScopedPath(stem: String, dir: String): String =
+    s"/tmp/${stem}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}.tsv"
+  private val oracleSfDir =
+    sys.props.getOrElse("graft.sf.dir", "/root/testdata/sf0.01")
+
   // event_type → action (FIXTURES.md §4: 0=delete, 1=update, 2=insert)
   private val actionSpark =
     when(col("event_type") === "error", 0)
@@ -408,20 +422,18 @@ object CdcQueries {
       run("INSERT INTO src SELECT c_custkey, c_name, c_acctbal FROM customer " +
         "WHERE c_custkey <= 250")
       run("UPDATE src SET name = NULL WHERE id % 50 = 0") // \N spellings
-      // FIXED path: the oracle's static SQL must read the same file,
-      // so two harnesses running q106 concurrently at DIFFERENT scale
-      // factors race on it (last writer wins, the other's hash gate
-      // reads foreign bytes). The driver runs suites sequentially;
-      // builder-side stress/verify runs must not overlap on this query.
-      val f = "/tmp/graft_q106_outfile.tsv"
+      // per-sf path (r14 ADVICE): concurrent harnesses at different
+      // scale factors no longer collide; see sfScopedPath.
+      val f = sfScopedPath("graft_q106_outfile", dir)
       new java.io.File(f).delete() // OUTFILE refuses overwrite (1086)
       run(s"SELECT id, name, bal FROM src ORDER BY id INTO OUTFILE '$f'")
       run("CREATE TABLE back (id BIGINT PRIMARY KEY, name STRING, bal DOUBLE)")
       run(s"LOAD DATA INFILE '$f' INTO TABLE back")
       SqlRouter.execute(e, "SELECT id, name, bal FROM back ORDER BY id").df.get
     },
-    Some("""SELECT id, name, bal
-      FROM read_csv('/tmp/graft_q106_outfile.tsv', auto_detect = false,
+    Some(raw"""SELECT id, name, bal
+      FROM read_csv('${sfScopedPath("graft_q106_outfile", oracleSfDir)}',
+        auto_detect = false,
         header = false, sep = '\t', quote = '', escape = '',
         nullstr = '\N',
         columns = {'id': 'BIGINT', 'name': 'VARCHAR', 'bal': 'DOUBLE'})
@@ -543,7 +555,10 @@ object CdcQueries {
       import graft.{Engine, SqlRouter}
       val e = new Engine(s, Files.createTempDirectory("graft_q109"))
       def run(q: String): Unit = SqlRouter.execute(e, q)
-      val f = "/tmp/graft_q109_lines.txt"
+      // per-sf path like q106: the bytes are sf-independent, but a
+      // concurrent writeString on one shared path could expose a
+      // truncated file to the other harness's reader
+      val f = sfScopedPath("graft_q109_lines", dir)
       val body = new StringBuilder
       (1 to 200).foreach { i =>
         if (i % 10 == 0) body.append("line without the marker\r\n")
@@ -557,9 +572,10 @@ object CdcQueries {
         "LINES STARTING BY '>>' TERMINATED BY '\\r\\n'")
       SqlRouter.execute(e, "SELECT id, name FROM t ORDER BY id").df.get
     },
-    Some("""SELECT CAST(substr(c0, strpos(c0, '>>') + 2) AS BIGINT) AS id,
+    Some(raw"""SELECT CAST(substr(c0, strpos(c0, '>>') + 2) AS BIGINT) AS id,
         c1 AS name
-      FROM read_csv('/tmp/graft_q109_lines.txt', auto_detect = false,
+      FROM read_csv('${sfScopedPath("graft_q109_lines", oracleSfDir)}',
+        auto_detect = false,
         header = false, sep = '\t', quote = '', escape = '',
         new_line = '\r\n', null_padding = true,
         columns = {'c0': 'VARCHAR', 'c1': 'VARCHAR'})
@@ -703,11 +719,20 @@ object CdcQueries {
       val movedDf = SqlRouter.execute(e,
         "UPDATE pc SET id = id + 10000 WHERE id < 500 AND id % 250 = 0 " +
           "RETURNING id, bal").df.get
-      val movedRow = movedDf.agg(
-        count(lit(1)).as("cnt"),
-        sum("bal").cast("decimal(18,2)").as("amt"),
-        max("id").cast("long").as("ntot"))
-        .select(lit("moved").as("part"), col("cnt"), col("amt"), col("ntot"))
+      // round-15 (r14 verdict #3): the RETURNING fold was the ONE gate
+      // row the fresh-engine self-check could not recompute from
+      // committed state. Persist the fold into a scratch table INSIDE
+      // the chain — the gate's 'moved' row then derives from committed
+      // files (the fold frame evaluates exactly once, at this insert),
+      // and the recheck below covers ALL 5 rows.
+      run("CREATE TABLE pc_moved (mpart STRING, mcnt BIGINT, " +
+        "mamt DECIMAL(18,2), mntot BIGINT)")
+      e.table("pc_moved").insert(movedDf.agg(
+        count(lit(1)).as("mcnt"),
+        sum("bal").cast("decimal(18,2)").as("mamt"),
+        max("id").cast("long").as("mntot"))
+        .select(lit("moved").as("mpart"), col("mcnt"), col("mamt"),
+          col("mntot")))
       val gateSql =
         "SELECT 'auto' AS part, count(*) AS cnt, " +
           "CAST(sum(bal) AS DECIMAL(18,2)) AS amt, " +
@@ -720,20 +745,21 @@ object CdcQueries {
           "CAST(sum(n) AS BIGINT) FROM pc_lo " +
         "UNION ALL SELECT 'parent', count(*), " +
           "CAST(sum(bal) AS DECIMAL(18,2)), " +
-          "CAST(sum(n) AS BIGINT) FROM pc"
-      val gate = SqlRouter.execute(e, gateSql).df.get
-        .union(movedRow).orderBy("part")
+          "CAST(sum(n) AS BIGINT) FROM pc " +
+        "UNION ALL SELECT mpart, mcnt, mamt, mntot FROM pc_moved"
+      val gate = SqlRouter.execute(e, gateSql).df.get.orderBy("part")
       // ---- round-13 verdict #1: INSTRUMENT the driver-only hash gap.
       // (a) Materialize ONCE and print the 5 gate rows to stderr, so
       // any harness log (Verify, Bench, the driver's) records the
       // exact values that get hashed; returning a frame built from the
       // collected rows also makes the result immune to re-evaluation.
       // (b) Self-check: a FRESH engine over the same committed
-      // warehouse recomputes the 4 state rows. Any divergence —
-      // catalog race, stale binding, lost write — turns the silent
-      // hash flip into a LOUD err the driver gate records. It runs
-      // CONCURRENTLY with the primary collect (independent engines
-      // over immutable committed files) so the check costs ~no wall.
+      // warehouse recomputes ALL 5 gate rows (round 15: the persisted
+      // 'moved' fold included). Any divergence — catalog race, stale
+      // binding, lost write — turns the silent hash flip into a LOUD
+      // err the driver gate records. It runs CONCURRENTLY with the
+      // primary collect (independent engines over immutable committed
+      // files) so the check costs ~no wall.
       val recheckF = scala.concurrent.Future {
         val e2 = new Engine(s, e.warehouse)
         SqlRouter.execute(e2, gateSql).df.get.orderBy("part").collect()
@@ -745,11 +771,10 @@ object CdcQueries {
           s"${r.getLong(3)}").mkString(" ")
       System.err.println(s"[q111-gate] ${render(rows)}")
       val recheck = scala.concurrent.Await.result(recheckF,
-        scala.concurrent.duration.Duration.Inf)
-      val firstPass = rows.filter(_.getString(0) != "moved")
-      if (render(firstPass) != render(recheck))
+        scala.concurrent.duration.Duration(120, "s"))
+      if (render(rows) != render(recheck))
         throw new IllegalStateException(
-          s"q111 self-check diverged: first=[${render(firstPass)}] " +
+          s"q111 self-check diverged: first=[${render(rows)}] " +
             s"fresh-engine=[${render(recheck)}]")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     },
@@ -926,14 +951,41 @@ object CdcQueries {
       run("DROP DATABASE lc CASCADE")
       run(s"RESTORE DATABASE lc FROM '$bdir'")
       run("USE lc")
-      SqlRouter.execute(e,
+      val gateSql =
         "SELECT 'hi' AS part, count(*) AS cnt, " +
           "CAST(sum(bal) AS DECIMAL(18,2)) AS amt FROM lt_hi " +
         "UNION ALL SELECT 'lo', count(*), " +
           "CAST(sum(bal) AS DECIMAL(18,2)) FROM lt_lo " +
         "UNION ALL SELECT 'parent', count(*), " +
           "CAST(sum(bal) AS DECIMAL(18,2)) FROM lt " +
-        "ORDER BY part").df.get
+        "ORDER BY part"
+      // the q111 treatment (r14 verdict #2): materialize ONCE, print
+      // the gate rows to stderr so the driver's log records the exact
+      // hashed values, and have a FRESH engine over the restored
+      // warehouse recompute them — a restore that relinked the
+      // partition tree differently for a new reader (vs the session
+      // that performed it) becomes a LOUD err instead of a silent
+      // driver-side hash flip. Runs concurrently with the primary
+      // collect (immutable committed files).
+      val recheckF = scala.concurrent.Future {
+        val e2 = new Engine(s, wh)
+        SqlRouter.execute(e2, "USE lc")
+        SqlRouter.execute(e2, gateSql).df.get.collect()
+      }(scala.concurrent.ExecutionContext.global)
+      val gate = SqlRouter.execute(e, gateSql).df.get
+      val rows = gate.collect()
+      def render(rs: Array[org.apache.spark.sql.Row]): String =
+        rs.map(r => s"${r.getString(0)}:${r.getLong(1)}/" +
+          s"${Option(r.getDecimal(2)).map(_.toPlainString).getOrElse("null")}")
+          .mkString(" ")
+      System.err.println(s"[q113-gate] ${render(rows)}")
+      val recheck = scala.concurrent.Await.result(recheckF,
+        scala.concurrent.duration.Duration(120, "s"))
+      if (render(rows) != render(recheck))
+        throw new IllegalStateException(
+          s"q113 self-check diverged: first=[${render(rows)}] " +
+            s"fresh-engine=[${render(recheck)}]")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), gate.schema)
     },
     Some("""WITH seeded AS (
         SELECT c_custkey AS id,

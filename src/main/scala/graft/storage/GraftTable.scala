@@ -655,7 +655,17 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * SQL expressions. Batches without repeated keys (the normal CDC /
     * upsert shape) are exact. */
   def upsertOnDuplicate(df0: DataFrame, set: Map[String, String],
-      key0: Seq[String] = Nil): Long = {
+      key0: Seq[String] = Nil): Long =
+    upsertOnDuplicateCounts(df0, set, key0)._1
+
+  /** [[upsertOnDuplicate]] returning (MySQL affected, rows actually
+    * INSERTED). The insert count drives LAST_INSERT_ID semantics in the
+    * router: MySQL leaves it untouched when an ODKU / ON CONFLICT DO
+    * UPDATE batch only updates (r14 ADVICE — the affected count is
+    * nonzero there, so it could not stand in for "did anything
+    * insert"). */
+  def upsertOnDuplicateCounts(df0: DataFrame, set: Map[String, String],
+      key0: Seq[String] = Nil): (Long, Long) = {
     val m = manifest
     require(m.pkCols.nonEmpty, "ON DUPLICATE KEY UPDATE requires a primary key")
     // `key0` overrides the conflict key with a recorded unique index
@@ -689,7 +699,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // merge's own probe aggregate — the old groupBy-count collect was
     // a second multi-stage job per child per statement (round 14)
     val c = merge(changes)
-    (c.total - c.updates) + 2 * c.updates
+    ((c.total - c.updates) + 2 * c.updates, c.total - c.updates)
   }
 
   /** One row per key, LAST occurrence in input order winning (MySQL
@@ -1234,8 +1244,11 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       : (Seq[String], Long, Map[String, Map[String, Seq[String]]]) = {
     val (observed, validate) = observeChecks(m, df)
     val out = writeFiles(observed, needCount)
+    // ANY post-write failure before the commit leaves the staged files
+    // unreachable forever — clean on every throw, not only the CHECK
+    // violation (r14 ADVICE)
     try validate()
-    catch { case e: IllegalArgumentException =>
+    catch { case e: Throwable =>
       cleanupStaged(out._1); throw e }
     out
   }
@@ -1256,7 +1269,18 @@ final class GraftTable(val spark: SparkSession, val path: Path,
         scala.concurrent.Future(scala.concurrent.blocking(obs.get))(
           scala.concurrent.ExecutionContext.global),
         scala.concurrent.duration.Duration(15, "s")))
-      catch { case _: java.util.concurrent.TimeoutException => None }
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          // attributable in any harness log (r14 verdict #6): each lost
+          // event silently re-runs the explicit aggregation jobs, which
+          // is exactly what a loaded epoch's statement-chain inflation
+          // looks like — count it so the artifact can say so
+          val n = GraftTable.obsFallbacks.incrementAndGet()
+          System.err.println(
+            s"[obs-fallback] observation event lost (total this JVM: $n); " +
+              "re-running the explicit aggregation pass")
+          None
+      }
     (observed, fetch)
   }
 
@@ -1303,14 +1327,19 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   }
 
   /** Remove just-written, never-committed staging output (CHECK
-    * violation unwinding — the files were invisible to every reader). */
+    * violation unwinding — the files were invisible to every reader).
+    * The directory stream closes deterministically (r14 ADVICE: the
+    * unclosed Files.list leaked an fd per violation). */
   private def cleanupStaged(files: Seq[String]): Unit =
-    files.map(f => Paths.get(f).getParent).distinct.foreach { d =>
-      try {
-        Files.list(d).iterator().asScala.foreach(Files.deleteIfExists(_))
-        Files.deleteIfExists(d)
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
+    files.map(f => Paths.get(f).getParent).distinct.foreach(cleanupStagedDir)
+
+  private def cleanupStagedDir(d: Path): Unit =
+    try {
+      val st = Files.list(d)
+      try st.iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally st.close()
+      Files.deleteIfExists(d)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def writeFiles(df: DataFrame, needCount: Boolean = true)
       : (Seq[String], Long, Map[String, Map[String, Seq[String]]]) = {
@@ -1334,7 +1363,11 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       val v = types.get(c).map(g.cast(_)).getOrElse(g)
       v.as(physName(m, c))
     }: _*)
-    out.write.parquet(dest.toString)
+    // a mid-write failure (NOT NULL raise_error, cast error, executor
+    // loss) must not strand never-committed staging files (r14 ADVICE:
+    // only the CHECK-violation path cleaned up)
+    try out.write.parquet(dest.toString)
+    catch { case e: Throwable => cleanupStagedDir(dest); throw e }
     val files = Files.list(dest).iterator().asScala
       .map(_.toString).filter(f => f.endsWith(".parquet")).toSeq.sorted
     val (rows, stats) = collectFooterMeta(files, m, needCount)
@@ -1504,6 +1537,13 @@ object GraftTable {
     * — spec observability ONLY: lets tests assert a merge touching one
     * key range opened only the overlapping files. Not part of the API. */
   @volatile private[graft] var lastProbeFiles: Seq[String] = Nil
+
+  /** JVM-wide count of Observation events lost to the listener-bus
+    * timeout (each one re-runs the explicit aggregation fallback) —
+    * the cost model of the r14 statement-floor folds, observable from
+    * any harness log (r14 verdict #6). */
+  private[graft] val obsFallbacks =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Split at top-level commas (paren-depth 0, single-quote-aware) —
     * an expression-index entry like `concat(a, b)` must stay one item. */

@@ -3341,5 +3341,17 @@ class SqlRouterSpec extends SparkSpec {
     // second drop removes the remaining holder (now unambiguous)
     exec(e, "DROP INDEX uq_em")
     assert(!e.table("zz").uniqueIndexes.contains("uq_em"))
+    // r14 ADVICE: a bare drop NO table holds is no longer a silent
+    // no-op — it surfaces a warning (not an error: plain non-unique
+    // indexes are accepted-and-dropped at CREATE, so their later DROP
+    // is legitimate dump-replay traffic). IF EXISTS stays silent.
+    e.clearWarnings()
+    exec(e, "DROP INDEX uq_em")
+    assert(e.warnings.exists(_._3.contains("uq_em")),
+      "no-holder bare DROP INDEX must surface a warning")
+    e.clearWarnings()
+    exec(e, "DROP INDEX IF EXISTS uq_em")
+    assert(!e.warnings.exists(_._3.contains("uq_em")),
+      "IF EXISTS keeps the no-op form silent")
   }
 }

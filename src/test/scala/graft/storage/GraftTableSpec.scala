@@ -459,4 +459,37 @@ class GraftTableSpec extends SparkSpec {
       Array((1L, "a2", 8.0)))
     assert(t.checkUnique().count() === 0) // merge did not duplicate
   }
+
+  test("a failed write leaves no orphaned staging files (r14 ADVICE)") {
+    // both failure shapes: (a) the NOT NULL raise_error fires INSIDE
+    // the write job (staged dir exists, file list never computed) and
+    // (b) a CHECK violation detected after the files land — every
+    // path must unwind the never-committed staging output
+    val base = tmpDir("graft_stage_clean")
+    val sch = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType)))
+    val t = GraftTable.create(spark, base.resolve("t"), sch, Seq("id"),
+      props = Map("check.pos" -> "v > 0"))
+    t.insert(Seq((1L, 1.0)).toDF("id", "v"))
+    def dataFiles(): Set[String] = {
+      val d = base.resolve("t").resolve("data")
+      val st = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(p =>
+          p.toString.endsWith(".parquet")).map(_.toString).toSet
+      } finally st.close()
+    }
+    val committed = dataFiles()
+    // (a) NULL through NOT NULL PK: raise_error inside the write job
+    intercept[Exception](
+      t.insert(Seq((null.asInstanceOf[java.lang.Long], 2.0))
+        .toDF("id", "v").selectExpr("CAST(id AS BIGINT) AS id", "v")))
+    // (b) CHECK violation: files written, then validation aborts
+    intercept[Exception](t.insert(Seq((2L, -5.0)).toDF("id", "v")))
+    assert(dataFiles() === committed,
+      "failed writes must not strand staging parquet files")
+    assert(t.read().count() === 1)
+  }
 }
