@@ -1329,6 +1329,12 @@ object SqlRouter {
       ddl
     case ReplaceInto(name, colList, rest) =>
       val t = engine.table(name)
+      // MySQL REPLACE deletes rows conflicting on ANY unique key (r15):
+      // the omitted-auto-PK + single-unique-arbiter shape keys the
+      // replace on that arbiter — PLAIN columns only (an expression
+      // arbiter can't key the file-rewrite join; replaceRows rejects
+      // it loudly rather than silently reverting to PK semantics)
+      val repKey = impliedUniqueArbiter(t, "REPLACE INTO", colList)
       // a partitioned parent routes with per-child REPLACE semantics —
       // valid because MySQL (like PG) requires every unique key on a
       // partitioned table to include the partition key, so a
@@ -1337,8 +1343,9 @@ object SqlRouter {
       if (t.partitionBy.isDefined)
         Result(None, routeFrame(engine, name, t,
           mergeSource(engine, t, colList, rest),
-          _.replaceRows(_)))
-      else Result(None, t.replaceRows(mergeSource(engine, t, colList, rest)))
+          _.replaceRows(_, repKey)))
+      else Result(None,
+        t.replaceRows(mergeSource(engine, t, colList, rest), repKey))
     case InsertIgnore(name, colList, rest) =>
       val t = engine.table(name)
       // MySQL checks EVERY unique index (r15): the omitted-auto-PK +

@@ -414,7 +414,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * delete-only → copy-on-write anti-join delete;
     * general → rewrite files containing touched PKs, re-append upserts.
     */
-  def merge(changes0: DataFrame): MergeCounts = {
+  def merge(changes0: DataFrame, key0: Seq[String] = Nil): MergeCounts = {
     val m = manifest
     val dataCols = m.schema.fieldNames
     // Keyless tables (reference index-less mode,
@@ -422,7 +422,14 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // whole row image is the key — REPLACE deletes every full-row match
     // then inserts, so the last duplicate wins and exactly one copy
     // remains. Same affected-file machinery, key = all data columns.
-    val pk = if (m.pkCols.nonEmpty) m.pkCols else dataCols.toSeq
+    // `key0` overrides with a recorded unique index's PLAIN column set
+    // (r15: REPLACE arbitrating on a unique key, MySQL semantics) —
+    // expression arbiters can't key the file-rewrite join and are
+    // rejected by the caller.
+    val pk =
+      if (key0.nonEmpty) key0
+      else if (m.pkCols.nonEmpty) m.pkCols
+      else dataCols.toSeq
     val changes = changes0.persist()
     try mergeImpl(m, pk, dataCols, changes)
     finally changes.unpersist()
@@ -575,13 +582,18 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * wins (MySQL applies rows in statement order). Keyless tables take
     * the index-less arm: the full row image is the key, duplicates
     * collapse to one copy. Returns the number of change rows applied. */
-  def replaceRows(df: DataFrame): Long = {
+  def replaceRows(df: DataFrame, key0: Seq[String] = Nil): Long = {
     val m = manifest
-    val key = if (m.pkCols.nonEmpty) m.pkCols else m.schema.fieldNames.toSeq
+    require(key0.forall(k => m.schema.fieldNames.exists(_.equalsIgnoreCase(k))),
+      s"REPLACE arbiter must be plain columns, got: ${key0.mkString(", ")}")
+    val key =
+      if (key0.nonEmpty) key0
+      else if (m.pkCols.nonEmpty) m.pkCols
+      else m.schema.fieldNames.toSeq
     val condensed = lastPerKey(df.select(m.schema.fieldNames.map(col): _*), key)
     // the row count rides merge's own probe aggregate — no separate
     // count() job (round 14: that job was per child per statement)
-    merge(condensed.withColumn("action", lit(2))).total
+    merge(condensed.withColumn("action", lit(2)), key0).total
   }
 
   /** INSERT IGNORE (A11/§2.B INSERT edge semantics): rows whose PK
