@@ -266,6 +266,12 @@ object Bench {
       }
     }
 
+    // lost Observation events re-run explicit aggregation passes —
+    // exactly what statement-chain inflation on a loaded epoch looks
+    // like; a nonzero count here attributes it from the artifact alone
+    // (r14 verdict #6). Only emitted when nonzero (tail byte budget).
+    val obsLost = graft.storage.GraftTable.obsFallbacks.get()
+    val obsJson = if (obsLost > 0) s""""obs_fallbacks":$obsLost,""" else ""
     val oracleJson = oracleTotal.fold("null")(t => r2(t))
     val ratioJson = ratio.fold("null")(r => (math.round(r * 1000) / 1e3).toString)
     val failedJson = oracleFailed.sorted
@@ -274,7 +280,7 @@ object Bench {
       .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     // headline fields LAST: the tail window truncates the FRONT of the
     // captured stream, and the total must survive truncation
-    println(s"""{"errs":$errs,"oracle_failed":$failedJson,"baseline_only":$baselineJson,"baseline_total":${r2(baselineTotal)},"warm_total":${r2(warmTotal)},"sf":"$sfDir","oracle_total":$oracleJson,"ratio":$ratioJson,"metric":"total","value":${r2(total)},"unit":"sec"}""")
+    println(s"""{"errs":$errs,"oracle_failed":$failedJson,"baseline_only":$baselineJson,$obsJson"baseline_total":${r2(baselineTotal)},"warm_total":${r2(warmTotal)},"sf":"$sfDir","oracle_total":$oracleJson,"ratio":$ratioJson,"metric":"total","value":${r2(total)},"unit":"sec"}""")
     System.out.flush()
     spark.stop()
     if (results.values.exists(_.err.isDefined)) sys.exit(1)
