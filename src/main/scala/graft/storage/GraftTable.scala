@@ -451,7 +451,8 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // on the post-generated images, upsert rows only, same
     // NULL-passes semantics as enforceChecks), AND the touched-key
     // bounding box for file-range pruning
-    val statCols = prunablePkCols(m).filter { case (c, _, _) => pk.contains(c) }
+    val statCols = prunableStatCols(m)
+      .filter { case (c, _, _) => pk.exists(_.equalsIgnoreCase(c)) }
     val checks = m.props.collect {
       case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
     }.toSeq
@@ -1233,12 +1234,28 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     * logical type). A column pinned to a different PHYSICAL type by
     * ALTER MODIFY is skipped — its recorded stats live in the old
     * type's space and must not be compared against new-typed keys. */
-  private def prunablePkCols(m: Manifest): Seq[(String, String, DataType)] =
-    m.pkCols.flatMap { c =>
-      val t = m.schema(c).dataType
-      if (physType(m, c) == t && statsSupported(t)) Some((c, physName(m, c), t))
-      else None
+  /** Stats-bearing columns: the PK set (merge pruning + the withFiles
+    * auto-inc funnel) PLUS plain unique-index columns (r15 —
+    * arbiter-keyed merges through a secondary unique key then prune
+    * files exactly like PK-keyed ones; without this, an upsert keyed
+    * on `email` probes EVERY file at 100 TB). Same guards as before:
+    * physical type unchanged by ALTER MODIFY, stats-supported type.
+    * Files written before an index existed simply lack the column's
+    * entry and stay probe candidates — always safe. */
+  private def prunableStatCols(m: Manifest): Seq[(String, String, DataType)] = {
+    val uq = m.props.toSeq.collect {
+      case (k, v) if k.startsWith("unique.") && !v.startsWith("expr:") =>
+        v.split(',').map(_.trim).toSeq
+    }.flatten
+    (m.pkCols ++ uq).distinct.flatMap { c =>
+      m.schema.fields.find(_.name.equalsIgnoreCase(c)).flatMap { f =>
+        val t = f.dataType
+        if (physType(m, f.name) == t && statsSupported(t))
+          Some((f.name, physName(m, f.name), t))
+        else None
+      }
     }
+  }
 
   /** [[writeFiles]] with the table's CHECK constraints validated IN
     * the write action itself (round 14): an `Observation` aggregates
@@ -1395,7 +1412,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   private def collectFooterMeta(files: Seq[String], m: Manifest,
       needCount: Boolean)
       : (Long, Map[String, Map[String, Seq[String]]]) = {
-    val statCols = prunablePkCols(m)
+    val statCols = prunableStatCols(m)
     if (files.isEmpty || (!needCount && statCols.isEmpty))
       return (0L, Map.empty)
     val conf = spark.sessionState.newHadoopConf()

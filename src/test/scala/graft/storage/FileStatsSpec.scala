@@ -112,6 +112,35 @@ class FileStatsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.merge.rewriteAllMaxBytes")
   }
 
+  test("unique-index columns record stats and prune arbiter-keyed merges") {
+    // r15: a merge keyed on a secondary unique arbiter (the
+    // omitted-auto-PK REPLACE/ODKU/IGNORE shape) must prune files by
+    // the ARBITER column's footer range, not probe every file
+    val sch = StructType(Seq(
+      StructField("pk", LongType), StructField("em", StringType),
+      StructField("n", IntegerType)))
+    val t = GraftTable.create(spark, tmpDir("stats_uq"), sch, Seq("pk"),
+      props = Map("unique.uq_em" -> "em"))
+    t.insert(Seq((1L, "a1", 1), (2L, "a2", 1), (3L, "a3", 1))
+      .toDF("pk", "em", "n").coalesce(1))
+    t.insert(Seq((4L, "b1", 1), (5L, "b2", 1), (6L, "b3", 1))
+      .toDF("pk", "em", "n").coalesce(1))
+    val m = t.manifest
+    val before = m.files
+    assert(before.size === 2)
+    // the unique column's range rode the footer read alongside the PK's
+    assert(m.files.forall(f => m.fileStats(f).contains("em")))
+    spark.conf.set("spark.graft.merge.rewriteAllMaxBytes", "0")
+    try {
+      t.replaceRows(Seq((100L, "b2", 9)).toDF("pk", "em", "n"), Seq("em"))
+      // only the b-range file overlaps [b2, b2]
+      assert(GraftTable.lastProbeFiles === Seq(before(1)))
+      assert(t.read().orderBy("em").as[(Long, String, Int)].collect().toSeq
+        === Seq((1L, "a1", 1), (2L, "a2", 1), (3L, "a3", 1),
+          (4L, "b1", 1), (100L, "b2", 9), (6L, "b3", 1)))
+    } finally spark.conf.unset("spark.graft.merge.rewriteAllMaxBytes")
+  }
+
   test("ALTER MODIFY disables pruning on the retyped column, merge stays correct") {
     val t = mkTable("stats_modify")
     t.insert((1L to 5L).map(i => (i, s"v$i")).toDF("pk", "val").coalesce(1))
