@@ -1921,6 +1921,24 @@ class SqlRouterSpec extends SparkSpec {
       .as[(Long, Double)].head() === ((2L, 7.0)))
   }
 
+  test("SHOW CREATE replays the identity FLAVOR (serial stays PG-strict)") {
+    // r15: serial / GENERATED BY DEFAULT record identity.<col> =
+    // by_default so (a) SHOW CREATE replays the PG spelling instead of
+    // degrading to AUTO_INCREMENT and (b) the replayed column keeps
+    // PG's explicit-NULL-raises semantics (the MySQL NULL-assign
+    // rewrite must not adopt it)
+    val e = new Engine(spark, tmpDir("router_showcreate_ident"))
+    exec(e, "CREATE TABLE si (id BIGSERIAL, v STRING, PRIMARY KEY (id))")
+    val (_, ddl) = exec(e, "SHOW CREATE TABLE si").df.get
+      .as[(String, String)].head()
+    assert(ddl.contains("GENERATED BY DEFAULT AS IDENTITY"),
+      s"serial must replay as PG identity, got: $ddl")
+    exec(e, ddl.replace("CREATE TABLE si", "CREATE TABLE si2"))
+    exec(e, "INSERT INTO si2 (v) VALUES ('a')")
+    intercept[Exception](exec(e, "INSERT INTO si2 VALUES (NULL, 'x')"))
+    assert(exec(e, "SELECT count(*) FROM si2").df.get.as[Long].head() === 1L)
+  }
+
   test("pg_dump metadata-only ALTERs accept; partition attach stays loud") {
     val e = new Engine(spark, tmpDir("router_metaalter"))
     exec(e, "CREATE TABLE pt (id BIGINT PRIMARY KEY, v STRING)")
