@@ -728,16 +728,33 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   private[graft] def firstPerKey(df: DataFrame, key: Seq[String]): DataFrame =
     pickPerKey(df, key, last = false)
 
+  /** NULL unique-key values never conflict — in PG ("null values are
+    * not considered equal") and MySQL alike, a unique index admits any
+    * number of NULLs, so a batch's NULL-arbiter rows must NOT condense
+    * to one survivor (r15). Applies exactly when the condensation key
+    * is a NON-PK arbiter: PK members are never NULL (the write funnel
+    * raises), and the keyless full-row-image condense is intentional. */
+  private def preserveNullArbiterRows(key: Seq[String]): Boolean = {
+    val pk = manifest.pkCols.map(_.toLowerCase).toSet
+    pk.nonEmpty && key.map(_.toLowerCase).toSet != pk
+  }
+
   private def pickPerKey(df: DataFrame, key: Seq[String],
       last: Boolean): DataFrame = {
     val cols = df.columns
     val ord = if (last) col("__ord").desc else col("__ord").asc
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(key.map(col): _*).orderBy(ord)
-    df.withColumn("__ord", monotonically_increasing_id())
+    val preserve = preserveNullArbiterRows(key)
+    val anyNull = key.map(col(_).isNull).reduce(_ || _)
+    val eligible = if (preserve) df.filter(!anyNull) else df
+    val condensed = eligible.withColumn("__ord", monotonically_increasing_id())
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(cols.map(col): _*)
+    if (preserve)
+      condensed.unionByName(df.filter(anyNull).select(cols.map(col): _*))
+    else condensed
   }
 
   /** TRUNCATE = commit an empty file list (old files stay for readers
