@@ -1004,7 +1004,99 @@ object CdcQueries {
           CAST(sum(bal) AS DECIMAL(18,2)) FROM st)
       SELECT part, cnt, amt FROM agg ORDER BY part"""))
 
+  // --------------------------------------------------------------------
+  // q114 — round-15 upsert-edge semantics under the hash gate (MySQL
+  // any-unique-key arbitration; reference delegates to GMS which
+  // implements full MySQL semantics — `backend/executor.go:84-116`):
+  // the ORM upsert idiom (AUTO_INCREMENT PK omitted, ONE unique index)
+  // arbitrates ODKU / INSERT IGNORE / REPLACE on that index; all-NULL
+  // VALUES batches trigger id assignment (the mysqldump replay shape);
+  // NULL arbiter values never conflict (four NULL-em rows all insert);
+  // and the counter advances through EVERY path — the closing row's id
+  // is fully determined by the statement sizes, so the oracle derives
+  // it from counts over `customer`. Auto-assigned ids inside multi-row
+  // batches are order-dependent, so the gate groups by em and exposes
+  // only order-independent facts (per-em n sums, group counts, the
+  // final deterministic id).
+  private val q114 = QueryDef(
+    "q114_unique_upsert_family",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      val e = new Engine(s, Files.createTempDirectory("graft_q114"))
+      e.bindTables(dir, "customer")
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      run("CREATE TABLE t (id BIGINT NOT NULL AUTO_INCREMENT, em STRING, " +
+        "n INT, PRIMARY KEY (id), UNIQUE KEY uq_em (em))")
+      run("INSERT INTO t SELECT c_custkey + 1, concat('e', CAST(c_custkey AS STRING)), 1 " +
+        "FROM customer WHERE c_custkey <= 200")
+      // all-NULL VALUES: NULL at the auto position assigns (r15)
+      run("INSERT INTO t VALUES (NULL, 'null_a', 7), (NULL, 'null_b', 7)")
+      // implied-arbiter ODKU: existing ems accumulate, novel ems insert
+      run("INSERT INTO t (em, n) SELECT concat('e', CAST(c_custkey AS STRING)), 10 " +
+        "FROM customer WHERE c_custkey BETWEEN 100 AND 250 " +
+        "ON DUPLICATE KEY UPDATE n = n + VALUES(n)")
+      // implied-arbiter IGNORE: only novel ems land
+      run("INSERT IGNORE INTO t (em, n) SELECT concat('e', CAST(c_custkey AS STRING)), 3 " +
+        "FROM customer WHERE c_custkey BETWEEN 240 AND 280")
+      // implied-arbiter REPLACE: conflicting ems re-image under new ids
+      run("REPLACE INTO t (em, n) SELECT concat('e', CAST(c_custkey AS STRING)), 9 " +
+        "FROM customer WHERE c_custkey BETWEEN 50 AND 60")
+      // NULL arbiter values never conflict: both rows insert
+      run("INSERT IGNORE INTO t (em, n) VALUES (NULL, 5), (NULL, 5)")
+      // the counter advanced by every batch's FULL size: this id is
+      // deterministic even though in-batch assignments are not
+      run("INSERT INTO t (em, n) VALUES ('zz_final', 0)")
+      SqlRouter.execute(e,
+        "SELECT coalesce(em, '~null') AS em2, CAST(sum(n) AS BIGINT) AS sn, " +
+          "count(*) AS c, CAST(CASE WHEN coalesce(em, '') = 'zz_final' " +
+          "THEN max(id) END AS BIGINT) AS fid " +
+        "FROM t GROUP BY em ORDER BY em2").df.get
+    },
+    Some("""WITH seed AS (
+        SELECT concat('e', CAST(c_custkey AS VARCHAR)) AS em, 1 AS n
+        FROM customer WHERE c_custkey <= 200),
+      odku AS (SELECT concat('e', CAST(c_custkey AS VARCHAR)) AS em, 10 AS n
+        FROM customer WHERE c_custkey BETWEEN 100 AND 250),
+      ign AS (SELECT concat('e', CAST(c_custkey AS VARCHAR)) AS em, 3 AS n
+        FROM customer WHERE c_custkey BETWEEN 240 AND 280),
+      rep AS (SELECT concat('e', CAST(c_custkey AS VARCHAR)) AS em
+        FROM customer WHERE c_custkey BETWEEN 50 AND 60),
+      s1 AS (
+        SELECT s.em, CASE WHEN o.em IS NOT NULL THEN s.n + o.n ELSE s.n END AS n
+        FROM seed s LEFT JOIN odku o ON s.em = o.em
+        UNION ALL
+        SELECT o.em, o.n FROM odku o WHERE o.em NOT IN (SELECT em FROM seed)),
+      s2 AS (
+        SELECT * FROM s1
+        UNION ALL
+        SELECT i.em, i.n FROM ign i WHERE i.em NOT IN (SELECT em FROM s1)),
+      s3 AS (
+        SELECT em, CASE WHEN em IN (SELECT em FROM rep) THEN 9 ELSE n END AS n
+        FROM s2),
+      fid AS (
+        SELECT CAST(max(CASE WHEN c_custkey <= 200 THEN c_custkey + 1 END)
+          + 1 + 2
+          + count(CASE WHEN c_custkey BETWEEN 100 AND 250 THEN 1 END)
+          + count(CASE WHEN c_custkey BETWEEN 240 AND 280 THEN 1 END)
+          + count(CASE WHEN c_custkey BETWEEN 50 AND 60 THEN 1 END)
+          + 2 AS BIGINT) AS v
+        FROM customer),
+      allr AS (
+        SELECT em, n FROM s3
+        UNION ALL SELECT 'null_a', 7
+        UNION ALL SELECT 'null_b', 7
+        UNION ALL SELECT CAST(NULL AS VARCHAR), n
+          FROM (VALUES (5), (5)) v(n)
+        UNION ALL SELECT 'zz_final', 0),
+      agg AS (
+        SELECT coalesce(em, '~null') AS em2, CAST(sum(n) AS BIGINT) AS sn,
+          count(*) AS c,
+          CASE WHEN coalesce(em, '') = 'zz_final'
+            THEN (SELECT v FROM fid) END AS fid
+        FROM allr GROUP BY em)
+      SELECT em2, sn, c, CAST(fid AS BIGINT) AS fid FROM agg ORDER BY em2"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113)
+      q109, q110, q111, q112, q113, q114)
 }
