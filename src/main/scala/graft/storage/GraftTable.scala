@@ -937,7 +937,11 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   def checkUnique(cols: Seq[String] = Nil): DataFrame = {
     val keys = if (cols.nonEmpty) cols else manifest.pkCols
     require(keys.nonEmpty, "no key columns to check")
-    read().groupBy(keys.map(col): _*)
+    // NULL key values never violate uniqueness (PG/MySQL: a unique
+    // index admits any number of NULLs, r15) — exclude them from the
+    // duplicate scan rather than flagging the NULL group
+    val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    read().filter(nonNull).groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_dup"))
       .filter(col("n_dup") > 1)
   }
