@@ -2241,7 +2241,12 @@ object SqlRouter {
       Result(None, n)
     case LoadData(path, dupMode, name, tail) =>
       val t = engine.table(name)
-      val opts = loadDataOptions(tail)
+      // MySQL's trailing `(col_or_@var, ...)` list and transform
+      // `SET col = expr` clause (r15; the reference supports column
+      // lists on its DuckDB fast path and falls back to the GMS row
+      // engine for SET/@vars — `backend/loaddata.go:24-34,250-268`)
+      val (optsText, fileEntries, setPairsRaw) = splitLoadTail(tail)
+      val opts = loadDataOptions(optsText)
       val mode = Option(dupMode).map(_.toUpperCase) match {
         case Some("IGNORE") => graft.sources.BulkIO.Ignore
         case Some("REPLACE") => graft.sources.BulkIO.Replace
@@ -2253,27 +2258,51 @@ object SqlRouter {
       // inverse (the reference cannot: loaddata.go:177-180 TODO).
       // Enclosed dialects are real quoted CSV — Spark's reader owns it.
       val escAware = opts.escape == "\\" && opts.quote == "\u0000"
-      val n = if (t.partitionBy.isDefined) {
-        // partitioned parent: build the frame, route by bounds; the
-        // IGNORE/REPLACE duplicate-key semantics apply PER CHILD —
-        // exactly right, since a key lives in one partition
-        val df =
-          if (escAware)
-            graft.sources.BulkIO.mySqlTextFrame(engine.spark, t.schema,
-              path, opts)
-          else graft.sources.BulkIO.loadCsv(engine.spark, path, t.schema, opts)
-        mode match {
+      val n = if (fileEntries.isEmpty && setPairsRaw.isEmpty) {
+        // no column list, no SET: the original full-schema paths
+        if (t.partitionBy.isDefined) {
+          // partitioned parent: build the frame, route by bounds; the
+          // IGNORE/REPLACE duplicate-key semantics apply PER CHILD —
+          // exactly right, since a key lives in one partition
+          val df =
+            if (escAware)
+              graft.sources.BulkIO.mySqlTextFrame(engine.spark, t.schema,
+                path, opts)
+            else graft.sources.BulkIO.loadCsv(engine.spark, path, t.schema, opts)
+          mode match {
+            case graft.sources.BulkIO.Ignore =>
+              routeFrame(engine, name, t, df.localCheckpoint(true),
+                _.insertIgnoreRows(_))
+            case graft.sources.BulkIO.Replace =>
+              routeFrame(engine, name, t, df.localCheckpoint(true),
+                _.replaceRows(_))
+            case _ => routeFrameSinglePass(engine, name, t, df)
+          }
+        } else if (escAware)
+          graft.sources.BulkIO.loadMySqlTextInto(t, path, opts, mode)
+        else graft.sources.BulkIO.loadCsvInto(t, path, opts, mode)
+      } else {
+        val (df0, providedCols) = loadDataColFrame(engine, t, path, opts,
+          escAware, fileEntries, setPairsRaw)
+        // the omitted-auto + single-unique shape arbitrates on the
+        // unique index, same as the INSERT-statement merge family
+        val key =
+          if (mode == graft.sources.BulkIO.Append) Nil
+          else impliedUniqueArbiter(t, "LOAD DATA " +
+            (if (mode == graft.sources.BulkIO.Replace) "REPLACE" else "IGNORE"),
+            providedCols)
+        if (t.partitionBy.isDefined) mode match {
           case graft.sources.BulkIO.Ignore =>
-            routeFrame(engine, name, t, df.localCheckpoint(true),
-              _.insertIgnoreRows(_))
+            routeFrame(engine, name, t, df0, _.insertIgnoreRows(_, key))
           case graft.sources.BulkIO.Replace =>
-            routeFrame(engine, name, t, df.localCheckpoint(true),
-              _.replaceRows(_))
-          case _ => routeFrameSinglePass(engine, name, t, df)
+            routeFrame(engine, name, t, df0, _.replaceRows(_, key))
+          case _ => routeFrame(engine, name, t, df0, _.insert(_))
+        } else mode match {
+          case graft.sources.BulkIO.Ignore => t.insertIgnoreRows(df0, key)
+          case graft.sources.BulkIO.Replace => t.replaceRows(df0, key)
+          case _ => t.insert(df0)
         }
-      } else if (escAware)
-        graft.sources.BulkIO.loadMySqlTextInto(t, path, opts, mode)
-      else graft.sources.BulkIO.loadCsvInto(t, path, opts, mode)
+      }
       Result(None, n)
     case Prepare(name, text) =>
       engine.prepare(name, text.replace("''", "'")); ddl
@@ -3369,6 +3398,146 @@ object SqlRouter {
       case "off" | "0" | "false" | "f" | "no" => false
       case other => throw new IllegalArgumentException(s"boolean option: $other")
     }
+
+  /** Split a LOAD DATA tail into (option text, column/user-var list,
+    * SET assignment pairs). The grammar puts the optional
+    * `(col_or_@var, ...)` list after every FIELDS/LINES/IGNORE option
+    * and the transform `SET col = expr, ...` clause last. Positions are
+    * found on a QUOTE-MASKED copy so a quoted '(' / 'SET' inside an
+    * option string can't split the statement; `CHARACTER SET utf8` is
+    * naturally excluded because the transform SET is always followed
+    * by `col =`. */
+  private def splitLoadTail(tail: String)
+      : (String, Seq[String], Seq[(String, String)]) = {
+    def mask(s: String): String = {
+      val sb = new StringBuilder(s)
+      var q = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'') q = !q
+        else if (q) sb.setCharAt(i, 'x')
+        i += 1
+      }
+      sb.toString
+    }
+    val masked = mask(tail)
+    val setM = """(?is)\bSET\s+@?\w+\s*=""".r.findAllMatchIn(masked).toSeq
+      .lastOption
+    val (head, setText) = setM match {
+      case Some(m) => (tail.substring(0, m.start), Some(tail.substring(
+        m.start).replaceAll("(?is)^\\s*SET\\s+", "")))
+      case None => (tail, None)
+    }
+    val colM = """(?is)\(\s*@?\w+(?:\s*,\s*@?\w+)*\s*\)\s*;?\s*$""".r
+      .findFirstMatchIn(mask(head))
+    val (optsText, cols) = colM match {
+      case Some(m) =>
+        val inner = head.substring(m.start).trim
+          .stripSuffix(";").trim.stripPrefix("(").stripSuffix(")")
+        (head.substring(0, m.start),
+          inner.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      case None => (head, Nil)
+    }
+    val pairs = setText.toSeq.flatMap(st => splitTop(st).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      (k.trim, v.trim)
+    })
+    require(setM.isEmpty || pairs.nonEmpty, "malformed LOAD DATA SET clause")
+    (optsText, cols, pairs)
+  }
+
+  /** Build the LOAD DATA frame for the column-list / SET form: the
+    * file supplies exactly the listed entries (a `@var` reads as a
+    * string usable only from SET expressions), SET assignments compute
+    * over them, unlisted columns take their declared DEFAULT (else
+    * NULL), stored generated columns recompute, and an omitted
+    * AUTO_INCREMENT column gets distributed id assignment — the same
+    * semantics the column-list INSERT path implements. Returns the
+    * schema-complete frame plus the provided-column list (the implied
+    * unique-arbiter input). */
+  private def loadDataColFrame(engine: Engine, t: graft.storage.GraftTable,
+      path: String, opts: graft.sources.BulkIO.CsvOptions, escAware: Boolean,
+      entries: Seq[String], setPairsRaw: Seq[(String, String)])
+      : (DataFrame, String) = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val m = t.manifest
+    def uvName(e: String) = "__uv_" + e.drop(1)
+    def resolve(c: String): StructField =
+      m.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"unknown column $c in LOAD DATA"))
+    val fileSchema = StructType(entries.map { e =>
+      if (e.startsWith("@")) StructField(uvName(e), StringType)
+      else { val f = resolve(e); StructField(f.name, f.dataType) }
+    })
+    // rewrite @var references in SET expressions to the file columns
+    // (quote-aware: a literal '@' inside a string stays put)
+    def rewriteUv(e: String): String = {
+      val sb = new StringBuilder
+      var q = false
+      var i = 0
+      while (i < e.length) {
+        val c = e.charAt(i)
+        if (c == '\'') { q = !q; sb.append(c); i += 1 }
+        else if (!q && c == '@') {
+          var k = i + 1
+          while (k < e.length &&
+            (e.charAt(k).isLetterOrDigit || e.charAt(k) == '_')) k += 1
+          if (k > i + 1) { sb.append("__uv_").append(e.substring(i + 1, k)); i = k }
+          else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    val setPairs: Map[String, String] = setPairsRaw.map { case (k, v) =>
+      resolve(k).name -> rewriteUv(v)
+    }.toMap
+    val raw =
+      if (escAware)
+        graft.sources.BulkIO.mySqlTextFrame(engine.spark, fileSchema, path, opts)
+      else graft.sources.BulkIO.loadCsv(engine.spark, path, fileSchema, opts)
+    val providedDirect = entries.filterNot(_.startsWith("@")).map(resolve(_).name)
+    val autoCol = m.schema.fieldNames.find(c =>
+      m.props.get(s"autoinc.$c").contains("true"))
+    val autoOmitted = autoCol.exists(c =>
+      !providedDirect.exists(_.equalsIgnoreCase(c)) && !setPairs.contains(c))
+    // base fill: provided / SET / DEFAULT / NULL, generated recomputed
+    // from the filled row, auto column deferred to id assignment
+    val base = m.schema.fields.filterNot(f =>
+      autoOmitted && autoCol.contains(f.name)).map { f =>
+      setPairs.get(f.name).map(ex => expr(ex).cast(f.dataType).as(f.name))
+        .orElse(if (providedDirect.exists(_.equalsIgnoreCase(f.name)))
+          Some(col(f.name).cast(f.dataType).as(f.name)) else None)
+        .getOrElse {
+          m.props.get(s"generated.${f.name}")
+            .map(_ => lit(null).cast(f.dataType).as(f.name)) // filled below
+            .orElse(m.props.get(s"default.${f.name}")
+              .map(d => expr(d).cast(f.dataType).as(f.name)))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
+        }
+    }
+    val filled0 = raw.select(base.toIndexedSeq: _*)
+    // stored generated columns recompute over the filled row
+    val gen = m.props.collect {
+      case (k, v) if k.startsWith("generated.") => k.stripPrefix("generated.") -> v
+    }
+    val filled = if (gen.isEmpty) filled0 else filled0.select(
+      filled0.columns.map(c => gen.get(c)
+        .filterNot(_ => providedDirect.exists(_.equalsIgnoreCase(c)) ||
+          setPairs.contains(c))
+        .map(g => expr(g).cast(m.schema(c).dataType).as(c))
+        .getOrElse(col(c))): _*)
+    val out = (autoCol, autoOmitted) match {
+      case (Some(c), true) =>
+        val baseId = m.autoInc
+        val (withIds, total) = t.assignAutoIncIds(filled, c)
+        t.advanceAutoInc(baseId + total)
+        if (total > 0) engine.setVar("last_insert_id", baseId.toString)
+        withIds.select(m.schema.fieldNames.map(col): _*)
+      case _ => filled.localCheckpoint(true)
+    }
+    (out, (providedDirect ++ setPairs.keys).distinct.mkString(","))
+  }
 
   /** MySQL LOAD DATA tail (`loaddata.go:115-227` surface): FIELDS
     * TERMINATED/ENCLOSED/ESCAPED BY, IGNORE n LINES (LINES TERMINATED

@@ -275,6 +275,47 @@ class SqlRouterSpec extends SparkSpec {
       .collect().map(_.getString(0)) === Array("new", null, "x\ty"))
   }
 
+  test("LOAD DATA column list, @vars + SET, defaults, auto ids, arbiter") {
+    // MySQL's `(col_or_@var, ...) SET col = expr` surface (r15;
+    // reference fast path takes plain lists, GMS fallback the rest —
+    // `backend/loaddata.go:24-34,250-268`): the file supplies only the
+    // listed entries, @vars feed SET expressions, unlisted columns take
+    // DEFAULT, the omitted AUTO_INCREMENT key assigns, and LOAD REPLACE
+    // arbitrates on the single unique index like the merge family.
+    val e = new Engine(spark, tmpDir("router_load_cols"))
+    exec(e, "CREATE TABLE t (id BIGINT NOT NULL AUTO_INCREMENT, em STRING, " +
+      "n INT, d DOUBLE DEFAULT 2.5, PRIMARY KEY (id), UNIQUE KEY uq_em (em))")
+    val f = java.nio.file.Files.createTempFile("router_load_cols", ".tsv")
+    java.nio.file.Files.write(f, "a\t3\nb\t4\n".getBytes("UTF-8"))
+    exec(e, s"LOAD DATA INFILE '$f' INTO TABLE t (em, @x) " +
+      "SET n = CAST(@x AS INT) * 2")
+    assert(exec(e, "SELECT id, em, n, d FROM t ORDER BY id").df.get
+      .as[(Long, String, Int, Double)].collect().toSeq ===
+      Seq((1L, "a", 6, 2.5), (2L, "b", 8, 2.5)))
+    // REPLACE keyed on the implied unique arbiter: 'b' re-images under
+    // a fresh id, 'c' is new
+    val f2 = java.nio.file.Files.createTempFile("router_load_cols2", ".tsv")
+    java.nio.file.Files.write(f2, "b\t9\nc\t5\n".getBytes("UTF-8"))
+    exec(e, s"LOAD DATA INFILE '$f2' REPLACE INTO TABLE t (em, @x) " +
+      "SET n = CAST(@x AS INT)")
+    assert(exec(e, "SELECT em, n FROM t ORDER BY em").df.get
+      .as[(String, Int)].collect().toSeq ===
+      Seq(("a", 6), ("b", 9), ("c", 5)))
+    assert(exec(e, "SELECT count(*) FROM t WHERE id > 2").df.get
+      .as[Long].head() === 2L, "replaced rows carry fresh auto ids")
+    // IGNORE through the same arbiter: existing 'c' survives untouched
+    val f3 = java.nio.file.Files.createTempFile("router_load_cols3", ".tsv")
+    java.nio.file.Files.write(f3, "c\t77\nd\t6\n".getBytes("UTF-8"))
+    exec(e, s"LOAD DATA INFILE '$f3' IGNORE INTO TABLE t (em, @x) " +
+      "SET n = CAST(@x AS INT)")
+    assert(exec(e, "SELECT em, n FROM t ORDER BY em").df.get
+      .as[(String, Int)].collect().toSeq ===
+      Seq(("a", 6), ("b", 9), ("c", 5), ("d", 6)))
+    // unknown column stays loud
+    intercept[Exception](
+      exec(e, s"LOAD DATA INFILE '$f' INTO TABLE t (nope, @x)"))
+  }
+
   test("PREPARE / EXECUTE USING / DEALLOCATE and SHOW INDEX") {
     val e = new Engine(spark, tmpDir("router_prep"))
     exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING)")
