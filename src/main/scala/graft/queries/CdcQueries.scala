@@ -1096,7 +1096,82 @@ object CdcQueries {
         FROM allr GROUP BY em)
       SELECT em2, sn, c, CAST(fid AS BIGINT) AS fid FROM agg ORDER BY em2"""))
 
+  // --------------------------------------------------------------------
+  // q115 — LOAD DATA's column-list / @var / SET-transform surface under
+  // the hash gate, proven by a FOREIGN reader (the q109 pattern;
+  // reference `backend/loaddata.go:24-34,250-268` — its fast path takes
+  // plain column lists, the GMS row engine the SET/@var forms): three
+  // fixture files load through (em, @x) with SET transforms, an omitted
+  // AUTO_INCREMENT key, a DEFAULT-filled column, and REPLACE/IGNORE
+  // arbitrating on the implied unique index. The ORACLE reads the very
+  // same bytes with DuckDB's read_csv and restates every load
+  // declaratively — per-em sums plus an id-facts row (count distinct,
+  // max) that pins the counter discipline without depending on
+  // in-batch id order.
+  private val q115 = QueryDef(
+    "q115_loaddata_transform",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      val e = new Engine(s, Files.createTempDirectory("graft_q115"))
+      def run(q: String): Unit = SqlRouter.execute(e, q)
+      def write(stem: String, lines: Seq[String]): String = {
+        val f = sfScopedPath(stem, dir)
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+          lines.mkString("", "\n", "\n"))
+        f
+      }
+      val f1 = write("graft_q115_f1", (1 to 300).map(i => s"k$i\t$i"))
+      val f2 = write("graft_q115_f2",
+        (200 to 400).map(i => s"k$i\t${i + 1000}"))
+      val f3 = write("graft_q115_f3", (350 to 450).map(i => s"k$i\t7"))
+      run("CREATE TABLE lt (id BIGINT NOT NULL AUTO_INCREMENT, em STRING, " +
+        "n INT, d DOUBLE DEFAULT 2.5, PRIMARY KEY (id), " +
+        "UNIQUE KEY uq_em (em))")
+      run(s"LOAD DATA INFILE '$f1' INTO TABLE lt (em, @x) " +
+        "SET n = CAST(@x AS INT) * 2")
+      run(s"LOAD DATA INFILE '$f2' REPLACE INTO TABLE lt (em, @x) " +
+        "SET n = CAST(@x AS INT)")
+      run(s"LOAD DATA INFILE '$f3' IGNORE INTO TABLE lt (em, @x) " +
+        "SET n = CAST(@x AS INT)")
+      SqlRouter.execute(e,
+        "SELECT em, CAST(sum(n) AS BIGINT) AS sn, count(*) AS c, " +
+          "CAST(max(d) AS DOUBLE) AS dd FROM lt GROUP BY em " +
+        "UNION ALL SELECT '__ids', count(DISTINCT id), count(*), " +
+          "CAST(max(id) AS DOUBLE) FROM lt " +
+        "ORDER BY em").df.get
+    },
+    Some(raw"""WITH f1 AS (SELECT c0 AS em, 2 * CAST(c1 AS INT) AS n
+        FROM read_csv('${sfScopedPath("graft_q115_f1", oracleSfDir)}',
+          auto_detect = false, header = false, sep = '\t', quote = '',
+          escape = '', columns = {'c0': 'VARCHAR', 'c1': 'VARCHAR'})),
+      f2 AS (SELECT c0 AS em, CAST(c1 AS INT) AS n
+        FROM read_csv('${sfScopedPath("graft_q115_f2", oracleSfDir)}',
+          auto_detect = false, header = false, sep = '\t', quote = '',
+          escape = '', columns = {'c0': 'VARCHAR', 'c1': 'VARCHAR'})),
+      f3 AS (SELECT c0 AS em, CAST(c1 AS INT) AS n
+        FROM read_csv('${sfScopedPath("graft_q115_f3", oracleSfDir)}',
+          auto_detect = false, header = false, sep = '\t', quote = '',
+          escape = '', columns = {'c0': 'VARCHAR', 'c1': 'VARCHAR'})),
+      s2 AS (
+        SELECT f2.em, f2.n FROM f2
+        UNION ALL
+        SELECT f1.em, f1.n FROM f1 WHERE f1.em NOT IN (SELECT em FROM f2)),
+      s3 AS (
+        SELECT * FROM s2
+        UNION ALL
+        SELECT f3.em, f3.n FROM f3 WHERE f3.em NOT IN (SELECT em FROM s2)),
+      ids AS (
+        SELECT (SELECT count(*) FROM f1) + (SELECT count(*) FROM f2)
+          + (SELECT count(*) FROM f3) AS maxid,
+          (SELECT count(*) FROM s3) AS total),
+      agg AS (
+        SELECT em, CAST(n AS BIGINT) AS sn, CAST(1 AS BIGINT) AS c,
+          2.5 AS dd FROM s3
+        UNION ALL
+        SELECT '__ids', total, total, CAST(maxid AS DOUBLE) FROM ids)
+      SELECT em, sn, c, dd FROM agg ORDER BY em"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113, q114)
+      q109, q110, q111, q112, q113, q114, q115)
 }
