@@ -2246,6 +2246,15 @@ object SqlRouter {
       // lists on its DuckDB fast path and falls back to the GMS row
       // engine for SET/@vars — `backend/loaddata.go:24-34,250-268`)
       val (optsText, fileEntries, setPairsRaw) = splitLoadTail(tail)
+      // the readers decode UTF-8: accept the charsets that ARE
+      // UTF-8-safe (the reference's fast path draws the same line —
+      // `backend/loaddata.go:45-51`) and refuse the rest LOUDLY
+      // instead of silently mojibake-ing a latin1 dump
+      """(?is)\bCHARACTER\s+SET\s+(\w+)""".r.findFirstMatchIn(optsText)
+        .map(_.group(1).toLowerCase).foreach(cs =>
+          require(cs.startsWith("utf8") || cs == "ascii" || cs == "binary",
+            s"LOAD DATA CHARACTER SET $cs is not supported: convert the " +
+              "file to UTF-8 (utf8/ascii/binary pass through)"))
       val opts = loadDataOptions(optsText)
       val mode = Option(dupMode).map(_.toUpperCase) match {
         case Some("IGNORE") => graft.sources.BulkIO.Ignore

@@ -314,6 +314,12 @@ class SqlRouterSpec extends SparkSpec {
     // unknown column stays loud
     intercept[Exception](
       exec(e, s"LOAD DATA INFILE '$f' INTO TABLE t (nope, @x)"))
+    // UTF-8-safe charsets pass through; others refuse loudly instead
+    // of silently misreading the bytes (reference fast-path line)
+    exec(e, s"LOAD DATA INFILE '$f2' IGNORE INTO TABLE t " +
+      "CHARACTER SET utf8mb4 (em, @x) SET n = CAST(@x AS INT)")
+    intercept[Exception](
+      exec(e, s"LOAD DATA INFILE '$f' INTO TABLE t CHARACTER SET latin1"))
   }
 
   test("PREPARE / EXECUTE USING / DEALLOCATE and SHOW INDEX") {
