@@ -834,6 +834,134 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
   }
 
   // ------------------------------------------------------------------
+  // Subscriptions (C11; reference
+  // `pgserver/subscription_handler.go:15-383`): CREATE SUBSCRIPTION
+  // reads the publisher's current WAL position FIRST, then snapshots
+  // every published table (the reference attaches the publisher via
+  // postgres_scanner and runs `CREATE TABLE ... AS FROM` per table),
+  // then streams changes from the recorded position — the copy/stream
+  // overlap re-applies idempotently (LWW condense). The local
+  // publisher analog in the connection string: `warehouse=<path>`
+  // names the source warehouse (the ATTACH analog), `dbname=<db>` the
+  // published database, `framelog=<dir>` + `slot=<name>` its WAL
+  // (FrameLog offsets are LSNs; PgOutputEncoder writes the frames).
+  // Persisted per warehouse as `_subscriptions.json`.
+  // [[refreshSubscription]] is the synchronous poll-apply surface; the
+  // continuous form is the same pipeline under Structured Streaming
+  // (framelog source → decodeSlotStreamsStateful → CdcMerge, C1/C2).
+
+  /** name → {connection, publication, db, tables, enabled, lsn}. */
+  def subscriptions: Map[String, Map[String, String]] = synchronized {
+    val f = warehouse.resolve("_subscriptions.json")
+    if (!Files.exists(f)) Map.empty
+    else mapper.readValue(Files.readAllBytes(f),
+      classOf[java.util.Map[String, java.util.Map[String, String]]])
+      .asScala.map { case (k, v) => k -> v.asScala.toMap }.toMap
+  }
+
+  private def writeSubscriptions(m: Map[String, Map[String, String]]): Unit =
+    synchronized {
+      writeJsonAtomic(warehouse.resolve("_subscriptions.json"),
+        m.map { case (k, v) => k -> v.asJava }.asJava)
+    }
+
+  /** PG-style `key=value ...` connection string (reference
+    * `subscription_handler.go:68-146` parse shape; values here may be
+    * filesystem paths). */
+  private def connKv(conn: String): Map[String, String] =
+    """(\w+)=([^\s']+)""".r.findAllMatchIn(conn)
+      .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+
+  def createSubscription(name: String, connection: String,
+      publication: String): Unit = {
+    require(!subscriptions.contains(name),
+      s"""subscription "$name" already exists""")
+    val kv = connKv(connection)
+    val srcWh = java.nio.file.Paths.get(kv.getOrElse("warehouse",
+      throw new IllegalArgumentException(
+        "CREATE SUBSCRIPTION connection needs warehouse=<path> " +
+          "(the local analog of host/dbname)")))
+    require(Files.isDirectory(srcWh), s"publisher warehouse not found: $srcWh")
+    val srcDb = kv.getOrElse("dbname", "main")
+    val slot = kv.getOrElse("slot", publication)
+    // 1. WAL position BEFORE the copy (reference: pg_current_wal_lsn
+    //    first — changes landing during the copy re-apply, idempotent)
+    val lsn0 = kv.get("framelog")
+      .flatMap(d => graft.streaming.FrameLog.lastOffset(
+        java.nio.file.Paths.get(d), slot))
+      .getOrElse(0L)
+    // 2. snapshot every published table into the CURRENT database
+    val src = new Engine(spark, srcWh)
+    val tables = src.listTables(srcDb)
+    require(tables.nonEmpty, s"publication $publication is empty: " +
+      s"no tables in $srcDb at $srcWh")
+    tables.foreach(tn => require(!listTables().contains(tn),
+      s"subscription target table $tn already exists in $currentDb"))
+    tables.foreach { tn =>
+      val st = src.table(s"$srcDb.$tn")
+      val m = st.manifest
+      val local = GraftTable.create(spark,
+        warehouse.resolve(currentDb).resolve(tn),
+        m.schema, m.pkCols, m.autoInc, m.props)
+      if (!m.props.contains("partition.by")) local.insert(st.read())
+    }
+    // 3. persist enabled with the pre-copy checkpoint
+    writeSubscriptions(subscriptions + (name -> Map(
+      "connection" -> connection, "publication" -> publication,
+      "db" -> currentDb, "tables" -> tables.mkString(","),
+      "enabled" -> "true", "lsn" -> lsn0.toString)))
+  }
+
+  def alterSubscription(name: String, enabled: Boolean): Unit = {
+    val subs = subscriptions
+    val sub = subs.getOrElse(name, throw new IllegalArgumentException(
+      s"""subscription "$name" does not exist"""))
+    writeSubscriptions(subs.updated(name,
+      sub.updated("enabled", enabled.toString)))
+  }
+
+  def dropSubscription(name: String): Unit = {
+    val subs = subscriptions
+    require(subs.contains(name),
+      s"""subscription "$name" does not exist""")
+    // PG semantics: the subscribed tables and their data survive
+    writeSubscriptions(subs - name)
+  }
+
+  /** Poll-apply: decode and LWW-merge every framelog frame past the
+    * checkpoint into the subscribed tables, then advance the
+    * checkpoint. Disabled subscriptions apply NOTHING (PG: DISABLE
+    * pauses the apply worker; the frames wait in the log). Returns the
+    * number of frames applied. */
+  def refreshSubscription(name: String): Long = {
+    val sub = subscriptions.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"""subscription "$name" does not exist"""))
+    if (sub("enabled") != "true") return 0L
+    val kv = connKv(sub("connection"))
+    val dir = kv.getOrElse("framelog", return 0L) // snapshot-only sub
+    val slot = kv.getOrElse("slot", sub("publication"))
+    val ckpt = sub("lsn").toLong
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val frames = spark.read.format("framelog").load(dir)
+      .filter(col("slot") === slot && col("off") > ckpt)
+      .localCheckpoint(true) // one file read; N decode passes below
+    val head = frames.agg(max(col("off")).as("mx"),
+      count(lit(1)).as("n")).collect()(0)
+    if (head.isNullAt(0)) return 0L
+    val (maxOff, n) = (head.getLong(0), head.getLong(1))
+    sub("tables").split(',').filter(_.nonEmpty).foreach { tn =>
+      val t = table(s"${sub("db")}.$tn")
+      val decoded = graft.streaming.PgOutputDecoder.decodeSlotStreams(
+        frames, "slot", "off", "payload", s"public.$tn", t.schema)
+      graft.streaming.CdcMerge.applyBatch(t, decoded)
+    }
+    writeSubscriptions(subscriptions.updated(name,
+      sub.updated("lsn", maxOff.toString)))
+    n
+  }
+
+  // ------------------------------------------------------------------
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))

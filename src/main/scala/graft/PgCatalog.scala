@@ -439,10 +439,14 @@ object PgCatalog {
           "tablespace STRING, hasindexes BOOLEAN, ispopulated BOOLEAN, " +
           "definition STRING"), Nil)
 
-      case "pg_subscription" => // per the reference DDL; live clients
-        // are driven programmatically, so this surface stays empty
+      case "pg_subscription" => // per the reference DDL (r16: fed by
+        // the engine's subscription catalog — Engine.subscriptions)
         mk(spark, ddl("subname STRING, subconninfo STRING, subpublication STRING, " +
-          "subskiplsn STRING, subenabled BOOLEAN"), Nil)
+          "subskiplsn STRING, subenabled BOOLEAN"),
+          engine.subscriptions.toSeq.sortBy(_._1).map { case (n, s) =>
+            Row(n, s("connection"), s("publication"), s("lsn"),
+              s("enabled") == "true")
+          })
 
       case "pg_stat_replication" =>
         mk(spark, ddl("pid INT, usesysid BIGINT, usename STRING, " +

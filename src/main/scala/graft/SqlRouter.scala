@@ -385,6 +385,19 @@ object SqlRouter {
   // (ALGORITHM=/LOCK= online-DDL tails, multi-index drops) stay
   // accepted-and-dropped rather than regressing to a Catalyst error
   private val DropIndexAny = """(?is)\s*DROP\s+INDEX\s+.*""".r
+  // Subscription lifecycle (C11; the reference's statement surface —
+  // `pgserver/subscription_handler.go:60-66` regexes): CREATE/ALTER
+  // enable|disable/DROP, plus a REFRESH verb for the poll-apply
+  // surface (PG's nearest spelling is ALTER SUBSCRIPTION ... REFRESH
+  // PUBLICATION; the reference applies continuously in background).
+  private val CreateSubscriptionStmt =
+    """(?is)\s*CREATE\s+SUBSCRIPTION\s+([\w-]+)\s+CONNECTION\s+'([^']+)'(?:\s+PUBLICATION\s+([\w-]+))?\s*;?\s*""".r
+  private val AlterSubscriptionStmt =
+    """(?is)\s*ALTER\s+SUBSCRIPTION\s+([\w-]+)\s+(DISABLE|ENABLE|REFRESH(?:\s+PUBLICATION)?)\s*;?\s*""".r
+  private val DropSubscriptionStmt =
+    """(?is)\s*DROP\s+SUBSCRIPTION\s+([\w-]+)\s*;?\s*""".r
+  private val ShowSubscriptions =
+    """(?is)\s*SHOW\s+SUBSCRIPTIONS\s*;?\s*""".r
   // ALTER TABLE t ADD [CONSTRAINT nm] UNIQUE [KEY|INDEX] [nm] (cols)
   private val AlterAddUnique =
     """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w."]+)\s+ADD\s+(?:CONSTRAINT\s+([\w."]+)\s+)?UNIQUE\s*(?:KEY\s+|INDEX\s+)?([\w."]+)?\s*\((.*)\)\s*(?:USING\s+\w+\s*|COMMENT\s+'[^']*'\s*)*""".r
@@ -2267,7 +2280,15 @@ object SqlRouter {
       // inverse (the reference cannot: loaddata.go:177-180 TODO).
       // Enclosed dialects are real quoted CSV — Spark's reader owns it.
       val escAware = opts.escape == "\\" && opts.quote == "\u0000"
-      val n = if (fileEntries.isEmpty && setPairsRaw.isEmpty) {
+      // r15 ADVICE (medium): SET with NO column list is legal MySQL —
+      // the file's fields map positionally to ALL table columns, then
+      // SET overrides. Default the entry list to the full schema
+      // order so non-SET columns read the FILE's values (not DEFAULT).
+      val fileEntries2 =
+        if (fileEntries.isEmpty && setPairsRaw.nonEmpty)
+          t.schema.fieldNames.toSeq
+        else fileEntries
+      val n = if (fileEntries2.isEmpty) {
         // no column list, no SET: the original full-schema paths
         if (t.partitionBy.isDefined) {
           // partitioned parent: build the frame, route by bounds; the
@@ -2292,7 +2313,7 @@ object SqlRouter {
         else graft.sources.BulkIO.loadCsvInto(t, path, opts, mode)
       } else {
         val (df0, providedCols) = loadDataColFrame(engine, t, path, opts,
-          escAware, fileEntries, setPairsRaw)
+          escAware, fileEntries2, setPairsRaw)
         // the omitted-auto + single-unique shape arbitrates on the
         // unique index, same as the INSERT-statement merge family
         val key =
@@ -2751,6 +2772,15 @@ object SqlRouter {
             engine.addWarning("Warning", 1091,
               s"""index "$nm" is not recorded on any table """ +
                 "(unique indexes only are recorded); DROP INDEX was a no-op")
+          // r15 verdict #8: several UNRELATED tables holding the same
+          // index name is genuinely ambiguous — PG errors; silently
+          // dropping from the "first" root is the worst failure class
+          // for a dump replay (a live arbiter vanishes from the wrong
+          // table). Error loudly and name the disambiguation.
+          require(roots.size <= 1,
+            s"""index name "$nm" is ambiguous: held by unrelated """ +
+              s"tables ${roots.mkString(", ")}; qualify with " +
+              s"DROP INDEX $nm ON <table>")
           roots.headOption.foreach { rootTn =>
             def drop(n0: String): Unit = {
               val tt = engine.table(n0)
@@ -2759,13 +2789,31 @@ object SqlRouter {
                 tt.partitionChildren.foreach(c => drop(childRef(n0, c._1)))
             }
             drop(rootTn)
-            if (roots.size > 1) engine.addWarning("Warning", 1064,
-              s"index $nm also exists on unrelated table(s) " +
-                s"${roots.tail.mkString(", ")}; dropped from $rootTn only")
           }
       }
       ddl
     case DropIndexAny() => ddl // online-DDL tails, multi-drops: no-op
+    case CreateSubscriptionStmt(name, conn, pub) =>
+      engine.createSubscription(name, conn,
+        Option(pub).getOrElse(name))
+      ddl
+    case AlterSubscriptionStmt(name, verb) =>
+      verb.trim.toUpperCase.split("\\s+").head match {
+        case "ENABLE" => engine.alterSubscription(name, enabled = true); ddl
+        case "DISABLE" => engine.alterSubscription(name, enabled = false); ddl
+        case _ => Result(None, engine.refreshSubscription(name))
+      }
+    case DropSubscriptionStmt(name) =>
+      engine.dropSubscription(name); ddl
+    case ShowSubscriptions() =>
+      val sp = engine.spark
+      import sp.implicits._
+      val rows = engine.subscriptions.toSeq.sortBy(_._1).map { case (n, s) =>
+        (n, s("publication"), s("enabled") == "true", s("lsn"),
+          s("tables"))
+      }
+      Result(Some(rows.toDF("subname", "subpublication", "subenabled",
+        "sublsn", "subtables")), 0L)
     case OwnerTo() => ddl // ownership metadata: accepted, dropped
     case CreateEnumType(name, valueList) =>
       val values = splitTop(valueList).map(_.trim).filter(_.nonEmpty)
@@ -3438,15 +3486,30 @@ object SqlRouter {
         m.start).replaceAll("(?is)^\\s*SET\\s+", "")))
       case None => (tail, None)
     }
-    val colM = """(?is)\(\s*@?\w+(?:\s*,\s*@?\w+)*\s*\)\s*;?\s*$""".r
+    // r15 ADVICE: accept backtick/double-quoted identifiers in the
+    // column list (`em`, "em") — previously a quoted list silently
+    // degraded to a full-schema positional load.
+    val ident = """(?:@?\w+|`[^`]+`|"[^"]+")"""
+    val colM = s"""(?is)\\(\\s*$ident(?:\\s*,\\s*$ident)*\\s*\\)\\s*;?\\s*$$""".r
       .findFirstMatchIn(mask(head))
+    def unquote(e: String): String =
+      if (e.length >= 2 && ((e.head == '`' && e.last == '`') ||
+        (e.head == '"' && e.last == '"'))) e.substring(1, e.length - 1)
+      else e
     val (optsText, cols) = colM match {
       case Some(m) =>
         val inner = head.substring(m.start).trim
           .stripSuffix(";").trim.stripPrefix("(").stripSuffix(")")
         (head.substring(0, m.start),
-          inner.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      case None => (head, Nil)
+          inner.split(',').map(e => unquote(e.trim)).filter(_.nonEmpty).toSeq)
+      case None =>
+        // belt-and-suspenders: a trailing paren group that did NOT
+        // parse as a column list must not silently fall into the
+        // options text (loadDataOptions ignores it = wrong mapping)
+        require(!mask(head).trim.stripSuffix(";").trim.endsWith(")"),
+          "LOAD DATA: trailing parenthesized group does not parse as " +
+            s"a column list: ${head.trim.takeRight(80)}")
+        (head, Nil)
     }
     val pairs = setText.toSeq.flatMap(st => splitTop(st).map { kv =>
       val Array(k, v) = kv.split("=", 2)
@@ -3711,10 +3774,20 @@ object SqlRouter {
     val arbs = t.uniqueArbiters
     if (!autoOmitted || arbs.isEmpty) Nil
     else {
+      // r15 ADVICE: the remedy depends on the statement — REPLACE and
+      // LOAD DATA have no ON CONFLICT spelling, so the old one-size
+      // hint suggested a non-equivalent. NOTE (behavior change, r15):
+      // this shape previously replayed silently with PK semantics.
+      val hint =
+        if (stmt.startsWith("REPLACE") || stmt.startsWith("LOAD DATA"))
+          "drop all but one unique index for the load, or supply the " +
+            "auto-increment key explicitly so the PRIMARY KEY arbitrates"
+        else
+          "name the arbiter with INSERT ... ON CONFLICT (<target>), or " +
+            "supply the auto-increment key explicitly"
       require(arbs.size == 1,
         s"$stmt with an omitted auto-increment key and several unique " +
-          "indexes is ambiguous here: name the arbiter with " +
-          "INSERT ... ON CONFLICT (<target>)")
+          s"indexes is ambiguous here: $hint")
       arbs.values.head
     }
   }

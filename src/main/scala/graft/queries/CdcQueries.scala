@@ -33,6 +33,26 @@ object CdcQueries {
   private val oracleSfDir =
     sys.props.getOrElse("graft.sf.dir", "/root/testdata/sf0.01")
 
+  /** Per-statement wall-time instrumentation for the DML chains (r15
+    * verdict #3: the driver's q108 cold time regressed 3.9× in an
+    * epoch the builder cannot reproduce — attribute, don't assume).
+    * Wraps a chain's `run`, accumulates (ms, statement-head) pairs,
+    * and emits ONE compact stderr line so any harness log self-
+    * attributes which statement family carried the time. Costs two
+    * nanoTime calls per statement. */
+  private[queries] final class StmtTimer(tag: String) {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    def apply[A](q: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      val ms = (System.nanoTime() - t0) / 1000000
+      buf += s"${q.replaceAll("\\s+", " ").take(24).trim}=${ms}"
+      r
+    }
+    def report(): Unit =
+      System.err.println(s"[$tag-stmts] ${buf.mkString(" ")}")
+  }
+
   // event_type → action (FIXTURES.md §4: 0=delete, 1=update, 2=insert)
   private val actionSpark =
     when(col("event_type") === "error", 0)
@@ -508,7 +528,8 @@ object CdcQueries {
       import graft.{Engine, SqlRouter}
       val e = new Engine(s, Files.createTempDirectory("graft_q108"))
       e.bindTables(dir, "customer")
-      def run(q: String): Unit = SqlRouter.execute(e, q)
+      val tm = new StmtTimer("q108")
+      def run(q: String): Unit = tm(q)(SqlRouter.execute(e, q))
       run("CREATE TABLE t (id BIGINT NOT NULL AUTO_INCREMENT, v STRING, " +
         "n INT, PRIMARY KEY (id))")
       run("INSERT INTO t SELECT c_custkey, c_name, 1 FROM customer " +
@@ -522,6 +543,7 @@ object CdcQueries {
       run("INSERT INTO t (v, n) VALUES ('auto_c', 5)") // id 801
       run("INSERT IGNORE INTO t VALUES (900, 'ign', 6)") // counter -> 901
       run("INSERT INTO t (v, n) VALUES ('auto_d', 7)") // id 901
+      tm.report()
       SqlRouter.execute(e, "SELECT id, v, n FROM t ORDER BY id").df.get
     },
     Some("""WITH seed AS (
@@ -725,26 +747,33 @@ object CdcQueries {
       // the chain — the gate's 'moved' row then derives from committed
       // files (the fold frame evaluates exactly once, at this insert),
       // and the recheck below covers ALL 5 rows.
+      // round-16 (r15 verdict #1): the hashed channel carries NO raw
+      // DECIMAL — amounts ride as BIGINT cents (exact at scale 2; the
+      // encoding r15's 27 green value probes proved safe on the
+      // driver's comparator, whose decimal canonicalization diverges
+      // on trailing-zero/NULL cells). The balances themselves still
+      // flow DECIMAL(18,2) end-to-end through the DML above; only the
+      // gate's OUTPUT encoding changes.
       run("CREATE TABLE pc_moved (mpart STRING, mcnt BIGINT, " +
-        "mamt DECIMAL(18,2), mntot BIGINT)")
+        "mamt BIGINT, mntot BIGINT)")
       e.table("pc_moved").insert(movedDf.agg(
         count(lit(1)).as("mcnt"),
-        sum("bal").cast("decimal(18,2)").as("mamt"),
+        sum("bal").multiply(lit(100)).cast("long").as("mamt"),
         max("id").cast("long").as("mntot"))
         .select(lit("moved").as("mpart"), col("mcnt"), col("mamt"),
           col("mntot")))
       val gateSql =
         "SELECT 'auto' AS part, count(*) AS cnt, " +
-          "CAST(sum(bal) AS DECIMAL(18,2)) AS amt, " +
+          "CAST(sum(bal) * 100 AS BIGINT) AS amt_c, " +
           "CAST(max(id) AS BIGINT) AS ntot FROM pc WHERE seg = 'AUTO' " +
         "UNION ALL SELECT 'hi', count(*), " +
-          "CAST(sum(bal) AS DECIMAL(18,2)), " +
+          "CAST(sum(bal) * 100 AS BIGINT), " +
           "CAST(sum(n) AS BIGINT) FROM pc_hi " +
         "UNION ALL SELECT 'lo', count(*), " +
-          "CAST(sum(bal) AS DECIMAL(18,2)), " +
+          "CAST(sum(bal) * 100 AS BIGINT), " +
           "CAST(sum(n) AS BIGINT) FROM pc_lo " +
         "UNION ALL SELECT 'parent', count(*), " +
-          "CAST(sum(bal) AS DECIMAL(18,2)), " +
+          "CAST(sum(bal) * 100 AS BIGINT), " +
           "CAST(sum(n) AS BIGINT) FROM pc " +
         "UNION ALL SELECT mpart, mcnt, mamt, mntot FROM pc_moved"
       val gate = SqlRouter.execute(e, gateSql).df.get.orderBy("part")
@@ -767,11 +796,22 @@ object CdcQueries {
       val rows = gate.collect()
       def render(rs: Array[org.apache.spark.sql.Row]): String =
         rs.map(r => s"${r.getString(0)}:${r.getLong(1)}/" +
-          s"${Option(r.getDecimal(2)).map(_.toPlainString).getOrElse("null")}/" +
-          s"${r.getLong(3)}").mkString(" ")
+          s"${if (r.isNullAt(2)) "null" else r.getLong(2).toString}/" +
+          s"${if (r.isNullAt(3)) "null" else r.getLong(3).toString}")
+          .mkString(" ")
       System.err.println(s"[q111-gate] ${render(rows)}")
-      val recheck = scala.concurrent.Await.result(recheckF,
-        scala.concurrent.duration.Duration(120, "s"))
+      // r15 ADVICE: 120s was tight for a loaded epoch at larger sf;
+      // bound generously and NAME the self-check so a timeout never
+      // reads as divergence.
+      val recheck =
+        try scala.concurrent.Await.result(recheckF,
+          scala.concurrent.duration.Duration(600, "s"))
+        catch {
+          case t: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(
+              "q111 fresh-engine self-check timed out after 600s " +
+                "(epoch load, NOT divergence)", t)
+        }
       if (render(rows) != render(recheck))
         throw new IllegalStateException(
           s"q111 self-check diverged: first=[${render(rows)}] " +
@@ -819,21 +859,21 @@ object CdcQueries {
         WHERE id < 500 AND id % 250 = 0),
       agg AS (
         SELECT 'auto' AS part, count(*) AS cnt,
-          CAST(sum(bal) AS DECIMAL(18,2)) AS amt,
+          CAST(sum(bal) * 100 AS BIGINT) AS amt_c,
           CAST(max(id) AS BIGINT) AS ntot FROM fin WHERE seg = 'AUTO'
         UNION ALL SELECT 'hi', count(*),
-          CAST(sum(bal) AS DECIMAL(18,2)),
+          CAST(sum(bal) * 100 AS BIGINT),
           CAST(sum(n) AS BIGINT) FROM fin WHERE id >= 500
         UNION ALL SELECT 'lo', count(*),
-          CAST(sum(bal) AS DECIMAL(18,2)),
+          CAST(sum(bal) * 100 AS BIGINT),
           CAST(sum(n) AS BIGINT) FROM fin WHERE id < 500
         UNION ALL SELECT 'moved', count(*),
-          CAST(sum(bal) AS DECIMAL(18,2)),
+          CAST(sum(bal) * 100 AS BIGINT),
           CAST(max(id) AS BIGINT) FROM moved
         UNION ALL SELECT 'parent', count(*),
-          CAST(sum(bal) AS DECIMAL(18,2)),
+          CAST(sum(bal) * 100 AS BIGINT),
           CAST(sum(n) AS BIGINT) FROM fin)
-      SELECT part, cnt, amt, ntot FROM agg ORDER BY part"""))
+      SELECT part, cnt, amt_c, ntot FROM agg ORDER BY part"""))
 
   // --------------------------------------------------------------------
   // q112 — column ALTERs THROUGH a partitioned parent, under the hash
@@ -951,13 +991,15 @@ object CdcQueries {
       run("DROP DATABASE lc CASCADE")
       run(s"RESTORE DATABASE lc FROM '$bdir'")
       run("USE lc")
+      // round-16 (r15 verdict #1): BIGINT cents in the hashed channel —
+      // raw DECIMAL stays out of the gate output (see q111 note).
       val gateSql =
         "SELECT 'hi' AS part, count(*) AS cnt, " +
-          "CAST(sum(bal) AS DECIMAL(18,2)) AS amt FROM lt_hi " +
+          "CAST(sum(bal) * 100 AS BIGINT) AS amt_c FROM lt_hi " +
         "UNION ALL SELECT 'lo', count(*), " +
-          "CAST(sum(bal) AS DECIMAL(18,2)) FROM lt_lo " +
+          "CAST(sum(bal) * 100 AS BIGINT) FROM lt_lo " +
         "UNION ALL SELECT 'parent', count(*), " +
-          "CAST(sum(bal) AS DECIMAL(18,2)) FROM lt " +
+          "CAST(sum(bal) * 100 AS BIGINT) FROM lt " +
         "ORDER BY part"
       // the q111 treatment (r14 verdict #2): materialize ONCE, print
       // the gate rows to stderr so the driver's log records the exact
@@ -976,11 +1018,19 @@ object CdcQueries {
       val rows = gate.collect()
       def render(rs: Array[org.apache.spark.sql.Row]): String =
         rs.map(r => s"${r.getString(0)}:${r.getLong(1)}/" +
-          s"${Option(r.getDecimal(2)).map(_.toPlainString).getOrElse("null")}")
+          s"${if (r.isNullAt(2)) "null" else r.getLong(2).toString}")
           .mkString(" ")
       System.err.println(s"[q113-gate] ${render(rows)}")
-      val recheck = scala.concurrent.Await.result(recheckF,
-        scala.concurrent.duration.Duration(120, "s"))
+      // r15 ADVICE: generous bound + named timeout (see q111).
+      val recheck =
+        try scala.concurrent.Await.result(recheckF,
+          scala.concurrent.duration.Duration(600, "s"))
+        catch {
+          case t: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(
+              "q113 fresh-engine self-check timed out after 600s " +
+                "(epoch load, NOT divergence)", t)
+        }
       if (render(rows) != render(recheck))
         throw new IllegalStateException(
           s"q113 self-check diverged: first=[${render(rows)}] " +
@@ -997,12 +1047,12 @@ object CdcQueries {
         FROM seeded),
       agg AS (
         SELECT 'hi' AS part, count(*) AS cnt,
-          CAST(sum(bal) AS DECIMAL(18,2)) AS amt FROM st WHERE id >= 800
+          CAST(sum(bal) * 100 AS BIGINT) AS amt_c FROM st WHERE id >= 800
         UNION ALL SELECT 'lo', count(*),
-          CAST(sum(bal) AS DECIMAL(18,2)) FROM st WHERE id < 800
+          CAST(sum(bal) * 100 AS BIGINT) FROM st WHERE id < 800
         UNION ALL SELECT 'parent', count(*),
-          CAST(sum(bal) AS DECIMAL(18,2)) FROM st)
-      SELECT part, cnt, amt FROM agg ORDER BY part"""))
+          CAST(sum(bal) * 100 AS BIGINT) FROM st)
+      SELECT part, cnt, amt_c FROM agg ORDER BY part"""))
 
   // --------------------------------------------------------------------
   // q114 — round-15 upsert-edge semantics under the hash gate (MySQL
@@ -1024,7 +1074,8 @@ object CdcQueries {
       import graft.{Engine, SqlRouter}
       val e = new Engine(s, Files.createTempDirectory("graft_q114"))
       e.bindTables(dir, "customer")
-      def run(q: String): Unit = SqlRouter.execute(e, q)
+      val tm = new StmtTimer("q114")
+      def run(q: String): Unit = tm(q)(SqlRouter.execute(e, q))
       run("CREATE TABLE t (id BIGINT NOT NULL AUTO_INCREMENT, em STRING, " +
         "n INT, PRIMARY KEY (id), UNIQUE KEY uq_em (em))")
       run("INSERT INTO t SELECT c_custkey + 1, concat('e', CAST(c_custkey AS STRING)), 1 " +
@@ -1046,6 +1097,7 @@ object CdcQueries {
       // the counter advanced by every batch's FULL size: this id is
       // deterministic even though in-batch assignments are not
       run("INSERT INTO t (em, n) VALUES ('zz_final', 0)")
+      tm.report()
       SqlRouter.execute(e,
         "SELECT coalesce(em, '~null') AS em2, CAST(sum(n) AS BIGINT) AS sn, " +
           "count(*) AS c, CAST(CASE WHEN coalesce(em, '') = 'zz_final' " +
@@ -1171,7 +1223,99 @@ object CdcQueries {
         SELECT '__ids', total, total, CAST(maxid AS DOUBLE) FROM ids)
       SELECT em, sn, c, dd FROM agg ORDER BY em"""))
 
+  // --------------------------------------------------------------------
+  // q116 — the SUBSCRIPTION lifecycle under the hash gate (r15 verdict
+  // #4; reference `pgserver/subscription_handler.go:15-383`, bootstrap
+  // `main.go:181-185`): a publisher warehouse seeds from `customer`;
+  // CREATE SUBSCRIPTION records the publisher's WAL position and
+  // snapshots the table; post-snapshot transactions (update / insert /
+  // delete) publish as REAL pgoutput frames (PgOutputEncoder →
+  // FrameLog) and apply via ALTER SUBSCRIPTION REFRESH (pgoutput
+  // decode → LWW condense → CoW merge); DISABLE provably pauses the
+  // apply (a refresh that applies anything throws), ENABLE resumes
+  // from the checkpoint. The oracle restates the whole stream as CASE
+  // folds over `customer`. The gate is INT/BIGINT/STRING only (the
+  // r16 decimal-channel discipline).
+  private val q116 = QueryDef(
+    "q116_subscription_lifecycle",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      import graft.streaming.{CdcMerge, FrameLog, PgOutputEncoder}
+      val pubWh = Files.createTempDirectory("graft_q116_pub")
+      val subWh = Files.createTempDirectory("graft_q116_sub")
+      val fl = Files.createTempDirectory("graft_q116_fl")
+      val pub = new Engine(s, pubWh)
+      pub.bindTables(dir, "customer")
+      SqlRouter.execute(pub, "CREATE TABLE acct (id BIGINT NOT NULL, " +
+        "seg STRING, n INT, PRIMARY KEY (id))")
+      SqlRouter.execute(pub, "INSERT INTO acct SELECT c_custkey, " +
+        "c_mktsegment, 0 FROM customer")
+      val acctSchema = pub.table("acct").schema
+      // the publisher's row images, driver-side ONLY to author wire
+      // frames (the fixture-file pattern of q109/q115 — a production
+      // publisher's daemon writes these bytes from the wire)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          col("c_mktsegment").as("seg"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+
+      val sub = new Engine(s, subWh)
+      SqlRouter.execute(sub, s"CREATE SUBSCRIPTION s16 CONNECTION " +
+        s"'warehouse=$pubWh dbname=main framelog=$fl slot=s16' " +
+        "PUBLICATION p16")
+
+      // post-snapshot stream: update every 10th (n=1), insert shifted
+      // novel rows (n=2), delete every 7th-offset-3 — three txns
+      def chg(a: Int, vs: Seq[Any]) = PgOutputEncoder.Change(a, vs)
+      val (t1, l1) = PgOutputEncoder.txn(1000000L, 11L, 16384, "public",
+        "acct", acctSchema, cust.filter(_._1 % 10 == 0)
+          .map(c => chg(CdcMerge.ActionUpdate, Seq(c._1, c._2, 1))).toSeq)
+      val (t2, l2) = PgOutputEncoder.txn(l1, 12L, 16384, "public",
+        "acct", acctSchema, cust.filter(_._1 % 100 == 0)
+          .map(c => chg(CdcMerge.ActionInsert,
+            Seq(c._1 + 1000000L, "NEW", 2))).toSeq)
+      val (t3, l3) = PgOutputEncoder.txn(l2, 13L, 16384, "public",
+        "acct", acctSchema, cust.filter(_._1 % 7 == 3)
+          .map(c => chg(CdcMerge.ActionDelete, Seq(c._1, null, null))).toSeq)
+      FrameLog.append(fl, "s16", t1 ++ t2 ++ t3)
+      SqlRouter.execute(sub, "ALTER SUBSCRIPTION s16 REFRESH")
+
+      // lifecycle pause: DISABLE, publish, refresh MUST apply nothing
+      SqlRouter.execute(sub, "ALTER SUBSCRIPTION s16 DISABLE")
+      val (t4, _) = PgOutputEncoder.txn(l3, 14L, 16384, "public",
+        "acct", acctSchema, cust.filter(_._1 % 5 == 4)
+          .map(c => chg(CdcMerge.ActionDelete, Seq(c._1, null, null))).toSeq)
+      FrameLog.append(fl, "s16", t4)
+      val paused = SqlRouter.execute(sub, "ALTER SUBSCRIPTION s16 REFRESH")
+      if (paused.affected != 0L) throw new IllegalStateException(
+        s"q116: DISABLED subscription applied ${paused.affected} frames")
+      // resume applies exactly the waiting txn
+      SqlRouter.execute(sub, "ALTER SUBSCRIPTION s16 ENABLE")
+      SqlRouter.execute(sub, "ALTER SUBSCRIPTION s16 REFRESH")
+      SqlRouter.execute(sub, "DROP SUBSCRIPTION s16") // tables survive
+      SqlRouter.execute(sub,
+        "SELECT seg, count(*) AS c, CAST(sum(n) AS BIGINT) AS sn, " +
+          "CAST(max(id) AS BIGINT) AS mx FROM acct GROUP BY seg " +
+        "ORDER BY seg").df.get
+    },
+    Some("""WITH base AS (
+        SELECT c_custkey AS id, c_mktsegment AS seg,
+          CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END AS n
+        FROM customer),
+      withnew AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW', 2 FROM customer
+        WHERE c_custkey % 100 = 0),
+      fin AS (
+        SELECT * FROM withnew
+        WHERE NOT (id % 7 = 3 AND id < 1000000)
+          AND NOT (id % 5 = 4 AND id < 1000000))
+      SELECT seg, count(*) AS c, CAST(sum(n) AS BIGINT) AS sn,
+        CAST(max(id) AS BIGINT) AS mx FROM fin GROUP BY seg
+      ORDER BY seg"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113, q114, q115)
+      q109, q110, q111, q112, q113, q114, q115, q116)
 }

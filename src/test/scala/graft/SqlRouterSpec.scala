@@ -322,6 +322,48 @@ class SqlRouterSpec extends SparkSpec {
       exec(e, s"LOAD DATA INFILE '$f' INTO TABLE t CHARACTER SET latin1"))
   }
 
+  test("LOAD DATA SET without a column list maps the file positionally") {
+    // r15 ADVICE (medium): legal MySQL — no column list means the
+    // file's fields map positionally to ALL table columns, then SET
+    // overrides. Non-SET columns must read the FILE's values, not
+    // DEFAULT/NULL.
+    val e = new Engine(spark, tmpDir("router_load_setnolist"))
+    exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, em STRING, " +
+      "n INT DEFAULT 99)")
+    val f = java.nio.file.Files.createTempFile("router_setnolist", ".tsv")
+    java.nio.file.Files.write(f, "1\ta\t3\n2\tb\t4\n".getBytes("UTF-8"))
+    exec(e, s"LOAD DATA INFILE '$f' INTO TABLE t SET n = n * 10")
+    assert(exec(e, "SELECT id, em, n FROM t ORDER BY id").df.get
+      .as[(Long, String, Int)].collect().toSeq ===
+      Seq((1L, "a", 30), (2L, "b", 40)),
+      "file values must survive for non-SET columns; SET sees the file value")
+  }
+
+  test("LOAD DATA quoted column lists parse; stray paren groups refuse") {
+    // r15 ADVICE (low): a backtick/double-quoted column list used to
+    // fail the bare-identifier regex and silently degrade to a
+    // full-schema positional load.
+    val e = new Engine(spark, tmpDir("router_load_quotedcols"))
+    exec(e, "CREATE TABLE t (id BIGINT NOT NULL AUTO_INCREMENT, em STRING, " +
+      "n INT, PRIMARY KEY (id))")
+    val f = java.nio.file.Files.createTempFile("router_quotedcols", ".tsv")
+    java.nio.file.Files.write(f, "a\t3\nb\t4\n".getBytes("UTF-8"))
+    exec(e, s"LOAD DATA INFILE '$f' INTO TABLE t (`em`, @x) " +
+      "SET n = CAST(@x AS INT) + 1")
+    assert(exec(e, "SELECT em, n FROM t ORDER BY em").df.get
+      .as[(String, Int)].collect().toSeq === Seq(("a", 4), ("b", 5)))
+    exec(e, s"""LOAD DATA INFILE '$f' INTO TABLE t ("em", @x) """ +
+      "SET n = CAST(@x AS INT) + 10, em = concat(em, '2')")
+    assert(exec(e, "SELECT em, n FROM t ORDER BY em").df.get
+      .as[(String, Int)].collect().toSeq ===
+      Seq(("a", 4), ("a2", 13), ("b", 5), ("b2", 14)))
+    // a trailing paren group that is NOT a column list must refuse
+    // loudly, not silently fall into the ignored options text
+    val ex = intercept[IllegalArgumentException](
+      exec(e, s"LOAD DATA INFILE '$f' INTO TABLE t (em em, @x)"))
+    assert(ex.getMessage.contains("column list"))
+  }
+
   test("PREPARE / EXECUTE USING / DEALLOCATE and SHOW INDEX") {
     val e = new Engine(spark, tmpDir("router_prep"))
     exec(e, "CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING)")
@@ -3381,12 +3423,14 @@ class SqlRouterSpec extends SparkSpec {
     assert(n === 40L && d === 40L)
   }
 
-  test("DROP INDEX bare form: unrelated same-named indexes survive, tree copies drop") {
+  test("DROP INDEX bare form: multi-root ambiguity errors, tree copies drop") {
     // r13 advice (low): the bare-PG spelling dropped the name from
     // EVERY table; index names are per-manifest here, so an unrelated
-    // table's live arbiter silently vanished. First root holder wins
-    // (PG search_path spirit), its fanned subtree copies drop with it,
-    // the unrelated holder stays, and a warning surfaces the ambiguity.
+    // table's live arbiter silently vanished. r15 verdict #8 tightens
+    // the r13 first-root-wins + warning to a loud ERROR (PG raises on
+    // ambiguity; a silent wrong-table drop is the worst failure class
+    // for a dump replay). Unambiguous bare drops still recurse their
+    // fanned subtree copies.
     val e = new Engine(spark, tmpDir("router_dropidx"))
     exec(e, "CREATE TABLE pa (id BIGINT NOT NULL, em STRING, " +
       "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
@@ -3395,15 +3439,23 @@ class SqlRouterSpec extends SparkSpec {
     exec(e, "CREATE UNIQUE INDEX uq_em ON pa (em, id)")
     exec(e, "CREATE UNIQUE INDEX uq_em ON zz (em)")
     assert(e.table("pa_lo").uniqueIndexes.contains("uq_em")) // fanned copy
-    exec(e, "DROP INDEX uq_em") // bare PG form
+    val ex = intercept[IllegalArgumentException] {
+      exec(e, "DROP INDEX uq_em") // bare PG form, two unrelated roots
+    }
+    assert(ex.getMessage.contains("ambiguous") &&
+      ex.getMessage.contains("ON <table>"),
+      s"multi-root bare drop must error with the qualified form: $ex")
+    assert(e.table("pa").uniqueIndexes.contains("uq_em") &&
+      e.table("zz").uniqueIndexes.contains("uq_em"),
+      "an ambiguous drop must change NOTHING")
+    // the MySQL qualified spelling disambiguates and recurses the tree
+    exec(e, "DROP INDEX uq_em ON pa")
     assert(!e.table("pa").uniqueIndexes.contains("uq_em"))
     assert(!e.table("pa_lo").uniqueIndexes.contains("uq_em"),
       "fanned subtree copy must drop with the root")
     assert(e.table("zz").uniqueIndexes.contains("uq_em"),
       "unrelated same-named index must survive")
-    assert(e.warnings.exists(_._3.contains("uq_em")),
-      "ambiguous bare drop must surface a warning")
-    // second drop removes the remaining holder (now unambiguous)
+    // now unambiguous: the bare form removes the remaining holder
     exec(e, "DROP INDEX uq_em")
     assert(!e.table("zz").uniqueIndexes.contains("uq_em"))
     // r14 ADVICE: a bare drop NO table holds is no longer a silent

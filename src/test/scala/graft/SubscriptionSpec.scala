@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.streaming.{CdcMerge, FrameLog, PgOutputEncoder}
+
+/** C11 subscription lifecycle (reference
+  * `pgserver/subscription_handler.go:15-383`): CREATE (pre-copy WAL
+  * checkpoint + snapshot), poll-apply past the checkpoint,
+  * DISABLE pauses / ENABLE resumes, DROP keeps tables, catalog
+  * surfaces (SHOW SUBSCRIPTIONS, pg_subscription). */
+class SubscriptionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", StringType),
+    StructField("n", IntegerType)))
+
+  private def exec(e: Engine, q: String) = SqlRouter.execute(e, q)
+
+  test("subscription lifecycle: snapshot, checkpoint, pause/resume, drop") {
+    val pubWh = tmpDir("sub_pub")
+    val subWh = tmpDir("sub_sub")
+    val fl = tmpDir("sub_fl")
+    val pub = new Engine(spark, pubWh)
+    exec(pub, "CREATE TABLE acct (id BIGINT NOT NULL, v STRING, n INT, " +
+      "PRIMARY KEY (id))")
+    exec(pub, "INSERT INTO acct VALUES (1, 'a', 10), (2, 'b', 20), " +
+      "(3, 'c', 30)")
+    // WAL traffic PUBLISHED BEFORE the subscription exists — its
+    // effects are already in the table; the create-time checkpoint
+    // must exclude it from replay
+    val (pre, lsn1) = PgOutputEncoder.txn(1L, 100L, 16384, "public",
+      "acct", schema, Seq(
+        PgOutputEncoder.Change(CdcMerge.ActionInsert, Seq(3L, "c", 30))))
+    FrameLog.append(fl, "sub1", pre)
+
+    val sub = new Engine(spark, subWh)
+    exec(sub, s"CREATE SUBSCRIPTION sub1 CONNECTION " +
+      s"'warehouse=$pubWh dbname=main framelog=$fl slot=sub1' " +
+      "PUBLICATION pub1")
+    // snapshot copied the publisher's state
+    assert(exec(sub, "SELECT id, v, n FROM acct ORDER BY id").df.get
+      .as[(Long, String, Int)].collect().toSeq ===
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)))
+    // catalog surfaces
+    val shown = exec(sub, "SHOW SUBSCRIPTIONS").df.get.collect()
+    assert(shown.length === 1 && shown(0).getString(0) === "sub1" &&
+      shown(0).getBoolean(2))
+    assert(exec(sub,
+      "SELECT subname, subenabled FROM pg_catalog.pg_subscription").df.get
+      .as[(String, Boolean)].collect().toSeq === Seq(("sub1", true)))
+    // pre-existing frames do NOT replay (checkpoint = pre-copy WAL pos)
+    assert(exec(sub, "ALTER SUBSCRIPTION sub1 REFRESH").affected === 0L)
+
+    // post-snapshot publication: insert, update, delete in one txn
+    val (t2, lsn2) = PgOutputEncoder.txn(lsn1, 101L, 16384, "public",
+      "acct", schema, Seq(
+        PgOutputEncoder.Change(CdcMerge.ActionInsert, Seq(4L, "d", 40)),
+        PgOutputEncoder.Change(CdcMerge.ActionUpdate, Seq(2L, "b2", 21)),
+        PgOutputEncoder.Change(CdcMerge.ActionDelete, Seq(1L, null, null))))
+    FrameLog.append(fl, "sub1", t2)
+    assert(exec(sub, "ALTER SUBSCRIPTION sub1 REFRESH").affected > 0L)
+    assert(exec(sub, "SELECT id, v, n FROM acct ORDER BY id").df.get
+      .as[(Long, String, Int)].collect().toSeq ===
+      Seq((2L, "b2", 21), (3L, "c", 30), (4L, "d", 40)))
+    // idempotent: nothing new → applies nothing
+    assert(exec(sub, "ALTER SUBSCRIPTION sub1 REFRESH").affected === 0L)
+
+    // DISABLE pauses the apply; the frames wait in the log
+    exec(sub, "ALTER SUBSCRIPTION sub1 DISABLE")
+    val (t3, _) = PgOutputEncoder.txn(lsn2, 102L, 16384, "public",
+      "acct", schema, Seq(
+        PgOutputEncoder.Change(CdcMerge.ActionDelete, Seq(3L, null, null))))
+    FrameLog.append(fl, "sub1", t3)
+    assert(exec(sub, "ALTER SUBSCRIPTION sub1 REFRESH").affected === 0L)
+    assert(exec(sub, "SELECT count(*) FROM acct").df.get.as[Long].head() === 3L)
+    // ENABLE resumes exactly where it paused
+    exec(sub, "ALTER SUBSCRIPTION sub1 ENABLE")
+    assert(exec(sub, "ALTER SUBSCRIPTION sub1 REFRESH").affected > 0L)
+    assert(exec(sub, "SELECT id FROM acct ORDER BY id").df.get
+      .as[Long].collect().toSeq === Seq(2L, 4L))
+
+    // DROP removes the subscription, keeps the tables (PG semantics)
+    exec(sub, "DROP SUBSCRIPTION sub1")
+    assert(exec(sub, "SHOW SUBSCRIPTIONS").df.get.collect().isEmpty)
+    assert(exec(sub, "SELECT count(*) FROM acct").df.get.as[Long].head() === 2L)
+    intercept[Exception](exec(sub, "ALTER SUBSCRIPTION sub1 REFRESH"))
+  }
+
+  test("subscription guards: missing warehouse, duplicate, existing table") {
+    val wh = tmpDir("sub_guard")
+    val e = new Engine(spark, wh)
+    intercept[Exception](exec(e, "CREATE SUBSCRIPTION s2 CONNECTION " +
+      "'warehouse=/nonexistent-graft-path' PUBLICATION p"))
+    val pubWh = tmpDir("sub_guard_pub")
+    val pub = new Engine(spark, pubWh)
+    exec(pub, "CREATE TABLE tt (id BIGINT PRIMARY KEY, v STRING)")
+    exec(pub, "INSERT INTO tt VALUES (1, 'x')")
+    // a local table with the published name must refuse (the
+    // reference's CREATE TABLE AS would fail the same way)
+    exec(e, "CREATE TABLE tt (id BIGINT PRIMARY KEY, v STRING)")
+    intercept[Exception](exec(e, s"CREATE SUBSCRIPTION s2 CONNECTION " +
+      s"'warehouse=$pubWh' PUBLICATION p"))
+    exec(e, "DROP TABLE tt")
+    exec(e, s"CREATE SUBSCRIPTION s2 CONNECTION 'warehouse=$pubWh' " +
+      "PUBLICATION p")
+    intercept[Exception](exec(e, s"CREATE SUBSCRIPTION s2 CONNECTION " +
+      s"'warehouse=$pubWh' PUBLICATION p"))
+    // snapshot-only subscription (no framelog): refresh is a no-op
+    assert(exec(e, "ALTER SUBSCRIPTION s2 REFRESH").affected === 0L)
+  }
+}
