@@ -47,33 +47,36 @@ object Bench {
   private val BaselineOnly = Set("q70_knn_brute", "q72_cosine_pairs")
 
   /** Previous-round per-query band at sf0.1 (round-12 verdict #3):
-    * min(cold, warm) over the last two driver rounds (BENCH_r13/r14).
-    * Any cold run exceeding 2x its band lands in the `band` line with
-    * its warm time, so a >2x outlier self-explains in the artifact —
-    * the reader separates "epoch position" (warm back inside the band)
-    * from a real regression (warm outside too) without consulting the
-    * previous artifact. Refresh each round from the latest BENCH_r
-    * artifacts; entries are keyed by bare query number. */
+    * min(cold, warm) over the last two driver rounds (BENCH_r14/r15;
+    * q01-q10 carry forward — their lines sit outside the artifacts'
+    * 2000-char tail window). Any cold run exceeding 2x its band lands
+    * in the `band` line with its warm time, so a >2x outlier
+    * self-explains in the artifact — the reader separates "epoch
+    * position" (warm back inside the band) from a real regression
+    * (warm outside too) without consulting the previous artifact.
+    * Refresh each round from the latest BENCH_r artifacts; entries are
+    * keyed by bare query number. */
   private val PrevBand: Map[Int, Double] = Map(
     1 -> 1.09, 2 -> 1.06, 3 -> 0.64, 4 -> 0.79, 5 -> 0.18, 6 -> 0.74,
-    7 -> 0.61, 8 -> 0.39, 9 -> 0.27, 10 -> 0.22, 11 -> 0.29, 12 -> 0.27,
-    13 -> 0.35, 14 -> 0.69, 15 -> 0.29, 16 -> 0.42, 17 -> 0.77, 18 -> 0.34,
-    19 -> 0.36, 20 -> 0.37, 21 -> 0.28, 22 -> 0.15, 23 -> 0.84, 24 -> 0.42,
-    25 -> 0.3, 26 -> 0.26, 27 -> 0.37, 28 -> 0.25, 29 -> 0.55, 30 -> 0.33,
-    31 -> 0.98, 32 -> 0.45, 33 -> 0.4, 34 -> 0.24, 35 -> 0.53, 36 -> 0.17,
-    37 -> 0.94, 38 -> 0.28, 39 -> 0.59, 40 -> 0.34, 41 -> 1.68, 42 -> 0.62,
-    43 -> 0.8, 44 -> 1.0, 45 -> 0.18, 46 -> 0.38, 47 -> 1.01, 48 -> 0.31,
-    49 -> 0.77, 50 -> 0.31, 51 -> 0.37, 52 -> 0.37, 53 -> 0.31, 54 -> 0.69,
-    55 -> 0.45, 56 -> 0.4, 57 -> 0.55, 58 -> 0.25, 59 -> 0.27, 60 -> 0.44,
-    61 -> 4.18, 62 -> 0.65, 63 -> 1.17, 64 -> 1.06, 65 -> 0.34, 66 -> 3.28,
-    67 -> 1.68, 68 -> 0.53, 69 -> 2.28, 70 -> 0.98, 71 -> 1.43, 72 -> 1.75,
-    73 -> 0.95, 74 -> 1.16, 75 -> 0.34, 76 -> 0.34, 77 -> 1.87, 78 -> 0.41,
-    79 -> 0.14, 80 -> 0.2, 81 -> 2.76, 82 -> 0.89, 83 -> 0.6, 84 -> 0.39,
-    85 -> 0.62, 86 -> 0.27, 87 -> 0.55, 88 -> 0.62, 89 -> 6.82, 90 -> 0.51,
-    91 -> 1.38, 92 -> 1.77, 93 -> 1.08, 94 -> 0.64, 95 -> 1.39, 96 -> 0.94,
-    97 -> 0.9, 100 -> 1.32, 101 -> 0.36, 102 -> 1.81, 103 -> 1.5,
-    104 -> 1.59, 105 -> 3.95, 106 -> 1.09, 107 -> 2.78, 108 -> 3.16,
-    109 -> 0.54, 110 -> 3.25, 111 -> 11.2, 112 -> 2.03, 113 -> 3.84)
+    7 -> 0.61, 8 -> 0.39, 9 -> 0.27, 10 -> 0.22,
+    11 -> 0.35, 12 -> 0.3, 13 -> 0.35, 14 -> 0.85, 15 -> 0.31, 16 -> 0.37,
+    17 -> 0.84, 18 -> 0.39, 19 -> 0.37, 20 -> 0.36, 21 -> 0.31, 22 -> 0.14,
+    23 -> 1.14, 24 -> 0.49, 25 -> 0.35, 26 -> 0.25, 27 -> 0.64, 28 -> 0.25,
+    29 -> 0.65, 30 -> 0.35, 31 -> 1.19, 32 -> 0.45, 33 -> 0.39, 34 -> 0.25,
+    35 -> 0.63, 36 -> 0.2, 37 -> 0.98, 38 -> 0.26, 39 -> 0.63, 40 -> 0.42,
+    41 -> 1.95, 42 -> 0.77, 43 -> 0.76, 44 -> 1.08, 45 -> 0.19, 46 -> 0.53,
+    47 -> 0.81, 48 -> 0.35, 49 -> 0.77, 50 -> 0.39, 51 -> 0.37, 52 -> 0.39,
+    53 -> 0.38, 54 -> 0.64, 55 -> 0.69, 56 -> 0.91, 57 -> 0.78, 58 -> 0.35,
+    59 -> 0.25, 60 -> 0.47, 61 -> 4.64, 62 -> 0.72, 63 -> 1.16, 64 -> 0.99,
+    65 -> 0.44, 66 -> 3.24, 67 -> 1.93, 68 -> 0.62, 69 -> 1.75, 70 -> 0.55,
+    71 -> 1.15, 72 -> 1.85, 73 -> 0.57, 74 -> 1.17, 75 -> 0.37, 76 -> 0.33,
+    77 -> 1.89, 78 -> 0.51, 79 -> 0.18, 80 -> 0.22, 81 -> 3.05, 82 -> 0.97,
+    83 -> 0.6, 84 -> 0.45, 85 -> 0.62, 86 -> 0.28, 87 -> 0.56, 88 -> 0.73,
+    89 -> 7.24, 90 -> 0.52, 91 -> 1.73, 92 -> 1.79, 93 -> 1.29, 94 -> 0.64,
+    95 -> 1.58, 96 -> 0.9, 97 -> 0.84, 100 -> 1.43, 101 -> 0.41,
+    102 -> 2.51, 103 -> 2.15, 104 -> 1.45, 105 -> 5.21, 106 -> 1.23,
+    107 -> 3.57, 108 -> 4.76, 109 -> 0.56, 110 -> 3.42, 111 -> 9.54,
+    112 -> 1.89, 113 -> 3.3, 114 -> 8.12, 115 -> 3.05)
 
   /** Diagnostic exfiltration queries (qx-prefixed, round 15): memoized
     * per-stage gates + value/environment probes for the driver's

@@ -233,6 +233,22 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   def insertAutoInc(df: DataFrame, idCol: String): Long = {
     val m = manifest
     val base = m.autoInc
+    // Literal-VALUES fast path (r15 verdict #5: the per-statement job
+    // floor): a driver-local source needs no distributed id machinery —
+    // index the rows in Scala and keep ONE Spark job (the write). The
+    // cache + offsets-collect + broadcast-join below exist for
+    // DISTRIBUTED sources (INSERT ... SELECT over a big scan).
+    indexedLocal(df) match {
+      case Some((local, total)) =>
+        val withId = withGenerated(m,
+          local.withColumn(idCol, lit(base) + col("__idx")))
+          .select(m.schema.fieldNames.map(col): _*)
+        val (files, n, st) = writeFilesChecked(m, withId)
+        io.commit(path,
+          m.withFiles(m.files ++ files, st).copy(autoInc = base + total))
+        return n
+      case None => ()
+    }
     val mid = df.withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", expr("CAST(__mid >> 33 AS BIGINT)"))
       .withColumn("__pos", expr("CAST(__mid & 8589934591 AS BIGINT)"))
@@ -250,6 +266,40 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       n
     } finally mid.unpersist()
   }
+
+  /** When `df`'s OPTIMIZED plan is a LocalRelation (a literal VALUES
+    * batch — constant folding collapses those), return it re-built as
+    * a local frame carrying a driver-assigned consecutive `__idx`
+    * column, plus the row count. Collecting a LocalRelation runs NO
+    * Spark job (LocalTableScanExec.executeCollect), so the fast paths
+    * built on this trade zero distributed work for the 3-4 jobs the
+    * general machinery costs per tiny DML statement. Capped: a huge
+    * inlined batch stays on the distributed path. */
+  /** True when `df`'s optimized plan is a (bounded) LocalRelation —
+    * literal data whose collect runs no Spark job. */
+  private def isLocalPlan(df: DataFrame, cap: Int = 65536): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.lengthCompare(cap) <= 0
+      case _ => false
+    }
+
+  private def indexedLocal(df: DataFrame, cap: Int = 65536)
+      : Option[(DataFrame, Long)] =
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.data.lengthCompare(cap) <= 0 =>
+        val rows = df.collect()
+        val rows2: Seq[Row] = rows.toSeq.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ i.toLong)
+        }
+        val schema2 = df.schema.add("__idx",
+          org.apache.spark.sql.types.LongType, nullable = false)
+        Some((spark.createDataFrame(
+          new java.util.ArrayList[Row](rows2.asJava), schema2),
+          rows.length.toLong))
+      case _ => None
+    }
 
   /** Per-Spark-partition offsets for distributive consecutive-id
     * assignment: the broadcastable (__pid, __off) frame plus total row
@@ -277,6 +327,14 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   def assignAutoIncIds(df: DataFrame, idCol: String): (DataFrame, Long) = {
     val m = manifest
     val base = m.autoInc
+    // literal-VALUES fast path (see insertAutoInc): local data is
+    // deterministic by construction — no checkpoint, no jobs at all
+    indexedLocal(df) match {
+      case Some((local, total)) =>
+        return (local.withColumn(idCol, lit(base) + col("__idx"))
+          .select(m.schema.fieldNames.map(col): _*), total)
+      case None => ()
+    }
     val mid = df.withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", expr("CAST(__mid >> 33 AS BIGINT)"))
       .withColumn("__pos", expr("CAST(__mid & 8589934591 AS BIGINT)"))
@@ -430,9 +488,15 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       if (key0.nonEmpty) key0
       else if (m.pkCols.nonEmpty) m.pkCols
       else dataCols.toSeq
-    val changes = changes0.persist()
-    try mergeImpl(m, pk, dataCols, changes)
-    finally changes.unpersist()
+    // a literal-VALUES batch (LocalRelation after folding) is free to
+    // re-evaluate — caching it costs a materialization job and buys
+    // nothing (r15 verdict #5: the per-statement job floor)
+    if (isLocalPlan(changes0)) mergeImpl(m, pk, dataCols, changes0)
+    else {
+      val changes = changes0.persist()
+      try mergeImpl(m, pk, dataCols, changes)
+      finally changes.unpersist()
+    }
   }
 
   private def mergeImpl(m: Manifest, pk: Seq[String], dataCols: Array[String],
@@ -742,6 +806,35 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   private def pickPerKey(df: DataFrame, key: Seq[String],
       last: Boolean): DataFrame = {
     val cols = df.columns
+    // literal-batch fast path (r15 verdict #5): condense on the driver
+    // — input order IS statement order — so the result stays a
+    // LocalRelation and the downstream merge keeps its no-persist /
+    // local-probe shape. Identical semantics to the window path below:
+    // same NULL-arbiter preservation, same first/last pick, and
+    // groupBy-style null-equals-null key grouping (byte arrays
+    // compared by value).
+    if (isLocalPlan(df)) {
+      val rows = df.collect()
+      val keyIdx = key.map(k => cols.indexWhere(_.equalsIgnoreCase(k)))
+      require(keyIdx.forall(_ >= 0),
+        s"condense key ${key.mkString(",")} missing in ${cols.mkString(",")}")
+      val preserve = preserveNullArbiterRows(key)
+      def kv(r: Row): Seq[Any] = keyIdx.map(i => r.get(i) match {
+        case a: Array[Byte] => a.toSeq
+        case x => x
+      })
+      val picked = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
+      val nullArb = scala.collection.mutable.ArrayBuffer.empty[Row]
+      rows.foreach { r =>
+        if (preserve && keyIdx.exists(r.isNullAt)) nullArb += r
+        else {
+          val k = kv(r)
+          if (last || !picked.contains(k)) picked(k) = r
+        }
+      }
+      return spark.createDataFrame(new java.util.ArrayList[Row](
+        (picked.values.toSeq ++ nullArb.toSeq).asJava), df.schema)
+    }
     val ord = if (last) col("__ord").desc else col("__ord").asc
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(key.map(col): _*).orderBy(ord)
