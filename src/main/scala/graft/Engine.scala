@@ -885,11 +885,15 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     val srcDb = kv.getOrElse("dbname", "main")
     val slot = kv.getOrElse("slot", publication)
     // 1. WAL position BEFORE the copy (reference: pg_current_wal_lsn
-    //    first — changes landing during the copy re-apply, idempotent)
-    val lsn0 = kv.get("framelog")
-      .flatMap(d => graft.streaming.FrameLog.lastOffset(
-        java.nio.file.Paths.get(d), slot))
-      .getOrElse(0L)
+    //    first — changes landing during the copy re-apply, idempotent).
+    //    ONE walk yields both the LSN and the byte position (the poll
+    //    resume point): two walks could disagree about the tail under
+    //    concurrent appends and silently skip a frame.
+    val (bytePos0, lsnOpt) = kv.get("framelog")
+      .map(d => graft.streaming.FrameLog.endState(
+        java.nio.file.Paths.get(d), slot, 0L))
+      .getOrElse((0L, None))
+    val lsn0 = lsnOpt.getOrElse(0L)
     // 2. snapshot every published table into the CURRENT database
     val src = new Engine(spark, srcWh)
     val tables = src.listTables(srcDb)
@@ -905,11 +909,12 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
         m.schema, m.pkCols, m.autoInc, m.props)
       if (!m.props.contains("partition.by")) local.insert(st.read())
     }
-    // 3. persist enabled with the pre-copy checkpoint
+    // 3. persist enabled with the pre-copy checkpoint (LSN + byte pos)
     writeSubscriptions(subscriptions + (name -> Map(
       "connection" -> connection, "publication" -> publication,
       "db" -> currentDb, "tables" -> tables.mkString(","),
-      "enabled" -> "true", "lsn" -> lsn0.toString)))
+      "enabled" -> "true", "lsn" -> lsn0.toString,
+      "bytepos" -> bytePos0.toString)))
   }
 
   def alterSubscription(name: String, enabled: Boolean): Unit = {
@@ -942,13 +947,29 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     val dir = kv.getOrElse("framelog", return 0L) // snapshot-only sub
     val slot = kv.getOrElse("slot", sub("publication"))
     val ckpt = sub("lsn").toLong
+    // O(new bytes) per poll: resume the header walk at the stored byte
+    // position, freeze the window end NOW (appends racing this refresh
+    // wait for the next), and hand the scan the exact byte range — the
+    // log's total size never enters the cost. Subscriptions persisted
+    // before the byte checkpoint existed resume from 0 once (the LSN
+    // filter keeps that correct, just not O(new)).
+    val from = sub.getOrElse("bytepos", "0").toLong
+    val (to, _) = graft.streaming.FrameLog.endState(
+      java.nio.file.Paths.get(dir), slot, from)
+    if (to <= from) return 0L
     import org.apache.spark.sql.functions.{col, count, lit, max}
-    val frames = spark.read.format("framelog").load(dir)
+    val frames = spark.read.format("framelog")
+      .option(s"range.$slot", s"$from:$to").load(dir)
       .filter(col("slot") === slot && col("off") > ckpt)
       .localCheckpoint(true) // one file read; N decode passes below
     val head = frames.agg(max(col("off")).as("mx"),
       count(lit(1)).as("n")).collect()(0)
-    if (head.isNullAt(0)) return 0L
+    val advanced = sub.updated("bytepos", to.toString)
+    if (head.isNullAt(0)) {
+      // window held only pre-checkpoint frames: advance the byte pos
+      writeSubscriptions(subscriptions.updated(name, advanced))
+      return 0L
+    }
     val (maxOff, n) = (head.getLong(0), head.getLong(1))
     sub("tables").split(',').filter(_.nonEmpty).foreach { tn =>
       val t = table(s"${sub("db")}.$tn")
@@ -957,7 +978,7 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
       graft.streaming.CdcMerge.applyBatch(t, decoded)
     }
     writeSubscriptions(subscriptions.updated(name,
-      sub.updated("lsn", maxOff.toString)))
+      advanced.updated("lsn", maxOff.toString)))
     n
   }
 

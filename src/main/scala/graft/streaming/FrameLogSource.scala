@@ -98,19 +98,23 @@ object FrameLog {
     } finally out.close()
   }
 
-  /** Producer-restart resume point: the position stamp of the last
-    * COMPLETE record in a slot's log (a torn tail is skipped, same
-    * rule the reader uses). The log itself is the durable position
-    * store — what was appended IS what was flushed. */
-  def lastOffset(dir: java.nio.file.Path, slot: String): Option[Long] = {
+  /** One walk from byte `from` over complete records: returns the byte
+    * position AFTER the last complete record and that record's position
+    * stamp (None when no complete record lies past `from`). The single
+    * walk keeps byte position and LSN consistent under concurrent
+    * appends — computing them in two passes could disagree about the
+    * tail and silently skip a frame (the subscription checkpoint
+    * discipline, Engine.createSubscription/refreshSubscription). */
+  def endState(dir: java.nio.file.Path, slot: String, from: Long)
+      : (Long, Option[Long]) = {
     val f = dir.resolve(slot + Suffix)
-    if (!java.nio.file.Files.exists(f)) return None
+    if (!java.nio.file.Files.exists(f)) return (from, None)
     val ch = java.nio.channels.FileChannel.open(f,
       java.nio.file.StandardOpenOption.READ)
     try {
       val size = ch.size()
       val hdr = java.nio.ByteBuffer.allocate(HeaderLen)
-      var pos = 0L
+      var pos = from
       var last = Option.empty[Long]
       var done = false
       while (!done && pos + HeaderLen <= size) {
@@ -128,9 +132,16 @@ object FrameLog {
           else { last = Some(off); pos += HeaderLen + len }
         }
       }
-      last
+      (pos, last)
     } finally ch.close()
   }
+
+  /** Producer-restart resume point: the position stamp of the last
+    * COMPLETE record in a slot's log (a torn tail is skipped, same
+    * rule the reader uses). The log itself is the durable position
+    * store — what was appended IS what was flushed. */
+  def lastOffset(dir: java.nio.file.Path, slot: String): Option[Long] =
+    endState(dir, slot, 0L)._2
 }
 
 private[streaming] class FrameLogTable(path: String, maxFrames: Option[Long])
@@ -139,13 +150,33 @@ private[streaming] class FrameLogTable(path: String, maxFrames: Option[Long])
   override def schema(): StructType = FrameLog.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new FrameLogScan(path, maxFrames)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Batch reads accept per-slot byte windows: `range.<slot>` =
+    // "<fromByte>:<toByte>" (record boundaries, e.g. from
+    // FrameLog.endState). A ranged slot's partition covers exactly
+    // that window with ZERO driver header-walk — a poll-based consumer
+    // (Engine.refreshSubscription) reads O(new bytes) per poll instead
+    // of re-walking the whole log as it grows. Keys arrive lowercased
+    // (CaseInsensitiveStringMap), so slots match case-insensitively.
+    val ranges = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val it = options.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey.toLowerCase
+      if (k.startsWith("range.")) {
+        val Array(from, to) = e.getValue.split(":", 2)
+        ranges += k.substring("range.".length) -> (from.toLong, to.toLong)
+      }
     }
+    val r = ranges.toMap
+    new ScanBuilder {
+      override def build(): Scan = new FrameLogScan(path, maxFrames, r)
+    }
+  }
 }
 
-private[streaming] class FrameLogScan(path: String, maxFrames: Option[Long])
+private[streaming] class FrameLogScan(path: String, maxFrames: Option[Long],
+    ranges: Map[String, (Long, Long)] = Map.empty)
     extends Scan {
   private val conf = new SerializableHadoopConf(
     SparkSession.active.sessionState.newHadoopConf())
@@ -155,13 +186,29 @@ private[streaming] class FrameLogScan(path: String, maxFrames: Option[Long])
     new FrameLogMicroBatchStream(path, maxFrames, conf)
   override def toBatch: Batch = new Batch {
     // batch mode = everything currently complete in the log (replay /
-    // backfill path; streaming is the primary surface)
+    // backfill path; streaming is the primary surface). With any
+    // `range.<slot>` option present, the read becomes a WINDOW read:
+    // only the ranged slots are scanned, each exactly over its byte
+    // window, with zero driver header-walk — other slots don't even
+    // open (the poll-consumer shape, Engine.refreshSubscription).
     override def planInputPartitions(): Array[InputPartition] = {
       val walker = new FrameLogWalker(path, conf.value)
-      walker.slotFiles().toSeq.sortBy(_._1).map { case (slot, p) =>
-        val (end, _) = walker.walk(p, 0L, Long.MaxValue, None)
-        FrameLogPartition(slot, p.toString, 0L, end): InputPartition
-      }.filter(_.asInstanceOf[FrameLogPartition].endPos > 0).toArray
+      val slots = walker.slotFiles().toSeq.sortBy(_._1)
+      val picked =
+        if (ranges.isEmpty) slots.map { case (slot, p) =>
+          (slot, p, 0L, walker.walk(p, 0L, Long.MaxValue, None)._1)
+        }
+        else slots.flatMap { case (slot, p) =>
+          ranges.get(slot.toLowerCase).map { case (from, to) =>
+            (slot, p, from, to)
+          }
+        }
+      picked.map { case (slot, p, start, end) =>
+        FrameLogPartition(slot, p.toString, start, end): InputPartition
+      }.filter { ip =>
+        val fp = ip.asInstanceOf[FrameLogPartition]
+        fp.endPos > fp.startPos
+      }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new FrameLogReaderFactory(conf)

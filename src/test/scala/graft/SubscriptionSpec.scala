@@ -82,6 +82,12 @@ class SubscriptionSpec extends SparkSpec {
     assert(exec(sub, "SELECT id FROM acct ORDER BY id").df.get
       .as[Long].collect().toSeq === Seq(2L, 4L))
 
+    // the poll checkpoint advanced in BYTES too — refreshes read
+    // O(new bytes), never re-walking the whole log
+    val meta = sub.subscriptions("sub1")
+    assert(meta("bytepos").toLong > 0L &&
+      meta("lsn").toLong >= lsn2, s"checkpoint did not advance: $meta")
+
     // DROP removes the subscription, keeps the tables (PG semantics)
     exec(sub, "DROP SUBSCRIPTION sub1")
     assert(exec(sub, "SHOW SUBSCRIPTIONS").df.get.collect().isEmpty)
@@ -110,5 +116,30 @@ class SubscriptionSpec extends SparkSpec {
       s"'warehouse=$pubWh' PUBLICATION p"))
     // snapshot-only subscription (no framelog): refresh is a no-op
     assert(exec(e, "ALTER SUBSCRIPTION s2 REFRESH").affected === 0L)
+  }
+
+  test("framelog windowed batch read: ranged slots only, exact window") {
+    val fl = tmpDir("sub_flrange")
+    val sch = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val (t1, l1) = PgOutputEncoder.txn(1L, 1L, 1, "public", "t", sch,
+      Seq(PgOutputEncoder.Change(CdcMerge.ActionInsert, Seq(1L))))
+    val mid = FrameLog.endState(fl, "a", 0L)._1 // before the append below
+    FrameLog.append(fl, "a", t1)
+    val cut = FrameLog.endState(fl, "a", 0L)._1
+    val (t2, _) = PgOutputEncoder.txn(l1, 2L, 1, "public", "t", sch,
+      Seq(PgOutputEncoder.Change(CdcMerge.ActionInsert, Seq(2L))))
+    FrameLog.append(fl, "a", t2)
+    FrameLog.append(fl, "b", t1) // unranged slot must not be read
+    assert(mid === 0L)
+    val all = spark.read.format("framelog").load(fl.toString)
+    assert(all.count() === t1.size * 2L + t2.size)
+    val windowed = spark.read.format("framelog")
+      .option("range.a", s"$cut:${FrameLog.endState(fl, "a", cut)._1}")
+      .load(fl.toString)
+    val got = windowed.collect()
+    assert(got.forall(_.getString(0) == "a") && got.length === t2.size,
+      s"window read returned ${got.length} frames")
+    assert(got.map(_.getLong(1)).min > t1.map(_._1).max,
+      "window must hold only the second txn's frames")
   }
 }
