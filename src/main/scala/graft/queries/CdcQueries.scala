@@ -697,7 +697,8 @@ object CdcQueries {
       import graft.{Engine, SqlRouter}
       val e = new Engine(s, Files.createTempDirectory("graft_q111"))
       e.bindTables(dir, "customer")
-      def run(q: String): Unit = SqlRouter.execute(e, q)
+      val tm = new StmtTimer("q111")
+      def run(q: String): Unit = tm(q)(SqlRouter.execute(e, q))
       run("CREATE TABLE pc (id BIGINT NOT NULL AUTO_INCREMENT, " +
         "name STRING, bal DECIMAL(18,2), seg STRING, n INT, " +
         "PRIMARY KEY (id)) PARTITION BY RANGE (id)")
@@ -738,9 +739,9 @@ object CdcQueries {
       // re-insert) — the per-partition aggregates shift or the hash
       // fails. RETURNING (r12 verdict #4) answers the frozen post-SET
       // images; their fold joins the gate as the 'moved' row.
-      val movedDf = SqlRouter.execute(e,
+      val movedDf = tm("UPDATE pc movement")(SqlRouter.execute(e,
         "UPDATE pc SET id = id + 10000 WHERE id < 500 AND id % 250 = 0 " +
-          "RETURNING id, bal").df.get
+          "RETURNING id, bal").df.get)
       // round-15 (r14 verdict #3): the RETURNING fold was the ONE gate
       // row the fresh-engine self-check could not recompute from
       // committed state. Persist the fold into a scratch table INSIDE
@@ -776,6 +777,7 @@ object CdcQueries {
           "CAST(sum(bal) * 100 AS BIGINT), " +
           "CAST(sum(n) AS BIGINT) FROM pc " +
         "UNION ALL SELECT mpart, mcnt, mamt, mntot FROM pc_moved"
+      tm.report()
       val gate = SqlRouter.execute(e, gateSql).df.get.orderBy("part")
       // ---- round-13 verdict #1: INSTRUMENT the driver-only hash gap.
       // (a) Materialize ONCE and print the 5 gate rows to stderr, so
@@ -967,7 +969,8 @@ object CdcQueries {
       val wh = Files.createTempDirectory("graft_q113")
       val e = new Engine(s, wh)
       e.bindTables(dir, "customer")
-      def run(q: String): Unit = SqlRouter.execute(e, q)
+      val tm = new StmtTimer("q113")
+      def run(q: String): Unit = tm(q)(SqlRouter.execute(e, q))
       run("CREATE DATABASE lc")
       run("USE lc")
       e.bindTables(dir, "customer") // USE drops engine-side bindings
@@ -1009,6 +1012,7 @@ object CdcQueries {
       // that performed it) becomes a LOUD err instead of a silent
       // driver-side hash flip. Runs concurrently with the primary
       // collect (immutable committed files).
+      tm.report()
       val recheckF = scala.concurrent.Future {
         val e2 = new Engine(s, wh)
         SqlRouter.execute(e2, "USE lc")
@@ -1246,10 +1250,11 @@ object CdcQueries {
       val fl = Files.createTempDirectory("graft_q116_fl")
       val pub = new Engine(s, pubWh)
       pub.bindTables(dir, "customer")
+      val tm = new StmtTimer("q116")
       SqlRouter.execute(pub, "CREATE TABLE acct (id BIGINT NOT NULL, " +
         "seg STRING, n INT, PRIMARY KEY (id))")
-      SqlRouter.execute(pub, "INSERT INTO acct SELECT c_custkey, " +
-        "c_mktsegment, 0 FROM customer")
+      tm("seed publisher")(SqlRouter.execute(pub,
+        "INSERT INTO acct SELECT c_custkey, c_mktsegment, 0 FROM customer"))
       val acctSchema = pub.table("acct").schema
       // the publisher's row images, driver-side ONLY to author wire
       // frames (the fixture-file pattern of q109/q115 — a production
@@ -1260,9 +1265,10 @@ object CdcQueries {
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
 
       val sub = new Engine(s, subWh)
-      SqlRouter.execute(sub, s"CREATE SUBSCRIPTION s16 CONNECTION " +
-        s"'warehouse=$pubWh dbname=main framelog=$fl slot=s16' " +
-        "PUBLICATION p16")
+      tm("CREATE SUBSCRIPTION")(SqlRouter.execute(sub,
+        s"CREATE SUBSCRIPTION s16 CONNECTION " +
+          s"'warehouse=$pubWh dbname=main framelog=$fl slot=s16' " +
+          "PUBLICATION p16"))
 
       // post-snapshot stream: update every 10th (n=1), insert shifted
       // novel rows (n=2), delete every 7th-offset-3 — three txns
@@ -1278,7 +1284,8 @@ object CdcQueries {
         "acct", acctSchema, cust.filter(_._1 % 7 == 3)
           .map(c => chg(CdcMerge.ActionDelete, Seq(c._1, null, null))).toSeq)
       FrameLog.append(fl, "s16", t1 ++ t2 ++ t3)
-      SqlRouter.execute(sub, "ALTER SUBSCRIPTION s16 REFRESH")
+      tm("REFRESH 3txn")(SqlRouter.execute(sub,
+        "ALTER SUBSCRIPTION s16 REFRESH"))
 
       // lifecycle pause: DISABLE, publish, refresh MUST apply nothing
       SqlRouter.execute(sub, "ALTER SUBSCRIPTION s16 DISABLE")
@@ -1291,8 +1298,10 @@ object CdcQueries {
         s"q116: DISABLED subscription applied ${paused.affected} frames")
       // resume applies exactly the waiting txn
       SqlRouter.execute(sub, "ALTER SUBSCRIPTION s16 ENABLE")
-      SqlRouter.execute(sub, "ALTER SUBSCRIPTION s16 REFRESH")
+      tm("REFRESH resumed")(SqlRouter.execute(sub,
+        "ALTER SUBSCRIPTION s16 REFRESH"))
       SqlRouter.execute(sub, "DROP SUBSCRIPTION s16") // tables survive
+      tm.report()
       SqlRouter.execute(sub,
         "SELECT seg, count(*) AS c, CAST(sum(n) AS BIGINT) AS sn, " +
           "CAST(max(id) AS BIGINT) AS mx FROM acct GROUP BY seg " +
