@@ -983,6 +983,161 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
   }
 
   // ------------------------------------------------------------------
+  // MySQL replica controller (the reference's binlog replication
+  // statement surface — `binlogreplication/binlog_replica_controller.go:
+  // 94-360` and its e2e `binlog_replication_test.go`): CHANGE
+  // REPLICATION SOURCE TO / CHANGE REPLICATION FILTER / START / STOP /
+  // RESET REPLICA / SHOW REPLICA STATUS. The IO thread is
+  // [[graft.streaming.MySqlBinlogClient]] (the live TCP replica
+  // daemon, C1) appending frames to `<warehouse>/_replica/`; the
+  // SQL-apply side is the framelog pipeline (C1/C6/C7), with the
+  // recorded REPLICATE_DO/IGNORE_TABLE filters feeding
+  // CdcMerge.filterTables (C10). Config persists as `_replica.json`
+  // so a restarted engine can resume (the reference persists its
+  // running state the same way). GTID auto-positioning is the ONLY
+  // mode, exactly like the reference.
+
+  @volatile private var replicaClientVar
+      : Option[graft.streaming.MySqlBinlogClient] = None
+
+  def replicaConfig: Map[String, String] = synchronized {
+    val f = warehouse.resolve("_replica.json")
+    if (!Files.exists(f)) Map.empty
+    else mapper.readValue(Files.readAllBytes(f),
+      classOf[java.util.Map[String, String]]).asScala.toMap
+  }
+
+  private def writeReplicaConfig(m: Map[String, String]): Unit =
+    synchronized {
+      writeJsonAtomic(warehouse.resolve("_replica.json"), m.asJava)
+    }
+
+  def replicaRunning: Boolean = replicaClientVar.exists(_.isRunning)
+
+  /** CHANGE REPLICATION SOURCE TO — keys are already normalized
+    * (SOURCE_/MASTER_ stripped, lowercased) by the router. */
+  def changeReplicationSource(opts: Map[String, String]): Unit = {
+    require(!replicaRunning,
+      "This operation cannot be performed with a running replica io " +
+        "thread; run STOP REPLICA first")
+    // the reference supports GTID positioning only and errors the
+    // same way (binlog_replication_test.go:364-368)
+    opts.get("auto_position").foreach(v =>
+      require(v.trim != "0", "SOURCE_AUTO_POSITION cannot be disabled"))
+    require(!opts.contains("log_file") && !opts.contains("log_pos"),
+      "only GTID auto-positioning is supported: " +
+        "SOURCE_LOG_FILE/SOURCE_LOG_POS cannot be set")
+    writeReplicaConfig(replicaConfig ++
+      opts.map { case (k, v) => s"source.$k" -> v })
+  }
+
+  def changeReplicationFilter(doTables: Seq[String],
+      ignoreTables: Seq[String]): Unit = {
+    require(!replicaRunning,
+      "This operation cannot be performed with a running replica io " +
+        "thread; run STOP REPLICA first")
+    writeReplicaConfig(replicaConfig +
+      ("filter.do_table" -> doTables.mkString(",")) +
+      ("filter.ignore_table" -> ignoreTables.mkString(",")))
+  }
+
+  /** Recorded C10 filters for the apply pipeline
+    * (CdcMerge.filterTables): (do-tables, ignore-tables). */
+  def replicaFilters: (Seq[String], Seq[String]) = {
+    val c = replicaConfig
+    def split(k: String) =
+      c.getOrElse(k, "").split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    (split("filter.do_table"), split("filter.ignore_table"))
+  }
+
+  def startReplica(): Unit = {
+    if (replicaRunning) {
+      // MySQL logs warning 3083 and keeps the running threads
+      addWarning("Note", 3083,
+        "Replication thread(s) for channel '' are already running.")
+      return
+    }
+    val c = replicaConfig
+    require(c.keys.exists(_.startsWith("source.")),
+      "server is not configured as a replication replica")
+    val host = c.getOrElse("source.host", "").trim
+    require(host.nonEmpty, "Invalid (empty) hostname")
+    val user = c.getOrElse("source.user", "").trim
+    require(user.nonEmpty, "Invalid (empty) username")
+    val dir = warehouse.resolve("_replica")
+    Files.createDirectories(dir)
+    val cl = new graft.streaming.MySqlBinlogClient(
+      host,
+      c.getOrElse("source.port", "3306").trim.toInt,
+      user,
+      c.getOrElse("source.password", ""),
+      "replica",
+      dir,
+      reconnectBackoffMs =
+        c.get("source.connect_retry").map(_.trim.toLong * 1000).getOrElse(1000L),
+      maxRetries = c.get("source.retry_count").map(_.trim.toInt).getOrElse(100),
+      heartbeatPeriodMs =
+        c.get("source.heartbeat_period").map(s =>
+          (s.trim.toDouble * 1000).toLong).getOrElse(30000L))
+    replicaClientVar = Some(cl.start())
+    writeReplicaConfig(replicaConfig + ("running" -> "true"))
+  }
+
+  def stopReplica(): Unit = {
+    if (!replicaRunning)
+      addWarning("Note", 3084,
+        "Replication thread(s) for channel '' are already stopped.")
+    replicaClientVar.foreach(_.stop())
+    replicaClientVar = None
+    if (replicaConfig.nonEmpty)
+      writeReplicaConfig(replicaConfig + ("running" -> "false"))
+  }
+
+  /** RESET REPLICA forgets the replication position; ALL also drops
+    * the source configuration (MySQL semantics). */
+  def resetReplica(all: Boolean): Unit = {
+    require(!replicaRunning,
+      "This operation cannot be performed with a running replica io " +
+        "thread; run STOP REPLICA first")
+    Files.deleteIfExists(warehouse.resolve("_replica").resolve("replica.gtidpos"))
+    if (all) writeReplicaConfig(Map.empty)
+  }
+
+  /** SHOW REPLICA STATUS row (column, value) pairs; empty when the
+    * server was never configured as a replica (MySQL returns an empty
+    * set there). */
+  def replicaStatus: Seq[(String, String)] = {
+    val c = replicaConfig
+    if (c.isEmpty || !c.keys.exists(_.startsWith("source."))) return Nil
+    val cl = replicaClientVar
+    val gtid: Map[String, String] = cl.map(_.executed).filter(_.nonEmpty)
+      .getOrElse {
+        val f = warehouse.resolve("_replica").resolve("replica.gtidpos")
+        if (!Files.exists(f)) Map.empty
+        else new String(Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator
+          .filter(_.nonEmpty).map { l =>
+            val Array(sid, ivs) = l.split("=", 2); sid -> ivs
+          }.toMap
+      }
+    Seq(
+      "Channel_Name" -> "",
+      "Source_Host" -> c.getOrElse("source.host", ""),
+      "Source_Port" -> c.getOrElse("source.port", "3306"),
+      "Source_User" -> c.getOrElse("source.user", ""),
+      "Connect_Retry" -> c.getOrElse("source.connect_retry", "60"),
+      "Auto_Position" -> "1",
+      "Replica_IO_Running" -> cl.map(_.ioState).getOrElse("No"),
+      "Replica_SQL_Running" -> (if (cl.isDefined) "Yes" else "No"),
+      "Replicate_Do_Table" -> c.getOrElse("filter.do_table", ""),
+      "Replicate_Ignore_Table" -> c.getOrElse("filter.ignore_table", ""),
+      "Executed_Gtid_Set" -> gtid.toSeq.sorted
+        .map { case (s, iv) => s"$s:$iv" }.mkString(","),
+      "Last_IO_Error" -> cl.flatMap(_.lastError)
+        .map(e => Option(e.getMessage).getOrElse(e.toString)).getOrElse(""))
+  }
+
+  // ------------------------------------------------------------------
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))

@@ -398,6 +398,21 @@ object SqlRouter {
     """(?is)\s*DROP\s+SUBSCRIPTION\s+([\w-]+)\s*;?\s*""".r
   private val ShowSubscriptions =
     """(?is)\s*SHOW\s+SUBSCRIPTIONS\s*;?\s*""".r
+  // MySQL replica controller statements (reference
+  // `binlogreplication/binlog_replica_controller.go:94-360`; legacy
+  // MASTER/SLAVE spellings accepted like MySQL does)
+  private val ChangeReplSourceStmt =
+    """(?is)\s*CHANGE\s+(?:REPLICATION\s+SOURCE|MASTER)\s+TO\s+(.*?);?\s*""".r
+  private val ChangeReplFilterStmt =
+    """(?is)\s*CHANGE\s+REPLICATION\s+FILTER\s+(.*?);?\s*""".r
+  private val StartReplicaStmt =
+    """(?is)\s*START\s+(?:REPLICA|SLAVE)\s*;?\s*""".r
+  private val StopReplicaStmt =
+    """(?is)\s*STOP\s+(?:REPLICA|SLAVE)\s*;?\s*""".r
+  private val ResetReplicaStmt =
+    """(?is)\s*RESET\s+(?:REPLICA|SLAVE)\s*(ALL)?\s*;?\s*""".r
+  private val ShowReplicaStatusStmt =
+    """(?is)\s*SHOW\s+(?:REPLICA|SLAVE)\s+STATUS\s*;?\s*""".r
   // ALTER TABLE t ADD [CONSTRAINT nm] UNIQUE [KEY|INDEX] [nm] (cols)
   private val AlterAddUnique =
     """(?is)\s*ALTER\s+TABLE\s+(?:ONLY\s+)?([\w."]+)\s+ADD\s+(?:CONSTRAINT\s+([\w."]+)\s+)?UNIQUE\s*(?:KEY\s+|INDEX\s+)?([\w."]+)?\s*\((.*)\)\s*(?:USING\s+\w+\s*|COMMENT\s+'[^']*'\s*)*""".r
@@ -2412,10 +2427,13 @@ object SqlRouter {
       // psycopg/pgbouncer pool reset; ALL clears session state
       if (what.equalsIgnoreCase("ALL")) engine.clearSessionVars()
       ddl
-    case ResetVar(what) if what.equalsIgnoreCase("ALL") ||
-        !what.contains(".") || engine.getVar(what).isDefined =>
+    case ResetVar(what) if !what.equalsIgnoreCase("REPLICA") &&
+        !what.equalsIgnoreCase("SLAVE") &&
+        (what.equalsIgnoreCase("ALL") ||
+          !what.contains(".") || engine.getVar(what).isDefined) =>
       // dotted names NOT recorded as session vars fall through: they
-      // are Spark's own `RESET <conf>` and Catalyst owns them
+      // are Spark's own `RESET <conf>` and Catalyst owns them; RESET
+      // REPLICA/SLAVE is the replica-controller statement below
       if (what.equalsIgnoreCase("ALL")) engine.clearSessionVars()
       else engine.unsetVar(what.toLowerCase)
       ddl
@@ -2805,6 +2823,59 @@ object SqlRouter {
       }
     case DropSubscriptionStmt(name) =>
       engine.dropSubscription(name); ddl
+    case ChangeReplSourceStmt(optsText) =>
+      // SOURCE_/MASTER_-prefixed k=v pairs; values may be quoted.
+      // Unknown keys refuse loudly — a silently dropped option (e.g. a
+      // typoed SOURCE_PASSWORD) is a credentials bug at START time.
+      val known = Set("host", "port", "user", "password", "auto_position",
+        "connect_retry", "retry_count", "heartbeat_period", "ssl",
+        "log_file", "log_pos")
+      val opts = splitTop(optsText).map { kv =>
+        val Array(k0, v0) = kv.split("=", 2).map(_.trim)
+        val k = k0.toLowerCase.stripPrefix("source_").stripPrefix("master_")
+          .replace("get_source_public_key", "ssl")
+        require(known.contains(k),
+          s"unsupported CHANGE REPLICATION SOURCE option: $k0")
+        k -> v0.stripPrefix("'").stripSuffix("'")
+      }.toMap
+      engine.changeReplicationSource(opts)
+      ddl
+    case ChangeReplFilterStmt(optsText) =>
+      var doT = Seq.empty[String]
+      var ignT = Seq.empty[String]
+      splitTop(optsText).foreach { kv =>
+        val Array(k0, v0) = kv.split("=", 2).map(_.trim)
+        val tables = splitTop(v0.stripPrefix("(").stripSuffix(")"))
+          .map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
+        k0.toUpperCase match {
+          case "REPLICATE_DO_TABLE" => doT = tables
+          case "REPLICATE_IGNORE_TABLE" => ignT = tables
+          case other => throw new IllegalArgumentException(
+            s"unsupported CHANGE REPLICATION FILTER option: $other " +
+              "(REPLICATE_DO_TABLE / REPLICATE_IGNORE_TABLE)")
+        }
+      }
+      engine.changeReplicationFilter(doT, ignT)
+      ddl
+    case StartReplicaStmt() => engine.startReplica(); ddl
+    case StopReplicaStmt() => engine.stopReplica(); ddl
+    case ResetReplicaStmt(all) =>
+      engine.resetReplica(all != null); ddl
+    case ShowReplicaStatusStmt() =>
+      val sp = engine.spark
+      import sp.implicits._
+      val st = engine.replicaStatus
+      if (st.isEmpty)
+        Result(Some(Seq.empty[(String, String)].toDF("Source_Host", "v")
+          .limit(0)), 0L) // MySQL: empty set when never configured
+      else {
+        val row = org.apache.spark.sql.Row.fromSeq(st.map(_._2))
+        val schema = org.apache.spark.sql.types.StructType(st.map(p =>
+          org.apache.spark.sql.types.StructField(p._1,
+            org.apache.spark.sql.types.StringType)))
+        Result(Some(sp.createDataFrame(
+          java.util.Collections.singletonList(row), schema)), 0L)
+      }
     case ShowSubscriptions() =>
       val sp = engine.spark
       import sp.implicits._

@@ -98,6 +98,15 @@ final class MySqlBinlogClient(
 
   def isRunning: Boolean = Option(thread).exists(_.isAlive)
 
+  /** SHOW REPLICA STATUS's Replica_IO_Running analog (reference
+    * `binlog_replica_controller.go` status): "Yes" once the current
+    * connection reached the event stream, "Connecting" while a
+    * (re)connect attempt is in flight, "No" when the daemon is down. */
+  def ioState: String =
+    if (!isRunning) "No"
+    else if (attemptProgressed) "Yes"
+    else "Connecting"
+
   /** True once the CURRENT connection attempt reached the event stream
     * — a later drop restarts the failure budget instead of consuming
     * it, so `maxRetries` bounds CONSECUTIVE dead-on-arrival attempts,
