@@ -867,10 +867,19 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
 
   /** PG-style `key=value ...` connection string (reference
     * `subscription_handler.go:68-146` parse shape; values here may be
-    * filesystem paths). */
+    * filesystem paths — a value runs to the next ` key=` token, so
+    * paths containing spaces parse whole instead of silently
+    * truncating at the first space). */
   private def connKv(conn: String): Map[String, String] =
-    """(\w+)=([^\s']+)""".r.findAllMatchIn(conn)
-      .map(m => m.group(1).toLowerCase -> m.group(2)).toMap
+    """(\w+)=((?:(?!\s+\w+=).)*)""".r.findAllMatchIn(conn)
+      .map(m => m.group(1).toLowerCase -> m.group(2).trim).toMap
+
+  /** pgoutput transaction-boundary bytes: Commit / StreamCommit. The
+    * subscription checkpoint only ever lands on one of these — a
+    * window frozen mid-transaction would hand the stateless decoder a
+    * Begin-less suffix on the next poll (permanent wedge). */
+  private val pgCommitByte: Byte => Boolean =
+    b => b == 'C'.toByte || b == 'c'.toByte
 
   def createSubscription(name: String, connection: String,
       publication: String): Unit = {
@@ -888,10 +897,11 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     //    first — changes landing during the copy re-apply, idempotent).
     //    ONE walk yields both the LSN and the byte position (the poll
     //    resume point): two walks could disagree about the tail under
-    //    concurrent appends and silently skip a frame.
+    //    concurrent appends and silently skip a frame. The walk stops
+    //    at the last COMMIT record, never mid-transaction.
     val (bytePos0, lsnOpt) = kv.get("framelog")
-      .map(d => graft.streaming.FrameLog.endState(
-        java.nio.file.Paths.get(d), slot, 0L))
+      .map(d => graft.streaming.FrameLog.endAtBoundary(
+        java.nio.file.Paths.get(d), slot, 0L, pgCommitByte))
       .getOrElse((0L, None))
     val lsn0 = lsnOpt.getOrElse(0L)
     // 2. snapshot every published table into the CURRENT database
@@ -948,38 +958,52 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     val slot = kv.getOrElse("slot", sub("publication"))
     val ckpt = sub("lsn").toLong
     // O(new bytes) per poll: resume the header walk at the stored byte
-    // position, freeze the window end NOW (appends racing this refresh
-    // wait for the next), and hand the scan the exact byte range — the
-    // log's total size never enters the cost. Subscriptions persisted
-    // before the byte checkpoint existed resume from 0 once (the LSN
-    // filter keeps that correct, just not O(new)).
+    // position, freeze the window end NOW at the last COMMIT boundary
+    // (a window cut mid-transaction would hand the stateless decoder a
+    // Begin-less suffix on the NEXT poll — a permanently wedged
+    // subscription; appends racing this refresh wait for the next),
+    // and hand the scan the exact byte range — the log's total size
+    // never enters the cost. Subscriptions persisted before the byte
+    // checkpoint existed resume from 0 once (the LSN filter keeps that
+    // correct, just not O(new)).
     val from = sub.getOrElse("bytepos", "0").toLong
-    val (to, _) = graft.streaming.FrameLog.endState(
-      java.nio.file.Paths.get(dir), slot, from)
+    val (to, _) = graft.streaming.FrameLog.endAtBoundary(
+      java.nio.file.Paths.get(dir), slot, from, pgCommitByte)
     if (to <= from) return 0L
     import org.apache.spark.sql.functions.{col, count, lit, max}
     val frames = spark.read.format("framelog")
       .option(s"range.$slot", s"$from:$to").load(dir)
       .filter(col("slot") === slot && col("off") > ckpt)
-      .localCheckpoint(true) // one file read; N decode passes below
-    val head = frames.agg(max(col("off")).as("mx"),
-      count(lit(1)).as("n")).collect()(0)
-    val advanced = sub.updated("bytepos", to.toString)
-    if (head.isNullAt(0)) {
-      // window held only pre-checkpoint frames: advance the byte pos
-      writeSubscriptions(subscriptions.updated(name, advanced))
-      return 0L
-    }
-    val (maxOff, n) = (head.getLong(0), head.getLong(1))
-    sub("tables").split(',').filter(_.nonEmpty).foreach { tn =>
-      val t = table(s"${sub("db")}.$tn")
-      val decoded = graft.streaming.PgOutputDecoder.decodeSlotStreams(
-        frames, "slot", "off", "payload", s"public.$tn", t.schema)
-      graft.streaming.CdcMerge.applyBatch(t, decoded)
-    }
-    writeSubscriptions(subscriptions.updated(name,
-      advanced.updated("lsn", maxOff.toString)))
-    n
+      .persist() // one file read; N decode passes below
+    try {
+      val head = frames.agg(max(col("off")).as("mx"),
+        count(lit(1)).as("n")).collect()(0)
+      // advance AGAINST THE CURRENT catalog entry, touching only the
+      // checkpoint keys — a concurrent ALTER (e.g. DISABLE issued
+      // while this apply ran) must not be reverted by a stale snapshot
+      def advance(lsn: Option[Long]): Unit = synchronized {
+        val subs = subscriptions
+        subs.get(name).foreach { cur =>
+          val upd = lsn.foldLeft(cur.updated("bytepos", to.toString))(
+            (m, v) => m.updated("lsn", v.toString))
+          writeSubscriptions(subs.updated(name, upd))
+        }
+      }
+      if (head.isNullAt(0)) {
+        // window held only pre-checkpoint frames: advance the byte pos
+        advance(None)
+        return 0L
+      }
+      val (maxOff, n) = (head.getLong(0), head.getLong(1))
+      sub("tables").split(',').filter(_.nonEmpty).foreach { tn =>
+        val t = table(s"${sub("db")}.$tn")
+        val decoded = graft.streaming.PgOutputDecoder.decodeSlotStreams(
+          frames, "slot", "off", "payload", s"public.$tn", t.schema)
+        graft.streaming.CdcMerge.applyBatch(t, decoded)
+      }
+      advance(Some(maxOff))
+      n
+    } finally frames.unpersist()
   }
 
   // ------------------------------------------------------------------
@@ -1050,6 +1074,28 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     (split("filter.do_table"), split("filter.ignore_table"))
   }
 
+  /** Apply the recorded REPLICATE_DO/IGNORE_TABLE filters to a decoded
+    * change stream — the SQL-thread-side filter, exactly where MySQL
+    * applies REPLICATE_* rules (reference
+    * `binlogreplication/binlog_replica_filtering.go`). An accepted
+    * CHANGE REPLICATION FILTER must ACT: this is the apply pipeline's
+    * enforcement point (decode → filterReplicaTables → condense →
+    * merge). `db.table` entries match the `dbCol`/`tableCol` pair. */
+  def filterReplicaTables(events: DataFrame, dbCol: String,
+      tableCol: String): DataFrame = {
+    def toPairs(ts: Seq[String]): Set[(String, String)] =
+      ts.map { qt =>
+        qt.split('.') match {
+          case Array(d, t) => (d, t)
+          case _ => throw new IllegalArgumentException(
+            s"replication filter entries are db.table, got: $qt")
+        }
+      }.toSet
+    val (doT, ignT) = replicaFilters
+    graft.streaming.CdcMerge.filterTables(events, dbCol, tableCol,
+      toPairs(doT), toPairs(ignT))
+  }
+
   def startReplica(): Unit = {
     if (replicaRunning) {
       // MySQL logs warning 3083 and keeps the running threads
@@ -1066,6 +1112,8 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     require(user.nonEmpty, "Invalid (empty) username")
     val dir = warehouse.resolve("_replica")
     Files.createDirectories(dir)
+    def flag(k: String): Boolean =
+      c.get(k).exists(v => v.trim != "0" && !v.trim.equalsIgnoreCase("off"))
     val cl = new graft.streaming.MySqlBinlogClient(
       host,
       c.getOrElse("source.port", "3306").trim.toInt,
@@ -1078,7 +1126,15 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
       maxRetries = c.get("source.retry_count").map(_.trim.toInt).getOrElse(100),
       heartbeatPeriodMs =
         c.get("source.heartbeat_period").map(s =>
-          (s.trim.toDouble * 1000).toLong).getOrElse(30000L))
+          (s.trim.toDouble * 1000).toLong).getOrElse(30000L),
+      // SOURCE_SSL=1 → TLS with the platform default trust store
+      // (an accepted option MUST act — a silently-plaintext "ssl"
+      // would ship credentials the user asked to encrypt);
+      // GET_SOURCE_PUBLIC_KEY=1 → caching_sha2 full-auth RSA fallback
+      sslContext =
+        if (flag("source.ssl")) Some(javax.net.ssl.SSLContext.getDefault)
+        else None,
+      allowPublicKeyRetrieval = flag("source.public_key"))
     replicaClientVar = Some(cl.start())
     writeReplicaConfig(replicaConfig + ("running" -> "true"))
   }
@@ -1128,7 +1184,10 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
       "Connect_Retry" -> c.getOrElse("source.connect_retry", "60"),
       "Auto_Position" -> "1",
       "Replica_IO_Running" -> cl.map(_.ioState).getOrElse("No"),
-      "Replica_SQL_Running" -> (if (cl.isDefined) "Yes" else "No"),
+      // a daemon whose retries exhausted is DEAD, not paused — both
+      // threads report No and Last_IO_Error carries the cause
+      // (monitoring on either signal must see the outage)
+      "Replica_SQL_Running" -> (if (cl.exists(_.isRunning)) "Yes" else "No"),
       "Replicate_Do_Table" -> c.getOrElse("filter.do_table", ""),
       "Replicate_Ignore_Table" -> c.getOrElse("filter.ignore_table", ""),
       "Executed_Gtid_Set" -> gtid.toSeq.sorted

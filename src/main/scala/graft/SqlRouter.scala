@@ -2829,14 +2829,22 @@ object SqlRouter {
       // typoed SOURCE_PASSWORD) is a credentials bug at START time.
       val known = Set("host", "port", "user", "password", "auto_position",
         "connect_retry", "retry_count", "heartbeat_period", "ssl",
-        "log_file", "log_pos")
+        "public_key", "log_file", "log_pos")
       val opts = splitTop(optsText).map { kv =>
-        val Array(k0, v0) = kv.split("=", 2).map(_.trim)
-        val k = k0.toLowerCase.stripPrefix("source_").stripPrefix("master_")
-          .replace("get_source_public_key", "ssl")
+        val parts = kv.split("=", 2).map(_.trim)
+        require(parts.length == 2 && parts(0).nonEmpty,
+          s"malformed CHANGE REPLICATION SOURCE option (expected " +
+            s"key = value): ${kv.trim}")
+        val k = parts(0).toLowerCase match {
+          // the two public-key retrieval spellings are their own option
+          case "get_source_public_key" | "get_master_public_key" =>
+            "public_key"
+          case other =>
+            other.stripPrefix("source_").stripPrefix("master_")
+        }
         require(known.contains(k),
-          s"unsupported CHANGE REPLICATION SOURCE option: $k0")
-        k -> v0.stripPrefix("'").stripSuffix("'")
+          s"unsupported CHANGE REPLICATION SOURCE option: ${parts(0)}")
+        k -> parts(1).stripPrefix("'").stripSuffix("'")
       }.toMap
       engine.changeReplicationSource(opts)
       ddl

@@ -1263,6 +1263,10 @@ object CdcQueries {
         .select(col("c_custkey").cast("long").as("id"),
           col("c_mktsegment").as("seg"))
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      // sf-derived insert shift (review r16: a FIXED +1000000 collides
+      // with real custkeys at sf>=7 — engine would LWW-overwrite where
+      // the oracle UNION ALLs; q111 guards the same pattern via mx/hwm)
+      val shift = cust.map(_._1).max + 1000L
 
       val sub = new Engine(s, subWh)
       tm("CREATE SUBSCRIPTION")(SqlRouter.execute(sub,
@@ -1279,7 +1283,7 @@ object CdcQueries {
       val (t2, l2) = PgOutputEncoder.txn(l1, 12L, 16384, "public",
         "acct", acctSchema, cust.filter(_._1 % 100 == 0)
           .map(c => chg(CdcMerge.ActionInsert,
-            Seq(c._1 + 1000000L, "NEW", 2))).toSeq)
+            Seq(c._1 + shift, "NEW", 2))).toSeq)
       val (t3, l3) = PgOutputEncoder.txn(l2, 13L, 16384, "public",
         "acct", acctSchema, cust.filter(_._1 % 7 == 3)
           .map(c => chg(CdcMerge.ActionDelete, Seq(c._1, null, null))).toSeq)
@@ -1307,19 +1311,21 @@ object CdcQueries {
           "CAST(max(id) AS BIGINT) AS mx FROM acct GROUP BY seg " +
         "ORDER BY seg").df.get
     },
-    Some("""WITH base AS (
+    Some("""WITH mx AS (SELECT max(c_custkey) AS m,
+        max(c_custkey) + 1000 AS shift FROM customer),
+      base AS (
         SELECT c_custkey AS id, c_mktsegment AS seg,
           CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END AS n
         FROM customer),
       withnew AS (
         SELECT * FROM base
         UNION ALL
-        SELECT c_custkey + 1000000, 'NEW', 2 FROM customer
+        SELECT c_custkey + (SELECT shift FROM mx), 'NEW', 2 FROM customer
         WHERE c_custkey % 100 = 0),
       fin AS (
         SELECT * FROM withnew
-        WHERE NOT (id % 7 = 3 AND id < 1000000)
-          AND NOT (id % 5 = 4 AND id < 1000000))
+        WHERE NOT (id % 7 = 3 AND id <= (SELECT m FROM mx))
+          AND NOT (id % 5 = 4 AND id <= (SELECT m FROM mx)))
       SELECT seg, count(*) AS c, CAST(sum(n) AS BIGINT) AS sn,
         CAST(max(id) AS BIGINT) AS mx FROM fin GROUP BY seg
       ORDER BY seg"""))

@@ -267,14 +267,6 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     } finally mid.unpersist()
   }
 
-  /** When `df`'s OPTIMIZED plan is a LocalRelation (a literal VALUES
-    * batch — constant folding collapses those), return it re-built as
-    * a local frame carrying a driver-assigned consecutive `__idx`
-    * column, plus the row count. Collecting a LocalRelation runs NO
-    * Spark job (LocalTableScanExec.executeCollect), so the fast paths
-    * built on this trade zero distributed work for the 3-4 jobs the
-    * general machinery costs per tiny DML statement. Capped: a huge
-    * inlined batch stays on the distributed path. */
   /** True when `df`'s optimized plan is a (bounded) LocalRelation —
     * literal data whose collect runs no Spark job. */
   private def isLocalPlan(df: DataFrame, cap: Int = 65536): Boolean =
@@ -284,6 +276,14 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       case _ => false
     }
 
+  /** When `df`'s OPTIMIZED plan is a LocalRelation (a literal VALUES
+    * batch — constant folding collapses those), return it re-built as
+    * a local frame carrying a driver-assigned consecutive `__idx`
+    * column, plus the row count. Collecting a LocalRelation runs NO
+    * Spark job (LocalTableScanExec.executeCollect), so the fast paths
+    * built on this trade zero distributed work for the 3-4 jobs the
+    * general machinery costs per tiny DML statement. Capped: a huge
+    * inlined batch stays on the distributed path. */
   private def indexedLocal(df: DataFrame, cap: Int = 65536)
       : Option[(DataFrame, Long)] =
     df.queryExecution.optimizedPlan match {

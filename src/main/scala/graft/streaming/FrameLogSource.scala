@@ -106,7 +106,24 @@ object FrameLog {
     * tail and silently skip a frame (the subscription checkpoint
     * discipline, Engine.createSubscription/refreshSubscription). */
   def endState(dir: java.nio.file.Path, slot: String, from: Long)
-      : (Long, Option[Long]) = {
+      : (Long, Option[Long]) =
+    walkEnd(dir, slot, from, None)
+
+  /** [[endState]] stopping at the last record whose FIRST PAYLOAD BYTE
+    * satisfies `boundary` — the transaction-boundary walk the
+    * subscription poll needs: a publisher mid-append can leave a
+    * complete RECORD that is not a complete TRANSACTION on disk, and a
+    * byte window frozen there would hand the stateless decoder a
+    * Begin-less suffix on the NEXT poll (a permanently wedged
+    * subscription). For pgoutput the boundary bytes are 'C' (Commit)
+    * and 'c' (StreamCommit). Returns the byte position after the last
+    * boundary record and its position stamp. */
+  def endAtBoundary(dir: java.nio.file.Path, slot: String, from: Long,
+      boundary: Byte => Boolean): (Long, Option[Long]) =
+    walkEnd(dir, slot, from, Some(boundary))
+
+  private def walkEnd(dir: java.nio.file.Path, slot: String, from: Long,
+      boundary: Option[Byte => Boolean]): (Long, Option[Long]) = {
     val f = dir.resolve(slot + Suffix)
     if (!java.nio.file.Files.exists(f)) return (from, None)
     val ch = java.nio.channels.FileChannel.open(f,
@@ -114,8 +131,10 @@ object FrameLog {
     try {
       val size = ch.size()
       val hdr = java.nio.ByteBuffer.allocate(HeaderLen)
+      val fb = java.nio.ByteBuffer.allocate(1)
       var pos = from
       var last = Option.empty[Long]
+      var lastPos = from
       var done = false
       while (!done && pos + HeaderLen <= size) {
         hdr.clear()
@@ -129,10 +148,25 @@ object FrameLog {
           val off = hdr.getLong
           val len = hdr.getInt
           if (len < 0 || pos + HeaderLen + len > size) done = true // torn tail
-          else { last = Some(off); pos += HeaderLen + len }
+          else {
+            val hit = boundary match {
+              case None => true
+              case Some(p) if len > 0 =>
+                fb.clear()
+                var r = 0
+                while (r < 1) {
+                  val n = ch.read(fb, pos + HeaderLen)
+                  if (n < 0) r = 1 else r += n
+                }
+                fb.flip(); p(fb.get())
+              case Some(_) => false // empty payload: never a boundary
+            }
+            pos += HeaderLen + len
+            if (hit) { last = Some(off); lastPos = pos }
+          }
         }
       }
-      (pos, last)
+      (lastPos, last)
     } finally ch.close()
   }
 

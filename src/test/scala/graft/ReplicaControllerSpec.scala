@@ -51,10 +51,26 @@ class ReplicaControllerSpec extends SparkSpec {
     assert(col("Replica_IO_Running") === "No" &&
       col("Replica_SQL_Running") === "No")
 
-    // filters persist and surface (C10 inputs for CdcMerge.filterTables)
+    // filters persist, surface, and ENFORCE (the SQL-thread-side
+    // filter point, reference binlog_replica_filtering.go)
     exec(e, "CHANGE REPLICATION FILTER REPLICATE_DO_TABLE=(db1.t1, db1.t2), " +
-      "REPLICATE_IGNORE_TABLE=(db1.noise)")
-    assert(e.replicaFilters === (Seq("db1.t1", "db1.t2"), Seq("db1.noise")))
+      "REPLICATE_IGNORE_TABLE=(db1.t2)")
+    assert(e.replicaFilters === (Seq("db1.t1", "db1.t2"), Seq("db1.t2")))
+    import spark.implicits._
+    val ev = Seq(("db1", "t1", 1), ("db1", "t2", 2), ("db1", "t3", 3),
+      ("db2", "t1", 4)).toDF("db", "tbl", "v")
+    assert(e.filterReplicaTables(ev, "db", "tbl")
+      .select("v").as[Int].collect().toSeq === Seq(1),
+      "DO-list admits, IGNORE-list wins over DO, everything else drops")
+
+    // malformed / ssl / public-key option handling
+    val exM = intercept[Exception](exec(e,
+      "CHANGE REPLICATION SOURCE TO SOURCE_AUTO_POSITION"))
+    assert(exM.getMessage.contains("malformed"))
+    exec(e, "CHANGE REPLICATION SOURCE TO GET_MASTER_PUBLIC_KEY=1, " +
+      "SOURCE_SSL=1")
+    assert(e.replicaConfig("source.public_key") === "1" &&
+      e.replicaConfig("source.ssl") === "1")
 
     // STOP when stopped: warning 3084, not an error
     e.clearWarnings()

@@ -88,10 +88,27 @@ class SubscriptionSpec extends SparkSpec {
     assert(meta("bytepos").toLong > 0L &&
       meta("lsn").toLong >= lsn2, s"checkpoint did not advance: $meta")
 
+    // TORN TRANSACTION: a publisher mid-append leaves complete RECORDS
+    // but no Commit — the poll window must stop BEFORE the partial txn
+    // (applying it would both show a torn txn and wedge the next poll
+    // on a Begin-less suffix). The commit's arrival releases it whole.
+    val (t4, _) = PgOutputEncoder.txn(lsn2 + 10, 103L, 16384, "public",
+      "acct", schema, Seq(
+        PgOutputEncoder.Change(CdcMerge.ActionInsert, Seq(9L, "torn", 90))))
+    FrameLog.append(fl, "sub1", t4.dropRight(1)) // hold back the Commit
+    assert(exec(sub, "ALTER SUBSCRIPTION sub1 REFRESH").affected === 0L,
+      "a commit-less suffix must not apply")
+    assert(exec(sub, "SELECT count(*) FROM acct WHERE id = 9").df.get
+      .as[Long].head() === 0L)
+    FrameLog.append(fl, "sub1", t4.takeRight(1)) // the Commit lands
+    assert(exec(sub, "ALTER SUBSCRIPTION sub1 REFRESH").affected === t4.size.toLong)
+    assert(exec(sub, "SELECT v FROM acct WHERE id = 9").df.get
+      .as[String].head() === "torn")
+
     // DROP removes the subscription, keeps the tables (PG semantics)
     exec(sub, "DROP SUBSCRIPTION sub1")
     assert(exec(sub, "SHOW SUBSCRIPTIONS").df.get.collect().isEmpty)
-    assert(exec(sub, "SELECT count(*) FROM acct").df.get.as[Long].head() === 2L)
+    assert(exec(sub, "SELECT count(*) FROM acct").df.get.as[Long].head() === 3L)
     intercept[Exception](exec(sub, "ALTER SUBSCRIPTION sub1 REFRESH"))
   }
 
