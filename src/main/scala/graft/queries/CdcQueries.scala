@@ -1330,7 +1330,79 @@ object CdcQueries {
         CAST(max(id) AS BIGINT) AS mx FROM fin GROUP BY seg
       ORDER BY seg"""))
 
+  // --------------------------------------------------------------------
+  // q117 — the MySQL-side replication pipeline under the hash gate,
+  // the binlog twin of q116 (reference `binlogreplication/*.go` e2e
+  // runs a real primary; `binlog/rbr.go` row decode): BinlogEncoder (a
+  // local primary analog) writes GTID-framed binlog v4 transactions —
+  // UPDATE_ROWS with before/after images, WRITE_ROWS, DELETE_ROWS with
+  // key images — into a framelog; the batch decode
+  // (BinlogEventDecoder.decodeSlotStreams → BinlogRowDecoder) feeds
+  // the LWW condense + CoW merge, and the oracle restates the stream
+  // as CASE folds over `customer`. Gate is INT/BIGINT/STRING only.
+  private val q117 = QueryDef(
+    "q117_binlog_pipeline",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      import graft.streaming.{BinlogEncoder => BE, BinlogEventDecoder,
+        BinlogRowDecoder => BRD, CdcMerge, FrameLog}
+      val e = new Engine(s, Files.createTempDirectory("graft_q117"))
+      e.bindTables(dir, "customer")
+      SqlRouter.execute(e, "CREATE TABLE acct (id BIGINT NOT NULL, " +
+        "seg STRING, n INT, PRIMARY KEY (id))")
+      SqlRouter.execute(e, "INSERT INTO acct SELECT c_custkey, " +
+        "c_mktsegment, 0 FROM customer")
+      val specs = Seq(BRD.ColSpec("id", BRD.Int64),
+        BRD.ColSpec("seg", BRD.Varchar(64)),
+        BRD.ColSpec("n", BRD.Int32))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          col("c_mktsegment").as("seg"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val shift = cust.map(_._1).max + 1000L
+      val sid = (1 to 16).map(_.toByte).toArray
+      // txn 1: UPDATE_ROWS before/after images for every 9th row
+      val (t1, o1) = BE.txn(1L, sid, 1L, 7L, "main", "acct", specs,
+        cust.filter(_._1 % 9 == 0).map(c =>
+          BE.Upd(Seq(c._1, c._2, 0), Seq(c._1, c._2, 1))).toSeq)
+      // txn 2: WRITE_ROWS of shifted novel ids
+      val (t2, o2) = BE.txn(o1, sid, 2L, 7L, "main", "acct", specs,
+        cust.filter(_._1 % 50 == 0).map(c =>
+          BE.Ins(Seq(c._1 + shift, "NEW", 2))).toSeq)
+      // txn 3: DELETE_ROWS key images (non-key columns null)
+      val (t3, _) = BE.txn(o2, sid, 3L, 7L, "main", "acct", specs,
+        cust.filter(_._1 % 6 == 3).map(c =>
+          BE.Del(Seq(c._1, null, null))).toSeq)
+      val fl = Files.createTempDirectory("graft_q117_fl")
+      FrameLog.append(fl, "m1", Seq((0L, BE.fde())) ++ t1 ++ t2 ++ t3)
+      val frames = s.read.format("framelog").load(fl.toString)
+      val decoded = BinlogEventDecoder.decodeSlotStreams(frames,
+        "slot", "off", "payload", "main.acct", specs)
+      CdcMerge.applyBatch(e.table("acct"), decoded)
+      SqlRouter.execute(e,
+        "SELECT seg, count(*) AS c, CAST(sum(n) AS BIGINT) AS sn, " +
+          "CAST(max(id) AS BIGINT) AS mx FROM acct GROUP BY seg " +
+        "ORDER BY seg").df.get
+    },
+    Some("""WITH mx AS (SELECT max(c_custkey) AS m,
+        max(c_custkey) + 1000 AS shift FROM customer),
+      base AS (
+        SELECT c_custkey AS id, c_mktsegment AS seg,
+          CASE WHEN c_custkey % 9 = 0 THEN 1 ELSE 0 END AS n
+        FROM customer),
+      withnew AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT c_custkey + (SELECT shift FROM mx), 'NEW', 2 FROM customer
+        WHERE c_custkey % 50 = 0),
+      fin AS (
+        SELECT * FROM withnew
+        WHERE NOT (id % 6 = 3 AND id <= (SELECT m FROM mx)))
+      SELECT seg, count(*) AS c, CAST(sum(n) AS BIGINT) AS sn,
+        CAST(max(id) AS BIGINT) AS mx FROM fin GROUP BY seg
+      ORDER BY seg"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113, q114, q115, q116)
+      q109, q110, q111, q112, q113, q114, q115, q116, q117)
 }

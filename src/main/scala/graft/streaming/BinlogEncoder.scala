@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+import graft.streaming.BinlogRowDecoder._
+
+/** Publisher-side MySQL binlog v4 event encoder — the local analog of
+  * the primary the reference replicates from (its e2e suite runs a
+  * real MySQL primary, `binlogreplication/binlog_replication_test.go`;
+  * the event formats are MySQL's public replication protocol). The
+  * twin of [[PgOutputEncoder]]: it lets a local publication write
+  * GTID-framed transactions into a [[FrameLog]] that
+  * [[BinlogEventDecoder.decodeSlotStreams]] consumes unchanged, so the
+  * whole MySQL-side pipeline (framelog → event decode → row decode →
+  * LWW condense → CoW merge) can be driven — and oracle-gated —
+  * without a network.
+  *
+  * Events use the v4 header (19 bytes, no CRC32 — pass
+  * `crc32Checksum = false` to the decoder, its default) and the
+  * byte-for-byte layouts the decoder parses: TABLE_MAP with a
+  * length-encoded column count, WRITE/UPDATE/DELETE_ROWS v2 with the
+  * 2-byte inclusive extra-data length, full columns-present bitmaps,
+  * and LSB-first null bitmaps per row image.
+  */
+object BinlogEncoder {
+
+  private def le(n: Long, bytes: Int): Array[Byte] =
+    (0 until bytes).map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
+
+  private def cat(parts: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    parts.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** v4 event: ts(4) type(1) server_id(4) event_len(4) log_pos(4)
+    * flags(2) + body. */
+  def event(tpe: Int, body: Array[Byte], serverId: Long = 1L): Array[Byte] =
+    cat(Seq(le(0L, 4), Array(tpe.toByte), le(serverId, 4),
+      le(19L + body.length, 4), le(0L, 4), le(0L, 2), body))
+
+  /** FORMAT_DESCRIPTION (type 15): binlog v4, no checksum byte set. */
+  def fde(): Array[Byte] =
+    event(15, cat(Seq(le(4L, 2), Array.fill(50)(0.toByte), le(0L, 4),
+      Array(19.toByte), Array.fill(39)(0.toByte))))
+
+  /** GTID (type 33): flags(1) sid(16) gno(8). */
+  def gtid(sid: Array[Byte], gno: Long): Array[Byte] = {
+    require(sid.length == 16, "GTID sid is 16 bytes")
+    event(33, cat(Seq(Array(0.toByte), sid, le(gno, 8))))
+  }
+
+  /** XID commit marker (type 16). */
+  def xid(id: Long): Array[Byte] = event(16, le(id, 8))
+
+  /** TABLE_MAP (type 19). Column-type bytes are advisory on this
+    * decode path (the engine decodes rows with its declared ColSpecs);
+    * LONGLONG with empty metadata keeps the frame well-formed. */
+  def tableMap(tableId: Long, db: String, table: String,
+      ncols: Int): Array[Byte] = {
+    val d = db.getBytes(StandardCharsets.UTF_8)
+    val t = table.getBytes(StandardCharsets.UTF_8)
+    require(ncols < 251, "length-encoded column count kept to one byte")
+    event(19, cat(Seq(le(tableId, 6), le(1L, 2),
+      Array(d.length.toByte), d, Array(0.toByte),
+      Array(t.length.toByte), t, Array(0.toByte),
+      Array(ncols.toByte), Array.fill(ncols)(8.toByte), Array(0.toByte),
+      Array.fill((ncols + 7) / 8)(0.toByte))))
+  }
+
+  /** One cell in binlog row-image encoding (the exact inverse of
+    * [[BinlogRowDecoder.decodeCell]] for the supported types). */
+  private def cell(tpe: BinlogType, v: Any): Array[Byte] = (tpe, v) match {
+    case (Int64, x: Long) => le(x, 8)
+    case (Int64, x: Int) => le(x.toLong, 8)
+    case (Int32, x: Int) => le(x.toLong & 0xffffffffL, 4)
+    case (Int32, x: Long) => le(x & 0xffffffffL, 4)
+    case (ShortInt, x: Short) => le(x.toLong & 0xffffL, 2)
+    case (TinyInt, x: Byte) => Array(x)
+    case (Float64, x: Double) =>
+      le(java.lang.Double.doubleToLongBits(x), 8)
+    case (Varchar(maxLen, cs), s: String) =>
+      val b = s.getBytes(java.nio.charset.Charset.forName(
+        if (cs.equalsIgnoreCase("utf8mb4")) "UTF-8" else cs))
+      if (maxLen > 255) cat(Seq(le(b.length.toLong, 2), b))
+      else cat(Seq(Array(b.length.toByte), b))
+    case (t, x) => throw new IllegalArgumentException(
+      s"BinlogEncoder: unsupported cell $t <- ${Option(x).map(_.getClass)}")
+  }
+
+  /** One row image: LSB-first null bitmap + non-null cells in column
+    * order. */
+  def rowImage(specs: Seq[ColSpec], values: Seq[Any]): Array[Byte] = {
+    require(values.size == specs.size,
+      s"row carries ${values.size} values for ${specs.size} columns")
+    val bitmap = Array.fill((specs.size + 7) / 8)(0.toByte)
+    values.zipWithIndex.foreach { case (v, i) =>
+      if (v == null)
+        bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
+    }
+    cat(bitmap +: values.zipWithIndex.collect {
+      case (v, i) if v != null => cell(specs(i).tpe, v)
+    })
+  }
+
+  private def rowsEvent(tpe: Int, tableId: Long, specs: Seq[ColSpec],
+      images: Seq[Array[Byte]], twoBitmaps: Boolean): Array[Byte] = {
+    val bm = Array.fill((specs.size + 7) / 8)(0xff.toByte)
+    val bitmaps = if (twoBitmaps) Seq(bm, bm) else Seq(bm)
+    event(tpe, cat(Seq(le(tableId, 6), le(1L, 2), le(2L, 2),
+      Array(specs.size.toByte)) ++ bitmaps ++ images))
+  }
+
+  def writeRows(tableId: Long, specs: Seq[ColSpec],
+      rows: Seq[Seq[Any]]): Array[Byte] =
+    rowsEvent(30, tableId, specs, rows.map(rowImage(specs, _)),
+      twoBitmaps = false)
+
+  def deleteRows(tableId: Long, specs: Seq[ColSpec],
+      keyImages: Seq[Seq[Any]]): Array[Byte] =
+    rowsEvent(32, tableId, specs, keyImages.map(rowImage(specs, _)),
+      twoBitmaps = false)
+
+  /** UPDATE_ROWS v2: (before, after) image pairs. */
+  def updateRows(tableId: Long, specs: Seq[ColSpec],
+      pairs: Seq[(Seq[Any], Seq[Any])]): Array[Byte] =
+    rowsEvent(31, tableId, specs, pairs.flatMap { case (b, a) =>
+      Seq(rowImage(specs, b), rowImage(specs, a))
+    }, twoBitmaps = true)
+
+  /** One change inside [[txn]] — delta actions ([[CdcMerge]]): insert
+    * and delete carry one image (deletes may null non-key columns);
+    * update carries (before, after). */
+  sealed trait Change
+  final case class Ins(values: Seq[Any]) extends Change
+  final case class Del(key: Seq[Any]) extends Change
+  final case class Upd(before: Seq[Any], after: Seq[Any]) extends Change
+
+  /** Encode one whole GTID-framed transaction over ONE table as
+    * framelog-ready `(off, frame)` pairs: GTID, TABLE_MAP (re-emitted
+    * per txn so any suffix starting at a txn boundary decodes, like
+    * [[PgOutputEncoder.txn]]), one ROWS event per change run, XID.
+    * Offsets are distinct and monotone from `off0`; returns the frames
+    * plus the next free offset. */
+  def txn(off0: Long, sid: Array[Byte], gno: Long, tableId: Long,
+      db: String, table: String, specs: Seq[ColSpec],
+      changes: Seq[Change]): (Seq[(Long, Array[Byte])], Long) = {
+    var off = off0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    def add(frame: Array[Byte]): Unit = { out += ((off, frame)); off += 1 }
+    add(gtid(sid, gno))
+    add(tableMap(tableId, db, table, specs.size))
+    changes.foreach {
+      case Ins(v) => add(writeRows(tableId, specs, Seq(v)))
+      case Del(k) => add(deleteRows(tableId, specs, Seq(k)))
+      case Upd(b, a) => add(updateRows(tableId, specs, Seq((b, a))))
+    }
+    add(xid(gno))
+    (out.toSeq, off)
+  }
+}
