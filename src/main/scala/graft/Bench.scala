@@ -247,14 +247,17 @@ object Bench {
           oracleTimes.get(name).exists(o => t.cold > 10 * o) &&
           !(t.cold > 1.5 * t.warm && t.cold - t.warm > 0.5)
       }
-      .sortBy(p => qid(p._1))
-      .map { case (name, t) => s"${qid(name)}:${fmtT(t.cold)}/${fmtT(t.warm)}" }
     if (slowBoth.nonEmpty) {
       // byte-capped like the warm line: the DML chains re-run their
       // whole statement sequence on the warm pass too, so they ALWAYS
       // satisfy warm ≈ cold — without a cap this line alone can push
-      // the emission past the driver's 2000-char tail window
-      val shown = slowBoth.take(6)
+      // the emission past the driver's 2000-char tail window. Rank by
+      // SEVERITY (cold seconds) before capping so a genuine high-id
+      // regression is never truncated behind expected low-id chains;
+      // display re-sorts the survivors by id.
+      val shown = slowBoth.sortBy(-_._2.cold).take(6)
+        .sortBy(p => qid(p._1))
+        .map { case (name, t) => s"${qid(name)}:${fmtT(t.cold)}/${fmtT(t.warm)}" }
       val more = if (slowBoth.size > 6) s" +${slowBoth.size - 6}" else ""
       println(s"""{"anomaly":"${shown.mkString(" ")}$more"}""")
     }

@@ -872,14 +872,20 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     * truncating at the first space). */
   private def connKv(conn: String): Map[String, String] =
     """(\w+)=((?:(?!\s+\w+=).)*)""".r.findAllMatchIn(conn)
-      .map(m => m.group(1).toLowerCase -> m.group(2).trim).toMap
+      .map { m =>
+        val v0 = m.group(2).trim
+        // inner-quoted values (paths with spaces) unwrap; PG conninfo
+        // quoting — a quoted value that kept its quotes would resolve
+        // to a nonexistent path and a silently dead subscription
+        val v = if (v0.length >= 2 && v0.head == '\'' && v0.last == '\'')
+          v0.substring(1, v0.length - 1)
+        else v0
+        m.group(1).toLowerCase -> v
+      }
+      .filter(_._2.nonEmpty) // empty value = key absent, not Paths.get("")
+      .toMap
 
-  /** pgoutput transaction-boundary bytes: Commit / StreamCommit. The
-    * subscription checkpoint only ever lands on one of these — a
-    * window frozen mid-transaction would hand the stateless decoder a
-    * Begin-less suffix on the next poll (permanent wedge). */
-  private val pgCommitByte: Byte => Boolean =
-    b => b == 'C'.toByte || b == 'c'.toByte
+
 
   def createSubscription(name: String, connection: String,
       publication: String): Unit = {
@@ -900,8 +906,8 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     //    concurrent appends and silently skip a frame. The walk stops
     //    at the last COMMIT record, never mid-transaction.
     val (bytePos0, lsnOpt) = kv.get("framelog")
-      .map(d => graft.streaming.FrameLog.endAtBoundary(
-        java.nio.file.Paths.get(d), slot, 0L, pgCommitByte))
+      .map(d => graft.streaming.FrameLog.endAtPgCommit(
+        java.nio.file.Paths.get(d), slot, 0L))
       .getOrElse((0L, None))
     val lsn0 = lsnOpt.getOrElse(0L)
     // 2. snapshot every published table into the CURRENT database
@@ -927,15 +933,16 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
       "bytepos" -> bytePos0.toString)))
   }
 
-  def alterSubscription(name: String, enabled: Boolean): Unit = {
-    val subs = subscriptions
-    val sub = subs.getOrElse(name, throw new IllegalArgumentException(
-      s"""subscription "$name" does not exist"""))
-    writeSubscriptions(subs.updated(name,
-      sub.updated("enabled", enabled.toString)))
-  }
+  def alterSubscription(name: String, enabled: Boolean): Unit =
+    synchronized { // atomic RMW: must not revert a concurrent checkpoint advance
+      val subs = subscriptions
+      val sub = subs.getOrElse(name, throw new IllegalArgumentException(
+        s"""subscription "$name" does not exist"""))
+      writeSubscriptions(subs.updated(name,
+        sub.updated("enabled", enabled.toString)))
+    }
 
-  def dropSubscription(name: String): Unit = {
+  def dropSubscription(name: String): Unit = synchronized {
     val subs = subscriptions
     require(subs.contains(name),
       s"""subscription "$name" does not exist""")
@@ -967,8 +974,8 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     // checkpoint existed resume from 0 once (the LSN filter keeps that
     // correct, just not O(new)).
     val from = sub.getOrElse("bytepos", "0").toLong
-    val (to, _) = graft.streaming.FrameLog.endAtBoundary(
-      java.nio.file.Paths.get(dir), slot, from, pgCommitByte)
+    val (to, _) = graft.streaming.FrameLog.endAtPgCommit(
+      java.nio.file.Paths.get(dir), slot, from)
     if (to <= from) return 0L
     import org.apache.spark.sql.functions.{col, count, lit, max}
     val frames = spark.read.format("framelog")
@@ -1055,14 +1062,20 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
       opts.map { case (k, v) => s"source.$k" -> v })
   }
 
-  def changeReplicationFilter(doTables: Seq[String],
-      ignoreTables: Seq[String]): Unit = {
+  /** MySQL semantics: a filter type NOT named in the statement keeps
+    * its previous value (None); a named one replaces — including with
+    * an empty list, which CLEARS it. */
+  def changeReplicationFilter(doTables: Option[Seq[String]],
+      ignoreTables: Option[Seq[String]]): Unit = synchronized {
     require(!replicaRunning,
       "This operation cannot be performed with a running replica io " +
         "thread; run STOP REPLICA first")
-    writeReplicaConfig(replicaConfig +
-      ("filter.do_table" -> doTables.mkString(",")) +
-      ("filter.ignore_table" -> ignoreTables.mkString(",")))
+    val base = replicaConfig
+    val withDo = doTables.fold(base)(ts =>
+      base + ("filter.do_table" -> ts.mkString(",")))
+    val withBoth = ignoreTables.fold(withDo)(ts =>
+      withDo + ("filter.ignore_table" -> ts.mkString(",")))
+    writeReplicaConfig(withBoth)
   }
 
   /** Recorded C10 filters for the apply pipeline
@@ -1096,7 +1109,7 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
       toPairs(doT), toPairs(ignT))
   }
 
-  def startReplica(): Unit = {
+  def startReplica(): Unit = synchronized {
     if (replicaRunning) {
       // MySQL logs warning 3083 and keeps the running threads
       addWarning("Note", 3083,
@@ -1121,8 +1134,12 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
       c.getOrElse("source.password", ""),
       "replica",
       dir,
+      // default matches BOTH MySQL's SOURCE_CONNECT_RETRY=60 and what
+      // replicaStatus displays — a 1s default would hammer the primary
+      // while the status claimed 60s spacing
       reconnectBackoffMs =
-        c.get("source.connect_retry").map(_.trim.toLong * 1000).getOrElse(1000L),
+        c.get("source.connect_retry").map(_.trim.toLong * 1000)
+          .getOrElse(60000L),
       maxRetries = c.get("source.retry_count").map(_.trim.toInt).getOrElse(100),
       heartbeatPeriodMs =
         c.get("source.heartbeat_period").map(s =>
@@ -1139,7 +1156,7 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     writeReplicaConfig(replicaConfig + ("running" -> "true"))
   }
 
-  def stopReplica(): Unit = {
+  def stopReplica(): Unit = synchronized {
     if (!replicaRunning)
       addWarning("Note", 3084,
         "Replication thread(s) for channel '' are already stopped.")
@@ -1151,7 +1168,7 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
 
   /** RESET REPLICA forgets the replication position; ALL also drops
     * the source configuration (MySQL semantics). */
-  def resetReplica(all: Boolean): Unit = {
+  def resetReplica(all: Boolean): Unit = synchronized {
     require(!replicaRunning,
       "This operation cannot be performed with a running replica io " +
         "thread; run STOP REPLICA first")
@@ -1216,4 +1233,14 @@ object Engine {
     * children list. */
   private[graft] val partCache =
     new java.util.concurrent.ConcurrentHashMap[Path, (Long, Seq[String])]()
+
+  /** SHOW REPLICA STATUS column order — shared by the populated row
+    * ([[Engine.replicaStatus]]) and the never-configured EMPTY SET,
+    * which must still carry the full column list (MySQL does; tools
+    * index columns before checking row count). */
+  private[graft] val replicaStatusCols: Seq[String] = Seq(
+    "Channel_Name", "Source_Host", "Source_Port", "Source_User",
+    "Connect_Retry", "Auto_Position", "Replica_IO_Running",
+    "Replica_SQL_Running", "Replicate_Do_Table", "Replicate_Ignore_Table",
+    "Executed_Gtid_Set", "Last_IO_Error")
 }

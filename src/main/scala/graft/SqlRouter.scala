@@ -2849,15 +2849,20 @@ object SqlRouter {
       engine.changeReplicationSource(opts)
       ddl
     case ChangeReplFilterStmt(optsText) =>
-      var doT = Seq.empty[String]
-      var ignT = Seq.empty[String]
+      // MySQL semantics: a filter type NOT named in the statement
+      // keeps its previous value; a named one replaces (an empty list
+      // clears it)
+      var doT = Option.empty[Seq[String]]
+      var ignT = Option.empty[Seq[String]]
       splitTop(optsText).foreach { kv =>
-        val Array(k0, v0) = kv.split("=", 2).map(_.trim)
-        val tables = splitTop(v0.stripPrefix("(").stripSuffix(")"))
+        val parts = kv.split("=", 2).map(_.trim)
+        require(parts.length == 2,
+          s"malformed CHANGE REPLICATION FILTER option: ${kv.trim}")
+        val tables = splitTop(parts(1).stripPrefix("(").stripSuffix(")"))
           .map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
-        k0.toUpperCase match {
-          case "REPLICATE_DO_TABLE" => doT = tables
-          case "REPLICATE_IGNORE_TABLE" => ignT = tables
+        parts(0).toUpperCase match {
+          case "REPLICATE_DO_TABLE" => doT = Some(tables)
+          case "REPLICATE_IGNORE_TABLE" => ignT = Some(tables)
           case other => throw new IllegalArgumentException(
             s"unsupported CHANGE REPLICATION FILTER option: $other " +
               "(REPLICATE_DO_TABLE / REPLICATE_IGNORE_TABLE)")
@@ -2871,19 +2876,16 @@ object SqlRouter {
       engine.resetReplica(all != null); ddl
     case ShowReplicaStatusStmt() =>
       val sp = engine.spark
-      import sp.implicits._
       val st = engine.replicaStatus
-      if (st.isEmpty)
-        Result(Some(Seq.empty[(String, String)].toDF("Source_Host", "v")
-          .limit(0)), 0L) // MySQL: empty set when never configured
-      else {
-        val row = org.apache.spark.sql.Row.fromSeq(st.map(_._2))
-        val schema = org.apache.spark.sql.types.StructType(st.map(p =>
-          org.apache.spark.sql.types.StructField(p._1,
-            org.apache.spark.sql.types.StringType)))
-        Result(Some(sp.createDataFrame(
-          java.util.Collections.singletonList(row), schema)), 0L)
-      }
+      // never-configured: MySQL returns an EMPTY SET carrying the full
+      // status column list (tools index columns before checking rows)
+      val cols = if (st.nonEmpty) st.map(_._1) else Engine.replicaStatusCols
+      val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      if (st.nonEmpty) rows.add(org.apache.spark.sql.Row.fromSeq(st.map(_._2)))
+      Result(Some(sp.createDataFrame(rows, schema)), 0L)
     case ShowSubscriptions() =>
       val sp = engine.spark
       import sp.implicits._

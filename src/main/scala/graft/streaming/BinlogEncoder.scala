@@ -83,8 +83,20 @@ object BinlogEncoder {
     case (Varchar(maxLen, cs), s: String) =>
       val b = s.getBytes(java.nio.charset.Charset.forName(
         if (cs.equalsIgnoreCase("utf8mb4")) "UTF-8" else cs))
-      if (maxLen > 255) cat(Seq(le(b.length.toLong, 2), b))
-      else cat(Seq(Array(b.length.toByte), b))
+      // the prefix width is decided by maxLen in CHARS but measures
+      // BYTES — a multibyte string can exceed the 1-byte prefix while
+      // honoring maxLen; a wrapped length would silently desync every
+      // later cell in the row, so refuse loudly
+      if (maxLen > 255) {
+        require(b.length <= 0xffff,
+          s"Varchar cell is ${b.length} bytes; 2-byte length prefix caps at 65535")
+        cat(Seq(le(b.length.toLong, 2), b))
+      } else {
+        require(b.length <= 0xff,
+          s"Varchar($maxLen) cell is ${b.length} BYTES (multibyte?); " +
+            "declare the column Varchar(>255) for a 2-byte length prefix")
+        cat(Seq(Array(b.length.toByte), b))
+      }
     case (t, x) => throw new IllegalArgumentException(
       s"BinlogEncoder: unsupported cell $t <- ${Option(x).map(_.getClass)}")
   }

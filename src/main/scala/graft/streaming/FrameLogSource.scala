@@ -107,23 +107,28 @@ object FrameLog {
     * discipline, Engine.createSubscription/refreshSubscription). */
   def endState(dir: java.nio.file.Path, slot: String, from: Long)
       : (Long, Option[Long]) =
-    walkEnd(dir, slot, from, None)
+    walkEnd(dir, slot, from, pgAware = false)
 
-  /** [[endState]] stopping at the last record whose FIRST PAYLOAD BYTE
-    * satisfies `boundary` — the transaction-boundary walk the
-    * subscription poll needs: a publisher mid-append can leave a
-    * complete RECORD that is not a complete TRANSACTION on disk, and a
-    * byte window frozen there would hand the stateless decoder a
-    * Begin-less suffix on the NEXT poll (a permanently wedged
-    * subscription). For pgoutput the boundary bytes are 'C' (Commit)
-    * and 'c' (StreamCommit). Returns the byte position after the last
-    * boundary record and its position stamp. */
-  def endAtBoundary(dir: java.nio.file.Path, slot: String, from: Long,
-      boundary: Byte => Boolean): (Long, Option[Long]) =
-    walkEnd(dir, slot, from, Some(boundary))
+  /** [[endState]] stopping at the last position that is a SAFE
+    * pgoutput transaction cut — the subscription poll's window rule: a
+    * publisher mid-append can leave a complete RECORD that is not a
+    * complete TRANSACTION on disk, and a byte window frozen there
+    * would hand the stateless decoder a Begin-less suffix on the NEXT
+    * poll (a permanently wedged subscription). A cut is safe after a
+    * Commit ('C') or StreamCommit ('c') frame ONLY when no PG14
+    * streamed in-progress transaction is still open there — streamed
+    * txns interleave with serialized ones ('S' chunks for xid B may
+    * precede Commit(A), with StreamCommit(B) later), and cutting at
+    * Commit(A) would discard B's buffered early chunks while advancing
+    * past them. StreamStart ('S') opens its xid; StreamCommit ('c') /
+    * StreamAbort ('A') close it. Returns the byte position after the
+    * last safe cut and that record's position stamp. */
+  def endAtPgCommit(dir: java.nio.file.Path, slot: String, from: Long)
+      : (Long, Option[Long]) =
+    walkEnd(dir, slot, from, pgAware = true)
 
   private def walkEnd(dir: java.nio.file.Path, slot: String, from: Long,
-      boundary: Option[Byte => Boolean]): (Long, Option[Long]) = {
+      pgAware: Boolean): (Long, Option[Long]) = {
     val f = dir.resolve(slot + Suffix)
     if (!java.nio.file.Files.exists(f)) return (from, None)
     val ch = java.nio.channels.FileChannel.open(f,
@@ -131,38 +136,55 @@ object FrameLog {
     try {
       val size = ch.size()
       val hdr = java.nio.ByteBuffer.allocate(HeaderLen)
-      val fb = java.nio.ByteBuffer.allocate(1)
+      val pb = java.nio.ByteBuffer.allocate(5) // type byte + 4-byte xid
+      val openStreams = scala.collection.mutable.Set.empty[Long]
       var pos = from
       var last = Option.empty[Long]
       var lastPos = from
       var done = false
-      while (!done && pos + HeaderLen <= size) {
-        hdr.clear()
+      // a short positional read anywhere = torn tail: stop the walk
+      // gracefully (the record becomes visible once complete)
+      def readFully(buf: java.nio.ByteBuffer, at: Long, n: Int): Boolean = {
+        buf.clear(); buf.limit(n)
         var read = 0
-        while (read < HeaderLen) {
-          val n = ch.read(hdr, pos + read)
-          if (n < 0) { done = true; read = HeaderLen } else read += n
+        while (read < n) {
+          val r = ch.read(buf, at + read)
+          if (r < 0) return false
+          read += r
         }
-        if (!done) {
-          hdr.flip()
+        buf.flip(); true
+      }
+      while (!done && pos + HeaderLen <= size) {
+        if (!readFully(hdr, pos, HeaderLen)) done = true
+        else {
           val off = hdr.getLong
           val len = hdr.getInt
           if (len < 0 || pos + HeaderLen + len > size) done = true // torn tail
           else {
-            val hit = boundary match {
-              case None => true
-              case Some(p) if len > 0 =>
-                fb.clear()
-                var r = 0
-                while (r < 1) {
-                  val n = ch.read(fb, pos + HeaderLen)
-                  if (n < 0) r = 1 else r += n
+            var hit = !pgAware
+            if (pgAware && len > 0) {
+              val want = math.min(5, len)
+              if (!readFully(pb, pos + HeaderLen, want)) done = true
+              else {
+                val first = pb.get()
+                def xid: Option[Long] =
+                  if (want >= 5) Some(pb.getInt.toLong & 0xffffffffL)
+                  else None
+                first.toChar match {
+                  case 'S' => xid.foreach(openStreams += _)
+                  case 'A' => xid.foreach(openStreams -= _)
+                  case 'c' =>
+                    xid.foreach(openStreams -= _)
+                    hit = openStreams.isEmpty
+                  case 'C' => hit = openStreams.isEmpty
+                  case _ => ()
                 }
-                fb.flip(); p(fb.get())
-              case Some(_) => false // empty payload: never a boundary
+              }
             }
-            pos += HeaderLen + len
-            if (hit) { last = Some(off); lastPos = pos }
+            if (!done) {
+              pos += HeaderLen + len
+              if (hit) { last = Some(off); lastPos = pos }
+            }
           }
         }
       }

@@ -15,11 +15,16 @@ class ReplicaControllerSpec extends SparkSpec {
 
   test("replica controller: configure, errors, status, reset") {
     val e = new Engine(spark, tmpDir("replctl"))
-    // never configured: START errors, SHOW returns the empty set
+    // never configured: START errors, SHOW returns the empty set —
+    // carrying the FULL status column list (MySQL does; tools index
+    // columns before checking rows)
     val ex0 = intercept[Exception](exec(e, "START REPLICA"))
     assert(ex0.getMessage.contains(
       "server is not configured as a replication replica"))
-    assert(exec(e, "SHOW REPLICA STATUS").df.get.collect().isEmpty)
+    val empty = exec(e, "SHOW REPLICA STATUS").df.get
+    assert(empty.collect().isEmpty &&
+      empty.columns.contains("Replica_IO_Running") &&
+      empty.columns.contains("Executed_Gtid_Set"))
 
     // incomplete configuration errors as early as possible (ref
     // binlog_replication_test.go:357-362)
@@ -52,10 +57,17 @@ class ReplicaControllerSpec extends SparkSpec {
       col("Replica_SQL_Running") === "No")
 
     // filters persist, surface, and ENFORCE (the SQL-thread-side
-    // filter point, reference binlog_replica_filtering.go)
-    exec(e, "CHANGE REPLICATION FILTER REPLICATE_DO_TABLE=(db1.t1, db1.t2), " +
-      "REPLICATE_IGNORE_TABLE=(db1.t2)")
-    assert(e.replicaFilters === (Seq("db1.t1", "db1.t2"), Seq("db1.t2")))
+    // filter point, reference binlog_replica_filtering.go). MySQL
+    // semantics: a filter type NOT named keeps its previous value —
+    // setting them in SEPARATE statements must not wipe each other.
+    exec(e, "CHANGE REPLICATION FILTER REPLICATE_IGNORE_TABLE=(db1.t2)")
+    exec(e, "CHANGE REPLICATION FILTER REPLICATE_DO_TABLE=(db1.t1, db1.t2)")
+    assert(e.replicaFilters === (Seq("db1.t1", "db1.t2"), Seq("db1.t2")),
+      "an unlisted filter type must keep its previous value")
+    // a NAMED empty list clears exactly that type
+    exec(e, "CHANGE REPLICATION FILTER REPLICATE_IGNORE_TABLE=()")
+    assert(e.replicaFilters === (Seq("db1.t1", "db1.t2"), Seq()))
+    exec(e, "CHANGE REPLICATION FILTER REPLICATE_IGNORE_TABLE=(db1.t2)")
     import spark.implicits._
     val ev = Seq(("db1", "t1", 1), ("db1", "t2", 2), ("db1", "t3", 3),
       ("db2", "t1", 4)).toDF("db", "tbl", "v")

@@ -135,6 +135,32 @@ class SubscriptionSpec extends SparkSpec {
     assert(exec(e, "ALTER SUBSCRIPTION s2 REFRESH").affected === 0L)
   }
 
+  test("endAtPgCommit never cuts inside an open streamed transaction") {
+    // PG14 streamed txns interleave with serialized ones: chunks of
+    // xid B ('S') may precede Commit(A), with StreamCommit(B) later.
+    // A cut at Commit(A) would discard B's buffered early chunks while
+    // advancing past them — the walk must only cut where no stream is
+    // open.
+    val fl = tmpDir("sub_streamcut")
+    def be(n: Long, w: Int): Array[Byte] =
+      (0 until w).map(i => ((n >> (8 * (w - 1 - i))) & 0xff).toByte).toArray
+    val sStart = Array('S'.toByte) ++ be(42L, 4) :+ 1.toByte
+    val commitA = PgOutputEncoder.commit(7L)
+    val streamCommitB =
+      Array('c'.toByte) ++ be(42L, 4) ++ Array(0.toByte) ++
+        be(9L, 8) ++ be(10L, 8) ++ be(0L, 8)
+    FrameLog.append(fl, "x", Seq((1L, sStart), (2L, commitA)))
+    val (cut1, off1) = FrameLog.endState(fl, "x", 0L) // plain walk: all
+    val (cutPg, offPg) = FrameLog.endAtPgCommit(fl, "x", 0L)
+    assert(off1 === Some(2L) && cut1 > 0L)
+    assert(cutPg === 0L && offPg.isEmpty,
+      "Commit(A) with stream B open must NOT be a cut point")
+    FrameLog.append(fl, "x", Seq((3L, streamCommitB)))
+    val (cut2, off2) = FrameLog.endAtPgCommit(fl, "x", 0L)
+    assert(off2 === Some(3L) && cut2 === cut1 + 12 + streamCommitB.length,
+      "StreamCommit(B) closes the stream and becomes the cut")
+  }
+
   test("framelog windowed batch read: ranged slots only, exact window") {
     val fl = tmpDir("sub_flrange")
     val sch = StructType(Seq(StructField("id", LongType, nullable = false)))
