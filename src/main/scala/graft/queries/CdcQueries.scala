@@ -237,7 +237,8 @@ object CdcQueries {
       import graft.{Engine, SqlRouter}
       val e = new Engine(s, Files.createTempDirectory("graft_q102"))
       e.bindTables(dir, "customer")
-      def run(q: String): Unit = SqlRouter.execute(e, q)
+      val tm = new StmtTimer("q102")
+      def run(q: String): Unit = tm(q)(SqlRouter.execute(e, q))
       run("CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING, bal DOUBLE)")
       run("CREATE TABLE adj (id BIGINT PRIMARY KEY, delta DOUBLE)")
       run("INSERT INTO t SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 500")
@@ -251,6 +252,7 @@ object CdcQueries {
       run("UPDATE t SET (v, bal) = (concat(v, '!'), bal * 2) WHERE id <= 100")
       // join delete
       run("DELETE FROM t USING adj WHERE t.id = adj.id AND adj.delta > 20")
+      tm.report()
       SqlRouter.execute(e, "SELECT id, v, bal FROM t ORDER BY id").df.get
     },
     Some("""WITH seed AS (SELECT c_custkey AS id, c_name AS v, c_acctbal AS bal
@@ -288,7 +290,8 @@ object CdcQueries {
       import graft.{Engine, SqlRouter}
       val e = new Engine(s, Files.createTempDirectory("graft_q103"))
       e.bindTables(dir, "customer")
-      def run(q: String): Unit = SqlRouter.execute(e, q)
+      val tm = new StmtTimer("q103")
+      def run(q: String): Unit = tm(q)(SqlRouter.execute(e, q))
       run("CREATE TABLE t (id BIGINT PRIMARY KEY, v STRING, bal DOUBLE)")
       run("INSERT INTO t SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 400")
       run("SET autocommit = 0") // implicit txn opens
@@ -302,6 +305,7 @@ object CdcQueries {
       run("DELETE FROM t ORDER BY id DESC LIMIT 50")
       run("COMMIT")
       run("SET autocommit = 1")
+      tm.report()
       SqlRouter.execute(e, "SELECT id, v, bal FROM t ORDER BY id").df.get
     },
     Some("""SELECT c_custkey AS id,
@@ -324,7 +328,8 @@ object CdcQueries {
       import graft.{Engine, SqlRouter}
       val e = new Engine(s, Files.createTempDirectory("graft_q104"))
       e.bindTables(dir, "customer")
-      def run(q: String): Unit = SqlRouter.execute(e, q)
+      val tm = new StmtTimer("q104")
+      def run(q: String): Unit = tm(q)(SqlRouter.execute(e, q))
       run("CREATE TABLE d (id BIGINT NOT NULL AUTO_INCREMENT, label STRING, " +
         "score DOUBLE, PRIMARY KEY (id))")
       // explicit ids advance the counter to max(id)+1
@@ -340,6 +345,7 @@ object CdcQueries {
       run("ALTER TABLE d MODIFY COLUMN label VARCHAR(100)")
       run("ALTER TABLE d RENAME COLUMN bonus TO extra")
       run("ALTER TABLE d RENAME TO d2")
+      tm.report()
       SqlRouter.execute(e,
         "SELECT id, label, score, extra, total FROM d2 ORDER BY id").df.get
     },
@@ -368,7 +374,8 @@ object CdcQueries {
       import graft.{Engine, SqlRouter}
       val e = new Engine(s, Files.createTempDirectory("graft_q105"))
       e.bindTables(dir, "customer")
-      def run(q: String): Unit = SqlRouter.execute(e, q)
+      val tm = new StmtTimer("q105")
+      def run(q: String): Unit = tm(q)(SqlRouter.execute(e, q))
       run("CREATE TABLE t (id BIGINT PRIMARY KEY, email STRING, hits INT, " +
         "UNIQUE KEY uq_email (email))")
       run("INSERT INTO t SELECT c_custkey, concat('e', CAST(c_custkey AS STRING)), 1 " +
@@ -387,6 +394,7 @@ object CdcQueries {
       run("INSERT INTO t SELECT c_custkey + 30000, concat('E', CAST(c_custkey AS STRING)), 3 " +
         "FROM customer WHERE c_custkey BETWEEN 400 AND 500 " +
         "ON CONFLICT (lower(email)) DO UPDATE SET hits = hits + excluded.hits")
+      tm.report()
       SqlRouter.execute(e,
         "SELECT id, email, hits FROM t ORDER BY id").df.get
     },
@@ -473,7 +481,8 @@ object CdcQueries {
       import graft.{Engine, SqlRouter}
       val e = new Engine(s, Files.createTempDirectory("graft_q107"))
       e.bindTables(dir, "customer")
-      def run(q: String): Unit = SqlRouter.execute(e, q)
+      val tm = new StmtTimer("q107")
+      def run(q: String): Unit = tm(q)(SqlRouter.execute(e, q))
       run("CREATE TYPE tier AS ENUM ('basic', 'gold')")
       run("CREATE TABLE acct (id BIGINT NOT NULL AUTO_INCREMENT, " +
         "name STRING, t tier, bal DOUBLE DEFAULT 0.5, PRIMARY KEY (id), " +
@@ -491,6 +500,7 @@ object CdcQueries {
         "FROM customer WHERE c_custkey BETWEEN 150 AND 250 " +
         "ON CONFLICT (name) DO UPDATE SET bal = bal + excluded.bal")
       run("INSERT INTO acct2 VALUES (20000, 'zzz_new', 'basic', 0.5)")
+      tm.report()
       SqlRouter.execute(e,
         "SELECT id, name, t, bal FROM acct2 ORDER BY id").df.get
     },
@@ -621,7 +631,8 @@ object CdcQueries {
       import graft.{Engine, SqlRouter}
       val e = new Engine(s, Files.createTempDirectory("graft_q110"))
       e.bindTables(dir, "orders")
-      def run(q: String): Unit = SqlRouter.execute(e, q)
+      val tm = new StmtTimer("q110")
+      def run(q: String): Unit = tm(q)(SqlRouter.execute(e, q))
       run("CREATE TABLE po (okey BIGINT, prio STRING, " +
         "price DECIMAL(18,2)) PARTITION BY RANGE (okey)")
       run("CREATE TABLE po_lo PARTITION OF po " +
@@ -634,6 +645,7 @@ object CdcQueries {
       run("UPDATE po SET prio = 'X' WHERE okey % 10 = 0")
       run("DELETE FROM po WHERE okey % 7 = 3")
       run("ALTER TABLE po DETACH PARTITION po_mid")
+      tm.report()
       SqlRouter.execute(e,
         "SELECT 'lo' AS part, count(*) AS cnt, " +
           "CAST(sum(price) AS DECIMAL(18,2)) AS amt, " +
@@ -893,7 +905,8 @@ object CdcQueries {
       import graft.{Engine, SqlRouter}
       val e = new Engine(s, Files.createTempDirectory("graft_q112"))
       e.bindTables(dir, "customer")
-      def run(q: String): Unit = SqlRouter.execute(e, q)
+      val tm = new StmtTimer("q112")
+      def run(q: String): Unit = tm(q)(SqlRouter.execute(e, q))
       run("CREATE TABLE pal (id BIGINT NOT NULL, name STRING, " +
         "bal DECIMAL(18,2), PRIMARY KEY (id)) PARTITION BY RANGE (id)")
       run("CREATE TABLE pal_lo PARTITION OF pal " +
@@ -915,6 +928,7 @@ object CdcQueries {
       run("UPDATE pal SET tier = tier + 10 WHERE name = 'anon'")
       run("ALTER TABLE pal ADD CONSTRAINT amt_floor CHECK (amount >= -1000)")
       run("ALTER TABLE pal DROP COLUMN name")
+      tm.report()
       SqlRouter.execute(e,
         "SELECT 'hi' AS part, count(*) AS cnt, " +
           "CAST(sum(amount) AS DECIMAL(18,2)) AS amt, " +
