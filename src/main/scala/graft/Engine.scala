@@ -925,12 +925,22 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
         m.schema, m.pkCols, m.autoInc, m.props)
       if (!m.props.contains("partition.by")) local.insert(st.read())
     }
-    // 3. persist enabled with the pre-copy checkpoint (LSN + byte pos)
-    writeSubscriptions(subscriptions + (name -> Map(
-      "connection" -> connection, "publication" -> publication,
-      "db" -> currentDb, "tables" -> tables.mkString(","),
-      "enabled" -> "true", "lsn" -> lsn0.toString,
-      "bytepos" -> bytePos0.toString)))
+    // 3. persist enabled with the pre-copy checkpoint (LSN + byte pos).
+    //    Re-read, re-check the name, and write in ONE synchronized RMW
+    //    (the check at the top is a fast-fail; the snapshot between it
+    //    and here runs unlocked, so two concurrent CREATEs could
+    //    otherwise interleave and silently drop one catalog entry —
+    //    same discipline as refreshSubscription's advance())
+    synchronized {
+      val subs = subscriptions
+      require(!subs.contains(name),
+        s"""subscription "$name" already exists""")
+      writeSubscriptions(subs + (name -> Map(
+        "connection" -> connection, "publication" -> publication,
+        "db" -> currentDb, "tables" -> tables.mkString(","),
+        "enabled" -> "true", "lsn" -> lsn0.toString,
+        "bytepos" -> bytePos0.toString)))
+    }
   }
 
   def alterSubscription(name: String, enabled: Boolean): Unit =

@@ -118,6 +118,9 @@ object BinlogEncoder {
 
   private def rowsEvent(tpe: Int, tableId: Long, specs: Seq[ColSpec],
       images: Seq[Array[Byte]], twoBitmaps: Boolean): Array[Byte] = {
+    // same one-byte length-encoded-int bound tableMap enforces: 251+
+    // columns would silently emit a malformed event and desync decode
+    require(specs.size < 251, "length-encoded column count kept to one byte")
     val bm = Array.fill((specs.size + 7) / 8)(0xff.toByte)
     val bitmaps = if (twoBitmaps) Seq(bm, bm) else Seq(bm)
     event(tpe, cat(Seq(le(tableId, 6), le(1L, 2), le(2L, 2),

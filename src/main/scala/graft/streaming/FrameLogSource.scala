@@ -136,7 +136,7 @@ object FrameLog {
     try {
       val size = ch.size()
       val hdr = java.nio.ByteBuffer.allocate(HeaderLen)
-      val pb = java.nio.ByteBuffer.allocate(5) // type byte + 4-byte xid
+      val pb = java.nio.ByteBuffer.allocate(9) // type + xid + (subxid for 'A')
       val openStreams = scala.collection.mutable.Set.empty[Long]
       var pos = from
       var last = Option.empty[Long]
@@ -163,7 +163,7 @@ object FrameLog {
           else {
             var hit = !pgAware
             if (pgAware && len > 0) {
-              val want = math.min(5, len)
+              val want = math.min(9, len)
               if (!readFully(pb, pos + HeaderLen, want)) done = true
               else {
                 val first = pb.get()
@@ -172,7 +172,17 @@ object FrameLog {
                   else None
                 first.toChar match {
                   case 'S' => xid.foreach(openStreams += _)
-                  case 'A' => xid.foreach(openStreams -= _)
+                  case 'A' =>
+                    // StreamAbort carries (xid, subxid); only
+                    // subxid == xid aborts the TOP-LEVEL stream —
+                    // a subtransaction abort leaves it open (PG14
+                    // protocol; a Commit mid-stream is NOT a safe cut)
+                    val x = xid
+                    val subxid: Option[Long] =
+                      if (want >= 9) Some(pb.getInt.toLong & 0xffffffffL)
+                      else None
+                    if (subxid.isEmpty || subxid == x)
+                      x.foreach(openStreams -= _)
                   case 'c' =>
                     xid.foreach(openStreams -= _)
                     hit = openStreams.isEmpty

@@ -64,15 +64,34 @@ object PgOutputEncoder {
     out.toByteArray
   }
 
-  /** PostgreSQL text-output spelling of one cell (None = SQL NULL). */
+  /** `yyyy-MM-dd HH:mm:ss[.ffffff]+00` — how PG's output function
+    * spells timestamptz (always with an offset; [[PgOutputDecoder]]'s
+    * 1184 text branch requires one or OffsetDateTime.parse throws). */
+  private def pgTimestamptz(i: java.time.Instant): String = {
+    val odt = java.time.OffsetDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+    val base = "%04d-%02d-%02d %02d:%02d:%02d".format(
+      odt.getYear, odt.getMonthValue, odt.getDayOfMonth,
+      odt.getHour, odt.getMinute, odt.getSecond)
+    val micros = odt.getNano / 1000
+    val frac =
+      if (micros == 0) ""
+      else "." + "%06d".format(micros).reverse.dropWhile(_ == '0').reverse
+    base + frac + "+00"
+  }
+
+  /** PostgreSQL text-output spelling of one cell (None = SQL NULL).
+    * Spark hands TimestampType cells back as java.sql.Timestamp (or
+    * Instant under the java8 API) — those are OID 1184 (timestamptz)
+    * per [[pgTypeOid]] and MUST carry a PG-style `+00` offset; only
+    * TimestampNTZType's LocalDateTime stays offset-less (OID 1114). */
   def textOf(v: Any): Option[String] = Option(v).map {
     case b: Boolean => if (b) "t" else "f"
     case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal => d.bigDecimal.toPlainString
     case b: Array[Byte] => "\\x" + b.map("%02x".format(_)).mkString
     case d: java.sql.Date => d.toString
-    case t: java.sql.Timestamp =>
-      t.toLocalDateTime.toString.replace('T', ' ')
+    case t: java.sql.Timestamp => pgTimestamptz(t.toInstant)
+    case t: java.time.Instant => pgTimestamptz(t)
     case t: java.time.LocalDateTime => t.toString.replace('T', ' ')
     case x => x.toString
   }

@@ -161,6 +161,67 @@ class SubscriptionSpec extends SparkSpec {
       "StreamCommit(B) closes the stream and becomes the cut")
   }
 
+  test("timestamptz columns survive the publish→refresh round trip") {
+    // PgOutputEncoder advertises TimestampType as OID 1184
+    // (timestamptz); the decoder's 1184 text branch requires a
+    // PG-style offset — an offset-less spelling wedged the first
+    // REFRESH on any table with a TIMESTAMP column (ADVICE r16)
+    val pubWh = tmpDir("sub_ts_pub")
+    val subWh = tmpDir("sub_ts_sub")
+    val fl = tmpDir("sub_ts_fl")
+    val pub = new Engine(spark, pubWh)
+    exec(pub, "CREATE TABLE evts (id BIGINT NOT NULL, ts TIMESTAMP, " +
+      "PRIMARY KEY (id))")
+    exec(pub, "INSERT INTO evts VALUES (1, TIMESTAMP'2024-03-05 06:07:08')")
+    val sub = new Engine(spark, subWh)
+    exec(sub, s"CREATE SUBSCRIPTION ts1 CONNECTION " +
+      s"'warehouse=$pubWh dbname=main framelog=$fl slot=ts1' " +
+      "PUBLICATION p")
+    val tsSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("ts", TimestampType)))
+    // fractional and whole-second spellings both parse back
+    val frac = java.sql.Timestamp.from(
+      java.time.Instant.parse("2031-01-02T03:04:05.123456Z"))
+    val whole = java.sql.Timestamp.from(
+      java.time.Instant.parse("2031-06-07T08:09:10Z"))
+    assert(PgOutputEncoder.textOf(frac) ===
+      Some("2031-01-02 03:04:05.123456+00"))
+    assert(PgOutputEncoder.textOf(whole) === Some("2031-06-07 08:09:10+00"))
+    val (t1, _) = PgOutputEncoder.txn(1L, 7L, 16384, "public", "evts",
+      tsSchema, Seq(
+        PgOutputEncoder.Change(CdcMerge.ActionInsert, Seq(2L, frac)),
+        PgOutputEncoder.Change(CdcMerge.ActionInsert, Seq(3L, whole))))
+    FrameLog.append(fl, "ts1", t1)
+    assert(exec(sub, "ALTER SUBSCRIPTION ts1 REFRESH").affected > 0L)
+    val got = exec(sub, "SELECT id, ts FROM evts WHERE id >= 2 ORDER BY id")
+      .df.get.collect()
+    assert(got(0).getTimestamp(1).toInstant === frac.toInstant)
+    assert(got(1).getTimestamp(1).toInstant === whole.toInstant)
+  }
+
+  test("StreamAbort: subtransaction abort keeps the top-level stream open") {
+    // pgoutput 'A' carries (xid, subxid); only subxid == xid aborts
+    // the top-level stream — a subxact abort must not make a following
+    // Commit look like a safe cut mid-streamed-transaction
+    val fl = tmpDir("sub_subabort")
+    def be(n: Long, w: Int): Array[Byte] =
+      (0 until w).map(i => ((n >> (8 * (w - 1 - i))) & 0xff).toByte).toArray
+    val sStart = Array('S'.toByte) ++ be(42L, 4) :+ 1.toByte
+    val subAbort = Array('A'.toByte) ++ be(42L, 4) ++ be(43L, 4)
+    val commitA = PgOutputEncoder.commit(7L)
+    FrameLog.append(fl, "x", Seq((1L, sStart), (2L, subAbort), (3L, commitA)))
+    val (cut1, off1) = FrameLog.endAtPgCommit(fl, "x", 0L)
+    assert(cut1 === 0L && off1.isEmpty,
+      "subxact abort must NOT close its stream")
+    val topAbort = Array('A'.toByte) ++ be(42L, 4) ++ be(42L, 4)
+    val commitB = PgOutputEncoder.commit(9L)
+    FrameLog.append(fl, "x", Seq((4L, topAbort), (5L, commitB)))
+    val (cut2, off2) = FrameLog.endAtPgCommit(fl, "x", 0L)
+    assert(off2 === Some(5L) && cut2 > 0L,
+      "top-level abort closes the stream; the next Commit is a cut")
+  }
+
   test("framelog windowed batch read: ranged slots only, exact window") {
     val fl = tmpDir("sub_flrange")
     val sch = StructType(Seq(StructField("id", LongType, nullable = false)))
