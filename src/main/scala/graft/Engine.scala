@@ -1223,6 +1223,62 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
         .map(e => Option(e.getMessage).getOrElse(e.toString)).getOrElse(""))
   }
 
+  /** SQL-apply side of the replica, poll form (the reference's applier
+    * thread applies row events as they arrive,
+    * `binlogreplication/binlog_replica_applier.go:864-1266`; here the
+    * IO thread's flushed framelog applies in batches — the exact
+    * discipline of [[refreshSubscription]]): decode every frame in
+    * the window [apply checkpoint, last binlog txn boundary), honor
+    * the recorded REPLICATE_* filters (C10), LWW-condense + CoW-merge
+    * each named table (C6/C7), then advance the checkpoint. `tables`
+    * are local `db.table` names matching the primary's TABLE_MAP
+    * names; decode specs derive from each table's declared schema
+    * ([[graft.streaming.BinlogRowDecoder.specsFor]]). The window cut
+    * ([[graft.streaming.FrameLog.endAtMyCommit]]) never splits a
+    * transaction, so a poll racing the IO thread stays safe. Returns
+    * the number of frames consumed. */
+  def applyReplicaLog(tables: Seq[String],
+      crc32Checksum: Boolean = false): Long = {
+    val dir = warehouse.resolve("_replica")
+    val slot = "replica"
+    if (!Files.isDirectory(dir)) return 0L
+    val from = replicaConfig.getOrElse("apply.bytepos", "0").toLong
+    val (to, _) = graft.streaming.FrameLog.endAtMyCommit(dir, slot, from)
+    if (to <= from) return 0L
+    import org.apache.spark.sql.functions.col
+    val frames = spark.read.format("framelog")
+      .option(s"range.$slot", s"$from:$to").load(dir.toString)
+      .persist() // one file read; N per-table decode passes below
+    try {
+      val n = frames.count()
+      // per-table admission with filterTables' exact rule (the row-
+      // level enforcement point): DO-list admits when set, IGNORE wins
+      val (doT, ignT) = replicaFilters
+      def admitted(qt: String): Boolean =
+        !ignT.contains(qt) && (doT.isEmpty || doT.contains(qt))
+      tables.filter(admitted).foreach { qt =>
+        val t = table(qt)
+        val specs = graft.streaming.BinlogRowDecoder.specsFor(t.schema)
+        val decoded = graft.streaming.BinlogEventDecoder.decodeSlotStreams(
+          frames, "slot", "off", "payload", qt, specs, crc32Checksum)
+        // decode types follow the wire specs; the table may declare a
+        // wider/different Spark type (BOOL rides TINYINT) — cast data
+        // columns back to the declared schema before the merge
+        val aligned = decoded.select(
+          t.schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toSeq ++
+            graft.streaming.CdcMerge.metaCols.map(col): _*)
+        graft.streaming.CdcMerge.applyBatch(t, aligned)
+      }
+      // advance AGAINST THE CURRENT config, touching only the apply
+      // key — a concurrent CHANGE/STOP must not be reverted
+      synchronized {
+        writeReplicaConfig(replicaConfig + ("apply.bytepos" -> to.toString))
+      }
+      n
+    } finally frames.unpersist()
+  }
+
   // ------------------------------------------------------------------
 
   private def deleteRecursively(p: Path): Unit = {

@@ -1416,7 +1416,172 @@ object CdcQueries {
         CAST(max(id) AS BIGINT) AS mx FROM fin GROUP BY seg
       ORDER BY seg"""))
 
+  // --------------------------------------------------------------------
+  // q118 — the replica-controller DAEMON chain under the hash gate
+  // (r16 verdict #1; reference
+  // `binlogreplication/binlog_replica_controller.go:94-360` configure/
+  // start/stop/status, `binlog_replica_applier.go:108-482` the IO
+  // thread): a scripted primary (ReplicaControllerSpec's server loop)
+  // serves BinlogEncoder-authored GTID/XID transactions over the REAL
+  // MySQL wire; CHANGE REPLICATION SOURCE TO → START REPLICA runs the
+  // live TCP daemon (handshake, auth, checksum/heartbeat registration,
+  // COM_BINLOG_DUMP_GTID) appending to the _replica framelog; STOP
+  // REPLICA flushes; Engine.applyReplicaLog decodes → LWW-condenses →
+  // CoW-merges — the daemon twin of q117 (which drives the same decode
+  // from fixture bytes with no network). The hashed result carries the
+  // final table state AND the persisted Executed_Gtid_Set.
+  private val q118 = QueryDef(
+    "q118_replica_controller",
+    (s, dir) => {
+      import java.io.{DataInputStream, DataOutputStream}
+      import java.net.ServerSocket
+      import java.nio.charset.StandardCharsets
+      import graft.{Engine, SqlRouter}
+      import graft.streaming.{BinlogEncoder => BE,
+        BinlogRowDecoder => BRD}
+      val e = new Engine(s, Files.createTempDirectory("graft_q118"))
+      e.bindTables(dir, "customer")
+      val tm = new StmtTimer("q118")
+      SqlRouter.execute(e, "CREATE TABLE acct (id BIGINT NOT NULL, " +
+        "seg STRING, n INT, PRIMARY KEY (id))")
+      tm("seed")(SqlRouter.execute(e, "INSERT INTO acct SELECT " +
+        "c_custkey, c_mktsegment, 0 FROM customer"))
+      // wire fixtures authored driver-side from the publisher's row
+      // images (the q116/q117 pattern; a real primary's binlog IS
+      // these bytes) — specs derive from the replicated schema exactly
+      // as the apply side will derive them
+      val specs = BRD.specsFor(e.table("acct").schema)
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          col("c_mktsegment").as("seg"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val shift = cust.map(_._1).max + 1000L
+      val sid = (1 to 16).map(_.toByte).toArray
+      val sidHex = sid.map(b => f"$b%02x").mkString
+      val (t1, o1) = BE.txn(1L, sid, 1L, 7L, "main", "acct", specs,
+        cust.filter(_._1 % 8 == 0).map(c =>
+          BE.Upd(Seq(c._1, c._2, 0), Seq(c._1, c._2, 1))).toSeq)
+      val (t2, o2) = BE.txn(o1, sid, 2L, 7L, "main", "acct", specs,
+        cust.filter(_._1 % 40 == 0).map(c =>
+          BE.Ins(Seq(c._1 + shift, "NEW", 2))).toSeq)
+      val (t3, _) = BE.txn(o2, sid, 3L, 7L, "main", "acct", specs,
+        cust.filter(_._1 % 11 == 5).map(c =>
+          BE.Del(Seq(c._1, null, null))).toSeq)
+      val stream = Seq(BE.fde()) ++ (t1 ++ t2 ++ t3).map(_._2)
+
+      // scripted primary: handshake → accept auth → OK the checksum +
+      // heartbeat registrations → accept COM_BINLOG_DUMP_GTID → stream
+      // the events → hold until the replica disconnects
+      def le(n: Long, bytes: Int): Array[Byte] =
+        (0 until bytes).map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
+      def catB(parts: Array[Byte]*): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream(); parts.foreach(o.write)
+        o.toByteArray
+      }
+      def writePacket(out: DataOutputStream, seq: Int,
+          p: Array[Byte]): Unit = {
+        out.writeByte(p.length & 0xff); out.writeByte((p.length >> 8) & 0xff)
+        out.writeByte((p.length >> 16) & 0xff); out.writeByte(seq & 0xff)
+        out.write(p)
+      }
+      def readPacket(in: DataInputStream): Array[Byte] = {
+        val h = new Array[Byte](4); in.readFully(h)
+        val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
+        val b = new Array[Byte](len); in.readFully(b); b
+      }
+      val scramble = (21 to 40).map(_.toByte).toArray
+      val handshake = catB(Array(10.toByte),
+        "8.0.0-scripted".getBytes(StandardCharsets.UTF_8), Array(0.toByte),
+        le(7L, 4), scramble.take(8), Array(0.toByte), le(0xffffL, 2),
+        Array(33.toByte), le(2L, 2), le(0x0008L, 2), Array(21.toByte),
+        Array.fill(10)(0.toByte), scramble.drop(8), Array(0.toByte),
+        "mysql_native_password".getBytes(StandardCharsets.UTF_8),
+        Array(0.toByte))
+      val ok = Array[Byte](0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00)
+      val server = new ServerSocket(0)
+      val primary = new Thread(() => {
+        try {
+          val sock = server.accept()
+          val in = new DataInputStream(sock.getInputStream)
+          val out = new DataOutputStream(sock.getOutputStream)
+          writePacket(out, 0, handshake); out.flush()
+          readPacket(in) // HandshakeResponse41
+          writePacket(out, 2, ok); out.flush()
+          readPacket(in) // SET @master_binlog_checksum
+          writePacket(out, 1, ok); out.flush()
+          readPacket(in) // SET @master_heartbeat_period
+          writePacket(out, 1, ok); out.flush()
+          readPacket(in) // COM_BINLOG_DUMP_GTID
+          stream.zipWithIndex.foreach { case (ev, i) =>
+            writePacket(out, i + 1, catB(Array(0.toByte), ev))
+          }
+          out.flush()
+          Thread.sleep(60000) // hold the dump open until STOP REPLICA
+        } catch { case _: Throwable => () }
+      }, "q118-scripted-primary")
+      primary.setDaemon(true)
+      primary.start()
+
+      SqlRouter.execute(e, "CHANGE REPLICATION SOURCE TO " +
+        s"SOURCE_HOST='127.0.0.1', SOURCE_PORT=${server.getLocalPort}, " +
+        "SOURCE_USER='repl', SOURCE_PASSWORD='secret', " +
+        "SOURCE_CONNECT_RETRY=1")
+      tm("START REPLICA")(SqlRouter.execute(e, "START REPLICA"))
+      // the IO thread owns the wire; wait until its executed set covers
+      // all three transactions (the e2e suites poll replica state the
+      // same way, binlog_replication_test.go)
+      val want = s"$sidHex:1-3"
+      def gtidSet(): String =
+        e.replicaStatus.toMap.getOrElse("Executed_Gtid_Set", "")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      tm("stream wait") {
+        while (gtidSet() != want && System.nanoTime() < deadline)
+          Thread.sleep(50)
+      }
+      if (gtidSet() != want) throw new IllegalStateException(
+        s"q118: replica never reached $want; status=" +
+          e.replicaStatus.mkString("|"))
+      tm("STOP REPLICA")(SqlRouter.execute(e, "STOP REPLICA"))
+      server.close()
+      // STOP persisted the position: SHOW REPLICA STATUS reads it back
+      // from disk, not the (gone) client
+      val st = SqlRouter.execute(e, "SHOW REPLICA STATUS").df.get
+      val row = st.collect()(0)
+      val persisted = row.getString(st.columns.indexOf("Executed_Gtid_Set"))
+      if (persisted != want) throw new IllegalStateException(
+        s"q118: persisted gtid set '$persisted' != '$want'")
+      // SQL-apply: decode the flushed framelog, condense, CoW-merge
+      val applied = tm("applyReplicaLog")(
+        e.applyReplicaLog(Seq("main.acct")))
+      if (applied == 0L) throw new IllegalStateException(
+        "q118: apply consumed no frames")
+      tm.report()
+      SqlRouter.execute(e,
+        "SELECT seg, count(*) AS c, CAST(sum(n) AS BIGINT) AS sn, " +
+          "CAST(max(id) AS BIGINT) AS mx FROM acct GROUP BY seg " +
+        "ORDER BY seg").df.get
+        .withColumn("gtid", lit(persisted))
+    },
+    Some(s"""WITH mx AS (SELECT max(c_custkey) AS m,
+        max(c_custkey) + 1000 AS shift FROM customer),
+      base AS (
+        SELECT c_custkey AS id, c_mktsegment AS seg,
+          CASE WHEN c_custkey % 8 = 0 THEN 1 ELSE 0 END AS n
+        FROM customer),
+      withnew AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT c_custkey + (SELECT shift FROM mx), 'NEW', 2 FROM customer
+        WHERE c_custkey % 40 = 0),
+      fin AS (
+        SELECT * FROM withnew
+        WHERE NOT (id % 11 = 5 AND id <= (SELECT m FROM mx)))
+      SELECT seg, count(*) AS c, CAST(sum(n) AS BIGINT) AS sn,
+        CAST(max(id) AS BIGINT) AS mx,
+        '0102030405060708090a0b0c0d0e0f10:1-3' AS gtid
+      FROM fin GROUP BY seg ORDER BY seg"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113, q114, q115, q116, q117)
+      q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
 }

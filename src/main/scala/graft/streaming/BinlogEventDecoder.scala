@@ -70,6 +70,36 @@ object BinlogEventDecoder {
   final case class Change(relation: String, action: Int, group: String,
       server: Array[Byte], seq: Long, stmt: Long, values: Seq[Any])
 
+  /** Statements that autocommit (DDL) or explicitly commit — the Query
+    * forms that ARE their own commit marker under a GTID envelope.
+    * Deliberately a whitelist: not marking an exotic committing
+    * statement only re-streams it (the decoder dedups); marking a
+    * non-committing one (SAVEPOINT, XA phases) loses data. Shared by
+    * the IO thread's executed-set bookkeeping
+    * ([[MySqlBinlogClient]]) and the apply side's poll-window rule
+    * ([[FrameLog.endAtMyCommit]]). */
+  private val CommitKeywords = Set("COMMIT", "CREATE", "ALTER", "DROP",
+    "TRUNCATE", "RENAME", "GRANT", "REVOKE", "ANALYZE", "OPTIMIZE",
+    "REPAIR")
+
+  /** Query-event (type 2) text starts with a transaction-ending
+    * keyword. Layout after the 19-byte header: thread_id(4)
+    * exec_time(4) schema_len(1) error_code(2) status_vars_len(2),
+    * status vars, schema, NUL, query text. */
+  private[streaming] def queryCommitsTxn(frame: Array[Byte]): Boolean = {
+    val b = 19
+    if (frame.length < b + 13) return false
+    val schemaLen = frame(b + 8) & 0xff
+    val statusLen = (frame(b + 11) & 0xff) | ((frame(b + 12) & 0xff) << 8)
+    var p = b + 13 + statusLen + schemaLen + 1
+    if (p >= frame.length) return false
+    while (p < frame.length && Character.isWhitespace(frame(p).toChar)) p += 1
+    var e = p
+    while (e < frame.length && Character.isLetter(frame(e).toChar)) e += 1
+    e > p && CommitKeywords.contains(
+      new String(frame, p, e - p, StandardCharsets.UTF_8).toUpperCase)
+  }
+
   /** Serializable snapshot of one slot's decode state — binlog file,
     * GTID coords, the TABLE_MAP registry (table_id → qualified name),
     * and the per-source executed-GTID watermark. What must survive a

@@ -106,6 +106,73 @@ object BinlogRowDecoder {
     val sparkType: DataType = StringType
   }
 
+  /** Engine schema → decode specs — the SQL-apply side's
+    * reconciliation of a TABLE_MAP against the replicated table's
+    * declared types (reference `binlog_replica_applier.go:1359-1466`
+    * resolves cell decoders from the target table's schema the same
+    * way). The recorded MySQL original type
+    * ([[graft.types.TypeMapper]] metadata) recovers what the Spark
+    * type erases: VARCHAR lengths (length-prefix width), ENUM/SET
+    * member lists, TEXT-vs-VARCHAR layout, BLOB tier, JSON,
+    * fractional-second precision. Columns with no metadata fall to
+    * the natural mapping (STRING → Varchar(65535): 2-byte prefix,
+    * matching what [[BinlogEncoder]] emits for the same spec). */
+  def specsFor(schema: StructType): Seq[ColSpec] = {
+    import graft.types.TypeMapper
+    schema.fields.toSeq.map { f =>
+      val orig =
+        if (f.metadata.contains(TypeMapper.OriginalTypeKey))
+          f.metadata.getString(TypeMapper.OriginalTypeKey).trim.toUpperCase
+        else ""
+      def width(dflt: Long): Int =
+        (if (f.metadata.contains(TypeMapper.DisplayWidthKey))
+          f.metadata.getLong(TypeMapper.DisplayWidthKey)
+        else dflt).toInt
+      // member values recorded verbatim from the DDL, '' = escaped '
+      def members: Seq[String] =
+        """'((?:[^']|'')*)'""".r
+          .findAllMatchIn(f.metadata.getString(TypeMapper.EnumValuesKey))
+          .map(_.group(1).replace("''", "'")).toSeq
+      val tpe: BinlogType =
+        if (orig.startsWith("ENUM")) EnumT(members)
+        else if (orig.startsWith("SET")) SetT(members)
+        else if (orig.startsWith("JSON")) Json()
+        else if (orig == "YEAR") Year
+        else if (orig.startsWith("BIT")) Bit(width(1))
+        else if (orig.endsWith("TEXT")) Text(2)
+        else if (orig.startsWith("TINYBLOB")) Blob(1)
+        else if (orig.startsWith("MEDIUMBLOB")) Blob(3)
+        else if (orig.startsWith("LONGBLOB")) Blob(4)
+        else if (orig.startsWith("BLOB")) Blob(2)
+        // BINARY/VARBINARY ride the VARCHAR wire layout but must come
+        // back as bytes — Blob with the matching prefix width
+        else if (orig.startsWith("BINARY") || orig.startsWith("VARBINARY"))
+          Blob(if (width(255) > 255) 2 else 1)
+        else if (orig.startsWith("CHAR") || orig.startsWith("VARCHAR"))
+          Varchar(width(65535))
+        else if (orig.startsWith("TIME") && !orig.startsWith("TIMESTAMP"))
+          Time2(width(0))
+        else f.dataType match {
+          case BooleanType | ByteType => TinyInt
+          case ShortType => ShortInt
+          case IntegerType => Int32
+          case LongType => Int64
+          case FloatType => Float32
+          case DoubleType => Float64
+          case DateType => Date
+          case TimestampType => Timestamp2(width(0))
+          case TimestampNTZType => DateTime2(width(0))
+          case d: DecimalType => NewDecimal(d.precision, d.scale)
+          case StringType => Varchar(65535)
+          case BinaryType => Blob(2)
+          case _: DayTimeIntervalType => Time2(width(0))
+          case other => throw new IllegalArgumentException(
+            s"no binlog decode mapping for column ${f.name}: $other")
+        }
+      ColSpec(f.name, tpe)
+    }
+  }
+
   private val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
 
   /** MySQL charset names → JDK charsets (the reference's mapping table,

@@ -127,8 +127,19 @@ object FrameLog {
       : (Long, Option[Long]) =
     walkEnd(dir, slot, from, pgAware = true)
 
+  /** [[endState]] stopping at the last MySQL-binlog transaction
+    * boundary — an XID event (type 16) or a committing QUERY event
+    * (GTID-mode DDL commits with no XID). The replica apply's poll
+    * window rule ([[graft.Engine.applyReplicaLog]]): the IO thread
+    * appends frames as they arrive, so a window frozen mid-transaction
+    * would hand the stateless decoder a GTID-less / TABLE_MAP-less
+    * suffix on the NEXT poll — same discipline as [[endAtPgCommit]]. */
+  def endAtMyCommit(dir: java.nio.file.Path, slot: String, from: Long)
+      : (Long, Option[Long]) =
+    walkEnd(dir, slot, from, pgAware = false, myAware = true)
+
   private def walkEnd(dir: java.nio.file.Path, slot: String, from: Long,
-      pgAware: Boolean): (Long, Option[Long]) = {
+      pgAware: Boolean, myAware: Boolean = false): (Long, Option[Long]) = {
     val f = dir.resolve(slot + Suffix)
     if (!java.nio.file.Files.exists(f)) return (from, None)
     val ch = java.nio.channels.FileChannel.open(f,
@@ -161,7 +172,20 @@ object FrameLog {
           val len = hdr.getInt
           if (len < 0 || pos + HeaderLen + len > size) done = true // torn tail
           else {
-            var hit = !pgAware
+            var hit = !pgAware && !myAware
+            if (myAware && len >= 5) {
+              // binlog v4 header: ts(4) type(1) ... — XID commits;
+              // a committing QUERY (GTID-mode DDL) has no XID after it
+              if (!readFully(pb, pos + HeaderLen, 5)) done = true
+              else (pb.get(4) & 0xff) match {
+                case 16 => hit = true
+                case 2 =>
+                  val fb = java.nio.ByteBuffer.allocate(len)
+                  if (!readFully(fb, pos + HeaderLen, len)) done = true
+                  else hit = BinlogEventDecoder.queryCommitsTxn(fb.array())
+                case _ => ()
+              }
+            }
             if (pgAware && len > 0) {
               val want = math.min(9, len)
               if (!readFully(pb, pos + HeaderLen, want)) done = true

@@ -254,7 +254,8 @@ final class MySqlBinlogClient(
                   // exotic committing statement only re-streams it
                   // (the decoder dedups); marking a non-committing one
                   // loses data, so unknown keywords stay unmarked.
-                  if (queryIsCommitMarker(frame)) markExecuted()
+                  if (BinlogEventDecoder.queryCommitsTxn(frame))
+                    markExecuted()
                 case _ => ()
               }
             }
@@ -492,31 +493,6 @@ final class MySqlBinlogClient(
     md.update(scramble.take(20))
     val h3 = md.digest()
     h1.indices.map(i => (h1(i) ^ h3(i)).toByte).toArray
-  }
-
-  /** Statements that autocommit (DDL) or explicitly commit — the Query
-    * forms that ARE their own commit marker under a GTID envelope.
-    * Deliberately a whitelist: see the call site. */
-  private val CommitKeywords = Set("COMMIT", "CREATE", "ALTER", "DROP",
-    "TRUNCATE", "RENAME", "GRANT", "REVOKE", "ANALYZE", "OPTIMIZE",
-    "REPAIR")
-
-  /** Query-event text starts with a transaction-ending keyword. Layout
-    * after the 19-byte header: thread_id(4) exec_time(4) schema_len(1)
-    * error_code(2) status_vars_len(2), status vars, schema, NUL,
-    * query text. */
-  private def queryIsCommitMarker(frame: Array[Byte]): Boolean = {
-    val b = 19
-    if (frame.length < b + 13) return false
-    val schemaLen = frame(b + 8) & 0xff
-    val statusLen = (frame(b + 11) & 0xff) | ((frame(b + 12) & 0xff) << 8)
-    var p = b + 13 + statusLen + schemaLen + 1
-    if (p >= frame.length) return false
-    while (p < frame.length && Character.isWhitespace(frame(p).toChar)) p += 1
-    var e = p
-    while (e < frame.length && Character.isLetter(frame(e).toChar)) e += 1
-    e > p && CommitKeywords.contains(
-      new String(frame, p, e - p, StandardCharsets.UTF_8).toUpperCase)
   }
 
   /** mysql_native_password: SHA1(pass) XOR SHA1(scramble ++ SHA1(SHA1(pass))). */

@@ -95,6 +95,77 @@ class ReplicaControllerSpec extends SparkSpec {
     assert(exec(e, "SHOW REPLICA STATUS").df.get.collect().isEmpty)
   }
 
+  test("applyReplicaLog: txn-boundary windows, filters, checkpoint") {
+    import graft.streaming.{BinlogEncoder => BE, BinlogRowDecoder => BRD,
+      FrameLog}
+    val e = new Engine(spark, tmpDir("replapply"))
+    exec(e, "CREATE TABLE t1 (id BIGINT NOT NULL, v STRING, " +
+      "PRIMARY KEY (id))")
+    exec(e, "INSERT INTO t1 VALUES (1, 'a'), (2, 'b')")
+    val specs = BRD.specsFor(e.table("t1").schema)
+    val dir = e.warehouse.resolve("_replica")
+    java.nio.file.Files.createDirectories(dir)
+    val sid = (1 to 16).map(_.toByte).toArray
+    val (t1, o1) = BE.txn(1L, sid, 1L, 5L, "main", "t1", specs,
+      Seq(BE.Ins(Seq(3L, "c")), BE.Upd(Seq(2L, "b"), Seq(2L, "b2"))))
+    val (t2, _) = BE.txn(o1, sid, 2L, 5L, "main", "t1", specs,
+      Seq(BE.Del(Seq(1L, null))))
+    // complete txn 1 + a COMMIT-LESS txn 2: the window must stop at
+    // the XID boundary — applying a torn txn would both show partial
+    // state and wedge the next poll on a GTID-less suffix
+    FrameLog.append(dir, "replica",
+      Seq((0L, BE.fde())) ++ t1 ++ t2.dropRight(1))
+    assert(e.applyReplicaLog(Seq("main.t1")) === t1.size + 1L)
+    import spark.implicits._
+    assert(exec(e, "SELECT id, v FROM t1 ORDER BY id").df.get
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // nothing new at a boundary: poll is a no-op
+    assert(e.applyReplicaLog(Seq("main.t1")) === 0L)
+    // the XID lands: exactly the held-back txn applies (O(new bytes))
+    FrameLog.append(dir, "replica", t2.takeRight(1))
+    assert(e.applyReplicaLog(Seq("main.t1")) === t2.size.toLong)
+    assert(exec(e, "SELECT id FROM t1 ORDER BY id").df.get
+      .as[Long].collect().toSeq === Seq(2L, 3L))
+    // REPLICATE_IGNORE_TABLE drops the table from the apply (C10) but
+    // the checkpoint still advances past the consumed window
+    exec(e, "CHANGE REPLICATION FILTER REPLICATE_IGNORE_TABLE=(main.t1)")
+    val (t3, _) = BE.txn(100L, sid, 3L, 5L, "main", "t1", specs,
+      Seq(BE.Ins(Seq(9L, "ignored"))))
+    FrameLog.append(dir, "replica", t3)
+    assert(e.applyReplicaLog(Seq("main.t1")) === t3.size.toLong)
+    assert(exec(e, "SELECT count(*) FROM t1 WHERE id = 9").df.get
+      .as[Long].head() === 0L)
+  }
+
+  test("endAtMyCommit: XID and committing-QUERY boundaries") {
+    import graft.streaming.{BinlogEncoder => BE, FrameLog}
+    val fl = tmpDir("myclcut")
+    val sid = (1 to 16).map(_.toByte).toArray
+    // GTID + TABLE_MAP but no XID: not a cut
+    FrameLog.append(fl, "r", Seq((1L, BE.gtid(sid, 1L)),
+      (2L, BE.tableMap(7L, "main", "t", 2))))
+    assert(FrameLog.endAtMyCommit(fl, "r", 0L) === ((0L, None)))
+    FrameLog.append(fl, "r", Seq((3L, BE.xid(1L))))
+    val (cut1, off1) = FrameLog.endAtMyCommit(fl, "r", 0L)
+    assert(off1 === Some(3L) && cut1 > 0L, "XID is a txn boundary")
+    // a committing QUERY (GTID-mode DDL) is its own boundary; BEGIN is
+    // not (shared whitelist with the IO thread's executed bookkeeping)
+    def query(text: String): Array[Byte] = {
+      val t = text.getBytes("UTF-8")
+      BE.event(2, (Seq(0, 0, 0, 0, 0, 0, 0, 0) ++ // thread id + exec time
+        Seq(0) ++ Seq(0, 0) ++ Seq(0, 0)).map(_.toByte).toArray ++
+        Array(0.toByte) ++ t) // empty schema NUL + text
+    }
+    FrameLog.append(fl, "r", Seq((4L, BE.gtid(sid, 2L)),
+      (5L, query("BEGIN"))))
+    assert(FrameLog.endAtMyCommit(fl, "r", 0L)._2 === Some(3L),
+      "BEGIN must not cut")
+    FrameLog.append(fl, "r", Seq((6L, query("TRUNCATE TABLE main.t"))))
+    assert(FrameLog.endAtMyCommit(fl, "r", 0L)._2 === Some(6L),
+      "a committing DDL QUERY closes its transaction")
+  }
+
   test("replica controller: live scripted source, start/stop lifecycle") {
     // a minimal scripted primary: handshake -> accept auth -> accept
     // COM_BINLOG_DUMP_GTID -> stream FDE + one GTID/XID txn -> hold
