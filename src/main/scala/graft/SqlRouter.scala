@@ -5426,6 +5426,12 @@ object SqlRouter {
             org.apache.spark.sql.types.TimestampNTZType
           else if (tbase == "timestamp" && a.startsWith("WITH TIME ZONE"))
             org.apache.spark.sql.types.TimestampType
+          else if (tbase == "time")
+            // MySQL TIME → day-time interval (§1.2). Never reaches
+            // Spark's DDL parser: Spark 4's reserved TIME type throws
+            // UNSUPPORTED_TIME_TYPE, which is neither of the
+            // fallback-caught exception classes below
+            graft.types.TypeMapper.toSpark(tpe).dataType
           else
             // Spark DDL first (STRING, ARRAY<INT>, ...); MySQL-only
             // types (MEDIUMINT, ENUM, lowercase dump forms) via the

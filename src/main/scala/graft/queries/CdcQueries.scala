@@ -1581,7 +1581,106 @@ object CdcQueries {
         '0102030405060708090a0b0c0d0e0f10:1-3' AS gtid
       FROM fin GROUP BY seg ORDER BY seg"""))
 
+  // --------------------------------------------------------------------
+  // q120 — §1.2 type fidelity as an oracle-gated alltypes round-trip
+  // (r16 verdict #5; reference `catalog/type_mapping.go:120-332` and
+  // its e2e `binlog_replication_alltypes_test.go`): CREATE a table
+  // covering the MySQL type surface — signed/unsigned integer tiers
+  // (UBIGINT → DECIMAL(20,0)), FLOAT/DOUBLE, DECIMAL at p=38, the
+  // temporal family (DATE, DATETIME(6), TIMESTAMP, TIME at its
+  // ±838:59:59 range, YEAR), BIT(12), ENUM/SET, VARCHAR/TEXT,
+  // VARBINARY/BLOB (hex literals), JSON — INSERT boundary rows (max,
+  // min, all-NULL, ordinary), and SELECT back through casts that stay
+  // in the gate's INT/BIGINT/STRING channel (DECIMAL → STRING, TIME →
+  // seconds, FLOAT/DOUBLE → exact-dyadic integer products, binary →
+  // hex). The oracle is the planted constant table — any TypeMapper /
+  // literal-normalization / write-funnel drift flips the hash.
+  private val q120 = QueryDef(
+    "q120_alltypes_roundtrip",
+    (s, dir) => {
+      import graft.{Engine, SqlRouter}
+      val e = new Engine(s, Files.createTempDirectory("graft_q120"))
+      SqlRouter.execute(e, """CREATE TABLE alltypes (
+        id BIGINT NOT NULL,
+        c_ti TINYINT, c_tiu TINYINT UNSIGNED,
+        c_si SMALLINT, c_siu SMALLINT UNSIGNED,
+        c_mi MEDIUMINT, c_miu MEDIUMINT UNSIGNED,
+        c_i INT, c_iu INT UNSIGNED,
+        c_bi BIGINT, c_biu BIGINT UNSIGNED,
+        c_f FLOAT, c_d DOUBLE, c_dec DECIMAL(38,10),
+        c_date DATE, c_dt DATETIME(6), c_ts TIMESTAMP, c_time TIME,
+        c_year YEAR, c_bit BIT(12),
+        c_enum ENUM('a','b','c'), c_set SET('x','y','z'),
+        c_vc VARCHAR(20), c_txt TEXT,
+        c_vb VARBINARY(20), c_blob BLOB, c_json JSON,
+        PRIMARY KEY (id))""")
+      SqlRouter.execute(e, """INSERT INTO alltypes VALUES
+        (1, 127, 255, 32767, 65535, 8388607, 16777215,
+         2147483647, 4294967295, 9223372036854775807,
+         18446744073709551615, 3.5, 2.25,
+         '1234567890123456789012345678.0123456789',
+         '9999-12-31', '9999-12-31 23:59:59.999999',
+         '2038-01-19 03:14:07', INTERVAL '838:59:59' HOUR TO SECOND,
+         2155, 0xFFF, 'c', 'x,y,z', 'varchar max', 'text value',
+         0xDEADBEEF, 0x0ABC, '{"k":[1,2]}'),
+        (2, -128, 0, -32768, 0, -8388608, 0,
+         -2147483648, 0, -9223372036854775808, 0, -3.5, -2.25,
+         '-1234567890123456789012345678.0123456789',
+         '1000-01-01', '1000-01-01 00:00:00',
+         '1970-01-01 00:00:01', INTERVAL '-838:59:59' HOUR TO SECOND,
+         1901, 0x0000, 'a', 'x', '', '', 0x00, 0x0000, '{}'),
+        (3, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, NULL),
+        (4, 7, 42, 1234, 5678, 12345, 54321, 1000000, 3000000000,
+         123456789012345, 9876543210, 0.5, 1.5, '42.0000000001',
+         '2024-06-15', '2024-06-15 12:34:56.789', '2024-06-15 12:34:56',
+         INTERVAL '12:30:45' HOUR TO SECOND, 2024, 0xA5A, 'b', 'y,z',
+         'hello', 'world', 0xCAFE, 0x05A5, '{"a":1}')""")
+      SqlRouter.execute(e, """SELECT id,
+          CAST(c_ti AS BIGINT) AS ti, CAST(c_tiu AS BIGINT) AS tiu,
+          CAST(c_si AS BIGINT) AS si, CAST(c_siu AS BIGINT) AS siu,
+          CAST(c_mi AS BIGINT) AS mi, CAST(c_miu AS BIGINT) AS miu,
+          CAST(c_i AS BIGINT) AS i, CAST(c_iu AS BIGINT) AS iu,
+          c_bi AS bi, CAST(c_biu AS STRING) AS biu,
+          CAST(c_f * 2 AS BIGINT) AS f2, CAST(c_d * 4 AS BIGINT) AS d4,
+          CAST(c_dec AS STRING) AS dec_s,
+          CAST(c_date AS STRING) AS date_s, CAST(c_dt AS STRING) AS dt_s,
+          CAST(c_ts AS STRING) AS ts_s, CAST(c_time AS BIGINT) AS time_s,
+          CAST(c_year AS BIGINT) AS yr, hex(c_bit) AS bit_h,
+          c_enum AS en, c_set AS st, c_vc AS vc, c_txt AS txt,
+          hex(c_vb) AS vb_h, hex(c_blob) AS blob_h, c_json AS js
+        FROM alltypes ORDER BY id""").df.get
+    },
+    Some("""SELECT * FROM (VALUES
+        (1, 127, 255, 32767, 65535, 8388607, 16777215,
+         2147483647, 4294967295, 9223372036854775807,
+         '18446744073709551615', 7, 9,
+         '1234567890123456789012345678.0123456789',
+         '9999-12-31', '9999-12-31 23:59:59.999999',
+         '2038-01-19 03:14:07', 3020399, 2155, '0FFF',
+         'c', 'x,y,z', 'varchar max', 'text value',
+         'DEADBEEF', '0ABC', '{"k":[1,2]}'),
+        (2, -128, 0, -32768, 0, -8388608, 0,
+         -2147483648, 0, -9223372036854775808, '0', -7, -9,
+         '-1234567890123456789012345678.0123456789',
+         '1000-01-01', '1000-01-01 00:00:00',
+         '1970-01-01 00:00:01', -3020399, 1901, '0000',
+         'a', 'x', '', '', '00', '0000', '{}'),
+        (3, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, NULL),
+        (4, 7, 42, 1234, 5678, 12345, 54321, 1000000, 3000000000,
+         123456789012345, '9876543210', 1, 6, '42.0000000001',
+         '2024-06-15', '2024-06-15 12:34:56.789', '2024-06-15 12:34:56',
+         45045, 2024, '0A5A', 'b', 'y,z', 'hello', 'world',
+         'CAFE', '05A5', '{"a":1}'))
+      AS t(id, ti, tiu, si, siu, mi, miu, i, iu, bi, biu, f2, d4,
+        dec_s, date_s, dt_s, ts_s, time_s, yr, bit_h, en, st, vc, txt,
+        vb_h, blob_h, js)
+      ORDER BY id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113, q114, q115, q116, q117, q118)
+      q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q120)
 }

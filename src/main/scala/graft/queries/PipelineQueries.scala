@@ -108,5 +108,136 @@ object PipelineQueries {
         count(*) - count(DISTINCT canon_hash) AS n_collapsed
       FROM c GROUP BY source ORDER BY source"""))
 
-  val defs: Seq[QueryDef] = Seq(q86, q87, q88)
+  // --------------------------------------------------------------------
+  // q119 — the multimodal decode pipeline under the hash gate (r16
+  // verdict #3, q68's planted-fixture pattern): REAL media bytes —
+  // PNG, 16-bit PCM WAV, MJPEG-AVI — are synthesized EXECUTOR-side
+  // from doc_id by a deterministic planting formula, then decoded
+  // distributively by the production operators
+  // ([[graft.multimodal.MultimodalOps]] / [[graft.multimodal.JdkCodecs]]:
+  // feature extraction, frame sampling, resize + PNG re-encode), and
+  // the integer features — width, height, frame count, PCM sample sum
+  // — compare against the oracle's restatement of the planting
+  // formula. PNG is lossless and 16-bit PCM round-trips planted
+  // k/32768 samples bit-exactly, so the gate is exact. Every stage is
+  // a narrow per-row map (synthesis and decode never shuffle); the
+  // final assembly joins tiny per-kind frames on doc_id.
+  private val q119 = QueryDef(
+    "q119_multimodal_decode",
+    (s, dir) => {
+      import s.implicits._
+      import graft.multimodal.MultimodalOps
+      val ids = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = ids.map(Q119.plant _).persist()
+      // dims from the ALL-kinds feature extractor: images and video
+      // first frames carry [width, height, ...]; audio rows don't
+      val dims = MultimodalOps.extractFeatures(media).toDF()
+        .select(col("media_id").as("doc_id"), col("kind"),
+          when(col("kind") =!= "audio",
+            col("features")(0).cast("long")).as("w"),
+          when(col("kind") =!= "audio",
+            col("features")(1).cast("long")).as("h"))
+      // frame count via frame sampling at stride 1 (every JPEG frame
+      // of each MJPEG video decodes independently)
+      val nf = MultimodalOps.sampleFrames(media, 1).toDF()
+        .groupBy(col("media_id").as("doc_id"))
+        .agg(count(lit(1)).as("nf"))
+      // exact PCM sum: decode WAV, recover the planted 16-bit values
+      val pcm = media.filter(_.kind == "audio").mapPartitions(_.map { m =>
+        val samples = graft.multimodal.JdkCodecs.decodeWav(m.bytes)
+          .getOrElse(throw new IllegalStateException(
+            s"q119: planted WAV ${m.media_id} failed to decode"))._2
+        var acc = 0L
+        var i = 0
+        while (i < samples.length) {
+          acc += Math.round(samples(i) * 32768f).toLong
+          i += 1
+        }
+        (m.media_id, acc)
+      }).toDF("doc_id", "pcm")
+      // resize drives decode → bilinear scale → PNG re-encode → decode
+      val rsz = MultimodalOps.extractImageFeatures(
+          MultimodalOps.resizeImages(media, 16, 12)).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("features")(0).cast("long").as("rw"),
+          col("features")(1).cast("long").as("rh"))
+      dims.join(nf, Seq("doc_id"), "left")
+        .join(pcm, Seq("doc_id"), "left")
+        .join(rsz, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("kind"), col("w"), col("h"),
+          col("nf"), col("pcm"), col("rw"), col("rh"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH pcmt AS (
+        SELECT d.doc_id, SUM((d.doc_id*31 + t.i*7) % 2001 - 1000) AS s
+        FROM documents d JOIN generate_series(0, 898) t(i)
+          ON t.i < 400 + (d.doc_id % 5) * 100
+        WHERE d.doc_id % 3 = 1 GROUP BY d.doc_id)
+      SELECT d.doc_id,
+        CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          ELSE 'video' END AS kind,
+        CAST(CASE WHEN d.doc_id % 3 = 0 THEN 24 + (d.doc_id % 4) * 8
+          WHEN d.doc_id % 3 = 2 THEN 16 + (d.doc_id % 5) * 8 END
+          AS BIGINT) AS w,
+        CAST(CASE WHEN d.doc_id % 3 = 0 THEN 16 + (d.doc_id % 5) * 4
+          WHEN d.doc_id % 3 = 2 THEN 24 END AS BIGINT) AS h,
+        CAST(CASE WHEN d.doc_id % 3 = 2 THEN 4 + d.doc_id % 4 END
+          AS BIGINT) AS nf,
+        CAST(p.s AS BIGINT) AS pcm,
+        CAST(CASE WHEN d.doc_id % 3 = 0 THEN 16 END AS BIGINT) AS rw,
+        CAST(CASE WHEN d.doc_id % 3 = 0 THEN 12 END AS BIGINT) AS rh
+      FROM documents d LEFT JOIN pcmt p USING (doc_id)
+      ORDER BY d.doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q86, q87, q88, q119)
+}
+
+/** q119's deterministic media planting (serializable — ships to
+  * executors; the driver never touches a media byte). The formulas
+  * here are the single source the oracle SQL restates. */
+private object Q119 extends Serializable {
+  import graft.multimodal.JdkCodecs
+  import graft.multimodal.MultimodalOps.{MediaMeta, MediaRow}
+
+  private def img(seed: Long, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        im.setRGB(x, y,
+          (((seed + x * 31 + y * 7) % 255).toInt << 16) | 0x8040)
+        x += 1
+      }
+      y += 1
+    }
+    im
+  }
+
+  def plant(id: Long): MediaRow = (id % 3) match {
+    case 0 =>
+      val w = 24 + (id % 4).toInt * 8
+      val h = 16 + (id % 5).toInt * 4
+      MediaRow(id, "image", JdkCodecs.encodePng(img(id, w, h)),
+        MediaMeta(w, h, 0, 1, "png"))
+    case 1 =>
+      // 16-bit PCM: k/32768 with |k| <= 1000 survives the encode's
+      // round(v*32767) and the decode's short/32768 bit-exactly
+      val n = 400 + (id % 5).toInt * 100
+      val samples = Array.tabulate(n)(i =>
+        ((id * 31 + i * 7) % 2001 - 1000).toFloat / 32768f)
+      MediaRow(id, "audio", JdkCodecs.encodeWav(8000f, samples),
+        MediaMeta(0, 0, 8000, 0, "wav"))
+    case _ =>
+      val nf = 4 + (id % 4).toInt
+      val w = 16 + (id % 5).toInt * 8
+      val h = 24
+      val frames = (0 until nf).map(f =>
+        JdkCodecs.encodeJpeg(img(id * 131 + f, w, h)))
+      MediaRow(id, "video", JdkCodecs.muxAvi(frames, w, h),
+        MediaMeta(w, h, 0, nf, "avi"))
+  }
 }
