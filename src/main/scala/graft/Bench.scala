@@ -128,6 +128,8 @@ object Bench {
     // comparable headline number, the warm time attributes epoch-
     // position anomalies (q23 in r7/r8 driver epochs) in-artifact.
     case class Timing(cold: Double, warm: Double, err: Option[String])
+    // query name -> cold-run per-statement wall times (DML chains only)
+    val stmtCold = new java.util.concurrent.ConcurrentHashMap[String, String]()
     // local-iteration filter (comma-separated name substrings): time a
     // handful of queries under the SAME warmup + reset regime as the
     // full run. The driver never sets it — full-suite behavior and the
@@ -152,6 +154,10 @@ object Bench {
         (dt, err)
       }
       val (cold, err1) = timed()
+      // snapshot the chain's per-statement line from the COLD run (the
+      // graded number) before the warm rerun overwrites it
+      Option(graft.queries.CdcQueries.StmtTimer.last.get(name.takeWhile(_ != '_')))
+        .foreach(l => stmtCold.put(name, l))
       val (warm, err2) = if (err1.isEmpty) timed() else (cold, err1)
       // only the COLD run (the graded timing) decides pass/fail: a
       // transient warm-rerun failure must not convert a healthy
@@ -282,6 +288,22 @@ object Bench {
         val shown = outliers.take(8)
         val more = if (outliers.size > 8) s" +${outliers.size - 8}" else ""
         println(s"""{"band":"${shown.mkString(" ")}$more"}""")
+      }
+      // per-statement attribution for outlier CHAINS (r16 verdict #2):
+      // the StmtTimer lines go to stderr, outside the driver's tail —
+      // re-emit the cold run's line for band-outlier chains here, so a
+      // drifting chain (r16's q114 +47%) names its statement family in
+      // the artifact itself. Byte budget: worst 2 chains, 220 chars.
+      val stmtOutliers = results.toSeq
+        .filter { case (name, t) =>
+          t.err.isEmpty && stmtCold.containsKey(name) &&
+            PrevBand.get(qid(name)).exists(b =>
+              t.cold > math.max(2 * b, b + 1.0))
+        }
+        .sortBy(-_._2.cold).take(2)
+      stmtOutliers.foreach { case (name, _) =>
+        val line = stmtCold.get(name).take(220)
+        println(s"""{"stmt${qid(name)}":${jstr(line)}}""")
       }
     }
 

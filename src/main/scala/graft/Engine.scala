@@ -850,6 +850,54 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
   // continuous form is the same pipeline under Structured Streaming
   // (framelog source → decodeSlotStreamsStateful → CdcMerge, C1/C2).
 
+  /** Live apply-worker daemons, one per ENABLED subscription whose
+    * connection names a HOST (the reference's subscription handler
+    * streams from the publisher continuously,
+    * `pgserver/subscription_handler.go:202-290`; ours is the exact
+    * analog of START REPLICA → [[graft.streaming.MySqlBinlogClient]]):
+    * a [[graft.streaming.PgReplicationClient]] appends the publisher's
+    * pgoutput frames to the subscription's framelog slot, and the
+    * poll/REFRESH path consumes them unchanged — the daemon moves
+    * bytes, REFRESH moves state. */
+  @volatile private var subClientsVar
+      : Map[String, graft.streaming.PgReplicationClient] = Map.empty
+
+  /** True while `name`'s live apply daemon runs (spec/ops surface). */
+  def subscriptionDaemonRunning(name: String): Boolean =
+    subClientsVar.get(name).exists(_.isRunning)
+
+  private def maybeStartSubDaemon(name: String,
+      sub: Map[String, String]): Unit = synchronized {
+    val kv = connKv(sub("connection"))
+    kv.get("host").foreach { host =>
+      if (!subClientsVar.get(name).exists(_.isRunning)) {
+        val dir = java.nio.file.Paths.get(kv.getOrElse("framelog",
+          throw new IllegalArgumentException(
+            "a live subscription (host=...) needs framelog=<dir> — " +
+              "the local WAL landing directory its REFRESH reads")))
+        Files.createDirectories(dir)
+        val slot = kv.getOrElse("slot", sub("publication"))
+        val cl = new graft.streaming.PgReplicationClient(
+          host,
+          kv.get("port").map(_.trim.toInt).getOrElse(5432),
+          kv.getOrElse("user", "postgres"),
+          kv.getOrElse("dbname", "main"),
+          slot, sub("publication"), dir,
+          password = kv.get("password"),
+          sslContext =
+            if (kv.get("sslmode").exists(_.startsWith("require")))
+              Some(javax.net.ssl.SSLContext.getDefault)
+            else None)
+        subClientsVar += name -> cl.start()
+      }
+    }
+  }
+
+  private def stopSubDaemon(name: String): Unit = synchronized {
+    subClientsVar.get(name).foreach(_.stop())
+    subClientsVar -= name
+  }
+
   /** name → {connection, publication, db, tables, enabled, lsn}. */
   def subscriptions: Map[String, Map[String, String]] = synchronized {
     val f = warehouse.resolve("_subscriptions.json")
@@ -931,33 +979,46 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     //    and here runs unlocked, so two concurrent CREATEs could
     //    otherwise interleave and silently drop one catalog entry —
     //    same discipline as refreshSubscription's advance())
+    val entry = Map(
+      "connection" -> connection, "publication" -> publication,
+      "db" -> currentDb, "tables" -> tables.mkString(","),
+      "enabled" -> "true", "lsn" -> lsn0.toString,
+      "bytepos" -> bytePos0.toString)
     synchronized {
       val subs = subscriptions
       require(!subs.contains(name),
         s"""subscription "$name" already exists""")
-      writeSubscriptions(subs + (name -> Map(
-        "connection" -> connection, "publication" -> publication,
-        "db" -> currentDb, "tables" -> tables.mkString(","),
-        "enabled" -> "true", "lsn" -> lsn0.toString,
-        "bytepos" -> bytePos0.toString)))
+      writeSubscriptions(subs + (name -> entry))
     }
+    // live publisher (host= in the conninfo): start the apply daemon —
+    // CREATE SUBSCRIPTION defaults to enabled (PG semantics)
+    maybeStartSubDaemon(name, entry)
   }
 
-  def alterSubscription(name: String, enabled: Boolean): Unit =
-    synchronized { // atomic RMW: must not revert a concurrent checkpoint advance
+  def alterSubscription(name: String, enabled: Boolean): Unit = {
+    val entry = synchronized { // atomic RMW: must not revert a concurrent checkpoint advance
       val subs = subscriptions
       val sub = subs.getOrElse(name, throw new IllegalArgumentException(
         s"""subscription "$name" does not exist"""))
-      writeSubscriptions(subs.updated(name,
-        sub.updated("enabled", enabled.toString)))
+      val upd = sub.updated("enabled", enabled.toString)
+      writeSubscriptions(subs.updated(name, upd))
+      upd
     }
+    // ENABLE resumes the live apply daemon; DISABLE stops it (PG:
+    // DISABLE stops the apply worker; the slot's WAL waits upstream)
+    if (enabled) maybeStartSubDaemon(name, entry)
+    else stopSubDaemon(name)
+  }
 
-  def dropSubscription(name: String): Unit = synchronized {
-    val subs = subscriptions
-    require(subs.contains(name),
-      s"""subscription "$name" does not exist""")
-    // PG semantics: the subscribed tables and their data survive
-    writeSubscriptions(subs - name)
+  def dropSubscription(name: String): Unit = {
+    synchronized {
+      val subs = subscriptions
+      require(subs.contains(name),
+        s"""subscription "$name" does not exist""")
+      // PG semantics: the subscribed tables and their data survive
+      writeSubscriptions(subs - name)
+    }
+    stopSubDaemon(name)
   }
 
   /** Poll-apply: decode and LWW-merge every framelog frame past the

@@ -4133,6 +4133,41 @@ object SqlRouter {
     * write-funnel NOT NULL guard now makes that loud, and this helper
     * makes it correct. Explicit ids (column listed, or no column list
     * at all) pass through [[frozenSource]] untouched. */
+  /** Merge-family small-source fold (r16 verdict #6 — the statement
+    * job floor): a SELECT-sourced upsert batch that turns out SMALL
+    * pays the whole distributed fleet — cache + per-partition id
+    * offsets + checkpoint + persisted probe + window condense —
+    * purely in scheduling (q114's ODKU ran 23 jobs over 151 rows).
+    * Materialize the source ONCE; when it fits the row cap, rebuild
+    * it as a LocalRelation so every downstream stage takes the
+    * literal-DML driver-local fast paths (indexedLocal id assignment,
+    * driver condense, no-persist merge) StatementJobFloorSpec pins.
+    * An UNSTABLE plan checkpoints FIRST, preserving the evaluate-once
+    * contract; a stable oversized source returns unchanged — the
+    * probe cost is one scan-until-cap (for an aggregated source at
+    * most one extra evaluation, paid only by that statement). 4096
+    * rows keeps the driver copy trivially small while covering every
+    * OLTP-shaped batch; a 100 TB source takes the distributed path
+    * exactly as before. */
+  private[graft] val SmallMergeSourceRows = 4096
+
+  private def foldSmallSource(engine: Engine, df: DataFrame): DataFrame = {
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        return df // literal VALUES: already the fast shape
+      case _ => ()
+    }
+    val base =
+      if (planIsStable(df.queryExecution.analyzed)) df
+      else df.localCheckpoint(true)
+    val head = base.limit(SmallMergeSourceRows + 1).collect()
+    if (head.length <= SmallMergeSourceRows)
+      engine.spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(head: _*)), df.schema)
+    else base
+  }
+
   private def mergeSource(engine: Engine, t: graft.storage.GraftTable,
       colList: String, rest: String): DataFrame = {
     val m = t.manifest
@@ -4143,14 +4178,20 @@ object SqlRouter {
     omittedAuto match {
       case Some(c) =>
         val base = m.autoInc
-        // already frozen: ids derive from monotonically_increasing_id
-        // and must never recompute
+        // folded-small sources take assignAutoIncIds' driver-local
+        // arm (no jobs); big ones its frozen distributed arm — ids
+        // derive from monotonically_increasing_id and never recompute
         val (withIds, total) = t.assignAutoIncIds(
-          sourceDfFor(engine, t, colList, rest).drop(c), c)
+          foldSmallSource(engine,
+            sourceDfFor(engine, t, colList, rest).drop(c)), c)
         t.advanceAutoInc(base + total)
         if (total > 0) engine.setVar("last_insert_id", base.toString)
         withIds
-      case None => frozenSource(engine, t, colList, rest)
+      case None =>
+        // the fold subsumes frozenSource's checkpoint discipline:
+        // unstable plans checkpoint inside it, stable big ones pass
+        // through unchanged, small ones become LocalRelations
+        foldSmallSource(engine, sourceDfFor(engine, t, colList, rest))
     }
   }
 
@@ -4195,8 +4236,29 @@ object SqlRouter {
         m.schema(c).dataType != org.apache.spark.sql.types.StringType)
     val aggCols = count(lit(1)).as("__n") +:
       autoCol.map(c => max(col(c).cast("long")).as("__mx")).toSeq
-    val stats = src.groupBy(tag.as("__part"))
-      .agg(aggCols.head, aggCols.tail: _*).collect()
+    val srcIsLocal = src.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    val stats: Array[org.apache.spark.sql.Row] =
+      if (srcIsLocal) {
+        // LOCAL source (literal VALUES or foldSmallSource): the tag
+        // projection constant-folds, so the routing stats cost NO job
+        // — the r16 statement-job-floor discipline applied to routing
+        val tagged = src.select((tag.as("__part") +:
+          autoCol.map(c => col(c).cast("long").as("__v")).toSeq): _*)
+          .collect()
+        tagged.groupBy(r => Option(r.getString(0))).map { case (p, rs) =>
+          val n = rs.length.toLong
+          autoCol match {
+            case Some(_) =>
+              val mx = rs.iterator.filter(!_.isNullAt(1))
+                .map(_.getLong(1)).foldLeft(Option.empty[Long])(
+                  (a, v) => Some(a.fold(v)(math.max(_, v))))
+              org.apache.spark.sql.Row(p.orNull, n, mx.map(Long.box).orNull)
+            case None => org.apache.spark.sql.Row(p.orNull, n)
+          }
+        }.toArray
+      } else src.groupBy(tag.as("__part"))
+        .agg(aggCols.head, aggCols.tail: _*).collect()
     val counts = stats
       .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     val explicitMax: Option[Long] = autoCol.flatMap { _ =>

@@ -49,8 +49,19 @@ object CdcQueries {
       buf += s"${q.replaceAll("\\s+", " ").take(24).trim}=${ms}"
       r
     }
-    def report(): Unit =
+    def report(): Unit = {
       System.err.println(s"[$tag-stmts] ${buf.mkString(" ")}")
+      StmtTimer.last.put(tag, buf.mkString(" "))
+    }
+  }
+
+  /** The most recent per-statement line per chain, for the BENCH
+    * artifact (r16 verdict #2: StmtTimer's stderr lines sit outside
+    * the driver's 2000-char stdout tail, so a chain's drift was
+    * unattributable from the artifact alone — Bench re-emits the
+    * outlier chains' lines inside the tail budget). */
+  object StmtTimer {
+    val last = new java.util.concurrent.ConcurrentHashMap[String, String]()
   }
 
   // event_type → action (FIXTURES.md §4: 0=delete, 1=update, 2=insert)

@@ -524,22 +524,78 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       max(when(col("action") =!= 0 &&
         coalesce(expr(e), lit(true)) === false, 1).otherwise(0)).as(name)
     }
-    val aggs = Seq(count(lit(1)).as("__n"),
-      count(when(col("action") === 0, 1)).as("__nd"),
-      count(when(col("action") === 1, 1)).as("__nu")) ++
-      checkAggs ++
-      statCols.flatMap { case (c, _, _) =>
-        Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))
+    // For a LOCAL batch the probe PROJECTION constant-folds and the
+    // aggregation runs on the driver — no Spark job at all (r16
+    // verdict #6, the statement job floor: this probe was one of the
+    // two actions every small merge paid); distributed batches keep
+    // the single-job aggregate.
+    val (counts, violated, keyRanges):
+        (MergeCounts, Seq[String], Seq[(String, DataType, String, String)]) =
+      if (isLocalPlan(genAll)) {
+        val proj = genAll.select(
+          (col("action").cast("int").as("__a") +:
+            checks.map { case (name, e) =>
+              (col("action") =!= 0 &&
+                coalesce(expr(e), lit(true)) === false).as(s"__v_$name")
+            }) ++ statCols.map { case (c, _, _) => col(c) }: _*)
+        val rows = proj.collect() // folded projection: no job
+        var ndel = 0L; var nupd = 0L
+        rows.foreach { r =>
+          val a = r.getInt(0)
+          if (a == 0) ndel += 1 else if (a == 1) nupd += 1
+        }
+        val vio = checks.zipWithIndex.collect {
+          case ((name, _), i) if rows.exists(r =>
+            !r.isNullAt(1 + i) && r.getBoolean(1 + i)) => name
+        }
+        // min/max in the SAME value spaces the distributed agg and
+        // statLteq use: UTF8 binary order for strings, numeric for
+        // integrals (prunableStatCols admits only those types)
+        val ranges = statCols.zipWithIndex.flatMap { case ((_, phys, t), i) =>
+          val o = 1 + checks.size + i
+          val vals = rows.iterator.map(_.get(o)).filter(_ != null).toSeq
+          if (vals.isEmpty) None
+          else t match {
+            case org.apache.spark.sql.types.StringType =>
+              val u = vals.map(v =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  v.asInstanceOf[String]))
+              Some((phys, t, u.min.toString, u.max.toString))
+            case _ =>
+              val l = vals.map(_.asInstanceOf[Number].longValue())
+              Some((phys, t, l.min.toString, l.max.toString))
+          }
+        }
+        (MergeCounts(rows.length.toLong, ndel, nupd), vio, ranges)
+      } else {
+        val aggs = Seq(count(lit(1)).as("__n"),
+          count(when(col("action") === 0, 1)).as("__nd"),
+          count(when(col("action") === 1, 1)).as("__nu")) ++
+          checkAggs ++
+          statCols.flatMap { case (c, _, _) =>
+            Seq(min(col(c)).cast("string"), max(col(c)).cast("string"))
+          }
+        val probe = genAll.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val vio = checks.zipWithIndex.collect {
+          case ((name, _), i)
+            if !probe.isNullAt(3 + i) && probe.getInt(3 + i) == 1 => name
+        }
+        // Touched-key bounding box per prunable PK column (a null
+        // bound — all-null keys — disables pruning on that column,
+        // stays correct). Stats start after the 3 count slots and the
+        // check slots.
+        val ranges = statCols.zipWithIndex.flatMap { case ((_, phys, t), i) =>
+          val o = 3 + checks.size
+          val (lo, hi) = (probe.get(o + 2 * i), probe.get(o + 1 + 2 * i))
+          if (lo == null || hi == null) None
+          else Some((phys, t, lo.toString, hi.toString))
+        }
+        (MergeCounts(probe.getLong(0), probe.getLong(1), probe.getLong(2)),
+          vio, ranges)
       }
-    val probe = genAll.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val totalChanges = probe.getLong(0)
-    val hasDeletes = probe.getLong(1) > 0
-    val hasUpserts = totalChanges - probe.getLong(1) > 0
-    val counts = MergeCounts(totalChanges, probe.getLong(1), probe.getLong(2))
-    val violated = checks.zipWithIndex.collect {
-      case ((name, _), i)
-        if !probe.isNullAt(3 + i) && probe.getInt(3 + i) == 1 => name
-    }
+    val totalChanges = counts.total
+    val hasDeletes = counts.deletes > 0
+    val hasUpserts = totalChanges - counts.deletes > 0
     if (violated.nonEmpty)
       throw new IllegalArgumentException(
         s"CHECK constraint(s) violated: ${violated.mkString(", ")}")
@@ -549,17 +605,6 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       if (hasUpserts) appendRows(upserts)
       return counts
     }
-
-    // Touched-key bounding box per prunable PK column (a null bound —
-    // all-null keys — disables pruning on that column, stays correct).
-    val keyRanges: Seq[(String, DataType, String, String)] =
-      statCols.zipWithIndex.flatMap { case ((_, phys, t), i) =>
-        // stats start after the 3 count slots and the check slots
-        val o = 3 + checks.size
-        val (lo, hi) = (probe.get(o + 2 * i), probe.get(o + 1 + 2 * i))
-        if (lo == null || hi == null) None
-        else Some((phys, t, lo.toString, hi.toString))
-      }
 
     // Affected files = files holding any touched PK (upsert or delete).
     val touchedKeys = changes.select(pk.map(col): _*).distinct()
@@ -676,10 +721,120 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // later in-batch duplicates conflict with the just-inserted first
     // row in both MySQL and PG, and the router's RETURNING image uses
     // the same condensation so returned values match stored rows
-    val fresh = firstPerKey(addArb(df), pk)
+    val fresh0 = firstPerKey(addArb(df), pk)
+    if (isLocalPlan(fresh0)) {
+      // LOCAL batch (literal VALUES or a folded small SELECT source,
+      // SqlRouter.foldSmallSource): ONE bounded scan fetches every
+      // existing row the batch can interact with; the anti-join and
+      // the PK guard then run on the driver, and the insert's input
+      // stays a LocalRelation — 2 actions instead of the distributed
+      // path's 3-4 (r16 verdict #6, the statement job floor)
+      // align batch types to the table's first — driver-side key
+      // equality, unlike a join, does not coerce INT against BIGINT
+      val freshA = alignToSchema(m, fresh0)
+      val bRows = freshA.collect() // LocalRelation: no job
+      if (bRows.isEmpty) return 0L
+      val bCols = freshA.columns
+      val arbIdx = pk.map(k => bCols.indexWhere(_.equalsIgnoreCase(k)))
+      val pkIdx = m.pkCols.map(k => bCols.indexWhere(_.equalsIgnoreCase(k)))
+      val (exRows, exSchema) = collectExistingMatches(m, pk, addArb,
+        bRows, freshA.schema, arbIdx, pkIdx)
+      // index the EXISTING rows by their own schema (same column list,
+      // but the types are the table's — the batch's may be narrower)
+      val exCols = exSchema.fieldNames
+      val arbIdxE = pk.map(k => exCols.indexWhere(_.equalsIgnoreCase(k)))
+      val pkIdxE = m.pkCols.map(k => exCols.indexWhere(_.equalsIgnoreCase(k)))
+      val exArbKeys = exRows.iterator
+        .filter(r => !arbIdxE.exists(r.isNullAt))
+        .map(r => localKey(r, arbIdxE)).toSet
+      val survivors = bRows.filter { r =>
+        arbIdx.exists(r.isNullAt) || // NULL arbiter never conflicts
+          !exArbKeys.contains(localKey(r, arbIdx))
+      }
+      guardLocalArbiterPk(m, pk, survivors, pkIdx,
+        exRows.map(r => localKey(r, pkIdxE)).toSet)
+      if (survivors.isEmpty) return 0L
+      return insert(spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(survivors: _*)),
+        freshA.schema))
+    }
+    val fresh = fresh0
       .join(addArb(read()).select(pk.map(col): _*), pk, "left_anti")
     guardArbiterPkCollision(m, pk, fresh)
     insert(fresh)
+  }
+
+  /** Cast a local batch's DATA columns to the table's declared types
+    * (extra columns — arbiter expressions — pass through). A Project
+    * over a LocalRelation: folds, stays local, costs no job. */
+  private def alignToSchema(m: Manifest, df: DataFrame): DataFrame =
+    df.select(df.columns.map { c =>
+      m.schema.fieldNames.find(_.equalsIgnoreCase(c))
+        .map(f => col(c).cast(m.schema(f).dataType).as(c))
+        .getOrElse(col(c))
+    }.toIndexedSeq: _*)
+
+  /** Map key for driver-local conflict matching — byte arrays compare
+    * by value, like groupBy keys. */
+  private def localKey(r: Row, idx: Seq[Int]): Seq[Any] =
+    idx.map(i => r.get(i) match {
+      case a: Array[Byte] => a.toSeq
+      case x => x
+    })
+
+  /** ONE bounded scan backing the driver-local merge paths: existing
+    * rows matching the batch on the conflict ARBITER or on the
+    * PRIMARY KEY (the guard's channel). Both are unique structures,
+    * so the result is ≤ 2×|batch| rows — driver-safe by construction.
+    * At warehouse scale this is the same full-scan-with-broadcast-
+    * filter class as the distributed path's join probes, but it is
+    * the ONLY scan the statement pays. */
+  private def collectExistingMatches(m: Manifest, pk: Seq[String],
+      addArb: DataFrame => DataFrame, bRows: Array[Row],
+      batchSchema: org.apache.spark.sql.types.StructType,
+      arbIdx: Seq[Int], pkIdx: Seq[Int])
+      : (Array[Row], org.apache.spark.sql.types.StructType) = {
+    val ex = addArb(readManifest(m))
+    // the EXISTING side's schema, not the batch's: an un-cast literal
+    // batch may carry narrower types (INT ids against a BIGINT pk) —
+    // the analyzer coerces the join keys, but a local frame declared
+    // with the wrong cell types would CCE at constant folding
+    if (m.files.isEmpty) return (Array.empty, ex.schema)
+    val keyFields =
+      pk.zip(arbIdx).map { case (c, i) =>
+        StructField(s"__k_$c", batchSchema(i).dataType) } ++
+        m.pkCols.zip(pkIdx).map { case (c, i) =>
+          StructField(s"__p_$c", batchSchema(i).dataType) }
+    val keyRows = bRows.map(r =>
+      Row.fromSeq(arbIdx.map(r.get) ++ pkIdx.map(r.get)))
+    val keys = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(keyRows: _*)),
+      StructType(keyFields.toSeq))
+    val arbEq = pk.map(c => col(c) === col(s"__k_$c")).reduce(_ && _)
+    val pkEq = m.pkCols.map(c => col(c) === col(s"__p_$c")).reduce(_ && _)
+    (ex.join(broadcast(keys), arbEq || pkEq, "left_semi").collect(),
+      ex.schema)
+  }
+
+  /** Driver-local twin of [[guardArbiterPkCollision]] — same two PG
+    * violations, same messages. `exPks` must cover every existing row
+    * whose PK appears in the batch ([[collectExistingMatches]]'s pkEq
+    * arm guarantees it). */
+  private def guardLocalArbiterPk(m: Manifest, key: Seq[String],
+      toInsert: Array[Row], pkIdx: Seq[Int], exPks: Set[Seq[Any]]): Unit = {
+    if (key.map(_.toLowerCase).toSet == m.pkCols.map(_.toLowerCase).toSet)
+      return
+    val newPks = toInsert.map(r => localKey(r, pkIdx)).toSeq
+    val hit = newPks.count(exPks.contains)
+    require(hit == 0,
+      s"duplicate key value violates the PRIMARY KEY (${m.pkCols.mkString(", ")}): " +
+        s"$hit incoming row(s) carry an existing primary key with a novel " +
+        "conflict-arbiter value")
+    val nd = newPks.distinct.size
+    require(nd == newPks.size,
+      s"duplicate key value violates the PRIMARY KEY (${m.pkCols.mkString(", ")}): " +
+        s"${newPks.size - nd} in-batch duplicate(s) share a primary key across distinct " +
+        "conflict-arbiter values")
   }
 
   /** Under a NON-PK conflict arbiter, a source row with a novel
@@ -758,6 +913,8 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val (pk, addArb) = withArbiterKey(if (key0.nonEmpty) key0 else m.pkCols)
     val dataCols = m.schema.fieldNames
     val batch = lastPerKey(addArb(df0.select(dataCols.map(col): _*)), pk)
+    if (isLocalPlan(batch))
+      return upsertLocalCounts(m, pk, set, addArb, batch, dataCols)
     val renamed = batch.select(batch.columns.map(c => col(c).as(s"__new_$c")): _*)
     val existing = addArb(readManifest(m))
     val matched = existing.join(renamed,
@@ -775,6 +932,81 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // MySQL affected rows (1 per insert, 2 per update) come off
     // merge's own probe aggregate — the old groupBy-count collect was
     // a second multi-stage job per child per statement (round 14)
+    val c = merge(changes)
+    ((c.total - c.updates) + 2 * c.updates, c.total - c.updates)
+  }
+
+  /** [[upsertOnDuplicateCounts]]' driver-local arm for LOCAL batches
+    * (literal VALUES or folded small SELECT sources — r16 verdict #6):
+    * ONE bounded scan ([[collectExistingMatches]]) fetches the
+    * existing rows the batch can touch; the arbiter match, the PK
+    * guard, and the update/insert split then compose on the driver
+    * into ONE local joined frame, whose SET-expression projection
+    * constant-folds back to a LocalRelation — so the closing merge
+    * keeps its no-persist local shape. 2 actions (scan + merge write)
+    * instead of the distributed path's 4-5. Semantics are the
+    * distributed arm's exactly: last-per-key condense already applied
+    * by the caller, NULL arbiter values never match, un-set columns
+    * keep the existing row's values, affected = 1/insert + 2/update. */
+  private def upsertLocalCounts(m: Manifest, pk: Seq[String],
+      set: Map[String, String], addArb: DataFrame => DataFrame,
+      batch: DataFrame, dataCols: Array[String]): (Long, Long) = {
+    // align the batch's DATA columns to the table's types first (a
+    // folding Project — stays local): an un-cast literal batch can
+    // carry narrower types (INT ids against a BIGINT pk), and driver-
+    // side key equality — unlike a join — does not coerce
+    val batchA = alignToSchema(m, batch)
+    val bRows = batchA.collect() // LocalRelation: no job
+    if (bRows.isEmpty) return (0L, 0L)
+    val bCols = batchA.columns
+    val arbIdx = pk.map(k => bCols.indexWhere(_.equalsIgnoreCase(k)))
+    val pkIdx = m.pkCols.map(k => bCols.indexWhere(_.equalsIgnoreCase(k)))
+    val (exRows, exSchema) = collectExistingMatches(m, pk, addArb,
+      bRows, batchA.schema, arbIdx, pkIdx)
+    // the existing side carries the SAME column list as the batch
+    // (dataCols ++ arbiter columns, both through addArb) but ITS OWN
+    // types — index it by its own schema
+    val exCols = exSchema.fieldNames
+    val arbIdxE = pk.map(k => exCols.indexWhere(_.equalsIgnoreCase(k)))
+    val pkIdxE = m.pkCols.map(k => exCols.indexWhere(_.equalsIgnoreCase(k)))
+    val exByArb = exRows.iterator
+      .filter(r => !arbIdxE.exists(r.isNullAt))
+      .map(r => localKey(r, arbIdxE) -> r).toMap
+    def matchOf(r: Row): Option[Row] =
+      if (arbIdx.exists(r.isNullAt)) None // NULL arbiter never conflicts
+      else exByArb.get(localKey(r, arbIdx))
+    val novel = bRows.filter(r => matchOf(r).isEmpty)
+    guardLocalArbiterPk(m, pk, novel, pkIdx,
+      exRows.map(r => localKey(r, pkIdxE)).toSet)
+    // ONE local frame, ONE projection: matched rows carry the existing
+    // image + the incoming __new_ image (SET expressions see both,
+    // exactly like the distributed join); novel rows null the existing
+    // side. The projection folds to a LocalRelation (deterministic
+    // SETs), keeping merge on its literal fast path.
+    val exFields = exSchema.fields.map(f => f.copy(nullable = true))
+    val joinedSchema = StructType(
+      StructField("__matched", org.apache.spark.sql.types.BooleanType,
+        nullable = false) +:
+        (exFields ++ batchA.schema.fields.map(f =>
+          f.copy(name = s"__new_${f.name}", nullable = true))).toSeq)
+    val nulls = Seq.fill[Any](exFields.length)(null)
+    val joinedRows: Array[Row] = bRows.map { r =>
+      matchOf(r) match {
+        case Some(ex) => Row.fromSeq(true +: (ex.toSeq ++ r.toSeq))
+        case None => Row.fromSeq(false +: (nulls ++ r.toSeq))
+      }
+    }
+    val joined = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(joinedRows: _*)),
+      joinedSchema)
+    val changes = joined.select(
+      (dataCols.map { f =>
+        when(col("__matched"),
+          set.get(f).map(e => expr(e).cast(m.schema(f).dataType))
+            .getOrElse(col(f)))
+          .otherwise(col(s"__new_$f")).as(f)
+      } :+ when(col("__matched"), lit(1)).otherwise(lit(2)).as("action"))
+        .toIndexedSeq: _*)
     val c = merge(changes)
     ((c.total - c.updates) + 2 * c.updates, c.total - c.updates)
   }

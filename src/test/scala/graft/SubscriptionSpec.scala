@@ -161,6 +161,157 @@ class SubscriptionSpec extends SparkSpec {
       "StreamCommit(B) closes the stream and becomes the cut")
   }
 
+  test("live publisher: CREATE SUBSCRIPTION runs the PG apply daemon") {
+    // r16 verdict #4 — the exact analog of START REPLICA →
+    // MySqlBinlogClient (reference subscription_handler.go:202-290
+    // streams from the publisher continuously): a scripted publisher
+    // speaks the replication sub-protocol; CREATE SUBSCRIPTION with
+    // host= starts PgReplicationClient appending to the subscription's
+    // framelog slot; REFRESH consumes it unchanged; DISABLE stops the
+    // daemon, ENABLE reconnects (GTID-analog: resumes past txn 1).
+    import java.io.{DataInputStream, DataOutputStream}
+    import java.net.ServerSocket
+    import java.nio.charset.StandardCharsets
+    def be(n: Long, w: Int): Array[Byte] =
+      (0 until w).reverseIterator
+        .map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
+    def cstr(s: String): Array[Byte] = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      java.util.Arrays.copyOf(b, b.length + 1)
+    }
+    def cat(parts: Array[Byte]*): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(); parts.foreach(o.write)
+      o.toByteArray
+    }
+    def writeMsg(out: DataOutputStream, tpe: Char, body: Array[Byte]): Unit = {
+      out.writeByte(tpe); out.writeInt(4 + body.length); out.write(body)
+      out.flush()
+    }
+    def readStartup(in: DataInputStream): Unit = {
+      val len = in.readInt(); in.readFully(new Array[Byte](len - 4))
+    }
+    def readMsg(in: DataInputStream): (Char, Array[Byte]) = {
+      val tpe = in.readByte().toChar
+      val len = in.readInt()
+      val b = new Array[Byte](len - 4); in.readFully(b); (tpe, b)
+    }
+    def xlog(out: DataOutputStream, walStart: Long, p: Array[Byte]): Unit =
+      writeMsg(out, 'd', cat(Array('w'.toByte), be(walStart, 8),
+        be(walStart, 8), be(0L, 8), p))
+    def keepalive(out: DataOutputStream, walEnd: Long): Unit =
+      writeMsg(out, 'd', cat(Array('k'.toByte), be(walEnd, 8), be(0L, 8),
+        Array(1.toByte)))
+    val relOid = 16384
+    val rel = cat(Seq(Array('R'.toByte), be(relOid, 4), cstr("public"),
+      cstr("acct"), Array('d'.toByte), be(2, 2)) ++
+      Seq(("id", 20), ("v", 25)).flatMap { case (cn, t) =>
+        Seq(Array(0.toByte), cstr(cn), be(t, 4), be(0xffffffffL, 4))
+      }: _*)
+    def tup(vals: Option[String]*): Array[Byte] =
+      cat(Seq(be(vals.size, 2)) ++ vals.map {
+        case Some(s) =>
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          cat(Array('t'.toByte), be(b.length, 4), b)
+        case None => Array('n'.toByte)
+      }: _*)
+    def beginM(lsn: Long, xid: Long): Array[Byte] =
+      cat(Array('B'.toByte), be(lsn, 8), be(0L, 8), be(xid, 4))
+    def commitM(lsn: Long): Array[Byte] =
+      cat(Array('C'.toByte, 0.toByte), be(lsn, 8), be(lsn + 1, 8), be(0L, 8))
+    def insertM(t: Array[Byte]): Array[Byte] =
+      cat(Array('I'.toByte), be(relOid, 4), Array('N'.toByte), t)
+
+    val requestedLsns = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val serverErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val server = new ServerSocket(0)
+    val publisher = new Thread(() => {
+      try {
+        def session(txn: DataOutputStream => Unit): Unit = {
+          val s = server.accept()
+          val in = new DataInputStream(s.getInputStream)
+          val out = new DataOutputStream(s.getOutputStream)
+          readStartup(in)
+          writeMsg(out, 'R', be(0L, 4)) // AuthenticationOk
+          writeMsg(out, 'Z', Array('I'.toByte))
+          val (q, body) = readMsg(in) // START_REPLICATION
+          assert(q == 'Q')
+          val sql = new String(body, 0, body.length - 1, StandardCharsets.UTF_8)
+          val m = """LOGICAL ([0-9A-F]+)/([0-9A-F]+)""".r
+            .findFirstMatchIn(sql).get
+          requestedLsns.add((java.lang.Long.parseLong(m.group(1), 16) << 32) |
+            java.lang.Long.parseLong(m.group(2), 16))
+          writeMsg(out, 'W', cat(Array(0.toByte), be(0L, 2))) // CopyBoth
+          txn(out)
+          // hold until the daemon disconnects (DISABLE/DROP)
+          try while (true) readMsg(in) catch { case _: Throwable => () }
+          try s.close() catch { case _: Throwable => () }
+        }
+        session { out => // txn 1: insert (2, 'b')
+          xlog(out, 100L, beginM(100L, 9L))
+          xlog(out, 101L, rel)
+          xlog(out, 102L, insertM(tup(Some("2"), Some("b"))))
+          xlog(out, 103L, commitM(100L))
+          keepalive(out, 103L) // reply-requested: forces the log flush
+        }
+        session { out => // txn 2 (after ENABLE): insert (3, 'c')
+          xlog(out, 200L, beginM(200L, 10L))
+          xlog(out, 201L, rel)
+          xlog(out, 202L, insertM(tup(Some("3"), Some("c"))))
+          xlog(out, 203L, commitM(200L))
+          keepalive(out, 203L)
+        }
+      } catch { case e: Throwable => serverErr.set(e) }
+    }, "scripted-publisher")
+    publisher.setDaemon(true)
+    publisher.start()
+
+    val pubWh = tmpDir("sub_live_pub")
+    val pub = new Engine(spark, pubWh)
+    exec(pub, "CREATE TABLE acct (id BIGINT NOT NULL, v STRING, " +
+      "PRIMARY KEY (id))")
+    exec(pub, "INSERT INTO acct VALUES (1, 'a')")
+    val fl = tmpDir("sub_live_fl")
+    val sub = new Engine(spark, tmpDir("sub_live_sub"))
+    exec(sub, s"CREATE SUBSCRIPTION live1 CONNECTION " +
+      s"'warehouse=$pubWh dbname=main host=127.0.0.1 " +
+      s"port=${server.getLocalPort} user=repl framelog=$fl slot=live1' " +
+      "PUBLICATION pubx")
+    assert(sub.subscriptionDaemonRunning("live1"), "daemon must start")
+    def await(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(cond, s"timed out: $what")
+    }
+    // the daemon lands txn 1 in the framelog; REFRESH applies it
+    await("txn 1 flushed")(
+      FrameLog.endAtPgCommit(fl, "live1", 0L)._2.contains(103L))
+    assert(exec(sub, "ALTER SUBSCRIPTION live1 REFRESH").affected > 0L)
+    import spark.implicits._
+    assert(exec(sub, "SELECT id, v FROM acct ORDER BY id").df.get
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    // DISABLE stops the daemon
+    exec(sub, "ALTER SUBSCRIPTION live1 DISABLE")
+    await("daemon stopped")(!sub.subscriptionDaemonRunning("live1"))
+    // ENABLE reconnects; the resume LSN skips everything appended
+    exec(sub, "ALTER SUBSCRIPTION live1 ENABLE")
+    await("daemon restarted")(sub.subscriptionDaemonRunning("live1"))
+    await("txn 2 flushed")(
+      FrameLog.endAtPgCommit(fl, "live1", 0L)._2.contains(203L))
+    assert(exec(sub, "ALTER SUBSCRIPTION live1 REFRESH").affected > 0L)
+    assert(exec(sub, "SELECT id FROM acct ORDER BY id").df.get
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // DROP stops the daemon; tables survive
+    exec(sub, "DROP SUBSCRIPTION live1")
+    await("daemon dropped")(!sub.subscriptionDaemonRunning("live1"))
+    assert(exec(sub, "SELECT count(*) FROM acct").df.get.as[Long].head() === 3L)
+    server.close()
+    assert(serverErr.get() === null,
+      s"scripted publisher failed: ${serverErr.get()}")
+    assert(requestedLsns.get(0) === 1L, "fresh slot resumes from the start")
+    assert(requestedLsns.get(1) === 104L,
+      "the reconnect must resume past txn 1 (framelog IS the position store)")
+  }
+
   test("timestamptz columns survive the publish→refresh round trip") {
     // PgOutputEncoder advertises TimestampType as OID 1184
     // (timestamptz); the decoder's 1184 text branch requires a
