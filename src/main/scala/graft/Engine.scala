@@ -940,6 +940,16 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     require(!subscriptions.contains(name),
       s"""subscription "$name" already exists""")
     val kv = connKv(connection)
+    // live-daemon config validates BEFORE any snapshot or catalog
+    // write — a failed CREATE must not leave a half-created enabled
+    // subscription behind (the retry would hit "already exists")
+    kv.get("host").foreach { _ =>
+      require(kv.contains("framelog"),
+        "a live subscription (host=...) needs framelog=<dir> — " +
+          "the local WAL landing directory its REFRESH reads")
+      kv.get("port").foreach(p => require(p.trim.forall(_.isDigit),
+        s"invalid port in subscription connection: $p"))
+    }
     val srcWh = java.nio.file.Paths.get(kv.getOrElse("warehouse",
       throw new IllegalArgumentException(
         "CREATE SUBSCRIPTION connection needs warehouse=<path> " +
@@ -995,31 +1005,43 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     maybeStartSubDaemon(name, entry)
   }
 
-  def alterSubscription(name: String, enabled: Boolean): Unit = {
-    val entry = synchronized { // atomic RMW: must not revert a concurrent checkpoint advance
+  def alterSubscription(name: String, enabled: Boolean): Unit =
+    synchronized { // ONE lock spans the RMW and the daemon action:
+      // interleaved DISABLE/ENABLE must never leave the running state
+      // contradicting the persisted flag (daemon start is non-blocking
+      // — it only spawns the thread; the monitor is reentrant)
       val subs = subscriptions
       val sub = subs.getOrElse(name, throw new IllegalArgumentException(
         s"""subscription "$name" does not exist"""))
       val upd = sub.updated("enabled", enabled.toString)
       writeSubscriptions(subs.updated(name, upd))
-      upd
+      // ENABLE resumes the live apply daemon; DISABLE stops it (PG:
+      // DISABLE stops the apply worker; the slot's WAL waits upstream)
+      if (enabled) maybeStartSubDaemon(name, upd)
+      else stopSubDaemon(name)
     }
-    // ENABLE resumes the live apply daemon; DISABLE stops it (PG:
-    // DISABLE stops the apply worker; the slot's WAL waits upstream)
-    if (enabled) maybeStartSubDaemon(name, entry)
-    else stopSubDaemon(name)
-  }
 
-  def dropSubscription(name: String): Unit = {
-    synchronized {
-      val subs = subscriptions
-      require(subs.contains(name),
-        s"""subscription "$name" does not exist""")
-      // PG semantics: the subscribed tables and their data survive
-      writeSubscriptions(subs - name)
-    }
+  def dropSubscription(name: String): Unit = synchronized {
+    val subs = subscriptions
+    require(subs.contains(name),
+      s"""subscription "$name" does not exist""")
+    // PG semantics: the subscribed tables and their data survive
+    writeSubscriptions(subs - name)
     stopSubDaemon(name)
   }
+
+  /** Restart the apply daemons of every ENABLED live subscription —
+    * the ops surface for process restarts (PG restarts apply workers
+    * with the server). Deliberately NOT run at Engine construction:
+    * harness engines are constructed per query by the dozen, and
+    * auto-starting network daemons there would be wrong (the same
+    * recorded decision as the replica controller's
+    * `running` flag — ENGINEERING_NOTES r16). */
+  def resumeSubscriptionDaemons(): Unit =
+    subscriptions.foreach { case (name, sub) =>
+      if (sub.getOrElse("enabled", "false") == "true")
+        maybeStartSubDaemon(name, sub)
+    }
 
   /** Poll-apply: decode and LWW-merge every framelog frame past the
     * checkpoint into the subscribed tables, then advance the
@@ -1306,7 +1328,7 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     val from = replicaConfig.getOrElse("apply.bytepos", "0").toLong
     val (to, _) = graft.streaming.FrameLog.endAtMyCommit(dir, slot, from)
     if (to <= from) return 0L
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val frames = spark.read.format("framelog")
       .option(s"range.$slot", s"$from:$to").load(dir.toString)
       .persist() // one file read; N per-table decode passes below
@@ -1324,10 +1346,23 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
           frames, "slot", "off", "payload", qt, specs, crc32Checksum)
         // decode types follow the wire specs; the table may declare a
         // wider/different Spark type (BOOL rides TINYINT) — cast data
-        // columns back to the declared schema before the merge
+        // columns back to the declared schema before the merge.
+        // TIME is the one non-cast conversion: Time2 decodes to
+        // MICROSECONDS, while Spark's numeric↔interval casts speak
+        // SECONDS (q120's oracle pins that), so divide first — exact,
+        // since |µs| ≤ 838h·3.6e9 ≈ 3e15 < 2^53
         val aligned = decoded.select(
-          t.schema.fields.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)).toSeq ++
+          t.schema.fields.map { f =>
+            (f.dataType, decoded.schema(f.name).dataType) match {
+              case (it: org.apache.spark.sql.types.DayTimeIntervalType,
+                  org.apache.spark.sql.types.LongType) =>
+                org.apache.spark.sql.functions.expr(
+                  s"make_dt_interval(0, 0, 0, " +
+                    s"CAST(`${f.name}` / 1000000.0 AS DECIMAL(20,6)))")
+                  .cast(it).as(f.name)
+              case _ => col(f.name).cast(f.dataType).as(f.name)
+            }
+          }.toSeq ++
             graft.streaming.CdcMerge.metaCols.map(col): _*)
         graft.streaming.CdcMerge.applyBatch(t, aligned)
       }

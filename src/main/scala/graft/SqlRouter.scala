@@ -5481,29 +5481,36 @@ object SqlRouter {
           // enum columns carry PG's value-set enforcement as a CHECK
           defaults += s"check.enum_$name" -> enumCheck(name, values)
         }
-        val dt =
-          if (serialType.isDefined) serialType.get
-          else if (userTy.isDefined) userTy.get._1
+        // TypeMapper-resolved columns RECORD their fidelity metadata
+        // (original type, display width/fsp, unsigned flag, ENUM/SET
+        // members) — r17: BinlogRowDecoder.specsFor reads it to key
+        // the replica wire decode, so dropping it silently mapped
+        // DATETIME(6)/ENUM/BIT replica columns to wrong cell layouts
+        def tm = graft.types.TypeMapper.toSpark(tpe)
+        val (dt, tmMeta): (org.apache.spark.sql.types.DataType,
+            Option[org.apache.spark.sql.types.Metadata]) =
+          if (serialType.isDefined) (serialType.get, None)
+          else if (userTy.isDefined) (userTy.get._1, None)
           else if (tbase == "timestamp" && a.startsWith("WITHOUT TIME ZONE"))
-            org.apache.spark.sql.types.TimestampNTZType
+            (org.apache.spark.sql.types.TimestampNTZType, None)
           else if (tbase == "timestamp" && a.startsWith("WITH TIME ZONE"))
-            org.apache.spark.sql.types.TimestampType
-          else if (tbase == "time")
+            (org.apache.spark.sql.types.TimestampType, None)
+          else if (tbase == "time") {
             // MySQL TIME → day-time interval (§1.2). Never reaches
             // Spark's DDL parser: Spark 4's reserved TIME type throws
             // UNSUPPORTED_TIME_TYPE, which is neither of the
             // fallback-caught exception classes below
-            graft.types.TypeMapper.toSpark(tpe).dataType
-          else
+            val mp = tm; (mp.dataType, Some(mp.metadata))
+          } else
             // Spark DDL first (STRING, ARRAY<INT>, ...); MySQL-only
             // types (MEDIUMINT, ENUM, lowercase dump forms) via the
             // type mapper
-            try StructType.fromDDL(s"`$name` $tpe").head.dataType
+            try (StructType.fromDDL(s"`$name` $tpe").head.dataType, None)
             catch {
               case _: org.apache.spark.sql.catalyst.parser.ParseException =>
-                graft.types.TypeMapper.toSpark(tpe).dataType
+                val mp = tm; (mp.dataType, Some(mp.metadata))
               case _: org.apache.spark.SparkException =>
-                graft.types.TypeMapper.toSpark(tpe).dataType
+                val mp = tm; (mp.dataType, Some(mp.metadata))
             }
         // CHAR/VARCHAR cannot live in a reader schema — store as STRING
         // (the same normalization TypeMapper applies), but the declared
@@ -5516,7 +5523,9 @@ object SqlRouter {
               new org.apache.spark.sql.types.MetadataBuilder()
                 .putString(graft.types.TypeMapper.OriginalTypeKey, tpe.trim)
                 .build())
-          case other => (other, org.apache.spark.sql.types.Metadata.empty)
+          case other =>
+            (other,
+              tmMeta.getOrElse(org.apache.spark.sql.types.Metadata.empty))
         }
         StructField(name, stored, nullable = !notNull && serialType.isEmpty,
           meta)

@@ -162,12 +162,18 @@ object PipelineQueries {
         .select(col("media_id").as("doc_id"),
           col("features")(0).cast("long").as("rw"),
           col("features")(1).cast("long").as("rh"))
-      dims.join(nf, Seq("doc_id"), "left")
+      // materialize the (small) gate frame, then release the cached
+      // media bytes — a leaked persist would hold two full media
+      // copies per bench run for the rest of the suite
+      val res = dims.join(nf, Seq("doc_id"), "left")
         .join(pcm, Seq("doc_id"), "left")
         .join(rsz, Seq("doc_id"), "left")
         .select(col("doc_id"), col("kind"), col("w"), col("h"),
           col("nf"), col("pcm"), col("rw"), col("rh"))
         .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+      media.unpersist()
+      res
     },
     Some("""WITH pcmt AS (
         SELECT d.doc_id, SUM((d.doc_id*31 + t.i*7) % 2001 - 1000) AS s

@@ -541,7 +541,9 @@ final class GraftTable(val spark: SparkSession, val path: Path,
         val rows = proj.collect() // folded projection: no job
         var ndel = 0L; var nupd = 0L
         rows.foreach { r =>
-          val a = r.getInt(0)
+          // null-action rows count toward the total only, mirroring
+          // the distributed count(when(action === K, 1)) semantics
+          val a = if (r.isNullAt(0)) -1 else r.getInt(0)
           if (a == 0) ndel += 1 else if (a == 1) nupd += 1
         }
         val vio = checks.zipWithIndex.collect {
@@ -730,8 +732,13 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       // stays a LocalRelation — 2 actions instead of the distributed
       // path's 3-4 (r16 verdict #6, the statement job floor)
       // align batch types to the table's first — driver-side key
-      // equality, unlike a join, does not coerce INT against BIGINT
-      val freshA = alignToSchema(m, fresh0)
+      // equality, unlike a join, does not coerce INT against BIGINT;
+      // expression-arbiter columns recompute over the aligned values
+      val freshA = {
+        val noArb = fresh0.columns.filter(_.startsWith("__arb_"))
+          .foldLeft(fresh0)(_.drop(_))
+        addArb(alignToSchema(m, noArb))
+      }
       val bRows = freshA.collect() // LocalRelation: no job
       if (bRows.isEmpty) return 0L
       val bCols = freshA.columns
@@ -954,8 +961,15 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // align the batch's DATA columns to the table's types first (a
     // folding Project — stays local): an un-cast literal batch can
     // carry narrower types (INT ids against a BIGINT pk), and driver-
-    // side key equality — unlike a join — does not coerce
-    val batchA = alignToSchema(m, batch)
+    // side key equality — unlike a join — does not coerce. Expression
+    // arbiter (__arb_*) columns RECOMPUTE over the aligned values —
+    // computed pre-alignment they'd carry the narrow types too and
+    // silently miss every existing-side match
+    val batchA = {
+      val noArb = batch.columns.filter(_.startsWith("__arb_"))
+        .foldLeft(batch)(_.drop(_))
+      addArb(alignToSchema(m, noArb))
+    }
     val bRows = batchA.collect() // LocalRelation: no job
     if (bRows.isEmpty) return (0L, 0L)
     val bCols = batchA.columns

@@ -28,6 +28,11 @@ object BinlogEncoder {
   private def le(n: Long, bytes: Int): Array[Byte] =
     (0 until bytes).map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
 
+  /** big-endian — the temporal TIME2/DATETIME2/TIMESTAMP2 layouts. */
+  private def be(n: Long, bytes: Int): Array[Byte] =
+    (0 until bytes).reverseIterator
+      .map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
+
   private def cat(parts: Seq[Array[Byte]]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     parts.foreach(out.write)
@@ -78,6 +83,18 @@ object BinlogEncoder {
     case (Int32, x: Long) => le(x & 0xffffffffL, 4)
     case (ShortInt, x: Short) => le(x.toLong & 0xffffL, 2)
     case (TinyInt, x: Byte) => Array(x)
+    case (Int24, x: Int) => le(x.toLong & 0xffffffL, 3)
+    // unsigned tiers: natural wire widths (the decoder's exact inverse)
+    case (UTinyInt, x: Short) => Array((x & 0xff).toByte)
+    case (UTinyInt, x: Int) => Array((x & 0xff).toByte)
+    case (USmallInt, x: Int) => le(x.toLong & 0xffffL, 2)
+    case (UInt24, x: Int) => le(x.toLong & 0xffffffL, 3)
+    case (UInt32, x: Long) => le(x & 0xffffffffL, 4)
+    case (UInt32, x: Int) => le(x.toLong & 0xffffffffL, 4)
+    case (UInt64, x: java.math.BigDecimal) =>
+      le(x.toBigInteger.longValue(), 8)
+    case (UInt64, x: BigDecimal) => le(x.toBigInt.longValue, 8)
+    case (UInt64, x: Long) => le(x, 8)
     case (Float64, x: Double) =>
       le(java.lang.Double.doubleToLongBits(x), 8)
     case (Varchar(maxLen, cs), s: String) =>
@@ -97,6 +114,59 @@ object BinlogEncoder {
             "declare the column Varchar(>255) for a 2-byte length prefix")
         cat(Seq(Array(b.length.toByte), b))
       }
+    // temporal layouts (even fsp — odd fsp's half-byte packing is a
+    // decode-only concern; fixtures declare even precisions)
+    case (DateTime2(fsp), d: java.time.LocalDateTime) =>
+      require(fsp % 2 == 0, s"BinlogEncoder: even DATETIME fsp only, got $fsp")
+      val ymd = (d.getYear * 13L + d.getMonthValue) * 32L + d.getDayOfMonth
+      val hms = (d.getHour.toLong << 12) | (d.getMinute << 6) | d.getSecond
+      val frBytes = (fsp + 1) / 2
+      val scale = math.pow(10, 6 - fsp).toLong
+      val fr = (d.getNano / 1000L) / scale
+      // the 0x8000000000 bias rides the 5-byte big-endian packed value
+      cat(Seq(be(((ymd << 17) | hms) + 0x8000000000L, 5)) ++
+        (if (frBytes > 0) Seq(be(fr, frBytes)) else Nil))
+    case (Timestamp2(fsp), t: java.sql.Timestamp) =>
+      require(fsp % 2 == 0, s"BinlogEncoder: even TIMESTAMP fsp only, got $fsp")
+      val i = t.toInstant
+      val frBytes = (fsp + 1) / 2
+      val fr = (i.getNano / 1000L) / math.pow(10, 6 - fsp).toLong
+      cat(Seq(be(i.getEpochSecond, 4)) ++
+        (if (frBytes > 0) Seq(be(fr, frBytes)) else Nil))
+    case (Time2(fsp), us0: Long) =>
+      require(fsp % 2 == 0, s"BinlogEncoder: even TIME fsp only, got $fsp")
+      val frBytes = (fsp + 1) / 2
+      val scale = math.pow(10, 6 - fsp).toLong
+      val neg = us0 < 0
+      val us = math.abs(us0)
+      val secs = us / 1000000L
+      val fr = (us % 1000000L) / scale
+      require(frBytes > 0 || us % 1000000L == 0,
+        "TIME(0) cell carries sub-second precision")
+      val packed = ((secs / 3600) << 12) | (((secs / 60) % 60) << 6) |
+        (secs % 60)
+      // negatives store the complement in packed-integer space; a
+      // nonzero fraction borrows one packed unit — the decoder's exact
+      // inverse, so the round trip is identity by construction
+      if (!neg)
+        cat(Seq(be(0x800000L + packed, 3)) ++
+          (if (frBytes > 0) Seq(be(fr, frBytes)) else Nil))
+      else if (fr == 0)
+        cat(Seq(be(0x800000L - packed, 3)) ++
+          (if (frBytes > 0) Seq(be(0L, frBytes)) else Nil))
+      else
+        cat(Seq(be(0x800000L - packed - 1, 3),
+          be((1L << (8 * frBytes)) - fr, frBytes)))
+    case (Text(lenBytes, cs), s: String) =>
+      val b = s.getBytes(java.nio.charset.Charset.forName(
+        if (cs.equalsIgnoreCase("utf8mb4")) "UTF-8" else cs))
+      require(lenBytes >= 4 || b.length < (1 << (8 * lenBytes)),
+        s"Text($lenBytes) cell of ${b.length} bytes overflows its prefix")
+      cat(Seq(le(b.length.toLong, lenBytes), b))
+    case (Blob(lenBytes), b: Array[Byte]) =>
+      require(lenBytes >= 4 || b.length < (1 << (8 * lenBytes)),
+        s"Blob($lenBytes) cell of ${b.length} bytes overflows its prefix")
+      cat(Seq(le(b.length.toLong, lenBytes), b))
     case (t, x) => throw new IllegalArgumentException(
       s"BinlogEncoder: unsupported cell $t <- ${Option(x).map(_.getClass)}")
   }

@@ -53,6 +53,21 @@ object BinlogRowDecoder {
   case object Int24 extends BinlogType { val sparkType: DataType = IntegerType }
   case object Int32 extends BinlogType { val sparkType: DataType = IntegerType }
   case object Int64 extends BinlogType { val sparkType: DataType = LongType }
+  /** UNSIGNED integer tiers: MySQL row events encode them at their
+    * NATURAL 1/2/3/4/8-byte widths (signedness lives in the table
+    * definition, not the wire) — decoding an unsigned column through
+    * the widened Spark type's signed spec would read the wrong number
+    * of bytes and desync every later cell (`rbr.go` reads width by
+    * column type, sign by the TABLE_MAP signedness metadata). Values
+    * widen to the §1.2 mapping: UTINYINT→Short, USMALLINT→Int,
+    * UMEDIUMINT→Int, UINT→Long, UBIGINT→DECIMAL(20,0). */
+  case object UTinyInt extends BinlogType { val sparkType: DataType = ShortType }
+  case object USmallInt extends BinlogType { val sparkType: DataType = IntegerType }
+  case object UInt24 extends BinlogType { val sparkType: DataType = IntegerType }
+  case object UInt32 extends BinlogType { val sparkType: DataType = LongType }
+  case object UInt64 extends BinlogType {
+    val sparkType: DataType = DecimalType(20, 0)
+  }
   case object Float32 extends BinlogType { val sparkType: DataType = FloatType }
   case object Float64 extends BinlogType { val sparkType: DataType = DoubleType }
   case object Date extends BinlogType { val sparkType: DataType = DateType }
@@ -133,12 +148,28 @@ object BinlogRowDecoder {
         """'((?:[^']|'')*)'""".r
           .findAllMatchIn(f.metadata.getString(TypeMapper.EnumValuesKey))
           .map(_.group(1).replace("''", "'")).toSeq
+      val unsigned = f.metadata.contains(TypeMapper.UnsignedKey) &&
+        f.metadata.getBoolean(TypeMapper.UnsignedKey)
       val tpe: BinlogType =
         if (orig.startsWith("ENUM")) EnumT(members)
         else if (orig.startsWith("SET")) SetT(members)
         else if (orig.startsWith("JSON")) Json()
         else if (orig == "YEAR") Year
         else if (orig.startsWith("BIT")) Bit(width(1))
+        // the wire encodes UNSIGNED columns at their NATURAL widths —
+        // the widened Spark type must not pick the spec (a SMALLINT
+        // UNSIGNED read as Int32 eats 4 bytes and desyncs the row)
+        else if (unsigned && orig.startsWith("TINYINT")) UTinyInt
+        else if (unsigned && orig.startsWith("SMALLINT")) USmallInt
+        else if (unsigned && orig.startsWith("MEDIUMINT")) UInt24
+        else if (unsigned &&
+          (orig.startsWith("INT") || orig.startsWith("INTEGER"))) UInt32
+        else if (unsigned && orig.startsWith("BIGINT")) UInt64
+        else if (orig.startsWith("MEDIUMINT")) Int24
+        // TEXT tiers carry 1/3/4/2-byte prefixes like their BLOB twins
+        else if (orig.startsWith("TINYTEXT")) Text(1)
+        else if (orig.startsWith("MEDIUMTEXT")) Text(3)
+        else if (orig.startsWith("LONGTEXT")) Text(4)
         else if (orig.endsWith("TEXT")) Text(2)
         else if (orig.startsWith("TINYBLOB")) Blob(1)
         else if (orig.startsWith("MEDIUMBLOB")) Blob(3)
@@ -248,6 +279,19 @@ object BinlogRowDecoder {
     case Int24 => (signExtend(uint(data, pos, 3), 3).toInt, 3)
     case Int32 => (signExtend(uint(data, pos, 4), 4).toInt, 4)
     case Int64 => (uint(data, pos, 8), 8)
+    case UTinyInt => ((data(pos) & 0xff).toShort, 1)
+    case USmallInt => (uint(data, pos, 2).toInt, 2)
+    case UInt24 => (uint(data, pos, 3).toInt, 3)
+    case UInt32 => (uint(data, pos, 4), 4)
+    case UInt64 =>
+      // 8 bytes little-endian, reinterpreted unsigned → DECIMAL(20,0)
+      val v = uint(data, pos, 8)
+      val bd =
+        if (v >= 0) java.math.BigDecimal.valueOf(v)
+        else new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(v)
+            .add(java.math.BigInteger.ONE.shiftLeft(64)))
+      (bd, 8)
     case Float32 => (java.lang.Float.intBitsToFloat(uint(data, pos, 4).toInt), 4)
     case Float64 => (java.lang.Double.longBitsToDouble(uint(data, pos, 8)), 8)
     case Date =>

@@ -138,6 +138,53 @@ class ReplicaControllerSpec extends SparkSpec {
       .as[Long].head() === 0L)
   }
 
+  test("applyReplicaLog: wire-faithful types (unsigned tiers, fsp, TEXT, TIME)") {
+    // review r17: (a) unsigned columns ride the wire at their NATURAL
+    // widths (the widened Spark type must not pick the spec), (b) the
+    // router's CREATE TABLE must RECORD TypeMapper metadata so
+    // specsFor sees DATETIME(6)'s fsp and MEDIUMTEXT's prefix width,
+    // (c) TIME decodes MICROSECONDS while interval casts speak
+    // seconds — applyReplicaLog's alignment divides first
+    import graft.streaming.{BinlogEncoder => BE, BinlogRowDecoder => BRD,
+      FrameLog}
+    import BRD._
+    val e = new Engine(spark, tmpDir("replapply_ty"))
+    exec(e, "CREATE TABLE ty (id BIGINT NOT NULL, u1 TINYINT UNSIGNED, " +
+      "u2 SMALLINT UNSIGNED, u4 INT UNSIGNED, u8 BIGINT UNSIGNED, " +
+      "dt DATETIME(6), body MEDIUMTEXT, tm TIME, PRIMARY KEY (id))")
+    val specs = BRD.specsFor(e.table("ty").schema)
+    assert(specs.map(_.tpe) === Seq(Int64, UTinyInt, USmallInt, UInt32,
+      UInt64, DateTime2(6), Text(3), Time2(0)),
+      s"specs drifted: ${specs.map(_.tpe)}")
+    val dir = e.warehouse.resolve("_replica")
+    java.nio.file.Files.createDirectories(dir)
+    val sid = (1 to 16).map(_.toByte).toArray
+    val dt = java.time.LocalDateTime.parse("2024-03-05T06:07:08.123456")
+    val (t1, _) = BE.txn(1L, sid, 1L, 5L, "main", "ty", specs,
+      Seq(BE.Ins(Seq(1L, 255.toShort, 65535, 4294967295L,
+        new java.math.BigDecimal("18446744073709551615"), dt,
+        "x" * 300, 3600000000L)),
+        BE.Ins(Seq(2L, 0.toShort, 0, 0L,
+          new java.math.BigDecimal(0), dt.withNano(0),
+          "", -3600000000L))))
+    FrameLog.append(dir, "replica", t1)
+    assert(e.applyReplicaLog(Seq("main.ty")) === t1.size.toLong)
+    val rows = exec(e, "SELECT CAST(u1 AS BIGINT), CAST(u2 AS BIGINT), " +
+      "CAST(u4 AS BIGINT), CAST(u8 AS STRING), CAST(dt AS STRING), " +
+      "length(body), CAST(tm AS BIGINT) FROM ty ORDER BY id").df.get
+      .collect()
+    assert(rows(0).getLong(0) === 255L)
+    assert(rows(0).getLong(1) === 65535L)
+    assert(rows(0).getLong(2) === 4294967295L)
+    assert(rows(0).getString(3) === "18446744073709551615")
+    assert(rows(0).getString(4) === "2024-03-05 06:07:08.123456")
+    assert(rows(0).getInt(5) === 300)
+    assert(rows(0).getLong(6) === 3600L,
+      "TIME must land as 1 hour, not 41,666 days (µs read as seconds)")
+    assert(rows(1).getLong(6) === -3600L, "negative TIME round-trips")
+    assert(rows(1).getString(3) === "0")
+  }
+
   test("endAtMyCommit: XID and committing-QUERY boundaries") {
     import graft.streaming.{BinlogEncoder => BE, FrameLog}
     val fl = tmpDir("myclcut")
