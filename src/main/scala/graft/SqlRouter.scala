@@ -1761,13 +1761,24 @@ object SqlRouter {
             case (k, v) if k.startsWith("generated.") =>
               k.stripPrefix("generated.") -> v
           }
-          val images = (if (gen.isEmpty) afterSets
+          val images0 = (if (gen.isEmpty) afterSets
             else afterSets.select(mp.schema.fieldNames.map(f =>
               gen.get(f).map(g => expr(g).cast(mp.schema(f).dataType).as(f))
                 .getOrElse(col(f))): _*)).localCheckpoint(true)
-          val nMoved = images.count()
+          val nMoved = images0.count()
           if (nMoved == 0L) return Result(returning.map(rx =>
-            images.selectExpr(splitTop(rx).map(_.trim): _*)), 0L)
+            images0.selectExpr(splitTop(rx).map(_.trim): _*)), 0L)
+          // small moved sets fold to a LocalRelation (the checkpoint
+          // already materialized them — the collect reads blocks):
+          // the validation route, the re-insert route, and the checks
+          // then run their stats driver-side (r17 job-floor work)
+          val images =
+            if (nMoved <= SmallMergeSourceRows)
+              engine.spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](
+                  java.util.Arrays.asList(images0.collect(): _*)),
+                images0.schema)
+            else images0
           routeFrame(engine, name, tPar, images, (_, _) => 0L)
           // inherited CHECKs validate on the images BEFORE the delete
           // too — a violating SET must abort with nothing changed

@@ -380,6 +380,30 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   def delete(cond: Column): Long = {
     val m = manifest
     if (m.files.isEmpty) return 0L
+    // size-switched pruning (merge's RewriteAllMaxBytes idea, r17):
+    // deciding WHICH files hold matches costs a full scan + collect —
+    // a whole action — and only pays off by shrinking the rewrite.
+    // Under the threshold, rewrite everything in the single write job
+    // (halves the actions of every DELETE in a small-table DML chain);
+    // at warehouse scale the pruned path below is the only option.
+    if (tableBytesAtMost(m, RewriteAllMaxBytes)) {
+      val all = readManifest(m)
+      val (observed, fetch) = observeOnce(all,
+        Seq(count(lit(1)).as("__all")))
+      val survivors = observed.filter(!coalesce(cond, lit(false)))
+      val (files, kept, st) = writeFiles(survivors)
+      val before: Long = fetch()
+        .flatMap(_.get("__all").map(_.asInstanceOf[Number].longValue()))
+        .getOrElse(all.count()) // event lost: pay the explicit count
+      if (before == kept) {
+        // nothing matched: a no-op DELETE must stay a no-op
+        // commit-wise (no version bump) — drop the staged rewrite
+        cleanupStaged(files)
+        return 0L
+      }
+      io.commit(path, m.withFiles(files, st))
+      return before - kept
+    }
     val tagged = readManifest(m).withColumn("__file", input_file_name())
     val affected = tagged.filter(cond).select(col("__file")).distinct()
       .collect().map(r => fileKey(r.getString(0))).toSet
@@ -624,16 +648,8 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // bad path) as "size unknown" → the pruned path, which is safe at
     // every size. Summing sentinels could overflow negative and route
     // a huge table into rewrite-all (round-5 advice).
-    val tableBytes = {
-      var sum = 0L
-      val it = m.files.iterator
-      while (it.hasNext && sum <= RewriteAllMaxBytes)
-        try sum += Files.size(Paths.get(it.next()))
-        catch { case scala.util.control.NonFatal(_) => sum = Long.MaxValue }
-      sum
-    }
     val keyless = m.pkCols.isEmpty
-    if (tableBytes <= RewriteAllMaxBytes) {
+    if (tableBytesAtMost(m, RewriteAllMaxBytes)) {
       val survivors = keyJoin(readManifest(m),
         broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti", keyless)
       val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
@@ -1552,6 +1568,20 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   private def RewriteAllMaxBytes: Long =
     spark.conf.getOption("spark.graft.merge.rewriteAllMaxBytes")
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
+
+  /** Early-exit size fold: stop once `cap` is crossed, and treat ANY
+    * unreadable/malformed entry as "size unknown" → over the cap (the
+    * pruned path is safe at every size; summing sentinels could
+    * overflow negative and route a huge table into rewrite-all —
+    * round-5 advice). */
+  private def tableBytesAtMost(m: Manifest, cap: Long): Boolean = {
+    var sum = 0L
+    val it = m.files.iterator
+    while (it.hasNext && sum <= cap)
+      try sum += Files.size(Paths.get(it.next()))
+      catch { case scala.util.control.NonFatal(_) => sum = Long.MaxValue }
+    sum <= cap
+  }
 
   /** input_file_name() yields file: URIs; manifest stores plain paths. */
   /** `input_file_name()` yields a PERCENT-ENCODED file URI while

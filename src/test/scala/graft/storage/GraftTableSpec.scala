@@ -40,7 +40,11 @@ class GraftTableSpec extends SparkSpec {
     t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "v"))
     t.insert(Seq((2L, "b", 2.0)).toDF("id", "name", "v"))
     val filesBefore = t.manifest.files
-    val deleted = t.delete(col("id") === 2L)
+    // force the PRUNED path — tiny fixtures otherwise take the r17
+    // rewrite-all arm, whose whole point is to skip the probe
+    spark.conf.set("spark.graft.merge.rewriteAllMaxBytes", "0")
+    val deleted = try t.delete(col("id") === 2L)
+      finally spark.conf.unset("spark.graft.merge.rewriteAllMaxBytes")
     assert(deleted === 1)
     val filesAfter = t.manifest.files
     // file holding id=1 is carried over untouched
@@ -279,7 +283,11 @@ class GraftTableSpec extends SparkSpec {
   test("compact merges small files; vacuum removes unreferenced ones") {
     val t = freshTable()
     (1 to 5).foreach(i => t.insert(Seq((i.toLong, s"r$i", i * 1.0)).toDF("id", "name", "v")))
-    t.delete(col("id") === 3L)
+    // pruned-path delete keeps the other 4 files in place (the
+    // compact scenario needs a fragmented manifest)
+    spark.conf.set("spark.graft.merge.rewriteAllMaxBytes", "0")
+    try t.delete(col("id") === 3L)
+    finally spark.conf.unset("spark.graft.merge.rewriteAllMaxBytes")
     val before = t.read().orderBy("id").collect()
     assert(t.manifest.files.size >= 4)
 
