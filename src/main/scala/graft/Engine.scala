@@ -859,43 +859,58 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     * pgoutput frames to the subscription's framelog slot, and the
     * poll/REFRESH path consumes them unchanged — the daemon moves
     * bytes, REFRESH moves state. */
-  @volatile private var subClientsVar
-      : Map[String, graft.streaming.PgReplicationClient] = Map.empty
+  private val subClients = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.streaming.PgReplicationClient]()
+  private val subDaemonLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** True while `name`'s live apply daemon runs (spec/ops surface). */
   def subscriptionDaemonRunning(name: String): Boolean =
-    subClientsVar.get(name).exists(_.isRunning)
+    Option(subClients.get(name)).exists(_.isRunning)
 
-  private def maybeStartSubDaemon(name: String,
-      sub: Map[String, String]): Unit = synchronized {
-    val kv = connKv(sub("connection"))
-    kv.get("host").foreach { host =>
-      if (!subClientsVar.get(name).exists(_.isRunning)) {
+  /** Converge `name`'s apply daemon to its PERSISTED state — an
+    * idempotent reconciler, called OUTSIDE the engine monitor (a
+    * daemon stop joins its thread for up to 10 s; holding the global
+    * lock through that would stall every synchronized Engine
+    * operation). Per-subscription serialization + reading the flag
+    * INSIDE the lock means any interleaving of ENABLE/DISABLE/DROP
+    * converges to the last-written flag: the reconcile that runs last
+    * reads it and acts on it, never on its caller's stale intent.
+    * A stop always completes (join) before a restart can begin, so
+    * two appenders never share a framelog file. */
+  private def reconcileSubDaemon(name: String): Unit = {
+    val lock = subDaemonLocks.computeIfAbsent(name, _ => new Object)
+    lock.synchronized {
+      val sub = subscriptions.get(name) // engine-synchronized read
+      val kv = sub.map(s => connKv(s("connection"))).getOrElse(Map.empty)
+      val want = sub.exists(_.getOrElse("enabled", "false") == "true") &&
+        kv.contains("host")
+      val running = Option(subClients.get(name)).exists(_.isRunning)
+      if (!want) {
+        Option(subClients.remove(name)).foreach(_.stop())
+      } else if (!running) {
+        Option(subClients.remove(name)).foreach(_.stop()) // dead entry
+        val s = sub.get
         val dir = java.nio.file.Paths.get(kv.getOrElse("framelog",
           throw new IllegalArgumentException(
             "a live subscription (host=...) needs framelog=<dir> — " +
               "the local WAL landing directory its REFRESH reads")))
         Files.createDirectories(dir)
-        val slot = kv.getOrElse("slot", sub("publication"))
+        val slot = kv.getOrElse("slot", s("publication"))
         val cl = new graft.streaming.PgReplicationClient(
-          host,
+          kv("host"),
           kv.get("port").map(_.trim.toInt).getOrElse(5432),
           kv.getOrElse("user", "postgres"),
           kv.getOrElse("dbname", "main"),
-          slot, sub("publication"), dir,
+          slot, s("publication"), dir,
           password = kv.get("password"),
           sslContext =
             if (kv.get("sslmode").exists(_.startsWith("require")))
               Some(javax.net.ssl.SSLContext.getDefault)
             else None)
-        subClientsVar += name -> cl.start()
+        subClients.put(name, cl.start())
       }
     }
-  }
-
-  private def stopSubDaemon(name: String): Unit = synchronized {
-    subClientsVar.get(name).foreach(_.stop())
-    subClientsVar -= name
   }
 
   /** name → {connection, publication, db, tables, enabled, lsn}. */
@@ -947,8 +962,12 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
       require(kv.contains("framelog"),
         "a live subscription (host=...) needs framelog=<dir> — " +
           "the local WAL landing directory its REFRESH reads")
-      kv.get("port").foreach(p => require(p.trim.forall(_.isDigit),
-        s"invalid port in subscription connection: $p"))
+      kv.get("port").foreach { p =>
+        val t = p.trim
+        require(t.nonEmpty && t.length <= 5 && t.forall(_.isDigit) &&
+          t.toInt >= 1 && t.toInt <= 65535,
+          s"invalid port in subscription connection: $p")
+      }
     }
     val srcWh = java.nio.file.Paths.get(kv.getOrElse("warehouse",
       throw new IllegalArgumentException(
@@ -1002,32 +1021,34 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     }
     // live publisher (host= in the conninfo): start the apply daemon —
     // CREATE SUBSCRIPTION defaults to enabled (PG semantics)
-    maybeStartSubDaemon(name, entry)
+    reconcileSubDaemon(name)
   }
 
-  def alterSubscription(name: String, enabled: Boolean): Unit =
-    synchronized { // ONE lock spans the RMW and the daemon action:
-      // interleaved DISABLE/ENABLE must never leave the running state
-      // contradicting the persisted flag (daemon start is non-blocking
-      // — it only spawns the thread; the monitor is reentrant)
+  def alterSubscription(name: String, enabled: Boolean): Unit = {
+    synchronized { // atomic RMW under the engine monitor; the daemon
+      // action runs OUTSIDE it via the reconciler (stop joins a
+      // thread; the reconciler converges to the flag this RMW wrote,
+      // so interleaved ENABLE/DISABLE can't strand a contradiction)
       val subs = subscriptions
       val sub = subs.getOrElse(name, throw new IllegalArgumentException(
         s"""subscription "$name" does not exist"""))
-      val upd = sub.updated("enabled", enabled.toString)
-      writeSubscriptions(subs.updated(name, upd))
-      // ENABLE resumes the live apply daemon; DISABLE stops it (PG:
-      // DISABLE stops the apply worker; the slot's WAL waits upstream)
-      if (enabled) maybeStartSubDaemon(name, upd)
-      else stopSubDaemon(name)
+      writeSubscriptions(subs.updated(name,
+        sub.updated("enabled", enabled.toString)))
     }
+    // ENABLE resumes the live apply daemon; DISABLE stops it (PG:
+    // DISABLE stops the apply worker; the slot's WAL waits upstream)
+    reconcileSubDaemon(name)
+  }
 
-  def dropSubscription(name: String): Unit = synchronized {
-    val subs = subscriptions
-    require(subs.contains(name),
-      s"""subscription "$name" does not exist""")
-    // PG semantics: the subscribed tables and their data survive
-    writeSubscriptions(subs - name)
-    stopSubDaemon(name)
+  def dropSubscription(name: String): Unit = {
+    synchronized {
+      val subs = subscriptions
+      require(subs.contains(name),
+        s"""subscription "$name" does not exist""")
+      // PG semantics: the subscribed tables and their data survive
+      writeSubscriptions(subs - name)
+    }
+    reconcileSubDaemon(name)
   }
 
   /** Restart the apply daemons of every ENABLED live subscription —
@@ -1036,12 +1057,10 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     * harness engines are constructed per query by the dozen, and
     * auto-starting network daemons there would be wrong (the same
     * recorded decision as the replica controller's
-    * `running` flag — ENGINEERING_NOTES r16). */
+    * `running` flag — ENGINEERING_NOTES r16). Reconciler-based, so a
+    * racing ALTER converges to the persisted flag. */
   def resumeSubscriptionDaemons(): Unit =
-    subscriptions.foreach { case (name, sub) =>
-      if (sub.getOrElse("enabled", "false") == "true")
-        maybeStartSubDaemon(name, sub)
-    }
+    subscriptions.keys.foreach(reconcileSubDaemon)
 
   /** Poll-apply: decode and LWW-merge every framelog frame past the
     * checkpoint into the subscribed tables, then advance the

@@ -1773,12 +1773,14 @@ object SqlRouter {
           // the validation route, the re-insert route, and the checks
           // then run their stats driver-side (r17 job-floor work)
           val images =
-            if (nMoved <= SmallMergeSourceRows)
-              engine.spark.createDataFrame(
+            if (nMoved <= SmallMergeSourceRows) {
+              val local = engine.spark.createDataFrame(
                 new java.util.ArrayList[org.apache.spark.sql.Row](
                   java.util.Arrays.asList(images0.collect(): _*)),
                 images0.schema)
-            else images0
+              images0.unpersist() // the local copy supersedes the blocks
+              local
+            } else images0
           routeFrame(engine, name, tPar, images, (_, _) => 0L)
           // inherited CHECKs validate on the images BEFORE the delete
           // too — a violating SET must abort with nothing changed
@@ -5528,11 +5530,20 @@ object SqlRouter {
         // spelling is RECORDED so introspection (information_schema
         // column_type / character_maximum_length) round-trips it
         val (stored, meta) = dt match {
-          case _: org.apache.spark.sql.types.VarcharType |
-               _: org.apache.spark.sql.types.CharType =>
+          // the declared LENGTH rides too (r17 review: specsFor keys
+          // the replica wire prefix width on it — without it every
+          // VARCHAR decoded with a 2-byte prefix and desynced)
+          case vc: org.apache.spark.sql.types.VarcharType =>
             (org.apache.spark.sql.types.StringType,
               new org.apache.spark.sql.types.MetadataBuilder()
                 .putString(graft.types.TypeMapper.OriginalTypeKey, tpe.trim)
+                .putLong(graft.types.TypeMapper.DisplayWidthKey, vc.length)
+                .build())
+          case c: org.apache.spark.sql.types.CharType =>
+            (org.apache.spark.sql.types.StringType,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(graft.types.TypeMapper.OriginalTypeKey, tpe.trim)
+                .putLong(graft.types.TypeMapper.DisplayWidthKey, c.length)
                 .build())
           case other =>
             (other,

@@ -98,8 +98,7 @@ object BinlogEncoder {
     case (Float64, x: Double) =>
       le(java.lang.Double.doubleToLongBits(x), 8)
     case (Varchar(maxLen, cs), s: String) =>
-      val b = s.getBytes(java.nio.charset.Charset.forName(
-        if (cs.equalsIgnoreCase("utf8mb4")) "UTF-8" else cs))
+      val b = s.getBytes(BinlogRowDecoder.charsetFor(cs))
       // the prefix width is decided by maxLen in CHARS but measures
       // BYTES — a multibyte string can exceed the 1-byte prefix while
       // honoring maxLen; a wrapped length would silently desync every
@@ -129,6 +128,10 @@ object BinlogEncoder {
     case (Timestamp2(fsp), t: java.sql.Timestamp) =>
       require(fsp % 2 == 0, s"BinlogEncoder: even TIMESTAMP fsp only, got $fsp")
       val i = t.toInstant
+      // TIMESTAMP's wire range is 4 unsigned epoch-second bytes —
+      // refuse loudly instead of silently wrapping 136 years
+      require(i.getEpochSecond >= 0 && i.getEpochSecond <= 0xffffffffL,
+        s"TIMESTAMP out of the 1970..2106 wire range: $t")
       val frBytes = (fsp + 1) / 2
       val fr = (i.getNano / 1000L) / math.pow(10, 6 - fsp).toLong
       cat(Seq(be(i.getEpochSecond, 4)) ++
@@ -158,8 +161,8 @@ object BinlogEncoder {
         cat(Seq(be(0x800000L - packed - 1, 3),
           be((1L << (8 * frBytes)) - fr, frBytes)))
     case (Text(lenBytes, cs), s: String) =>
-      val b = s.getBytes(java.nio.charset.Charset.forName(
-        if (cs.equalsIgnoreCase("utf8mb4")) "UTF-8" else cs))
+      // the decoder's own charset table — encode must be its inverse
+      val b = s.getBytes(BinlogRowDecoder.charsetFor(cs))
       require(lenBytes >= 4 || b.length < (1 << (8 * lenBytes)),
         s"Text($lenBytes) cell of ${b.length} bytes overflows its prefix")
       cat(Seq(le(b.length.toLong, lenBytes), b))

@@ -180,7 +180,10 @@ object BinlogRowDecoder {
         else if (orig.startsWith("BINARY") || orig.startsWith("VARBINARY"))
           Blob(if (width(255) > 255) 2 else 1)
         else if (orig.startsWith("CHAR") || orig.startsWith("VARCHAR"))
-          Varchar(width(65535))
+          // the wire prefix width follows the column's max BYTE
+          // capacity (MySQL: 2 bytes iff > 255 bytes); chars × 4 is
+          // the utf8mb4 capacity — MySQL 8's default charset
+          Varchar(math.min(width(65535).toLong * 4, 65535L).toInt)
         else if (orig.startsWith("TIME") && !orig.startsWith("TIMESTAMP"))
           Time2(width(0))
         else f.dataType match {
@@ -208,7 +211,7 @@ object BinlogRowDecoder {
 
   /** MySQL charset names → JDK charsets (the reference's mapping table,
     * `charset/charset.go`; JDK names cover the rest verbatim). */
-  private def charsetFor(name: String): java.nio.charset.Charset =
+  private[streaming] def charsetFor(name: String): java.nio.charset.Charset =
     java.nio.charset.Charset.forName(name.toLowerCase match {
       case "latin1" => "ISO-8859-1"
       case "utf8" | "utf8mb4" | "utf8mb3" => "UTF-8"

@@ -156,6 +156,12 @@ class ReplicaControllerSpec extends SparkSpec {
     assert(specs.map(_.tpe) === Seq(Int64, UTinyInt, USmallInt, UInt32,
       UInt64, DateTime2(6), Text(3), Time2(0)),
       s"specs drifted: ${specs.map(_.tpe)}")
+    // VARCHAR prefix width follows BYTE capacity (utf8mb4: chars × 4):
+    // VARCHAR(50) → 200 bytes (1-byte prefix), VARCHAR(64) → 256 (2)
+    exec(e, "CREATE TABLE vty (id BIGINT NOT NULL, a VARCHAR(50), " +
+      "b VARCHAR(64), PRIMARY KEY (id))")
+    assert(BRD.specsFor(e.table("vty").schema).map(_.tpe) ===
+      Seq(Int64, Varchar(200), Varchar(256)))
     val dir = e.warehouse.resolve("_replica")
     java.nio.file.Files.createDirectories(dir)
     val sid = (1 to 16).map(_.toByte).toArray

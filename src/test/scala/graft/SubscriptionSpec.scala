@@ -300,6 +300,31 @@ class SubscriptionSpec extends SparkSpec {
     assert(exec(sub, "ALTER SUBSCRIPTION live1 REFRESH").affected > 0L)
     assert(exec(sub, "SELECT id FROM acct ORDER BY id").df.get
       .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // engine restart: daemons deliberately do NOT auto-start
+    // (per-query harness engines — ENGINEERING_NOTES r16/r17);
+    // resumeSubscriptionDaemons is the explicit ops surface and
+    // reconciles to the PERSISTED flag
+    val sub2 = new Engine(spark, sub.warehouse)
+    assert(!sub2.subscriptionDaemonRunning("live1"),
+      "no auto-start at construction")
+    // stop the first engine's daemon so the framelog has ONE appender
+    exec(sub, "ALTER SUBSCRIPTION live1 DISABLE")
+    await("first engine's daemon stopped")(
+      !sub.subscriptionDaemonRunning("live1"))
+    exec(sub2, "ALTER SUBSCRIPTION live1 ENABLE")
+    // the scripted publisher only serves 2 sessions: the resumed
+    // daemon retries against a closed listener — reconcile state is
+    // what's under test, not the stream
+    assert(sub2.subscriptionDaemonRunning("live1"))
+    sub2.resumeSubscriptionDaemons() // idempotent on a running daemon
+    assert(sub2.subscriptionDaemonRunning("live1"))
+    exec(sub2, "ALTER SUBSCRIPTION live1 DISABLE")
+    await("resumed daemon stopped")(
+      !sub2.subscriptionDaemonRunning("live1"))
+    sub2.resumeSubscriptionDaemons() // disabled: reconciles to stopped
+    assert(!sub2.subscriptionDaemonRunning("live1"))
+    exec(sub, "ALTER SUBSCRIPTION live1 ENABLE")
+
     // DROP stops the daemon; tables survive
     exec(sub, "DROP SUBSCRIPTION live1")
     await("daemon dropped")(!sub.subscriptionDaemonRunning("live1"))
