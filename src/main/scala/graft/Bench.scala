@@ -290,22 +290,41 @@ object Bench {
         val more = if (outliers.size > 8) s" +${outliers.size - 8}" else ""
         println(s"""{"band":"${shown.mkString(" ")}$more"}""")
       }
-      // per-statement attribution for outlier CHAINS (r16 verdict #2):
-      // the StmtTimer lines go to stderr, outside the driver's tail —
-      // re-emit the cold run's line for band-outlier chains here, so a
-      // drifting chain (r16's q114 +47%) names its statement family in
-      // the artifact itself. Byte budget: worst 2 chains, 220 chars.
-      val stmtOutliers = results.toSeq
+      // per-statement attribution for the SLOWEST chains (r17 verdict
+      // #1a): the StmtTimer lines go to stderr, outside the driver's
+      // tail — re-emit the cold run's line for the 2 slowest chains
+      // UNCONDITIONALLY. The r16 band-outlier gate had a blind spot:
+      // a chain whose band was seeded from its own slow history can
+      // never outlie it (q111 across r15-r17 stayed the suite's
+      // slowest chain with zero stmt lines in any artifact). Byte
+      // budget: 2 chains, 220 chars each.
+      val stmtSlowest = results.toSeq
         .filter { case (name, t) =>
-          t.err.isEmpty && stmtCold.containsKey(name) &&
-            PrevBand.get(qid(name)).exists(b =>
-              t.cold > math.max(2 * b, b + 1.0))
-        }
+          t.err.isEmpty && stmtCold.containsKey(name) }
         .sortBy(-_._2.cold).take(2)
-      stmtOutliers.foreach { case (name, _) =>
+      stmtSlowest.foreach { case (name, _) =>
         val line = stmtCold.get(name).take(220)
         println(s"""{"stmt${qid(name)}":${jstr(line)}}""")
       }
+    }
+
+    // measured scale-trend line (r17 verdict #6): the three priciest
+    // data operators' scale paths at corpus factors {1,4} over DISJOINT replicas
+    // (ScaleBench.trend — output mass grows linearly by construction,
+    // so the cold ratio is an engine-scaling measurement, not an
+    // output-growth one). Emitted per driver round at sf0.1; skipped
+    // under a local SPARK_GRAFT_ONLY iteration filter or
+    // SPARK_GRAFT_SCALE=0. A trend failure must never sink the bench:
+    // it degrades to an error tag in the same key.
+    val scaleEnv = sys.env.get("SPARK_GRAFT_SCALE")
+    if (sfDir.contains("sf0.1") && !scaleEnv.contains("0") &&
+        (sys.env.get("SPARK_GRAFT_ONLY").isEmpty || scaleEnv.contains("1"))) {
+      val line =
+        try ScaleBench.trend(spark, sfDir, factor = 4)
+        catch { case e: Throwable =>
+          "err:" + Option(e.getMessage).getOrElse(e.getClass.getName).take(60) }
+      println(s"""{"scale":${jstr(line)},"scale_factor":4}""")
+      reset()
     }
 
     // lost Observation events re-run explicit aggregation passes —

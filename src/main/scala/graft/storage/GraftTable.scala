@@ -1322,7 +1322,10 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       if (clusterBy.isEmpty) df.repartition(nFiles)
       else df.repartitionByRange(nFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val (files, _, st) = writeFiles(arranged, needCount = false)
+    // sized = false: the repartition above IS the file-count decision —
+    // the small-regime output sizing must never collapse an explicit
+    // clustered layout back into one file (LayoutSpec pins this)
+    val (files, _, st) = writeFiles(arranged, needCount = false, sized = false)
     // the rewrite DEFINES the layout: record it, or clear a stale
     // record when an unclustered compaction destroys the ordering.
     // Commit against the manifest we READ — the whole file list is
@@ -1370,7 +1373,7 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .select(m.schema.fieldNames.map(col): _*)
-    val (files, _, st) = writeFiles(arranged, needCount = false)
+    val (files, _, st) = writeFiles(arranged, needCount = false, sized = false)
     val cur = manifest
     io.commit(path, cur.withFiles(files, st))
   }
@@ -1760,7 +1763,8 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       Files.deleteIfExists(d)
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  private def writeFiles(df: DataFrame, needCount: Boolean = true)
+  private def writeFiles(df: DataFrame, needCount: Boolean = true,
+      sized: Boolean = true)
       : (Seq[String], Long, Map[String, Map[String, Seq[String]]]) = {
     val dest = path.resolve("data").resolve(UUID.randomUUID().toString)
     val m = manifest
@@ -1785,12 +1789,38 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // a mid-write failure (NOT NULL raise_error, cast error, executor
     // loss) must not strand never-committed staging files (r14 ADVICE:
     // only the CHECK-violation path cleaned up)
-    try out.write.parquet(dest.toString)
+    try (if (sized) sizedForWrite(out) else out).write.parquet(dest.toString)
     catch { case e: Throwable => cleanupStagedDir(dest); throw e }
     val files = Files.list(dest).iterator().asScala
       .map(_.toString).filter(f => f.endsWith(".parquet")).toSeq.sorted
     val (rows, stats) = collectFooterMeta(files, m, needCount)
     (files, rows, stats)
+  }
+
+  /** Small-regime output-file sizing (r17 verdict #1, the q111 floor).
+    * A LOCAL batch plans as LocalTableScanExec with min(rows,
+    * defaultParallelism) slices, so a 600-row upsert sprayed ~32
+    * near-empty parquet files — q111's two children accreted 319
+    * files for 15k rows, and every later probe/rewrite on the table
+    * paid one task (plus one footer read) PER FILE. The optimizer's
+    * sizeInBytes estimate is a driver-side plan property (no job):
+    * when it says this write is SMALL, coalesce to
+    * ceil(size/TargetFileBytes) output partitions. Estimates at or
+    * above the engage threshold leave the plan untouched, so a
+    * genuinely large write keeps full write parallelism even under
+    * estimate error — at 100 TB the estimate is astronomically above
+    * the threshold and this is a no-op. coalesce (not repartition):
+    * never a shuffle, only a narrow merge of near-empty slices. */
+  private def sizedForWrite(out: DataFrame): DataFrame = {
+    val est =
+      try out.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => return out }
+    val target = BigInt(GraftTable.TargetFileBytes)
+    if (est >= target * GraftTable.SmallWriteEngageFiles) out
+    else {
+      val n = ((est + target - 1) / target).toInt.max(1)
+      out.coalesce(n)
+    }
   }
 
   /** Row count + per-file PK min/max straight from the parquet footers
@@ -1956,6 +1986,16 @@ object GraftTable {
     * — spec observability ONLY: lets tests assert a merge touching one
     * key range opened only the overlapping files. Not part of the API. */
   @volatile private[graft] var lastProbeFiles: Seq[String] = Nil
+
+  /** [[GraftTable.sizedForWrite]]'s target bytes per output file in
+    * the small-write regime. 64 MiB: large enough that a coalesced
+    * file is a real scan unit, small enough that the single write
+    * task never holds more than ~1 row group of buffer. */
+  private[graft] val TargetFileBytes: Long = 64L << 20
+  /** Engage threshold in target-file units: writes ESTIMATED at or
+    * above 8 files (512 MiB) keep their incoming partitioning — the
+    * sizing only ever collapses provably-small writes. */
+  private[graft] val SmallWriteEngageFiles: Int = 8
 
   /** JVM-wide count of Observation events lost to the listener-bus
     * timeout (each one re-runs the explicit aggregation fallback) —
