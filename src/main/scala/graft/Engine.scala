@@ -525,6 +525,7 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     "\\w+".r.findAllIn(s).map(_.toLowerCase).toSet
 
   private def registerReferenced(q: String): Unit = synchronized {
+    drainReplicationBeforeRead(idents(q))
     val allTables = listTables()
     val allViews = loadViews(currentDb)
     // transitive closure: a referenced view's definition may reference
@@ -607,6 +608,37 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     pendingViews.foreach { case (v, defn) =>
       spark.sql(defn).createOrReplaceTempView(v)
       registeredViews += v
+    }
+  }
+
+  /** Read-your-writes over the replication surface (r17 verdict #2;
+    * the reference flushes pending CDC deltas before ANY data query —
+    * `backend/executor.go:55-61` flush-then-execute,
+    * `binlog_replica_applier.go:779-863` continuous apply): every SQL
+    * entry drains committed-but-unapplied frames BEFORE binding
+    * tables, so a SELECT issued between polls sees the replicated
+    * state, not the pre-apply snapshot.
+    *
+    * Scope discipline: only LIVE daemons trigger a drain. A RUNNING
+    * replica IO thread drains its whole pending window (the window
+    * itself names the tables — [[applyReplicaLog]]'s discovery arm);
+    * an ENABLED subscription with a RUNNING apply daemon refreshes
+    * when the statement references one of its tables. Poll-only
+    * surfaces (STOP REPLICA'd logs, host-less subscriptions) keep
+    * their explicit REFRESH/apply contract — and an engine with no
+    * live daemon pays one volatile read plus one empty-map check per
+    * statement. The drain's own frame walk is O(new bytes), so a
+    * quiet stream costs a file-size probe. */
+  private def drainReplicationBeforeRead(ids: Set[String]): Unit = {
+    if (replicaRunning) applyReplicaLog(Nil)
+    if (!subClients.isEmpty) {
+      subscriptions.foreach { case (name, sub) =>
+        if (sub.getOrElse("enabled", "false") == "true" &&
+            subscriptionDaemonRunning(name) &&
+            sub.getOrElse("tables", "").split(',')
+              .exists(t => t.nonEmpty && ids.contains(t.toLowerCase)))
+          refreshSubscription(name)
+      }
     }
   }
 
@@ -1347,10 +1379,10 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     val from = replicaConfig.getOrElse("apply.bytepos", "0").toLong
     val (to, _) = graft.streaming.FrameLog.endAtMyCommit(dir, slot, from)
     if (to <= from) return 0L
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
     val frames = spark.read.format("framelog")
       .option(s"range.$slot", s"$from:$to").load(dir.toString)
-      .persist() // one file read; N per-table decode passes below
+      .persist() // one file read: discovery scan + ONE decode pass
     try {
       val n = frames.count()
       // per-table admission with filterTables' exact rule (the row-
@@ -1358,32 +1390,67 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
       val (doT, ignT) = replicaFilters
       def admitted(qt: String): Boolean =
         !ignT.contains(qt) && (doT.isEmpty || doT.contains(qt))
-      tables.filter(admitted).foreach { qt =>
-        val t = table(qt)
-        val specs = graft.streaming.BinlogRowDecoder.specsFor(t.schema)
-        val decoded = graft.streaming.BinlogEventDecoder.decodeSlotStreams(
-          frames, "slot", "off", "payload", qt, specs, crc32Checksum)
-        // decode types follow the wire specs; the table may declare a
-        // wider/different Spark type (BOOL rides TINYINT) — cast data
-        // columns back to the declared schema before the merge.
-        // TIME is the one non-cast conversion: Time2 decodes to
-        // MICROSECONDS, while Spark's numeric↔interval casts speak
-        // SECONDS (q120's oracle pins that), so divide first — exact,
-        // since |µs| ≤ 838h·3.6e9 ≈ 3e15 < 2^53
-        val aligned = decoded.select(
-          t.schema.fields.map { f =>
-            (f.dataType, decoded.schema(f.name).dataType) match {
-              case (it: org.apache.spark.sql.types.DayTimeIntervalType,
-                  org.apache.spark.sql.types.LongType) =>
-                org.apache.spark.sql.functions.expr(
-                  s"make_dt_interval(0, 0, 0, " +
-                    s"CAST(`${f.name}` / 1000000.0 AS DECIMAL(20,6)))")
-                  .cast(it).as(f.name)
-              case _ => col(f.name).cast(f.dataType).as(f.name)
+      // empty `tables` = DISCOVER them from the window itself (r17
+      // verdict #5; the TABLE_MAP/TRUNCATE header scan), restricted to
+      // tables that exist locally — the read-your-writes drain has no
+      // caller-supplied list. The checkpoint advance below is
+      // window-wide either way, matching the documented contract:
+      // callers name every replicated table (or name none and let the
+      // window name them).
+      val targets0 =
+        if (tables.nonEmpty) tables
+        else graft.streaming.BinlogEventDecoder
+          .windowTables(frames, "payload", crc32Checksum)
+          .filter { qt =>
+            qt.split('.') match {
+              case Array(db, t) => listTables(db).contains(t)
+              case _ => false
             }
-          }.toSeq ++
-            graft.streaming.CdcMerge.metaCols.map(col): _*)
-        graft.streaming.CdcMerge.applyBatch(t, aligned)
+          }
+      val targets = targets0.filter(admitted)
+      if (targets.nonEmpty) {
+        // ONE tagged decode pass for the whole window (r17 verdict
+        // #5): the per-table loop used to re-parse every event's bytes
+        // once per replicated table
+        val specsByTable = targets.map(qt => qt ->
+          graft.streaming.BinlogRowDecoder.specsFor(table(qt).schema))
+        val decoded = graft.streaming.BinlogEventDecoder
+          .decodeSlotStreamsMulti(frames, "slot", "off", "payload",
+            specsByTable, crc32Checksum)
+          .persist()
+        try {
+          decoded.count() // materialize the single pass before the splits
+          targets.zipWithIndex.foreach { case (qt, i) =>
+            val t = table(qt)
+            val slice = decoded.filter(col("relation") === qt)
+            // decode types follow the wire specs; the table may declare
+            // a wider/different Spark type (BOOL rides TINYINT) — cast
+            // data columns back to the declared schema before the
+            // merge. TIME is the one non-cast conversion: Time2 decodes
+            // to MICROSECONDS, while Spark's numeric↔interval casts
+            // speak SECONDS (q120's oracle pins that), so divide first
+            // — exact, since |µs| ≤ 838h·3.6e9 ≈ 3e15 < 2^53
+            val aligned = slice.select(
+              t.schema.fields.map { f =>
+                val src = col(s"__t_$i.`${f.name}`")
+                (f.dataType,
+                    decoded.schema(s"__t_$i").dataType
+                      .asInstanceOf[org.apache.spark.sql.types.StructType]
+                      .apply(f.name).dataType) match {
+                  case (it: org.apache.spark.sql.types.DayTimeIntervalType,
+                      org.apache.spark.sql.types.LongType) =>
+                    org.apache.spark.sql.functions.expr(
+                      s"make_dt_interval(0, 0, 0, " +
+                        s"CAST(`__t_$i`.`${f.name}` / 1000000.0 " +
+                        s"AS DECIMAL(20,6)))")
+                      .cast(it).as(f.name)
+                  case _ => src.cast(f.dataType).as(f.name)
+                }
+              }.toSeq ++
+                graft.streaming.CdcMerge.metaCols.map(col): _*)
+            graft.streaming.CdcMerge.applyBatch(t, aligned)
+          }
+        } finally decoded.unpersist()
       }
       // advance AGAINST THE CURRENT config, touching only the apply
       // key — a concurrent CHANGE/STOP must not be reverted

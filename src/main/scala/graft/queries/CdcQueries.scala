@@ -1691,7 +1691,165 @@ object CdcQueries {
         vb_h, blob_h, js)
       ORDER BY id"""))
 
+  // --------------------------------------------------------------------
+  // q121 — the LIVE PG subscription daemon chain under the hash gate:
+  // the pgoutput twin of q118 (r17 verdict #3; reference
+  // `pgserver/subscription_handler.go:202-290` CREATE SUBSCRIPTION
+  // starts a continuous apply worker, `logrepl/replication.go:222-683`
+  // the replication connection). A scripted publisher speaks the PG
+  // replication sub-protocol over real TCP (startup → AuthenticationOk
+  // → START_REPLICATION → CopyBoth → XLogData stream); CREATE
+  // SUBSCRIPTION with host= snapshots the publisher warehouse AND
+  // starts PgReplicationClient, whose daemon lands the stream in the
+  // subscription's framelog slot; REFRESH decodes/condenses/merges;
+  // the persisted pg_subscription position is verified against the
+  // authored stream's final commit LSN before the gate frame emits.
+  // Gate channel stays INT/BIGINT/STRING.
+  private val q121 = QueryDef(
+    "q121_live_subscription",
+    (s, dir) => {
+      import java.io.{DataInputStream, DataOutputStream}
+      import java.net.ServerSocket
+      import java.nio.charset.StandardCharsets
+      import graft.{Engine, SqlRouter}
+      import graft.streaming.{CdcMerge, FrameLog, PgOutputEncoder}
+      val pubWh = Files.createTempDirectory("graft_q121_pub")
+      val fl = Files.createTempDirectory("graft_q121_fl")
+      val pub = new Engine(s, pubWh)
+      pub.bindTables(dir, "customer")
+      val tm = new StmtTimer("q121")
+      SqlRouter.execute(pub, "CREATE TABLE acct (id BIGINT NOT NULL, " +
+        "seg STRING, n INT, PRIMARY KEY (id))")
+      tm("seed publisher")(SqlRouter.execute(pub,
+        "INSERT INTO acct SELECT c_custkey, c_mktsegment, 0 FROM customer"))
+      val acctSchema = pub.table("acct").schema
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("id"),
+          col("c_mktsegment").as("seg"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val shift = cust.map(_._1).max + 1000L
+      // post-snapshot stream, authored from the publisher's row images
+      // (q116's fixture pattern — a real publisher's WAL IS these
+      // bytes): update every 12th (n=1), insert every 60th shifted
+      // (n=3), delete every 13th-offset-2
+      def chg(a: Int, vs: Seq[Any]) = PgOutputEncoder.Change(a, vs)
+      val (t1, l1) = PgOutputEncoder.txn(1000000L, 21L, 16384, "public",
+        "acct", acctSchema, cust.filter(_._1 % 12 == 0)
+          .map(c => chg(CdcMerge.ActionUpdate, Seq(c._1, c._2, 1))).toSeq)
+      val (t2, l2) = PgOutputEncoder.txn(l1, 22L, 16384, "public",
+        "acct", acctSchema, cust.filter(_._1 % 60 == 0)
+          .map(c => chg(CdcMerge.ActionInsert,
+            Seq(c._1 + shift, "NEW", 3))).toSeq)
+      val (t3, l3) = PgOutputEncoder.txn(l2, 23L, 16384, "public",
+        "acct", acctSchema, cust.filter(_._1 % 13 == 2)
+          .map(c => chg(CdcMerge.ActionDelete, Seq(c._1, null, null))).toSeq)
+      val stream = t1 ++ t2 ++ t3
+      val lastCommit = l3 - 1
+
+      // scripted publisher: PG v3 startup → AuthenticationOk →
+      // ReadyForQuery → accept START_REPLICATION → CopyBothResponse →
+      // XLogData frames → reply-requested keepalive (forces the
+      // daemon's flush) → hold until the daemon disconnects
+      def be(n: Long, w: Int): Array[Byte] =
+        (0 until w).reverseIterator
+          .map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
+      def catB(parts: Array[Byte]*): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream(); parts.foreach(o.write)
+        o.toByteArray
+      }
+      def writeMsg(out: DataOutputStream, tpe: Char,
+          body: Array[Byte]): Unit = {
+        out.writeByte(tpe); out.writeInt(4 + body.length); out.write(body)
+        out.flush()
+      }
+      val server = new ServerSocket(0)
+      val publisher = new Thread(() => {
+        try {
+          val sock = server.accept()
+          val in = new DataInputStream(sock.getInputStream)
+          val out = new DataOutputStream(sock.getOutputStream)
+          val len = in.readInt(); in.readFully(new Array[Byte](len - 4))
+          writeMsg(out, 'R', be(0L, 4)) // AuthenticationOk
+          writeMsg(out, 'Z', Array('I'.toByte))
+          val tpe = in.readByte().toChar // 'Q' START_REPLICATION
+          val qlen = in.readInt(); in.readFully(new Array[Byte](qlen - 4))
+          if (tpe == 'Q') {
+            writeMsg(out, 'W', catB(Array(0.toByte), be(0L, 2)))
+            stream.foreach { case (off, payload) =>
+              writeMsg(out, 'd', catB(Array('w'.toByte), be(off, 8),
+                be(off, 8), be(0L, 8), payload))
+            }
+            writeMsg(out, 'd', catB(Array('k'.toByte), be(lastCommit, 8),
+              be(0L, 8), Array(1.toByte))) // reply-requested → flush
+            val sin = sock.getInputStream
+            try while (sin.read() >= 0) ()
+            catch { case _: Throwable => () }
+          }
+          try sock.close() catch { case _: Throwable => () }
+        } catch { case _: Throwable => () }
+      }, "q121-scripted-publisher")
+      publisher.setDaemon(true)
+      publisher.start()
+
+      val sub = new Engine(s, Files.createTempDirectory("graft_q121_sub"))
+      tm("CREATE SUBSCRIPTION live")(SqlRouter.execute(sub,
+        s"CREATE SUBSCRIPTION s21 CONNECTION " +
+          s"'warehouse=$pubWh dbname=main host=127.0.0.1 " +
+          s"port=${server.getLocalPort} user=repl framelog=$fl " +
+          "slot=s21' PUBLICATION p21"))
+      if (!sub.subscriptionDaemonRunning("s21"))
+        throw new IllegalStateException("q121: apply daemon did not start")
+      // the daemon owns the wire; wait until the framelog's last
+      // commit boundary reaches the authored stream's end
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      tm("stream wait") {
+        while (!FrameLog.endAtPgCommit(fl, "s21", 0L)._2.contains(lastCommit)
+            && System.nanoTime() < deadline)
+          Thread.sleep(50)
+      }
+      val landed = FrameLog.endAtPgCommit(fl, "s21", 0L)._2
+      if (!landed.contains(lastCommit)) throw new IllegalStateException(
+        s"q121: daemon never landed the stream (last commit $landed, " +
+          s"want $lastCommit)")
+      val applied = tm("REFRESH")(SqlRouter.execute(sub,
+        "ALTER SUBSCRIPTION s21 REFRESH"))
+      if (applied.affected == 0L) throw new IllegalStateException(
+        "q121: REFRESH applied no frames")
+      // persisted position check (the q118 Executed_Gtid_Set twin):
+      // pg_subscription's LSN must be the stream's final commit
+      val pos = sub.subscriptions("s21")("lsn")
+      if (pos != lastCommit.toString) throw new IllegalStateException(
+        s"q121: persisted subscription lsn $pos != $lastCommit")
+      tm("DROP SUBSCRIPTION")(SqlRouter.execute(sub,
+        "DROP SUBSCRIPTION s21")) // stops the daemon; tables survive
+      server.close()
+      tm.report()
+      SqlRouter.execute(sub,
+        "SELECT seg, count(*) AS c, CAST(sum(n) AS BIGINT) AS sn, " +
+          "CAST(max(id) AS BIGINT) AS mx FROM acct GROUP BY seg " +
+        "ORDER BY seg").df.get
+        .withColumn("pos", lit("applied"))
+    },
+    Some("""WITH mx AS (SELECT max(c_custkey) AS m,
+        max(c_custkey) + 1000 AS shift FROM customer),
+      base AS (
+        SELECT c_custkey AS id, c_mktsegment AS seg,
+          CASE WHEN c_custkey % 12 = 0 THEN 1 ELSE 0 END AS n
+        FROM customer),
+      withnew AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT c_custkey + (SELECT shift FROM mx), 'NEW', 3 FROM customer
+        WHERE c_custkey % 60 = 0),
+      fin AS (
+        SELECT * FROM withnew
+        WHERE NOT (id % 13 = 2 AND id <= (SELECT m FROM mx)))
+      SELECT seg, count(*) AS c, CAST(sum(n) AS BIGINT) AS sn,
+        CAST(max(id) AS BIGINT) AS mx, 'applied' AS pos
+      FROM fin GROUP BY seg ORDER BY seg"""))
+
   val defs: Seq[QueryDef] =
     Seq(q40, q41, q42, q43, q81, q102, q103, q104, q105, q106, q107, q108,
-      q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q120)
+      q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q120,
+      q121)
 }

@@ -328,14 +328,6 @@ object BinlogEventDecoder {
 
     /** `TRUNCATE [TABLE] [db.]name` → qualified target (default db =
       * the QUERY event's schema field). */
-    private def truncateTarget(q: String, defaultDb: String): Option[String] = {
-      val m = java.util.regex.Pattern.compile(
-        "(?i)^TRUNCATE\\s+(?:TABLE\\s+)?(?:[`\"]?([A-Za-z0-9_]+)[`\"]?\\.)?[`\"]?([A-Za-z0-9_]+)[`\"]?\\s*;?\\s*$")
-        .matcher(q)
-      if (m.matches()) Some(s"${Option(m.group(1)).getOrElse(defaultDb)}.${m.group(2)}")
-      else None
-    }
-
     private def emit(rel: String, action: Int, vs: Seq[Any]): Seq[Change] = {
       if (seq < 0) throw new IllegalStateException(
         s"row event for $rel before any GTID/BEGIN: the stream slice does " +
@@ -345,6 +337,17 @@ object BinlogEventDecoder {
       Seq(Change(rel, action, group,
         if (server.isEmpty) null else server, seq, stmt, vs))
     }
+  }
+
+  /** TRUNCATE statement target as `db.table` (C9: the one DDL that is
+    * row data). Object-level: shared by the decode state machine and
+    * [[windowTables]]' discovery scan. */
+  private def truncateTarget(q: String, defaultDb: String): Option[String] = {
+    val m = java.util.regex.Pattern.compile(
+      "(?i)^TRUNCATE\\s+(?:TABLE\\s+)?(?:[`\"]?([A-Za-z0-9_]+)[`\"]?\\.)?[`\"]?([A-Za-z0-9_]+)[`\"]?\\s*;?\\s*$")
+      .matcher(q)
+    if (m.matches()) Some(s"${Option(m.group(1)).getOrElse(defaultDb)}.${m.group(2)}")
+    else None
   }
 
   // ------------------------------------------------------------------
@@ -512,6 +515,7 @@ object BinlogEventDecoder {
       payloadCol: String, targetTable: String, specs: Seq[ColSpec],
       crc32Checksum: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
+    decodePasses.incrementAndGet()
     val schema = outSchema(BinlogRowDecoder.rowSchema(specs))
     val slotIdx = events.columns.indexOf(slotCol)
     val payloadIdx = events.columns.indexOf(payloadCol)
@@ -551,5 +555,114 @@ object BinlogEventDecoder {
         .map(toRow),
         () => st.snapshot)
     }
+  }
+
+  /** Driver-side count of full row-decode passes launched (the
+    * [[decodeSlotStreams]]/[[decodeSlotStreamsMulti]] calls) — spec
+    * observability ONLY: lets a test assert a 3-table apply window
+    * parsed its bytes ONCE (r17 verdict #5). Not part of the API. */
+  private[graft] val decodePasses =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** DISCOVERY scan: the distinct `db.table` names this event window
+    * carries changes for — TABLE_MAP names plus TRUNCATE targets. A
+    * header-level parse only (no GTID state, no row decode: ~30 bytes
+    * per event), so an applier can learn the window's table set
+    * without a spec map, then decode with exactly those specs in one
+    * [[decodeSlotStreamsMulti]] pass. Order-insensitive by
+    * construction (names are a set), so no repartition/sort. */
+  def windowTables(events: DataFrame, payloadCol: String,
+      crc32Checksum: Boolean = false): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    events.select(col(payloadCol)).as(Encoders.BINARY)
+      .mapPartitions { it =>
+        it.flatMap { frame =>
+          if (frame.length < 19) Nil
+          else {
+            val end = if (crc32Checksum) frame.length - 4 else frame.length
+            val b = 19
+            (frame(4) & 0xff) match {
+              case TableMapEvent =>
+                var p = b + 8
+                val dbLen = frame(p) & 0xff
+                val db = new String(frame, p + 1, dbLen, StandardCharsets.UTF_8)
+                p += 1 + dbLen + 1
+                val tLen = frame(p) & 0xff
+                val t = new String(frame, p + 1, tLen, StandardCharsets.UTF_8)
+                Seq(s"$db.$t")
+              case QueryEvent if end > b + 13 =>
+                val schemaLen = frame(b + 8) & 0xff
+                val statusLen = uintAt(frame, b + 11, 2).toInt
+                val schemaPos = b + 13 + statusLen
+                if (schemaPos + schemaLen + 1 >= end) Nil
+                else {
+                  val schema = new String(frame, schemaPos, schemaLen,
+                    StandardCharsets.UTF_8)
+                  val q = new String(frame, schemaPos + schemaLen + 1,
+                    end - (schemaPos + schemaLen + 1),
+                    StandardCharsets.UTF_8).trim
+                  truncateTarget(q, schema).toSeq
+                }
+              case _ => Nil
+            }
+          }
+        }
+      }(Encoders.STRING)
+      .distinct().collect().toSeq.sorted
+  }
+
+  /** SINGLE-PASS multi-table decode (r17 verdict #5): ONE event-parse
+    * pass over the window with the FULL spec map, emitting
+    * `(relation, one nullable per-table struct, meta)` rows; the
+    * caller splits per table with a filter + struct projection over
+    * the (persisted) result. A many-table replica therefore parses
+    * the window's bytes once, where the per-table
+    * [[decodeSlotStreams]] loop parsed them once PER TABLE — at 1000
+    * replicated tables that is the difference between one pass and a
+    * thousand. Output schema: `relation` STRING, then `__t_<i>`
+    * struct per entry of `specsByTable` (in order), then the meta
+    * columns; exactly one struct is non-null per row (TRUNCATE rows
+    * carry an all-null struct for their table — same contract as the
+    * flat decode's null data columns). */
+  def decodeSlotStreamsMulti(events: DataFrame, slotCol: String,
+      offsetCol: String, payloadCol: String,
+      specsByTable: Seq[(String, Seq[ColSpec])],
+      crc32Checksum: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    decodePasses.incrementAndGet()
+    val tableIdx = specsByTable.map(_._1).zipWithIndex.toMap
+    val schema = StructType(
+      StructField("relation", StringType) +:
+        (specsByTable.zipWithIndex.map { case ((_, sp), i) =>
+          StructField(s"__t_$i", BinlogRowDecoder.rowSchema(sp))
+        } ++ Seq(
+          StructField("action", IntegerType),
+          StructField("txn_tag", StringType),
+          StructField("txn_server", BinaryType),
+          StructField("txn_group", StringType),
+          StructField("txn_seq", LongType),
+          StructField("txn_stmt", LongType))))
+    val nTables = specsByTable.size
+    val slotIdx = events.columns.indexOf(slotCol)
+    val payloadIdx = events.columns.indexOf(payloadCol)
+    val specMap = specsByTable.toMap
+    events
+      .repartition(col(slotCol))
+      .sortWithinPartitions(col(slotCol), col(offsetCol))
+      .mapPartitions { it =>
+        val states = scala.collection.mutable.Map.empty[Any, SlotState]
+        it.flatMap { r =>
+          val st = states.getOrElseUpdate(r.get(slotIdx), new SlotState())
+          st.onEvent(r.getAs[Array[Byte]](payloadIdx), specMap, crc32Checksum)
+            .flatMap { c =>
+              tableIdx.get(c.relation).map { i =>
+                val structs = new Array[Any](nTables)
+                structs(i) = Row.fromSeq(c.values)
+                Row.fromSeq(c.relation +: (structs.toSeq ++
+                  Seq(c.action, null, c.server, c.group, c.seq, c.stmt)))
+              }
+            }
+        }
+      }(Encoders.row(schema))
   }
 }

@@ -74,6 +74,11 @@ final class MySqlBinlogClient(
   @volatile private var socket: Socket = _
   @volatile var lastError: Option[Throwable] = None
   @volatile var framesAppended: Long = 0L
+  /** Guards the frame appender across the event loop and the
+    * visibility flusher: flushes only land between whole appends, so
+    * the framelog file always ends at a frame boundary. */
+  private val appendLock = new Object
+  @volatile private var logDirty = false
   @volatile var reconnects: Long = 0L
   /** sid hex → canonical interval text ([[GtidSet]]). */
   @volatile var executed: Map[String, String] = Map.empty
@@ -213,8 +218,33 @@ final class MySqlBinlogClient(
         executed += curSid ->
           GtidSet.add(executed.getOrElse(curSid, ""), curGno)
         sinceSave += 1
-        if (sinceSave >= 64) { log.flush(); savePosition(); sinceSave = 0 }
+        if (sinceSave >= 64) {
+          appendLock.synchronized { log.flush(); savePosition() }
+          logDirty = false
+          sinceSave = 0
+        }
       }
+      // time-bounded visibility flusher (r17 verdict #2, read-your-
+      // writes): a quiet stream's tail must not sit in the appender's
+      // buffer until the NEXT 64-commit batch or STOP — the drain in
+      // Engine.drainReplicationBeforeRead reads the FILE. Every 100 ms
+      // of dirtiness the buffered frames flush under appendLock, so
+      // the file always ends at a frame boundary (appends hold the
+      // same lock) and a SELECT against a running replica lags a
+      // commit by ≤ ~200 ms. A hot stream still batches: the flusher
+      // moves bytes, the 64-commit path moves bytes AND the gtid
+      // position file.
+      val flusher = new Thread(() => {
+        try while (!stopped) {
+          Thread.sleep(100)
+          if (logDirty) {
+            appendLock.synchronized { log.flush() }
+            logDirty = false
+          }
+        } catch { case _: Throwable => () }
+      }, s"mysql-repl-$slot-flush")
+      flusher.setDaemon(true)
+      flusher.start()
       while (!stopped) {
         val p =
           try readPacket(in)
@@ -233,7 +263,8 @@ final class MySqlBinlogClient(
             if (evType == 27) () // heartbeat: transport-only, not logged
             else {
               off += 1
-              log.append(off, frame)
+              appendLock.synchronized { log.append(off, frame) }
+              logDirty = true
               framesAppended += 1
               evType match {
                 case 33 => // GTID: flags(1) sid(16) gno(8) after the header
@@ -264,7 +295,7 @@ final class MySqlBinlogClient(
         }
       }
     } finally {
-      log.close()
+      appendLock.synchronized { log.close() }
       savePosition()
       try s.close() catch { case _: IOException => () }
     }

@@ -219,6 +219,138 @@ class ReplicaControllerSpec extends SparkSpec {
       "a committing DDL QUERY closes its transaction")
   }
 
+  test("applyReplicaLog: ONE decode pass + window discovery for multi-table windows") {
+    // r17 verdict #5: the apply side used to re-parse the whole frame
+    // window once PER replicated table; it must parse the bytes ONCE
+    // (decodeSlotStreamsMulti) and split per table. r17 verdict #2's
+    // discovery arm: an EMPTY table list learns the table set from the
+    // window's TABLE_MAP/TRUNCATE headers, restricted to tables that
+    // exist locally and pass the REPLICATE_* filters.
+    import graft.streaming.{BinlogEncoder => BE, BinlogEventDecoder,
+      BinlogRowDecoder => BRD, FrameLog}
+    val e = new Engine(spark, tmpDir("replmulti"))
+    Seq("ta", "tb", "tc").foreach(t => exec(e,
+      s"CREATE TABLE $t (id BIGINT NOT NULL, v STRING, PRIMARY KEY (id))"))
+    exec(e, "INSERT INTO ta VALUES (1, 'a')")
+    val dir = e.warehouse.resolve("_replica")
+    java.nio.file.Files.createDirectories(dir)
+    val sid = (1 to 16).map(_.toByte).toArray
+    def specsOf(t: String) = BRD.specsFor(e.table(t).schema)
+    val (x1, o1) = BE.txn(1L, sid, 1L, 5L, "main", "ta", specsOf("ta"),
+      Seq(BE.Upd(Seq(1L, "a"), Seq(1L, "a2")), BE.Ins(Seq(2L, "b"))))
+    val (x2, o2) = BE.txn(o1, sid, 2L, 6L, "main", "tb", specsOf("tb"),
+      Seq(BE.Ins(Seq(10L, "x"))))
+    // tz doesn't exist locally; tc is present but filtered out below
+    val (x3, o3) = BE.txn(o2, sid, 3L, 7L, "main", "tz", specsOf("tb"),
+      Seq(BE.Ins(Seq(99L, "zz"))))
+    val (x4, _) = BE.txn(o3, sid, 4L, 8L, "main", "tc", specsOf("tc"),
+      Seq(BE.Ins(Seq(50L, "c"))))
+    FrameLog.append(dir, "replica",
+      Seq((0L, BE.fde())) ++ x1 ++ x2 ++ x3 ++ x4)
+    exec(e, "CHANGE REPLICATION FILTER REPLICATE_IGNORE_TABLE=(main.tc)")
+    val passes0 = BinlogEventDecoder.decodePasses.get()
+    val applied = e.applyReplicaLog(Nil) // discovery arm
+    assert(applied === 1L + x1.size + x2.size + x3.size + x4.size)
+    assert(BinlogEventDecoder.decodePasses.get() - passes0 === 1L,
+      "a multi-table window must be row-decoded in ONE pass")
+    import spark.implicits._
+    assert(exec(e, "SELECT id, v FROM ta ORDER BY id").df.get
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a2"), (2L, "b")))
+    assert(exec(e, "SELECT id, v FROM tb ORDER BY id").df.get
+      .as[(Long, String)].collect().toSeq === Seq((10L, "x")))
+    assert(exec(e, "SELECT count(*) FROM tc").df.get.as[Long].head() === 0L,
+      "REPLICATE_IGNORE_TABLE must drop a discovered table from the apply")
+    // checkpoint advanced window-wide: a re-poll is a no-op
+    assert(e.applyReplicaLog(Nil) === 0L)
+  }
+
+  test("read-your-writes: a SELECT drains the running replica's pending window") {
+    // r17 verdict #2 (reference backend/executor.go:55-61 flushes
+    // pending CDC before ANY data query): with the IO daemon RUNNING,
+    // a plain SELECT — no explicit applyReplicaLog — must see the
+    // streamed transaction once the client's time-bounded flush lands
+    // it in the framelog.
+    import graft.streaming.{BinlogEncoder => BE, BinlogRowDecoder => BRD}
+    val e = new Engine(spark, tmpDir("replryw"))
+    exec(e, "CREATE TABLE rt (id BIGINT NOT NULL, v STRING, " +
+      "PRIMARY KEY (id))")
+    exec(e, "INSERT INTO rt VALUES (1, 'seed')")
+    val specs = BRD.specsFor(e.table("rt").schema)
+    val sid = (1 to 16).map(_.toByte).toArray
+    val (t1, _) = BE.txn(1L, sid, 1L, 5L, "main", "rt", specs,
+      Seq(BE.Ins(Seq(2L, "streamed"))))
+    val stream = Seq(BE.fde()) ++ t1.map(_._2)
+
+    def le(n: Long, bytes: Int): Array[Byte] =
+      (0 until bytes).map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
+    def cat(parts: Array[Byte]*): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(); parts.foreach(o.write)
+      o.toByteArray
+    }
+    def writePacket(out: DataOutputStream, seq: Int, p: Array[Byte]): Unit = {
+      out.writeByte(p.length & 0xff); out.writeByte((p.length >> 8) & 0xff)
+      out.writeByte((p.length >> 16) & 0xff); out.writeByte(seq & 0xff)
+      out.write(p); out.flush()
+    }
+    def readPacket(in: DataInputStream): Array[Byte] = {
+      val h = new Array[Byte](4); in.readFully(h)
+      val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
+      val b = new Array[Byte](len); in.readFully(b); b
+    }
+    val scramble = (21 to 40).map(_.toByte).toArray
+    val handshake = cat(Array(10.toByte),
+      "8.0.0-fake".getBytes(StandardCharsets.UTF_8), Array(0.toByte),
+      le(7L, 4), scramble.take(8), Array(0.toByte), le(0xffffL, 2),
+      Array(33.toByte), le(2L, 2), le(0x0008L, 2), Array(21.toByte),
+      Array.fill(10)(0.toByte), scramble.drop(8), Array(0.toByte),
+      "mysql_native_password".getBytes(StandardCharsets.UTF_8),
+      Array(0.toByte))
+    val ok = Array[Byte](0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00)
+    val server = new ServerSocket(0)
+    val primary = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        writePacket(out, 0, handshake)
+        readPacket(in); writePacket(out, 2, ok)
+        readPacket(in); writePacket(out, 1, ok)
+        readPacket(in); writePacket(out, 1, ok)
+        readPacket(in) // COM_BINLOG_DUMP_GTID
+        stream.zipWithIndex.foreach { case (ev, i) =>
+          writePacket(out, i + 1, cat(Array(0.toByte), ev))
+        }
+        Thread.sleep(30000) // hold until STOP REPLICA
+      } catch { case _: Throwable => () }
+    }, "ryw-scripted-primary")
+    primary.setDaemon(true)
+    primary.start()
+
+    exec(e, s"CHANGE REPLICATION SOURCE TO SOURCE_HOST='127.0.0.1', " +
+      s"SOURCE_PORT=${server.getLocalPort}, SOURCE_USER='repl', " +
+      "SOURCE_PASSWORD='x', SOURCE_CONNECT_RETRY=1")
+    exec(e, "START REPLICA")
+    try {
+      import spark.implicits._
+      // NO explicit applyReplicaLog / REFRESH anywhere below: the SQL
+      // entry's drain is the only apply path. Poll-with-deadline: the
+      // client's flush is time-bounded (~200 ms behind the commit).
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      def visible(): Seq[(Long, String)] =
+        exec(e, "SELECT id, v FROM rt ORDER BY id").df.get
+          .as[(Long, String)].collect().toSeq
+      var got = visible()
+      while (got.size < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100); got = visible()
+      }
+      assert(got === Seq((1L, "seed"), (2L, "streamed")),
+        s"SELECT never saw the streamed txn without an explicit apply: $got")
+    } finally {
+      exec(e, "STOP REPLICA")
+      server.close()
+    }
+  }
+
   test("replica controller: live scripted source, start/stop lifecycle") {
     // a minimal scripted primary: handshake -> accept auth -> accept
     // COM_BINLOG_DUMP_GTID -> stream FDE + one GTID/XID txn -> hold

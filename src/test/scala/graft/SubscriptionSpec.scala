@@ -337,6 +337,114 @@ class SubscriptionSpec extends SparkSpec {
       "the reconnect must resume past txn 1 (framelog IS the position store)")
   }
 
+  test("read-your-writes: a SELECT drains a live subscription's pending frames") {
+    // r17 verdict #2's PG leg (reference backend/executor.go:55-61
+    // flush-before-query): with the apply daemon RUNNING, a plain
+    // SELECT on a subscribed table — no ALTER ... REFRESH — must see
+    // the published transaction once the daemon's status-cadence
+    // flush lands it in the framelog.
+    import java.io.{DataInputStream, DataOutputStream}
+    import java.net.ServerSocket
+    import java.nio.charset.StandardCharsets
+    def be(n: Long, w: Int): Array[Byte] =
+      (0 until w).reverseIterator
+        .map(i => ((n >> (8 * i)) & 0xff).toByte).toArray
+    def cstr(s: String): Array[Byte] = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      java.util.Arrays.copyOf(b, b.length + 1)
+    }
+    def cat(parts: Array[Byte]*): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream(); parts.foreach(o.write)
+      o.toByteArray
+    }
+    def writeMsg(out: DataOutputStream, tpe: Char, body: Array[Byte]): Unit = {
+      out.writeByte(tpe); out.writeInt(4 + body.length); out.write(body)
+      out.flush()
+    }
+    def readStartup(in: DataInputStream): Unit = {
+      val len = in.readInt(); in.readFully(new Array[Byte](len - 4))
+    }
+    def readMsg(in: DataInputStream): (Char, Array[Byte]) = {
+      val tpe = in.readByte().toChar
+      val len = in.readInt()
+      val b = new Array[Byte](len - 4); in.readFully(b); (tpe, b)
+    }
+    def xlog(out: DataOutputStream, walStart: Long, p: Array[Byte]): Unit =
+      writeMsg(out, 'd', cat(Array('w'.toByte), be(walStart, 8),
+        be(walStart, 8), be(0L, 8), p))
+    def keepalive(out: DataOutputStream, walEnd: Long): Unit =
+      writeMsg(out, 'd', cat(Array('k'.toByte), be(walEnd, 8), be(0L, 8),
+        Array(1.toByte)))
+    val relOid = 16384
+    val rel = cat(Seq(Array('R'.toByte), be(relOid, 4), cstr("public"),
+      cstr("racct"), Array('d'.toByte), be(2, 2)) ++
+      Seq(("id", 20), ("v", 25)).flatMap { case (cn, t) =>
+        Seq(Array(0.toByte), cstr(cn), be(t, 4), be(0xffffffffL, 4))
+      }: _*)
+    def tup(vals: String*): Array[Byte] =
+      cat(Seq(be(vals.size, 2)) ++ vals.map { s =>
+        val b = s.getBytes(StandardCharsets.UTF_8)
+        cat(Array('t'.toByte), be(b.length, 4), b)
+      }: _*)
+    val server = new ServerSocket(0)
+    val publisher = new Thread(() => {
+      try {
+        val s = server.accept()
+        val in = new DataInputStream(s.getInputStream)
+        val out = new DataOutputStream(s.getOutputStream)
+        readStartup(in)
+        writeMsg(out, 'R', be(0L, 4))
+        writeMsg(out, 'Z', Array('I'.toByte))
+        readMsg(in) // START_REPLICATION
+        writeMsg(out, 'W', cat(Array(0.toByte), be(0L, 2)))
+        xlog(out, 100L, cat(Array('B'.toByte), be(100L, 8), be(0L, 8),
+          be(9L, 4)))
+        xlog(out, 101L, rel)
+        xlog(out, 102L, cat(Array('I'.toByte), be(relOid, 4),
+          Array('N'.toByte), tup("2", "live")))
+        xlog(out, 103L, cat(Array('C'.toByte, 0.toByte), be(100L, 8),
+          be(101L, 8), be(0L, 8)))
+        keepalive(out, 103L) // reply-requested: forces the log flush
+        val sin = s.getInputStream
+        try while (sin.read() >= 0) () catch { case _: Throwable => () }
+        try s.close() catch { case _: Throwable => () }
+      } catch { case _: Throwable => () }
+    }, "ryw-scripted-publisher")
+    publisher.setDaemon(true)
+    publisher.start()
+
+    val pubWh = tmpDir("ryw_pub")
+    val pub = new Engine(spark, pubWh)
+    exec(pub, "CREATE TABLE racct (id BIGINT NOT NULL, v STRING, " +
+      "PRIMARY KEY (id))")
+    exec(pub, "INSERT INTO racct VALUES (1, 'seed')")
+    val fl = tmpDir("ryw_fl")
+    val sub = new Engine(spark, tmpDir("ryw_sub"))
+    exec(sub, s"CREATE SUBSCRIPTION ryw1 CONNECTION " +
+      s"'warehouse=$pubWh dbname=main host=127.0.0.1 " +
+      s"port=${server.getLocalPort} user=repl framelog=$fl slot=ryw1' " +
+      "PUBLICATION pubx")
+    try {
+      assert(sub.subscriptionDaemonRunning("ryw1"), "daemon must start")
+      // NO explicit REFRESH below: the SQL entry's drain is the only
+      // apply path. Poll-with-deadline (the daemon's flush rides its
+      // status cadence).
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      def visible(): Seq[(Long, String)] =
+        exec(sub, "SELECT id, v FROM racct ORDER BY id").df.get
+          .as[(Long, String)].collect().toSeq
+      var got = visible()
+      while (got.size < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100); got = visible()
+      }
+      assert(got === Seq((1L, "seed"), (2L, "live")),
+        s"SELECT never saw the published txn without an explicit REFRESH: $got")
+    } finally {
+      exec(sub, "DROP SUBSCRIPTION ryw1")
+      server.close()
+    }
+  }
+
   test("timestamptz columns survive the publish→refresh round trip") {
     // PgOutputEncoder advertises TimestampType as OID 1184
     // (timestamptz); the decoder's 1184 text branch requires a
