@@ -48,7 +48,7 @@ object Bench {
 
   /** Previous-round per-query band at sf0.1 (round-12 verdict #3):
     * min over the carried floor and the last two driver rounds' colds
-    * (BENCH_r15/r16; q116-q120 seeded from round-17 local sf0.1 runs).
+    * (BENCH_r16/r17; q121/q122 seeded from round-18 local sf0.1 runs).
     * Any cold run exceeding 2x its band lands
     * in the `band` line with its warm time, so a >2x outlier
     * self-explains in the artifact — the reader separates "epoch
@@ -58,26 +58,26 @@ object Bench {
     * keyed by bare query number. */
   private val PrevBand: Map[Int, Double] = Map(
     1 -> 1.09, 2 -> 1.06, 3 -> 0.64, 4 -> 0.79, 5 -> 0.18, 6 -> 0.74,
-    7 -> 0.61, 8 -> 0.39, 9 -> 0.27, 10 -> 0.22, 11 -> 0.35, 12 -> 0.3,
-    13 -> 0.35, 14 -> 0.79, 15 -> 0.31, 16 -> 0.37, 17 -> 0.84, 18 -> 0.39,
-    19 -> 0.37, 20 -> 0.36, 21 -> 0.31, 22 -> 0.14, 23 -> 0.98, 24 -> 0.49,
-    25 -> 0.24, 26 -> 0.22, 27 -> 0.64, 28 -> 0.21, 29 -> 0.58, 30 -> 0.35,
+    7 -> 0.61, 8 -> 0.39, 9 -> 0.27, 10 -> 0.22, 11 -> 0.31, 12 -> 0.3,
+    13 -> 0.35, 14 -> 0.74, 15 -> 0.31, 16 -> 0.37, 17 -> 0.84, 18 -> 0.39,
+    19 -> 0.37, 20 -> 0.36, 21 -> 0.3, 22 -> 0.14, 23 -> 0.98, 24 -> 0.36,
+    25 -> 0.24, 26 -> 0.21, 27 -> 0.64, 28 -> 0.21, 29 -> 0.58, 30 -> 0.32,
     31 -> 1.1, 32 -> 0.45, 33 -> 0.39, 34 -> 0.25, 35 -> 0.52, 36 -> 0.2,
-    37 -> 0.98, 38 -> 0.26, 39 -> 0.63, 40 -> 0.42, 41 -> 1.92, 42 -> 0.77,
-    43 -> 0.76, 44 -> 1.08, 45 -> 0.18, 46 -> 0.53, 47 -> 0.81, 48 -> 0.35,
+    37 -> 0.98, 38 -> 0.26, 39 -> 0.63, 40 -> 0.42, 41 -> 1.92, 42 -> 0.76,
+    43 -> 0.76, 44 -> 1.08, 45 -> 0.18, 46 -> 0.48, 47 -> 0.78, 48 -> 0.35,
     49 -> 0.77, 50 -> 0.32, 51 -> 0.37, 52 -> 0.39, 53 -> 0.38, 54 -> 0.64,
-    55 -> 0.48, 56 -> 0.91, 57 -> 0.78, 58 -> 0.35, 59 -> 0.25, 60 -> 0.47,
-    61 -> 4.64, 62 -> 0.72, 63 -> 1.13, 64 -> 0.99, 65 -> 0.43, 66 -> 3.24,
-    67 -> 1.93, 68 -> 0.6, 69 -> 1.75, 70 -> 0.55, 71 -> 1.15, 72 -> 1.85,
-    73 -> 0.57, 74 -> 1.17, 75 -> 0.37, 76 -> 0.33, 77 -> 1.87, 78 -> 0.51,
-    79 -> 0.18, 80 -> 0.22, 81 -> 3.05, 82 -> 0.95, 83 -> 0.6, 84 -> 0.45,
-    85 -> 0.62, 86 -> 0.28, 87 -> 0.56, 88 -> 0.73, 89 -> 7.24, 90 -> 0.52,
-    91 -> 1.43, 92 -> 1.71, 93 -> 1.23, 94 -> 0.64, 95 -> 1.58, 96 -> 0.9,
+    55 -> 0.48, 56 -> 0.91, 57 -> 0.65, 58 -> 0.28, 59 -> 0.25, 60 -> 0.47,
+    61 -> 4.25, 62 -> 0.59, 63 -> 1.13, 64 -> 0.99, 65 -> 0.39, 66 -> 3.24,
+    67 -> 1.93, 68 -> 0.49, 69 -> 1.75, 70 -> 0.55, 71 -> 1.15, 72 -> 1.79,
+    73 -> 0.57, 74 -> 1.17, 75 -> 0.34, 76 -> 0.29, 77 -> 1.71, 78 -> 0.51,
+    79 -> 0.17, 80 -> 0.22, 81 -> 3.05, 82 -> 0.95, 83 -> 0.6, 84 -> 0.45,
+    85 -> 0.62, 86 -> 0.28, 87 -> 0.49, 88 -> 0.7, 89 -> 7.19, 90 -> 0.52,
+    91 -> 1.43, 92 -> 1.69, 93 -> 1.23, 94 -> 0.64, 95 -> 1.58, 96 -> 0.9,
     97 -> 0.84, 100 -> 1.43, 101 -> 0.41, 102 -> 2.51, 103 -> 2.15,
-    104 -> 1.32, 105 -> 5.21, 106 -> 1.23, 107 -> 3.37, 108 -> 2.84,
-    109 -> 0.56, 110 -> 2.97, 111 -> 9.54, 112 -> 1.73, 113 -> 3.3,
-    114 -> 8.12, 115 -> 3.05, 116 -> 4.51, 117 -> 4.33, 118 -> 4.13,
-    119 -> 5.51, 120 -> 0.83)
+    104 -> 1.13, 105 -> 3.42, 106 -> 1.1, 107 -> 2.84, 108 -> 2.64,
+    109 -> 0.56, 110 -> 2.79, 111 -> 9.54, 112 -> 1.66, 113 -> 3.25,
+    114 -> 3.75, 115 -> 3.05, 116 -> 3.33, 117 -> 3.93, 118 -> 2.86,
+    119 -> 4.81, 120 -> 0.41, 121 -> 4.09, 122 -> 5.38)
 
   /** Environment sentinels (qx-prefixed; r15's probe fleet retired in
     * r16 once the driver comparator's decimal canonicalization was

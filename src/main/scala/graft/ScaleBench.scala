@@ -114,7 +114,16 @@ object ScaleBench {
           (size(col("ca")) + size(col("cb")) - col("inter")))
         .filter(col("jaccard") >= 0.5)
     }
-    val out = Seq(1, factor).map { f =>
+    // warmup discipline (r18): trend() runs at the END of a 120-query
+    // bench epoch, where these three operators' codegen/JIT paths are
+    // cold and executor heaps carry residue — measured UNwarmed, the
+    // factor-1 runs absorbed one-time costs so factor 4 timed FASTER
+    // than factor 1 (63: 3.12→1.78), i.e. pure noise where the line
+    // must prove scaling. One untimed factor-1 pass first pins JIT +
+    // codegen caches, so both timed factors measure the operator.
+    val factorRuns = Seq(-1, 1, factor)
+    val out = factorRuns.map { f0 =>
+      val f = math.abs(f0)
       val cs = docsAt(f).select(col("doc_id"),
         expr("shingle_code_set(text)").as("cs")).localCheckpoint(true)
       val embs = embsAt(f).localCheckpoint(true)
@@ -129,7 +138,7 @@ object ScaleBench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       (t63, t89, t95)
-    }
+    }.drop(1) // the warmup pass is not a sample
     val (f1, fN) = (out.head, out.last)
     s"63:${fmt(f1._1)}/${fmt(fN._1)} 89:${fmt(f1._2)}/${fmt(fN._2)} " +
       s"95:${fmt(f1._3)}/${fmt(fN._3)}"

@@ -183,6 +183,9 @@ final class MySqlBinlogClient(
     var out = new DataOutputStream(s.getOutputStream)
     val log = new FrameAppender(dir, slot)
     var off = FrameLog.lastOffset(dir, slot).getOrElse(-1L)
+    // scopes this attempt's visibility flusher: set in the finally so a
+    // reconnect loop never accretes sleeping flusher threads
+    val connClosed = new java.util.concurrent.atomic.AtomicBoolean(false)
     try {
       val (scramble, serverPlugin) = readHandshakeV10(in)
       sslContext.foreach { ctx =>
@@ -219,8 +222,7 @@ final class MySqlBinlogClient(
           GtidSet.add(executed.getOrElse(curSid, ""), curGno)
         sinceSave += 1
         if (sinceSave >= 64) {
-          appendLock.synchronized { log.flush(); savePosition() }
-          logDirty = false
+          appendLock.synchronized { log.flush(); savePosition(); logDirty = false }
           sinceSave = 0
         }
       }
@@ -233,13 +235,17 @@ final class MySqlBinlogClient(
       // same lock) and a SELECT against a running replica lags a
       // commit by ≤ ~200 ms. A hot stream still batches: the flusher
       // moves bytes, the 64-commit path moves bytes AND the gtid
-      // position file.
+      // position file. The dirty check-flush-clear is ONE critical
+      // section (an append landing between a flush and its clear must
+      // not be marked clean — on a then-quiet stream it would sit
+      // buffered until STOP), and the thread is scoped to THIS
+      // connection attempt (connClosed in the finally) so a reconnect
+      // loop never accretes sleeping flushers.
       val flusher = new Thread(() => {
-        try while (!stopped) {
+        try while (!stopped && !connClosed.get) {
           Thread.sleep(100)
-          if (logDirty) {
-            appendLock.synchronized { log.flush() }
-            logDirty = false
+          appendLock.synchronized {
+            if (logDirty && !connClosed.get) { log.flush(); logDirty = false }
           }
         } catch { case _: Throwable => () }
       }, s"mysql-repl-$slot-flush")
@@ -263,8 +269,7 @@ final class MySqlBinlogClient(
             if (evType == 27) () // heartbeat: transport-only, not logged
             else {
               off += 1
-              appendLock.synchronized { log.append(off, frame) }
-              logDirty = true
+              appendLock.synchronized { log.append(off, frame); logDirty = true }
               framesAppended += 1
               evType match {
                 case 33 => // GTID: flags(1) sid(16) gno(8) after the header
@@ -295,7 +300,8 @@ final class MySqlBinlogClient(
         }
       }
     } finally {
-      appendLock.synchronized { log.close() }
+      appendLock.synchronized { log.close(); logDirty = false }
+      connClosed.set(true)
       savePosition()
       try s.close() catch { case _: IOException => () }
     }
