@@ -477,6 +477,7 @@ object PgOutputDecoder {
   def decodeSlotStreams(events: DataFrame, slotCol: String, offsetCol: String,
       payloadCol: String, targetRelation: String,
       dataSchema: StructType, toastAsNull: Boolean = false): DataFrame = {
+    decodePasses.incrementAndGet()
     val outSchema = StructType(dataSchema.fields ++ Seq(
       StructField("action", IntegerType),
       StructField("txn_tag", StringType),
@@ -542,5 +543,66 @@ object PgOutputDecoder {
           Seq(c.action, null, null, null, c.lsn, c.stmt))),
         () => st.snapshot)
     }
+  }
+
+  /** Driver-side count of full message-decode passes launched — spec
+    * observability ONLY ([[BinlogEventDecoder.decodePasses]]' pgoutput
+    * twin): lets a test assert a multi-table subscription window
+    * parsed its bytes ONCE. Not part of the API. */
+  private[graft] val decodePasses =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** SINGLE-PASS multi-relation decode
+    * ([[BinlogEventDecoder.decodeSlotStreamsMulti]]'s pgoutput twin):
+    * ONE message-parse pass over the window, emitting `(relation, one
+    * nullable per-relation struct, meta)` rows; the caller splits per
+    * relation with a filter + struct projection over the (persisted)
+    * result. A subscription publishing many tables therefore parses
+    * the window's bytes once, where the per-table
+    * [[decodeSlotStreams]] loop parsed them once PER TABLE. Output
+    * schema: `relation` STRING, then `__t_<i>` struct per entry of
+    * `schemasByRelation` (in order), then the meta columns; exactly
+    * one struct is non-null per row (TRUNCATE rows carry an all-null
+    * struct for their relation — same contract as the flat decode's
+    * null data columns). */
+  def decodeSlotStreamsMulti(events: DataFrame, slotCol: String,
+      offsetCol: String, payloadCol: String,
+      schemasByRelation: Seq[(String, StructType)],
+      toastAsNull: Boolean = false): DataFrame = {
+    decodePasses.incrementAndGet()
+    val relIdx = schemasByRelation.map(_._1).zipWithIndex.toMap
+    val outSchema = StructType(
+      StructField("relation", StringType) +:
+        (schemasByRelation.zipWithIndex.map { case ((_, sc), i) =>
+          StructField(s"__t_$i", sc)
+        } ++ Seq(
+          StructField("action", IntegerType),
+          StructField("txn_tag", StringType),
+          StructField("txn_server", BinaryType),
+          StructField("txn_group", StringType),
+          StructField("txn_seq", LongType),
+          StructField("txn_stmt", LongType))))
+    val nRels = schemasByRelation.size
+    val slotIdx = events.columns.indexOf(slotCol)
+    val payloadIdx = events.columns.indexOf(payloadCol)
+    events
+      .repartition(col(slotCol))
+      .sortWithinPartitions(col(slotCol), col(offsetCol))
+      .mapPartitions { it =>
+        val states = scala.collection.mutable.Map.empty[Any, SlotState]
+        it.flatMap { r =>
+          val st = states.getOrElseUpdate(r.get(slotIdx),
+            new SlotState(toastAsNull))
+          st.onMessage(r.getAs[Array[Byte]](payloadIdx))
+            .flatMap { c =>
+              relIdx.get(c.relation).map { i =>
+                val structs = new Array[Any](nRels)
+                structs(i) = Row.fromSeq(c.values)
+                Row.fromSeq(c.relation +: (structs.toSeq ++
+                  Seq(c.action, null, null, null, c.lsn, c.stmt)))
+              }
+            }
+        }
+      }(Encoders.row(outSchema))
   }
 }

@@ -112,6 +112,53 @@ class SubscriptionSpec extends SparkSpec {
     intercept[Exception](exec(sub, "ALTER SUBSCRIPTION sub1 REFRESH"))
   }
 
+  test("refresh: a multi-table window applies in ONE decode pass") {
+    // the pgoutput twin of applyReplicaLog's single-pass apply: a
+    // subscription publishing N tables must parse the poll window's
+    // bytes once (decodeSlotStreamsMulti), not once per table
+    val pubWh = tmpDir("multi_pub")
+    val fl = tmpDir("multi_fl")
+    val pub = new Engine(spark, pubWh)
+    Seq("ma", "mb", "mc").foreach(t => exec(pub,
+      s"CREATE TABLE $t (id BIGINT NOT NULL, v STRING, n INT, " +
+        "PRIMARY KEY (id))"))
+    exec(pub, "INSERT INTO ma VALUES (1, 'a', 1)")
+    val sub = new Engine(spark, tmpDir("multi_sub"))
+    exec(sub, s"CREATE SUBSCRIPTION subm CONNECTION " +
+      s"'warehouse=$pubWh dbname=main framelog=$fl slot=subm' " +
+      "PUBLICATION pm")
+    // post-snapshot txns across three DISTINCT relations
+    val (t1, l1) = PgOutputEncoder.txn(1L, 200L, 16401, "public", "ma",
+      schema, Seq(
+        PgOutputEncoder.Change(CdcMerge.ActionUpdate, Seq(1L, "a2", 2)),
+        PgOutputEncoder.Change(CdcMerge.ActionInsert, Seq(2L, "b", 3))))
+    val (t2, l2) = PgOutputEncoder.txn(l1, 201L, 16402, "public", "mb",
+      schema, Seq(
+        PgOutputEncoder.Change(CdcMerge.ActionInsert, Seq(10L, "x", 5))))
+    val (t3, _) = PgOutputEncoder.txn(l2, 202L, 16403, "public", "mc",
+      schema, Seq(
+        PgOutputEncoder.Change(CdcMerge.ActionInsert, Seq(20L, "y", 7)),
+        PgOutputEncoder.Change(CdcMerge.ActionDelete, Seq(20L, null, null))))
+    FrameLog.append(fl, "subm", t1 ++ t2 ++ t3)
+    val passes0 = graft.streaming.PgOutputDecoder.decodePasses.get()
+    assert(exec(sub, "ALTER SUBSCRIPTION subm REFRESH").affected ===
+      (t1.size + t2.size + t3.size).toLong)
+    assert(graft.streaming.PgOutputDecoder.decodePasses.get() - passes0
+      === 1L,
+      "a multi-table subscription window must be message-decoded ONCE")
+    assert(exec(sub, "SELECT id, v, n FROM ma ORDER BY id").df.get
+      .as[(Long, String, Int)].collect().toSeq ===
+      Seq((1L, "a2", 2), (2L, "b", 3)))
+    assert(exec(sub, "SELECT id, v, n FROM mb ORDER BY id").df.get
+      .as[(Long, String, Int)].collect().toSeq === Seq((10L, "x", 5)))
+    assert(exec(sub, "SELECT count(*) FROM mc").df.get
+      .as[Long].head() === 0L,
+      "the in-txn insert+delete must condense away")
+    // idempotent re-poll
+    assert(exec(sub, "ALTER SUBSCRIPTION subm REFRESH").affected === 0L)
+    exec(sub, "DROP SUBSCRIPTION subm")
+  }
+
   test("subscription guards: missing warehouse, duplicate, existing table") {
     val wh = tmpDir("sub_guard")
     val e = new Engine(spark, wh)
