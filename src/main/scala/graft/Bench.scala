@@ -7,26 +7,31 @@ import org.apache.spark.sql.SparkSession
   * Output contract. The driver tail-captures the LAST 2000 CHARS of
   * sbt stdout — a total-byte budget, not a per-line one (r8 proved
   * this: the window boundary cut mid-line into the first per-query
-  * line). So the whole emission is sized to ~1700 chars: build.sbt
-  * pipes the forked stdout through verbatim (no "[info] " prefixes)
-  * and suppresses the trailing "[success]" line, and the per-query
-  * encoding is compact:
-  *   lines 1-4: {"bqK":"<id>:<cold>/<oracle> ..."} — id is the query
+  * line). build.sbt pipes the forked stdout through verbatim (no
+  * "[info] " prefixes) and suppresses the trailing "[success]" line.
+  * Print order is INVERSE priority (r18): the diagnostic lines
+  * (warm/anomaly/band/stmt/scale) come FIRST, the four per-query bq
+  * lines next, the headline LAST — so when an epoch's diagnostics run
+  * long, tail truncation eats a diagnostic line's head, never
+  * per-query data or the totals (r17's artifact lost q1-q5's colds
+  * exactly that way).
+  *   bq lines: {"bqK":"<id>:<cold>[/<oracle>] ..."} — id is the query
   *     number without the q/zero prefix (1=q01, 100=q100), cold is
   *     this epoch's first timed run in seconds, oracle the intra-epoch
-  *     DuckDB seconds ("x" when the oracle didn't run).
-  *   line 5 (only when nonempty): {"warm":"<id>:<warm> ..."} — the
-  *     second-run time for queries whose cold run was anomalously
-  *     slower (cold > 1.5x warm and > 0.5s absolute gap). A query
-  *     listed here is slow from epoch position (JIT/page-cache/
-  *     first-job effects), NOT from its plan — the r7/r8 q23 anomaly
-  *     made attributable in the artifact itself.
-  *   last line: {"errs":{only failures},"oracle_failed":[...],
+  *     DuckDB seconds ("x" when the oracle didn't run; OMITTED with
+  *     its slash when the oracle ran under 0.05s — read as ~0, the
+  *     r18 byte-budget rule that keeps ~70 sub-50ms oracles from
+  *     costing ~300 tail bytes).
+  *   {"warm":"<id>:<warm> ..."} (only when nonempty) — the second-run
+  *     time for queries whose cold run was anomalously slower (cold >
+  *     1.5x warm and > 0.5s absolute gap). A query listed here is
+  *     slow from epoch position (JIT/page-cache/first-job effects),
+  *     NOT from its plan.
+  *   headline: {"errs":{only failures},"oracle_failed":[...],
   *     "baseline_only":[...],"baseline_total":B,"warm_total":W,
   *     "sf":...,"oracle_total":...,"ratio":...,
   *     "metric":"total","value":N,"unit":"sec"}
-  * The headline totals stay cold-run sums (comparable with r≤8);
-  * metric/value ride LAST so the total survives any front-truncation.
+  * The headline totals stay cold-run sums (comparable with r≤8).
   *
   * q70/q72 are brute-force oracle anchors for the hash-checked pruned
   * tiers (q95/q97) — `baseline_only`: timed and reported, but excluded
@@ -216,17 +221,29 @@ object Bench {
     }
     // query id without the q/zero prefix: q01 -> 1, q100 -> 100
     def qid(name: String): Int = name.tail.takeWhile(_.isDigit).toInt
+    // byte budget (r18): an entry whose oracle RAN and took <0.05s
+    // drops the "/oracle" suffix entirely (read as ~0) — across ~70
+    // sub-50ms oracles that buys back ~300 bytes of the tail window;
+    // "/x" (oracle didn't run) stays explicit
     val perQ = results.toSeq.sortBy(p => qid(p._1)).map { case (name, t) =>
-      val o = oracleTimes.get(name).map(fmtT).getOrElse("x")
-      s"${qid(name)}:${fmtT(t.cold)}/$o"
+      val o = oracleTimes.get(name) match {
+        case Some(v) if v < 0.05 => ""
+        case Some(v) => "/" + fmtT(v)
+        case None => "/x"
+      }
+      s"${qid(name)}:${fmtT(t.cold)}$o"
     }
-    // 4 lines of ~25 entries: the whole emission must stay inside the
-    // driver's 2000-char tail window WITH the headline — total bytes
-    // are the constraint, and this encoding lands ~1700
+    // 4 lines of ~30 entries, BUFFERED: the driver tail-captures the
+    // LAST 2000 chars, so these print AFTER the diagnostic lines —
+    // any overflow cuts a diagnostic line's head, never per-query data
     val chunk = (perQ.size + 3) / 4
-    perQ.grouped(chunk).zipWithIndex.foreach { case (g, i) =>
-      println(s"""{"bq${i + 1}":"${g.mkString(" ")}"}""")
-    }
+    val bqLines = perQ.grouped(chunk).zipWithIndex.map { case (g, i) =>
+      s"""{"bq${i + 1}":"${g.mkString(" ")}"}"""
+    }.toSeq
+    // diagnostic lines (warm/anomaly/band/stmt/scale) accumulate here
+    // and print FIRST — lowest-priority content sits earliest in the
+    // stream, where tail truncation lands
+    val diag = scala.collection.mutable.ListBuffer.empty[String]
     // anomaly self-report: queries whose cold run was inflated by
     // epoch position, with the warm time that attributes it
     val anomalies = results.toSeq
@@ -236,10 +253,10 @@ object Bench {
       .map(p => qid(p._1) -> s"${qid(p._1)}:${fmtT(p._2.warm)}")
     if (anomalies.nonEmpty) {
       // byte budget: the whole emission must stay inside the driver's
-      // 2000-char tail — keep the 10 largest gaps, count the rest
-      val shown = anomalies.take(10).sortBy(_._1).map(_._2)
-      val more = if (anomalies.size > 10) s" +${anomalies.size - 10}" else ""
-      println(s"""{"warm":"${shown.mkString(" ")}$more"}""")
+      // 2000-char tail — keep the 8 largest gaps, count the rest
+      val shown = anomalies.take(8).sortBy(_._1).map(_._2)
+      val more = if (anomalies.size > 8) s" +${anomalies.size - 8}" else ""
+      diag += s"""{"warm":"${shown.mkString(" ")}$more"}"""
     }
     // the warm gate's blind spot (r10 verdict: q23 ran 4.3s on BOTH
     // runs of one epoch): a query slow relative to its oracle on cold
@@ -262,11 +279,11 @@ object Bench {
       // SEVERITY (cold seconds) before capping so a genuine high-id
       // regression is never truncated behind expected low-id chains;
       // display re-sorts the survivors by id.
-      val shown = slowBoth.sortBy(-_._2.cold).take(6)
+      val shown = slowBoth.sortBy(-_._2.cold).take(4)
         .sortBy(p => qid(p._1))
         .map { case (name, t) => s"${qid(name)}:${fmtT(t.cold)}/${fmtT(t.warm)}" }
-      val more = if (slowBoth.size > 6) s" +${slowBoth.size - 6}" else ""
-      println(s"""{"anomaly":"${shown.mkString(" ")}$more"}""")
+      val more = if (slowBoth.size > 4) s" +${slowBoth.size - 4}" else ""
+      diag += s"""{"anomaly":"${shown.mkString(" ")}$more"}"""
     }
     // previous-round band check (r12 verdict #3): EVERY >2x cold
     // outlier vs the last rounds' per-query floor self-reports with
@@ -286,9 +303,9 @@ object Bench {
       if (outliers.nonEmpty) {
         // byte budget: the whole emission must stay inside the
         // driver's 2000-char tail window — cap the line, count the rest
-        val shown = outliers.take(8)
-        val more = if (outliers.size > 8) s" +${outliers.size - 8}" else ""
-        println(s"""{"band":"${shown.mkString(" ")}$more"}""")
+        val shown = outliers.take(6)
+        val more = if (outliers.size > 6) s" +${outliers.size - 6}" else ""
+        diag += s"""{"band":"${shown.mkString(" ")}$more"}"""
       }
       // per-statement attribution for the SLOWEST chains (r17 verdict
       // #1a): the StmtTimer lines go to stderr, outside the driver's
@@ -297,14 +314,15 @@ object Bench {
       // a chain whose band was seeded from its own slow history can
       // never outlie it (q111 across r15-r17 stayed the suite's
       // slowest chain with zero stmt lines in any artifact). Byte
-      // budget: 2 chains, 220 chars each.
+      // budget: 2 chains, 130 chars each — enough for a chain's 5-6
+      // heaviest statements, which is what attribution needs.
       val stmtSlowest = results.toSeq
         .filter { case (name, t) =>
           t.err.isEmpty && stmtCold.containsKey(name) }
         .sortBy(-_._2.cold).take(2)
       stmtSlowest.foreach { case (name, _) =>
-        val line = stmtCold.get(name).take(220)
-        println(s"""{"stmt${qid(name)}":${jstr(line)}}""")
+        val line = stmtCold.get(name).take(130)
+        diag += s"""{"stmt${qid(name)}":${jstr(line)}}"""
       }
     }
 
@@ -323,7 +341,7 @@ object Bench {
         try ScaleBench.trend(spark, sfDir, factor = 4)
         catch { case e: Throwable =>
           "err:" + Option(e.getMessage).getOrElse(e.getClass.getName).take(60) }
-      println(s"""{"scale":${jstr(line)},"scale_factor":4}""")
+      diag += s"""{"scale":${jstr(line)},"scale_factor":4}"""
       reset()
     }
 
@@ -339,10 +357,14 @@ object Bench {
       .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     val baselineJson = BaselineOnly.toSeq.sorted
       .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
-    // headline fields LAST: the tail window truncates the FRONT of the
-    // captured stream, and the total must survive truncation. The
-    // canaries key labels CORRECTNESS's 3 designed reds in-artifact
-    // (r16 verdict #8; docs/DIAG_PROTOCOL.md).
+    // print order = inverse priority: diagnostic lines first (tail
+    // truncation, if any, eats their heads), then the per-query bq
+    // lines, then the headline LAST — the total must survive any
+    // truncation of the FRONT of the captured stream. The canaries key
+    // labels CORRECTNESS's 3 designed reds in-artifact (r16 verdict
+    // #8; docs/DIAG_PROTOCOL.md).
+    diag.foreach(println)
+    bqLines.foreach(println)
     println(s"""{"errs":$errs,"oracle_failed":$failedJson,"baseline_only":$baselineJson,$obsJson"canaries":"qx_env_dec_a/b/c expected-red","baseline_total":${r2(baselineTotal)},"warm_total":${r2(warmTotal)},"sf":"$sfDir","oracle_total":$oracleJson,"ratio":$ratioJson,"metric":"total","value":${r2(total)},"unit":"sec"}""")
     System.out.flush()
     spark.stop()

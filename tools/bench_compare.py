@@ -38,11 +38,15 @@ def load_text(path):
 def parse_pairs(text):
     """query-id -> (spark_sec, oracle_sec|None); plus warm map."""
     pairs, warm = {}, {}
-    # r9+ compact: id:cold/oracle inside {"bqN":"..."} lines
+    # r9+ compact: id:cold[/oracle] inside {"bqN":"..."} lines — r18
+    # omits "/oracle" entirely when the oracle ran under 0.05s (parse
+    # as 0.0, distinct from "/x" = oracle didn't run -> None)
     for m in re.finditer(r'"bq\d"\s*:\s*"([^"]*)"', text):
-        for e in re.finditer(r'(\d+):([\d.]+)/([\d.]+|x)', m.group(1)):
+        for e in re.finditer(r'(\d+):([\d.]+)(?:/([\d.]+|x))?(?=\s|"|$)', m.group(1)):
             q, c, o = e.groups()
-            pairs[int(q)] = (float(c), None if o == "x" else float(o))
+            pairs[int(q)] = (
+                float(c),
+                0.0 if o is None else (None if o == "x" else float(o)))
     for m in re.finditer(r'"warm"\s*:\s*"([^"]*)"', text):
         for e in re.finditer(r'(\d+):([\d.]+)', m.group(1)):
             warm[int(e.group(1))] = float(e.group(2))
