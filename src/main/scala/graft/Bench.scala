@@ -253,9 +253,9 @@ object Bench {
       .map(p => qid(p._1) -> s"${qid(p._1)}:${fmtT(p._2.warm)}")
     if (anomalies.nonEmpty) {
       // byte budget: the whole emission must stay inside the driver's
-      // 2000-char tail — keep the 8 largest gaps, count the rest
-      val shown = anomalies.take(8).sortBy(_._1).map(_._2)
-      val more = if (anomalies.size > 8) s" +${anomalies.size - 8}" else ""
+      // 2000-char tail — keep the 6 largest gaps, count the rest
+      val shown = anomalies.take(6).sortBy(_._1).map(_._2)
+      val more = if (anomalies.size > 6) s" +${anomalies.size - 6}" else ""
       diag += s"""{"warm":"${shown.mkString(" ")}$more"}"""
     }
     // the warm gate's blind spot (r10 verdict: q23 ran 4.3s on BOTH
@@ -279,10 +279,10 @@ object Bench {
       // SEVERITY (cold seconds) before capping so a genuine high-id
       // regression is never truncated behind expected low-id chains;
       // display re-sorts the survivors by id.
-      val shown = slowBoth.sortBy(-_._2.cold).take(4)
+      val shown = slowBoth.sortBy(-_._2.cold).take(3)
         .sortBy(p => qid(p._1))
         .map { case (name, t) => s"${qid(name)}:${fmtT(t.cold)}/${fmtT(t.warm)}" }
-      val more = if (slowBoth.size > 4) s" +${slowBoth.size - 4}" else ""
+      val more = if (slowBoth.size > 3) s" +${slowBoth.size - 3}" else ""
       diag += s"""{"anomaly":"${shown.mkString(" ")}$more"}"""
     }
     // previous-round band check (r12 verdict #3): EVERY >2x cold
@@ -314,14 +314,14 @@ object Bench {
       // a chain whose band was seeded from its own slow history can
       // never outlie it (q111 across r15-r17 stayed the suite's
       // slowest chain with zero stmt lines in any artifact). Byte
-      // budget: 2 chains, 130 chars each — enough for a chain's 5-6
+      // budget: 2 chains, 115 chars each — enough for a chain's 5-6
       // heaviest statements, which is what attribution needs.
       val stmtSlowest = results.toSeq
         .filter { case (name, t) =>
           t.err.isEmpty && stmtCold.containsKey(name) }
         .sortBy(-_._2.cold).take(2)
       stmtSlowest.foreach { case (name, _) =>
-        val line = stmtCold.get(name).take(130)
+        val line = stmtCold.get(name).take(115)
         diag += s"""{"stmt${qid(name)}":${jstr(line)}}"""
       }
     }
@@ -341,7 +341,7 @@ object Bench {
         try ScaleBench.trend(spark, sfDir, factor = 4)
         catch { case e: Throwable =>
           "err:" + Option(e.getMessage).getOrElse(e.getClass.getName).take(60) }
-      diag += s"""{"scale":${jstr(line)},"scale_factor":4}"""
+      diag += s"""{"scale":${jstr(line)}}""" // factor 4, docs/SCALE.md
       reset()
     }
 
