@@ -47,6 +47,94 @@ object SimilarityOps {
       centroids: Seq[Array[Double]], cellCol: String = "cell"): DataFrame =
     df.withColumn(cellCol, nearestCell(col(vecCol), centroids))
 
+  /** Two-level cell assignment: a coarse argmin over ~√k SUPER
+    * centroids (the centroids clustered driver-side), then an exact
+    * argmin over the 2 nearest supers' member centroids. Per-point
+    * work drops from O(k·d) to O(3√k·d) — the term that made the flat
+    * assignment scale as n^1.5 when k ≈ √n (ScaleBench trend's q95
+    * ratio: 3.5× at 4× data, heading past linear at 100 TB).
+    *
+    * APPROXIMATE by design, and safe where it is used: a point near a
+    * super boundary may land in a near-nearest cell instead of the
+    * nearest, which only inflates that cell's measured covering
+    * radius — [[exactCosinePairsPruned]]/[[exactKnnPruned]] derive
+    * their admission bounds from the radii AFTER assignment, so the
+    * candidate set stays a superset and the verified output stays
+    * bit-identical to brute force (PrunedPropertySpec). Probing the 2
+    * nearest supers keeps the assignment near-exact in practice.
+    * Deterministic: hash-free argmins, ties to the lowest index.
+    * Below 64 centroids the flat argmin is cheaper — returned as-is. */
+  private[operators] def twoLevelNearest(vec: Column,
+      cents: Seq[Array[Double]]): Column = {
+    val k = cents.size
+    if (k <= 64) nearestCell(vec, cents)
+    else {
+      val k2 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val (supers, members) = clusterCentroids(cents, k2)
+      // per super: its member centroids as (sqNorm, vector, global id)
+      val memberLit = typedlit(members.map(_.map(g =>
+        (cents(g).map(x => x * x).sum, cents(g).toSeq, g))))
+      val probes = nearestCells(vec, supers, math.min(2, supers.size))
+      val cand = flatten(transform(probes,
+        s => element_at(memberLit, s + 1)))
+      array_min(transform(cand, m => struct(
+        (lit(-2.0) * call_function("vec_dot", vec, m.getField("_2")) +
+          m.getField("_1")).as("d"),
+        m.getField("_3").as("i")))).getField("i")
+    }
+  }
+
+  /** Driver-side Lloyd over the (≤4096) centroids themselves: ~√k
+    * super-centroids plus each super's member list. Empty supers are
+    * dropped and renumbered, so every emitted super has ≥1 member.
+    * Pure Scala on k points — microseconds next to one Spark job. */
+  private def clusterCentroids(cents: Seq[Array[Double]], k2: Int)
+      : (Seq[Array[Double]], Seq[Seq[Int]]) = {
+    val dim = cents.head.length
+    // deterministic spread init: every (k/k2)-th centroid
+    var supers = (0 until k2)
+      .map(i => cents(i * cents.size / k2).clone()).toArray
+    var assign = new Array[Int](cents.size)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    var it = 0
+    while (it < 8) {
+      var ci = 0
+      while (ci < cents.size) {
+        var best = 0; var bd = Double.MaxValue; var si = 0
+        while (si < supers.length) {
+          val dd = d2(cents(ci), supers(si))
+          if (dd < bd) { bd = dd; best = si }
+          si += 1
+        }
+        assign(ci) = best
+        ci += 1
+      }
+      val sums = Array.fill(supers.length)(new Array[Double](dim))
+      val counts = new Array[Int](supers.length)
+      var cj = 0
+      while (cj < cents.size) {
+        val s = assign(cj); counts(s) += 1
+        var di = 0
+        while (di < dim) { sums(s)(di) += cents(cj)(di); di += 1 }
+        cj += 1
+      }
+      supers = supers.zipWithIndex.map { case (old, si) =>
+        if (counts(si) == 0) old
+        else sums(si).map(_ / counts(si))
+      }
+      it += 1
+    }
+    val bySuper = assign.zipWithIndex.groupBy(_._1)
+    val kept = (0 until supers.length)
+      .filter(bySuper.contains).map(si =>
+        (supers(si), bySuper(si).map(_._2).toSeq.sorted))
+    (kept.map(_._1).toSeq, kept.map(_._2).toSeq)
+  }
+
   /** Column: the `nprobe` nearest centroid indices, ascending squared
     * L2 (ties to the lowest index) — an IVF query's probe list. Same
     * codegen shape as [[nearestCell]] plus one array_sort over k
@@ -173,15 +261,37 @@ object SimilarityOps {
       .select(col("__id"),
         expr("transform(__v0, x -> x / __n)").as("__v"))
       .localCheckpoint() // scanned by kmeansFit + assignment + radii
-    // k ≤ 0 → auto: √n cells keeps expected cell size √n, so a cell
-    // pair's block work stays linear in n — the "measure, don't guess"
-    // sizing (jaccardPairsAuto's idea applied to cell granularity)
+    // k ≤ 0 → auto: n/64 cells BOUND the expected cell size at 64, so
+    // the admissible-block candidate mass stays LINEAR in n (constant
+    // admissible neighbors per cell × bounded block area). The old
+    // √n auto-sizing made candidate mass ~ c·n²/k = c·n^1.5 — the
+    // measured 3.5×-at-4×-data trend term, and the thing that would
+    // actually break at 100 TB. The 4096 cap bounds the centroid
+    // literal the codegen walks (~2 MB of doubles at 64 dims); past
+    // n ≈ 256k per partition-shard the cell size grows again — at
+    // that scale shard the corpus and union (docs/SCALE.md).
+    val n = vecs.count()
     val kk = if (k > 0) k
-      else math.max(8, math.min(4096, math.ceil(math.sqrt(
-        vecs.count().toDouble)).toInt))
-    val cents = kmeansFit(vecs, "__id", "__v", kk, iters, init = "hash")
+      else math.max(8, math.min(4096, (n / 64L).toInt))
+    // r18 scale shape: the flat pipeline's three full-corpus argmins
+    // (2 fit iterations + assignment) were each O(n·k·d), and with
+    // k ≈ √n the whole operator scaled as n^1.5 (ScaleBench trend:
+    // 3.5× at 4× data). Two changes, neither touching the verified
+    // output (admission stays a superset; PrunedPropertySpec pins
+    // output ≡ brute): the FIT runs on a deterministic hash-sample of
+    // ~48·k rows (48 points per centroid pin the field; fit cost
+    // becomes O(k²·d) = O(n·d) at auto-k), and the full-corpus
+    // assignment goes through [[twoLevelNearest]] (O(3√k·d) per point
+    // instead of O(k·d)). Cluster quality only moves the pruning
+    // bound — radii are measured AFTER assignment.
+    val step = math.max(1L, n / (48L * kk))
+    val fitInput =
+      if (step <= 1L) vecs
+      else vecs.filter(pmod(xxhash64(col("__id")), lit(step)) === 0)
+    val cents = kmeansFit(fitInput, "__id", "__v", kk, iters,
+      init = "hash", fastAssign = true)
     val assign = vecs
-      .withColumn("__cell", nearestCell(col("__v"), cents))
+      .withColumn("__cell", twoLevelNearest(col("__v"), cents))
       .localCheckpoint() // feeds radii + both join sides
     Operators.releaseCheckpoints(vecs) // superseded by assign
     val radius = cellRadii(assign, "__v", "__cell", cents)
@@ -284,12 +394,24 @@ object SimilarityOps {
       .withColumn("__u",
         expr("transform(CAST(n_emb AS ARRAY<DOUBLE>), x -> x / n_nrm)"))
       .localCheckpoint() // scanned by kmeansFit + assignment
-    // nCells ≤ 0 → auto-√n, as in exactCosinePairsPruned
+    // nCells ≤ 0 → auto n/64 bounded cells, as in
+    // exactCosinePairsPruned (r18: the √n sizing gave n^1.5 probe
+    // mass; bounded cells keep it linear), with the same 48·cells
+    // sample-fit and two-level assignment. Exactness survives both:
+    // the phase-1 seed from an approximately-assigned query cell is
+    // still a VALID kth-sim lower bound (any cell's kth-best is),
+    // and phase-2 admission uses radii measured AFTER assignment —
+    // the probe set stays a superset (PrunedPropertySpec ≡ brute).
+    val nCorpus = cvec.count()
     val cells = if (nCells > 0) nCells
-      else math.max(8, math.min(4096, math.ceil(math.sqrt(
-        cvec.count().toDouble)).toInt))
-    val cents = kmeansFit(cvec, "n_id", "__u", cells, iters, init = "hash")
-    val assignU = cvec.withColumn("__cell", nearestCell(col("__u"), cents))
+      else math.max(8, math.min(4096, (nCorpus / 64L).toInt))
+    val fitStep = math.max(1L, nCorpus / (48L * cells))
+    val fitInput =
+      if (fitStep <= 1L) cvec
+      else cvec.filter(pmod(xxhash64(col("n_id")), lit(fitStep)) === 0)
+    val cents = kmeansFit(fitInput, "n_id", "__u", cells, iters,
+      init = "hash", fastAssign = true)
+    val assignU = cvec.withColumn("__cell", twoLevelNearest(col("__u"), cents))
       .localCheckpoint() // feeds radii + phase-1 + phase-2 probe sides
     Operators.releaseCheckpoints(cvec) // superseded by assignU
     val radius = cellRadii(assignU, "__u", "__cell", cents)
@@ -299,7 +421,7 @@ object SimilarityOps {
       .filter(col("q_nrm") > 0 && !isnan(col("q_nrm"))) // NaN sorts > 0
       .withColumn("__qu",
         expr("transform(CAST(q_emb AS ARRAY<DOUBLE>), x -> x / q_nrm)"))
-      .withColumn("__qcell", nearestCell(col("__qu"), cents))
+      .withColumn("__qcell", twoLevelNearest(col("__qu"), cents))
       .localCheckpoint() // feeds both phases
     val tk = graft.functions.TopK.topk(k)
     def noSelf(c: DataFrame): DataFrame =
@@ -678,7 +800,8 @@ object SimilarityOps {
     * tunes pruning effectiveness, never correctness, as in the exact
     * metric-pruned operators). */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, init: String = "farthest"): Seq[Array[Double]] = {
+      iters: Int, init: String = "farthest",
+      fastAssign: Boolean = false): Seq[Array[Double]] = {
     require(k > 0 && iters >= 0, "k > 0, iters >= 0")
     require(init == "farthest" || init == "hash", s"unknown init $init")
     val vecs = df.select(col(idCol).as("__id"),
@@ -701,7 +824,9 @@ object SimilarityOps {
     var it = 0
     while (it < iters) {
       val updated = vecs
-        .withColumn("__cell", nearestCell(col("__v"), cents))
+        .withColumn("__cell",
+          if (fastAssign) twoLevelNearest(col("__v"), cents)
+          else nearestCell(col("__v"), cents))
         .select(col("__cell"), posexplode(col("__v")).as(Seq("__dim", "__x")))
         .groupBy(col("__cell"), col("__dim"))
         .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))

@@ -60,6 +60,59 @@ class PrunedCosineSpec extends SparkSpec {
     }
   }
 
+  test("scale paths ≡ brute: two-level assignment, sample-fit, auto-k") {
+    // the r18 machinery engages only past its thresholds — two-level
+    // assignment at k > 64, the 48·k hash-sample fit at n > 48·k —
+    // and the 120-row corpus above never reaches them. 4800 rows /
+    // 300 latent clusters exercise every leg against brute force:
+    //   k = 100  → two-level assignment (flat fit sample: n < 48k)
+    //   k = 0    → auto-k = 4800/64 = 75 > 64, two-level
+    //   k = 2    → fit sample step = 4800/96 = 50, sample-fit
+    val big = {
+      val rows = (0L until 4800L).map { i =>
+        val cid = (i % 300).toInt
+        val noise = lcg(i * 104729 + 7).take(16).toArray
+        val v = Array.tabulate(16) { d =>
+          val sign = if (((cid * 31 + d) * 2654435761L >>> 16) % 2 == 0) 1.0 else -1.0
+          sign * 0.25 + noise(d) * 0.3
+        }
+        (i, v)
+      }
+      rows
+    }
+    val df = big.toDF("vec_id", "embedding")
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val t = 0.8
+    val want = (for {
+      (ia, va) <- big; (ib, vb) <- big if ia < ib
+      s = cos(va, vb) if s >= t
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty, "fixture must produce pairs")
+    for (k <- Seq(100, 0, 2)) {
+      val got = SimilarityOps.exactCosinePairsPruned(df, "vec_id",
+          "embedding", t, k = k, iters = 2)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.map(p => (p._1, p._2)) === want, s"k=$k diverged")
+    }
+    // KNN twin: nCells = 80 engages the two-level probe/seed path
+    val queries = df.filter(col("vec_id") % 50 === 0)
+    val gotKnn = SimilarityOps.exactKnnPruned(df, queries, "vec_id",
+        "embedding", k = 3, nCells = 80, iters = 1)
+      .orderBy(col("q_id"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val wantKnn = big.filter(_._1 % 50 == 0).flatMap { case (qid, qv) =>
+      big.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(3).zipWithIndex
+        .map { case ((nid, s), p) => (qid, nid, p + 1) }
+    }
+    assert(gotKnn.map(r => (r._1, r._2, r._4)) === wantKnn,
+      "two-level KNN diverged from brute")
+  }
+
   test("a NaN embedding cannot poison other vectors' pairs") {
     // Spark sorts NaN greater than any number, so a bare `norm > 0`
     // filter KEEPS NaN rows — one NaN radius then kills every
