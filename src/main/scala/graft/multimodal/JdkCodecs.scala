@@ -20,6 +20,14 @@ import javax.sound.sampled.AudioSystem
   */
 object JdkCodecs {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode and
+  // decode creates, seeks and deletes a temp file (thread dumps of the
+  // multimodal gates showed tasks inside FileCacheImageOutputStream).
+  // The media here are row-sized byte arrays already in memory — cache
+  // in memory instead. JVM-wide, set once when the object loads on
+  // each executor.
+  ImageIO.setUseCache(false)
+
   // ------------------------------------------------------------------
   // Images
 
@@ -54,6 +62,10 @@ object JdkCodecs {
     * model-based embedding. One pass over the pixels. */
   def imageFeatures(img: BufferedImage): Array[Float] = {
     val w = img.getWidth; val h = img.getHeight
+    // one bulk getRGB: identical ARGB conversion to the per-pixel
+    // call, without a color-model dispatch per pixel (JPEG decodes
+    // arrive as TYPE_3BYTE_BGR, where getRGB(x,y) converts per call)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var sr = 0.0; var sg = 0.0; var sb = 0.0
     var sl = 0.0; var sl2 = 0.0; var se = 0.0
     var prevLuma = 0.0
@@ -61,7 +73,7 @@ object JdkCodecs {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val p = img.getRGB(x, y)
+        val p = px(y * w + x)
         val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
         val luma = 0.299 * r + 0.587 * g + 0.114 * b
         sr += r; sg += g; sb += b

@@ -64,17 +64,20 @@ object MultimodalOps {
   private def syntheticImage(seed: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // same pixel formula, one bulk setRGB instead of w*h calls
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val v = (seed * 1103515245L + x * 31L + y * 131L) & 0x7fffffffL
-        img.setRGB(x, y, ((v % 251).toInt << 16) |
-          (((v >> 8) % 251).toInt << 8) | ((v >> 16) % 251).toInt)
+        px(y * w + x) = ((v % 251).toInt << 16) |
+          (((v >> 8) % 251).toInt << 8) | ((v >> 16) % 251).toInt
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     img
   }
 

@@ -293,16 +293,18 @@ private object Q119 extends Serializable {
       h: Int): java.awt.image.BufferedImage = {
     val im = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // same pixel formula, one bulk setRGB instead of w*h calls
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        im.setRGB(x, y,
-          (((seed + x * 31 + y * 7) % 255).toInt << 16) | 0x8040)
+        px(y * w + x) = (((seed + x * 31 + y * 7) % 255).toInt << 16) | 0x8040
         x += 1
       }
       y += 1
     }
+    im.setRGB(0, 0, w, h, px, 0, w)
     im
   }
 
