@@ -289,7 +289,17 @@ object Operators {
     // exact-boundary pairs the verify stage — and the all-pairs oracle
     // — would keep. The nudge only admits extra candidates, which the
     // exact verify prunes identically on both engines.
-    val cand = prefixCandidates(sets, tau)
+    // dedup-AFTER-verify (r18 optimization round): the equi-join's
+    // duplicate hits (one per shared prefix code) used to be deduped
+    // by a distinct over EVERY candidate pair before the verify — at
+    // sf0.1/τ=0.5 that shuffled 6.4 M narrow rows to keep 3.7 M, of
+    // which only 256 survive the verify. Verifying duplicates costs
+    // one extra codegen intersect per duplicate hit (broadcast joins,
+    // no exchange), so the dedup moves BEHIND the τ filter where rows
+    // are survivors-only. Duplicate hits verify to bit-identical rows
+    // (inter is exact, jaccard the same double arithmetic), so
+    // dropDuplicates keeps the same pair set and values.
+    val cand = prefixCandidates(sets, tau, dedup = false)
     // verify-join physical shape, chosen by MEASURED corpus size (the
     // count reads the checkpoint's cached blocks — near-free):
     //  - small corpus → explicit broadcast: the candidate side never
@@ -315,6 +325,7 @@ object Operators {
       .filter(col("jaccard") >= tau)
       .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
         col("jaccard"))
+      .dropDuplicates("a_id", "b_id")
   }
 
   /** CANONICAL UNIVERSE ORDER (round-12 verdict #5; the ppjoin
@@ -368,16 +379,27 @@ object Operators {
     * with the length and positional filters INSIDE the join condition
     * (cheap conjuncts prune before the pair materializes downstream;
     * `__pos` is 0-based, so |s|−pos codes remain at/after the match),
-    * deduped to distinct (a_id, b_id). Every returned pair costs one
-    * sorted-merge verify. */
-  private def prefixCandidates(sets: DataFrame, tau: Double): DataFrame = {
+    * deduped to distinct (a_id, b_id) when `dedup` (the survivor-probe
+    * unit); the pairs path passes dedup=false and dedups AFTER the
+    * verify instead. Every returned pair costs one sorted-merge
+    * verify. */
+  private def prefixCandidates(sets: DataFrame, tau: Double,
+      dedup: Boolean = true): DataFrame = {
     val eps = 1e-6
     val pref = sets.select(col("__id"), col("__len"),
         posexplode(slice(col("__cs"), lit(1),
           (col("__len") - ceil(col("__len") * tau - col("__len") * eps) + 1)
             .cast("int"))))
       .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__code")
-    pref.as("x").join(pref.as("y"),
+      // the candidate join's parallelism is inherited from THIS frame
+      // (its other side broadcasts, and nothing downstream reshuffles
+      // until the dedup): a small corpus scans as one partition, which
+      // serialized the Σdf² equi-join + verify onto one core (measured
+      // 2.6 s for the join alone at sf0.1). The prefix rows are narrow
+      // and tiny relative to the candidate mass they fan into — spread
+      // them across the cluster before the join.
+      .repartition(sets.sparkSession.sparkContext.defaultParallelism)
+    val raw = pref.as("x").join(pref.as("y"),
         col("x.__code") === col("y.__code") &&
           col("x.__id") < col("y.__id") &&
           col("y.__len") * tau - col("y.__len") * eps <= col("x.__len") &&
@@ -386,7 +408,7 @@ object Operators {
             >= ceil(lit(tau / (1 + tau)) * (col("x.__len") + col("y.__len"))
               - lit(eps) * (col("x.__len") + col("y.__len"))))
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
-      .distinct()
+    if (dedup) raw.distinct() else raw
   }
 
   /** ppjoin post-filter SURVIVOR count (ScaleBench probe, round-9
