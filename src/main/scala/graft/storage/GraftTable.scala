@@ -436,12 +436,25 @@ final class GraftTable(val spark: SparkSession, val path: Path,
   def update(cond: Column, set: Map[String, Column]): Long = {
     val m = manifest
     if (m.files.isEmpty) return 0L
-    val tagged = readManifest(m).withColumn("__file", input_file_name())
-    val affected = tagged.filter(cond).select(col("__file")).distinct()
-      .collect().map(r => fileKey(r.getString(0))).toSet
-    if (affected.isEmpty) return 0L
-    val affectedSeq = normalize(m.files).zip(m.files)
-      .filter { case (n, _) => affected.contains(n) }.map(_._2)
+    // size-switched rewrite-all (delete's r17 switch, ported in the
+    // r18 optimization round): the affected-file probe is a full scan
+    // + collect — one whole action per UPDATE statement — and only
+    // pays off by shrinking the rewrite. Under the threshold rewrite
+    // every file in the single write job (unmatched rows pass through
+    // the when() guards unchanged); the matched count and CHECK
+    // verdicts ride that job's Observation exactly as before. At
+    // warehouse scale the pruned path below remains the only option.
+    val rewriteAll = tableBytesAtMost(m, RewriteAllMaxBytes)
+    val affectedSeq =
+      if (rewriteAll) m.files
+      else {
+        val tagged = readManifest(m).withColumn("__file", input_file_name())
+        val affected = tagged.filter(cond).select(col("__file")).distinct()
+          .collect().map(r => fileKey(r.getString(0))).toSet
+        if (affected.isEmpty) return 0L
+        normalize(m.files).zip(m.files)
+          .filter { case (n, _) => affected.contains(n) }.map(_._2)
+      }
     val src = readFiles(m, affectedSeq)
     val flagged = src.withColumn("__m", coalesce(cond, lit(false)))
     val postSet = flagged.select(col("__m") +: m.schema.fieldNames.map { f =>
@@ -480,6 +493,13 @@ final class GraftTable(val spark: SparkSession, val path: Path,
         catch { case e: IllegalArgumentException =>
           cleanupStaged(files); throw e }
         flagged.filter(col("__m")).count()
+    }
+    if (rewriteAll && nMatched == 0L) {
+      // nothing matched: a no-op UPDATE must stay a no-op commit-wise
+      // (the pruned path returns before writing) — drop the staged
+      // rewrite instead of bumping the version
+      cleanupStaged(files)
+      return 0L
     }
     io.commit(path, m.withFiles(m.files.diff(affectedSeq) ++ files, st))
     nMatched
