@@ -93,12 +93,34 @@ object CdcMerge {
       val after = batch.filter(col(actionCol) =!= ActionTruncate && afterTrunc)
       // no isEmpty pre-probe: merge's own action-count aggregation is
       // the emptiness check (a separate isEmpty would re-scan the slice)
-      table.merge(condense(after, table.manifest.pkCols))
+      table.merge(foldIfSmall(
+        condense(after, table.manifest.pkCols), probe.getLong(0)))
       return
     }
     val condensed = condense(batch, table.manifest.pkCols)
-    table.merge(condensed)
+    table.merge(foldIfSmall(condensed, probe.getLong(0)))
   }
+
+  /** Driver fold for small apply windows (r18 optimization round, the
+    * merge-family foldSmallSource idea applied to the CDC apply path):
+    * a poll/micro-batch window's condensed change set is usually tiny
+    * relative to the per-job floor, and handing merge a distributed
+    * frame costs a persist materialization plus distributed probe and
+    * routing aggregations. Collecting it to a LocalRelation lets all
+    * of those fold driver-side. The bound rides the ALREADY-measured
+    * pre-condense row count (condense never grows a batch), so the
+    * fold itself adds no probe job — just the one collect that merge
+    * would have paid as a persist. Windows above the bound keep the
+    * distributed shape unchanged. */
+  private val FoldMaxRows = 4096L
+  private def foldIfSmall(df: DataFrame, preCondenseRows: Long): DataFrame =
+    if (preCondenseRows > FoldMaxRows) df
+    else {
+      val rows = df.collect()
+      df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(rows: _*)), df.schema)
+    }
 
   /** Row-image decode (reference C3,
     * `/root/reference/binlog/rbr.go:69-981` /
