@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+  ShortType, StringType, StructType}
 import graft.storage.GraftTable
 
 /** CDC ingest pipeline — the Spark-native re-expression of the
@@ -71,6 +72,31 @@ object CdcMerge {
     * applied on the emptied table — same effect as the reference's
     * flush-then-truncate-then-continue. */
   def applyBatch(table: GraftTable, batch: DataFrame): Unit = {
+    // Single bounded pass for small windows (r18 optimization round):
+    // the old shape paid one aggregation pass to probe emptiness/
+    // truncates, another to materialize the condensed set, and a third
+    // inside merge — each pass re-decoding the window (~3 jobs each on
+    // a framelog batch). A poll/micro-batch window is usually tiny, so
+    // collect up to FoldMaxRows+1 raw events ONCE; when the window
+    // fits, the truncate split and the LWW condense run driver-side
+    // (semantics pinned ≡ the distributed condense by
+    // CdcMergeLocalSpec) and merge receives a LocalRelation whose
+    // probe/routing stats fold driver-side. Oversized windows fall
+    // through to the distributed shape unchanged.
+    val localizable = (orderCols :+ actionCol)
+      .filter(batch.columns.contains)
+      .forall(c => batch.schema(c).dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
+    if (localizable) {
+      val head = batch.limit(FoldMaxRows + 1).collect()
+      if (head.isEmpty) return
+      if (head.length <= FoldMaxRows) {
+        applyLocal(table, head, batch.schema)
+        return
+      }
+    }
     // One pass decides both emptiness and truncate presence — separate
     // isEmpty probes would each rescan the batch (the truncate one with
     // no early-out, a full scan per micro-batch on the hot path).
@@ -93,34 +119,109 @@ object CdcMerge {
       val after = batch.filter(col(actionCol) =!= ActionTruncate && afterTrunc)
       // no isEmpty pre-probe: merge's own action-count aggregation is
       // the emptiness check (a separate isEmpty would re-scan the slice)
-      table.merge(foldIfSmall(
-        condense(after, table.manifest.pkCols), probe.getLong(0)))
+      table.merge(condense(after, table.manifest.pkCols))
       return
     }
     val condensed = condense(batch, table.manifest.pkCols)
-    table.merge(foldIfSmall(condensed, probe.getLong(0)))
+    table.merge(condensed)
   }
 
-  /** Driver fold for small apply windows (r18 optimization round, the
-    * merge-family foldSmallSource idea applied to the CDC apply path):
-    * a poll/micro-batch window's condensed change set is usually tiny
-    * relative to the per-job floor, and handing merge a distributed
-    * frame costs a persist materialization plus distributed probe and
-    * routing aggregations. Collecting it to a LocalRelation lets all
-    * of those fold driver-side. The bound rides the ALREADY-measured
-    * pre-condense row count (condense never grows a batch), so the
-    * fold itself adds no probe job — just the one collect that merge
-    * would have paid as a persist. Windows above the bound keep the
-    * distributed shape unchanged. */
-  private val FoldMaxRows = 4096L
-  private def foldIfSmall(df: DataFrame, preCondenseRows: Long): DataFrame =
-    if (preCondenseRows > FoldMaxRows) df
-    else {
-      val rows = df.collect()
-      df.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          java.util.Arrays.asList(rows: _*)), df.schema)
+  /** Window-size bound for the driver-side apply path. 16384 rows of
+    * row-image is ~1-2 MB on the driver — bounded by construction,
+    * far under any realistic driver heap; real streams cut windows by
+    * maxFramesPerTrigger long before this. */
+  private val FoldMaxRows = 16384
+
+  /** Unsigned byte-wise UTF-8 comparison — Spark's UTF8String order. */
+  private[streaming] def utf8Cmp(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
     }
+    java.lang.Integer.compare(a.length, b.length)
+  }
+
+  /** Driver-side apply for a bounded window: the truncate split and
+    * the last-writer-wins condense of [[applyBatch]]/[[condense]] over
+    * already-collected rows — identical semantics (the greatest
+    * (txn_group, txn_seq, txn_stmt, action) event wins per PK; rows at
+    * or before the last truncate are superseded by it; keyless tables
+    * key on the full row image), with zero Spark jobs until the merge
+    * itself, which receives a LocalRelation. Byte-array cells compare
+    * by VALUE for grouping (Spark's binary equality), not by Java
+    * reference. Pinned ≡ the distributed path by CdcMergeLocalSpec. */
+  private def applyLocal(table: GraftTable,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    val actIdx = idx(actionCol)
+    val order = orderCols.filter(idx.contains)
+    def coord(r: org.apache.spark.sql.Row): Seq[Any] = order.map(c => r.get(idx(c)))
+    // element compare matching Spark's struct ordering for the types
+    // the applyBatch gate admitted: integral numerics by value,
+    // strings by UTF-8 byte order (UTF8String.compareTo, NOT Java's
+    // UTF-16 compareTo), nulls first
+    def cmpVal(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x: String, y: String) => graft.streaming.CdcMerge.utf8Cmp(x, y)
+      case (x: Number, y: Number) =>
+        java.lang.Long.compare(x.longValue(), y.longValue())
+      case (x, y) => throw new IllegalStateException(
+        s"unorderable coord types: ${x.getClass}/${y.getClass}")
+    }
+    implicit val lex: Ordering[Seq[Any]] = (a: Seq[Any], b: Seq[Any]) => {
+      var i = 0; var c = 0
+      while (c == 0 && i < a.length) { c = cmpVal(a(i), b(i)); i += 1 }
+      c
+    }
+    def action(r: org.apache.spark.sql.Row): Int =
+      Option(r.get(actIdx)).map(_.asInstanceOf[Number].intValue).getOrElse(-1)
+    var work: Array[org.apache.spark.sql.Row] = rows
+    val truncs = rows.filter(action(_) == ActionTruncate)
+    if (truncs.nonEmpty) {
+      val lastTrunc = truncs.map(coord).max
+      table.truncate()
+      work = rows.filter(r =>
+        action(r) != ActionTruncate && lex.gt(coord(r), lastTrunc))
+    }
+    val pkCols0 = table.manifest.pkCols
+    val pkCols =
+      if (pkCols0.nonEmpty) pkCols0
+      else schema.fieldNames.toSeq.filterNot(metaCols.contains)
+    val payload = schema.fieldNames.filterNot(pkCols.contains)
+    // value-equality key: binary cells (and arrays of them) collect as
+    // Java arrays whose equals() is reference identity — normalize to
+    // Seqs so the driver groupBy matches Spark's binary comparison
+    def norm(v: Any): Any = v match {
+      case b: Array[Byte] => b.toSeq
+      case a: Array[_] => a.toSeq.map(norm)
+      case s: Seq[_] => s.map(norm)
+      case x => x
+    }
+    val best = new java.util.LinkedHashMap[Seq[Any], org.apache.spark.sql.Row]()
+    work.foreach { r =>
+      val k = pkCols.map(c => norm(r.get(idx(c))))
+      val prev = best.get(k)
+      // strict gt: on (never-expected) duplicate coords keep the first
+      // seen — the same arbitrary-tie class as max_by
+      if (prev == null || lex.gt(coord(r), coord(prev))) best.put(k, r)
+    }
+    val outFields = pkCols.map(c => schema(c)) ++ payload.map(c => schema(c))
+    val outSchema = org.apache.spark.sql.types.StructType(outFields)
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](best.size())
+    best.values().forEach { r =>
+      out.add(org.apache.spark.sql.Row.fromSeq(
+        pkCols.map(c => r.get(idx(c))) ++ payload.map(c => r.get(idx(c)))))
+    }
+    table.merge(table.spark.createDataFrame(out, outSchema))
+  }
 
   /** Row-image decode (reference C3,
     * `/root/reference/binlog/rbr.go:69-981` /
