@@ -158,6 +158,65 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Popcount of the AND of two fixed-width bitmaps stored as bigint
+  * arrays — the bit-parallel exact form of [[SortedIntersectCount]]
+  * when the code universe is small enough to index (r18 optimization
+  * round: the dense-corpus Jaccard scan's per-pair merge walk becomes
+  * ~V/64 word ANDs). Inputs must be bitmaps over the SAME universe
+  * mapping and equal length (the builder guarantees both); for SETS
+  * (distinct codes, the operator contract) the count is exactly
+  * |a ∩ b|. Null input → null.
+  */
+case class BitmapAndCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expects bigint arrays, got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var c = 0L
+    while (i < n) {
+      c += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val i = ctx.freshName("i"); val c = ctx.freshName("c")
+    val n = ctx.freshName("n")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $c = 0; int $i = 0;
+         |while ($i < $n) {
+         |  $c += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
+         |  $i++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Polynomial string hash h = fold(seed=7; h*31 + codepoint, mod 1e9+7)
   * — the engine's shared shingle/word hashing primitive, bit-identical
   * to the `aggregate(transform(sequence(...), ascii(substring(...))))`
@@ -611,6 +670,8 @@ object GraftFunctions {
       exprs => VecDot(exprs(0), exprs(1)), "built-in")
     fr.createOrReplaceTempFunction("sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    fr.createOrReplaceTempFunction("bitmap_and_count",
+      exprs => BitmapAndCount(exprs(0), exprs(1)), "built-in")
     fr.createOrReplaceTempFunction("poly_hash",
       exprs => PolyHash(exprs(0)), "built-in")
     fr.createOrReplaceTempFunction("shingle_code_set",

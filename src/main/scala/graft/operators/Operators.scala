@@ -464,7 +464,8 @@ object Operators {
     * about the same, and the dense route is additionally capped by
     * `denseMaxDocs` anyway. */
   def jaccardPairsAuto(codeSets: DataFrame, idCol: String, setCol: String,
-      tau: Double, denseMaxDocs: Long = 16384): DataFrame = {
+      tau: Double, denseMaxDocs: Long = 16384,
+      bitmapMaxVocab: Int = BitmapMaxVocab): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau in (0,1]: $tau")
     val sets = codeSets.select(col(idCol).as("__id"), col(setCol).as("__cs"),
       size(col(setCol)).as("__len"))
@@ -483,23 +484,66 @@ object Operators {
       freeCheckpoint(sets)
       out
     } else {
-      val a = sets.select(col("__id").as("a_id"), col("__cs").as("ca"))
-      val b = sets.select(col("__id").as("b_id"), col("__cs").as("cb"))
+      // BIT-PARALLEL verify (r18 optimization round): a corpus is only
+      // ever routed dense because its vocabulary is HOT — which also
+      // means it is small. Measure it (one bounded collect); when it
+      // indexes into ≤ BitmapMaxVocab bits and the recoded broadcast
+      // stays executor-safe, recode every set to a fixed-width bitmap
+      // over the sorted code universe: the per-pair intersect becomes
+      // V/64 word ANDs + popcounts instead of a |set|-step merge walk.
+      // popcount(a AND b) is EXACTLY |a ∩ b| for code SETS (the
+      // operator contract — shingle_code_set emits sorted DISTINCT
+      // codes), lengths come from the same __len ints, and jaccard
+      // keeps the identical double arithmetic, so the output is
+      // bit-identical to the merge-walk path (OperatorsSpec pins the
+      // two branches against each other). Oversized vocabularies keep
+      // the merge walk.
+      val vocab =
+        if (bitmapMaxVocab <= 0) Array.empty[Long]
+        else sets.select(explode(col("__cs")).as("__c")).distinct()
+          .limit(bitmapMaxVocab + 1).collect().map(_.getLong(0))
+      val useBitmap = bitmapMaxVocab > 0 && vocab.length <= bitmapMaxVocab &&
+        n * (vocab.length / 8 + 48) <= 64L * 1024 * 1024
+      val payload =
+        if (useBitmap) {
+          val index = vocab.sorted.zipWithIndex.toMap
+          val bc = sets.sparkSession.sparkContext.broadcast(index)
+          val words = (math.max(vocab.length, 1) + 63) / 64
+          val toBitmap = udf((cs: Seq[Long]) => {
+            val arr = new Array[Long](words)
+            val ix = bc.value
+            cs.foreach { c => val i = ix(c); arr(i >> 6) |= 1L << (i & 63) }
+            arr
+          })
+          sets.withColumn("__pl", toBitmap(col("__cs")))
+        } else sets.withColumn("__pl", col("__cs"))
+      val a = payload.select(col("__id").as("a_id"), col("__pl").as("ca"),
+        col("__len").as("la"))
+      val b = payload.select(col("__id").as("b_id"), col("__pl").as("cb"),
+        col("__len").as("lb"))
         // AQE would coalesce this few-MB side to one partition and
         // serialize the whole pair scan onto one core; the scan's cost
         // is quadratic in rows, not bytes
         .repartition(256, col("b_id"))
       // jaccard test inside the join condition with the trivial id
       // conjunct FIRST, so the codegen'd intersect runs for n²/2
-      // unordered pairs, not all n² ordered ones
-      val inter = expr("sorted_intersect_count(ca, cb)")
-      val jac = inter.cast("double") /
-        (size(col("ca")) + size(col("cb")) - inter)
+      // unordered pairs, not all n² ordered ones. (la + lb) are the
+      // same size() ints both branches — the double arithmetic is
+      // unchanged from the pre-bitmap shape.
+      val inter =
+        if (useBitmap) expr("bitmap_and_count(ca, cb)")
+        else expr("sorted_intersect_count(ca, cb)")
+      val jac = inter.cast("double") / (col("la") + col("lb") - inter)
       broadcast(a).join(b, col("a_id") < col("b_id") && jac >= tau)
         .select(col("a_id"), col("b_id"),
           inter.cast("long").as("inter"), jac.as("jaccard"))
     }
   }
+
+  /** Vocabulary cap for the dense route's bitmap verify: 32768 bits =
+    * 4 KB per document worst-case, and the n·V/8 broadcast guard in
+    * the branch keeps the recoded corpus executor-safe. */
+  private val BitmapMaxVocab = 32768
 
   /** Connected components over an undirected edge list — the dedup
     * pipeline's clustering step (every near-dup pair collapses into a

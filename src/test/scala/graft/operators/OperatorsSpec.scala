@@ -75,6 +75,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out2 === Array((10L, 20L, 0.55)))
   }
 
+  test("jaccardPairsAuto dense route: bitmap verify ≡ merge-walk verify") {
+    // a deliberately dense corpus (hot 40-code vocabulary, 60 docs)
+    // that routes dense; run the branch twice — bitmap enabled
+    // (default) and disabled (bitmapMaxVocab = 0) — and require
+    // BIT-IDENTICAL output incl. the jaccard doubles. Covers boundary
+    // pairs (identical sets, disjoint sets, exact-threshold overlaps).
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 60L).map { id =>
+      val base = (0 until 12).map(_ => rnd.nextInt(40).toLong + 100)
+      (id, base.distinct.sorted.toArray)
+    } ++ Seq((200L, Array(100L, 101L, 102L)), (201L, Array(100L, 101L, 102L)),
+      (202L, Array(900L)), (203L, Array(901L)))
+    val df = docs.toDF("id", "cs")
+    def run(vmax: Int) = Operators.jaccardPairsAuto(
+        df, "id", "cs", 0.2, bitmapMaxVocab = vmax)
+      .select("a_id", "b_id", "inter", "jaccard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(p => (p._1, p._2))
+    val bm = run(32768)
+    val mw = run(0)
+    assert(bm.nonEmpty && bm === mw)
+  }
+
   test("connectedComponents labels every node with its component min (both paths)") {
     // two components {1,2,3,4} (chain) and {10,11}; 20 isolated via self-pair
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))

@@ -70,7 +70,11 @@ class PlanSpec extends SparkSpec {
   test("q61: pair scan has no shuffle beyond the explicit repartition") {
     val p = plan("q61_jaccard_pairs")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    assert(p.contains("sortedintersectcount"), "native intersect in plan")
+    // r18: the dense route recodes the hot vocabulary to fixed-width
+    // bitmaps when it fits (bitmapandcount); the merge-walk intersect
+    // (sortedintersectcount) remains the over-vocab fallback
+    assert(p.contains("bitmapandcount") || p.contains("sortedintersectcount"),
+      "native intersect in plan")
     // the quadratic pair stream is never shuffled on the pair key —
     // only per-doc aggregation shuffles (pre-join) and the final sort
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
@@ -84,7 +88,7 @@ class PlanSpec extends SparkSpec {
     // AFTER the id test in the authored join condition — a separate
     // .filter gets pushed in as the LEADING conjunct and the kernel
     // then runs for all n² ordered pairs (2× the work)
-    for ((q, kernel) <- Seq("q61_jaccard_pairs" -> "sortedintersectcount",
+    for ((q, kernel) <- Seq("q61_jaccard_pairs" -> "bitmapandcount",
                             "q72_cosine_pairs" -> "vecdot")) {
       val line = plan(q).linesIterator
         .find(l => l.contains("Join") && l.contains(kernel))
