@@ -52,8 +52,10 @@ object Bench {
   private val BaselineOnly = Set("q70_knn_brute", "q72_cosine_pairs")
 
   /** Previous-round per-query band at sf0.1 (round-12 verdict #3):
-    * min over the carried floor and the last two driver rounds' colds
-    * (BENCH_r16/r17; q121/q122 seeded from round-18 local sf0.1 runs).
+    * min over the carried floor and the latest measured colds —
+    * refreshed in the r18 optimization round from the post-optimization
+    * back-to-back full epoch (OPTIMIZATION_r18.md), so this round's
+    * improvements become next round's regression floor.
     * Any cold run exceeding 2x its band lands
     * in the `band` line with its warm time, so a >2x outlier
     * self-explains in the artifact — the reader separates "epoch
@@ -66,23 +68,23 @@ object Bench {
     7 -> 0.61, 8 -> 0.39, 9 -> 0.27, 10 -> 0.22, 11 -> 0.31, 12 -> 0.3,
     13 -> 0.35, 14 -> 0.74, 15 -> 0.31, 16 -> 0.37, 17 -> 0.84, 18 -> 0.39,
     19 -> 0.37, 20 -> 0.36, 21 -> 0.3, 22 -> 0.14, 23 -> 0.98, 24 -> 0.36,
-    25 -> 0.24, 26 -> 0.21, 27 -> 0.64, 28 -> 0.21, 29 -> 0.58, 30 -> 0.32,
+    25 -> 0.24, 26 -> 0.2, 27 -> 0.64, 28 -> 0.21, 29 -> 0.58, 30 -> 0.32,
     31 -> 1.1, 32 -> 0.45, 33 -> 0.39, 34 -> 0.25, 35 -> 0.52, 36 -> 0.2,
-    37 -> 0.98, 38 -> 0.26, 39 -> 0.63, 40 -> 0.42, 41 -> 1.92, 42 -> 0.76,
+    37 -> 0.85, 38 -> 0.26, 39 -> 0.63, 40 -> 0.42, 41 -> 1.86, 42 -> 0.76,
     43 -> 0.76, 44 -> 1.08, 45 -> 0.18, 46 -> 0.48, 47 -> 0.78, 48 -> 0.35,
     49 -> 0.77, 50 -> 0.32, 51 -> 0.37, 52 -> 0.39, 53 -> 0.38, 54 -> 0.64,
-    55 -> 0.48, 56 -> 0.91, 57 -> 0.65, 58 -> 0.28, 59 -> 0.25, 60 -> 0.47,
-    61 -> 4.25, 62 -> 0.59, 63 -> 1.13, 64 -> 0.99, 65 -> 0.39, 66 -> 3.24,
+    55 -> 0.48, 56 -> 0.91, 57 -> 0.65, 58 -> 0.28, 59 -> 0.25, 60 -> 0.46,
+    61 -> 3.13, 62 -> 0.59, 63 -> 1.13, 64 -> 0.99, 65 -> 0.39, 66 -> 3.24,
     67 -> 1.93, 68 -> 0.49, 69 -> 1.75, 70 -> 0.55, 71 -> 1.15, 72 -> 1.79,
-    73 -> 0.57, 74 -> 1.17, 75 -> 0.34, 76 -> 0.29, 77 -> 1.71, 78 -> 0.51,
-    79 -> 0.17, 80 -> 0.22, 81 -> 3.05, 82 -> 0.95, 83 -> 0.6, 84 -> 0.45,
-    85 -> 0.62, 86 -> 0.28, 87 -> 0.49, 88 -> 0.7, 89 -> 7.19, 90 -> 0.52,
+    73 -> 0.57, 74 -> 1.17, 75 -> 0.34, 76 -> 0.29, 77 -> 1.71, 78 -> 0.46,
+    79 -> 0.17, 80 -> 0.22, 81 -> 1.87, 82 -> 0.95, 83 -> 0.6, 84 -> 0.45,
+    85 -> 0.62, 86 -> 0.28, 87 -> 0.49, 88 -> 0.7, 89 -> 2.96, 90 -> 0.52,
     91 -> 1.43, 92 -> 1.69, 93 -> 1.23, 94 -> 0.64, 95 -> 1.58, 96 -> 0.9,
     97 -> 0.84, 100 -> 1.43, 101 -> 0.41, 102 -> 2.51, 103 -> 2.15,
-    104 -> 1.13, 105 -> 3.42, 106 -> 1.1, 107 -> 2.84, 108 -> 2.64,
-    109 -> 0.56, 110 -> 2.79, 111 -> 9.54, 112 -> 1.66, 113 -> 3.25,
-    114 -> 3.75, 115 -> 3.05, 116 -> 3.33, 117 -> 3.93, 118 -> 2.86,
-    119 -> 4.81, 120 -> 0.41, 121 -> 4.09, 122 -> 5.38)
+    104 -> 1.13, 105 -> 1.95, 106 -> 1.1, 107 -> 1.92, 108 -> 2.32,
+    109 -> 0.56, 110 -> 2.68, 111 -> 6.16, 112 -> 1.66, 113 -> 3.25,
+    114 -> 3.07, 115 -> 3.05, 116 -> 2.85, 117 -> 3.01, 118 -> 2.29,
+    119 -> 3.16, 120 -> 0.41, 121 -> 2.15, 122 -> 3.0)
 
   /** Environment sentinels (qx-prefixed; r15's probe fleet retired in
     * r16 once the driver comparator's decimal canonicalization was
@@ -125,13 +127,32 @@ object Bench {
     // measured cold vs 1.0s warm; q36 band-flagged every epoch r16-r18
     // at ~8× its warm time for the same reason — it is the first query
     // through the wide string-expression codegen).
+    // r18 adds four more shape families whose FIRST measured query
+    // otherwise absorbed the kernel's JIT every epoch (quiet-epoch
+    // cold/warm gaps: q67 4.1/2.3, q95 3.3/1.9, q54 1.7/0.8, q41
+    // band-flagged): q62 warms shingle_code_set + explode/agg (feeds
+    // q61-q66/q89/q92/q93), q73 the unit-vec/kmeans/vec_dot path
+    // (q67/q70-q73/q95/q97), q40 the CDC condense aggregation, q81 the
+    // Engine/SqlRouter/GraftTable DML write path the q102+ chains run.
     Seq("q01_pricing_summary", "q02_revenue_by_nation", "q11_window_rank",
-      "q36_function_corpus")
+      "q36_function_corpus", "q62_minhash_sig", "q73_ann_ivf",
+      "q40_cdc_condense", "q81_replace_upsert")
       .foreach { name =>
         try run(SparkEntry.queries(name))
         catch { case _: Throwable => () } // warmup only
         reset()
       }
+    // media-decode kernels (ImageIO/sound/AVI walkers) — a 64-row
+    // synthetic decode warms them for a fraction of q119's cost
+    try {
+      val media = graft.multimodal.MultimodalOps.synthesize(spark, 64)
+      graft.multimodal.MultimodalOps.extractFeatures(media).toDF()
+        .write.format("noop").mode("overwrite").save()
+      graft.multimodal.MultimodalOps.extractFeatures(
+          graft.multimodal.MultimodalOps.resizeImages(media, 8, 8)).toDF()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () } // warmup only
+    reset()
     // A failing query must be VISIBLE: record its error string and exit
     // non-zero, so a regression can't masquerade as a near-zero "speedup".
     // Each query runs TWICE (cold, then warm): the cold time is the
