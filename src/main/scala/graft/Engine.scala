@@ -803,7 +803,12 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     val names = listTables(db)
     Files.write(destDir.resolve("_tables.json"),
       mapper.writeValueAsBytes(names.asJava))
-    names.foreach { t =>
+    // per-table exports are INDEPENDENT Spark write jobs over disjoint
+    // snapshots into disjoint directories — running a few concurrently
+    // back-fills the executor slots one small table's write tail leaves
+    // idle (guide §2.6), so a many-table database backs up in
+    // ~max(table) instead of sum(tables)
+    inParallel(names, maxThreads = 4) { t =>
       val tbl = table(s"$db.$t")
       val m = tbl.manifest
       tbl.read().write.mode("overwrite")
@@ -817,6 +822,22 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     }
     val views = loadViews(db)
     Files.write(destDir.resolve("_views.json"), mapper.writeValueAsBytes(views.asJava))
+  }
+
+  /** Run `body` over `items` on a small fixed pool, propagating the
+    * first failure; sequential for 0/1 items. Used by backup/restore,
+    * whose per-table work is independent by construction. */
+  private def inParallel[T](items: Seq[T], maxThreads: Int)(
+      body: T => Unit): Unit = {
+    if (items.size <= 1) { items.foreach(body); return }
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(items.size, maxThreads))
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      import scala.concurrent.{Await, Future}
+      val fs = items.map(it => Future(body(it))(ec))
+      fs.foreach(Await.result(_, scala.concurrent.duration.Duration(30, "min")))
+    } finally pool.shutdown()
   }
 
   def restoreDatabase(db: String, srcDir: Path): Unit = {
@@ -837,7 +858,9 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
     // view absent from the backup must not survive the restore
     listTables(db).foreach(t => dropTable(s"$db.$t"))
     listViews(db).foreach(v => dropView(s"$db.$v"))
-    names.foreach { t =>
+    // independent per-table restores (disjoint target dirs, disjoint
+    // source data) — same §2.6 overlap as backupDatabase above
+    inParallel(names, maxThreads = 4) { t =>
       val meta = mapper.readValue(Files.readAllBytes(srcDir.resolve(t).resolve("_meta.json")),
         classOf[java.util.Map[String, Object]])
       val schema = org.apache.spark.sql.types.DataType
@@ -1160,7 +1183,7 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
         graft.streaming.CdcMerge.applyBatch(t,
           graft.streaming.PgOutputDecoder.decodeSlotStreams(
             frames, "slot", "off", "payload",
-            s"public.${tbls.head}", t.schema))
+            s"public.${tbls.head}", t.schema), Some(to - from))
       } else if (tbls.nonEmpty) {
         val byRel = tbls.map(tn =>
           s"public.$tn" -> table(s"${sub("db")}.$tn").schema)
@@ -1175,7 +1198,7 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
               .select(t.schema.fieldNames.toSeq
                 .map(f => col(s"__t_$i.`$f`").as(f)) ++
                 graft.streaming.CdcMerge.metaCols.map(col): _*)
-            graft.streaming.CdcMerge.applyBatch(t, slice)
+            graft.streaming.CdcMerge.applyBatch(t, slice, Some(to - from))
           }
         } finally decoded.unpersist()
       }
@@ -1474,7 +1497,7 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
               specsByTable.head._2, crc32Checksum)
           graft.streaming.CdcMerge.applyBatch(table(qt),
             aligned(decoded, qt, n => s"`$n`",
-              n => decoded.schema(n).dataType))
+              n => decoded.schema(n).dataType), Some(to - from))
         } else {
           // ONE tagged decode pass for the whole window (r17 verdict
           // #5): the per-table loop used to re-parse every event's
@@ -1491,7 +1514,7 @@ final class Engine(parentSession: SparkSession, val warehouse: Path) {
               val slice = decoded.filter(col("relation") === qt)
               graft.streaming.CdcMerge.applyBatch(table(qt),
                 aligned(slice, qt, n => s"`__t_$i`.`$n`",
-                  n => st(n).dataType))
+                  n => st(n).dataType), Some(to - from))
             }
           } finally decoded.unpersist()
         }

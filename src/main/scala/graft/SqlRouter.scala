@@ -4446,15 +4446,24 @@ object SqlRouter {
           .filter(_ => dirs.nonEmpty)
           .map { c =>
             val phys = t.physicalName(c)
-            engine.spark.read.parquet(staging.toString)
-              // partition-type inference may read the tag as INT —
-              // cast back to the string key space of leafMap
-              .groupBy(col("__part").cast("string").as("__p"))
-              .agg(max(col(phys).cast("long")).as("__mx"))
-              .collect()
-              .flatMap(r => Option(r.getString(0)).flatMap(p =>
-                if (r.isNullAt(1)) None else Some(p -> r.getLong(1))))
-              .toMap
+            // per-leaf max straight from the STAGED parquet footers on
+            // the driver (r19 — the same no-job discipline as
+            // collectFooterMeta): the grouped re-read of the staging
+            // dir was one whole Spark job per routed INSERT. Any file
+            // whose stats are unusable (non-numeric physical type,
+            // missing chunk stats) falls back to the grouped read —
+            // correctness never rides on footer presence.
+            footerLeafMax(engine, dirs, phys).getOrElse {
+              engine.spark.read.parquet(staging.toString)
+                // partition-type inference may read the tag as INT —
+                // cast back to the string key space of leafMap
+                .groupBy(col("__part").cast("string").as("__p"))
+                .agg(max(col(phys).cast("long")).as("__mx"))
+                .collect()
+                .flatMap(r => Option(r.getString(0)).flatMap(p =>
+                  if (r.isNullAt(1)) None else Some(p -> r.getLong(1))))
+                .toMap
+            }
           }.getOrElse(Map.empty)
       if (perLeafMax.nonEmpty) {
         t.advanceAutoInc(perLeafMax.values.max + 1L)
@@ -4508,6 +4517,42 @@ object SqlRouter {
         }
       }.sum
     } finally rmTree(staging)
+  }
+
+  /** Per-leaf max of a numeric column from staged `__part=` parquet
+    * footers — driver-side, no Spark job. None when any file's chunk
+    * stats are unusable (caller falls back to the grouped read). */
+  private def footerLeafMax(engine: Engine,
+      dirs: Seq[java.nio.file.Path], phys: String)
+      : Option[Map[String, Long]] = {
+    import scala.jdk.CollectionConverters._
+    val conf = engine.spark.sessionState.newHadoopConf()
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    dirs.foreach { d =>
+      val idx = d.getFileName.toString.stripPrefix("__part=")
+      val files = java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.toString), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val chunks = r.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala
+              .filter(_.getPath.toDotString == phys).map(_.getStatistics))
+          chunks.foreach { s =>
+            if (s == null || s.isEmpty) return None
+            if (s.hasNonNullValue) s.genericGetMax match {
+              case n: Number =>
+                val v = n.longValue()
+                out.updateWith(idx)(p => Some(p.fold(v)(math.max(_, v))))
+              case _ => return None // non-integral physical type
+            }
+          }
+        } finally r.close()
+      }
+    }
+    Some(out.toMap)
   }
 
   private val JoinKeywords = Set("JOIN", "STRAIGHT_JOIN", "LEFT", "RIGHT",

@@ -139,11 +139,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val bn = ctx.freshName("bn"); val xv = ctx.freshName("xv")
     val yv = ctx.freshName("yv")
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // When the expression is NON-nullable (both inputs non-nullable
+      // arrays with containsNull=false) ev.isNull is the codegen
+      // constant `false` — assigning to it made janino REJECT the
+      // generated class ("isNull_0 is not an rvalue") and the whole
+      // enclosing predicate silently fell back to INTERPRETED mode
+      // (r19: every non-nullable-array join verify — the minhash and
+      // prefix-Jaccard τ filters — was running interpreted). Null
+      // elements cannot exist in that shape, so the guard is emitted
+      // only when it is both needed and assignable.
+      val nullElemGuard =
+        if (nullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $i = 0, $j = 0; long $n = 0;
          |int $an = $a.numElements(), $bn = $b.numElements();
          |while ($i < $an && $j < $bn) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  $nullElemGuard
          |  long $xv = $a.getLong($i), $yv = $b.getLong($j);
          |  if ($xv == $yv) { $n++; $i++; $j++; }
          |  else if ($xv < $yv) $i++; else $j++;

@@ -498,9 +498,14 @@ object Operators {
       // bit-identical to the merge-walk path (OperatorsSpec pins the
       // two branches against each other). Oversized vocabularies keep
       // the merge walk.
+      // null codes are dropped from the vocab measure (a null element
+      // can't index a bitmap; the merge-walk verify answers null for
+      // such a set and the pair is excluded — the UDF below mirrors
+      // that by emitting a null bitmap, r18 ADVICE)
       val vocab =
         if (bitmapMaxVocab <= 0) Array.empty[Long]
         else sets.select(explode(col("__cs")).as("__c")).distinct()
+          .filter(col("__c").isNotNull)
           .limit(bitmapMaxVocab + 1).collect().map(_.getLong(0))
       val useBitmap = bitmapMaxVocab > 0 && vocab.length <= bitmapMaxVocab &&
         n * (vocab.length / 8 + 48) <= 64L * 1024 * 1024
@@ -509,11 +514,20 @@ object Operators {
           val index = vocab.sorted.zipWithIndex.toMap
           val bc = sets.sparkSession.sparkContext.broadcast(index)
           val words = (math.max(vocab.length, 1) + 63) / 64
-          val toBitmap = udf((cs: Seq[Long]) => {
-            val arr = new Array[Long](words)
-            val ix = bc.value
-            cs.foreach { c => val i = ix(c); arr(i >> 6) |= 1L << (i & 63) }
-            arr
+          // null-safe (r18 ADVICE): a null set — or a set carrying a
+          // null element, which violates the code-set contract —
+          // yields a NULL bitmap; BitmapAndCount propagates the null
+          // and the pair is excluded, exactly like the merge-walk
+          // verify's nullSafeEval answer on such input
+          val toBitmap = udf((cs: Seq[java.lang.Long]) => {
+            if (cs == null || cs.contains(null)) null
+            else {
+              val arr = new Array[Long](words)
+              val ix = bc.value
+              cs.foreach { c =>
+                val i = ix(c.longValue()); arr(i >> 6) |= 1L << (i & 63) }
+              arr
+            }
           })
           sets.withColumn("__pl", toBitmap(col("__cs")))
         } else sets.withColumn("__pl", col("__cs"))

@@ -653,7 +653,31 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     }
 
     // Affected files = files holding any touched PK (upsert or delete).
-    val touchedKeys = changes.select(pk.map(col): _*).distinct()
+    // LOCAL batches dedupe on the DRIVER: `.distinct()` over a
+    // LocalRelation plans a full shuffle exchange (spark.sql.shuffle.
+    // partitions map tasks) plus a broadcast-build job — two extra
+    // jobs PER STATEMENT (per child on partitioned parents) that a
+    // bounded driver pass replaces for free (r19; the r16 local-probe
+    // discipline applied to the key set). Exact-value dedup suffices:
+    // both consumers are JOINS (anti/semi), whose SQL comparison
+    // already treats any not-boxed-equal duplicates (-0.0 vs 0.0) as
+    // one key — survivors/affected sets are identical either way.
+    val touchedKeys = {
+      val keyProj = changes.select(pk.map(col): _*)
+      if (isLocalPlan(changes)) {
+        val rows = keyProj.collect() // folding projection: no job
+        val seen = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
+        rows.foreach { r =>
+          val k = (0 until r.length).map(i => r.get(i) match {
+            case a: Array[Byte] => a.toSeq
+            case x => x
+          })
+          if (!seen.contains(k)) seen(k) = r
+        }
+        spark.createDataFrame(new java.util.ArrayList[Row](
+          seen.values.toSeq.asJava), keyProj.schema)
+      } else keyProj.distinct()
+    }
 
     // Size-switched pruning (the broadcast-threshold idea applied to
     // copy-on-write): deciding WHICH files hold touched keys costs a

@@ -71,7 +71,25 @@ object CdcMerge {
     * including the truncate are superseded by it; rows after it are
     * applied on the emptied table — same effect as the reference's
     * flush-then-truncate-then-continue. */
-  def applyBatch(table: GraftTable, batch: DataFrame): Unit = {
+  def applyBatch(table: GraftTable, batch: DataFrame): Unit =
+    applyBatch(table, batch, None)
+
+  /** `windowBytes`: the window's encoded byte size when the caller
+    * knows it (framelog readers do — `to - from`); the driver-side
+    * fold refuses any window above [[FoldMaxBytes]] BEFORE collecting,
+    * so a row-count-small window of wide rows (LONGBLOB images — the
+    * reference's delta buffer admits them up to its 128 MB flush cap)
+    * can never pull GBs onto the driver (r18 verdict #3). */
+  def applyBatch(table: GraftTable, batch: DataFrame,
+      windowBytes: Option[Long]): Unit =
+    applyBatchBounded(table, batch, windowBytes, FoldMaxRows)
+
+  /** Fold bound injectable so a spec can drive the REAL distributed
+    * branch below on a small batch (r18 ADVICE: with the production
+    * threshold every spec batch folds, and the distributed branch was
+    * only covered via a copy of its body in CdcMergeLocalSpec). */
+  private[streaming] def applyBatchBounded(table: GraftTable,
+      batch: DataFrame, windowBytes: Option[Long], foldMax: Int): Unit = {
     // Single bounded pass for small windows (r18 optimization round):
     // the old shape paid one aggregation pass to probe emptiness/
     // truncates, another to materialize the condensed set, and a third
@@ -81,18 +99,25 @@ object CdcMerge {
     // fits, the truncate split and the LWW condense run driver-side
     // (semantics pinned ≡ the distributed condense by
     // CdcMergeLocalSpec) and merge receives a LocalRelation whose
-    // probe/routing stats fold driver-side. Oversized windows fall
-    // through to the distributed shape unchanged.
+    // probe/routing stats fold driver-side. Oversized windows — by
+    // rows, by the caller's byte hint, or by the post-collect byte
+    // estimate — fall through to the distributed shape unchanged.
     val localizable = (orderCols :+ actionCol)
       .filter(batch.columns.contains)
       .forall(c => batch.schema(c).dataType match {
         case StringType | LongType | IntegerType | ShortType | ByteType => true
         case _ => false
-      })
+      }) && windowBytes.forall(_ <= FoldMaxBytes) &&
+      !floatTypedKey(table, batch.schema)
     if (localizable) {
-      val head = batch.limit(FoldMaxRows + 1).collect()
+      val head = batch.limit(foldMax + 1).collect()
       if (head.isEmpty) return
-      if (head.length <= FoldMaxRows) {
+      // defense-in-depth behind the caller's byte hint: when the hint
+      // was absent, a collected window of unexpectedly wide rows keeps
+      // the distributed semantics (and the driver sheds the copy)
+      if (head.length <= foldMax &&
+          head.iterator.map(approxRowBytes).sum <= FoldMaxBytes &&
+          !localNullHazard(head, batch.schema)) {
         applyLocal(table, head, batch.schema)
         return
       }
@@ -131,6 +156,79 @@ object CdcMerge {
     * far under any realistic driver heap; real streams cut windows by
     * maxFramesPerTrigger long before this. */
   private val FoldMaxRows = 16384
+
+  /** Byte bound for the driver-side fold (r18 verdict #3): checked
+    * against the caller's window byte hint BEFORE the collect, and
+    * against the collected rows' estimated size after it. 16 MB is
+    * driver-trivial and still folds every poll/micro-batch window the
+    * engine actually produces. */
+  private[streaming] val FoldMaxBytes = 16L * 1024 * 1024
+
+  /** Rough driver-side size of a collected row — payload bytes plus a
+    * small per-cell overhead; only used against [[FoldMaxBytes]]. */
+  private def approxRowBytes(r: org.apache.spark.sql.Row): Long = {
+    def sz(v: Any): Long = v match {
+      case null => 0L
+      case s: String => 24L + 2L * s.length
+      case b: Array[Byte] => 24L + b.length
+      case a: Array[_] => 24L + a.iterator.map(sz).sum
+      case s: Seq[_] => 24L + s.iterator.map(sz).sum
+      case m: scala.collection.Map[_, _] =>
+        24L + m.iterator.map { case (k, v2) => sz(k) + sz(v2) }.sum
+      case row: org.apache.spark.sql.Row => approxRowBytes(row)
+      case _ => 16L
+    }
+    var total = 16L
+    var i = 0
+    while (i < r.length) { total += 8L + sz(r.get(i)); i += 1 }
+    total
+  }
+
+  /** Float/double anywhere in a CONDENSE KEY column (the PK, or every
+    * non-meta column of a keyless table) rejects the driver fold (r18
+    * ADVICE): Spark's grouping runs NormalizeFloatingNumbers — -0.0
+    * and 0.0 collapse to ONE group and the emitted key is the
+    * normalized 0.0 — while boxed-value grouping driver-side would
+    * keep two groups (Double(-0.0) != 0.0) and emit the raw cell.
+    * Payload columns may carry floats freely: both paths emit the
+    * winning row's payload bytes untouched. */
+  private def floatTypedKey(table: GraftTable, schema: StructType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
+      FloatType, MapType}
+    def hasFloat(dt: DataType): Boolean = dt match {
+      case DoubleType | FloatType => true
+      case ArrayType(et, _) => hasFloat(et)
+      case st: StructType => st.fields.exists(f => hasFloat(f.dataType))
+      case MapType(k, v, _) => hasFloat(k) || hasFloat(v)
+      case _ => false
+    }
+    val pk = table.manifest.pkCols
+    val keyCols =
+      if (pk.nonEmpty) pk else schema.fieldNames.toSeq.filterNot(metaCols.contains)
+    keyCols.exists(c => schema.fields.find(_.name == c)
+      .exists(f => hasFloat(f.dataType)))
+  }
+
+  /** The ONE case where the driver fold's semantics could diverge from
+    * the distributed path: a truncate-carrying window holding rows
+    * with a null action or a null txn coordinate. The distributed
+    * filter (`action =!= Truncate && afterTrunc`) drops such rows via
+    * SQL three-valued logic whose outcome depends on WHERE the null
+    * sits in the coord chain; rather than emulate 3VL driver-side,
+    * such windows (unreachable from the engine's decoders, which
+    * always stamp action and coords) fall through to the distributed
+    * path (r18 ADVICE). Truncate-free windows have no such filter and
+    * fold regardless: null coords order nulls-first in BOTH paths. */
+  private def localNullHazard(rows: Array[org.apache.spark.sql.Row],
+      schema: StructType): Boolean = {
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    val actIdx = idx(actionCol)
+    val coordIdx = orderCols.filter(idx.contains).map(idx)
+    val hasTrunc = rows.exists(r => !r.isNullAt(actIdx) &&
+      r.get(actIdx).asInstanceOf[Number].intValue == ActionTruncate)
+    hasTrunc && rows.exists(r =>
+      r.isNullAt(actIdx) || coordIdx.exists(r.isNullAt))
+  }
 
   /** Unsigned byte-wise UTF-8 comparison — Spark's UTF8String order. */
   private[streaming] def utf8Cmp(x: String, y: String): Int = {
@@ -199,6 +297,13 @@ object CdcMerge {
     // value-equality key: binary cells (and arrays of them) collect as
     // Java arrays whose equals() is reference identity — normalize to
     // Seqs so the driver groupBy matches Spark's binary comparison
+    // Float/double KEY cells never reach this path: the localizable
+    // gate rejects them (r18 ADVICE — Spark's grouping normalizes
+    // -0.0 to 0.0 and EMITS the normalized key, which boxed-value
+    // grouping here can neither match nor emit without re-implementing
+    // NormalizeFloatingNumbers; such batches take the distributed
+    // path). Float payload cells are fine: condense emits payloads
+    // raw from the winning row, exactly like this map does.
     def norm(v: Any): Any = v match {
       case b: Array[Byte] => b.toSeq
       case a: Array[_] => a.toSeq.map(norm)

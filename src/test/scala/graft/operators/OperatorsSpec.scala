@@ -99,6 +99,30 @@ class OperatorsSpec extends SparkSpec {
     assert(bm.nonEmpty && bm === mw)
   }
 
+  test("dense route bitmap verify is null-safe (null set / null element)") {
+    // r18 ADVICE: a null code-set array (or a null element) must
+    // exclude its pairs — the merge-walk's nullSafeEval verdict — not
+    // NPE the whole query when the bitmap branch is selected
+    val rnd = new scala.util.Random(11)
+    val base = (1L to 60L).map { id =>
+      val cs = (0 until 12).map(_ => rnd.nextInt(40).toLong + 100)
+        .distinct.sorted.map(java.lang.Long.valueOf).toArray
+      (id, cs)
+    }
+    val withNulls = base ++ Seq(
+      (500L, null: Array[java.lang.Long]),
+      (501L, Array[java.lang.Long](100L, null, 102L)))
+    def run(docs: Seq[(Long, Array[java.lang.Long])]) =
+      Operators.jaccardPairsAuto(
+        docs.toDF("id", "cs"), "id", "cs", 0.2, bitmapMaxVocab = 32768)
+      .select("a_id", "b_id", "inter", "jaccard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(p => (p._1, p._2))
+    // null docs pair with nothing; every clean pair is unchanged
+    assert(run(withNulls) === run(base))
+  }
+
   test("connectedComponents labels every node with its component min (both paths)") {
     // two components {1,2,3,4} (chain) and {10,11}; 20 isolated via self-pair
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))

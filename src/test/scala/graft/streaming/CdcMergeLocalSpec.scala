@@ -45,7 +45,9 @@ class CdcMergeLocalSpec extends SparkSpec {
   }
 
   private def checkEquiv(schema: StructType, pk: Seq[String],
-      rows: Seq[Row], tag: String): Unit = {
+      rows: Seq[Row], tag: String,
+      applyA: (GraftTable, org.apache.spark.sql.DataFrame) => Unit =
+        (t, df) => CdcMerge.applyBatch(t, df)): Unit = {
     val a = GraftTable.create(spark, tmpDir(s"cml_a_$tag"), schema, pk)
     val b = GraftTable.create(spark, tmpDir(s"cml_b_$tag"), schema, pk)
     val evSchema = StructType(schema.fields ++ Seq(
@@ -56,7 +58,7 @@ class CdcMergeLocalSpec extends SparkSpec {
     val df = spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
       evSchema)
-    CdcMerge.applyBatch(a, df)          // driver-side path (small window)
+    applyA(a, df)                       // path under test
     applyDistributed(b, df)             // reference
     val cols = schema.fieldNames.map { f =>
       if (schema(f).dataType == BinaryType) hex(col(f)).as(f) else col(f)
@@ -113,6 +115,71 @@ class CdcMergeLocalSpec extends SparkSpec {
       Row(bytes(2), 20L, 2, "g1", 1L, 3L),
       Row(bytes(2), 20L, 0, "g1", 2L, 1L)) // delete the second image
     checkEquiv(schema, Nil, rows, "binkeyless")
+  }
+
+  test("REAL distributed branch (injectable fold bound) ≡ local path") {
+    // r18 ADVICE: with the production threshold every spec batch
+    // folds; applyBatchBounded(foldMax=4) forces the LIVE distributed
+    // branch of applyBatch through the same randomized shapes, so the
+    // real code — not a copy of its old body — is what gets asserted.
+    val schema = StructType(Seq(
+      StructField("pk", LongType), StructField("v", StringType)))
+    val rnd = new Random(7)
+    var stmt = 0L
+    val rows = (0 until 60).map { i =>
+      val pk = rnd.nextInt(12).toLong
+      val act = if (i == 30) 9 else rnd.nextInt(3) // mid-stream truncate
+      stmt += 1
+      Row(if (act == 9) null else pk,
+        if (act == 0 || act == 9) null else s"v${rnd.nextInt(9)}",
+        act, s"g${rnd.nextInt(3)}", rnd.nextInt(4).toLong, stmt)
+    }
+    checkEquiv(schema, Seq("pk"), rows, "distbranch",
+      (t, df) => CdcMerge.applyBatchBounded(t, df, None, foldMax = 4))
+  }
+
+  test("over-byte window hint falls through to the distributed path") {
+    // r18 verdict #3: a byte hint above FoldMaxBytes must refuse the
+    // driver fold BEFORE collecting — results stay identical
+    val schema = StructType(Seq(
+      StructField("pk", LongType), StructField("v", StringType)))
+    val rows = Seq(
+      Row(1L, "a", 2, "g1", 1L, 1L),
+      Row(1L, "b", 2, "g1", 1L, 2L),
+      Row(2L, "c", 2, "g1", 1L, 3L))
+    checkEquiv(schema, Seq("pk"), rows, "overbyte",
+      (t, df) => CdcMerge.applyBatch(t, df,
+        Some(CdcMerge.FoldMaxBytes + 1)))
+  }
+
+  test("keyless table with -0.0 key cells matches the distributed apply") {
+    // r18 ADVICE: boxed Double(-0.0) != 0.0 but Spark's grouping
+    // normalizes floating zeros (and emits the normalized key) — a
+    // float-typed condense key therefore rejects the driver fold and
+    // takes the distributed path; this asserts end-state equality
+    val schema = StructType(Seq(
+      StructField("d", DoubleType), StructField("n", LongType)))
+    val rows = Seq(
+      Row(0.0, 1L, 2, "g1", 1L, 1L),
+      Row(-0.0, 1L, 2, "g1", 1L, 2L), // same group as (0.0, 1) for Spark
+      Row(-0.0, 2L, 2, "g1", 1L, 3L),
+      Row(0.0, 2L, 0, "g1", 2L, 1L))  // deletes the (±0.0, 2) image
+    checkEquiv(schema, Nil, rows, "negzero")
+  }
+
+  test("truncate window with null action/coord rows falls through") {
+    // the 3VL divergence case (r18 ADVICE): local fold must defer to
+    // the distributed path when a truncate window carries null
+    // action/coord cells — equality against the reference proves the
+    // fall-through (the old local path kept rows the filter drops)
+    val schema = StructType(Seq(
+      StructField("pk", LongType), StructField("v", StringType)))
+    val rows = Seq(
+      Row(1L, "before", 2, "g1", 1L, 1L),
+      Row(null, null, 9, "g1", 2L, 1L),     // TRUNCATE
+      Row(2L, "nullcoord", 2, "g1", null, 2L), // null txn_seq: 3VL drop
+      Row(3L, "after", 2, "g1", 3L, 1L))
+    checkEquiv(schema, Seq("pk"), rows, "nullhazard")
   }
 
   test("string txn groups order by utf8 bytes") {
