@@ -22,6 +22,11 @@ import org.apache.spark.sql.SparkSession
   *     its slash when the oracle ran under 0.05s — read as ~0, the
   *     r18 byte-budget rule that keeps ~70 sub-50ms oracles from
   *     costing ~300 tail bytes).
+  *   {"rerun":"<id>:<first>><min> ..."} (only when nonempty, sf0.1) —
+  *     band outliers re-run once at epoch end (min-of-two cold, r18
+  *     verdict #1); the first sample is preserved here and in
+  *     target/bench_full.json, which carries the complete per-query
+  *     cold/warm/oracle table for machine consumption.
   *   {"warm":"<id>:<warm> ..."} (only when nonempty) — the second-run
   *     time for queries whose cold run was anomalously slower (cold >
   *     1.5x warm and > 0.5s absolute gap). A query listed here is

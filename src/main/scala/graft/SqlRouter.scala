@@ -1761,26 +1761,42 @@ object SqlRouter {
             case (k, v) if k.startsWith("generated.") =>
               k.stripPrefix("generated.") -> v
           }
-          val images0 = (if (gen.isEmpty) afterSets
+          val imagesPlan = if (gen.isEmpty) afterSets
             else afterSets.select(mp.schema.fieldNames.map(f =>
               gen.get(f).map(g => expr(g).cast(mp.schema(f).dataType).as(f))
-                .getOrElse(col(f))): _*)).localCheckpoint(true)
-          val nMoved = images0.count()
+                .getOrElse(col(f))): _*)
+          // STABLE plans (no volatile SET expressions — the common
+          // movement shape) fold with ONE bounded collect; the old
+          // unconditional checkpoint + count + collect was three jobs
+          // to materialize a handful of moved rows (r19 Probe). A
+          // volatile plan keeps the eager checkpoint (evaluate-once),
+          // and an oversized stable one checkpoints too (the routing
+          // and re-insert below re-read it several times).
+          def toLocal(rows: Array[org.apache.spark.sql.Row])
+              : org.apache.spark.sql.DataFrame =
+            engine.spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](
+                java.util.Arrays.asList(rows: _*)), imagesPlan.schema)
+          val (images, nMoved): (org.apache.spark.sql.DataFrame, Long) =
+            if (planIsStable(imagesPlan.queryExecution.analyzed)) {
+              val head = imagesPlan.limit(SmallMergeSourceRows + 1).collect()
+              if (head.length <= SmallMergeSourceRows)
+                (toLocal(head), head.length.toLong)
+              else {
+                val ck = imagesPlan.localCheckpoint(true)
+                (ck, ck.count())
+              }
+            } else {
+              val ck = imagesPlan.localCheckpoint(true)
+              val n = ck.count()
+              if (n <= SmallMergeSourceRows) {
+                val local = toLocal(ck.collect())
+                ck.unpersist() // the local copy supersedes the blocks
+                (local, n)
+              } else (ck, n)
+            }
           if (nMoved == 0L) return Result(returning.map(rx =>
-            images0.selectExpr(splitTop(rx).map(_.trim): _*)), 0L)
-          // small moved sets fold to a LocalRelation (the checkpoint
-          // already materialized them — the collect reads blocks):
-          // the validation route, the re-insert route, and the checks
-          // then run their stats driver-side (r17 job-floor work)
-          val images =
-            if (nMoved <= SmallMergeSourceRows) {
-              val local = engine.spark.createDataFrame(
-                new java.util.ArrayList[org.apache.spark.sql.Row](
-                  java.util.Arrays.asList(images0.collect(): _*)),
-                images0.schema)
-              images0.unpersist() // the local copy supersedes the blocks
-              local
-            } else images0
+            images.selectExpr(splitTop(rx).map(_.trim): _*)), 0L)
           routeFrame(engine, name, tPar, images, (_, _) => 0L)
           // inherited CHECKs validate on the images BEFORE the delete
           // too — a violating SET must abort with nothing changed

@@ -662,10 +662,11 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // both consumers are JOINS (anti/semi), whose SQL comparison
     // already treats any not-boxed-equal duplicates (-0.0 vs 0.0) as
     // one key — survivors/affected sets are identical either way.
-    val touchedKeys = {
-      val keyProj = changes.select(pk.map(col): _*)
-      if (isLocalPlan(changes)) {
-        val rows = keyProj.collect() // folding projection: no job
+    val keyless = m.pkCols.isEmpty
+    val localKeyRows: Option[Array[Row]] =
+      if (!isLocalPlan(changes)) None
+      else {
+        val rows = changes.select(pk.map(col): _*).collect() // folds: no job
         val seen = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Row]
         rows.foreach { r =>
           val k = (0 until r.length).map(i => r.get(i) match {
@@ -674,9 +675,52 @@ final class GraftTable(val spark: SparkSession, val path: Path,
           })
           if (!seen.contains(k)) seen(k) = r
         }
-        spark.createDataFrame(new java.util.ArrayList[Row](
-          seen.values.toSeq.asJava), keyProj.schema)
-      } else keyProj.distinct()
+        Some(seen.values.toArray)
+      }
+    val touchedKeys = localKeyRows match {
+      case Some(rows) => spark.createDataFrame(new java.util.ArrayList[Row](
+        java.util.Arrays.asList(rows: _*)),
+        changes.select(pk.map(col): _*).schema)
+      case None => changes.select(pk.map(col): _*).distinct()
+    }
+    // Single-column integral/string keys of a LOCAL batch skip the
+    // key JOIN entirely: even a broadcast of a driver-local relation
+    // costs one multi-task build job per join (BroadcastExchange
+    // collects its child with a Spark job — r19 Probe measurement:
+    // one 32-task job per child per statement). An InSet predicate
+    // (col IN (<collected values>), OptimizeIn → hash set, codegen)
+    // expresses the same membership as a pure filter inside the write
+    // job. Null semantics are replicated exactly:
+    //   anti-join (pk tables): null key never matches → survives →
+    //     !coalesce(isin, false); all-null key set → everything
+    //     survives (lit(true)).
+    //   semi-join probe: null key never matches → coalesce(isin,
+    //     false); empty set → lit(false).
+    // Types are whitelisted so the literals match the column type
+    // bit-exactly (no coercion surprises); anything else — multi-col
+    // keys, keyless null-safe joins, exotic types — keeps the join.
+    val inSetVals: Option[Seq[Any]] = localKeyRows.filter(_ => !keyless)
+      .filter(_ => pk.size == 1)
+      .filter { _ =>
+        changes.select(pk.map(col): _*).schema.head.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.StringType => true
+          case _ => false
+        }
+      }
+      .map(_.toSeq.filter(!_.isNullAt(0)).map(_.get(0)))
+    def antiPred: Column = inSetVals match {
+      case Some(vs) if vs.isEmpty => lit(true)
+      case Some(vs) => !coalesce(col(pk.head).isin(vs: _*), lit(false))
+      case None => throw new IllegalStateException("antiPred without values")
+    }
+    def semiPred: Column = inSetVals match {
+      case Some(vs) if vs.isEmpty => lit(false)
+      case Some(vs) => coalesce(col(pk.head).isin(vs: _*), lit(false))
+      case None => throw new IllegalStateException("semiPred without values")
     }
 
     // Size-switched pruning (the broadcast-threshold idea applied to
@@ -692,10 +736,11 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // bad path) as "size unknown" → the pruned path, which is safe at
     // every size. Summing sentinels could overflow negative and route
     // a huge table into rewrite-all (round-5 advice).
-    val keyless = m.pkCols.isEmpty
     if (tableBytesAtMost(m, RewriteAllMaxBytes)) {
-      val survivors = keyJoin(readManifest(m),
-        broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti", keyless)
+      val survivors =
+        if (inSetVals.isDefined) readManifest(m).filter(antiPred)
+        else keyJoin(readManifest(m),
+          broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti", keyless)
       val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
       val (files, _, st) = writeFiles(replacement, needCount = false)
       io.commit(path, m.withFiles(files, st))
@@ -720,9 +765,11 @@ final class GraftTable(val spark: SparkSession, val path: Path,
 
     val affected = if (candidates.isEmpty) Set.empty[String] else {
       val tagged = readFiles(m, candidates).withColumn("__file", input_file_name())
-      keyJoin(tagged, broadcastIfSmall(touchedKeys, totalChanges), pk,
+      val hits =
+        if (inSetVals.isDefined) tagged.filter(semiPred)
+        else keyJoin(tagged, broadcastIfSmall(touchedKeys, totalChanges), pk,
           "left_semi", keyless)
-        .select(col("__file")).distinct().collect()
+      hits.select(col("__file")).distinct().collect()
         .map(r => fileKey(r.getString(0))).toSet
     }
 
@@ -736,8 +783,10 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val affectedSeq = normalize(candidates).zip(candidates)
       .filter { case (n, _) => affected.contains(n) }.map(_._2)
     // Survivors: rows in affected files whose PK is untouched.
-    val survivors = keyJoin(readFiles(m, affectedSeq),
-      broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti", keyless)
+    val survivors =
+      if (inSetVals.isDefined) readFiles(m, affectedSeq).filter(antiPred)
+      else keyJoin(readFiles(m, affectedSeq),
+        broadcastIfSmall(touchedKeys, totalChanges), pk, "left_anti", keyless)
     val replacement = if (hasUpserts) survivors.unionByName(upserts) else survivors
     val (files, _, st) = writeFiles(replacement, needCount = false)
     // commit against the manifest we READ: the slot derivation is the
@@ -867,6 +916,34 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     // the analyzer coerces the join keys, but a local frame declared
     // with the wrong cell types would CCE at constant folding
     if (m.files.isEmpty) return (Array.empty, ex.schema)
+    // Single-column arbiter AND pk of integral/string type: the match
+    // runs as an InSet FILTER inside the one bounded scan — the
+    // broadcast semi-join costs an extra broadcast-build Spark job per
+    // child per statement (r19; same finding as mergeImpl's touched
+    // keys). Join null semantics replicated: a null batch value never
+    // matches (excluded from the sets); a null existing-side cell
+    // compares null → coalesce(false) → unmatched, exactly like
+    // `arbEq || pkEq`. Multi-col or exotic-typed keys keep the join.
+    def inSettable(i: Int): Boolean = batchSchema(i).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (pk.size == 1 && m.pkCols.size == 1 &&
+        inSettable(arbIdx.head) && inSettable(pkIdx.head)) {
+      val arbVals = bRows.iterator.map(_.get(arbIdx.head))
+        .filter(_ != null).toSeq.distinct
+      val pkVals = bRows.iterator.map(_.get(pkIdx.head))
+        .filter(_ != null).toSeq.distinct
+      def setPred(c: String, vs: Seq[Any]): Column =
+        if (vs.isEmpty) lit(false)
+        else coalesce(col(c).isin(vs: _*), lit(false))
+      val pred = setPred(pk.head, arbVals) || setPred(m.pkCols.head, pkVals)
+      return (ex.filter(pred).collect(), ex.schema)
+    }
     val keyFields =
       pk.zip(arbIdx).map { case (c, i) =>
         StructField(s"__k_$c", batchSchema(i).dataType) } ++
