@@ -4693,14 +4693,42 @@ object SqlRouter {
         .getOrElse(col(f)))
     val img = img0.select(
       (if (hasFan) base :+ col("__fan") else base).toIndexedSeq: _*)
-    val staged = img.localCheckpoint(true)
-    // one job over the materialized frame serves the affected count AND
-    // the multi-match diagnostic
-    val (n, fan) =
-      if (hasFan) {
+    // STABLE small image sets fold with ONE bounded collect (r19; the
+    // same discipline as foldSmallSource and the movement arm): the
+    // unconditional checkpoint + count was two jobs, and the
+    // checkpointed frame kept the downstream merge on its distributed
+    // arm (persist + probe job + join-shaped write). A LocalRelation
+    // instead gives merge its driver-local probe and InSet filters —
+    // the whole join-DML statement becomes collect + one write job
+    // per affected child. Volatile expressions keep the eager
+    // checkpoint (evaluate-once for RETURNING); oversized stable sets
+    // checkpoint too (they are re-read several times below).
+    val localRows: Option[Array[org.apache.spark.sql.Row]] =
+      if (!planIsStable(img.queryExecution.analyzed)) None
+      else {
+        val head = img.limit(SmallMergeSourceRows + 1).collect()
+        if (head.length <= SmallMergeSourceRows) Some(head) else None
+      }
+    val staged = localRows match {
+      case Some(rows) => t.spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(rows: _*)), img.schema)
+      case None => img.localCheckpoint(true)
+    }
+    // one pass over the materialized frame serves the affected count
+    // AND the multi-match diagnostic — driver-side when local (no job)
+    val fanIdx = img.schema.fieldNames.indexOf("__fan")
+    val (n, fan) = localRows match {
+      case Some(rows) if hasFan =>
+        val mx = rows.iterator.filter(!_.isNullAt(fanIdx))
+          .map(_.getLong(fanIdx)).foldLeft(1L)(math.max)
+        (rows.length.toLong, mx)
+      case Some(rows) => (rows.length.toLong, 1L)
+      case None if hasFan =>
         val r = staged.agg(count(lit(1)), max(col("__fan"))).head()
         (r.getLong(0), if (r.isNullAt(1)) 1L else r.getLong(1))
-      } else (staged.count(), 1L)
+      case None => (staged.count(), 1L)
+    }
     if (fan > 1) fanWarn.foreach(_.addWarning("Note", 1706,
       s"$fan join matches collapsed to one row for at least one " +
         s"${t.path.getFileName} primary key; the surviving value is " +
