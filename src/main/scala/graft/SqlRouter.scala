@@ -1829,7 +1829,7 @@ object SqlRouter {
         }
         // fan out WITH the returning tail: each child answers its own
         // stored images, the parent unions them (disjoint children)
-        val childResults = tPar.partitionChildren.map { case (c, _) =>
+        val childResults = fanChildren(engine, tPar.partitionChildren) { c =>
           val s2 = s"UPDATE ${childRef(name, c)} SET $tail0"
           executeRouted(engine, s2, s2)
         }
@@ -1962,7 +1962,7 @@ object SqlRouter {
           "DELETE through a partitioned parent takes only WHERE " +
             "[RETURNING]: target the partition for ORDER BY/LIMIT")
         val tl = Option(tailRaw).getOrElse("")
-        val childResults = t.partitionChildren.map { case (c, _) =>
+        val childResults = fanChildren(engine, t.partitionChildren) { c =>
           val s2 = s"DELETE FROM ${childRef(name, c)} $tl"
           executeRouted(engine, s2, s2)
         }
@@ -4054,6 +4054,27 @@ object SqlRouter {
       t.partitionChildren.foreach(c =>
         forEachLeaf(engine, childRef(name, c._1))(f))
     else f(t)
+  }
+
+  /** Parent UPDATE/DELETE fan-out over partition children. Children
+    * are INDEPENDENT tables (disjoint dirs/manifests/key spaces), so
+    * in autocommit the per-child statements run CONCURRENTLY — the
+    * same §2.6 overlap routeFrame's child writes already use; results
+    * keep the children's declaration order (RETURNING union order is
+    * unchanged). Inside an explicit transaction the staged io seam
+    * serializes, exactly like routeFrame. */
+  private def fanChildren(engine: Engine,
+      kids: Seq[(String, String)])(body: String => Result): Seq[Result] = {
+    if (kids.size <= 1 || engine.inTransaction)
+      return kids.map { case (c, _) => body(c) }
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(kids.size, 8))
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      import scala.concurrent.{Await, Future}
+      kids.map { case (c, _) => Future(body(c))(ec) }
+        .map(Await.result(_, scala.concurrent.duration.Duration(30, "min")))
+    } finally pool.shutdown()
   }
 
   private def childRef(parentName: String, child: String): String =
