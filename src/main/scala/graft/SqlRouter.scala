@@ -4049,11 +4049,26 @@ object SqlRouter {
 
   private def forEachLeaf(engine: Engine, name: String)(
       f: graft.storage.GraftTable => Unit): Unit = {
-    val t = engine.table(name)
-    if (t.partitionBy.isDefined)
-      t.partitionChildren.foreach(c =>
-        forEachLeaf(engine, childRef(name, c._1))(f))
-    else f(t)
+    // leaves of a partition tree are independent tables — maintenance
+    // over them (OPTIMIZE) overlaps in autocommit, exactly like the
+    // DML fan-outs (§2.6); in a transaction the staged seam serializes
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[graft.storage.GraftTable]
+    def walk(n: String): Unit = {
+      val t = engine.table(n)
+      if (t.partitionBy.isDefined)
+        t.partitionChildren.foreach(c => walk(childRef(n, c._1)))
+      else leaves += t
+    }
+    walk(name)
+    if (leaves.size <= 1 || engine.inTransaction) { leaves.foreach(f); return }
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(leaves.size, 8))
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      import scala.concurrent.{Await, Future}
+      leaves.map(t => Future(f(t))(ec))
+        .foreach(Await.result(_, scala.concurrent.duration.Duration(30, "min")))
+    } finally pool.shutdown()
   }
 
   /** Parent UPDATE/DELETE fan-out over partition children. Children

@@ -1437,12 +1437,21 @@ final class GraftTable(val spark: SparkSession, val path: Path,
     val m = manifest
     if (m.files.isEmpty) return
     val df = readManifest(m)
-    val rows = df.count()
+    // row count straight from the parquet footers on the driver (the
+    // collectFooterMeta discipline, r19): the count() was one full
+    // table-scan job per leaf per OPTIMIZE, spent only on sizing the
+    // rewrite. Unreadable footers fall back to the scan.
+    val rows = footerRowCount(m).getOrElse(df.count())
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
     val arranged =
-      if (clusterBy.isEmpty) df.repartition(nFiles)
-      else df.repartitionByRange(nFiles, clusterBy.map(col): _*)
+      if (clusterBy.nonEmpty) df.repartitionByRange(nFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
+      // single unclustered output file: coalesce is the same one-file
+      // result without repartition's full round-robin shuffle (the
+      // common small-table OPTIMIZE; a multi-file rewrite keeps
+      // repartition's even sizing)
+      else if (nFiles == 1) df.coalesce(1)
+      else df.repartition(nFiles)
     // sized = false: the repartition above IS the file-count decision —
     // the small-regime output sizing must never collapse an explicit
     // clustered layout back into one file (LayoutSpec pins this)
@@ -1456,6 +1465,22 @@ final class GraftTable(val spark: SparkSession, val path: Path,
       else m.props + ("layout.clusterBy" -> clusterBy.mkString(","))
     io.commit(path, m.withFiles(files, st).copy(props = props))
   }
+
+  /** Total row count from the manifest files' parquet footers —
+    * driver-side, no Spark job; None when any footer is unreadable
+    * (caller falls back to a count()). */
+  private def footerRowCount(m: Manifest): Option[Long] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      var n = 0L
+      m.files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try n += r.getRecordCount finally r.close()
+      }
+      Some(n)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Z-ORDER compaction: rewrite the table sorted by the Morton
     * interleave of two numeric columns, so every output file covers a
