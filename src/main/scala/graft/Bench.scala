@@ -58,9 +58,10 @@ object Bench {
 
   /** Previous-round per-query band at sf0.1 (round-12 verdict #3):
     * min over the carried floor and the latest measured colds —
-    * refreshed in the r18 optimization round from the post-optimization
-    * back-to-back full epoch (OPTIMIZATION_r18.md), so this round's
-    * improvements become next round's regression floor.
+    * refreshed in the r19 optimization round from the two
+    * post-optimization back-to-back full epochs (OPTIMIZATION_r19.md),
+    * so this round's improvements become next round's regression floor
+    * AND the r19 band-outlier re-run trigger.
     * Any cold run exceeding 2x its band lands
     * in the `band` line with its warm time, so a >2x outlier
     * self-explains in the artifact — the reader separates "epoch
@@ -69,27 +70,30 @@ object Bench {
     * Refresh each round from the latest BENCH_r artifacts; entries are
     * keyed by bare query number. */
   private val PrevBand: Map[Int, Double] = Map(
-    1 -> 1.09, 2 -> 1.06, 3 -> 0.64, 4 -> 0.79, 5 -> 0.18, 6 -> 0.74,
-    7 -> 0.61, 8 -> 0.39, 9 -> 0.27, 10 -> 0.22, 11 -> 0.31, 12 -> 0.3,
-    13 -> 0.35, 14 -> 0.74, 15 -> 0.31, 16 -> 0.37, 17 -> 0.84, 18 -> 0.39,
-    19 -> 0.37, 20 -> 0.36, 21 -> 0.3, 22 -> 0.14, 23 -> 0.98, 24 -> 0.36,
-    25 -> 0.24, 26 -> 0.2, 27 -> 0.64, 28 -> 0.21, 29 -> 0.58, 30 -> 0.32,
-    31 -> 1.1, 32 -> 0.45, 33 -> 0.39, 34 -> 0.25, 35 -> 0.52, 36 -> 0.2,
-    37 -> 0.85, 38 -> 0.26, 39 -> 0.63, 40 -> 0.42, 41 -> 1.86, 42 -> 0.76,
-    43 -> 0.76, 44 -> 1.08, 45 -> 0.18, 46 -> 0.48, 47 -> 0.78, 48 -> 0.35,
-    49 -> 0.77, 50 -> 0.32, 51 -> 0.37, 52 -> 0.39, 53 -> 0.38, 54 -> 0.64,
-    55 -> 0.48, 56 -> 0.91, 57 -> 0.65, 58 -> 0.28, 59 -> 0.25, 60 -> 0.46,
-    61 -> 3.13, 62 -> 0.59, 63 -> 1.13, 64 -> 0.99, 65 -> 0.39, 66 -> 3.24,
-    67 -> 1.93, 68 -> 0.49, 69 -> 1.75, 70 -> 0.55, 71 -> 1.15, 72 -> 1.79,
-    73 -> 0.57, 74 -> 1.17, 75 -> 0.34, 76 -> 0.29, 77 -> 1.71, 78 -> 0.46,
-    79 -> 0.17, 80 -> 0.22, 81 -> 1.87, 82 -> 0.95, 83 -> 0.6, 84 -> 0.45,
-    85 -> 0.62, 86 -> 0.28, 87 -> 0.49, 88 -> 0.7, 89 -> 2.96, 90 -> 0.52,
-    91 -> 1.43, 92 -> 1.69, 93 -> 1.23, 94 -> 0.64, 95 -> 1.58, 96 -> 0.9,
-    97 -> 0.84, 100 -> 1.43, 101 -> 0.41, 102 -> 2.51, 103 -> 2.15,
-    104 -> 1.13, 105 -> 1.95, 106 -> 1.1, 107 -> 1.92, 108 -> 2.32,
-    109 -> 0.56, 110 -> 2.68, 111 -> 6.16, 112 -> 1.66, 113 -> 3.25,
-    114 -> 3.07, 115 -> 3.05, 116 -> 2.85, 117 -> 3.01, 118 -> 2.29,
-    119 -> 3.16, 120 -> 0.41, 121 -> 2.15, 122 -> 3.0)
+    1 -> 1.05, 2 -> 1.06, 3 -> 0.6, 4 -> 0.69, 5 -> 0.18, 6 -> 0.74,
+    7 -> 0.61, 8 -> 0.34, 9 -> 0.27, 10 -> 0.22, 11 -> 0.31, 12 -> 0.3,
+    13 -> 0.35, 14 -> 0.74, 15 -> 0.31, 16 -> 0.37, 17 -> 0.84,
+    18 -> 0.39, 19 -> 0.37, 20 -> 0.36, 21 -> 0.3, 22 -> 0.14,
+    23 -> 0.96, 24 -> 0.36, 25 -> 0.24, 26 -> 0.19, 27 -> 0.56,
+    28 -> 0.21, 29 -> 0.58, 30 -> 0.32, 31 -> 1.09, 32 -> 0.45,
+    33 -> 0.39, 34 -> 0.25, 35 -> 0.52, 36 -> 0.2, 37 -> 0.7, 38 -> 0.26,
+    39 -> 0.63, 40 -> 0.42, 41 -> 1.62, 42 -> 0.7, 43 -> 0.76,
+    44 -> 1.06, 45 -> 0.17, 46 -> 0.44, 47 -> 0.78, 48 -> 0.35,
+    49 -> 0.68, 50 -> 0.31, 51 -> 0.36, 52 -> 0.39, 53 -> 0.33,
+    54 -> 0.64, 55 -> 0.48, 56 -> 0.91, 57 -> 0.6, 58 -> 0.28,
+    59 -> 0.25, 60 -> 0.41, 61 -> 3.13, 62 -> 0.59, 63 -> 1.13,
+    64 -> 0.99, 65 -> 0.39, 66 -> 3.16, 67 -> 1.93, 68 -> 0.46,
+    69 -> 1.75, 70 -> 0.55, 71 -> 1.15, 72 -> 1.79, 73 -> 0.57,
+    74 -> 1.17, 75 -> 0.34, 76 -> 0.29, 77 -> 1.71, 78 -> 0.41,
+    79 -> 0.17, 80 -> 0.22, 81 -> 1.39, 82 -> 0.95, 83 -> 0.6,
+    84 -> 0.41, 85 -> 0.62, 86 -> 0.28, 87 -> 0.49, 88 -> 0.7,
+    89 -> 2.85, 90 -> 0.51, 91 -> 1.43, 92 -> 1.63, 93 -> 1.23,
+    94 -> 0.64, 95 -> 1.58, 96 -> 0.9, 97 -> 0.84, 100 -> 1.37,
+    101 -> 0.4, 102 -> 2.03, 103 -> 1.44, 104 -> 1.13, 105 -> 1.36,
+    106 -> 1.1, 107 -> 1.44, 108 -> 2.01, 109 -> 0.56, 110 -> 2.18,
+    111 -> 3.97, 112 -> 1.53, 113 -> 2.36, 114 -> 2.33, 115 -> 3.05,
+    116 -> 1.96, 117 -> 2.06, 118 -> 1.77, 119 -> 2.67, 120 -> 0.41,
+    121 -> 1.79, 122 -> 2.63)
 
   /** Environment sentinels (qx-prefixed; r15's probe fleet retired in
     * r16 once the driver comparator's decimal canonicalization was
