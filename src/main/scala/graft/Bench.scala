@@ -26,7 +26,9 @@ import org.apache.spark.sql.SparkSession
   *     band outliers re-run once at epoch end (min-of-two cold, r18
   *     verdict #1); the first sample is preserved here and in
   *     target/bench_full.json, which carries the complete per-query
-  *     cold/warm/oracle table for machine consumption.
+  *     cold/warm/oracle table for machine consumption. Printed LAST
+  *     among the diagnostics (directly above the bq lines): tail
+  *     truncation must eat the other diagnostics' heads first.
   *   {"warm":"<id>:<warm> ..."} (only when nonempty) — the second-run
   *     time for queries whose cold run was anomalously slower (cold >
   *     1.5x warm and > 0.5s absolute gap). A query listed here is
@@ -319,14 +321,6 @@ object Bench {
     // here and print FIRST — lowest-priority content sits earliest in
     // the stream, where tail truncation lands
     val diag = scala.collection.mutable.ListBuffer.empty[String]
-    // disclosure of every band-outlier re-run: id:<first cold>><min>
-    // (the bq/headline numbers use the min; the original sample is
-    // preserved here and in target/bench_full.json)
-    if (reruns.nonEmpty) {
-      val shown = reruns.sortBy(_._1)
-        .map { case (id, orig, now) => s"$id:${fmtT(orig)}>${fmtT(now)}" }
-      diag += s"""{"rerun":"${shown.mkString(" ")}"}"""
-    }
     // anomaly self-report: queries whose cold run was inflated by
     // epoch position, with the warm time that attributes it
     val anomalies = results.toSeq
@@ -428,6 +422,18 @@ object Bench {
       reset()
     }
 
+    // disclosure of every band-outlier re-run: id:<first cold>><min>
+    // (the bq/headline numbers use the min; the original sample is
+    // preserved here and in target/bench_full.json). Appended LAST so
+    // it sits CLOSEST to the bq lines — tail truncation of an
+    // over-budget emission must eat warm/anomaly/band heads before it
+    // eats the re-run disclosure (the one diagnostic the headline's
+    // integrity depends on).
+    if (reruns.nonEmpty) {
+      val shown = reruns.sortBy(_._1)
+        .map { case (id, orig, now) => s"$id:${fmtT(orig)}>${fmtT(now)}" }
+      diag += s"""{"rerun":"${shown.mkString(" ")}"}"""
+    }
     // lost Observation events re-run explicit aggregation passes —
     // exactly what statement-chain inflation on a loaded epoch looks
     // like; a nonzero count here attributes it from the artifact alone
